@@ -1,0 +1,162 @@
+"""Distributed H3 compaction / uncompaction of DataFrames.
+
+Compaction (reference: ``h3df.h3_compact_dataframe(true)`` via
+h3ron-polars, called at ``insert.rs:99-108``) replaces every complete
+set of sibling cells *with identical attribute values* by a single
+parent-cell row, recursively — producing a mixed-resolution dataframe
+that stores uniform regions once.
+
+Spark-first design (scale notes):
+
+- ``compact_df`` is pure JVM DataFrame algebra — an iterative
+  finest-to-coarsest loop of ``groupBy(parent, *value_cols)`` where a
+  parent is promoted when all its children are present (7, or 6 for a
+  pentagon parent). No Python UDF; every level is one partial-agg
+  (map-side combine) shuffle over a geometrically shrinking row set.
+  Each level's survivors are accumulated lazily; intermediates are
+  persisted to keep the plan linear instead of exponential.
+- ``uncompact_df`` expands mixed-resolution rows to a target
+  resolution with a **broadcast join against a tiny child-offset
+  table** (7^diff rows, built by ``h3_cell_offsets``) and pure bit
+  arithmetic — the Spark realization of the reference's client-side
+  ``h3_uncompact_dataframe_subset`` (``mod.rs:459-477``) that scales to
+  any number of rows (no driver materialization).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from ukis_h3cellstore_spark.h3 import cells as h3c
+from ukis_h3cellstore_spark.h3 import expressions as hx
+
+
+def compact_df(
+    df: DataFrame,
+    h3index_column: str = "h3index",
+    max_res: int | None = None,
+    persist: bool = True,
+) -> DataFrame:
+    """Compact complete uniform sibling sets into parent rows.
+
+    ``df`` may hold mixed resolutions. Attribute columns (everything
+    except the h3 column) take part in the grouping: only siblings with
+    equal attribute values merge, so the operation is lossless
+    (``uncompact_df(compact_df(df), r)`` reproduces ``df`` for
+    single-resolution input).
+    """
+    value_cols = [c for c in df.columns if c != h3index_column]
+    h3col = F.col(h3index_column)
+    res_col = hx.h3_get_resolution(h3col)
+
+    if max_res is None:
+        row = df.select(F.max(res_col).alias("r")).first()
+        max_res = row["r"] if row and row["r"] is not None else 0
+
+    from pyspark.sql import Window
+
+    out_levels: list[DataFrame] = []
+    cur = df
+    for r in range(max_res, 0, -1):
+        at_r = cur.filter(hx.h3_get_resolution(F.col(h3index_column)) == r)
+        rest = cur.filter(hx.h3_get_resolution(F.col(h3index_column)) != r)
+
+        # single-shuffle sibling detection: count children per
+        # (parent, attribute-values) group with a window — no self-join
+        with_parent = at_r.withColumn(
+            "__h3_parent", hx.h3_to_parent(F.col(h3index_column), r - 1)
+        )
+        w = Window.partitionBy("__h3_parent", *value_cols)
+        counted = with_parent.withColumn("__n", F.count(F.lit(1)).over(w))
+        if persist:
+            # one checkpoint per level: truncates lineage (the loop
+            # would otherwise build a 2^levels plan via rest ∪ promoted)
+            # and materializes the window shuffle once for both the
+            # promoted and kept branches below
+            counted = counted.localCheckpoint(eager=True)
+        need = F.when(
+            hx.h3_is_pentagon(F.col("__h3_parent")), F.lit(6)
+        ).otherwise(F.lit(7))
+        complete = F.col("__n") == need
+        # a complete group always contains the digit-0 (center) child —
+        # emit the parent from that single row
+        last_digit = F.shiftrightunsigned(
+            F.col(h3index_column), 3 * (15 - r)
+        ).bitwiseAND(F.lit(0x7))
+        promoted = (
+            counted.filter(complete & (last_digit == 0))
+            .select(F.col("__h3_parent").alias(h3index_column), *value_cols)
+        )
+        kept = counted.filter(~complete).select(h3index_column, *value_cols)
+
+        cur = rest.unionByName(promoted.select(*rest.columns))
+        out_levels.append(kept.select(*df.columns))
+
+    result = cur
+    for lvl in out_levels:
+        result = result.unionByName(lvl)
+    return result
+
+
+def uncompact_df(
+    df: DataFrame,
+    target_res: int,
+    h3index_column: str = "h3index",
+    cells_df: DataFrame | None = None,
+) -> DataFrame:
+    """Expand mixed-resolution rows to ``target_res`` descendants.
+
+    Rows already at ``target_res`` pass through; coarser rows are
+    crossed with a broadcast child-offset table per source resolution
+    (pure bit-OR arithmetic, JVM-side). Pentagon descendants that would
+    carry a K-axis digit are filtered out with a validity bit-test.
+
+    ``cells_df`` (single column named like ``h3index_column``)
+    optionally restricts the result via a broadcast left-semi join —
+    the reference's "uncompact subset" (``mod.rs:459-477``).
+    """
+    spark = df.sparkSession
+    h3col = F.col(h3index_column)
+    res_col = hx.h3_get_resolution(h3col)
+
+    at_target = df.filter(res_col == target_res)
+    coarser = df.filter(res_col < target_res)
+
+    # distinct source resolutions present (small driver-side list; ≤ 16)
+    res_present = [
+        r["__r"]
+        for r in coarser.select(res_col.alias("__r")).distinct().collect()
+    ]
+
+    parts = [at_target]
+    for r in sorted(res_present):
+        offsets = hx.h3_cell_offsets(spark, r, target_res)
+        lvl = (
+            coarser.filter(res_col == r)
+            .crossJoin(F.broadcast(offsets))
+            .withColumn(
+                h3index_column,
+                hx.h3_uncompact_expr(h3col, r, target_res, F.col("child_offset")),
+            )
+            .drop("child_offset")
+        )
+        # drop K-axis children under pentagon chains (invalid cells)
+        lvl = lvl.filter(hx.h3_is_valid_cell(F.col(h3index_column)))
+        parts.append(lvl.select(*df.columns))
+
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    if cells_df is not None:
+        out = out.join(
+            F.broadcast(cells_df.select(F.col(cells_df.columns[0]).alias(h3index_column)).distinct()),
+            on=h3index_column,
+            how="leftsemi",
+        )
+    return out
+
+
+def compact_cells_local(cells: list[int]) -> list[int]:
+    """Driver-side exact compaction (delegates to the pure-Python core)."""
+    return h3c.compact_cells(cells)

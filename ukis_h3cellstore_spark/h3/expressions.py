@@ -1,0 +1,164 @@
+"""Spark ``Column`` expressions for H3 hierarchy math.
+
+These are pure JVM-side bit-arithmetic expressions (no Python UDFs), so
+they participate in whole-stage codegen and can be pushed into
+partition/filter pruning. They mirror
+:mod:`ukis_h3cellstore_spark.h3.cells` exactly.
+
+Hot-path functions per SURVEY.md §7.1: ``h3_get_resolution``,
+``h3_to_parent``, ``h3_get_base_cell`` (reference generates these as
+ClickHouse SQL — partitioning.rs:121-127, insert.rs:481-505).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ukis_h3cellstore_spark.h3 import cells as c
+
+_RES_CLEAR = ~(0xF << 52) & ((1 << 64) - 1)  # fits in signed 64-bit as negative
+# Python's ~ on ints is fine for Spark literals as long as the value is
+# within signed-64 range; compute the signed representation explicitly.
+_RES_CLEAR_SIGNED = _RES_CLEAR - (1 << 64)  # = ~(0xF << 52) in two's complement
+
+
+def _col(col: Column | str) -> Column:
+    return F.col(col) if isinstance(col, str) else col
+
+
+def h3_get_resolution(col: Column | str) -> Column:
+    """``(cell >> 52) & 15`` — reference `h3GetResolution`."""
+    return F.shiftrightunsigned(_col(col), 52).bitwiseAND(F.lit(0xF))
+
+
+def h3_get_base_cell(col: Column | str) -> Column:
+    """``(cell >> 45) & 127`` — reference `h3GetBaseCell`."""
+    return F.shiftrightunsigned(_col(col), 45).bitwiseAND(F.lit(0x7F))
+
+
+def h3_to_parent(col: Column | str, parent_res: int) -> Column:
+    """Ancestor at a *static* resolution — single OR/AND chain.
+
+    ``(cell & ~RES_MASK) | (res << 52) | trailing_sevens(res)``.
+    Caller guarantees cell resolution ≥ parent_res (as the reference
+    does — h3ToParent on coarser cells is undefined there too).
+    """
+    fill = c.trailing_sevens(parent_res)
+    return (
+        _col(col)
+        .bitwiseAND(F.lit(_RES_CLEAR_SIGNED))
+        .bitwiseOR(F.lit((parent_res << 52) | fill))
+    )
+
+
+def h3_to_parent_dyn(col: Column | str, parent_res: Column) -> Column:
+    """Ancestor at a *dynamic* (per-row) resolution.
+
+    The trailing-sevens mask is ``2^(3*(15-res)) - 1``; computed via a
+    16-arm CASE to stay in exact integer arithmetic (pow() would go
+    through doubles).
+    """
+    col = _col(col)
+    expr = None
+    for r in range(16):
+        mask = F.lit((r << 52) | c.trailing_sevens(r))
+        cond = parent_res == r
+        expr = F.when(cond, mask) if expr is None else expr.when(cond, mask)
+    return col.bitwiseAND(F.lit(_RES_CLEAR_SIGNED)).bitwiseOR(expr)
+
+
+def h3_is_pentagon(col: Column | str) -> Column:
+    col = _col(col)
+    digit_area = col.bitwiseAND(F.lit((1 << 45) - 1))
+    # 2^(3*(15-res)) - 1; exact in double arithmetic up to 2^45
+    shift = ((F.lit(15) - h3_get_resolution(col)) * 3).cast("double")
+    trailing = F.pow(F.lit(2.0), shift).cast("long") - 1
+    is_pent_base = h3_get_base_cell(col).isin(*sorted(c.PENTAGON_BASE_CELLS))
+    return is_pent_base & (digit_area == trailing)
+
+
+def h3_children_count(col: Column | str, child_res: int | Column) -> Column:
+    """Exact descendant count at ``child_res`` (pentagon-aware).
+
+    Reference parity: `length(h3ToChildren(parent, src_res))`
+    (insert.rs:393) used as the RelativeToCellArea divisor.
+    """
+    col = _col(col)
+    child_res = F.lit(child_res) if isinstance(child_res, int) else child_res
+    diff = child_res - h3_get_resolution(col)
+    # 7^diff via pow on doubles is exact up to 7^18 < 2^53 → safe for diff ≤ 15
+    hex_count = F.pow(F.lit(7.0), diff.cast("double")).cast("long")
+    pent_count = (F.lit(1) + F.lit(5) * (hex_count - F.lit(1)) / F.lit(6)).cast("long")
+    return F.when(h3_is_pentagon(col), pent_count).otherwise(hex_count)
+
+
+def h3_is_valid_cell(col: Column | str) -> Column:
+    """Structural validity (high bit, mode, base cell range, digit rules).
+
+    Digit-by-digit checks are unrolled to 15 static bit tests — still a
+    single codegen'd expression tree.
+    """
+    col = _col(col)
+    res = h3_get_resolution(col)
+    ok = (
+        (col >= 0)
+        & (F.shiftrightunsigned(col, 59).bitwiseAND(F.lit(0xF)) == c.MODE_CELL)
+        & (F.shiftrightunsigned(col, 56).bitwiseAND(F.lit(0x7)) == 0)
+        & (h3_get_base_cell(col) <= 121)
+    )
+    for r in range(1, c.MAX_RESOLUTION + 1):
+        digit = F.shiftrightunsigned(col, 3 * (15 - r)).bitwiseAND(F.lit(0x7))
+        ok = ok & F.when(F.lit(r) <= res, digit != 7).otherwise(digit == 7)
+    # pentagon rule: on a pentagon base cell the first non-zero digit
+    # must not be the (deleted) K axis digit 1 — unrolled over the 15
+    # possible positions of that first digit
+    pent_base = h3_get_base_cell(col).isin(*sorted(c.PENTAGON_BASE_CELLS))
+    leading_k = F.lit(False)
+    for r in range(1, c.MAX_RESOLUTION + 1):
+        digit = F.shiftrightunsigned(col, 3 * (15 - r)).bitwiseAND(F.lit(0x7))
+        if r == 1:
+            prefix_zero = F.lit(True)
+        else:
+            # digits 1..r-1 occupy bits 3*(15-(r-1)) .. 44
+            prefix = F.shiftrightunsigned(col, 3 * (15 - (r - 1))).bitwiseAND(
+                F.lit((1 << (3 * (r - 1))) - 1)
+            )
+            prefix_zero = prefix == 0
+        leading_k = leading_k | ((F.lit(r) <= res) & prefix_zero & (digit == 1))
+    ok = ok & ~(pent_base & leading_k)
+    return ok
+
+
+def h3_cell_offsets(spark: SparkSession, parent_res: int, child_res: int) -> DataFrame:
+    """Helper table of child suffixes for JVM-side uncompaction.
+
+    Returns ``7^(child_res-parent_res)`` rows with one column
+    ``child_offset``: the OR-mask that turns a parent cell at
+    ``parent_res`` (with its trailing 7s cleared) into each child at
+    ``child_res``. Used as a broadcast join side by
+    :func:`h3_uncompact_df`. Pentagon parents are handled by filtering
+    invalid children afterwards (see h3_uncompact_df).
+    """
+    diff = child_res - parent_res
+    n = 7**diff
+    df = spark.range(n).select(F.col("id"))
+    offset = F.lit(c.trailing_sevens(child_res))
+    for i in range(diff):
+        # digit for resolution parent_res+1+i, base-7 expansion of id,
+        # most-significant digit first
+        digit = (F.col("id") / F.lit(7 ** (diff - 1 - i))).cast("long") % 7
+        offset = offset.bitwiseOR(
+            F.shiftleft(digit, 3 * (15 - (parent_res + 1 + i)))
+        )
+    return df.select(offset.alias("child_offset"))
+
+
+def h3_uncompact_expr(cell: Column, parent_res: int, child_res: int, offset: Column) -> Column:
+    """Combine a parent cell with a child offset from h3_cell_offsets."""
+    # clear resolution field and the trailing-7 digits, then OR in the
+    # child resolution + offset digits (offset includes the new trailing 7s)
+    cleared = cell.bitwiseAND(F.lit(_RES_CLEAR_SIGNED)).bitwiseAND(
+        F.lit(~c.trailing_sevens(parent_res))
+    )
+    return cleared.bitwiseOR(F.lit(child_res << 52)).bitwiseOR(offset)

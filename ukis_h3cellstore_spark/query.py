@@ -1,0 +1,122 @@
+"""TableSetQuery — auto projections and user SQL templates (P1-P3).
+
+Reference: ``crates/ukis_h3cellstore/src/clickhouse/compacted_tables/
+select.rs``. Two query flavors:
+
+- **auto** (P1, select.rs:98-126): select every tableset column except
+  those prefixed ``h3index`` plus the ``h3index`` column itself, with
+  the cell-membership predicate (P2).
+- **template** (P3, select.rs:11-53): a user SQL string with
+  ``<[table]>`` (mandatory) and ``<[h3indexes]>`` (optional)
+  placeholders, executed once per contributing pyramid table. On
+  Spark, the table placeholder resolves to a per-table temp view and
+  the SQL runs through ``spark.sql`` — templated queries therefore use
+  the (documented) Spark SQL dialect; the H3 function names of the
+  ClickHouse dialect are provided by
+  :func:`ukis_h3cellstore_spark.functions.register_h3_sql_functions`.
+
+Cell predicates are pushed as IN-literal lists for small sets (so
+Catalyst folds them into parquet filters / partition pruning) and as
+broadcast semi-joins beyond — the scale-safe replacement for the
+reference's always-literal SQL (SURVEY §7.2.9).
+"""
+
+from __future__ import annotations
+
+import re
+from dataclasses import dataclass
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+PLACEHOLDER_TABLE = "<[table]>"
+PLACEHOLDER_H3INDEXES = "<[h3indexes]>"
+
+#: Cell lists up to this size become IN-literals, larger ones broadcast joins.
+MAX_INLIST_CELLS = 4096
+
+_VIEW_COUNTER = [0]
+
+
+class QueryTemplateError(ValueError):
+    pass
+
+
+@dataclass
+class TableSetQuery:
+    """auto (template=None) | templated (reference grpc.rs:443-463)."""
+
+    template: str | None = None
+
+    @classmethod
+    def auto(cls) -> "TableSetQuery":
+        return cls(template=None)
+
+    @classmethod
+    def from_template(cls, template: str) -> "TableSetQuery":
+        # validation parity: select.rs:30-44
+        if PLACEHOLDER_TABLE not in template:
+            raise QueryTemplateError(
+                f"query template must contain the {PLACEHOLDER_TABLE} placeholder"
+            )
+        return cls(template=template)
+
+
+def auto_projection_columns(columns: list[str], h3index_column: str) -> list[str]:
+    """P1 (select.rs:98-126): all columns except `h3index*`-prefixed
+    ones, plus the h3index column itself, h3index first."""
+    rest = sorted(
+        c for c in columns if not c.startswith("h3index") and c != h3index_column
+    )
+    return [h3index_column] + rest
+
+
+def cells_predicate(
+    spark: SparkSession, df: DataFrame, h3name: str, cells: list[int]
+) -> DataFrame:
+    """P2/J1 cell-membership semi-join, scale-adaptive."""
+    if len(cells) <= MAX_INLIST_CELLS:
+        return df.filter(F.col(h3name).isin(cells))
+    cells_df = spark.createDataFrame([(c,) for c in cells], f"{h3name} long")
+    return df.join(F.broadcast(cells_df), on=h3name, how="leftsemi")
+
+
+def build_table_query(
+    spark: SparkSession,
+    df: DataFrame,
+    h3name: str,
+    table_cells: list[int],
+    query: TableSetQuery | None,
+    table_columns: list[str],
+) -> DataFrame:
+    """Build the per-table select of the Q2 pipeline.
+
+    auto → projection + cell predicate; template → temp view +
+    placeholder substitution via ``spark.sql`` (the template fully owns
+    filtering, as in the reference where it replaces the generated
+    SELECT, select.rs:127-129).
+    """
+    if query is None or query.template is None:
+        proj = auto_projection_columns(table_columns, h3name)
+        out = df.select(*proj)
+        return cells_predicate(spark, out, h3name, table_cells)
+
+    _VIEW_COUNTER[0] += 1
+    view = f"__h3cs_table_{_VIEW_COUNTER[0]}"
+    df.createOrReplaceTempView(view)
+    sql = query.template.replace(PLACEHOLDER_TABLE, view)
+    if PLACEHOLDER_H3INDEXES in sql:
+        literal = ",".join(str(c) for c in table_cells) or "NULL"
+        sql = sql.replace(PLACEHOLDER_H3INDEXES, f"({literal})")
+    try:
+        return spark.sql(sql)
+    except Exception as e:  # surface missing columns etc. (test_traversal parity)
+        raise IOError(f"templated query failed: {e}") from e
+
+
+def validate_template_columns(sql_error: str) -> str:
+    """Normalize Spark's unresolved-column error into the reference's
+    'Missing columns' wording (test_traversal.py:89-103 parity)."""
+    if re.search(r"UNRESOLVED_COLUMN|cannot resolve", sql_error, re.IGNORECASE):
+        return f"Missing columns: {sql_error}"
+    return sql_error

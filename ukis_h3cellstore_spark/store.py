@@ -1,0 +1,481 @@
+"""CellStore — the Parquet-backed H3 tableset store.
+
+Spark-first re-expression of the reference's
+``CompactedTablesStore``/``GRPCConnection`` API (parity checklist:
+SURVEY.md §2.10; reference ``crates/ukis_h3cellstorepy/src/clickhouse/
+grpc.rs``). A "database" is a warehouse directory; a tableset is a
+pyramid of Parquet datasets, one per (resolution, base|compacted)
+table, written with:
+
+- ``partitionBy`` on the H3 partition expression (base cell or
+  lower-resolution parent — reference ``partitioning.rs:98-130``) plus
+  the temporal bucket (``partitioning.rs:25-94``) and user partition
+  columns → Spark partition pruning replaces ClickHouse part pruning
+  (SURVEY §4 O3);
+- ``sortWithinPartitions`` on the schema sort key (h3index first) →
+  Parquet row-group min/max skipping replaces the MergeTree primary
+  index (O4).
+
+All pipelines are lazy DataFrame compositions — Catalyst plans the
+scans, semi-joins, unions and aggregations; there is no driver-side
+row movement anywhere (cell lists are turned into broadcast join
+sides, not IN-literal SQL, once they exceed a small threshold).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+from dataclasses import dataclass
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ukis_h3cellstore_spark import compaction, rollup
+from ukis_h3cellstore_spark.frame import H3DataFrame
+from ukis_h3cellstore_spark.h3 import cells as h3c
+from ukis_h3cellstore_spark.h3 import expressions as hx
+from ukis_h3cellstore_spark.query import (
+    TableSetQuery,
+    build_table_query,
+    cells_predicate,
+)
+from ukis_h3cellstore_spark.schema import (
+    CompactedTableSchema,
+    ResolutionMetadata,
+    SchemaError,
+    TableEngine,
+)
+from ukis_h3cellstore_spark.tableset import TableSet, group_tables_into_tablesets
+
+#: Cell lists up to this size are pushed down as IN-literals (prunable
+#: at plan time); larger sets become broadcast semi-joins.
+MAX_INLIST_CELLS = 4096
+
+
+@dataclass
+class InsertOptions:
+    """Parity with reference ``InsertOptions`` (grpc.rs:398-441)."""
+
+    max_num_rows_per_chunk: int = 1_000_000  # → parquet maxRecordsPerFile
+    create_schema: bool = True
+    deduplicate_after_insert: bool = True
+
+
+class CellStore:
+    """One warehouse ("database") of H3 tablesets."""
+
+    def __init__(self, spark: SparkSession, warehouse_dir: str):
+        self.spark = spark
+        self.warehouse_dir = warehouse_dir
+        os.makedirs(warehouse_dir, exist_ok=True)
+
+    # ------------------------------------------------------------ small utils
+
+    def _tableset_dir(self, name: str) -> str:
+        return os.path.join(self.warehouse_dir, name)
+
+    def _table_path(self, tableset_name: str, meta: ResolutionMetadata) -> str:
+        return os.path.join(
+            self._tableset_dir(tableset_name), "tables", meta.table_name(tableset_name)
+        )
+
+    def _schema_path(self, name: str) -> str:
+        return os.path.join(self._tableset_dir(name), "schema.json")
+
+    # --------------------------------------------------- database-level (S9)
+
+    def database_exists(self, path: str | None = None) -> bool:
+        return os.path.isdir(path or self.warehouse_dir)
+
+    def create_database(self, path: str | None = None) -> None:
+        os.makedirs(path or self.warehouse_dir, exist_ok=True)
+
+    # ------------------------------------------------------- generic SQL (S2)
+
+    def execute(self, sql: str) -> None:
+        """Run a SQL statement (reference `execute`, grpc.rs:121-134)."""
+        self.spark.sql(sql).collect()
+
+    def execute_into_dataframe(self, sql: str) -> DataFrame:
+        """Run SQL → lazy DataFrame (reference grpc.rs:137-150)."""
+        return self.spark.sql(sql)
+
+    def execute_into_h3dataframe(self, sql: str, h3index_column: str) -> H3DataFrame:
+        """Reference grpc.rs:165-185 / cellstore.rs:69-79."""
+        return H3DataFrame(self.spark.sql(sql), h3index_column)
+
+    # ------------------------------------------------------------ catalog (S8)
+
+    def tableset_exists(self, name: str) -> bool:
+        return os.path.isfile(self._schema_path(name))
+
+    def get_schema(self, name: str) -> CompactedTableSchema:
+        with open(self._schema_path(name)) as f:
+            return CompactedTableSchema.from_json_string(f.read())
+
+    def list_tablesets(self) -> dict[str, TableSet]:
+        """Discover tablesets by introspecting the warehouse directory —
+        the same "scan physical tables, parse names, group" approach as
+        the reference (mod.rs:138-213), with the schema.json as a
+        shortcut when present."""
+        table_names: list[str] = []
+        if not os.path.isdir(self.warehouse_dir):
+            return {}
+        for entry in os.listdir(self.warehouse_dir):
+            tdir = os.path.join(self.warehouse_dir, entry, "tables")
+            if os.path.isdir(tdir):
+                table_names.extend(os.listdir(tdir))
+        return group_tables_into_tablesets(table_names)
+
+    def create_tableset(self, schema: CompactedTableSchema) -> None:
+        """Persist the schema and lay out the (empty) pyramid (S6)."""
+        schema.validate()
+        os.makedirs(os.path.join(self._tableset_dir(schema.name), "tables"), exist_ok=True)
+        with open(self._schema_path(schema.name), "w") as f:
+            f.write(schema.to_json_string())
+
+    def drop_tableset(self, name: str) -> None:
+        """Drop all tables of a set (S7, reference mod.rs:215-244)."""
+        d = self._tableset_dir(name)
+        if os.path.isdir(d):
+            shutil.rmtree(d)
+
+    # ------------------------------------------------------------- IO helpers
+
+    def _partition_columns(self, schema: CompactedTableSchema) -> list[str]:
+        cols = ["h3part"]
+        if schema.temporal_partition_column() is not None:
+            cols.append("tpart")
+        cols.extend(
+            c
+            for c in schema.partition_by_columns
+            if c != schema.temporal_partition_column()
+        )
+        return cols
+
+    def _with_partition_columns(
+        self, schema: CompactedTableSchema, df: DataFrame, resolution: int
+    ) -> DataFrame:
+        h3col = F.col(schema.h3index_column())
+        if schema.h3_partitioning.kind == "basecell":
+            part = hx.h3_get_base_cell(h3col)
+        else:
+            diff = schema.h3_partitioning.resolution_difference
+            target = max(resolution - diff, 0)
+            part = hx.h3_get_resolution(h3col)  # placeholder, replaced below
+            part = hx.h3_to_parent(h3col, target)
+        df = df.withColumn("h3part", part)
+        tcol = schema.temporal_partition_column()
+        if tcol is not None:
+            tp = schema.temporal_partitioning
+            if tp.unit == "years":
+                bucket = (F.floor(F.year(F.col(tcol)) / tp.num) * tp.num).cast("int")
+            else:
+                months = F.year(F.col(tcol)) * 12 + F.month(F.col(tcol)) - 1
+                bucket = (F.floor(months / tp.num) * tp.num).cast("int")
+            df = df.withColumn("tpart", bucket)
+        return df
+
+    def _write_table(
+        self,
+        schema: CompactedTableSchema,
+        meta: ResolutionMetadata,
+        df: DataFrame,
+        options: InsertOptions,
+    ) -> None:
+        part_cols = self._partition_columns(schema)
+        sort_cols = schema.sort_key()
+        out = self._with_partition_columns(schema, df, meta.resolution)
+        (
+            out.repartition(*[F.col(c) for c in part_cols])
+            .sortWithinPartitions(*sort_cols)
+            .write.mode("append")
+            .option("maxRecordsPerFile", options.max_num_rows_per_chunk)
+            .partitionBy(*part_cols)
+            .parquet(self._table_path(schema.name, meta))
+        )
+
+    def read_table(
+        self, schema: CompactedTableSchema, meta: ResolutionMetadata
+    ) -> DataFrame:
+        """Scan one pyramid table; empty-table-safe. Partition columns
+        are retained for pruning and dropped by the projection step."""
+        path = self._table_path(schema.name, meta)
+        if not os.path.isdir(path):
+            return self.spark.createDataFrame([], self._read_schema(schema))
+        return self.spark.read.schema(self._read_schema(schema)).parquet(path)
+
+    def _read_schema(self, schema: CompactedTableSchema):
+        """Table schema + partition columns (typed) for schema-stable reads."""
+        from pyspark.sql import types as T
+
+        fields = list(schema.spark_schema().fields)
+        fields.append(T.StructField("h3part", T.LongType(), True))
+        if schema.temporal_partition_column() is not None:
+            fields.append(T.StructField("tpart", T.IntegerType(), True))
+        return T.StructType(fields)
+
+    # --------------------------------------------------------------- Q1 insert
+
+    def insert_h3dataframe_into_tableset(
+        self,
+        schema: CompactedTableSchema,
+        df: DataFrame,
+        h3index_column: str | None = None,
+        options: InsertOptions | None = None,
+    ) -> None:
+        """The write pipeline (reference Q1, insert.rs:89-228):
+        compact (unless a Sum column disables it) → split by resolution
+        → validate → write max-res rows to the base table / coarser rows
+        to compacted tables → rollup chain fine→coarse across base
+        resolutions → optional dedup of touched data.
+        """
+        options = options or InsertOptions()
+        schema.validate()
+        h3name = schema.h3index_column()
+        if h3index_column and h3index_column != h3name:
+            df = df.withColumnRenamed(h3index_column, h3name)
+
+        # conform columns + types to the declared schema
+        target = schema.spark_schema()
+        df = df.select(
+            *[F.col(f.name).cast(f.dataType) for f in target.fields]
+        )
+
+        if options.create_schema and not self.tableset_exists(schema.name):
+            self.create_tableset(schema)
+
+        if schema.compaction_enabled:
+            df = compaction.compact_df(df, h3name, max_res=schema.max_h3_resolution)
+
+        res_col = hx.h3_get_resolution(F.col(h3name))
+        df = df.withColumn("__res", res_col).persist()
+        try:
+            found = [r["__res"] for r in df.select("__res").distinct().collect()]
+            if not found:
+                return
+            max_res = schema.max_h3_resolution
+            if max(found) > max_res:
+                raise SchemaError(
+                    f"dataframe contains resolution {max(found)} > tableset max {max_res}"
+                )
+
+            written: list[ResolutionMetadata] = []
+            # split by resolution: max-res rows → base table, coarser →
+            # compacted tables (reference insert.rs:151-170)
+            level_dfs: dict[ResolutionMetadata, DataFrame] = {}
+            for r in sorted(found):
+                meta = ResolutionMetadata(r, r != max_res)
+                if meta.is_compacted and not schema.compaction_enabled:
+                    raise SchemaError(
+                        f"resolution {r} rows require compacted tables but "
+                        "compaction is disabled for this schema"
+                    )
+                level_dfs[meta] = df.filter(F.col("__res") == r).drop("__res")
+            for meta, level_df in level_dfs.items():
+                self._write_table(schema, meta, level_df, options)
+                written.append(meta)
+
+            # rollup chain (reference insert.rs:278-548): adjacent base
+            # resolution pairs, fine → coarse
+            bases = sorted(schema.h3_base_resolutions, reverse=True)
+            current: DataFrame | None = None
+            persisted: list[DataFrame] = []
+            for source_res, target_res in zip(bases, bases[1:]):
+                src_parts = []
+                base_meta = ResolutionMetadata(source_res, False)
+                if source_res == max_res:
+                    if base_meta in level_dfs:
+                        src_parts.append(level_dfs[base_meta])
+                elif current is not None:
+                    src_parts.append(current)
+                if schema.compaction_enabled:
+                    comp_meta = ResolutionMetadata(source_res, True)
+                    if comp_meta in level_dfs:
+                        src_parts.append(level_dfs[comp_meta])
+                if not src_parts:
+                    current = None
+                    continue
+                source = src_parts[0]
+                for p in src_parts[1:]:
+                    source = source.unionByName(p)
+                level = rollup.rollup_level(schema, source, source_res, target_res)
+                level = level.persist()
+                persisted.append(level)
+                meta = ResolutionMetadata(target_res, False)
+                self._write_table(schema, meta, level, options)
+                written.append(meta)
+                current = level
+
+            for p in persisted:
+                p.unpersist()
+
+            if options.deduplicate_after_insert:
+                self.deduplicate_tableset(schema.name, [m for m in set(written)])
+        finally:
+            df.unpersist()
+
+    # ----------------------------------------------------------------- Q5 dedup
+
+    def deduplicate_tableset(
+        self, name: str, metas: list[ResolutionMetadata] | None = None
+    ) -> None:
+        """Reference Q5 (`deduplicate_schema`, optimize.rs:20-113):
+        OPTIMIZE ... DEDUPLICATE ≈ full-row distinct rewrite of the
+        touched tables. Table-engine semantics beyond plain dedup
+        (Replacing/Summing/Aggregating merge) are applied here as well,
+        which *strengthens* the reference's lazy merge into a
+        deterministic state (SURVEY §7.4.3)."""
+        schema = self.get_schema(name)
+        metas = metas or [
+            m
+            for m in schema.resolution_metadata()
+            if os.path.isdir(self._table_path(name, m))
+        ]
+        for meta in metas:
+            path = self._table_path(name, meta)
+            if not os.path.isdir(path):
+                continue
+            df = self.spark.read.schema(self._read_schema(schema)).parquet(path)
+            deduped = self._apply_engine_merge(schema, df)
+            tmp = path + "__dedup_tmp"
+            part_cols = self._partition_columns(schema)
+            (
+                deduped.repartition(*[F.col(c) for c in part_cols])
+                .sortWithinPartitions(*schema.sort_key())
+                .write.mode("overwrite")
+                .partitionBy(*part_cols)
+                .parquet(tmp)
+            )
+            shutil.rmtree(path)
+            os.rename(tmp, path)
+
+    def _apply_engine_merge(
+        self, schema: CompactedTableSchema, df: DataFrame
+    ) -> DataFrame:
+        if schema.table_engine is TableEngine.SUMMING:
+            keys = [c for c in df.columns if c not in schema.summing_columns]
+            aggs = [F.sum(c).alias(c) for c in schema.summing_columns]
+            ftype = {f.name: f.dataType.simpleString() for f in self._read_schema(schema).fields}
+            aggs = [
+                F.sum(c).cast(ftype[c]).alias(c) for c in schema.summing_columns
+            ]
+            return df.groupBy(*keys).agg(*aggs).select(*df.columns)
+        # Replacing / Aggregating: full-row dedup (OPTIMIZE DEDUPLICATE parity)
+        return df.dropDuplicates()
+
+    # ----------------------------------------------------------------- Q2 query
+
+    def query_tableset_cells(
+        self,
+        name: str,
+        cells: list[int],
+        h3_resolution: int,
+        query: TableSetQuery | None = None,
+        do_uncompact: bool = True,
+    ) -> H3DataFrame:
+        """The read pipeline (reference Q2, mod.rs:333-379 +
+        select.rs:73-162): per contributing table, semi-join against the
+        query cells normalized to that table's resolution; union all;
+        uncompact to the requested resolution restricted to the cells.
+        """
+        if not cells:
+            raise ValueError("empty cell list")  # select.rs:87-89 parity
+        schema = self.get_schema(name)
+        h3name = schema.h3index_column()
+        ts = self._tableset_from_schema(name, schema)
+        metas = ts.tables_to_satisfy_query_at_resolution(h3_resolution)
+
+        cells = [c for c in cells if h3c.is_valid_cell(c)]
+        parts: list[DataFrame] = []
+        for meta in metas:
+            table_cells = h3c.change_resolution(cells, meta.resolution)
+            if not table_cells:
+                continue
+            tdf = self.read_table(schema, meta)
+            tdf = self._prune_partitions(schema, tdf, meta, table_cells)
+            tdf = build_table_query(
+                self.spark,
+                tdf,
+                h3name,
+                table_cells,
+                query,
+                list(schema.spark_schema().names),
+            )
+            parts.append(tdf)
+        if not parts:
+            raise ValueError("no tables satisfy the query")
+        out = parts[0]
+        for p in parts[1:]:
+            out = out.unionByName(p)
+
+        if do_uncompact:
+            cells_at_res = h3c.change_resolution(cells, h3_resolution)
+            cells_df = self.spark.createDataFrame(
+                [(c,) for c in cells_at_res], f"{h3name} long"
+            )
+            out = compaction.uncompact_df(
+                out, h3_resolution, h3name, cells_df=cells_df
+            )
+        return H3DataFrame(out, h3name)
+
+    def _tableset_from_schema(self, name: str, schema: CompactedTableSchema) -> TableSet:
+        metas = schema.resolution_metadata()
+        return TableSet(
+            name,
+            sorted(m.resolution for m in metas if not m.is_compacted),
+            sorted(m.resolution for m in metas if m.is_compacted),
+        )
+
+    def _prune_partitions(
+        self,
+        schema: CompactedTableSchema,
+        df: DataFrame,
+        meta: ResolutionMetadata,
+        cells: list[int],
+    ) -> DataFrame:
+        """Push the query's H3 partition values into the scan so Spark
+        prunes parquet partitions (O3): derive the distinct partition
+        values of the requested cells."""
+        if schema.h3_partitioning.kind == "basecell":
+            values = sorted({h3c.get_base_cell(c) for c in cells})
+        else:
+            diff = schema.h3_partitioning.resolution_difference
+            target = max(meta.resolution - diff, 0)
+            values = sorted({h3c.cell_to_parent(c, target) for c in cells})
+        if len(values) <= MAX_INLIST_CELLS:
+            df = df.filter(F.col("h3part").isin(values))
+        return df
+
+    # ----------------------------------------------------------------- Q4 stats
+
+    def tableset_stats(self, name: str) -> DataFrame:
+        """Reference Q4 (mod.rs:381-457,479-513): per-table row counts
+        plus the derived number of cells at the max resolution
+        (compacted rows count as 7^(max−r) cells each — hexagon closed
+        form, as in the reference's client-side arithmetic)."""
+        schema = self.get_schema(name)
+        max_res = schema.max_h3_resolution
+        rows = []
+        for meta in schema.resolution_metadata():
+            cnt = self.read_table(schema, meta).count()
+            if meta.is_compacted:
+                cells_finest = cnt * (7 ** (max_res - meta.resolution))
+            else:
+                cells_finest = cnt
+            rows.append(
+                (
+                    meta.table_name(name),
+                    meta.resolution,
+                    meta.is_compacted,
+                    cnt,
+                    cells_finest,
+                )
+            )
+        return self.spark.createDataFrame(
+            rows,
+            "table_name string, resolution int, is_compacted boolean, "
+            "num_rows long, num_cells_at_max_res long",
+        ).orderBy("resolution", "is_compacted")
