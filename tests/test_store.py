@@ -1,0 +1,186 @@
+"""CellStore integration tests — mirror the reference tier-2 pytest
+suite (SURVEY §5.2) and fixture invariants (FIXTURES F1-F3), minus the
+live-ClickHouse parts (the Parquet warehouse replaces the server)."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from ukis_h3cellstore_spark import CellStore, CompactedTableSchemaBuilder
+from ukis_h3cellstore_spark.h3 import cells as h3c
+from ukis_h3cellstore_spark.query import QueryTemplateError, TableSetQuery
+from ukis_h3cellstore_spark.schema import SchemaError
+
+
+@pytest.fixture()
+def store(spark, tmp_path):
+    return CellStore(spark, str(tmp_path / "wh"))
+
+
+def okavango_schema():
+    return (
+        CompactedTableSchemaBuilder("okavango_delta")
+        .h3_base_resolutions(list(range(8)))
+        .add_h3index_column()
+        .add_column("is_valid", "UInt8")
+        .add_aggregated_column("elephant_density", "Float32", "RelativeToCellArea")
+        .add_aggregated_column("some_category", "UInt8", "SetNullOnConflict", nullable=True)
+        .build()
+    )
+
+
+def disk_fixture(spark):
+    """49 res-7 cells (children of one res-5 cell), uniform density,
+    category split in half — the F1 'elephant' fixture shape."""
+    region = h3c.build_cell(60, [1, 2, 3, 4, 5])
+    cells = h3c.cell_to_children(region, 7)
+    half = len(cells) // 2
+    rows = [(c, 1, 4.0, 23 if i < half else 12) for i, c in enumerate(cells)]
+    df = spark.createDataFrame(
+        rows, "h3index long, is_valid int, elephant_density float, some_category int"
+    )
+    return region, cells, df
+
+
+def test_f1_roundtrip_and_rollup(spark, store):
+    schema = okavango_schema()
+    region, cells, df = disk_fixture(spark)
+    store.insert_h3dataframe_into_tableset(schema, df)
+
+    # invariant 1 (test_schema.py:44-48): same shape at max res, no nulls
+    out = store.query_tableset_cells("okavango_delta", cells, 7).df.toPandas()
+    assert len(out) == len(cells)
+    assert sorted(out.columns) == sorted(df.columns)
+    assert out["some_category"].isna().sum() == 0
+    assert set(out["h3index"]) == set(cells)
+
+    # invariant 2 (test_schema.py:52-58): coarser query → fewer rows,
+    # same columns, conflict → null
+    out5 = store.query_tableset_cells("okavango_delta", [region], 5).df.toPandas()
+    assert 0 < len(out5) < len(cells)
+    assert len(out5.columns) == len(out.columns)
+    assert out5["some_category"].isna().sum() >= 1
+    # RelativeToCellArea over full coverage is exact
+    assert float(out5["elephant_density"].iloc[0]) == 4.0
+
+    # invariant 3 (test_schema.py:63-66): templated impossible filter → 0
+    q = TableSetQuery.from_template(
+        "select * from <[table]> where elephant_density < 2 "
+        "and h3index in <[h3indexes]>"
+    )
+    assert store.query_tableset_cells("okavango_delta", cells, 7, query=q).df.count() == 0
+
+
+def test_partial_coverage_relative_area(spark, store):
+    """RelativeToCellArea counts missing children as zero."""
+    schema = okavango_schema()
+    region = h3c.build_cell(61, [1, 2, 3, 4, 5])
+    cells = h3c.cell_to_children(region, 7)[:10]  # 10 of 49 children
+    rows = [(c, 1, 1.0, 5) for c in cells]
+    df = spark.createDataFrame(
+        rows, "h3index long, is_valid int, elephant_density float, some_category int"
+    )
+    store.insert_h3dataframe_into_tableset(schema, df)
+    out5 = store.query_tableset_cells("okavango_delta", [region], 5).df.toPandas()
+    assert len(out5) == 1
+    assert abs(float(out5["elephant_density"].iloc[0]) - 10 / 49) < 1e-6
+    # never exceeds the input value (raster oracle invariant, F3)
+    assert float(out5["elephant_density"].iloc[0]) <= 1.0
+
+
+def test_f2_sum_schema_seven_children(spark, store):
+    """F2: Sum aggregation (compaction disabled), res-4 footprint at
+    res 5 returns exactly 7 rows (basic.rs:113-124)."""
+    schema = (
+        CompactedTableSchemaBuilder("okavango_delta_sum")
+        .h3_base_resolutions(list(range(6)))
+        .add_h3index_column()
+        .add_aggregated_column("elephant_count", "UInt32", "Sum")
+        .build()
+    )
+    region = h3c.build_cell(70, [1, 2, 3])  # res 3
+    cells = h3c.cell_to_children(region, 5)
+    df = spark.createDataFrame([(c, 2) for c in cells], "h3index long, elephant_count int")
+    store.insert_h3dataframe_into_tableset(schema, df)
+    parent4 = h3c.cell_to_children(region, 4)[0]
+    out = store.query_tableset_cells("okavango_delta_sum", [parent4], 5).df.toPandas()
+    assert len(out) == 7
+    assert set(out["elephant_count"]) == {2}
+    # and the res-4 rollup sums the 7 children
+    out4 = store.query_tableset_cells("okavango_delta_sum", [parent4], 4).df.toPandas()
+    assert len(out4) == 1 and int(out4["elephant_count"].iloc[0]) == 14
+
+
+def test_query_rejects_empty_cells(store, spark):
+    schema = okavango_schema()
+    _, _, df = disk_fixture(spark)
+    store.insert_h3dataframe_into_tableset(schema, df)
+    with pytest.raises(ValueError):
+        store.query_tableset_cells("okavango_delta", [], 7)
+
+
+def test_insert_rejects_too_fine_resolution(spark, store):
+    schema = (
+        CompactedTableSchemaBuilder("shallow")
+        .h3_base_resolutions([0, 1])
+        .add_h3index_column()
+        .add_column("v", "UInt8")
+        .build()
+    )
+    cell = h3c.build_cell(20, [1, 2, 3])  # res 3 > max 1
+    df = spark.createDataFrame([(cell, 1)], "h3index long, v int")
+    with pytest.raises(SchemaError, match="resolution"):
+        store.insert_h3dataframe_into_tableset(schema, df)
+
+
+def test_template_requires_table_placeholder():
+    with pytest.raises(QueryTemplateError):
+        TableSetQuery.from_template("select * from elsewhere")
+
+
+def test_template_missing_column_errors(spark, store):
+    schema = okavango_schema()
+    _, cells, df = disk_fixture(spark)
+    store.insert_h3dataframe_into_tableset(schema, df)
+    q = TableSetQuery.from_template(
+        "select missing_col from <[table]> where h3index in <[h3indexes]>"
+    )
+    with pytest.raises(IOError):
+        store.query_tableset_cells("okavango_delta", cells, 7, query=q).df.count()
+
+
+def test_list_drop_tablesets(spark, store):
+    schema = okavango_schema()
+    _, _, df = disk_fixture(spark)
+    store.insert_h3dataframe_into_tableset(schema, df)
+    ts = store.list_tablesets()
+    assert "okavango_delta" in ts
+    assert ts["okavango_delta"].base_resolutions == list(range(8))
+    store.drop_tableset("okavango_delta")
+    assert "okavango_delta" not in store.list_tablesets()
+
+
+def test_stats_cell_arithmetic(spark, store):
+    schema = okavango_schema()
+    _, cells, df = disk_fixture(spark)
+    store.insert_h3dataframe_into_tableset(schema, df)
+    stats = store.tableset_stats("okavango_delta").toPandas()
+    # total cells at max res across base_07 + compacted tables == input size
+    finest = stats[
+        (stats.resolution == 7) & (~stats.is_compacted)
+    ]["num_cells_at_max_res"].sum() + stats[stats.is_compacted][
+        "num_cells_at_max_res"
+    ].sum()
+    assert finest == len(cells)
+
+
+def test_insert_idempotent_dedup(spark, store):
+    """Double insert of identical data + dedup → no duplicate rows
+    (ReplacingMergeTree / OPTIMIZE DEDUPLICATE parity)."""
+    schema = okavango_schema()
+    _, cells, df = disk_fixture(spark)
+    store.insert_h3dataframe_into_tableset(schema, df)
+    store.insert_h3dataframe_into_tableset(schema, df)
+    out = store.query_tableset_cells("okavango_delta", cells, 7).df.toPandas()
+    assert len(out) == len(cells)
