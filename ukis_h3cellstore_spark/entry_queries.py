@@ -1,0 +1,744 @@
+"""Driver-contract query registry: Spark implementation + DuckDB oracle
+for every operator claimed in SURVEY.md §2.
+
+Each entry pairs a Spark DataFrame pipeline (the engine's own
+operators — :mod:`h3.expressions`, :mod:`compaction`, :mod:`rollup`,
+:class:`CellStore`) with an ANSI-SQL oracle that DuckDB executes over
+the same parquet tables. Both sides derive the synthetic H3 column with
+the *identical* integer bit arithmetic
+(:mod:`ukis_h3cellstore_spark.h3.sqlgen`), and all float outputs are
+either exact-integer-derived (money in cents as BIGINT) or divisions of
+exact integers (bit-identical IEEE ops in both engines), so the
+driver's order-insensitive value hash matches bit-for-bit.
+
+Determinism conventions:
+- money / measure sums: ``CAST(round(x*100) AS BIGINT)`` cents before
+  summing — integer-exact in both engines;
+- averages: (exact integer sum) / (exact count) evaluated in the same
+  expression shape on both sides;
+- 64-bit hashes: first 15 hex chars of ``md5`` → BIGINT
+  (Spark ``conv(substr(md5(x),1,15),16,10)``,
+  DuckDB ``('0x' || substr(md5(x),1,15))::BIGINT``).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ukis_h3cellstore_spark.h3 import cells as h3c
+from ukis_h3cellstore_spark.h3 import expressions as hx
+from ukis_h3cellstore_spark.h3 import sqlgen as sg
+
+DUCK = sg.DUCKDB
+SPARK_D = sg.SPARK
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+def _events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """events table with the TIMESTAMP(NANOS) ``ts`` column exposed as
+    ``ts_us`` (microseconds since epoch, BIGINT) — Spark's parquet
+    reader rejects nanos timestamps, and DuckDB truncates them to µs,
+    so µs-since-epoch is the cross-engine parity ground."""
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    df = spark.read.parquet(f"{sf_dir}/events.parquet")
+    return df.withColumn("ts_us", (F.col("ts") / 1000).cast("long")).drop("ts")
+
+
+def _cents(col) -> "F.Column":
+    """Exact integer cents of a 2-decimal double."""
+    return F.round(col * 100).cast("long")
+
+
+def _hash64(col) -> "F.Column":
+    return F.conv(F.substring(F.md5(col), 1, 15), 16, 10).cast("long")
+
+
+def _duck_hash64(expr: str) -> str:
+    return f"(('0x' || substr(md5({expr}), 1, 15))::BIGINT)"
+
+
+def _synth_col(key: str, res: int) -> "F.Column":
+    """Synthetic H3 cell from an integer key — Spark side, via the
+    spark-dialect SQL fragment (stays JVM-native)."""
+    return F.expr(sg.synth_cell(key, res, SPARK_D))
+
+
+# --------------------------------------------------------------------------
+# §2.4 relational core (CH-SQL semantics the engine must reproduce): TPC-H
+# style aggregations/joins over the driver tables.
+# --------------------------------------------------------------------------
+
+
+def q_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A1-A4/A7 flavor: grouped aggregation with exact-cents arithmetic."""
+    l = _t(spark, sf_dir, "lineitem").filter(
+        F.col("l_shipdate") <= F.to_timestamp(F.lit("1998-09-02"))
+    )
+    disc_c100 = _cents(F.col("l_extendedprice")) * (
+        F.lit(100) - _cents(F.col("l_discount"))
+    )
+    charge_c10000 = disc_c100 * (F.lit(100) + _cents(F.col("l_tax")))
+    out = (
+        l.groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.sum(F.col("l_quantity").cast("long")).alias("sum_qty"),
+            F.sum(_cents(F.col("l_extendedprice"))).alias("sum_base_cents"),
+            F.sum(disc_c100).alias("sum_disc_c100"),
+            F.sum(charge_c10000).alias("sum_charge_c10000"),
+            F.count(F.lit(1)).alias("count_order"),
+        )
+        .withColumn(
+            "avg_qty", F.col("sum_qty").cast("double") / F.col("count_order")
+        )
+        .withColumn(
+            "avg_price_cents",
+            F.col("sum_base_cents").cast("double") / F.col("count_order"),
+        )
+    )
+    return out.select(
+        "l_returnflag",
+        "l_linestatus",
+        "sum_qty",
+        "sum_base_cents",
+        "sum_disc_c100",
+        "sum_charge_c10000",
+        "count_order",
+        "avg_qty",
+        "avg_price_cents",
+    )
+
+
+Q_PRICING_SUMMARY_SQL = """
+SELECT l_returnflag, l_linestatus,
+       CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_qty,
+       CAST(SUM(CAST(round(l_extendedprice*100) AS BIGINT)) AS BIGINT) AS sum_base_cents,
+       CAST(SUM(CAST(round(l_extendedprice*100) AS BIGINT)
+           * (100 - CAST(round(l_discount*100) AS BIGINT))) AS BIGINT) AS sum_disc_c100,
+       CAST(SUM(CAST(round(l_extendedprice*100) AS BIGINT)
+           * (100 - CAST(round(l_discount*100) AS BIGINT))
+           * (100 + CAST(round(l_tax*100) AS BIGINT))) AS BIGINT) AS sum_charge_c10000,
+       COUNT(*) AS count_order,
+       CAST(SUM(CAST(l_quantity AS BIGINT)) AS DOUBLE) / COUNT(*) AS avg_qty,
+       CAST(SUM(CAST(round(l_extendedprice*100) AS BIGINT)) AS DOUBLE)
+           / COUNT(*) AS avg_price_cents
+FROM lineitem
+WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+GROUP BY l_returnflag, l_linestatus
+"""
+
+
+def q_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Broadcast-join + aggregation (customer ⋈ orders ⋈ lineitem)."""
+    cutoff = F.to_timestamp(F.lit("1998-07-01"))
+    c = _t(spark, sf_dir, "customer").filter(F.col("c_mktsegment") == "BUILDING")
+    o = _t(spark, sf_dir, "orders").filter(F.col("o_orderdate") < cutoff)
+    l = _t(spark, sf_dir, "lineitem").filter(F.col("l_shipdate") > cutoff)
+    joined = (
+        l.join(o, l.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+    )
+    return (
+        joined.groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
+        .agg(
+            F.sum(
+                _cents(F.col("l_extendedprice"))
+                * (F.lit(100) - _cents(F.col("l_discount")))
+            ).alias("revenue_c100")
+        )
+        .select("l_orderkey", "revenue_c100", "o_orderdate", "o_orderpriority")
+    )
+
+
+Q_SHIPPING_PRIORITY_SQL = """
+SELECT l_orderkey,
+       CAST(SUM(CAST(round(l_extendedprice*100) AS BIGINT)
+           * (100 - CAST(round(l_discount*100) AS BIGINT))) AS BIGINT) AS revenue_c100,
+       o_orderdate, o_orderpriority
+FROM customer, orders, lineitem
+WHERE c_mktsegment = 'BUILDING'
+  AND c_custkey = o_custkey AND l_orderkey = o_orderkey
+  AND o_orderdate < TIMESTAMP '1998-07-01'
+  AND l_shipdate  > TIMESTAMP '1998-07-01'
+GROUP BY l_orderkey, o_orderdate, o_orderpriority
+"""
+
+
+def q_region_nation_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """5-way join with two broadcast dims (TPC-H Q5 shape)."""
+    lo = F.to_timestamp(F.lit("1996-01-01"))
+    hi = F.to_timestamp(F.lit("1997-01-01"))
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= lo) & (F.col("o_orderdate") < hi)
+    )
+    l = _t(spark, sf_dir, "lineitem")
+    s = _t(spark, sf_dir, "supplier")
+    n = _t(spark, sf_dir, "nation")
+    r = _t(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
+    joined = (
+        l.join(o, l.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(s), l.l_suppkey == s.s_suppkey)
+        .join(c, o.o_custkey == c.c_custkey)
+        .filter(F.col("c_nationkey") == F.col("s_nationkey"))
+        .join(F.broadcast(n), F.col("s_nationkey") == n.n_nationkey)
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+    )
+    return (
+        joined.groupBy("n_name")
+        .agg(
+            F.sum(
+                _cents(F.col("l_extendedprice"))
+                * (F.lit(100) - _cents(F.col("l_discount")))
+            ).alias("revenue_c100")
+        )
+        .select("n_name", "revenue_c100")
+    )
+
+
+Q_REGION_NATION_REVENUE_SQL = """
+SELECT n_name,
+       CAST(SUM(CAST(round(l_extendedprice*100) AS BIGINT)
+           * (100 - CAST(round(l_discount*100) AS BIGINT))) AS BIGINT) AS revenue_c100
+FROM customer, orders, lineitem, supplier, nation, region
+WHERE c_custkey = o_custkey AND l_orderkey = o_orderkey
+  AND l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+  AND s_nationkey = n_nationkey AND n_regionkey = r_regionkey
+  AND r_name = 'ASIA'
+  AND o_orderdate >= TIMESTAMP '1996-01-01'
+  AND o_orderdate <  TIMESTAMP '1997-01-01'
+GROUP BY n_name
+"""
+
+
+def q_events_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Event-time tumbling-window aggregation (batch form of the
+    streaming windowed agg; SURVEY §2.9). Window = 1h tumbling on the
+    µs epoch (hour_id), plus the window-start timestamp."""
+    e = _events(spark, sf_dir)
+    hour_id = (F.col("ts_us") / 3_600_000_000).cast("long")
+    return (
+        e.withColumn("hour_id", hour_id)
+        .groupBy("hour_id", "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(_cents(F.col("value"))).alias("sum_value_cents"),
+        )
+        .withColumn(
+            "window_start", F.timestamp_micros(F.col("hour_id") * 3_600_000_000)
+        )
+        .select("hour_id", "window_start", "event_type", "n_events", "sum_value_cents")
+    )
+
+
+Q_EVENTS_HOURLY_SQL = """
+SELECT (epoch_us(ts) // 3600000000) AS hour_id,
+       make_timestamp((epoch_us(ts) // 3600000000) * 3600000000) AS window_start,
+       event_type,
+       COUNT(*) AS n_events,
+       CAST(SUM(CAST(round(value*100) AS BIGINT)) AS BIGINT) AS sum_value_cents
+FROM events
+GROUP BY 1, 2, 3
+"""
+
+
+# --------------------------------------------------------------------------
+# §2.6/2.7 H3 function suite + §2.4 rollup aggregations over synthetic cells
+# --------------------------------------------------------------------------
+
+
+def q_h3_synth_fields(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scalar H3 functions: construction, resolution, base cell,
+    static + dynamic parent (h3GetResolution/h3GetBaseCell/h3ToParent)."""
+    e = _events(spark, sf_dir).select("event_id")
+    cell = _synth_col("event_id", 8)
+    df = e.withColumn("h3index", cell)
+    return df.select(
+        "event_id",
+        "h3index",
+        hx.h3_get_resolution("h3index").alias("h3_res"),
+        hx.h3_get_base_cell("h3index").alias("h3_basecell"),
+        hx.h3_to_parent("h3index", 5).alias("h3_parent5"),
+        hx.h3_to_parent_dyn(
+            "h3index", F.lit(2) + (F.col("event_id") % 3).cast("int")
+        ).alias("h3_parent_dyn"),
+        hx.h3_is_valid_cell("h3index").alias("is_valid"),
+    )
+
+
+def _q_h3_synth_fields_sql() -> str:
+    cell = sg.synth_cell("event_id", 8, DUCK)
+    dyn_parts = []
+    for r in (2, 3, 4):
+        dyn_parts.append(
+            f"WHEN (2 + event_id % 3) = {r} THEN {sg.to_parent('h3index', r, DUCK)}"
+        )
+    return f"""
+WITH syn AS (SELECT event_id, {cell} AS h3index FROM events)
+SELECT event_id, h3index,
+       {sg.resolution('h3index', DUCK)} AS h3_res,
+       {sg.base_cell('h3index', DUCK)} AS h3_basecell,
+       {sg.to_parent('h3index', 5, DUCK)} AS h3_parent5,
+       CASE {' '.join(dyn_parts)} END AS h3_parent_dyn,
+       TRUE AS is_valid
+FROM syn
+"""
+
+
+def q_h3_parent_agg_sum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A1+A7: rollup grouping by h3ToParent + passthrough column."""
+    e = _events(spark, sf_dir)
+    df = e.withColumn("h3index", _synth_col("event_id", 8))
+    return (
+        df.groupBy(
+            hx.h3_to_parent("h3index", 3).alias("h3index_parent"),
+            "event_type",
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(_cents(F.col("value"))).alias("sum_value_cents"),
+        )
+        .select("h3index_parent", "event_type", "n", "sum_value_cents")
+    )
+
+
+def _q_h3_parent_agg_sum_sql() -> str:
+    cell = sg.synth_cell("event_id", 8, DUCK)
+    return f"""
+WITH syn AS (SELECT *, {cell} AS h3index FROM events)
+SELECT {sg.to_parent('h3index', 3, DUCK)} AS h3index_parent, event_type,
+       COUNT(*) AS n,
+       CAST(SUM(CAST(round(value*100) AS BIGINT)) AS BIGINT) AS sum_value_cents
+FROM syn GROUP BY 1, 2
+"""
+
+
+def q_h3_minmax_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A2/A3/A4: max/min/avg rollup at parent resolution 4."""
+    e = _events(spark, sf_dir)
+    df = e.withColumn("h3index", _synth_col("event_id", 8))
+    return (
+        df.groupBy(hx.h3_to_parent("h3index", 4).alias("h3index_parent"))
+        .agg(
+            F.max(_cents(F.col("value"))).alias("max_cents"),
+            F.min(_cents(F.col("value"))).alias("min_cents"),
+            F.sum(_cents(F.col("value"))).alias("sum_cents"),
+            F.count(F.lit(1)).alias("n"),
+        )
+        .withColumn(
+            "avg_cents", F.col("sum_cents").cast("double") / F.col("n")
+        )
+        .select("h3index_parent", "max_cents", "min_cents", "sum_cents", "n", "avg_cents")
+    )
+
+
+def _q_h3_minmax_avg_sql() -> str:
+    cell = sg.synth_cell("event_id", 8, DUCK)
+    return f"""
+WITH syn AS (SELECT *, {cell} AS h3index FROM events)
+SELECT {sg.to_parent('h3index', 4, DUCK)} AS h3index_parent,
+       CAST(MAX(CAST(round(value*100) AS BIGINT)) AS BIGINT) AS max_cents,
+       CAST(MIN(CAST(round(value*100) AS BIGINT)) AS BIGINT) AS min_cents,
+       CAST(SUM(CAST(round(value*100) AS BIGINT)) AS BIGINT) AS sum_cents,
+       COUNT(*) AS n,
+       CAST(SUM(CAST(round(value*100) AS BIGINT)) AS DOUBLE) / COUNT(*) AS avg_cents
+FROM syn GROUP BY 1
+"""
+
+
+def q_h3_setnull_on_conflict(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A6: keep value iff unanimous within the parent cell, else NULL."""
+    e = _events(spark, sf_dir)
+    df = e.withColumn("h3index", _synth_col("event_id", 8))
+    return (
+        df.groupBy(hx.h3_to_parent("h3index", 2).alias("h3index_parent"))
+        .agg(
+            F.when(
+                F.count_distinct(F.col("event_type")) == 1,
+                F.first(F.col("event_type"), ignorenulls=True),
+            )
+            .otherwise(F.lit(None))
+            .alias("event_type_unanimous"),
+            F.count(F.lit(1)).alias("n"),
+        )
+        .select("h3index_parent", "event_type_unanimous", "n")
+    )
+
+
+def _q_h3_setnull_sql() -> str:
+    cell = sg.synth_cell("event_id", 8, DUCK)
+    return f"""
+WITH syn AS (SELECT *, {cell} AS h3index FROM events)
+SELECT {sg.to_parent('h3index', 2, DUCK)} AS h3index_parent,
+       CASE WHEN COUNT(DISTINCT event_type) = 1 THEN MIN(event_type)
+            ELSE NULL END AS event_type_unanimous,
+       COUNT(*) AS n
+FROM syn GROUP BY 1
+"""
+
+
+def q_h3_relative_cell_area(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A5: area-relative aggregation — sum over exact child count
+    (missing children count as zero; synthetic cells avoid pentagons so
+    the count is 7^diff)."""
+    e = _events(spark, sf_dir)
+    df = e.withColumn("h3index", _synth_col("event_id", 8))
+    parent = hx.h3_to_parent("h3index", 5)
+    return (
+        df.groupBy(parent.alias("h3index_parent"))
+        .agg(F.sum(_cents(F.col("value"))).alias("sum_cents"))
+        .withColumn(
+            "value_rel_area",
+            F.col("sum_cents").cast("double") / F.lit(float(7**3)),
+        )
+        .select("h3index_parent", "sum_cents", "value_rel_area")
+    )
+
+
+def _q_h3_relative_cell_area_sql() -> str:
+    cell = sg.synth_cell("event_id", 8, DUCK)
+    return f"""
+WITH syn AS (SELECT *, {cell} AS h3index FROM events)
+SELECT {sg.to_parent('h3index', 5, DUCK)} AS h3index_parent,
+       CAST(SUM(CAST(round(value*100) AS BIGINT)) AS BIGINT) AS sum_cents,
+       CAST(SUM(CAST(round(value*100) AS BIGINT)) AS DOUBLE) / 343.0 AS value_rel_area
+FROM syn GROUP BY 1
+"""
+
+
+def q_h3_children_explode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """H3op/F6: uncompaction — explode res-2 cells to all res-4
+    descendants via the broadcast child-offset join (pure bit math)."""
+    n = _t(spark, sf_dir, "nation").select("n_nationkey")
+    parents = n.withColumn("h3index", _synth_col("n_nationkey", 2)).select(
+        F.col("h3index").alias("parent")
+    )
+    offsets = hx.h3_cell_offsets(spark, 2, 4)
+    out = parents.crossJoin(F.broadcast(offsets)).select(
+        "parent",
+        hx.h3_uncompact_expr(F.col("parent"), 2, 4, F.col("child_offset")).alias(
+            "child"
+        ),
+    )
+    return out
+
+
+def _q_h3_children_explode_sql() -> str:
+    cell = sg.synth_cell("n_nationkey", 2, DUCK)
+    res_clear = sg._RES_CLEAR_SIGNED
+    digit_clear = ~h3c.trailing_sevens(2)
+    fill = h3c.trailing_sevens(4)
+    return f"""
+WITH parents AS (SELECT {cell} AS parent FROM nation),
+     idx AS (SELECT unnest(generate_series(0, 48)) AS i)
+SELECT parent,
+       ((parent & {res_clear} & {digit_clear})
+        | {4 << 52}
+        | (((i // 7) % 7) << 36)
+        | ((i % 7) << 33)
+        | {fill}) AS child
+FROM parents, idx
+"""
+
+
+def q_h3_compact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """H1: distributed compaction. Consecutive o_orderkey values form
+    complete 7-sibling groups at res 5 under a res-4 parent; every
+    parent is the *center child* (digit4 = 0) of a res-3 cell, so
+    promoted parents can never themselves complete a sibling set →
+    exactly one level of compaction, which the SQL oracle replicates
+    relationally."""
+    o = _t(spark, sf_dir, "orders").select("o_orderkey")
+    p3 = F.expr(sg.synth_cell("(o_orderkey div 7)", 3, SPARK_D))
+    # child at res 5: res-3 cell → digit4 = 0 → digit5 = o_orderkey % 7
+    child5 = (
+        p3.bitwiseAND(F.lit(sg._RES_CLEAR_SIGNED))
+        .bitwiseAND(F.lit(~h3c.trailing_sevens(3)))
+        .bitwiseOR(F.lit(5 << 52))
+        .bitwiseOR(F.shiftleft(F.col("o_orderkey") % 7, 3 * (15 - 5)))
+        .bitwiseOR(F.lit(h3c.trailing_sevens(5)))
+    )
+    cells = o.select(child5.alias("h3index")).distinct()
+    from ukis_h3cellstore_spark import compaction
+
+    out = compaction.compact_df(cells, "h3index", max_res=5)
+    return out.select("h3index")
+
+
+def _q_h3_compact_sql() -> str:
+    p3 = sg.synth_cell("(o_orderkey // 7)", 3, DUCK)
+    res_clear = sg._RES_CLEAR_SIGNED
+    return f"""
+WITH cells AS (
+  SELECT DISTINCT
+     (({p3} & {res_clear} & {~h3c.trailing_sevens(3)})
+      | {5 << 52}
+      | ((o_orderkey % 7) << 30)
+      | {h3c.trailing_sevens(5)}) AS h3index
+  FROM orders
+),
+counted AS (
+  SELECT h3index,
+         COUNT(*) OVER (
+            PARTITION BY {sg.to_parent('h3index', 4, DUCK)}) AS n
+  FROM cells
+)
+SELECT {sg.to_parent('h3index', 4, DUCK)} AS h3index
+FROM counted WHERE n = 7 AND ((h3index >> 30) & 7) = 0
+UNION ALL
+SELECT h3index FROM counted WHERE n <> 7
+"""
+
+
+def q_h3_cell_membership(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P2/J1: cell-set semi-join — events restricted to the cells
+    derived from the first 40 user ids (IN-list pushdown path)."""
+    e = _events(spark, sf_dir)
+    df = e.withColumn("h3index", _synth_col("user_id", 6))
+    wanted = [_synth_py(u, 6) for u in range(40)]
+    return (
+        df.filter(F.col("h3index").isin(wanted))
+        .groupBy("h3index")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(_cents(F.col("value"))).alias("sum_cents"),
+        )
+        .select("h3index", "n", "sum_cents")
+    )
+
+
+def _synth_py(key: int, res: int) -> int:
+    """Pure-Python twin of sqlgen.synth_cell (for driver-side cell lists)."""
+    bc = key % 122
+    if bc in h3c.PENTAGON_BASE_CELLS:
+        bc += 1
+    digits = [(key // (7**i)) % 7 for i in range(res)]
+    return h3c.build_cell(bc, digits)
+
+
+def _q_h3_cell_membership_sql() -> str:
+    cells = ", ".join(str(_synth_py(u, 6)) for u in range(40))
+    cell = sg.synth_cell("user_id", 6, DUCK)
+    return f"""
+WITH syn AS (SELECT *, {cell} AS h3index FROM events)
+SELECT h3index, COUNT(*) AS n,
+       CAST(SUM(CAST(round(value*100) AS BIGINT)) AS BIGINT) AS sum_cents
+FROM syn WHERE h3index IN ({cells})
+GROUP BY 1
+"""
+
+
+def q_h3_hierarchy_semijoin(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J3: hierarchy containment — match res-8 event cells against
+    res-3 ancestor cells of the first 5 customers (broadcast semi-join
+    on h3ToParent)."""
+    e = _events(spark, sf_dir)
+    df = e.withColumn("h3index", _synth_col("event_id", 8))
+    c = _t(spark, sf_dir, "customer").filter(F.col("c_custkey") < 5)
+    ancestors = c.select(
+        hx.h3_to_parent(_synth_col("c_custkey", 8), 3).alias("anc")
+    ).distinct()
+    out = df.withColumn("anc", hx.h3_to_parent("h3index", 3)).join(
+        F.broadcast(ancestors), on="anc", how="leftsemi"
+    )
+    return out.groupBy("anc").agg(F.count(F.lit(1)).alias("n")).select("anc", "n")
+
+
+def _q_h3_hierarchy_semijoin_sql() -> str:
+    ecell = sg.synth_cell("event_id", 8, DUCK)
+    ccell = sg.synth_cell("c_custkey", 8, DUCK)
+    return f"""
+WITH syn AS (SELECT {sg.to_parent(f'({ecell})', 3, DUCK)} AS anc FROM events),
+     want AS (SELECT DISTINCT {sg.to_parent(f'({ccell})', 3, DUCK)} AS anc
+              FROM customer WHERE c_custkey < 5)
+SELECT anc, COUNT(*) AS n FROM syn
+WHERE anc IN (SELECT anc FROM want)
+GROUP BY 1
+"""
+
+
+def q_resolution_split_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """H2/A8/A9 flavor: partition by resolution + per-resolution counts
+    (the stats/union-all semantics, Q4)."""
+    e = _events(spark, sf_dir)
+    res = (F.lit(3) + (F.col("user_id") % 4)).cast("int")
+    df = e.withColumn("h3_resolution", res)
+    return (
+        df.groupBy("h3_resolution")
+        .agg(
+            F.count(F.lit(1)).alias("num_rows"),
+            F.count_distinct(F.col("user_id")).alias("n_users"),
+        )
+        .select("h3_resolution", "num_rows", "n_users")
+    )
+
+
+Q_RESOLUTION_SPLIT_SQL = """
+SELECT CAST(3 + user_id % 4 AS INT) AS h3_resolution,
+       COUNT(*) AS num_rows,
+       COUNT(DISTINCT user_id) AS n_users
+FROM events GROUP BY 1
+"""
+
+
+# --------------------------------------------------------------------------
+# §2.8 composite pipelines through the CellStore (Q1 insert + Q2 query)
+# --------------------------------------------------------------------------
+
+
+def _pipeline_store(spark: SparkSession):
+    import tempfile
+
+    from ukis_h3cellstore_spark import CellStore
+
+    return CellStore(spark, tempfile.mkdtemp(prefix="h3entry_wh_"))
+
+
+def q_pipeline_sum_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q1+Q2 with Sum aggregation (compaction disabled by Sum):
+    insert events cells at res 6, rollup to res 4, query the res-4
+    level. Oracle = direct relational rollup from the source."""
+    from ukis_h3cellstore_spark import CompactedTableSchemaBuilder
+
+    schema = (
+        CompactedTableSchemaBuilder("entry_sum_rollup")
+        .h3_base_resolutions([4, 6])
+        .add_h3index_column()
+        .add_aggregated_column("value_cents", "UInt64", "Sum")
+        .build()
+    )
+    e = _events(spark, sf_dir)
+    df = e.select(
+        _synth_col("event_id", 6).alias("h3index"),
+        _cents(F.col("value")).alias("value_cents"),
+    )
+    store = _pipeline_store(spark)
+    store.insert_h3dataframe_into_tableset(schema, df)
+    cells = sorted({h3c.cell_to_parent(_synth_py(i, 6), 4) for i in range(200)})
+    out = store.query_tableset_cells("entry_sum_rollup", cells, 4)
+    return out.df.select("h3index", "value_cents")
+
+
+def _q_pipeline_sum_rollup_sql() -> str:
+    cell = sg.synth_cell("event_id", 6, DUCK)
+    parents = sorted({h3c.cell_to_parent(_synth_py(i, 6), 4) for i in range(200)})
+    plist = ", ".join(str(p) for p in parents)
+    return f"""
+WITH syn AS (SELECT {cell} AS h3index,
+                    CAST(round(value*100) AS BIGINT) AS value_cents
+             FROM events)
+SELECT {sg.to_parent('h3index', 4, DUCK)} AS h3index,
+       CAST(SUM(value_cents) AS BIGINT) AS value_cents
+FROM syn
+WHERE {sg.to_parent('h3index', 4, DUCK)} IN ({plist})
+GROUP BY 1
+"""
+
+
+def q_pipeline_compact_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q1+Q2 with compaction: complete sibling groups compact on
+    insert, the query at max res uncompacts them back — the roundtrip
+    is the identity, which the oracle states directly."""
+    from ukis_h3cellstore_spark import CompactedTableSchemaBuilder
+
+    schema = (
+        CompactedTableSchemaBuilder("entry_compact_rt")
+        .h3_base_resolutions([6])
+        .add_h3index_column()
+        .add_column("val", "Int64")
+        .build()
+    )
+    e = _events(spark, sf_dir).filter(F.col("event_id") < 3500)
+    parent5 = F.expr(sg.synth_cell("(event_id div 7)", 5, SPARK_D))
+    child6 = (
+        parent5.bitwiseAND(F.lit(sg._RES_CLEAR_SIGNED))
+        .bitwiseAND(F.lit(~h3c.trailing_sevens(5)))
+        .bitwiseOR(F.lit(6 << 52))
+        .bitwiseOR(F.shiftleft(F.col("event_id") % 7, 3 * (15 - 6)))
+        .bitwiseOR(F.lit(h3c.trailing_sevens(6)))
+    )
+    df = e.select(
+        child6.alias("h3index"),
+        ((F.col("event_id") / 7).cast("long") % 100).alias("val"),
+    ).distinct()
+    store = _pipeline_store(spark)
+    store.insert_h3dataframe_into_tableset(schema, df)
+    cells = sorted(
+        {
+            _child6_py(i)
+            for i in range(3500)
+        }
+    )
+    out = store.query_tableset_cells("entry_compact_rt", cells, 6)
+    return out.df.select("h3index", "val")
+
+
+def _child6_py(event_id: int) -> int:
+    p5 = _synth_py(event_id // 7, 5)
+    return (
+        (p5 & sg._RES_CLEAR_SIGNED & ~h3c.trailing_sevens(5))
+        | (6 << 52)
+        | ((event_id % 7) << (3 * (15 - 6)))
+        | h3c.trailing_sevens(6)
+    )
+
+
+def _q_pipeline_compact_roundtrip_sql() -> str:
+    parent5 = sg.synth_cell("(event_id // 7)", 5, DUCK)
+    return f"""
+SELECT DISTINCT
+   (({parent5} & {sg._RES_CLEAR_SIGNED} & {~h3c.trailing_sevens(5)})
+    | {6 << 52}
+    | ((event_id % 7) << {3 * (15 - 6)})
+    | {h3c.trailing_sevens(6)}) AS h3index,
+   (event_id // 7) % 100 AS val
+FROM events WHERE event_id < 3500
+"""
+
+
+# --------------------------------------------------------------------------
+# registry
+# --------------------------------------------------------------------------
+
+QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
+    "q1_pricing_summary": q_pricing_summary,
+    "q3_shipping_priority": q_shipping_priority,
+    "q5_region_nation_revenue": q_region_nation_revenue,
+    "events_hourly_window": q_events_hourly,
+    "h3_synth_fields": q_h3_synth_fields,
+    "h3_parent_agg_sum": q_h3_parent_agg_sum,
+    "h3_minmax_avg": q_h3_minmax_avg,
+    "h3_setnull_on_conflict": q_h3_setnull_on_conflict,
+    "h3_relative_cell_area": q_h3_relative_cell_area,
+    "h3_children_explode": q_h3_children_explode,
+    "h3_compact": q_h3_compact,
+    "h3_cell_membership": q_h3_cell_membership,
+    "h3_hierarchy_semijoin": q_h3_hierarchy_semijoin,
+    "resolution_split_counts": q_resolution_split_counts,
+    "pipeline_sum_rollup": q_pipeline_sum_rollup,
+    "pipeline_compact_roundtrip": q_pipeline_compact_roundtrip,
+}
+
+ORACLES: dict[str, str] = {
+    "q1_pricing_summary": Q_PRICING_SUMMARY_SQL,
+    "q3_shipping_priority": Q_SHIPPING_PRIORITY_SQL,
+    "q5_region_nation_revenue": Q_REGION_NATION_REVENUE_SQL,
+    "events_hourly_window": Q_EVENTS_HOURLY_SQL,
+    "h3_synth_fields": _q_h3_synth_fields_sql(),
+    "h3_parent_agg_sum": _q_h3_parent_agg_sum_sql(),
+    "h3_minmax_avg": _q_h3_minmax_avg_sql(),
+    "h3_setnull_on_conflict": _q_h3_setnull_sql(),
+    "h3_relative_cell_area": _q_h3_relative_cell_area_sql(),
+    "h3_children_explode": _q_h3_children_explode_sql(),
+    "h3_compact": _q_h3_compact_sql(),
+    "h3_cell_membership": _q_h3_cell_membership_sql(),
+    "h3_hierarchy_semijoin": _q_h3_hierarchy_semijoin_sql(),
+    "resolution_split_counts": Q_RESOLUTION_SPLIT_SQL,
+    "pipeline_sum_rollup": _q_pipeline_sum_rollup_sql(),
+    "pipeline_compact_roundtrip": _q_pipeline_compact_roundtrip_sql(),
+}

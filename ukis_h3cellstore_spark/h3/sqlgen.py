@@ -34,7 +34,11 @@ def _shr(x: str, n: int, dialect: str) -> str:
 
 
 def _shl(x: str, n: int, dialect: str) -> str:
-    return f"shiftleft({x}, {n})" if dialect == SPARK else f"({x} << {n})"
+    # widen to 64-bit first — INT32 inputs (e.g. int columns) would
+    # overflow the shift in both engines
+    if dialect == SPARK:
+        return f"shiftleft(CAST({x} AS BIGINT), {n})"
+    return f"(CAST({x} AS BIGINT) << {n})"
 
 
 def _idiv(x: str, y: int, dialect: str) -> str:
