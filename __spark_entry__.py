@@ -24,11 +24,13 @@ def entry(spark: SparkSession) -> DataFrame:
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     from ukis_h3cellstore_spark.entry_queries import QUERIES
+    from ukis_h3cellstore_spark.entry_queries_ops import QUERIES_OPS
 
-    return dict(QUERIES)
+    return {**QUERIES, **QUERIES_OPS}
 
 
 def oracle_sql() -> dict[str, str]:
     from ukis_h3cellstore_spark.entry_queries import ORACLES
+    from ukis_h3cellstore_spark.entry_queries_ops import ORACLES_OPS
 
-    return dict(ORACLES)
+    return {**ORACLES, **ORACLES_OPS}

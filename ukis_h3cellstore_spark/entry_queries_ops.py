@@ -1,0 +1,367 @@
+"""Driver-contract queries for the training-data operators (ops/*),
+paired with DuckDB oracles over the documents/embeddings tables.
+
+Tokenization parity ground: ``trim`` + split on ``\\s+``; hashes are
+md5-derived (identical in both engines); cosine similarities are
+sequential double-precision folds rounded to 4 decimals.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ukis_h3cellstore_spark.ops import dedup as D
+from ukis_h3cellstore_spark.ops import multimodal as M
+from ukis_h3cellstore_spark.ops import similarity as S
+from ukis_h3cellstore_spark.ops import text as X
+
+
+def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/documents.parquet")
+
+
+def _embs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+
+
+_DUCK_TOKS = "regexp_split_to_array(trim(text), '\\s+')"
+_DUCK_HASH64 = "(('0x' || substr(md5({x}), 1, 15))::BIGINT)"
+
+
+# ----------------------------------------------------------------- text suite
+
+
+def q_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return X.text_stats(_docs(spark, sf_dir))
+
+
+Q_TEXT_STATS_SQL = f"""
+WITH tok AS (
+  SELECT doc_id,
+         CASE WHEN length(trim(text)) = 0 THEN 0
+              ELSE len({_DUCK_TOKS}) END AS n_tokens,
+         length(text) AS n_chars,
+         length(regexp_replace(text, '[A-Za-z0-9\\s]', '', 'g')) AS n_punct,
+         CASE WHEN length(trim(text)) = 0 THEN 0
+              ELSE len(list_filter({_DUCK_TOKS},
+                   t -> list_contains({X.STOPWORDS!r}, t))) END AS n_stopwords
+  FROM documents
+)
+SELECT CAST(doc_id AS BIGINT) AS doc_id,
+       CAST(n_tokens AS INT) AS n_tokens,
+       CAST(n_chars AS INT) AS n_chars,
+       CAST(n_punct AS INT) AS n_punct,
+       CAST(n_stopwords AS INT) AS n_stopwords,
+       CASE WHEN n_chars > 0
+            THEN CAST(n_punct AS DOUBLE) / n_chars ELSE 0.0 END AS punct_ratio,
+       CASE WHEN n_tokens > 0
+            THEN CAST(n_stopwords AS DOUBLE) / n_tokens ELSE 0.0 END AS stopword_ratio,
+       (least(CAST(n_tokens AS DOUBLE) / 100.0, 1.0)
+        - CASE WHEN n_chars > 0
+               THEN CAST(n_punct AS DOUBLE) / n_chars ELSE 0.0 END) AS quality_score
+FROM tok
+"""
+
+
+def q_text_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return X.language_id(_docs(spark, sf_dir))
+
+
+def _q_text_langid_sql() -> str:
+    score_exprs = []
+    for lang, markers in sorted(X.LANG_MARKERS.items()):
+        score_exprs.append(
+            f"CAST(len(list_filter({_DUCK_TOKS}, t -> list_contains({markers!r}, t)))"
+            f" AS INT) AS score_{lang}"
+        )
+    langs = sorted(X.LANG_MARKERS)
+    best_lang = f"'{langs[0]}'"
+    best_score = f"score_{langs[0]}"
+    for lang in langs[1:]:
+        best_lang = f"CASE WHEN score_{lang} > {best_score} THEN '{lang}' ELSE {best_lang} END"
+        best_score = f"greatest({best_score}, score_{lang})"
+    return f"""
+WITH scored AS (
+  SELECT CAST(doc_id AS BIGINT) AS doc_id, {', '.join(score_exprs)}
+  FROM documents
+)
+SELECT doc_id, {', '.join('score_' + lang for lang in langs)},
+       {best_lang} AS predicted_lang,
+       CAST({best_score} AS BIGINT) AS predicted_score
+FROM scored
+"""
+
+
+def q_text_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return X.token_counts(_docs(spark, sf_dir))
+
+
+Q_TEXT_TOKEN_COUNTS_SQL = f"""
+SELECT CAST(doc_id AS BIGINT) AS doc_id,
+       CAST(CASE WHEN length(trim(text)) = 0 THEN 0
+            ELSE len({_DUCK_TOKS}) END AS INT) AS n_tokens_ws,
+       CAST(CASE WHEN length(trim(text)) = 0 THEN 0
+            ELSE list_sum(list_transform({_DUCK_TOKS},
+                 t -> CAST(ceil(length(t) / 4.0) AS BIGINT))) END AS BIGINT)
+         AS n_tokens_bpe
+FROM documents
+"""
+
+
+def q_text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return X.fingerprint(_docs(spark, sf_dir))
+
+
+Q_TEXT_FINGERPRINT_SQL = f"""
+WITH toks AS (
+  SELECT doc_id, unnest({_DUCK_TOKS}) AS tok,
+         generate_subscripts({_DUCK_TOKS}, 1) AS pos
+  FROM documents WHERE length(trim(text)) > 0
+),
+hashed AS (
+  SELECT doc_id,
+         (('0x' || substr(md5(tok), 1, 10))::BIGINT) * (((pos - 1) % 16) + 1) AS h
+  FROM toks
+),
+fps AS (
+  SELECT doc_id, CAST(bit_xor(h) AS BIGINT) AS fingerprint FROM hashed GROUP BY doc_id
+)
+SELECT CAST(d.doc_id AS BIGINT) AS doc_id,
+       COALESCE(f.fingerprint, 0) AS fingerprint
+FROM documents d LEFT JOIN fps f ON d.doc_id = f.doc_id
+"""
+
+
+# ---------------------------------------------------------------- dedup suite
+
+
+def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return D.dedup_exact(_docs(spark, sf_dir))
+
+
+Q_DEDUP_EXACT_SQL = """
+SELECT md5(lower(trim(text))) AS content_hash,
+       CAST(MIN(doc_id) AS BIGINT) AS canonical_id,
+       COUNT(*) AS n_docs
+FROM documents
+GROUP BY 1
+"""
+
+_DUCK_SHINGLES = """
+SELECT DISTINCT doc_id,
+       concat_ws(' ', toks[i], toks[i+1], toks[i+2]) AS shingle
+FROM (SELECT doc_id, {toks} AS toks FROM documents) t,
+     unnest(generate_series(1, greatest(len(toks) - 2, 0))) AS u(i)
+""".format(toks=_DUCK_TOKS)
+
+
+def q_dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return D.ngram_jaccard_pairs(_docs(spark, sf_dir), threshold=0.3)
+
+
+Q_DEDUP_NGRAM_JACCARD_SQL = f"""
+WITH sh AS ({_DUCK_SHINGLES}),
+sizes AS (SELECT doc_id, COUNT(*) AS n_sh FROM sh GROUP BY 1),
+inter AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS n_common
+  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+)
+SELECT CAST(id_a AS BIGINT) AS id_a, CAST(id_b AS BIGINT) AS id_b,
+       CAST(n_common AS BIGINT) AS n_common,
+       CAST(n_common AS DOUBLE) / (sa.n_sh + sb.n_sh - n_common) AS jaccard
+FROM inter
+JOIN sizes sa ON sa.doc_id = id_a
+JOIN sizes sb ON sb.doc_id = id_b
+WHERE CAST(n_common AS DOUBLE) / (sa.n_sh + sb.n_sh - n_common) >= 0.3
+"""
+
+
+def q_dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return D.minhash_signatures(_docs(spark, sf_dir))
+
+
+def _q_dedup_minhash_sql() -> str:
+    mins = ", ".join(
+        f"CAST(MIN(('0x' || substr(md5('{i}' || '|' || shingle), 1, 15))::BIGINT)"
+        f" AS BIGINT) AS m{i}"
+        for i in range(8)
+    )
+    return f"""
+WITH sh AS ({_DUCK_SHINGLES})
+SELECT CAST(doc_id AS BIGINT) AS doc_id, {mins}
+FROM sh GROUP BY doc_id
+"""
+
+
+def q_dedup_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return D.minhash_lsh_pairs(_docs(spark, sf_dir), min_est_jaccard=0.25)
+
+
+def _q_dedup_minhash_lsh_sql() -> str:
+    mins = ", ".join(
+        f"MIN(('0x' || substr(md5('{i}' || '|' || shingle), 1, 15))::BIGINT) AS m{i}"
+        for i in range(8)
+    )
+    band_conds = " OR ".join(
+        "(" + " AND ".join(f"a.m{i} = b.m{i}" for i in range(b * 2, b * 2 + 2)) + ")"
+        for b in range(4)
+    )
+    eq_sum = " + ".join(f"CASE WHEN a.m{i} = b.m{i} THEN 1 ELSE 0 END" for i in range(8))
+    return f"""
+WITH sh AS ({_DUCK_SHINGLES}),
+sig AS (SELECT doc_id, {mins} FROM sh GROUP BY doc_id)
+SELECT CAST(a.doc_id AS BIGINT) AS id_a, CAST(b.doc_id AS BIGINT) AS id_b,
+       ({eq_sum}) / 8.0 AS est_jaccard
+FROM sig a JOIN sig b ON a.doc_id < b.doc_id AND ({band_conds})
+WHERE ({eq_sum}) / 8.0 >= 0.25
+"""
+
+
+def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return D.simhash(_docs(spark, sf_dir))
+
+
+def _q_dedup_simhash_sql() -> str:
+    h = "(('0x' || substr(md5(shingle), 1, 15))::BIGINT)"
+    sums = ", ".join(
+        f"SUM(CASE WHEN (({h} >> {b}) & 1) = 1 THEN 1 ELSE -1 END) AS b{b}"
+        for b in range(16)
+    )
+    fp = " | ".join(f"(CASE WHEN b{b} > 0 THEN {1 << b} ELSE 0 END)" for b in range(16))
+    return f"""
+WITH sh AS ({_DUCK_SHINGLES}),
+agg AS (SELECT doc_id, {sums} FROM sh GROUP BY doc_id)
+SELECT CAST(doc_id AS BIGINT) AS doc_id, CAST(({fp}) AS BIGINT) AS simhash
+FROM agg
+"""
+
+
+# ----------------------------------------------------------- similarity suite
+
+_DUCK_COSINE = """
+list_reduce(list_transform(list_zip(a.c_vec, q.q_vec),
+            x -> CAST(x[1] AS DOUBLE) * CAST(x[2] AS DOUBLE)), (s, v) -> s + v)
+/ (sqrt(list_reduce(list_transform(a.c_vec, v -> CAST(v AS DOUBLE) * CAST(v AS DOUBLE)),
+        (s, v) -> s + v))
+   * sqrt(list_reduce(list_transform(q.q_vec, v -> CAST(v AS DOUBLE) * CAST(v AS DOUBLE)),
+        (s, v) -> s + v)))
+"""
+
+
+def q_ann_cosine_top3(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = _embs(spark, sf_dir)
+    queries = e.filter(F.col("vec_id") < 10)
+    return S.cosine_topk(e, queries, k=3)
+
+
+Q_ANN_COSINE_TOP3_SQL = f"""
+WITH q AS (SELECT vec_id AS query_id, embedding AS q_vec FROM embeddings
+           WHERE vec_id < 10),
+     c AS (SELECT vec_id AS neighbor_id, embedding AS c_vec FROM embeddings),
+scored AS (
+  SELECT q.query_id, a.neighbor_id,
+         round(CAST({_DUCK_COSINE} AS DOUBLE), 4) AS cosine_sim
+  FROM c a, q WHERE a.neighbor_id <> q.query_id
+),
+ranked AS (
+  SELECT *, row_number() OVER (
+      PARTITION BY query_id ORDER BY cosine_sim DESC, neighbor_id ASC) AS rank
+  FROM scored
+)
+SELECT CAST(query_id AS BIGINT) AS query_id,
+       CAST(neighbor_id AS BIGINT) AS neighbor_id,
+       cosine_sim, CAST(rank AS INT) AS rank
+FROM ranked WHERE rank <= 3
+"""
+
+
+def q_embedding_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # synthetic embeddings are near-orthogonal (max pairwise cosine
+    # ~0.45), so the "near-dup" threshold is set low enough that the
+    # bucket-join path actually produces rows to hash-check
+    return S.embedding_dup_pairs(_embs(spark, sf_dir), threshold=0.2)
+
+
+def _q_embedding_dup_pairs_sql() -> str:
+    # bucket: sign bits of 6 deterministic integer-valued hyperplanes
+    def dot(p: int, vec: str) -> str:
+        return (
+            f"list_reduce(list_transform({vec}, (v, j) -> CAST(v AS DOUBLE)"
+            f" * (({p * 131} + (j - 1) * 37) % 19 - 9)), (s, v) -> s + v)"
+        )
+
+    bucket_terms = " + ".join(
+        f"(CASE WHEN {dot(p, 'embedding')} > 0 THEN {1 << p} ELSE 0 END)"
+        for p in range(6)
+    )
+    cos = _DUCK_COSINE.replace("a.c_vec", "a.embedding").replace("q.q_vec", "b.embedding")
+    return f"""
+WITH wb AS (
+  SELECT vec_id, embedding, ({bucket_terms}) AS bucket FROM embeddings
+)
+SELECT CAST(a.vec_id AS BIGINT) AS id_a, CAST(b.vec_id AS BIGINT) AS id_b,
+       round(CAST({cos} AS DOUBLE), 4) AS cosine_sim
+FROM wb a JOIN wb b ON a.bucket = b.bucket AND a.vec_id < b.vec_id
+WHERE round(CAST({cos} AS DOUBLE), 4) >= 0.2
+"""
+
+
+# ----------------------------------------------------------- multimodal suite
+
+
+def q_multimodal_decode_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Real mapInPandas plumbing with a deterministic stub decoder —
+    the oracle recomputes the same metadata relationally."""
+    docs = _docs(spark, sf_dir)
+    payloads = M.attach_binary_payload(docs)
+    return M.decode_image_metadata(payloads)
+
+
+Q_MULTIMODAL_DECODE_META_SQL = """
+WITH p AS (SELECT doc_id, encode(text) AS payload FROM documents)
+SELECT CAST(doc_id AS BIGINT) AS doc_id,
+       CAST(octet_length(payload) AS INT) AS n_bytes,
+       CAST(octet_length(payload) % 640 + 1 AS INT) AS width,
+       CAST(octet_length(payload) % 480 + 1 AS INT) AS height,
+       3 AS channels,
+       CAST((CAST(octet_length(payload) AS BIGINT) * 2654435761) % 256
+            AS DOUBLE) AS mean_intensity
+FROM p
+"""
+
+
+QUERIES_OPS: dict[str, Callable[[SparkSession, str], DataFrame]] = {
+    "text_stats": q_text_stats,
+    "text_langid": q_text_langid,
+    "text_token_counts": q_text_token_counts,
+    "text_fingerprint": q_text_fingerprint,
+    "dedup_exact": q_dedup_exact,
+    "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
+    "dedup_minhash_signatures": q_dedup_minhash,
+    "dedup_minhash_lsh_pairs": q_dedup_minhash_lsh_pairs,
+    "dedup_simhash": q_dedup_simhash,
+    "ann_cosine_top3": q_ann_cosine_top3,
+    "embedding_dup_pairs": q_embedding_dup_pairs,
+    "multimodal_decode_meta": q_multimodal_decode_meta,
+}
+
+ORACLES_OPS: dict[str, str] = {
+    "text_stats": Q_TEXT_STATS_SQL,
+    "text_langid": _q_text_langid_sql(),
+    "text_token_counts": Q_TEXT_TOKEN_COUNTS_SQL,
+    "text_fingerprint": Q_TEXT_FINGERPRINT_SQL,
+    "dedup_exact": Q_DEDUP_EXACT_SQL,
+    "dedup_ngram_jaccard": Q_DEDUP_NGRAM_JACCARD_SQL,
+    "dedup_minhash_signatures": _q_dedup_minhash_sql(),
+    "dedup_minhash_lsh_pairs": _q_dedup_minhash_lsh_sql(),
+    "dedup_simhash": _q_dedup_simhash_sql(),
+    "ann_cosine_top3": Q_ANN_COSINE_TOP3_SQL,
+    "embedding_dup_pairs": _q_embedding_dup_pairs_sql(),
+    # multimodal_decode_meta intentionally has an oracle — the stub
+    # decoder derives metadata relationally-reproducibly
+    "multimodal_decode_meta": Q_MULTIMODAL_DECODE_META_SQL,
+}

@@ -1,0 +1,218 @@
+"""Deduplication operators: exact, n-gram Jaccard, MinHash+LSH, SimHash.
+
+Scale design notes (100 TB):
+
+- **exact**: one hash-aggregate over the corpus; the canonical id per
+  group is min(id) — deterministic and mergeable (map-side combine).
+- **n-gram Jaccard**: shingle → explode → self-join on shingle →
+  per-pair intersection counts → Jaccard. The shingle join is the
+  classic "inverted index" pattern: it shuffles on the shingle hash,
+  never materializes the O(n²) pair space, and hot shingles can be
+  dropped by document frequency (``max_shingle_df``) — the standard
+  spam-shingle guard at corpus scale.
+- **MinHash+LSH**: k md5-derived hash slots aggregated with ``min`` in
+  one pass, then candidate pairs via equality joins on banded
+  signature tuples (r rows per band). Only bucket-colliding pairs are
+  compared — sub-quadratic, shuffle keyed on small band tuples.
+- **SimHash**: 16-bit sign-aggregated fingerprint in one groupBy;
+  near-dup candidates join on exact fingerprint equality (hamming-0;
+  hamming-k via banded XOR would extend it).
+
+All of it is JVM-side expression work — no Python in the loop.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+from ukis_h3cellstore_spark.ops.text import tokens
+
+
+def _hash64(col: Column, salt: str = "") -> Column:
+    base = F.concat(F.lit(salt), F.lit("|"), col) if salt else col
+    return F.conv(F.substring(F.md5(base), 1, 15), 16, 10).cast("long")
+
+
+def dedup_exact(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id", normalize: bool = True
+) -> DataFrame:
+    """Exact duplicate groups by content hash: (content_hash,
+    canonical_id, n_dups). Normalization lowercases + trims."""
+    content = F.lower(F.trim(F.col(text_col))) if normalize else F.col(text_col)
+    return (
+        df.select(F.md5(content).alias("content_hash"), F.col(id_col))
+        .groupBy("content_hash")
+        .agg(
+            F.min(F.col(id_col)).alias("canonical_id"),
+            F.count(F.lit(1)).alias("n_docs"),
+        )
+    )
+
+
+def shingle_df(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id", k: int = 3
+) -> DataFrame:
+    """Distinct k-word shingles per document: (id, shingle)."""
+    toks = tokens(text_col)
+    n = F.size(toks)
+    # NB: Spark's sequence(1, 0) yields a DESCENDING [1, 0] — guard
+    # short documents with an empty array instead
+    shingles = F.when(
+        n >= k,
+        F.transform(
+            F.sequence(F.lit(1), n - F.lit(k - 1)),
+            lambda i: F.concat_ws(" ", F.slice(toks, i, k)),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    return (
+        df.select(F.col(id_col), F.explode(shingles).alias("shingle"))
+        .distinct()
+    )
+
+
+def ngram_jaccard_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 3,
+    threshold: float = 0.5,
+    max_shingle_df: int | None = None,
+) -> DataFrame:
+    """Exact n-gram Jaccard similarity for all pairs sharing ≥1
+    shingle: (id_a, id_b, jaccard) with id_a < id_b, jaccard ≥
+    threshold. ``max_shingle_df`` drops shingles appearing in more
+    documents than the cap (scale guard)."""
+    sh = shingle_df(df, text_col, id_col, k)
+    if max_shingle_df is not None:
+        hot = sh.groupBy("shingle").agg(F.count(F.lit(1)).alias("df"))
+        sh = sh.join(
+            F.broadcast(hot.filter(F.col("df") > max_shingle_df).select("shingle")),
+            on="shingle",
+            how="left_anti",
+        )
+    sizes = sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("n_sh"))
+    a = sh.select(F.col(id_col).alias("id_a"), "shingle")
+    b = sh.select(F.col(id_col).alias("id_b"), "shingle")
+    inter = (
+        a.join(b, on="shingle")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .groupBy("id_a", "id_b")
+        .agg(F.count(F.lit(1)).alias("n_common"))
+    )
+    sa = sizes.select(F.col(id_col).alias("id_a"), F.col("n_sh").alias("n_a"))
+    sb = sizes.select(F.col(id_col).alias("id_b"), F.col("n_sh").alias("n_b"))
+    out = (
+        inter.join(F.broadcast(sa), on="id_a")
+        .join(F.broadcast(sb), on="id_b")
+        .withColumn(
+            "jaccard",
+            F.col("n_common").cast("double")
+            / (F.col("n_a") + F.col("n_b") - F.col("n_common")),
+        )
+        .filter(F.col("jaccard") >= threshold)
+    )
+    return out.select("id_a", "id_b", "n_common", "jaccard")
+
+
+def minhash_signatures(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 3,
+    num_hashes: int = 8,
+) -> DataFrame:
+    """MinHash signature columns m0..m{n-1}: per salt, the min
+    md5-derived 60-bit hash over the document's shingle set."""
+    sh = shingle_df(df, text_col, id_col, k)
+    aggs = [
+        F.min(_hash64(F.col("shingle"), str(i))).alias(f"m{i}")
+        for i in range(num_hashes)
+    ]
+    return sh.groupBy(id_col).agg(*aggs)
+
+
+def minhash_lsh_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 3,
+    num_hashes: int = 8,
+    band_size: int = 2,
+    min_est_jaccard: float = 0.5,
+) -> DataFrame:
+    """LSH candidate pairs: documents colliding in ≥1 band of the
+    MinHash signature, with the estimated Jaccard (fraction of equal
+    signature slots): (id_a, id_b, est_jaccard)."""
+    sig = minhash_signatures(df, text_col, id_col, k, num_hashes)
+    n_bands = num_hashes // band_size
+    msig = [f"m{i}" for i in range(num_hashes)]
+    pair_parts = []
+    for b in range(n_bands):
+        band_cols = msig[b * band_size : (b + 1) * band_size]
+        left = sig.select(
+            F.col(id_col).alias("id_a"),
+            *[F.col(m).alias(f"la_{m}") for m in msig],
+        )
+        right = sig.select(
+            F.col(id_col).alias("id_b"),
+            *[F.col(m).alias(f"rb_{m}") for m in msig],
+        )
+        cond = F.col("id_a") < F.col("id_b")
+        for m in band_cols:
+            cond = cond & (F.col(f"la_{m}") == F.col(f"rb_{m}"))
+        pair_parts.append(left.join(right, cond).select("id_a", "id_b", *[
+            (F.col(f"la_{m}") == F.col(f"rb_{m}")).cast("int").alias(f"eq_{m}")
+            for m in msig
+        ]))
+    pairs = pair_parts[0]
+    for p in pair_parts[1:]:
+        pairs = pairs.unionByName(p)
+    pairs = pairs.dropDuplicates(["id_a", "id_b"])
+    est = sum(F.col(f"eq_{m}") for m in msig) / F.lit(float(num_hashes))
+    return (
+        pairs.withColumn("est_jaccard", est)
+        .filter(F.col("est_jaccard") >= min_est_jaccard)
+        .select("id_a", "id_b", "est_jaccard")
+    )
+
+
+def simhash(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 3,
+    bits: int = 16,
+) -> DataFrame:
+    """Sign-aggregated SimHash fingerprint over shingle hashes:
+    bit b set iff the count of shingles with hash-bit b set exceeds
+    half the shingles. (id, simhash)."""
+    sh = shingle_df(df, text_col, id_col, k)
+    h = _hash64(F.col("shingle"))
+    bit_sums = [
+        F.sum(
+            F.when(F.shiftrightunsigned(h, b).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)
+        ).alias(f"b{b}")
+        for b in range(bits)
+    ]
+    agg = sh.groupBy(id_col).agg(*bit_sums)
+    fp = F.lit(0).cast("long")
+    for b in range(bits):
+        fp = fp.bitwiseOR(
+            F.when(F.col(f"b{b}") > 0, F.lit(1 << b)).otherwise(F.lit(0)).cast("long")
+        )
+    return agg.select(F.col(id_col), fp.alias("simhash"))
+
+
+def simhash_dup_groups(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id", k: int = 3
+) -> DataFrame:
+    """Documents sharing an identical SimHash (hamming-distance 0
+    near-dup buckets): (simhash, canonical_id, n_docs) for buckets
+    with ≥2 members."""
+    s = simhash(df, text_col, id_col, k)
+    return (
+        s.groupBy("simhash")
+        .agg(F.min(id_col).alias("canonical_id"), F.count(F.lit(1)).alias("n_docs"))
+        .filter(F.col("n_docs") >= 2)
+    )

@@ -1,0 +1,132 @@
+"""Text-analysis operators over a document table.
+
+Everything here is pure ``pyspark.sql.functions`` — no Python UDFs —
+so the operators whole-stage-codegen and scale linearly. Tokenization
+convention shared with the DuckDB oracles: trim, split on ``\\s+``.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+#: deterministic marker-word lists for the n-gram language heuristic
+LANG_MARKERS: dict[str, list[str]] = {
+    "en": ["the", "a", "of", "and", "to"],
+    "de": ["der", "die", "und", "ein", "zu"],
+    "fr": ["le", "la", "et", "un", "de"],
+    "es": ["el", "la", "y", "un", "que"],
+    "zh": ["de5", "shi4", "le5", "zai4", "he2"],
+}
+
+STOPWORDS = ["the", "a", "an", "of", "and", "to", "in", "is", "on", "for"]
+
+
+def tokens(text_col: Column | str) -> Column:
+    col = F.col(text_col) if isinstance(text_col, str) else text_col
+    return F.split(F.trim(col), r"\s+")
+
+
+def text_stats(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Quality-scoring features: token count, char count, average token
+    length, punctuation ratio, stopword ratio, and a deterministic
+    composite quality score."""
+    toks = tokens(text_col)
+    n_tokens = F.when(F.length(F.trim(F.col(text_col))) == 0, F.lit(0)).otherwise(
+        F.size(toks)
+    )
+    n_chars = F.length(F.col(text_col))
+    n_punct = F.length(F.regexp_replace(F.col(text_col), r"[A-Za-z0-9\s]", ""))
+    stop_hits = F.size(
+        F.filter(toks, lambda t: t.isin(STOPWORDS))
+    )
+    out = df.select(
+        F.col(id_col),
+        n_tokens.alias("n_tokens"),
+        n_chars.alias("n_chars"),
+        n_punct.alias("n_punct"),
+        stop_hits.alias("n_stopwords"),
+    ).withColumn(
+        "punct_ratio",
+        F.when(F.col("n_chars") > 0, F.col("n_punct").cast("double") / F.col("n_chars"))
+        .otherwise(F.lit(0.0)),
+    ).withColumn(
+        "stopword_ratio",
+        F.when(
+            F.col("n_tokens") > 0,
+            F.col("n_stopwords").cast("double") / F.col("n_tokens"),
+        ).otherwise(F.lit(0.0)),
+    ).withColumn(
+        "quality_score",
+        (
+            F.least(F.col("n_tokens").cast("double") / 100.0, F.lit(1.0))
+            - F.col("punct_ratio")
+        ),
+    )
+    return out
+
+
+def language_id(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Marker-word language heuristic: per-language hit counts over the
+    token set; predicted language = argmax with lexicographic
+    tiebreak (deterministic)."""
+    toks = tokens(text_col)
+    score_cols = []
+    for lang, markers in sorted(LANG_MARKERS.items()):
+        hits = F.size(F.filter(toks, lambda t: t.isin(markers)))
+        score_cols.append(hits.alias(f"score_{lang}"))
+    scored = df.select(F.col(id_col), *score_cols)
+    # argmax with name tiebreak: fold over sorted languages
+    langs = sorted(LANG_MARKERS)
+    best_lang = F.lit(langs[0])
+    best_score = F.col(f"score_{langs[0]}")
+    for lang in langs[1:]:
+        cond = F.col(f"score_{lang}") > best_score
+        best_lang = F.when(cond, F.lit(lang)).otherwise(best_lang)
+        best_score = F.when(cond, F.col(f"score_{lang}")).otherwise(best_score)
+    return scored.withColumn("predicted_lang", best_lang).withColumn(
+        "predicted_score", best_score.cast("long")
+    )
+
+
+def token_counts(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Whitespace token count + a BPE-ish subword estimate
+    (ceil(len(word)/4) pieces per word — a deterministic proxy for
+    byte-pair tokenizers)."""
+    toks = tokens(text_col)
+    n_ws = F.when(F.length(F.trim(F.col(text_col))) == 0, F.lit(0)).otherwise(
+        F.size(toks)
+    )
+    bpe = F.aggregate(
+        toks,
+        F.lit(0).cast("long"),
+        lambda acc, t: acc + F.ceil(F.length(t) / F.lit(4.0)).cast("long"),
+    )
+    return df.select(
+        F.col(id_col),
+        n_ws.alias("n_tokens_ws"),
+        F.when(F.length(F.trim(F.col(text_col))) == 0, F.lit(0).cast("long"))
+        .otherwise(bpe)
+        .alias("n_tokens_bpe"),
+    )
+
+
+def fingerprint(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Order-sensitive document fingerprint: XOR of position-weighted
+    40-bit token hashes (rolling-hash flavor; md5-derived so the DuckDB
+    oracle reproduces it exactly)."""
+    toks = tokens(text_col)
+    hashed = F.transform(
+        toks,
+        lambda t, i: F.conv(F.substring(F.md5(t), 1, 10), 16, 10).cast("long")
+        * ((i % 16) + 1),
+    )
+    fp = F.aggregate(
+        hashed, F.lit(0).cast("long"), lambda acc, h: acc.bitwiseXOR(h)
+    )
+    return df.select(
+        F.col(id_col),
+        F.when(F.length(F.trim(F.col(text_col))) == 0, F.lit(0).cast("long"))
+        .otherwise(fp)
+        .alias("fingerprint"),
+    )
