@@ -25,15 +25,23 @@ from ukis_h3cellstore_spark.schema import (
     CompactedTableSchema,
     CompactedTableSchemaBuilder,
 )
-from ukis_h3cellstore_spark.store import CellStore
+from ukis_h3cellstore_spark.store import CellStore, InsertOptions
 from ukis_h3cellstore_spark.frame import H3DataFrame
+from ukis_h3cellstore_spark.connection import Connection
+from ukis_h3cellstore_spark.query import TableSetQuery
+from ukis_h3cellstore_spark.traversal import TraversalOptions, Traverser
 
 __all__ = [
     "AggregationMethod",
     "CompactedTableSchema",
     "CompactedTableSchemaBuilder",
     "CellStore",
+    "Connection",
     "H3DataFrame",
+    "InsertOptions",
+    "TableSetQuery",
+    "TraversalOptions",
+    "Traverser",
 ]
 
 __version__ = "0.1.0"

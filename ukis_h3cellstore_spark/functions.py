@@ -1,0 +1,139 @@
+"""SQL-dialect H3 function registration (SURVEY §2.6, §7.4.8).
+
+The reference's templated queries (P3) are written in ClickHouse SQL
+and lean on ClickHouse's H3 function suite (``h3GetResolution``,
+``h3ToParent``, ...). On the Spark backend, templates run through
+``spark.sql`` — this module registers the same function names so
+CH-dialect templates keep working.
+
+The hierarchy functions are **SQL scalar UDFs** (``CREATE TEMPORARY
+FUNCTION ... RETURN <expr>``): pure bit-arithmetic that Catalyst
+inlines into the plan, so they constant-fold and stay inside
+whole-stage codegen — no Python in the hot path. Only ``geoToH3``
+needs a real geo backend and is registered as a Python UDF gated on
+the ``h3`` package (see :mod:`ukis_h3cellstore_spark.geo`).
+
+H3 index bit layout (public spec): resolution in bits 52-55, base cell
+in bits 45-51, one 3-bit digit per resolution from bit 45 downward;
+unused fine digits hold 7. See ``h3/cells.py`` for the same math on
+driver-side ints and ``h3/expressions.py`` for Column expressions.
+
+Supported-function subset for templates (documented per SURVEY §7.4.8):
+``h3GetResolution h3GetBaseCell h3ToParent h3ToChildren
+h3GetResolutionOfChildren(count) h3IsValid h3IsPentagon max2 modulo
+geoToH3`` plus everything in Spark SQL's own library (``if``,
+``greatest``, ``year``, ``month``, ``floor``, ``ceil``, ...).
+ClickHouse's ``arrayJoin(x)`` must be written as ``explode(x)``, and
+because Spark disallows SQL UDFs directly under a generator, the array
+must be materialized in a subquery first:
+``SELECT explode(ch) FROM (SELECT h3ToChildren(c, r) AS ch ...)``.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import SparkSession
+
+_RES_CLEAR = ~(0xF << 52)  # clears the resolution nibble
+
+# trailing_sevens(r) == (1 << (3*(15-r))) - 1: all digits below r set to 7
+
+
+_SQL_FUNCTIONS: dict[str, str] = {
+    "h3GetResolution": """
+        (c BIGINT) RETURNS INT
+        RETURN CAST(shiftright(c, 52) & 15 AS INT)
+    """,
+    "h3GetBaseCell": """
+        (c BIGINT) RETURNS INT
+        RETURN CAST(shiftright(c, 45) & 127 AS INT)
+    """,
+    "h3ToParent": f"""
+        (c BIGINT, r INT) RETURNS BIGINT
+        RETURN (c & CAST({_RES_CLEAR} AS BIGINT))
+             | shiftleft(CAST(r AS BIGINT), 52)
+             | (shiftleft(CAST(1 AS BIGINT), 3 * (15 - r)) - 1)
+    """,
+    # children of a hexagon cell at child resolution cr: expand every
+    # base-7 combination into the digit slots between parent-res+1 and
+    # cr. Pentagon parents (12 of 122 base cells) additionally skip
+    # digit 1 in their first non-7 slot — use the driver-side
+    # cells.cell_to_children for exact pentagon handling.
+    "h3ToChildren": """
+        (c BIGINT, cr INT) RETURNS ARRAY<BIGINT>
+        -- identity guard: sequence(1, 0) would DESCEND in Spark SQL
+        RETURN IF(cr = CAST(shiftright(c, 52) & 15 AS INT), array(c), transform(
+          sequence(CAST(0 AS BIGINT),
+                   CAST(pow(7, cr - (shiftright(c, 52) & 15)) AS BIGINT) - 1),
+          k -> aggregate(
+            sequence(1, cr - CAST(shiftright(c, 52) & 15 AS INT)),
+            -- zero-digit base: parent with res nibble = cr and the
+            -- parent's trailing-7 digit region cleared to 0
+            (c & ~(shiftleft(CAST(1 AS BIGINT), CAST(3 * (15 - (shiftright(c, 52) & 15)) AS INT)) - 1)
+               & CAST(-67553994410557441 AS BIGINT))
+              | shiftleft(CAST(cr AS BIGINT), 52),
+            -- write digit ii (base-7 expansion of k, most significant first)
+            (acc, ii) -> acc | (
+            shiftleft(
+              (k div CAST(pow(7, cr - (shiftright(c, 52) & 15) - ii) AS BIGINT)) % 7,
+              CAST(3 * (15 - ((shiftright(c, 52) & 15) + ii)) AS INT))),
+            -- digits below cr stay 7
+            acc -> acc | (shiftleft(CAST(1 AS BIGINT), 3 * (15 - cr)) - 1)
+          )
+        ))
+    """,
+    "h3IsValid": """
+        (c BIGINT) RETURNS BOOLEAN
+        RETURN c > 0
+           AND (shiftright(c, 59) & 15) = 1      -- cell mode, high bit 0
+           AND (shiftright(c, 56) & 7) = 0       -- reserved bits
+           AND (shiftright(c, 45) & 127) < 122   -- base cell range
+    """,
+    "h3IsPentagon": """
+        (c BIGINT) RETURNS BOOLEAN
+        RETURN array_contains(
+          array(4, 14, 24, 38, 49, 58, 63, 72, 83, 97, 107, 117),
+          CAST(shiftright(c, 45) & 127 AS INT))
+    """,
+    "max2": """
+        (a DOUBLE, b DOUBLE) RETURNS DOUBLE RETURN greatest(a, b)
+    """,
+    "modulo": """
+        (a BIGINT, b BIGINT) RETURNS BIGINT RETURN pmod(a, b)
+    """,
+}
+
+
+def register_h3_sql_functions(spark: SparkSession, grid=None) -> list[str]:
+    """Register the CH-name H3 function subset as temporary SQL
+    functions on this session. Returns the registered names.
+
+    ``grid`` (a :class:`ukis_h3cellstore_spark.geo.GridSystem`) backs
+    ``geoToH3``; when omitted, each executor resolves the default grid
+    itself (requires the ``h3`` package on the executors)."""
+    names = []
+    for name, body in _SQL_FUNCTIONS.items():
+        spark.sql(f"CREATE OR REPLACE TEMPORARY FUNCTION {name} {body}")
+        names.append(name)
+    names.append(_register_geo_to_h3(spark, grid))
+    return names
+
+
+def _register_geo_to_h3(spark: SparkSession, grid=None) -> str:
+    """``geoToH3(lat, lng, res)`` — needs a real grid backend; the UDF
+    raises the documented GeoBackendUnavailable at call time when the
+    ``h3`` package is missing (registration itself always succeeds).
+    The grid instance is captured in the UDF closure and shipped to
+    executors — driver-side ``set_default_grid`` does not propagate."""
+    from pyspark.sql.types import LongType
+
+    def geo_to_h3(lat: float, lng: float, res: int) -> int:
+        g = grid
+        if g is None:
+            from ukis_h3cellstore_spark import geo
+
+            g = geo.default_grid()
+        # SQL float literals arrive as decimal.Decimal — normalize
+        return g.latlng_to_cell(float(lat), float(lng), int(res))
+
+    spark.udf.register("geoToH3", geo_to_h3, LongType())
+    return "geoToH3"

@@ -1,0 +1,328 @@
+"""Geometry ↔ cell operators (reference H5-H7).
+
+The reference gets these from the Rust ``h3ron``/``geo`` crates:
+
+- H5 ``grid_disk(k)`` — disk of cells around a cell
+  (traversal.rs:403-418, examples/basic.rs:47)
+- H6 polygon → cells ("polyfill") *plus exterior-ring cells so thin
+  polygons still yield cells* (traversal.rs:131-162)
+- H7 ``border_cells(poly, res, width)`` — cells lining the inside of a
+  polygon's exterior ring, ~width cells wide
+  (crates/ukis_h3cellstore/src/geom/border_cells.rs:15-101)
+
+Design: the *algorithms* (ring tracing, polyfill-with-ring union,
+border dilation) are written against a small :class:`GridSystem`
+protocol so they are testable without any geo library. Two backends:
+
+- :class:`H3Grid` — the real thing, gated behind ``import h3`` (the
+  ``h3`` wheel is not in this container; install it in production).
+- :class:`SquareGrid` — a deterministic square-lattice test double
+  with the same protocol, used by the unit tests and usable for
+  synthetic pipelines.
+
+Geometries are GeoJSON-like mappings (``__geo_interface__``):
+``Polygon`` / ``MultiPolygon`` / ``Point`` / ``MultiPoint``.
+Coordinates are (lng, lat) pairs, GeoJSON axis order.
+
+All functions here are **driver-side** on purpose: they prepare cell
+lists that parameterize distributed queries (the reference does the
+same — geometry work happens client-side, traversal.rs:131-162). Cell
+lists never exceed the traversal resolution's AOI cover, which the
+traversal-resolution sizing bounds (O7).
+"""
+
+from __future__ import annotations
+
+import math
+from collections.abc import Iterable, Sequence
+from typing import Protocol
+
+
+class GeoBackendUnavailable(RuntimeError):
+    """Raised when a real-H3 geometry operation is requested but the
+    ``h3`` package is not installed."""
+
+
+class GridSystem(Protocol):
+    """Minimal grid interface the geometry algorithms need."""
+
+    def latlng_to_cell(self, lat: float, lng: float, res: int) -> int: ...
+
+    def cell_to_latlng(self, cell: int) -> tuple[float, float]: ...
+
+    def grid_disk(self, cell: int, k: int) -> list[int]: ...
+
+    def cell_size_deg(self, res: int) -> float:
+        """Approximate cell diameter in degrees (densification step)."""
+        ...
+
+    def polygon_to_cells(self, polygon: Sequence, res: int) -> list[int]:
+        """Cells whose center is inside the polygon (list of rings;
+        ring 0 exterior, rest holes)."""
+        ...
+
+
+# --------------------------------------------------------------------- H3Grid
+
+
+class H3Grid:
+    """Real H3 backend (requires the ``h3`` python package ≥ 4.x)."""
+
+    def __init__(self) -> None:
+        try:
+            import h3  # noqa: F401
+        except ImportError as e:  # pragma: no cover - depends on env
+            raise GeoBackendUnavailable(
+                "the 'h3' package is required for real-H3 geometry "
+                "operations (polyfill/grid_disk/latlng); install 'h3>=4'"
+            ) from e
+        import h3
+
+        self._h3 = h3
+
+    def latlng_to_cell(self, lat: float, lng: float, res: int) -> int:
+        return self._h3.str_to_int(self._h3.latlng_to_cell(lat, lng, res))
+
+    def cell_to_latlng(self, cell: int) -> tuple[float, float]:
+        return self._h3.cell_to_latlng(self._h3.int_to_str(cell))
+
+    def grid_disk(self, cell: int, k: int) -> list[int]:
+        return [
+            self._h3.str_to_int(c)
+            for c in self._h3.grid_disk(self._h3.int_to_str(cell), k)
+        ]
+
+    def cell_size_deg(self, res: int) -> float:
+        km = self._h3.average_hexagon_edge_length(res, unit="km")
+        return 2.0 * km / 111.0  # ~degrees latitude per km
+
+    def polygon_to_cells(self, polygon: Sequence, res: int) -> list[int]:
+        poly = self._h3.LatLngPoly(
+            [(lat, lng) for lng, lat in polygon[0]],
+            *[[(lat, lng) for lng, lat in hole] for hole in polygon[1:]],
+        )
+        return [self._h3.str_to_int(c) for c in self._h3.polygon_to_cells(poly, res)]
+
+
+# ----------------------------------------------------------------- SquareGrid
+
+
+class SquareGrid:
+    """Deterministic square-lattice grid double.
+
+    Cell ids pack ``(res, i, j)`` into an int: bit 60 marker, res in
+    bits 52-55 (same slot as H3 for familiarity), i/j 26 bits each.
+    Resolution r divides the globe into ``2^(r+3)`` columns × half as
+    many rows (aperture 4), so parent/child arithmetic is exact.
+    """
+
+    _MARKER = 1 << 60
+
+    def _n_cols(self, res: int) -> int:
+        return 1 << (res + 3)
+
+    def _pack(self, res: int, i: int, j: int) -> int:
+        n = self._n_cols(res)
+        i %= n  # wrap antimeridian
+        j = min(max(j, 0), n // 2 - 1)
+        return self._MARKER | (res << 52) | (i << 26) | j
+
+    def unpack(self, cell: int) -> tuple[int, int, int]:
+        res = (cell >> 52) & 0xF
+        i = (cell >> 26) & ((1 << 26) - 1)
+        j = cell & ((1 << 26) - 1)
+        return res, i, j
+
+    def cell_size_deg(self, res: int) -> float:
+        return 360.0 / self._n_cols(res)
+
+    def latlng_to_cell(self, lat: float, lng: float, res: int) -> int:
+        size = self.cell_size_deg(res)
+        i = int((lng + 180.0) // size)
+        j = int((lat + 90.0) // size)
+        return self._pack(res, i, j)
+
+    def cell_to_latlng(self, cell: int) -> tuple[float, float]:
+        res, i, j = self.unpack(cell)
+        size = self.cell_size_deg(res)
+        return (-90.0 + (j + 0.5) * size, -180.0 + (i + 0.5) * size)
+
+    def grid_disk(self, cell: int, k: int) -> list[int]:
+        res, i, j = self.unpack(cell)
+        return [
+            self._pack(res, i + di, j + dj)
+            for di in range(-k, k + 1)
+            for dj in range(-k, k + 1)
+        ]
+
+    def polygon_to_cells(self, polygon: Sequence, res: int) -> list[int]:
+        ext = polygon[0]
+        lngs = [p[0] for p in ext]
+        lats = [p[1] for p in ext]
+        size = self.cell_size_deg(res)
+        i0 = int((min(lngs) + 180.0) // size)
+        i1 = int((max(lngs) + 180.0) // size)
+        j0 = int((min(lats) + 90.0) // size)
+        j1 = int((max(lats) + 90.0) // size)
+        out = []
+        for i in range(i0, i1 + 1):
+            for j in range(j0, j1 + 1):
+                c = self._pack(res, i, j)
+                lat, lng = self.cell_to_latlng(c)
+                if point_in_polygon(lng, lat, polygon):
+                    out.append(c)
+        return out
+
+
+# ------------------------------------------------------------ default grid
+
+
+_DEFAULT_GRID: GridSystem | None = None
+
+
+def default_grid() -> GridSystem:
+    """The process-wide grid backend: H3 when available, otherwise an
+    explicit error (override with :func:`set_default_grid`)."""
+    global _DEFAULT_GRID
+    if _DEFAULT_GRID is None:
+        _DEFAULT_GRID = H3Grid()
+    return _DEFAULT_GRID
+
+
+def set_default_grid(grid: GridSystem | None) -> None:
+    global _DEFAULT_GRID
+    _DEFAULT_GRID = grid
+
+
+# ---------------------------------------------------------- pure geometry
+
+
+def point_in_polygon(x: float, y: float, rings: Sequence) -> bool:
+    """Even-odd rule over (exterior, *holes) rings of (x, y) pairs."""
+    inside = False
+    for ring in rings:
+        n = len(ring)
+        for a in range(n):
+            x1, y1 = ring[a][0], ring[a][1]
+            x2, y2 = ring[(a + 1) % n][0], ring[(a + 1) % n][1]
+            if (y1 > y) != (y2 > y):
+                xcross = x1 + (y - y1) / (y2 - y1) * (x2 - x1)
+                if x < xcross:
+                    inside = not inside
+    return inside
+
+
+def densify_ring(ring: Sequence, step: float) -> list[tuple[float, float]]:
+    """Insert points along each segment so consecutive samples are at
+    most ``step`` degrees apart (reference densifies offset polylines,
+    border_cells.rs:15-101)."""
+    out: list[tuple[float, float]] = []
+    n = len(ring)
+    closed = n > 1 and tuple(ring[0]) == tuple(ring[-1])
+    segs = n - 1 if closed else n
+    for a in range(segs):
+        x1, y1 = ring[a][0], ring[a][1]
+        x2, y2 = ring[(a + 1) % n][0], ring[(a + 1) % n][1]
+        d = math.hypot(x2 - x1, y2 - y1)
+        k = max(int(math.ceil(d / step)), 1)
+        for t in range(k):
+            f = t / k
+            out.append((x1 + f * (x2 - x1), y1 + f * (y2 - y1)))
+    return out
+
+
+# ----------------------------------------------------------- H5/H6/H7 API
+
+
+def grid_disk(cell: int, k: int, grid: GridSystem | None = None) -> list[int]:
+    """H5: all cells within grid distance k (incl. the center)."""
+    return (grid or default_grid()).grid_disk(cell, k)
+
+
+def ring_cells(ring: Sequence, res: int, grid: GridSystem | None = None) -> list[int]:
+    """Cells touched by a ring polyline (densified trace)."""
+    g = grid or default_grid()
+    step = g.cell_size_deg(res) / 2.0
+    return sorted(
+        {g.latlng_to_cell(lat, lng, res) for lng, lat in densify_ring(ring, step)}
+    )
+
+
+def polygon_to_cells(
+    polygon: Sequence, res: int, grid: GridSystem | None = None
+) -> list[int]:
+    """H6 (``to_h3_cells`` parity, traversal.rs:131-162): polyfill of
+    the polygon **plus exterior-ring cells**, so thin/small polygons
+    that contain no cell centers still produce a cover."""
+    g = grid or default_grid()
+    filled = set(g.polygon_to_cells(polygon, res))
+    filled.update(ring_cells(polygon[0], res, g))
+    return sorted(filled)
+
+
+def geometry_to_cells(
+    geometry, res: int, grid: GridSystem | None = None
+) -> list[int]:
+    """GeoJSON-like geometry (or ``__geo_interface__``) → sorted unique
+    cells at ``res``."""
+    gi = getattr(geometry, "__geo_interface__", geometry)
+    gtype = gi["type"]
+    coords = gi.get("coordinates")
+    g = grid or default_grid()
+    cells: set[int] = set()
+    if gtype == "Polygon":
+        cells.update(polygon_to_cells(coords, res, g))
+    elif gtype == "MultiPolygon":
+        for poly in coords:
+            cells.update(polygon_to_cells(poly, res, g))
+    elif gtype == "Point":
+        cells.add(g.latlng_to_cell(coords[1], coords[0], res))
+    elif gtype == "MultiPoint":
+        cells.update(g.latlng_to_cell(lat, lng, res) for lng, lat in coords)
+    elif gtype == "LineString":
+        cells.update(ring_cells(coords, res, g))
+    elif gtype == "GeometryCollection":
+        for sub in gi["geometries"]:
+            cells.update(geometry_to_cells(sub, res, g))
+    else:
+        raise ValueError(f"unsupported geometry type {gtype!r}")
+    return sorted(cells)
+
+
+def border_cells(
+    polygon,
+    res: int,
+    width: int = 1,
+    grid: GridSystem | None = None,
+) -> list[int]:
+    """H7 (reference ``geom::border_cells``, border_cells.rs:15-101):
+    the cells lining the **inside** of the polygon's exterior ring,
+    approximately ``width`` cells wide.
+
+    Algorithm (grid-native replacement for the reference's
+    offset-polyline + rect-fill): layer 0 is the exterior-ring trace
+    intersected with the polygon's cell cover; each further layer
+    dilates by grid_disk(1) while staying inside the cover.
+    """
+    if width < 1:
+        raise ValueError("width must be >= 1")
+    gi = getattr(polygon, "__geo_interface__", polygon)
+    if isinstance(gi, dict):
+        if gi["type"] != "Polygon":
+            raise ValueError("border_cells expects a Polygon")
+        rings = gi["coordinates"]
+    else:
+        rings = gi
+    g = grid or default_grid()
+    cover = set(polygon_to_cells(rings, res, g))
+    layer = set(ring_cells(rings[0], res, g)) & cover
+    border = set(layer)
+    for _ in range(width - 1):
+        grown: set[int] = set()
+        for c in layer:
+            grown.update(g.grid_disk(c, 1))
+        layer = (grown & cover) - border
+        if not layer:
+            break
+        border.update(layer)
+    return sorted(border)

@@ -102,11 +102,17 @@ def rollup_level(
     h3name = schema.h3index_column()
     passthrough = schema.passthrough_columns()
     source = prescale_source(schema, source, source_res, target_res)
-    grouped = source.withColumn(
+    keyed = source.withColumn(
         "__h3_parent", hx.h3_to_parent(F.col(h3name), target_res)
-    ).groupBy("__h3_parent", *passthrough)
+    )
     aggs = aggregation_exprs(schema, source_res, target_res)
-    out = grouped.agg(*aggs).withColumnRenamed("__h3_parent", h3name)
+    if aggs:
+        out = keyed.groupBy("__h3_parent", *passthrough).agg(*aggs)
+    else:
+        # no aggregated columns: GROUP BY over all columns ≡ DISTINCT
+        # (the reference's generated SQL degenerates the same way)
+        out = keyed.select("__h3_parent", *passthrough).distinct()
+    out = out.withColumnRenamed("__h3_parent", h3name)
     # restore canonical column order
     ordered = [h3name] + sorted(c for c in schema.columns if c != h3name)
     return out.select(*ordered)

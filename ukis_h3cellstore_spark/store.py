@@ -106,6 +106,25 @@ class CellStore:
         """Reference grpc.rs:165-185 / cellstore.rs:69-79."""
         return H3DataFrame(self.spark.sql(sql), h3index_column)
 
+    def insert_dataframe(
+        self,
+        table_name: str,
+        df: DataFrame,
+        max_num_rows_per_chunk: int = 1_000_000,
+    ) -> None:
+        """Append a dataframe to a raw (non-pyramid) warehouse table
+        and register it as a view so ``execute`` SQL can reference it
+        by name (reference S3/S4: Arrow insert + chunking,
+        lib.rs:138-158, cellstore.rs:30-57). The reference's 1M-row
+        chunk default maps to ``maxRecordsPerFile``."""
+        path = os.path.join(self.warehouse_dir, "_raw", table_name)
+        (
+            df.write.mode("append")
+            .option("maxRecordsPerFile", max_num_rows_per_chunk)
+            .parquet(path)
+        )
+        self.spark.read.parquet(path).createOrReplaceTempView(table_name)
+
     # ------------------------------------------------------------ catalog (S8)
 
     def tableset_exists(self, name: str) -> bool:

@@ -1,0 +1,264 @@
+"""Traversal — streaming area-of-interest reads (reference Q3).
+
+Reimplements the reference traversal engine
+(``crates/ukis_h3cellstore/src/clickhouse/compacted_tables/
+traversal.rs``) Spark-first:
+
+- **Traversal-resolution sizing** (traversal.rs:24-50): walk the area
+  of interest at the coarsest base resolution whose cells contain at
+  most ``max_fetch_count`` target-resolution descendants, so each step
+  fetches a bounded amount of data.
+- **Traverser** (traversal.rs:177-205, 395-401): an iterator of
+  ``TraversedCell(cell, contained_data)`` — one H3DataFrame per
+  traversal cell, empty results skipped (traversal.rs:452-456),
+  traversal cells sorted+deduped for determinism (traversal.rs:158-160).
+  The reference fans out over ``num_connections`` gRPC workers; on
+  Spark each step IS a distributed job, so the worker pool disappears
+  — parallelism comes from executors scanning partitions.
+- **Prefilter** (P4, traversal.rs:357-393): an optional templated
+  filter query run at the traversal resolution in chunks of
+  ``PREFILTER_CHUNK_SIZE`` cells; only cells for which it returns rows
+  are fetched at full resolution (a coarse→fine semi-join).
+- **Distributed variant** (SURVEY §3.3 "Spark shape (b)"): instead of
+  pulling per-cell dataframes to the driver, ``traverse_apply`` runs
+  one job that groups the full query result by traversal cell and
+  applies a user pandas function per group via ``applyInPandas`` —
+  the 100 TB-scale path (no driver materialization).
+
+The area of interest is either an explicit cell list (numpy/ints) or a
+geometry (``__geo_interface__``), converted via
+:mod:`ukis_h3cellstore_spark.geo` (reference traversal.rs:131-162).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable, Iterable, Iterator
+from dataclasses import dataclass, field
+
+from pyspark.sql import DataFrame
+
+from ukis_h3cellstore_spark.frame import H3DataFrame
+from ukis_h3cellstore_spark.h3 import cells as h3c
+from ukis_h3cellstore_spark.h3 import expressions as hx
+from ukis_h3cellstore_spark.query import TableSetQuery
+
+#: reference default (traversal.rs:91-103)
+DEFAULT_MAX_FETCH_COUNT = 500
+#: reference hardcoded prefilter chunk (traversal.rs:298)
+PREFILTER_CHUNK_SIZE = 50
+
+
+class TraversalError(ValueError):
+    pass
+
+
+def select_traversal_resolution(
+    base_resolutions: Iterable[int],
+    target_resolution: int,
+    max_fetch_count: int = DEFAULT_MAX_FETCH_COUNT,
+) -> int:
+    """Coarsest base resolution r ≤ target with ``7^(target-r) <=
+    max_fetch_count`` descendants per traversal cell; falls back to the
+    finest base resolution ≤ target (reference traversal.rs:24-50)."""
+    usable = sorted(r for r in base_resolutions if r <= target_resolution)
+    if not usable:
+        raise TraversalError(
+            f"no base resolution <= target resolution {target_resolution}"
+        )
+    for r in usable:  # coarsest first
+        if 7 ** (target_resolution - r) <= max_fetch_count:
+            return r
+    return usable[-1]
+
+
+@dataclass
+class TraversalOptions:
+    """Parity with the reference ``TraversalOptions``
+    (traversal.rs:91-103). ``num_connections`` is accepted for API
+    compatibility but unused — Spark's scheduler replaces the
+    hand-rolled worker pool."""
+
+    max_h3indexes_fetch_count: int = DEFAULT_MAX_FETCH_COUNT
+    num_connections: int = 3
+    filter_query: TableSetQuery | None = None
+    #: expand each traversal cell by grid_disk(k) before fetching
+    #: (reference traversal.rs:403-434); requires a geo backend.
+    buffer_k: int = 0
+
+
+@dataclass
+class TraversedCell:
+    """One traversal step (reference traversal.rs:395-401)."""
+
+    cell: int
+    contained_data: H3DataFrame
+
+
+@dataclass
+class Traverser:
+    """Pull-based iterator over an area of interest — each ``next()``
+    runs one bounded Q2 query (reference Stream impl
+    traversal.rs:177-205; Python iterator
+    ukis_h3cellstorepy/src/clickhouse/traversal.rs:124-155)."""
+
+    store: object  # CellStore; duck-typed to avoid an import cycle
+    tableset_name: str
+    traversal_cells: list[int]
+    h3_resolution: int
+    query: TableSetQuery | None = None
+    options: TraversalOptions = field(default_factory=TraversalOptions)
+
+    _pos: int = 0
+
+    def __len__(self) -> int:
+        """Remaining cells (reference size_hint, traversal.rs:184-205)."""
+        return len(self.traversal_cells) - self._pos
+
+    @property
+    def num_traversed_cells(self) -> int:
+        return len(self.traversal_cells)
+
+    def __iter__(self) -> Iterator[TraversedCell]:
+        return self
+
+    def __next__(self) -> TraversedCell:
+        while self._pos < len(self.traversal_cells):
+            cell = self.traversal_cells[self._pos]
+            self._pos += 1
+            fetch_cells = [cell]
+            if self.options.buffer_k > 0:
+                from ukis_h3cellstore_spark import geo
+
+                fetch_cells = sorted(
+                    set(geo.default_grid().grid_disk(cell, self.options.buffer_k))
+                )
+            h3df = self.store.query_tableset_cells(
+                self.tableset_name,
+                fetch_cells,
+                self.h3_resolution,
+                query=self.query,
+            )
+            # skip-empty semantics (traversal.rs:452-456). This is a
+            # per-step driver action by design — the reference is the
+            # same pull-based client iterator; for the distributed
+            # path use traverse_apply.
+            if h3df.df.isEmpty():
+                continue
+            return TraversedCell(cell, h3df)
+        raise StopIteration
+
+
+def _prefilter_cells(
+    store,
+    tableset_name: str,
+    traversal_cells: list[int],
+    traversal_resolution: int,
+    filter_query: TableSetQuery,
+) -> list[int]:
+    """P4 (traversal.rs:357-393): run the filter query at the traversal
+    resolution in chunks; keep only traversal cells present in the
+    response after normalizing the (still-compacted) response cells to
+    the traversal resolution (traversal.rs:384-389)."""
+    kept: set[int] = set()
+    for i in range(0, len(traversal_cells), PREFILTER_CHUNK_SIZE):
+        chunk = traversal_cells[i : i + PREFILTER_CHUNK_SIZE]
+        res = store.query_tableset_cells(
+            tableset_name,
+            chunk,
+            traversal_resolution,
+            query=filter_query,
+            do_uncompact=False,
+        )
+        got = [r[0] for r in res.df.select(res.h3col).distinct().collect()]
+        kept.update(h3c.change_resolution(got, traversal_resolution))
+    return [c for c in traversal_cells if c in kept]
+
+
+def build_traverser(
+    store,
+    tableset_name: str,
+    area_of_interest,
+    h3_resolution: int,
+    query: TableSetQuery | None = None,
+    options: TraversalOptions | None = None,
+) -> Traverser:
+    """Entry point (reference traverse_tableset_area_of_interest,
+    grpc.rs:326-344): AOI → sorted deduped traversal cells at the sized
+    traversal resolution → optional prefilter → Traverser."""
+    options = options or TraversalOptions()
+    schema = store.get_schema(tableset_name)
+    trav_res = select_traversal_resolution(
+        schema.h3_base_resolutions,
+        h3_resolution,
+        options.max_h3indexes_fetch_count,
+    )
+    cells = _area_of_interest_cells(area_of_interest, trav_res)
+    if not cells:
+        raise TraversalError("area of interest contains no cells")
+    if options.filter_query is not None:
+        cells = _prefilter_cells(
+            store, tableset_name, cells, trav_res, options.filter_query
+        )
+    return Traverser(
+        store=store,
+        tableset_name=tableset_name,
+        traversal_cells=cells,
+        h3_resolution=h3_resolution,
+        query=query,
+        options=options,
+    )
+
+
+def _area_of_interest_cells(area_of_interest, traversal_resolution: int) -> list[int]:
+    """AOI → sorted unique traversal cells (traversal.rs:131-162):
+    cell list → change_resolution; geometry (__geo_interface__ or
+    GeoJSON-like dict) → polygon_to_cells incl. exterior-ring cells."""
+    if hasattr(area_of_interest, "__geo_interface__") or (
+        isinstance(area_of_interest, dict) and "type" in area_of_interest
+    ):
+        from ukis_h3cellstore_spark import geo
+
+        gi = getattr(area_of_interest, "__geo_interface__", area_of_interest)
+        cells = geo.geometry_to_cells(gi, traversal_resolution)
+    else:
+        cells = h3c.change_resolution(
+            [int(c) for c in area_of_interest], traversal_resolution
+        )
+    return sorted(set(cells))
+
+
+def traverse_apply(
+    store,
+    tableset_name: str,
+    area_of_interest,
+    h3_resolution: int,
+    func: Callable,
+    output_schema,
+    query: TableSetQuery | None = None,
+    options: TraversalOptions | None = None,
+) -> DataFrame:
+    """Distributed traversal: ONE Spark job instead of a driver pull
+    loop. The whole AOI is fetched lazily, grouped by traversal cell,
+    and ``func(pandas_df) -> pandas_df`` runs per group via
+    ``applyInPandas`` — scale path for "process every tile" workloads
+    (SURVEY §3.3). ``output_schema`` is the result schema (DDL string
+    or StructType)."""
+    from pyspark.sql import functions as F
+
+    options = options or TraversalOptions()
+    schema = store.get_schema(tableset_name)
+    trav_res = select_traversal_resolution(
+        schema.h3_base_resolutions,
+        h3_resolution,
+        options.max_h3indexes_fetch_count,
+    )
+    cells = _area_of_interest_cells(area_of_interest, trav_res)
+    if not cells:
+        raise TraversalError("area of interest contains no cells")
+    h3df = store.query_tableset_cells(
+        tableset_name, cells, h3_resolution, query=query
+    )
+    keyed = h3df.df.withColumn(
+        "__traversal_cell", hx.h3_to_parent(h3df.h3col, trav_res)
+    )
+    return keyed.groupBy("__traversal_cell").applyInPandas(func, output_schema)
