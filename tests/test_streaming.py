@@ -1,0 +1,159 @@
+"""Structured Streaming tests: windowed rollup with watermark,
+foreachBatch tableset ingestion, and the stateful accumulator — all
+driven with availableNow triggers + memory sinks over a parquet copy
+of the events table (bounded, deterministic)."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from ukis_h3cellstore_spark import CellStore, CompactedTableSchemaBuilder
+from ukis_h3cellstore_spark import streaming as st
+from ukis_h3cellstore_spark.h3 import cells as h3c
+from ukis_h3cellstore_spark.h3 import expressions as hx
+
+
+@pytest.fixture(scope="module")
+def events_dir(spark, tmp_path_factory, sf_dir):
+    """events with a synthetic res-7 h3index, written as a 4-file
+    parquet dir so the file source has multiple input splits."""
+    out = str(tmp_path_factory.mktemp("stream") / "events")
+    region = h3c.build_cell(60, [1, 2, 3, 4, 5])
+    children = h3c.cell_to_children(region, 7)
+    # source ts is TIMESTAMP(NANOS); normalize to µs for the stream copy
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    df = (
+        spark.read.parquet(f"{sf_dir}/events.parquet")
+        .withColumn("ts", F.timestamp_micros((F.col("ts") / 1000).cast("long")))
+        .withColumn(
+            "h3index",
+            F.element_at(
+                F.array(*[F.lit(c) for c in children]),
+                (F.col("event_id") % len(children) + 1).cast("int"),
+            ),
+        )
+        .select("h3index", "ts", "event_type", "value", "event_id")
+    )
+    df.repartition(4).write.mode("overwrite").parquet(out)
+    return out
+
+
+def _run_available_now(stream_df, name):
+    q = (
+        stream_df.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("complete" if name.endswith("_agg") else "append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    return q
+
+
+def test_windowed_cell_rollup_matches_batch(spark, events_dir):
+    batch = spark.read.parquet(events_dir)
+    stream = st.read_stream(spark, events_dir, batch.schema)
+    assert stream.isStreaming
+
+    rolled = st.windowed_cell_rollup(
+        stream,
+        "h3index",
+        "ts",
+        window_duration="1 hour",
+        watermark="2 hours",
+        parent_resolution=5,
+        agg_columns=["value"],
+    )
+    q = (
+        rolled.writeStream.format("memory")
+        .queryName("rollup_agg")
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = spark.sql("select * from rollup_agg").toPandas()
+
+    expected = (
+        batch.groupBy(
+            hx.h3_to_parent(F.col("h3index"), 5).alias("cell"),
+            F.window("ts", "1 hour").alias("window"),
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum("value").alias("sum_value"),
+            F.avg("value").alias("avg_value"),
+        )
+        .toPandas()
+    )
+    assert len(got) == len(expected)
+    assert got["n_events"].sum() == expected["n_events"].sum() == batch.count()
+    assert abs(got["sum_value"].sum() - expected["sum_value"].sum()) < 1e-6
+
+
+def test_stream_insert_into_tableset(spark, events_dir, tmp_path):
+    store = CellStore(spark, str(tmp_path / "wh"))
+    # cross-micro-batch totals need the Summing engine: per-batch
+    # rollups only aggregate within their own insert (reference
+    # schema/column.rs:23-28); the engine merges across inserts
+    schema = (
+        CompactedTableSchemaBuilder("stream_set")
+        .table_engine("SummingMergeTree", ["value"])
+        .h3_base_resolutions([5, 6, 7])
+        .add_h3index_column()
+        .add_aggregated_column("value", "Float64", "Sum")
+        .build()
+    )
+    batch = spark.read.parquet(events_dir)
+    stream = st.read_stream(
+        spark, events_dir, batch.schema, max_files_per_trigger=2
+    ).select("h3index", "value")
+
+    q = st.stream_insert_into_tableset(
+        store,
+        schema,
+        stream,
+        checkpoint_dir=str(tmp_path / "ckpt"),
+        trigger_available_now=True,
+    )
+    q.awaitTermination(300)
+
+    region = h3c.build_cell(60, [1, 2, 3, 4, 5])
+    out = store.query_tableset_cells("stream_set", [region], 5).df.toPandas()
+    # Sum rollup across micro-batches must equal the batch total
+    assert len(out) == 1
+    assert abs(
+        float(out["value"][0]) - batch.agg(F.sum("value")).collect()[0][0]
+    ) < 1e-6
+
+
+def test_stateful_cell_accumulator(spark, events_dir):
+    batch = spark.read.parquet(events_dir).withColumn(
+        "value", F.col("value").cast("long")
+    )
+    stream = st.read_stream(spark, events_dir, spark.read.parquet(events_dir).schema)
+    stream = stream.withColumn("value", F.col("value").cast("long"))
+
+    acc = st.stateful_cell_accumulator(stream, "h3index", "value")
+    q = (
+        acc.writeStream.format("memory")
+        .queryName("acc_out")
+        .outputMode("update")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = spark.sql(
+        "select h3index, max(n_events) as n, max(total_value) as t "
+        "from acc_out group by h3index"
+    ).toPandas()
+    expected = (
+        batch.groupBy("h3index")
+        .agg(F.count(F.lit(1)).alias("n"), F.sum("value").alias("t"))
+        .toPandas()
+    )
+    assert got["n"].sum() == expected["n"].sum()
+    m_got = dict(zip(got["h3index"], got["n"]))
+    m_exp = dict(zip(expected["h3index"], expected["n"]))
+    assert m_got == m_exp

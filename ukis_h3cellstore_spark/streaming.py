@@ -1,0 +1,163 @@
+"""Structured Streaming operators — the unbounded-ingest extension.
+
+The reference has **no** streaming engine: its only "stream" is the
+bounded client-pull Traverser (SURVEY §2.9). This module is the
+beyond-parity extension the Spark engine adds for continuous H3
+ingestion at scale:
+
+- :func:`read_stream` — file-source ``readStream`` over a parquet
+  directory (schema locked up-front; streaming sources cannot infer).
+- :func:`windowed_cell_rollup` — event-time windowed aggregation per
+  (H3 parent cell, window) with a watermark for late data; this is the
+  streaming twin of the batch rollup chain (A1-A7): partial aggregates
+  shuffle on (cell, window), state is bounded by the watermark.
+- :func:`stream_insert_into_tableset` — ``foreachBatch`` sink running
+  the full batch insert pipeline (compact → split → rollup → publish)
+  per micro-batch; checkpointed, so ingestion is exactly-once per
+  batch against the idempotent dedup-on-read store.
+- :func:`stateful_cell_accumulator` — ``applyInPandasWithState``
+  per-cell running aggregation (count/sum/max watermark-free), the
+  template for custom stateful operators.
+
+Scale: every operator keys state/shuffle by H3 cell (or parent cell),
+so a 1000-executor cluster partitions the cell space; nothing
+materializes on the driver.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterable
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+from pyspark.sql.types import (
+    LongType,
+    StructField,
+    StructType,
+)
+
+from ukis_h3cellstore_spark.h3 import expressions as hx
+
+
+def read_stream(
+    spark: SparkSession,
+    path: str,
+    schema,
+    max_files_per_trigger: int | None = None,
+) -> DataFrame:
+    """File-source readStream over a parquet directory."""
+    reader = spark.readStream.schema(schema)
+    if max_files_per_trigger is not None:
+        reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
+    return reader.parquet(path)
+
+
+def windowed_cell_rollup(
+    stream: DataFrame,
+    h3index_column: str,
+    ts_column: str,
+    window_duration: str = "1 hour",
+    watermark: str = "2 hours",
+    parent_resolution: int | None = None,
+    agg_columns: Iterable[str] = (),
+) -> DataFrame:
+    """Event-time windowed per-cell aggregation with late-data bound.
+
+    Output: one row per (cell-or-parent, window) with count + sum/avg
+    of each ``agg_columns`` entry. The watermark bounds state: windows
+    older than it are finalized and evicted.
+    """
+    cell = F.col(h3index_column)
+    if parent_resolution is not None:
+        cell = hx.h3_to_parent(cell, parent_resolution)
+    aggs = [F.count(F.lit(1)).alias("n_events")]
+    for c in agg_columns:
+        aggs.append(F.sum(c).alias(f"sum_{c}"))
+        aggs.append(F.avg(c).alias(f"avg_{c}"))
+    return (
+        stream.withWatermark(ts_column, watermark)
+        .groupBy(
+            cell.alias("cell"),
+            F.window(F.col(ts_column), window_duration).alias("window"),
+        )
+        .agg(*aggs)
+    )
+
+
+def stream_insert_into_tableset(
+    store,
+    schema,
+    stream: DataFrame,
+    checkpoint_dir: str,
+    trigger_available_now: bool = False,
+):
+    """Continuous tableset ingestion: every micro-batch runs the full
+    batch insert pipeline (Q1). Returns the StreamingQuery handle."""
+
+    def _sink(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        store.insert_h3dataframe_into_tableset(schema, batch_df)
+
+    writer = (
+        stream.writeStream.foreachBatch(_sink)
+        .option("checkpointLocation", checkpoint_dir)
+        .outputMode("update")
+    )
+    if trigger_available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
+
+
+_ACC_STATE = StructType(
+    [
+        StructField("n", LongType()),
+        StructField("total", LongType()),
+    ]
+)
+
+
+def _acc_output_schema(cell_col: str) -> StructType:
+    return StructType(
+        [
+            StructField(cell_col, LongType()),
+            StructField("n_events", LongType()),
+            StructField("total_value", LongType()),
+        ]
+    )
+
+
+def stateful_cell_accumulator(
+    stream: DataFrame,
+    h3index_column: str,
+    value_column: str,
+    timeout: str = "NoTimeout",
+) -> DataFrame:
+    """Custom stateful operator: per-cell running (count, sum) emitted
+    on every update — ``applyInPandasWithState`` template
+    (state schema: {n, total}; output keyed by cell)."""
+
+    def update(key, pdf_iter, state: GroupState):
+        import pandas as pd
+
+        n, total = state.get if state.exists else (0, 0)
+        for pdf in pdf_iter:
+            n += len(pdf)
+            total += int(pdf[value_column].fillna(0).sum())
+        state.update((n, total))
+        yield pd.DataFrame(
+            {
+                h3index_column: [key[0]],
+                "n_events": [n],
+                "total_value": [total],
+            }
+        )
+
+    return stream.groupBy(h3index_column).applyInPandasWithState(
+        update,
+        outputStructType=_acc_output_schema(h3index_column),
+        stateStructType=_ACC_STATE,
+        outputMode="update",
+        timeoutConf=getattr(GroupStateTimeout, timeout, GroupStateTimeout.NoTimeout),
+    )
