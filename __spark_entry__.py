@@ -25,12 +25,14 @@ def entry(spark: SparkSession) -> DataFrame:
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     from ukis_h3cellstore_spark.entry_queries import QUERIES
     from ukis_h3cellstore_spark.entry_queries_ops import QUERIES_OPS
+    from ukis_h3cellstore_spark.entry_queries_trav import QUERIES_TRAV
 
-    return {**QUERIES, **QUERIES_OPS}
+    return {**QUERIES, **QUERIES_OPS, **QUERIES_TRAV}
 
 
 def oracle_sql() -> dict[str, str]:
     from ukis_h3cellstore_spark.entry_queries import ORACLES
     from ukis_h3cellstore_spark.entry_queries_ops import ORACLES_OPS
+    from ukis_h3cellstore_spark.entry_queries_trav import ORACLES_TRAV
 
-    return {**ORACLES, **ORACLES_OPS}
+    return {**ORACLES, **ORACLES_OPS, **ORACLES_TRAV}

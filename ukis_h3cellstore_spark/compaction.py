@@ -32,6 +32,13 @@ from ukis_h3cellstore_spark.h3 import cells as h3c
 from ukis_h3cellstore_spark.h3 import expressions as hx
 
 
+#: levels handled by the single grouped-pandas pass: group key is the
+#: ancestor ``max_res - GROUP_LEVELS`` (≤ 7^6 descendants per group, so
+#: a group is bounded regardless of total data size); coarser levels
+#: run the JVM loop over the residue (≤ 1/7^6 of the rows).
+GROUP_LEVELS = 6
+
+
 def compact_df(
     df: DataFrame,
     h3index_column: str = "h3index",
@@ -45,6 +52,18 @@ def compact_df(
     equal attribute values merge, so the operation is lossless
     (``uncompact_df(compact_df(df), r)`` reproduces ``df`` for
     single-resolution input).
+
+    Two phases:
+
+    1. all levels finer than ``P = max_res - GROUP_LEVELS`` compact in
+       ONE ``applyInPandas`` pass grouped by the res-P ancestor: every
+       complete sibling set below P lies entirely inside one group
+       (siblings share their res-P ancestor), so per-group exact
+       compaction via the pure-Python core is correct, and sibling
+       sets AT res P span different groups, so no over-promotion.
+       One shuffle replaces a window-agg per level.
+    2. the residue at res ≤ P (≤ 1/7^GROUP_LEVELS of the input) runs
+       the JVM window loop for the remaining coarse levels.
     """
     value_cols = [c for c in df.columns if c != h3index_column]
     h3col = F.col(h3index_column)
@@ -54,6 +73,83 @@ def compact_df(
         row = df.select(F.max(res_col).alias("r")).first()
         max_res = row["r"] if row and row["r"] is not None else 0
 
+    group_res = max(max_res - GROUP_LEVELS, 0)
+    if group_res == 0 and max_res <= GROUP_LEVELS:
+        # the whole hierarchy fits into basecell groups → pure pandas
+        # pass, no JVM tail (sibling sets never span base cells)
+        return _compact_grouped_pandas(
+            df, h3index_column, value_cols, group_key_res=None
+        )
+
+    fine = df.filter(res_col > group_res)
+    coarse = df.filter(res_col <= group_res)
+    fine_done = _compact_grouped_pandas(
+        df=fine,
+        h3index_column=h3index_column,
+        value_cols=value_cols,
+        group_key_res=group_res,
+    )
+    # rows that compacted all the way down to res P join the JVM tail;
+    # rows still finer than P are final (their promotion failed inside
+    # their own group and can never succeed elsewhere)
+    fr = hx.h3_get_resolution(F.col(h3index_column))
+    tail_in = coarse.unionByName(fine_done.filter(fr == group_res))
+    still_fine = fine_done.filter(fr > group_res)
+    tail_out = _compact_levels_jvm(
+        tail_in, h3index_column, value_cols, group_res, persist
+    )
+    return tail_out.unionByName(still_fine)
+
+
+def _compact_grouped_pandas(
+    df: DataFrame,
+    h3index_column: str,
+    value_cols: list[str],
+    group_key_res: int | None,
+) -> DataFrame:
+    """One-shuffle exact compaction within res-``group_key_res``
+    ancestor groups (basecell groups when None)."""
+    if group_key_res is None:
+        key = hx.h3_get_base_cell(F.col(h3index_column))
+    else:
+        key = hx.h3_to_parent_dyn(
+            F.col(h3index_column), F.lit(group_key_res)
+        )
+    schema = df.schema
+
+    def compact_group(pdf):
+        import pandas as pd
+
+        pdf = pdf.drop(columns=["__grp"])
+        if not value_cols:
+            cells = h3c.compact_cells(pdf[h3index_column].tolist())
+            return pd.DataFrame({h3index_column: cells}, dtype="int64")
+        out_parts = []
+        for _, sub in pdf.groupby(value_cols, dropna=False, sort=False):
+            cells = h3c.compact_cells(sub[h3index_column].tolist())
+            rep = sub.iloc[[0]].drop(columns=[h3index_column])
+            block = rep.loc[rep.index.repeat(len(cells))].reset_index(drop=True)
+            block.insert(0, h3index_column, pd.Series(cells, dtype="int64"))
+            out_parts.append(block[list(pdf.columns)])
+        return pd.concat(out_parts, ignore_index=True)
+
+    return (
+        df.withColumn("__grp", key)
+        .groupBy("__grp")
+        .applyInPandas(compact_group, schema)
+    )
+
+
+def _compact_levels_jvm(
+    df: DataFrame,
+    h3index_column: str,
+    value_cols: list[str],
+    max_res: int,
+    persist: bool = True,
+) -> DataFrame:
+    """Window-aggregation compaction loop, one level per resolution
+    (used for the coarse tail where rows are few but groups span the
+    whole cell space)."""
     from pyspark.sql import Window
 
     out_levels: list[DataFrame] = []
@@ -70,11 +166,13 @@ def compact_df(
         w = Window.partitionBy("__h3_parent", *value_cols)
         counted = with_parent.withColumn("__n", F.count(F.lit(1)).over(w))
         if persist:
-            # one checkpoint per level: truncates lineage (the loop
-            # would otherwise build a 2^levels plan via rest ∪ promoted)
-            # and materializes the window shuffle once for both the
-            # promoted and kept branches below
-            counted = counted.localCheckpoint(eager=True)
+            # one lazy checkpoint per level: truncates lineage (the
+            # loop would otherwise build a 2^levels plan via rest ∪
+            # promoted) and shares the window shuffle between the
+            # promoted and kept branches — eager=False so the whole
+            # chain materializes in ONE job at the first action instead
+            # of launching a job per level
+            counted = counted.localCheckpoint(eager=False)
         need = F.when(
             hx.h3_is_pentagon(F.col("__h3_parent")), F.lit(6)
         ).otherwise(F.lit(7))
@@ -104,6 +202,7 @@ def uncompact_df(
     target_res: int,
     h3index_column: str = "h3index",
     cells_df: DataFrame | None = None,
+    source_resolutions: list[int] | None = None,
 ) -> DataFrame:
     """Expand mixed-resolution rows to ``target_res`` descendants.
 
@@ -115,6 +214,11 @@ def uncompact_df(
     ``cells_df`` (single column named like ``h3index_column``)
     optionally restricts the result via a broadcast left-semi join —
     the reference's "uncompact subset" (``mod.rs:459-477``).
+
+    ``source_resolutions``: the resolutions that may occur in ``df``
+    below ``target_res``. Pass it when the caller knows (the store
+    does — each pyramid table holds exactly one resolution); otherwise
+    it is discovered with an extra pass over the data.
     """
     spark = df.sparkSession
     h3col = F.col(h3index_column)
@@ -123,11 +227,14 @@ def uncompact_df(
     at_target = df.filter(res_col == target_res)
     coarser = df.filter(res_col < target_res)
 
-    # distinct source resolutions present (small driver-side list; ≤ 16)
-    res_present = [
-        r["__r"]
-        for r in coarser.select(res_col.alias("__r")).distinct().collect()
-    ]
+    if source_resolutions is not None:
+        res_present = [r for r in source_resolutions if r < target_res]
+    else:
+        # distinct source resolutions present (small driver list; ≤ 16)
+        res_present = [
+            r["__r"]
+            for r in coarser.select(res_col.alias("__r")).distinct().collect()
+        ]
 
     parts = [at_target]
     for r in sorted(res_present):

@@ -1,0 +1,183 @@
+"""Driver-contract queries for traversal (Q3) and stats (Q4) — the
+full streaming-read and statistics pipelines run end-to-end against a
+throwaway warehouse, with DuckDB oracles stating the equivalent
+relational result over the raw events table.
+
+Cell synthesis matches entry_queries: ``synth_cell(event_id, 6)``
+res-6 cells derived from event ids (deterministic in both engines).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ukis_h3cellstore_spark.entry_queries import (
+    DUCK,
+    _events,
+    _pipeline_store,
+    _synth_col,
+    _synth_py,
+)
+from ukis_h3cellstore_spark.h3 import cells as h3c
+from ukis_h3cellstore_spark.h3 import sqlgen as sg
+from ukis_h3cellstore_spark.traversal import (
+    TraversalOptions,
+    build_traverser,
+    traverse_apply,
+)
+
+
+def _trav_schema():
+    from ukis_h3cellstore_spark import CompactedTableSchemaBuilder
+
+    return (
+        CompactedTableSchemaBuilder("entry_trav")
+        .h3_base_resolutions([4, 6])
+        .add_h3index_column()
+        .add_aggregated_column("value_cents", "UInt64", "Sum")
+        .build()
+    )
+
+
+def _trav_loaded_store(spark: SparkSession, sf_dir: str):
+    store = _pipeline_store(spark)
+    e = _events(spark, sf_dir)
+    df = e.select(
+        _synth_col("event_id", 6).alias("h3index"),
+        F.round(F.col("value") * 100).cast("long").alias("value_cents"),
+    )
+    store.insert_h3dataframe_into_tableset(_trav_schema(), df)
+    return store
+
+
+def _aoi_parents() -> list[int]:
+    """8 res-4 traversal tiles with data (parents of synth cells)."""
+    return sorted({h3c.cell_to_parent(_synth_py(i, 6), 4) for i in range(60)})[:8]
+
+
+def q_pipeline_traversal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q3 pull-iterator: traverse the AOI tile-by-tile (each step one
+    bounded Q2 query at res 6), union the per-tile results."""
+    store = _trav_loaded_store(spark, sf_dir)
+    trav = build_traverser(
+        store,
+        "entry_trav",
+        _aoi_parents(),
+        6,
+        options=TraversalOptions(max_h3indexes_fetch_count=50),
+    )
+    parts = [step.contained_data.df for step in trav]
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out.select("h3index", "value_cents")
+
+
+def _q_pipeline_traversal_sql() -> str:
+    cell = sg.synth_cell("event_id", 6, DUCK)
+    plist = ", ".join(str(p) for p in _aoi_parents())
+    return f"""
+WITH syn AS (
+  SELECT {cell} AS h3index,
+         CAST(round(value*100) AS BIGINT) AS value_cents
+  FROM events
+)
+SELECT h3index, CAST(SUM(value_cents) AS BIGINT) AS value_cents
+FROM syn
+WHERE {sg.to_parent('h3index', 4, DUCK)} IN ({plist})
+GROUP BY h3index
+"""
+
+
+def q_pipeline_traverse_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q3 distributed variant: ONE job, grouped by traversal tile,
+    per-tile pandas aggregation via applyInPandas."""
+    store = _trav_loaded_store(spark, sf_dir)
+
+    def per_tile(pdf):
+        import pandas as pd
+
+        return pd.DataFrame(
+            {
+                "traversal_cell": [int(pdf["__traversal_cell"].iloc[0])],
+                "n_cells": [int(pdf["h3index"].nunique())],
+                "sum_cents": [int(pdf["value_cents"].sum())],
+            }
+        )
+
+    return traverse_apply(
+        store,
+        "entry_trav",
+        _aoi_parents(),
+        6,
+        per_tile,
+        "traversal_cell long, n_cells long, sum_cents long",
+        options=TraversalOptions(max_h3indexes_fetch_count=50),
+    )
+
+
+def _q_pipeline_traverse_apply_sql() -> str:
+    cell = sg.synth_cell("event_id", 6, DUCK)
+    plist = ", ".join(str(p) for p in _aoi_parents())
+    return f"""
+WITH syn AS (
+  SELECT {cell} AS h3index,
+         CAST(round(value*100) AS BIGINT) AS value_cents
+  FROM events
+),
+agg AS (
+  SELECT h3index, SUM(value_cents) AS value_cents,
+         {sg.to_parent('h3index', 4, DUCK)} AS traversal_cell
+  FROM syn
+  WHERE {sg.to_parent('h3index', 4, DUCK)} IN ({plist})
+  GROUP BY 1, 3
+)
+SELECT traversal_cell,
+       CAST(COUNT(*) AS BIGINT) AS n_cells,
+       CAST(SUM(value_cents) AS BIGINT) AS sum_cents
+FROM agg GROUP BY 1
+"""
+
+
+def q_pipeline_tableset_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q4: per-table row counts + derived finest-resolution cell
+    counts after a full insert (Sum schema → no compacted tables:
+    base tables at res 4 and 6 only)."""
+    store = _trav_loaded_store(spark, sf_dir)
+    return store.tableset_stats("entry_trav").select(
+        "table_name", "resolution", "is_compacted", "num_rows",
+        "num_cells_at_max_res",
+    )
+
+
+def _q_pipeline_tableset_stats_sql() -> str:
+    cell = sg.synth_cell("event_id", 6, DUCK)
+    return f"""
+WITH syn AS (SELECT DISTINCT {cell} AS h3index FROM events),
+c6 AS (SELECT COUNT(*) AS n FROM syn),
+c4 AS (SELECT COUNT(DISTINCT {sg.to_parent('h3index', 4, DUCK)}) AS n FROM syn)
+SELECT 'entry_trav_04_base' AS table_name, 4 AS resolution,
+       FALSE AS is_compacted, CAST(c4.n AS BIGINT) AS num_rows,
+       CAST(c4.n AS BIGINT) AS num_cells_at_max_res
+FROM c4
+UNION ALL
+SELECT 'entry_trav_06_base', 6, FALSE, CAST(c6.n AS BIGINT),
+       CAST(c6.n AS BIGINT)
+FROM c6
+"""
+
+
+QUERIES_TRAV: dict[str, Callable[[SparkSession, str], DataFrame]] = {
+    "pipeline_traversal": q_pipeline_traversal,
+    "pipeline_traverse_apply": q_pipeline_traverse_apply,
+    "pipeline_tableset_stats": q_pipeline_tableset_stats,
+}
+
+ORACLES_TRAV: dict[str, str] = {
+    "pipeline_traversal": _q_pipeline_traversal_sql(),
+    "pipeline_traverse_apply": _q_pipeline_traverse_apply_sql(),
+    "pipeline_tableset_stats": _q_pipeline_tableset_stats_sql(),
+}

@@ -32,8 +32,11 @@ from pyspark.sql import functions as F
 PLACEHOLDER_TABLE = "<[table]>"
 PLACEHOLDER_H3INDEXES = "<[h3indexes]>"
 
-#: Cell lists up to this size become IN-literals, larger ones broadcast joins.
-MAX_INLIST_CELLS = 4096
+#: Cell lists up to this size become IN-literals, larger ones broadcast
+#: joins. Kept small: a multi-thousand-literal isin repeated per
+#: pyramid table costs more in Catalyst analysis than the broadcast it
+#: avoids, and the broadcast path is the one that scales.
+MAX_INLIST_CELLS = 256
 
 _VIEW_COUNTER = [0]
 

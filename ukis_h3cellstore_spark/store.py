@@ -282,6 +282,13 @@ class CellStore:
                 )
 
             written: list[ResolutionMetadata] = []
+            # tables that already hold data need a cross-insert merge
+            # after publish; freshly-created ones are deduped in-flight
+            # below, so the post-insert rewrite can skip them
+            existed_before = {
+                m: os.path.isdir(self._table_path(schema.name, m))
+                for m in schema.resolution_metadata()
+            }
             # split by resolution: max-res rows → base table, coarser →
             # compacted tables (reference insert.rs:151-170)
             level_dfs: dict[ResolutionMetadata, DataFrame] = {}
@@ -294,7 +301,13 @@ class CellStore:
                     )
                 level_dfs[meta] = df.filter(F.col("__res") == r).drop("__res")
             for meta, level_df in level_dfs.items():
-                self._write_table(schema, meta, level_df, options)
+                # in-flight engine merge of the batch itself (the
+                # reference relies on the MergeTree engine + OPTIMIZE
+                # for this; one extra map-side-combine shuffle here
+                # replaces a full read-back rewrite for fresh tables)
+                self._write_table(
+                    schema, meta, self._apply_engine_merge(schema, level_df), options
+                )
                 written.append(meta)
 
             # rollup chain (reference insert.rs:278-548): adjacent base
@@ -332,7 +345,15 @@ class CellStore:
                 p.unpersist()
 
             if options.deduplicate_after_insert:
-                self.deduplicate_tableset(schema.name, [m for m in set(written)])
+                # rollup outputs are already grouped per key and fresh
+                # tables were merged in-flight — only tables that held
+                # data before this insert need the cross-insert merge
+                # (the reference's partition-scoped OPTIMIZE, O11)
+                touched_existing = [
+                    m for m in set(written) if existed_before.get(m)
+                ]
+                if touched_existing:
+                    self.deduplicate_tableset(schema.name, touched_existing)
         finally:
             df.unpersist()
 
@@ -408,6 +429,20 @@ class CellStore:
         metas = ts.tables_to_satisfy_query_at_resolution(h3_resolution)
 
         cells = [c for c in cells if h3c.is_valid_cell(c)]
+        # prune tables never written: keeps both the scan union and the
+        # uncompaction expansion to the resolutions that can hold data
+        # (an empty res-0 compacted branch would otherwise cross-join a
+        # 7^res offset table for nothing)
+        metas = [
+            m
+            for m in metas
+            if os.path.isdir(self._table_path(name, m))
+        ] or metas[:1]
+        # pentagon descendants only need the (large) validity filter
+        # when a queried cell sits on a pentagon base cell
+        any_pentagon = any(
+            h3c.get_base_cell(c) in h3c.PENTAGON_BASE_CELLS for c in cells
+        )
         parts: list[DataFrame] = []
         for meta in metas:
             table_cells = h3c.change_resolution(cells, meta.resolution)
@@ -423,6 +458,29 @@ class CellStore:
                 query,
                 list(schema.spark_schema().names),
             )
+            if do_uncompact and meta.resolution < h3_resolution:
+                # each table holds exactly its own resolution, so the
+                # expansion happens per table — single scan, no
+                # res-dispatch filters over the union
+                offsets = hx.h3_cell_offsets(
+                    self.spark, meta.resolution, h3_resolution
+                )
+                cols = tdf.columns
+                tdf = (
+                    tdf.crossJoin(F.broadcast(offsets))
+                    .withColumn(
+                        h3name,
+                        hx.h3_uncompact_expr(
+                            F.col(h3name),
+                            meta.resolution,
+                            h3_resolution,
+                            F.col("child_offset"),
+                        ),
+                    )
+                    .select(*cols)
+                )
+                if any_pentagon:
+                    tdf = tdf.filter(hx.h3_is_valid_cell(F.col(h3name)))
             parts.append(tdf)
         if not parts:
             raise ValueError("no tables satisfy the query")
@@ -435,8 +493,8 @@ class CellStore:
             cells_df = self.spark.createDataFrame(
                 [(c,) for c in cells_at_res], f"{h3name} long"
             )
-            out = compaction.uncompact_df(
-                out, h3_resolution, h3name, cells_df=cells_df
+            out = out.join(
+                F.broadcast(cells_df.distinct()), on=h3name, how="leftsemi"
             )
         return H3DataFrame(out, h3name)
 
