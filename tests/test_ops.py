@@ -1,0 +1,180 @@
+"""Semantic unit tests for the training-data operators (ops/*) on
+hand-built fixtures — complements the driver's oracle hash-match with
+known-answer assertions, plus plan-quality checks (broadcast join in
+the ANN path, no row-at-a-time Python UDFs in JVM-path operators)."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from ukis_h3cellstore_spark.ops import dedup as D
+from ukis_h3cellstore_spark.ops import multimodal as M
+from ukis_h3cellstore_spark.ops import similarity as S
+from ukis_h3cellstore_spark.ops import text as X
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    rows = [
+        (1, "the quick brown fox jumps over the lazy dog"),
+        (2, "the quick brown fox jumps over the lazy dog"),  # exact dup of 1
+        (3, "the quick brown fox jumps over a sleepy dog"),  # near dup
+        (4, "completely different content about spark engines"),
+        (5, ""),  # empty doc edge case
+    ]
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+# ------------------------------------------------------------------ dedup
+
+
+def test_dedup_exact_groups(docs):
+    out = D.dedup_exact(docs).toPandas()
+    dup_group = out[out.n_docs == 2]
+    assert len(dup_group) == 1
+    assert int(dup_group.canonical_id.iloc[0]) == 1  # min doc_id wins
+    assert out.n_docs.sum() == 5
+
+
+def test_minhash_identical_docs_identical_signatures(docs):
+    sig = D.minhash_signatures(docs).toPandas().set_index("doc_id")
+    assert (sig.loc[1] == sig.loc[2]).all()
+    assert not (sig.loc[1] == sig.loc[4]).all()
+
+
+def test_minhash_lsh_finds_exact_and_near_dups(docs):
+    pairs = D.minhash_lsh_pairs(docs, min_est_jaccard=0.2).toPandas()
+    got = {(int(a), int(b)) for a, b in zip(pairs.id_a, pairs.id_b)}
+    assert (1, 2) in got
+    est = pairs.set_index(["id_a", "id_b"]).est_jaccard
+    assert est.loc[(1, 2)] == 1.0
+    # unrelated docs never pair
+    assert not any(4 in p for p in got)
+
+
+def test_ngram_jaccard_exact_dup_is_one(docs):
+    pairs = D.ngram_jaccard_pairs(docs, threshold=0.3).toPandas()
+    j = pairs.set_index(["id_a", "id_b"]).jaccard
+    assert j.loc[(1, 2)] == 1.0
+    # near-dup shares most shingles but not all
+    assert 0.3 <= j.loc[(1, 3)] < 1.0
+
+
+def test_simhash_identical_equal_and_different_far(docs):
+    out = D.simhash(docs).toPandas().set_index("doc_id")["simhash"]
+    assert out.loc[1] == out.loc[2]
+    assert out.loc[1] != out.loc[4]
+
+
+# -------------------------------------------------------------- similarity
+
+
+@pytest.fixture(scope="module")
+def vecs(spark):
+    rows = [
+        (0, [1.0, 0.0, 0.0]),
+        (1, [1.0, 0.0, 0.0]),   # identical to 0
+        (2, [0.9, 0.1, 0.0]),   # close to 0
+        (3, [0.0, 1.0, 0.0]),   # orthogonal
+        (4, [-1.0, 0.0, 0.0]),  # opposite
+    ]
+    return spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+
+
+def test_cosine_topk_exact(vecs):
+    q = vecs.filter(F.col("vec_id") == 0)
+    out = S.cosine_topk(vecs, q, k=2).toPandas()
+    assert list(out.sort_values("rank").neighbor_id) == [1, 2]
+    assert out.cosine_sim.iloc[0] == 1.0
+
+
+def test_cosine_topk_uses_broadcast_join(vecs):
+    q = vecs.filter(F.col("vec_id") == 0)
+    plan = S.cosine_topk(vecs, q, k=1)._jdf.queryExecution().executedPlan().toString()
+    assert "Broadcast" in plan
+    assert "BatchEvalPython" not in plan  # pure JVM dot products
+
+
+def test_lsh_topk_finds_identical(vecs):
+    q = vecs.filter(F.col("vec_id") == 0)
+    out = S.lsh_topk(vecs, q, k=1).toPandas()
+    assert len(out) == 1 and int(out.neighbor_id.iloc[0]) == 1
+
+
+def test_embedding_dup_pairs_identical(vecs):
+    out = S.embedding_dup_pairs(vecs, threshold=0.99).toPandas()
+    got = {(int(a), int(b)) for a, b in zip(out.id_a, out.id_b)}
+    assert (0, 1) in got
+    assert all(c >= 0.99 for c in out.cosine_sim)
+
+
+# ------------------------------------------------------------------- text
+
+
+def test_text_stats_known_answer(docs):
+    out = X.text_stats(docs).toPandas().set_index("doc_id")
+    r = out.loc[1]
+    assert r.n_tokens == 9
+    assert r.n_chars == 43
+    assert r.n_stopwords == 2  # "the" twice; "over" is not in the list
+    assert out.loc[5].n_tokens == 0 and out.loc[5].quality_score == 0.0
+
+
+def test_text_stats_is_jvm_only(docs):
+    plan = X.text_stats(docs)._jdf.queryExecution().executedPlan().toString()
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_language_id_picks_marker_language(spark):
+    df = spark.createDataFrame(
+        [
+            (1, "the cat and the dog sat on the mat"),
+            (2, "der hund und die katze sind im haus"),
+        ],
+        "doc_id long, text string",
+    )
+    out = X.language_id(df).toPandas().set_index("doc_id")
+    assert out.loc[1].predicted_lang == "en"
+    assert out.loc[2].predicted_lang == "de"
+
+
+def test_token_counts_monotone(docs):
+    out = X.token_counts(docs).toPandas().set_index("doc_id")
+    assert out.loc[1].n_tokens_ws == 9
+    assert out.loc[1].n_tokens_bpe >= out.loc[1].n_tokens_ws
+    assert out.loc[5].n_tokens_ws == 0
+
+
+def test_fingerprint_deterministic_and_discriminative(docs):
+    out = X.fingerprint(docs).toPandas().set_index("doc_id")["fingerprint"]
+    assert out.loc[1] == out.loc[2]
+    assert out.loc[1] != out.loc[4]
+    assert out.loc[5] == 0  # empty doc sentinel
+
+
+# ------------------------------------------------------------- multimodal
+
+
+def test_multimodal_stub_decode_schema_and_determinism(docs):
+    payloads = M.attach_binary_payload(docs)
+    assert dict(payloads.dtypes)["payload"] == "binary"
+    meta = M.decode_image_metadata(payloads).toPandas().set_index("doc_id")
+    # deterministic stub: identical payloads → identical metadata
+    assert (meta.loc[1] == meta.loc[2]).all()
+    assert (meta.width >= 1).all() and (meta.height >= 1).all()
+    assert (meta.channels == 3).all()
+
+
+def test_multimodal_frame_sampling_stub(docs):
+    import math
+
+    payloads = M.attach_binary_payload(docs)
+    frames = M.sample_frames_stub(payloads, every_n_bytes=16).toPandas()
+    lens = {
+        r.doc_id: len(r.payload) for r in payloads.select("doc_id", "payload").collect()
+    }
+    per_doc = frames.groupby("doc_id").frame_no.agg(["count", "min"])
+    for doc_id, n in lens.items():
+        assert per_doc.loc[doc_id, "count"] == max(math.ceil(n / 16), 1)
+        assert per_doc.loc[doc_id, "min"] == 0

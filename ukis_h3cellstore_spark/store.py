@@ -257,6 +257,17 @@ class CellStore:
         if h3index_column and h3index_column != h3name:
             df = df.withColumnRenamed(h3index_column, h3name)
 
+        # cooperative abort (reference insert.rs:75-87 + grpc.rs:267-285
+        # GIL polling): all jobs of this insert run under a job group so
+        # cancel_insert() from another thread interrupts them mid-flight
+        sc = self.spark.sparkContext
+        self._insert_job_group = f"h3cs-insert-{schema.name}-{id(df)}"
+        sc.setJobGroup(
+            self._insert_job_group,
+            f"insert into tableset {schema.name}",
+            interruptOnCancel=True,
+        )
+
         # conform columns + types to the declared schema
         target = schema.spark_schema()
         df = df.select(
@@ -356,6 +367,17 @@ class CellStore:
                     self.deduplicate_tableset(schema.name, touched_existing)
         finally:
             df.unpersist()
+            sc.setJobGroup("", "")
+            self._insert_job_group = None
+
+    def cancel_insert(self) -> None:
+        """Cancel a running insert from another thread (reference
+        cooperative abort, insert.rs:75-87: the Python side polls
+        Ctrl-C and flips a shared flag; here Spark interrupts the job
+        group's running tasks)."""
+        group = getattr(self, "_insert_job_group", None)
+        if group:
+            self.spark.sparkContext.cancelJobGroup(group)
 
     # ----------------------------------------------------------------- Q5 dedup
 
