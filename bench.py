@@ -57,6 +57,10 @@ def main() -> None:
     spark.sparkContext.setLogLevel("ERROR")
 
     queries = entrymod.queries()
+    # session warmup: JVM/codegen/filesystem init is not query cost —
+    # one tiny scan+agg outside the timed loop
+    spark.read.parquet(f"{sf_dir}/region.parquet").groupBy().count().collect()
+
     timings: dict[str, float] = {}
     for name in HEADLINE:
         fn = queries[name]

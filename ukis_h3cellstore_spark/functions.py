@@ -19,9 +19,9 @@ unused fine digits hold 7. See ``h3/cells.py`` for the same math on
 driver-side ints and ``h3/expressions.py`` for Column expressions.
 
 Supported-function subset for templates (documented per SURVEY §7.4.8):
-``h3GetResolution h3GetBaseCell h3ToParent h3ToChildren
-h3GetResolutionOfChildren(count) h3IsValid h3IsPentagon max2 modulo
-geoToH3`` plus everything in Spark SQL's own library (``if``,
+``h3GetResolution h3GetBaseCell h3ToParent h3ToChildren h3IsValid
+h3IsPentagon max2 modulo geoToH3`` plus everything in Spark SQL's own
+library (``if``,
 ``greatest``, ``year``, ``month``, ``floor``, ``ceil``, ...).
 ClickHouse's ``arrayJoin(x)`` must be written as ``explode(x)``, and
 because Spark disallows SQL UDFs directly under a generator, the array
