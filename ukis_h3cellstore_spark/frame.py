@@ -47,6 +47,17 @@ class H3DataFrame:
     def to_arrow(self):
         return self.df.toArrow()
 
+    def to_polars(self):
+        """Reference ``DataFrameWrapper.to_polars`` (frame.py:50-82);
+        needs the optional ``polars`` package."""
+        try:
+            import polars
+        except ImportError as e:  # pragma: no cover - env dependent
+            raise ImportError(
+                "to_polars requires the optional 'polars' package"
+            ) from e
+        return polars.from_arrow(self.df.toArrow())
+
     def count(self) -> int:
         return self.df.count()
 
