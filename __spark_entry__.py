@@ -26,15 +26,29 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     from ukis_h3cellstore_spark.entry_queries import QUERIES
     from ukis_h3cellstore_spark.entry_queries_ops import QUERIES_OPS
     from ukis_h3cellstore_spark.entry_queries_raster import QUERIES_RASTER
+    from ukis_h3cellstore_spark.entry_queries_stream import QUERIES_STREAM
     from ukis_h3cellstore_spark.entry_queries_trav import QUERIES_TRAV
 
-    return {**QUERIES, **QUERIES_OPS, **QUERIES_TRAV, **QUERIES_RASTER}
+    return {
+        **QUERIES,
+        **QUERIES_OPS,
+        **QUERIES_TRAV,
+        **QUERIES_RASTER,
+        **QUERIES_STREAM,
+    }
 
 
 def oracle_sql() -> dict[str, str]:
     from ukis_h3cellstore_spark.entry_queries import ORACLES
     from ukis_h3cellstore_spark.entry_queries_ops import ORACLES_OPS
     from ukis_h3cellstore_spark.entry_queries_raster import ORACLES_RASTER
+    from ukis_h3cellstore_spark.entry_queries_stream import ORACLES_STREAM
     from ukis_h3cellstore_spark.entry_queries_trav import ORACLES_TRAV
 
-    return {**ORACLES, **ORACLES_OPS, **ORACLES_TRAV, **ORACLES_RASTER}
+    return {
+        **ORACLES,
+        **ORACLES_OPS,
+        **ORACLES_TRAV,
+        **ORACLES_RASTER,
+        **ORACLES_STREAM,
+    }

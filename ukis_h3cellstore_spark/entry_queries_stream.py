@@ -1,0 +1,84 @@
+"""Driver-contract query for the Structured Streaming operators: a
+watermarked tumbling-window per-cell rollup driven to completion with
+an availableNow trigger over a bounded copy of the events table. The
+DuckDB oracle recomputes the same windows relationally — streaming and
+batch must agree exactly (integer cents keep the sums order-proof
+across micro-batches)."""
+
+from __future__ import annotations
+
+import tempfile
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ukis_h3cellstore_spark import streaming as st
+from ukis_h3cellstore_spark.entry_queries import DUCK, _events, _synth_col
+from ukis_h3cellstore_spark.h3 import sqlgen as sg
+
+_SINK_COUNTER = [0]
+
+
+def q_streaming_windowed_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    src = _events(spark, sf_dir).select(
+        _synth_col("event_id", 6).alias("h3index"),
+        F.timestamp_micros(F.col("ts_us")).alias("ts"),
+        F.round(F.col("value") * 100).cast("long").alias("value_cents"),
+    )
+    stream_dir = tempfile.mkdtemp(prefix="h3stream_src_")
+    src.repartition(4).write.mode("overwrite").parquet(stream_dir)
+
+    stream = st.read_stream(
+        spark, stream_dir, src.schema, max_files_per_trigger=2
+    )
+    rolled = st.windowed_cell_rollup(
+        stream,
+        "h3index",
+        "ts",
+        window_duration="1 hour",
+        watermark="2 hours",
+        parent_resolution=4,
+        agg_columns=["value_cents"],
+    )
+    _SINK_COUNTER[0] += 1
+    sink = f"stream_rollup_sink_{_SINK_COUNTER[0]}"
+    q = (
+        rolled.writeStream.format("memory")
+        .queryName(sink)
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    return spark.table(sink).select(
+        F.col("cell"),
+        F.unix_micros(F.col("window.start")).alias("window_start_us"),
+        F.col("n_events"),
+        F.col("sum_value_cents"),
+    )
+
+
+def _q_streaming_windowed_rollup_sql() -> str:
+    cell6 = sg.synth_cell("event_id", 6, DUCK)
+    return f"""
+WITH syn AS (
+  SELECT {sg.to_parent(f'({cell6})', 4, DUCK)} AS cell,
+         (epoch_us(ts) // 3600000000) * 3600000000 AS window_start_us,
+         CAST(round(value*100) AS BIGINT) AS value_cents
+  FROM events
+)
+SELECT cell, window_start_us,
+       COUNT(*) AS n_events,
+       CAST(SUM(value_cents) AS BIGINT) AS sum_value_cents
+FROM syn GROUP BY 1, 2
+"""
+
+
+QUERIES_STREAM: dict[str, Callable[[SparkSession, str], DataFrame]] = {
+    "streaming_windowed_rollup": q_streaming_windowed_rollup,
+}
+
+ORACLES_STREAM: dict[str, str] = {
+    "streaming_windowed_rollup": _q_streaming_windowed_rollup_sql(),
+}
