@@ -178,3 +178,19 @@ def test_multimodal_frame_sampling_stub(docs):
     for doc_id, n in lens.items():
         assert per_doc.loc[doc_id, "count"] == max(math.ceil(n / 16), 1)
         assert per_doc.loc[doc_id, "min"] == 0
+
+
+def test_simhash_dup_groups(docs):
+    groups = D.simhash_dup_groups(docs).toPandas()
+    # docs 1 and 2 are identical → exactly one bucket of ≥2, anchored
+    # at the lowest doc id
+    assert (groups.n_docs >= 2).all()
+    assert 1 in set(groups.canonical_id)
+
+
+def test_ivf_topk_finds_identical_neighbor(vecs):
+    q = vecs.filter(F.col("vec_id") == 0)
+    out = S.ivf_topk(vecs, q, k=2, n_centroids=3, nprobe=2).toPandas()
+    # vec 1 is identical to the query and shares its inverted list
+    assert int(out.sort_values("rank").neighbor_id.iloc[0]) == 1
+    assert out.cosine_sim.max() == 1.0

@@ -184,3 +184,35 @@ def test_insert_idempotent_dedup(spark, store):
     store.insert_h3dataframe_into_tableset(schema, df)
     out = store.query_tableset_cells("okavango_delta", cells, 7).df.toPandas()
     assert len(out) == len(cells)
+
+
+def test_templated_query_with_ch_dialect_functions(spark, store):
+    """§7.4.8: templates may use the registered ClickHouse-name H3
+    functions (here h3GetResolution / h3ToParent) on the Spark
+    backend."""
+    from ukis_h3cellstore_spark.functions import register_h3_sql_functions
+
+    register_h3_sql_functions(spark)
+    schema = (
+        CompactedTableSchemaBuilder("tmpl_fn_set")
+        .h3_base_resolutions([5, 6])
+        .add_h3index_column()
+        .add_column("v", "Int64")
+        .build()
+    )
+    region = h3c.build_cell(60, [1, 2, 3, 4, 5])
+    cells = h3c.cell_to_children(region, 6)
+    df = spark.createDataFrame(
+        [(c, i) for i, c in enumerate(cells)], "h3index long, v long"
+    )
+    store.insert_h3dataframe_into_tableset(schema, df)
+    q = TableSetQuery.from_template(
+        "select h3index, v, h3GetResolution(h3index) as r, "
+        f"h3ToParent(h3index, 5) as p from <[table]> "
+        "where h3index in <[h3indexes]>"
+    )
+    out = store.query_tableset_cells(
+        "tmpl_fn_set", cells, 6, query=q, do_uncompact=False
+    ).df.toPandas()
+    assert set(out.r) <= {5, 6}
+    assert set(out[out.r == 6].p) == {region}

@@ -279,6 +279,61 @@ FROM ranked WHERE rank <= 3
 """
 
 
+def q_ann_ivf_top3(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = _embs(spark, sf_dir)
+    queries = e.filter(F.col("vec_id") < 10)
+    return S.ivf_topk(e, queries, k=3, n_centroids=16, nprobe=2)
+
+
+def _q_ann_ivf_top3_sql() -> str:
+    def cos(a_vec: str, b_vec: str) -> str:
+        return (
+            _DUCK_COSINE.replace("a.c_vec", a_vec).replace("q.q_vec", b_vec)
+        )
+
+    return f"""
+WITH cent AS (
+  SELECT vec_id AS centroid_id, embedding AS c_vec
+  FROM embeddings ORDER BY vec_id LIMIT 16
+),
+c_assign AS (
+  SELECT neighbor_id, n_vec, centroid_id FROM (
+    SELECT e.vec_id AS neighbor_id, e.embedding AS n_vec, cent.centroid_id,
+           row_number() OVER (
+             PARTITION BY e.vec_id
+             ORDER BY {cos('cent.c_vec', 'e.embedding')} DESC,
+                      cent.centroid_id ASC) AS r
+    FROM embeddings e, cent
+  ) WHERE r = 1
+),
+q_assign AS (
+  SELECT query_id, q_vec, centroid_id FROM (
+    SELECT e.vec_id AS query_id, e.embedding AS q_vec, cent.centroid_id,
+           row_number() OVER (
+             PARTITION BY e.vec_id
+             ORDER BY {cos('cent.c_vec', 'e.embedding')} DESC,
+                      cent.centroid_id ASC) AS r
+    FROM embeddings e, cent WHERE e.vec_id < 10
+  ) WHERE r <= 2
+),
+scored AS (
+  SELECT q.query_id, c.neighbor_id,
+         round(CAST({cos('c.n_vec', 'q.q_vec')} AS DOUBLE), 4) AS cosine_sim
+  FROM c_assign c JOIN q_assign q USING (centroid_id)
+  WHERE c.neighbor_id <> q.query_id
+),
+ranked AS (
+  SELECT *, row_number() OVER (
+      PARTITION BY query_id ORDER BY cosine_sim DESC, neighbor_id ASC) AS rank
+  FROM scored
+)
+SELECT CAST(query_id AS BIGINT) AS query_id,
+       CAST(neighbor_id AS BIGINT) AS neighbor_id,
+       cosine_sim, CAST(rank AS INT) AS rank
+FROM ranked WHERE rank <= 3
+"""
+
+
 def q_embedding_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     # synthetic embeddings are near-orthogonal (max pairwise cosine
     # ~0.45), so the "near-dup" threshold is set low enough that the
@@ -345,6 +400,7 @@ QUERIES_OPS: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "dedup_minhash_lsh_pairs": q_dedup_minhash_lsh_pairs,
     "dedup_simhash": q_dedup_simhash,
     "ann_cosine_top3": q_ann_cosine_top3,
+    "ann_ivf_top3": q_ann_ivf_top3,
     "embedding_dup_pairs": q_embedding_dup_pairs,
     "multimodal_decode_meta": q_multimodal_decode_meta,
 }
@@ -360,6 +416,7 @@ ORACLES_OPS: dict[str, str] = {
     "dedup_minhash_lsh_pairs": _q_dedup_minhash_lsh_sql(),
     "dedup_simhash": _q_dedup_simhash_sql(),
     "ann_cosine_top3": Q_ANN_COSINE_TOP3_SQL,
+    "ann_ivf_top3": _q_ann_ivf_top3_sql(),
     "embedding_dup_pairs": _q_embedding_dup_pairs_sql(),
     # multimodal_decode_meta intentionally has an oracle — the stub
     # decoder derives metadata relationally-reproducibly

@@ -134,6 +134,75 @@ def lsh_topk(
     )
 
 
+def ivf_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 1,
+    n_centroids: int = 16,
+    nprobe: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    round_digits: int = 4,
+) -> DataFrame:
+    """IVF-style ANN: the corpus is partitioned into inverted lists by
+    nearest centroid; each query probes its ``nprobe`` nearest lists
+    and scores exactly within them.
+
+    Centroids are the ``n_centroids`` lowest-id corpus vectors — a
+    deterministic stand-in for a k-means pass (which would be a
+    separate training job at scale; the assignment/probe plumbing here
+    is the part that matters). Shuffles only on the small centroid id;
+    centroid set is broadcast to both sides.
+    """
+    cent = F.broadcast(
+        corpus.select(F.col(id_col).alias("centroid_id"), F.col(vec_col).alias("c_vec"))
+        .orderBy("centroid_id")
+        .limit(n_centroids)
+    )
+
+    def assign(df: DataFrame, idc: str, vecc: str, keep: int) -> DataFrame:
+        scored = df.crossJoin(cent).withColumn(
+            "__sim", cosine_similarity(F.col(vecc), F.col("c_vec"))
+        )
+        w = Window.partitionBy(idc).orderBy(
+            F.col("__sim").desc(), F.col("centroid_id").asc()
+        )
+        return (
+            scored.withColumn("__r", F.row_number().over(w))
+            .filter(F.col("__r") <= keep)
+            .drop("c_vec", "__sim", "__r")
+        )
+
+    c_lists = assign(
+        corpus.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("n_vec")),
+        "neighbor_id",
+        "n_vec",
+        1,
+    )
+    q_lists = assign(
+        queries.select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("q_vec")),
+        "query_id",
+        "q_vec",
+        nprobe,
+    )
+    scored = (
+        c_lists.join(F.broadcast(q_lists), on="centroid_id")
+        .filter(F.col("neighbor_id") != F.col("query_id"))
+        .withColumn(
+            "cosine_sim",
+            F.round(cosine_similarity(F.col("q_vec"), F.col("n_vec")), round_digits),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cosine_sim").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "cosine_sim", "rank")
+    )
+
+
 def embedding_dup_pairs(
     df: DataFrame,
     threshold: float = 0.99,
