@@ -311,46 +311,71 @@ class CellStore:
                         "compaction is disabled for this schema"
                     )
                 level_dfs[meta] = df.filter(F.col("__res") == r).drop("__res")
-            for meta, level_df in level_dfs.items():
-                # in-flight engine merge of the batch itself (the
-                # reference relies on the MergeTree engine + OPTIMIZE
-                # for this; one extra map-side-combine shuffle here
-                # replaces a full read-back rewrite for fresh tables)
-                self._write_table(
-                    schema, meta, self._apply_engine_merge(schema, level_df), options
-                )
-                written.append(meta)
+            # the split-level writes and the rollup chain are
+            # independent jobs over the persisted input — run the
+            # writes on a small thread pool so they overlap (each
+            # thread re-enters the insert's job group so
+            # cancel_insert() still reaches every job)
+            from concurrent.futures import ThreadPoolExecutor
 
-            # rollup chain (reference insert.rs:278-548): adjacent base
-            # resolution pairs, fine → coarse
-            bases = sorted(schema.h3_base_resolutions, reverse=True)
-            current: DataFrame | None = None
-            persisted: list[DataFrame] = []
-            for source_res, target_res in zip(bases, bases[1:]):
-                src_parts = []
-                base_meta = ResolutionMetadata(source_res, False)
-                if source_res == max_res:
-                    if base_meta in level_dfs:
-                        src_parts.append(level_dfs[base_meta])
-                elif current is not None:
-                    src_parts.append(current)
-                if schema.compaction_enabled:
-                    comp_meta = ResolutionMetadata(source_res, True)
-                    if comp_meta in level_dfs:
-                        src_parts.append(level_dfs[comp_meta])
-                if not src_parts:
-                    current = None
-                    continue
-                source = src_parts[0]
-                for p in src_parts[1:]:
-                    source = source.unionByName(p)
-                level = rollup.rollup_level(schema, source, source_res, target_res)
-                level = level.persist()
-                persisted.append(level)
-                meta = ResolutionMetadata(target_res, False)
-                self._write_table(schema, meta, level, options)
-                written.append(meta)
-                current = level
+            group = self._insert_job_group
+
+            def _write(meta: ResolutionMetadata, level_df: DataFrame) -> None:
+                sc.setJobGroup(
+                    group,
+                    f"insert into tableset {schema.name}",
+                    interruptOnCancel=True,
+                )
+                self._write_table(schema, meta, level_df, options)
+
+            with ThreadPoolExecutor(max_workers=3) as pool:
+                futures = []
+                for meta, level_df in level_dfs.items():
+                    # in-flight engine merge of the batch itself (the
+                    # reference relies on the MergeTree engine +
+                    # OPTIMIZE; one extra map-side-combine shuffle here
+                    # replaces a read-back rewrite for fresh tables)
+                    futures.append(
+                        pool.submit(
+                            _write, meta, self._apply_engine_merge(schema, level_df)
+                        )
+                    )
+                    written.append(meta)
+
+                # rollup chain (reference insert.rs:278-548): adjacent
+                # base resolution pairs, fine → coarse; levels depend
+                # on each other but their writes overlap the rest
+                bases = sorted(schema.h3_base_resolutions, reverse=True)
+                current: DataFrame | None = None
+                persisted: list[DataFrame] = []
+                for source_res, target_res in zip(bases, bases[1:]):
+                    src_parts = []
+                    base_meta = ResolutionMetadata(source_res, False)
+                    if source_res == max_res:
+                        if base_meta in level_dfs:
+                            src_parts.append(level_dfs[base_meta])
+                    elif current is not None:
+                        src_parts.append(current)
+                    if schema.compaction_enabled:
+                        comp_meta = ResolutionMetadata(source_res, True)
+                        if comp_meta in level_dfs:
+                            src_parts.append(level_dfs[comp_meta])
+                    if not src_parts:
+                        current = None
+                        continue
+                    source = src_parts[0]
+                    for p in src_parts[1:]:
+                        source = source.unionByName(p)
+                    level = rollup.rollup_level(schema, source, source_res, target_res)
+                    level = level.persist()
+                    persisted.append(level)
+                    meta = ResolutionMetadata(target_res, False)
+                    futures.append(pool.submit(_write, meta, level))
+                    written.append(meta)
+                    current = level
+
+                for fut in futures:
+                    fut.result()
 
             for p in persisted:
                 p.unpersist()
