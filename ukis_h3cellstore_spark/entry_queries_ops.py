@@ -389,6 +389,56 @@ FROM p
 """
 
 
+# ------------------------------------------------- composed curation pipeline
+
+
+def q_corpus_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The training-data pipeline composed end-to-end: quality filter
+    (text_stats) → exact dedup (keep the canonical doc per content
+    hash) → per-language corpus rollup. Demonstrates that the ops are
+    DataFrame-in/DataFrame-out composable; Catalyst plans the whole
+    chain as one job."""
+    docs = _docs(spark, sf_dir)
+    stats = X.text_stats(docs)
+    good = stats.filter(
+        (F.col("quality_score") > 0.1) & (F.col("n_tokens") >= 5)
+    ).select("doc_id", "n_tokens", "quality_score")
+    canon = (
+        D.dedup_exact(docs)
+        .select(F.col("canonical_id").alias("doc_id"))
+        .distinct()
+    )
+    lang = X.language_id(docs).select("doc_id", "predicted_lang")
+    kept = good.join(canon, "doc_id").join(lang, "doc_id")
+    return kept.groupBy("predicted_lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_tokens").cast("long").alias("total_tokens"),
+        F.round(F.avg("quality_score"), 4).alias("avg_quality"),
+    )
+
+
+def _q_corpus_curation_sql() -> str:
+    langid = _q_text_langid_sql()
+    return f"""
+WITH stats AS ({Q_TEXT_STATS_SQL}),
+good AS (
+  SELECT doc_id, n_tokens, quality_score FROM stats
+  WHERE quality_score > 0.1 AND n_tokens >= 5
+),
+canon AS (
+  SELECT DISTINCT MIN(doc_id) AS doc_id
+  FROM documents GROUP BY md5(lower(trim(text)))
+),
+lang AS (SELECT doc_id, predicted_lang FROM ({langid}))
+SELECT predicted_lang,
+       COUNT(*) AS n_docs,
+       CAST(SUM(n_tokens) AS BIGINT) AS total_tokens,
+       round(AVG(quality_score), 4) AS avg_quality
+FROM good JOIN canon USING (doc_id) JOIN lang USING (doc_id)
+GROUP BY 1
+"""
+
+
 QUERIES_OPS: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "text_stats": q_text_stats,
     "text_langid": q_text_langid,
@@ -403,6 +453,7 @@ QUERIES_OPS: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "ann_ivf_top3": q_ann_ivf_top3,
     "embedding_dup_pairs": q_embedding_dup_pairs,
     "multimodal_decode_meta": q_multimodal_decode_meta,
+    "corpus_curation": q_corpus_curation,
 }
 
 ORACLES_OPS: dict[str, str] = {
@@ -421,4 +472,5 @@ ORACLES_OPS: dict[str, str] = {
     # multimodal_decode_meta intentionally has an oracle — the stub
     # decoder derives metadata relationally-reproducibly
     "multimodal_decode_meta": Q_MULTIMODAL_DECODE_META_SQL,
+    "corpus_curation": _q_corpus_curation_sql(),
 }
