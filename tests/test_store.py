@@ -10,7 +10,7 @@ from pyspark.sql import functions as F
 from ukis_h3cellstore_spark import CellStore, CompactedTableSchemaBuilder
 from ukis_h3cellstore_spark.h3 import cells as h3c
 from ukis_h3cellstore_spark.query import QueryTemplateError, TableSetQuery
-from ukis_h3cellstore_spark.schema import SchemaError
+from ukis_h3cellstore_spark.schema import ResolutionMetadata, SchemaError
 
 
 @pytest.fixture()
@@ -216,3 +216,43 @@ def test_templated_query_with_ch_dialect_functions(spark, store):
     ).df.toPandas()
     assert set(out.r) <= {5, 6}
     assert set(out[out.r == 6].p) == {region}
+
+
+def test_lower_resolution_and_temporal_partitioning_e2e(spark, store, tmp_path):
+    """Reference test_schema.py:50-72 analogs: lower-resolution h3
+    partitioning and multi-year temporal partitioning shape the
+    physical layout (h3part = res-diff parent, tpart = 2-year bucket)
+    and queries still round-trip."""
+    import datetime
+    import os
+
+    schema = (
+        CompactedTableSchemaBuilder("part_set")
+        .h3_base_resolutions([6])
+        .h3_partitioning("lower_resolution", 2)
+        .temporal_partitioning("2 years")
+        .add_h3index_column()
+        .add_column("observed_on", "DateTime")
+        .add_column("v", "Int64")
+        .build()
+    )
+    region = h3c.build_cell(60, [1, 2, 3, 4, 5])
+    cells = h3c.cell_to_children(region, 6)
+    rows = [
+        (c, datetime.datetime(2020 + (i % 4), 3, 1), i)
+        for i, c in enumerate(cells)
+    ]
+    df = spark.createDataFrame(rows, "h3index long, observed_on timestamp, v long")
+    store.insert_h3dataframe_into_tableset(schema, df)
+
+    # physical layout: h3part is the res-4 parent, tpart the 2-year bucket
+    tdir = store._table_path("part_set", ResolutionMetadata(6, False))
+    parts = sorted(p for p in os.listdir(tdir) if p.startswith("h3part="))
+    assert parts == [f"h3part={h3c.cell_to_parent(region, 4)}"]
+    tparts = sorted(os.listdir(os.path.join(tdir, parts[0])))
+    # years 2020-2023 → buckets 2020 and 2022
+    assert tparts == ["tpart=2020", "tpart=2022"]
+
+    out = store.query_tableset_cells("part_set", cells, 6).df.toPandas()
+    assert len(out) == len(cells)
+    assert sorted(out.columns) == ["h3index", "observed_on", "v"]
