@@ -31,6 +31,12 @@ HEADLINE = [
     "h3_hierarchy_semijoin",
     "pipeline_sum_rollup",
     "pipeline_compact_roundtrip",
+    # training-data operator families (documents/embeddings tables)
+    "text_stats",
+    "dedup_minhash_lsh_pairs",
+    "ann_cosine_top3",
+    "corpus_curation",
+    "raster_ingest",
 ]
 
 
@@ -68,6 +74,13 @@ def main() -> None:
         df = fn(spark, sf_dir)
         df.write.format("noop").mode("overwrite").save()
         timings[name] = round(time.perf_counter() - t0, 3)
+        # queries are timed in isolation: drop cached/checkpointed
+        # blocks left by pipeline queries so later ones aren't measured
+        # under another query's memory pressure. ContextCleaner frees
+        # checkpoint blocks only after a JVM GC, and a large heap may
+        # not GC for minutes — force one.
+        spark.catalog.clearCache()
+        spark._jvm.System.gc()
 
     total = round(sum(timings.values()), 3)
     print(

@@ -143,35 +143,56 @@ def minhash_lsh_pairs(
 ) -> DataFrame:
     """LSH candidate pairs: documents colliding in ≥1 band of the
     MinHash signature, with the estimated Jaccard (fraction of equal
-    signature slots): (id_a, id_b, est_jaccard)."""
+    signature slots): (id_a, id_b, est_jaccard).
+
+    Scale shape: signatures are computed ONCE (lazy checkpoint), bands
+    unpivot to (id, band, band_key) rows, and candidates come from a
+    single self-equi-join on (band, band_key) — the bucket join
+    shuffles on the band key, never the document corpus squared."""
     sig = minhash_signatures(df, text_col, id_col, k, num_hashes)
+    sig = sig.localCheckpoint(eager=False)
     n_bands = num_hashes // band_size
     msig = [f"m{i}" for i in range(num_hashes)]
-    pair_parts = []
+
+    band_parts = []
     for b in range(n_bands):
         band_cols = msig[b * band_size : (b + 1) * band_size]
-        left = sig.select(
-            F.col(id_col).alias("id_a"),
-            *[F.col(m).alias(f"la_{m}") for m in msig],
+        band_parts.append(
+            sig.select(
+                F.col(id_col).alias("id"),
+                F.lit(b).alias("band"),
+                F.concat_ws(
+                    "|", *[F.col(m).cast("string") for m in band_cols]
+                ).alias("band_key"),
+            )
         )
-        right = sig.select(
-            F.col(id_col).alias("id_b"),
-            *[F.col(m).alias(f"rb_{m}") for m in msig],
+    bands = band_parts[0]
+    for p in band_parts[1:]:
+        bands = bands.unionByName(p)
+
+    cand = (
+        bands.select(F.col("id").alias("id_a"), "band", "band_key")
+        .join(
+            bands.select(F.col("id").alias("id_b"), "band", "band_key"),
+            on=["band", "band_key"],
         )
-        cond = F.col("id_a") < F.col("id_b")
-        for m in band_cols:
-            cond = cond & (F.col(f"la_{m}") == F.col(f"rb_{m}"))
-        pair_parts.append(left.join(right, cond).select("id_a", "id_b", *[
-            (F.col(f"la_{m}") == F.col(f"rb_{m}")).cast("int").alias(f"eq_{m}")
-            for m in msig
-        ]))
-    pairs = pair_parts[0]
-    for p in pair_parts[1:]:
-        pairs = pairs.unionByName(p)
-    pairs = pairs.dropDuplicates(["id_a", "id_b"])
-    est = sum(F.col(f"eq_{m}") for m in msig) / F.lit(float(num_hashes))
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b")
+        .distinct()
+    )
+    siga = sig.select(
+        F.col(id_col).alias("id_a"), *[F.col(m).alias(f"a_{m}") for m in msig]
+    )
+    sigb = sig.select(
+        F.col(id_col).alias("id_b"), *[F.col(m).alias(f"b_{m}") for m in msig]
+    )
+    est = sum(
+        (F.col(f"a_{m}") == F.col(f"b_{m}")).cast("int") for m in msig
+    ) / F.lit(float(num_hashes))
     return (
-        pairs.withColumn("est_jaccard", est)
+        cand.join(siga, on="id_a")
+        .join(sigb, on="id_b")
+        .withColumn("est_jaccard", est)
         .filter(F.col("est_jaccard") >= min_est_jaccard)
         .select("id_a", "id_b", "est_jaccard")
     )
