@@ -142,6 +142,62 @@ FROM agg GROUP BY 1
 """
 
 
+def q_pipeline_traversal_prefiltered(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q3 with a prefilter (P4): the filter query runs at the
+    traversal resolution (res 4, where rows are the tile-level rollup
+    sums), tiles it returns no rows for are skipped, surviving tiles
+    fetch in full at res 6. Oracle: keep rows of tiles whose TOTAL
+    value reaches the threshold."""
+    from ukis_h3cellstore_spark.query import TableSetQuery
+
+    store = _trav_loaded_store(spark, sf_dir)
+    f = TableSetQuery.from_template(
+        "select * from <[table]> where value_cents >= 2000 "
+        "and h3index in <[h3indexes]>"
+    )
+    trav = build_traverser(
+        store,
+        "entry_trav",
+        _aoi_parents(),
+        6,
+        options=TraversalOptions(max_h3indexes_fetch_count=50, filter_query=f),
+    )
+    parts = [step.contained_data.df for step in trav]
+    if not parts:
+        return spark.createDataFrame([], "h3index long, value_cents long")
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out.select("h3index", "value_cents")
+
+
+def _q_pipeline_traversal_prefiltered_sql() -> str:
+    cell = sg.synth_cell("event_id", 6, DUCK)
+    plist = ", ".join(str(p) for p in _aoi_parents())
+    return f"""
+WITH syn AS (
+  SELECT {cell} AS h3index,
+         CAST(round(value*100) AS BIGINT) AS value_cents
+  FROM events
+),
+agg AS (
+  SELECT h3index, CAST(SUM(value_cents) AS BIGINT) AS value_cents,
+         {sg.to_parent('h3index', 4, DUCK)} AS tile
+  FROM syn
+  WHERE {sg.to_parent('h3index', 4, DUCK)} IN ({plist})
+  GROUP BY 1, 3
+),
+live_tiles AS (
+  -- the res-4 base table holds one rollup row per tile: the filter
+  -- sees the tile's total
+  SELECT tile FROM agg GROUP BY tile
+  HAVING CAST(SUM(value_cents) AS BIGINT) >= 2000
+)
+SELECT h3index, value_cents
+FROM agg WHERE tile IN (SELECT tile FROM live_tiles)
+"""
+
+
 def q_pipeline_tableset_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Q4: per-table row counts + derived finest-resolution cell
     counts after a full insert (Sum schema → no compacted tables:
@@ -172,12 +228,14 @@ FROM c6
 
 QUERIES_TRAV: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "pipeline_traversal": q_pipeline_traversal,
+    "pipeline_traversal_prefiltered": q_pipeline_traversal_prefiltered,
     "pipeline_traverse_apply": q_pipeline_traverse_apply,
     "pipeline_tableset_stats": q_pipeline_tableset_stats,
 }
 
 ORACLES_TRAV: dict[str, str] = {
     "pipeline_traversal": _q_pipeline_traversal_sql(),
+    "pipeline_traversal_prefiltered": _q_pipeline_traversal_prefiltered_sql(),
     "pipeline_traverse_apply": _q_pipeline_traverse_apply_sql(),
     "pipeline_tableset_stats": _q_pipeline_tableset_stats_sql(),
 }

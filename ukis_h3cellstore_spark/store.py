@@ -131,6 +131,8 @@ class CellStore:
         return os.path.isfile(self._schema_path(name))
 
     def get_schema(self, name: str) -> CompactedTableSchema:
+        if not self.tableset_exists(name):
+            raise ValueError(f"tableset {name!r} does not exist")
         with open(self._schema_path(name)) as f:
             return CompactedTableSchema.from_json_string(f.read())
 
