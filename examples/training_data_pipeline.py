@@ -1,0 +1,71 @@
+"""Training-data curation walkthrough: the beyond-reference operator
+suite (text quality → language ID → dedup → similarity) composed over
+the synthetic documents/embeddings tables.
+
+Run: ``python examples/training_data_pipeline.py [sf_dir]``
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from pyspark.sql import SparkSession
+from pyspark.sql import functions as F
+
+from ukis_h3cellstore_spark.ops import dedup as D
+from ukis_h3cellstore_spark.ops import similarity as S
+from ukis_h3cellstore_spark.ops import text as X
+
+
+def main() -> None:
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.001"
+    spark = (
+        SparkSession.builder.master("local[8]")
+        .appName("training-data-pipeline")
+        .config("spark.sql.shuffle.partitions", "16")
+        .config("spark.ui.enabled", "false")
+        .getOrCreate()
+    )
+    spark.sparkContext.setLogLevel("ERROR")
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    embs = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    print(f"corpus: {docs.count()} docs, {embs.count()} embeddings")
+
+    # 1. quality scoring + language ID (pure JVM column expressions)
+    stats = X.text_stats(docs)
+    lang = X.language_id(docs).select("doc_id", "predicted_lang")
+    good = stats.filter(
+        (F.col("quality_score") > 0.1) & (F.col("n_tokens") >= 5)
+    )
+    print(f"quality-pass: {good.count()}")
+
+    # 2. exact dedup: one canonical doc per content hash
+    canon = D.dedup_exact(docs).select(
+        F.col("canonical_id").alias("doc_id"), "n_docs"
+    )
+    print(f"exact-dup groups removed: {canon.filter('n_docs > 1').count()}")
+
+    # 3. near-dup candidates via MinHash LSH (bucket join, no n² scan)
+    pairs = D.minhash_lsh_pairs(docs, min_est_jaccard=0.5)
+    print(f"near-dup candidate pairs (est J >= 0.5): {pairs.count()}")
+
+    # 4. the surviving corpus, by language
+    kept = good.join(canon.select("doc_id"), "doc_id").join(lang, "doc_id")
+    kept.groupBy("predicted_lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_tokens").alias("total_tokens"),
+    ).show()
+
+    # 5. embedding-space: exact top-3 neighbors for the first 5 vectors
+    queries = embs.filter(F.col("vec_id") < 5)
+    S.cosine_topk(embs, queries, k=3).show()
+
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

@@ -194,3 +194,9 @@ def test_ivf_topk_finds_identical_neighbor(vecs):
     # vec 1 is identical to the query and shares its inverted list
     assert int(out.sort_values("rank").neighbor_id.iloc[0]) == 1
     assert out.cosine_sim.max() == 1.0
+
+
+def test_ngram_jaccard_stop_shingle_cap(docs):
+    # with a df cap of 1, every shared shingle is dropped → no pairs
+    out = D.ngram_jaccard_pairs(docs, threshold=0.1, max_shingle_df=1).toPandas()
+    assert len(out) == 0

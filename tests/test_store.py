@@ -256,3 +256,32 @@ def test_lower_resolution_and_temporal_partitioning_e2e(spark, store, tmp_path):
     out = store.query_tableset_cells("part_set", cells, 6).df.toPandas()
     assert len(out) == len(cells)
     assert sorted(out.columns) == ["h3index", "observed_on", "v"]
+
+
+def test_unknown_tableset_raises_clear_error(store):
+    with pytest.raises(ValueError, match="does not exist"):
+        store.get_schema("nope_set")
+    with pytest.raises(ValueError, match="does not exist"):
+        store.query_tableset_cells("nope_set", [1], 5)
+
+
+def test_compaction_disabled_keeps_single_table(spark, store):
+    """use_compacted_resolutions(False): no _compacted tables exist and
+    inserts of max-res rows round-trip through the base table alone."""
+    schema = (
+        CompactedTableSchemaBuilder("nocomp_set")
+        .use_compacted_resolutions(False)
+        .h3_base_resolutions([6])
+        .add_h3index_column()
+        .add_column("v", "Int64")
+        .build()
+    )
+    assert all(not m.is_compacted for m in schema.resolution_metadata())
+    region = h3c.build_cell(60, [1, 2, 3, 4, 5])
+    cells = h3c.cell_to_children(region, 6)
+    df = spark.createDataFrame(
+        [(c, i) for i, c in enumerate(cells)], "h3index long, v long"
+    )
+    store.insert_h3dataframe_into_tableset(schema, df)
+    out = store.query_tableset_cells("nocomp_set", cells, 6).df.toPandas()
+    assert len(out) == len(cells)
