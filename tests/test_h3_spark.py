@@ -128,3 +128,26 @@ def test_compact_df_null_values_group(spark):
     )
     out = compaction.compact_df(df, "h3index")
     assert [r["h3index"] for r in out.collect()] == [parent]
+
+
+def test_rollup_uses_partial_aggregation(spark):
+    """The rollup must be a two-phase hash aggregation (map-side
+    combine + final) with no Python evaluation — the property that
+    makes it scale (SURVEY O9/§2.4)."""
+    from ukis_h3cellstore_spark import CompactedTableSchemaBuilder
+    from ukis_h3cellstore_spark import rollup
+    from ukis_h3cellstore_spark.h3 import cells as h3c
+
+    schema = (
+        CompactedTableSchemaBuilder("agg_plan_set")
+        .h3_base_resolutions([4, 6])
+        .add_h3index_column()
+        .add_aggregated_column("v", "Int64", "Sum")
+        .build()
+    )
+    cells = h3c.cell_to_children(h3c.build_cell(60, [1, 2, 3, 4]), 6)
+    df = spark.createDataFrame([(c, 1) for c in cells], "h3index long, v long")
+    out = rollup.rollup_level(schema, df, 6, 4)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("HashAggregate") >= 2  # partial + final
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan

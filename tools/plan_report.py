@@ -1,0 +1,67 @@
+"""Plan-quality report: prints the physical-plan properties that
+matter at scale for each headline query — pushed filters reaching the
+parquet scans, partition filters, join strategies, whole-stage codegen
+spans, and any Python evaluation nodes. Usage:
+
+    python tools/plan_report.py [sf_dir] [query ...]
+"""
+
+from __future__ import annotations
+
+import os
+import re
+import sys
+
+sys.path.insert(0, "/root/repo")
+
+DEFAULT_QUERIES = [
+    "q1_pricing_summary",
+    "h3_parent_agg_sum",
+    "h3_compact",
+    "h3_cell_membership",
+    "ann_cosine_top3",
+    "dedup_minhash_lsh_pairs",
+    "text_stats",
+]
+
+
+def main() -> None:
+    from pyspark.sql import SparkSession
+
+    import __spark_entry__ as entrymod
+
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.001"
+    names = sys.argv[2:] or DEFAULT_QUERIES
+    spark = (
+        SparkSession.builder.master("local[8]")
+        .config("spark.sql.shuffle.partitions", "8")
+        .config("spark.ui.enabled", "false")
+        .getOrCreate()
+    )
+    spark.sparkContext.setLogLevel("ERROR")
+    queries = entrymod.queries()
+
+    for name in names:
+        df = queries[name](spark, sf_dir)
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        pushed = re.findall(r"PushedFilters: \[([^\]]*)\]", plan)
+        pushed = [p for p in pushed if p.strip()]
+        parts = re.findall(r"PartitionFilters: \[([^\]]*)\]", plan)
+        parts = [p for p in parts if p.strip()]
+        print(f"== {name}")
+        print(f"   scans: {plan.count('FileScan')}  "
+              f"pushed-filter scans: {len(pushed)}  "
+              f"partition-filter scans: {len(parts)}")
+        print(f"   joins: broadcast={plan.count('BroadcastHashJoin')} "
+              f"sortmerge={plan.count('SortMergeJoin')} "
+              f"nestedloop={plan.count('BroadcastNestedLoopJoin')}")
+        print(f"   hashagg={plan.count('HashAggregate')} "
+              f"python-eval={plan.count('BatchEvalPython') + plan.count('ArrowEvalPython')} "
+              f"pandas={plan.count('FlatMapGroupsInPandas') + plan.count('MapInPandas')}")
+        if pushed:
+            print(f"   example pushdown: {pushed[0][:120]}")
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()
