@@ -285,3 +285,58 @@ def test_compaction_disabled_keeps_single_table(spark, store):
     store.insert_h3dataframe_into_tableset(schema, df)
     out = store.query_tableset_cells("nocomp_set", cells, 6).df.toPandas()
     assert len(out) == len(cells)
+
+
+def test_pentagon_relative_cell_area_exact(spark, store):
+    """SURVEY §7.4.2: RelativeToCellArea must divide by the ACTUAL
+    child count — 6 under a pentagon parent, not 7 — so full coverage
+    of a pentagon's children rolls up to exactly the input value."""
+    schema = (
+        CompactedTableSchemaBuilder("penta_set")
+        .h3_base_resolutions([2, 3])
+        .use_compacted_resolutions(False)
+        .add_h3index_column()
+        .add_aggregated_column("density", "Float64", "RelativeToCellArea")
+        .build()
+    )
+    pentagon = h3c.build_cell(4, [0])  # res-1 center child of pentagon base 4
+    children = h3c.cell_to_children(pentagon, 3)
+    df = spark.createDataFrame(
+        [(c, 4.0) for c in children], "h3index long, density double"
+    )
+    store.insert_h3dataframe_into_tableset(schema, df)
+    parent2 = h3c.cell_to_center_child(pentagon, 2)
+    out = store.query_tableset_cells("penta_set", [parent2], 2).df.toPandas()
+    assert len(out) == 1
+    assert abs(float(out["density"].iloc[0]) - 4.0) < 1e-9
+
+
+def test_mixed_resolution_insert_roundtrip(spark, store):
+    """SURVEY §7.4.5: inserts may carry rows at any resolution ≤ max;
+    coarse rows land in their compacted table and queries expand them
+    next to the fine rows."""
+    schema = (
+        CompactedTableSchemaBuilder("mixed_set")
+        .h3_base_resolutions([4, 6])
+        .add_h3index_column()
+        .add_column("v", "Int64")
+        .build()
+    )
+    region = h3c.build_cell(60, [1, 2, 3, 4])   # res 4
+    fine_parent = h3c.cell_to_children(region, 5)[1]
+    fine = h3c.cell_to_children(fine_parent, 6)[:3]   # 3 res-6 rows
+    coarse = h3c.cell_to_children(region, 5)[2]       # 1 res-5 row
+    rows = [(c, 1) for c in fine] + [(coarse, 9)]
+    df = spark.createDataFrame(rows, "h3index long, v long")
+    store.insert_h3dataframe_into_tableset(schema, df)
+
+    # coarse row → compacted_05 table
+    assert (
+        store.read_table(schema, ResolutionMetadata(5, True)).count() == 1
+    )
+    # query at res 6: fine rows pass through, the coarse row expands
+    # to its 7 children (restricted to the requested cells)
+    want = fine + h3c.cell_to_children(coarse, 6)
+    out = store.query_tableset_cells("mixed_set", want, 6).df.toPandas()
+    assert len(out) == 3 + 7
+    assert set(out[out.v == 9]["h3index"]) == set(h3c.cell_to_children(coarse, 6))
