@@ -185,3 +185,39 @@ def test_spark_schema_types():
     assert st["h3index"].dataType.simpleString() == "bigint"
     assert st["elephant_density"].dataType.simpleString() == "float"
     assert st["some_category"].nullable
+
+
+def test_tableset_discovery_from_realistic_table_list():
+    """Mirror of the reference's 70-name discovery test
+    (tableset.rs:246-445): a mixed listing of pyramid tables, system
+    tables, temp suffixes and unrelated names groups into exactly the
+    valid tablesets."""
+    from ukis_h3cellstore_spark.tableset import group_tables_into_tablesets
+
+    names = (
+        # a complete pyramid
+        [f"water_{r:02d}_base" for r in range(3, 7)]
+        + [f"water_{r:02d}_compacted" for r in range(0, 7)]
+        # a second set, base-only
+        + [f"elephants_{r:02d}_base" for r in (4, 5)]
+        # orphan compacted tables (no base) must NOT become a tableset
+        + ["orphan_03_compacted", "orphan_04_compacted"]
+        # noise: system tables, malformed names, similar prefixes
+        + [
+            "system.columns",
+            "system.parts",
+            "columns",
+            "water_07",
+            "water_base",
+            "water_xx_base",
+            "water_123_base",
+            "_water_03_base",
+            "tmp_water_03_base_tmp123",
+        ]
+    )
+    ts = group_tables_into_tablesets(names)
+    assert sorted(ts) == ["elephants", "water"]
+    assert ts["water"].base_resolutions == [3, 4, 5, 6]
+    assert ts["water"].compacted_resolutions == list(range(7))
+    assert ts["elephants"].base_resolutions == [4, 5]
+    assert ts["elephants"].compacted_resolutions == []

@@ -283,7 +283,12 @@ class ResolutionMetadata:
         )
 
 
-_TABLE_PARSE_RE = re.compile(r"^(?P<name>.+)_(?P<res>\d{2})_(?P<kind>base|compacted)$")
+# tableset names must start with a letter (reference name regex
+# ^[a-zA-Z].[_a-zA-Z_0-9]+$, schema/mod.rs:138-149) — the parse side
+# enforces the same so e.g. "_water_03_base" is not a tableset member
+_TABLE_PARSE_RE = re.compile(
+    r"^(?P<name>[A-Za-z][A-Za-z0-9_]*)_(?P<res>\d{2})_(?P<kind>base|compacted)$"
+)
 
 
 def parse_table_name(table_name: str) -> tuple[str, ResolutionMetadata] | None:
