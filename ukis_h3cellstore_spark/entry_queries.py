@@ -247,6 +247,37 @@ GROUP BY 1, 2, 3
 """
 
 
+
+def q_forecast_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q6 shape: pure range-predicate scan + single aggregate —
+    every filter must reach the parquet reader as a pushed filter
+    (plan evidence in tools/plan_report.py)."""
+    l = _t(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.to_timestamp(F.lit("1996-01-01")))
+        & (F.col("l_shipdate") < F.to_timestamp(F.lit("1997-01-01")))
+        & (F.col("l_discount") >= 0.05)
+        & (F.col("l_discount") <= 0.07)
+        & (F.col("l_quantity") < 24)
+    )
+    rev = _cents(F.col("l_extendedprice")) * _cents(F.col("l_discount"))
+    return l.agg(
+        F.sum(rev).alias("revenue_c10000"),
+        F.count(F.lit(1)).alias("n_rows"),
+    )
+
+
+Q_FORECAST_REVENUE_SQL = """
+SELECT CAST(SUM(CAST(round(l_extendedprice*100) AS BIGINT)
+              * CAST(round(l_discount*100) AS BIGINT)) AS BIGINT)
+         AS revenue_c10000,
+       COUNT(*) AS n_rows
+FROM lineitem
+WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+  AND l_shipdate < TIMESTAMP '1997-01-01'
+  AND l_discount >= 0.05 AND l_discount <= 0.07
+  AND l_quantity < 24
+"""
+
 # --------------------------------------------------------------------------
 # §2.6/2.7 H3 function suite + §2.4 rollup aggregations over synthetic cells
 # --------------------------------------------------------------------------
@@ -709,6 +740,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q1_pricing_summary": q_pricing_summary,
     "q3_shipping_priority": q_shipping_priority,
     "q5_region_nation_revenue": q_region_nation_revenue,
+    "q6_forecast_revenue": q_forecast_revenue,
     "events_hourly_window": q_events_hourly,
     "h3_synth_fields": q_h3_synth_fields,
     "h3_parent_agg_sum": q_h3_parent_agg_sum,
@@ -728,6 +760,7 @@ ORACLES: dict[str, str] = {
     "q1_pricing_summary": Q_PRICING_SUMMARY_SQL,
     "q3_shipping_priority": Q_SHIPPING_PRIORITY_SQL,
     "q5_region_nation_revenue": Q_REGION_NATION_REVENUE_SQL,
+    "q6_forecast_revenue": Q_FORECAST_REVENUE_SQL,
     "events_hourly_window": Q_EVENTS_HOURLY_SQL,
     "h3_synth_fields": _q_h3_synth_fields_sql(),
     "h3_parent_agg_sum": _q_h3_parent_agg_sum_sql(),
