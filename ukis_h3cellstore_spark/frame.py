@@ -39,6 +39,53 @@ class H3DataFrame:
     def with_parent(self, parent_res: int, out: str = "h3index_parent") -> DataFrame:
         return self.df.withColumn(out, hx.h3_to_parent(self.h3col, parent_res))
 
+    # -- h3ron-polars-style dataframe ops (reference H3DataFrame API) -------
+
+    def compact(self, max_res: int | None = None) -> "H3DataFrame":
+        """``h3_compact_dataframe`` parity (insert.rs:99-108): merge
+        complete uniform sibling sets into parent rows."""
+        from ukis_h3cellstore_spark import compaction
+
+        return H3DataFrame(
+            compaction.compact_df(self.df, self.h3index_column_name, max_res),
+            self.h3index_column_name,
+        )
+
+    def uncompact(
+        self, target_res: int, cells: list[int] | None = None
+    ) -> "H3DataFrame":
+        """``h3_uncompact_dataframe_subset`` parity (mod.rs:459-477):
+        expand mixed-resolution rows to ``target_res``; ``cells``
+        optionally restricts the output."""
+        from ukis_h3cellstore_spark import compaction
+
+        cells_df = None
+        if cells is not None:
+            cells_df = self.df.sparkSession.createDataFrame(
+                [(c,) for c in cells], f"{self.h3index_column_name} long"
+            )
+        return H3DataFrame(
+            compaction.uncompact_df(
+                self.df, target_res, self.h3index_column_name, cells_df=cells_df
+            ),
+            self.h3index_column_name,
+        )
+
+    def partition_by_resolution(self) -> dict[int, DataFrame]:
+        """``h3_partition_by_resolution`` parity (insert.rs:99-108):
+        split a mixed-resolution dataframe into {resolution: df}.
+        Driver discovers the distinct resolutions (≤16 values); each
+        returned df is a lazy filter over the input."""
+        res_col = hx.h3_get_resolution(self.h3col)
+        present = [
+            r["__r"]
+            for r in self.df.select(res_col.alias("__r")).distinct().collect()
+        ]
+        return {
+            r: self.df.filter(hx.h3_get_resolution(self.h3col) == r)
+            for r in sorted(present)
+        }
+
     # -- exports (parity with DataFrameWrapper.to_pandas/to_arrow) ----------
 
     def to_pandas(self):
