@@ -225,6 +225,19 @@ def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     return D.simhash(_docs(spark, sf_dir))
 
 
+def q_dedup_simhash_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return D.simhash_dup_groups(_docs(spark, sf_dir))
+
+
+def _q_dedup_simhash_groups_sql() -> str:
+    return f"""
+WITH sims AS ({_q_dedup_simhash_sql()})
+SELECT simhash, CAST(MIN(doc_id) AS BIGINT) AS canonical_id,
+       COUNT(*) AS n_docs
+FROM sims GROUP BY simhash HAVING COUNT(*) >= 2
+"""
+
+
 def _q_dedup_simhash_sql() -> str:
     h = "(('0x' || substr(md5(shingle), 1, 15))::BIGINT)"
     sums = ", ".join(
@@ -266,6 +279,50 @@ scored AS (
   SELECT q.query_id, a.neighbor_id,
          round(CAST({_DUCK_COSINE} AS DOUBLE), 4) AS cosine_sim
   FROM c a, q WHERE a.neighbor_id <> q.query_id
+),
+ranked AS (
+  SELECT *, row_number() OVER (
+      PARTITION BY query_id ORDER BY cosine_sim DESC, neighbor_id ASC) AS rank
+  FROM scored
+)
+SELECT CAST(query_id AS BIGINT) AS query_id,
+       CAST(neighbor_id AS BIGINT) AS neighbor_id,
+       cosine_sim, CAST(rank AS INT) AS rank
+FROM ranked WHERE rank <= 3
+"""
+
+
+def q_ann_lsh_top3(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = _embs(spark, sf_dir)
+    queries = e.filter(F.col("vec_id") < 10)
+    return S.lsh_topk(e, queries, k=3, num_planes=6)
+
+
+def _q_ann_lsh_top3_sql() -> str:
+    # same 6-plane sign-bit bucket as the Spark lsh_bucket
+    def dot(p: int, vec: str) -> str:
+        return (
+            f"list_reduce(list_transform({vec}, (v, j) -> CAST(v AS DOUBLE)"
+            f" * (({p * 131} + (j - 1) * 37) % 19 - 9)), (s, v) -> s + v)"
+        )
+
+    bucket_terms = " + ".join(
+        f"(CASE WHEN {dot(p, 'embedding')} > 0 THEN {1 << p} ELSE 0 END)"
+        for p in range(6)
+    )
+    return f"""
+WITH wb AS (
+  SELECT vec_id, embedding, ({bucket_terms}) AS bucket FROM embeddings
+),
+q AS (SELECT vec_id AS query_id, embedding AS q_vec, bucket FROM wb
+      WHERE vec_id < 10),
+c AS (SELECT vec_id AS neighbor_id, embedding AS c_vec, bucket FROM wb),
+scored AS (
+  SELECT q.query_id, c.neighbor_id,
+         round(CAST({_DUCK_COSINE.replace('a.c_vec', 'c.c_vec')} AS DOUBLE), 4)
+           AS cosine_sim
+  FROM c JOIN q USING (bucket)
+  WHERE c.neighbor_id <> q.query_id
 ),
 ranked AS (
   SELECT *, row_number() OVER (
@@ -449,8 +506,10 @@ QUERIES_OPS: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "dedup_minhash_signatures": q_dedup_minhash,
     "dedup_minhash_lsh_pairs": q_dedup_minhash_lsh_pairs,
     "dedup_simhash": q_dedup_simhash,
+    "dedup_simhash_groups": q_dedup_simhash_groups,
     "ann_cosine_top3": q_ann_cosine_top3,
     "ann_ivf_top3": q_ann_ivf_top3,
+    "ann_lsh_top3": q_ann_lsh_top3,
     "embedding_dup_pairs": q_embedding_dup_pairs,
     "multimodal_decode_meta": q_multimodal_decode_meta,
     "corpus_curation": q_corpus_curation,
@@ -466,8 +525,10 @@ ORACLES_OPS: dict[str, str] = {
     "dedup_minhash_signatures": _q_dedup_minhash_sql(),
     "dedup_minhash_lsh_pairs": _q_dedup_minhash_lsh_sql(),
     "dedup_simhash": _q_dedup_simhash_sql(),
+    "dedup_simhash_groups": _q_dedup_simhash_groups_sql(),
     "ann_cosine_top3": Q_ANN_COSINE_TOP3_SQL,
     "ann_ivf_top3": _q_ann_ivf_top3_sql(),
+    "ann_lsh_top3": _q_ann_lsh_top3_sql(),
     "embedding_dup_pairs": _q_embedding_dup_pairs_sql(),
     # multimodal_decode_meta intentionally has an oracle — the stub
     # decoder derives metadata relationally-reproducibly
