@@ -446,8 +446,10 @@ class CellStore:
     ) -> DataFrame:
         if schema.table_engine is TableEngine.SUMMING:
             keys = [c for c in df.columns if c not in schema.summing_columns]
-            aggs = [F.sum(c).alias(c) for c in schema.summing_columns]
-            ftype = {f.name: f.dataType.simpleString() for f in self._read_schema(schema).fields}
+            ftype = {
+                f.name: f.dataType.simpleString()
+                for f in self._read_schema(schema).fields
+            }
             aggs = [
                 F.sum(c).cast(ftype[c]).alias(c) for c in schema.summing_columns
             ]
