@@ -99,13 +99,15 @@ def q_text_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     return X.token_counts(_docs(spark, sf_dir))
 
 
+_DUCK_PIECES = r"regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]+')"
+
 Q_TEXT_TOKEN_COUNTS_SQL = f"""
 SELECT CAST(doc_id AS BIGINT) AS doc_id,
        CAST(CASE WHEN length(trim(text)) = 0 THEN 0
             ELSE len({_DUCK_TOKS}) END AS INT) AS n_tokens_ws,
-       CAST(CASE WHEN length(trim(text)) = 0 THEN 0
-            ELSE list_sum(list_transform({_DUCK_TOKS},
-                 t -> CAST(ceil(length(t) / 4.0) AS BIGINT))) END AS BIGINT)
+       CAST(len({_DUCK_PIECES}) AS INT) AS n_pieces_regex,
+       CAST(COALESCE(list_sum(list_transform({_DUCK_PIECES},
+                 t -> CAST(ceil(length(t) / 4.0) AS BIGINT))), 0) AS BIGINT)
          AS n_tokens_bpe
 FROM documents
 """

@@ -89,25 +89,36 @@ def language_id(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -
     )
 
 
+#: GPT-2-style pre-tokenization: letter runs, digit runs, punct runs
+#: (portable between Java regex and RE2, so the oracle reproduces it)
+PRETOKEN_RE = r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]+"
+
+
 def token_counts(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
-    """Whitespace token count + a BPE-ish subword estimate
-    (ceil(len(word)/4) pieces per word — a deterministic proxy for
-    byte-pair tokenizers)."""
+    """Three token-count flavors per document:
+
+    - ``n_tokens_ws``: whitespace tokens;
+    - ``n_pieces_regex``: BPE-style *pre-tokens* (letter / digit /
+      punctuation runs, the GPT-2 pre-tokenizer shape);
+    - ``n_tokens_bpe``: subword estimate — each pre-token contributes
+      ``ceil(len/4)`` pieces, a deterministic proxy for byte-pair
+      merges.
+    """
     toks = tokens(text_col)
     n_ws = F.when(F.length(F.trim(F.col(text_col))) == 0, F.lit(0)).otherwise(
         F.size(toks)
     )
+    pieces = F.regexp_extract_all(F.col(text_col), F.lit(PRETOKEN_RE), 0)
     bpe = F.aggregate(
-        toks,
+        pieces,
         F.lit(0).cast("long"),
         lambda acc, t: acc + F.ceil(F.length(t) / F.lit(4.0)).cast("long"),
     )
     return df.select(
         F.col(id_col),
         n_ws.alias("n_tokens_ws"),
-        F.when(F.length(F.trim(F.col(text_col))) == 0, F.lit(0).cast("long"))
-        .otherwise(bpe)
-        .alias("n_tokens_bpe"),
+        F.size(pieces).alias("n_pieces_regex"),
+        bpe.alias("n_tokens_bpe"),
     )
 
 
