@@ -95,3 +95,21 @@ def test_sql_functions_inline_into_codegen(fspark):
         .toString()
     )
     assert "BatchEvalPython" not in plan
+
+
+def test_is_valid_full_digit_and_pentagon_rules(fspark):
+    """The SQL h3IsValid must enforce the digit rules and the pentagon
+    K-axis rule, agreeing with cells.is_valid_cell bit for bit."""
+    good = h3c.build_cell(60, [1, 2, 3])
+    # digit ≤ res set to 7 (deleted marker) → invalid
+    bad_seven = good | (0x7 << (3 * 14))
+    # digit > res not 7 → invalid
+    bad_tail = good & ~(0x7 << 3)
+    # pentagon base cell 4 with leading K-axis digit 1 → invalid
+    bad_pent = h3c.build_cell(4, [1])
+    ok_pent = h3c.build_cell(4, [2])
+    cases = [good, bad_seven, bad_tail, bad_pent, ok_pent]
+    exprs = ", ".join(f"h3IsValid({c}) AS c{i}" for i, c in enumerate(cases))
+    row = fspark.sql(f"SELECT {exprs}").collect()[0]
+    for i, cell in enumerate(cases):
+        assert row[f"c{i}"] == h3c.is_valid_cell(cell), hex(cell)

@@ -151,3 +151,22 @@ def test_rollup_uses_partial_aggregation(spark):
     plan = out._jdf.queryExecution().executedPlan().toString()
     assert plan.count("HashAggregate") >= 2  # partial + final
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_compact_jvm_duplicate_rows_not_falsely_promoted(spark):
+    """Duplicate (cell, values) rows must not fake a complete sibling
+    set in the JVM tail loop: 6 distinct children + 1 duplicate is 7
+    ROWS but not 7 siblings (no promotion); a complete set given twice
+    must promote exactly once (not be silently dropped)."""
+    parent = c.build_cell(20, [3])
+    kids = c.cell_to_children(parent, 3)
+
+    rows = [(k, 1) for k in kids[:6]] + [(kids[0], 1)]
+    df = spark.createDataFrame(rows, "h3index long, v int")
+    out = compaction._compact_levels_jvm(df, "h3index", ["v"], 3)
+    assert sorted(r["h3index"] for r in out.collect()) == sorted(kids[:6])
+
+    rows2 = [(k, 1) for k in kids] * 2
+    df2 = spark.createDataFrame(rows2, "h3index long, v int")
+    out2 = compaction._compact_levels_jvm(df2, "h3index", ["v"], 3)
+    assert [r["h3index"] for r in out2.collect()] == [parent]

@@ -200,3 +200,32 @@ def test_ngram_jaccard_stop_shingle_cap(docs):
     # with a df cap of 1, every shared shingle is dropped → no pairs
     out = D.ngram_jaccard_pairs(docs, threshold=0.1, max_shingle_df=1).toPandas()
     assert len(out) == 0
+
+
+def test_minhash_lsh_remainder_band_used(docs):
+    # num_hashes not divisible by band_size: the remainder slots must
+    # form a final short band instead of being silently dropped
+    pairs = D.minhash_lsh_pairs(
+        docs, num_hashes=7, band_size=2, min_est_jaccard=0.2
+    ).toPandas()
+    got = {(int(a), int(b)) for a, b in zip(pairs.id_a, pairs.id_b)}
+    assert (1, 2) in got
+    est = pairs.set_index(["id_a", "id_b"]).est_jaccard
+    assert est.loc[(1, 2)] == 1.0
+
+
+def test_simhash_hamming_pairs_exact_vs_bruteforce(docs):
+    fps = D.simhash(docs).toPandas().set_index("doc_id")["simhash"]
+    ids = sorted(fps.index)
+    for max_h in (0, 2, 4):
+        want = {
+            (a, b, bin(int(fps.loc[a]) ^ int(fps.loc[b])).count("1"))
+            for i, a in enumerate(ids)
+            for b in ids[i + 1 :]
+            if bin(int(fps.loc[a]) ^ int(fps.loc[b])).count("1") <= max_h
+        }
+        got = {
+            (int(r.id_a), int(r.id_b), int(r.hamming))
+            for r in D.simhash_hamming_pairs(docs, max_hamming=max_h).collect()
+        }
+        assert got == want, f"max_hamming={max_h}"

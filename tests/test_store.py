@@ -340,3 +340,44 @@ def test_mixed_resolution_insert_roundtrip(spark, store):
     out = store.query_tableset_cells("mixed_set", want, 6).df.toPandas()
     assert len(out) == 3 + 7
     assert set(out[out.v == 9]["h3index"]) == set(h3c.cell_to_children(coarse, 6))
+
+
+def test_summing_merge_groups_by_sort_key(spark, store):
+    """SummingMergeTree semantics (reference schema/mod.rs:103-118):
+    rows with equal sort keys are summed even when non-key attribute
+    values differ, and an empty summing_columns list sums ALL numeric
+    non-key columns (the ClickHouse default)."""
+    cell = h3c.build_cell(60, [1, 2, 3, 4, 5])
+    schema = (
+        CompactedTableSchemaBuilder("sum_set")
+        .table_engine("SummingMergeTree", ["cnt"])
+        .h3_base_resolutions([5])
+        .add_h3index_column()
+        .add_column("label", "String")
+        .add_aggregated_column("cnt", "Int64", "Sum")
+        .build()
+    )
+    df = spark.createDataFrame(
+        [(cell, "a", 1), (cell, "b", 2)], "h3index long, label string, cnt long"
+    )
+    out = store._apply_engine_merge(schema, df).collect()
+    # equal sort key (h3index) → ONE row, counts summed, label arbitrary
+    assert len(out) == 1
+    assert out[0]["cnt"] == 3
+
+    # empty summing list: every numeric non-key column is summed
+    schema2 = (
+        CompactedTableSchemaBuilder("sum_all_set")
+        .table_engine("SummingMergeTree")
+        .h3_base_resolutions([5])
+        .add_h3index_column()
+        .add_aggregated_column("v1", "Int64", "Sum")
+        .add_aggregated_column("v2", "Float64", "Sum")
+        .build()
+    )
+    df2 = spark.createDataFrame(
+        [(cell, 1, 0.5), (cell, 2, 1.5)], "h3index long, v1 long, v2 double"
+    )
+    out2 = store._apply_engine_merge(schema2, df2).collect()
+    assert len(out2) == 1
+    assert out2[0]["v1"] == 3 and out2[0]["v2"] == 2.0

@@ -153,7 +153,12 @@ def _compact_levels_jvm(
     from pyspark.sql import Window
 
     out_levels: list[DataFrame] = []
-    cur = df
+    # duplicate (cell, values) rows must collapse before the
+    # completeness count: the window counts ROWS, so duplicates could
+    # fake a full sibling set (or, lacking a digit-0 duplicate, drop a
+    # genuinely complete group). The pandas phase dedups implicitly
+    # (compact_cells works on a set); this keeps both phases agreeing.
+    cur = df.dropDuplicates([h3index_column, *value_cols])
     for r in range(max_res, 0, -1):
         at_r = cur.filter(hx.h3_get_resolution(F.col(h3index_column)) == r)
         rest = cur.filter(hx.h3_get_resolution(F.col(h3index_column)) != r)

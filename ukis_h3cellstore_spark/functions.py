@@ -81,13 +81,6 @@ _SQL_FUNCTIONS: dict[str, str] = {
           )
         ))
     """,
-    "h3IsValid": """
-        (c BIGINT) RETURNS BOOLEAN
-        RETURN c > 0
-           AND (shiftright(c, 59) & 15) = 1      -- cell mode, high bit 0
-           AND (shiftright(c, 56) & 7) = 0       -- reserved bits
-           AND (shiftright(c, 45) & 127) < 122   -- base cell range
-    """,
     "h3IsPentagon": """
         (c BIGINT) RETURNS BOOLEAN
         RETURN array_contains(
@@ -101,6 +94,46 @@ _SQL_FUNCTIONS: dict[str, str] = {
         (a BIGINT, b BIGINT) RETURNS BIGINT RETURN pmod(a, b)
     """,
 }
+
+
+def _h3_is_valid_sql_body() -> str:
+    """Full structural validity as one SQL expression — the same
+    unrolled digit / pentagon-K-axis bit tests as
+    ``h3.expressions.h3_is_valid_cell`` (pure bit arithmetic, inlines
+    into codegen). Built programmatically: 15 digit-rule tests plus 15
+    first-nonzero-digit positions for the pentagon rule."""
+    res = "(shiftright(c, 52) & 15)"
+    parts = [
+        "c > 0",
+        "(shiftright(c, 59) & 15) = 1",  # cell mode, high bit 0
+        "(shiftright(c, 56) & 7) = 0",  # reserved bits
+        "(shiftright(c, 45) & 127) < 122",  # base cell range
+    ]
+    # digit rules: digits at positions ≤ res must not be 7 (deleted
+    # subsequence marker), digits below res must all be 7
+    for r in range(1, 16):
+        digit = f"(shiftright(c, {3 * (15 - r)}) & 7)"
+        parts.append(f"IF({r} <= {res}, {digit} != 7, {digit} = 7)")
+    # pentagon rule: on a pentagon base cell the leading (first
+    # non-zero-prefixed) digit must not be the deleted K axis (1)
+    pent = (
+        "array_contains(array(4,14,24,38,49,58,63,72,83,97,107,117), "
+        "CAST(shiftright(c, 45) & 127 AS INT))"
+    )
+    leads = []
+    for r in range(1, 16):
+        digit = f"(shiftright(c, {3 * (15 - r)}) & 7)"
+        if r == 1:
+            prefix_zero = "true"
+        else:
+            mask = (1 << (3 * (r - 1))) - 1
+            prefix_zero = f"(shiftright(c, {3 * (15 - (r - 1))}) & {mask}) = 0"
+        leads.append(f"({r} <= {res} AND {prefix_zero} AND {digit} = 1)")
+    parts.append(f"NOT ({pent} AND ({' OR '.join(leads)}))")
+    return f"(c BIGINT) RETURNS BOOLEAN RETURN {' AND '.join(parts)}"
+
+
+_SQL_FUNCTIONS["h3IsValid"] = _h3_is_valid_sql_body()
 
 
 def register_h3_sql_functions(spark: SparkSession, grid=None) -> list[str]:

@@ -15,8 +15,9 @@ Scale design notes (100 TB):
   signature tuples (r rows per band). Only bucket-colliding pairs are
   compared — sub-quadratic, shuffle keyed on small band tuples.
 - **SimHash**: 16-bit sign-aggregated fingerprint in one groupBy;
-  near-dup candidates join on exact fingerprint equality (hamming-0;
-  hamming-k via banded XOR would extend it).
+  hamming-0 groups join on exact fingerprint equality, hamming-k
+  pairs via banded-XOR LSH (pigeonhole over max_hamming+1 strips)
+  with an inline exact bit_count verification.
 
 All of it is JVM-side expression work — no Python in the loop.
 """
@@ -100,11 +101,16 @@ def ngram_jaccard_pairs(
         .groupBy("id_a", "id_b")
         .agg(F.count(F.lit(1)).alias("n_common"))
     )
+    # NB: the per-document size table is O(corpus) rows — it must NOT
+    # be broadcast (that would put the whole corpus' ids on every
+    # executor). Plain shuffle joins on the id keep memory bounded;
+    # `inter` is already grouped on the same keys so one side of each
+    # join arrives pre-shuffled.
     sa = sizes.select(F.col(id_col).alias("id_a"), F.col("n_sh").alias("n_a"))
     sb = sizes.select(F.col(id_col).alias("id_b"), F.col("n_sh").alias("n_b"))
     out = (
-        inter.join(F.broadcast(sa), on="id_a")
-        .join(F.broadcast(sb), on="id_b")
+        inter.join(sa, on="id_a")
+        .join(sb, on="id_b")
         .withColumn(
             "jaccard",
             F.col("n_common").cast("double")
@@ -146,23 +152,39 @@ def minhash_lsh_pairs(
     signature slots): (id_a, id_b, est_jaccard).
 
     Scale shape: signatures are computed ONCE (lazy checkpoint), bands
-    unpivot to (id, band, band_key) rows, and candidates come from a
-    single self-equi-join on (band, band_key) — the bucket join
-    shuffles on the band key, never the document corpus squared."""
+    unpivot to (id, band, band_key, sig-array) rows, and candidates
+    come from a single self-equi-join on (band, band_key) — the bucket
+    join shuffles on the band key, never the document corpus squared.
+    The full signature ARRAY rides along on the band rows so
+    ``est_jaccard`` is computed inline in the join output (zip_with
+    slot comparison) instead of via two corpus-sized signature
+    re-joins. When ``num_hashes`` is not divisible by ``band_size``,
+    the remainder slots form a final short band (no silent recall
+    loss)."""
     sig = minhash_signatures(df, text_col, id_col, k, num_hashes)
-    sig = sig.localCheckpoint(eager=False)
-    n_bands = num_hashes // band_size
     msig = [f"m{i}" for i in range(num_hashes)]
+    sig = sig.select(
+        F.col(id_col).alias("id"),
+        F.array(*[F.col(m) for m in msig]).alias("sig"),
+    )
+    sig = sig.localCheckpoint(eager=False)
+    n_bands = -(-num_hashes // band_size)  # ceil → remainder = short band
 
     band_parts = []
     for b in range(n_bands):
-        band_cols = msig[b * band_size : (b + 1) * band_size]
+        lo = b * band_size
+        width = min(band_size, num_hashes - lo)
         band_parts.append(
             sig.select(
-                F.col(id_col).alias("id"),
+                "id",
+                "sig",
                 F.lit(b).alias("band"),
                 F.concat_ws(
-                    "|", *[F.col(m).cast("string") for m in band_cols]
+                    "|",
+                    *[
+                        F.element_at("sig", lo + j + 1).cast("string")
+                        for j in range(width)
+                    ],
                 ).alias("band_key"),
             )
         )
@@ -170,31 +192,24 @@ def minhash_lsh_pairs(
     for p in band_parts[1:]:
         bands = bands.unionByName(p)
 
-    cand = (
-        bands.select(F.col("id").alias("id_a"), "band", "band_key")
-        .join(
-            bands.select(F.col("id").alias("id_b"), "band", "band_key"),
-            on=["band", "band_key"],
-        )
-        .filter(F.col("id_a") < F.col("id_b"))
-        .select("id_a", "id_b")
-        .distinct()
+    left = bands.select(
+        F.col("id").alias("id_a"), F.col("sig").alias("sig_a"), "band", "band_key"
     )
-    siga = sig.select(
-        F.col(id_col).alias("id_a"), *[F.col(m).alias(f"a_{m}") for m in msig]
+    right = bands.select(
+        F.col("id").alias("id_b"), F.col("sig").alias("sig_b"), "band", "band_key"
     )
-    sigb = sig.select(
-        F.col(id_col).alias("id_b"), *[F.col(m).alias(f"b_{m}") for m in msig]
-    )
-    est = sum(
-        (F.col(f"a_{m}") == F.col(f"b_{m}")).cast("int") for m in msig
+    est = F.aggregate(
+        F.zip_with("sig_a", "sig_b", lambda x, y: (x == y).cast("int")),
+        F.lit(0),
+        lambda acc, v: acc + v,
     ) / F.lit(float(num_hashes))
     return (
-        cand.join(siga, on="id_a")
-        .join(sigb, on="id_b")
+        left.join(right, on=["band", "band_key"])
+        .filter(F.col("id_a") < F.col("id_b"))
         .withColumn("est_jaccard", est)
         .filter(F.col("est_jaccard") >= min_est_jaccard)
         .select("id_a", "id_b", "est_jaccard")
+        .distinct()
     )
 
 
@@ -236,4 +251,63 @@ def simhash_dup_groups(
         s.groupBy("simhash")
         .agg(F.min(id_col).alias("canonical_id"), F.count(F.lit(1)).alias("n_docs"))
         .filter(F.col("n_docs") >= 2)
+    )
+
+
+def simhash_hamming_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 3,
+    bits: int = 16,
+    max_hamming: int = 3,
+) -> DataFrame:
+    """ALL pairs with SimHash hamming distance ≤ ``max_hamming``:
+    (id_a, id_b, hamming) with id_a < id_b — exact, not approximate.
+
+    Banded-XOR LSH: the ``bits``-bit fingerprint splits into
+    ``max_hamming + 1`` contiguous strips; by pigeonhole any pair
+    within hamming ≤ max_hamming agrees EXACTLY on at least one strip,
+    so a per-strip equality self-join generates a candidate superset,
+    and ``bit_count(xor)`` verifies the exact distance inline. The
+    shuffle is keyed on (band, strip value), never the corpus squared.
+    """
+    s = simhash(df, text_col, id_col, k, bits)
+    n_bands = max_hamming + 1
+    widths = [
+        bits // n_bands + (1 if i < bits % n_bands else 0) for i in range(n_bands)
+    ]
+    parts = []
+    lo = 0
+    for i, w in enumerate(widths):
+        band_val = F.shiftrightunsigned(F.col("simhash"), lo).bitwiseAND(
+            F.lit((1 << w) - 1)
+        )
+        parts.append(
+            s.select(
+                F.col(id_col).alias("id"),
+                F.col("simhash"),
+                F.lit(i).alias("band"),
+                band_val.alias("band_key"),
+            )
+        )
+        lo += w
+    bands = parts[0]
+    for p in parts[1:]:
+        bands = bands.unionByName(p)
+
+    left = bands.select(
+        F.col("id").alias("id_a"), F.col("simhash").alias("sim_a"), "band", "band_key"
+    )
+    right = bands.select(
+        F.col("id").alias("id_b"), F.col("simhash").alias("sim_b"), "band", "band_key"
+    )
+    ham = F.bit_count(F.col("sim_a").bitwiseXOR(F.col("sim_b")))
+    return (
+        left.join(right, on=["band", "band_key"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .withColumn("hamming", ham.cast("int"))
+        .filter(F.col("hamming") <= max_hamming)
+        .select("id_a", "id_b", "hamming")
+        .distinct()
     )

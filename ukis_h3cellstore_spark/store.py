@@ -185,7 +185,6 @@ class CellStore:
         else:
             diff = schema.h3_partitioning.resolution_difference
             target = max(resolution - diff, 0)
-            part = hx.h3_get_resolution(h3col)  # placeholder, replaced below
             part = hx.h3_to_parent(h3col, target)
         df = df.withColumn("h3part", part)
         tcol = schema.temporal_partition_column()
@@ -445,14 +444,46 @@ class CellStore:
         self, schema: CompactedTableSchema, df: DataFrame
     ) -> DataFrame:
         if schema.table_engine is TableEngine.SUMMING:
-            keys = [c for c in df.columns if c not in schema.summing_columns]
-            ftype = {
-                f.name: f.dataType.simpleString()
-                for f in self._read_schema(schema).fields
-            }
-            aggs = [
-                F.sum(c).cast(ftype[c]).alias(c) for c in schema.summing_columns
+            # SummingMergeTree semantics (reference schema/mod.rs:103-118):
+            # rows sharing the sort key (within a partition) collapse to
+            # one; the listed columns — or, with an empty list, ALL
+            # numeric non-key columns, the ClickHouse default — are
+            # summed, any remaining column keeps one of the group's
+            # values.
+            from pyspark.sql import types as T
+
+            part_cols = [
+                c for c in self._partition_columns(schema) if c in df.columns
             ]
+            keys = list(
+                dict.fromkeys(
+                    [c for c in schema.sort_key() if c in df.columns] + part_cols
+                )
+            )
+            numeric = (
+                T.ByteType, T.ShortType, T.IntegerType, T.LongType,
+                T.FloatType, T.DoubleType, T.DecimalType,
+            )
+            if schema.summing_columns:
+                summed = [
+                    c for c in schema.summing_columns
+                    if c in df.columns and c not in keys
+                ]
+            else:
+                summed = [
+                    f.name
+                    for f in df.schema.fields
+                    if f.name not in keys and isinstance(f.dataType, numeric)
+                ]
+            ftype = {f.name: f.dataType for f in df.schema.fields}
+            aggs = [F.sum(c).cast(ftype[c]).alias(c) for c in summed]
+            aggs += [
+                F.first(c).alias(c)
+                for c in df.columns
+                if c not in keys and c not in summed
+            ]
+            if not aggs:
+                return df.dropDuplicates()
             return df.groupBy(*keys).agg(*aggs).select(*df.columns)
         # Replacing / Aggregating: full-row dedup (OPTIMIZE DEDUPLICATE parity)
         return df.dropDuplicates()
@@ -586,24 +617,29 @@ class CellStore:
         form, as in the reference's client-side arithmetic)."""
         schema = self.get_schema(name)
         max_res = schema.max_h3_resolution
-        rows = []
+        # one UNION ALL of per-table global counts → a single Spark job
+        # (the reference's single stats SELECT, mod.rs:479-513), instead
+        # of up to 31 sequential .count() actions
+        parts: list[DataFrame] = []
         for meta in schema.resolution_metadata():
-            cnt = self.read_table(schema, meta).count()
-            if meta.is_compacted:
-                cells_finest = cnt * (7 ** (max_res - meta.resolution))
-            else:
-                cells_finest = cnt
-            rows.append(
-                (
-                    meta.table_name(name),
-                    meta.resolution,
-                    meta.is_compacted,
-                    cnt,
-                    cells_finest,
+            factor = 7 ** (max_res - meta.resolution) if meta.is_compacted else 1
+            cnt = (
+                self.read_table(schema, meta)
+                .groupBy()
+                .agg(F.count(F.lit(1)).alias("__n"))
+            )
+            parts.append(
+                cnt.select(
+                    F.lit(meta.table_name(name)).alias("table_name"),
+                    F.lit(meta.resolution).cast("int").alias("resolution"),
+                    F.lit(meta.is_compacted).alias("is_compacted"),
+                    F.col("__n").cast("long").alias("num_rows"),
+                    (F.col("__n") * F.lit(factor))
+                    .cast("long")
+                    .alias("num_cells_at_max_res"),
                 )
             )
-        return self.spark.createDataFrame(
-            rows,
-            "table_name string, resolution int, is_compacted boolean, "
-            "num_rows long, num_cells_at_max_res long",
-        ).orderBy("resolution", "is_compacted")
+        out = parts[0]
+        for p in parts[1:]:
+            out = out.unionByName(p)
+        return out.orderBy("resolution", "is_compacted")
