@@ -229,3 +229,55 @@ def test_simhash_hamming_pairs_exact_vs_bruteforce(docs):
             for r in D.simhash_hamming_pairs(docs, max_hamming=max_h).collect()
         }
         assert got == want, f"max_hamming={max_h}"
+
+
+def test_kmeans_fit_separates_obvious_clusters(spark):
+    # ids 0/1 (the deterministic seeds) sit in different clusters
+    rows = [
+        (i, [10.0 + 0.01 * i, float(i % 3)] if i % 2 == 0 else [float(i % 3), 10.0 + 0.01 * i])
+        for i in range(10)
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    cent = S.kmeans_fit(df, n_centroids=2, max_iter=3).toPandas()
+    assert len(cent) == 2
+    vecs = {int(r.centroid_id): list(r.c_vec) for r in cent.itertuples()}
+    # one centroid per axis cluster, means near the cluster means
+    axes = sorted((v[0] > v[1]) for v in vecs.values())
+    assert axes == [False, True]
+
+
+def test_kmeans_exact_mean_matches_streaming_mean(spark):
+    rows = [(i, [float(i % 7), float((3 * i) % 5), 1.0]) for i in range(40)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    a = S.kmeans_fit(df, n_centroids=4, max_iter=2, exact_mean=True).toPandas()
+    b = S.kmeans_fit(df, n_centroids=4, max_iter=2, exact_mean=False).toPandas()
+    va = {int(r.centroid_id): r.c_vec for r in a.itertuples()}
+    vb = {int(r.centroid_id): r.c_vec for r in b.itertuples()}
+    assert va.keys() == vb.keys()
+    for k in va:
+        assert all(abs(x - y) < 1e-9 for x, y in zip(va[k], vb[k]))
+
+
+def test_ivf_topk_no_corpus_window(vecs):
+    """The corpus-side inverted-list assignment must be a max_by hash
+    aggregate, not a window sort over corpus × centroids."""
+    q = vecs.filter(F.col("vec_id") == 0)
+    plan = (
+        S.ivf_topk(vecs, q, k=1, n_centroids=2, nprobe=1)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    # max_by is the corpus assignment aggregate; no window partitions
+    # by the corpus id (only query_id windows remain)
+    assert "max_by" in plan
+    assert "windowspecdefinition(neighbor_id" not in plan
+
+
+def test_embedding_dup_pairs_bucket_cap_and_report(vecs):
+    # cap of 1 drops every multi-member bucket → no pairs survive
+    capped = S.embedding_dup_pairs(vecs, threshold=0.2, max_bucket_size=1)
+    assert capped.count() == 0
+    report = S.lsh_bucket_stats(vecs, max_bucket_size=1).toPandas()
+    assert bool(report[report.n_vectors > 1].dropped.all())
+    assert not bool(report[report.n_vectors <= 1].dropped.any())

@@ -240,6 +240,23 @@ FROM sims GROUP BY simhash HAVING COUNT(*) >= 2
 """
 
 
+def q_dedup_simhash_hamming(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return D.simhash_hamming_pairs(_docs(spark, sf_dir), max_hamming=3)
+
+
+def _q_dedup_simhash_hamming_sql() -> str:
+    # the banded-XOR Spark path is EXACT (pigeonhole guarantees every
+    # hamming≤k pair collides in ≥1 strip), so the oracle is the plain
+    # quadratic hamming computation over the fingerprints
+    return f"""
+WITH sims AS ({_q_dedup_simhash_sql()})
+SELECT CAST(a.doc_id AS BIGINT) AS id_a, CAST(b.doc_id AS BIGINT) AS id_b,
+       CAST(bit_count(xor(a.simhash, b.simhash)) AS INT) AS hamming
+FROM sims a JOIN sims b ON a.doc_id < b.doc_id
+WHERE bit_count(xor(a.simhash, b.simhash)) <= 3
+"""
+
+
 def _q_dedup_simhash_sql() -> str:
     h = "(('0x' || substr(md5(shingle), 1, 15))::BIGINT)"
     sums = ", ".join(
@@ -294,36 +311,55 @@ FROM ranked WHERE rank <= 3
 """
 
 
+_LSH_TABLES = 4
+_LSH_PLANES = 6
+
+
+def _duck_plane_dot(g: int, vec: str) -> str:
+    """DuckDB dot product against global hyperplane ``g`` — the same
+    deterministic integer components as ops.similarity._plane_component."""
+    return (
+        f"list_reduce(list_transform({vec}, (v, j) -> CAST(v AS DOUBLE)"
+        f" * (({g * 131} + (j - 1) * 37) % 19 - 9)), (s, v) -> s + v)"
+    )
+
+
+def _duck_banded_wb(vec_table: str = "embeddings") -> str:
+    """UNION ALL of the banded LSH tables: (vec_id, embedding, band,
+    bucket) — one row per (vector, LSH table), matching _lsh_bands."""
+    parts = []
+    for t in range(_LSH_TABLES):
+        bucket_terms = " + ".join(
+            f"(CASE WHEN {_duck_plane_dot(t * _LSH_PLANES + p, 'embedding')} > 0"
+            f" THEN {1 << p} ELSE 0 END)"
+            for p in range(_LSH_PLANES)
+        )
+        parts.append(
+            f"SELECT vec_id, embedding, {t} AS band, ({bucket_terms}) AS bucket"
+            f" FROM {vec_table}"
+        )
+    return " UNION ALL ".join(parts)
+
+
 def q_ann_lsh_top3(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = _embs(spark, sf_dir)
     queries = e.filter(F.col("vec_id") < 10)
-    return S.lsh_topk(e, queries, k=3, num_planes=6)
+    return S.lsh_topk(
+        e, queries, k=3, num_tables=_LSH_TABLES, num_planes=_LSH_PLANES
+    )
 
 
 def _q_ann_lsh_top3_sql() -> str:
-    # same 6-plane sign-bit bucket as the Spark lsh_bucket
-    def dot(p: int, vec: str) -> str:
-        return (
-            f"list_reduce(list_transform({vec}, (v, j) -> CAST(v AS DOUBLE)"
-            f" * (({p * 131} + (j - 1) * 37) % 19 - 9)), (s, v) -> s + v)"
-        )
-
-    bucket_terms = " + ".join(
-        f"(CASE WHEN {dot(p, 'embedding')} > 0 THEN {1 << p} ELSE 0 END)"
-        for p in range(6)
-    )
     return f"""
-WITH wb AS (
-  SELECT vec_id, embedding, ({bucket_terms}) AS bucket FROM embeddings
-),
-q AS (SELECT vec_id AS query_id, embedding AS q_vec, bucket FROM wb
+WITH wb AS ({_duck_banded_wb()}),
+q AS (SELECT vec_id AS query_id, embedding AS q_vec, band, bucket FROM wb
       WHERE vec_id < 10),
-c AS (SELECT vec_id AS neighbor_id, embedding AS c_vec, bucket FROM wb),
+c AS (SELECT vec_id AS neighbor_id, embedding AS c_vec, band, bucket FROM wb),
 scored AS (
-  SELECT q.query_id, c.neighbor_id,
+  SELECT DISTINCT q.query_id, c.neighbor_id,
          round(CAST({_DUCK_COSINE.replace('a.c_vec', 'c.c_vec')} AS DOUBLE), 4)
            AS cosine_sim
-  FROM c JOIN q USING (bucket)
+  FROM c JOIN q USING (band, bucket)
   WHERE c.neighbor_id <> q.query_id
 ),
 ranked AS (
@@ -338,41 +374,88 @@ FROM ranked WHERE rank <= 3
 """
 
 
+_IVF_ITERS = 2
+
+
 def q_ann_ivf_top3(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # exact_mean=True: centroid means fold in sorted-id order, so the
+    # trained centroids — and therefore the inverted lists — are
+    # bit-identical to the oracle's serial computation
     e = _embs(spark, sf_dir)
     queries = e.filter(F.col("vec_id") < 10)
-    return S.ivf_topk(e, queries, k=3, n_centroids=16, nprobe=2)
+    return S.ivf_topk(
+        e,
+        queries,
+        k=3,
+        n_centroids=16,
+        nprobe=2,
+        train_iters=_IVF_ITERS,
+        exact_mean=True,
+    )
 
 
 def _q_ann_ivf_top3_sql() -> str:
-    def cos(a_vec: str, b_vec: str) -> str:
-        return (
-            _DUCK_COSINE.replace("a.c_vec", a_vec).replace("q.q_vec", b_vec)
-        )
+    """Replicates kmeans_fit(max_iter=2, exact_mean=True) + ivf_topk:
+    each Lloyd's iteration is one CTE block (assign → per-dim sorted
+    sequential-fold mean → re-collect ordered by dim)."""
 
-    return f"""
-WITH cent AS (
-  SELECT vec_id AS centroid_id, embedding AS c_vec
+    def cos(a_vec: str, b_vec: str) -> str:
+        return _DUCK_COSINE.replace("a.c_vec", a_vec).replace("q.q_vec", b_vec)
+
+    ctes = [
+        """cent0 AS (
+  SELECT vec_id AS centroid_id,
+         list_transform(embedding, v -> CAST(v AS DOUBLE)) AS c_vec
   FROM embeddings ORDER BY vec_id LIMIT 16
+)"""
+    ]
+    for i in range(1, _IVF_ITERS + 1):
+        prev = f"cent{i - 1}"
+        ctes.append(
+            f"""a{i} AS (
+  SELECT vec_id, embedding, centroid_id FROM (
+    SELECT e.vec_id, e.embedding, c.centroid_id,
+           row_number() OVER (PARTITION BY e.vec_id
+             ORDER BY {cos('c.c_vec', 'e.embedding')} DESC,
+                      c.centroid_id ASC) AS r
+    FROM embeddings e, {prev} c
+  ) WHERE r = 1
 ),
-c_assign AS (
+comp{i} AS (
+  SELECT centroid_id, vec_id,
+         generate_subscripts(embedding, 1) AS pos,
+         CAST(unnest(embedding) AS DOUBLE) AS v
+  FROM a{i}
+),
+pv{i} AS (
+  SELECT centroid_id, pos,
+         list_reduce(list(v ORDER BY vec_id), (x, y) -> x + y)
+           / COUNT(*) AS m
+  FROM comp{i} GROUP BY centroid_id, pos
+),
+cent{i} AS (
+  SELECT centroid_id, list(m ORDER BY pos) AS c_vec
+  FROM pv{i} GROUP BY centroid_id
+)"""
+        )
+    last = f"cent{_IVF_ITERS}"
+    ctes.append(
+        f"""c_assign AS (
   SELECT neighbor_id, n_vec, centroid_id FROM (
-    SELECT e.vec_id AS neighbor_id, e.embedding AS n_vec, cent.centroid_id,
-           row_number() OVER (
-             PARTITION BY e.vec_id
-             ORDER BY {cos('cent.c_vec', 'e.embedding')} DESC,
-                      cent.centroid_id ASC) AS r
-    FROM embeddings e, cent
+    SELECT e.vec_id AS neighbor_id, e.embedding AS n_vec, c.centroid_id,
+           row_number() OVER (PARTITION BY e.vec_id
+             ORDER BY {cos('c.c_vec', 'e.embedding')} DESC,
+                      c.centroid_id ASC) AS r
+    FROM embeddings e, {last} c
   ) WHERE r = 1
 ),
 q_assign AS (
   SELECT query_id, q_vec, centroid_id FROM (
-    SELECT e.vec_id AS query_id, e.embedding AS q_vec, cent.centroid_id,
-           row_number() OVER (
-             PARTITION BY e.vec_id
-             ORDER BY {cos('cent.c_vec', 'e.embedding')} DESC,
-                      cent.centroid_id ASC) AS r
-    FROM embeddings e, cent WHERE e.vec_id < 10
+    SELECT e.vec_id AS query_id, e.embedding AS q_vec, c.centroid_id,
+           row_number() OVER (PARTITION BY e.vec_id
+             ORDER BY {cos('c.c_vec', 'e.embedding')} DESC,
+                      c.centroid_id ASC) AS r
+    FROM embeddings e, {last} c WHERE e.vec_id < 10
   ) WHERE r <= 2
 ),
 scored AS (
@@ -385,7 +468,10 @@ ranked AS (
   SELECT *, row_number() OVER (
       PARTITION BY query_id ORDER BY cosine_sim DESC, neighbor_id ASC) AS rank
   FROM scored
-)
+)"""
+    )
+    return f"""
+WITH {', '.join(ctes)}
 SELECT CAST(query_id AS BIGINT) AS query_id,
        CAST(neighbor_id AS BIGINT) AS neighbor_id,
        cosine_sim, CAST(rank AS INT) AS rank
@@ -397,29 +483,25 @@ def q_embedding_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     # synthetic embeddings are near-orthogonal (max pairwise cosine
     # ~0.45), so the "near-dup" threshold is set low enough that the
     # bucket-join path actually produces rows to hash-check
-    return S.embedding_dup_pairs(_embs(spark, sf_dir), threshold=0.2)
+    return S.embedding_dup_pairs(
+        _embs(spark, sf_dir),
+        threshold=0.2,
+        num_tables=_LSH_TABLES,
+        num_planes=_LSH_PLANES,
+    )
 
 
 def _q_embedding_dup_pairs_sql() -> str:
-    # bucket: sign bits of 6 deterministic integer-valued hyperplanes
-    def dot(p: int, vec: str) -> str:
-        return (
-            f"list_reduce(list_transform({vec}, (v, j) -> CAST(v AS DOUBLE)"
-            f" * (({p * 131} + (j - 1) * 37) % 19 - 9)), (s, v) -> s + v)"
-        )
-
-    bucket_terms = " + ".join(
-        f"(CASE WHEN {dot(p, 'embedding')} > 0 THEN {1 << p} ELSE 0 END)"
-        for p in range(6)
+    cos = _DUCK_COSINE.replace("a.c_vec", "a.embedding").replace(
+        "q.q_vec", "b.embedding"
     )
-    cos = _DUCK_COSINE.replace("a.c_vec", "a.embedding").replace("q.q_vec", "b.embedding")
     return f"""
-WITH wb AS (
-  SELECT vec_id, embedding, ({bucket_terms}) AS bucket FROM embeddings
-)
-SELECT CAST(a.vec_id AS BIGINT) AS id_a, CAST(b.vec_id AS BIGINT) AS id_b,
+WITH wb AS ({_duck_banded_wb()})
+SELECT DISTINCT CAST(a.vec_id AS BIGINT) AS id_a,
+       CAST(b.vec_id AS BIGINT) AS id_b,
        round(CAST({cos} AS DOUBLE), 4) AS cosine_sim
-FROM wb a JOIN wb b ON a.bucket = b.bucket AND a.vec_id < b.vec_id
+FROM wb a JOIN wb b
+  ON a.band = b.band AND a.bucket = b.bucket AND a.vec_id < b.vec_id
 WHERE round(CAST({cos} AS DOUBLE), 4) >= 0.2
 """
 
@@ -509,6 +591,7 @@ QUERIES_OPS: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "dedup_minhash_lsh_pairs": q_dedup_minhash_lsh_pairs,
     "dedup_simhash": q_dedup_simhash,
     "dedup_simhash_groups": q_dedup_simhash_groups,
+    "dedup_simhash_hamming": q_dedup_simhash_hamming,
     "ann_cosine_top3": q_ann_cosine_top3,
     "ann_ivf_top3": q_ann_ivf_top3,
     "ann_lsh_top3": q_ann_lsh_top3,
@@ -528,6 +611,7 @@ ORACLES_OPS: dict[str, str] = {
     "dedup_minhash_lsh_pairs": _q_dedup_minhash_lsh_sql(),
     "dedup_simhash": _q_dedup_simhash_sql(),
     "dedup_simhash_groups": _q_dedup_simhash_groups_sql(),
+    "dedup_simhash_hamming": _q_dedup_simhash_hamming_sql(),
     "ann_cosine_top3": Q_ANN_COSINE_TOP3_SQL,
     "ann_ivf_top3": _q_ann_ivf_top3_sql(),
     "ann_lsh_top3": _q_ann_lsh_top3_sql(),

@@ -4,14 +4,30 @@
   The query side is broadcast; the corpus side streams. Dot products
   are sequential left-folds (``F.aggregate``) in double precision, so
   results are deterministic and reproducible by the DuckDB oracle.
-- ``lsh_topk``: the scale path — random-hyperplane LSH bucketing with
-  deterministic integer-valued planes. Only same-bucket candidates get
-  exact scoring; the bucket join shuffles on a small integer key.
+- ``lsh_topk`` / ``embedding_dup_pairs``: the scale path — banded
+  multi-table random-hyperplane LSH. ``num_tables`` independent
+  tables of ``num_planes`` sign bits each (plane components are
+  deterministic integers, so bucket ids are exact across engines): a
+  pair is a candidate when it collides in ANY table. More planes per
+  table → smaller (sub-quadratic) buckets; more tables → recall. The
+  bucket join shuffles on (table, bucket) keys, never the corpus
+  squared, and hot buckets can be dropped with ``max_bucket_size``
+  (report via :func:`lsh_bucket_stats`).
+- ``kmeans_fit`` + ``ivf_topk``: IVF ANN with distributed Lloyd's
+  training — assignment is a broadcast cross join + ``max_by`` group
+  aggregate (map-side combine, NO corpus-side window sort), centroid
+  update is posexplode → per-(centroid, dim) mean → re-collect.
+  ``exact_mean=True`` folds each mean in sorted-id order so training
+  is bit-reproducible by the DuckDB oracle (the default streaming
+  ``avg`` is the 100 TB path: constant memory per group).
 
-At 100 TB the corpus side never collects; both operators are pure
-DataFrame compositions whose probe side is a broadcast."""
+At 100 TB the corpus side never collects; every operator is a pure
+DataFrame composition whose probe side is a broadcast.
+"""
 
 from __future__ import annotations
+
+import math
 
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
@@ -73,19 +89,25 @@ def cosine_topk(
     )
 
 
+# ------------------------------------------------------------- banded LSH
+
+
 def _plane_component(p: int, j: Column) -> Column:
     """Deterministic pseudo-random hyperplane component in [-9, 9] —
-    integer-valued so sign decisions are exact across engines."""
+    integer-valued so sign decisions are exact across engines. ``p``
+    is the GLOBAL plane index (table * num_planes + slot)."""
     return ((F.lit(p * 131) + j * 37) % 19 - 9).cast("double")
 
 
-def lsh_bucket(vec: Column, num_planes: int = 8) -> Column:
-    """Sign-bit bucket id from ``num_planes`` hyperplane dot products."""
+def lsh_bucket(vec: Column, num_planes: int = 8, table: int = 0) -> Column:
+    """Sign-bit bucket id from ``num_planes`` hyperplane dot products
+    of LSH table ``table`` (planes ``table*num_planes .. +num_planes``)."""
     bucket = F.lit(0)
     for p in range(num_planes):
+        g = table * num_planes + p
         dot = F.aggregate(
             F.transform(
-                vec, lambda v, j: v.cast("double") * _plane_component(p, j)
+                vec, lambda v, j: v.cast("double") * _plane_component(g, j)
             ),
             F.lit(0.0),
             lambda acc, v: acc + v,
@@ -94,35 +116,95 @@ def lsh_bucket(vec: Column, num_planes: int = 8) -> Column:
     return bucket
 
 
+def auto_num_planes(n_vectors: int, target_bucket_size: int = 32) -> int:
+    """Plane count so the EXPECTED bucket population is bounded:
+    ceil(log2(n / target)) — e.g. 10^9 vectors / target 32 → 25 planes
+    (2^25 buckets). Clamped to [4, 30]."""
+    if n_vectors <= target_bucket_size:
+        return 4
+    return min(max(math.ceil(math.log2(n_vectors / target_bucket_size)), 4), 30)
+
+
+def _lsh_bands(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    num_tables: int,
+    num_planes: int,
+    id_alias: str,
+    vec_alias: str,
+) -> DataFrame:
+    """Unpivot to one row per (vector, LSH table): (id, vec, band,
+    bucket). Each band uses an independent set of hyperplanes."""
+    parts = [
+        df.select(
+            F.col(id_col).alias(id_alias),
+            F.col(vec_col).alias(vec_alias),
+            F.lit(t).alias("band"),
+            lsh_bucket(F.col(vec_col), num_planes, table=t).alias("bucket"),
+        )
+        for t in range(num_tables)
+    ]
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out
+
+
+def lsh_bucket_stats(
+    df: DataFrame,
+    num_tables: int = 4,
+    num_planes: int = 8,
+    max_bucket_size: int | None = None,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Per-(band, bucket) population report: (band, bucket, n_vectors,
+    dropped). ``dropped`` marks buckets a ``max_bucket_size`` cap would
+    discard — run this alongside a capped pair query to REPORT how much
+    of the corpus the cap silently excluded (no silent truncation)."""
+    bands = _lsh_bands(df, id_col, vec_col, num_tables, num_planes, "id", "vec")
+    out = bands.groupBy("band", "bucket").agg(
+        F.count(F.lit(1)).alias("n_vectors")
+    )
+    cap = F.lit(max_bucket_size) if max_bucket_size is not None else F.lit(None)
+    return out.withColumn(
+        "dropped",
+        F.when(cap.isNotNull(), F.col("n_vectors") > cap).otherwise(F.lit(False)),
+    )
+
+
 def lsh_topk(
     corpus: DataFrame,
     queries: DataFrame,
     k: int = 1,
+    num_tables: int = 4,
     num_planes: int = 6,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     round_digits: int = 4,
 ) -> DataFrame:
-    """ANN top-k: exact cosine within the query's LSH bucket only.
+    """ANN top-k: exact cosine against corpus vectors sharing a bucket
+    with the query in ANY of the ``num_tables`` LSH tables.
     (query_id, neighbor_id, cosine_sim, rank); queries without bucket
-    mates return no rows (the recall/latency trade of ANN)."""
-    q = queries.select(
-        F.col(id_col).alias("query_id"),
-        F.col(vec_col).alias("q_vec"),
-        lsh_bucket(F.col(vec_col), num_planes).alias("bucket"),
+    mates return no rows (the recall/latency trade of ANN). The corpus
+    side streams (num_tables band rows per vector); queries are
+    broadcast."""
+    q = _lsh_bands(
+        queries, id_col, vec_col, num_tables, num_planes, "query_id", "q_vec"
     )
-    c = corpus.select(
-        F.col(id_col).alias("neighbor_id"),
-        F.col(vec_col).alias("c_vec"),
-        lsh_bucket(F.col(vec_col), num_planes).alias("bucket"),
+    c = _lsh_bands(
+        corpus, id_col, vec_col, num_tables, num_planes, "neighbor_id", "c_vec"
     )
     scored = (
-        c.join(F.broadcast(q), on="bucket")
+        c.join(F.broadcast(q), on=["band", "bucket"])
         .filter(F.col("neighbor_id") != F.col("query_id"))
         .withColumn(
             "cosine_sim",
             F.round(cosine_similarity(F.col("q_vec"), F.col("c_vec")), round_digits),
         )
+        .select("query_id", "neighbor_id", "cosine_sim")
+        .distinct()
     )
     w = Window.partitionBy("query_id").orderBy(
         F.col("cosine_sim").desc(), F.col("neighbor_id").asc()
@@ -134,6 +216,149 @@ def lsh_topk(
     )
 
 
+def embedding_dup_pairs(
+    df: DataFrame,
+    threshold: float = 0.99,
+    num_tables: int = 4,
+    num_planes: int = 6,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    round_digits: int = 4,
+    max_bucket_size: int | None = None,
+) -> DataFrame:
+    """Embedding near-duplicate pairs: same bucket in ≥1 LSH table AND
+    cosine ≥ threshold: (id_a, id_b, cosine_sim) with id_a < id_b.
+
+    ``max_bucket_size`` drops (band, bucket) groups larger than the
+    cap before the self-join — the hot-bucket guard that bounds the
+    within-bucket quadratic candidate space at corpus scale (same
+    shape as ``max_shingle_df`` in the n-gram path). Use
+    :func:`lsh_bucket_stats` with the same parameters to report what
+    a cap drops."""
+    bands = _lsh_bands(df, id_col, vec_col, num_tables, num_planes, "id", "vec")
+    if max_bucket_size is not None:
+        keep = (
+            bands.groupBy("band", "bucket")
+            .agg(F.count(F.lit(1)).alias("__bn"))
+            .filter(F.col("__bn") <= max_bucket_size)
+            .select("band", "bucket")
+        )
+        bands = bands.join(keep, on=["band", "bucket"], how="inner")
+    a = bands.select(
+        F.col("id").alias("id_a"), F.col("vec").alias("vec_a"), "band", "bucket"
+    )
+    b = bands.select(
+        F.col("id").alias("id_b"), F.col("vec").alias("vec_b"), "band", "bucket"
+    )
+    return (
+        a.join(b, on=["band", "bucket"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .withColumn(
+            "cosine_sim",
+            F.round(cosine_similarity(F.col("vec_a"), F.col("vec_b")), round_digits),
+        )
+        .filter(F.col("cosine_sim") >= threshold)
+        .select("id_a", "id_b", "cosine_sim")
+        .distinct()
+    )
+
+
+# ----------------------------------------------------------------- IVF ANN
+
+
+def kmeans_fit(
+    corpus: DataFrame,
+    n_centroids: int = 16,
+    max_iter: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    exact_mean: bool = False,
+) -> DataFrame:
+    """Distributed Lloyd's k-means in pure DataFrame aggregations:
+    returns (centroid_id, c_vec) with ``c_vec`` as array<double>.
+
+    - init: the ``n_centroids`` lowest-id corpus vectors (seeded,
+      deterministic; centroid_id keeps the seed's vector id).
+    - assignment: broadcast centroids × corpus → per-vector argmax via
+      ``max_by`` over (similarity, -centroid_id) — a partial-agg
+      group-by (the cross-joined rows of one vector are colocated, so
+      map-side combine collapses them before any shuffle); no window
+      sort over the corpus.
+    - update: posexplode to (centroid, dim) cells → mean → re-collect
+      ordered by dim. ``exact_mean=True`` sums each mean as a sorted-
+      by-id sequential fold, making training bit-identical to a serial
+      (or DuckDB-oracle) run; the default streaming ``avg`` is the
+      constant-memory scale path.
+
+    Centroids that lose every member drop out (standard Lloyd's).
+    """
+    cent = (
+        corpus.select(
+            F.col(id_col).alias("centroid_id"), F.col(vec_col).alias("c_vec")
+        )
+        .orderBy("centroid_id")
+        .limit(n_centroids)
+    )
+    for _ in range(max_iter):
+        assigned = (
+            corpus.select(F.col(id_col).alias("__id"), F.col(vec_col).alias("__vec"))
+            .crossJoin(F.broadcast(cent))
+            .withColumn(
+                "__sim", cosine_similarity(F.col("__vec"), F.col("c_vec"))
+            )
+            .groupBy("__id")
+            .agg(
+                F.max_by(
+                    "centroid_id", F.struct(F.col("__sim"), -F.col("centroid_id"))
+                ).alias("centroid_id"),
+                F.first("__vec").alias("__vec"),
+            )
+        )
+        comp = assigned.select(
+            "centroid_id", "__id", F.posexplode("__vec").alias("pos", "v")
+        )
+        if exact_mean:
+            pv = (
+                comp.groupBy("centroid_id", "pos")
+                .agg(
+                    F.array_sort(
+                        F.collect_list(
+                            F.struct(
+                                F.col("__id").alias("i"),
+                                F.col("v").cast("double").alias("x"),
+                            )
+                        )
+                    ).alias("xs")
+                )
+                .select(
+                    "centroid_id",
+                    "pos",
+                    (
+                        F.aggregate(
+                            "xs", F.lit(0.0), lambda acc, s: acc + s["x"]
+                        )
+                        / F.size("xs")
+                    ).alias("m"),
+                )
+            )
+        else:
+            pv = comp.groupBy("centroid_id", "pos").agg(
+                F.avg(F.col("v").cast("double")).alias("m")
+            )
+        cent = (
+            pv.groupBy("centroid_id")
+            .agg(F.array_sort(F.collect_list(F.struct("pos", "m"))).alias("pm"))
+            .select(
+                "centroid_id", F.transform("pm", lambda s: s["m"]).alias("c_vec")
+            )
+        )
+        # truncate lineage per iteration: downstream consumers (and the
+        # next iteration's cross join) reuse the materialized centroid
+        # table instead of re-running the whole training subtree
+        cent = cent.localCheckpoint(eager=False)
+    return cent
+
+
 def ivf_topk(
     corpus: DataFrame,
     queries: DataFrame,
@@ -143,47 +368,55 @@ def ivf_topk(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     round_digits: int = 4,
+    centroids: DataFrame | None = None,
+    train_iters: int = 2,
+    exact_mean: bool = False,
 ) -> DataFrame:
-    """IVF-style ANN: the corpus is partitioned into inverted lists by
-    nearest centroid; each query probes its ``nprobe`` nearest lists
-    and scores exactly within them.
+    """IVF ANN: the corpus is partitioned into inverted lists by
+    nearest k-means centroid; each query probes its ``nprobe`` nearest
+    lists and scores exactly within them.
 
-    Centroids are the ``n_centroids`` lowest-id corpus vectors — a
-    deterministic stand-in for a k-means pass (which would be a
-    separate training job at scale; the assignment/probe plumbing here
-    is the part that matters). Shuffles only on the small centroid id;
-    centroid set is broadcast to both sides.
-    """
-    cent = F.broadcast(
-        corpus.select(F.col(id_col).alias("centroid_id"), F.col(vec_col).alias("c_vec"))
-        .orderBy("centroid_id")
-        .limit(n_centroids)
+    Centroids come from :func:`kmeans_fit` (``train_iters`` Lloyd's
+    iterations) unless a precomputed ``centroids`` frame
+    (centroid_id, c_vec) is passed — at scale, train once and reuse.
+    Corpus assignment is the windowless ``max_by`` aggregate; only the
+    tiny query side uses a window (nprobe > 1 ranking). Shuffles are
+    keyed on the centroid id; the centroid set is broadcast."""
+    cent = (
+        centroids
+        if centroids is not None
+        else kmeans_fit(
+            corpus, n_centroids, train_iters, id_col, vec_col, exact_mean
+        )
     )
+    cent = F.broadcast(cent)
 
-    def assign(df: DataFrame, idc: str, vecc: str, keep: int) -> DataFrame:
-        scored = df.crossJoin(cent).withColumn(
-            "__sim", cosine_similarity(F.col(vecc), F.col("c_vec"))
+    c_lists = (
+        corpus.select(
+            F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("n_vec")
         )
-        w = Window.partitionBy(idc).orderBy(
-            F.col("__sim").desc(), F.col("centroid_id").asc()
+        .crossJoin(cent)
+        .withColumn("__sim", cosine_similarity(F.col("n_vec"), F.col("c_vec")))
+        .groupBy("neighbor_id")
+        .agg(
+            F.max_by(
+                "centroid_id", F.struct(F.col("__sim"), -F.col("centroid_id"))
+            ).alias("centroid_id"),
+            F.first("n_vec").alias("n_vec"),
         )
-        return (
-            scored.withColumn("__r", F.row_number().over(w))
-            .filter(F.col("__r") <= keep)
-            .drop("c_vec", "__sim", "__r")
-        )
-
-    c_lists = assign(
-        corpus.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("n_vec")),
-        "neighbor_id",
-        "n_vec",
-        1,
     )
-    q_lists = assign(
-        queries.select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("q_vec")),
-        "query_id",
-        "q_vec",
-        nprobe,
+    q_scored = (
+        queries.select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("q_vec"))
+        .crossJoin(cent)
+        .withColumn("__sim", cosine_similarity(F.col("q_vec"), F.col("c_vec")))
+    )
+    wq = Window.partitionBy("query_id").orderBy(
+        F.col("__sim").desc(), F.col("centroid_id").asc()
+    )
+    q_lists = (
+        q_scored.withColumn("__r", F.row_number().over(wq))
+        .filter(F.col("__r") <= nprobe)
+        .drop("c_vec", "__sim", "__r")
     )
     scored = (
         c_lists.join(F.broadcast(q_lists), on="centroid_id")
@@ -200,37 +433,4 @@ def ivf_topk(
         scored.withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= k)
         .select("query_id", "neighbor_id", "cosine_sim", "rank")
-    )
-
-
-def embedding_dup_pairs(
-    df: DataFrame,
-    threshold: float = 0.99,
-    num_planes: int = 6,
-    id_col: str = "vec_id",
-    vec_col: str = "embedding",
-    round_digits: int = 4,
-) -> DataFrame:
-    """Embedding near-duplicate pairs: same LSH bucket AND cosine ≥
-    threshold: (id_a, id_b, cosine_sim) with id_a < id_b."""
-    withb = df.select(
-        F.col(id_col),
-        F.col(vec_col),
-        lsh_bucket(F.col(vec_col), num_planes).alias("bucket"),
-    )
-    a = withb.select(
-        F.col(id_col).alias("id_a"), F.col(vec_col).alias("vec_a"), "bucket"
-    )
-    b = withb.select(
-        F.col(id_col).alias("id_b"), F.col(vec_col).alias("vec_b"), "bucket"
-    )
-    return (
-        a.join(b, on="bucket")
-        .filter(F.col("id_a") < F.col("id_b"))
-        .withColumn(
-            "cosine_sim",
-            F.round(cosine_similarity(F.col("vec_a"), F.col("vec_b")), round_digits),
-        )
-        .filter(F.col("cosine_sim") >= threshold)
-        .select("id_a", "id_b", "cosine_sim")
     )
