@@ -24,6 +24,7 @@ def entry(spark: SparkSession) -> DataFrame:
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     from ukis_h3cellstore_spark.entry_queries import QUERIES
+    from ukis_h3cellstore_spark.entry_queries_geo import QUERIES_GEO
     from ukis_h3cellstore_spark.entry_queries_ops import QUERIES_OPS
     from ukis_h3cellstore_spark.entry_queries_raster import QUERIES_RASTER
     from ukis_h3cellstore_spark.entry_queries_stream import QUERIES_STREAM
@@ -33,6 +34,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         **QUERIES,
         **QUERIES_OPS,
         **QUERIES_TRAV,
+        **QUERIES_GEO,
         **QUERIES_RASTER,
         **QUERIES_STREAM,
     }
@@ -40,6 +42,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 def oracle_sql() -> dict[str, str]:
     from ukis_h3cellstore_spark.entry_queries import ORACLES
+    from ukis_h3cellstore_spark.entry_queries_geo import ORACLES_GEO
     from ukis_h3cellstore_spark.entry_queries_ops import ORACLES_OPS
     from ukis_h3cellstore_spark.entry_queries_raster import ORACLES_RASTER
     from ukis_h3cellstore_spark.entry_queries_stream import ORACLES_STREAM
@@ -49,6 +52,7 @@ def oracle_sql() -> dict[str, str]:
         **ORACLES,
         **ORACLES_OPS,
         **ORACLES_TRAV,
+        **ORACLES_GEO,
         **ORACLES_RASTER,
         **ORACLES_STREAM,
     }
