@@ -243,6 +243,8 @@ def test_lower_resolution_and_temporal_partitioning_e2e(spark, store, tmp_path):
         for i, c in enumerate(cells)
     ]
     df = spark.createDataFrame(rows, "h3index long, observed_on timestamp, v long")
+    # auto_partitioning off: this test asserts the DECLARED layout
+    store = CellStore(spark, store.warehouse_dir, auto_partitioning=False)
     store.insert_h3dataframe_into_tableset(schema, df)
 
     # physical layout: h3part is the res-4 parent, tpart the 2-year bucket
@@ -381,3 +383,66 @@ def test_summing_merge_groups_by_sort_key(spark, store):
     out2 = store._apply_engine_merge(schema2, df2).collect()
     assert len(out2) == 1
     assert out2[0]["v1"] == 3 and out2[0]["v2"] == 2.0
+
+
+def test_adaptive_partitioning_small_batch_single_dir(spark, tmp_path):
+    """A small first batch writes ONE h3part directory per table
+    (global mode), the mode is sticky for appends, and queries +
+    pruning still round-trip correctly."""
+    import os
+
+    store = CellStore(spark, str(tmp_path / "wh_auto"))
+    schema = (
+        CompactedTableSchemaBuilder("auto_set")
+        .h3_base_resolutions([5])
+        .use_compacted_resolutions(False)
+        .add_h3index_column()
+        .add_column("v", "Int64")
+        .build()
+    )
+    region = h3c.build_cell(60, [1, 2, 3])
+    cells = h3c.cell_to_children(region, 5)
+    df = spark.createDataFrame([(c, 1) for c in cells], "h3index long, v long")
+    store.insert_h3dataframe_into_tableset(schema, df)
+
+    tdir = store._table_path("auto_set", ResolutionMetadata(5, False))
+    parts = [p for p in os.listdir(tdir) if p.startswith("h3part=")]
+    assert parts == ["h3part=0"]
+    assert os.path.isfile(os.path.join(tdir, "_h3part_mode.json"))
+
+    # query round-trips (pruning must NOT filter the constant h3part)
+    out = store.query_tableset_cells("auto_set", cells, 5).df.toPandas()
+    assert len(out) == len(cells)
+
+    # sticky: a second small append stays single-dir
+    store2 = CellStore(spark, str(tmp_path / "wh_auto"))
+    more = h3c.cell_to_children(h3c.build_cell(61, [1, 2, 3]), 5)
+    df2 = spark.createDataFrame([(c, 2) for c in more], "h3index long, v long")
+    store2.insert_h3dataframe_into_tableset(schema, df2)
+    parts2 = [p for p in os.listdir(tdir) if p.startswith("h3part=")]
+    assert parts2 == ["h3part=0"]
+    out2 = store2.query_tableset_cells("auto_set", cells + more, 5).df.toPandas()
+    assert len(out2) == len(cells) + len(more)
+
+
+def test_adaptive_partitioning_large_batch_uses_schema_layout(spark, tmp_path):
+    """Above the volume threshold the declared partitioning applies."""
+    import os
+
+    store = CellStore(
+        spark, str(tmp_path / "wh_auto2"), target_rows_per_partition=10
+    )
+    schema = (
+        CompactedTableSchemaBuilder("auto_big")
+        .h3_base_resolutions([5])
+        .use_compacted_resolutions(False)
+        .add_h3index_column()
+        .add_column("v", "Int64")
+        .build()
+    )
+    cells = h3c.cell_to_children(h3c.build_cell(60, [1, 2, 3]), 5)
+    df = spark.createDataFrame([(c, 1) for c in cells], "h3index long, v long")
+    store.insert_h3dataframe_into_tableset(schema, df)
+    tdir = store._table_path("auto_big", ResolutionMetadata(5, False))
+    parts = [p for p in os.listdir(tdir) if p.startswith("h3part=")]
+    assert parts == ["h3part=60"]  # basecell layout

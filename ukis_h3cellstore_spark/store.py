@@ -64,11 +64,33 @@ class InsertOptions:
 
 
 class CellStore:
-    """One warehouse ("database") of H3 tablesets."""
+    """One warehouse ("database") of H3 tablesets.
 
-    def __init__(self, spark: SparkSession, warehouse_dir: str):
+    ``auto_partitioning`` (default on) adapts the PHYSICAL parquet
+    layout to batch volume: a table whose first batch is smaller than
+    ``target_rows_per_partition`` is written as a single directory
+    ("global" mode) instead of fanning out into up to 122 basecell
+    directories of one tiny file each — the small-file problem that
+    dominates commit time at low volume and, at 100 TB, per-batch
+    metadata pressure. Larger first batches use the schema's declared
+    ``h3_partitioning`` (reference ``partitioning.rs:98-130``). The
+    decision is sticky per table (recorded in ``_h3part_mode.json``)
+    so appends and partition pruning always agree with the on-disk
+    layout; the logical schema is untouched.
+    """
+
+    def __init__(
+        self,
+        spark: SparkSession,
+        warehouse_dir: str,
+        auto_partitioning: bool = True,
+        target_rows_per_partition: int = 1_000_000,
+    ):
         self.spark = spark
         self.warehouse_dir = warehouse_dir
+        self.auto_partitioning = auto_partitioning
+        self.target_rows_per_partition = target_rows_per_partition
+        self._mode_cache: dict[str, str] = {}
         os.makedirs(warehouse_dir, exist_ok=True)
 
     # ------------------------------------------------------------ small utils
@@ -176,11 +198,63 @@ class CellStore:
         )
         return cols
 
+    # -------------------------------------------- adaptive physical layout
+
+    def _mode_path(self, tableset_name: str, meta: ResolutionMetadata) -> str:
+        return os.path.join(
+            self._table_path(tableset_name, meta), "_h3part_mode.json"
+        )
+
+    def _table_mode(
+        self,
+        schema: CompactedTableSchema,
+        meta: ResolutionMetadata,
+        batch_rows: int | None = None,
+    ) -> str:
+        """Effective physical H3-partitioning mode of one pyramid table:
+        ``"schema"`` (declared partitioning) or ``"global"`` (single
+        directory). Sticky after the first write; tables predating the
+        marker file default to ``"schema"``."""
+        mp = self._mode_path(schema.name, meta)
+        if mp in self._mode_cache:
+            return self._mode_cache[mp]
+        if os.path.isfile(mp):
+            with open(mp) as f:
+                mode = json.load(f)["mode"]
+        elif os.path.isdir(os.path.dirname(mp)):
+            mode = "schema"  # pre-existing table without a marker
+        elif (
+            self.auto_partitioning
+            and batch_rows is not None
+            and batch_rows < self.target_rows_per_partition
+        ):
+            mode = "global"
+        else:
+            mode = "schema"
+        self._mode_cache[mp] = mode
+        return mode
+
+    def _record_table_mode(
+        self, schema: CompactedTableSchema, meta: ResolutionMetadata, mode: str
+    ) -> None:
+        mp = self._mode_path(schema.name, meta)
+        if not os.path.isfile(mp):
+            os.makedirs(os.path.dirname(mp), exist_ok=True)
+            with open(mp, "w") as f:
+                json.dump({"mode": mode}, f)
+        self._mode_cache[mp] = mode
+
     def _with_partition_columns(
-        self, schema: CompactedTableSchema, df: DataFrame, resolution: int
+        self,
+        schema: CompactedTableSchema,
+        df: DataFrame,
+        resolution: int,
+        mode: str = "schema",
     ) -> DataFrame:
         h3col = F.col(schema.h3index_column())
-        if schema.h3_partitioning.kind == "basecell":
+        if mode == "global":
+            part = F.lit(0).cast("long")
+        elif schema.h3_partitioning.kind == "basecell":
             part = hx.h3_get_base_cell(h3col)
         else:
             diff = schema.h3_partitioning.resolution_difference
@@ -204,10 +278,13 @@ class CellStore:
         meta: ResolutionMetadata,
         df: DataFrame,
         options: InsertOptions,
+        batch_rows: int | None = None,
     ) -> None:
         part_cols = self._partition_columns(schema)
         sort_cols = schema.sort_key()
-        out = self._with_partition_columns(schema, df, meta.resolution)
+        mode = self._table_mode(schema, meta, batch_rows)
+        out = self._with_partition_columns(schema, df, meta.resolution, mode)
+        self._record_table_mode(schema, meta, mode)
         (
             out.repartition(*[F.col(c) for c in part_cols])
             .sortWithinPartitions(*sort_cols)
@@ -287,6 +364,9 @@ class CellStore:
             found = [r["__res"] for r in df.select("__res").distinct().collect()]
             if not found:
                 return
+            # batch volume steers the adaptive physical layout (cheap:
+            # the frame is already persisted by the distinct() above)
+            batch_rows = df.count() if self.auto_partitioning else None
             max_res = schema.max_h3_resolution
             if max(found) > max_res:
                 raise SchemaError(
@@ -327,7 +407,7 @@ class CellStore:
                     f"insert into tableset {schema.name}",
                     interruptOnCancel=True,
                 )
-                self._write_table(schema, meta, level_df, options)
+                self._write_table(schema, meta, level_df, options, batch_rows)
 
             with ThreadPoolExecutor(max_workers=3) as pool:
                 futures = []
@@ -430,6 +510,7 @@ class CellStore:
             deduped = self._apply_engine_merge(schema, df)
             tmp = path + "__dedup_tmp"
             part_cols = self._partition_columns(schema)
+            mode = self._table_mode(schema, meta)  # preserve layout marker
             (
                 deduped.repartition(*[F.col(c) for c in part_cols])
                 .sortWithinPartitions(*schema.sort_key())
@@ -439,6 +520,8 @@ class CellStore:
             )
             shutil.rmtree(path)
             os.rename(tmp, path)
+            self._mode_cache.pop(self._mode_path(name, meta), None)
+            self._record_table_mode(schema, meta, mode)
 
     def _apply_engine_merge(
         self, schema: CompactedTableSchema, df: DataFrame
@@ -597,7 +680,11 @@ class CellStore:
     ) -> DataFrame:
         """Push the query's H3 partition values into the scan so Spark
         prunes parquet partitions (O3): derive the distinct partition
-        values of the requested cells."""
+        values of the requested cells. Tables in "global" layout mode
+        hold a single constant partition — nothing to prune (and a
+        basecell IN-list would wrongly exclude it)."""
+        if self._table_mode(schema, meta) == "global":
+            return df
         if schema.h3_partitioning.kind == "basecell":
             values = sorted({h3c.get_base_cell(c) for c in cells})
         else:
