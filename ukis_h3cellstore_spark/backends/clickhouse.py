@@ -51,58 +51,102 @@ class ClickHouseUnavailable(RuntimeError):
 # ----------------------------------------------------------------- DDL
 
 
-def _codec_sql(schema: CompactedTableSchema) -> str:
-    cm = schema.compression_method
+#: ClickHouse types the reference treats as temporal
+#: (``datatype.rs``: Date / DateTime / DateTime64)
+_TEMPORAL_TYPES = {"Date", "DateTime", "DateTime64"}
+
+
+def _codec_sql(cm) -> str:
+    """``codec_string`` parity (``schema/mod.rs:380-389``): name with
+    the level/bytes argument when one is set, bare name otherwise
+    (DoubleDelta / Gorilla / T64)."""
     return f"{cm.name}({cm.level})" if cm.level is not None else cm.name
 
 
-def _column_sql(schema: CompactedTableSchema) -> list[str]:
-    """Column clauses: h3index first, the rest sorted by name (the
-    deterministic order used across the engine)."""
-    h3name = schema.h3index_column()
-    codec = _codec_sql(schema)
-    names = [h3name] + sorted(c for c in schema.columns if c != h3name)
+def _column_sql(schema: CompactedTableSchema) -> str:
+    """Column clauses — ALL columns sorted by name (the reference's
+    "order to make the SQL comparable", ``mod.rs:322-340``), each
+    `` {name} {dtype} CODEC({codec})`` with a per-column codec
+    override falling back to the schema default."""
+    default_codec = _codec_sql(schema.compression_method)
     out = []
-    for n in names:
+    for n in sorted(schema.columns):
         cd = schema.columns[n]
         dt = "UInt64" if cd.kind == "h3index" else cd.datatype
         if cd.nullable:
             dt = f"Nullable({dt})"
-        out.append(f"  {n} {dt} CODEC({codec})")
-    return out
+        codec = _codec_sql(cd.codec) if cd.codec is not None else default_codec
+        out.append(f" {n} {dt} CODEC({codec})")
+    return ",\n".join(out)
 
 
 def _engine_sql(schema: CompactedTableSchema) -> str:
+    """``mod.rs:314-320``: bare engine names; SummingMergeTree carries
+    its column list in single parens."""
     if schema.table_engine is TableEngine.SUMMING:
-        cols = ", ".join(schema.summing_columns)
-        return f"SummingMergeTree(({cols}))"
+        return f"SummingMergeTree({', '.join(schema.summing_columns)})"
     if schema.table_engine is TableEngine.AGGREGATING:
-        return "AggregatingMergeTree()"
-    return "ReplacingMergeTree()"
+        return "AggregatingMergeTree"
+    return "ReplacingMergeTree"
 
 
 def _h3_partition_expr(schema: CompactedTableSchema) -> str:
+    """``partitioning.rs:116-129`` dialect."""
     h3name = schema.h3index_column()
     if schema.h3_partitioning.kind == "basecell":
         return f"h3GetBaseCell({h3name})"
     diff = schema.h3_partitioning.resolution_difference
     return (
         f"h3ToParent({h3name}, "
-        f"CAST(max2(h3GetResolution({h3name}) - {diff}, 0) AS UInt8))"
+        f"cast(max2(h3GetResolution({h3name}) - {diff}, 0) as UInt8))"
     )
 
 
-def _temporal_partition_expr(schema: CompactedTableSchema) -> str | None:
-    tcol = schema.temporal_partition_column()
-    if tcol is None:
-        return None
+def _temporal_expr(schema: CompactedTableSchema, col: str) -> str:
+    """``partitioning.rs:64-95`` dialect (year bucket via
+    floor(year/n)*n, month bucket via the reference's
+    year*100 + fractional-month ceil formula)."""
     tp = schema.temporal_partitioning
     if tp.unit == "years":
-        return f"toString(intDiv(toYear({tcol}), {tp.num}) * {tp.num})"
+        if tp.num == 1:
+            return f"toString(toYear({col}))"
+        return f"toString(floor(toYear({col})/{tp.num})*{tp.num})"
     return (
-        f"toString(intDiv(toYear({tcol}) * 12 + toMonth({tcol}) - 1, "
-        f"{tp.num}) * {tp.num})"
+        f"toString(ceil(((toYear({col}) * 100) + "
+        f"(100 * (toMonth({col}) - 1) / 12)) / {tp.num}))"
     )
+
+
+def _partition_by_expressions(schema: CompactedTableSchema) -> list[str]:
+    """``partition_by_expressions`` parity (``mod.rs:244-290``): the H3
+    expression always first; with no explicit partition columns a
+    single temporal column (if any) is auto-used; explicit columns map
+    through the temporal expression when temporal, else by name."""
+
+    def col_expr(name: str) -> str:
+        cd = schema.columns[name]
+        if cd.kind != "h3index" and cd.datatype in _TEMPORAL_TYPES:
+            return _temporal_expr(schema, name)
+        return name
+
+    parts = [_h3_partition_expr(schema)]
+    if not schema.partition_by_columns:
+        temporal_exprs: list[str] = []
+        for name in sorted(schema.columns):
+            cd = schema.columns[name]
+            if cd.kind != "h3index" and cd.datatype in _TEMPORAL_TYPES:
+                expr = _temporal_expr(schema, name)
+                if expr not in temporal_exprs and expr not in parts:
+                    temporal_exprs.append(expr)
+        if len(temporal_exprs) > 1:
+            raise ValueError(
+                "found multiple temporal columns - explicit specification "
+                "of partitioning columns required"
+            )
+        parts.extend(temporal_exprs)
+    else:
+        parts.extend(col_expr(c) for c in schema.partition_by_columns)
+    return parts
 
 
 def create_table_ddl(
@@ -110,26 +154,18 @@ def create_table_ddl(
     meta: ResolutionMetadata,
     database: str | None = None,
 ) -> str:
-    """One pyramid table's DDL (reference ``schema/mod.rs:306-350``)."""
+    """One pyramid table's DDL — byte-parity with the reference's
+    ``build_create_statement`` format string (``schema/mod.rs:342-349``):
+    single statement, columns joined with ``,\\n``, trailing ``;``."""
     table = meta.table_name(schema.name)
     if database:
         table = f"{database}.{table}"
-    parts = [_h3_partition_expr(schema)]
-    texpr = _temporal_partition_expr(schema)
-    if texpr is not None:
-        parts.append(texpr)
-    parts.extend(
-        c
-        for c in schema.partition_by_columns
-        if c != schema.temporal_partition_column()
-    )
+    partition_by = ", ".join(_partition_by_expressions(schema))
     order_by = ", ".join(schema.sort_key())
-    cols = ",\n".join(_column_sql(schema))
     return (
-        f"CREATE TABLE IF NOT EXISTS {table} (\n{cols}\n)\n"
-        f"ENGINE {_engine_sql(schema)}\n"
-        f"PARTITION BY ({', '.join(parts)})\n"
-        f"ORDER BY ({order_by})"
+        f"CREATE TABLE IF NOT EXISTS {table} ( {_column_sql(schema)} ) "
+        f"ENGINE {_engine_sql(schema)} "
+        f"PARTITION BY ({partition_by}) ORDER BY ({order_by});"
     )
 
 

@@ -215,6 +215,12 @@ class ColumnDefinition:
         return False if self.kind == "h3index" else self.column.nullable
 
     @property
+    def codec(self) -> "CompressionMethod | None":
+        """Per-column compression override (reference
+        ``def.compression_method()``, mod.rs:327)."""
+        return None if self.kind == "h3index" else self.column.codec
+
+    @property
     def order_key_position(self) -> int | None:
         # h3index is always the first sort-key column (forced by a -100
         # offset in the reference, mod.rs:169-199)
