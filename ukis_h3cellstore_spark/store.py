@@ -480,10 +480,19 @@ class CellStore:
         """Cancel a running insert from another thread (reference
         cooperative abort, insert.rs:75-87: the Python side polls
         Ctrl-C and flips a shared flag; here Spark interrupts the job
-        group's running tasks)."""
+        group's running tasks AND fails the group's future jobs — the
+        reference checks its abort flag between stages, so an abort
+        must also stop work that has not been submitted yet; plain
+        cancelJobGroup would be a no-op when the cancel lands before
+        the first job starts)."""
         group = getattr(self, "_insert_job_group", None)
         if group:
-            self.spark.sparkContext.cancelJobGroup(group)
+            sc = self.spark.sparkContext
+            jvm_sc = sc._jsc.sc()
+            if hasattr(jvm_sc, "cancelJobGroupAndFutureJobs"):
+                jvm_sc.cancelJobGroupAndFutureJobs(group)
+            else:  # older Spark: active jobs only
+                sc.cancelJobGroup(group)
 
     # ----------------------------------------------------------------- Q5 dedup
 
