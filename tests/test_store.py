@@ -446,3 +446,44 @@ def test_adaptive_partitioning_large_batch_uses_schema_layout(spark, tmp_path):
     tdir = store._table_path("auto_big", ResolutionMetadata(5, False))
     parts = [p for p in os.listdir(tdir) if p.startswith("h3part=")]
     assert parts == ["h3part=60"]  # basecell layout
+
+
+def test_partition_scoped_dedup_rewrite(spark, tmp_path):
+    """A second insert into DIFFERENT partitions must not rewrite the
+    untouched partition's files (reference partition-scoped OPTIMIZE,
+    O11), and cross-insert duplicates in the SAME partition merge."""
+    import os
+
+    store = CellStore(
+        spark, str(tmp_path / "wh_scope"), target_rows_per_partition=1
+    )  # force declared basecell layout so partitions are observable
+    schema = (
+        CompactedTableSchemaBuilder("scope_set")
+        .h3_base_resolutions([5])
+        .use_compacted_resolutions(False)
+        .add_h3index_column()
+        .add_column("v", "Int64")
+        .build()
+    )
+    cells60 = h3c.cell_to_children(h3c.build_cell(60, [1, 2, 3]), 5)
+    cells61 = h3c.cell_to_children(h3c.build_cell(61, [1, 2, 3]), 5)
+    df60 = spark.createDataFrame([(c, 1) for c in cells60], "h3index long, v long")
+    df61 = spark.createDataFrame([(c, 2) for c in cells61], "h3index long, v long")
+    store.insert_h3dataframe_into_tableset(schema, df60)
+    store.insert_h3dataframe_into_tableset(schema, df61)
+
+    tdir = store._table_path("scope_set", ResolutionMetadata(5, False))
+    p60 = os.path.join(tdir, "h3part=60")
+    mtime_before = max(
+        os.path.getmtime(os.path.join(p60, f)) for f in os.listdir(p60)
+    )
+    # third insert touches only base cell 61 → h3part=60 files untouched
+    store.insert_h3dataframe_into_tableset(schema, df61)
+    mtime_after = max(
+        os.path.getmtime(os.path.join(p60, f)) for f in os.listdir(p60)
+    )
+    assert mtime_after == mtime_before
+
+    # duplicates within the touched partition merged away
+    out = store.query_tableset_cells("scope_set", cells60 + cells61, 5).df.toPandas()
+    assert len(out) == len(cells60) + len(cells61)

@@ -409,6 +409,7 @@ class CellStore:
                 )
                 self._write_table(schema, meta, level_df, options, batch_rows)
 
+            written_frames: dict[ResolutionMetadata, DataFrame] = {}
             with ThreadPoolExecutor(max_workers=3) as pool:
                 futures = []
                 for meta, level_df in level_dfs.items():
@@ -422,6 +423,7 @@ class CellStore:
                         )
                     )
                     written.append(meta)
+                    written_frames[meta] = level_df
 
                 # rollup chain (reference insert.rs:278-548): adjacent
                 # base resolution pairs, fine → coarse; levels depend
@@ -453,24 +455,40 @@ class CellStore:
                     meta = ResolutionMetadata(target_res, False)
                     futures.append(pool.submit(_write, meta, level))
                     written.append(meta)
+                    written_frames[meta] = level
                     current = level
 
                 for fut in futures:
                     fut.result()
 
-            for p in persisted:
-                p.unpersist()
-
             if options.deduplicate_after_insert:
                 # rollup outputs are already grouped per key and fresh
                 # tables were merged in-flight — only tables that held
-                # data before this insert need the cross-insert merge
-                # (the reference's partition-scoped OPTIMIZE, O11)
+                # data before this insert need the cross-insert merge,
+                # and only in the PARTITIONS this batch touched (the
+                # reference's partition-scoped OPTIMIZE, O11)
                 touched_existing = [
                     m for m in set(written) if existed_before.get(m)
                 ]
+                part_cols = self._partition_columns(schema)
+                touched_vals: dict[ResolutionMetadata, list] = {}
+                for m in touched_existing:
+                    mode = self._table_mode(schema, m)
+                    pdf = self._with_partition_columns(
+                        schema, written_frames[m], m.resolution, mode
+                    )
+                    touched_vals[m] = (
+                        pdf.select(*part_cols).distinct().collect()
+                    )
+                for p in persisted:
+                    p.unpersist()
                 if touched_existing:
-                    self.deduplicate_tableset(schema.name, touched_existing)
+                    self.deduplicate_tableset(
+                        schema.name, touched_existing, touched_vals
+                    )
+            else:
+                for p in persisted:
+                    p.unpersist()
         finally:
             df.unpersist()
             sc.setJobGroup("", "")
@@ -497,39 +515,82 @@ class CellStore:
     # ----------------------------------------------------------------- Q5 dedup
 
     def deduplicate_tableset(
-        self, name: str, metas: list[ResolutionMetadata] | None = None
+        self,
+        name: str,
+        metas: list[ResolutionMetadata] | None = None,
+        touched_partitions: dict[ResolutionMetadata, list] | None = None,
     ) -> None:
         """Reference Q5 (`deduplicate_schema`, optimize.rs:20-113):
         OPTIMIZE ... DEDUPLICATE ≈ full-row distinct rewrite of the
         touched tables. Table-engine semantics beyond plain dedup
         (Replacing/Summing/Aggregating merge) are applied here as well,
         which *strengthens* the reference's lazy merge into a
-        deterministic state (SURVEY §7.4.3)."""
+        deterministic state (SURVEY §7.4.3).
+
+        ``touched_partitions`` maps a table to the partition-column
+        value rows a batch touched: the rewrite is then PARTITION-
+        scoped — only those parquet partitions are read, merged and
+        replaced (dynamic partition overwrite), the reference's
+        partition-scoped ``OPTIMIZE ... PARTITION`` (O11). Correct
+        because partition values derive from the row itself, so
+        duplicates can never span partitions. Without it the whole
+        table rewrites (the public API's behavior)."""
         schema = self.get_schema(name)
         metas = metas or [
             m
             for m in schema.resolution_metadata()
             if os.path.isdir(self._table_path(name, m))
         ]
+        part_cols = self._partition_columns(schema)
         for meta in metas:
             path = self._table_path(name, meta)
             if not os.path.isdir(path):
                 continue
             df = self.spark.read.schema(self._read_schema(schema)).parquet(path)
-            deduped = self._apply_engine_merge(schema, df)
-            tmp = path + "__dedup_tmp"
-            part_cols = self._partition_columns(schema)
-            mode = self._table_mode(schema, meta)  # preserve layout marker
-            (
-                deduped.repartition(*[F.col(c) for c in part_cols])
-                .sortWithinPartitions(*schema.sort_key())
-                .write.mode("overwrite")
-                .partitionBy(*part_cols)
-                .parquet(tmp)
+            touched = (
+                touched_partitions.get(meta) if touched_partitions else None
             )
-            shutil.rmtree(path)
-            os.rename(tmp, path)
-            self._mode_cache.pop(self._mode_path(name, meta), None)
+            mode = self._table_mode(schema, meta)  # preserve layout marker
+            if touched is not None:
+                if not touched:
+                    continue
+                cond = None
+                for row in touched:
+                    clause = None
+                    for c in part_cols:
+                        eq = F.col(c) == F.lit(row[c])
+                        clause = eq if clause is None else clause & eq
+                    cond = clause if cond is None else cond | clause
+                scoped = df.filter(cond)
+                deduped = self._apply_engine_merge(schema, scoped)
+                # materialize before overwriting the path being read
+                # (breaks the logical read-write cycle; dynamic
+                # overwrite then replaces ONLY the touched partitions)
+                deduped = (
+                    deduped.repartition(*[F.col(c) for c in part_cols])
+                    .sortWithinPartitions(*schema.sort_key())
+                    .localCheckpoint(eager=True)
+                )
+                (
+                    deduped.write.mode("overwrite")
+                    .option("partitionOverwriteMode", "dynamic")
+                    .partitionBy(*part_cols)
+                    .parquet(path)
+                )
+                deduped.unpersist()
+            else:
+                deduped = self._apply_engine_merge(schema, df)
+                tmp = path + "__dedup_tmp"
+                (
+                    deduped.repartition(*[F.col(c) for c in part_cols])
+                    .sortWithinPartitions(*schema.sort_key())
+                    .write.mode("overwrite")
+                    .partitionBy(*part_cols)
+                    .parquet(tmp)
+                )
+                shutil.rmtree(path)
+                os.rename(tmp, path)
+                self._mode_cache.pop(self._mode_path(name, meta), None)
             self._record_table_mode(schema, meta, mode)
 
     def _apply_engine_merge(
