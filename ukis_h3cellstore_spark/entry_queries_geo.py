@@ -254,12 +254,44 @@ SELECT cell FROM layer0 UNION SELECT cell FROM layer1
 """
 
 
+def q_geo_latlng_to_cell(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """§2.6 ``geoToH3`` through the registered SQL-function path: the
+    Python UDF is backed by the closure-shipped SquareGrid (no ``h3``
+    wheel here), applied to synthesized event coordinates inside a
+    ``spark.sql`` statement — the CH-template execution route. The
+    oracle recomputes the same grid arithmetic relationally."""
+    from ukis_h3cellstore_spark.functions import register_h3_sql_functions
+
+    register_h3_sql_functions(spark, grid=geo.SquareGrid())
+    _events(spark, sf_dir).createOrReplaceTempView("__geo_events")
+    lng = _synth_lng_sql("event_id")
+    lat = _synth_lat_sql("event_id")
+    return spark.sql(
+        f"""
+        SELECT geoToH3({lat}, {lng}, {GEO_RES}) AS cell,
+               COUNT(*) AS n_events
+        FROM __geo_events GROUP BY 1
+        """
+    )
+
+
+def _q_geo_latlng_to_cell_sql() -> str:
+    return f"""
+SELECT {_sq_cell_sql(_synth_lat_sql('event_id'), _synth_lng_sql('event_id'))}
+         AS cell,
+       COUNT(*) AS n_events
+FROM events GROUP BY 1
+"""
+
+
 QUERIES_GEO: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "geo_polyfill_traversal": q_geo_polyfill_traversal,
     "geo_border_cells": q_geo_border_cells,
+    "geo_latlng_to_cell": q_geo_latlng_to_cell,
 }
 
 ORACLES_GEO: dict[str, str] = {
     "geo_polyfill_traversal": _q_geo_polyfill_traversal_sql(),
     "geo_border_cells": _q_geo_border_cells_sql(),
+    "geo_latlng_to_cell": _q_geo_latlng_to_cell_sql(),
 }

@@ -226,11 +226,57 @@ FROM c6
 """
 
 
+def _templ_cells() -> list[int]:
+    """Res-6 query cells (synth cells of the first 200 event ids)."""
+    return sorted({_synth_py(i, 6) for i in range(200)})
+
+
+def q_pipeline_templated_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P3: a CH-dialect templated predicate through the full store
+    read path — ``<[table]>``/``<[h3indexes]>`` placeholders plus the
+    registered ``h3GetBaseCell``/``modulo`` SQL functions evaluated
+    inside the per-table query (reference templated queries,
+    query.rs + functions registered per §2.6)."""
+    from ukis_h3cellstore_spark.functions import register_h3_sql_functions
+    from ukis_h3cellstore_spark.query import TableSetQuery
+
+    register_h3_sql_functions(spark)
+    store = _trav_loaded_store(spark, sf_dir)
+    q = TableSetQuery.from_template(
+        "select h3index, value_cents from <[table]> "
+        "where modulo(h3GetBaseCell(h3index), 2) = 0 "
+        "and value_cents >= 500 and h3index in <[h3indexes]>"
+    )
+    out = store.query_tableset_cells("entry_trav", _templ_cells(), 6, query=q)
+    return out.df.select("h3index", "value_cents")
+
+
+def _q_pipeline_templated_query_sql() -> str:
+    cell = sg.synth_cell("event_id", 6, DUCK)
+    clist = ", ".join(str(c) for c in _templ_cells())
+    return f"""
+WITH syn AS (
+  SELECT {cell} AS h3index,
+         CAST(round(value*100) AS BIGINT) AS value_cents
+  FROM events
+),
+merged AS (
+  SELECT h3index, CAST(SUM(value_cents) AS BIGINT) AS value_cents
+  FROM syn GROUP BY h3index
+)
+SELECT h3index, value_cents FROM merged
+WHERE ({sg.base_cell('h3index', DUCK)} % 2) = 0
+  AND value_cents >= 500
+  AND h3index IN ({clist})
+"""
+
+
 QUERIES_TRAV: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "pipeline_traversal": q_pipeline_traversal,
     "pipeline_traversal_prefiltered": q_pipeline_traversal_prefiltered,
     "pipeline_traverse_apply": q_pipeline_traverse_apply,
     "pipeline_tableset_stats": q_pipeline_tableset_stats,
+    "pipeline_templated_query": q_pipeline_templated_query,
 }
 
 ORACLES_TRAV: dict[str, str] = {
@@ -238,4 +284,5 @@ ORACLES_TRAV: dict[str, str] = {
     "pipeline_traversal_prefiltered": _q_pipeline_traversal_prefiltered_sql(),
     "pipeline_traverse_apply": _q_pipeline_traverse_apply_sql(),
     "pipeline_tableset_stats": _q_pipeline_tableset_stats_sql(),
+    "pipeline_templated_query": _q_pipeline_templated_query_sql(),
 }
