@@ -186,11 +186,16 @@ def q_dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     return D.minhash_signatures(_docs(spark, sf_dir))
 
 
+def _duck_minhash_slot(i: int) -> str:
+    """Slot hash parity with ops.dedup._hash64_slot: one salted md5
+    digest per PAIR of slots, hex halves 1-15 / 17-31."""
+    salt, start = i // 2, (1 if i % 2 == 0 else 17)
+    return f"('0x' || substr(md5('{salt}' || '|' || shingle), {start}, 15))::BIGINT"
+
+
 def _q_dedup_minhash_sql() -> str:
     mins = ", ".join(
-        f"CAST(MIN(('0x' || substr(md5('{i}' || '|' || shingle), 1, 15))::BIGINT)"
-        f" AS BIGINT) AS m{i}"
-        for i in range(8)
+        f"CAST(MIN({_duck_minhash_slot(i)}) AS BIGINT) AS m{i}" for i in range(8)
     )
     return f"""
 WITH sh AS ({_DUCK_SHINGLES})
@@ -205,8 +210,7 @@ def q_dedup_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def _q_dedup_minhash_lsh_sql() -> str:
     mins = ", ".join(
-        f"MIN(('0x' || substr(md5('{i}' || '|' || shingle), 1, 15))::BIGINT) AS m{i}"
-        for i in range(8)
+        f"MIN({_duck_minhash_slot(i)}) AS m{i}" for i in range(8)
     )
     band_conds = " OR ".join(
         "(" + " AND ".join(f"a.m{i} = b.m{i}" for i in range(b * 2, b * 2 + 2)) + ")"

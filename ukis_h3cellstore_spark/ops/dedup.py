@@ -10,8 +10,8 @@ Scale design notes (100 TB):
   never materializes the O(n²) pair space, and hot shingles can be
   dropped by document frequency (``max_shingle_df``) — the standard
   spam-shingle guard at corpus scale.
-- **MinHash+LSH**: k md5-derived hash slots aggregated with ``min`` in
-  one pass, then candidate pairs via equality joins on banded
+- **MinHash+LSH**: k md5-derived hash slots (two per digest) aggregated
+  with ``min`` in one pass, then candidate pairs via equality joins on banded
   signature tuples (r rows per band). Only bucket-colliding pairs are
   compared — sub-quadratic, shuffle keyed on small band tuples.
 - **SimHash**: 16-bit sign-aggregated fingerprint in one groupBy;
@@ -54,8 +54,25 @@ def dedup_exact(
 def shingle_df(
     df: DataFrame, text_col: str = "text", id_col: str = "doc_id", k: int = 3
 ) -> DataFrame:
-    """Distinct k-word shingles per document: (id, shingle)."""
-    toks = tokens(text_col)
+    """Distinct k-word shingles per document: (id, shingle).
+
+    The token array is materialized in its OWN projection before the
+    shingle transform: referencing ``tokens(text)`` directly inside
+    the per-slot slice lambda re-inlines the regex split into every
+    slot (no common-subexpression elimination across lambda bodies),
+    re-tokenizing each document ~n_tokens times — measured 10× slower
+    at sf0.1."""
+    # a small input (e.g. one parquet file) would run the whole
+    # tokenize+shingle explode in a single task — round-robin the RAW
+    # text across the cluster first (cheaper to shuffle than token
+    # arrays); at real scale the scan already has ≥ cores partitions
+    # and this branch never triggers
+    src = df.select(F.col(id_col), F.col(text_col))
+    par = df.sparkSession.sparkContext.defaultParallelism
+    if src.rdd.getNumPartitions() < par:
+        src = src.repartition(par)
+    toks_df = src.select(F.col(id_col), tokens(text_col).alias("__toks"))
+    toks = F.col("__toks")
     n = F.size(toks)
     # NB: Spark's sequence(1, 0) yields a DESCENDING [1, 0] — guard
     # short documents with an empty array instead
@@ -67,7 +84,7 @@ def shingle_df(
         ),
     ).otherwise(F.array().cast("array<string>"))
     return (
-        df.select(F.col(id_col), F.explode(shingles).alias("shingle"))
+        toks_df.select(F.col(id_col), F.explode(shingles).alias("shingle"))
         .distinct()
     )
 
@@ -121,6 +138,16 @@ def ngram_jaccard_pairs(
     return out.select("id_a", "id_b", "n_common", "jaccard")
 
 
+def _hash64_slot(col: Column, slot: int) -> Column:
+    """60-bit hash for signature slot ``slot``: one md5 digest yields
+    TWO independent 60-bit halves (hex chars 1-15 and 17-31), so k
+    slots cost ceil(k/2) digests instead of k."""
+    salt = str(slot // 2)
+    start = 1 if slot % 2 == 0 else 17
+    digest = F.md5(F.concat(F.lit(salt), F.lit("|"), col))
+    return F.conv(F.substring(digest, start, 15), 16, 10).cast("long")
+
+
 def minhash_signatures(
     df: DataFrame,
     text_col: str = "text",
@@ -128,11 +155,12 @@ def minhash_signatures(
     k: int = 3,
     num_hashes: int = 8,
 ) -> DataFrame:
-    """MinHash signature columns m0..m{n-1}: per salt, the min
-    md5-derived 60-bit hash over the document's shingle set."""
+    """MinHash signature columns m0..m{n-1}: per slot, the min
+    md5-derived 60-bit hash over the document's shingle set (two
+    slots share one salted digest — see _hash64_slot)."""
     sh = shingle_df(df, text_col, id_col, k)
     aggs = [
-        F.min(_hash64(F.col("shingle"), str(i))).alias(f"m{i}")
+        F.min(_hash64_slot(F.col("shingle"), i)).alias(f"m{i}")
         for i in range(num_hashes)
     ]
     return sh.groupBy(id_col).agg(*aggs)
@@ -151,7 +179,7 @@ def minhash_lsh_pairs(
     MinHash signature, with the estimated Jaccard (fraction of equal
     signature slots): (id_a, id_b, est_jaccard).
 
-    Scale shape: signatures are computed ONCE (lazy checkpoint), bands
+    Scale shape: signatures are computed ONCE (exchange reuse), bands
     unpivot to (id, band, band_key, sig-array) rows, and candidates
     come from a single self-equi-join on (band, band_key) — the bucket
     join shuffles on the band key, never the document corpus squared.
@@ -167,7 +195,11 @@ def minhash_lsh_pairs(
         F.col(id_col).alias("id"),
         F.array(*[F.col(m) for m in msig]).alias("sig"),
     )
-    sig = sig.localCheckpoint(eager=False)
+    # no checkpoint needed: the expensive side of the signature job
+    # (shingle explode + hashing + partial min-agg) sits INSIDE the
+    # doc-id exchange, and the band selects are identical consumers,
+    # so ReuseExchange computes it once; a checkpoint would add a
+    # serial materialization barrier for nothing
     n_bands = -(-num_hashes // band_size)  # ceil → remainder = short band
 
     band_parts = []
