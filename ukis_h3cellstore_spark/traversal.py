@@ -74,9 +74,10 @@ def select_traversal_resolution(
 @dataclass
 class TraversalOptions:
     """Parity with the reference ``TraversalOptions``
-    (traversal.rs:91-103). ``num_connections`` is accepted for API
-    compatibility but unused — Spark's scheduler replaces the
-    hand-rolled worker pool."""
+    (traversal.rs:91-103). ``num_connections`` is the PREFETCH width
+    of the pull iterator — up to that many per-cell fetch jobs run
+    concurrently ahead of the consumer, the Spark twin of the
+    reference's gRPC worker pool feeding a bounded channel."""
 
     max_h3indexes_fetch_count: int = DEFAULT_MAX_FETCH_COUNT
     num_connections: int = 3
@@ -109,6 +110,9 @@ class Traverser:
     options: TraversalOptions = field(default_factory=TraversalOptions)
 
     _pos: int = 0
+    _next_submit: int = 0
+    _pool: object = field(default=None, repr=False)
+    _futures: object = field(default=None, repr=False)
 
     def __len__(self) -> int:
         """Remaining cells (reference size_hint, traversal.rs:184-205)."""
@@ -121,31 +125,55 @@ class Traverser:
     def __iter__(self) -> Iterator[TraversedCell]:
         return self
 
-    def __next__(self) -> TraversedCell:
-        while self._pos < len(self.traversal_cells):
-            cell = self.traversal_cells[self._pos]
-            self._pos += 1
-            fetch_cells = [cell]
-            if self.options.buffer_k > 0:
-                from ukis_h3cellstore_spark import geo
+    def _fetch(self, cell: int):
+        fetch_cells = [cell]
+        if self.options.buffer_k > 0:
+            from ukis_h3cellstore_spark import geo
 
-                fetch_cells = sorted(
-                    set(geo.default_grid().grid_disk(cell, self.options.buffer_k))
-                )
-            h3df = self.store.query_tableset_cells(
-                self.tableset_name,
-                fetch_cells,
-                self.h3_resolution,
-                query=self.query,
+            fetch_cells = sorted(
+                set(geo.default_grid().grid_disk(cell, self.options.buffer_k))
             )
-            # skip-empty semantics (traversal.rs:452-456). This is a
-            # per-step driver action by design — the reference is the
-            # same pull-based client iterator; for the distributed
-            # path use traverse_apply.
-            if h3df.df.isEmpty():
+        h3df = self.store.query_tableset_cells(
+            self.tableset_name,
+            fetch_cells,
+            self.h3_resolution,
+            query=self.query,
+        )
+        # skip-empty semantics (traversal.rs:452-456). These are
+        # per-step driver actions by design — the reference is the
+        # same pull-based client iterator; for the distributed path
+        # use traverse_apply.
+        return h3df, h3df.df.isEmpty()
+
+    def __next__(self) -> TraversedCell:
+        """Yields cells in dispatch order; up to ``num_connections``
+        fetches run concurrently ahead of the consumer (the
+        reference's worker pool + bounded mpsc channel,
+        traversal.rs:207-327 — Spark handles the concurrent jobs)."""
+        from collections import deque
+        from concurrent.futures import ThreadPoolExecutor
+
+        width = max(self.options.num_connections, 1)
+        if self._pool is None:
+            self._pool = ThreadPoolExecutor(max_workers=width)
+            self._futures = deque()
+        while True:
+            while (
+                self._next_submit < len(self.traversal_cells)
+                and len(self._futures) < width
+            ):
+                cell = self.traversal_cells[self._next_submit]
+                self._next_submit += 1
+                self._futures.append((cell, self._pool.submit(self._fetch, cell)))
+            if not self._futures:
+                self._pool.shutdown(wait=False)
+                raise StopIteration
+            cell, fut = self._futures.popleft()
+            h3df, empty = fut.result()
+            self._pos += 1
+            if empty:
                 continue
             return TraversedCell(cell, h3df)
-        raise StopIteration
 
 
 def _prefilter_cells(
