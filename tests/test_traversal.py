@@ -184,3 +184,41 @@ def test_traverse_apply_distributed(loaded):
     assert int(out["traversal_cell"].iloc[0]) == region_a
     assert int(out["n_rows"].iloc[0]) == len(cells)
     assert int(out["sum_value"].iloc[0]) == sum(range(len(cells)))
+
+
+def test_traverse_do_uncompact_false_returns_stored_resolutions(loaded):
+    """PyTraversalOptions.do_uncompact parity: rows come back at their
+    stored (possibly compacted) resolutions, not expanded to the
+    requested one."""
+    from pyspark.sql import functions as F
+
+    from ukis_h3cellstore_spark.h3 import expressions as hx
+
+    store, region_a, region_b, cells = loaded
+    # a uniform-value region COMPACTS: all 49 children of region_a
+    # collapse into the single res-5 parent row in a compacted table
+    uniform = store.spark.createDataFrame(
+        [(c, 1) for c in h3c.cell_to_children(region_b, 7)],
+        "h3index long, value int",
+    )
+    store.insert_h3dataframe_into_tableset(trav_schema(), uniform)
+    trav = build_traverser(
+        store,
+        "trav_set",
+        [region_b],
+        7,
+        options=TraversalOptions(
+            max_h3indexes_fetch_count=50, do_uncompact=False
+        ),
+    )
+    steps = list(trav)
+    assert len(steps) == 1
+    df = steps[0].contained_data.df
+    res = sorted(
+        r["r"]
+        for r in df.select(
+            hx.h3_get_resolution(F.col("h3index")).alias("r")
+        ).distinct().collect()
+    )
+    # stored (compacted) resolution comes back untouched
+    assert res == [5]

@@ -1,0 +1,68 @@
+"""Measure ANN recall@k of the approximate similarity paths against
+the exact brute-force baseline.
+
+Recall@k = |approx top-k ∩ exact top-k| / |exact top-k| over a query
+sample — the metric that justifies (or indicts) the LSH bucket and IVF
+probe parameters. Usage:
+
+    python tools/ann_recall.py [sf_dir] [k] [n_queries]
+
+Prints one JSON line, e.g.
+    {"sf_dir": ..., "k": 3, "recall": {"lsh_4x6": 0.87, ...}}
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def pairs(df) -> set:
+    return {(r["query_id"], r["neighbor_id"]) for r in df.collect()}
+
+
+def main() -> None:
+    from pyspark.sql import SparkSession
+    from pyspark.sql import functions as F
+
+    from ukis_h3cellstore_spark.ops import similarity as S
+
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
+    k = int(sys.argv[2]) if len(sys.argv) > 2 else 3
+    n_q = int(sys.argv[3]) if len(sys.argv) > 3 else 50
+
+    spark = (
+        SparkSession.builder.master("local[16]")
+        .appName("ann-recall")
+        .config("spark.sql.shuffle.partitions", "16")
+        .config("spark.ui.enabled", "false")
+        .getOrCreate()
+    )
+    spark.sparkContext.setLogLevel("ERROR")
+    e = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    q = e.filter(F.col("vec_id") < n_q)
+
+    exact = pairs(S.cosine_topk(e, q, k=k))
+    variants = {
+        "lsh_4x6": S.lsh_topk(e, q, k=k, num_tables=4, num_planes=6),
+        "lsh_8x6": S.lsh_topk(e, q, k=k, num_tables=8, num_planes=6),
+        "lsh_4x8": S.lsh_topk(e, q, k=k, num_tables=4, num_planes=8),
+        "ivf_16c_p2": S.ivf_topk(e, q, k=k, n_centroids=16, nprobe=2),
+        "ivf_16c_p4": S.ivf_topk(e, q, k=k, n_centroids=16, nprobe=4),
+    }
+    recall = {
+        name: round(len(pairs(df) & exact) / max(len(exact), 1), 4)
+        for name, df in variants.items()
+    }
+    print(
+        json.dumps(
+            {"sf_dir": sf_dir, "k": k, "n_queries": n_q, "recall": recall}
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

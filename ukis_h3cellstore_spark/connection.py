@@ -132,10 +132,13 @@ class Connection:
         max_h3indexes_fetch_count: int | None = None,
         num_connections: int = 3,
         filter_query: TableSetQuery | str | None = None,
+        do_uncompact: bool = True,
     ) -> Traverser:
         """grpc.rs:326-344 — streaming traversal (Q3). AOI is a cell
         iterable or a ``__geo_interface__`` geometry."""
-        options = TraversalOptions(num_connections=num_connections)
+        options = TraversalOptions(
+            num_connections=num_connections, do_uncompact=do_uncompact
+        )
         if max_h3indexes_fetch_count is not None:
             options.max_h3indexes_fetch_count = max_h3indexes_fetch_count
         options.filter_query = _coerce_query(filter_query)

@@ -75,10 +75,57 @@ FROM syn GROUP BY 1, 2
 """
 
 
+def q_streaming_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming exact dedup for a training-data ingest: the documents
+    table arrives in micro-batches and duplicate groups accumulate in
+    streaming state (groupBy on the content hash, complete mode) — the
+    result must equal the batch dedup_exact answer regardless of how
+    rows split across batches (min/count are order-proof)."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+        "doc_id", "text"
+    )
+    stream_dir = tempfile.mkdtemp(prefix="h3stream_docs_")
+    docs.repartition(4).write.mode("overwrite").parquet(stream_dir)
+    stream = st.read_stream(
+        spark, stream_dir, docs.schema, max_files_per_trigger=1
+    )
+    content = F.lower(F.trim(F.col("text")))
+    agg = (
+        stream.select(F.md5(content).alias("content_hash"), F.col("doc_id"))
+        .groupBy("content_hash")
+        .agg(
+            F.min("doc_id").alias("canonical_id"),
+            F.count(F.lit(1)).alias("n_docs"),
+        )
+    )
+    _SINK_COUNTER[0] += 1
+    sink = f"stream_dedup_sink_{_SINK_COUNTER[0]}"
+    q = (
+        agg.writeStream.format("memory")
+        .queryName(sink)
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    return spark.table(sink)
+
+
+_Q_STREAMING_DEDUP_EXACT_SQL = """
+SELECT md5(lower(trim(text))) AS content_hash,
+       CAST(MIN(doc_id) AS BIGINT) AS canonical_id,
+       COUNT(*) AS n_docs
+FROM documents
+GROUP BY 1
+"""
+
+
 QUERIES_STREAM: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "streaming_windowed_rollup": q_streaming_windowed_rollup,
+    "streaming_dedup_exact": q_streaming_dedup_exact,
 }
 
 ORACLES_STREAM: dict[str, str] = {
     "streaming_windowed_rollup": _q_streaming_windowed_rollup_sql(),
+    "streaming_dedup_exact": _Q_STREAMING_DEDUP_EXACT_SQL,
 }

@@ -82,6 +82,10 @@ class TraversalOptions:
     max_h3indexes_fetch_count: int = DEFAULT_MAX_FETCH_COUNT
     num_connections: int = 3
     filter_query: TableSetQuery | None = None
+    #: return rows at the stored (possibly compacted) resolutions
+    #: instead of uncompacting to the requested one (reference
+    #: PyTraversalOptions.do_uncompact)
+    do_uncompact: bool = True
     #: expand each traversal cell by grid_disk(k) before fetching
     #: (reference traversal.rs:403-434); requires a geo backend.
     buffer_k: int = 0
@@ -138,6 +142,7 @@ class Traverser:
             fetch_cells,
             self.h3_resolution,
             query=self.query,
+            do_uncompact=self.options.do_uncompact,
         )
         # skip-empty semantics (traversal.rs:452-456). These are
         # per-step driver actions by design — the reference is the
