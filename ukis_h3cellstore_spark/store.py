@@ -502,15 +502,51 @@ class CellStore:
         reference checks its abort flag between stages, so an abort
         must also stop work that has not been submitted yet; plain
         cancelJobGroup would be a no-op when the cancel lands before
-        the first job starts)."""
+        the first job starts).
+
+        A watcher thread re-issues the cancellation every 2 s while
+        the group still reports running jobs (bounded at 120 s): a
+        single cancellation event can occasionally be lost when it
+        races job submission, and the reference's abort flag is
+        likewise checked repeatedly rather than delivered once."""
+        import threading
+        import time as _time
+
         group = getattr(self, "_insert_job_group", None)
-        if group:
-            sc = self.spark.sparkContext
-            jvm_sc = sc._jsc.sc()
-            if hasattr(jvm_sc, "cancelJobGroupAndFutureJobs"):
-                jvm_sc.cancelJobGroupAndFutureJobs(group)
-            else:  # older Spark: active jobs only
+        if not group:
+            return
+        sc = self.spark.sparkContext
+
+        def _cancel_once() -> None:
+            try:
+                # JVM-side API (Spark 4.x): also fails future jobs
+                sc._jsc.sc().cancelJobGroupAndFutureJobs(group)
+            except Exception:
                 sc.cancelJobGroup(group)
+
+        _cancel_once()
+
+        def _reap() -> None:
+            tracker = sc.statusTracker()
+            deadline = _time.time() + 120
+            while _time.time() < deadline:
+                _time.sleep(2.0)
+                if getattr(self, "_insert_job_group", None) != group:
+                    return  # insert finished or aborted
+                try:
+                    running = [
+                        j
+                        for j in tracker.getJobIdsForGroup(group)
+                        if (info := tracker.getJobInfo(j))
+                        and info.status == "RUNNING"
+                    ]
+                except Exception:
+                    return
+                if not running:
+                    return
+                _cancel_once()
+
+        threading.Thread(target=_reap, daemon=True).start()
 
     # ----------------------------------------------------------------- Q5 dedup
 
