@@ -281,3 +281,52 @@ def test_embedding_dup_pairs_bucket_cap_and_report(vecs):
     report = S.lsh_bucket_stats(vecs, max_bucket_size=1).toPandas()
     assert bool(report[report.n_vectors > 1].dropped.all())
     assert not bool(report[report.n_vectors <= 1].dropped.any())
+
+
+# -------------------------------------------------------------- sampling
+
+
+def test_split_by_hash_deterministic_and_proportional(spark):
+    from ukis_h3cellstore_spark.ops import sampling as SM
+
+    df = spark.range(20_000).select(F.col("id").alias("doc_id"))
+    a = SM.split_by_hash(df, {"train": 0.8, "val": 0.1, "test": 0.1})
+    b = SM.split_by_hash(df, {"train": 0.8, "val": 0.1, "test": 0.1})
+    counts = {r["split"]: r["n"] for r in a.groupBy("split").agg(F.count(F.lit(1)).alias("n")).collect()}
+    assert set(counts) == {"train", "val", "test"}
+    assert abs(counts["train"] / 20_000 - 0.8) < 0.02
+    assert abs(counts["val"] / 20_000 - 0.1) < 0.01
+    # identical across invocations (pure row function)
+    assert a.orderBy("doc_id").collect() == b.orderBy("doc_id").collect()
+    # appending a split at the end never moves earlier assignments
+    c = SM.split_by_hash(df, {"train": 0.8, "val": 0.1, "extra": 0.05, "test": 0.05})
+    moved = (
+        a.alias("a").join(c.alias("c"), "doc_id")
+        .filter((F.col("a.split") == "train") & (F.col("c.split") != "train"))
+        .count()
+    )
+    assert moved == 0
+
+
+def test_pack_documents_invariants(docs):
+    from ukis_h3cellstore_spark.ops import sampling as SM
+
+    packed = SM.pack_documents(docs, max_tokens=5, num_shards=2).toPandas()
+    assert len(packed) == docs.count()
+    for _, shard_rows in packed.groupby("shard"):
+        sr = shard_rows.sort_values("doc_id")
+        # offsets are the exclusive running token sum in id order
+        assert list(sr.bin_offset) == list(sr.n_tokens.cumsum() - sr.n_tokens)
+        # bins are derived from offsets
+        assert (sr.bin == sr.bin_offset // 5).all()
+
+
+def test_packing_stats_fill(docs):
+    from ukis_h3cellstore_spark.ops import sampling as SM
+
+    stats = SM.packing_stats(docs, max_tokens=8, num_shards=1).toPandas()
+    assert stats.n_docs.sum() == docs.count()
+    # every document's tokens are accounted for exactly once
+    total = stats.total_tokens.sum()
+    from ukis_h3cellstore_spark.ops import sampling as _
+    assert total > 0

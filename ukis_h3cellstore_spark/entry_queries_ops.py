@@ -15,6 +15,7 @@ from pyspark.sql import functions as F
 
 from ukis_h3cellstore_spark.ops import dedup as D
 from ukis_h3cellstore_spark.ops import multimodal as M
+from ukis_h3cellstore_spark.ops import sampling as SM
 from ukis_h3cellstore_spark.ops import similarity as S
 from ukis_h3cellstore_spark.ops import text as X
 
@@ -510,6 +511,91 @@ WHERE round(CAST({cos} AS DOUBLE), 4) >= 0.2
 """
 
 
+# ------------------------------------------------------------ sampling suite
+
+
+def q_corpus_split_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic train/val/test split: per-split document count
+    and token volume (split_by_hash is a pure row function, so any
+    engine reproduces it)."""
+    split = SM.split_by_hash(
+        _docs(spark, sf_dir), {"train": 0.9, "val": 0.05, "test": 0.05}
+    )
+    n_tokens = F.when(
+        F.length(F.trim(F.col("text"))) == 0, F.lit(0)
+    ).otherwise(F.size(F.split(F.trim(F.col("text")), r"\s+")))
+    return split.groupBy("split").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(n_tokens).cast("long").alias("total_tokens"),
+    )
+
+
+def _q_corpus_split_counts_sql() -> str:
+    bucket = (
+        "(('0x' || substr(md5('split' || '|' || CAST(doc_id AS VARCHAR)), 1, 15))"
+        f"::BIGINT % {SM.SPLIT_BUCKETS})"
+    )
+    ntok = (
+        "CASE WHEN length(trim(text)) = 0 THEN 0"
+        f" ELSE len({_DUCK_TOKS}) END"
+    )
+    return f"""
+SELECT CASE WHEN {bucket} < 9000 THEN 'train'
+            WHEN {bucket} < 9500 THEN 'val'
+            ELSE 'test' END AS split,
+       COUNT(*) AS n_docs,
+       CAST(SUM({ntok}) AS BIGINT) AS total_tokens
+FROM documents GROUP BY 1
+"""
+
+
+def q_pack_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return SM.pack_documents(_docs(spark, sf_dir), max_tokens=512, num_shards=8)
+
+
+def _q_pack_documents_sql() -> str:
+    ntok = (
+        "CASE WHEN length(trim(text)) = 0 THEN 0"
+        f" ELSE len({_DUCK_TOKS}) END"
+    )
+    shard = (
+        "CAST((('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT % 8)"
+        " AS INT)"
+    )
+    return f"""
+WITH base AS (
+  SELECT CAST(doc_id AS BIGINT) AS doc_id, {shard} AS shard,
+         CAST({ntok} AS BIGINT) AS n_tokens
+  FROM documents
+),
+packed AS (
+  SELECT doc_id, shard, n_tokens,
+         SUM(n_tokens) OVER (PARTITION BY shard ORDER BY doc_id
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - n_tokens
+           AS bin_offset
+  FROM base
+)
+SELECT doc_id, shard, n_tokens,
+       CAST(bin_offset // 512 AS BIGINT) AS bin,
+       CAST(bin_offset AS BIGINT) AS bin_offset
+FROM packed
+"""
+
+
+def q_packing_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return SM.packing_stats(_docs(spark, sf_dir), max_tokens=512, num_shards=8)
+
+
+def _q_packing_stats_sql() -> str:
+    return f"""
+WITH packed AS ({_q_pack_documents_sql()})
+SELECT shard, bin, COUNT(*) AS n_docs,
+       CAST(SUM(n_tokens) AS BIGINT) AS total_tokens,
+       round(SUM(n_tokens) / 512.0, 4) AS fill_ratio
+FROM packed GROUP BY 1, 2
+"""
+
+
 # ----------------------------------------------------------- multimodal suite
 
 
@@ -602,6 +688,9 @@ QUERIES_OPS: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "embedding_dup_pairs": q_embedding_dup_pairs,
     "multimodal_decode_meta": q_multimodal_decode_meta,
     "corpus_curation": q_corpus_curation,
+    "corpus_split_counts": q_corpus_split_counts,
+    "pack_documents": q_pack_documents,
+    "packing_stats": q_packing_stats,
 }
 
 ORACLES_OPS: dict[str, str] = {
@@ -624,4 +713,7 @@ ORACLES_OPS: dict[str, str] = {
     # decoder derives metadata relationally-reproducibly
     "multimodal_decode_meta": Q_MULTIMODAL_DECODE_META_SQL,
     "corpus_curation": _q_corpus_curation_sql(),
+    "corpus_split_counts": _q_corpus_split_counts_sql(),
+    "pack_documents": _q_pack_documents_sql(),
+    "packing_stats": _q_packing_stats_sql(),
 }

@@ -1,0 +1,141 @@
+"""Dataset assembly operators for training pipelines: deterministic
+splits and context-window packing.
+
+- ``split_by_hash``: train/val/test assignment by a salted content-id
+  hash — stable across runs and cluster sizes (no ``rand()``), exact
+  in expectation, and reproducible by any engine that has md5. One
+  projection, no shuffle: the split is a pure function of the row.
+- ``pack_documents``: assign documents to fixed-token-budget context
+  windows ("bins"). Documents are sharded by id hash, then packed
+  within each shard by a running token cumsum over a deterministic
+  order — the standard distributed approximation of greedy packing
+  (exact greedy is inherently sequential). The only shuffle is the
+  per-shard window sort, and shard count scales with the corpus so a
+  shard's rows always fit an executor.
+
+Both are whole-stage-codegen expressions — no Python anywhere.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from ukis_h3cellstore_spark.ops.text import tokens
+
+#: bucket space of the split hash — weights resolve to integer bucket
+#: ranges out of this many (1e-4 weight granularity)
+SPLIT_BUCKETS = 10_000
+
+
+def split_by_hash(
+    df: DataFrame,
+    weights: dict[str, float] | None = None,
+    id_col: str = "doc_id",
+    salt: str = "split",
+) -> DataFrame:
+    """Add a ``split`` column assigning each row to a named fraction.
+
+    ``weights`` maps split name → fraction (must sum to ≤ 1; any
+    remainder falls into the LAST split). Assignment hashes
+    ``salt|id`` into ``SPLIT_BUCKETS`` buckets and carves contiguous
+    bucket ranges in the given insertion order — so adding a new split
+    at the end never reshuffles earlier ones."""
+    weights = weights or {"train": 0.98, "val": 0.01, "test": 0.01}
+    if not weights:
+        raise ValueError("at least one split is required")
+    bucket = (
+        F.conv(
+            F.substring(
+                F.md5(F.concat(F.lit(salt), F.lit("|"), F.col(id_col).cast("string"))),
+                1,
+                15,
+            ),
+            16,
+            10,
+        ).cast("long")
+        % SPLIT_BUCKETS
+    )
+    names = list(weights)
+    expr = None
+    hi = 0
+    for name in names[:-1]:
+        hi += int(round(weights[name] * SPLIT_BUCKETS))
+        cond = bucket < hi
+        expr = F.when(cond, F.lit(name)) if expr is None else expr.when(cond, F.lit(name))
+    last = F.lit(names[-1])
+    split = last if expr is None else expr.otherwise(last)
+    return df.withColumn("split", split)
+
+
+def pack_documents(
+    df: DataFrame,
+    max_tokens: int = 2048,
+    num_shards: int = 64,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Assign each document to a (shard, bin) context window:
+    (id, shard, n_tokens, bin, bin_offset).
+
+    ``shard`` spreads the corpus (hash of the id); within a shard,
+    documents pack in id order by running token count: a document's
+    bin is the window its FIRST token lands in
+    (``floor(exclusive_cumsum / max_tokens)``), and ``bin_offset`` is
+    that starting position within the shard's token stream. Documents
+    longer than ``max_tokens`` span bins (the trainer's splitter deals
+    with those; they are flagged by ``n_tokens > max_tokens``)."""
+    toks = tokens(text_col)
+    n_tokens = F.when(
+        F.length(F.trim(F.col(text_col))) == 0, F.lit(0)
+    ).otherwise(F.size(toks))
+    shard = F.pmod(
+        F.conv(
+            F.substring(F.md5(F.col(id_col).cast("string")), 1, 15), 16, 10
+        ).cast("long"),
+        F.lit(num_shards),
+    ).cast("int")
+    base = df.select(
+        F.col(id_col),
+        shard.alias("shard"),
+        n_tokens.cast("long").alias("n_tokens"),
+    )
+    w = (
+        Window.partitionBy("shard")
+        .orderBy(F.col(id_col))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    cum = F.sum("n_tokens").over(w)
+    start = (cum - F.col("n_tokens")).alias("bin_start")
+    return base.select(
+        F.col(id_col),
+        "shard",
+        "n_tokens",
+        F.floor((cum - F.col("n_tokens")) / F.lit(max_tokens))
+        .cast("long")
+        .alias("bin"),
+        (cum - F.col("n_tokens")).cast("long").alias("bin_offset"),
+    )
+
+
+def packing_stats(
+    df: DataFrame,
+    max_tokens: int = 2048,
+    num_shards: int = 64,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Per-(shard, bin) packing report: (shard, bin, n_docs,
+    total_tokens, fill_ratio) — how full the context windows are."""
+    packed = pack_documents(df, max_tokens, num_shards, text_col, id_col)
+    return (
+        packed.groupBy("shard", "bin")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_tokens").cast("long").alias("total_tokens"),
+        )
+        .withColumn(
+            "fill_ratio",
+            F.round(F.col("total_tokens") / F.lit(float(max_tokens)), 4),
+        )
+    )
