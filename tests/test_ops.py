@@ -330,3 +330,35 @@ def test_packing_stats_fill(docs):
     total = stats.total_tokens.sum()
     from ukis_h3cellstore_spark.ops import sampling as _
     assert total > 0
+
+
+def test_subsample_by_source_rates(spark):
+    from ukis_h3cellstore_spark.ops import sampling as SM
+
+    rows = [(i, f"src{i % 2}") for i in range(10_000)]
+    df = spark.createDataFrame(rows, "doc_id long, source string")
+    out = SM.subsample_by_source(df, {"src0": 0.5, "src1": 0.0}).toPandas()
+    assert set(out.source) == {"src0"}  # src1 dropped entirely
+    assert abs(len(out) / 5000 - 0.5) < 0.05
+    # deterministic: same rows survive every run
+    out2 = SM.subsample_by_source(df, {"src0": 0.5, "src1": 0.0}).toPandas()
+    assert sorted(out.doc_id) == sorted(out2.doc_id)
+
+
+def test_scrub_pii_redacts_and_counts(spark):
+    df = spark.createDataFrame(
+        [
+            (1, "mail me at jane.doe@corp.io or call +1 (555) 010-0199 ok"),
+            (2, "server at 192.168.0.17 responded"),
+            (3, "nothing sensitive here"),
+        ],
+        "doc_id long, text string",
+    )
+    out = X.scrub_pii(df).toPandas().set_index("doc_id")
+    assert "<EMAIL>" in out.loc[1].text_scrubbed
+    assert "<PHONE>" in out.loc[1].text_scrubbed
+    assert "jane.doe" not in out.loc[1].text_scrubbed
+    assert out.loc[1].n_email == 1 and out.loc[1].n_phone == 1
+    assert "<IPV4>" in out.loc[2].text_scrubbed and out.loc[2].n_ipv4 == 1
+    assert out.loc[3].text_scrubbed == "nothing sensitive here"
+    assert out.loc[3].n_email == out.loc[3].n_phone == out.loc[3].n_ipv4 == 0

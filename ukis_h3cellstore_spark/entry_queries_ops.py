@@ -596,6 +596,73 @@ FROM packed GROUP BY 1, 2
 """
 
 
+def q_corpus_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mixture weighting: down-weight src0 to 50%, drop src1, keep 80%
+    of everything else — per-source surviving counts."""
+    mixed = SM.subsample_by_source(
+        _docs(spark, sf_dir), {"src0": 0.5, "src1": 0.0}, default_rate=0.8
+    )
+    return mixed.groupBy("source").agg(F.count(F.lit(1)).alias("n_docs"))
+
+
+def _q_corpus_mixture_sql() -> str:
+    bucket = (
+        "(('0x' || substr(md5('mix' || '|' || CAST(doc_id AS VARCHAR)), 1, 15))"
+        f"::BIGINT % {SM.SPLIT_BUCKETS})"
+    )
+    return f"""
+SELECT source, COUNT(*) AS n_docs
+FROM documents
+WHERE {bucket} < (CASE WHEN source = 'src0' THEN 5000
+                       WHEN source = 'src1' THEN 0
+                       ELSE 8000 END)
+GROUP BY 1
+"""
+
+
+_PII_INJECT_SPARK = [
+    F.col("text"),
+    F.lit(" email user"),
+    F.col("doc_id").cast("string"),
+    F.lit("@example.com note call +1 (555) 010-0199 now ip 10.0."),
+    (F.col("doc_id") % 200).cast("string"),
+    F.lit(".7 end"),
+]
+
+_PII_INJECT_DUCK = (
+    "text || ' email user' || CAST(doc_id AS VARCHAR)"
+    " || '@example.com note call +1 (555) 010-0199 now ip 10.0.'"
+    " || CAST(doc_id % 200 AS VARCHAR) || '.7 end'"
+)
+
+
+def q_text_scrub_pii(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII scrubbing over documents with deterministically injected
+    email/phone/ipv4 strings (the synthetic corpus contains none, so
+    the injection makes the gate actually exercise the matchers)."""
+    docs = _docs(spark, sf_dir).withColumn("text", F.concat(*_PII_INJECT_SPARK))
+    return X.scrub_pii(docs)
+
+
+def _q_text_scrub_pii_sql() -> str:
+    scrub = "text"
+    counts = []
+    for kind, pat in X.PII_PATTERNS:  # same scrub order as scrub_pii
+        scrub = f"regexp_replace({scrub}, '{pat}', '<{kind.upper()}>', 'g')"
+        counts.append(
+            f"CAST(len(regexp_extract_all(text, '{pat}')) AS INT) AS n_{kind}"
+        )
+    return f"""
+WITH enriched AS (
+  SELECT CAST(doc_id AS BIGINT) AS doc_id, {_PII_INJECT_DUCK} AS text
+  FROM documents
+)
+SELECT doc_id, {scrub} AS text_scrubbed,
+       {', '.join(counts)}
+FROM enriched
+"""
+
+
 # ----------------------------------------------------------- multimodal suite
 
 
@@ -691,6 +758,8 @@ QUERIES_OPS: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "corpus_split_counts": q_corpus_split_counts,
     "pack_documents": q_pack_documents,
     "packing_stats": q_packing_stats,
+    "corpus_mixture": q_corpus_mixture,
+    "text_scrub_pii": q_text_scrub_pii,
 }
 
 ORACLES_OPS: dict[str, str] = {
@@ -716,4 +785,6 @@ ORACLES_OPS: dict[str, str] = {
     "corpus_split_counts": _q_corpus_split_counts_sql(),
     "pack_documents": _q_pack_documents_sql(),
     "packing_stats": _q_packing_stats_sql(),
+    "corpus_mixture": _q_corpus_mixture_sql(),
+    "text_scrub_pii": _q_text_scrub_pii_sql(),
 }

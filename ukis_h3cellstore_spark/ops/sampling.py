@@ -106,7 +106,6 @@ def pack_documents(
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
     cum = F.sum("n_tokens").over(w)
-    start = (cum - F.col("n_tokens")).alias("bin_start")
     return base.select(
         F.col(id_col),
         "shard",
@@ -139,3 +138,40 @@ def packing_stats(
             F.round(F.col("total_tokens") / F.lit(float(max_tokens)), 4),
         )
     )
+
+
+def subsample_by_source(
+    df: DataFrame,
+    rates: dict[str, float],
+    default_rate: float = 1.0,
+    source_col: str = "source",
+    id_col: str = "doc_id",
+    salt: str = "mix",
+) -> DataFrame:
+    """Deterministic mixture weighting: keep each row with its
+    source's sampling rate, decided by a salted id hash (no rand(),
+    so the mixture is reproducible and re-runnable incrementally —
+    the standard way to down-weight overrepresented crawl sources in
+    a training mix). Sources absent from ``rates`` use
+    ``default_rate``; a rate of 1.0 keeps everything, 0.0 drops the
+    source entirely."""
+    bucket = (
+        F.conv(
+            F.substring(
+                F.md5(
+                    F.concat(F.lit(salt), F.lit("|"), F.col(id_col).cast("string"))
+                ),
+                1,
+                15,
+            ),
+            16,
+            10,
+        ).cast("long")
+        % SPLIT_BUCKETS
+    )
+    thresh = F.lit(int(round(default_rate * SPLIT_BUCKETS)))
+    for src, rate in sorted(rates.items()):
+        thresh = F.when(
+            F.col(source_col) == src, F.lit(int(round(rate * SPLIT_BUCKETS)))
+        ).otherwise(thresh)
+    return df.filter(bucket < thresh)

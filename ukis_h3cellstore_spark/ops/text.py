@@ -141,3 +141,36 @@ def fingerprint(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -
         .otherwise(fp)
         .alias("fingerprint"),
     )
+
+
+#: PII scrubbing patterns — deliberately simple character-class
+#: regexes that parse identically under Java regex (Spark) and RE2
+#: (DuckDB), so the operation is oracle-reproducible. Scrub order is
+#: the list order: more specific shapes first (an IPv4 would
+#: otherwise be consumed by the looser phone pattern).
+PII_PATTERNS: list[tuple[str, str]] = [
+    ("email", r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"),
+    ("ipv4", r"[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}"),
+    ("phone", r"\+?[0-9][0-9()\-\. ]{7,}[0-9]"),
+]
+
+
+def scrub_pii(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Redact common PII shapes from the text column: each match is
+    replaced with ``<KIND>`` and per-kind match counts are reported:
+    (id, text_scrubbed, n_email, n_phone, n_ipv4). Pure
+    ``regexp_replace``/``regexp_count`` expressions — JVM-side,
+    vectorized, linear in corpus size."""
+    out = df.select(F.col(id_col), F.col(text_col).alias("__t"))
+    counts = []
+    scrubbed = F.col("__t")
+    for kind, pat in PII_PATTERNS:
+        counts.append(
+            F.regexp_count(F.col("__t"), F.lit(pat)).cast("int").alias(f"n_{kind}")
+        )
+        scrubbed = F.regexp_replace(scrubbed, pat, f"<{kind.upper()}>")
+    return out.select(
+        F.col(id_col), scrubbed.alias("text_scrubbed"), *counts
+    )
