@@ -34,8 +34,11 @@ HEADLINE = [
     # training-data operator families (documents/embeddings tables)
     "text_stats",
     "dedup_minhash_lsh_pairs",
+    "dedup_simhash_hamming",
     "ann_cosine_top3",
     "corpus_curation",
+    "corpus_training_mix",
+    "geo_polyfill_traversal",
     "raster_ingest",
 ]
 

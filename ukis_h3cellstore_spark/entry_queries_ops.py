@@ -737,6 +737,85 @@ GROUP BY 1
 """
 
 
+def q_corpus_training_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The full training-data assembly pipeline composed end-to-end:
+    quality filter → exact-dedup canonicals → source mixture
+    weighting → train split → context-window packing → per-split
+    packing summary. One lazy DataFrame chain; Catalyst plans it as a
+    single job graph."""
+    docs = _docs(spark, sf_dir)
+    stats = X.text_stats(docs)
+    good = stats.filter(
+        (F.col("quality_score") > 0.05) & (F.col("n_tokens") >= 5)
+    ).select("doc_id")
+    canon = (
+        D.dedup_exact(docs)
+        .select(F.col("canonical_id").alias("doc_id"))
+        .distinct()
+    )
+    kept = docs.join(good, "doc_id").join(canon, "doc_id")
+    mixed = SM.subsample_by_source(kept, {"src0": 0.5, "src1": 0.0}, 0.8)
+    train = SM.split_by_hash(
+        mixed, {"train": 0.9, "val": 0.05, "test": 0.05}
+    ).filter(F.col("split") == "train")
+    packed = SM.pack_documents(train, max_tokens=512, num_shards=4)
+    return packed.groupBy("shard").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        (F.max("bin") + 1).cast("long").alias("n_bins"),
+        F.sum("n_tokens").cast("long").alias("total_tokens"),
+    )
+
+
+def _q_corpus_training_mix_sql() -> str:
+    mix_bucket = (
+        "(('0x' || substr(md5('mix' || '|' || CAST(doc_id AS VARCHAR)), 1, 15))"
+        f"::BIGINT % {SM.SPLIT_BUCKETS})"
+    )
+    split_bucket = (
+        "(('0x' || substr(md5('split' || '|' || CAST(doc_id AS VARCHAR)), 1, 15))"
+        f"::BIGINT % {SM.SPLIT_BUCKETS})"
+    )
+    shard = (
+        "CAST((('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT % 4)"
+        " AS INT)"
+    )
+    ntok = f"CASE WHEN length(trim(text)) = 0 THEN 0 ELSE len({_DUCK_TOKS}) END"
+    return f"""
+WITH stats AS ({Q_TEXT_STATS_SQL}),
+good AS (SELECT doc_id FROM stats
+         WHERE quality_score > 0.05 AND n_tokens >= 5),
+canon AS (SELECT DISTINCT MIN(doc_id) AS doc_id
+          FROM documents GROUP BY md5(lower(trim(text)))),
+kept AS (
+  SELECT d.doc_id, d.text, d.source FROM documents d
+  JOIN good USING (doc_id) JOIN canon USING (doc_id)
+),
+mixed AS (
+  SELECT * FROM kept
+  WHERE {mix_bucket} < (CASE WHEN source = 'src0' THEN 5000
+                             WHEN source = 'src1' THEN 0
+                             ELSE 8000 END)
+),
+train AS (SELECT * FROM mixed WHERE {split_bucket} < 9000),
+base AS (
+  SELECT CAST(doc_id AS BIGINT) AS doc_id, {shard} AS shard,
+         CAST({ntok} AS BIGINT) AS n_tokens
+  FROM train
+),
+packed AS (
+  SELECT doc_id, shard, n_tokens,
+         (SUM(n_tokens) OVER (PARTITION BY shard ORDER BY doc_id
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - n_tokens)
+           // 512 AS bin
+  FROM base
+)
+SELECT shard, COUNT(*) AS n_docs,
+       CAST(MAX(bin) + 1 AS BIGINT) AS n_bins,
+       CAST(SUM(n_tokens) AS BIGINT) AS total_tokens
+FROM packed GROUP BY 1
+"""
+
+
 QUERIES_OPS: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "text_stats": q_text_stats,
     "text_langid": q_text_langid,
@@ -760,6 +839,7 @@ QUERIES_OPS: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "packing_stats": q_packing_stats,
     "corpus_mixture": q_corpus_mixture,
     "text_scrub_pii": q_text_scrub_pii,
+    "corpus_training_mix": q_corpus_training_mix,
 }
 
 ORACLES_OPS: dict[str, str] = {
@@ -787,4 +867,5 @@ ORACLES_OPS: dict[str, str] = {
     "packing_stats": _q_packing_stats_sql(),
     "corpus_mixture": _q_corpus_mixture_sql(),
     "text_scrub_pii": _q_text_scrub_pii_sql(),
+    "corpus_training_mix": _q_corpus_training_mix_sql(),
 }
