@@ -620,14 +620,17 @@ GROUP BY 1
 """
 
 
-_PII_INJECT_SPARK = [
-    F.col("text"),
-    F.lit(" email user"),
-    F.col("doc_id").cast("string"),
-    F.lit("@example.com note call +1 (555) 010-0199 now ip 10.0."),
-    (F.col("doc_id") % 200).cast("string"),
-    F.lit(".7 end"),
-]
+def _pii_inject_spark() -> list:
+    # Built lazily: F.col() needs an active SparkContext, so a
+    # module-level list would make the import require a session.
+    return [
+        F.col("text"),
+        F.lit(" email user"),
+        F.col("doc_id").cast("string"),
+        F.lit("@example.com note call +1 (555) 010-0199 now ip 10.0."),
+        (F.col("doc_id") % 200).cast("string"),
+        F.lit(".7 end"),
+    ]
 
 _PII_INJECT_DUCK = (
     "text || ' email user' || CAST(doc_id AS VARCHAR)"
@@ -640,7 +643,7 @@ def q_text_scrub_pii(spark: SparkSession, sf_dir: str) -> DataFrame:
     """PII scrubbing over documents with deterministically injected
     email/phone/ipv4 strings (the synthetic corpus contains none, so
     the injection makes the gate actually exercise the matchers)."""
-    docs = _docs(spark, sf_dir).withColumn("text", F.concat(*_PII_INJECT_SPARK))
+    docs = _docs(spark, sf_dir).withColumn("text", F.concat(*_pii_inject_spark()))
     return X.scrub_pii(docs)
 
 
