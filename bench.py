@@ -35,6 +35,8 @@ HEADLINE = [
     "text_stats",
     "dedup_minhash_lsh_pairs",
     "dedup_simhash_hamming",
+    "dedup_cluster_resolve",
+    "events_sessionize",
     "ann_cosine_top3",
     "corpus_curation",
     "corpus_training_mix",

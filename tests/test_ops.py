@@ -362,3 +362,88 @@ def test_scrub_pii_redacts_and_counts(spark):
     assert "<IPV4>" in out.loc[2].text_scrubbed and out.loc[2].n_ipv4 == 1
     assert out.loc[3].text_scrubbed == "nothing sensitive here"
     assert out.loc[3].n_email == out.loc[3].n_phone == out.loc[3].n_ipv4 == 0
+
+
+# ------------------------------------------------- connected components
+
+
+def test_connected_components_chain_and_islands(spark):
+    # chain 1-2-3 plus island pair 10-11: two components, min-id labels
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (10, 11)], "id_a long, id_b long"
+    )
+    cc = {
+        r.node: r.component
+        for r in D.connected_components(pairs).collect()
+    }
+    assert cc == {1: 1, 2: 1, 3: 1, 10: 10, 11: 10}
+
+
+def test_duplicate_cluster_stats(spark):
+    pairs = spark.createDataFrame(
+        [(5, 9), (9, 7), (2, 3)], "id_a long, id_b long"
+    )
+    out = {
+        r.component: (r.n_members, r.max_member)
+        for r in D.duplicate_cluster_stats(pairs).collect()
+    }
+    assert out == {5: (3, 9), 2: (2, 3)}
+
+
+def test_decontaminate_flags_overlap_counts(spark):
+    train = spark.createDataFrame(
+        [
+            (1, "alpha beta gamma delta epsilon zeta"),  # shares 5-grams
+            (2, "nothing here matches the eval set at all"),
+        ],
+        "doc_id long, text string",
+    )
+    evalset = spark.createDataFrame(
+        [(100, "alpha beta gamma delta epsilon zeta eta")],
+        "doc_id long, text string",
+    )
+    out = D.decontaminate_flags(train, evalset, k=5).collect()
+    assert len(out) == 1
+    assert out[0].doc_id == 1 and out[0].n_shared_shingles == 2
+
+
+# --------------------------------------------------------- vocab / sessions
+
+
+def test_vocab_topk_deterministic_tiebreak(spark):
+    df = spark.createDataFrame(
+        [(1, "b a a c b"), (2, "c a")], "doc_id long, text string"
+    )
+    out = X.vocab_topk(df, k=2).collect()
+    # a:3 first; b and c tie at 2 — lexicographic tiebreak picks b
+    assert [(r.token, r.freq, r.doc_freq) for r in out] == [
+        ("a", 3, 2),
+        ("b", 2, 1),
+    ]
+
+
+def test_sessionize_gap_boundaries(spark):
+    from ukis_h3cellstore_spark.ops import sessions as SS
+
+    m = 60 * 1_000_000  # one minute in µs
+    events = spark.createDataFrame(
+        [
+            (1, 0 * m, 1.0),
+            (1, 10 * m, 2.0),   # same session (gap 10m)
+            (1, 41 * m, 3.0),   # new session (gap 31m > 30m)
+            (2, 0 * m, 4.0),    # separate user
+        ],
+        "user_id long, ts_us long, value double",
+    )
+    out = SS.session_stats(events, value_col="value").collect()
+    stats = {(r.user_id, r.session_seq): r for r in out}
+    assert set(stats) == {(1, 1), (1, 2), (2, 1)}
+    s11 = stats[(1, 1)]
+    assert s11.n_events == 2 and s11.duration_us == 10 * m
+    assert s11.sum_value == 3.0
+    assert stats[(1, 2)].session_start == 41 * m
+    # exactly-30m gap stays in the same session (strictly greater starts one)
+    events2 = spark.createDataFrame(
+        [(1, 0, 1.0), (1, 30 * m, 1.0)], "user_id long, ts_us long, value double"
+    )
+    assert SS.session_stats(events2, value_col="value").count() == 1

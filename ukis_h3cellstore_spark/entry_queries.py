@@ -47,7 +47,9 @@ def _events(spark: SparkSession, sf_dir: str) -> DataFrame:
     so µs-since-epoch is the cross-engine parity ground."""
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     df = spark.read.parquet(f"{sf_dir}/events.parquet")
-    return df.withColumn("ts_us", (F.col("ts") / 1000).cast("long")).drop("ts")
+    # integer division: `ts / 1000` evaluates in DOUBLE, which has 53
+    # mantissa bits — epoch nanos (~1.7e18) lose the microsecond digit
+    return df.withColumn("ts_us", F.expr("ts div 1000")).drop("ts")
 
 
 def _cents(col) -> "F.Column":
@@ -732,6 +734,43 @@ FROM events WHERE event_id < 3500
 """
 
 
+def q_events_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap-based sessionization of the event stream (30-minute gap):
+    one row per (user, session) with time bounds, event count, and
+    value total — the batch twin of a streaming session window."""
+    from ukis_h3cellstore_spark.ops import sessions as SS
+
+    e = _events(spark, sf_dir).withColumn("value_cents", _cents(F.col("value")))
+    return SS.session_stats(e, value_col="value_cents").withColumnRenamed(
+        "sum_value", "sum_value_cents"
+    )
+
+
+Q_EVENTS_SESSIONIZE_SQL = """
+WITH flagged AS (
+  SELECT user_id, epoch_us(ts) AS ts_us,
+         CAST(round(value*100) AS BIGINT) AS value_cents,
+         CASE WHEN LAG(epoch_us(ts)) OVER w IS NULL
+                OR epoch_us(ts) - LAG(epoch_us(ts)) OVER w > 1800000000
+         THEN 1 ELSE 0 END AS new_s
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts))
+),
+numbered AS (
+  SELECT *, SUM(new_s) OVER (PARTITION BY user_id ORDER BY ts_us
+                             ROWS UNBOUNDED PRECEDING) AS session_seq
+  FROM flagged
+)
+SELECT CAST(user_id AS BIGINT) AS user_id,
+       CAST(session_seq AS BIGINT) AS session_seq,
+       MIN(ts_us) AS session_start, MAX(ts_us) AS session_end,
+       COUNT(*) AS n_events,
+       MAX(ts_us) - MIN(ts_us) AS duration_us,
+       CAST(SUM(value_cents) AS BIGINT) AS sum_value_cents
+FROM numbered GROUP BY 1, 2
+"""
+
+
 # --------------------------------------------------------------------------
 # registry
 # --------------------------------------------------------------------------
@@ -742,6 +781,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q5_region_nation_revenue": q_region_nation_revenue,
     "q6_forecast_revenue": q_forecast_revenue,
     "events_hourly_window": q_events_hourly,
+    "events_sessionize": q_events_sessionize,
     "h3_synth_fields": q_h3_synth_fields,
     "h3_parent_agg_sum": q_h3_parent_agg_sum,
     "h3_minmax_avg": q_h3_minmax_avg,
@@ -762,6 +802,7 @@ ORACLES: dict[str, str] = {
     "q5_region_nation_revenue": Q_REGION_NATION_REVENUE_SQL,
     "q6_forecast_revenue": Q_FORECAST_REVENUE_SQL,
     "events_hourly_window": Q_EVENTS_HOURLY_SQL,
+    "events_sessionize": Q_EVENTS_SESSIONIZE_SQL,
     "h3_synth_fields": _q_h3_synth_fields_sql(),
     "h3_parent_agg_sum": _q_h3_parent_agg_sum_sql(),
     "h3_minmax_avg": _q_h3_minmax_avg_sql(),

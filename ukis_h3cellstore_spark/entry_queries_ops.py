@@ -246,7 +246,12 @@ FROM sims GROUP BY simhash HAVING COUNT(*) >= 2
 
 
 def q_dedup_simhash_hamming(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return D.simhash_hamming_pairs(_docs(spark, sf_dir), max_hamming=3)
+    # 32-bit fingerprints: the 4 pigeonhole strips are 8 bits wide
+    # (256 keys each), so band buckets stay small and the candidate
+    # join stays sub-quadratic — at 16 bits the 4-bit strips (16 keys)
+    # made every bucket hold 1/16th of the corpus, and virtually all
+    # "pairs" were hash-collision noise rather than near-dups
+    return D.simhash_hamming_pairs(_docs(spark, sf_dir), bits=32, max_hamming=3)
 
 
 def _q_dedup_simhash_hamming_sql() -> str:
@@ -254,7 +259,7 @@ def _q_dedup_simhash_hamming_sql() -> str:
     # hamming≤k pair collides in ≥1 strip), so the oracle is the plain
     # quadratic hamming computation over the fingerprints
     return f"""
-WITH sims AS ({_q_dedup_simhash_sql()})
+WITH sims AS ({_q_dedup_simhash_sql(bits=32)})
 SELECT CAST(a.doc_id AS BIGINT) AS id_a, CAST(b.doc_id AS BIGINT) AS id_b,
        CAST(bit_count(xor(a.simhash, b.simhash)) AS INT) AS hamming
 FROM sims a JOIN sims b ON a.doc_id < b.doc_id
@@ -262,13 +267,13 @@ WHERE bit_count(xor(a.simhash, b.simhash)) <= 3
 """
 
 
-def _q_dedup_simhash_sql() -> str:
+def _q_dedup_simhash_sql(bits: int = 16) -> str:
     h = "(('0x' || substr(md5(shingle), 1, 15))::BIGINT)"
     sums = ", ".join(
         f"SUM(CASE WHEN (({h} >> {b}) & 1) = 1 THEN 1 ELSE -1 END) AS b{b}"
-        for b in range(16)
+        for b in range(bits)
     )
-    fp = " | ".join(f"(CASE WHEN b{b} > 0 THEN {1 << b} ELSE 0 END)" for b in range(16))
+    fp = " | ".join(f"(CASE WHEN b{b} > 0 THEN {1 << b} ELSE 0 END)" for b in range(bits))
     return f"""
 WITH sh AS ({_DUCK_SHINGLES}),
 agg AS (SELECT doc_id, {sums} FROM sh GROUP BY doc_id)
@@ -819,6 +824,76 @@ FROM packed GROUP BY 1
 """
 
 
+# ------------------------------------------------- dedup resolution suite
+
+
+def q_dedup_cluster_resolve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash-LSH pairs resolved into duplicate clusters via
+    connected components (min-label propagation): one row per cluster
+    with its canonical id, size, and max member."""
+    pairs = D.minhash_lsh_pairs(_docs(spark, sf_dir), min_est_jaccard=0.25)
+    return D.duplicate_cluster_stats(pairs)
+
+
+def _q_dedup_cluster_resolve_sql() -> str:
+    # transitive closure as a recursive CTE over the same LSH pair
+    # query the dedup_minhash_lsh_pairs gate verifies
+    return f"""
+WITH RECURSIVE pairs AS ({_q_dedup_minhash_lsh_sql()}),
+edges AS (SELECT id_a AS src, id_b AS dst FROM pairs
+          UNION SELECT id_b, id_a FROM pairs),
+reach(node, lbl) AS (
+  SELECT src, src FROM edges
+  UNION
+  SELECT e.src, r.lbl FROM edges e JOIN reach r ON r.node = e.dst
+),
+comp AS (SELECT node, MIN(lbl) AS component FROM reach GROUP BY node)
+SELECT CAST(component AS BIGINT) AS component, COUNT(*) AS n_members,
+       CAST(MAX(node) AS BIGINT) AS max_member
+FROM comp GROUP BY 1
+"""
+
+
+def _duck_shingles_k(k: int, where: str = "") -> str:
+    cat = ", ".join(f"toks[i+{j}]" for j in range(k))
+    return f"""SELECT DISTINCT doc_id, concat_ws(' ', {cat}) AS shingle
+FROM (SELECT doc_id, {_DUCK_TOKS} AS toks FROM documents {where}) t,
+     unnest(generate_series(1, greatest(len(toks) - {k - 1}, 0))) AS u(i)"""
+
+
+def q_corpus_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark decontamination: src0 plays the held-out eval set;
+    training docs (everything else) sharing ≥1 5-token shingle with it
+    are flagged with their overlap count."""
+    docs = _docs(spark, sf_dir)
+    return D.decontaminate_flags(
+        docs.filter(F.col("source") != "src0"),
+        docs.filter(F.col("source") == "src0"),
+        k=5,
+    )
+
+
+def _q_corpus_decontaminate_sql() -> str:
+    return f"""
+WITH tr AS ({_duck_shingles_k(5, "WHERE source <> 'src0'")}),
+ev AS (SELECT DISTINCT shingle FROM ({_duck_shingles_k(5, "WHERE source = 'src0'")}))
+SELECT CAST(tr.doc_id AS BIGINT) AS doc_id, COUNT(*) AS n_shared_shingles
+FROM tr JOIN ev USING (shingle) GROUP BY 1
+"""
+
+
+def q_text_vocab_top50(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return X.vocab_topk(_docs(spark, sf_dir), k=50)
+
+
+Q_TEXT_VOCAB_TOP50_SQL = f"""
+WITH t AS (SELECT doc_id, unnest({_DUCK_TOKS}) AS token
+           FROM documents WHERE len(trim(text)) > 0)
+SELECT token, COUNT(*) AS freq, COUNT(DISTINCT doc_id) AS doc_freq
+FROM t GROUP BY 1 ORDER BY freq DESC, token ASC LIMIT 50
+"""
+
+
 QUERIES_OPS: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "text_stats": q_text_stats,
     "text_langid": q_text_langid,
@@ -843,6 +918,9 @@ QUERIES_OPS: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "corpus_mixture": q_corpus_mixture,
     "text_scrub_pii": q_text_scrub_pii,
     "corpus_training_mix": q_corpus_training_mix,
+    "dedup_cluster_resolve": q_dedup_cluster_resolve,
+    "corpus_decontaminate": q_corpus_decontaminate,
+    "text_vocab_top50": q_text_vocab_top50,
 }
 
 ORACLES_OPS: dict[str, str] = {
@@ -871,4 +949,7 @@ ORACLES_OPS: dict[str, str] = {
     "corpus_mixture": _q_corpus_mixture_sql(),
     "text_scrub_pii": _q_text_scrub_pii_sql(),
     "corpus_training_mix": _q_corpus_training_mix_sql(),
+    "dedup_cluster_resolve": _q_dedup_cluster_resolve_sql(),
+    "corpus_decontaminate": _q_corpus_decontaminate_sql(),
+    "text_vocab_top50": Q_TEXT_VOCAB_TOP50_SQL,
 }

@@ -245,6 +245,106 @@ def minhash_lsh_pairs(
     )
 
 
+def connected_components(
+    pairs: DataFrame,
+    src_col: str = "id_a",
+    dst_col: str = "id_b",
+    max_rounds: int = 50,
+) -> DataFrame:
+    """Connected components of the duplicate-pair graph:
+    (node, component), where component is the MINIMUM node id
+    reachable from the node — a deterministic canonical label, so a
+    downstream "keep one doc per cluster" pass keeps min(id).
+
+    Min-label propagation: every round each node takes the min of its
+    own label and its neighbors' labels. Labels are monotone
+    non-increasing, so an unchanged global label sum IS the fixpoint —
+    convergence costs one cheap agg per round, no row-diff join.
+    Rounds needed = graph diameter; duplicate graphs from LSH / hash
+    buckets are near-cliques of tiny diameter (2-4 typical). Each
+    round shuffles only (node, label) plus the edge list — never the
+    pair space squared — and lineage is truncated per round with an
+    eager localCheckpoint (an iterative plan otherwise grows
+    super-linearly in Catalyst analysis time)."""
+    sym = pairs.select(
+        F.col(src_col).alias("src"), F.col(dst_col).alias("dst")
+    ).unionByName(
+        pairs.select(F.col(dst_col).alias("src"), F.col(src_col).alias("dst"))
+    )
+    edges = sym.distinct().localCheckpoint(eager=True)  # reused every round
+    labels = (
+        edges.select(F.col("src").alias("node"))
+        .distinct()
+        .withColumn("component", F.col("node"))
+        .localCheckpoint(eager=True)
+    )
+    prev_sum = labels.agg(F.sum("component")).collect()[0][0]
+    for _ in range(max_rounds):
+        neigh = edges.join(
+            labels.withColumnRenamed("node", "dst"), on="dst"
+        ).select(F.col("src").alias("node"), "component")
+        new_labels = (
+            labels.unionByName(neigh)
+            .groupBy("node")
+            .agg(F.min("component").alias("component"))
+            .localCheckpoint(eager=True)
+        )
+        cur_sum = new_labels.agg(F.sum("component")).collect()[0][0]
+        labels = new_labels
+        if cur_sum == prev_sum:
+            break
+        prev_sum = cur_sum
+    return labels
+
+
+def duplicate_cluster_stats(
+    pairs: DataFrame, src_col: str = "id_a", dst_col: str = "id_b"
+) -> DataFrame:
+    """Resolve the pair graph into duplicate clusters:
+    (component, n_members, max_member). ``component`` doubles as the
+    canonical (minimum) member id — the one a dedup pass would keep."""
+    cc = connected_components(pairs, src_col, dst_col)
+    return cc.groupBy("component").agg(
+        F.count(F.lit(1)).alias("n_members"),
+        F.max("node").alias("max_member"),
+    )
+
+
+def decontaminate_flags(
+    train: DataFrame,
+    evalset: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 5,
+    max_shingle_df: int | None = None,
+) -> DataFrame:
+    """Benchmark decontamination: training documents sharing ≥1
+    k-token shingle with ANY eval-set document: (train id,
+    n_shared_shingles). The standard pre-training hygiene pass (e.g.
+    the GPT-3 13-gram overlap filter), expressed as an inverted-index
+    semi-join: distinct shingles per side, inner join on the shingle
+    text, count per train doc. Shuffles on the shingle hash — the eval
+    side is tiny in practice and broadcastable by AQE; never an
+    all-pairs comparison. ``max_shingle_df`` drops boilerplate
+    shingles by eval-side document frequency."""
+    tr = shingle_df(train, text_col, id_col, k)
+    ev = shingle_df(evalset, text_col, id_col, k).select("shingle").distinct()
+    if max_shingle_df is not None:
+        hot = (
+            shingle_df(evalset, text_col, id_col, k)
+            .groupBy("shingle")
+            .agg(F.count(F.lit(1)).alias("df"))
+            .filter(F.col("df") > max_shingle_df)
+            .select("shingle")
+        )
+        ev = ev.join(hot, on="shingle", how="left_anti")
+    return (
+        tr.join(ev, on="shingle")
+        .groupBy(id_col)
+        .agg(F.count(F.lit(1)).alias("n_shared_shingles"))
+    )
+
+
 def simhash(
     df: DataFrame,
     text_col: str = "text",

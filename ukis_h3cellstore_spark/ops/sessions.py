@@ -1,0 +1,65 @@
+"""Sessionization: gap-based event sessions, the batch twin of the
+streaming session-window operator.
+
+Classic two-window shape, all JVM-side:
+
+1. ``lag(ts) over (partition by user order by ts)`` flags rows whose
+   gap from the previous event exceeds the session gap;
+2. a running sum of the flags numbers the sessions per user;
+3. one hash-agg rolls each (user, session) up to its stats.
+
+Scale: one shuffle on the user key (the window and the final agg share
+the partitioning, so Catalyst reuses the exchange). Per-user data is
+sorted within its partition — no global sort. A pathologically hot
+user is an AQE skew-split away; there is no cross-user state.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+#: 30 minutes, the conventional web-analytics session gap
+DEFAULT_GAP_US = 30 * 60 * 1_000_000
+
+
+def sessionize(
+    events: DataFrame,
+    user_col: str = "user_id",
+    ts_col: str = "ts_us",
+    gap_us: int = DEFAULT_GAP_US,
+) -> DataFrame:
+    """Assign a per-user session number to every event: input columns
+    plus ``session_seq`` (1-based, in time order). A new session
+    starts when the gap from the user's previous event exceeds
+    ``gap_us`` (strictly greater, first event always starts one)."""
+    w = Window.partitionBy(user_col).orderBy(ts_col)
+    gap = F.col(ts_col) - F.lag(ts_col).over(w)
+    new_session = F.when(
+        gap.isNull() | (gap > F.lit(gap_us)), F.lit(1)
+    ).otherwise(F.lit(0))
+    run = Window.partitionBy(user_col).orderBy(ts_col).rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    return events.withColumn("session_seq", F.sum(new_session).over(run))
+
+
+def session_stats(
+    events: DataFrame,
+    user_col: str = "user_id",
+    ts_col: str = "ts_us",
+    gap_us: int = DEFAULT_GAP_US,
+    value_col: str | None = None,
+) -> DataFrame:
+    """Roll sessions up to one row each: (user, session_seq,
+    session_start, session_end, n_events, duration_us[, sum_value])."""
+    s = sessionize(events, user_col, ts_col, gap_us)
+    aggs = [
+        F.min(ts_col).alias("session_start"),
+        F.max(ts_col).alias("session_end"),
+        F.count(F.lit(1)).alias("n_events"),
+        (F.max(ts_col) - F.min(ts_col)).alias("duration_us"),
+    ]
+    if value_col is not None:
+        aggs.append(F.sum(value_col).alias("sum_value"))
+    return s.groupBy(user_col, "session_seq").agg(*aggs)

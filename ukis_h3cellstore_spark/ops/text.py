@@ -143,6 +143,40 @@ def fingerprint(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -
     )
 
 
+def token_frequencies(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Corpus token-frequency table: (token, freq, doc_freq) — total
+    occurrences and distinct-document counts. The input to vocabulary
+    construction / BPE seeding. One explode + one hash-agg; partial
+    aggregation makes the shuffle carry only (token, partial counts),
+    not the exploded rows."""
+    toks = tokens(text_col)
+    nonempty = df.filter(F.length(F.trim(F.col(text_col))) > 0)
+    return (
+        nonempty.select(F.col(id_col), F.explode(toks).alias("token"))
+        .groupBy("token")
+        .agg(
+            F.count(F.lit(1)).alias("freq"),
+            F.count_distinct(F.col(id_col)).alias("doc_freq"),
+        )
+    )
+
+
+def vocab_topk(
+    df: DataFrame, k: int = 50, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Top-k vocabulary by total frequency, deterministically ordered
+    (freq DESC, token ASC — ties cannot reorder the cut). Spark plans
+    the orderBy+limit as TakeOrderedAndProject: per-partition top-k
+    then a single driver merge, never a global sort."""
+    return (
+        token_frequencies(df, text_col, id_col)
+        .orderBy(F.col("freq").desc(), F.col("token").asc())
+        .limit(k)
+    )
+
+
 #: PII scrubbing patterns — deliberately simple character-class
 #: regexes that parse identically under Java regex (Spark) and RE2
 #: (DuckDB), so the operation is oracle-reproducible. Scrub order is
