@@ -447,3 +447,44 @@ def test_sessionize_gap_boundaries(spark):
         [(1, 0, 1.0), (1, 30 * m, 1.0)], "user_id long, ts_us long, value double"
     )
     assert SS.session_stats(events2, value_col="value").count() == 1
+
+
+# ------------------------------------------------------------- as-of join
+
+
+def test_asof_join_backward_with_ties_and_tolerance(spark):
+    from ukis_h3cellstore_spark.ops import joins as J
+
+    left = spark.createDataFrame(
+        [(1, 100, 10), (2, 100, 25), (3, 100, 5), (4, 200, 10)],
+        "lid long, key long, ts_us long",
+    )
+    right = spark.createDataFrame(
+        [(100, 10, 1.0), (100, 20, 2.0), (300, 1, 9.0)],
+        "key long, ts_us long, payload double",
+    )
+    out = {
+        r.lid: (r.asof_ts_us, r.asof_payload)
+        for r in J.asof_join(left, right, on="key").collect()
+    }
+    assert out[1] == (10, 1.0)      # exact tie matches
+    assert out[2] == (20, 2.0)      # latest of the two priors
+    assert out[3] == (None, None)   # nothing at-or-before ts=5
+    assert out[4] == (None, None)   # key never on the right
+
+    tol = {
+        r.lid: (r.asof_ts_us, r.asof_payload)
+        for r in J.asof_join(left, right, on="key", tolerance=3).collect()
+    }
+    assert tol[2] == (None, None)   # 25-20 > 3 dropped
+    assert tol[1] == (10, 1.0)      # 10-10 <= 3 kept
+
+
+def test_asof_join_single_shuffle(spark):
+    from ukis_h3cellstore_spark.ops import joins as J
+
+    left = spark.createDataFrame([(1, 1, 1)], "lid long, key long, ts_us long")
+    right = spark.createDataFrame([(1, 1, 1.0)], "key long, ts_us long, p double")
+    plan = J.asof_join(left, right, on="key")._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("Exchange hashpartitioning") == 1
+    assert "CartesianProduct" not in plan and "BroadcastNestedLoop" not in plan

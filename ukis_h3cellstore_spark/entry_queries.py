@@ -771,6 +771,84 @@ FROM numbered GROUP BY 1, 2
 """
 
 
+def q_events_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Backward as-of join: every click event annotated with the most
+    recent prior-or-equal error event of the same user (ops/joins —
+    one key shuffle + carry-forward window, no range/cross join).
+    Oracle: DuckDB's native ASOF LEFT JOIN."""
+    from ukis_h3cellstore_spark.ops import joins as J
+
+    e = _events(spark, sf_dir)
+    clicks = e.filter(F.col("event_type") == "click").select(
+        "event_id", "user_id", "ts_us"
+    )
+    errors = e.filter(F.col("event_type") == "error").select(
+        "user_id", "ts_us", _cents(F.col("value")).alias("value_cents")
+    )
+    return J.asof_join(clicks, errors, on="user_id")
+
+
+Q_EVENTS_ASOF_JOIN_SQL = """
+WITH l AS (SELECT event_id, user_id, epoch_us(ts) AS ts_us
+           FROM events WHERE event_type = 'click'),
+r AS (SELECT user_id, epoch_us(ts) AS ts_us,
+             CAST(round(value*100) AS BIGINT) AS value_cents
+      FROM events WHERE event_type = 'error')
+SELECT l.event_id, l.user_id, l.ts_us,
+       r.ts_us AS asof_ts_us, r.value_cents AS asof_value_cents
+FROM l ASOF LEFT JOIN r ON l.user_id = r.user_id AND l.ts_us >= r.ts_us
+"""
+
+
+def q_events_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact interpolated percentiles of the event value per type —
+    Spark's ``percentile`` and DuckDB's ``quantile_cont`` share the
+    linear-interpolation definition, so integer-cent inputs agree
+    bit-for-bit."""
+    e = _events(spark, sf_dir).withColumn("value_cents", _cents(F.col("value")))
+    return e.groupBy("event_type").agg(
+        F.percentile(F.col("value_cents"), F.lit(0.5)).alias("p50"),
+        F.percentile(F.col("value_cents"), F.lit(0.9)).alias("p90"),
+        F.percentile(F.col("value_cents"), F.lit(0.99)).alias("p99"),
+        F.count(F.lit(1)).alias("n_events"),
+    )
+
+
+Q_EVENTS_PERCENTILES_SQL = """
+SELECT event_type,
+       quantile_cont(CAST(round(value*100) AS BIGINT), 0.5) AS p50,
+       quantile_cont(CAST(round(value*100) AS BIGINT), 0.9) AS p90,
+       quantile_cont(CAST(round(value*100) AS BIGINT), 0.99) AS p99,
+       COUNT(*) AS n_events
+FROM events GROUP BY 1
+"""
+
+
+def q_events_cube_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUBE over (event_type, day): all 4 grouping-set combinations in
+    one pass (map-side partial aggregation expands the sets before the
+    single shuffle) — relational surface the reference's ClickHouse
+    dialect lacks but Spark provides natively."""
+    e = _events(spark, sf_dir)
+    day = (F.col("ts_us") / (86_400 * 1_000_000)).cast("long")
+    return (
+        e.withColumn("day_id", day)
+        .cube("event_type", "day_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(_cents(F.col("value"))).alias("sum_value_cents"),
+        )
+    )
+
+
+Q_EVENTS_CUBE_SQL = """
+SELECT event_type, (epoch_us(ts) // 86400000000) AS day_id,
+       COUNT(*) AS n_events,
+       CAST(SUM(CAST(round(value*100) AS BIGINT)) AS BIGINT) AS sum_value_cents
+FROM events GROUP BY CUBE (1, 2)
+"""
+
+
 # --------------------------------------------------------------------------
 # registry
 # --------------------------------------------------------------------------
@@ -782,6 +860,9 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q6_forecast_revenue": q_forecast_revenue,
     "events_hourly_window": q_events_hourly,
     "events_sessionize": q_events_sessionize,
+    "events_asof_join": q_events_asof_join,
+    "events_percentiles": q_events_percentiles,
+    "events_cube_counts": q_events_cube_counts,
     "h3_synth_fields": q_h3_synth_fields,
     "h3_parent_agg_sum": q_h3_parent_agg_sum,
     "h3_minmax_avg": q_h3_minmax_avg,
@@ -803,6 +884,9 @@ ORACLES: dict[str, str] = {
     "q6_forecast_revenue": Q_FORECAST_REVENUE_SQL,
     "events_hourly_window": Q_EVENTS_HOURLY_SQL,
     "events_sessionize": Q_EVENTS_SESSIONIZE_SQL,
+    "events_asof_join": Q_EVENTS_ASOF_JOIN_SQL,
+    "events_percentiles": Q_EVENTS_PERCENTILES_SQL,
+    "events_cube_counts": Q_EVENTS_CUBE_SQL,
     "h3_synth_fields": _q_h3_synth_fields_sql(),
     "h3_parent_agg_sum": _q_h3_parent_agg_sum_sql(),
     "h3_minmax_avg": _q_h3_minmax_avg_sql(),
