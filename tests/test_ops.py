@@ -488,3 +488,40 @@ def test_asof_join_single_shuffle(spark):
     plan = J.asof_join(left, right, on="key")._jdf.queryExecution().executedPlan().toString()
     assert plan.count("Exchange hashpartitioning") == 1
     assert "CartesianProduct" not in plan and "BroadcastNestedLoop" not in plan
+
+
+# ----------------------------------------------- repetition / sampling
+
+
+def test_repetition_stats_known_answer(spark):
+    df = spark.createDataFrame(
+        [
+            (1, "a b a b a"),     # 2-grams: ab,ba,ab,ba -> all duplicated
+            (2, "x y z"),         # xy,yz -> unique
+            (3, ""),              # no 2-grams
+        ],
+        "doc_id long, text string",
+    )
+    out = {r.doc_id: r for r in X.repetition_stats(df).collect()}
+    assert out[1].n_2grams == 4
+    assert out[1].top_2gram_frac == 0.5 and out[1].dup_2gram_frac == 1.0
+    assert out[2].n_2grams == 2
+    assert out[2].top_2gram_frac == 0.5 and out[2].dup_2gram_frac == 0.0
+    assert out[3].n_2grams == 0 and out[3].dup_2gram_frac == 0.0
+
+
+def test_stratified_sample_exact_counts_and_determinism(spark):
+    from ukis_h3cellstore_spark.ops import sampling as SM2
+
+    rows = [(i, "s%d" % (i % 3)) for i in range(100)]
+    df = spark.createDataFrame(rows, "doc_id long, source string")
+    a = SM2.stratified_sample(df, "source", 5)
+    b = SM2.stratified_sample(df, "source", 5)
+    pa = sorted((r.source, r.doc_id) for r in a.collect())
+    assert pa == sorted((r.source, r.doc_id) for r in b.collect())
+    from collections import Counter
+    c = Counter(s for s, _ in pa)
+    assert c == {"s0": 5, "s1": 5, "s2": 5}
+    # stratum smaller than n keeps everything
+    tiny = spark.createDataFrame([(1, "only"), (2, "only")], "doc_id long, source string")
+    assert SM2.stratified_sample(tiny, "source", 5).count() == 2

@@ -22,6 +22,11 @@ DEFAULT_QUERIES = [
     "ann_cosine_top3",
     "dedup_minhash_lsh_pairs",
     "text_stats",
+    "events_asof_join",
+    "events_sessionize",
+    "text_repetition",
+    "corpus_stratified_sample",
+    "corpus_decontaminate",
 ]
 
 

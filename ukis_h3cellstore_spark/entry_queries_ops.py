@@ -894,6 +894,47 @@ FROM t GROUP BY 1 ORDER BY freq DESC, token ASC LIMIT 50
 """
 
 
+def q_text_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return X.repetition_stats(_docs(spark, sf_dir))
+
+
+Q_TEXT_REPETITION_SQL = f"""
+WITH base AS (SELECT doc_id, {_DUCK_TOKS} AS toks FROM documents),
+grams AS (
+  SELECT doc_id, concat_ws(' ', toks[i], toks[i+1]) AS gram
+  FROM base, unnest(generate_series(1, greatest(len(toks) - 1, 0))) AS u(i)
+),
+per_gram AS (SELECT doc_id, gram, COUNT(*) AS c FROM grams GROUP BY 1, 2),
+per_doc AS (SELECT doc_id, SUM(c) AS n_2grams, MAX(c) AS top,
+                   SUM(CASE WHEN c > 1 THEN c ELSE 0 END) AS dup
+            FROM per_gram GROUP BY 1)
+SELECT CAST(d.doc_id AS BIGINT) AS doc_id,
+       CAST(COALESCE(n_2grams, 0) AS BIGINT) AS n_2grams,
+       COALESCE(CAST(top AS DOUBLE) / n_2grams, 0.0) AS top_2gram_frac,
+       COALESCE(CAST(dup AS DOUBLE) / n_2grams, 0.0) AS dup_2gram_frac
+FROM documents d LEFT JOIN per_doc USING (doc_id)
+"""
+
+
+def q_corpus_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return SM.stratified_sample(
+        _docs(spark, sf_dir).select("doc_id", "source", "n_chars"),
+        "source",
+        20,
+    )
+
+
+Q_CORPUS_STRATIFIED_SAMPLE_SQL = """
+SELECT CAST(doc_id AS BIGINT) AS doc_id, source, CAST(n_chars AS BIGINT) AS n_chars
+FROM documents
+QUALIFY ROW_NUMBER() OVER (
+  PARTITION BY source
+  ORDER BY (('0x' || substr(md5('strat' || '|' || CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT) ASC,
+           doc_id ASC
+) <= 20
+"""
+
+
 QUERIES_OPS: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "text_stats": q_text_stats,
     "text_langid": q_text_langid,
@@ -921,6 +962,8 @@ QUERIES_OPS: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "dedup_cluster_resolve": q_dedup_cluster_resolve,
     "corpus_decontaminate": q_corpus_decontaminate,
     "text_vocab_top50": q_text_vocab_top50,
+    "text_repetition": q_text_repetition,
+    "corpus_stratified_sample": q_corpus_stratified_sample,
 }
 
 ORACLES_OPS: dict[str, str] = {
@@ -952,4 +995,6 @@ ORACLES_OPS: dict[str, str] = {
     "dedup_cluster_resolve": _q_dedup_cluster_resolve_sql(),
     "corpus_decontaminate": _q_corpus_decontaminate_sql(),
     "text_vocab_top50": Q_TEXT_VOCAB_TOP50_SQL,
+    "text_repetition": Q_TEXT_REPETITION_SQL,
+    "corpus_stratified_sample": Q_CORPUS_STRATIFIED_SAMPLE_SQL,
 }

@@ -120,12 +120,74 @@ GROUP BY 1
 """
 
 
+def q_streaming_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Native session windows over the event stream (session_window,
+    30-minute gap, complete mode on the bounded stream): micro-batch
+    arrival order must not change the merged sessions. Spark merges
+    while the gap is STRICTLY below the gap duration and closes the
+    window at last_ts + gap — the oracle mirrors both conventions."""
+    src = _events(spark, sf_dir).select(
+        "user_id",
+        F.timestamp_micros(F.col("ts_us")).alias("ts"),
+        F.round(F.col("value") * 100).cast("long").alias("value_cents"),
+    )
+    stream_dir = tempfile.mkdtemp(prefix="h3stream_sess_")
+    src.repartition(4).write.mode("overwrite").parquet(stream_dir)
+    stream = st.read_stream(spark, stream_dir, src.schema, max_files_per_trigger=2)
+    sessions = st.session_rollup(
+        stream, "user_id", "ts", gap="30 minutes", agg_columns=["value_cents"]
+    )
+    _SINK_COUNTER[0] += 1
+    sink = f"stream_sess_sink_{_SINK_COUNTER[0]}"
+    q = (
+        sessions.writeStream.format("memory")
+        .queryName(sink)
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    return spark.table(sink).select(
+        F.col("user_id"),
+        F.unix_micros(F.col("session.start")).alias("session_start_us"),
+        F.unix_micros(F.col("session.end")).alias("session_end_us"),
+        F.col("n_events"),
+        F.col("sum_value_cents"),
+    )
+
+
+_Q_STREAMING_SESSIONIZE_SQL = """
+WITH flagged AS (
+  SELECT user_id, epoch_us(ts) AS ts_us,
+         CAST(round(value*100) AS BIGINT) AS value_cents,
+         CASE WHEN LAG(epoch_us(ts)) OVER w IS NULL
+                OR epoch_us(ts) - LAG(epoch_us(ts)) OVER w >= 1800000000
+         THEN 1 ELSE 0 END AS new_s
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts))
+),
+numbered AS (
+  SELECT *, SUM(new_s) OVER (PARTITION BY user_id ORDER BY ts_us
+                             ROWS UNBOUNDED PRECEDING) AS session_seq
+  FROM flagged
+)
+SELECT CAST(user_id AS BIGINT) AS user_id,
+       MIN(ts_us) AS session_start_us,
+       MAX(ts_us) + 1800000000 AS session_end_us,
+       COUNT(*) AS n_events,
+       CAST(SUM(value_cents) AS BIGINT) AS sum_value_cents
+FROM numbered GROUP BY user_id, session_seq
+"""
+
+
 QUERIES_STREAM: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "streaming_windowed_rollup": q_streaming_windowed_rollup,
     "streaming_dedup_exact": q_streaming_dedup_exact,
+    "streaming_sessionize": q_streaming_sessionize,
 }
 
 ORACLES_STREAM: dict[str, str] = {
     "streaming_windowed_rollup": _q_streaming_windowed_rollup_sql(),
     "streaming_dedup_exact": _Q_STREAMING_DEDUP_EXACT_SQL,
+    "streaming_sessionize": _Q_STREAMING_SESSIONIZE_SQL,
 }

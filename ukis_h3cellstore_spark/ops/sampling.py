@@ -68,6 +68,39 @@ def split_by_hash(
     return df.withColumn("split", split)
 
 
+def stratified_sample(
+    df: DataFrame,
+    strata_col: str,
+    n_per_stratum: int,
+    id_col: str = "doc_id",
+    salt: str = "strat",
+) -> DataFrame:
+    """Exactly ``n_per_stratum`` rows per stratum (fewer if the
+    stratum is smaller), chosen deterministically: rows are ranked
+    inside each stratum by a salted id hash (id as tiebreak) and the
+    top-n kept. Unlike ``df.sampleBy`` this is exact, reproducible
+    across runs/cluster sizes, and engine-portable. One shuffle on
+    the stratum key; per-stratum sort is partition-local, and the
+    rank window needs no global order."""
+    h = (
+        F.conv(
+            F.substring(
+                F.md5(F.concat(F.lit(salt), F.lit("|"), F.col(id_col).cast("string"))),
+                1,
+                15,
+            ),
+            16,
+            10,
+        ).cast("long")
+    )
+    w = Window.partitionBy(strata_col).orderBy(h.asc(), F.col(id_col).asc())
+    return (
+        df.withColumn("__rk", F.row_number().over(w))
+        .filter(F.col("__rk") <= n_per_stratum)
+        .drop("__rk")
+    )
+
+
 def pack_documents(
     df: DataFrame,
     max_tokens: int = 2048,

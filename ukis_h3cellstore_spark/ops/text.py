@@ -143,6 +143,51 @@ def fingerprint(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -
     )
 
 
+def repetition_stats(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Gopher-style within-document repetition metrics over token
+    2-grams: (id, n_2grams, top_2gram_frac, dup_2gram_frac) — the
+    fraction of 2-gram occurrences belonging to the most common
+    2-gram, and to any 2-gram occurring more than once. High values
+    flag boilerplate / TEMPLATE spam for a quality filter. Two
+    hash-aggs (doc×gram, then doc), both with map-side partial
+    aggregation; short documents (<2 tokens) report zero fractions."""
+    # token array materialized in its own projection (no CSE across
+    # lambda bodies — same trap as shingle_df)
+    base = df.select(F.col(id_col), tokens(text_col).alias("__toks"))
+    toks = F.col("__toks")
+    n = F.size(toks)
+    grams = F.when(
+        n >= 2,
+        F.transform(
+            F.sequence(F.lit(1), n - F.lit(1)),
+            lambda i: F.concat_ws(" ", F.slice(toks, i, 2)),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    per_gram = (
+        base.select(F.col(id_col), F.explode(grams).alias("gram"))
+        .groupBy(id_col, "gram")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    per_doc = per_gram.groupBy(id_col).agg(
+        F.sum("c").alias("n_2grams"),
+        F.max("c").alias("__top"),
+        F.sum(F.when(F.col("c") > 1, F.col("c")).otherwise(F.lit(0))).alias("__dup"),
+    )
+    out = df.select(F.col(id_col)).join(per_doc, on=id_col, how="left")
+    return out.select(
+        F.col(id_col),
+        F.coalesce(F.col("n_2grams"), F.lit(0)).alias("n_2grams"),
+        F.coalesce(
+            F.col("__top").cast("double") / F.col("n_2grams"), F.lit(0.0)
+        ).alias("top_2gram_frac"),
+        F.coalesce(
+            F.col("__dup").cast("double") / F.col("n_2grams"), F.lit(0.0)
+        ).alias("dup_2gram_frac"),
+    )
+
+
 def token_frequencies(
     df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
 ) -> DataFrame:

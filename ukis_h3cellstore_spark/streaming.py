@@ -85,6 +85,34 @@ def windowed_cell_rollup(
     )
 
 
+def session_rollup(
+    stream: DataFrame,
+    key_column: str,
+    ts_column: str,
+    gap: str = "30 minutes",
+    agg_columns: Iterable[str] = (),
+    watermark: str | None = None,
+) -> DataFrame:
+    """Event-time session windows per key: Spark's native
+    ``session_window`` merges events whose gap to the previous event is
+    strictly below ``gap`` (an exact-gap event starts a new session).
+    Output: one row per (key, session window) with count + sums.
+
+    With a ``watermark`` the state store evicts sessions once the
+    watermark passes their close (append mode); without one, use
+    complete/update mode on bounded streams."""
+    src = stream
+    if watermark is not None:
+        src = src.withWatermark(ts_column, watermark)
+    aggs = [F.count(F.lit(1)).alias("n_events")]
+    for c in agg_columns:
+        aggs.append(F.sum(c).alias(f"sum_{c}"))
+    return src.groupBy(
+        F.session_window(F.col(ts_column), gap).alias("session"),
+        F.col(key_column),
+    ).agg(*aggs)
+
+
 def stream_insert_into_tableset(
     store,
     schema,
