@@ -60,7 +60,23 @@ def main() -> None:
         F.sum("n_tokens").alias("total_tokens"),
     ).show()
 
-    # 5. embedding-space: exact top-3 neighbors for the first 5 vectors
+    # 5. resolve near-dup pairs into clusters; keep min-id per cluster
+    clusters = D.duplicate_cluster_stats(pairs)
+    print(f"duplicate clusters: {clusters.count()}")
+
+    # 6. decontaminate against a held-out eval set (src0 stands in)
+    flagged = D.decontaminate_flags(
+        docs.filter(F.col("source") != "src0"),
+        docs.filter(F.col("source") == "src0"),
+        k=5,
+    )
+    print(f"eval-contaminated training docs: {flagged.count()}")
+
+    # 7. boilerplate screen: drop documents dominated by one 2-gram
+    rep = X.repetition_stats(docs).filter(F.col("top_2gram_frac") < 0.2)
+    print(f"repetition-pass: {rep.count()}")
+
+    # 8. embedding-space: exact top-3 neighbors for the first 5 vectors
     queries = embs.filter(F.col("vec_id") < 5)
     S.cosine_topk(embs, queries, k=3).show()
 

@@ -1,0 +1,152 @@
+"""Property-based tests (hypothesis) for the relational extension
+operators — each Spark operator is checked against an independent
+brute-force Python reference on randomized inputs, so the DataFrame
+formulations (carry-forward windows, label propagation, gap
+sessionization) can't quietly drift from the declared semantics."""
+
+from __future__ import annotations
+
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+from ukis_h3cellstore_spark.ops import dedup as D
+from ukis_h3cellstore_spark.ops import joins as J
+from ukis_h3cellstore_spark.ops import sessions as SS
+
+_SETTINGS = dict(
+    max_examples=12,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+
+
+# ---------------------------------------------------------------- helpers
+
+
+def _cc_reference(edges: list[tuple[int, int]]) -> dict[int, int]:
+    """Union-find ground truth: node -> min reachable node."""
+    parent: dict[int, int] = {}
+
+    def find(x: int) -> int:
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in edges:
+        parent.setdefault(a, a)
+        parent.setdefault(b, b)
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[ra] = rb
+    comp: dict[int, list[int]] = {}
+    for n in parent:
+        comp.setdefault(find(n), []).append(n)
+    return {n: min(members) for members in comp.values() for n in members}
+
+
+def _asof_reference(
+    left: list[tuple[int, int, int]],
+    right: list[tuple[int, int, int]],
+) -> dict[int, tuple[int | None, int | None]]:
+    """(lid, key, ts) x (key, ts, payload) -> lid: latest at-or-before."""
+    out = {}
+    for lid, key, ts in left:
+        best = None
+        for rkey, rts, payload in right:
+            if rkey == key and rts <= ts and (best is None or rts > best[0]):
+                best = (rts, payload)
+        out[lid] = best if best else (None, None)
+    return out
+
+
+def _sessions_reference(
+    events: list[tuple[int, int]], gap: int
+) -> set[tuple[int, int, int, int, int]]:
+    """(user, ts) -> {(user, seq, start, end, n)} with gap>g new session."""
+    byuser: dict[int, list[int]] = {}
+    for u, t in events:
+        byuser.setdefault(u, []).append(t)
+    out = set()
+    for u, tss in byuser.items():
+        tss.sort()
+        seq, start, prev, n = 0, None, None, 0
+        for t in tss:
+            if prev is None or t - prev > gap:
+                if start is not None:
+                    out.add((u, seq, start, prev, n))
+                seq += 1
+                start, n = t, 0
+            n += 1
+            prev = t
+        out.add((u, seq, start, prev, n))
+    return out
+
+
+# ------------------------------------------------------------------ tests
+
+
+@given(
+    st.lists(
+        st.tuples(st.integers(0, 15), st.integers(0, 15)),
+        min_size=1,
+        max_size=25,
+    )
+)
+@settings(**_SETTINGS)
+def test_connected_components_matches_union_find(spark, edges):
+    edges = [(a, b) for a, b in edges if a != b]
+    if not edges:
+        return
+    pairs = spark.createDataFrame(edges, "id_a long, id_b long")
+    got = {r.node: r.component for r in D.connected_components(pairs).collect()}
+    assert got == _cc_reference(edges)
+
+
+@given(
+    st.lists(
+        st.tuples(st.integers(0, 3), st.integers(0, 50)), min_size=1, max_size=20
+    ),
+    st.lists(
+        st.tuples(st.integers(0, 3), st.integers(0, 50), st.integers(0, 99)),
+        min_size=0,
+        max_size=20,
+    ),
+)
+@settings(**_SETTINGS)
+def test_asof_join_matches_bruteforce(spark, lrows, rrows):
+    # dedupe right rows on (key, ts) — ambiguous-payload ties are
+    # out of contract (the gate pre-aggregates them)
+    seen: dict[tuple[int, int], int] = {}
+    for k, t, p in rrows:
+        seen[(k, t)] = p
+    rrows = [(k, t, p) for (k, t), p in seen.items()]
+    left = [(i, k, t) for i, (k, t) in enumerate(lrows)]
+    ldf = spark.createDataFrame(left, "lid long, key long, ts_us long")
+    rdf = spark.createDataFrame(
+        rrows or [(999, -1, 0)], "key long, ts_us long, payload long"
+    )
+    got = {
+        r.lid: (r.asof_ts_us, r.asof_payload)
+        for r in J.asof_join(ldf, rdf, on="key").collect()
+    }
+    assert got == _asof_reference(left, rrows or [(999, -1, 0)])
+
+
+@given(
+    st.lists(
+        st.tuples(st.integers(0, 3), st.integers(0, 10_000)),
+        min_size=1,
+        max_size=30,
+        unique=True,
+    ),
+    st.integers(1, 2_000),
+)
+@settings(**_SETTINGS)
+def test_session_stats_matches_bruteforce(spark, events, gap):
+    df = spark.createDataFrame(events, "user_id long, ts_us long")
+    got = {
+        (r.user_id, r.session_seq, r.session_start, r.session_end, r.n_events)
+        for r in SS.session_stats(df, gap_us=gap).collect()
+    }
+    assert got == _sessions_reference(events, gap)

@@ -83,9 +83,11 @@ def shingle_df(
             lambda i: F.concat_ws(" ", F.slice(toks, i, k)),
         ),
     ).otherwise(F.array().cast("array<string>"))
-    return (
-        toks_df.select(F.col(id_col), F.explode(shingles).alias("shingle"))
-        .distinct()
+    # distinctness is PER DOCUMENT, so array_distinct on the shingle
+    # array does it row-locally — a .distinct() over the exploded rows
+    # would add a full (id, shingle) shuffle for the same result
+    return toks_df.select(
+        F.col(id_col), F.explode(F.array_distinct(shingles)).alias("shingle")
     )
 
 
