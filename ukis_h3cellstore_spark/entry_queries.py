@@ -771,6 +771,77 @@ FROM numbered GROUP BY 1, 2
 """
 
 
+def q_order_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q4 shape: EXISTS correlated subquery as a left-semi join
+    (orders with ≥1 returned lineitem, counted per priority). The
+    probe side reduces to distinct orderkeys before the join, so the
+    exchange carries keys, not lineitem rows."""
+    o = _t(spark, sf_dir, "orders")
+    l = (
+        _t(spark, sf_dir, "lineitem")
+        .filter(F.col("l_returnflag") == "R")
+        .select("l_orderkey")
+    )
+    return (
+        o.join(l, o.o_orderkey == l.l_orderkey, "left_semi")
+        .groupBy("o_orderpriority")
+        .agg(F.count(F.lit(1)).alias("order_count"))
+    )
+
+
+Q_ORDER_PRIORITY_SQL = """
+SELECT o_orderpriority, COUNT(*) AS order_count
+FROM orders o
+WHERE EXISTS (SELECT 1 FROM lineitem l
+              WHERE l.l_orderkey = o.o_orderkey AND l.l_returnflag = 'R')
+GROUP BY 1
+"""
+
+
+def q_large_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q18 shape: HAVING over a grouped sum, joined back to the
+    dimension rows, deterministic top-100. The heavy side aggregates
+    BEFORE the join (keys only), and the final orderBy+limit plans as
+    TakeOrderedAndProject."""
+    l = _t(spark, sf_dir, "lineitem")
+    big = (
+        l.groupBy("l_orderkey")
+        .agg(F.sum(F.col("l_quantity").cast("long")).alias("total_qty"))
+        .filter(F.col("total_qty") > 250)
+    )
+    o = _t(spark, sf_dir, "orders")
+    c = _t(spark, sf_dir, "customer")
+    return (
+        big.join(o, big.l_orderkey == o.o_orderkey)
+        .join(c, o.o_custkey == c.c_custkey)
+        .select(
+            "c_name",
+            "c_custkey",
+            "o_orderkey",
+            _cents(F.col("o_totalprice")).alias("o_totalprice_cents"),
+            "total_qty",
+        )
+        .orderBy(F.col("o_totalprice_cents").desc(), F.col("o_orderkey").asc())
+        .limit(100)
+    )
+
+
+Q_LARGE_ORDERS_SQL = """
+WITH big AS (
+  SELECT l_orderkey, CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS total_qty
+  FROM lineitem GROUP BY 1
+  HAVING SUM(CAST(l_quantity AS BIGINT)) > 250
+)
+SELECT c_name, c_custkey, o_orderkey,
+       CAST(round(o_totalprice*100) AS BIGINT) AS o_totalprice_cents,
+       total_qty
+FROM big JOIN orders ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+ORDER BY o_totalprice_cents DESC, o_orderkey ASC
+LIMIT 100
+"""
+
+
 def q_events_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Backward as-of join: every click event annotated with the most
     recent prior-or-equal error event of the same user (ops/joins —
@@ -858,6 +929,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q3_shipping_priority": q_shipping_priority,
     "q5_region_nation_revenue": q_region_nation_revenue,
     "q6_forecast_revenue": q_forecast_revenue,
+    "q4_order_priority": q_order_priority,
+    "q18_large_orders": q_large_orders,
     "events_hourly_window": q_events_hourly,
     "events_sessionize": q_events_sessionize,
     "events_asof_join": q_events_asof_join,
@@ -882,6 +955,8 @@ ORACLES: dict[str, str] = {
     "q3_shipping_priority": Q_SHIPPING_PRIORITY_SQL,
     "q5_region_nation_revenue": Q_REGION_NATION_REVENUE_SQL,
     "q6_forecast_revenue": Q_FORECAST_REVENUE_SQL,
+    "q4_order_priority": Q_ORDER_PRIORITY_SQL,
+    "q18_large_orders": Q_LARGE_ORDERS_SQL,
     "events_hourly_window": Q_EVENTS_HOURLY_SQL,
     "events_sessionize": Q_EVENTS_SESSIONIZE_SQL,
     "events_asof_join": Q_EVENTS_ASOF_JOIN_SQL,
