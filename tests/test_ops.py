@@ -525,3 +525,23 @@ def test_stratified_sample_exact_counts_and_determinism(spark):
     # stratum smaller than n keeps everything
     tiny = spark.createDataFrame([(1, "only"), (2, "only")], "doc_id long, source string")
     assert SM2.stratified_sample(tiny, "source", 5).count() == 2
+
+
+def test_chunk_documents_windows_and_overlap(spark):
+    from ukis_h3cellstore_spark.ops import sampling as SM3
+
+    df = spark.createDataFrame(
+        [(1, "t0 t1 t2 t3 t4 t5 t6"), (2, "a b"), (3, "")],
+        "doc_id long, text string",
+    )
+    out = SM3.chunk_documents(df, chunk_tokens=4, overlap=1).collect()
+    chunks = {(r.doc_id, r.chunk_no): (r.chunk_text, r.n_tokens) for r in out}
+    # stride 3: starts at tokens 0,3,6 (0-based)
+    assert chunks[(1, 0)] == ("t0 t1 t2 t3", 4)
+    assert chunks[(1, 1)] == ("t3 t4 t5 t6", 4)
+    assert chunks[(1, 2)] == ("t6", 1)
+    assert chunks[(2, 0)] == ("a b", 2)
+    assert not any(d == 3 for d, _ in chunks)  # empty doc -> no chunks
+    import pytest as _pytest
+    with _pytest.raises(ValueError):
+        SM3.chunk_documents(df, chunk_tokens=4, overlap=4)

@@ -935,6 +935,26 @@ QUALIFY ROW_NUMBER() OVER (
 """
 
 
+def q_corpus_chunked(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return SM.chunk_documents(_docs(spark, sf_dir), chunk_tokens=32, overlap=8)
+
+
+Q_CORPUS_CHUNKED_SQL = f"""
+WITH base AS (SELECT doc_id, {_DUCK_TOKS} AS toks FROM documents),
+nn AS (SELECT doc_id, toks,
+              CASE WHEN len(array_to_string(toks, '')) = 0 THEN 0
+                   ELSE len(toks) END AS n
+       FROM base),
+st AS (SELECT doc_id, toks, n, u.i AS start_i
+       FROM nn, unnest(generate_series(1, n, 24)) AS u(i))
+SELECT CAST(doc_id AS BIGINT) AS doc_id,
+       CAST((start_i - 1) // 24 AS INT) AS chunk_no,
+       array_to_string(list_slice(toks, start_i, start_i + 31), ' ') AS chunk_text,
+       CAST(least(32, n - start_i + 1) AS INT) AS n_tokens
+FROM st
+"""
+
+
 QUERIES_OPS: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "text_stats": q_text_stats,
     "text_langid": q_text_langid,
@@ -964,6 +984,7 @@ QUERIES_OPS: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "text_vocab_top50": q_text_vocab_top50,
     "text_repetition": q_text_repetition,
     "corpus_stratified_sample": q_corpus_stratified_sample,
+    "corpus_chunked": q_corpus_chunked,
 }
 
 ORACLES_OPS: dict[str, str] = {
@@ -997,4 +1018,5 @@ ORACLES_OPS: dict[str, str] = {
     "text_vocab_top50": Q_TEXT_VOCAB_TOP50_SQL,
     "text_repetition": Q_TEXT_REPETITION_SQL,
     "corpus_stratified_sample": Q_CORPUS_STRATIFIED_SAMPLE_SQL,
+    "corpus_chunked": Q_CORPUS_CHUNKED_SQL,
 }

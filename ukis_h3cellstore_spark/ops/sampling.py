@@ -68,6 +68,52 @@ def split_by_hash(
     return df.withColumn("split", split)
 
 
+def chunk_documents(
+    df: DataFrame,
+    chunk_tokens: int = 128,
+    overlap: int = 0,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Split documents into fixed-token-count chunks with optional
+    overlap: (id, chunk_no, chunk_text, n_tokens) — the standard
+    pre-tokenization windowing for context-length-bounded training.
+    Chunk starts stride by ``chunk_tokens - overlap``; the final
+    chunk may be short; empty documents yield no chunks.
+
+    Pure explode over per-row slice offsets — no shuffle at all: the
+    operator is a flatMap, so it pipelines into whatever follows."""
+    if not 0 <= overlap < chunk_tokens:
+        raise ValueError("overlap must satisfy 0 <= overlap < chunk_tokens")
+    stride = chunk_tokens - overlap
+    base = df.select(F.col(id_col), tokens(text_col).alias("__toks")).withColumn(
+        "__n",
+        F.when(F.length(F.concat_ws("", F.col("__toks"))) == 0, F.lit(0)).otherwise(
+            F.size("__toks")
+        ),
+    )
+    # chunk start offsets 1, 1+stride, ... <= n (1-based slice indexes)
+    starts = F.when(
+        F.col("__n") > 0,
+        F.sequence(F.lit(1), F.col("__n"), F.lit(stride)),
+    ).otherwise(F.array().cast("array<int>"))
+    exploded = base.select(
+        F.col(id_col),
+        F.col("__toks"),
+        F.col("__n"),
+        F.posexplode(starts).alias("chunk_no", "__start"),
+    )
+    piece = F.slice(F.col("__toks"), F.col("__start"), chunk_tokens)
+    return exploded.select(
+        F.col(id_col),
+        F.col("chunk_no"),
+        F.concat_ws(" ", piece).alias("chunk_text"),
+        F.least(
+            F.lit(chunk_tokens), F.col("__n") - F.col("__start") + 1
+        ).alias("n_tokens"),
+    )
+
+
 def stratified_sample(
     df: DataFrame,
     strata_col: str,
