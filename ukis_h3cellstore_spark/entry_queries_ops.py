@@ -188,10 +188,12 @@ def q_dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _duck_minhash_slot(i: int) -> str:
-    """Slot hash parity with ops.dedup._hash64_slot: one salted md5
-    digest per PAIR of slots, hex halves 1-15 / 17-31."""
-    salt, start = i // 2, (1 if i % 2 == 0 else 17)
-    return f"('0x' || substr(md5('{salt}' || '|' || shingle), {start}, 15))::BIGINT"
+    """Slot hash parity with ops.dedup._hash64_slot: one md5-derived
+    base hash, per-slot affine scrambles mod the MLlib prime."""
+    a, b = D._minhash_coeffs(i)
+    p = D.MINHASH_PRIME
+    x = f"((('0x' || substr(md5(shingle), 1, 15))::BIGINT) % {p})"
+    return f"(({a} * {x} + {b}) % {p})"
 
 
 def _q_dedup_minhash_sql() -> str:
