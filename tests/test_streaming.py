@@ -21,11 +21,18 @@ def events_dir(spark, tmp_path_factory, sf_dir):
     out = str(tmp_path_factory.mktemp("stream") / "events")
     region = h3c.build_cell(60, [1, 2, 3, 4, 5])
     children = h3c.cell_to_children(region, 7)
-    # source ts is TIMESTAMP(NANOS); normalize to µs for the stream copy
+    # source ts has shipped as TIMESTAMP(NANOS) (read as BIGINT nanos
+    # via nanosAsLong) and as TIMESTAMP(MICROS) (read as a timestamp
+    # type directly); normalize either to a µs TIMESTAMP stream copy
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    raw = spark.read.parquet(f"{sf_dir}/events.parquet")
+    ts = (
+        F.col("ts").cast("timestamp")
+        if dict(raw.dtypes)["ts"].startswith("timestamp")
+        else F.timestamp_micros((F.col("ts") / 1000).cast("long"))
+    )
     df = (
-        spark.read.parquet(f"{sf_dir}/events.parquet")
-        .withColumn("ts", F.timestamp_micros((F.col("ts") / 1000).cast("long")))
+        raw.withColumn("ts", ts)
         .withColumn(
             "h3index",
             F.element_at(

@@ -41,15 +41,30 @@ def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
 
 
 def _events(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """events table with the TIMESTAMP(NANOS) ``ts`` column exposed as
-    ``ts_us`` (microseconds since epoch, BIGINT) — Spark's parquet
-    reader rejects nanos timestamps, and DuckDB truncates them to µs,
-    so µs-since-epoch is the cross-engine parity ground."""
+    """events table with the ``ts`` column exposed as ``ts_us``
+    (microseconds since epoch, BIGINT) — the cross-engine parity ground
+    shared with the DuckDB oracle's ``epoch_us(ts)``.
+
+    The driver's parquet has shipped two physical types for ``ts``
+    across rounds: TIMESTAMP(NANOS) (read as BIGINT nanos via
+    ``nanosAsLong``) and TIMESTAMP(MICROS, isAdjustedToUTC=false)
+    (read as TIMESTAMP_NTZ). Branch on the observed type so both work.
+    TIMESTAMP_NTZ → µs via ``timestampdiff`` against the NTZ epoch:
+    pure wall-clock arithmetic, independent of the session timezone,
+    exactly DuckDB's naive ``epoch_us``."""
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     df = spark.read.parquet(f"{sf_dir}/events.parquet")
-    # integer division: `ts / 1000` evaluates in DOUBLE, which has 53
-    # mantissa bits — epoch nanos (~1.7e18) lose the microsecond digit
-    return df.withColumn("ts_us", F.expr("ts div 1000")).drop("ts")
+    ts_type = dict(df.dtypes)["ts"]
+    if ts_type.startswith("timestamp"):
+        ts_us = F.expr(
+            "timestampdiff(MICROSECOND, TIMESTAMP_NTZ'1970-01-01 00:00:00',"
+            " cast(ts as timestamp_ntz))"
+        )
+    else:
+        # BIGINT nanos. Integer division — `ts / 1000` evaluates in
+        # DOUBLE, whose 53 mantissa bits lose the microsecond digit.
+        ts_us = F.expr("ts div 1000")
+    return df.withColumn("ts_us", ts_us).drop("ts")
 
 
 def _cents(col) -> "F.Column":
