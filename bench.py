@@ -69,8 +69,18 @@ def main() -> None:
 
     queries = entrymod.queries()
     # session warmup: JVM/codegen/filesystem init is not query cost —
-    # one tiny scan+agg outside the timed loop
-    spark.read.parquet(f"{sf_dir}/region.parquet").groupBy().count().collect()
+    # a tiny scan+join+agg+sort outside the timed loop warms the
+    # whole-stage-codegen compiler for the operator shapes the first
+    # timed query would otherwise pay for
+    region = spark.read.parquet(f"{sf_dir}/region.parquet")
+    nation = spark.read.parquet(f"{sf_dir}/nation.parquet")
+    (
+        nation.join(region, nation.n_regionkey == region.r_regionkey)
+        .groupBy("r_name")
+        .count()
+        .orderBy("r_name")
+        .collect()
+    )
 
     timings: dict[str, float] = {}
     for name in HEADLINE:

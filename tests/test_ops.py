@@ -490,6 +490,78 @@ def test_asof_join_single_shuffle(spark):
     assert "CartesianProduct" not in plan and "BroadcastNestedLoop" not in plan
 
 
+def test_range_join_containment_and_boundaries(spark):
+    from ukis_h3cellstore_spark.ops import joins as J
+
+    left = spark.createDataFrame(
+        [(1, 0), (2, 5), (3, 10), (4, 19), (5, 20), (6, 35)],
+        "eid long, ts_us long",
+    )
+    ranges = spark.createDataFrame(
+        [(100, 0, 20), (200, 10, 30), (300, 40, 50)],
+        "rid long, start_us long, end_us long",
+    )
+    got = {
+        (r.eid, r.rid)
+        for r in J.range_join(left, ranges, bucket=7).collect()
+    }
+    # half-open [start, end): ts=20 is outside [0,20) but inside [10,30)
+    assert got == {
+        (1, 100), (2, 100), (3, 100), (4, 100),
+        (3, 200), (4, 200), (5, 200),
+    }
+    # bucket width larger than every interval still matches exactly
+    got_wide = {
+        (r.eid, r.rid)
+        for r in J.range_join(left, ranges, bucket=1000).collect()
+    }
+    assert got_wide == got
+    # with equality keys, containment alone is not enough
+    left_k = left.withColumn("k", (F.col("eid") % 2).cast("long"))
+    ranges_k = ranges.withColumn("k", F.lit(1).cast("long"))
+    keyed = {
+        (r.eid, r.rid)
+        for r in J.range_join(left_k, ranges_k, on="k", bucket=7).collect()
+    }
+    assert keyed == {(e, rr) for (e, rr) in got if e % 2 == 1}
+
+
+def test_range_join_no_cross_join_in_plan(spark):
+    from ukis_h3cellstore_spark.ops import joins as J
+
+    left = spark.createDataFrame([(1, 1)], "eid long, ts_us long")
+    ranges = spark.createDataFrame([(1, 0, 10)], "rid long, start_us long, end_us long")
+    plan = (
+        J.range_join(left, ranges)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "CartesianProduct" not in plan and "BroadcastNestedLoop" not in plan
+
+
+def test_salted_join_matches_plain_join(spark):
+    from ukis_h3cellstore_spark.ops import joins as J
+
+    # skewed left: key 1 dominates; includes duplicate rows and a
+    # key absent from the right
+    left = spark.createDataFrame(
+        [(1, "a")] * 7 + [(1, "b"), (2, "c"), (3, "d")],
+        "k long, v string",
+    )
+    right = spark.createDataFrame(
+        [(1, 10.0), (2, 20.0)], "k long, w double"
+    )
+    for how in ("inner", "left"):
+        plain = sorted(
+            map(tuple, left.join(right, on="k", how=how).collect())
+        )
+        salted = sorted(
+            map(tuple, J.salted_join(left, right, on="k", how=how, num_salts=4).collect())
+        )
+        assert salted == plain, how
+    with pytest.raises(ValueError):
+        J.salted_join(left, right, on="k", how="full")
+
+
 # ----------------------------------------------- repetition / sampling
 
 

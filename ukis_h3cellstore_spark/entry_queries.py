@@ -25,7 +25,7 @@ from __future__ import annotations
 
 from collections.abc import Callable
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ukis_h3cellstore_spark.h3 import cells as h3c
@@ -935,6 +935,90 @@ FROM events GROUP BY CUBE (1, 2)
 """
 
 
+def q_events_range_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interval join via the bucketed range_join operator: every event
+    inside each event type's opening 6-hour window, aggregated per
+    window (ops/joins.range_join — equi-join on coarse time buckets +
+    residual containment, never a cross join). Oracle: DuckDB's plain
+    non-equi join."""
+    from ukis_h3cellstore_spark.ops import joins as J
+
+    e = _events(spark, sf_dir)
+    six_h = 6 * 3_600 * 1_000_000
+    ranges = e.groupBy(F.col("event_type").alias("range_type")).agg(
+        F.min("ts_us").alias("start_us"),
+        (F.min("ts_us") + six_h).alias("end_us"),
+    )
+    joined = J.range_join(
+        e.select("event_id", "ts_us", _cents(F.col("value")).alias("value_cents")),
+        ranges,
+    )
+    return joined.groupBy("range_type").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.sum("value_cents").alias("sum_value_cents"),
+    )
+
+
+Q_EVENTS_RANGE_JOIN_SQL = """
+WITH r AS (
+  SELECT event_type AS range_type,
+         MIN(epoch_us(ts)) AS start_us,
+         MIN(epoch_us(ts)) + CAST(6*3600 AS BIGINT)*1000000 AS end_us
+  FROM events GROUP BY 1
+)
+SELECT r.range_type, COUNT(*) AS n_events,
+       CAST(SUM(CAST(round(e.value*100) AS BIGINT)) AS BIGINT) AS sum_value_cents
+FROM events e JOIN r
+  ON epoch_us(e.ts) >= r.start_us AND epoch_us(e.ts) < r.end_us
+GROUP BY 1
+"""
+
+
+def q_events_salted_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fact-to-dim join under the skew-salted strategy: events joined
+    to a per-type rank dim on the (Zipf-ish) event_type key through
+    ops/joins.salted_join — identical result set to the plain join,
+    hot keys spread over 8 salted reducers. Oracle: the plain join."""
+    from ukis_h3cellstore_spark.ops import joins as J
+
+    e = _events(spark, sf_dir)
+    dim = (
+        e.groupBy("event_type")
+        .agg(F.count(F.lit(1)).alias("type_total"))
+        .withColumn(
+            "type_rank",
+            F.row_number().over(
+                Window.orderBy(F.desc("type_total"), F.col("event_type"))
+            ),
+        )
+    )
+    joined = J.salted_join(
+        e.select("event_id", "event_type", _cents(F.col("value")).alias("value_cents")),
+        dim,
+        on="event_type",
+        num_salts=8,
+    )
+    return joined.groupBy("event_type", "type_rank", "type_total").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.sum("value_cents").alias("sum_value_cents"),
+    )
+
+
+Q_EVENTS_SALTED_JOIN_SQL = """
+WITH dim AS (
+  SELECT event_type, COUNT(*) AS type_total,
+         CAST(ROW_NUMBER() OVER (ORDER BY COUNT(*) DESC, event_type) AS INT)
+           AS type_rank
+  FROM events GROUP BY 1
+)
+SELECT e.event_type, d.type_rank, d.type_total,
+       COUNT(*) AS n_events,
+       CAST(SUM(CAST(round(e.value*100) AS BIGINT)) AS BIGINT) AS sum_value_cents
+FROM events e JOIN dim d ON e.event_type = d.event_type
+GROUP BY 1, 2, 3
+"""
+
+
 # --------------------------------------------------------------------------
 # registry
 # --------------------------------------------------------------------------
@@ -951,6 +1035,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "events_asof_join": q_events_asof_join,
     "events_percentiles": q_events_percentiles,
     "events_cube_counts": q_events_cube_counts,
+    "events_range_join": q_events_range_join,
+    "events_salted_join": q_events_salted_join,
     "h3_synth_fields": q_h3_synth_fields,
     "h3_parent_agg_sum": q_h3_parent_agg_sum,
     "h3_minmax_avg": q_h3_minmax_avg,
@@ -977,6 +1063,8 @@ ORACLES: dict[str, str] = {
     "events_asof_join": Q_EVENTS_ASOF_JOIN_SQL,
     "events_percentiles": Q_EVENTS_PERCENTILES_SQL,
     "events_cube_counts": Q_EVENTS_CUBE_SQL,
+    "events_range_join": Q_EVENTS_RANGE_JOIN_SQL,
+    "events_salted_join": Q_EVENTS_SALTED_JOIN_SQL,
     "h3_synth_fields": _q_h3_synth_fields_sql(),
     "h3_parent_agg_sum": _q_h3_parent_agg_sum_sql(),
     "h3_minmax_avg": _q_h3_minmax_avg_sql(),

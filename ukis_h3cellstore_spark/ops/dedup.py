@@ -324,14 +324,20 @@ def connected_components(
         pairs.select(F.col(dst_col).alias("src"), F.col(src_col).alias("dst"))
     )
     edges = sym.distinct().localCheckpoint(eager=True)  # reused every round
+    # the first propagation round fused into initialization: labels
+    # start at min(node, min(neighbor)) — one aggregation over the
+    # edge list instead of an identity-label round plus a join round
     labels = (
-        edges.select(F.col("src").alias("node"))
-        .distinct()
-        .withColumn("component", F.col("node"))
+        edges.select(
+            F.col("src").alias("node"),
+            F.least("src", "dst").alias("component"),
+        )
+        .groupBy("node")
+        .agg(F.min("component").alias("component"))
         .localCheckpoint(eager=True)
     )
     prev_sum = labels.agg(F.sum("component")).collect()[0][0]
-    for _ in range(max_rounds):
+    for _ in range(max_rounds - 1):
         neigh = edges.join(
             labels.withColumnRenamed("node", "dst"), on="dst"
         ).select(F.col("src").alias("node"), "component")

@@ -1,5 +1,25 @@
 """Relational extension joins Spark lacks as built-ins.
 
+``range_join`` — events against time intervals without a cross join:
+intervals explode into coarse time buckets, the event side computes
+its single bucket, and the match becomes an equi-join on the bucket
+key plus a residual ``start <= ts < end`` filter. This is the
+bucketed interval-join strategy (what Databricks' range-join hints
+and KDB window joins do): shuffle cost is one exchange on the bucket
+key, replication cost is ``interval_length / bucket_width`` rows per
+interval, and there is no N×M candidate space.
+
+``salted_join`` — explicit skew mitigation for joins whose key
+distribution is Zipfian: the big side salts each row into one of
+``num_salts`` sub-keys (deterministically, from a hash of the whole
+row), the small side replicates once per salt, and the join runs on
+(key, salt) — a hot key's rows now spread over ``num_salts``
+reducers. Output is EXACTLY the plain join's (each big-side row meets
+each matching small-side row once, under its own salt). Complements
+AQE's skew-join (which can only split sort-merge partitions after
+materialization) and broadcast (which needs the small side to fit in
+memory × executors).
+
 ``asof_join`` — for every left row, the most recent right row at or
 before its timestamp (per key). Spark has no ASOF JOIN operator; the
 naive formulations are a range join (quadratic worst case) or a
@@ -22,6 +42,83 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
+
+
+def range_join(
+    left: DataFrame,
+    ranges: DataFrame,
+    left_ts: str = "ts_us",
+    range_start: str = "start_us",
+    range_end: str = "end_us",
+    on: str | list[str] | None = None,
+    bucket: int = 3_600_000_000,
+) -> DataFrame:
+    """Interval join: every left row paired with every ``ranges`` row
+    whose half-open interval ``[range_start, range_end)`` contains its
+    timestamp (and whose equality keys ``on`` match, if given).
+
+    Each interval is exploded to the coarse buckets it overlaps
+    (``sequence`` — pure JVM, no UDF); each left row computes its one
+    bucket; the pairing is then an equi-join on (keys..., bucket) with
+    the exact containment predicate as a residual filter. A (left row,
+    interval) pair can only meet in the left row's single bucket, so
+    no post-join dedup is needed.
+
+    ``bucket`` (same unit as the timestamps; default 1 h in µs) is the
+    replication/shuffle knob: intervals produce
+    ``ceil(length/bucket)+1`` rows, so set it near the TYPICAL
+    interval length. Dense overlapping intervals concentrate in few
+    buckets — that candidate growth is inherent to interval-join
+    output size, and the skewed exchange splits under AQE."""
+    keys = [on] if isinstance(on, str) else list(on or [])
+    # integer `div`, not float division: epoch-µs / bucket in DOUBLE
+    # can land an exact boundary on x.9999... and truncate into the
+    # wrong bucket (timestamps are non-negative, so div == floor)
+    r = ranges.withColumn(
+        "__bucket",
+        F.explode(
+            F.sequence(
+                F.expr(f"cast({range_start} as bigint) div {bucket}"),
+                # end is exclusive; a range ending exactly on a bucket
+                # boundary does not reach into that bucket
+                F.expr(f"(cast({range_end} as bigint) - 1) div {bucket}"),
+            )
+        ),
+    )
+    l = left.withColumn("__bucket", F.expr(f"cast({left_ts} as bigint) div {bucket}"))
+    out = l.join(r, on=[*keys, "__bucket"]).filter(
+        (F.col(left_ts) >= F.col(range_start))
+        & (F.col(left_ts) < F.col(range_end))
+    )
+    return out.drop("__bucket")
+
+
+def salted_join(
+    left: DataFrame,
+    right: DataFrame,
+    on: str | list[str],
+    num_salts: int = 16,
+    how: str = "inner",
+) -> DataFrame:
+    """Skew-safe equi-join of a large, possibly key-skewed ``left``
+    against a small ``right``: left rows get a deterministic salt in
+    ``[0, num_salts)`` hashed from the full row, right rows are
+    replicated once per salt value, and the join key becomes
+    (keys..., salt). Result set is identical to ``left.join(right,
+    on, how)``; only the partitioning of the work changes.
+
+    Only ``inner`` and ``left`` joins are supported — outer-right
+    semantics would surface one NULL-padded row per unmatched right
+    REPLICA, which is not the plain join's output."""
+    if how not in ("inner", "left"):
+        raise ValueError(f"salted_join supports inner/left, got {how!r}")
+    keys = [on] if isinstance(on, str) else list(on)
+    salt = F.pmod(F.hash(*[F.col(c) for c in left.columns]), F.lit(num_salts))
+    l = left.withColumn("__salt", salt)
+    r = right.withColumn(
+        "__salt", F.explode(F.sequence(F.lit(0), F.lit(num_salts - 1)))
+    )
+    return l.join(r, on=[*keys, "__salt"], how=how).drop("__salt")
 
 
 def asof_join(
