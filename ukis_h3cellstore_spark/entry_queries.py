@@ -935,6 +935,194 @@ FROM events GROUP BY CUBE (1, 2)
 """
 
 
+def q_nation_trade_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bidirectional nation-pair trade volume by ship year (TPC-H Q7
+    shape): lineitem revenue where supplier and customer sit in the
+    two named nations, either direction. Fact-side joins shuffle on
+    the order key; both nation dims broadcast."""
+    l = _t(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.to_timestamp(F.lit("1996-01-01")))
+        & (F.col("l_shipdate") < F.to_timestamp(F.lit("1998-01-01")))
+    )
+    o = _t(spark, sf_dir, "orders")
+    c = _t(spark, sf_dir, "customer")
+    s = _t(spark, sf_dir, "supplier")
+    n1 = _t(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("s_nk"), F.col("n_name").alias("supp_nation")
+    )
+    n2 = _t(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("c_nk"), F.col("n_name").alias("cust_nation")
+    )
+    joined = (
+        l.join(o, l.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(s), l.l_suppkey == s.s_suppkey)
+        .join(c, o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n1), F.col("s_nationkey") == F.col("s_nk"))
+        .join(F.broadcast(n2), F.col("c_nationkey") == F.col("c_nk"))
+        .filter(
+            (
+                (F.col("supp_nation") == "NATION_1")
+                & (F.col("cust_nation") == "NATION_2")
+            )
+            | (
+                (F.col("supp_nation") == "NATION_2")
+                & (F.col("cust_nation") == "NATION_1")
+            )
+        )
+    )
+    return joined.groupBy(
+        "supp_nation", "cust_nation", F.year("l_shipdate").alias("l_year")
+    ).agg(
+        F.sum(
+            _cents(F.col("l_extendedprice"))
+            * (F.lit(100) - _cents(F.col("l_discount")))
+        ).alias("revenue_c100")
+    )
+
+
+Q_NATION_TRADE_SQL = """
+SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+       CAST(year(l_shipdate) AS INT) AS l_year,
+       CAST(SUM(CAST(round(l_extendedprice*100) AS BIGINT)
+           * (100 - CAST(round(l_discount*100) AS BIGINT))) AS BIGINT) AS revenue_c100
+FROM lineitem
+JOIN orders   ON l_orderkey = o_orderkey
+JOIN supplier ON l_suppkey = s_suppkey
+JOIN customer ON o_custkey = c_custkey
+JOIN nation n1 ON s_nationkey = n1.n_nationkey
+JOIN nation n2 ON c_nationkey = n2.n_nationkey
+WHERE ((n1.n_name = 'NATION_1' AND n2.n_name = 'NATION_2')
+    OR (n1.n_name = 'NATION_2' AND n2.n_name = 'NATION_1'))
+  AND l_shipdate >= TIMESTAMP '1996-01-01'
+  AND l_shipdate <  TIMESTAMP '1998-01-01'
+GROUP BY 1, 2, 3
+"""
+
+
+def q_returned_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-20 customers by returned-item revenue in one quarter
+    (TPC-H Q10 shape). The limit is tie-broken on c_custkey so the
+    result set is deterministic."""
+    lo = F.to_timestamp(F.lit("1996-01-01"))
+    hi = F.to_timestamp(F.lit("1996-04-01"))
+    l = _t(spark, sf_dir, "lineitem").filter(F.col("l_returnflag") == "R")
+    o = _t(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= lo) & (F.col("o_orderdate") < hi)
+    )
+    c = _t(spark, sf_dir, "customer")
+    n = _t(spark, sf_dir, "nation")
+    joined = (
+        l.join(o, l.l_orderkey == o.o_orderkey)
+        .join(c, o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+    )
+    return (
+        joined.groupBy("c_custkey", "c_name", "n_name")
+        .agg(
+            F.sum(
+                _cents(F.col("l_extendedprice"))
+                * (F.lit(100) - _cents(F.col("l_discount")))
+            ).alias("revenue_c100")
+        )
+        .orderBy(F.desc("revenue_c100"), F.col("c_custkey"))
+        .limit(20)
+    )
+
+
+Q_RETURNED_CUSTOMERS_SQL = """
+SELECT c_custkey, c_name, n_name,
+       CAST(SUM(CAST(round(l_extendedprice*100) AS BIGINT)
+           * (100 - CAST(round(l_discount*100) AS BIGINT))) AS BIGINT) AS revenue_c100
+FROM lineitem
+JOIN orders   ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+JOIN nation   ON c_nationkey = n_nationkey
+WHERE l_returnflag = 'R'
+  AND o_orderdate >= TIMESTAMP '1996-01-01'
+  AND o_orderdate <  TIMESTAMP '1996-04-01'
+GROUP BY 1, 2, 3
+ORDER BY revenue_c100 DESC, c_custkey
+LIMIT 20
+"""
+
+
+def q_top_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Suppliers within 5% of the quarter's maximum revenue (TPC-H
+    Q15 shape — revenue view + scalar-max subquery). The one-row max
+    broadcasts; no second scan of the fact table."""
+    lo = F.to_timestamp(F.lit("1996-01-01"))
+    hi = F.to_timestamp(F.lit("1996-04-01"))
+    l = _t(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= lo) & (F.col("l_shipdate") < hi)
+    )
+    revenue = l.groupBy(F.col("l_suppkey").alias("supplier_no")).agg(
+        F.sum(
+            _cents(F.col("l_extendedprice"))
+            * (F.lit(100) - _cents(F.col("l_discount")))
+        ).alias("total_revenue_c100")
+    )
+    mx = revenue.agg(F.max("total_revenue_c100").alias("__max_rev"))
+    s = _t(spark, sf_dir, "supplier")
+    return (
+        revenue.join(
+            F.broadcast(mx),
+            F.col("total_revenue_c100") >= (F.col("__max_rev") * 0.95).cast("long"),
+        )
+        .join(F.broadcast(s), F.col("supplier_no") == s.s_suppkey)
+        .select("s_suppkey", "s_name", "total_revenue_c100")
+    )
+
+
+Q_TOP_SUPPLIERS_SQL = """
+WITH revenue AS (
+  SELECT l_suppkey AS supplier_no,
+         CAST(SUM(CAST(round(l_extendedprice*100) AS BIGINT)
+             * (100 - CAST(round(l_discount*100) AS BIGINT))) AS BIGINT)
+           AS total_revenue_c100
+  FROM lineitem
+  WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+    AND l_shipdate <  TIMESTAMP '1996-04-01'
+  GROUP BY 1
+)
+SELECT s_suppkey, s_name, total_revenue_c100
+FROM supplier JOIN revenue ON s_suppkey = supplier_no
+WHERE total_revenue_c100 >=
+      CAST((SELECT MAX(total_revenue_c100) FROM revenue) * 0.95 AS BIGINT)
+"""
+
+
+def q_bracket_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Disjunctive bracket predicate over a fact-dim join (TPC-H Q19
+    shape): three (brand, size range, quantity range) brackets OR-ed
+    together. The part dim broadcasts; the OR-of-ANDs stays a single
+    codegen'd filter."""
+    l = _t(spark, sf_dir, "lineitem")
+    p = _t(spark, sf_dir, "part")
+    j = l.join(F.broadcast(p), l.l_partkey == p.p_partkey)
+    qty, size, brand = F.col("l_quantity"), F.col("p_size"), F.col("p_brand")
+    cond = (
+        ((brand == "Brand#2") & size.between(1, 15) & qty.between(1, 11))
+        | ((brand == "Brand#23") & size.between(1, 25) & qty.between(10, 20))
+        | ((brand == "Brand#15") & size.between(1, 50) & qty.between(20, 30))
+    )
+    return j.filter(cond).agg(
+        F.sum(
+            _cents(F.col("l_extendedprice"))
+            * (F.lit(100) - _cents(F.col("l_discount")))
+        ).alias("revenue_c100")
+    )
+
+
+Q_BRACKET_REVENUE_SQL = """
+SELECT CAST(SUM(CAST(round(l_extendedprice*100) AS BIGINT)
+           * (100 - CAST(round(l_discount*100) AS BIGINT))) AS BIGINT) AS revenue_c100
+FROM lineitem JOIN part ON l_partkey = p_partkey
+WHERE (p_brand = 'Brand#2'  AND p_size BETWEEN 1 AND 15 AND l_quantity BETWEEN 1  AND 11)
+   OR (p_brand = 'Brand#23' AND p_size BETWEEN 1 AND 25 AND l_quantity BETWEEN 10 AND 20)
+   OR (p_brand = 'Brand#15' AND p_size BETWEEN 1 AND 50 AND l_quantity BETWEEN 20 AND 30)
+"""
+
+
 def q_events_range_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Interval join via the bucketed range_join operator: every event
     inside each event type's opening 6-hour window, aggregated per
@@ -1030,6 +1218,10 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q6_forecast_revenue": q_forecast_revenue,
     "q4_order_priority": q_order_priority,
     "q18_large_orders": q_large_orders,
+    "q7_nation_trade_volume": q_nation_trade_volume,
+    "q10_returned_customers": q_returned_customers,
+    "q15_top_suppliers": q_top_suppliers,
+    "q19_bracket_revenue": q_bracket_revenue,
     "events_hourly_window": q_events_hourly,
     "events_sessionize": q_events_sessionize,
     "events_asof_join": q_events_asof_join,
@@ -1058,6 +1250,10 @@ ORACLES: dict[str, str] = {
     "q6_forecast_revenue": Q_FORECAST_REVENUE_SQL,
     "q4_order_priority": Q_ORDER_PRIORITY_SQL,
     "q18_large_orders": Q_LARGE_ORDERS_SQL,
+    "q7_nation_trade_volume": Q_NATION_TRADE_SQL,
+    "q10_returned_customers": Q_RETURNED_CUSTOMERS_SQL,
+    "q15_top_suppliers": Q_TOP_SUPPLIERS_SQL,
+    "q19_bracket_revenue": Q_BRACKET_REVENUE_SQL,
     "events_hourly_window": Q_EVENTS_HOURLY_SQL,
     "events_sessionize": Q_EVENTS_SESSIONIZE_SQL,
     "events_asof_join": Q_EVENTS_ASOF_JOIN_SQL,
