@@ -23,6 +23,8 @@ HEADLINE = [
     "q1_pricing_summary",
     "q3_shipping_priority",
     "q5_region_nation_revenue",
+    "q10_returned_customers",
+    "events_range_join",
     "events_hourly_window",
     "h3_parent_agg_sum",
     "h3_setnull_on_conflict",

@@ -345,6 +345,32 @@ def test_subsample_by_source_rates(spark):
     assert sorted(out.doc_id) == sorted(out2.doc_id)
 
 
+def test_gopher_quality_flags_rules(spark):
+    good = " ".join(
+        ["the", "be", "to", "of", "and"] + ["word"] * 60
+    )
+    bullets = "\n".join(f"- item {i} the be" for i in range(10))
+    dots = "\n".join(f"line {i} the be..." for i in range(10))
+    symbols = " ".join(["#tag", "the", "be"] * 20)
+    short = "the be to"
+    df = spark.createDataFrame(
+        [(1, good), (2, bullets), (3, dots), (4, symbols), (5, short), (6, "")],
+        "doc_id long, text string",
+    )
+    out = {r.doc_id: r for r in X.gopher_quality_flags(df).collect()}
+    assert out[1].gopher_pass and out[1].n_words == 65
+    assert out[1].stopword_hits == 5 and out[1].alpha_word_frac == 1.0
+    # every line bullet-started -> bullet_line_frac 1.0 > 0.9
+    assert out[2].bullet_line_frac == 1.0 and not out[2].gopher_pass
+    # every line ellipsis-ended -> 1.0 > 0.3
+    assert out[3].ellipsis_line_frac == 1.0 and not out[3].gopher_pass
+    # 20 '#' over 60 words -> ratio 1/3 > 0.1
+    assert out[4].symbol_word_ratio > 0.1 and not out[4].gopher_pass
+    assert out[5].n_words == 3 and not out[5].gopher_pass
+    # empty text: no words, rule measurements NULL, verdict False
+    assert out[6].n_words == 0 and out[6].gopher_pass is False
+
+
 def test_scrub_pii_redacts_and_counts(spark):
     df = spark.createDataFrame(
         [

@@ -957,6 +957,51 @@ FROM st
 """
 
 
+def q_text_gopher_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher/MassiveText quality rule set per document (ops/text.
+    gopher_quality_flags) — rule measurements + combined verdict, all
+    whole-stage-codegen array expressions."""
+    return X.gopher_quality_flags(_docs(spark, sf_dir))
+
+
+Q_TEXT_GOPHER_SQL = f"""
+WITH base AS (
+  SELECT doc_id, text,
+         list_filter({_DUCK_TOKS}, w -> len(w) > 0) AS words,
+         string_split(text, chr(10)) AS lines
+  FROM documents
+),
+m AS (
+  SELECT doc_id,
+         CAST(len(words) AS BIGINT) AS n_words,
+         round(list_sum(list_transform(words, w -> len(w)))
+               / CAST(NULLIF(len(words), 0) AS DOUBLE), 6) AS mean_word_len,
+         round(((length(text) - length(replace(text, '#', '')))
+                + (length(text) - length(replace(text, '...', ''))) // 3)
+               / CAST(NULLIF(len(words), 0) AS DOUBLE), 6) AS symbol_word_ratio,
+         round(len(list_filter(lines, l -> regexp_matches(trim(l), '^[•\\-\\*]')))
+               / CAST(len(lines) AS DOUBLE), 6) AS bullet_line_frac,
+         round(len(list_filter(lines, l -> regexp_matches(l, '(\\.\\.\\.|…)$')))
+               / CAST(len(lines) AS DOUBLE), 6) AS ellipsis_line_frac,
+         round(len(list_filter(words, w -> regexp_matches(w, '[a-zA-Z]')))
+               / CAST(NULLIF(len(words), 0) AS DOUBLE), 6) AS alpha_word_frac,
+         CAST(len(list_distinct(list_filter(list_transform(words, w -> lower(w)),
+              w -> w IN ('the','be','to','of','and','that','have','with'))))
+              AS INT) AS stopword_hits
+  FROM base
+)
+SELECT *,
+       (n_words BETWEEN 50 AND 100000
+        AND mean_word_len BETWEEN 3.0 AND 10.0
+        AND symbol_word_ratio <= 0.1
+        AND bullet_line_frac <= 0.9
+        AND ellipsis_line_frac <= 0.3
+        AND alpha_word_frac >= 0.8
+        AND stopword_hits >= 2) AS gopher_pass
+FROM m
+"""
+
+
 QUERIES_OPS: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "text_stats": q_text_stats,
     "text_langid": q_text_langid,
@@ -985,6 +1030,7 @@ QUERIES_OPS: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "corpus_decontaminate": q_corpus_decontaminate,
     "text_vocab_top50": q_text_vocab_top50,
     "text_repetition": q_text_repetition,
+    "text_gopher_quality": q_text_gopher_quality,
     "corpus_stratified_sample": q_corpus_stratified_sample,
     "corpus_chunked": q_corpus_chunked,
 }
@@ -1019,6 +1065,7 @@ ORACLES_OPS: dict[str, str] = {
     "corpus_decontaminate": _q_corpus_decontaminate_sql(),
     "text_vocab_top50": Q_TEXT_VOCAB_TOP50_SQL,
     "text_repetition": Q_TEXT_REPETITION_SQL,
+    "text_gopher_quality": Q_TEXT_GOPHER_SQL,
     "corpus_stratified_sample": Q_CORPUS_STRATIFIED_SAMPLE_SQL,
     "corpus_chunked": Q_CORPUS_CHUNKED_SQL,
 }

@@ -234,6 +234,102 @@ PII_PATTERNS: list[tuple[str, str]] = [
 ]
 
 
+#: the Gopher/MassiveText stop-word list — a document must contain at
+#: least ``min_stopword_hits`` DISTINCT of these to pass
+GOPHER_STOPWORDS = ["the", "be", "to", "of", "and", "that", "have", "with"]
+
+
+def gopher_quality_flags(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    min_words: int = 50,
+    max_words: int = 100_000,
+    min_mean_word_len: float = 3.0,
+    max_mean_word_len: float = 10.0,
+    max_symbol_word_ratio: float = 0.1,
+    max_bullet_line_frac: float = 0.9,
+    max_ellipsis_line_frac: float = 0.3,
+    min_alpha_word_frac: float = 0.8,
+    min_stopword_hits: int = 2,
+) -> DataFrame:
+    """The Gopher (MassiveText) document-quality rule set as one
+    codegen'd projection: per document, every rule's measured value
+    plus the combined ``gopher_pass`` verdict. The published rules
+    (word-count bounds, mean-word-length bounds, symbol-to-word
+    ratio for ``#``/``...``, bullet-started and ellipsis-ended line
+    fractions, alphabetic-word fraction, distinct-stop-word floor)
+    are the standard first-stage web-corpus filter.
+
+    All higher-order-function expressions over the split arrays — no
+    shuffle, no Python; the operator is a map and pipelines into the
+    downstream filter/agg."""
+    t = F.col("__t")
+    words = F.filter(F.split(F.trim(t), r"\s+"), lambda w: F.length(w) > 0)
+    n_words = F.size("__words").cast("long")
+    sum_len = F.aggregate(
+        "__words", F.lit(0).cast("long"), lambda acc, w: acc + F.length(w)
+    )
+    # try_divide: ANSI mode (Spark 4 default) raises on /0; an empty
+    # document must yield NULL measurements and a False verdict
+    mean_word_len = F.round(F.try_divide(sum_len, n_words), 6)
+    n_hash = F.length(t) - F.length(F.replace(t, F.lit("#"), F.lit("")))
+    n_ellipsis = F.floor(
+        (F.length(t) - F.length(F.replace(t, F.lit("..."), F.lit("")))) / 3
+    )
+    symbol_ratio = F.round(F.try_divide(n_hash + n_ellipsis, n_words), 6)
+    lines = F.split(t, "\n")
+    n_lines = F.size(lines)
+    bullet_frac = F.round(
+        F.try_divide(
+            F.size(F.filter(lines, lambda l: F.trim(l).rlike(r"^[•\-\*]"))),
+            n_lines,
+        ),
+        6,
+    )
+    ellipsis_frac = F.round(
+        F.try_divide(
+            F.size(F.filter(lines, lambda l: l.rlike(r"(\.\.\.|…)$"))), n_lines
+        ),
+        6,
+    )
+    alpha_frac = F.round(
+        F.try_divide(
+            F.size(F.filter("__words", lambda w: w.rlike("[a-zA-Z]"))), n_words
+        ),
+        6,
+    )
+    stop_hits = F.size(
+        F.array_intersect(
+            F.transform("__words", F.lower),
+            F.array(*[F.lit(s) for s in GOPHER_STOPWORDS]),
+        )
+    )
+    flags = df.select(
+        F.col(id_col), F.col(text_col).alias("__t")
+    ).withColumn("__words", words)
+    out = flags.select(
+        F.col(id_col),
+        n_words.alias("n_words"),
+        mean_word_len.alias("mean_word_len"),
+        symbol_ratio.alias("symbol_word_ratio"),
+        bullet_frac.alias("bullet_line_frac"),
+        ellipsis_frac.alias("ellipsis_line_frac"),
+        alpha_frac.alias("alpha_word_frac"),
+        stop_hits.cast("int").alias("stopword_hits"),
+    )
+    gopher_pass = (
+        F.col("n_words").between(min_words, max_words)
+        & F.col("mean_word_len").between(min_mean_word_len, max_mean_word_len)
+        & (F.col("symbol_word_ratio") <= max_symbol_word_ratio)
+        & (F.col("bullet_line_frac") <= max_bullet_line_frac)
+        & (F.col("ellipsis_line_frac") <= max_ellipsis_line_frac)
+        & (F.col("alpha_word_frac") >= min_alpha_word_frac)
+        & (F.col("stopword_hits") >= min_stopword_hits)
+    )
+    return out.withColumn("gopher_pass", gopher_pass)
+
+
 def scrub_pii(
     df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
 ) -> DataFrame:
