@@ -164,3 +164,68 @@ def test_stateful_cell_accumulator(spark, events_dir):
     m_got = dict(zip(got["h3index"], got["n"]))
     m_exp = dict(zip(expected["h3index"], expected["n"]))
     assert m_got == m_exp
+
+
+def test_interval_join_streams_matches_batch_across_batches(spark, tmp_path):
+    """Two time-ordered micro-batches: the second file's rows are all
+    newer than the first's, so even with the watermark advancing
+    between batches nothing is late and the stream-stream interval
+    join must equal the batch interval join exactly."""
+    h = 3_600  # seconds
+    rows = []
+    # file 0: hours 0-9; file 1: hours 10-19 (strictly later)
+    for i in range(20):
+        rows.append((i, i % 3, i * h, "click" if i % 2 == 0 else "error", i * 10))
+    df = spark.createDataFrame(
+        rows, "event_id long, user_id long, sec long, kind string, v long"
+    ).withColumn("ts", F.timestamp_seconds(F.col("sec"))).drop("sec")
+    src = str(tmp_path / "ij_src")
+    df.filter(F.col("event_id") < 10).coalesce(1).write.parquet(f"{src}/f0")
+    df.filter(F.col("event_id") >= 10).coalesce(1).write.parquet(f"{src}/f1")
+    # register both files under one dir for the file source
+    import glob
+    import shutil
+
+    for j, part in enumerate(sorted(glob.glob(f"{src}/f*/part-*.parquet"))):
+        shutil.copy(part, f"{src}/{j:02d}.parquet")
+    schema = df.schema
+    clicks_s = (
+        st.read_stream(spark, src, schema, max_files_per_trigger=1)
+        .filter(F.col("kind") == "click")
+        .select("event_id", "user_id", "ts")
+    )
+    errors_s = (
+        st.read_stream(spark, src, schema, max_files_per_trigger=1)
+        .filter(F.col("kind") == "error")
+        .select("user_id", F.col("ts").alias("err_ts"), F.col("v").alias("err_v"))
+    )
+    joined = st.interval_join_streams(
+        clicks_s, errors_s, on="user_id", left_ts="ts", right_ts="err_ts",
+        lookback="4 hours", watermark="1 hour",
+    )
+    q = (
+        joined.writeStream.format("memory")
+        .queryName("ij_out")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = sorted(
+        (r.event_id, r.user_id, r.err_v)
+        for r in spark.table("ij_out").collect()
+    )
+    clicks = df.filter(F.col("kind") == "click").select("event_id", "user_id", "ts")
+    errors = df.filter(F.col("kind") == "error").select(
+        F.col("user_id").alias("eu"), F.col("ts").alias("err_ts"), F.col("v").alias("err_v")
+    )
+    expected = sorted(
+        (r.event_id, r.user_id, r.err_v)
+        for r in clicks.join(
+            errors,
+            (F.col("user_id") == F.col("eu"))
+            & (F.col("err_ts") >= F.col("ts") - F.expr("INTERVAL 4 hours"))
+            & (F.col("err_ts") <= F.col("ts")),
+        ).collect()
+    )
+    assert got == expected and len(got) > 0

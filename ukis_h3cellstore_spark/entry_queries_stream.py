@@ -180,14 +180,90 @@ FROM numbered GROUP BY user_id, session_seq
 """
 
 
+def q_streaming_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Watermarked stream-stream interval join: every click event
+    paired with the same user's error events from the preceding 30
+    minutes, both sides streaming (streaming.interval_join_streams).
+    The bounded replay runs as ONE availableNow batch — watermarks
+    advance only between micro-batches, so nothing is dropped and the
+    result is exactly the batch interval join the oracle computes."""
+    src = _events(spark, sf_dir).select(
+        "event_id",
+        "user_id",
+        F.timestamp_micros(F.col("ts_us")).alias("ts"),
+        "event_type",
+        F.round(F.col("value") * 100).cast("long").alias("value_cents"),
+    )
+    stream_dir = tempfile.mkdtemp(prefix="h3stream_ij_")
+    src.repartition(4).write.mode("overwrite").parquet(stream_dir)
+
+    clicks = (
+        st.read_stream(spark, stream_dir, src.schema)
+        .filter(F.col("event_type") == "click")
+        .select("event_id", "user_id", "ts")
+    )
+    errors = (
+        st.read_stream(spark, stream_dir, src.schema)
+        .filter(F.col("event_type") == "error")
+        .select(
+            "user_id",
+            F.col("ts").alias("err_ts"),
+            F.col("value_cents").alias("err_value_cents"),
+        )
+    )
+    joined = st.interval_join_streams(
+        clicks,
+        errors,
+        on="user_id",
+        left_ts="ts",
+        right_ts="err_ts",
+        lookback="30 minutes",
+    )
+    _SINK_COUNTER[0] += 1
+    sink = f"stream_ij_sink_{_SINK_COUNTER[0]}"
+    q = (
+        joined.writeStream.format("memory")
+        .queryName(sink)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    return spark.table(sink).select(
+        "event_id",
+        "user_id",
+        F.unix_micros(F.col("ts")).alias("ts_us"),
+        F.unix_micros(F.col("err_ts")).alias("err_ts_us"),
+        "err_value_cents",
+    )
+
+
+_Q_STREAMING_INTERVAL_JOIN_SQL = """
+WITH e AS (
+  SELECT event_id, user_id, epoch_us(ts) AS ts_us, event_type,
+         CAST(round(value*100) AS BIGINT) AS value_cents
+  FROM events
+)
+SELECT c.event_id, c.user_id, c.ts_us,
+       x.ts_us AS err_ts_us, x.value_cents AS err_value_cents
+FROM e c JOIN e x
+  ON c.user_id = x.user_id
+ AND c.event_type = 'click' AND x.event_type = 'error'
+ AND x.ts_us >= c.ts_us - CAST(30*60 AS BIGINT)*1000000
+ AND x.ts_us <= c.ts_us
+"""
+
+
 QUERIES_STREAM: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "streaming_windowed_rollup": q_streaming_windowed_rollup,
     "streaming_dedup_exact": q_streaming_dedup_exact,
     "streaming_sessionize": q_streaming_sessionize,
+    "streaming_interval_join": q_streaming_interval_join,
 }
 
 ORACLES_STREAM: dict[str, str] = {
     "streaming_windowed_rollup": _q_streaming_windowed_rollup_sql(),
     "streaming_dedup_exact": _Q_STREAMING_DEDUP_EXACT_SQL,
     "streaming_sessionize": _Q_STREAMING_SESSIONIZE_SQL,
+    "streaming_interval_join": _Q_STREAMING_INTERVAL_JOIN_SQL,
 }

@@ -85,6 +85,56 @@ def windowed_cell_rollup(
     )
 
 
+def interval_join_streams(
+    left: DataFrame,
+    right: DataFrame,
+    on: str | list[str],
+    left_ts: str = "ts",
+    right_ts: str = "ts_r",
+    lookback: str = "30 minutes",
+    watermark: str = "4 hours",
+) -> DataFrame:
+    """Watermarked stream-stream interval join: each left row paired
+    with the right rows sharing its key(s) whose event time falls in
+    ``[left_ts - lookback, left_ts]`` (inner join — exactly the batch
+    interval join's rows, emitted as both sides arrive).
+
+    The time-bound condition is what makes an unbounded stream-stream
+    join feasible: the state store holds only rows younger than
+    ``watermark + lookback``, evicting the rest. A larger watermark
+    tolerates later data at the cost of state size; rows arriving
+    later than it may be dropped, so bounded replays that must match
+    a batch oracle bit-for-bit should either feed time-ordered files
+    or run a single availableNow batch (watermarks advance only
+    BETWEEN micro-batches, so a one-batch run never drops anything).
+
+    ``left_ts``/``right_ts`` must be distinct names and the non-key
+    columns disjoint; output carries all left columns plus the right
+    side's non-key columns."""
+    keys = [on] if isinstance(on, str) else list(on)
+    if left_ts == right_ts:
+        raise ValueError("left_ts and right_ts must be distinct column names")
+    overlap = (set(left.columns) & set(right.columns)) - set(keys)
+    if overlap:
+        raise ValueError(f"non-key column collision: {sorted(overlap)}")
+    l = left.withWatermark(left_ts, watermark)
+    r = right.withWatermark(right_ts, watermark)
+    cond = None
+    for k in keys:
+        eq = l[k] == r[k]
+        cond = eq if cond is None else cond & eq
+    cond = (
+        cond
+        & (r[right_ts] >= l[left_ts] - F.expr(f"INTERVAL {lookback}"))
+        & (r[right_ts] <= l[left_ts])
+    )
+    joined = l.join(r, cond, "inner")
+    return joined.select(
+        *[l[c] for c in left.columns],
+        *[r[c] for c in right.columns if c not in keys],
+    )
+
+
 def session_rollup(
     stream: DataFrame,
     key_column: str,
