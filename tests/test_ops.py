@@ -516,6 +516,31 @@ def test_asof_join_single_shuffle(spark):
     assert "CartesianProduct" not in plan and "BroadcastNestedLoop" not in plan
 
 
+def test_lsh_verified_pairs_subset_of_exact(spark):
+    docs = [
+        (1, "a b c d e f g h"),
+        (2, "a b c d e f g h"),            # exact dup of 1
+        (3, "a b c d e f g x"),            # near dup of 1/2
+        (4, "p q r s t u v w"),            # unrelated
+    ]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    got = {
+        (r.id_a, r.id_b): r.jaccard
+        for r in D.lsh_verified_pairs(
+            df, min_est_jaccard=0.2, threshold=0.5
+        ).collect()
+    }
+    exact = {
+        (r.id_a, r.id_b): r.jaccard
+        for r in D.ngram_jaccard_pairs(df, threshold=0.5).collect()
+    }
+    # every verified pair carries the EXACT jaccard and must appear in
+    # the brute-force result; candidates are a recall-bounded subset
+    for pair, j in got.items():
+        assert pair in exact and abs(j - exact[pair]) < 1e-12
+    assert (1, 2) in got and got[(1, 2)] == 1.0
+
+
 def test_range_join_containment_and_boundaries(spark):
     from ukis_h3cellstore_spark.ops import joins as J
 

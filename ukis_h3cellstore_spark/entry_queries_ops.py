@@ -230,6 +230,36 @@ WHERE ({eq_sum}) / 8.0 >= 0.25
 """
 
 
+def q_dedup_lsh_verified(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-stage near-dup: MinHash-LSH candidates verified with the
+    exact shingle Jaccard (ops/dedup.lsh_verified_pairs) — the
+    production recall-then-precision dedup shape."""
+    return D.lsh_verified_pairs(
+        _docs(spark, sf_dir), min_est_jaccard=0.25, threshold=0.5
+    )
+
+
+def _q_dedup_lsh_verified_sql() -> str:
+    return f"""
+WITH cand AS ({_q_dedup_minhash_lsh_sql()}),
+sh AS ({_DUCK_SHINGLES}),
+sizes AS (SELECT doc_id, COUNT(*) AS n_sh FROM sh GROUP BY 1),
+common AS (
+  SELECT c.id_a, c.id_b, COUNT(*) AS n_common
+  FROM cand c
+  JOIN sh a ON a.doc_id = c.id_a
+  JOIN sh b ON b.doc_id = c.id_b AND b.shingle = a.shingle
+  GROUP BY 1, 2
+)
+SELECT c.id_a, c.id_b, c.n_common,
+       c.n_common / CAST(sa.n_sh + sb.n_sh - c.n_common AS DOUBLE) AS jaccard
+FROM common c
+JOIN sizes sa ON sa.doc_id = c.id_a
+JOIN sizes sb ON sb.doc_id = c.id_b
+WHERE c.n_common / CAST(sa.n_sh + sb.n_sh - c.n_common AS DOUBLE) >= 0.5
+"""
+
+
 def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     return D.simhash(_docs(spark, sf_dir))
 
@@ -1011,6 +1041,7 @@ QUERIES_OPS: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
     "dedup_minhash_signatures": q_dedup_minhash,
     "dedup_minhash_lsh_pairs": q_dedup_minhash_lsh_pairs,
+    "dedup_lsh_verified": q_dedup_lsh_verified,
     "dedup_simhash": q_dedup_simhash,
     "dedup_simhash_groups": q_dedup_simhash_groups,
     "dedup_simhash_hamming": q_dedup_simhash_hamming,
@@ -1044,6 +1075,7 @@ ORACLES_OPS: dict[str, str] = {
     "dedup_ngram_jaccard": Q_DEDUP_NGRAM_JACCARD_SQL,
     "dedup_minhash_signatures": _q_dedup_minhash_sql(),
     "dedup_minhash_lsh_pairs": _q_dedup_minhash_lsh_sql(),
+    "dedup_lsh_verified": _q_dedup_lsh_verified_sql(),
     "dedup_simhash": _q_dedup_simhash_sql(),
     "dedup_simhash_groups": _q_dedup_simhash_groups_sql(),
     "dedup_simhash_hamming": _q_dedup_simhash_hamming_sql(),

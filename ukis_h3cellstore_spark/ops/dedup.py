@@ -141,6 +141,56 @@ def ngram_jaccard_pairs(
     return out.select("id_a", "id_b", "n_common", "jaccard")
 
 
+def lsh_verified_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 3,
+    num_hashes: int = 8,
+    band_size: int = 2,
+    min_est_jaccard: float = 0.25,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """The canonical two-stage near-dup pipeline: MinHash-LSH
+    generates CANDIDATE pairs sub-quadratically, then each candidate
+    is VERIFIED with the exact shingle-set Jaccard and kept only at
+    ``jaccard >= threshold``: (id_a, id_b, n_common, jaccard).
+
+    This is what production dedup runs (candidates cheap and
+    recall-oriented, verification exact and precision-oriented): the
+    expensive shingle-intersection join touches only the candidate
+    pairs — |candidates| ≪ |docs|² — so a loose ``min_est_jaccard``
+    buys recall without an all-pairs blowup. Both shingle joins
+    shuffle on (id, shingle); the per-document size tables join by
+    shuffle, never broadcast (they are O(corpus) rows)."""
+    cand = minhash_lsh_pairs(
+        df, text_col, id_col, k, num_hashes, band_size, min_est_jaccard
+    ).select("id_a", "id_b")
+    sh = shingle_df(df, text_col, id_col, k)
+    sizes = sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("n_sh"))
+    a = sh.select(F.col(id_col).alias("id_a"), "shingle")
+    b = sh.select(F.col(id_col).alias("id_b"), "shingle")
+    common = (
+        cand.join(a, on="id_a")
+        .join(b, on=["id_b", "shingle"])
+        .groupBy("id_a", "id_b")
+        .agg(F.count(F.lit(1)).alias("n_common"))
+    )
+    sa = sizes.select(F.col(id_col).alias("id_a"), F.col("n_sh").alias("n_a"))
+    sb = sizes.select(F.col(id_col).alias("id_b"), F.col("n_sh").alias("n_b"))
+    return (
+        common.join(sa, on="id_a")
+        .join(sb, on="id_b")
+        .withColumn(
+            "jaccard",
+            F.col("n_common").cast("double")
+            / (F.col("n_a") + F.col("n_b") - F.col("n_common")),
+        )
+        .filter(F.col("jaccard") >= threshold)
+        .select("id_a", "id_b", "n_common", "jaccard")
+    )
+
+
 #: 31-bit prime of Spark MLlib's MinHashLSH — (a*x + b) % P stays
 #: below 2^62, so the affine slot transforms never overflow a signed
 #: 64-bit integer in either engine
