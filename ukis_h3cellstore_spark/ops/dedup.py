@@ -462,16 +462,27 @@ def simhash(
 ) -> DataFrame:
     """Sign-aggregated SimHash fingerprint over shingle hashes:
     bit b set iff the count of shingles with hash-bit b set exceeds
-    half the shingles. (id, simhash)."""
+    half the shingles. (id, simhash).
+
+    The shingle hash is materialized in its OWN projection before the
+    aggregation, same pattern as ``minhash_signatures``: the per-bit
+    sums then read a shared long column instead of naming the md5
+    expression ``bits`` times, keeping the plan's scaling with
+    ``bits`` independent of whatever subexpression elimination the
+    engine version applies inside HashAggregate (measured neutral on
+    Spark 4.1, which already eliminates the duplicate md5; on engines
+    without aggregate-input CSE it is the difference between 1 and
+    ``bits`` digests per shingle)."""
     sh = shingle_df(df, text_col, id_col, k)
-    h = _hash64(F.col("shingle"))
+    base = sh.select(F.col(id_col), _hash64(F.col("shingle")).alias("__h"))
+    h = F.col("__h")
     bit_sums = [
         F.sum(
             F.when(F.shiftrightunsigned(h, b).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)
         ).alias(f"b{b}")
         for b in range(bits)
     ]
-    agg = sh.groupBy(id_col).agg(*bit_sums)
+    agg = base.groupBy(id_col).agg(*bit_sums)
     fp = F.lit(0).cast("long")
     for b in range(bits):
         fp = fp.bitwiseOR(
