@@ -999,6 +999,79 @@ GROUP BY 1, 2, 3
 """
 
 
+def q_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One nation's supplier market share inside a region's orders by
+    year (TPC-H Q8 shape): conditional-sum ratio over a 6-way join;
+    all dims broadcast, facts shuffle once on the order key."""
+    l = _t(spark, sf_dir, "lineitem")
+    o = _t(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.to_timestamp(F.lit("1996-01-01")))
+        & (F.col("o_orderdate") < F.to_timestamp(F.lit("1998-01-01")))
+    )
+    c = _t(spark, sf_dir, "customer")
+    s = _t(spark, sf_dir, "supplier")
+    n_c = _t(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("cn_key"), F.col("n_regionkey").alias("cr_key")
+    )
+    n_s = _t(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("sn_key"), F.col("n_name").alias("supp_nation")
+    )
+    r = _t(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
+    rev = _cents(F.col("l_extendedprice")) * (
+        F.lit(100) - _cents(F.col("l_discount"))
+    )
+    joined = (
+        l.join(o, l.l_orderkey == o.o_orderkey)
+        .join(c, o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n_c), F.col("c_nationkey") == F.col("cn_key"))
+        .join(F.broadcast(r), F.col("cr_key") == r.r_regionkey)
+        .join(F.broadcast(s), l.l_suppkey == s.s_suppkey)
+        .join(F.broadcast(n_s), F.col("s_nationkey") == F.col("sn_key"))
+    )
+    return (
+        joined.groupBy(F.year("o_orderdate").alias("o_year"))
+        .agg(
+            F.sum(F.when(F.col("supp_nation") == "NATION_3", rev).otherwise(F.lit(0)))
+            .alias("nation_rev_c100"),
+            F.sum(rev).alias("total_rev_c100"),
+        )
+        .withColumn(
+            "mkt_share",
+            F.round(F.col("nation_rev_c100") / F.col("total_rev_c100"), 9),
+        )
+    )
+
+
+Q_MARKET_SHARE_SQL = """
+SELECT CAST(year(o_orderdate) AS INT) AS o_year,
+       CAST(SUM(CASE WHEN n2.n_name = 'NATION_3'
+            THEN CAST(round(l_extendedprice*100) AS BIGINT)
+                 * (100 - CAST(round(l_discount*100) AS BIGINT))
+            ELSE 0 END) AS BIGINT) AS nation_rev_c100,
+       CAST(SUM(CAST(round(l_extendedprice*100) AS BIGINT)
+            * (100 - CAST(round(l_discount*100) AS BIGINT))) AS BIGINT)
+         AS total_rev_c100,
+       round(SUM(CASE WHEN n2.n_name = 'NATION_3'
+            THEN CAST(round(l_extendedprice*100) AS BIGINT)
+                 * (100 - CAST(round(l_discount*100) AS BIGINT))
+            ELSE 0 END)
+            / CAST(SUM(CAST(round(l_extendedprice*100) AS BIGINT)
+                 * (100 - CAST(round(l_discount*100) AS BIGINT))) AS DOUBLE), 9)
+         AS mkt_share
+FROM lineitem
+JOIN orders   ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+JOIN nation n1 ON c_nationkey = n1.n_nationkey
+JOIN region   ON n1.n_regionkey = r_regionkey
+JOIN supplier ON l_suppkey = s_suppkey
+JOIN nation n2 ON s_nationkey = n2.n_nationkey
+WHERE r_name = 'ASIA'
+  AND o_orderdate >= TIMESTAMP '1996-01-01'
+  AND o_orderdate <  TIMESTAMP '1998-01-01'
+GROUP BY 1
+"""
+
+
 def q_returned_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Top-20 customers by returned-item revenue in one quarter
     (TPC-H Q10 shape). The limit is tie-broken on c_custkey so the
@@ -1219,6 +1292,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q4_order_priority": q_order_priority,
     "q18_large_orders": q_large_orders,
     "q7_nation_trade_volume": q_nation_trade_volume,
+    "q8_market_share": q_market_share,
     "q10_returned_customers": q_returned_customers,
     "q15_top_suppliers": q_top_suppliers,
     "q19_bracket_revenue": q_bracket_revenue,
@@ -1251,6 +1325,7 @@ ORACLES: dict[str, str] = {
     "q4_order_priority": Q_ORDER_PRIORITY_SQL,
     "q18_large_orders": Q_LARGE_ORDERS_SQL,
     "q7_nation_trade_volume": Q_NATION_TRADE_SQL,
+    "q8_market_share": Q_MARKET_SHARE_SQL,
     "q10_returned_customers": Q_RETURNED_CUSTOMERS_SQL,
     "q15_top_suppliers": Q_TOP_SUPPLIERS_SQL,
     "q19_bracket_revenue": Q_BRACKET_REVENUE_SQL,

@@ -376,7 +376,10 @@ def connected_components(
     edges = sym.distinct().localCheckpoint(eager=True)  # reused every round
     # the first propagation round fused into initialization: labels
     # start at min(node, min(neighbor)) — one aggregation over the
-    # edge list instead of an identity-label round plus a join round
+    # edge list instead of an identity-label round plus a join round.
+    # Checkpoints are LAZY: the convergence agg right after is the
+    # action that materializes them, so each round costs ONE job, not
+    # a materialize-job plus an agg-job.
     labels = (
         edges.select(
             F.col("src").alias("node"),
@@ -384,7 +387,7 @@ def connected_components(
         )
         .groupBy("node")
         .agg(F.min("component").alias("component"))
-        .localCheckpoint(eager=True)
+        .localCheckpoint(eager=False)
     )
     prev_sum = labels.agg(F.sum("component")).collect()[0][0]
     for _ in range(max_rounds - 1):
@@ -395,7 +398,7 @@ def connected_components(
             labels.unionByName(neigh)
             .groupBy("node")
             .agg(F.min("component").alias("component"))
-            .localCheckpoint(eager=True)
+            .localCheckpoint(eager=False)
         )
         cur_sum = new_labels.agg(F.sum("component")).collect()[0][0]
         labels = new_labels
