@@ -23,8 +23,12 @@ DEFAULT_QUERIES = [
     "dedup_minhash_lsh_pairs",
     "text_stats",
     "events_asof_join",
+    "events_range_join",
+    "events_salted_join",
     "events_sessionize",
     "text_repetition",
+    "text_gopher_quality",
+    "dedup_lsh_verified",
     "corpus_stratified_sample",
     "corpus_decontaminate",
 ]

@@ -1032,6 +1032,37 @@ FROM m
 """
 
 
+def q_corpus_source_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source corpus health report: document count, token volume,
+    Gopher pass rate, and exact median token count — the periodic
+    dashboard query a curation pipeline runs per crawl source. One
+    join of two agg branches over the same scan; the exact median uses
+    ``percentile`` (interpolating, matching DuckDB's quantile_cont)."""
+    docs = _docs(spark, sf_dir)
+    g = X.gopher_quality_flags(docs).select("doc_id", "n_words", "gopher_pass")
+    src = docs.select("doc_id", "source")
+    joined = src.join(g, on="doc_id")
+    return joined.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_words").cast("long").alias("total_words"),
+        F.round(F.avg(F.col("gopher_pass").cast("int")), 6).alias("pass_rate"),
+        F.round(F.expr("percentile(n_words, 0.5)"), 6).alias("median_words"),
+    )
+
+
+def _q_corpus_source_report_sql() -> str:
+    return f"""
+WITH g AS ({Q_TEXT_GOPHER_SQL})
+SELECT d.source,
+       COUNT(*) AS n_docs,
+       CAST(SUM(g.n_words) AS BIGINT) AS total_words,
+       round(AVG(CASE WHEN g.gopher_pass THEN 1 ELSE 0 END), 6) AS pass_rate,
+       round(quantile_cont(g.n_words, 0.5), 6) AS median_words
+FROM documents d JOIN g ON d.doc_id = g.doc_id
+GROUP BY 1
+"""
+
+
 QUERIES_OPS: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "text_stats": q_text_stats,
     "text_langid": q_text_langid,
@@ -1062,6 +1093,7 @@ QUERIES_OPS: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "text_vocab_top50": q_text_vocab_top50,
     "text_repetition": q_text_repetition,
     "text_gopher_quality": q_text_gopher_quality,
+    "corpus_source_report": q_corpus_source_report,
     "corpus_stratified_sample": q_corpus_stratified_sample,
     "corpus_chunked": q_corpus_chunked,
 }
@@ -1098,6 +1130,7 @@ ORACLES_OPS: dict[str, str] = {
     "text_vocab_top50": Q_TEXT_VOCAB_TOP50_SQL,
     "text_repetition": Q_TEXT_REPETITION_SQL,
     "text_gopher_quality": Q_TEXT_GOPHER_SQL,
+    "corpus_source_report": _q_corpus_source_report_sql(),
     "corpus_stratified_sample": Q_CORPUS_STRATIFIED_SAMPLE_SQL,
     "corpus_chunked": Q_CORPUS_CHUNKED_SQL,
 }
