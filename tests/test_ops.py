@@ -506,6 +506,37 @@ def test_asof_join_backward_with_ties_and_tolerance(spark):
     assert tol[1] == (10, 1.0)      # 10-10 <= 3 kept
 
 
+def test_asof_join_forward(spark):
+    from ukis_h3cellstore_spark.ops import joins as J
+
+    left = spark.createDataFrame(
+        [(1, 100, 10), (2, 100, 25), (3, 100, 5), (4, 200, 10)],
+        "lid long, key long, ts_us long",
+    )
+    right = spark.createDataFrame(
+        [(100, 10, 1.0), (100, 20, 2.0), (300, 1, 9.0)],
+        "key long, ts_us long, payload double",
+    )
+    out = {
+        r.lid: (r.asof_ts_us, r.asof_payload)
+        for r in J.asof_join(left, right, on="key", direction="forward").collect()
+    }
+    assert out[1] == (10, 1.0)      # exact tie matches
+    assert out[2] == (None, None)   # nothing at-or-after ts=25
+    assert out[3] == (10, 1.0)      # earliest of the two laters
+    assert out[4] == (None, None)   # key never on the right
+    tol = {
+        r.lid: (r.asof_ts_us, r.asof_payload)
+        for r in J.asof_join(
+            left, right, on="key", direction="forward", tolerance=3
+        ).collect()
+    }
+    assert tol[3] == (None, None)   # 10-5 > 3 dropped
+    assert tol[1] == (10, 1.0)
+    with pytest.raises(ValueError):
+        J.asof_join(left, right, on="key", direction="nearest")
+
+
 def test_asof_join_single_shuffle(spark):
     from ukis_h3cellstore_spark.ops import joins as J
 

@@ -150,3 +150,66 @@ def test_session_stats_matches_bruteforce(spark, events, gap):
         for r in SS.session_stats(df, gap_us=gap).collect()
     }
     assert got == _sessions_reference(events, gap)
+
+
+@given(
+    st.lists(
+        st.tuples(st.integers(0, 3), st.integers(0, 200)),  # (key, ts)
+        min_size=1,
+        max_size=25,
+    ),
+    st.lists(
+        # (rid, key, start, length)
+        st.tuples(st.integers(0, 99), st.integers(0, 3),
+                  st.integers(0, 200), st.integers(1, 60)),
+        min_size=1,
+        max_size=10,
+        unique_by=lambda r: r[0],
+    ),
+    st.integers(1, 50),  # bucket width
+)
+@settings(**_SETTINGS)
+def test_range_join_matches_bruteforce(spark, lrows, ranges, bucket):
+    left = [(i, k, t) for i, (k, t) in enumerate(lrows)]
+    rrows = [(rid, k, s, s + n) for rid, k, s, n in ranges]
+    ldf = spark.createDataFrame(left, "eid long, k long, ts_us long")
+    rdf = spark.createDataFrame(rrows, "rid long, k long, start_us long, end_us long")
+    got = {
+        (r.eid, r.rid)
+        for r in J.range_join(ldf, rdf, on="k", bucket=bucket).collect()
+    }
+    want = {
+        (eid, rid)
+        for eid, lk, t in left
+        for rid, rk, s, e in rrows
+        if lk == rk and s <= t < e
+    }
+    assert got == want
+
+
+@given(
+    st.lists(
+        st.tuples(st.integers(0, 4), st.integers(0, 5)),  # (key, value)
+        min_size=1,
+        max_size=30,
+    ),
+    st.lists(
+        st.tuples(st.integers(0, 4), st.integers(0, 100)),  # (key, weight)
+        min_size=0,
+        max_size=8,
+    ),
+    st.integers(1, 7),
+    st.sampled_from(["inner", "left"]),
+)
+@settings(**_SETTINGS)
+def test_salted_join_matches_plain_join(spark, lrows, rrows, num_salts, how):
+    ldf = spark.createDataFrame(lrows, "k long, v long")
+    rdf = spark.createDataFrame(rrows or [(99, 0)], "k long, w long")
+    plain = sorted(map(tuple, ldf.join(rdf, on="k", how=how).collect()))
+    salted = sorted(
+        map(
+            tuple,
+            J.salted_join(ldf, rdf, on="k", how=how, num_salts=num_salts).collect(),
+        )
+    )
+    assert salted == plain

@@ -886,6 +886,35 @@ FROM l ASOF LEFT JOIN r ON l.user_id = r.user_id AND l.ts_us >= r.ts_us
 """
 
 
+def q_events_asof_forward(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Forward as-of join: every error event annotated with the same
+    user's NEXT click at-or-after it (ops/joins asof_join
+    direction='forward'). Oracle: DuckDB ASOF LEFT JOIN with a <=
+    inequality, which picks the nearest following row."""
+    from ukis_h3cellstore_spark.ops import joins as J
+
+    e = _events(spark, sf_dir)
+    errors = e.filter(F.col("event_type") == "error").select(
+        "event_id", "user_id", "ts_us"
+    )
+    clicks = e.filter(F.col("event_type") == "click").select(
+        "user_id", "ts_us", _cents(F.col("value")).alias("value_cents")
+    )
+    return J.asof_join(errors, clicks, on="user_id", direction="forward")
+
+
+Q_EVENTS_ASOF_FORWARD_SQL = """
+WITH l AS (SELECT event_id, user_id, epoch_us(ts) AS ts_us
+           FROM events WHERE event_type = 'error'),
+r AS (SELECT user_id, epoch_us(ts) AS ts_us,
+             CAST(round(value*100) AS BIGINT) AS value_cents
+      FROM events WHERE event_type = 'click')
+SELECT l.event_id, l.user_id, l.ts_us,
+       r.ts_us AS asof_ts_us, r.value_cents AS asof_value_cents
+FROM l ASOF LEFT JOIN r ON l.user_id = r.user_id AND l.ts_us <= r.ts_us
+"""
+
+
 def q_events_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact interpolated percentiles of the event value per type —
     Spark's ``percentile`` and DuckDB's ``quantile_cont`` share the
@@ -1299,6 +1328,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "events_hourly_window": q_events_hourly,
     "events_sessionize": q_events_sessionize,
     "events_asof_join": q_events_asof_join,
+    "events_asof_forward": q_events_asof_forward,
     "events_percentiles": q_events_percentiles,
     "events_cube_counts": q_events_cube_counts,
     "events_range_join": q_events_range_join,
@@ -1332,6 +1362,7 @@ ORACLES: dict[str, str] = {
     "events_hourly_window": Q_EVENTS_HOURLY_SQL,
     "events_sessionize": Q_EVENTS_SESSIONIZE_SQL,
     "events_asof_join": Q_EVENTS_ASOF_JOIN_SQL,
+    "events_asof_forward": Q_EVENTS_ASOF_FORWARD_SQL,
     "events_percentiles": Q_EVENTS_PERCENTILES_SQL,
     "events_cube_counts": Q_EVENTS_CUBE_SQL,
     "events_range_join": Q_EVENTS_RANGE_JOIN_SQL,

@@ -129,30 +129,41 @@ def asof_join(
     right_ts: str = "ts_us",
     tolerance: int | None = None,
     right_prefix: str = "asof_",
+    direction: str = "backward",
 ) -> DataFrame:
-    """Backward as-of join: left rows gain the payload of the latest
-    right row with ``right_ts <= left_ts`` for the same key(s), or
-    NULLs if none (left outer semantics; ties on the timestamp match).
+    """As-of join: left rows gain the payload of the closest right row
+    for the same key(s) — ``backward`` (default) matches the latest
+    right row with ``right_ts <= left_ts``, ``forward`` the earliest
+    with ``right_ts >= left_ts`` — or NULLs if none (left outer
+    semantics; ties on the timestamp match).
 
-    ``tolerance`` (same unit as the timestamps) drops matches older
-    than ``left_ts - tolerance``. Right payload columns are prefixed
-    with ``right_prefix``; the matched right timestamp is exposed as
-    ``{right_prefix}{right_ts}``.
+    ``tolerance`` (same unit as the timestamps) drops matches farther
+    than ``tolerance`` from ``left_ts``. Right payload columns are
+    prefixed with ``right_prefix``; the matched right timestamp is
+    exposed as ``{right_prefix}{right_ts}``.
     """
+    if direction not in ("backward", "forward"):
+        raise ValueError(f"direction must be backward/forward, got {direction!r}")
+    backward = direction == "backward"
     keys = [on] if isinstance(on, str) else list(on)
     payload = [c for c in right.columns if c not in keys and c != right_ts]
 
+    # side ordering puts the right row on the left row's side of the
+    # window at equal timestamps, so an exact tie is always visible:
+    # backward scans look back (right first), forward scans look
+    # ahead (right last)
+    right_side, left_side = (0, 1) if backward else (1, 0)
     r = right.select(
         *keys,
         F.col(right_ts).alias("__ts"),
-        F.lit(0).alias("__side"),
+        F.lit(right_side).alias("__side"),
         F.struct(
             F.col(right_ts).alias("__matched_ts"),
             *[F.col(c) for c in payload],
         ).alias("__r"),
     )
     l = left.withColumn("__ts", F.col(left_ts)).withColumn(
-        "__side", F.lit(1)
+        "__side", F.lit(left_side)
     )
     lcols = [c for c in left.columns]
     unioned = l.select(
@@ -176,22 +187,21 @@ def asof_join(
         ),
         allowMissingColumns=False,
     )
-    # __side orders right (0) before left (1) at equal timestamps, so
-    # an exactly-tied right row is visible to the left row
-    w = (
-        Window.partitionBy(*keys)
-        .orderBy("__ts", "__side")
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    )
-    carried = unioned.withColumn("__m", F.last("__r", ignorenulls=True).over(w))
-    out = carried.filter(F.col("__side") == 1)
+    base = Window.partitionBy(*keys).orderBy("__ts", "__side")
+    if backward:
+        w = base.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        carry = F.last("__r", ignorenulls=True).over(w)
+        dist = F.col("__ts") - F.col("__m.__matched_ts")
+    else:
+        w = base.rowsBetween(Window.currentRow, Window.unboundedFollowing)
+        carry = F.first("__r", ignorenulls=True).over(w)
+        dist = F.col("__m.__matched_ts") - F.col("__ts")
+    carried = unioned.withColumn("__m", carry)
+    out = carried.filter(F.col("__side") == F.lit(left_side))
     if tolerance is not None:
         out = out.withColumn(
             "__m",
-            F.when(
-                F.col("__ts") - F.col("__m.__matched_ts") <= F.lit(tolerance),
-                F.col("__m"),
-            ),
+            F.when(dist <= F.lit(tolerance), F.col("__m")),
         )
     return out.select(
         *[F.col(c) for c in lcols],
