@@ -124,3 +124,16 @@ def test_query_accepts_tablesetquery_object(conn, spark):
     )
     out = conn.query_tableset_cells("conn_set2", q, cells, 6)
     assert out.count() == len(cells)
+
+
+def test_recommended_conf_shapes():
+    from ukis_h3cellstore_spark import recommended_conf
+
+    c = recommended_conf(parallelism=32)
+    assert c["spark.sql.adaptive.enabled"] == "true"
+    assert c["spark.sql.adaptive.skewJoin.enabled"] == "true"
+    assert c["spark.sql.shuffle.partitions"] == "64"
+    assert recommended_conf()["spark.sql.shuffle.partitions"] == "200"
+    assert recommended_conf(shuffle_partitions=17)[
+        "spark.sql.shuffle.partitions"
+    ] == "17"

@@ -30,6 +30,7 @@ from ukis_h3cellstore_spark.frame import H3DataFrame
 from ukis_h3cellstore_spark.connection import Connection
 from ukis_h3cellstore_spark.query import TableSetQuery
 from ukis_h3cellstore_spark.traversal import TraversalOptions, Traverser
+from ukis_h3cellstore_spark.session import build_session, recommended_conf
 
 __all__ = [
     "AggregationMethod",
@@ -42,6 +43,8 @@ __all__ = [
     "TableSetQuery",
     "TraversalOptions",
     "Traverser",
+    "build_session",
+    "recommended_conf",
 ]
 
 __version__ = "0.1.0"
