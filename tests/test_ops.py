@@ -178,6 +178,15 @@ def test_multimodal_frame_sampling_stub(docs):
     for doc_id, n in lens.items():
         assert per_doc.loc[doc_id, "count"] == max(math.ceil(n / 16), 1)
         assert per_doc.loc[doc_id, "min"] == 0
+    # frames concatenated in order reconstruct the payload byte-exactly
+    originals = {
+        r.doc_id: bytes(r.payload)
+        for r in payloads.select("doc_id", "payload").collect()
+    }
+    rebuilt: dict[int, bytes] = {}
+    for r in frames.sort_values(["doc_id", "frame_no"]).itertuples():
+        rebuilt[r.doc_id] = rebuilt.get(r.doc_id, b"") + bytes(r.frame_payload)
+    assert rebuilt == originals
 
 
 def test_simhash_dup_groups(docs):

@@ -706,6 +706,30 @@ FROM enriched
 # ----------------------------------------------------------- multimodal suite
 
 
+def q_multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Frame-sampling plumbing (ops/multimodal.sample_frames_stub):
+    one row per 64-byte payload slice with its frame index and byte
+    length. The oracle verifies the slice boundaries byte-exactly
+    from octet_length (this DuckDB build has no BLOB substring);
+    slice CONTENT equality is covered by the pytest unit test."""
+    payloads = M.attach_binary_payload(_docs(spark, sf_dir))
+    frames = M.sample_frames_stub(payloads, every_n_bytes=64)
+    return frames.select(
+        "doc_id",
+        F.col("frame_no").cast("int").alias("frame_no"),
+        F.length(F.col("frame_payload")).cast("int").alias("n_bytes"),
+    )
+
+
+Q_MULTIMODAL_FRAME_SAMPLE_SQL = """
+WITH p AS (SELECT doc_id, octet_length(encode(text)) AS n FROM documents)
+SELECT CAST(doc_id AS BIGINT) AS doc_id,
+       CAST(g AS INT) AS frame_no,
+       CAST(least(64, n - g*64) AS INT) AS n_bytes
+FROM p, unnest(generate_series(0, greatest((n - 1) // 64, 0))) t(g)
+"""
+
+
 def q_multimodal_decode_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Real mapInPandas plumbing with a deterministic stub decoder —
     the oracle recomputes the same metadata relationally."""
@@ -1081,6 +1105,7 @@ QUERIES_OPS: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "ann_lsh_top3": q_ann_lsh_top3,
     "embedding_dup_pairs": q_embedding_dup_pairs,
     "multimodal_decode_meta": q_multimodal_decode_meta,
+    "multimodal_frame_sample": q_multimodal_frame_sample,
     "corpus_curation": q_corpus_curation,
     "corpus_split_counts": q_corpus_split_counts,
     "pack_documents": q_pack_documents,
@@ -1118,6 +1143,7 @@ ORACLES_OPS: dict[str, str] = {
     # multimodal_decode_meta intentionally has an oracle — the stub
     # decoder derives metadata relationally-reproducibly
     "multimodal_decode_meta": Q_MULTIMODAL_DECODE_META_SQL,
+    "multimodal_frame_sample": Q_MULTIMODAL_FRAME_SAMPLE_SQL,
     "corpus_curation": _q_corpus_curation_sql(),
     "corpus_split_counts": _q_corpus_split_counts_sql(),
     "pack_documents": _q_pack_documents_sql(),
