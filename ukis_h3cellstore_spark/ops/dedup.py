@@ -525,8 +525,15 @@ def simhash_hamming_pairs(
     so a per-strip equality self-join generates a candidate superset,
     and ``bit_count(xor)`` verifies the exact distance inline. The
     shuffle is keyed on (band, strip value), never the corpus squared.
+
+    The fingerprint table is checkpointed (lazily — the join's first
+    action materializes it) before fanning out: it feeds
+    ``max_hamming + 1`` band projections on BOTH sides of the
+    self-join, and without lineage truncation Catalyst re-executes
+    the shingle-explode + bit-sum aggregation once per reference
+    (measured 2x the whole query at sf0.1 with 4 strips).
     """
-    s = simhash(df, text_col, id_col, k, bits)
+    s = simhash(df, text_col, id_col, k, bits).localCheckpoint(eager=False)
     n_bands = max_hamming + 1
     widths = [
         bits // n_bands + (1 if i < bits % n_bands else 0) for i in range(n_bands)
