@@ -103,8 +103,15 @@ def ngram_jaccard_pairs(
     """Exact n-gram Jaccard similarity for all pairs sharing ≥1
     shingle: (id_a, id_b, jaccard) with id_a < id_b, jaccard ≥
     threshold. ``max_shingle_df`` drops shingles appearing in more
-    documents than the cap (scale guard)."""
-    sh = shingle_df(df, text_col, id_col, k)
+    documents than the cap (scale guard).
+
+    The shingle table is checkpointed lazily: it feeds the size
+    aggregation and BOTH sides of the inverted-index self-join, and
+    without lineage truncation each reference re-runs the scan +
+    tokenize + explode (Spark does not reuse the exchange across the
+    differently-aliased sides). Materialize-once costs one shuffle
+    write of the shingle rows; recompute costs three full scans."""
+    sh = shingle_df(df, text_col, id_col, k).localCheckpoint(eager=False)
     if max_shingle_df is not None:
         hot = sh.groupBy("shingle").agg(F.count(F.lit(1)).alias("df"))
         sh = sh.join(
@@ -166,7 +173,9 @@ def lsh_verified_pairs(
     cand = minhash_lsh_pairs(
         df, text_col, id_col, k, num_hashes, band_size, min_est_jaccard
     ).select("id_a", "id_b")
-    sh = shingle_df(df, text_col, id_col, k)
+    # one materialization feeds the size agg and both verify-join
+    # sides (same no-exchange-reuse rationale as ngram_jaccard_pairs)
+    sh = shingle_df(df, text_col, id_col, k).localCheckpoint(eager=False)
     sizes = sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("n_sh"))
     a = sh.select(F.col(id_col).alias("id_a"), "shingle")
     b = sh.select(F.col(id_col).alias("id_b"), "shingle")

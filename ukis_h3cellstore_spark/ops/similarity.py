@@ -234,8 +234,16 @@ def embedding_dup_pairs(
     within-bucket quadratic candidate space at corpus scale (same
     shape as ``max_shingle_df`` in the n-gram path). Use
     :func:`lsh_bucket_stats` with the same parameters to report what
-    a cap drops."""
-    bands = _lsh_bands(df, id_col, vec_col, num_tables, num_planes, "id", "vec")
+    a cap drops.
+
+    The band table is checkpointed lazily before fanning out — it
+    feeds both self-join sides (plus the optional bucket-stats guard),
+    and without lineage truncation each reference re-runs the corpus
+    scan and every plane dot product (no exchange reuse across the
+    differently-projected sides)."""
+    bands = _lsh_bands(
+        df, id_col, vec_col, num_tables, num_planes, "id", "vec"
+    ).localCheckpoint(eager=False)
     if max_bucket_size is not None:
         keep = (
             bands.groupBy("band", "bucket")
