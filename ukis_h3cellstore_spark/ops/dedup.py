@@ -305,12 +305,12 @@ def minhash_lsh_pairs(
     sig = sig.select(
         F.col(id_col).alias("id"),
         F.array(*[F.col(m) for m in msig]).alias("sig"),
-    )
-    # no checkpoint needed: the expensive side of the signature job
-    # (shingle explode + hashing + partial min-agg) sits INSIDE the
-    # doc-id exchange, and the band selects are identical consumers,
-    # so ReuseExchange computes it once; a checkpoint would add a
-    # serial materialization barrier for nothing
+    ).localCheckpoint(eager=False)
+    # checkpointed lazily: the signature table feeds every band
+    # projection on BOTH self-join sides, and Spark does not reuse
+    # exchanges across the differently-aliased consumers — unchecked,
+    # the plan re-ran the shingle explode + hashing + min-agg once
+    # per band per side (8 corpus scans at the 4-band default)
     n_bands = -(-num_hashes // band_size)  # ceil → remainder = short band
 
     band_parts = []
