@@ -135,20 +135,24 @@ def _lsh_bands(
     vec_alias: str,
 ) -> DataFrame:
     """Unpivot to one row per (vector, LSH table): (id, vec, band,
-    bucket). Each band uses an independent set of hyperplanes."""
-    parts = [
-        df.select(
-            F.col(id_col).alias(id_alias),
-            F.col(vec_col).alias(vec_alias),
-            F.lit(t).alias("band"),
-            lsh_bucket(F.col(vec_col), num_planes, table=t).alias("bucket"),
-        )
-        for t in range(num_tables)
-    ]
-    out = parts[0]
-    for p in parts[1:]:
-        out = out.unionByName(p)
-    return out
+    bucket). Each band uses an independent set of hyperplanes.
+
+    One scan, not a union of per-table projections: all tables'
+    bucket ids are computed in a single projection and posexploded —
+    a per-table union re-scans the source ``num_tables`` times (Spark
+    does not merge the union branches' scans), which showed up as 8
+    parquet scans in the ANN plans."""
+    buckets = F.array(
+        *[
+            lsh_bucket(F.col(vec_col), num_planes, table=t)
+            for t in range(num_tables)
+        ]
+    )
+    return df.select(
+        F.col(id_col).alias(id_alias),
+        F.col(vec_col).alias(vec_alias),
+        F.posexplode(buckets).alias("band", "bucket"),
+    )
 
 
 def lsh_bucket_stats(
