@@ -1225,6 +1225,113 @@ WHERE (p_brand = 'Brand#2'  AND p_size BETWEEN 1 AND 15 AND l_quantity BETWEEN 1
 """
 
 
+def q_order_count_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Customer order-count distribution (TPC-H Q13 shape): left join
+    customers to orders, count per customer (zeros kept), then the
+    distribution of those counts. Two hash aggregations, one shuffle
+    each; the distribution agg is tiny."""
+    c = _t(spark, sf_dir, "customer").select("c_custkey")
+    o = _t(spark, sf_dir, "orders").select("o_custkey", "o_orderkey")
+    per_cust = (
+        c.join(o, c.c_custkey == o.o_custkey, "left")
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("c_count"))
+    )
+    return per_cust.groupBy("c_count").agg(
+        F.count(F.lit(1)).alias("custdist")
+    )
+
+
+Q_ORDER_COUNT_DIST_SQL = """
+SELECT c_count, COUNT(*) AS custdist
+FROM (
+  SELECT c_custkey, COUNT(o_orderkey) AS c_count
+  FROM customer LEFT JOIN orders ON c_custkey = o_custkey
+  GROUP BY c_custkey
+)
+GROUP BY c_count
+"""
+
+
+def q_small_quantity_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Small-quantity-order revenue (TPC-H Q17 shape): lineitems of
+    one brand below 20% of the part's average quantity. The
+    correlated average becomes a per-part aggregation joined back —
+    one extra hash agg instead of a per-row subquery."""
+    l = _t(spark, sf_dir, "lineitem")
+    p = _t(spark, sf_dir, "part").filter(F.col("p_brand") == "Brand#23").select(
+        "p_partkey"
+    )
+    branded = l.join(F.broadcast(p), l.l_partkey == p.p_partkey)
+    avg_qty = branded.groupBy("l_partkey").agg(
+        (F.avg("l_quantity") * 0.2).alias("qty_threshold")
+    )
+    small = branded.join(avg_qty, on="l_partkey").filter(
+        F.col("l_quantity") < F.col("qty_threshold")
+    )
+    return small.agg(
+        (F.sum(_cents(F.col("l_extendedprice"))) / 700.0).alias("avg_yearly_c")
+    )
+
+
+Q_SMALL_QTY_REVENUE_SQL = """
+WITH branded AS (
+  SELECT l_partkey, l_quantity, l_extendedprice
+  FROM lineitem JOIN part ON l_partkey = p_partkey
+  WHERE p_brand = 'Brand#23'
+),
+thresholds AS (
+  SELECT l_partkey, 0.2 * AVG(l_quantity) AS qty_threshold
+  FROM branded GROUP BY 1
+)
+SELECT SUM(CAST(round(b.l_extendedprice*100) AS BIGINT)) / 700.0 AS avg_yearly_c
+FROM branded b JOIN thresholds t ON b.l_partkey = t.l_partkey
+WHERE b.l_quantity < t.qty_threshold
+"""
+
+
+def q_idle_rich_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Customers with above-average balance and no RECENT orders
+    (TPC-H Q22 shape): scalar-average subquery as a one-row broadcast
+    + an anti-join against the recent order set, rolled up per
+    nation. (The synthetic data gives every customer at least one
+    all-time order, so the anti-join is dated to keep the result
+    non-degenerate.)"""
+    c = _t(spark, sf_dir, "customer")
+    o = (
+        _t(spark, sf_dir, "orders")
+        .filter(F.col("o_orderdate") >= F.to_timestamp(F.lit("2000-01-01")))
+        .select("o_custkey")
+    )
+    n = _t(spark, sf_dir, "nation")
+    avg_bal = c.filter(F.col("c_acctbal") > 0).agg(
+        F.avg("c_acctbal").alias("__avg_bal")
+    )
+    rich = c.join(F.broadcast(avg_bal), F.col("c_acctbal") > F.col("__avg_bal"))
+    idle = rich.join(o, rich.c_custkey == o.o_custkey, "left_anti")
+    return (
+        idle.join(F.broadcast(n), idle.c_nationkey == n.n_nationkey)
+        .groupBy("n_name")
+        .agg(
+            F.count(F.lit(1)).alias("numcust"),
+            F.sum(_cents(F.col("c_acctbal"))).alias("totacctbal_cents"),
+        )
+    )
+
+
+Q_IDLE_RICH_SQL = """
+SELECT n_name, COUNT(*) AS numcust,
+       CAST(SUM(CAST(round(c_acctbal*100) AS BIGINT)) AS BIGINT)
+         AS totacctbal_cents
+FROM customer JOIN nation ON c_nationkey = n_nationkey
+WHERE c_acctbal > (SELECT AVG(c_acctbal) FROM customer WHERE c_acctbal > 0)
+  AND NOT EXISTS (SELECT 1 FROM orders
+                  WHERE o_custkey = c_custkey
+                    AND o_orderdate >= TIMESTAMP '2000-01-01')
+GROUP BY 1
+"""
+
+
 def q_events_range_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Interval join via the bucketed range_join operator: every event
     inside each event type's opening 6-hour window, aggregated per
@@ -1325,6 +1432,9 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q10_returned_customers": q_returned_customers,
     "q15_top_suppliers": q_top_suppliers,
     "q19_bracket_revenue": q_bracket_revenue,
+    "q13_order_count_distribution": q_order_count_distribution,
+    "q17_small_quantity_revenue": q_small_quantity_revenue,
+    "q22_idle_rich_customers": q_idle_rich_customers,
     "events_hourly_window": q_events_hourly,
     "events_sessionize": q_events_sessionize,
     "events_asof_join": q_events_asof_join,
@@ -1359,6 +1469,9 @@ ORACLES: dict[str, str] = {
     "q10_returned_customers": Q_RETURNED_CUSTOMERS_SQL,
     "q15_top_suppliers": Q_TOP_SUPPLIERS_SQL,
     "q19_bracket_revenue": Q_BRACKET_REVENUE_SQL,
+    "q13_order_count_distribution": Q_ORDER_COUNT_DIST_SQL,
+    "q17_small_quantity_revenue": Q_SMALL_QTY_REVENUE_SQL,
+    "q22_idle_rich_customers": Q_IDLE_RICH_SQL,
     "events_hourly_window": Q_EVENTS_HOURLY_SQL,
     "events_sessionize": Q_EVENTS_SESSIONIZE_SQL,
     "events_asof_join": Q_EVENTS_ASOF_JOIN_SQL,
