@@ -1416,6 +1416,44 @@ GROUP BY 1, 2, 3
 """
 
 
+def q_events_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weekly cohort retention: users grouped by first-activity week,
+    counted once per later active week: (cohort_week, week_offset,
+    n_users). Two hash aggregations plus one shuffle join on user_id;
+    each user contributes at most one row per (cohort, offset), so a
+    plain count replaces count-distinct."""
+    week_us = 7 * 86_400 * 1_000_000
+    e = _events(spark, sf_dir).select(
+        "user_id", (F.col("ts_us") / week_us).cast("long").alias("week")
+    )
+    activity = e.distinct()
+    first = activity.groupBy("user_id").agg(F.min("week").alias("cohort_week"))
+    return (
+        activity.join(first, on="user_id")
+        .groupBy(
+            "cohort_week",
+            (F.col("week") - F.col("cohort_week")).alias("week_offset"),
+        )
+        .agg(F.count(F.lit(1)).alias("n_users"))
+    )
+
+
+Q_EVENTS_COHORT_SQL = """
+WITH activity AS (
+  SELECT DISTINCT user_id,
+         epoch_us(ts) // (CAST(7*86400 AS BIGINT)*1000000) AS week
+  FROM events
+),
+first AS (
+  SELECT user_id, MIN(week) AS cohort_week FROM activity GROUP BY 1
+)
+SELECT f.cohort_week, a.week - f.cohort_week AS week_offset,
+       COUNT(*) AS n_users
+FROM activity a JOIN first f ON a.user_id = f.user_id
+GROUP BY 1, 2
+"""
+
+
 # --------------------------------------------------------------------------
 # registry
 # --------------------------------------------------------------------------
@@ -1443,6 +1481,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "events_cube_counts": q_events_cube_counts,
     "events_range_join": q_events_range_join,
     "events_salted_join": q_events_salted_join,
+    "events_cohort_retention": q_events_cohort_retention,
     "h3_synth_fields": q_h3_synth_fields,
     "h3_parent_agg_sum": q_h3_parent_agg_sum,
     "h3_minmax_avg": q_h3_minmax_avg,
@@ -1480,6 +1519,7 @@ ORACLES: dict[str, str] = {
     "events_cube_counts": Q_EVENTS_CUBE_SQL,
     "events_range_join": Q_EVENTS_RANGE_JOIN_SQL,
     "events_salted_join": Q_EVENTS_SALTED_JOIN_SQL,
+    "events_cohort_retention": Q_EVENTS_COHORT_SQL,
     "h3_synth_fields": _q_h3_synth_fields_sql(),
     "h3_parent_agg_sum": _q_h3_parent_agg_sum_sql(),
     "h3_minmax_avg": _q_h3_minmax_avg_sql(),
