@@ -1416,6 +1416,66 @@ GROUP BY 1, 2, 3
 """
 
 
+def q_events_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered three-step funnel (signup → view → purchase): per-step
+    completion counts over users, each later step constrained to
+    occur at-or-after the previous one. Sequential dependence means
+    one aggregation per step (min-ts of qualifying events) with the
+    previous step's timestamp joined back — three cheap user-keyed
+    apply rounds, never a window over the whole stream."""
+    e = _events(spark, sf_dir).select("user_id", "event_type", "ts_us")
+    s1 = (
+        e.filter(F.col("event_type") == "signup")
+        .groupBy("user_id")
+        .agg(F.min("ts_us").alias("t1"))
+    )
+    s2 = (
+        e.filter(F.col("event_type") == "view")
+        .join(s1, on="user_id")
+        .filter(F.col("ts_us") >= F.col("t1"))
+        .groupBy("user_id")
+        .agg(F.min("ts_us").alias("t2"))
+    )
+    s3 = (
+        e.filter(F.col("event_type") == "purchase")
+        .join(s2, on="user_id")
+        .filter(F.col("ts_us") >= F.col("t2"))
+        .groupBy("user_id")
+        .agg(F.min("ts_us").alias("t3"))
+    )
+    counts = [
+        s1.agg(F.count(F.lit(1)).alias("n_users")).withColumn(
+            "step", F.lit("1_signup")
+        ),
+        s2.agg(F.count(F.lit(1)).alias("n_users")).withColumn(
+            "step", F.lit("2_view")
+        ),
+        s3.agg(F.count(F.lit(1)).alias("n_users")).withColumn(
+            "step", F.lit("3_purchase")
+        ),
+    ]
+    out = counts[0]
+    for c in counts[1:]:
+        out = out.unionByName(c)
+    return out.select("step", "n_users")
+
+
+Q_EVENTS_FUNNEL_SQL = """
+WITH e AS (SELECT user_id, event_type, epoch_us(ts) AS ts_us FROM events),
+s1 AS (SELECT user_id, MIN(ts_us) AS t1 FROM e
+       WHERE event_type = 'signup' GROUP BY 1),
+s2 AS (SELECT e.user_id, MIN(e.ts_us) AS t2
+       FROM e JOIN s1 ON e.user_id = s1.user_id
+       WHERE e.event_type = 'view' AND e.ts_us >= s1.t1 GROUP BY 1),
+s3 AS (SELECT e.user_id, MIN(e.ts_us) AS t3
+       FROM e JOIN s2 ON e.user_id = s2.user_id
+       WHERE e.event_type = 'purchase' AND e.ts_us >= s2.t2 GROUP BY 1)
+SELECT '1_signup' AS step, COUNT(*) AS n_users FROM s1
+UNION ALL SELECT '2_view', COUNT(*) FROM s2
+UNION ALL SELECT '3_purchase', COUNT(*) FROM s3
+"""
+
+
 def q_events_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Weekly cohort retention: users grouped by first-activity week,
     counted once per later active week: (cohort_week, week_offset,
@@ -1482,6 +1542,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "events_range_join": q_events_range_join,
     "events_salted_join": q_events_salted_join,
     "events_cohort_retention": q_events_cohort_retention,
+    "events_funnel": q_events_funnel,
     "h3_synth_fields": q_h3_synth_fields,
     "h3_parent_agg_sum": q_h3_parent_agg_sum,
     "h3_minmax_avg": q_h3_minmax_avg,
@@ -1520,6 +1581,7 @@ ORACLES: dict[str, str] = {
     "events_range_join": Q_EVENTS_RANGE_JOIN_SQL,
     "events_salted_join": Q_EVENTS_SALTED_JOIN_SQL,
     "events_cohort_retention": Q_EVENTS_COHORT_SQL,
+    "events_funnel": Q_EVENTS_FUNNEL_SQL,
     "h3_synth_fields": _q_h3_synth_fields_sql(),
     "h3_parent_agg_sum": _q_h3_parent_agg_sum_sql(),
     "h3_minmax_avg": _q_h3_minmax_avg_sql(),
