@@ -24,7 +24,9 @@ HEADLINE = [
     "q3_shipping_priority",
     "q5_region_nation_revenue",
     "q10_returned_customers",
+    "q13_order_count_distribution",
     "events_range_join",
+    "events_cohort_retention",
     "events_hourly_window",
     "h3_parent_agg_sum",
     "h3_setnull_on_conflict",
