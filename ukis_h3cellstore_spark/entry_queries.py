@@ -1225,6 +1225,85 @@ WHERE (p_brand = 'Brand#2'  AND p_size BETWEEN 1 AND 15 AND l_quantity BETWEEN 1
 """
 
 
+def q_promo_revenue_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Promotion revenue share in one quarter (TPC-H Q14 shape):
+    conditional-sum ratio over a broadcast fact-dim join, exact cents
+    integers under the ratio."""
+    l = _t(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.to_timestamp(F.lit("1996-01-01")))
+        & (F.col("l_shipdate") < F.to_timestamp(F.lit("1996-04-01")))
+    )
+    p = _t(spark, sf_dir, "part").select("p_partkey", "p_type")
+    rev = _cents(F.col("l_extendedprice")) * (
+        F.lit(100) - _cents(F.col("l_discount"))
+    )
+    j = l.join(F.broadcast(p), l.l_partkey == p.p_partkey)
+    return j.agg(
+        F.sum(F.when(F.col("p_type") == "PROMO", rev).otherwise(F.lit(0))).alias(
+            "promo_rev_c100"
+        ),
+        F.sum(rev).alias("total_rev_c100"),
+    ).withColumn(
+        "promo_share",
+        F.round(F.col("promo_rev_c100") / F.col("total_rev_c100"), 9),
+    )
+
+
+Q_PROMO_SHARE_SQL = """
+SELECT CAST(SUM(CASE WHEN p_type = 'PROMO'
+         THEN CAST(round(l_extendedprice*100) AS BIGINT)
+              * (100 - CAST(round(l_discount*100) AS BIGINT)) ELSE 0 END)
+       AS BIGINT) AS promo_rev_c100,
+       CAST(SUM(CAST(round(l_extendedprice*100) AS BIGINT)
+            * (100 - CAST(round(l_discount*100) AS BIGINT))) AS BIGINT)
+         AS total_rev_c100,
+       round(SUM(CASE WHEN p_type = 'PROMO'
+             THEN CAST(round(l_extendedprice*100) AS BIGINT)
+                  * (100 - CAST(round(l_discount*100) AS BIGINT)) ELSE 0 END)
+             / CAST(SUM(CAST(round(l_extendedprice*100) AS BIGINT)
+                  * (100 - CAST(round(l_discount*100) AS BIGINT))) AS DOUBLE), 9)
+         AS promo_share
+FROM lineitem JOIN part ON l_partkey = p_partkey
+WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+  AND l_shipdate <  TIMESTAMP '1996-04-01'
+"""
+
+
+def q_supplier_part_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distinct suppliers per (brand, type, size-bracket), excluding
+    one brand (TPC-H Q16 shape, with lineitem standing in for the
+    absent partsupp relation): count-distinct after a broadcast dim
+    join, top-10 brackets with deterministic tie-break."""
+    l = _t(spark, sf_dir, "lineitem").select("l_partkey", "l_suppkey")
+    p = (
+        _t(spark, sf_dir, "part")
+        .filter(F.col("p_brand") != "Brand#2")
+        .filter(F.col("p_size").isin(1, 4, 9, 14, 19, 23, 36, 45))
+        .select("p_partkey", "p_brand", "p_type", "p_size")
+    )
+    j = l.join(F.broadcast(p), l.l_partkey == p.p_partkey)
+    return (
+        j.groupBy("p_brand", "p_type", "p_size")
+        .agg(F.countDistinct("l_suppkey").alias("supplier_cnt"))
+        .orderBy(
+            F.desc("supplier_cnt"), F.col("p_brand"), F.col("p_type"), F.col("p_size")
+        )
+        .limit(10)
+    )
+
+
+Q_SUPPLIER_PART_COUNTS_SQL = """
+SELECT p_brand, p_type, p_size,
+       COUNT(DISTINCT l_suppkey) AS supplier_cnt
+FROM lineitem JOIN part ON l_partkey = p_partkey
+WHERE p_brand <> 'Brand#2'
+  AND p_size IN (1, 4, 9, 14, 19, 23, 36, 45)
+GROUP BY 1, 2, 3
+ORDER BY supplier_cnt DESC, p_brand, p_type, p_size
+LIMIT 10
+"""
+
+
 def q_order_count_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Customer order-count distribution (TPC-H Q13 shape): left join
     customers to orders, count per customer (zeros kept), then the
@@ -1531,6 +1610,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q15_top_suppliers": q_top_suppliers,
     "q19_bracket_revenue": q_bracket_revenue,
     "q13_order_count_distribution": q_order_count_distribution,
+    "q14_promo_revenue_share": q_promo_revenue_share,
+    "q16_supplier_part_counts": q_supplier_part_counts,
     "q17_small_quantity_revenue": q_small_quantity_revenue,
     "q22_idle_rich_customers": q_idle_rich_customers,
     "events_hourly_window": q_events_hourly,
@@ -1570,6 +1651,8 @@ ORACLES: dict[str, str] = {
     "q15_top_suppliers": Q_TOP_SUPPLIERS_SQL,
     "q19_bracket_revenue": Q_BRACKET_REVENUE_SQL,
     "q13_order_count_distribution": Q_ORDER_COUNT_DIST_SQL,
+    "q14_promo_revenue_share": Q_PROMO_SHARE_SQL,
+    "q16_supplier_part_counts": Q_SUPPLIER_PART_COUNTS_SQL,
     "q17_small_quantity_revenue": Q_SMALL_QTY_REVENUE_SQL,
     "q22_idle_rich_customers": Q_IDLE_RICH_SQL,
     "events_hourly_window": Q_EVENTS_HOURLY_SQL,
