@@ -1495,6 +1495,70 @@ GROUP BY 1, 2, 3
 """
 
 
+def q_events_daily_moving_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """7-day moving average of daily revenue: a RANGE-framed window
+    over the day number (6 preceding .. current), so calendar gaps
+    shrink the frame instead of sliding over row positions. One daily
+    hash-agg then a single-partition window over ~hundreds of day
+    rows — the window input is the aggregate, never the event
+    stream."""
+    day_us = 86_400 * 1_000_000
+    e = _events(spark, sf_dir)
+    daily = e.groupBy(
+        (F.col("ts_us") / day_us).cast("long").alias("day")
+    ).agg(F.sum(_cents(F.col("value"))).alias("day_rev_cents"))
+    w = Window.orderBy("day").rangeBetween(-6, 0)
+    return daily.select(
+        "day",
+        "day_rev_cents",
+        F.round(F.avg("day_rev_cents").over(w), 6).alias("ma7_rev_cents"),
+    )
+
+
+Q_EVENTS_MOVING_AVG_SQL = """
+WITH daily AS (
+  SELECT epoch_us(ts) // 86400000000 AS day,
+         CAST(SUM(CAST(round(value*100) AS BIGINT)) AS BIGINT)
+           AS day_rev_cents
+  FROM events GROUP BY 1
+)
+SELECT day, day_rev_cents,
+       round(AVG(day_rev_cents) OVER (ORDER BY day
+             RANGE BETWEEN 6 PRECEDING AND CURRENT ROW), 6)
+         AS ma7_rev_cents
+FROM daily
+"""
+
+
+def q_events_latest_per_user(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Latest event per user (the upsert/compaction view of an event
+    stream): one max_by aggregation keyed on the user — map-side
+    combine, no window sort over the stream. Ties on the timestamp
+    break on event_id, mirroring a ReplacingMergeTree version
+    column."""
+    e = _events(spark, sf_dir)
+    pick = F.struct(F.col("ts_us"), F.col("event_id"))
+    return e.groupBy("user_id").agg(
+        F.max_by("event_id", pick).alias("event_id"),
+        F.max("ts_us").alias("ts_us"),
+        F.max_by("event_type", pick).alias("event_type"),
+        F.max_by(_cents(F.col("value")), pick).alias("value_cents"),
+    )
+
+
+Q_EVENTS_LATEST_SQL = """
+SELECT user_id, event_id, ts_us, event_type, value_cents
+FROM (
+  SELECT user_id, event_id, epoch_us(ts) AS ts_us, event_type,
+         CAST(round(value*100) AS BIGINT) AS value_cents,
+         ROW_NUMBER() OVER (PARTITION BY user_id
+                            ORDER BY epoch_us(ts) DESC, event_id DESC) AS rn
+  FROM events
+)
+WHERE rn = 1
+"""
+
+
 def q_events_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Ordered three-step funnel (signup → view → purchase): per-step
     completion counts over users, each later step constrained to
@@ -1624,6 +1688,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "events_salted_join": q_events_salted_join,
     "events_cohort_retention": q_events_cohort_retention,
     "events_funnel": q_events_funnel,
+    "events_daily_moving_avg": q_events_daily_moving_avg,
+    "events_latest_per_user": q_events_latest_per_user,
     "h3_synth_fields": q_h3_synth_fields,
     "h3_parent_agg_sum": q_h3_parent_agg_sum,
     "h3_minmax_avg": q_h3_minmax_avg,
@@ -1665,6 +1731,8 @@ ORACLES: dict[str, str] = {
     "events_salted_join": Q_EVENTS_SALTED_JOIN_SQL,
     "events_cohort_retention": Q_EVENTS_COHORT_SQL,
     "events_funnel": Q_EVENTS_FUNNEL_SQL,
+    "events_daily_moving_avg": Q_EVENTS_MOVING_AVG_SQL,
+    "events_latest_per_user": Q_EVENTS_LATEST_SQL,
     "h3_synth_fields": _q_h3_synth_fields_sql(),
     "h3_parent_agg_sum": _q_h3_parent_agg_sum_sql(),
     "h3_minmax_avg": _q_h3_minmax_avg_sql(),
