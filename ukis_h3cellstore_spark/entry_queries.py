@@ -1495,6 +1495,57 @@ GROUP BY 1, 2, 3
 """
 
 
+def q_events_rollup_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ROLLUP over (event_type, day): the hierarchical grouping-set
+    variant (type totals and the grand total, but no day-only rows —
+    the asymmetry that distinguishes ROLLUP from CUBE)."""
+    e = _events(spark, sf_dir)
+    day = (F.col("ts_us") / (86_400 * 1_000_000)).cast("long")
+    return (
+        e.withColumn("day_id", day)
+        .rollup("event_type", "day_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(_cents(F.col("value"))).alias("sum_value_cents"),
+        )
+    )
+
+
+Q_EVENTS_ROLLUP_SQL = """
+SELECT event_type, (epoch_us(ts) // 86400000000) AS day_id,
+       COUNT(*) AS n_events,
+       CAST(SUM(CAST(round(value*100) AS BIGINT)) AS BIGINT) AS sum_value_cents
+FROM events GROUP BY ROLLUP (1, 2)
+"""
+
+
+def q_events_pivot_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Daily event counts pivoted to one column per event type —
+    Spark's groupBy().pivot() with an EXPLICIT value list, so the
+    plan is a single pass of conditional aggregates (no
+    distinct-values pre-query) and the output schema is stable."""
+    e = _events(spark, sf_dir)
+    day = (F.col("ts_us") / (86_400 * 1_000_000)).cast("long")
+    return (
+        e.withColumn("day_id", day)
+        .groupBy("day_id")
+        .pivot("event_type", ["click", "error", "purchase", "signup", "view"])
+        .agg(F.count(F.lit(1)))
+        .na.fill(0)
+    )
+
+
+Q_EVENTS_PIVOT_SQL = """
+SELECT (epoch_us(ts) // 86400000000) AS day_id,
+       COUNT(CASE WHEN event_type = 'click' THEN 1 END) AS click,
+       COUNT(CASE WHEN event_type = 'error' THEN 1 END) AS error,
+       COUNT(CASE WHEN event_type = 'purchase' THEN 1 END) AS purchase,
+       COUNT(CASE WHEN event_type = 'signup' THEN 1 END) AS signup,
+       COUNT(CASE WHEN event_type = 'view' THEN 1 END) AS view
+FROM events GROUP BY 1
+"""
+
+
 def q_events_daily_moving_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
     """7-day moving average of daily revenue: a RANGE-framed window
     over the day number (6 preceding .. current), so calendar gaps
@@ -1690,6 +1741,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "events_funnel": q_events_funnel,
     "events_daily_moving_avg": q_events_daily_moving_avg,
     "events_latest_per_user": q_events_latest_per_user,
+    "events_rollup_counts": q_events_rollup_counts,
+    "events_pivot_daily": q_events_pivot_daily,
     "h3_synth_fields": q_h3_synth_fields,
     "h3_parent_agg_sum": q_h3_parent_agg_sum,
     "h3_minmax_avg": q_h3_minmax_avg,
@@ -1733,6 +1786,8 @@ ORACLES: dict[str, str] = {
     "events_funnel": Q_EVENTS_FUNNEL_SQL,
     "events_daily_moving_avg": Q_EVENTS_MOVING_AVG_SQL,
     "events_latest_per_user": Q_EVENTS_LATEST_SQL,
+    "events_rollup_counts": Q_EVENTS_ROLLUP_SQL,
+    "events_pivot_daily": Q_EVENTS_PIVOT_SQL,
     "h3_synth_fields": _q_h3_synth_fields_sql(),
     "h3_parent_agg_sum": _q_h3_parent_agg_sum_sql(),
     "h3_minmax_avg": _q_h3_minmax_avg_sql(),
