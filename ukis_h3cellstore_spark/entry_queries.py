@@ -1546,6 +1546,64 @@ FROM events GROUP BY 1
 """
 
 
+def q_events_unpivot_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The pivoted daily counts melted back to long form via
+    ``stack`` (Spark's UNPIVOT): pivot → unpivot round-trips to the
+    plain group-by, which is exactly what the oracle computes.
+    Zero-count combinations are dropped, matching the group-by."""
+    wide = q_events_pivot_daily(spark, sf_dir)
+    types = ["click", "error", "purchase", "signup", "view"]
+    stack_expr = "stack({n}, {args}) as (event_type, n_events)".format(
+        n=len(types), args=", ".join(f"'{t}', {t}" for t in types)
+    )
+    return wide.select("day_id", F.expr(stack_expr)).filter(
+        F.col("n_events") > 0
+    )
+
+
+Q_EVENTS_UNPIVOT_SQL = """
+SELECT (epoch_us(ts) // 86400000000) AS day_id, event_type,
+       COUNT(*) AS n_events
+FROM events GROUP BY 1, 2
+"""
+
+
+def q_events_day_set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Set operations over daily activity: days with clicks AND
+    purchases (INTERSECT), days with clicks but NO errors (EXCEPT),
+    labeled and unioned. Distinct-set semantics, not join dedup."""
+    e = _events(spark, sf_dir)
+    day = (F.col("ts_us") / (86_400 * 1_000_000)).cast("long").alias("day_id")
+
+    def days_of(t: str) -> DataFrame:
+        return e.filter(F.col("event_type") == t).select(day).distinct()
+
+    both = (
+        days_of("click")
+        .intersect(days_of("purchase"))
+        .withColumn("label", F.lit("click_and_purchase"))
+    )
+    calm = (
+        days_of("click")
+        .exceptAll(days_of("error"))
+        .withColumn("label", F.lit("click_no_error"))
+    )
+    return both.unionByName(calm).select("label", "day_id")
+
+
+Q_EVENTS_DAY_SET_OPS_SQL = """
+WITH d AS (SELECT DISTINCT event_type,
+                  epoch_us(ts) // 86400000000 AS day_id FROM events)
+SELECT 'click_and_purchase' AS label, day_id FROM
+  (SELECT day_id FROM d WHERE event_type = 'click'
+   INTERSECT SELECT day_id FROM d WHERE event_type = 'purchase')
+UNION ALL
+SELECT 'click_no_error', day_id FROM
+  (SELECT day_id FROM d WHERE event_type = 'click'
+   EXCEPT SELECT day_id FROM d WHERE event_type = 'error')
+"""
+
+
 def q_events_daily_moving_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
     """7-day moving average of daily revenue: a RANGE-framed window
     over the day number (6 preceding .. current), so calendar gaps
@@ -1743,6 +1801,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "events_latest_per_user": q_events_latest_per_user,
     "events_rollup_counts": q_events_rollup_counts,
     "events_pivot_daily": q_events_pivot_daily,
+    "events_unpivot_daily": q_events_unpivot_daily,
+    "events_day_set_ops": q_events_day_set_ops,
     "h3_synth_fields": q_h3_synth_fields,
     "h3_parent_agg_sum": q_h3_parent_agg_sum,
     "h3_minmax_avg": q_h3_minmax_avg,
@@ -1788,6 +1848,8 @@ ORACLES: dict[str, str] = {
     "events_latest_per_user": Q_EVENTS_LATEST_SQL,
     "events_rollup_counts": Q_EVENTS_ROLLUP_SQL,
     "events_pivot_daily": Q_EVENTS_PIVOT_SQL,
+    "events_unpivot_daily": Q_EVENTS_UNPIVOT_SQL,
+    "events_day_set_ops": Q_EVENTS_DAY_SET_OPS_SQL,
     "h3_synth_fields": _q_h3_synth_fields_sql(),
     "h3_parent_agg_sum": _q_h3_parent_agg_sum_sql(),
     "h3_minmax_avg": _q_h3_minmax_avg_sql(),
