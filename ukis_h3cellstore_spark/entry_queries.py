@@ -1495,6 +1495,31 @@ GROUP BY 1, 2, 3
 """
 
 
+def q_events_json_props(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semi-structured extraction: the props JSON column parsed with
+    a typed from_json schema (JVM-side Jackson, no UDF), bucketed and
+    aggregated — the schema-on-read path every event pipeline needs
+    for its payload columns."""
+    e = _events(spark, sf_dir)
+    k = F.from_json(F.col("props"), "k INT")["k"]
+    return (
+        e.withColumn("k_bucket", (k / 10).cast("long"))
+        .groupBy("k_bucket")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(_cents(F.col("value"))).alias("sum_value_cents"),
+        )
+    )
+
+
+Q_EVENTS_JSON_SQL = """
+SELECT CAST(json_extract(props, '$.k') AS INT) // 10 AS k_bucket,
+       COUNT(*) AS n_events,
+       CAST(SUM(CAST(round(value*100) AS BIGINT)) AS BIGINT) AS sum_value_cents
+FROM events GROUP BY 1
+"""
+
+
 def q_events_rollup_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ROLLUP over (event_type, day): the hierarchical grouping-set
     variant (type totals and the grand total, but no day-only rows —
@@ -1803,6 +1828,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "events_pivot_daily": q_events_pivot_daily,
     "events_unpivot_daily": q_events_unpivot_daily,
     "events_day_set_ops": q_events_day_set_ops,
+    "events_json_props": q_events_json_props,
     "h3_synth_fields": q_h3_synth_fields,
     "h3_parent_agg_sum": q_h3_parent_agg_sum,
     "h3_minmax_avg": q_h3_minmax_avg,
@@ -1850,6 +1876,7 @@ ORACLES: dict[str, str] = {
     "events_pivot_daily": Q_EVENTS_PIVOT_SQL,
     "events_unpivot_daily": Q_EVENTS_UNPIVOT_SQL,
     "events_day_set_ops": Q_EVENTS_DAY_SET_OPS_SQL,
+    "events_json_props": Q_EVENTS_JSON_SQL,
     "h3_synth_fields": _q_h3_synth_fields_sql(),
     "h3_parent_agg_sum": _q_h3_parent_agg_sum_sql(),
     "h3_minmax_avg": _q_h3_minmax_avg_sql(),
