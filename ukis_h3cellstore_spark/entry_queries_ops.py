@@ -326,6 +326,36 @@ list_reduce(list_transform(list_zip(a.c_vec, q.q_vec),
 """
 
 
+def q_embedding_norm_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-label embedding health report: vector count, dimension,
+    and average L2 norm — pure higher-order array folds
+    (transform + aggregate) in whole-stage codegen, the shape every
+    embedding-column sanity check takes before ANN indexing."""
+    e = _embs(spark, sf_dir)
+    sq = F.transform(
+        F.col("embedding"), lambda v: v.cast("double") * v.cast("double")
+    )
+    norm = F.sqrt(F.aggregate(sq, F.lit(0.0), lambda acc, v: acc + v))
+    return (
+        e.select("label", F.size("embedding").alias("dim"), norm.alias("__n"))
+        .groupBy("label", "dim")
+        .agg(
+            F.count(F.lit(1)).alias("n_vecs"),
+            F.round(F.avg("__n"), 6).alias("avg_l2_norm"),
+        )
+    )
+
+
+Q_EMBEDDING_NORM_SQL = """
+SELECT label, CAST(len(embedding) AS INT) AS dim,
+       COUNT(*) AS n_vecs,
+       round(AVG(sqrt(list_reduce(
+           list_transform(embedding, v -> CAST(v AS DOUBLE) * CAST(v AS DOUBLE)),
+           (s, v) -> s + v))), 6) AS avg_l2_norm
+FROM embeddings GROUP BY 1, 2
+"""
+
+
 def q_ann_cosine_top3(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = _embs(spark, sf_dir)
     queries = e.filter(F.col("vec_id") < 10)
@@ -1101,6 +1131,7 @@ QUERIES_OPS: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "dedup_simhash_groups": q_dedup_simhash_groups,
     "dedup_simhash_hamming": q_dedup_simhash_hamming,
     "ann_cosine_top3": q_ann_cosine_top3,
+    "embedding_norm_report": q_embedding_norm_report,
     "ann_ivf_top3": q_ann_ivf_top3,
     "ann_lsh_top3": q_ann_lsh_top3,
     "embedding_dup_pairs": q_embedding_dup_pairs,
@@ -1137,6 +1168,7 @@ ORACLES_OPS: dict[str, str] = {
     "dedup_simhash_groups": _q_dedup_simhash_groups_sql(),
     "dedup_simhash_hamming": _q_dedup_simhash_hamming_sql(),
     "ann_cosine_top3": Q_ANN_COSINE_TOP3_SQL,
+    "embedding_norm_report": Q_EMBEDDING_NORM_SQL,
     "ann_ivf_top3": _q_ann_ivf_top3_sql(),
     "ann_lsh_top3": _q_ann_lsh_top3_sql(),
     "embedding_dup_pairs": _q_embedding_dup_pairs_sql(),
