@@ -55,11 +55,16 @@ def _events(spark: SparkSession, sf_dir: str) -> DataFrame:
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     df = spark.read.parquet(f"{sf_dir}/events.parquet")
     ts_type = dict(df.dtypes)["ts"]
-    if ts_type.startswith("timestamp"):
+    if ts_type == "timestamp_ntz":
         ts_us = F.expr(
             "timestampdiff(MICROSECOND, TIMESTAMP_NTZ'1970-01-01 00:00:00',"
             " cast(ts as timestamp_ntz))"
         )
+    elif ts_type == "timestamp":
+        # TIMESTAMP_LTZ (isAdjustedToUTC=true): unix_micros reads the
+        # UTC instant directly — timezone-independent, unlike casting
+        # to NTZ which would shift by the session timezone.
+        ts_us = F.expr("unix_micros(ts)")
     else:
         # BIGINT nanos. Integer division — `ts / 1000` evaluates in
         # DOUBLE, whose 53 mantissa bits lose the microsecond digit.
@@ -1168,7 +1173,9 @@ def q_top_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         revenue.join(
             F.broadcast(mx),
-            F.col("total_revenue_c100") >= (F.col("__max_rev") * 0.95).cast("long"),
+            # explicit floor on BOTH sides (Spark cast truncates toward
+            # zero, DuckDB's CAST rounds-to-nearest — floor matches)
+            F.col("total_revenue_c100") >= F.floor(F.col("__max_rev") * 0.95),
         )
         .join(F.broadcast(s), F.col("supplier_no") == s.s_suppkey)
         .select("s_suppkey", "s_name", "total_revenue_c100")
@@ -1189,7 +1196,7 @@ WITH revenue AS (
 SELECT s_suppkey, s_name, total_revenue_c100
 FROM supplier JOIN revenue ON s_suppkey = supplier_no
 WHERE total_revenue_c100 >=
-      CAST((SELECT MAX(total_revenue_c100) FROM revenue) * 0.95 AS BIGINT)
+      CAST(floor((SELECT MAX(total_revenue_c100) FROM revenue) * 0.95) AS BIGINT)
 """
 
 
@@ -1503,7 +1510,9 @@ def q_events_json_props(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = _events(spark, sf_dir)
     k = F.from_json(F.col("props"), "k INT")["k"]
     return (
-        e.withColumn("k_bucket", (k / 10).cast("long"))
+        # floor, not truncate-toward-zero: DuckDB's // floors, so a
+        # negative k must bucket downward on both sides
+        e.withColumn("k_bucket", F.floor(k / 10).cast("long"))
         .groupBy("k_bucket")
         .agg(
             F.count(F.lit(1)).alias("n_events"),

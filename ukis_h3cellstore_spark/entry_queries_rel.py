@@ -1,0 +1,361 @@
+"""Round-4 relational-surface gates: the remaining common query
+shapes with no prior oracle coverage — semi/anti joins, VariantType
+path access, a CSV source round-trip, multi-distinct aggregation,
+ntile/percent_rank windows, explicit GROUPING SETS, collect_set
+signatures, and the regexp/string-function suite.
+
+Every entry is a (Spark callable, DuckDB oracle SQL) pair with
+bit-matched column aliases — see entry_queries.py for the
+determinism conventions (cents-integer money, epoch-µs timestamps,
+unique ordering keys under every window).
+
+The reference's query surface is SQL-over-ClickHouse
+(crates/ukis_h3cellstore/src/clickhouse/mod.rs query path); these
+gates exercise the same relational algebra a user would push through
+``GenericCellStore.query`` on Spark.
+"""
+
+from __future__ import annotations
+
+import os
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ukis_h3cellstore_spark.entry_queries import _cents, _events, _t
+
+
+# --------------------------------------------------------------------------
+# semi / anti joins
+
+
+def q_orders_semi_anti(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LEFT SEMI / LEFT ANTI join surface: customers partitioned by
+    whether they have at least one finished ('F') order, counted per
+    market segment. Both branches are existence joins — no row
+    multiplication, and Catalyst turns them into broadcast
+    semi/anti-hash joins when the right side is small."""
+    c = _t(spark, sf_dir, "customer")
+    f_orders = _t(spark, sf_dir, "orders").filter(
+        F.col("o_orderstatus") == "F"
+    ).select("o_custkey")
+    cond = c.c_custkey == F.col("o_custkey")
+    semi = (
+        c.join(f_orders, cond, "left_semi")
+        .groupBy("c_mktsegment")
+        .agg(F.count(F.lit(1)).alias("n_customers"))
+        .withColumn("bucket", F.lit("has_f"))
+    )
+    anti = (
+        c.join(f_orders, cond, "left_anti")
+        .groupBy("c_mktsegment")
+        .agg(F.count(F.lit(1)).alias("n_customers"))
+        .withColumn("bucket", F.lit("no_f"))
+    )
+    return semi.unionByName(anti).select("c_mktsegment", "bucket", "n_customers")
+
+
+Q_ORDERS_SEMI_ANTI_SQL = """
+SELECT c_mktsegment, 'has_f' AS bucket, COUNT(*) AS n_customers
+FROM customer c
+WHERE EXISTS (SELECT 1 FROM orders o
+              WHERE o.o_custkey = c.c_custkey AND o.o_orderstatus = 'F')
+GROUP BY 1
+UNION ALL
+SELECT c_mktsegment, 'no_f' AS bucket, COUNT(*) AS n_customers
+FROM customer c
+WHERE NOT EXISTS (SELECT 1 FROM orders o
+                  WHERE o.o_custkey = c.c_custkey AND o.o_orderstatus = 'F')
+GROUP BY 1
+"""
+
+
+# --------------------------------------------------------------------------
+# VariantType path access
+
+
+def q_events_variant_props(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semi-structured access through Spark 4's VARIANT type:
+    ``parse_json`` once, then typed ``variant_get`` path extraction —
+    the open-schema alternative to from_json's fixed struct (which
+    events_json_props covers). Binary variant encoding keeps the
+    extraction JVM-side and shreddable; no UDF."""
+    e = _events(spark, sf_dir)
+    k = F.variant_get(F.parse_json(F.col("props")), "$.k", "int")
+    return (
+        e.withColumn("k_mod", F.pmod(k, F.lit(7)))
+        .groupBy("k_mod")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.min(k).alias("min_k"),
+            F.max(k).alias("max_k"),
+            F.sum(_cents(F.col("value"))).alias("sum_value_cents"),
+        )
+    )
+
+
+Q_EVENTS_VARIANT_SQL = """
+SELECT CAST(json_extract(props, '$.k') AS INT) % 7 AS k_mod,
+       COUNT(*) AS n_events,
+       MIN(CAST(json_extract(props, '$.k') AS INT)) AS min_k,
+       MAX(CAST(json_extract(props, '$.k') AS INT)) AS max_k,
+       CAST(SUM(CAST(round(value*100) AS BIGINT)) AS BIGINT) AS sum_value_cents
+FROM events GROUP BY 1
+"""
+
+
+# --------------------------------------------------------------------------
+# CSV source round-trip
+
+
+def q_source_csv_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CSV sink + source round-trip: the exact-typed subset of events
+    is written as headered CSV and read back with an explicit schema
+    (schema-on-read — no inference job), then aggregated. Proves the
+    text-format source path end-to-end; the oracle recomputes the
+    same aggregate from the original parquet, so any encode/decode
+    drift fails the hash. Only exactly-representable columns
+    (BIGINT/VARCHAR) cross the text boundary — float round-tripping
+    through CSV is a known non-goal of the format."""
+    e = _events(spark, sf_dir).select("event_id", "user_id", "event_type")
+    out = f"/tmp/ukis_csv_roundtrip_{os.getpid()}_{abs(hash(sf_dir)) % 10_000}"
+    e.write.mode("overwrite").option("header", "true").csv(out)
+    back = (
+        spark.read.schema("event_id BIGINT, user_id BIGINT, event_type STRING")
+        .option("header", "true")
+        .csv(out)
+    )
+    return back.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.sum("event_id").alias("sum_event_id"),
+        F.countDistinct("user_id").alias("n_users"),
+    )
+
+
+Q_SOURCE_CSV_SQL = """
+SELECT event_type, COUNT(*) AS n_events,
+       CAST(SUM(event_id) AS BIGINT) AS sum_event_id,
+       COUNT(DISTINCT user_id) AS n_users
+FROM events GROUP BY 1
+"""
+
+
+# --------------------------------------------------------------------------
+# multi-distinct aggregation
+
+
+def q_events_distinct_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multiple COUNT(DISTINCT ...) in one aggregation — Spark plans
+    this as an expand + two-phase aggregate (one shuffle per distinct
+    set, map-side partials first), the shape dashboards hit
+    constantly for daily-active-user counts."""
+    e = _events(spark, sf_dir)
+    day = (F.col("ts_us") / (86_400 * 1_000_000)).cast("long")
+    return (
+        e.withColumn("day_id", day)
+        .groupBy("day_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.countDistinct("user_id").alias("n_users"),
+            F.countDistinct("event_type").alias("n_types"),
+        )
+    )
+
+
+Q_EVENTS_DISTINCT_DAILY_SQL = """
+SELECT (epoch_us(ts) // 86400000000) AS day_id,
+       COUNT(*) AS n_events,
+       COUNT(DISTINCT user_id) AS n_users,
+       COUNT(DISTINCT event_type) AS n_types
+FROM events GROUP BY 1
+"""
+
+
+# --------------------------------------------------------------------------
+# ntile / percent_rank / cume_dist windows
+
+
+def q_events_window_ntile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distribution window functions: NTILE(4) quartiles per event
+    type (ordered by the unique (value, event_id) key so tile
+    boundaries are deterministic), with the quartile's max
+    percent_rank and cume_dist — one window, one shuffle, then a
+    small aggregate."""
+    from pyspark.sql.window import Window
+
+    e = _events(spark, sf_dir)
+    w = Window.partitionBy("event_type").orderBy("value", "event_id")
+    return (
+        e.select(
+            "event_type",
+            "value",
+            F.ntile(4).over(w).alias("quartile"),
+            F.percent_rank().over(w).alias("pr"),
+            F.cume_dist().over(w).alias("cd"),
+        )
+        .groupBy("event_type", "quartile")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(_cents(F.col("value"))).alias("sum_value_cents"),
+            F.round(F.max("pr"), 6).alias("max_pr"),
+            F.round(F.max("cd"), 6).alias("max_cd"),
+        )
+    )
+
+
+Q_EVENTS_NTILE_SQL = """
+WITH w AS (
+  SELECT event_type, value,
+         NTILE(4)       OVER win AS quartile,
+         PERCENT_RANK() OVER win AS pr,
+         CUME_DIST()    OVER win AS cd
+  FROM events
+  WINDOW win AS (PARTITION BY event_type ORDER BY value, event_id)
+)
+SELECT event_type, quartile, COUNT(*) AS n_events,
+       CAST(SUM(CAST(round(value*100) AS BIGINT)) AS BIGINT) AS sum_value_cents,
+       round(MAX(pr), 6) AS max_pr,
+       round(MAX(cd), 6) AS max_cd
+FROM w GROUP BY 1, 2
+"""
+
+
+# --------------------------------------------------------------------------
+# explicit GROUPING SETS
+
+
+def q_events_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Arbitrary GROUPING SETS — the general form that ROLLUP/CUBE
+    (already gated) specialize: per-type totals, per-day totals, and
+    the grand total in ONE pass (Expand + single hash aggregate, not
+    three scans). GROUPING() flags disambiguate real NULL keys from
+    subtotal rows."""
+    e = _events(spark, sf_dir)
+    day = (F.col("ts_us") / (86_400 * 1_000_000)).cast("long")
+    e.withColumn("day_id", day).createOrReplaceTempView("__gs_events")
+    return spark.sql(
+        """
+        SELECT event_type, day_id,
+               GROUPING(event_type) AS g_type,
+               GROUPING(day_id) AS g_day,
+               COUNT(*) AS n_events,
+               CAST(SUM(CAST(round(value*100) AS BIGINT)) AS BIGINT)
+                 AS sum_value_cents
+        FROM __gs_events
+        GROUP BY GROUPING SETS ((event_type), (day_id), ())
+        """
+    )
+
+
+Q_EVENTS_GROUPING_SETS_SQL = """
+WITH e AS (
+  SELECT event_type, (epoch_us(ts) // 86400000000) AS day_id, value FROM events
+)
+SELECT event_type, day_id,
+       GROUPING(event_type) AS g_type,
+       GROUPING(day_id) AS g_day,
+       COUNT(*) AS n_events,
+       CAST(SUM(CAST(round(value*100) AS BIGINT)) AS BIGINT) AS sum_value_cents
+FROM e
+GROUP BY GROUPING SETS ((event_type), (day_id), ())
+"""
+
+
+# --------------------------------------------------------------------------
+# collect_set signature
+
+
+def q_events_user_type_signature(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Set-valued aggregation: each user's distinct event types
+    collapsed to a canonical sorted signature string
+    (collect_set → array_sort → concat_ws, all JVM expressions), then
+    users counted per signature — the behavioral-cohort shape."""
+    # the value filter keeps per-user type sets PARTIAL (~19 distinct
+    # signatures at sf0.01) — without it every user has every type
+    # and the gate degenerates to one row
+    e = _events(spark, sf_dir).filter(F.col("value") > 100)
+    sig = F.concat_ws(",", F.array_sort(F.collect_set("event_type")))
+    per_user = e.groupBy("user_id").agg(sig.alias("type_signature"))
+    return per_user.groupBy("type_signature").agg(
+        F.count(F.lit(1)).alias("n_users")
+    )
+
+
+Q_EVENTS_SIGNATURE_SQL = """
+WITH per_user AS (
+  SELECT user_id,
+         string_agg(DISTINCT event_type ORDER BY event_type)
+           AS type_signature
+  FROM events WHERE value > 100 GROUP BY 1
+)
+SELECT type_signature, COUNT(*) AS n_users FROM per_user GROUP BY 1
+"""
+
+
+# --------------------------------------------------------------------------
+# regexp / string functions
+
+
+def q_part_string_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """String-function surface over the part dim: regexp_extract (the
+    brand ordinal out of 'Brand#NN'), split + element_at (the noun of
+    the two-word name), upper/length — grouped to a compact report.
+    All codegen'd JVM string expressions; the whole query is one scan
+    and one small aggregate."""
+    p = _t(spark, sf_dir, "part")
+    brand_num = F.regexp_extract(F.col("p_brand"), r"Brand#(\d+)", 1).cast("int")
+    noun = F.upper(F.element_at(F.split(F.col("p_name"), " "), 2))
+    return (
+        p.select(
+            noun.alias("noun"),
+            brand_num.alias("brand_num"),
+            F.length(F.col("p_type")).alias("type_len"),
+            "p_size",
+            "p_type",
+        )
+        .groupBy("noun")
+        .agg(
+            F.count(F.lit(1)).alias("n_parts"),
+            F.min("brand_num").alias("min_brand"),
+            F.max("brand_num").alias("max_brand"),
+            F.sum("p_size").alias("sum_size"),
+            F.countDistinct("p_type").alias("n_types"),
+            F.sum("type_len").alias("sum_type_len"),
+        )
+    )
+
+
+Q_PART_STRING_SQL = """
+SELECT upper(split_part(p_name, ' ', 2)) AS noun,
+       COUNT(*) AS n_parts,
+       MIN(CAST(regexp_extract(p_brand, 'Brand#(\\d+)', 1) AS INT)) AS min_brand,
+       MAX(CAST(regexp_extract(p_brand, 'Brand#(\\d+)', 1) AS INT)) AS max_brand,
+       CAST(SUM(p_size) AS BIGINT) AS sum_size,
+       COUNT(DISTINCT p_type) AS n_types,
+       CAST(SUM(length(p_type)) AS BIGINT) AS sum_type_len
+FROM part GROUP BY 1
+"""
+
+
+QUERIES_REL: dict[str, Callable[[SparkSession, str], DataFrame]] = {
+    "orders_semi_anti_join": q_orders_semi_anti,
+    "events_variant_props": q_events_variant_props,
+    "source_csv_roundtrip": q_source_csv_roundtrip,
+    "events_distinct_daily": q_events_distinct_daily,
+    "events_window_ntile": q_events_window_ntile,
+    "events_grouping_sets": q_events_grouping_sets,
+    "events_user_type_signature": q_events_user_type_signature,
+    "part_string_funcs": q_part_string_funcs,
+}
+
+ORACLES_REL: dict[str, str] = {
+    "orders_semi_anti_join": Q_ORDERS_SEMI_ANTI_SQL,
+    "events_variant_props": Q_EVENTS_VARIANT_SQL,
+    "source_csv_roundtrip": Q_SOURCE_CSV_SQL,
+    "events_distinct_daily": Q_EVENTS_DISTINCT_DAILY_SQL,
+    "events_window_ntile": Q_EVENTS_NTILE_SQL,
+    "events_grouping_sets": Q_EVENTS_GROUPING_SETS_SQL,
+    "events_user_type_signature": Q_EVENTS_SIGNATURE_SQL,
+    "part_string_funcs": Q_PART_STRING_SQL,
+}

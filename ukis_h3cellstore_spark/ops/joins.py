@@ -71,6 +71,11 @@ def range_join(
     buckets — that candidate growth is inherent to interval-join
     output size, and the skewed exchange splits under AQE."""
     keys = [on] if isinstance(on, str) else list(on or [])
+    # Empty/inverted intervals ([s, e) with e <= s) contain nothing,
+    # but sequence(s_bucket, e_bucket) with e_bucket < s_bucket would
+    # DESCEND and replicate the corrupt row across spurious buckets —
+    # drop them before exploding.
+    ranges = ranges.filter(F.col(range_end) > F.col(range_start))
     # integer `div`, not float division: epoch-µs / bucket in DOUBLE
     # can land an exact boundary on x.9999... and truncate into the
     # wrong bucket (timestamps are non-negative, so div == floor)
