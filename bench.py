@@ -38,6 +38,8 @@ HEADLINE = [
     # training-data operator families (documents/embeddings tables)
     "text_stats",
     "dedup_minhash_lsh_pairs",
+    "dedup_lsh_verified",
+    "corpus_stratified_sample",
     "dedup_simhash_hamming",
     "dedup_cluster_resolve",
     "events_sessionize",

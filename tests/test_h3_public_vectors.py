@@ -117,6 +117,71 @@ def test_invalid_indexes_rejected():
 # ------------------------------------------------- real-grid vectors (h3)
 
 
+#: sfGeoLoop from the public H3 C test suite (testPolygonToCells.c),
+#: vertices in radians (lat, lng); polygonToCells at res 9 covers
+#: exactly 1253 cells (TEST_ASSERT in the suite), 1214 with the
+#: holeGeoLoop hole punched out.
+SF_LOOP_RAD = [
+    (0.659966917655, -2.1364398519396),
+    (0.6595011102219, -2.1359434279405),
+    (0.6583348114025, -2.1354884206045),
+    (0.6581220034068, -2.1382437718946),
+    (0.6594479998527, -2.1384597563896),
+    (0.6599990002976, -2.1376771158464),
+]
+SF_HOLE_RAD = [
+    (0.6595072188743, -2.1371053983433),
+    (0.6591482046471, -2.1373141048153),
+    (0.6592295020837, -2.1365222838402),
+]
+
+
+def _ring_deg(loop_rad):
+    """(lat, lng) radians → GeoJSON-order (lng, lat) degrees ring."""
+    import math
+
+    return [(math.degrees(lng), math.degrees(lat)) for lat, lng in loop_rad]
+
+
+def test_latlng_to_cell_doc_input_vector():
+    pytest.importorskip("h3", reason="h3 wheel absent in this container")
+    from ukis_h3cellstore_spark.geo import H3Grid
+
+    g = H3Grid()
+    # latLngToCell doc example: (37.3615593, -122.0553238) @ res 5
+    assert g.latlng_to_cell(37.3615593, -122.0553238, 5) == 0x85283473FFFFFFF
+
+
+def test_polyfill_sf_polygon_count_vector():
+    pytest.importorskip("h3", reason="h3 wheel absent in this container")
+    from ukis_h3cellstore_spark.geo import H3Grid
+
+    g = H3Grid()
+    cells = g.polygon_to_cells([_ring_deg(SF_LOOP_RAD)], 9)
+    assert len(cells) == 1253
+    assert len(set(cells)) == 1253
+    assert all(c.get_resolution(x) == 9 and c.is_valid_cell(x) for x in cells)
+    # same polygon with the hole loop punched out
+    holed = g.polygon_to_cells(
+        [_ring_deg(SF_LOOP_RAD), _ring_deg(SF_HOLE_RAD)], 9
+    )
+    assert len(holed) == 1214
+    assert set(holed) <= set(cells)
+
+
+def test_grid_disk_size_formula_vectors():
+    pytest.importorskip("h3", reason="h3 wheel absent in this container")
+    from ukis_h3cellstore_spark.geo import H3Grid
+
+    g = H3Grid()
+    # published maxGridDiskSize formula: 1 + 3k(k+1) (hexagon center)
+    for k, want in [(0, 1), (1, 7), (2, 19), (3, 37)]:
+        assert len(g.grid_disk(0x8828308281FFFFF, k)) == want
+    # pentagon-centered ring k has 5k cells → disk 1 + 5k(k+1)/2
+    for k, want in [(1, 6), (2, 16)]:
+        assert len(g.grid_disk(0x821C07FFFFFFFFF, k)) == want
+
+
 def test_latlng_vector_doc_example():
     pytest.importorskip("h3", reason="h3 wheel absent in this container")
     from ukis_h3cellstore_spark.geo import H3Grid

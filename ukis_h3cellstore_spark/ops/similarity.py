@@ -302,6 +302,13 @@ def kmeans_fit(
       (or DuckDB-oracle) run; the default streaming ``avg`` is the
       constant-memory scale path.
 
+    .. warning:: ``exact_mean=True`` collects the FULL member list of
+       each (centroid, dim) cell into one array before folding — per-
+       task memory grows with the largest cluster × dims. It exists
+       for oracle parity at test scale; at corpus scale always use the
+       default, whose partial-agg ``avg`` is constant-memory (the two
+       differ only by float summation order, ~1e-12 relative).
+
     Centroids that lose every member drop out (standard Lloyd's).
     """
     cent = (
