@@ -708,3 +708,73 @@ def test_chunk_documents_windows_and_overlap(spark):
     import pytest as _pytest
     with _pytest.raises(ValueError):
         SM3.chunk_documents(df, chunk_tokens=4, overlap=4)
+
+
+# ------------------------------------------------- round-4 curation ops
+
+
+def test_length_percentile_filter_trims_tails(spark):
+    # lang 'a': lengths 1..20 — p05/p95 of 1..20 ≈ 1.95/19.05, so
+    # exactly 1 and 20 fall outside; lang 'b' untouched control
+    rows = [(i, "x", "a", i) for i in range(1, 21)]
+    rows += [(100 + i, "y", "b", 50) for i in range(5)]
+    df = spark.createDataFrame(rows, "doc_id long, text string, lang string, n_chars long")
+    kept = X.length_percentile_filter(df).toPandas()
+    a = kept[kept.lang == "a"]
+    assert sorted(a.n_chars) == list(range(2, 20))
+    assert len(kept[kept.lang == "b"]) == 5  # constant column: all kept
+
+
+def test_length_percentile_filter_is_broadcast_two_pass(spark):
+    rows = [(i, "x", "a", i) for i in range(1, 21)]
+    df = spark.createDataFrame(rows, "doc_id long, text string, lang string, n_chars long")
+    plan = (
+        X.length_percentile_filter(df)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "BroadcastHashJoin" in plan  # cutoffs broadcast, corpus streams
+    assert "Window" not in plan  # no percent_rank sort over the corpus
+
+
+def test_vocab_oov_report_counts(spark):
+    # vocab k=2 -> {'a','b'} (freq 3,2); 'zz'/'q' are OOV
+    rows = [
+        (1, "a a b", "en"),
+        (2, "a b zz", "en"),
+        (3, "q", "de"),
+        (4, "   ", "de"),  # empty -> excluded entirely
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string, lang string")
+    out = {r.lang: r for r in X.vocab_oov_report(df, k=2).collect()}
+    assert out["en"].n_docs == 2 and out["en"].total_tokens == 6
+    assert out["en"].oov_tokens == 1  # 'zz'
+    assert out["de"].n_docs == 1 and out["de"].oov_tokens == 1  # 'q'
+    assert abs(out["en"].oov_rate - round(1 / 6, 6)) < 1e-9
+    assert "de" in out and len(out) == 2
+
+
+def test_cross_source_duplicates_pairs(spark):
+    rows = [
+        (1, "same doc", "s1"),
+        (2, "same doc", "s2"),
+        (3, "same doc", "s3"),
+        (4, "only here", "s1"),
+        (5, "same doc", "s1"),  # repeat within s1 collapses (distinct)
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string, source string")
+    got = {
+        (r.source_a, r.source_b): r.n_shared
+        for r in X.cross_source_duplicates(df).collect()
+    }
+    # all unordered pairs of {s1,s2,s3}, one shared text each
+    assert got == {("s1", "s2"): 1, ("s1", "s3"): 1, ("s2", "s3"): 1}
+
+
+def test_cross_source_duplicates_custom_key(spark):
+    rows = [(1, "PREFIX unique tail one", "s1"), (2, "PREFIX other tail", "s2")]
+    df = spark.createDataFrame(rows, "doc_id long, text string, source string")
+    assert X.cross_source_duplicates(df).count() == 0  # exact: no dups
+    by_prefix = X.cross_source_duplicates(
+        df, key=F.md5(F.substring(F.col("text"), 1, 6))
+    ).collect()
+    assert len(by_prefix) == 1 and by_prefix[0].n_shared == 1

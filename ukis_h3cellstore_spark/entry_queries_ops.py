@@ -1117,6 +1117,82 @@ GROUP BY 1
 """
 
 
+def q_corpus_length_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-language length-percentile trim (quality filtering): docs
+    outside the [p05, p95] n_chars band of their language are dropped;
+    report = per-language survivors. Cutoffs via the partial-aggregable
+    exact ``percentile`` (one tiny agg, broadcast back) — NOT a window
+    sort over the corpus."""
+    kept = X.length_percentile_filter(_docs(spark, sf_dir))
+    return kept.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_kept"),
+        F.sum("n_chars").alias("sum_chars_kept"),
+        F.min("n_chars").alias("min_chars"),
+        F.max("n_chars").alias("max_chars"),
+    )
+
+
+Q_CORPUS_LENGTH_FILTER_SQL = """
+WITH cuts AS (
+  SELECT lang, quantile_cont(n_chars, 0.05) AS lo_cut,
+               quantile_cont(n_chars, 0.95) AS hi_cut
+  FROM documents GROUP BY 1
+)
+SELECT d.lang, COUNT(*) AS n_kept,
+       CAST(SUM(d.n_chars) AS BIGINT) AS sum_chars_kept,
+       MIN(d.n_chars) AS min_chars,
+       MAX(d.n_chars) AS max_chars
+FROM documents d JOIN cuts c ON d.lang = c.lang
+WHERE CAST(d.n_chars AS DOUBLE) BETWEEN c.lo_cut AND c.hi_cut
+GROUP BY 1
+"""
+
+
+def q_corpus_oov_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Out-of-vocabulary rate per language against the corpus's own
+    top-50 vocabulary — explode → broadcast vocab join → one agg."""
+    return X.vocab_oov_report(_docs(spark, sf_dir), k=50)
+
+
+Q_CORPUS_OOV_SQL = f"""
+WITH t AS (SELECT doc_id, lang, unnest({_DUCK_TOKS}) AS token
+           FROM documents WHERE len(trim(text)) > 0),
+vocab AS (
+  SELECT token FROM (
+    SELECT token, COUNT(*) AS freq FROM t GROUP BY 1
+    ORDER BY freq DESC, token ASC LIMIT 50
+  )
+)
+SELECT lang, COUNT(DISTINCT doc_id) AS n_docs,
+       COUNT(*) AS total_tokens,
+       CAST(SUM(CASE WHEN v.token IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+         AS oov_tokens,
+       round(SUM(CASE WHEN v.token IS NULL THEN 1 ELSE 0 END)::DOUBLE
+             / COUNT(*), 6) AS oov_rate
+FROM t LEFT JOIN vocab v USING (token)
+GROUP BY 1
+"""
+
+
+def q_corpus_cross_source_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shared-document report between source pairs, keyed on the
+    80-char prefix fingerprint (boilerplate/mirror detection — the
+    synthetic corpus has no EXACT cross-source dups, but prefixes
+    collide, which is exactly what this heuristic is for)."""
+    return X.cross_source_duplicates(
+        _docs(spark, sf_dir), key=F.md5(F.substring(F.col("text"), 1, 80))
+    )
+
+
+Q_CORPUS_CROSS_SOURCE_SQL = """
+WITH hs AS (SELECT DISTINCT md5(substr(text, 1, 80)) AS h, source AS s
+            FROM documents)
+SELECT a.s AS source_a, b.s AS source_b, COUNT(*) AS n_shared
+FROM hs a JOIN hs b ON a.h = b.h AND a.s < b.s
+GROUP BY 1, 2
+"""
+
+
 QUERIES_OPS: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "text_stats": q_text_stats,
     "text_langid": q_text_langid,
@@ -1152,6 +1228,9 @@ QUERIES_OPS: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "corpus_source_report": q_corpus_source_report,
     "corpus_stratified_sample": q_corpus_stratified_sample,
     "corpus_chunked": q_corpus_chunked,
+    "corpus_length_filter": q_corpus_length_filter,
+    "corpus_oov_report": q_corpus_oov_report,
+    "corpus_cross_source_dups": q_corpus_cross_source_dups,
 }
 
 ORACLES_OPS: dict[str, str] = {
@@ -1191,4 +1270,7 @@ ORACLES_OPS: dict[str, str] = {
     "corpus_source_report": _q_corpus_source_report_sql(),
     "corpus_stratified_sample": Q_CORPUS_STRATIFIED_SAMPLE_SQL,
     "corpus_chunked": Q_CORPUS_CHUNKED_SQL,
+    "corpus_length_filter": Q_CORPUS_LENGTH_FILTER_SQL,
+    "corpus_oov_report": Q_CORPUS_OOV_SQL,
+    "corpus_cross_source_dups": Q_CORPUS_CROSS_SOURCE_SQL,
 }

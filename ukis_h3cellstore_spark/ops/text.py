@@ -349,3 +349,115 @@ def scrub_pii(
     return out.select(
         F.col(id_col), scrubbed.alias("text_scrubbed"), *counts
     )
+
+
+def length_percentile_cutoffs(
+    df: DataFrame,
+    lower: float = 0.05,
+    upper: float = 0.95,
+    length_col: str = "n_chars",
+    part_col: str = "lang",
+) -> DataFrame:
+    """Per-group exact percentile cutoffs of a length column:
+    (part_col, lo_cut, hi_cut). Deliberately NOT a window
+    percent_rank over the corpus — ``percentile`` is a partial-
+    aggregable function, so this is one small shuffled aggregate
+    (bytes ~ n_groups) instead of a full per-group sort of 100 TB."""
+    pct = F.percentile(F.col(length_col), F.array(F.lit(lower), F.lit(upper)))
+    return df.groupBy(part_col).agg(
+        pct[0].alias("lo_cut"), pct[1].alias("hi_cut")
+    )
+
+
+def length_percentile_filter(
+    df: DataFrame,
+    lower: float = 0.05,
+    upper: float = 0.95,
+    length_col: str = "n_chars",
+    part_col: str = "lang",
+) -> DataFrame:
+    """Quality filter: keep documents whose length lies inside the
+    per-group [lower, upper] percentile band — the standard
+    outlier-trim of web-corpus curation (cf. Gopher's per-source
+    length rules). Two-pass plan: tiny cutoff table (one row per
+    group) broadcast back onto the corpus; the filter itself is
+    map-side, no second shuffle, no window sort."""
+    cuts = length_percentile_cutoffs(df, lower, upper, length_col, part_col)
+    out = df.join(F.broadcast(cuts), on=part_col)
+    return out.filter(
+        F.col(length_col).cast("double").between(F.col("lo_cut"), F.col("hi_cut"))
+    ).drop("lo_cut", "hi_cut")
+
+
+def vocab_oov_report(
+    df: DataFrame,
+    k: int = 50,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    part_col: str = "lang",
+) -> DataFrame:
+    """Out-of-vocabulary rate against the corpus's own top-``k``
+    vocabulary, reported per group: (part_col, n_docs, total_tokens,
+    oov_tokens, oov_rate). The vocab is k rows — broadcast; the token
+    stream is never re-shuffled: explode → broadcast-hash left join →
+    one aggregate. The measurement every tokenizer-budget decision
+    needs before committing a vocab size."""
+    vocab = vocab_topk(df, k, text_col, id_col).select(
+        F.col("token").alias("__v")
+    )
+    toks = tokens(text_col)
+    exploded = df.filter(F.length(F.trim(F.col(text_col))) > 0).select(
+        F.col(id_col), F.col(part_col), F.explode(toks).alias("__t")
+    )
+    flagged = exploded.join(
+        F.broadcast(vocab), exploded["__t"] == F.col("__v"), "left"
+    )
+    return (
+        flagged.groupBy(part_col)
+        .agg(
+            F.countDistinct(id_col).alias("n_docs"),
+            F.count(F.lit(1)).alias("total_tokens"),
+            F.sum(F.when(F.col("__v").isNull(), 1).otherwise(0)).alias(
+                "oov_tokens"
+            ),
+        )
+        .withColumn(
+            "oov_rate",
+            F.round(
+                F.col("oov_tokens").cast("double") / F.col("total_tokens"), 6
+            ),
+        )
+    )
+
+
+def cross_source_duplicates(
+    df: DataFrame,
+    text_col: str = "text",
+    source_col: str = "source",
+    key: Column | None = None,
+) -> DataFrame:
+    """Which sources carry the same documents? Documents with the same
+    identity ``key`` appearing in MORE than one source, counted per
+    unordered source pair: (source_a, source_b, n_shared). The
+    curation signal for mirror/scrape overlap between crawl dumps.
+    ``key`` defaults to exact-text md5; pass e.g.
+    ``F.md5(F.substring("text", 1, 80))`` for prefix/boilerplate
+    keying or a shingle fingerprint for fuzzier identity.
+
+    Plan: distinct (key, source) pairs first (map-side combine
+    collapses per-source repeats), then a self-equi-join on the key.
+    Join fan-out per key is bounded by the source count, not the
+    duplicate count — safe at corpus scale."""
+    if key is None:
+        key = F.md5(F.col(text_col))
+    hs = df.select(
+        key.alias("__h"), F.col(source_col).alias("__s")
+    ).distinct()
+    a, b = hs.alias("a"), hs.alias("b")
+    return (
+        a.join(b, (F.col("a.__h") == F.col("b.__h")) & (F.col("a.__s") < F.col("b.__s")))
+        .groupBy(
+            F.col("a.__s").alias("source_a"), F.col("b.__s").alias("source_b")
+        )
+        .agg(F.count(F.lit(1)).alias("n_shared"))
+    )
