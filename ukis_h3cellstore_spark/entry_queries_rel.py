@@ -141,6 +141,35 @@ FROM events GROUP BY 1
 """
 
 
+def q_source_jsonl_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JSON-lines sink + source round-trip — the interchange format of
+    LLM corpus pipelines. Exact-typed columns of the documents table
+    written as JSONL, read back with an explicit schema (no inference
+    pass over the data), aggregated; the oracle recomputes from the
+    original parquet, so serialization drift fails the hash."""
+    d = _t(spark, sf_dir, "documents").select("doc_id", "lang", "source", "n_chars")
+    out = f"/tmp/ukis_jsonl_roundtrip_{os.getpid()}_{abs(hash(sf_dir)) % 10_000}"
+    d.write.mode("overwrite").json(out)
+    back = spark.read.schema(
+        "doc_id BIGINT, lang STRING, source STRING, n_chars BIGINT"
+    ).json(out)
+    return back.groupBy("lang", "source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_chars").alias("sum_chars"),
+        F.min("doc_id").alias("min_doc_id"),
+        F.max("doc_id").alias("max_doc_id"),
+    )
+
+
+Q_SOURCE_JSONL_SQL = """
+SELECT lang, source, COUNT(*) AS n_docs,
+       CAST(SUM(n_chars) AS BIGINT) AS sum_chars,
+       MIN(doc_id) AS min_doc_id,
+       MAX(doc_id) AS max_doc_id
+FROM documents GROUP BY 1, 2
+"""
+
+
 # --------------------------------------------------------------------------
 # multi-distinct aggregation
 
@@ -347,6 +376,7 @@ QUERIES_REL: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "events_grouping_sets": q_events_grouping_sets,
     "events_user_type_signature": q_events_user_type_signature,
     "part_string_funcs": q_part_string_funcs,
+    "source_jsonl_roundtrip": q_source_jsonl_roundtrip,
 }
 
 ORACLES_REL: dict[str, str] = {
@@ -358,4 +388,5 @@ ORACLES_REL: dict[str, str] = {
     "events_grouping_sets": Q_EVENTS_GROUPING_SETS_SQL,
     "events_user_type_signature": Q_EVENTS_SIGNATURE_SQL,
     "part_string_funcs": Q_PART_STRING_SQL,
+    "source_jsonl_roundtrip": Q_SOURCE_JSONL_SQL,
 }

@@ -53,7 +53,11 @@ def dedup_exact(
 
 
 def shingle_df(
-    df: DataFrame, text_col: str = "text", id_col: str = "doc_id", k: int = 3
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 3,
+    spread: bool | None = None,
 ) -> DataFrame:
     """Distinct k-word shingles per document: (id, shingle).
 
@@ -66,12 +70,24 @@ def shingle_df(
     # a small input (e.g. one parquet file) would run the whole
     # tokenize+shingle explode in a single task — round-robin the RAW
     # text across the cluster first (cheaper to shuffle than token
-    # arrays); at real scale the scan already has ≥ cores partitions
-    # and this branch never triggers
+    # arrays). ``spread``: None = auto-detect via the physical
+    # partition count (classic Spark only — the probe converts the
+    # plan to an RDD, and Spark Connect has no ``.rdd`` at all, so
+    # there we skip it); True = always repartition (the explicit knob
+    # for Connect / known-narrow inputs); False = never.
     src = df.select(F.col(id_col), F.col(text_col))
-    par = df.sparkSession.sparkContext.defaultParallelism
-    if src.rdd.getNumPartitions() < par:
-        src = src.repartition(par)
+    par = None
+    try:
+        par = df.sparkSession.sparkContext.defaultParallelism
+    except Exception:  # Spark Connect: no sparkContext
+        pass
+    if spread is None and par is not None:
+        try:
+            spread = src.rdd.getNumPartitions() < par
+        except Exception:
+            spread = False
+    if spread:
+        src = src.repartition(par) if par else src.repartition()
     toks_df = src.select(F.col(id_col), tokens(text_col).alias("__toks"))
     toks = F.col("__toks")
     n = F.size(toks)
