@@ -778,3 +778,71 @@ def test_cross_source_duplicates_custom_key(spark):
         df, key=F.md5(F.substring(F.col("text"), 1, 6))
     ).collect()
     assert len(by_prefix) == 1 and by_prefix[0].n_shared == 1
+
+
+# ------------------------------------------------- product quantization
+
+
+def _clustered_vecs(spark, n_per=6, dim=8):
+    # 3 well-separated clusters; ids INTERLEAVE clusters so the
+    # lowest-id k-means seeds are cluster-diverse (ids 0,1,2 = one
+    # seed per cluster — the behavior a shuffled real corpus gives)
+    rows = []
+    for i in range(n_per):
+        for c, base in enumerate([0, 3, 6]):
+            v = [0.0] * dim
+            v[base] = 10.0
+            v[base + 1] = 5.0 + 0.1 * i  # intra-cluster variation
+            rows.append((i * 3 + c, v, c))
+    return spark.createDataFrame(rows, "vec_id long, embedding array<float>, label int")
+
+
+def test_pq_encode_codes_shape_and_cluster_identity(spark):
+    df = _clustered_vecs(spark)
+    books = S.pq_train(df, m=2, n_centroids=3, dims=8, max_iter=2)
+    codes = {int(r.vec_id): list(r.codes) for r in S.pq_encode(df, books, m=2, dims=8).collect()}
+    assert len(codes) == 18 and all(len(c) == 2 for c in codes.values())
+    # with cluster-diverse seeds every cluster collapses to ONE code
+    # tuple and no tuple is shared across clusters
+    labels = {int(r.vec_id): int(r.label) for r in df.collect()}
+    by_label: dict[int, set] = {}
+    for vid, c in codes.items():
+        by_label.setdefault(labels[vid], set()).add(tuple(c))
+    assert all(len(s) == 1 for s in by_label.values()), by_label
+    assert len(set.union(*by_label.values())) == 3
+
+
+def test_pq_topk_recall_vs_bruteforce(spark):
+    df = _clustered_vecs(spark)
+    q = df.filter(F.col("vec_id") < 3)
+    pq = S.pq_topk(df, q, k=3, m=2, n_centroids=3, dims=8).toPandas()
+    exact = S.cosine_topk(df, q, k=3).toPandas()
+    # ADC with per-cluster codebooks must keep neighbors in the
+    # query's own cluster (labels interleave: label == vec_id % 3)
+    assert set(pq.query_id) == {0, 1, 2}
+    assert all(n % 3 == qq % 3 for qq, n in zip(pq.query_id, pq.neighbor_id))
+    recall = len(
+        set(map(tuple, pq[["query_id", "neighbor_id"]].values))
+        & set(map(tuple, exact[["query_id", "neighbor_id"]].values))
+    ) / len(exact)
+    assert recall >= 2 / 3  # coarse codes, tiny corpus: most of top-3
+
+
+def test_pq_topk_plan_is_broadcast_no_python(spark):
+    df = _clustered_vecs(spark)
+    q = df.filter(F.col("vec_id") == 0)
+    plan = (
+        S.pq_topk(df, q, k=2, m=2, n_centroids=3, dims=8)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    assert "BroadcastHashJoin" in plan  # dtab/codebooks broadcast
+
+
+def test_pq_train_rejects_indivisible_dims(spark):
+    df = _clustered_vecs(spark)
+    import pytest as _pytest
+    with _pytest.raises(ValueError):
+        S.pq_train(df, m=3, dims=8)
+    with _pytest.raises(ValueError):
+        S.kmeans_fit(df, metric="chebyshev")

@@ -551,6 +551,123 @@ FROM ranked WHERE rank <= 3
 """
 
 
+_PQ_M = 4
+_PQ_DSUB = 16  # 64 dims / 4 subspaces
+_PQ_K = 16
+_PQ_ITERS = 2
+
+
+def q_ann_pq_top3(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Product-quantization ADC top-3 (the memory-compressed ANN scale
+    path): per-subspace L2 codebooks, corpus as 4 small codes per
+    vector, asymmetric-distance scoring from a broadcast query
+    distance table. exact_mean makes training bit-reproducible by the
+    oracle's serial folds."""
+    e = _embs(spark, sf_dir)
+    queries = e.filter(F.col("vec_id") < 5)
+    return S.pq_topk(
+        e,
+        queries,
+        k=3,
+        m=_PQ_M,
+        n_centroids=_PQ_K,
+        dims=_PQ_M * _PQ_DSUB,
+        train_iters=_PQ_ITERS,
+        exact_mean=True,
+    )
+
+
+def _q_ann_pq_top3_sql() -> str:
+    """Replicates pq_train(exact_mean) + pq_encode + ADC scoring:
+    subspaces are a generated dimension, each Lloyd's iteration one
+    CTE block (L2 assign → per-dim sorted sequential-fold mean →
+    re-collect), ranking on the ROUNDED score."""
+    l2 = (
+        "list_reduce(list_transform(list_zip({a}, {b}), "
+        "x -> (CAST(x[1] AS DOUBLE) - CAST(x[2] AS DOUBLE)) "
+        "* (CAST(x[1] AS DOUBLE) - CAST(x[2] AS DOUBLE))), (s, v) -> s + v)"
+    )
+    ctes = [
+        f"subs AS (SELECT unnest(generate_series(0, {_PQ_M - 1})) AS sp)",
+        f"""sv AS (
+  SELECT e.vec_id, subs.sp,
+         e.embedding[subs.sp*{_PQ_DSUB}+1 : subs.sp*{_PQ_DSUB}+{_PQ_DSUB}] AS sub
+  FROM embeddings e, subs
+)""",
+        f"""cent0 AS (
+  SELECT sp, vec_id AS centroid_id,
+         list_transform(sub, v -> CAST(v AS DOUBLE)) AS c_vec
+  FROM (SELECT *, row_number() OVER (PARTITION BY sp ORDER BY vec_id) AS rn
+        FROM sv)
+  WHERE rn <= {_PQ_K}
+)""",
+    ]
+    assign = l2.format(a="c.c_vec", b="v.sub")
+    for i in range(1, _PQ_ITERS + 1):
+        prev = f"cent{i - 1}"
+        ctes.append(
+            f"""a{i} AS (
+  SELECT vec_id, sp, sub, centroid_id FROM (
+    SELECT v.vec_id, v.sp, v.sub, c.centroid_id,
+           row_number() OVER (PARTITION BY v.sp, v.vec_id
+             ORDER BY {assign} ASC, c.centroid_id ASC) AS r
+    FROM sv v JOIN {prev} c USING (sp)
+  ) WHERE r = 1
+),
+comp{i} AS (
+  SELECT sp, centroid_id, vec_id,
+         generate_subscripts(sub, 1) AS pos,
+         CAST(unnest(sub) AS DOUBLE) AS v
+  FROM a{i}
+),
+pv{i} AS (
+  SELECT sp, centroid_id, pos,
+         list_reduce(list(v ORDER BY vec_id), (x, y) -> x + y)
+           / COUNT(*) AS m
+  FROM comp{i} GROUP BY 1, 2, 3
+),
+cent{i} AS (
+  SELECT sp, centroid_id, list(m ORDER BY pos) AS c_vec
+  FROM pv{i} GROUP BY 1, 2
+)"""
+        )
+    last = f"cent{_PQ_ITERS}"
+    ctes.append(
+        f"""codes AS (
+  SELECT vec_id, sp, centroid_id AS code FROM (
+    SELECT v.vec_id, v.sp, c.centroid_id,
+           row_number() OVER (PARTITION BY v.sp, v.vec_id
+             ORDER BY {assign} ASC, c.centroid_id ASC) AS r
+    FROM sv v JOIN {last} c USING (sp)
+  ) WHERE r = 1
+),
+qd AS (
+  SELECT v.vec_id AS query_id, v.sp, c.centroid_id, {assign} AS d2
+  FROM sv v JOIN {last} c USING (sp)
+  WHERE v.vec_id < 5
+),
+scored AS (
+  SELECT qd.query_id, codes.vec_id AS neighbor_id,
+         round(SUM(qd.d2), 4) AS adc_d2
+  FROM codes JOIN qd ON codes.sp = qd.sp AND codes.code = qd.centroid_id
+  WHERE codes.vec_id <> qd.query_id
+  GROUP BY 1, 2
+),
+ranked AS (
+  SELECT *, row_number() OVER (
+      PARTITION BY query_id ORDER BY adc_d2 ASC, neighbor_id ASC) AS rank
+  FROM scored
+)"""
+    )
+    return f"""
+WITH {', '.join(ctes)}
+SELECT CAST(query_id AS BIGINT) AS query_id,
+       CAST(neighbor_id AS BIGINT) AS neighbor_id,
+       adc_d2, CAST(rank AS INT) AS rank
+FROM ranked WHERE rank <= 3
+"""
+
+
 def q_embedding_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     # synthetic embeddings are near-orthogonal (max pairwise cosine
     # ~0.45), so the "near-dup" threshold is set low enough that the
@@ -1231,6 +1348,7 @@ QUERIES_OPS: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "corpus_length_filter": q_corpus_length_filter,
     "corpus_oov_report": q_corpus_oov_report,
     "corpus_cross_source_dups": q_corpus_cross_source_dups,
+    "ann_pq_top3": q_ann_pq_top3,
 }
 
 ORACLES_OPS: dict[str, str] = {
@@ -1273,4 +1391,5 @@ ORACLES_OPS: dict[str, str] = {
     "corpus_length_filter": Q_CORPUS_LENGTH_FILTER_SQL,
     "corpus_oov_report": Q_CORPUS_OOV_SQL,
     "corpus_cross_source_dups": Q_CORPUS_CROSS_SOURCE_SQL,
+    "ann_pq_top3": _q_ann_pq_top3_sql(),
 }

@@ -20,6 +20,12 @@
   ``exact_mean=True`` folds each mean in sorted-id order so training
   is bit-reproducible by the DuckDB oracle (the default streaming
   ``avg`` is the 100 TB path: constant memory per group).
+- ``pq_train`` / ``pq_encode`` / ``pq_topk``: product quantization
+  (Jégou et al. 2011) — per-subspace L2 codebooks, the corpus stored
+  as ``m`` small codes per vector (10-50× compression), asymmetric-
+  distance top-k from a broadcast query→centroid distance table. The
+  memory-bound regime's answer: a billion 64-dim float vectors are
+  ~256 GB raw but ~4 GB as 4-byte PQ codes.
 
 At 100 TB the corpus side never collects; every operator is a pure
 DataFrame composition whose probe side is a broadcast.
@@ -52,6 +58,20 @@ def _norm(a: Column) -> Column:
 
 def cosine_similarity(a: Column, b: Column) -> Column:
     return _dot(a, b) / (_norm(a) * _norm(b))
+
+
+def l2_sq(a: Column, b: Column) -> Column:
+    """Deterministic sequential squared-L2 distance fold."""
+    return F.aggregate(
+        F.zip_with(
+            a,
+            b,
+            lambda x, y: (x.cast("double") - y.cast("double"))
+            * (x.cast("double") - y.cast("double")),
+        ),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
 
 
 def cosine_topk(
@@ -285,9 +305,13 @@ def kmeans_fit(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     exact_mean: bool = False,
+    metric: str = "cosine",
 ) -> DataFrame:
     """Distributed Lloyd's k-means in pure DataFrame aggregations:
     returns (centroid_id, c_vec) with ``c_vec`` as array<double>.
+    ``metric``: ``cosine`` (spherical, the ANN default here) or
+    ``l2`` (classic Lloyd's on squared Euclidean — what product-
+    quantization codebooks need, where subvector norms carry signal).
 
     - init: the ``n_centroids`` lowest-id corpus vectors (seeded,
       deterministic; centroid_id keeps the seed's vector id).
@@ -311,6 +335,8 @@ def kmeans_fit(
 
     Centroids that lose every member drop out (standard Lloyd's).
     """
+    if metric not in ("cosine", "l2"):
+        raise ValueError(f"metric must be cosine|l2, got {metric!r}")
     cent = (
         corpus.select(
             F.col(id_col).alias("centroid_id"), F.col(vec_col).alias("c_vec")
@@ -323,7 +349,11 @@ def kmeans_fit(
             corpus.select(F.col(id_col).alias("__id"), F.col(vec_col).alias("__vec"))
             .crossJoin(F.broadcast(cent))
             .withColumn(
-                "__sim", cosine_similarity(F.col("__vec"), F.col("c_vec"))
+                "__sim",
+                cosine_similarity(F.col("__vec"), F.col("c_vec"))
+                if metric == "cosine"
+                # argmax(-d2) == argmin(d2): same max_by plan shape
+                else -l2_sq(F.col("__vec"), F.col("c_vec")),
             )
             .groupBy("__id")
             .agg(
@@ -452,4 +482,174 @@ def ivf_topk(
         scored.withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= k)
         .select("query_id", "neighbor_id", "cosine_sim", "rank")
+    )
+
+
+# ------------------------------------------------- product quantization
+
+
+def _subvectors(df: DataFrame, m: int, dims: int, id_col: str, vec_col: str,
+                out_id: str) -> DataFrame:
+    """(id, subspace, sub) — each vector split into ``m`` contiguous
+    ``dims/m``-length subvectors via one posexplode (no per-subspace
+    scans)."""
+    d_sub = dims // m
+    slices = F.array(
+        *[F.slice(F.col(vec_col), s * d_sub + 1, d_sub) for s in range(m)]
+    )
+    return df.select(
+        F.col(id_col).alias(out_id),
+        F.posexplode(slices).alias("subspace", "sub"),
+    )
+
+
+def pq_train(
+    corpus: DataFrame,
+    m: int = 4,
+    n_centroids: int = 16,
+    dims: int | None = None,
+    max_iter: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    exact_mean: bool = False,
+) -> DataFrame:
+    """Product-quantization codebooks: (subspace, centroid_id, c_vec).
+    Each of the ``m`` subspaces gets its own L2 k-means codebook
+    (:func:`kmeans_fit`, ``metric='l2'``), so a vector is later
+    describable by ``m`` small codes instead of ``dims`` floats —
+    the 10-50× memory compression that makes billion-vector ANN fit a
+    cluster at all (Jégou et al., "Product Quantization for Nearest
+    Neighbor Search", TPAMI 2011).
+
+    ``dims`` must be divisible by ``m``; probed from the first row if
+    omitted (one tiny job, training dominates)."""
+    if dims is None:
+        dims = len(corpus.select(vec_col).first()[0])
+    if dims % m:
+        raise ValueError(f"dims={dims} not divisible by m={m}")
+    d_sub = dims // m
+    books = []
+    for s in range(m):
+        sub = corpus.select(
+            F.col(id_col),
+            F.slice(F.col(vec_col), s * d_sub + 1, d_sub).alias(vec_col),
+        )
+        books.append(
+            kmeans_fit(
+                sub,
+                n_centroids=n_centroids,
+                max_iter=max_iter,
+                id_col=id_col,
+                vec_col=vec_col,
+                exact_mean=exact_mean,
+                metric="l2",
+            ).select(F.lit(s).alias("subspace"), "centroid_id", "c_vec")
+        )
+    out = books[0]
+    for b in books[1:]:
+        out = out.unionByName(b)
+    # m * n_centroids rows total — pin them so every consumer
+    # (encode, ADC tables) reuses one materialization of the training
+    return out.localCheckpoint(eager=False)
+
+
+def pq_encode(
+    corpus: DataFrame,
+    codebooks: DataFrame,
+    m: int = 4,
+    dims: int | None = None,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Corpus → PQ codes: (id, codes array<int>), ``codes[s]`` = the
+    nearest subspace-``s`` centroid. One posexplode, a broadcast join
+    against the (m × n_centroids)-row codebook table, a ``min_by``
+    hash-agg per (vector, subspace), and a re-collect — the corpus is
+    scanned once and never shuffled at vector width (only (id, code)
+    pairs move)."""
+    if dims is None:
+        dims = len(corpus.select(vec_col).first()[0])
+    sv = _subvectors(corpus, m, dims, id_col, vec_col, id_col)
+    assigned = (
+        sv.join(F.broadcast(codebooks), on="subspace")
+        .withColumn("__d2", l2_sq(F.col("sub"), F.col("c_vec")))
+        .groupBy(id_col, "subspace")
+        .agg(
+            F.min_by(
+                "centroid_id", F.struct(F.col("__d2"), F.col("centroid_id"))
+            ).alias("code")
+        )
+    )
+    return (
+        assigned.groupBy(id_col)
+        .agg(F.array_sort(F.collect_list(F.struct("subspace", "code"))).alias("sc"))
+        .select(id_col, F.transform("sc", lambda x: x["code"]).alias("codes"))
+    )
+
+
+def pq_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 1,
+    m: int = 4,
+    n_centroids: int = 16,
+    dims: int | None = None,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    codebooks: DataFrame | None = None,
+    train_iters: int = 2,
+    exact_mean: bool = False,
+    round_digits: int = 4,
+) -> DataFrame:
+    """Asymmetric-distance (ADC) top-k over PQ codes:
+    (query_id, neighbor_id, adc_d2, rank), rank 1 = smallest
+    approximate squared-L2 distance.
+
+    Scale shape: the query→centroid distance table
+    (n_queries × m × n_centroids rows — KB, not GB) is broadcast; the
+    corpus side streams its (id, code) pairs through a broadcast-hash
+    join and a partial-aggregated sum — each corpus vector costs m
+    lookups, never a ``dims``-wide float read. Ranking sorts the
+    ROUNDED score (ties → neighbor id) so results are reproducible
+    bit-for-bit across engines."""
+    if dims is None:
+        dims = len(corpus.select(vec_col).first()[0])
+    if codebooks is None:
+        codebooks = pq_train(
+            corpus, m, n_centroids, dims,
+            max_iter=train_iters, id_col=id_col, vec_col=vec_col,
+            exact_mean=exact_mean,
+        )
+    codes = pq_encode(corpus, codebooks, m, dims, id_col, vec_col)
+    q_sv = _subvectors(queries, m, dims, id_col, vec_col, "query_id")
+    dtab = (
+        q_sv.join(F.broadcast(codebooks), on="subspace")
+        .select(
+            "query_id",
+            "subspace",
+            "centroid_id",
+            l2_sq(F.col("sub"), F.col("c_vec")).alias("d2"),
+        )
+    )
+    code_rows = codes.select(
+        F.col(id_col).alias("neighbor_id"),
+        F.posexplode("codes").alias("subspace", "code"),
+    )
+    scored = (
+        code_rows.join(
+            F.broadcast(dtab),
+            (code_rows["subspace"] == dtab["subspace"])
+            & (code_rows["code"] == dtab["centroid_id"]),
+        )
+        .filter(F.col("neighbor_id") != F.col("query_id"))
+        .groupBy("query_id", "neighbor_id")
+        .agg(F.round(F.sum("d2"), round_digits).alias("adc_d2"))
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("adc_d2").asc(), F.col("neighbor_id").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "adc_d2", "rank")
     )
