@@ -57,9 +57,26 @@ def main() -> None:
         name: round(len(pairs(df) & exact) / max(len(exact), 1), 4)
         for name, df in variants.items()
     }
+    # PQ/ADC approximates L2 ranking, so its recall is measured
+    # against the exact-L2 baseline, not cosine
+    exact_l2 = pairs(S.l2_topk(e, q, k=k))
+    pq_variants = {
+        "pq_m4_k16": S.pq_topk(e, q, k=k, m=4, n_centroids=16),
+        "pq_m8_k16": S.pq_topk(e, q, k=k, m=8, n_centroids=16),
+    }
+    recall_l2 = {
+        name: round(len(pairs(df) & exact_l2) / max(len(exact_l2), 1), 4)
+        for name, df in pq_variants.items()
+    }
     print(
         json.dumps(
-            {"sf_dir": sf_dir, "k": k, "n_queries": n_q, "recall": recall}
+            {
+                "sf_dir": sf_dir,
+                "k": k,
+                "n_queries": n_q,
+                "recall": recall,
+                "recall_l2": recall_l2,
+            }
         )
     )
 

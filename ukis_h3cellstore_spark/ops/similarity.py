@@ -611,7 +611,17 @@ def pq_topk(
     join and a partial-aggregated sum — each corpus vector costs m
     lookups, never a ``dims``-wide float read. Ranking sorts the
     ROUNDED score (ties → neighbor id) so results are reproducible
-    bit-for-bit across engines."""
+    bit-for-bit across engines.
+
+    Recall note: PQ presumes the corpus has subspace structure (real
+    embedding models concentrate energy in correlated dimensions). On
+    an isotropic random corpus — like the synthetic test embeddings —
+    quantization error swamps the ADC signal (recall@3 ~0.2-0.3
+    regardless of codebook size, measured in tools/ann_recall.py);
+    on clustered data recall is high (see
+    test_pq_topk_recall_vs_bruteforce). For such corpora prefer
+    :func:`ivf_topk` (recall ~0.9 here), or combine: IVF for recall,
+    PQ for the memory bound."""
     if dims is None:
         dims = len(corpus.select(vec_col).first()[0])
     if codebooks is None:
@@ -652,4 +662,39 @@ def pq_topk(
         scored.withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= k)
         .select("query_id", "neighbor_id", "adc_d2", "rank")
+    )
+
+
+def l2_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 1,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    round_digits: int = 4,
+) -> DataFrame:
+    """Exact brute-force squared-L2 top-k: (query_id, neighbor_id,
+    d2, rank), rank 1 = nearest. The ground-truth baseline for the
+    PQ/ADC path (which approximates L2, not cosine); same broadcast-
+    queries / streaming-corpus shape as :func:`cosine_topk`."""
+    q = queries.select(
+        F.col(id_col).alias("query_id"), F.col(vec_col).alias("q_vec")
+    )
+    c = corpus.select(
+        F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("c_vec")
+    )
+    scored = (
+        c.crossJoin(F.broadcast(q))
+        .filter(F.col("neighbor_id") != F.col("query_id"))
+        .withColumn(
+            "d2", F.round(l2_sq(F.col("q_vec"), F.col("c_vec")), round_digits)
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("d2").asc(), F.col("neighbor_id").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "d2", "rank")
     )
