@@ -291,6 +291,102 @@ GROUP BY GROUPING SETS ((event_type), (day_id), ())
 """
 
 
+def q_events_lateral_top2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LATERAL correlated subquery: each user's top-2 events by value
+    — the per-row-parameterized-subquery surface (Spark plans the
+    correlated LIMIT as a rewritten window internally, but the USER
+    expresses it as LATERAL, and the gate proves that path)."""
+    _events(spark, sf_dir).createOrReplaceTempView("__lat_events")
+    return spark.sql(
+        """
+        SELECT u.user_id, l.event_id, l.value_cents
+        FROM (SELECT DISTINCT user_id FROM __lat_events) u,
+        LATERAL (
+          SELECT event_id,
+                 CAST(round(value * 100) AS BIGINT) AS value_cents
+          FROM __lat_events e
+          WHERE e.user_id = u.user_id
+          ORDER BY value DESC, event_id LIMIT 2
+        ) l
+        """
+    )
+
+
+Q_EVENTS_LATERAL_SQL = """
+SELECT u.user_id, l.event_id, l.value_cents
+FROM (SELECT DISTINCT user_id FROM events) u,
+LATERAL (
+  SELECT event_id, CAST(round(value * 100) AS BIGINT) AS value_cents
+  FROM events e
+  WHERE e.user_id = u.user_id
+  ORDER BY value DESC, event_id LIMIT 2
+) l
+"""
+
+
+def q_events_gapfill_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-series gap filling: sparse daily observations (days under
+    70 events are 'missing') re-densified onto a generated per-type
+    day spine, value forward-filled with last-ignore-nulls. One small
+    agg builds the spine bounds; the fill is a single window over the
+    (type, day) table — rows ~ types × days, never event-grained."""
+    from pyspark.sql.window import Window
+
+    e = _events(spark, sf_dir)
+    day = (F.col("ts_us") / (86_400 * 1_000_000)).cast("long")
+    daily = (
+        e.withColumn("day_id", day)
+        .groupBy("event_type", "day_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(_cents(F.col("value"))).alias("sum_cents"),
+        )
+    )
+    observed = daily.filter(F.col("n_events") >= 70)
+    spine = (
+        observed.groupBy("event_type")
+        .agg(F.min("day_id").alias("d0"), F.max("day_id").alias("d1"))
+        .select(
+            "event_type",
+            F.explode(F.sequence(F.col("d0"), F.col("d1"))).alias("day_id"),
+        )
+    )
+    joined = spine.join(observed, on=["event_type", "day_id"], how="left")
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy("day_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return joined.select(
+        "event_type",
+        "day_id",
+        F.last("sum_cents", ignorenulls=True).over(w).alias("filled_cents"),
+        F.col("n_events").isNull().alias("was_gap"),
+    )
+
+
+Q_EVENTS_GAPFILL_SQL = """
+WITH daily AS (
+  SELECT event_type, (epoch_us(ts) // 86400000000) AS day_id,
+         COUNT(*) AS n_events,
+         CAST(SUM(CAST(round(value*100) AS BIGINT)) AS BIGINT) AS sum_cents
+  FROM events GROUP BY 1, 2
+),
+observed AS (SELECT * FROM daily WHERE n_events >= 70),
+spine AS (
+  SELECT event_type, unnest(generate_series(d0, d1)) AS day_id
+  FROM (SELECT event_type, MIN(day_id) AS d0, MAX(day_id) AS d1
+        FROM observed GROUP BY 1)
+)
+SELECT s.event_type, s.day_id,
+       last_value(o.sum_cents IGNORE NULLS) OVER (
+         PARTITION BY s.event_type ORDER BY s.day_id
+         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS filled_cents,
+       o.n_events IS NULL AS was_gap
+FROM spine s LEFT JOIN observed o USING (event_type, day_id)
+"""
+
+
 # --------------------------------------------------------------------------
 # collect_set signature
 
@@ -377,6 +473,8 @@ QUERIES_REL: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "events_user_type_signature": q_events_user_type_signature,
     "part_string_funcs": q_part_string_funcs,
     "source_jsonl_roundtrip": q_source_jsonl_roundtrip,
+    "events_lateral_top2": q_events_lateral_top2,
+    "events_gapfill_daily": q_events_gapfill_daily,
 }
 
 ORACLES_REL: dict[str, str] = {
@@ -389,4 +487,6 @@ ORACLES_REL: dict[str, str] = {
     "events_user_type_signature": Q_EVENTS_SIGNATURE_SQL,
     "part_string_funcs": Q_PART_STRING_SQL,
     "source_jsonl_roundtrip": Q_SOURCE_JSONL_SQL,
+    "events_lateral_top2": Q_EVENTS_LATERAL_SQL,
+    "events_gapfill_daily": Q_EVENTS_GAPFILL_SQL,
 }
