@@ -846,3 +846,32 @@ def test_pq_train_rejects_indivisible_dims(spark):
         S.pq_train(df, m=3, dims=8)
     with _pytest.raises(ValueError):
         S.kmeans_fit(df, metric="chebyshev")
+
+
+def test_ivfpq_topk_keeps_cluster_neighbors(spark):
+    df = _clustered_vecs(spark)
+    q = df.filter(F.col("vec_id") < 3)
+    out = S.ivfpq_topk(
+        df, q, k=3, n_coarse=3, nprobe=1, m=2, n_centroids=3, dims=8
+    ).toPandas()
+    assert set(out.query_id) == {0, 1, 2}
+    # residual codebooks + 1-probe coarse routing: neighbors stay in
+    # the query's own cluster (label == vec_id % 3)
+    assert all(n % 3 == qq % 3 for qq, n in zip(out.query_id, out.neighbor_id))
+    # higher recall than raw PQ is the point of residual encoding:
+    # all of exact L2 top-3 recovered on separable clusters
+    exact = S.l2_topk(df, q, k=3).toPandas()
+    got = set(map(tuple, out[["query_id", "neighbor_id"]].values))
+    want = set(map(tuple, exact[["query_id", "neighbor_id"]].values))
+    assert len(got & want) / len(want) >= 2 / 3
+
+
+def test_ivfpq_plan_no_python_broadcast(spark):
+    df = _clustered_vecs(spark)
+    q = df.filter(F.col("vec_id") == 0)
+    plan = (
+        S.ivfpq_topk(df, q, k=2, n_coarse=3, nprobe=2, m=2, n_centroids=3, dims=8)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    assert "BroadcastHashJoin" in plan

@@ -63,6 +63,7 @@ def main() -> None:
     pq_variants = {
         "pq_m4_k16": S.pq_topk(e, q, k=k, m=4, n_centroids=16),
         "pq_m8_k16": S.pq_topk(e, q, k=k, m=8, n_centroids=16),
+        "ivfpq_8c_p4": S.ivfpq_topk(e, q, k=k, n_coarse=8, nprobe=4),
     }
     recall_l2 = {
         name: round(len(pairs(df) & exact_l2) / max(len(exact_l2), 1), 4)

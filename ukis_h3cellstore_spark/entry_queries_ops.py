@@ -668,6 +668,190 @@ FROM ranked WHERE rank <= 3
 """
 
 
+_IVFPQ_COARSE = 4
+_IVFPQ_NPROBE = 2
+_IVFPQ_K = 8
+
+
+def q_ann_ivfpq_top3(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-PQ (FAISS's production shape): L2 coarse lists + PQ
+    codebooks trained on residuals + probed-list ADC scoring.
+    exact_mean again pins training to the oracle's serial folds."""
+    e = _embs(spark, sf_dir)
+    queries = e.filter(F.col("vec_id") < 5)
+    return S.ivfpq_topk(
+        e,
+        queries,
+        k=3,
+        n_coarse=_IVFPQ_COARSE,
+        nprobe=_IVFPQ_NPROBE,
+        m=_PQ_M,
+        n_centroids=_IVFPQ_K,
+        dims=_PQ_M * _PQ_DSUB,
+        train_iters=_PQ_ITERS,
+        exact_mean=True,
+    )
+
+
+def _q_ann_ivfpq_top3_sql() -> str:
+    """Replicates ivfpq_topk(exact_mean): coarse Lloyd's on full
+    vectors, residuals vs the winning list centroid, the PQ chain on
+    residual subvectors (carrying list_id), and ADC restricted to each
+    query's nprobe probed lists with per-list query residuals."""
+    l2 = (
+        "list_reduce(list_transform(list_zip({a}, {b}), "
+        "x -> (CAST(x[1] AS DOUBLE) - CAST(x[2] AS DOUBLE)) "
+        "* (CAST(x[1] AS DOUBLE) - CAST(x[2] AS DOUBLE))), (s, v) -> s + v)"
+    )
+    res = (
+        "list_transform(list_zip({a}, {b}), "
+        "x -> CAST(x[1] AS DOUBLE) - CAST(x[2] AS DOUBLE))"
+    )
+    ctes = [
+        f"""ccent0 AS (
+  SELECT vec_id AS list_id,
+         list_transform(embedding, v -> CAST(v AS DOUBLE)) AS l_vec
+  FROM embeddings ORDER BY vec_id LIMIT {_IVFPQ_COARSE}
+)"""
+    ]
+    cassign = l2.format(a="c.l_vec", b="e.embedding")
+    for i in range(1, _PQ_ITERS + 1):
+        prev = f"ccent{i - 1}"
+        ctes.append(
+            f"""ca{i} AS (
+  SELECT vec_id, embedding, list_id FROM (
+    SELECT e.vec_id, e.embedding, c.list_id,
+           row_number() OVER (PARTITION BY e.vec_id
+             ORDER BY {cassign} ASC, c.list_id ASC) AS r
+    FROM embeddings e, {prev} c
+  ) WHERE r = 1
+),
+ccomp{i} AS (
+  SELECT list_id, vec_id, generate_subscripts(embedding, 1) AS pos,
+         CAST(unnest(embedding) AS DOUBLE) AS v
+  FROM ca{i}
+),
+cpv{i} AS (
+  SELECT list_id, pos,
+         list_reduce(list(v ORDER BY vec_id), (x, y) -> x + y)
+           / COUNT(*) AS m
+  FROM ccomp{i} GROUP BY 1, 2
+),
+ccent{i} AS (
+  SELECT list_id, list(m ORDER BY pos) AS l_vec FROM cpv{i} GROUP BY 1
+)"""
+        )
+    clast = f"ccent{_PQ_ITERS}"
+    ctes.append(
+        f"""cassign AS (
+  SELECT vec_id, list_id, l_vec, embedding FROM (
+    SELECT e.vec_id, e.embedding, c.list_id, c.l_vec,
+           row_number() OVER (PARTITION BY e.vec_id
+             ORDER BY {cassign} ASC, c.list_id ASC) AS r
+    FROM embeddings e, {clast} c
+  ) WHERE r = 1
+),
+cres AS (
+  SELECT vec_id, list_id, {res.format(a='embedding', b='l_vec')} AS resv
+  FROM cassign
+),
+subs AS (SELECT unnest(generate_series(0, {_PQ_M - 1})) AS sp),
+sv AS (
+  SELECT c.vec_id, c.list_id, subs.sp,
+         c.resv[subs.sp*{_PQ_DSUB}+1 : subs.sp*{_PQ_DSUB}+{_PQ_DSUB}] AS sub
+  FROM cres c, subs
+),
+cent0 AS (
+  SELECT sp, vec_id AS centroid_id, sub AS c_vec
+  FROM (SELECT *, row_number() OVER (PARTITION BY sp ORDER BY vec_id) AS rn
+        FROM sv)
+  WHERE rn <= {_IVFPQ_K}
+)"""
+    )
+    passign = l2.format(a="c.c_vec", b="v.sub")
+    for i in range(1, _PQ_ITERS + 1):
+        prev = f"cent{i - 1}"
+        ctes.append(
+            f"""a{i} AS (
+  SELECT vec_id, sp, sub, centroid_id FROM (
+    SELECT v.vec_id, v.sp, v.sub, c.centroid_id,
+           row_number() OVER (PARTITION BY v.sp, v.vec_id
+             ORDER BY {passign} ASC, c.centroid_id ASC) AS r
+    FROM sv v JOIN {prev} c USING (sp)
+  ) WHERE r = 1
+),
+comp{i} AS (
+  SELECT sp, centroid_id, vec_id, generate_subscripts(sub, 1) AS pos,
+         CAST(unnest(sub) AS DOUBLE) AS v
+  FROM a{i}
+),
+pv{i} AS (
+  SELECT sp, centroid_id, pos,
+         list_reduce(list(v ORDER BY vec_id), (x, y) -> x + y)
+           / COUNT(*) AS m
+  FROM comp{i} GROUP BY 1, 2, 3
+),
+cent{i} AS (
+  SELECT sp, centroid_id, list(m ORDER BY pos) AS c_vec
+  FROM pv{i} GROUP BY 1, 2
+)"""
+        )
+    plast = f"cent{_PQ_ITERS}"
+    ctes.append(
+        f"""codes AS (
+  SELECT vec_id, list_id, sp, centroid_id AS code FROM (
+    SELECT v.vec_id, v.list_id, v.sp, c.centroid_id,
+           row_number() OVER (PARTITION BY v.sp, v.vec_id
+             ORDER BY {passign} ASC, c.centroid_id ASC) AS r
+    FROM sv v JOIN {plast} c USING (sp)
+  ) WHERE r = 1
+),
+qprobe AS (
+  SELECT vec_id AS query_id, list_id, l_vec, embedding FROM (
+    SELECT e.vec_id, e.embedding, c.list_id, c.l_vec,
+           row_number() OVER (PARTITION BY e.vec_id
+             ORDER BY {cassign} ASC, c.list_id ASC) AS r
+    FROM embeddings e, {clast} c WHERE e.vec_id < 5
+  ) WHERE r <= {_IVFPQ_NPROBE}
+),
+qres AS (
+  SELECT query_id, list_id, {res.format(a='embedding', b='l_vec')} AS resv
+  FROM qprobe
+),
+qsv AS (
+  SELECT q.query_id, q.list_id, subs.sp,
+         q.resv[subs.sp*{_PQ_DSUB}+1 : subs.sp*{_PQ_DSUB}+{_PQ_DSUB}] AS sub
+  FROM qres q, subs
+),
+qd AS (
+  SELECT v.query_id, v.list_id, v.sp, c.centroid_id,
+         {passign.replace('v.sub', 'v.sub')} AS d2
+  FROM qsv v JOIN {plast} c USING (sp)
+),
+scored AS (
+  SELECT qd.query_id, codes.vec_id AS neighbor_id,
+         round(SUM(qd.d2), 4) AS adc_d2
+  FROM codes
+  JOIN qd ON codes.list_id = qd.list_id AND codes.sp = qd.sp
+         AND codes.code = qd.centroid_id
+  WHERE codes.vec_id <> qd.query_id
+  GROUP BY 1, 2
+),
+ranked AS (
+  SELECT *, row_number() OVER (
+      PARTITION BY query_id ORDER BY adc_d2 ASC, neighbor_id ASC) AS rank
+  FROM scored
+)"""
+    )
+    return f"""
+WITH {', '.join(ctes)}
+SELECT CAST(query_id AS BIGINT) AS query_id,
+       CAST(neighbor_id AS BIGINT) AS neighbor_id,
+       adc_d2, CAST(rank AS INT) AS rank
+FROM ranked WHERE rank <= 3
+"""
+
+
 def q_embedding_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     # synthetic embeddings are near-orthogonal (max pairwise cosine
     # ~0.45), so the "near-dup" threshold is set low enough that the
@@ -1349,6 +1533,7 @@ QUERIES_OPS: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "corpus_oov_report": q_corpus_oov_report,
     "corpus_cross_source_dups": q_corpus_cross_source_dups,
     "ann_pq_top3": q_ann_pq_top3,
+    "ann_ivfpq_top3": q_ann_ivfpq_top3,
 }
 
 ORACLES_OPS: dict[str, str] = {
@@ -1392,4 +1577,5 @@ ORACLES_OPS: dict[str, str] = {
     "corpus_oov_report": Q_CORPUS_OOV_SQL,
     "corpus_cross_source_dups": Q_CORPUS_CROSS_SOURCE_SQL,
     "ann_pq_top3": _q_ann_pq_top3_sql(),
+    "ann_ivfpq_top3": _q_ann_ivfpq_top3_sql(),
 }

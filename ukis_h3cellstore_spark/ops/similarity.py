@@ -26,6 +26,9 @@
   distance top-k from a broadcast query→centroid distance table. The
   memory-bound regime's answer: a billion 64-dim float vectors are
   ~256 GB raw but ~4 GB as 4-byte PQ codes.
+- ``ivfpq_topk``: the production composition (FAISS's default) —
+  coarse L2 lists for routing, PQ on RESIDUALS for accuracy, ADC
+  restricted to each query's ``nprobe`` lists.
 
 At 100 TB the corpus side never collects; every operator is a pure
 DataFrame composition whose probe side is a broadcast.
@@ -697,4 +700,130 @@ def l2_topk(
         scored.withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= k)
         .select("query_id", "neighbor_id", "d2", "rank")
+    )
+
+
+def ivfpq_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 1,
+    n_coarse: int = 8,
+    nprobe: int = 2,
+    m: int = 4,
+    n_centroids: int = 16,
+    dims: int | None = None,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    train_iters: int = 2,
+    exact_mean: bool = False,
+    round_digits: int = 4,
+) -> DataFrame:
+    """IVF-PQ: the production billion-vector composition (FAISS's
+    default shape) — an L2 coarse quantizer partitions the corpus into
+    ``n_coarse`` inverted lists, PQ codebooks are trained on the
+    RESIDUALS (vector − list centroid, which are much better
+    clustered than raw vectors, recovering PQ accuracy), and each
+    query probes its ``nprobe`` nearest lists with asymmetric-distance
+    scoring against its own per-list residual.
+
+    Returns (query_id, neighbor_id, adc_d2, rank), rank 1 ≈ nearest.
+
+    Scale shape: corpus touched exactly twice at full vector width
+    (coarse assignment, residual+encode — both broadcast joins against
+    centroid tables); afterwards only (id, list, m codes) rows exist.
+    The query-side tables (probe lists, residual distance tables —
+    n_queries × nprobe × m × n_centroids rows) broadcast; scoring is
+    a broadcast-hash join + partial-agg sum restricted to probed
+    lists, so each scored corpus vector costs m lookups."""
+    if dims is None:
+        dims = len(corpus.select(vec_col).first()[0])
+    coarse = kmeans_fit(
+        corpus,
+        n_centroids=n_coarse,
+        max_iter=train_iters,
+        id_col=id_col,
+        vec_col=vec_col,
+        exact_mean=exact_mean,
+        metric="l2",
+    ).select(F.col("centroid_id").alias("list_id"), F.col("c_vec").alias("l_vec"))
+
+    def nearest_lists(df: DataFrame, out_id: str, n: int) -> DataFrame:
+        """(id, vec, list_id, l_vec) — each vector's n nearest coarse
+        lists (n=1: a min_by hash-agg, no window; n>1: window over the
+        small id×n_coarse cross product)."""
+        crossed = (
+            df.select(F.col(id_col).alias(out_id), F.col(vec_col).alias("__v"))
+            .crossJoin(F.broadcast(coarse))
+            .withColumn("__d2", l2_sq(F.col("__v"), F.col("l_vec")))
+        )
+        if n == 1:
+            return crossed.groupBy(out_id).agg(
+                F.min_by(
+                    F.struct("list_id", "l_vec", "__v"),
+                    F.struct(F.col("__d2"), F.col("list_id")),
+                ).alias("s")
+            ).select(out_id, "s.list_id", "s.l_vec", F.col("s.__v").alias("__v"))
+        w = Window.partitionBy(out_id).orderBy(
+            F.col("__d2").asc(), F.col("list_id").asc()
+        )
+        return (
+            crossed.withColumn("__r", F.row_number().over(w))
+            .filter(F.col("__r") <= n)
+            .select(out_id, "list_id", "l_vec", "__v")
+        )
+
+    residual = F.zip_with(
+        F.col("__v"), F.col("l_vec"), lambda x, y: x.cast("double") - y.cast("double")
+    )
+    c_res = nearest_lists(corpus, id_col, 1).select(
+        F.col(id_col), F.col("list_id"), residual.alias(vec_col)
+    )
+    books = pq_train(
+        c_res, m, n_centroids, dims,
+        max_iter=train_iters, id_col=id_col, vec_col=vec_col,
+        exact_mean=exact_mean,
+    )
+    codes = pq_encode(c_res, books, m, dims, id_col, vec_col)
+    inv = codes.join(c_res.select(id_col, "list_id"), on=id_col).select(
+        F.col(id_col).alias("neighbor_id"), "list_id",
+        F.posexplode("codes").alias("subspace", "code"),
+    )
+    q_res = nearest_lists(queries, "query_id", nprobe).select(
+        "query_id", "list_id", residual.alias(vec_col)
+    )
+    # per (query, probed list, subspace, centroid) residual distances;
+    # the (query, list) pair is the row identity — a query has nprobe
+    # DIFFERENT residuals, one per probed list
+    q_sv = _subvectors(
+        q_res.withColumn("__ql", F.concat_ws("_", "query_id", "list_id")),
+        m, dims, "__ql", vec_col, "__ql",
+    ).join(
+        q_res.select(
+            F.concat_ws("_", "query_id", "list_id").alias("__ql"),
+            "query_id", "list_id",
+        ),
+        on="__ql",
+    )
+    dtab = q_sv.join(F.broadcast(books), on="subspace").select(
+        "query_id", "list_id", "subspace", "centroid_id",
+        l2_sq(F.col("sub"), F.col("c_vec")).alias("d2"),
+    )
+    scored = (
+        inv.join(
+            F.broadcast(dtab),
+            (inv["list_id"] == dtab["list_id"])
+            & (inv["subspace"] == dtab["subspace"])
+            & (inv["code"] == dtab["centroid_id"]),
+        )
+        .filter(F.col("neighbor_id") != F.col("query_id"))
+        .groupBy("query_id", "neighbor_id")
+        .agg(F.round(F.sum("d2"), round_digits).alias("adc_d2"))
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("adc_d2").asc(), F.col("neighbor_id").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "adc_d2", "rank")
     )
