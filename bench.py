@@ -44,6 +44,7 @@ HEADLINE = [
     "dedup_cluster_resolve",
     "events_sessionize",
     "ann_cosine_top3",
+    "ann_ivfpq_top3",
     "corpus_curation",
     "corpus_training_mix",
     "geo_polyfill_traversal",
