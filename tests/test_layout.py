@@ -86,3 +86,32 @@ def test_write_zordered_clusters_both_dims(spark):
         back = spark.read.parquet(path)
         assert back.count() == 4096
         assert back.select(F.sum("x")).first()[0] == sum(r[0] for r in rows)
+
+
+def test_write_bucketed_join_is_shuffle_free(spark):
+    from ukis_h3cellstore_spark.layout import write_bucketed
+
+    a = spark.range(5000).withColumnRenamed("id", "k").withColumn(
+        "va", F.col("k") * 2
+    )
+    b = spark.range(5000).withColumnRenamed("id", "k").withColumn(
+        "vb", F.col("k") * 3
+    )
+    write_bucketed(a, ["k"], "zbkt_a", num_buckets=8, sort_by=["k"])
+    write_bucketed(b, ["k"], "zbkt_b", num_buckets=8, sort_by=["k"])
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        j = spark.table("zbkt_a").join(spark.table("zbkt_b"), "k")
+        plan = j._jdf.queryExecution().executedPlan().toString()
+        # co-located: no shuffle exchange anywhere in the join plan
+        assert "ShuffleExchange" not in plan and "Exchange hashpartitioning" not in plan
+        assert j.count() == 5000
+        # aggregation on the bucket key is also exchange-free
+        agg = spark.table("zbkt_a").groupBy("k").count()
+        aplan = agg._jdf.queryExecution().executedPlan().toString()
+        assert "Exchange hashpartitioning" not in aplan
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+        spark.sql("DROP TABLE IF EXISTS zbkt_a")
+        spark.sql("DROP TABLE IF EXISTS zbkt_b")
