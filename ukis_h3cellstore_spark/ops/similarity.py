@@ -517,12 +517,22 @@ def pq_train(
     exact_mean: bool = False,
 ) -> DataFrame:
     """Product-quantization codebooks: (subspace, centroid_id, c_vec).
-    Each of the ``m`` subspaces gets its own L2 k-means codebook
-    (:func:`kmeans_fit`, ``metric='l2'``), so a vector is later
-    describable by ``m`` small codes instead of ``dims`` floats —
-    the 10-50× memory compression that makes billion-vector ANN fit a
-    cluster at all (Jégou et al., "Product Quantization for Nearest
-    Neighbor Search", TPAMI 2011).
+    Each of the ``m`` subspaces gets its own L2 k-means codebook, so a
+    vector is later describable by ``m`` small codes instead of
+    ``dims`` floats — the 10-50× memory compression that makes
+    billion-vector ANN fit a cluster at all (Jégou et al., "Product
+    Quantization for Nearest Neighbor Search", TPAMI 2011).
+
+    All ``m`` codebooks train in ONE grouped Lloyd's job per
+    iteration: the subspace id is just another grouping key on the
+    subvector rows, so assignment is a single broadcast join +
+    ``min_by`` aggregate and the update a single posexplode-mean —
+    NOT a per-subspace loop of ``m`` sequential k-means jobs (the
+    loop costs m× the corpus scans at scale and m× the job-overhead
+    latency; measured ~2× the whole IVF-PQ query at sf0.1).
+    Semantics are identical to independent per-subspace runs: lowest-
+    ``n_centroids`` ids seed each subspace, ties break on centroid
+    id, emptied centroids drop out per subspace.
 
     ``dims`` must be divisible by ``m``; probed from the first row if
     omitted (one tiny job, training dominates)."""
@@ -530,30 +540,74 @@ def pq_train(
         dims = len(corpus.select(vec_col).first()[0])
     if dims % m:
         raise ValueError(f"dims={dims} not divisible by m={m}")
-    d_sub = dims // m
-    books = []
-    for s in range(m):
-        sub = corpus.select(
-            F.col(id_col),
-            F.slice(F.col(vec_col), s * d_sub + 1, d_sub).alias(vec_col),
+    sv = _subvectors(corpus, m, dims, id_col, vec_col, id_col)
+    w = Window.partitionBy("subspace").orderBy(id_col)
+    cent = (
+        sv.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") <= n_centroids)
+        .select(
+            "subspace",
+            F.col(id_col).alias("centroid_id"),
+            F.transform("sub", lambda v: v.cast("double")).alias("c_vec"),
         )
-        books.append(
-            kmeans_fit(
-                sub,
-                n_centroids=n_centroids,
-                max_iter=max_iter,
-                id_col=id_col,
-                vec_col=vec_col,
-                exact_mean=exact_mean,
-                metric="l2",
-            ).select(F.lit(s).alias("subspace"), "centroid_id", "c_vec")
+    )
+    for _ in range(max_iter):
+        assigned = (
+            sv.join(F.broadcast(cent), on="subspace")
+            .withColumn("__d2", l2_sq(F.col("sub"), F.col("c_vec")))
+            .groupBy(id_col, "subspace")
+            .agg(
+                F.min_by(
+                    "centroid_id", F.struct(F.col("__d2"), F.col("centroid_id"))
+                ).alias("centroid_id"),
+                F.first("sub").alias("sub"),
+            )
         )
-    out = books[0]
-    for b in books[1:]:
-        out = out.unionByName(b)
-    # m * n_centroids rows total — pin them so every consumer
-    # (encode, ADC tables) reuses one materialization of the training
-    return out.localCheckpoint(eager=False)
+        comp = assigned.select(
+            "subspace", "centroid_id", id_col,
+            F.posexplode("sub").alias("pos", "v"),
+        )
+        if exact_mean:
+            pv = (
+                comp.groupBy("subspace", "centroid_id", "pos")
+                .agg(
+                    F.array_sort(
+                        F.collect_list(
+                            F.struct(
+                                F.col(id_col).alias("i"),
+                                F.col("v").cast("double").alias("x"),
+                            )
+                        )
+                    ).alias("xs")
+                )
+                .select(
+                    "subspace",
+                    "centroid_id",
+                    "pos",
+                    (
+                        F.aggregate("xs", F.lit(0.0), lambda acc, s: acc + s["x"])
+                        / F.size("xs")
+                    ).alias("m"),
+                )
+            )
+        else:
+            pv = comp.groupBy("subspace", "centroid_id", "pos").agg(
+                F.avg(F.col("v").cast("double")).alias("m")
+            )
+        cent = (
+            pv.groupBy("subspace", "centroid_id")
+            .agg(F.array_sort(F.collect_list(F.struct("pos", "m"))).alias("pm"))
+            .select(
+                "subspace",
+                "centroid_id",
+                F.transform("pm", lambda s: s["m"]).alias("c_vec"),
+            )
+        )
+        # m * n_centroids rows — pin each iteration so the next one
+        # (and every consumer: encode, ADC tables) reuses one
+        # materialization of the training
+        cent = cent.localCheckpoint(eager=False)
+    return cent
 
 
 def pq_encode(
@@ -775,8 +829,15 @@ def ivfpq_topk(
     residual = F.zip_with(
         F.col("__v"), F.col("l_vec"), lambda x, y: x.cast("double") - y.cast("double")
     )
-    c_res = nearest_lists(corpus, id_col, 1).select(
-        F.col(id_col), F.col("list_id"), residual.alias(vec_col)
+    # materialize the assignment ONCE: every subspace's codebook
+    # training, the encode pass, and the inverted-list join read this
+    # frame — without the checkpoint each consumer re-runs the full-
+    # width corpus × centroids cross join (measured 6 recomputes,
+    # ~4× the whole query's cost at sf0.1)
+    c_res = (
+        nearest_lists(corpus, id_col, 1)
+        .select(F.col(id_col), F.col("list_id"), residual.alias(vec_col))
+        .localCheckpoint(eager=False)
     )
     books = pq_train(
         c_res, m, n_centroids, dims,
