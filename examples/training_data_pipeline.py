@@ -80,6 +80,27 @@ def main() -> None:
     queries = embs.filter(F.col("vec_id") < 5)
     S.cosine_topk(embs, queries, k=3).show()
 
+    # 9. the memory-bound path: IVF-PQ (coarse lists + residual codes)
+    S.ivfpq_topk(embs, queries, k=3, n_coarse=8, nprobe=2).show()
+
+    # 10. per-language length trim + OOV report (broadcast cutoffs)
+    kept_len = X.length_percentile_filter(docs)
+    print(f"length-percentile survivors: {kept_len.count()}")
+    X.vocab_oov_report(docs, k=50).show()
+
+    # 11. publish Z-ordered on (lang-ish, length) for 2-dim pruning
+    import tempfile, os
+    from ukis_h3cellstore_spark.layout import write_zordered
+
+    out = os.path.join(tempfile.mkdtemp(prefix="zpub_"), "docs")
+    write_zordered(
+        docs.withColumn("lang_id", F.crc32("lang") % 64),
+        ["lang_id", "n_chars"],
+        out,
+        bits=10,
+    )
+    print(f"z-ordered publish: {spark.read.parquet(out).count()} rows at {out}")
+
     spark.stop()
 
 
