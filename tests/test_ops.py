@@ -875,3 +875,39 @@ def test_ivfpq_plan_no_python_broadcast(spark):
     )
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
     assert "BroadcastHashJoin" in plan
+
+
+def test_containment_detects_excerpt(spark):
+    # doc 2 is a verbatim excerpt of doc 1: Jaccard is low (big super-
+    # set) but containment of the excerpt is 1.0
+    long_text = " ".join(f"w{i}" for i in range(50))
+    excerpt = " ".join(f"w{i}" for i in range(10, 16))
+    rows = [(1, long_text), (2, excerpt), (3, "totally unrelated words here")]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = D.containment_pairs(df, threshold=0.9).toPandas()
+    assert len(out) == 1
+    r = out.iloc[0]
+    assert (r.id_sub, r.id_super) == (2, 1)
+    assert r.containment == 1.0
+    # Jaccard at the same threshold misses it
+    jac = D.ngram_jaccard_pairs(df, threshold=0.5).toPandas()
+    assert not ((jac.id_a == 1) & (jac.id_b == 2)).any()
+
+
+def test_char_entropy_orders_structure(spark):
+    rows = [
+        (1, "aaaaaaaaaa"),        # zero entropy
+        (2, "abababababab"),      # 2 symbols -> ln(2)
+        (3, "the quick brown fox"),  # natural text: higher
+        (4, ""),                  # empty -> 0 sentinel
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = X.char_entropy(df).toPandas().set_index("doc_id")
+    import math
+
+    assert out.loc[1].entropy == 0.0
+    assert abs(out.loc[2].entropy - round(math.log(2), 6)) < 1e-9
+    assert out.loc[3].entropy > out.loc[2].entropy > out.loc[1].entropy
+    assert out.loc[4].entropy == 0.0
+    plan = X.char_entropy(df)._jdf.queryExecution().executedPlan().toString()
+    assert "BatchEvalPython" not in plan and "Exchange" not in plan  # no shuffle

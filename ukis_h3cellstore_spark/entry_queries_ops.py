@@ -1494,6 +1494,80 @@ GROUP BY 1, 2
 """
 
 
+def q_dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Directed near-subset pairs: |A∩B|/|A| over 3-gram shingles —
+    the excerpt/quote-leakage detector Jaccard misses."""
+    return D.containment_pairs(_docs(spark, sf_dir), threshold=0.5)
+
+
+Q_DEDUP_CONTAINMENT_SQL = f"""
+WITH base AS (
+  SELECT doc_id, {_DUCK_TOKS} AS toks FROM documents
+  WHERE len(trim(text)) > 0
+),
+sh AS (
+  SELECT DISTINCT doc_id,
+         concat_ws(' ', toks[i], toks[i+1], toks[i+2]) AS shingle
+  FROM base, unnest(generate_series(1, greatest(len(toks) - 2, 0))) AS u(i)
+),
+sizes AS (SELECT doc_id, COUNT(*) AS n_sh FROM sh GROUP BY 1),
+inter AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS n_common
+  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+),
+sized AS (
+  SELECT i.id_a, i.id_b, i.n_common, sa.n_sh AS n_a, sb.n_sh AS n_b
+  FROM inter i JOIN sizes sa ON i.id_a = sa.doc_id
+               JOIN sizes sb ON i.id_b = sb.doc_id
+)
+SELECT CASE WHEN n_a <= n_b THEN id_a ELSE id_b END AS id_sub,
+       CASE WHEN n_a <= n_b THEN id_b ELSE id_a END AS id_super,
+       n_common,
+       CAST(n_common AS DOUBLE) / least(n_a, n_b) AS containment
+FROM sized
+WHERE CAST(n_common AS DOUBLE) / least(n_a, n_b) >= 0.5
+"""
+
+
+def q_text_char_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-language character-entropy report (gibberish/boilerplate
+    screen): per-doc Shannon entropy in pure array folds, aggregated."""
+    docs = _docs(spark, sf_dir)
+    e = X.char_entropy(docs).join(docs.select("doc_id", "lang"), on="doc_id")
+    return e.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.round(F.avg("entropy"), 6).alias("avg_entropy"),
+        F.min("entropy").alias("min_entropy"),
+        F.max("entropy").alias("max_entropy"),
+    )
+
+
+Q_TEXT_CHAR_ENTROPY_SQL = """
+WITH per_doc AS (
+  SELECT d.doc_id, d.lang,
+         CASE WHEN len(regexp_split_to_array(d.text, '')) > 0 AND d.text <> ''
+              THEN round(-list_reduce(
+                list_transform(
+                  list_sort(list_distinct(regexp_split_to_array(d.text, ''))),
+                  c -> (CAST(len(list_filter(regexp_split_to_array(d.text, ''),
+                                             x -> x = c)) AS DOUBLE)
+                        / len(regexp_split_to_array(d.text, '')))
+                       * ln(CAST(len(list_filter(regexp_split_to_array(d.text, ''),
+                                                 x -> x = c)) AS DOUBLE)
+                            / len(regexp_split_to_array(d.text, '')))
+                ), (s, v) -> s + v), 6)
+              ELSE 0.0 END AS entropy
+  FROM documents d
+)
+SELECT lang, COUNT(*) AS n_docs,
+       round(AVG(entropy), 6) AS avg_entropy,
+       MIN(entropy) AS min_entropy,
+       MAX(entropy) AS max_entropy
+FROM per_doc GROUP BY 1
+"""
+
+
 QUERIES_OPS: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "text_stats": q_text_stats,
     "text_langid": q_text_langid,
@@ -1534,6 +1608,8 @@ QUERIES_OPS: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "corpus_cross_source_dups": q_corpus_cross_source_dups,
     "ann_pq_top3": q_ann_pq_top3,
     "ann_ivfpq_top3": q_ann_ivfpq_top3,
+    "dedup_containment": q_dedup_containment,
+    "text_char_entropy": q_text_char_entropy,
 }
 
 ORACLES_OPS: dict[str, str] = {
@@ -1578,4 +1654,6 @@ ORACLES_OPS: dict[str, str] = {
     "corpus_cross_source_dups": Q_CORPUS_CROSS_SOURCE_SQL,
     "ann_pq_top3": _q_ann_pq_top3_sql(),
     "ann_ivfpq_top3": _q_ann_ivfpq_top3_sql(),
+    "dedup_containment": Q_DEDUP_CONTAINMENT_SQL,
+    "text_char_entropy": Q_TEXT_CHAR_ENTROPY_SQL,
 }

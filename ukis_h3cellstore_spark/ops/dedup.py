@@ -597,3 +597,55 @@ def simhash_hamming_pairs(
         .select("id_a", "id_b", "hamming")
         .distinct()
     )
+
+
+def containment_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 3,
+    threshold: float = 0.8,
+    max_shingle_df: int | None = None,
+) -> DataFrame:
+    """Asymmetric near-SUBSET detection: directed pairs (id_sub,
+    id_super, containment) where ``containment = |A∩B| / |A|`` ≥
+    threshold for A = the smaller-or-equal shingle set. Jaccard misses
+    excerpts — a 100-word quote inside a 10k-word page has Jaccard
+    ≈ 0.01 but containment ≈ 1.0 — and excerpt/quote duplication is a
+    major leakage channel in web training corpora.
+
+    Same inverted-index plan as :func:`ngram_jaccard_pairs` (shared
+    checkpointed shingle table, shuffle-joined size tables, never a
+    broadcast of O(corpus) rows); the direction is decided per pair
+    (smaller set = the contained side, ties → lower id)."""
+    sh = shingle_df(df, text_col, id_col, k).localCheckpoint(eager=False)
+    if max_shingle_df is not None:
+        hot = sh.groupBy("shingle").agg(F.count(F.lit(1)).alias("df"))
+        sh = sh.join(
+            F.broadcast(hot.filter(F.col("df") > max_shingle_df).select("shingle")),
+            on="shingle",
+            how="left_anti",
+        )
+    sizes = sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("n_sh"))
+    a = sh.select(F.col(id_col).alias("id_a"), "shingle")
+    b = sh.select(F.col(id_col).alias("id_b"), "shingle")
+    inter = (
+        a.join(b, on="shingle")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .groupBy("id_a", "id_b")
+        .agg(F.count(F.lit(1)).alias("n_common"))
+    )
+    sa = sizes.select(F.col(id_col).alias("id_a"), F.col("n_sh").alias("n_a"))
+    sb = sizes.select(F.col(id_col).alias("id_b"), F.col("n_sh").alias("n_b"))
+    sized = inter.join(sa, on="id_a").join(sb, on="id_b")
+    smaller_is_a = F.col("n_a") <= F.col("n_b")
+    out = sized.select(
+        F.when(smaller_is_a, F.col("id_a")).otherwise(F.col("id_b")).alias("id_sub"),
+        F.when(smaller_is_a, F.col("id_b")).otherwise(F.col("id_a")).alias("id_super"),
+        "n_common",
+        (
+            F.col("n_common").cast("double")
+            / F.least(F.col("n_a"), F.col("n_b"))
+        ).alias("containment"),
+    )
+    return out.filter(F.col("containment") >= threshold)

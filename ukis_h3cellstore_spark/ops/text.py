@@ -461,3 +461,40 @@ def cross_source_duplicates(
         )
         .agg(F.count(F.lit(1)).alias("n_shared"))
     )
+
+
+def char_entropy(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Shannon entropy (nats) of each document's character
+    distribution: (id, n_chars, entropy). Low entropy flags repeated-
+    character junk and boilerplate; implausibly high entropy flags
+    random-looking noise — a standard cheap gibberish screen.
+
+    Pure higher-order array expressions (split → sorted distinct →
+    per-char count via filter → sequential fold), whole-stage-codegen,
+    no shuffle, no UDF. The fold visits characters in SORTED order so
+    the float sum is bit-reproducible across engines. Per-doc cost is
+    O(distinct_chars × len); for natural-language documents
+    distinct_chars is a small constant."""
+    chars = F.split(F.col(text_col), "")
+    uniq = F.array_sort(F.array_distinct(chars))
+    n = F.size(chars)
+    ent = -F.aggregate(
+        uniq,
+        F.lit(0.0),
+        lambda acc, c: acc
+        + (
+            F.size(F.filter(chars, lambda x: x == c)).cast("double")
+            / n.cast("double")
+        )
+        * F.log(
+            F.size(F.filter(chars, lambda x: x == c)).cast("double")
+            / n.cast("double")
+        ),
+    )
+    return df.select(
+        F.col(id_col),
+        n.alias("n_chars"),
+        F.when(n > 0, F.round(ent, 6)).otherwise(F.lit(0.0)).alias("entropy"),
+    )
