@@ -387,6 +387,43 @@ FROM spine s LEFT JOIN observed o USING (event_type, day_id)
 """
 
 
+def q_events_map_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MAP-type surface: daily per-type counts collected into a
+    map<string,long> (map_from_entries), transformed with
+    transform_values, pruned with map_filter, and exploded back to
+    rows — proving the map round-trip against a purely relational
+    oracle. All JVM higher-order functions; one aggregation shuffle."""
+    e = _events(spark, sf_dir)
+    day = (F.col("ts_us") / (86_400 * 1_000_000)).cast("long")
+    daily = (
+        e.withColumn("day_id", day)
+        .groupBy("day_id", "event_type")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    mapped = (
+        daily.groupBy("day_id")
+        .agg(
+            F.map_from_entries(
+                F.array_sort(F.collect_list(F.struct("event_type", "cnt")))
+            ).alias("m")
+        )
+        .withColumn("m", F.transform_values("m", lambda k, v: v * 2))
+        .withColumn("m", F.map_filter("m", lambda k, v: v >= 100))
+    )
+    return mapped.select(
+        "day_id", F.explode("m").alias("event_type", "boosted_count")
+    )
+
+
+Q_EVENTS_MAP_OPS_SQL = """
+SELECT (epoch_us(ts) // 86400000000) AS day_id, event_type,
+       CAST(COUNT(*) * 2 AS BIGINT) AS boosted_count
+FROM events
+GROUP BY 1, 2
+HAVING COUNT(*) * 2 >= 100
+"""
+
+
 # --------------------------------------------------------------------------
 # collect_set signature
 
@@ -475,6 +512,7 @@ QUERIES_REL: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "source_jsonl_roundtrip": q_source_jsonl_roundtrip,
     "events_lateral_top2": q_events_lateral_top2,
     "events_gapfill_daily": q_events_gapfill_daily,
+    "events_map_ops": q_events_map_ops,
 }
 
 ORACLES_REL: dict[str, str] = {
@@ -489,4 +527,5 @@ ORACLES_REL: dict[str, str] = {
     "source_jsonl_roundtrip": Q_SOURCE_JSONL_SQL,
     "events_lateral_top2": Q_EVENTS_LATERAL_SQL,
     "events_gapfill_daily": Q_EVENTS_GAPFILL_SQL,
+    "events_map_ops": Q_EVENTS_MAP_OPS_SQL,
 }
