@@ -911,3 +911,32 @@ def test_char_entropy_orders_structure(spark):
     assert out.loc[4].entropy == 0.0
     plan = X.char_entropy(df)._jdf.queryExecution().executedPlan().toString()
     assert "BatchEvalPython" not in plan and "Exchange" not in plan  # no shuffle
+
+
+def test_temperature_rates_limits(spark):
+    from ukis_h3cellstore_spark.ops import sampling as SMP
+
+    counts = {"big": 9000, "small": 1000}
+    # tau=1: natural distribution -> every source keeps everything
+    r1 = SMP.temperature_rates(counts, tau=1.0)
+    assert all(abs(v - 1.0) < 1e-12 for v in r1.values())
+    # tau -> 0 pushes toward uniform: small source keeps all, big
+    # source keeps ~1/9 (uniform share / natural share)
+    r0 = SMP.temperature_rates(counts, tau=0.05)
+    assert r0["small"] == 1.0
+    assert r0["big"] < 0.2
+    import pytest as _pytest
+    with _pytest.raises(ValueError):
+        SMP.temperature_rates(counts, tau=0.0)
+
+
+def test_temperature_mixture_is_deterministic(spark):
+    from ukis_h3cellstore_spark.ops import sampling as SMP
+
+    rows = [(i, f"src{i % 4}") for i in range(400)]
+    df = spark.createDataFrame(rows, "doc_id long, source string")
+    a = SMP.temperature_mixture(df, tau=0.5).groupBy("source").count().collect()
+    b = SMP.temperature_mixture(df, tau=0.5).groupBy("source").count().collect()
+    assert sorted(map(tuple, a)) == sorted(map(tuple, b))
+    # equal-size sources at any tau keep everything (rates all 1.0)
+    assert sum(r["count"] for r in a) == 400

@@ -1494,6 +1494,50 @@ GROUP BY 1, 2
 """
 
 
+#: deterministic 70/20/10 source skew — the synthetic corpus's sources
+#: are perfectly uniform (25 docs each at sf0.01), which would make a
+#: temperature gate trivially keep everything
+_SKEW_SPARK = (
+    "CASE WHEN doc_id % 10 < 7 THEN 'heavy' "
+    "WHEN doc_id % 10 < 9 THEN 'mid' ELSE 'light' END"
+)
+
+
+def q_corpus_temperature_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temperature-balanced mixture at τ=0.5 over a deterministically
+    skewed source column (70/20/10): the heavy source is squeezed
+    toward uniform, per-source surviving counts prove the rates."""
+    docs = _docs(spark, sf_dir).withColumn("mix_source", F.expr(_SKEW_SPARK))
+    mixed = SM.temperature_mixture(docs, tau=0.5, source_col="mix_source")
+    return mixed.groupBy("mix_source").agg(F.count(F.lit(1)).alias("n_docs"))
+
+
+def _q_corpus_temperature_mix_sql() -> str:
+    bucket = (
+        "(('0x' || substr(md5('temp' || '|' || CAST(d.doc_id AS VARCHAR)), 1, 15))"
+        f"::BIGINT % {SM.SPLIT_BUCKETS})"
+    )
+    # mirrors temperature_rates(tau=0.5): share = c^0.5, raw = share/z/c,
+    # rate = raw/max(raw), threshold = round(rate * SPLIT_BUCKETS)
+    return f"""
+WITH d AS (SELECT doc_id, {_SKEW_SPARK} AS mix_source FROM documents),
+counts AS (SELECT mix_source, CAST(COUNT(*) AS DOUBLE) AS c
+           FROM d GROUP BY 1),
+z AS (SELECT SUM(POWER(c, 0.5)) AS z FROM counts),
+raw AS (SELECT mix_source, POWER(c, 0.5) / (SELECT z FROM z) / c AS r
+        FROM counts),
+mx AS (SELECT MAX(r) AS m FROM raw),
+th AS (SELECT mix_source,
+              CAST(round(r / (SELECT m FROM mx) * {SM.SPLIT_BUCKETS}) AS BIGINT)
+                AS t
+       FROM raw)
+SELECT d.mix_source, COUNT(*) AS n_docs
+FROM d JOIN th USING (mix_source)
+WHERE {bucket} < th.t
+GROUP BY 1
+"""
+
+
 def q_dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Directed near-subset pairs: |A∩B|/|A| over 3-gram shingles —
     the excerpt/quote-leakage detector Jaccard misses."""
@@ -1610,6 +1654,7 @@ QUERIES_OPS: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "ann_ivfpq_top3": q_ann_ivfpq_top3,
     "dedup_containment": q_dedup_containment,
     "text_char_entropy": q_text_char_entropy,
+    "corpus_temperature_mix": q_corpus_temperature_mix,
 }
 
 ORACLES_OPS: dict[str, str] = {
@@ -1656,4 +1701,5 @@ ORACLES_OPS: dict[str, str] = {
     "ann_ivfpq_top3": _q_ann_ivfpq_top3_sql(),
     "dedup_containment": Q_DEDUP_CONTAINMENT_SQL,
     "text_char_entropy": Q_TEXT_CHAR_ENTROPY_SQL,
+    "corpus_temperature_mix": _q_corpus_temperature_mix_sql(),
 }

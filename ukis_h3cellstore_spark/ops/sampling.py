@@ -254,3 +254,42 @@ def subsample_by_source(
             F.col(source_col) == src, F.lit(int(round(rate * SPLIT_BUCKETS)))
         ).otherwise(thresh)
     return df.filter(bucket < thresh)
+
+
+def temperature_rates(counts: dict[str, int], tau: float) -> dict[str, float]:
+    """Per-source keep rates for temperature-balanced sampling: the
+    target share of source i is ``n_i^τ / Σ n_j^τ`` (τ=1 → natural
+    distribution, τ→0 → uniform across sources; XLM-R uses τ=0.3 —
+    the standard multilingual / multi-source rebalancing of LLM
+    training mixes). Rates are per-ROW keep probabilities scaled so
+    the largest is 1.0 (sampling can only remove, never duplicate).
+    Deterministic: the normalizer sums in sorted-source order."""
+    if tau <= 0:
+        raise ValueError(f"tau must be > 0, got {tau}")
+    shares = {s: float(c) ** tau for s, c in counts.items()}
+    z = sum(shares[s] for s in sorted(shares))
+    raw = {s: shares[s] / z / counts[s] for s in counts}
+    mx = max(raw.values())
+    return {s: raw[s] / mx for s in raw}
+
+
+def temperature_mixture(
+    df: DataFrame,
+    tau: float = 0.7,
+    source_col: str = "source",
+    id_col: str = "doc_id",
+    salt: str = "temp",
+) -> DataFrame:
+    """Temperature-balanced corpus: per-source counts (one tiny
+    aggregate — n_sources rows collect to the driver, like any dim
+    lookup) become keep rates via :func:`temperature_rates`, applied
+    with the salted-hash :func:`subsample_by_source` — deterministic,
+    re-runnable, no ``rand()``."""
+    counts = {
+        r[0]: r[1] for r in df.groupBy(source_col).count().collect()
+    }
+    rates = temperature_rates(counts, tau)
+    return subsample_by_source(
+        df, rates, default_rate=0.0,
+        source_col=source_col, id_col=id_col, salt=salt,
+    )
