@@ -186,12 +186,16 @@ def lsh_verified_pairs(
     buys recall without an all-pairs blowup. Both shingle joins
     shuffle on (id, shingle); the per-document size tables join by
     shuffle, never broadcast (they are O(corpus) rows)."""
-    cand = minhash_lsh_pairs(
-        df, text_col, id_col, k, num_hashes, band_size, min_est_jaccard
-    ).select("id_a", "id_b")
-    # one materialization feeds the size agg and both verify-join
-    # sides (same no-exchange-reuse rationale as ngram_jaccard_pairs)
+    # ONE shingle materialization feeds signature computation, the
+    # size agg, and both verify-join sides — without sharing, the
+    # candidate stage re-scans + re-tokenizes the corpus for its own
+    # shingle table (same no-exchange-reuse rationale as
+    # ngram_jaccard_pairs, applied across the two stages)
     sh = shingle_df(df, text_col, id_col, k).localCheckpoint(eager=False)
+    cand = minhash_lsh_pairs(
+        df, text_col, id_col, k, num_hashes, band_size, min_est_jaccard,
+        shingles=sh,
+    ).select("id_a", "id_b")
     sizes = sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("n_sh"))
     a = sh.select(F.col(id_col).alias("id_a"), "shingle")
     b = sh.select(F.col(id_col).alias("id_b"), "shingle")
@@ -263,6 +267,7 @@ def minhash_signatures(
     id_col: str = "doc_id",
     k: int = 3,
     num_hashes: int = 8,
+    shingles: DataFrame | None = None,
 ) -> DataFrame:
     """MinHash signature columns m0..m{n-1}: per slot, the min
     md5-derived hash over the document's shingle set (one shared
@@ -273,8 +278,13 @@ def minhash_signatures(
     across its aggregate input expressions, so min-agging
     ``_hash64_slot(shingle, i)`` directly evaluates the md5+conv once
     PER SLOT (measured 8x the hashing cost at 1M docs). After the
-    projection each slot is two integer ops over the shared column."""
-    sh = shingle_df(df, text_col, id_col, k)
+    projection each slot is two integer ops over the shared column.
+
+    ``shingles`` lets a caller that ALSO needs the shingle table
+    (e.g. :func:`lsh_verified_pairs`' exact verification) share one
+    materialization instead of re-scanning + re-tokenizing the
+    corpus."""
+    sh = shingles if shingles is not None else shingle_df(df, text_col, id_col, k)
     base = sh.select(
         F.col(id_col),
         (
@@ -301,6 +311,7 @@ def minhash_lsh_pairs(
     num_hashes: int = 8,
     band_size: int = 2,
     min_est_jaccard: float = 0.5,
+    shingles: DataFrame | None = None,
 ) -> DataFrame:
     """LSH candidate pairs: documents colliding in ≥1 band of the
     MinHash signature, with the estimated Jaccard (fraction of equal
@@ -316,7 +327,7 @@ def minhash_lsh_pairs(
     re-joins. When ``num_hashes`` is not divisible by ``band_size``,
     the remainder slots form a final short band (no silent recall
     loss)."""
-    sig = minhash_signatures(df, text_col, id_col, k, num_hashes)
+    sig = minhash_signatures(df, text_col, id_col, k, num_hashes, shingles)
     msig = [f"m{i}" for i in range(num_hashes)]
     sig = sig.select(
         F.col(id_col).alias("id"),
