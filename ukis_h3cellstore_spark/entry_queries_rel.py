@@ -455,6 +455,57 @@ SELECT type_signature, COUNT(*) AS n_users FROM per_user GROUP BY 1
 """
 
 
+def q_events_window_nav(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Navigation-window surface in one pass: lag/lead with defaults,
+    first_value, nth_value, and a running (unbounded-preceding) sum
+    over the per-type daily series — one shuffle on the partition
+    key, every function sharing the same window frame family."""
+    from pyspark.sql.window import Window
+
+    e = _events(spark, sf_dir)
+    day = (F.col("ts_us") / (86_400 * 1_000_000)).cast("long")
+    daily = (
+        e.withColumn("day_id", day)
+        .groupBy("event_type", "day_id")
+        .agg(F.sum(_cents(F.col("value"))).alias("cents"))
+    )
+    w = Window.partitionBy("event_type").orderBy("day_id")
+    wrun = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    wall = w.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    return daily.select(
+        "event_type",
+        "day_id",
+        "cents",
+        F.lag("cents", 1, 0).over(w).alias("prev_cents"),
+        F.lead("cents", 1, 0).over(w).alias("next_cents"),
+        F.first_value("cents").over(wrun).alias("first_cents"),
+        F.nth_value("cents", 3).over(wall).alias("third_cents"),
+        F.sum("cents").over(wrun).alias("running_cents"),
+    )
+
+
+Q_EVENTS_WINDOW_NAV_SQL = """
+WITH daily AS (
+  SELECT event_type, (epoch_us(ts) // 86400000000) AS day_id,
+         CAST(SUM(CAST(round(value*100) AS BIGINT)) AS BIGINT) AS cents
+  FROM events GROUP BY 1, 2
+)
+SELECT event_type, day_id, cents,
+       lag(cents, 1, 0)  OVER w AS prev_cents,
+       lead(cents, 1, 0) OVER w AS next_cents,
+       first_value(cents) OVER
+         (w ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS first_cents,
+       nth_value(cents, 3) OVER
+         (w ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+         AS third_cents,
+       CAST(SUM(cents) OVER
+         (w ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+         AS running_cents
+FROM daily
+WINDOW w AS (PARTITION BY event_type ORDER BY day_id)
+"""
+
+
 # --------------------------------------------------------------------------
 # regexp / string functions
 
@@ -513,6 +564,7 @@ QUERIES_REL: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "events_lateral_top2": q_events_lateral_top2,
     "events_gapfill_daily": q_events_gapfill_daily,
     "events_map_ops": q_events_map_ops,
+    "events_window_nav": q_events_window_nav,
 }
 
 ORACLES_REL: dict[str, str] = {
@@ -528,4 +580,5 @@ ORACLES_REL: dict[str, str] = {
     "events_lateral_top2": Q_EVENTS_LATERAL_SQL,
     "events_gapfill_daily": Q_EVENTS_GAPFILL_SQL,
     "events_map_ops": Q_EVENTS_MAP_OPS_SQL,
+    "events_window_nav": Q_EVENTS_WINDOW_NAV_SQL,
 }
