@@ -21,14 +21,13 @@ from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
 
-# First-50 sampling priority for round 4. Three tiers:
-#   tier 1 — new this round (no row yet): 8 entries
-#   tier 2 — never sampled in any round (code landed late in r2/r3): 14
-#   tier 3 — green in r2, not re-sampled since: 28
-# = exactly the driver's 50-query sample. The 50 queries r3 verified
+# First-50 sampling priority for round 4. Two tiers:
+#   tier 1 — never sampled in any round (r3-late + r4-new code): 35
+#   tier 2 — green in r2, not re-sampled since: 15
+# = exactly the driver's 50-query sample. The queries r3 verified
 # fall behind them and re-enter the rotation next round.
 _PRIORITY = [
-    # tier 1 — new in r4
+    # tier 1 — never sampled (all locally verified vs DuckDB oracles)
     "orders_semi_anti_join",
     "events_variant_props",
     "source_csv_roundtrip",
@@ -37,7 +36,6 @@ _PRIORITY = [
     "events_grouping_sets",
     "events_user_type_signature",
     "part_string_funcs",
-    # tier 2 — never sampled
     "geo_polyfill_traversal",
     "geo_border_cells",
     "geo_latlng_to_cell",
@@ -52,7 +50,20 @@ _PRIORITY = [
     "corpus_source_report",
     "corpus_stratified_sample",
     "corpus_chunked",
-    # tier 3 — green in r2, stale since
+    "source_jsonl_roundtrip",
+    "events_lateral_top2",
+    "events_gapfill_daily",
+    "events_map_ops",
+    "events_window_nav",
+    "corpus_length_filter",
+    "corpus_oov_report",
+    "corpus_cross_source_dups",
+    "ann_pq_top3",
+    "ann_ivfpq_top3",
+    "dedup_containment",
+    "text_char_entropy",
+    "corpus_temperature_mix",
+    # tier 2 — green in r2, stale since
     "dedup_ngram_jaccard",
     "dedup_minhash_signatures",
     "dedup_minhash_lsh_pairs",
@@ -68,19 +79,6 @@ _PRIORITY = [
     "corpus_split_counts",
     "pack_documents",
     "packing_stats",
-    "corpus_mixture",
-    "text_scrub_pii",
-    "corpus_training_mix",
-    "dedup_cluster_resolve",
-    "corpus_decontaminate",
-    "text_vocab_top50",
-    "text_repetition",
-    "pipeline_traversal",
-    "pipeline_traversal_prefiltered",
-    "pipeline_traverse_apply",
-    "pipeline_tableset_stats",
-    "raster_ingest",
-    "streaming_windowed_rollup",
 ]
 
 
