@@ -63,6 +63,10 @@ _PRIORITY = [
     "dedup_containment",
     "text_char_entropy",
     "corpus_temperature_mix",
+    "q12_late_shipment_priority",
+    "q9_profit_by_nation_year",
+    "q21_blocking_suppliers",
+    "q2_cheapest_supplier",
     # tier 2 — green in r2, stale since
     "dedup_ngram_jaccard",
     "dedup_minhash_signatures",
@@ -75,10 +79,6 @@ _PRIORITY = [
     "ann_lsh_top3",
     "embedding_dup_pairs",
     "multimodal_decode_meta",
-    "corpus_curation",
-    "corpus_split_counts",
-    "pack_documents",
-    "packing_stats",
 ]
 
 

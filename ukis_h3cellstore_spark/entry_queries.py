@@ -1800,6 +1800,202 @@ GROUP BY 1, 2
 """
 
 
+def q_late_shipment_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q12 shape adapted to the driver schema (no l_shipmode /
+    l_commitdate): shipments later than 60 days after the order date,
+    classified per linestatus into high- vs low-priority order counts.
+    One equi-join on orderkey + one hash aggregation; the conditional
+    counts are map-side-combinable SUM(CASE WHEN)."""
+    o = _t(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderdate", "o_orderpriority"
+    )
+    l = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_shipdate", "l_linestatus")
+    high = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    return (
+        l.join(o, l.l_orderkey == o.o_orderkey)
+        .filter(F.col("l_shipdate") > F.col("o_orderdate") + F.expr("INTERVAL 60 DAYS"))
+        .groupBy("l_linestatus")
+        .agg(
+            F.sum(F.when(high, 1).otherwise(0)).alias("high_line_count"),
+            F.sum(F.when(high, 0).otherwise(1)).alias("low_line_count"),
+        )
+    )
+
+
+Q_LATE_SHIPMENT_SQL = """
+SELECT l_linestatus,
+       CAST(SUM(CASE WHEN o_orderpriority IN ('1-URGENT','2-HIGH')
+                THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+       CAST(SUM(CASE WHEN o_orderpriority IN ('1-URGENT','2-HIGH')
+                THEN 0 ELSE 1 END) AS BIGINT) AS low_line_count
+FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+WHERE l_shipdate > o_orderdate + INTERVAL 60 DAY
+GROUP BY 1
+"""
+
+
+def q_profit_by_nation_year(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q9 shape adapted (no partsupp → profit is discounted
+    revenue): per supplier-nation and order-year profit over parts
+    whose name contains 'red'. Join order chosen for scale: lineitem
+    (the fact) is filtered by two BROADCAST dims (part names, supplier
+    →nation) before the one orderkey shuffle join against orders —
+    the only exchange that carries fact-table volume."""
+    l = _t(spark, sf_dir, "lineitem")
+    p = _t(spark, sf_dir, "part").filter(F.col("p_name").contains("red")).select(
+        "p_partkey"
+    )
+    s = _t(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    n = _t(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    o = _t(spark, sf_dir, "orders").select("o_orderkey", "o_orderdate")
+    profit_c100 = _cents(F.col("l_extendedprice")) * (
+        F.lit(100) - _cents(F.col("l_discount"))
+    )
+    return (
+        l.join(F.broadcast(p), l.l_partkey == p.p_partkey)
+        .join(F.broadcast(s), l.l_suppkey == s.s_suppkey)
+        .join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
+        .join(o, l.l_orderkey == o.o_orderkey)
+        .groupBy(
+            F.col("n_name").alias("nation"),
+            F.year("o_orderdate").alias("o_year"),
+        )
+        .agg(F.sum(profit_c100).alias("profit_c100"))
+    )
+
+
+Q_PROFIT_NATION_SQL = """
+SELECT n_name AS nation,
+       CAST(year(o_orderdate) AS INT) AS o_year,
+       CAST(SUM(CAST(round(l_extendedprice*100) AS BIGINT)
+           * (100 - CAST(round(l_discount*100) AS BIGINT))) AS BIGINT) AS profit_c100
+FROM lineitem
+JOIN part ON l_partkey = p_partkey
+JOIN supplier ON l_suppkey = s_suppkey
+JOIN nation ON s_nationkey = n_nationkey
+JOIN orders ON l_orderkey = o_orderkey
+WHERE p_name LIKE '%red%'
+GROUP BY 1, 2
+"""
+
+
+def q_blocking_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q21 shape adapted (l_returnflag='R' stands in for the
+    missing late-receipt predicate): suppliers that were the SOLE
+    'R'-flag supplier in a multi-supplier finished order. The
+    EXISTS/NOT-EXISTS pair is re-expressed Spark-first as ONE
+    per-order aggregation (distinct-supplier counts) joined back to
+    the candidate rows — two shuffles total instead of the literal
+    double self-join of lineitem against itself."""
+    o = _t(spark, sf_dir, "orders").filter(F.col("o_orderstatus") == "F").select(
+        "o_orderkey"
+    )
+    l = (
+        _t(spark, sf_dir, "lineitem")
+        .join(o, F.col("l_orderkey") == F.col("o_orderkey"), "left_semi")
+        .select("l_orderkey", "l_suppkey", "l_returnflag")
+    )
+    per_order = l.groupBy("l_orderkey").agg(
+        F.countDistinct("l_suppkey").alias("n_supp"),
+        F.countDistinct(
+            F.when(F.col("l_returnflag") == "R", F.col("l_suppkey"))
+        ).alias("n_supp_r"),
+    )
+    # one row per qualifying l1 LINEITEM (literal Q21 counts lineitems,
+    # not distinct order-supplier pairs)
+    cand = l.filter(F.col("l_returnflag") == "R").select("l_orderkey", "l_suppkey")
+    blocked = cand.join(
+        per_order.filter((F.col("n_supp") > 1) & (F.col("n_supp_r") == 1)),
+        "l_orderkey",
+    )
+    s = _t(spark, sf_dir, "supplier").select("s_suppkey", "s_name")
+    return (
+        blocked.join(F.broadcast(s), blocked.l_suppkey == s.s_suppkey)
+        .groupBy("s_name")
+        .agg(F.count(F.lit(1)).alias("numwait"))
+    )
+
+
+Q_BLOCKING_SUPPLIERS_SQL = """
+SELECT s_name, COUNT(*) AS numwait
+FROM supplier, lineitem l1, orders
+WHERE s_suppkey = l1.l_suppkey
+  AND o_orderkey = l1.l_orderkey
+  AND o_orderstatus = 'F'
+  AND l1.l_returnflag = 'R'
+  AND EXISTS (SELECT 1 FROM lineitem l2
+              WHERE l2.l_orderkey = l1.l_orderkey
+                AND l2.l_suppkey <> l1.l_suppkey)
+  AND NOT EXISTS (SELECT 1 FROM lineitem l3
+                  WHERE l3.l_orderkey = l1.l_orderkey
+                    AND l3.l_suppkey <> l1.l_suppkey
+                    AND l3.l_returnflag = 'R')
+GROUP BY 1
+"""
+
+
+def q_cheapest_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q2 shape adapted (no partsupp → the observed discounted
+    price in lineitem is the supply cost): for each size-15 part, the
+    supplier offering the minimum discounted price. Argmin is a
+    per-part window with a TOTAL deterministic order (price, suppkey,
+    orderkey, linenumber) so ties can't flip the hash; the size-15
+    filter broadcasts, so the window partitions by a key the lineitem
+    shuffle already produced."""
+    p = _t(spark, sf_dir, "part").filter(F.col("p_size") == 15).select(
+        "p_partkey", "p_name"
+    )
+    l = _t(spark, sf_dir, "lineitem")
+    price_c100 = (
+        _cents(F.col("l_extendedprice"))
+        * (F.lit(100) - _cents(F.col("l_discount")))
+    ).alias("price_c100")
+    w = Window.partitionBy("l_partkey").orderBy(
+        "price_c100", "l_suppkey", "l_orderkey", "l_linenumber"
+    )
+    best = (
+        l.join(F.broadcast(p), l.l_partkey == p.p_partkey)
+        .select("l_partkey", "p_name", "l_suppkey", "l_orderkey", "l_linenumber", price_c100)
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+    )
+    s = _t(spark, sf_dir, "supplier").select("s_suppkey", "s_name", "s_nationkey")
+    n = _t(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    return (
+        best.join(F.broadcast(s), best.l_suppkey == s.s_suppkey)
+        .join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
+        .select(
+            F.col("l_partkey").alias("p_partkey"),
+            "p_name",
+            "s_name",
+            F.col("n_name").alias("nation"),
+            F.col("price_c100").alias("best_price_c100"),
+        )
+    )
+
+
+Q_CHEAPEST_SUPPLIER_SQL = """
+WITH priced AS (
+  SELECT l_partkey, p_name, l_suppkey,
+         CAST(round(l_extendedprice*100) AS BIGINT)
+         * (100 - CAST(round(l_discount*100) AS BIGINT)) AS price_c100,
+         ROW_NUMBER() OVER (
+           PARTITION BY l_partkey
+           ORDER BY CAST(round(l_extendedprice*100) AS BIGINT)
+                    * (100 - CAST(round(l_discount*100) AS BIGINT)),
+                    l_suppkey, l_orderkey, l_linenumber) AS rn
+  FROM lineitem JOIN part ON l_partkey = p_partkey
+  WHERE p_size = 15
+)
+SELECT l_partkey AS p_partkey, p_name, s_name, n_name AS nation,
+       price_c100 AS best_price_c100
+FROM priced
+JOIN supplier ON l_suppkey = s_suppkey
+JOIN nation ON s_nationkey = n_nationkey
+WHERE rn = 1
+"""
+
+
 # --------------------------------------------------------------------------
 # registry
 # --------------------------------------------------------------------------
@@ -1821,6 +2017,10 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q16_supplier_part_counts": q_supplier_part_counts,
     "q17_small_quantity_revenue": q_small_quantity_revenue,
     "q22_idle_rich_customers": q_idle_rich_customers,
+    "q12_late_shipment_priority": q_late_shipment_priority,
+    "q9_profit_by_nation_year": q_profit_by_nation_year,
+    "q21_blocking_suppliers": q_blocking_suppliers,
+    "q2_cheapest_supplier": q_cheapest_supplier,
     "events_hourly_window": q_events_hourly,
     "events_sessionize": q_events_sessionize,
     "events_asof_join": q_events_asof_join,
@@ -1869,6 +2069,10 @@ ORACLES: dict[str, str] = {
     "q16_supplier_part_counts": Q_SUPPLIER_PART_COUNTS_SQL,
     "q17_small_quantity_revenue": Q_SMALL_QTY_REVENUE_SQL,
     "q22_idle_rich_customers": Q_IDLE_RICH_SQL,
+    "q12_late_shipment_priority": Q_LATE_SHIPMENT_SQL,
+    "q9_profit_by_nation_year": Q_PROFIT_NATION_SQL,
+    "q21_blocking_suppliers": Q_BLOCKING_SUPPLIERS_SQL,
+    "q2_cheapest_supplier": Q_CHEAPEST_SUPPLIER_SQL,
     "events_hourly_window": Q_EVENTS_HOURLY_SQL,
     "events_sessionize": Q_EVENTS_SESSIONIZE_SQL,
     "events_asof_join": Q_EVENTS_ASOF_JOIN_SQL,
