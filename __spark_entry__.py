@@ -67,6 +67,10 @@ _PRIORITY = [
     "q9_profit_by_nation_year",
     "q21_blocking_suppliers",
     "q2_cheapest_supplier",
+    "text_normalize",
+    "text_boilerplate",
+    "text_quality_logit",
+    "ann_sq8_top3",
     # tier 2 — green in r2, stale since
     "dedup_ngram_jaccard",
     "dedup_minhash_signatures",
@@ -75,9 +79,7 @@ _PRIORITY = [
     "dedup_simhash_groups",
     "dedup_simhash_hamming",
     "ann_cosine_top3",
-    "ann_ivf_top3",
     "ann_lsh_top3",
-    "embedding_dup_pairs",
     "multimodal_decode_meta",
 ]
 

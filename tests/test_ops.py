@@ -940,3 +940,105 @@ def test_temperature_mixture_is_deterministic(spark):
     assert sorted(map(tuple, a)) == sorted(map(tuple, b))
     # equal-size sources at any tau keep everything (rates all 1.0)
     assert sum(r["count"] for r in a) == 400
+
+
+def test_normalize_text_canonical_form(spark):
+    rows = [
+        (1, "  Hello,   WORLD!! 42 "),
+        (2, "hello world 42"),
+        (3, ""),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = X.normalize_text(df).toPandas().set_index("doc_id")
+    assert out.loc[1].norm_text == "hello world 42"
+    # punctuation/case variants normalize to the same dedup key
+    assert out.loc[1].norm_text == out.loc[2].norm_text
+    assert out.loc[3].norm_text == ""
+    plan = X.normalize_text(df)._jdf.queryExecution().executedPlan().toString()
+    assert "BatchEvalPython" not in plan and "Exchange" not in plan
+
+
+def test_boilerplate_chunk_stats_flags_shared_chunks(spark):
+    shared = "one two three four five six seven eight"
+    rows = [
+        (1, shared + " unique alpha beta gamma delta epsilon zeta eta"),
+        (2, shared + " other words here that only doc two carries now"),
+        (3, "totally different text with no overlap at all ok"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = (
+        X.boilerplate_chunk_stats(df, chunk_words=8, min_doc_freq=2)
+        .toPandas()
+        .set_index("doc_id")
+    )
+    # docs 1/2 share their first 8-word chunk -> it is boilerplate
+    assert out.loc[1].n_chunks == 2 and out.loc[1].n_kept == 1
+    # doc 2 has 17 words -> 3 chunks (8, 8, 1); only the shared one drops
+    assert out.loc[2].n_chunks == 3 and out.loc[2].n_kept == 2
+    assert out.loc[3].n_kept == out.loc[3].n_chunks  # nothing removed
+    assert out.loc[1].kept_words == 8
+
+
+def test_quality_logit_buckets_and_exactness(spark):
+    rows = [
+        (1, " ".join(["the word of and to"] * 50)),   # long + stopwordy
+        (2, "!!!! ???? ;;;; ::::"),                   # pure punctuation
+        (3, ""),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = X.quality_logit(df).toPandas().set_index("doc_id")
+    assert out.loc[1].quality_bucket == "keep"
+    assert out.loc[2].quality_bucket == "drop"
+    # empty doc: bias only
+    assert out.loc[3].logit_milli == -500 and out.loc[3].quality_bucket == "review"
+    # exact integer arithmetic for doc 1: 250 tokens (cap 200),
+    # 4/5 stopwords = 800 permille, zero punctuation
+    assert out.loc[1].logit_milli == -500 + 200 * 10 + 800 * 3
+
+
+def test_sq8_roundtrip_and_topk_recall(spark):
+    import numpy as np
+
+    rng = np.random.default_rng(7)
+    vecs = rng.normal(size=(60, 8)).astype("float32")
+    rows = [(i, [float(x) for x in vecs[i]]) for i in range(60)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    mins, maxs = S.sq8_train(df)
+    assert len(mins) == 8 and all(m < x for m, x in zip(mins, maxs))
+    codes = S.sq8_codes(df, mins, maxs).toPandas()
+    flat = [c for row in codes.codes for c in row]
+    assert min(flat) >= 0 and max(flat) <= 255
+    # corpus min/max dims hit the code range ends
+    assert 0 in flat and 255 in flat
+    out = S.sq8_topk(df, df.filter(F.col("vec_id") < 3), k=5).toPandas()
+    assert set(out.query_id) == {0, 1, 2}
+    assert (out.groupby("query_id")["rank"].max() == 5).all()
+    # the Spark ranking equals a numpy replication of the same
+    # quantization (integer dot of identical codes) — exact, not
+    # recall-fuzzy, since SQ8's affine codes are deterministic
+    v64 = vecs.astype(np.float64)
+    mn, mx = v64.min(axis=0), v64.max(axis=0)
+    np_codes = np.clip(
+        np.floor((v64 - mn) * 255.0 / (mx - mn)), 0, 255
+    ).astype(np.int64)
+    sims = np_codes @ np_codes.T
+    np.fill_diagonal(sims, -1)
+    for q in range(3):
+        # top-5 by (score desc, id asc)
+        order = sorted(range(60), key=lambda i: (-sims[q, i], i))
+        expect = [i for i in order if i != q][:5]
+        got = list(
+            out[out.query_id == q].sort_values("rank").neighbor_id
+        )
+        assert got == expect
+
+
+def test_sq8_plan_broadcast_no_python(spark):
+    rows = [(i, [float(i), float(i + 1)]) for i in range(20)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    plan = (
+        S.sq8_topk(df, df.filter(F.col("vec_id") < 2), k=2)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "BatchEvalPython" not in plan
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastExchange" in plan

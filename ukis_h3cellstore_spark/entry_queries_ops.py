@@ -1612,7 +1612,154 @@ FROM per_doc GROUP BY 1
 """
 
 
+def q_text_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Canonical normalization surface (ops/text.py:normalize_text):
+    the dedup-key text form, summarized as (doc_id, n_chars_norm,
+    norm_h) so the gate stays narrow."""
+    from ukis_h3cellstore_spark.entry_queries import _hash64
+
+    out = X.normalize_text(_docs(spark, sf_dir))
+    return out.select(
+        "doc_id",
+        F.length("norm_text").alias("n_chars_norm"),
+        _hash64(F.col("norm_text")).alias("norm_h"),
+    )
+
+
+Q_TEXT_NORMALIZE_SQL = f"""
+WITH n AS (
+  SELECT doc_id,
+         trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9 ]', ' ', 'g'),
+                             ' +', ' ', 'g')) AS norm_text
+  FROM documents
+)
+SELECT CAST(doc_id AS BIGINT) AS doc_id,
+       CAST(length(norm_text) AS INT) AS n_chars_norm,
+       {_DUCK_HASH64.format(x='norm_text')} AS norm_h
+FROM n
+"""
+
+
+def q_text_boilerplate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Boilerplate-chunk removal stats
+    (ops/text.py:boilerplate_chunk_stats): word-chunk doc-frequency
+    screen, per-doc survival report."""
+    return X.boilerplate_chunk_stats(
+        _docs(spark, sf_dir), chunk_words=8, min_doc_freq=2
+    )
+
+
+Q_TEXT_BOILERPLATE_SQL = f"""
+WITH base AS (SELECT doc_id, {_DUCK_TOKS} AS toks FROM documents),
+nn AS (SELECT doc_id, toks,
+              CASE WHEN len(array_to_string(toks, '')) = 0 THEN 0
+                   ELSE len(toks) END AS n
+       FROM base),
+chunks AS (
+  SELECT doc_id,
+         md5(array_to_string(list_slice(toks, u.i, u.i + 7), ' ')) AS h,
+         least(8, n - u.i + 1) AS words
+  FROM nn, unnest(generate_series(1, n, 8)) AS u(i)
+),
+freq AS (SELECT h, count(DISTINCT doc_id) AS df FROM chunks GROUP BY 1)
+SELECT CAST(c.doc_id AS BIGINT) AS doc_id,
+       CAST(count(*) AS BIGINT) AS n_chunks,
+       CAST(SUM(CASE WHEN f.df < 2 THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+       CAST(SUM(CASE WHEN f.df < 2 THEN c.words ELSE 0 END) AS BIGINT) AS kept_words
+FROM chunks c JOIN freq f USING (h)
+GROUP BY 1
+"""
+
+
+def q_text_quality_logit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Integer-weight linear quality classifier
+    (ops/text.py:quality_logit) — learned-filter shape, exact BIGINT
+    score."""
+    return X.quality_logit(_docs(spark, sf_dir))
+
+
+_DUCK_STOPLIST = "[" + ", ".join(f"'{s}'" for s in X.STOPWORDS) + "]"
+
+Q_TEXT_QUALITY_LOGIT_SQL = f"""
+WITH f AS (
+  SELECT doc_id,
+         CASE WHEN len(trim(text)) = 0 THEN 0
+              ELSE len({_DUCK_TOKS}) END AS n_tokens,
+         len(text) AS n_chars,
+         len(regexp_replace(text, '[A-Za-z0-9\\s]', '', 'g')) AS n_punct,
+         len(list_filter({_DUCK_TOKS},
+                         t -> list_contains({_DUCK_STOPLIST}, t))) AS n_stop
+  FROM documents
+),
+pm AS (
+  SELECT doc_id, n_tokens,
+         CASE WHEN n_tokens > 0 THEN (n_stop * 1000) // n_tokens ELSE 0 END AS stop_pm,
+         CASE WHEN n_chars > 0 THEN (n_punct * 1000) // n_chars ELSE 0 END AS punct_pm
+  FROM f
+),
+l AS (
+  SELECT doc_id,
+         CAST(-500 + least(n_tokens, 200) * 10 + stop_pm * 3
+              + punct_pm * (-5) AS BIGINT) AS logit_milli
+  FROM pm
+)
+SELECT CAST(doc_id AS BIGINT) AS doc_id, logit_milli,
+       CASE WHEN logit_milli > 0 THEN 'keep'
+            WHEN logit_milli >= -1000 THEN 'review'
+            ELSE 'drop' END AS quality_bucket
+FROM l
+"""
+
+
+def q_ann_sq8_top3(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scalar-quantization ANN (ops/similarity.py:sq8_topk): per-dim
+    min/max codebook, 8-bit codes, integer-dot ranking."""
+    e = _embs(spark, sf_dir)
+    return S.sq8_topk(e, e.filter(F.col("vec_id") < 5), k=3)
+
+
+Q_ANN_SQ8_SQL = """
+WITH comp AS (
+  SELECT vec_id, generate_subscripts(embedding, 1) AS pos,
+         CAST(unnest(embedding) AS DOUBLE) AS v
+  FROM embeddings
+),
+stats AS (
+  SELECT pos, min(v) AS mn, max(v) AS mx FROM comp GROUP BY 1
+),
+codes AS (
+  SELECT vec_id,
+         list(CASE WHEN s.mx > s.mn
+                   THEN least(255, greatest(0,
+                        CAST(floor((c.v - s.mn) * 255.0 / (s.mx - s.mn)) AS BIGINT)))
+                   ELSE 0 END ORDER BY c.pos) AS codes
+  FROM comp c JOIN stats s USING (pos)
+  GROUP BY 1
+),
+scored AS (
+  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+         list_reduce(list_transform(list_zip(q.codes, c.codes),
+                                    x -> x[1] * x[2]), (s, v) -> s + v) AS score
+  FROM codes q JOIN codes c ON c.vec_id <> q.vec_id
+  WHERE q.vec_id < 5
+),
+ranked AS (
+  SELECT *, row_number() OVER (
+      PARTITION BY query_id ORDER BY score DESC, neighbor_id ASC) AS rank
+  FROM scored
+)
+SELECT CAST(query_id AS BIGINT) AS query_id,
+       CAST(neighbor_id AS BIGINT) AS neighbor_id,
+       CAST(score AS BIGINT) AS score, CAST(rank AS INT) AS rank
+FROM ranked WHERE rank <= 3
+"""
+
+
 QUERIES_OPS: dict[str, Callable[[SparkSession, str], DataFrame]] = {
+    "text_normalize": q_text_normalize,
+    "text_boilerplate": q_text_boilerplate,
+    "text_quality_logit": q_text_quality_logit,
+    "ann_sq8_top3": q_ann_sq8_top3,
     "text_stats": q_text_stats,
     "text_langid": q_text_langid,
     "text_token_counts": q_text_token_counts,
@@ -1658,6 +1805,10 @@ QUERIES_OPS: dict[str, Callable[[SparkSession, str], DataFrame]] = {
 }
 
 ORACLES_OPS: dict[str, str] = {
+    "text_normalize": Q_TEXT_NORMALIZE_SQL,
+    "text_boilerplate": Q_TEXT_BOILERPLATE_SQL,
+    "text_quality_logit": Q_TEXT_QUALITY_LOGIT_SQL,
+    "ann_sq8_top3": Q_ANN_SQ8_SQL,
     "text_stats": Q_TEXT_STATS_SQL,
     "text_langid": _q_text_langid_sql(),
     "text_token_counts": Q_TEXT_TOKEN_COUNTS_SQL,

@@ -888,3 +888,110 @@ def ivfpq_topk(
         .filter(F.col("rank") <= k)
         .select("query_id", "neighbor_id", "adc_d2", "rank")
     )
+
+
+# ------------------------------------------------------- SQ8 quantization
+
+
+def sq8_train(
+    corpus: DataFrame, vec_col: str = "embedding"
+) -> tuple[list[float], list[float]]:
+    """Per-dimension [min, max] over the corpus — the SQ8 codebook.
+
+    One narrow posexplode → (dim, min, max) hash-agg with map-side
+    combine; the result is dims-sized (64 floats here, ~4 KB at
+    4096-d), so collecting and broadcasting it is the correct move at
+    any corpus size — this is metadata, not data."""
+    stats = (
+        corpus.select(F.posexplode(vec_col).alias("dim", "v"))
+        .groupBy("dim")
+        .agg(
+            F.min(F.col("v").cast("double")).alias("mn"),
+            F.max(F.col("v").cast("double")).alias("mx"),
+        )
+        .orderBy("dim")
+        .collect()
+    )
+    return [r.mn for r in stats], [r.mx for r in stats]
+
+
+def sq8_codes(
+    df: DataFrame,
+    mins: list[float],
+    maxs: list[float],
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Quantize each vector to 8-bit codes 0..255 against the trained
+    per-dim range: code_d = floor((v - min_d) * 255 / (max_d - min_d)),
+    clamped; degenerate dims (max == min) code to 0. 4 bytes/float →
+    1 byte/dim — the 4× memory cut that makes billion-vector search
+    fit. The codebook rides along as two array LITERALS in the plan
+    (no join, no broadcast variable), and the transform is a
+    whole-stage-codegen higher-order function."""
+    mn = F.array(*[F.lit(float(v)) for v in mins])
+    mx = F.array(*[F.lit(float(v)) for v in maxs])
+    code = F.transform(
+        F.col(vec_col),
+        lambda v, i: F.when(
+            F.element_at(mx, i + 1) > F.element_at(mn, i + 1),
+            F.least(
+                F.lit(255),
+                F.greatest(
+                    F.lit(0),
+                    F.floor(
+                        (v.cast("double") - F.element_at(mn, i + 1))
+                        * 255.0
+                        / (F.element_at(mx, i + 1) - F.element_at(mn, i + 1))
+                    ),
+                ),
+            ),
+        )
+        .otherwise(F.lit(0))
+        .cast("long"),
+    )
+    return df.select(F.col(id_col), code.alias("codes"))
+
+
+def sq8_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 1,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """SQ8 approximate top-k: (query_id, neighbor_id, score, rank),
+    ranked on the INTEGER dot product of 8-bit codes — exact BIGINT
+    arithmetic, so ranking is bit-reproducible everywhere. Corpus
+    codes stream (never collected); quantized queries broadcast.
+    Train → encode → score is the scalar-quantization half of a
+    FAISS IndexSQ: same recall/memory trade, Spark-first plan."""
+    mins, maxs = sq8_train(corpus, vec_col)
+    c = sq8_codes(corpus, mins, maxs, id_col, vec_col).select(
+        F.col(id_col).alias("neighbor_id"), F.col("codes").alias("c_codes")
+    )
+    q = sq8_codes(queries, mins, maxs, id_col, vec_col).select(
+        F.col(id_col).alias("query_id"), F.col("codes").alias("q_codes")
+    )
+    scored = (
+        c.crossJoin(F.broadcast(q))
+        .filter(F.col("neighbor_id") != F.col("query_id"))
+        .withColumn(
+            "score",
+            F.aggregate(
+                F.zip_with(
+                    F.col("q_codes"), F.col("c_codes"), lambda a, b: a * b
+                ),
+                F.lit(0).cast("long"),
+                lambda acc, v: acc + v,
+            ),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("score").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "score", "rank")
+    )

@@ -498,3 +498,140 @@ def char_entropy(
         n.alias("n_chars"),
         F.when(n > 0, F.round(ent, 6)).otherwise(F.lit(0.0)).alias("entropy"),
     )
+
+
+def normalize_text(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    out_col: str = "norm_text",
+) -> DataFrame:
+    """Canonical text normalization for dedup keys and tokenizer
+    pre-passes: lowercase, strip every non-alphanumeric character to a
+    space, collapse whitespace runs, trim. The normalized form is what
+    exact/fuzzy dedup should key on — raw text differs on punctuation
+    and casing that carries no identity.
+
+    Pure string expressions (whole-stage codegen, zero shuffle); the
+    regex class is ASCII-explicit so Spark (Java regex) and any SQL
+    oracle (POSIX-ish engines) agree byte-for-byte."""
+    norm = F.trim(
+        F.regexp_replace(
+            F.regexp_replace(F.lower(F.col(text_col)), "[^a-z0-9 ]", " "),
+            " +",
+            " ",
+        )
+    )
+    return df.select(F.col(id_col), norm.alias(out_col))
+
+
+def boilerplate_chunk_stats(
+    df: DataFrame,
+    chunk_words: int = 8,
+    min_doc_freq: int = 2,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """RefinedWeb-style boilerplate removal, lifted to word-chunks
+    (the driver corpus has no newlines, so fixed-``chunk_words``
+    windows stand in for lines): a chunk occurring in at least
+    ``min_doc_freq`` DISTINCT documents is boilerplate; per document
+    report how much survives — (id, n_chunks, n_kept, kept_words).
+
+    Plan shape (scale-first): tokenize → non-overlapping chunk
+    explode (flatMap, no shuffle) → ONE hash-agg computing each
+    chunk's distinct-document frequency (map-side combine on the
+    md5 key) → shuffle join back on the chunk key → per-doc agg.
+    Chunk frequency is corpus-sized, so it is NOT broadcast — the
+    equi-join shuffles both sides on the chunk hash, the same
+    discipline as ops/dedup.py's size tables."""
+    toks = tokens(text_col)
+    base = df.select(F.col(id_col).alias("__id"), toks.alias("__toks")).withColumn(
+        "__n",
+        F.when(F.length(F.concat_ws("", F.col("__toks"))) == 0, F.lit(0)).otherwise(
+            F.size("__toks")
+        ),
+    )
+    starts = F.when(
+        F.col("__n") > 0, F.sequence(F.lit(1), F.col("__n"), F.lit(chunk_words))
+    ).otherwise(F.array().cast("array<int>"))
+    chunks = base.select(
+        F.col("__id"),
+        F.col("__n"),
+        F.posexplode(starts).alias("__chunk_no", "__start"),
+        F.col("__toks"),
+    ).select(
+        "__id",
+        "__chunk_no",
+        F.md5(F.concat_ws(" ", F.slice(F.col("__toks"), F.col("__start"), chunk_words))).alias(
+            "__h"
+        ),
+        F.least(F.lit(chunk_words), F.col("__n") - F.col("__start") + 1).alias(
+            "__words"
+        ),
+    )
+    freq = chunks.groupBy("__h").agg(
+        F.countDistinct("__id").alias("__df")
+    )
+    kept = F.col("__df") < F.lit(min_doc_freq)
+    return (
+        chunks.join(freq, "__h")
+        .groupBy(F.col("__id").alias(id_col))
+        .agg(
+            F.count(F.lit(1)).alias("n_chunks"),
+            F.sum(F.when(kept, 1).otherwise(0)).alias("n_kept"),
+            F.sum(F.when(kept, F.col("__words")).otherwise(0)).alias("kept_words"),
+        )
+    )
+
+
+#: integer milli-weights for the linear quality model — deterministic
+#: stand-in for a trained fasttext/logistic classifier; all arithmetic
+#: stays in BIGINT so every engine agrees bit-for-bit.
+QUALITY_WEIGHTS_MILLI: dict[str, int] = {
+    "bias": -500,
+    "tokens_capped": 10,     # per token, capped at 200
+    "stop_permille": 3,      # per ‰ stopwords
+    "punct_permille": -5,    # per ‰ punctuation chars
+}
+
+
+def quality_logit(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Linear quality classifier with INTEGER milli-weights:
+    (id, logit_milli, quality_bucket). The feature→weight dot product
+    is exact BIGINT arithmetic — the shape of a learned quality
+    filter (fasttext/logistic) without a model artifact, so the gate
+    hash is engine-independent. Buckets: keep (>0), review
+    ([-1000,0]), drop (<-1000)."""
+    toks = tokens(text_col)
+    n_tokens = F.when(
+        F.length(F.trim(F.col(text_col))) == 0, F.lit(0)
+    ).otherwise(F.size(toks)).cast("long")
+    n_chars = F.length(F.col(text_col)).cast("long")
+    n_punct = F.length(
+        F.regexp_replace(F.col(text_col), r"[A-Za-z0-9\s]", "")
+    ).cast("long")
+    n_stop = F.size(F.filter(toks, lambda t: t.isin(STOPWORDS))).cast("long")
+    stop_pm = F.when(n_tokens > 0, (n_stop * 1000) / n_tokens).otherwise(
+        F.lit(0)
+    ).cast("long")
+    punct_pm = F.when(n_chars > 0, (n_punct * 1000) / n_chars).otherwise(
+        F.lit(0)
+    ).cast("long")
+    w = QUALITY_WEIGHTS_MILLI
+    logit = (
+        F.lit(w["bias"])
+        + F.least(n_tokens, F.lit(200)) * w["tokens_capped"]
+        + stop_pm * w["stop_permille"]
+        + punct_pm * w["punct_permille"]
+    ).cast("long")
+    return df.select(
+        F.col(id_col),
+        logit.alias("logit_milli"),
+        F.when(logit > 0, "keep")
+        .when(logit >= -1000, "review")
+        .otherwise("drop")
+        .alias("quality_bucket"),
+    )
