@@ -71,11 +71,11 @@ _PRIORITY = [
     "text_boilerplate",
     "text_quality_logit",
     "ann_sq8_top3",
+    "streaming_topk",
     # tier 2 — green in r2, stale since
     "dedup_ngram_jaccard",
     "dedup_minhash_signatures",
     "dedup_minhash_lsh_pairs",
-    "dedup_simhash",
     "dedup_simhash_groups",
     "dedup_simhash_hamming",
     "ann_cosine_top3",

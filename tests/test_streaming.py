@@ -229,3 +229,49 @@ def test_interval_join_streams_matches_batch_across_batches(spark, tmp_path):
         ).collect()
     )
     assert got == expected and len(got) > 0
+
+
+def test_windowed_topk_matches_batch_rank(spark, events_dir):
+    schema = spark.read.parquet(events_dir).schema
+    stream = st.read_stream(spark, events_dir, schema, max_files_per_trigger=1)
+    counts = st.windowed_key_counts(
+        stream, "ts", "event_type", window_duration="1 hour", watermark="2 hours"
+    )
+    _run_available_now(counts, "topk_agg")
+    got = (
+        st.topk_per_window(spark.table("topk_agg"), "event_type", k=2)
+        .select(
+            F.unix_micros(F.col("window.start")).alias("ws"),
+            "event_type",
+            "n_events",
+            "rank",
+        )
+        .collect()
+    )
+    # batch recomputation: hourly counts + deterministic rank
+    from pyspark.sql import Window
+
+    batch = (
+        spark.read.parquet(events_dir)
+        .groupBy(
+            F.window("ts", "1 hour").alias("window"), F.col("event_type")
+        )
+        .agg(F.count(F.lit(1)).alias("n_events"))
+    )
+    w = Window.partitionBy("window").orderBy(
+        F.col("n_events").desc(), F.col("event_type").asc()
+    )
+    expected = (
+        batch.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= 2)
+        .select(
+            F.unix_micros(F.col("window.start")).alias("ws"),
+            "event_type",
+            "n_events",
+            "rank",
+        )
+        .collect()
+    )
+    key = lambda r: (r.ws, r.rank)
+    assert sorted(got, key=key) == sorted(expected, key=key)
+    assert len(got) > 0

@@ -254,7 +254,58 @@ FROM e c JOIN e x
 """
 
 
+def q_streaming_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trending-items pipeline: streaming hourly per-event-type counts
+    (bounded state via watermark) + the batch top-3 rank applied to
+    the materialized sink (streaming.windowed_key_counts /
+    topk_per_window). Rank ties break on event_type asc, so the
+    result is micro-batch-order-proof."""
+    src = _events(spark, sf_dir).select(
+        "event_type", F.timestamp_micros(F.col("ts_us")).alias("ts")
+    )
+    stream_dir = tempfile.mkdtemp(prefix="h3stream_topk_")
+    src.repartition(4).write.mode("overwrite").parquet(stream_dir)
+    stream = st.read_stream(spark, stream_dir, src.schema, max_files_per_trigger=2)
+    counts = st.windowed_key_counts(
+        stream, "ts", "event_type", window_duration="1 hour", watermark="2 hours"
+    )
+    _SINK_COUNTER[0] += 1
+    sink = f"stream_topk_sink_{_SINK_COUNTER[0]}"
+    q = (
+        counts.writeStream.format("memory")
+        .queryName(sink)
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    return st.topk_per_window(spark.table(sink), "event_type", k=3).select(
+        F.unix_micros(F.col("window.start")).alias("window_start_us"),
+        "event_type",
+        "n_events",
+        "rank",
+    )
+
+
+_Q_STREAMING_TOPK_SQL = """
+WITH counts AS (
+  SELECT (epoch_us(ts) // 3600000000) * 3600000000 AS window_start_us,
+         event_type, COUNT(*) AS n_events
+  FROM events GROUP BY 1, 2
+),
+ranked AS (
+  SELECT *, row_number() OVER (
+      PARTITION BY window_start_us
+      ORDER BY n_events DESC, event_type ASC) AS rank
+  FROM counts
+)
+SELECT window_start_us, event_type, n_events, CAST(rank AS INT) AS rank
+FROM ranked WHERE rank <= 3
+"""
+
+
 QUERIES_STREAM: dict[str, Callable[[SparkSession, str], DataFrame]] = {
+    "streaming_topk": q_streaming_topk,
     "streaming_windowed_rollup": q_streaming_windowed_rollup,
     "streaming_dedup_exact": q_streaming_dedup_exact,
     "streaming_sessionize": q_streaming_sessionize,
@@ -262,6 +313,7 @@ QUERIES_STREAM: dict[str, Callable[[SparkSession, str], DataFrame]] = {
 }
 
 ORACLES_STREAM: dict[str, str] = {
+    "streaming_topk": _Q_STREAMING_TOPK_SQL,
     "streaming_windowed_rollup": _q_streaming_windowed_rollup_sql(),
     "streaming_dedup_exact": _Q_STREAMING_DEDUP_EXACT_SQL,
     "streaming_sessionize": _Q_STREAMING_SESSIONIZE_SQL,

@@ -29,6 +29,7 @@ from __future__ import annotations
 from collections.abc import Iterable
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import Window as W
 from pyspark.sql import functions as F
 from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 from pyspark.sql.types import (
@@ -238,4 +239,49 @@ def stateful_cell_accumulator(
         stateStructType=_ACC_STATE,
         outputMode="update",
         timeoutConf=getattr(GroupStateTimeout, timeout, GroupStateTimeout.NoTimeout),
+    )
+
+
+def windowed_key_counts(
+    stream: DataFrame,
+    ts_column: str,
+    key_column: str,
+    window_duration: str = "1 hour",
+    watermark: str = "2 hours",
+) -> DataFrame:
+    """Tumbling-window frequency table per key — the streaming half of
+    a windowed top-k / trending-items pipeline. Output: one row per
+    (window, key) with the event count; the watermark bounds state
+    exactly as in :func:`windowed_cell_rollup`.
+
+    Ranking ("top k per window") is deliberately NOT applied here:
+    window functions over a streaming aggregate are unsupported by
+    design (a rank can be invalidated by late data), so the correct
+    production shape is this bounded-state streaming count feeding a
+    cheap batch rank at read time (or in ``foreachBatch``) — see
+    :func:`topk_per_window`."""
+    return (
+        stream.withWatermark(ts_column, watermark)
+        .groupBy(
+            F.window(F.col(ts_column), window_duration).alias("window"),
+            F.col(key_column),
+        )
+        .agg(F.count(F.lit(1)).alias("n_events"))
+    )
+
+
+def topk_per_window(
+    counts: DataFrame, key_column: str, k: int = 3
+) -> DataFrame:
+    """Batch rank over a materialized windowed frequency table:
+    row_number per window by (count desc, key asc) — fully
+    deterministic ties — filtered to the top ``k``. Runs on the sink
+    table each time it is read, so late-data updates to the counts
+    re-rank for free."""
+    w = W.partitionBy("window").orderBy(
+        F.col("n_events").desc(), F.col(key_column).asc()
+    )
+    return (
+        counts.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
     )
