@@ -49,6 +49,10 @@ HEADLINE = [
     "corpus_training_mix",
     "geo_polyfill_traversal",
     "raster_ingest",
+    "q9_profit_by_nation_year",
+    "q21_blocking_suppliers",
+    "ann_sq8_top3",
+    "text_boilerplate",
 ]
 
 

@@ -1042,3 +1042,49 @@ def test_sq8_plan_broadcast_no_python(spark):
     )
     assert "BatchEvalPython" not in plan
     assert "BroadcastNestedLoopJoin" in plan or "BroadcastExchange" in plan
+
+
+def test_embedding_verified_pairs_cross_modal(spark):
+    # doc 1/2: same vector AND same text; doc 3: same vector as 1 but
+    # disjoint text (paraphrase-level false positive the text verify
+    # must keep with low jaccard); doc 4: different vector
+    rows = [
+        (1, "alpha beta gamma delta", [1.0, 0.0, 1.0, 0.0]),
+        (2, "alpha beta gamma delta", [1.0, 0.0, 1.0, 0.0]),
+        (3, "zeta eta theta iota",    [1.0, 0.0, 1.0, 0.0]),
+        (4, "alpha beta gamma delta", [-1.0, 5.0, -1.0, 2.0]),
+    ]
+    docs = spark.createDataFrame(
+        [(i, t) for i, t, _ in rows], "doc_id long, text string"
+    )
+    embs = spark.createDataFrame(
+        [(i, v) for i, _, v in rows], "vec_id long, embedding array<float>"
+    )
+    out = D.embedding_verified_pairs(
+        docs, embs, threshold=0.0, cosine_threshold=0.9, k=1,
+        num_tables=4, num_planes=2,
+    ).toPandas()
+    pairs = {(r.id_a, r.id_b): r for r in out.itertuples()}
+    # identical text + identical vector -> jaccard 1.0
+    assert (1, 2) in pairs and pairs[(1, 2)].jaccard == 1.0
+    # identical vector, disjoint text -> filtered by the verify stage
+    # (zero common shingles never reach the threshold join)
+    assert (1, 3) not in pairs and (2, 3) not in pairs
+    # different vector direction -> never a candidate
+    assert all(4 not in (a, b) for a, b in pairs)
+
+
+def test_verify_pairs_jaccard_exactness(spark):
+    docs = spark.createDataFrame(
+        [(1, "a b c d"), (2, "a b x y"), (3, "p q r s")],
+        "doc_id long, text string",
+    )
+    sh = D.shingle_df(docs, "text", "doc_id", k=1)
+    cand = spark.createDataFrame(
+        [(1, 2), (1, 3)], "id_a long, id_b long"
+    )
+    out = D.verify_pairs_jaccard(cand, sh, threshold=0.0).toPandas()
+    got = {(r.id_a, r.id_b): (r.n_common, r.jaccard) for r in out.itertuples()}
+    # |{a,b}| / |{a,b,c,d,x,y}| = 2/6
+    assert got[(1, 2)] == (2, 2 / 6)
+    assert (1, 3) not in got  # zero overlap drops out of the join

@@ -879,6 +879,47 @@ WHERE round(CAST({cos} AS DOUBLE), 4) >= 0.2
 """
 
 
+def q_dedup_cross_modal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-modal two-stage dedup (ops/dedup.py:
+    embedding_verified_pairs): embedding-LSH candidates verified by
+    exact unigram text Jaccard over the paired documents table. The
+    synthetic corpus is near-orthogonal, so thresholds sit low enough
+    that the full candidate→verify path produces rows to hash-check."""
+    return D.embedding_verified_pairs(
+        _docs(spark, sf_dir),
+        _embs(spark, sf_dir),
+        threshold=0.0,
+        cosine_threshold=0.2,
+        k=1,
+        num_tables=_LSH_TABLES,
+        num_planes=_LSH_PLANES,
+    )
+
+
+def _q_dedup_cross_modal_sql() -> str:
+    cand = _q_embedding_dup_pairs_sql()
+    return f"""
+WITH cand AS ({cand}),
+sh AS ({_duck_shingles_k(1)}),
+sizes AS (SELECT doc_id, COUNT(*) AS n_sh FROM sh GROUP BY 1),
+common AS (
+  SELECT c.id_a, c.id_b, COUNT(*) AS n_common
+  FROM cand c
+  JOIN sh a ON a.doc_id = c.id_a
+  JOIN sh b ON b.doc_id = c.id_b AND b.shingle = a.shingle
+  GROUP BY 1, 2
+)
+SELECT m.id_a, m.id_b, c.cosine_sim,
+       CAST(m.n_common AS BIGINT) AS n_common,
+       CAST(m.n_common AS DOUBLE) / (sa.n_sh + sb.n_sh - m.n_common) AS jaccard
+FROM common m
+JOIN cand c ON c.id_a = m.id_a AND c.id_b = m.id_b
+JOIN sizes sa ON sa.doc_id = m.id_a
+JOIN sizes sb ON sb.doc_id = m.id_b
+WHERE CAST(m.n_common AS DOUBLE) / (sa.n_sh + sb.n_sh - m.n_common) >= 0.0
+"""
+
+
 # ------------------------------------------------------------ sampling suite
 
 
@@ -1760,6 +1801,7 @@ QUERIES_OPS: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "text_boilerplate": q_text_boilerplate,
     "text_quality_logit": q_text_quality_logit,
     "ann_sq8_top3": q_ann_sq8_top3,
+    "dedup_cross_modal": q_dedup_cross_modal,
     "text_stats": q_text_stats,
     "text_langid": q_text_langid,
     "text_token_counts": q_text_token_counts,
@@ -1809,6 +1851,7 @@ ORACLES_OPS: dict[str, str] = {
     "text_boilerplate": Q_TEXT_BOILERPLATE_SQL,
     "text_quality_logit": Q_TEXT_QUALITY_LOGIT_SQL,
     "ann_sq8_top3": Q_ANN_SQ8_SQL,
+    "dedup_cross_modal": _q_dedup_cross_modal_sql(),
     "text_stats": Q_TEXT_STATS_SQL,
     "text_langid": _q_text_langid_sql(),
     "text_token_counts": Q_TEXT_TOKEN_COUNTS_SQL,

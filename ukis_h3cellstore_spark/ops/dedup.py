@@ -196,6 +196,28 @@ def lsh_verified_pairs(
         df, text_col, id_col, k, num_hashes, band_size, min_est_jaccard,
         shingles=sh,
     ).select("id_a", "id_b")
+    return verify_pairs_jaccard(cand, sh, id_col, threshold)
+
+
+def verify_pairs_jaccard(
+    cand: DataFrame,
+    shingles: DataFrame,
+    id_col: str = "doc_id",
+    threshold: float = 0.5,
+) -> DataFrame:
+    """Exact shingle-set Jaccard over an arbitrary candidate-pair
+    table (``id_a``/``id_b``): (id_a, id_b, n_common, jaccard ≥
+    threshold). The verification backend shared by every two-stage
+    dedup pipeline — candidates can come from MinHash-LSH, SimHash
+    bands, or embedding buckets; the verify cost only ever touches
+    |candidates|, not |docs|².
+
+    ``shingles`` is the (id, shingle) table from :func:`shingle_df`
+    (pass a lazily-checkpointed one when it also feeds the candidate
+    stage). The intersection join shuffles on (id, shingle); the
+    per-document size table joins by shuffle, never broadcast (it is
+    O(corpus) rows)."""
+    sh = shingles
     sizes = sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("n_sh"))
     a = sh.select(F.col(id_col).alias("id_a"), "shingle")
     b = sh.select(F.col(id_col).alias("id_b"), "shingle")
@@ -217,6 +239,48 @@ def lsh_verified_pairs(
         )
         .filter(F.col("jaccard") >= threshold)
         .select("id_a", "id_b", "n_common", "jaccard")
+    )
+
+
+def embedding_verified_pairs(
+    docs: DataFrame,
+    embeddings: DataFrame,
+    threshold: float = 0.3,
+    cosine_threshold: float = 0.9,
+    k: int = 3,
+    num_tables: int = 4,
+    num_planes: int = 6,
+    doc_id_col: str = "doc_id",
+    vec_id_col: str = "vec_id",
+    text_col: str = "text",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Cross-modal two-stage dedup: EMBEDDING-space LSH candidates
+    (cheap, recall-oriented, catches paraphrase-level duplicates that
+    shingle MinHash misses) verified by the exact TEXT shingle
+    Jaccard: (id_a, id_b, cosine_sim, n_common, jaccard).
+
+    Stage 1 is :func:`ops.similarity.embedding_dup_pairs` over the
+    vector table; stage 2 re-keys the surviving pairs onto the
+    document table (vec ids must equal doc ids, the paired-table
+    convention) and runs :func:`verify_pairs_jaccard`. Both stages
+    are sub-quadratic; nothing corpus-sized is broadcast."""
+    from ukis_h3cellstore_spark.ops import similarity as _sim
+
+    cand = _sim.embedding_dup_pairs(
+        embeddings,
+        threshold=cosine_threshold,
+        num_tables=num_tables,
+        num_planes=num_planes,
+        id_col=vec_id_col,
+        vec_col=vec_col,
+    )
+    sh = shingle_df(docs, text_col, doc_id_col, k)
+    verified = verify_pairs_jaccard(
+        cand.select("id_a", "id_b"), sh, doc_id_col, threshold
+    )
+    return verified.join(cand, on=["id_a", "id_b"]).select(
+        "id_a", "id_b", "cosine_sim", "n_common", "jaccard"
     )
 
 
