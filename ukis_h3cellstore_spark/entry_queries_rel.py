@@ -551,7 +551,174 @@ FROM part GROUP BY 1
 """
 
 
+# --------------------------------------------------------------------------
+# ordered-set / statistical aggregates
+
+
+def q_lineitem_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact interpolated percentiles (ordered-set aggregate surface):
+    p50/p90/p99 of the discounted price in integer cents, per return
+    flag. Spark's exact ``percentile`` and DuckDB's ``quantile_cont``
+    share the lower+(upper-lower)*frac definition over the sorted
+    values, and the inputs are exact BIGINTs, so the interpolated
+    doubles match bit-for-bit. (Exact percentile is a full sort per
+    group — at 100 TB use approx_percentile; this gate pins the exact
+    semantics the approximation is judged against.)"""
+    l = _t(spark, sf_dir, "lineitem")
+    price = (_cents(F.col("l_extendedprice")) * (
+        F.lit(100) - _cents(F.col("l_discount"))
+    )).alias("price_c100")
+    return (
+        l.select("l_returnflag", price)
+        .groupBy("l_returnflag")
+        .agg(
+            F.count(F.lit(1)).alias("n_items"),
+            F.expr("percentile(price_c100, 0.5)").alias("p50"),
+            F.expr("percentile(price_c100, 0.9)").alias("p90"),
+            F.expr("percentile(price_c100, 0.99)").alias("p99"),
+        )
+    )
+
+
+Q_LINEITEM_PERCENTILES_SQL = """
+WITH p AS (
+  SELECT l_returnflag,
+         CAST(round(l_extendedprice*100) AS BIGINT)
+         * (100 - CAST(round(l_discount*100) AS BIGINT)) AS price_c100
+  FROM lineitem
+)
+SELECT l_returnflag, COUNT(*) AS n_items,
+       quantile_cont(price_c100, 0.5) AS p50,
+       quantile_cont(price_c100, 0.9) AS p90,
+       quantile_cont(price_c100, 0.99) AS p99
+FROM p GROUP BY 1
+"""
+
+
+def q_events_value_moments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Variance/stddev surface with EXACT integer moment sums: per
+    event type, n / Σx / Σx² in BIGINT cents, sample variance derived
+    from them in one double expression — bit-identical across engines,
+    unlike streaming Welford accumulators whose result depends on
+    accumulation order. (This is also the map-side-combinable way to
+    compute distributed variance: the moment sums merge
+    associatively.)"""
+    e = _events(spark, sf_dir)
+    cents = F.round(F.col("value") * 100).cast("long")
+    agged = (
+        e.select("event_type", cents.alias("c"))
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum("c").alias("sum_cents"),
+            F.sum(F.col("c") * F.col("c")).alias("sum_sq_cents"),
+        )
+    )
+    var = (
+        F.col("sum_sq_cents").cast("double")
+        - F.col("sum_cents").cast("double")
+        * F.col("sum_cents").cast("double")
+        / F.col("n_events").cast("double")
+    ) / (F.col("n_events") - 1).cast("double")
+    return agged.withColumn("var_cents2", F.round(var, 6))
+
+
+Q_EVENTS_MOMENTS_SQL = """
+WITH c AS (
+  SELECT event_type, CAST(round(value*100) AS BIGINT) AS c FROM events
+),
+m AS (
+  SELECT event_type, COUNT(*) AS n_events,
+         CAST(SUM(c) AS BIGINT) AS sum_cents,
+         CAST(SUM(c*c) AS BIGINT) AS sum_sq_cents
+  FROM c GROUP BY 1
+)
+SELECT event_type, n_events, sum_cents, sum_sq_cents,
+       round((CAST(sum_sq_cents AS DOUBLE)
+              - CAST(sum_cents AS DOUBLE) * CAST(sum_cents AS DOUBLE)
+                / CAST(n_events AS DOUBLE))
+             / CAST(n_events - 1 AS DOUBLE), 6) AS var_cents2
+FROM m
+"""
+
+
+def q_events_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rolling anomaly score: per event type, each day's event count
+    z-scored against the trailing 7-day window (ROWS 6 PRECEDING).
+    Rolling mean/variance come from exact integer window sums (Σx,
+    Σx², n) combined in ONE double expression — frame-order-proof,
+    unlike a windowed stddev accumulator. The window partitions by
+    event_type over day counts: tiny state per key, no skew."""
+    e = _events(spark, sf_dir)
+    daily = (
+        e.select(
+            "event_type",
+            F.expr("ts_us div 86400000000").alias("day"),
+        )
+        .groupBy("event_type", "day")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    from pyspark.sql import Window as W
+
+    w = W.partitionBy("event_type").orderBy("day").rowsBetween(-6, 0)
+    rolled = daily.select(
+        "event_type",
+        "day",
+        "n",
+        F.sum("n").over(w).alias("s1"),
+        F.sum(F.col("n") * F.col("n")).over(w).alias("s2"),
+        F.count(F.lit(1)).over(w).alias("k"),
+    )
+    mean = F.col("s1").cast("double") / F.col("k").cast("double")
+    var = (
+        F.col("s2").cast("double")
+        - F.col("s1").cast("double") * F.col("s1").cast("double")
+        / F.col("k").cast("double")
+    ) / F.col("k").cast("double")
+    return (
+        rolled.filter(F.col("k") == 7)
+        .withColumn("z_milli", F.floor(
+            (F.col("n").cast("double") - mean)
+            / F.sqrt(var) * 1000.0
+        ).cast("long"))
+        .filter(var > 0)
+        .select("event_type", "day", "n", "z_milli")
+    )
+
+
+Q_EVENTS_ZSCORE_SQL = """
+WITH daily AS (
+  SELECT event_type,
+         epoch_us(ts) // CAST(86400000000 AS BIGINT) AS day,
+         COUNT(*) AS n
+  FROM events GROUP BY 1, 2
+),
+rolled AS (
+  SELECT event_type, day, n,
+         SUM(n) OVER w AS s1,
+         SUM(n*n) OVER w AS s2,
+         COUNT(*) OVER w AS k
+  FROM daily
+  WINDOW w AS (PARTITION BY event_type ORDER BY day
+               ROWS BETWEEN 6 PRECEDING AND CURRENT ROW)
+)
+SELECT event_type, day, CAST(n AS BIGINT) AS n,
+       CAST(floor((CAST(n AS DOUBLE) - CAST(s1 AS DOUBLE) / CAST(k AS DOUBLE))
+            / sqrt((CAST(s2 AS DOUBLE)
+                    - CAST(s1 AS DOUBLE) * CAST(s1 AS DOUBLE) / CAST(k AS DOUBLE))
+                   / CAST(k AS DOUBLE)) * 1000.0) AS BIGINT) AS z_milli
+FROM rolled
+WHERE k = 7
+  AND (CAST(s2 AS DOUBLE)
+       - CAST(s1 AS DOUBLE) * CAST(s1 AS DOUBLE) / CAST(k AS DOUBLE))
+      / CAST(k AS DOUBLE) > 0
+"""
+
+
 QUERIES_REL: dict[str, Callable[[SparkSession, str], DataFrame]] = {
+    "lineitem_percentiles": q_lineitem_percentiles,
+    "events_value_moments": q_events_value_moments,
+    "events_zscore": q_events_zscore,
     "orders_semi_anti_join": q_orders_semi_anti,
     "events_variant_props": q_events_variant_props,
     "source_csv_roundtrip": q_source_csv_roundtrip,
@@ -568,6 +735,9 @@ QUERIES_REL: dict[str, Callable[[SparkSession, str], DataFrame]] = {
 }
 
 ORACLES_REL: dict[str, str] = {
+    "lineitem_percentiles": Q_LINEITEM_PERCENTILES_SQL,
+    "events_value_moments": Q_EVENTS_MOMENTS_SQL,
+    "events_zscore": Q_EVENTS_ZSCORE_SQL,
     "orders_semi_anti_join": Q_ORDERS_SEMI_ANTI_SQL,
     "events_variant_props": Q_EVENTS_VARIANT_SQL,
     "source_csv_roundtrip": Q_SOURCE_CSV_SQL,
