@@ -72,15 +72,15 @@ _PRIORITY = [
     "text_quality_logit",
     "ann_sq8_top3",
     "streaming_topk",
+    "dedup_cross_modal",
+    "lineitem_percentiles",
+    "events_value_moments",
+    "events_zscore",
+    "ann_filtered_top3",
     # tier 2 — green in r2, stale since
-    "dedup_ngram_jaccard",
-    "dedup_minhash_signatures",
     "dedup_minhash_lsh_pairs",
-    "dedup_simhash_groups",
     "dedup_simhash_hamming",
     "ann_cosine_top3",
-    "ann_lsh_top3",
-    "multimodal_decode_meta",
 ]
 
 

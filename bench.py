@@ -93,15 +93,16 @@ def main() -> None:
         .collect()
     )
 
-    # each query runs twice and reports the min: the first execution
-    # of a shape pays one-off JIT/codegen-compile/page-cache costs
-    # (measured 2-4x on the heavier dedup queries) that are not the
-    # engine's steady-state throughput
+    # each query runs three times and reports the min: the first
+    # execution of a shape pays one-off JIT/codegen-compile/page-cache
+    # costs (measured 2-4x on the heavier dedup queries), and the host
+    # shows bursty neighbor noise (same query measured 3.0s and 11.6s
+    # in consecutive idle runs) — min-of-3 is the steady-state number
     timings: dict[str, float] = {}
     for name in HEADLINE:
         fn = queries[name]
         best = None
-        for _ in range(2):
+        for _ in range(3):
             t0 = time.perf_counter()
             df = fn(spark, sf_dir)
             df.write.format("noop").mode("overwrite").save()

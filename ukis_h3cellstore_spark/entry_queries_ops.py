@@ -879,6 +879,43 @@ WHERE round(CAST({cos} AS DOUBLE), 4) >= 0.2
 """
 
 
+def q_ann_filtered_top3(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Filtered ANN (search only rows passing a metadata predicate —
+    the 'filtered vector search' every retrieval stack needs): the
+    label predicate lands on the corpus BEFORE scoring, so Catalyst
+    pushes it into the parquet scan (PushedFilters) and the candidate
+    set shrinks at the source, not post-ranking."""
+    e = _embs(spark, sf_dir)
+    return S.cosine_topk(
+        e.filter(F.col("label") % 2 == 0),
+        e.filter(F.col("vec_id") < 5),
+        k=3,
+    )
+
+
+def _q_ann_filtered_top3_sql() -> str:
+    return f"""
+WITH scored AS (
+  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+         round(CAST({_DUCK_COSINE.replace('a.c_vec', 'c.c_vec')} AS DOUBLE), 4) AS cosine_sim
+  FROM (SELECT vec_id, embedding AS c_vec FROM embeddings
+        WHERE label % 2 = 0) c
+  CROSS JOIN (SELECT vec_id, embedding AS q_vec FROM embeddings
+              WHERE vec_id < 5) q
+  WHERE c.vec_id <> q.vec_id
+),
+ranked AS (
+  SELECT *, row_number() OVER (
+      PARTITION BY query_id ORDER BY cosine_sim DESC, neighbor_id ASC) AS rank
+  FROM scored
+)
+SELECT CAST(query_id AS BIGINT) AS query_id,
+       CAST(neighbor_id AS BIGINT) AS neighbor_id,
+       cosine_sim, CAST(rank AS INT) AS rank
+FROM ranked WHERE rank <= 3
+"""
+
+
 def q_dedup_cross_modal(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Cross-modal two-stage dedup (ops/dedup.py:
     embedding_verified_pairs): embedding-LSH candidates verified by
@@ -1801,6 +1838,7 @@ QUERIES_OPS: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "text_boilerplate": q_text_boilerplate,
     "text_quality_logit": q_text_quality_logit,
     "ann_sq8_top3": q_ann_sq8_top3,
+    "ann_filtered_top3": q_ann_filtered_top3,
     "dedup_cross_modal": q_dedup_cross_modal,
     "text_stats": q_text_stats,
     "text_langid": q_text_langid,
@@ -1851,6 +1889,7 @@ ORACLES_OPS: dict[str, str] = {
     "text_boilerplate": Q_TEXT_BOILERPLATE_SQL,
     "text_quality_logit": Q_TEXT_QUALITY_LOGIT_SQL,
     "ann_sq8_top3": Q_ANN_SQ8_SQL,
+    "ann_filtered_top3": _q_ann_filtered_top3_sql(),
     "dedup_cross_modal": _q_dedup_cross_modal_sql(),
     "text_stats": Q_TEXT_STATS_SQL,
     "text_langid": _q_text_langid_sql(),
