@@ -77,10 +77,10 @@ _PRIORITY = [
     "events_value_moments",
     "events_zscore",
     "ann_filtered_top3",
+    "text_surprisal",
     # tier 2 — green in r2, stale since
     "dedup_minhash_lsh_pairs",
     "dedup_simhash_hamming",
-    "ann_cosine_top3",
 ]
 
 

@@ -1088,3 +1088,22 @@ def test_verify_pairs_jaccard_exactness(spark):
     # |{a,b}| / |{a,b,c,d,x,y}| = 2/6
     assert got[(1, 2)] == (2, 2 / 6)
     assert (1, 3) not in got  # zero overlap drops out of the join
+
+
+def test_unigram_surprisal_integer_exactness(spark):
+    rows = [
+        (1, "the the the the"),   # 4x the most common token
+        (2, "the rare"),          # one common + one singleton
+        (3, ""),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = X.unigram_surprisal(df).toPandas().set_index("doc_id")
+    # corpus: the=5, rare=1, total=6 -> bits(6)=3, bits(5)=3, bits(1)=1
+    assert out.loc[1].n_tokens == 4
+    assert out.loc[1].sum_surprisal == 4 * (3 - 3)
+    assert out.loc[2].sum_surprisal == (3 - 3) + (3 - 1)
+    assert out.loc[2].avg_surprisal_milli == (1000 * 2) // 2
+    # empty doc yields no tokens -> no row
+    assert 3 not in out.index
+    # rare-token docs score strictly higher than stop-word docs
+    assert out.loc[2].avg_surprisal_milli > out.loc[1].avg_surprisal_milli

@@ -879,6 +879,30 @@ WHERE round(CAST({cos} AS DOUBLE), 4) >= 0.2
 """
 
 
+def q_text_surprisal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unigram-surprisal quality score (ops/text.py:unigram_surprisal)
+    — integer-exact -log2 p via binary digit counts."""
+    return X.unigram_surprisal(_docs(spark, sf_dir))
+
+
+Q_TEXT_SURPRISAL_SQL = f"""
+WITH tok AS (
+  SELECT doc_id, unnest({_DUCK_TOKS}) AS t
+  FROM documents
+),
+tokf AS (SELECT doc_id, t FROM tok WHERE length(t) > 0),
+freq AS (SELECT t, COUNT(*) AS c FROM tokf GROUP BY 1),
+total AS (SELECT CAST(SUM(c) AS BIGINT) AS total FROM freq)
+SELECT CAST(doc_id AS BIGINT) AS doc_id,
+       CAST(COUNT(*) AS BIGINT) AS n_tokens,
+       CAST(SUM(length(bin(total)) - length(bin(c))) AS BIGINT) AS sum_surprisal,
+       CAST((1000 * SUM(length(bin(total)) - length(bin(c))))
+            // COUNT(*) AS BIGINT) AS avg_surprisal_milli
+FROM tokf JOIN freq USING (t) CROSS JOIN total
+GROUP BY 1
+"""
+
+
 def q_ann_filtered_top3(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Filtered ANN (search only rows passing a metadata predicate —
     the 'filtered vector search' every retrieval stack needs): the
@@ -1839,6 +1863,7 @@ QUERIES_OPS: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "text_quality_logit": q_text_quality_logit,
     "ann_sq8_top3": q_ann_sq8_top3,
     "ann_filtered_top3": q_ann_filtered_top3,
+    "text_surprisal": q_text_surprisal,
     "dedup_cross_modal": q_dedup_cross_modal,
     "text_stats": q_text_stats,
     "text_langid": q_text_langid,
@@ -1890,6 +1915,7 @@ ORACLES_OPS: dict[str, str] = {
     "text_quality_logit": Q_TEXT_QUALITY_LOGIT_SQL,
     "ann_sq8_top3": Q_ANN_SQ8_SQL,
     "ann_filtered_top3": _q_ann_filtered_top3_sql(),
+    "text_surprisal": Q_TEXT_SURPRISAL_SQL,
     "dedup_cross_modal": _q_dedup_cross_modal_sql(),
     "text_stats": Q_TEXT_STATS_SQL,
     "text_langid": _q_text_langid_sql(),

@@ -635,3 +635,51 @@ def quality_logit(
         .otherwise("drop")
         .alias("quality_bucket"),
     )
+
+
+def unigram_surprisal(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Frequency-based quality scoring — the shape of a unigram-LM
+    perplexity filter with EXACT integer arithmetic: per token the
+    surprisal is ``bits(total_tokens) - bits(corpus_count)``
+    (an integer ≈ -log2 p computed as binary-digit counts, so every
+    engine agrees bit-for-bit, unlike float ln sums whose value
+    depends on accumulation order), and per document we report
+    (id, n_tokens, sum_surprisal, avg_surprisal_milli). High average
+    surprisal = rare-token-heavy (OOV junk / gibberish); implausibly
+    low = boilerplate of stop words. This is the cheap stand-in for
+    the KenLM-style perplexity gate production pipelines run.
+
+    Plan: one corpus frequency hash-agg (map-side combine), a 1-row
+    total broadcast, then the (doc, token)→freq equi-join SHUFFLES on
+    the token key — the frequency table is vocabulary-sized, never
+    broadcast. Head tokens ('the') are skewed keys by nature; AQE
+    skew-join splits them, and the join fan-out is 1 (freq is unique
+    per token), so no row multiplication."""
+    toks = tokens(text_col)
+    tok_rows = df.select(
+        F.col(id_col).alias("__id"), F.explode(toks).alias("__tok")
+    ).filter(F.length("__tok") > 0)
+    freq = tok_rows.groupBy("__tok").agg(F.count(F.lit(1)).alias("__c"))
+    total = freq.agg(F.sum("__c").alias("__total"))
+    scored = (
+        tok_rows.join(freq, "__tok")
+        .crossJoin(F.broadcast(total))
+        .withColumn(
+            "__surprisal",
+            (F.length(F.bin(F.col("__total"))) - F.length(F.bin(F.col("__c"))))
+            .cast("long"),
+        )
+    )
+    return (
+        scored.groupBy(F.col("__id").alias(id_col))
+        .agg(
+            F.count(F.lit(1)).alias("n_tokens"),
+            F.sum("__surprisal").alias("sum_surprisal"),
+        )
+        .withColumn(
+            "avg_surprisal_milli",
+            F.expr("(1000 * sum_surprisal) div n_tokens"),
+        )
+    )
