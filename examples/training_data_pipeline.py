@@ -88,7 +88,35 @@ def main() -> None:
     print(f"length-percentile survivors: {kept_len.count()}")
     X.vocab_oov_report(docs, k=50).show()
 
-    # 11. publish Z-ordered on (lang-ish, length) for 2-dim pruning
+    # 11. learned-filter-shaped screens: integer-logit quality model,
+    # unigram-surprisal (frequency "perplexity") and boilerplate-chunk
+    # doc-frequency removal — all exact-integer, all shuffle-lean
+    ql = X.quality_logit(docs).filter(F.col("quality_bucket") != "drop")
+    print(f"logit-quality keep/review: {ql.count()}")
+    sur = X.unigram_surprisal(docs)
+    sur.agg(
+        F.min("avg_surprisal_milli"), F.max("avg_surprisal_milli")
+    ).show()
+    bp = X.boilerplate_chunk_stats(docs, chunk_words=8, min_doc_freq=2)
+    print(
+        "boilerplate-free docs:",
+        bp.filter(F.col("n_kept") == F.col("n_chunks")).count(),
+    )
+
+    # 12. cross-modal dedup: embedding-LSH candidates verified by
+    # exact text Jaccard on the paired documents table
+    xm = D.embedding_verified_pairs(
+        docs, embs, threshold=0.0, cosine_threshold=0.2, k=1
+    )
+    print(f"cross-modal verified pairs: {xm.count()}")
+
+    # 13. temperature-balanced source mixture for the final training mix
+    from ukis_h3cellstore_spark.ops import sampling as SM
+
+    mix = SM.temperature_mixture(docs, tau=0.7)
+    mix.groupBy("source").count().show()
+
+    # 14. publish Z-ordered on (lang-ish, length) for 2-dim pruning
     import tempfile, os
     from ukis_h3cellstore_spark.layout import write_zordered
 

@@ -82,6 +82,10 @@ def main() -> None:
         return dt
 
     phase("text_stats", X.text_stats(docs))
+    phase("normalize_text", X.normalize_text(docs))
+    phase("quality_logit", X.quality_logit(docs))
+    phase("unigram_surprisal", X.unigram_surprisal(docs))
+    phase("boilerplate_chunks", X.boilerplate_chunk_stats(docs))
     phase("dedup_exact", D.dedup_exact(docs))
     phase("minhash_signatures", D.minhash_signatures(docs))
     pairs = D.minhash_lsh_pairs(docs, min_est_jaccard=0.5)

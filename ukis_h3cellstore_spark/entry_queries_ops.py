@@ -1731,8 +1731,7 @@ def q_text_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
 Q_TEXT_NORMALIZE_SQL = f"""
 WITH n AS (
   SELECT doc_id,
-         trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9 ]', ' ', 'g'),
-                             ' +', ' ', 'g')) AS norm_text
+         trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g')) AS norm_text
   FROM documents
 )
 SELECT CAST(doc_id AS BIGINT) AS doc_id,
