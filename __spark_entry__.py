@@ -22,10 +22,14 @@ from collections.abc import Callable
 from pyspark.sql import DataFrame, SparkSession
 
 # First-50 sampling priority for round 4. Two tiers:
-#   tier 1 — never sampled in any round (r3-late + r4-new code): 35
-#   tier 2 — green in r2, not re-sampled since: 15
-# = exactly the driver's 50-query sample. The queries r3 verified
-# fall behind them and re-enter the rotation next round.
+#   tier 1 — never sampled in any round (r3-late + r4-new code): 48
+#   tier 2 — green in r2, stale-longest: 2
+# = exactly the driver's 50-query sample; the whole head was swept
+# green locally (tools/check_correctness.py) before registration.
+# ROUND-5 ROTATION: move the queries that are NOT in this head and
+# whose last green row is oldest (the r3-verified 50, then any gate
+# added after this list was frozen) to the front, and push this
+# round's freshly-verified head to the back.
 _PRIORITY = [
     # tier 1 — never sampled (all locally verified vs DuckDB oracles)
     "orders_semi_anti_join",

@@ -1021,16 +1021,25 @@ def test_sq8_roundtrip_and_topk_recall(spark):
     np_codes = np.clip(
         np.floor((v64 - mn) * 255.0 / (mx - mn)), 0, 255
     ).astype(np.int64)
-    sims = np_codes @ np_codes.T
-    np.fill_diagonal(sims, -1)
+    # integer code-space squared-L2, the FAISS-SQ distance shape
+    diff = np_codes[:, None, :] - np_codes[None, :, :]
+    d2 = (diff * diff).sum(axis=2)
     for q in range(3):
-        # top-5 by (score desc, id asc)
-        order = sorted(range(60), key=lambda i: (-sims[q, i], i))
+        # top-5 by (distance asc, id asc)
+        order = sorted(range(60), key=lambda i: (d2[q, i], i))
         expect = [i for i in order if i != q][:5]
         got = list(
             out[out.query_id == q].sort_values("rank").neighbor_id
         )
         assert got == expect
+    # code-space L2 approximates true L2: the exact nearest neighbor
+    # lands in the SQ8 top-5 for every query
+    tdiff = v64[:, None, :] - v64[None, :, :]
+    td2 = (tdiff * tdiff).sum(axis=2)
+    np.fill_diagonal(td2, np.inf)
+    for q in range(3):
+        truth = int(np.argmin(td2[q]))
+        assert truth in set(out[out.query_id == q].neighbor_id)
 
 
 def test_sq8_plan_broadcast_no_python(spark):

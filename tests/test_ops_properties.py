@@ -213,3 +213,40 @@ def test_salted_join_matches_plain_join(spark, lrows, rrows, num_salts, how):
         )
     )
     assert salted == plain
+
+
+@given(
+    docs=st.lists(
+        st.lists(
+            st.sampled_from(["a", "b", "c", "dd", "e"]), min_size=0, max_size=12
+        ),
+        min_size=1,
+        max_size=6,
+    )
+)
+@settings(**_SETTINGS)
+def test_repetition_fold_matches_counter(spark, docs):
+    """The sorted-array fold in repetition_stats must agree with a
+    Counter over the exploded 2-grams for ANY token sequence — run
+    lengths of a sorted array are exactly the multiset counts."""
+    from collections import Counter
+
+    from ukis_h3cellstore_spark.ops import text as X
+
+    rows = [(i, " ".join(toks)) for i, toks in enumerate(docs)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {
+        r.doc_id: r
+        for r in X.repetition_stats(df).collect()
+    }
+    for i, toks in enumerate(docs):
+        grams = [f"{a} {b}" for a, b in zip(toks, toks[1:])]
+        r = out[i]
+        assert r.n_2grams == len(grams)
+        if not grams:
+            assert r.top_2gram_frac == 0.0 and r.dup_2gram_frac == 0.0
+            continue
+        c = Counter(grams)
+        assert r.top_2gram_frac == max(c.values()) / len(grams)
+        dup = sum(v for v in c.values() if v > 1)
+        assert r.dup_2gram_frac == dup / len(grams)

@@ -64,6 +64,8 @@ def main() -> None:
         "pq_m4_k16": S.pq_topk(e, q, k=k, m=4, n_centroids=16),
         "pq_m8_k16": S.pq_topk(e, q, k=k, m=8, n_centroids=16),
         "ivfpq_8c_p4": S.ivfpq_topk(e, q, k=k, n_coarse=8, nprobe=4),
+        # SQ8 code-space L2 is per-dim-scaled true L2 (FAISS IndexSQ)
+        "sq8": S.sq8_topk(e, q, k=k),
     }
     recall_l2 = {
         name: round(len(pairs(df) & exact_l2) / max(len(exact_l2), 1), 4)

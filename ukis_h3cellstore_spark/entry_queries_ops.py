@@ -1840,18 +1840,19 @@ codes AS (
 scored AS (
   SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
          list_reduce(list_transform(list_zip(q.codes, c.codes),
-                                    x -> x[1] * x[2]), (s, v) -> s + v) AS score
+                                    x -> (x[1] - x[2]) * (x[1] - x[2])),
+                     (s, v) -> s + v) AS code_d2
   FROM codes q JOIN codes c ON c.vec_id <> q.vec_id
   WHERE q.vec_id < 5
 ),
 ranked AS (
   SELECT *, row_number() OVER (
-      PARTITION BY query_id ORDER BY score DESC, neighbor_id ASC) AS rank
+      PARTITION BY query_id ORDER BY code_d2 ASC, neighbor_id ASC) AS rank
   FROM scored
 )
 SELECT CAST(query_id AS BIGINT) AS query_id,
        CAST(neighbor_id AS BIGINT) AS neighbor_id,
-       CAST(score AS BIGINT) AS score, CAST(rank AS INT) AS rank
+       CAST(code_d2 AS BIGINT) AS code_d2, CAST(rank AS INT) AS rank
 FROM ranked WHERE rank <= 3
 """
 
