@@ -82,9 +82,9 @@ _PRIORITY = [
     "events_zscore",
     "ann_filtered_top3",
     "text_surprisal",
+    "multimodal_features",
     # tier 2 — green in r2, stale since
     "dedup_minhash_lsh_pairs",
-    "dedup_simhash_hamming",
 ]
 
 

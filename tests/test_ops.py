@@ -1116,3 +1116,30 @@ def test_unigram_surprisal_integer_exactness(spark):
     assert 3 not in out.index
     # rare-token docs score strictly higher than stop-word docs
     assert out.loc[2].avg_surprisal_milli > out.loc[1].avg_surprisal_milli
+
+
+def test_resize_stub_shape_and_determinism(docs):
+    payloads = M.attach_binary_payload(docs)
+    out = M.resize_image_stub(payloads, target_width=4, target_height=4).toPandas()
+    assert set(out.columns) == {"doc_id", "payload", "width", "height", "channels"}
+    assert (out.width == 4).all() and (out.height == 4).all()
+    # every resized payload is exactly w*h*c bytes, even for empty docs
+    assert all(len(bytes(p)) == 4 * 4 * 3 for p in out.payload)
+    again = M.resize_image_stub(payloads, target_width=4, target_height=4).toPandas()
+    a = {r.doc_id: bytes(r.payload) for r in out.itertuples()}
+    b = {r.doc_id: bytes(r.payload) for r in again.itertuples()}
+    assert a == b
+
+
+def test_extract_features_stub_matches_hashlib(docs):
+    import hashlib
+
+    payloads = M.attach_binary_payload(docs)
+    out = M.extract_features_stub(payloads, dim=3).toPandas()
+    texts = {r.doc_id: r.text for r in docs.collect()}
+    assert len(out) == len(texts) * 3
+    for r in out.itertuples():
+        h = hashlib.md5(
+            texts[r.doc_id].encode() + b"|" + str(r.dim_no).encode()
+        ).hexdigest()
+        assert r.feat == int(h[:8], 16) % 1_000_000

@@ -940,6 +940,24 @@ FROM ranked WHERE rank <= 3
 """
 
 
+def q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Feature-extraction plumbing (ops/multimodal.py:
+    extract_features_stub): Arrow-batched mapInPandas over binary
+    payloads, integer md5-derived features so the DuckDB oracle can
+    replay the exact computation from the source text."""
+    payloads = M.attach_binary_payload(_docs(spark, sf_dir))
+    return M.extract_features_stub(payloads, dim=4)
+
+
+Q_MULTIMODAL_FEATURES_SQL = """
+SELECT CAST(d.doc_id AS BIGINT) AS doc_id,
+       CAST(j.j AS INT) AS dim_no,
+       CAST(('0x' || substr(md5(d.text || '|' || CAST(j.j AS VARCHAR)), 1, 8))::BIGINT
+            % 1000000 AS BIGINT) AS feat
+FROM documents d, (SELECT unnest(generate_series(0, 3)) AS j) j
+"""
+
+
 def q_dedup_cross_modal(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Cross-modal two-stage dedup (ops/dedup.py:
     embedding_verified_pairs): embedding-LSH candidates verified by
@@ -1864,6 +1882,7 @@ QUERIES_OPS: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "ann_sq8_top3": q_ann_sq8_top3,
     "ann_filtered_top3": q_ann_filtered_top3,
     "text_surprisal": q_text_surprisal,
+    "multimodal_features": q_multimodal_features,
     "dedup_cross_modal": q_dedup_cross_modal,
     "text_stats": q_text_stats,
     "text_langid": q_text_langid,
@@ -1916,6 +1935,7 @@ ORACLES_OPS: dict[str, str] = {
     "ann_sq8_top3": Q_ANN_SQ8_SQL,
     "ann_filtered_top3": _q_ann_filtered_top3_sql(),
     "text_surprisal": Q_TEXT_SURPRISAL_SQL,
+    "multimodal_features": Q_MULTIMODAL_FEATURES_SQL,
     "dedup_cross_modal": _q_dedup_cross_modal_sql(),
     "text_stats": Q_TEXT_STATS_SQL,
     "text_langid": _q_text_langid_sql(),

@@ -110,3 +110,86 @@ def sample_frames_stub(
         )
         .select(id_col, "frame_no", "frame_payload")
     )
+
+
+RESIZED_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("payload", T.BinaryType()),
+        T.StructField("width", T.IntegerType()),
+        T.StructField("height", T.IntegerType()),
+        T.StructField("channels", T.IntegerType()),
+    ]
+)
+
+
+def resize_image_stub(
+    df: DataFrame,
+    target_width: int = 32,
+    target_height: int = 32,
+    channels: int = 3,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Resize plumbing stub (REAL CODECS NOT AVAILABLE HERE): emit a
+    payload of exactly ``target_width × target_height × channels``
+    bytes per document by deterministic stride-sampling of the source
+    bytes (cycling when the source is shorter) — the schema/batch
+    shape of a real thumbnailing stage. Arrow-batched ``mapInPandas``;
+    swapping the body for PIL's ``Image.resize`` is a one-function
+    change."""
+    size = target_width * target_height * channels
+
+    def resize_batches(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        import pandas as pd
+
+        for pdf in batches:
+            rows = []
+            for doc_id, payload in zip(pdf[id_col], pdf["payload"]):
+                src = bytes(payload) if payload else b"\x00"
+                out = bytes(src[(i * len(src)) // size] for i in range(size))
+                rows.append(
+                    (int(doc_id), out, target_width, target_height, channels)
+                )
+            yield pd.DataFrame(
+                rows,
+                columns=["doc_id", "payload", "width", "height", "channels"],
+            )
+
+    return df.mapInPandas(resize_batches, RESIZED_SCHEMA)
+
+
+FEATURE_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("dim_no", T.IntegerType()),
+        T.StructField("feat", T.LongType()),
+    ]
+)
+
+
+def extract_features_stub(
+    df: DataFrame, dim: int = 4, id_col: str = "doc_id"
+) -> DataFrame:
+    """Feature-extraction plumbing stub: one integer feature per
+    (document, dimension) — ``int(md5(payload || '|' || dim)[:8], 16)
+    mod 1e6`` — the batch shape of a real embedding model scoring
+    binary payloads (exploded rows rather than an array column so the
+    oracle hash-compares exactly; integers end-to-end). Arrow-batched
+    ``mapInPandas``; a real deployment replaces the md5 with an ONNX/
+    torch forward pass over the batch."""
+
+    def feat_batches(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        import hashlib
+
+        import pandas as pd
+
+        for pdf in batches:
+            rows = []
+            for doc_id, payload in zip(pdf[id_col], pdf["payload"]):
+                src = bytes(payload) if payload is not None else b""
+                for j in range(dim):
+                    h = hashlib.md5(src + b"|" + str(j).encode()).hexdigest()
+                    rows.append((int(doc_id), j, int(h[:8], 16) % 1_000_000))
+            yield pd.DataFrame(rows, columns=["doc_id", "dim_no", "feat"])
+
+    return df.mapInPandas(feat_batches, FEATURE_SCHEMA)
