@@ -11,8 +11,8 @@ registry entries each round, so the dicts are merged through an
 explicit priority list — queries that have never earned a green
 CORRECTNESS row come first, then the ones whose last green row is
 oldest, then the most-recently-verified set. Rotate `_PRIORITY` each
-round as rows come in (r3 verified the 50 now at the back; r4
-samples the 8 new + 14 never-sampled + 28 last-seen-in-r2).
+round as rows come in (r4 samples the 50 never-sampled gates; the
+r2/r3-verified set sits behind them and rotates back in r5).
 """
 
 from __future__ import annotations
@@ -21,11 +21,10 @@ from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
 
-# First-50 sampling priority for round 4. Two tiers:
-#   tier 1 — never sampled in any round (r3-late + r4-new code): 48
-#   tier 2 — green in r2, stale-longest: 2
-# = exactly the driver's 50-query sample; the whole head was swept
-# green locally (tools/check_correctness.py) before registration.
+# First-50 sampling priority for round 4: the 50 never-sampled gates
+# (r3-late + r4-new code) = exactly the driver's 50-query sample; the
+# whole head was swept green locally (tools/check_correctness.py,
+# artifact CORRECTNESS_LOCAL_r04.json) before registration.
 # ROUND-5 ROTATION: move the queries that are NOT in this head and
 # whose last green row is oldest (the r3-verified 50, then any gate
 # added after this list was frozen) to the front, and push this
@@ -36,8 +35,6 @@ _PRIORITY = [
     "events_variant_props",
     "source_csv_roundtrip",
     "events_distinct_daily",
-    "events_window_ntile",
-    "events_grouping_sets",
     "events_user_type_signature",
     "part_string_funcs",
     "geo_polyfill_traversal",
@@ -83,8 +80,7 @@ _PRIORITY = [
     "ann_filtered_top3",
     "text_surprisal",
     "multimodal_features",
-    # tier 2 — green in r2, stale since
-    "dedup_minhash_lsh_pairs",
+    "source_orc_roundtrip",
 ]
 
 

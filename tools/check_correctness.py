@@ -10,6 +10,7 @@ compares row count, column names, and an order-insensitive value hash
 
 from __future__ import annotations
 
+import os
 import sys
 
 sys.path.insert(0, "/root/repo")
@@ -71,6 +72,7 @@ def main() -> int:
     qs = entrymod.queries()
     oracles = entrymod.oracle_sql()
     failures = []
+    results: dict[str, dict] = {}
     for name, fn in qs.items():
         if only and name not in only:
             continue
@@ -79,6 +81,7 @@ def main() -> int:
         except Exception as e:
             print(f"FAIL {name}: spark error: {e}")
             failures.append(name)
+            results[name] = {"err": str(e)[:200]}
             continue
         if name not in oracles:
             print(f"ROWS-ONLY {name}: {len(sdf)} rows (no oracle)")
@@ -88,8 +91,17 @@ def main() -> int:
         except Exception as e:
             print(f"FAIL {name}: oracle error: {e}")
             failures.append(name)
+            results[name] = {"err": "oracle: " + str(e)[:200]}
             continue
         sn, so = normalize(sdf), normalize(odf)
+        results[name] = {
+            "rows_match": sn[0] == so[0],
+            "schema_match": sn[1] == so[1],
+            "hash_match": sn[2] == so[2],
+            "spark_rows": sn[0],
+            "oracle_rows": so[0],
+            "err": None,
+        }
         status = "OK" if sn == so else "MISMATCH"
         if sn != so:
             failures.append(name)
@@ -114,6 +126,13 @@ def main() -> int:
         else:
             print(f"{status} {name}: {sn[0]} rows hash={sn[2]}")
     spark.stop()
+    out_json = os.environ.get("CHECK_JSON_OUT")
+    if out_json:
+        import json
+
+        with open(out_json, "w") as fh:
+            json.dump(results, fh, indent=1)
+        print(f"wrote {out_json} ({len(results)} queries)")
     print(f"\n{'ALL OK' if not failures else 'FAILURES: ' + ', '.join(failures)}")
     return 1 if failures else 0
 

@@ -551,6 +551,39 @@ FROM part GROUP BY 1
 """
 
 
+def q_source_orc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ORC sink + source round-trip (the third columnar container a
+    warehouse migration meets, after parquet and text formats): full
+    typed events subset written as ORC, read back, aggregated with
+    exact-cents arithmetic. ORC is binary-typed, so unlike CSV the
+    value columns cross losslessly; the oracle recomputes from the
+    original parquet, pinning the whole encode/decode path."""
+    e = _events(spark, sf_dir).select(
+        "event_id",
+        "user_id",
+        "event_type",
+        F.round(F.col("value") * 100).cast("long").alias("value_cents"),
+    )
+    out = f"/tmp/ukis_orc_roundtrip_{os.getpid()}_{abs(hash(sf_dir)) % 10_000}"
+    e.write.mode("overwrite").orc(out)
+    back = spark.read.orc(out)
+    return back.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.sum("event_id").alias("sum_event_id"),
+        F.sum("value_cents").alias("sum_value_cents"),
+        F.countDistinct("user_id").alias("n_users"),
+    )
+
+
+Q_SOURCE_ORC_SQL = """
+SELECT event_type, COUNT(*) AS n_events,
+       CAST(SUM(event_id) AS BIGINT) AS sum_event_id,
+       CAST(SUM(CAST(round(value*100) AS BIGINT)) AS BIGINT) AS sum_value_cents,
+       COUNT(DISTINCT user_id) AS n_users
+FROM events GROUP BY 1
+"""
+
+
 # --------------------------------------------------------------------------
 # ordered-set / statistical aggregates
 
@@ -719,6 +752,7 @@ QUERIES_REL: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "lineitem_percentiles": q_lineitem_percentiles,
     "events_value_moments": q_events_value_moments,
     "events_zscore": q_events_zscore,
+    "source_orc_roundtrip": q_source_orc_roundtrip,
     "orders_semi_anti_join": q_orders_semi_anti,
     "events_variant_props": q_events_variant_props,
     "source_csv_roundtrip": q_source_csv_roundtrip,
@@ -738,6 +772,7 @@ ORACLES_REL: dict[str, str] = {
     "lineitem_percentiles": Q_LINEITEM_PERCENTILES_SQL,
     "events_value_moments": Q_EVENTS_MOMENTS_SQL,
     "events_zscore": Q_EVENTS_ZSCORE_SQL,
+    "source_orc_roundtrip": Q_SOURCE_ORC_SQL,
     "orders_semi_anti_join": Q_ORDERS_SEMI_ANTI_SQL,
     "events_variant_props": Q_EVENTS_VARIANT_SQL,
     "source_csv_roundtrip": Q_SOURCE_CSV_SQL,
