@@ -584,6 +584,46 @@ FROM events GROUP BY 1
 """
 
 
+def q_source_zordered_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Z-order publish + selective scan (layout.write_zordered): the
+    documents table is clustered on the Morton interleave of
+    (source-hash bucket, n_chars), re-read, and range-filtered on BOTH
+    clustering dimensions — the multi-dimensional-pruning layout the
+    engine publishes curated corpora in. The oracle recomputes the
+    same filter+aggregate from the original parquet, so the gate
+    fails on any write/read corruption; row-group pruning itself is
+    footer-stats-proven in tests/test_layout.py."""
+    from ukis_h3cellstore_spark.layout import write_zordered
+
+    from ukis_h3cellstore_spark.entry_queries import _hash64
+
+    docs = _t(spark, sf_dir, "documents").withColumn(
+        "src_bucket", F.pmod(_hash64(F.col("source")), F.lit(64))
+    )
+    out = f"/tmp/ukis_zorder_gate_{os.getpid()}_{abs(hash(sf_dir)) % 10_000}"
+    write_zordered(docs, ["src_bucket", "n_chars"], out, bits=10)
+    back = spark.read.parquet(out)
+    return (
+        back.filter((F.col("src_bucket") < 32) & (F.col("n_chars") >= 200))
+        .groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum(F.col("n_chars").cast("long")).alias("sum_chars"),
+        )
+    )
+
+
+Q_SOURCE_ZORDERED_SQL = """
+SELECT lang, COUNT(*) AS n_docs,
+       CAST(SUM(n_chars) AS BIGINT) AS sum_chars
+FROM (SELECT *,
+             (('0x' || substr(md5(source), 1, 15))::BIGINT) % 64 AS src_bucket
+      FROM documents)
+WHERE src_bucket < 32 AND n_chars >= 200
+GROUP BY 1
+"""
+
+
 # --------------------------------------------------------------------------
 # ordered-set / statistical aggregates
 
@@ -753,6 +793,7 @@ QUERIES_REL: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "events_value_moments": q_events_value_moments,
     "events_zscore": q_events_zscore,
     "source_orc_roundtrip": q_source_orc_roundtrip,
+    "source_zordered_scan": q_source_zordered_scan,
     "orders_semi_anti_join": q_orders_semi_anti,
     "events_variant_props": q_events_variant_props,
     "source_csv_roundtrip": q_source_csv_roundtrip,
@@ -773,6 +814,7 @@ ORACLES_REL: dict[str, str] = {
     "events_value_moments": Q_EVENTS_MOMENTS_SQL,
     "events_zscore": Q_EVENTS_ZSCORE_SQL,
     "source_orc_roundtrip": Q_SOURCE_ORC_SQL,
+    "source_zordered_scan": Q_SOURCE_ZORDERED_SQL,
     "orders_semi_anti_join": Q_ORDERS_SEMI_ANTI_SQL,
     "events_variant_props": Q_EVENTS_VARIANT_SQL,
     "source_csv_roundtrip": Q_SOURCE_CSV_SQL,
