@@ -693,6 +693,82 @@ GROUP BY 1
 """
 
 
+def q_pipeline_join_tablesets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-tableset analytics — the reference's users join tableset
+    tables in ClickHouse SQL (schema/mod.rs pyramid tables are plain
+    tables); here TWO tablesets with different merge semantics (Sum
+    density vs Max severity) are built through the full insert
+    pipeline, queried at the shared parent resolution, and equi-joined
+    on h3index. The join keys come pre-grouped from each rollup, so
+    the join is 1:1 on cell — at scale a co-partitioned merge join,
+    with no row multiplication. Oracle recomputes both rollups
+    relationally and joins them."""
+    from ukis_h3cellstore_spark import CompactedTableSchemaBuilder
+
+    e = _events(spark, sf_dir)
+    store = _pipeline_store(spark)
+
+    dens_schema = (
+        CompactedTableSchemaBuilder("ts_density")
+        .h3_base_resolutions([4, 6])
+        .add_h3index_column()
+        .add_aggregated_column("value_cents", "UInt64", "Sum")
+        .build()
+    )
+    store.insert_h3dataframe_into_tableset(
+        dens_schema,
+        e.select(
+            _synth_col("event_id", 6).alias("h3index"),
+            _cents(F.col("value")).alias("value_cents"),
+        ),
+    )
+    sev_schema = (
+        CompactedTableSchemaBuilder("ts_severity")
+        .h3_base_resolutions([4, 6])
+        .add_h3index_column()
+        .add_aggregated_column("severity", "UInt64", "Max")
+        .build()
+    )
+    store.insert_h3dataframe_into_tableset(
+        sev_schema,
+        e.select(
+            _synth_col("event_id", 6).alias("h3index"),
+            (F.col("event_id") % 100).alias("severity"),
+        ),
+    )
+    cells = sorted({h3c.cell_to_parent(_synth_py(i, 6), 4) for i in range(200)})
+    dens = store.query_tableset_cells("ts_density", cells, 4).df
+    sev = store.query_tableset_cells("ts_severity", cells, 4).df
+    return dens.join(sev, "h3index").select(
+        "h3index",
+        "value_cents",
+        "severity",
+        (F.col("value_cents") * F.col("severity")).alias("weighted_cents"),
+    )
+
+
+def _q_pipeline_join_tablesets_sql() -> str:
+    cell = sg.synth_cell("event_id", 6, DUCK)
+    parents = sorted({h3c.cell_to_parent(_synth_py(i, 6), 4) for i in range(200)})
+    plist = ", ".join(str(p) for p in parents)
+    parent = sg.to_parent("h3index", 4, DUCK)
+    return f"""
+WITH syn AS (SELECT {cell} AS h3index,
+                    CAST(round(value*100) AS BIGINT) AS value_cents,
+                    event_id % 100 AS severity
+             FROM events),
+dens AS (SELECT {parent} AS h3index,
+                CAST(SUM(value_cents) AS BIGINT) AS value_cents
+         FROM syn WHERE {parent} IN ({plist}) GROUP BY 1),
+sev AS (SELECT {parent} AS h3index,
+               CAST(MAX(severity) AS BIGINT) AS severity
+        FROM syn WHERE {parent} IN ({plist}) GROUP BY 1)
+SELECT d.h3index, d.value_cents, s.severity,
+       d.value_cents * s.severity AS weighted_cents
+FROM dens d JOIN sev s USING (h3index)
+"""
+
+
 def q_pipeline_compact_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Q1+Q2 with compaction: complete sibling groups compact on
     insert, the query at max res uncompacts them back — the roundtrip
@@ -2049,6 +2125,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "h3_hierarchy_semijoin": q_h3_hierarchy_semijoin,
     "resolution_split_counts": q_resolution_split_counts,
     "pipeline_sum_rollup": q_pipeline_sum_rollup,
+    "pipeline_join_tablesets": q_pipeline_join_tablesets,
     "pipeline_compact_roundtrip": q_pipeline_compact_roundtrip,
 }
 
@@ -2101,5 +2178,6 @@ ORACLES: dict[str, str] = {
     "h3_hierarchy_semijoin": _q_h3_hierarchy_semijoin_sql(),
     "resolution_split_counts": Q_RESOLUTION_SPLIT_SQL,
     "pipeline_sum_rollup": _q_pipeline_sum_rollup_sql(),
+    "pipeline_join_tablesets": _q_pipeline_join_tablesets_sql(),
     "pipeline_compact_roundtrip": _q_pipeline_compact_roundtrip_sql(),
 }
