@@ -1143,3 +1143,37 @@ def test_extract_features_stub_matches_hashlib(docs):
             texts[r.doc_id].encode() + b"|" + str(r.dim_no).encode()
         ).hexdigest()
         assert r.feat == int(h[:8], 16) % 1_000_000
+
+
+def test_semantic_dedup_drops_within_cluster_dups(spark):
+    rows = [
+        (0, [1.0, 0.0, 0.0, 0.0]),
+        (1, [1.0, 0.001, 0.0, 0.0]),   # near-dup of 0, same cluster
+        (2, [0.0, 1.0, 0.0, 0.0]),     # own cluster
+        (3, [0.0, 0.0, 1.0, 0.0]),     # own cluster
+        (4, [-1.0, 0.0, 0.0, 0.0]),    # opposite of 0
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    out = (
+        S.semantic_dedup(df, n_clusters=3, threshold=0.99, train_iters=2)
+        .toPandas()
+        .set_index("vec_id")
+    )
+    assert len(out) == 5
+    # the near-dup pair keeps the lower id
+    assert bool(out.loc[0].kept) and not bool(out.loc[1].kept)
+    # singletons in their clusters survive
+    assert bool(out.loc[2].kept) and bool(out.loc[3].kept) and bool(out.loc[4].kept)
+    # pair members share a cluster
+    assert out.loc[0].centroid_id == out.loc[1].centroid_id
+
+
+def test_semantic_dedup_no_python_broadcast_centroids(spark):
+    rows = [(i, [float(i % 5), 1.0, float(i % 3)]) for i in range(40)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    plan = (
+        S.semantic_dedup(df, n_clusters=2, train_iters=1)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "BatchEvalPython" not in plan
+    assert "BroadcastExchange" in plan or "BroadcastNestedLoopJoin" in plan

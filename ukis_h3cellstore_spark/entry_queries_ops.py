@@ -940,6 +940,94 @@ FROM ranked WHERE rank <= 3
 """
 
 
+_SEM_K = 8
+
+
+def q_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup-shaped semantic pruning (ops/similarity.py:
+    semantic_dedup): k-means clusters, within-cluster cosine pairs,
+    drop the higher id of every pair over threshold. exact_mean pins
+    training to the oracle's serial folds; the 0.2 threshold suits the
+    near-orthogonal synthetic corpus."""
+    return S.semantic_dedup(
+        _embs(spark, sf_dir),
+        n_clusters=_SEM_K,
+        threshold=0.2,
+        train_iters=_IVF_ITERS,
+        exact_mean=True,
+    )
+
+
+def _q_semantic_dedup_sql() -> str:
+    """kmeans replay (cosine assignment, sorted serial-fold means,
+    LIMIT-{_SEM_K} init) + within-cluster pair pruning."""
+
+    def cos(a_vec: str, b_vec: str) -> str:
+        return _DUCK_COSINE.replace("a.c_vec", a_vec).replace("q.q_vec", b_vec)
+
+    ctes = [
+        f"""cent0 AS (
+  SELECT vec_id AS centroid_id,
+         list_transform(embedding, v -> CAST(v AS DOUBLE)) AS c_vec
+  FROM embeddings ORDER BY vec_id LIMIT {_SEM_K}
+)"""
+    ]
+    for i in range(1, _IVF_ITERS + 1):
+        prev = f"cent{i - 1}"
+        ctes.append(
+            f"""a{i} AS (
+  SELECT vec_id, embedding, centroid_id FROM (
+    SELECT e.vec_id, e.embedding, c.centroid_id,
+           row_number() OVER (PARTITION BY e.vec_id
+             ORDER BY {cos('c.c_vec', 'e.embedding')} DESC,
+                      c.centroid_id ASC) AS r
+    FROM embeddings e, {prev} c
+  ) WHERE r = 1
+),
+comp{i} AS (
+  SELECT centroid_id, vec_id,
+         generate_subscripts(embedding, 1) AS pos,
+         CAST(unnest(embedding) AS DOUBLE) AS v
+  FROM a{i}
+),
+pv{i} AS (
+  SELECT centroid_id, pos,
+         list_reduce(list(v ORDER BY vec_id), (x, y) -> x + y)
+           / COUNT(*) AS m
+  FROM comp{i} GROUP BY centroid_id, pos
+),
+cent{i} AS (
+  SELECT centroid_id, list(m ORDER BY pos) AS c_vec
+  FROM pv{i} GROUP BY centroid_id
+)"""
+        )
+    last = f"cent{_IVF_ITERS}"
+    ctes.append(
+        f"""assigned AS (
+  SELECT vec_id, embedding, centroid_id FROM (
+    SELECT e.vec_id, e.embedding, c.centroid_id,
+           row_number() OVER (PARTITION BY e.vec_id
+             ORDER BY {cos('c.c_vec', 'e.embedding')} DESC,
+                      c.centroid_id ASC) AS r
+    FROM embeddings e, {last} c
+  ) WHERE r = 1
+),
+drops AS (
+  SELECT DISTINCT b.vec_id AS drop_id
+  FROM assigned a JOIN assigned b
+    ON a.centroid_id = b.centroid_id AND a.vec_id < b.vec_id
+  WHERE round(CAST({cos('a.embedding', 'b.embedding')} AS DOUBLE), 4) >= 0.2
+)"""
+    )
+    return f"""
+WITH {', '.join(ctes)}
+SELECT CAST(a.vec_id AS BIGINT) AS vec_id,
+       CAST(a.centroid_id AS BIGINT) AS centroid_id,
+       a.vec_id NOT IN (SELECT drop_id FROM drops) AS kept
+FROM assigned a
+"""
+
+
 def q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Feature-extraction plumbing (ops/multimodal.py:
     extract_features_stub): Arrow-batched mapInPandas over binary
@@ -1883,6 +1971,7 @@ QUERIES_OPS: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "ann_filtered_top3": q_ann_filtered_top3,
     "text_surprisal": q_text_surprisal,
     "multimodal_features": q_multimodal_features,
+    "dedup_semantic": q_semantic_dedup,
     "dedup_cross_modal": q_dedup_cross_modal,
     "text_stats": q_text_stats,
     "text_langid": q_text_langid,
@@ -1936,6 +2025,7 @@ ORACLES_OPS: dict[str, str] = {
     "ann_filtered_top3": _q_ann_filtered_top3_sql(),
     "text_surprisal": Q_TEXT_SURPRISAL_SQL,
     "multimodal_features": Q_MULTIMODAL_FEATURES_SQL,
+    "dedup_semantic": _q_semantic_dedup_sql(),
     "dedup_cross_modal": _q_dedup_cross_modal_sql(),
     "text_stats": Q_TEXT_STATS_SQL,
     "text_langid": _q_text_langid_sql(),

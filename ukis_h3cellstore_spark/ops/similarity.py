@@ -1001,3 +1001,79 @@ def sq8_topk(
         .filter(F.col("rank") <= k)
         .select("query_id", "neighbor_id", "code_d2", "rank")
     )
+
+
+def semantic_dedup(
+    corpus: DataFrame,
+    n_clusters: int = 8,
+    threshold: float = 0.9,
+    train_iters: int = 2,
+    exact_mean: bool = False,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    round_digits: int = 4,
+) -> DataFrame:
+    """SemDeDup-shaped semantic deduplication: k-means the embedding
+    space, compare pairs only WITHIN each cluster, and drop the
+    higher id of every pair with cosine ≥ ``threshold``. Returns one
+    row per vector: (id, centroid_id, kept).
+
+    This is the published recipe for paraphrase-level corpus pruning
+    (cluster first so the pairwise stage is Σ|cluster|² ≪ n², the
+    same sub-quadratic trick as LSH but geometry-aware). Clusters come
+    from :func:`kmeans_fit` (broadcast centroids, streaming means);
+    assignment is a windowless ``max_by`` aggregate; the within-
+    cluster self-join shuffles on centroid_id. Cluster-size skew is
+    the scale knob: raise ``n_clusters`` so the largest cluster's
+    quadratic term stays bounded (the same discipline as
+    ``max_bucket_size`` in :func:`embedding_dup_pairs`)."""
+    cents = kmeans_fit(
+        corpus,
+        n_centroids=n_clusters,
+        max_iter=train_iters,
+        id_col=id_col,
+        vec_col=vec_col,
+        exact_mean=exact_mean,
+    )
+    assigned = (
+        corpus.select(F.col(id_col).alias("__id"), F.col(vec_col).alias("__v"))
+        .crossJoin(F.broadcast(cents))
+        .withColumn("__cos", cosine_similarity(F.col("__v"), F.col("c_vec")))
+        .groupBy("__id")
+        .agg(
+            F.max_by(
+                F.struct("centroid_id", F.col("__v").alias("v")),
+                F.struct(F.col("__cos"), (-F.col("centroid_id")).alias("nc")),
+            ).alias("__s")
+        )
+        .select(
+            F.col("__id"),
+            F.col("__s.centroid_id").alias("centroid_id"),
+            F.col("__s.v").alias("__v"),
+        )
+    )
+    a = assigned.select(
+        F.col("__id").alias("id_a"), "centroid_id", F.col("__v").alias("va")
+    )
+    b = assigned.select(
+        F.col("__id").alias("id_b"), "centroid_id", F.col("__v").alias("vb")
+    )
+    drops = (
+        a.join(b, on="centroid_id")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .withColumn(
+            "__sim",
+            F.round(cosine_similarity(F.col("va"), F.col("vb")), round_digits),
+        )
+        .filter(F.col("__sim") >= threshold)
+        .select(F.col("id_b").alias("__drop"))
+        .distinct()
+    )
+    return (
+        assigned.join(drops, assigned.__id == drops.__drop, "left")
+        .select(
+            F.col("__id").alias(id_col),
+            "centroid_id",
+            F.col("__drop").isNull().alias("kept"),
+        )
+    )
