@@ -110,13 +110,17 @@ def main() -> None:
     )
     print(f"cross-modal verified pairs: {xm.count()}")
 
-    # 13. temperature-balanced source mixture for the final training mix
+    # 13. SemDeDup-style semantic pruning over the embedding space
+    sem = S.semantic_dedup(embs, n_clusters=8, threshold=0.2)
+    print(f"semantic-dedup survivors: {sem.filter('kept').count()}")
+
+    # 14. temperature-balanced source mixture for the final training mix
     from ukis_h3cellstore_spark.ops import sampling as SM
 
     mix = SM.temperature_mixture(docs, tau=0.7)
     mix.groupBy("source").count().show()
 
-    # 14. publish Z-ordered on (lang-ish, length) for 2-dim pruning
+    # 15. publish Z-ordered on (lang-ish, length) for 2-dim pruning
     import tempfile, os
     from ukis_h3cellstore_spark.layout import write_zordered
 

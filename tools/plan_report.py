@@ -31,6 +31,15 @@ DEFAULT_QUERIES = [
     "dedup_lsh_verified",
     "corpus_stratified_sample",
     "corpus_decontaminate",
+    "q9_profit_by_nation_year",
+    "q21_blocking_suppliers",
+    "q2_cheapest_supplier",
+    "ann_sq8_top3",
+    "text_boilerplate",
+    "text_surprisal",
+    "dedup_cross_modal",
+    "dedup_semantic",
+    "source_zordered_scan",
 ]
 
 
