@@ -11,6 +11,7 @@ import tempfile
 
 from pyspark.sql import functions as F
 
+from ukis_h3cellstore_spark import layout as L
 from ukis_h3cellstore_spark.layout import morton_value, rank_scale, write_zordered
 
 
@@ -115,3 +116,23 @@ def test_write_bucketed_join_is_shuffle_free(spark):
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
         spark.sql("DROP TABLE IF EXISTS zbkt_a")
         spark.sql("DROP TABLE IF EXISTS zbkt_b")
+
+
+def test_write_jsonl_shards_bounds_and_manifest(spark, tmp_path):
+    import math
+
+    df = spark.createDataFrame(
+        [(i, f"doc {i}") for i in range(250)], "doc_id long, text string"
+    ).repartition(2)
+    out = str(tmp_path / "shards")
+    manifest = L.write_jsonl_shards(df, out, docs_per_shard=40)
+    rows = manifest.collect()
+    # every shard respects the cap, and the manifest accounts for all docs
+    assert all(r.n_docs <= 40 for r in rows)
+    assert sum(r.n_docs for r in rows) == 250
+    # at least ceil(250/40) shards must exist
+    assert len(rows) >= math.ceil(250 / 40)
+    # round-trip: the shards re-read to the same id set
+    back = spark.read.json(out)
+    assert back.count() == 250
+    assert set(r.doc_id for r in back.select("doc_id").collect()) == set(range(250))

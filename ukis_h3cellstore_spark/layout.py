@@ -111,3 +111,35 @@ def write_bucketed(
     if sort_by:
         w = w.sortBy(*sort_by)
     w.mode(mode).format("parquet").saveAsTable(table)
+
+
+def write_jsonl_shards(
+    df: DataFrame,
+    path: str,
+    docs_per_shard: int = 10_000,
+    mode: str = "overwrite",
+) -> DataFrame:
+    """Export a curated corpus as JSON-lines shards for a training
+    data loader: bounded shard size via ``maxRecordsPerFile`` (the
+    loader-friendly contract — every shard ≤ ``docs_per_shard``
+    records), gzip-free text so loaders stream-split freely. Returns
+    the shard MANIFEST as a DataFrame — (shard, n_docs) derived by
+    re-listing the written files — which callers persist alongside
+    the export (the loader's index file).
+
+    The write is one wide map (no shuffle); shard count scales with
+    input partitions × records, so repartition upstream to set a
+    floor. At 100 TB the manifest is thousands of rows — trivially
+    collectable."""
+    (
+        df.write.mode(mode)
+        .option("maxRecordsPerFile", docs_per_shard)
+        .json(path)
+    )
+    spark = df.sparkSession
+    back = spark.read.json(path)
+    return (
+        back.select(F.input_file_name().alias("shard"))
+        .groupBy("shard")
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+    )
