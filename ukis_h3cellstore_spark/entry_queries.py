@@ -2072,6 +2072,117 @@ WHERE rn = 1
 """
 
 
+def q_important_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q11 shape adapted (no partsupp → observed lineitem
+    revenue is the inventory value): supplier-nation revenue shares
+    exceeding 1.05× the average supplier's (the literal Q11 fraction
+    scales with 1/SF for exactly this reason — a fixed share is
+    degenerate as supplier count grows, so the adapted predicate is
+    average-relative and bites at every scale). The HAVING-against-a-
+    scalar-subquery shape: the global (total, count) is a one-row
+    aggregate joined back by broadcast — no second scan of the
+    aggregated table; the per-supplier aggregation shuffles once."""
+    l = _t(spark, sf_dir, "lineitem")
+    s = _t(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    n = _t(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    rev_c100 = _cents(F.col("l_extendedprice")) * (
+        F.lit(100) - _cents(F.col("l_discount"))
+    )
+    per_supp = (
+        l.join(F.broadcast(s), l.l_suppkey == s.s_suppkey)
+        .join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
+        .groupBy("s_suppkey", "n_name")
+        .agg(F.sum(rev_c100).alias("value_c100"))
+    )
+    total = per_supp.agg(
+        F.sum("value_c100").alias("__total"),
+        F.count(F.lit(1)).alias("__n_supp"),
+    )
+    return (
+        per_supp.crossJoin(F.broadcast(total))
+        .filter(
+            F.col("value_c100") * F.col("__n_supp") * 100
+            > F.col("__total") * 105
+        )
+        .select(
+            "s_suppkey", F.col("n_name").alias("nation"), "value_c100"
+        )
+    )
+
+
+Q_IMPORTANT_SUPPLIERS_SQL = """
+WITH per_supp AS (
+  SELECT s_suppkey, n_name AS nation,
+         CAST(SUM(CAST(round(l_extendedprice*100) AS BIGINT)
+              * (100 - CAST(round(l_discount*100) AS BIGINT))) AS BIGINT)
+           AS value_c100
+  FROM lineitem
+  JOIN supplier ON l_suppkey = s_suppkey
+  JOIN nation ON s_nationkey = n_nationkey
+  GROUP BY 1, 2
+)
+SELECT s_suppkey, nation, value_c100
+FROM per_supp
+WHERE value_c100 * (SELECT COUNT(*) FROM per_supp) * 100
+      > (SELECT CAST(SUM(value_c100) AS BIGINT) FROM per_supp) * 105
+"""
+
+
+def q_dominant_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q20 shape adapted (no partsupp availability → shipped
+    quantity share stands in for excess stock): suppliers that
+    shipped MORE THAN 1.5× the average per-supplier quantity of some
+    size-15 part (average-relative, like the Q11 adaptation, so the
+    predicate bites at every SF) — the nested quantity-threshold
+    semi-join shape. Per-(part, supplier) and per-part totals are two
+    aggregations over one broadcast-filtered scan; the qualifying
+    supplier set semi-joins the supplier dim."""
+    p = _t(spark, sf_dir, "part").filter(F.col("p_size") == 15).select("p_partkey")
+    l = _t(spark, sf_dir, "lineitem").join(
+        F.broadcast(p), F.col("l_partkey") == F.col("p_partkey")
+    )
+    per_ps = l.groupBy("l_partkey", "l_suppkey").agg(
+        F.sum(F.col("l_quantity").cast("long")).alias("supp_qty")
+    )
+    per_part = per_ps.groupBy("l_partkey").agg(
+        F.sum("supp_qty").alias("part_qty"),
+        F.count(F.lit(1)).alias("n_supp"),
+    )
+    qual = (
+        per_ps.join(per_part, "l_partkey")
+        .filter(F.col("supp_qty") * F.col("n_supp") * 2 > F.col("part_qty") * 3)
+        .select("l_suppkey")
+        .distinct()
+    )
+    s = _t(spark, sf_dir, "supplier").select("s_suppkey", "s_name")
+    return s.join(qual, s.s_suppkey == qual.l_suppkey, "left_semi").select(
+        "s_suppkey", "s_name"
+    )
+
+
+Q_DOMINANT_SUPPLIERS_SQL = """
+WITH per_ps AS (
+  SELECT l_partkey, l_suppkey,
+         CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS supp_qty
+  FROM lineitem JOIN part ON l_partkey = p_partkey
+  WHERE p_size = 15
+  GROUP BY 1, 2
+),
+per_part AS (
+  SELECT l_partkey, CAST(SUM(supp_qty) AS BIGINT) AS part_qty,
+         COUNT(*) AS n_supp
+  FROM per_ps GROUP BY 1
+)
+SELECT s_suppkey, s_name
+FROM supplier
+WHERE EXISTS (
+  SELECT 1 FROM per_ps ps JOIN per_part pp USING (l_partkey)
+  WHERE ps.l_suppkey = s_suppkey
+    AND ps.supp_qty * pp.n_supp * 2 > pp.part_qty * 3
+)
+"""
+
+
 # --------------------------------------------------------------------------
 # registry
 # --------------------------------------------------------------------------
@@ -2097,6 +2208,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q9_profit_by_nation_year": q_profit_by_nation_year,
     "q21_blocking_suppliers": q_blocking_suppliers,
     "q2_cheapest_supplier": q_cheapest_supplier,
+    "q11_important_suppliers": q_important_suppliers,
+    "q20_dominant_suppliers": q_dominant_suppliers,
     "events_hourly_window": q_events_hourly,
     "events_sessionize": q_events_sessionize,
     "events_asof_join": q_events_asof_join,
@@ -2150,6 +2263,8 @@ ORACLES: dict[str, str] = {
     "q9_profit_by_nation_year": Q_PROFIT_NATION_SQL,
     "q21_blocking_suppliers": Q_BLOCKING_SUPPLIERS_SQL,
     "q2_cheapest_supplier": Q_CHEAPEST_SUPPLIER_SQL,
+    "q11_important_suppliers": Q_IMPORTANT_SUPPLIERS_SQL,
+    "q20_dominant_suppliers": Q_DOMINANT_SUPPLIERS_SQL,
     "events_hourly_window": Q_EVENTS_HOURLY_SQL,
     "events_sessionize": Q_EVENTS_SESSIONIZE_SQL,
     "events_asof_join": Q_EVENTS_ASOF_JOIN_SQL,
