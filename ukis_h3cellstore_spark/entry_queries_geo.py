@@ -284,13 +284,71 @@ FROM events GROUP BY 1
 """
 
 
+def q_geo_grid_disk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """H5 grid_disk through the geo backend, reference-client shape
+    (traversal.rs computes disks driver-side then fetches): 40 event
+    coordinates → centers → k=2 disks via geo.SquareGrid.grid_disk,
+    parallelized as (center_cell, disk_cell) rows. The oracle
+    re-derives every disk with independent SQL lattice arithmetic
+    (wraparound modulo, pole clamping), so matching hashes validate
+    the Python neighborhood algebra, not the plumbing."""
+    grid = geo.SquareGrid()
+    ids = [
+        r.event_id
+        for r in _events(spark, sf_dir)
+        .filter(F.col("event_id") < 40)
+        .select("event_id")
+        .distinct()
+        .collect()
+    ]
+    rows = set()
+    for ev in sorted(ids):
+        lng = ((ev * 7919) % 36000) / 100.0 - 180.0
+        lat = ((ev * 104729) % 14000) / 100.0 - 70.0
+        center = grid.latlng_to_cell(lat, lng, GEO_RES)
+        for c in grid.grid_disk(center, 2):
+            rows.add((center, c))
+    return spark.createDataFrame(
+        sorted(rows), "center_cell long, disk_cell long"
+    )
+
+
+def _q_geo_grid_disk_sql() -> str:
+    n = 1 << (GEO_RES + 3)
+    mask = (1 << 26) - 1
+    return f"""
+WITH centers AS (
+  SELECT DISTINCT
+    {_sq_cell_sql(_synth_lat_sql('event_id'), _synth_lng_sql('event_id'))}
+      AS center
+  FROM events WHERE event_id < 40
+),
+un AS (
+  SELECT center, (center >> 26) & {mask} AS i, center & {mask} AS j
+  FROM centers
+),
+offs AS (
+  SELECT a.di, b.dj
+  FROM (SELECT unnest(generate_series(-2, 2)) AS di) a,
+       (SELECT unnest(generate_series(-2, 2)) AS dj) b
+)
+SELECT DISTINCT center AS center_cell,
+       ({_MARKER} | {GEO_RES << 52}
+        | ((((i + di) % {n} + {n}) % {n}) << 26)
+        | greatest(0, least(j + dj, {n // 2 - 1}))) AS disk_cell
+FROM un, offs
+"""
+
+
 QUERIES_GEO: dict[str, Callable[[SparkSession, str], DataFrame]] = {
+    "geo_grid_disk": q_geo_grid_disk,
     "geo_polyfill_traversal": q_geo_polyfill_traversal,
     "geo_border_cells": q_geo_border_cells,
     "geo_latlng_to_cell": q_geo_latlng_to_cell,
 }
 
 ORACLES_GEO: dict[str, str] = {
+    "geo_grid_disk": _q_geo_grid_disk_sql(),
     "geo_polyfill_traversal": _q_geo_polyfill_traversal_sql(),
     "geo_border_cells": _q_geo_border_cells_sql(),
     "geo_latlng_to_cell": _q_geo_latlng_to_cell_sql(),
