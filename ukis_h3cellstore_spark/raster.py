@@ -54,7 +54,10 @@ def raster_to_dataframe(
     g = grid or geo.default_grid()
     n_rows = arr.shape[0]
     bands = [(r0, min(r0 + band_rows, n_rows)) for r0 in range(0, n_rows, band_rows)]
-    bc_arr = spark.sparkContext.broadcast(arr)
+    # the raster ships via UDF closure capture (pickled once per task
+    # batch) rather than sparkContext.broadcast — identical semantics
+    # for this test-scale source, and Spark Connect has no
+    # sparkContext to broadcast through
     a, b, c, d, e_, f = (float(v) for v in transform)
 
     bands_df = spark.createDataFrame(bands, "r0 int, r1 int").repartition(
@@ -64,7 +67,7 @@ def raster_to_dataframe(
     def band_to_cells(pdf_iter):
         import pandas as pd
 
-        arr_local = bc_arr.value
+        arr_local = arr
         for pdf in pdf_iter:
             for r0, r1 in zip(pdf["r0"], pdf["r1"]):
                 block = arr_local[r0:r1]

@@ -337,14 +337,21 @@ class CellStore:
 
         # cooperative abort (reference insert.rs:75-87 + grpc.rs:267-285
         # GIL polling): all jobs of this insert run under a job group so
-        # cancel_insert() from another thread interrupts them mid-flight
-        sc = self.spark.sparkContext
-        self._insert_job_group = f"h3cs-insert-{schema.name}-{id(df)}"
-        sc.setJobGroup(
-            self._insert_job_group,
-            f"insert into tableset {schema.name}",
-            interruptOnCancel=True,
-        )
+        # cancel_insert() from another thread interrupts them mid-flight.
+        # Spark Connect has no sparkContext/job groups — there the
+        # insert still runs, just without the cross-thread abort hook
+        # (Connect's own interruptTag API is the migration path).
+        try:
+            sc = self.spark.sparkContext
+            self._insert_job_group = f"h3cs-insert-{schema.name}-{id(df)}"
+            sc.setJobGroup(
+                self._insert_job_group,
+                f"insert into tableset {schema.name}",
+                interruptOnCancel=True,
+            )
+        except Exception:
+            sc = None
+            self._insert_job_group = None
 
         # conform columns + types to the declared schema
         target = schema.spark_schema()
@@ -491,7 +498,8 @@ class CellStore:
                     p.unpersist()
         finally:
             df.unpersist()
-            sc.setJobGroup("", "")
+            if sc is not None:
+                sc.setJobGroup("", "")
             self._insert_job_group = None
 
     def cancel_insert(self) -> None:
