@@ -304,8 +304,80 @@ FROM ranked WHERE rank <= 3
 """
 
 
+def q_streaming_tableset_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming ingestion INTO the CellStore pyramid
+    (streaming.stream_insert_into_tableset): the events stream arrives
+    in micro-batches, each batch runs the full Q1 insert (compact →
+    rollup → publish → scoped dedup with Sum merge), and the gate
+    queries the res-4 level afterwards. Sum merge semantics make the
+    final state independent of how rows split across batches — the
+    oracle is the same one-shot relational rollup that verifies the
+    batch pipeline."""
+    import tempfile as _tf
+
+    from ukis_h3cellstore_spark import CellStore, CompactedTableSchemaBuilder
+    from ukis_h3cellstore_spark import streaming as _st
+    from ukis_h3cellstore_spark.entry_queries import _cents, _synth_col
+    from ukis_h3cellstore_spark.h3 import cells as _h3c
+
+    schema = (
+        CompactedTableSchemaBuilder("stream_ingest_sum")
+        .h3_base_resolutions([4, 6])
+        .add_h3index_column()
+        .add_aggregated_column("value_cents", "UInt64", "Sum")
+        .build()
+    )
+    src = _events(spark, sf_dir).select(
+        _synth_col("event_id", 6).alias("h3index"),
+        _cents(F.col("value")).alias("value_cents"),
+    )
+    stream_dir = tempfile.mkdtemp(prefix="h3stream_ingest_src_")
+    src.repartition(4).write.mode("overwrite").parquet(stream_dir)
+    stream = st.read_stream(spark, stream_dir, src.schema, max_files_per_trigger=2)
+
+    store = CellStore(spark, _tf.mkdtemp(prefix="h3stream_wh_"))
+    q = _st.stream_insert_into_tableset(
+        store,
+        schema,
+        stream,
+        checkpoint_dir=tempfile.mkdtemp(prefix="h3stream_ckpt_"),
+        trigger_available_now=True,
+    )
+    q.awaitTermination(300)
+    from ukis_h3cellstore_spark.entry_queries import _synth_py
+
+    cells = sorted(
+        {_h3c.cell_to_parent(_synth_py(i, 6), 4) for i in range(200)}
+    )
+    out = store.query_tableset_cells("stream_ingest_sum", cells, 4)
+    return out.df.select("h3index", "value_cents")
+
+
+def _q_streaming_tableset_ingest_sql() -> str:
+    from ukis_h3cellstore_spark.entry_queries import _synth_py
+    from ukis_h3cellstore_spark.h3 import cells as _h3c
+    from ukis_h3cellstore_spark.h3 import sqlgen as _sg
+
+    cell = _sg.synth_cell("event_id", 6, DUCK)
+    parents = sorted(
+        {_h3c.cell_to_parent(_synth_py(i, 6), 4) for i in range(200)}
+    )
+    plist = ", ".join(str(p) for p in parents)
+    return f"""
+WITH syn AS (SELECT {cell} AS h3index,
+                    CAST(round(value*100) AS BIGINT) AS value_cents
+             FROM events)
+SELECT {_sg.to_parent('h3index', 4, DUCK)} AS h3index,
+       CAST(SUM(value_cents) AS BIGINT) AS value_cents
+FROM syn
+WHERE {_sg.to_parent('h3index', 4, DUCK)} IN ({plist})
+GROUP BY 1
+"""
+
+
 QUERIES_STREAM: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "streaming_topk": q_streaming_topk,
+    "streaming_tableset_ingest": q_streaming_tableset_ingest,
     "streaming_windowed_rollup": q_streaming_windowed_rollup,
     "streaming_dedup_exact": q_streaming_dedup_exact,
     "streaming_sessionize": q_streaming_sessionize,
@@ -314,6 +386,7 @@ QUERIES_STREAM: dict[str, Callable[[SparkSession, str], DataFrame]] = {
 
 ORACLES_STREAM: dict[str, str] = {
     "streaming_topk": _Q_STREAMING_TOPK_SQL,
+    "streaming_tableset_ingest": _q_streaming_tableset_ingest_sql(),
     "streaming_windowed_rollup": _q_streaming_windowed_rollup_sql(),
     "streaming_dedup_exact": _Q_STREAMING_DEDUP_EXACT_SQL,
     "streaming_sessionize": _Q_STREAMING_SESSIONIZE_SQL,
