@@ -487,3 +487,44 @@ def test_partition_scoped_dedup_rewrite(spark, tmp_path):
     # duplicates within the touched partition merged away
     out = store.query_tableset_cells("scope_set", cells60 + cells61, 5).df.toPandas()
     assert len(out) == len(cells60) + len(cells61)
+
+
+def test_cross_insert_sum_merge_requires_summing_engine(spark, store):
+    """Two inserts contributing DIFFERENT partial sums to the same
+    cells: the SummingMergeTree engine must merge them into one
+    full-sum row per cell. (The default ReplacingMergeTree's dedup is
+    full-row — differing-value rows coexist there by ClickHouse
+    semantics, which is why multi-batch Sum ingestion must declare the
+    Summing engine; this regression surfaced at the sf0.1 streaming
+    gate where synthesized parents first collided across batches.)"""
+    schema = (
+        CompactedTableSchemaBuilder("xsum")
+        .h3_base_resolutions([4, 6])
+        .add_h3index_column()
+        .add_aggregated_column("value_cents", "UInt64", "Sum")
+        .table_engine("SummingMergeTree", ["value_cents"])
+        .build()
+    )
+    region = h3c.build_cell(60, [1, 2, 3])  # res-3 cell
+    kids6 = h3c.cell_to_children(h3c.cell_to_children(region, 4)[0], 6)[:20]
+    df1 = spark.createDataFrame(
+        [(c, 10) for c in kids6], "h3index long, value_cents long"
+    )
+    df2 = spark.createDataFrame(
+        [(c, 32) for c in kids6], "h3index long, value_cents long"
+    )
+    store.insert_h3dataframe_into_tableset(schema, df1)
+    store.insert_h3dataframe_into_tableset(schema, df2)
+    out = (
+        store.query_tableset_cells("xsum", kids6, 6)
+        .df.toPandas()
+        .set_index("h3index")
+    )
+    # one row per cell, both inserts' contributions summed
+    assert len(out) == len(kids6)
+    assert (out.value_cents == 42).all()
+    # and the rolled-up res-4 parent carries the grand total
+    parent = h3c.cell_to_parent(kids6[0], 4)
+    out4 = store.query_tableset_cells("xsum", [parent], 4).df.toPandas()
+    assert len(out4) == 1
+    assert int(out4.value_cents.iloc[0]) == 42 * len(kids6)

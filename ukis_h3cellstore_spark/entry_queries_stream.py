@@ -309,7 +309,13 @@ def q_streaming_tableset_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
     (streaming.stream_insert_into_tableset): the events stream arrives
     in micro-batches, each batch runs the full Q1 insert (compact →
     rollup → publish → scoped dedup with Sum merge), and the gate
-    queries the res-4 level afterwards. Sum merge semantics make the
+    queries the res-4 level afterwards. The schema declares
+    SummingMergeTree over value_cents — REQUIRED for multi-batch
+    ingestion into a Sum rollup: the default ReplacingMergeTree's
+    dedup is full-row, so two batches contributing different partial
+    sums to one cell would legitimately coexist (exactly what
+    ClickHouse does before a Summing merge). With the Summing engine
+    the scoped cross-insert merge sums on the sort key, making the
     final state independent of how rows split across batches — the
     oracle is the same one-shot relational rollup that verifies the
     batch pipeline."""
@@ -325,6 +331,7 @@ def q_streaming_tableset_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
         .h3_base_resolutions([4, 6])
         .add_h3index_column()
         .add_aggregated_column("value_cents", "UInt64", "Sum")
+        .table_engine("SummingMergeTree", ["value_cents"])
         .build()
     )
     src = _events(spark, sf_dir).select(
