@@ -25,10 +25,18 @@ from pyspark.sql import DataFrame, SparkSession
 # (r3-late + r4-new code) = exactly the driver's 50-query sample; the
 # whole head was swept green locally (tools/check_correctness.py,
 # artifact CORRECTNESS_LOCAL_r04.json) before registration.
-# ROUND-5 ROTATION: move the queries that are NOT in this head and
-# whose last green row is oldest (the r3-verified 50, then any gate
-# added after this list was frozen) to the front, and push this
-# round's freshly-verified head to the back.
+# ROUND-5 ROTATION (do this first in r5): replace _PRIORITY with the
+# first 50 of the tail below — gates never driver-sampled in r4
+# (r4-late additions first, then the r3-verified set, oldest-green
+# first) — and push the current head to the back. Tail order as of
+# r4 close: dedup_semantic, geo_grid_disk, streaming_tableset_ingest,
+# pipeline_join_tablesets, source_zordered_scan,
+# q11_important_suppliers, q20_dominant_suppliers,
+# events_window_ntile, events_grouping_sets, then the r3-verified 41+
+# (q1/q3/q5/q6/q4/q18/q7/q8/q10/q15/q19/q13/q14/q16/q17/q22, the
+# events_* suite, h3_* suite, pipeline_* suite, text/dedup/ann r2
+# set, raster_ingest, streaming_windowed_rollup). All 137 have green
+# rows in CORRECTNESS_LOCAL_r04{,_sf0.1}.json.
 _PRIORITY = [
     # tier 1 — never sampled (all locally verified vs DuckDB oracles)
     "orders_semi_anti_join",
