@@ -250,3 +250,31 @@ def test_repetition_fold_matches_counter(spark, docs):
         assert r.top_2gram_frac == max(c.values()) / len(grams)
         dup = sum(v for v in c.values() if v > 1)
         assert r.dup_2gram_frac == dup / len(grams)
+
+
+@given(
+    texts=st.lists(
+        st.text(
+            alphabet=st.characters(min_codepoint=32, max_codepoint=126),
+            max_size=40,
+        ),
+        min_size=1,
+        max_size=8,
+    )
+)
+@settings(**_SETTINGS)
+def test_normalize_text_matches_python_reference(spark, texts):
+    """The single-pass [^a-z0-9]+ collapse must equal the literal
+    strip-then-collapse-then-trim reference for ANY printable-ASCII
+    input (the r4 perf rewrite's equivalence claim)."""
+    import re
+
+    from ukis_h3cellstore_spark.ops import text as X
+
+    df = spark.createDataFrame(
+        list(enumerate(texts)), "doc_id long, text string"
+    )
+    out = {r.doc_id: r.norm_text for r in X.normalize_text(df).collect()}
+    for i, t in enumerate(texts):
+        ref = re.sub(r" +", " ", re.sub(r"[^a-z0-9 ]", " ", t.lower())).strip()
+        assert out[i] == ref
