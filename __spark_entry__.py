@@ -11,8 +11,9 @@ registry entries each round, so the dicts are merged through an
 explicit priority list — queries that have never earned a green
 CORRECTNESS row come first, then the ones whose last green row is
 oldest, then the most-recently-verified set. Rotate `_PRIORITY` each
-round as rows come in (r4 samples the 50 never-sampled gates; the
-r2/r3-verified set sits behind them and rotates back in r5).
+round as rows come in (r5 samples the 9 last never-sampled gates
+plus the oldest-green r1/r2/r3 set; the r4-verified 50 sit behind
+them and rotate back in r6).
 """
 
 from __future__ import annotations
@@ -21,74 +22,73 @@ from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
 
-# First-50 sampling priority for round 4: the 50 never-sampled gates
-# (r3-late + r4-new code) = exactly the driver's 50-query sample; the
-# whole head was swept green locally (tools/check_correctness.py,
-# artifact CORRECTNESS_LOCAL_r04.json) before registration.
-# ROUND-5 ROTATION (do this first in r5): replace _PRIORITY with the
-# first 50 of the tail below — gates never driver-sampled in r4
-# (r4-late additions first, then the r3-verified set, oldest-green
-# first) — and push the current head to the back. Tail order as of
-# r4 close: dedup_semantic, geo_grid_disk, streaming_tableset_ingest,
-# pipeline_join_tablesets, source_zordered_scan,
-# q11_important_suppliers, q20_dominant_suppliers,
-# events_window_ntile, events_grouping_sets, then the r3-verified 41+
-# (q1/q3/q5/q6/q4/q18/q7/q8/q10/q15/q19/q13/q14/q16/q17/q22, the
-# events_* suite, h3_* suite, pipeline_* suite, text/dedup/ann r2
-# set, raster_ingest, streaming_windowed_rollup). All 137 have green
-# rows in CORRECTNESS_LOCAL_r04{,_sf0.1}.json.
+# First-50 sampling priority for round 5: the 9 gates that have never
+# earned a driver CORRECTNESS row (r4-late additions), then the gates
+# whose last driver-green row is oldest (r1 pipeline/raster set, the
+# r2 dedup/ann/corpus set, then the r3 TPC-H head). After r5 records
+# green rows for the head, every one of the 137 gates will have been
+# driver-verified at least once.
+# ROUND-6 ROTATION (do this first in r6): move any NEW never-sampled
+# gates to the front, then continue oldest-green-first — the tail of
+# the r3-verified set (q16/q17/q22, events_* window suite, h3_*
+# suite, pipeline_sum/avg/relarea rollups, text r3 set), then the
+# r4-verified 50 (current back), then this round's head. Recompute
+# mechanically: never-sampled first, then sort by max round seen in
+# CORRECTNESS_r0{1..N}.json (ties by registry order).
 _PRIORITY = [
-    # tier 1 — never sampled (all locally verified vs DuckDB oracles)
-    "orders_semi_anti_join",
-    "events_variant_props",
-    "source_csv_roundtrip",
-    "events_distinct_daily",
-    "events_user_type_signature",
-    "part_string_funcs",
-    "geo_polyfill_traversal",
-    "geo_border_cells",
-    "geo_latlng_to_cell",
-    "streaming_dedup_exact",
-    "streaming_sessionize",
-    "streaming_interval_join",
-    "pipeline_templated_query",
-    "dedup_lsh_verified",
-    "embedding_norm_report",
-    "multimodal_frame_sample",
-    "text_gopher_quality",
-    "corpus_source_report",
-    "corpus_stratified_sample",
-    "corpus_chunked",
-    "source_jsonl_roundtrip",
-    "events_lateral_top2",
-    "events_gapfill_daily",
-    "events_map_ops",
-    "events_window_nav",
-    "corpus_length_filter",
-    "corpus_oov_report",
-    "corpus_cross_source_dups",
-    "ann_pq_top3",
-    "ann_ivfpq_top3",
-    "dedup_containment",
-    "text_char_entropy",
-    "corpus_temperature_mix",
-    "q12_late_shipment_priority",
-    "q9_profit_by_nation_year",
-    "q21_blocking_suppliers",
-    "q2_cheapest_supplier",
-    "text_normalize",
-    "text_boilerplate",
-    "text_quality_logit",
-    "ann_sq8_top3",
-    "streaming_topk",
-    "dedup_cross_modal",
-    "lineitem_percentiles",
-    "events_value_moments",
-    "events_zscore",
-    "ann_filtered_top3",
-    "text_surprisal",
-    "multimodal_features",
-    "source_orc_roundtrip",
+    # tier 1 — the 9 gates never driver-sampled (r4-late additions;
+    # all green in CORRECTNESS_LOCAL_r04{,_sf0.1}.json)
+    "q11_important_suppliers",
+    "q20_dominant_suppliers",
+    "pipeline_join_tablesets",
+    "source_zordered_scan",
+    "events_window_ntile",
+    "events_grouping_sets",
+    "dedup_semantic",
+    "geo_grid_disk",
+    "streaming_tableset_ingest",
+    # tier 2 — oldest driver-green first (last green r1/r2/r3)
+    "pipeline_traversal",
+    "pipeline_traversal_prefiltered",
+    "pipeline_traverse_apply",
+    "pipeline_tableset_stats",
+    "raster_ingest",
+    "streaming_windowed_rollup",
+    "dedup_ngram_jaccard",
+    "dedup_minhash_signatures",
+    "dedup_minhash_lsh_pairs",
+    "dedup_simhash",
+    "dedup_simhash_groups",
+    "dedup_simhash_hamming",
+    "ann_cosine_top3",
+    "ann_ivf_top3",
+    "ann_lsh_top3",
+    "embedding_dup_pairs",
+    "multimodal_decode_meta",
+    "corpus_curation",
+    "corpus_split_counts",
+    "pack_documents",
+    "packing_stats",
+    "corpus_mixture",
+    "text_scrub_pii",
+    "corpus_training_mix",
+    "dedup_cluster_resolve",
+    "corpus_decontaminate",
+    "text_vocab_top50",
+    "text_repetition",
+    "q1_pricing_summary",
+    "q3_shipping_priority",
+    "q5_region_nation_revenue",
+    "q6_forecast_revenue",
+    "q4_order_priority",
+    "q18_large_orders",
+    "q7_nation_trade_volume",
+    "q8_market_share",
+    "q10_returned_customers",
+    "q15_top_suppliers",
+    "q19_bracket_revenue",
+    "q13_order_count_distribution",
+    "q14_promo_revenue_share",
 ]
 
 
