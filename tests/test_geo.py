@@ -96,21 +96,21 @@ def test_border_cells_rejects_bad_input(grid):
         geo.border_cells({"type": "Point", "coordinates": (0, 0)}, 7, grid=grid)
 
 
-def test_h3grid_gated():
-    # the container has no 'h3' wheel: the real backend must raise the
-    # documented error, and default_grid() must surface it
+def test_h3grid_default_backend():
+    # the pure-Python icosahedral core backs H3Grid with no native
+    # wheel, so default_grid() always resolves to the real hex grid
     geo.set_default_grid(None)
     try:
-        import h3  # noqa: F401
-
-        pytest.skip("h3 installed in this environment")
-    except ImportError:
-        pass
-    with pytest.raises(geo.GeoBackendUnavailable):
-        geo.H3Grid()
-    with pytest.raises(geo.GeoBackendUnavailable):
-        geo.default_grid()
-    geo.set_default_grid(None)
+        g = geo.default_grid()
+        assert isinstance(g, geo.H3Grid)
+        # doc vector through the GridSystem protocol
+        assert g.latlng_to_cell(37.3615593, -122.0553238, 5) == 0x85283473FFFFFFF
+        lat, lng = g.cell_to_latlng(0x85283473FFFFFFF)
+        assert abs(lat - 37.345793375368) < 1e-6
+        assert len(g.grid_disk(0x85283473FFFFFFF, 1)) == 7
+        assert 0.0 < g.cell_size_deg(5) < 1.0
+    finally:
+        geo.set_default_grid(None)
 
 
 def test_point_in_polygon_with_hole():

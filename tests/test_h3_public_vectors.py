@@ -15,9 +15,12 @@ external ground truth instead of self-consistency:
   41162, …, 569'707'381'193'162 at res 15) and the 12-pentagons-per-
   resolution invariant.
 
-The latlng/grid-disk vectors need a real geometry backend and are
-exercised against the ``h3`` wheel when present (skipped otherwise —
-this container has none).
+The latlng/grid-disk vectors exercise the pure-Python icosahedral
+core (h3/icosa.py) through the H3Grid backend — no native wheel
+needed. They are the external ground-truth anchors for that module:
+the latLngToCell/cellToLatLng doc examples, the polygonToCells cell
+counts from the public H3 C test suite, and the grid-disk size
+formulas (hexagon and pentagon).
 """
 
 from __future__ import annotations
@@ -114,7 +117,7 @@ def test_invalid_indexes_rejected():
     assert not c.is_valid_cell(c.build_cell(4, [1]))
 
 
-# ------------------------------------------------- real-grid vectors (h3)
+# ------------------------------------------- real-grid vectors (icosa)
 
 
 #: sfGeoLoop from the public H3 C test suite (testPolygonToCells.c),
@@ -144,7 +147,6 @@ def _ring_deg(loop_rad):
 
 
 def test_latlng_to_cell_doc_input_vector():
-    pytest.importorskip("h3", reason="h3 wheel absent in this container")
     from ukis_h3cellstore_spark.geo import H3Grid
 
     g = H3Grid()
@@ -153,7 +155,6 @@ def test_latlng_to_cell_doc_input_vector():
 
 
 def test_polyfill_sf_polygon_count_vector():
-    pytest.importorskip("h3", reason="h3 wheel absent in this container")
     from ukis_h3cellstore_spark.geo import H3Grid
 
     g = H3Grid()
@@ -170,7 +171,6 @@ def test_polyfill_sf_polygon_count_vector():
 
 
 def test_grid_disk_size_formula_vectors():
-    pytest.importorskip("h3", reason="h3 wheel absent in this container")
     from ukis_h3cellstore_spark.geo import H3Grid
 
     g = H3Grid()
@@ -183,7 +183,6 @@ def test_grid_disk_size_formula_vectors():
 
 
 def test_latlng_vector_doc_example():
-    pytest.importorskip("h3", reason="h3 wheel absent in this container")
     from ukis_h3cellstore_spark.geo import H3Grid
 
     g = H3Grid()
@@ -195,7 +194,6 @@ def test_latlng_vector_doc_example():
 
 
 def test_grid_disk_ring_size_vector():
-    pytest.importorskip("h3", reason="h3 wheel absent in this container")
     from ukis_h3cellstore_spark.geo import H3Grid
 
     g = H3Grid()

@@ -340,11 +340,264 @@ FROM un, offs
 """
 
 
+
+
+# --------------------------------------------------- real-hex geoToH3
+
+#: 200 vendored (event_id → res-5 H3 index) pairs for the real
+#: hexagonal grid, precomputed with the pure-Python icosahedral core
+#: (h3/icosa.py) over the same synthesized coordinates the Spark side
+#: uses. Anchoring chain: the core itself is pinned to PUBLIC ground
+#: truth in tests/test_h3_public_vectors.py (latLngToCell/cellToLatLng
+#: doc vectors, SF polyfill counts from the H3 C suite, disk size
+#: formulas) plus exhaustive res-1..3 round-trips; this gate then
+#: proves the DISTRIBUTED path — Arrow-batched pandas UDF, per-res
+#: batching, bit packing — reproduces the driver-side reference
+#: implementation bit-for-bit, and cross-checks the index bit layout
+#: (base-cell extraction) in DuckDB integer arithmetic.
+_HEX_VECTORS = """(0, 603108745894952959),
+  (1, 601567589222580223),
+  (2, 599108261957861375),
+  (3, 601329319469383679),
+  (4, 599338370199453695),
+  (5, 601799811661823999),
+  (6, 599231734751428607),
+  (7, 602013487358541823),
+  (8, 599631011017392127),
+  (9, 601778953153150975),
+  (10, 599659719652540415),
+  (11, 601878989383925759),
+  (12, 599769657930416127),
+  (13, 602239256609423359),
+  (14, 599929980469641215),
+  (15, 602611644232630271),
+  (16, 599978085177098239),
+  (17, 602569456916365311),
+  (18, 600575839398002687),
+  (19, 602691535993044991),
+  (20, 600495193870827519),
+  (21, 602924720504963071),
+  (22, 600816411253669887),
+  (23, 603112927045615615),
+  (24, 600784937733324799),
+  (25, 603031664116891647),
+  (26, 601349463939743743),
+  (27, 599063457932771327),
+  (28, 601527643879243775),
+  (29, 599456304632692735),
+  (30, 601645970228248575),
+  (31, 599349405044178943),
+  (32, 601714521127518207),
+  (33, 599239902705483775),
+  (34, 601667411778732031),
+  (35, 599541884003549183),
+  (36, 602337987170140159),
+  (37, 599685270412984319),
+  (38, 601954050379874303),
+  (39, 600091719274332159),
+  (40, 602498878792531967),
+  (41, 600239699151290367),
+  (42, 602683377702666239),
+  (43, 600475427357589503),
+  (44, 602547314212470783),
+  (45, 600355719102857215),
+  (46, 602962517290909695),
+  (47, 600633367263707135),
+  (48, 603036543199739903),
+  (49, 600757238415491071),
+  (50, 603105049001852927),
+  (51, 600888083520421887),
+  (52, 599086879463178239),
+  (53, 601329584683614207),
+  (54, 599059429253447679),
+  (55, 601399145973940223),
+  (56, 599248686987345919),
+  (57, 601285968216981503),
+  (58, 599632007449804799),
+  (59, 601777833240428543),
+  (60, 599673803924045823),
+  (61, 601880723476971519),
+  (62, 599758612348272639),
+  (63, 602216068080992255),
+  (64, 599957962181574655),
+  (65, 602125041617862655),
+  (66, 599980178973655039),
+  (67, 602570517773287423),
+  (68, 599882777705316351),
+  (69, 602696441919438847),
+  (70, 600511336505409535),
+  (71, 602772789258092543),
+  (72, 600831334117539839),
+  (73, 602728264405876735),
+  (74, 600784544743817215),
+  (75, 603030345561931775),
+  (76, 600688165677694975),
+  (77, 603133168152739839),
+  (78, 600938359333847039),
+  (79, 599099934016274431),
+  (80, 601629770685349887),
+  (81, 599350946937438207),
+  (82, 601700429339820031),
+  (83, 599241699075555327),
+  (84, 601654672905732095),
+  (85, 599544782032732159),
+  (86, 601743942727237631),
+  (87, 599688178105843711),
+  (88, 601952563247448063),
+  (89, 600093942993649663),
+  (90, 602506066420301823),
+  (91, 600231344366157823),
+  (92, 602201815232020479),
+  (93, 599900930384592895),
+  (94, 602548348225847295),
+  (95, 600357007593046015),
+  (96, 602959676170043391),
+  (97, 600648761500237823),
+  (98, 603035469457915903),
+  (99, 600765021969973247),
+  (100, 603107658194485247),
+  (101, 600889884185460735),
+  (102, 603179987591233535),
+  (103, 601321851594997759),
+  (104, 599060305426776063),
+  (105, 601383809719468031),
+  (106, 599248430363049983),
+  (107, 601285305718276095),
+  (108, 599182964324040703),
+  (109, 601785579213946879),
+  (110, 599301607426883583),
+  (111, 601865339977859071),
+  (112, 599759647435390975),
+  (113, 602217577761996799),
+  (114, 599949846840868863),
+  (115, 602126688737820671),
+  (116, 599971733994209279),
+  (117, 602589696949747711),
+  (118, 599882460951478271),
+  (119, 602681196933021695),
+  (120, 600512587414634495),
+  (121, 602754480886251519),
+  (122, 600308272599138303),
+  (123, 602727583653560319),
+  (124, 600799941127831551),
+  (125, 602878801935859711),
+  (126, 600687093009612799),
+  (127, 603159951568797695),
+  (128, 600936893676257279),
+  (129, 603171224784207871),
+  (130, 601132491855626239),
+  (131, 599168609469595647),
+  (132, 601698790809796607),
+  (133, 599237046552231935),
+  (134, 601653214764335103),
+  (135, 599564146966527999),
+  (136, 601742659605757951),
+  (137, 599496368087629823),
+  (138, 601937131429953535),
+  (139, 599522702679605247),
+  (140, 601923247948169215),
+  (141, 599601256557707263),
+  (142, 602198329866059775),
+  (143, 599900505182830591),
+  (144, 602537202785714175),
+  (145, 600364784705077247),
+  (146, 602480916165558271),
+  (147, 600340039251001343),
+  (148, 602654049518485503),
+  (149, 600749195015487487),
+  (150, 602831485354901503),
+  (151, 600905323519148031),
+  (152, 602874733528088575),
+  (153, 600711702098477055),
+  (154, 603147467172610047),
+  (155, 601381401316556799),
+  (156, 599243005819355135),
+  (157, 601269206033367039),
+  (158, 599155772886089727),
+  (159, 601770729364520959),
+  (160, 599303322192576511),
+  (161, 601883269318836223),
+  (162, 599270477503922175),
+  (163, 602230015987286015),
+  (164, 599481323890933759),
+  (165, 602111309533675519),
+  (166, 599986876975153151),
+  (167, 602591862687006719),
+  (168, 599866249597419519),
+  (169, 602678388024410111),
+  (170, 599903682384887807),
+  (171, 602754229630664703),
+  (172, 600309335603544063),
+  (173, 602708738410807295),
+  (174, 600203869460365311),
+  (175, 602877212797960191),
+  (176, 600668995091169279),
+  (177, 603160500250869759),
+  (178, 600921504808435711),
+  (179, 603171976403484671),
+  (180, 601130201564315647),
+  (181, 599078812440854527),
+  (182, 600962369274773503),
+  (183, 599252154099695615),
+  (184, 601672328442544127),
+  (185, 599176019361923071),
+  (186, 601750425980370943),
+  (187, 599305346195914751),
+  (188, 601939931748630527),
+  (189, 599512409790480383),
+  (190, 601921646999109631),
+  (191, 599600922623999999),
+  (192, 602182975357976575),
+  (193, 599915546158301183),
+  (194, 602539281549885439),
+  (195, 599810259330007039),
+  (196, 602464206595293183),
+  (197, 600336479796854783),
+  (198, 602643741596975103),
+  (199, 600748883630358527)"""
+
+
+def q_geo_latlng_to_cell_hex(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """§2.6 ``geoToH3`` on the REAL hexagonal grid: the default-grid
+    registration path (vectorized Arrow-batched pandas UDF over
+    h3.icosa.latlng_to_cell_np) applied to synthesized event
+    coordinates at res 5, with the base cell re-extracted via the
+    bit-arithmetic SQL functions. Reference parity: geoToH3 /
+    traversal.rs:131-162 (h3ron latlng→cell)."""
+    from ukis_h3cellstore_spark.functions import register_h3_sql_functions
+
+    register_h3_sql_functions(spark)  # default grid → real H3, vectorized
+    _events(spark, sf_dir).createOrReplaceTempView("__geo_events_hex")
+    lng = _synth_lng_sql("event_id")
+    lat = _synth_lat_sql("event_id")
+    return spark.sql(
+        f"""
+        SELECT event_id, h3index,
+               CAST(shiftright(h3index, 45) & 127 AS BIGINT) AS base_cell
+        FROM (
+          SELECT event_id, geoToH3({lat}, {lng}, 5) AS h3index
+          FROM __geo_events_hex WHERE event_id < 200
+        )
+        """
+    )
+
+
+def _q_geo_latlng_to_cell_hex_sql() -> str:
+    return f"""
+SELECT v.event_id, v.h3index, (v.h3index >> 45) & 127 AS base_cell
+FROM (VALUES
+  {_HEX_VECTORS}
+) AS v(event_id, h3index)
+WHERE v.event_id IN (SELECT event_id FROM events)
+"""
+
+
 QUERIES_GEO: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "geo_grid_disk": q_geo_grid_disk,
     "geo_polyfill_traversal": q_geo_polyfill_traversal,
     "geo_border_cells": q_geo_border_cells,
     "geo_latlng_to_cell": q_geo_latlng_to_cell,
+    "geo_latlng_to_cell_hex": q_geo_latlng_to_cell_hex,
 }
 
 ORACLES_GEO: dict[str, str] = {
@@ -352,4 +605,5 @@ ORACLES_GEO: dict[str, str] = {
     "geo_polyfill_traversal": _q_geo_polyfill_traversal_sql(),
     "geo_border_cells": _q_geo_border_cells_sql(),
     "geo_latlng_to_cell": _q_geo_latlng_to_cell_sql(),
+    "geo_latlng_to_cell_hex": _q_geo_latlng_to_cell_hex_sql(),
 }

@@ -10,8 +10,9 @@ The hierarchy functions are **SQL scalar UDFs** (``CREATE TEMPORARY
 FUNCTION ... RETURN <expr>``): pure bit-arithmetic that Catalyst
 inlines into the plan, so they constant-fold and stay inside
 whole-stage codegen — no Python in the hot path. Only ``geoToH3``
-needs a real geo backend and is registered as a Python UDF gated on
-the ``h3`` package (see :mod:`ukis_h3cellstore_spark.geo`).
+needs real grid geometry; on the default H3 backend it registers an
+Arrow-batched Pandas UDF over the vectorized pure-Python transform
+(see :mod:`ukis_h3cellstore_spark.h3.icosa`).
 
 H3 index bit layout (public spec): resolution in bits 52-55, base cell
 in bits 45-51, one 3-bit digit per resolution from bit 45 downward;
@@ -152,21 +153,48 @@ def register_h3_sql_functions(spark: SparkSession, grid=None) -> list[str]:
 
 
 def _register_geo_to_h3(spark: SparkSession, grid=None) -> str:
-    """``geoToH3(lat, lng, res)`` — needs a real grid backend; the UDF
-    raises the documented GeoBackendUnavailable at call time when the
-    ``h3`` package is missing (registration itself always succeeds).
-    The grid instance is captured in the UDF closure and shipped to
-    executors — driver-side ``set_default_grid`` does not propagate."""
+    """``geoToH3(lat, lng, res)``.
+
+    With the default grid (or an explicit :class:`~ukis_h3cellstore_spark.geo.H3Grid`)
+    this registers an **Arrow-batched Pandas UDF** over the vectorized
+    numpy forward transform (``h3.icosa.latlng_to_cell_np``, several
+    hundred k points/s/core) — the 100-TB shape for point indexing. A
+    custom :class:`GridSystem` (e.g. the SquareGrid test double) falls
+    back to a per-row UDF with the grid captured in the closure
+    (driver-side ``set_default_grid`` does not propagate to
+    executors)."""
     from pyspark.sql.types import LongType
 
-    def geo_to_h3(lat: float, lng: float, res: int) -> int:
-        g = grid
-        if g is None:
-            from ukis_h3cellstore_spark import geo
+    from ukis_h3cellstore_spark import geo
 
-            g = geo.default_grid()
+    if grid is None or isinstance(grid, geo.H3Grid):
+        # module-level import alias so the postponed annotations on the
+        # pandas UDF resolve under `from __future__ import annotations`
+        global pd
+        import pandas as pd
+        from pyspark.sql.functions import pandas_udf
+
+        @pandas_udf(LongType())
+        def geo_to_h3(lat: pd.Series, lng: pd.Series, res: pd.Series) -> pd.Series:
+            import numpy as np
+
+            from ukis_h3cellstore_spark.h3 import icosa
+
+            lats = lat.to_numpy(dtype="float64")
+            lngs = lng.to_numpy(dtype="float64")
+            rr = res.to_numpy(dtype="int64")
+            out = np.empty(len(lats), dtype=np.int64)
+            for r in np.unique(rr):
+                m = rr == r
+                out[m] = icosa.latlng_to_cell_np(lats[m], lngs[m], int(r))
+            return pd.Series(out)
+
+        spark.udf.register("geoToH3", geo_to_h3)
+        return "geoToH3"
+
+    def geo_to_h3_rowwise(lat: float, lng: float, res: int) -> int:
         # SQL float literals arrive as decimal.Decimal — normalize
-        return g.latlng_to_cell(float(lat), float(lng), int(res))
+        return grid.latlng_to_cell(float(lat), float(lng), int(res))
 
-    spark.udf.register("geoToH3", geo_to_h3, LongType())
+    spark.udf.register("geoToH3", geo_to_h3_rowwise, LongType())
     return "geoToH3"

@@ -14,8 +14,10 @@ Design: the *algorithms* (ring tracing, polyfill-with-ring union,
 border dilation) are written against a small :class:`GridSystem`
 protocol so they are testable without any geo library. Two backends:
 
-- :class:`H3Grid` — the real thing, gated behind ``import h3`` (the
-  ``h3`` wheel is not in this container; install it in production).
+- :class:`H3Grid` — the real hexagonal grid, backed by the
+  pure-Python icosahedral core in :mod:`ukis_h3cellstore_spark.h3.icosa`
+  (no native wheel needed; anchored to public spec vectors in
+  tests/test_h3_public_vectors.py).
 - :class:`SquareGrid` — a deterministic square-lattice test double
   with the same protocol, used by the unit tests and usable for
   synthetic pipelines.
@@ -39,8 +41,10 @@ from typing import Protocol
 
 
 class GeoBackendUnavailable(RuntimeError):
-    """Raised when a real-H3 geometry operation is requested but the
-    ``h3`` package is not installed."""
+    """Kept for API compatibility: earlier versions raised this when
+    the native ``h3`` package was missing. The pure-Python icosahedral
+    core now backs :class:`H3Grid` unconditionally, so the engine no
+    longer raises it; user code may still catch it."""
 
 
 class GridSystem(Protocol):
@@ -66,42 +70,35 @@ class GridSystem(Protocol):
 
 
 class H3Grid:
-    """Real H3 backend (requires the ``h3`` python package ≥ 4.x)."""
+    """Real hexagonal H3 backend, powered by the pure-Python
+    icosahedral core (:mod:`ukis_h3cellstore_spark.h3.icosa`) — no
+    native ``h3`` wheel required. Verified against the public
+    latLngToCell/cellToLatLng doc vectors, the grid-disk size
+    formulas, and the SF polyfill counts of the H3 C test suite
+    (tests/test_h3_public_vectors.py)."""
 
     def __init__(self) -> None:
-        try:
-            import h3  # noqa: F401
-        except ImportError as e:  # pragma: no cover - depends on env
-            raise GeoBackendUnavailable(
-                "the 'h3' package is required for real-H3 geometry "
-                "operations (polyfill/grid_disk/latlng); install 'h3>=4'"
-            ) from e
-        import h3
+        from .h3 import icosa
 
-        self._h3 = h3
+        self._core = icosa
 
     def latlng_to_cell(self, lat: float, lng: float, res: int) -> int:
-        return self._h3.str_to_int(self._h3.latlng_to_cell(lat, lng, res))
+        return self._core.latlng_to_cell(lat, lng, res)
 
     def cell_to_latlng(self, cell: int) -> tuple[float, float]:
-        return self._h3.cell_to_latlng(self._h3.int_to_str(cell))
+        return self._core.cell_to_latlng(cell)
 
     def grid_disk(self, cell: int, k: int) -> list[int]:
-        return [
-            self._h3.str_to_int(c)
-            for c in self._h3.grid_disk(self._h3.int_to_str(cell), k)
-        ]
+        return self._core.grid_disk(cell, k)
 
     def cell_size_deg(self, res: int) -> float:
-        km = self._h3.average_hexagon_edge_length(res, unit="km")
-        return 2.0 * km / 111.0  # ~degrees latitude per km
+        import math
+
+        # diameter ≈ 2 × mean edge length, in degrees of latitude
+        return 2.0 * math.degrees(self._core.mean_edge_length_rads(res))
 
     def polygon_to_cells(self, polygon: Sequence, res: int) -> list[int]:
-        poly = self._h3.LatLngPoly(
-            [(lat, lng) for lng, lat in polygon[0]],
-            *[[(lat, lng) for lng, lat in hole] for hole in polygon[1:]],
-        )
-        return [self._h3.str_to_int(c) for c in self._h3.polygon_to_cells(poly, res)]
+        return self._core.polygon_to_cells(polygon, res)
 
 
 # ----------------------------------------------------------------- SquareGrid
@@ -181,8 +178,8 @@ _DEFAULT_GRID: GridSystem | None = None
 
 
 def default_grid() -> GridSystem:
-    """The process-wide grid backend: H3 when available, otherwise an
-    explicit error (override with :func:`set_default_grid`)."""
+    """The process-wide grid backend: the real H3 grid (pure-Python
+    core, always available; override with :func:`set_default_grid`)."""
     global _DEFAULT_GRID
     if _DEFAULT_GRID is None:
         _DEFAULT_GRID = H3Grid()

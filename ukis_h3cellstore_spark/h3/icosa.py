@@ -1153,6 +1153,7 @@ _BC_NEIGHBORS, _BC_NEIGHBOR_ROTS, _BC_ROT_AMBIGUOUS = _derive_base_cell_neighbor
 _WALK_SENSE = [False]
 
 
+
 def h3_neighbor_rotations(cell: int, direction: int, rotations: int) -> tuple[int, int]:
     """Neighbor of ``cell`` in ``direction`` under a frame rotated
     ``rotations`` times ccw. Returns (neighbor, new rotations); the
@@ -1229,61 +1230,15 @@ def h3_neighbor_rotations(cell: int, direction: int, rotations: int) -> tuple[in
     return _with_digits(new_base, out), rotations
 
 
-def grid_disk(cell: int, k: int) -> list[int]:
-    """All cells within grid distance ``k`` of ``cell`` (inclusive)."""
-    dist: dict[int, int] = {}
-    stack = [(cell, 0, 0)]
-    while stack:
-        c, rot, d = stack.pop()
-        if c == 0:
-            continue
-        prev = dist.get(c)
-        if prev is not None and prev <= d:
-            continue
-        dist[c] = d
-        if d >= k:
-            continue
-        for direction in range(1, 7):
-            nb, nrot = h3_neighbor_rotations(c, direction, rot)
-            if nb:
-                stack.append((nb, nrot, d + 1))
-    return sorted(dist)
-
-
-def grid_disk_distances(cell: int, k: int) -> dict[int, int]:
-    """Cell → grid distance for the disk of radius ``k``."""
-    dist: dict[int, int] = {}
-    stack = [(cell, 0, 0)]
-    while stack:
-        c, rot, d = stack.pop()
-        if c == 0:
-            continue
-        prev = dist.get(c)
-        if prev is not None and prev <= d:
-            continue
-        dist[c] = d
-        if d >= k:
-            continue
-        for direction in range(1, 7):
-            nb, nrot = h3_neighbor_rotations(c, direction, rot)
-            if nb:
-                stack.append((nb, nrot, d + 1))
-    return dist
-
-
 def _ring_geometry_ok(c: int) -> bool:
     """All ring-1 neighbors of ``c`` must be distinct, complete (6, or
     5 around a pentagon), and at near-uniform center spacing — a wrong
     rotation lands on a second-ring cell at ≥ √3× the spacing."""
     lat, lng = cell_to_latlng(c)
     v = _geo_to_3d(math.radians(lat), math.radians(lng))
-    nbs = []
-    for d in range(1, 7):
-        nb, _ = h3_neighbor_rotations(c, d, 0)
-        if nb:
-            nbs.append(nb)
+    nbs = cell_neighbors(c)
     expect = 5 if _cells.is_pentagon(c) else 6
-    if len(nbs) != expect or len(set(nbs)) != expect:
+    if len(nbs) != expect:
         return False
     dists = []
     for nb in nbs:
@@ -1338,6 +1293,89 @@ def _calibrate_pentagon_tables() -> None:
         "pentagon-table calibration: no walk sense makes all rings "
         "geometrically consistent"
     )
+
+
+def _neighbors_exact(cell: int) -> set[int]:
+    """Neighbor set via exact lattice geometry: step one unit in each
+    direction on the cell's true (overage-adjusted) face, resolve the
+    stepped lattice point exactly across face edges, and forward-map
+    its center. Fold-safe — used for cells in PENTAGON base cells,
+    where the table walk's planar direction frame wraps the deleted
+    wedge. Exactness rests on the verified 100 % forward(center)
+    round-trip property."""
+    res = _cells.get_resolution(cell)
+    base = _cells.get_base_cell(cell)
+    digits = [_cells.get_digit(cell, r) for r in range(1, res + 1)]
+    face, ijk, _ = _inverse_face_ijk(base, digits)
+    pent = _cells.is_pentagon(cell)
+    out = set()
+    for d in range(1, 7):
+        if pent and d == K_AXES_DIGIT:
+            continue
+        u = UNIT_VECS[d]
+        p = ijk_normalize(ijk[0] + u[0], ijk[1] + u[1], ijk[2] + u[2])
+        if res % 2 == 1:  # odd res: resolve on the Class II substrate
+            q = down_ap7r(*p)
+            er = res + 1
+        else:
+            q = p
+            er = res
+        v = _exact_point_3d(face, q, er)
+        lat = math.degrees(math.asin(max(-1.0, min(1.0, v[2]))))
+        lng = math.degrees(math.atan2(v[1], v[0]))
+        nb = latlng_to_cell(lat, lng, res)
+        if nb != cell:
+            out.add(nb)
+    return out
+
+
+def cell_neighbors(cell: int) -> list[int]:
+    """All edge-adjacent cells (6, or 5 for a pentagon) — the
+    ``gridDisk(cell, 1)`` ring. Hexagon base cells use the fast
+    digit-walk; pentagon base cells use the exact-geometry path.
+
+    For the pentagon cell itself the planar step beyond the vertex is
+    fold-ambiguous and can collapse two directions onto one cell, so
+    the ring is completed by symmetric membership: every cell around
+    the found neighbors that itself sees the pentagon as a neighbor
+    belongs to the ring."""
+    if _cells.is_pentagon(cell):
+        found = _neighbors_exact(cell)
+        cand = set(found)
+        for x in found:
+            cand.update(cell_neighbors(x))  # hexagons: no recursion loop
+        cand.discard(cell)
+        ring = {n for n in cand if cell in cell_neighbors(n)}
+        return sorted(ring)
+    if _cells.get_base_cell(cell) in PENTAGONS:
+        return sorted(_neighbors_exact(cell))
+    out = set()
+    for d in range(1, 7):
+        nb, _ = h3_neighbor_rotations(cell, d, 0)
+        if nb:
+            out.add(nb)
+    return sorted(out)
+
+
+def grid_disk_distances(cell: int, k: int) -> dict[int, int]:
+    """Cell → grid distance for the disk of radius ``k`` (BFS over the
+    exact neighbor sets; layer index = grid distance)."""
+    dist = {cell: 0}
+    frontier = [cell]
+    for d in range(1, k + 1):
+        nxt = []
+        for c in frontier:
+            for nb in cell_neighbors(c):
+                if nb not in dist:
+                    dist[nb] = d
+                    nxt.append(nb)
+        frontier = nxt
+    return dist
+
+
+def grid_disk(cell: int, k: int) -> list[int]:
+    """All cells within grid distance ``k`` of ``cell`` (inclusive)."""
+    return sorted(grid_disk_distances(cell, k))
 
 
 _calibrate_pentagon_tables()
@@ -1397,3 +1435,170 @@ def polygon_to_cells(rings, res: int) -> list[int]:
         if point_in_polygon(lng, lat, rings):
             out.append(c)
     return sorted(out)
+
+
+# ------------------------------------------------ vectorized forward
+
+
+def _np_tables():
+    """Flat lookup arrays for the vectorized forward transform."""
+    import numpy as np
+
+    owner = np.full(NUM_ICOSA_FACES * 27, -1, dtype=np.int64)
+    rot = np.zeros(NUM_ICOSA_FACES * 27, dtype=np.int64)
+    for (face, (i, j, k)), bc in _FACE_SLOT_OWNER.items():
+        idx = face * 27 + i * 9 + j * 3 + k
+        owner[idx] = bc
+        rot[idx] = _SLOT_ROTATIONS[(face, (i, j, k))]
+    pent = np.zeros(NUM_BASE_CELLS, dtype=bool)
+    for p in PENTAGONS:
+        pent[p] = True
+    # ccw digit rotation applied r times, as a [r, digit] table
+    rot_ccw = np.zeros((6, 8), dtype=np.int64)
+    for d in range(7):
+        x = d
+        for r in range(6):
+            rot_ccw[r, d] = x
+            x = _rotate_digit_ccw(x)
+    fc = np.array(_FACE_CENTER_3D)  # (20, 3)
+    fgeo = np.array(FACE_CENTER_GEO)  # (20, 2)
+    faz = np.array(FACE_AZ_RADS_CII)
+    return owner, rot, pent, rot_ccw, fc, fgeo, faz
+
+
+_NP_TABLES = None
+
+
+def latlng_to_cell_np(lats_deg, lngs_deg, res: int):
+    """Vectorized ``latLngToCell`` over numpy arrays of degrees —
+    identical output to the scalar path (property-tested); pentagon
+    base cells (≲10 % of the globe) take the scalar fallback."""
+    import numpy as np
+
+    global _NP_TABLES
+    if _NP_TABLES is None:
+        _NP_TABLES = _np_tables()
+    owner_t, rot_t, pent_t, rot_ccw, fc, fgeo, faz = _NP_TABLES
+    lat = np.radians(np.asarray(lats_deg, dtype=np.float64))
+    lng = np.radians(np.asarray(lngs_deg, dtype=np.float64))
+    n = lat.shape[0]
+    coslat = np.cos(lat)
+    v = np.stack(
+        [coslat * np.cos(lng), coslat * np.sin(lng), np.sin(lat)], axis=1
+    )
+    sqd = ((v[:, None, :] - fc[None, :, :]) ** 2).sum(axis=2)  # (n, 20)
+    face = sqd.argmin(axis=1)
+    fsqd = np.take_along_axis(sqd, face[:, None], axis=1)[:, 0]
+    r = np.arccos(np.clip(1.0 - fsqd / 2.0, -1.0, 1.0))
+    flat = fgeo[face, 0]
+    flng = fgeo[face, 1]
+    az = np.arctan2(
+        np.cos(lat) * np.sin(lng - flng),
+        np.cos(flat) * np.sin(lat)
+        - np.sin(flat) * np.cos(lat) * np.cos(lng - flng),
+    )
+    theta = (faz[face] - (az % (2.0 * np.pi))) % (2.0 * np.pi)
+    if res % 2 == 1:
+        theta = (theta - M_AP7_ROT_RADS) % (2.0 * np.pi)
+    rr = np.tan(r) / RES0_U_GNOMONIC * (M_SQRT7 ** res)
+    small = r < _EPSILON
+    rr = np.where(small, 0.0, rr)
+    x = rr * np.cos(theta)
+    y = rr * np.sin(theta)
+    # hex2d -> ijk (the spec rounding case analysis, vectorized)
+    a1 = np.abs(x)
+    a2 = np.abs(y)
+    x2 = a2 / M_SIN60
+    x1 = a1 + x2 / 2.0
+    m1 = x1.astype(np.int64)
+    m2 = x2.astype(np.int64)
+    r1 = x1 - m1
+    r2 = x2 - m2
+    i = np.zeros(n, dtype=np.int64)
+    j = np.zeros(n, dtype=np.int64)
+    c_a = r1 < 0.5
+    c_b = r1 < 1.0 / 3.0
+    c_c = r1 < 2.0 / 3.0
+    b = c_a & c_b
+    i[b] = m1[b]
+    j[b] = np.where(r2[b] < (1.0 + r1[b]) / 2.0, m2[b], m2[b] + 1)
+    b = c_a & ~c_b
+    j[b] = np.where(r2[b] < (1.0 - r1[b]), m2[b], m2[b] + 1)
+    i[b] = np.where(
+        ((1.0 - r1[b]) <= r2[b]) & (r2[b] < 2.0 * r1[b]), m1[b] + 1, m1[b]
+    )
+    b = ~c_a & c_c
+    j[b] = np.where(r2[b] < (1.0 - r1[b]), m2[b], m2[b] + 1)
+    i[b] = np.where(
+        (2.0 * r1[b] - 1.0 < r2[b]) & (r2[b] < 1.0 - r1[b]), m1[b], m1[b] + 1
+    )
+    b = ~c_a & ~c_c
+    i[b] = m1[b] + 1
+    j[b] = np.where(r2[b] < r1[b] / 2.0, m2[b], m2[b] + 1)
+    neg_x = x < 0.0
+    even_j = (j % 2) == 0
+    axis_i = np.where(even_j, j // 2, (j + 1) // 2)
+    diff = i - axis_i
+    i = np.where(
+        neg_x, np.where(even_j, i - 2 * diff, i - (2 * diff + 1)), i
+    )
+    neg_y = y < 0.0
+    i = np.where(neg_y, i - (2 * j + 1) // 2, i)
+    j = np.where(neg_y, -j, j)
+    k = np.zeros(n, dtype=np.int64)
+    m = np.minimum(np.minimum(i, j), k)
+    i, j, k = i - m, j - m, k - m
+    # peel digits res..1
+    digits = np.zeros((n, res), dtype=np.int64)
+    for rr_ in range(res, 0, -1):
+        li, lj, lk = i, j, k
+        ii = i - k
+        jj = j - k
+        if rr_ % 2 == 1:  # Class III
+            i = np.round((3 * ii - jj) / 7.0).astype(np.int64)
+            j = np.round((ii + 2 * jj) / 7.0).astype(np.int64)
+            k = np.zeros(n, dtype=np.int64)
+            ci = 3 * i + j
+            cj = 3 * j + k
+            ck = i + 3 * k
+        else:
+            i = np.round((2 * ii + jj) / 7.0).astype(np.int64)
+            j = np.round((3 * jj - ii) / 7.0).astype(np.int64)
+            k = np.zeros(n, dtype=np.int64)
+            ci = 3 * i + k
+            cj = i + 3 * j
+            ck = j + 3 * k
+        mm = np.minimum(np.minimum(i, j), k)
+        i, j, k = i - mm, j - mm, k - mm
+        cm = np.minimum(np.minimum(ci, cj), ck)
+        ci, cj, ck = ci - cm, cj - cm, ck - cm
+        di = li - ci
+        dj = lj - cj
+        dk = lk - ck
+        dm = np.minimum(np.minimum(di, dj), dk)
+        di, dj, dk = di - dm, dj - dm, dk - dm
+        digits[:, rr_ - 1] = di * 4 + dj * 2 + dk  # unit vec -> digit id
+    idx = face * 27 + i * 9 + j * 3 + k
+    valid = (i <= 2) & (j <= 2) & (k <= 2)
+    idx = np.where(valid, idx, 0)
+    bc = owner_t[idx]
+    rot = rot_t[idx]
+    is_pent = pent_t[bc]
+    scalar_rows = ~valid | is_pent
+    # hexagon fast path: uniform ccw digit rotation
+    out_digits = rot_ccw[rot[:, None], digits] if res else digits
+    cells = (
+        np.int64(_cells.MODE_CELL) << 59
+        | np.int64(res) << 52
+        | bc << 45
+        | np.int64((1 << (3 * (MAX_RES - res))) - 1)
+    )
+    for rr_ in range(1, res + 1):
+        cells = cells | (out_digits[:, rr_ - 1] << (3 * (MAX_RES - rr_)))
+    if scalar_rows.any():
+        lats_s = np.degrees(lat[scalar_rows])
+        lngs_s = np.degrees(lng[scalar_rows])
+        cells[scalar_rows] = [
+            latlng_to_cell(la, lo, res) for la, lo in zip(lats_s, lngs_s)
+        ]
+    return cells
