@@ -136,3 +136,25 @@ def test_write_jsonl_shards_bounds_and_manifest(spark, tmp_path):
     back = spark.read.json(out)
     assert back.count() == 250
     assert set(r.doc_id for r in back.select("doc_id").collect()) == set(range(250))
+
+
+def test_write_jsonl_shards_empty_input(spark, tmp_path):
+    df = spark.createDataFrame([], "doc_id long, text string")
+    out = str(tmp_path / "empty_shards")
+    manifest = L.write_jsonl_shards(df, out, docs_per_shard=40)
+    assert manifest.collect() == []
+    assert [f.name for f in manifest.schema.fields] == ["shard", "n_docs"]
+
+
+def test_write_jsonl_shards_manifest_plan_has_no_json_parse(spark, tmp_path):
+    """The manifest must come from a line-count text scan, not a JSON
+    re-parse of the export: its plan reads the text source with only
+    the synthetic value column (no inferred JSON schema)."""
+    df = spark.createDataFrame(
+        [(i, f"doc {i}") for i in range(50)], "doc_id long, text string"
+    )
+    out = str(tmp_path / "plan_shards")
+    manifest = L.write_jsonl_shards(df, out, docs_per_shard=40)
+    plan = manifest._jdf.queryExecution().optimizedPlan().toString()
+    assert "doc_id" not in plan  # no JSON schema inference happened
+    assert manifest.agg(F.sum("n_docs")).collect()[0][0] == 50

@@ -1168,6 +1168,47 @@ def test_semantic_dedup_drops_within_cluster_dups(spark):
     assert out.loc[0].centroid_id == out.loc[1].centroid_id
 
 
+def test_semantic_dedup_max_cluster_size_cap_and_report(spark):
+    """Oversized clusters are excluded from the pairwise stage (all
+    members kept) and semantic_cluster_stats reports exactly which —
+    the no-silent-truncation discipline of lsh_bucket_stats."""
+    rows = [
+        (0, [1.0, 0.0, 0.0, 0.0]),
+        (1, [1.0, 0.001, 0.0, 0.0]),  # near-dup of 0 → hot cluster
+        (5, [1.0, 0.002, 0.0, 0.0]),  # near-dup of 0 → hot cluster
+        (2, [0.0, 1.0, 0.0, 0.0]),
+        (3, [0.0, 1.0, 0.001, 0.0]),  # near-dup of 2, small cluster
+        (4, [0.0, 0.0, 0.0, 1.0]),
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    kw = dict(n_clusters=3, train_iters=2, exact_mean=True)
+    uncapped = (
+        S.semantic_dedup(df, threshold=0.99, **kw).toPandas().set_index("vec_id")
+    )
+    capped = (
+        S.semantic_dedup(df, threshold=0.99, max_cluster_size=2, **kw)
+        .toPandas()
+        .set_index("vec_id")
+    )
+    hot = uncapped.loc[0].centroid_id
+    hot_n = int((uncapped.centroid_id == hot).sum())
+    assert hot_n >= 3  # 0, 1, 5 cluster together
+    # uncapped drops inside the hot cluster; capped keeps all of it
+    assert not uncapped.loc[1].kept and not uncapped.loc[5].kept
+    assert bool(capped.loc[0].kept) and bool(capped.loc[1].kept)
+    assert bool(capped.loc[5].kept)
+    # clusters under the cap still dedup
+    assert not capped.loc[3].kept and bool(capped.loc[2].kept)
+    # and the report flags exactly the oversized cluster
+    stats = (
+        S.semantic_cluster_stats(df, max_cluster_size=2, **kw)
+        .toPandas()
+        .set_index("centroid_id")
+    )
+    assert bool(stats.loc[hot].dropped) and stats.loc[hot].n_vectors == hot_n
+    assert not stats.drop(index=hot).dropped.any()
+
+
 def test_semantic_dedup_no_python_broadcast_centroids(spark):
     rows = [(i, [float(i % 5), 1.0, float(i % 3)]) for i in range(40)]
     df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")

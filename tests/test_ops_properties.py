@@ -278,3 +278,85 @@ def test_normalize_text_matches_python_reference(spark, texts):
     for i, t in enumerate(texts):
         ref = re.sub(r" +", " ", re.sub(r"[^a-z0-9 ]", " ", t.lower())).strip()
         assert out[i] == ref
+
+
+_WORDS = ["aa", "bb", "cc", "dd", "ee", "ff"]
+
+
+@given(
+    docs=st.lists(
+        st.lists(st.sampled_from(_WORDS), min_size=0, max_size=12),
+        min_size=1,
+        max_size=7,
+    ),
+    threshold=st.sampled_from([0.5, 0.8, 1.0]),
+)
+@settings(**_SETTINGS)
+def test_containment_pairs_matches_set_arithmetic(spark, docs, threshold):
+    """containment_pairs must equal direct set arithmetic over the
+    per-document distinct k-gram sets for ANY corpus: pair direction
+    (smaller set contained, ties -> lower id), |A∩B|, and the
+    containment ratio."""
+    k = 2
+    rows = [(i, " ".join(toks)) for i, toks in enumerate(docs)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {
+        (r.id_sub, r.id_super): (r.n_common, r.containment)
+        for r in D.containment_pairs(df, k=k, threshold=threshold).collect()
+    }
+    sets = {
+        i: {" ".join(toks[j : j + k]) for j in range(len(toks) - k + 1)}
+        for i, toks in enumerate(docs)
+    }
+    want = {}
+    for a in sets:
+        for b in sets:
+            if a >= b:
+                continue
+            inter = len(sets[a] & sets[b])
+            if inter == 0:
+                continue
+            na, nb = len(sets[a]), len(sets[b])
+            sub, sup = (a, b) if na <= nb else (b, a)
+            cont = inter / min(na, nb)
+            if cont >= threshold:
+                want[(sub, sup)] = (inter, cont)
+    assert set(got) == set(want)
+    for key, (n_common, cont) in want.items():
+        assert got[key][0] == n_common
+        assert abs(got[key][1] - cont) < 1e-9
+
+
+@given(
+    counts=st.dictionaries(
+        st.sampled_from(["web", "code", "books", "wiki", "forums"]),
+        st.integers(min_value=1, max_value=10**9),
+        min_size=1,
+        max_size=5,
+    ),
+    tau=st.sampled_from([0.1, 0.3, 0.7, 1.0]),
+)
+@settings(**_SETTINGS)
+def test_temperature_rates_closed_form(spark, counts, tau):
+    """temperature_rates must equal the closed-form target shares
+    n_i^tau / sum n_j^tau converted to per-row keep rates and scaled
+    so the max is exactly 1.0 (tau=1 -> every rate is 1.0: the
+    natural distribution needs no resampling)."""
+    from ukis_h3cellstore_spark.ops import sampling as SP
+
+    rates = SP.temperature_rates(counts, tau)
+    z = sum(c ** tau for c in counts.values())
+    raw = {s: (c ** tau) / z / c for s, c in counts.items()}
+    mx = max(raw.values())
+    assert set(rates) == set(counts)
+    assert abs(max(rates.values()) - 1.0) < 1e-12
+    for s in counts:
+        assert abs(rates[s] - raw[s] / mx) < 1e-9
+        assert 0.0 < rates[s] <= 1.0
+    if tau == 1.0:
+        for s in counts:
+            assert abs(rates[s] - 1.0) < 1e-12
+    # smaller sources never get a lower keep rate than larger ones
+    by_n = sorted(counts, key=lambda s: counts[s])
+    for sm, lg in zip(by_n, by_n[1:]):
+        assert rates[sm] >= rates[lg] - 1e-12

@@ -2098,11 +2098,17 @@ def q_important_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("value_c100").alias("__total"),
         F.count(F.lit(1)).alias("__n_supp"),
     )
+    # DECIMAL(38,0) on the comparison chain: value_c100 * n_supp * 100
+    # overflows int64 around SF>=30 (Spark would wrap silently with
+    # ANSI off while DuckDB raises) — decimal keeps both engines exact
+    # and identical at every scale factor.
     return (
         per_supp.crossJoin(F.broadcast(total))
         .filter(
-            F.col("value_c100") * F.col("__n_supp") * 100
-            > F.col("__total") * 105
+            F.col("value_c100").cast("decimal(38,0)")
+            * F.col("__n_supp")
+            * 100
+            > F.col("__total").cast("decimal(38,0)") * 105
         )
         .select(
             "s_suppkey", F.col("n_name").alias("nation"), "value_c100"
@@ -2123,8 +2129,9 @@ WITH per_supp AS (
 )
 SELECT s_suppkey, nation, value_c100
 FROM per_supp
-WHERE value_c100 * (SELECT COUNT(*) FROM per_supp) * 100
-      > (SELECT CAST(SUM(value_c100) AS BIGINT) FROM per_supp) * 105
+WHERE CAST(value_c100 AS DECIMAL(38,0))
+        * (SELECT COUNT(*) FROM per_supp) * 100
+      > (SELECT CAST(SUM(value_c100) AS DECIMAL(38,0)) FROM per_supp) * 105
 """
 
 

@@ -693,6 +693,31 @@ def q_ann_ivfpq_top3(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_ann_ivfpq_top3_bench(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bench-only IVF-PQ variant on the SCALE path: default streaming
+    centroid means instead of ``exact_mean=True``. exact_mean exists
+    solely to pin training to the DuckDB oracle's serial fold order
+    (bit-reproducibility for the correctness gate) and costs ~2× in
+    extra sequential jobs; steady-state production training uses the
+    parallel streaming means timed here. Not registered in
+    ``queries()``/``oracle_sql()`` — the correctness gate stays on
+    ``ann_ivfpq_top3``."""
+    e = _embs(spark, sf_dir)
+    queries = e.filter(F.col("vec_id") < 5)
+    return S.ivfpq_topk(
+        e,
+        queries,
+        k=3,
+        n_coarse=_IVFPQ_COARSE,
+        nprobe=_IVFPQ_NPROBE,
+        m=_PQ_M,
+        n_centroids=_IVFPQ_K,
+        dims=_PQ_M * _PQ_DSUB,
+        train_iters=_PQ_ITERS,
+        exact_mean=False,
+    )
+
+
 def _q_ann_ivfpq_top3_sql() -> str:
     """Replicates ivfpq_topk(exact_mean): coarse Lloyd's on full
     vectors, residuals vs the winning list centroid, the PQ chain on
@@ -1920,7 +1945,7 @@ FROM l
 
 def q_ann_sq8_top3(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Scalar-quantization ANN (ops/similarity.py:sq8_topk): per-dim
-    min/max codebook, 8-bit codes, integer-dot ranking."""
+    min/max codebook, 8-bit codes, integer squared-L2 ranking."""
     e = _embs(spark, sf_dir)
     return S.sq8_topk(e, e.filter(F.col("vec_id") < 5), k=3)
 

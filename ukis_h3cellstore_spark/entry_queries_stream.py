@@ -20,6 +20,18 @@ from ukis_h3cellstore_spark.h3 import sqlgen as sg
 _SINK_COUNTER = [0]
 
 
+
+def _await_done(q, timeout: int = 300) -> None:
+    """``awaitTermination(timeout)`` returns False on timeout — in a
+    gate that means the sink is partially populated and the hash
+    mismatch downstream would be misleading. Fail loudly instead."""
+    if not q.awaitTermination(timeout):
+        q.stop()
+        raise TimeoutError(
+            f"streaming gate query did not finish within {timeout}s"
+        )
+
+
 def q_streaming_windowed_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     src = _events(spark, sf_dir).select(
         _synth_col("event_id", 6).alias("h3index"),
@@ -50,7 +62,7 @@ def q_streaming_windowed_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
         .trigger(availableNow=True)
         .start()
     )
-    q.awaitTermination(300)
+    _await_done(q)
     return spark.table(sink).select(
         F.col("cell"),
         F.unix_micros(F.col("window.start")).alias("window_start_us"),
@@ -107,7 +119,7 @@ def q_streaming_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
         .trigger(availableNow=True)
         .start()
     )
-    q.awaitTermination(300)
+    _await_done(q)
     return spark.table(sink)
 
 
@@ -146,7 +158,7 @@ def q_streaming_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
         .trigger(availableNow=True)
         .start()
     )
-    q.awaitTermination(300)
+    _await_done(q)
     return spark.table(sink).select(
         F.col("user_id"),
         F.unix_micros(F.col("session.start")).alias("session_start_us"),
@@ -228,7 +240,7 @@ def q_streaming_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         .trigger(availableNow=True)
         .start()
     )
-    q.awaitTermination(300)
+    _await_done(q)
     return spark.table(sink).select(
         "event_id",
         "user_id",
@@ -278,7 +290,7 @@ def q_streaming_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .trigger(availableNow=True)
         .start()
     )
-    q.awaitTermination(300)
+    _await_done(q)
     return st.topk_per_window(spark.table(sink), "event_type", k=3).select(
         F.unix_micros(F.col("window.start")).alias("window_start_us"),
         "event_type",
@@ -350,7 +362,7 @@ def q_streaming_tableset_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
         checkpoint_dir=tempfile.mkdtemp(prefix="h3stream_ckpt_"),
         trigger_available_now=True,
     )
-    q.awaitTermination(300)
+    _await_done(q)
     from ukis_h3cellstore_spark.entry_queries import _synth_py
 
     cells = sorted(

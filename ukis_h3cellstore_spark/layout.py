@@ -123,23 +123,32 @@ def write_jsonl_shards(
     data loader: bounded shard size via ``maxRecordsPerFile`` (the
     loader-friendly contract — every shard ≤ ``docs_per_shard``
     records), gzip-free text so loaders stream-split freely. Returns
-    the shard MANIFEST as a DataFrame — (shard, n_docs) derived by
-    re-listing the written files — which callers persist alongside
-    the export (the loader's index file).
+    the shard MANIFEST as a DataFrame — (shard, n_docs) — which
+    callers persist alongside the export (the loader's index file).
 
     The write is one wide map (no shuffle); shard count scales with
     input partitions × records, so repartition upstream to set a
-    floor. At 100 TB the manifest is thousands of rows — trivially
-    collectable."""
+    floor. The manifest is built by counting LINES of the written
+    shards via ``spark.read.text`` — one JSON-line per doc, so line
+    count == doc count with no JSON parse and no schema inference
+    (the earlier ``spark.read.json`` manifest re-parsed the whole
+    export and threw on an empty one). Empty input short-circuits to
+    an empty manifest. At 100 TB the manifest is thousands of rows —
+    trivially collectable."""
+    spark = df.sparkSession
+    if df.isEmpty():
+        df.write.mode(mode).option(
+            "maxRecordsPerFile", docs_per_shard
+        ).json(path)
+        return spark.createDataFrame([], "shard string, n_docs long")
     (
         df.write.mode(mode)
         .option("maxRecordsPerFile", docs_per_shard)
         .json(path)
     )
-    spark = df.sparkSession
-    back = spark.read.json(path)
     return (
-        back.select(F.input_file_name().alias("shard"))
+        spark.read.text(path)
+        .select(F.input_file_name().alias("shard"))
         .groupBy("shard")
         .agg(F.count(F.lit(1)).alias("n_docs"))
     )

@@ -70,11 +70,11 @@ def shingle_df(
     # a small input (e.g. one parquet file) would run the whole
     # tokenize+shingle explode in a single task — round-robin the RAW
     # text across the cluster first (cheaper to shuffle than token
-    # arrays). ``spread``: None = auto-detect via the physical
-    # partition count (classic Spark only — the probe converts the
-    # plan to an RDD, and Spark Connect has no ``.rdd`` at all, so
-    # there we skip it); True = always repartition (the explicit knob
-    # for Connect / known-narrow inputs); False = never.
+    # arrays). ``spread``: None = auto-detect from the source file
+    # count (``df.inputFiles()`` — plan-safe, works on Spark Connect,
+    # and a file-backed frame narrower than the cluster is exactly the
+    # case the respread targets); True = always repartition (the
+    # explicit knob for synthetic/derived inputs); False = never.
     src = df.select(F.col(id_col), F.col(text_col))
     par = None
     try:
@@ -83,9 +83,11 @@ def shingle_df(
         pass
     if spread is None and par is not None:
         try:
-            spread = src.rdd.getNumPartitions() < par
+            n_files = len(df.inputFiles())
         except Exception:
-            spread = False
+            n_files = 0
+        # non-file-backed frames report 0 files: leave them alone
+        spread = 0 < n_files < par
     if spread:
         src = src.repartition(par) if par else src.repartition()
     toks_df = src.select(F.col(id_col), tokens(text_col).alias("__toks"))

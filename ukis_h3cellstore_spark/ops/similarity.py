@@ -1003,6 +1003,52 @@ def sq8_topk(
     )
 
 
+def semantic_cluster_stats(
+    corpus: DataFrame,
+    n_clusters: int = 8,
+    train_iters: int = 2,
+    exact_mean: bool = False,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    max_cluster_size: int | None = None,
+) -> DataFrame:
+    """Per-cluster population report for :func:`semantic_dedup`:
+    (centroid_id, n_vectors, dropped). ``dropped`` marks clusters a
+    ``max_cluster_size`` cap would exclude from the pairwise stage —
+    run this alongside a capped dedup to REPORT how much of the corpus
+    the cap skipped (no silent truncation), mirroring
+    :func:`lsh_bucket_stats`."""
+    cents = kmeans_fit(
+        corpus,
+        n_centroids=n_clusters,
+        max_iter=train_iters,
+        id_col=id_col,
+        vec_col=vec_col,
+        exact_mean=exact_mean,
+    )
+    sizes = (
+        corpus.select(F.col(id_col).alias("__id"), F.col(vec_col).alias("__v"))
+        .crossJoin(F.broadcast(cents))
+        .withColumn("__cos", cosine_similarity(F.col("__v"), F.col("c_vec")))
+        .groupBy("__id")
+        .agg(
+            F.max_by(
+                F.col("centroid_id"),
+                F.struct(F.col("__cos"), (-F.col("centroid_id")).alias("nc")),
+            ).alias("centroid_id")
+        )
+        .groupBy("centroid_id")
+        .agg(F.count(F.lit(1)).alias("n_vectors"))
+    )
+    cap = (
+        F.lit(max_cluster_size) if max_cluster_size is not None else F.lit(None)
+    )
+    return sizes.withColumn(
+        "dropped",
+        F.when(cap.isNotNull(), F.col("n_vectors") > cap).otherwise(F.lit(False)),
+    )
+
+
 def semantic_dedup(
     corpus: DataFrame,
     n_clusters: int = 8,
@@ -1012,6 +1058,7 @@ def semantic_dedup(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     round_digits: int = 4,
+    max_cluster_size: int | None = None,
 ) -> DataFrame:
     """SemDeDup-shaped semantic deduplication: k-means the embedding
     space, compare pairs only WITHIN each cluster, and drop the
@@ -1025,8 +1072,12 @@ def semantic_dedup(
     assignment is a windowless ``max_by`` aggregate; the within-
     cluster self-join shuffles on centroid_id. Cluster-size skew is
     the scale knob: raise ``n_clusters`` so the largest cluster's
-    quadratic term stays bounded (the same discipline as
-    ``max_bucket_size`` in :func:`embedding_dup_pairs`)."""
+    quadratic term stays bounded, and/or set ``max_cluster_size`` to
+    EXCLUDE oversized clusters from the pairwise stage entirely (their
+    members are all kept — the same no-silent-truncation discipline as
+    ``max_bucket_size`` in :func:`embedding_dup_pairs`; run
+    :func:`semantic_cluster_stats` alongside to report what a cap
+    excludes)."""
     cents = kmeans_fit(
         corpus,
         n_centroids=n_clusters,
@@ -1052,10 +1103,20 @@ def semantic_dedup(
             F.col("__s.v").alias("__v"),
         )
     )
-    a = assigned.select(
+    pair_src = assigned
+    if max_cluster_size is not None:
+        small = (
+            assigned.groupBy("centroid_id")
+            .agg(F.count(F.lit(1)).alias("__cn"))
+            .filter(F.col("__cn") <= max_cluster_size)
+            .select("centroid_id")
+        )
+        # n_clusters rows — broadcast semi-join prunes the hot clusters
+        pair_src = assigned.join(F.broadcast(small), "centroid_id")
+    a = pair_src.select(
         F.col("__id").alias("id_a"), "centroid_id", F.col("__v").alias("va")
     )
-    b = assigned.select(
+    b = pair_src.select(
         F.col("__id").alias("id_b"), "centroid_id", F.col("__v").alias("vb")
     )
     drops = (

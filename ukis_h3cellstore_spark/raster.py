@@ -54,10 +54,16 @@ def raster_to_dataframe(
     g = grid or geo.default_grid()
     n_rows = arr.shape[0]
     bands = [(r0, min(r0 + band_rows, n_rows)) for r0 in range(0, n_rows, band_rows)]
-    # the raster ships via UDF closure capture (pickled once per task
-    # batch) rather than sparkContext.broadcast — identical semantics
-    # for this test-scale source, and Spark Connect has no
-    # sparkContext to broadcast through
+    # ship the raster via sparkContext.broadcast (deserialized once per
+    # executor); Spark Connect has no sparkContext, so fall back to UDF
+    # closure capture there (pickled per serialized task — fine at
+    # test scale, and the only option on Connect)
+    try:
+        arr_bc = spark.sparkContext.broadcast(arr)
+        arr_captured = None  # keep the big array out of the closure
+    except Exception:
+        arr_bc = None
+        arr_captured = arr
     a, b, c, d, e_, f = (float(v) for v in transform)
 
     bands_df = spark.createDataFrame(bands, "r0 int, r1 int").repartition(
@@ -67,7 +73,7 @@ def raster_to_dataframe(
     def band_to_cells(pdf_iter):
         import pandas as pd
 
-        arr_local = arr
+        arr_local = arr_bc.value if arr_bc is not None else arr_captured
         for pdf in pdf_iter:
             for r0, r1 in zip(pdf["r0"], pdf["r1"]):
                 block = arr_local[r0:r1]
