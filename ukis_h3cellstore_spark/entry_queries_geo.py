@@ -592,12 +592,300 @@ WHERE v.event_id IN (SELECT event_id FROM events)
 """
 
 
+
+
+#: (event_id, res-5 cell, center lon, center lat) for the h3ToGeo
+#: gate — centers precomputed by the pure-Python core at full double
+#: precision (repr round-trip exact).
+_HEX_CENTER_VECTORS = """(0, 603108745894952959, -179.9423283851526, -69.94213676573993),
+  (1, 601567589222580223, -100.80726111666641, -2.759359892274583),
+  (2, 599108261957861375, -21.550066246832525, 64.6389583575909),
+  (3, 601329319469383679, 57.5125528171781, -8.175838949620216),
+  (4, 599338370199453695, 136.79053152028587, 59.2298833911504),
+  (5, 601799811661823999, -144.11642769781275, -13.56699455646427),
+  (6, 599231734751428607, -64.88569446959211, 53.7864013137052),
+  (7, 602013487358541823, 14.386467030758652, -18.913066207900343),
+  (8, 599631011017392127, 93.43276021625111, 48.32373811197828),
+  (9, 601778953153150975, 172.69852784640733, -24.334468504242054),
+  (10, 599659719652540415, -108.1258514087276, 42.849502141635924),
+  (11, 601878989383925759, -28.86484803297497, -29.778951236677837),
+  (12, 599769657930416127, 50.267936876870955, 37.54076496129274),
+  (13, 602239256609423359, 129.5425190455014, -35.21033164093431),
+  (14, 599929980469641215, -151.30229935488381, 32.08159530921864),
+  (15, 602611644232630271, -72.19493426902723, -40.64152625143422),
+  (16, 599978085177098239, 7.049614171159862, 26.62897940281627),
+  (17, 602569456916365311, 86.20527578274992, -46.11453065360126),
+  (18, 600575839398002687, 165.45281445795715, 21.289059867165374),
+  (19, 602691535993044991, -115.49435861872134, -51.44499850222303),
+  (20, 600495193870827519, -36.231640005524355, 15.812049330754961),
+  (21, 602924720504963071, 42.88402834035952, -56.930915194921276),
+  (22, 600816411253669887, 122.12448617473058, 10.356769688760659),
+  (23, 603112927045615615, -158.6210140985253, -62.38578472193429),
+  (24, 600784937733324799, -79.43882438533936, 4.938198619833189),
+  (25, 603031664116891647, -0.20837573033385645, -67.7238934768768),
+  (26, 601349463939743743, 78.9786323012847, -0.47259010528869966),
+  (27, 599063457932771327, 158.14662331648216, 66.77230628493975),
+  (28, 601527643879243775, -122.67145316149247, -5.833569862187925),
+  (29, 599456304632692735, -43.646500747393155, 61.429065029798),
+  (30, 601645970228248575, 35.72220855243795, -11.30419128698523),
+  (31, 599349405044178943, 114.87037123486958, 55.94196784148424),
+  (32, 601714521127518207, -165.87944543310576, -16.768650255062788),
+  (33, 599239902705483775, -86.83034681572204, 50.553693871827925),
+  (34, 601667411778732031, -7.489795862704585, -22.16920936045755),
+  (35, 599541884003549183, 71.66835811181531, 45.10723161253799),
+  (36, 602337987170140159, 150.76537660464217, -27.599745922434916),
+  (37, 599685270412984319, -129.98231327273518, 39.70517797851026),
+  (38, 601954050379874303, -50.718745245682676, -33.025659497204586),
+  (39, 600091719274332159, 28.387044337987525, 34.30273414809569),
+  (40, 602498878792531967, 107.55428779662932, -38.371348969254704),
+  (41, 600239699151290367, -173.19198573710676, 28.96288890832239),
+  (42, 602683377702666239, -94.02004307098348, -43.80616942965634),
+  (43, 600475427357589503, -14.761385130532398, 23.434101547834093),
+  (44, 602547314212470783, 64.33056166933679, -49.30912837694244),
+  (45, 600355719102857215, 143.49787114573408, 18.111620051762447),
+  (46, 602962517290909695, -137.3076398619584, -54.6473657048708),
+  (47, 600633367263707135, -58.124443700969195, 12.61516925384102),
+  (48, 603036543199739903, 21.201561708376122, -60.0779022456223),
+  (49, 600757238415491071, 100.28874047996078, 7.189378761477391),
+  (50, 603105049001852927, 179.44762135789833, -65.47325470090367),
+  (51, 600888083520421887, -101.25010388772147, 1.8236717812171417),
+  (52, 599086879463178239, -22.26672566897049, 69.04059552804316),
+  (53, 601329584683614207, 57.06572930490417, -3.667239614242857),
+  (54, 599059429253447679, 136.3003871416816, 63.622686576114376),
+  (55, 601399145973940223, -144.5133196751407, -9.023954276486137),
+  (56, 599248686987345919, -65.36255969302003, 58.3106206217325),
+  (57, 601285968216981503, 13.818982975374693, -14.441301647667869),
+  (58, 599632007449804799, 93.08295954913835, 52.87757258622682),
+  (59, 601777833240428543, 172.1679794017251, -19.847659481194142),
+  (60, 599673803924045823, -108.56895634807505, 47.468179519202714),
+  (61, 601880723476971519, -29.412840857233693, -25.33107667770589),
+  (62, 599758612348272639, 49.87767078253603, 41.98948425163481),
+  (63, 602216068080992255, 129.00652488453522, -30.71560105747768),
+  (64, 599957962181574655, -151.77611519241137, 36.5016336416508),
+  (65, 602125041617862655, -72.64536925038922, -36.12179225606296),
+  (66, 599980178973655039, 6.551654847125298, 31.13876743459216),
+  (67, 602570517773287423, 85.77490895503266, -41.50184465905885),
+  (68, 599882777705316351, 164.8672593383228, 25.78042371628461),
+  (69, 602696441919438847, -115.82141765890562, -46.94131137606777),
+  (70, 600511336505409535, -36.706178815543716, 20.337048877875574),
+  (71, 602772789258092543, 42.50909893095277, -52.420448900499885),
+  (72, 600831334117539839, 121.6797688351606, 14.881783700317975),
+  (73, 602728264405876735, -159.14102238408555, -57.78605214597492),
+  (74, 600784544743817215, -79.94151027673173, 9.402539003985328),
+  (75, 603030345561931775, -0.7119945100351196, -63.22413896818141),
+  (76, 600688165677694975, 78.43683409458056, 4.105537866652163),
+  (77, 603133168152739839, 157.65598572408882, -68.73900918798681),
+  (78, 600938359333847039, -123.1613592909326, -1.3856085145998773),
+  (79, 599099934016274431, -44.12688181225518, 65.88957203532095),
+  (80, 601629770685349887, 35.24962607340223, -6.8092450005216545),
+  (81, 599350946937438207, 114.52042530988348, 60.48448335514966),
+  (82, 601700429339820031, -166.38135268408044, -12.24861123981642),
+  (83, 599241699075555327, -87.28323807698933, 55.03646253556657),
+  (84, 601654672905732095, -8.051702479346613, -17.684664183917246),
+  (85, 599544782032732159, 71.13484823253023, 49.68327647521781),
+  (86, 601743942727237631, 150.27229476275593, -23.04639012822046),
+  (87, 599688178105843711, -130.47249721299937, 44.27979037870392),
+  (88, 601952563247448063, -51.280590068208646, -28.480084243003517),
+  (89, 600093942993649663, 27.90014795893218, 38.774175490013874),
+  (90, 602506066420301823, 107.06180802661824, -33.898207685618765),
+  (91, 600231344366157823, -173.64998723216976, 33.35184646092297),
+  (92, 602201815232020479, -94.46826047049949, -39.333524727736325),
+  (93, 599900930384592895, -15.30408756407634, 28.00293677440576),
+  (94, 602548348225847295, 63.937049759507495, -44.79090011415816),
+  (95, 600357007593046015, 142.99302575629284, 22.552033735540714),
+  (96, 602959676170043391, -137.7337970443454, -50.12011001066797),
+  (97, 600648761500237823, -58.57805337131776, 17.121930782850423),
+  (98, 603035469457915903, 20.57357212575126, -55.55571738653071),
+  (99, 600765021969973247, 99.74878206315168, 11.715318760969115),
+  (100, 603107658194485247, 179.04856888589677, -60.94366272885631),
+  (101, 600889884185460735, -101.8654433288521, 6.341952790888507),
+  (102, 603179987591233535, -22.650903069129075, -66.34047365186017),
+  (103, 601321851594997759, 56.54631933651479, 0.8882385522421099),
+  (104, 599060305426776063, 135.60524763405203, 68.15231004161338),
+  (105, 601383809719468031, -144.97215872336085, -4.518118919410272),
+  (106, 599248430363049983, -65.83366433264806, 62.717436311614456),
+  (107, 601285305718276095, 13.275467162292802, -9.981227986832474),
+  (108, 599182964324040703, 92.37240483864613, 57.35447721688075),
+  (109, 601785579213946879, 171.70191074360528, -15.389755274458754),
+  (110, 599301607426883583, -109.07306175746119, 51.83111281637403),
+  (111, 601865339977859071, -29.924398978328508, -20.883715943216128),
+  (112, 599759647435390975, 49.20292648957447, 46.54637937547797),
+  (113, 602217577761996799, 128.45197185865, -26.1927865555205),
+  (114, 599949846840868863, -152.39040217455306, 41.03321205349884),
+  (115, 602126688737820671, -73.10501166770871, -31.669867761352926),
+  (116, 599971733994209279, 6.009234015963224, 35.604619357031545),
+  (117, 602589696949747711, 85.26643124719803, -37.15115396571389),
+  (118, 599882460951478271, 164.51337245167264, 30.235713939890044),
+  (119, 602681196933021695, -116.32310864172591, -42.44864769715257),
+  (120, 600512587414634495, -37.22719277891348, 24.87905533345849),
+  (121, 602754480886251519, 42.081430421772616, -47.91569810856902),
+  (122, 600308272599138303, 121.12754897169705, 19.36978538010807),
+  (123, 602727583653560319, -159.633380957889, -53.379152162587076),
+  (124, 600799941127831551, -80.39762019137899, 13.920635455537754),
+  (125, 602878801935859711, -1.179984880041558, -58.74825220572364),
+  (126, 600687093009612799, 77.96520933086141, 8.471792293718462),
+  (127, 603159951568797695, 157.12307416088777, -64.1700800714286),
+  (128, 600936893676257279, -123.67140828110496, 3.13050430148177),
+  (129, 603171224784207871, -44.58705503868251, -69.52331925527719),
+  (130, 601132491855626239, 34.715133485054366, -2.2411945854065545),
+  (131, 599168609469595647, 113.90912181231089, 64.97290613357498),
+  (132, 601698790809796607, -167.00120954320465, -7.739477167924092),
+  (133, 599237046552231935, -87.86021032950796, 59.584973589373526),
+  (134, 601653214764335103, -8.472962975019703, -13.162184496955863),
+  (135, 599564146966527999, 70.73888958223493, 54.12216720491882),
+  (136, 601742659605757951, 149.82579182652358, -18.636602948705885),
+  (137, 599496368087629823, -131.03575329401016, 48.737044085249615),
+  (138, 601937131429953535, -51.698988178587534, -23.986430806321717),
+  (139, 599522702679605247, 27.48918124308452, 43.2507623425965),
+  (140, 601923247948169215, 106.58705224840361, -29.37478674922612),
+  (141, 599601256557707263, -174.2267112114489, 37.94080352411837),
+  (142, 602198329866059775, -95.00781662616131, -34.83712614668367),
+  (143, 599900505182830591, -15.799467196432296, 32.3978812276209),
+  (144, 602537202785714175, 63.335702610754694, -40.18987167584694),
+  (145, 600364784705077247, 142.60540243715838, 27.049782800849158),
+  (146, 602480916165558271, -138.2252409008924, -45.724500711867975),
+  (147, 600340039251001343, -59.010236695858026, 21.602657681779565),
+  (148, 602654049518485503, 20.11864736925873, -51.02607564405533),
+  (149, 600749195015487487, 99.3618261353574, 16.263226394902002),
+  (150, 602831485354901503, 178.39703078432052, -56.46517922051967),
+  (151, 600905323519148031, -102.37319306773406, 10.821909793275614),
+  (152, 602874733528088575, -23.075491477942318, -61.879261530106035),
+  (153, 600711702098477055, 56.04318556166779, 5.4138103054010305),
+  (154, 603147467172610047, 135.1563373863092, -67.35713670531781),
+  (155, 601381401316556799, -145.49742257365023, -0.034320866244190104),
+  (156, 599243005819355135, -66.22089704866092, 67.23960064959205),
+  (157, 601269206033367039, 12.847580890454902, -5.455971200847705),
+  (158, 599155772886089727, 92.12401897264625, 61.77796233283215),
+  (159, 601770729364520959, 171.1755045984526, -10.93072461204731),
+  (160, 599303322192576511, -109.47214171889627, 56.40999626913958),
+  (161, 601883269318836223, -30.34178237016408, -16.315936807326413),
+  (162, 599270477503922175, 48.882523241765405, 51.01306634987684),
+  (163, 602230015987286015, 128.03670779983813, -21.69858176589312),
+  (164, 599481323890933759, -152.87665929058755, 45.56315290267585),
+  (165, 602111309533675519, -73.72362357364234, -27.136075579105476),
+  (166, 599986876975153151, 5.496912942306722, 40.120263474228366),
+  (167, 602591862687006719, 84.65852159534282, -32.53149515939305),
+  (168, 599866249597419519, 163.91677240919444, 34.73903728390934),
+  (169, 602678388024410111, -116.96181414777281, -38.02302113029686),
+  (170, 599903682384887807, -37.634960285370234, 29.289718905323735),
+  (171, 602754229630664703, 41.4584699604109, -43.47315126864427),
+  (172, 600309335603544063, 120.67573239902347, 23.937810561583934),
+  (173, 602708738410807295, -160.2106233184977, -48.86685605312275),
+  (174, 600203869460365311, -80.92466119545294, 18.47252608568183),
+  (175, 602877212797960191, -1.761890543772326, -54.244567866113854),
+  (176, 600668995091169279, 77.39877565972604, 13.09864158676568),
+  (177, 603160500250869759, 156.71339314495128, -59.635133701760225),
+  (178, 600921504808435711, -124.20023533483912, 7.632901364590968),
+  (179, 603171976403484671, -44.979728641646766, -65.04913814781072),
+  (180, 601130201564315647, 34.1990888343258, 2.197180944701816),
+  (181, 599078812440854527, 113.18007198543455, 69.45104555396289),
+  (182, 600962369274773503, -167.46217751675982, -3.1546415149849287),
+  (183, 599252154099695615, -88.35360803519367, 64.0220052002585),
+  (184, 601672328442544127, -9.059471967090483, -8.588135803644256),
+  (185, 599176019361923071, 70.27054498302398, 58.62463494282541),
+  (186, 601750425980370943, 149.2589846523523, -14.05370795099602),
+  (187, 599305346195914751, -131.44539517712082, 53.28994475278414),
+  (188, 601939931748630527, -52.263694545077556, -19.46310003678448),
+  (189, 599512409790480383, 26.826403156500515, 47.82145313760927),
+  (190, 601921646999109631, 106.03092005501762, -24.88114949957715),
+  (191, 599600922623999999, -174.80903520581614, 42.36363488648006),
+  (192, 602182975357976575, -95.4474816523952, -30.323116074842932),
+  (193, 599915546158301183, -16.311322875713145, 36.99274652666397),
+  (194, 602539281549885439, 62.83606629819448, -35.66064340273466),
+  (195, 599810259330007039, 142.12644460082936, 31.550625453116908),
+  (196, 602464206595293183, -138.81602403588383, -41.13290867972222),
+  (197, 600336479796854783, -59.50328857863915, 26.09405803274384),
+  (198, 602643741596975103, 19.541871978095013, -46.53838373462499),
+  (199, 600748883630358527, 98.79203417476428, 20.695951862573278)"""
+
+
+def q_geo_cell_centers_hex(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """§2.6 ``h3ToGeo`` (CH tuple order: lon, lat) on the real hex
+    grid through the vectorized pandas-UDF registration: event points
+    → res-5 cells → cell centers. The oracle carries the centers
+    precomputed by the same pure-Python core (anchoring chain as in
+    ``geo_latlng_to_cell_hex``; cellToLatLng itself is pinned to the
+    public doc vector in tests/test_h3_public_vectors.py), so the
+    gate proves the distributed inverse path — Arrow batching, mixed
+    per-batch resolutions, struct packing — bit-for-bit."""
+    from ukis_h3cellstore_spark.functions import register_h3_sql_functions
+
+    register_h3_sql_functions(spark)
+    _events(spark, sf_dir).createOrReplaceTempView("__geo_events_ctr")
+    lng = _synth_lng_sql("event_id")
+    lat = _synth_lat_sql("event_id")
+    return spark.sql(
+        f"""
+        SELECT event_id, h3index, c.lon AS center_lon, c.lat AS center_lat
+        FROM (
+          SELECT event_id, h3index, h3ToGeo(h3index) AS c
+          FROM (
+            SELECT event_id, geoToH3({lat}, {lng}, 5) AS h3index
+            FROM __geo_events_ctr WHERE event_id < 200
+          )
+        )
+        """
+    )
+
+
+def _q_geo_cell_centers_hex_sql() -> str:
+    return f"""
+SELECT v.event_id, v.h3index, v.center_lon, v.center_lat
+FROM (VALUES
+  {_HEX_CENTER_VECTORS}
+) AS v(event_id, h3index, center_lon, center_lat)
+WHERE v.event_id IN (SELECT event_id FROM events)
+"""
+
+
+def q_events_hex_parent_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Point indexing + hierarchy rollup on the real hex grid: events
+    → res-5 cells (vectorized geoToH3) → res-2 parents via the
+    bit-arithmetic ``h3ToParent`` SQL function → per-parent counts.
+    The oracle starts from the vendored leaf cells and re-derives the
+    parents with ITS OWN int64 bit arithmetic in DuckDB — the
+    hierarchy math is genuinely cross-engine, only the leaf
+    geocoding is vendored."""
+    from ukis_h3cellstore_spark.functions import register_h3_sql_functions
+
+    register_h3_sql_functions(spark)
+    _events(spark, sf_dir).createOrReplaceTempView("__geo_events_par")
+    lng = _synth_lng_sql("event_id")
+    lat = _synth_lat_sql("event_id")
+    return spark.sql(
+        f"""
+        SELECT h3ToParent(h3index, 2) AS parent, COUNT(*) AS n_points
+        FROM (
+          SELECT geoToH3({lat}, {lng}, 5) AS h3index
+          FROM __geo_events_par WHERE event_id < 200
+        )
+        GROUP BY 1
+        """
+    )
+
+
+def _q_events_hex_parent_rollup_sql() -> str:
+    res_clear = ~(0xF << 52)
+    trailing = (1 << (3 * (15 - 2))) - 1
+    return f"""
+SELECT (v.h3index & {res_clear}) | (2::BIGINT << 52) | {trailing} AS parent,
+       COUNT(*) AS n_points
+FROM (VALUES
+  {_HEX_VECTORS}
+) AS v(event_id, h3index)
+WHERE v.event_id IN (SELECT event_id FROM events)
+GROUP BY 1
+"""
+
+
 QUERIES_GEO: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "geo_grid_disk": q_geo_grid_disk,
     "geo_polyfill_traversal": q_geo_polyfill_traversal,
     "geo_border_cells": q_geo_border_cells,
     "geo_latlng_to_cell": q_geo_latlng_to_cell,
     "geo_latlng_to_cell_hex": q_geo_latlng_to_cell_hex,
+    "geo_cell_centers_hex": q_geo_cell_centers_hex,
+    "events_hex_parent_rollup": q_events_hex_parent_rollup,
 }
 
 ORACLES_GEO: dict[str, str] = {
@@ -606,4 +894,6 @@ ORACLES_GEO: dict[str, str] = {
     "geo_border_cells": _q_geo_border_cells_sql(),
     "geo_latlng_to_cell": _q_geo_latlng_to_cell_sql(),
     "geo_latlng_to_cell_hex": _q_geo_latlng_to_cell_hex_sql(),
+    "geo_cell_centers_hex": _q_geo_cell_centers_hex_sql(),
+    "events_hex_parent_rollup": _q_events_hex_parent_rollup_sql(),
 }

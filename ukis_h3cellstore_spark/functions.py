@@ -21,8 +21,8 @@ driver-side ints and ``h3/expressions.py`` for Column expressions.
 
 Supported-function subset for templates (documented per SURVEY §7.4.8):
 ``h3GetResolution h3GetBaseCell h3ToParent h3ToChildren h3IsValid
-h3IsPentagon max2 modulo geoToH3`` plus everything in Spark SQL's own
-library (``if``,
+h3IsPentagon max2 modulo geoToH3 h3ToGeo`` plus everything in Spark
+SQL's own library (``if``,
 ``greatest``, ``year``, ``month``, ``floor``, ``ceil``, ...).
 ClickHouse's ``arrayJoin(x)`` must be written as ``explode(x)``, and
 because Spark disallows SQL UDFs directly under a generator, the array
@@ -149,7 +149,53 @@ def register_h3_sql_functions(spark: SparkSession, grid=None) -> list[str]:
         spark.sql(f"CREATE OR REPLACE TEMPORARY FUNCTION {name} {body}")
         names.append(name)
     names.append(_register_geo_to_h3(spark, grid))
+    names.append(_register_h3_to_geo(spark, grid))
     return names
+
+
+def _register_h3_to_geo(spark: SparkSession, grid=None) -> str:
+    """``h3ToGeo(cell)`` — cell center as a ``(lon, lat)`` struct in
+    degrees (ClickHouse's tuple order). On the default grid this is an
+    Arrow-batched Pandas UDF over the vectorized inverse transform
+    (``h3.icosa.cell_to_latlng_np``, ~750k cells/s/core); a custom
+    GridSystem falls back to a per-row UDF."""
+    from pyspark.sql.types import (
+        DoubleType,
+        StructField,
+        StructType,
+    )
+
+    from ukis_h3cellstore_spark import geo
+
+    out_type = StructType(
+        [
+            StructField("lon", DoubleType()),
+            StructField("lat", DoubleType()),
+        ]
+    )
+    if grid is None or isinstance(grid, geo.H3Grid):
+        global pd
+        import pandas as pd
+        from pyspark.sql.functions import pandas_udf
+
+        @pandas_udf(out_type)
+        def h3_to_geo(cell: pd.Series) -> pd.DataFrame:
+            from ukis_h3cellstore_spark.h3 import icosa
+
+            lats, lngs = icosa.cell_to_latlng_np(
+                cell.to_numpy(dtype="int64")
+            )
+            return pd.DataFrame({"lon": lngs, "lat": lats})
+
+        spark.udf.register("h3ToGeo", h3_to_geo)
+        return "h3ToGeo"
+
+    def h3_to_geo_rowwise(cell: int):
+        lat, lng = grid.cell_to_latlng(int(cell))
+        return (lng, lat)
+
+    spark.udf.register("h3ToGeo", h3_to_geo_rowwise, out_type)
+    return "h3ToGeo"
 
 
 def _register_geo_to_h3(spark: SparkSession, grid=None) -> str:

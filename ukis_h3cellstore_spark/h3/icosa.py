@@ -1602,3 +1602,190 @@ def latlng_to_cell_np(lats_deg, lngs_deg, res: int):
             latlng_to_cell(la, lo, res) for la, lo in zip(lats_s, lngs_s)
         ]
     return cells
+
+
+# ------------------------------------------------ vectorized inverse
+
+
+def _np_inv_tables():
+    import numpy as np
+
+    home_face = np.array([f for f, _ in BASE_CELL_DATA], dtype=np.int64)
+    home_i = np.array([ijk[0] for _, ijk in BASE_CELL_DATA], dtype=np.int64)
+    home_j = np.array([ijk[1] for _, ijk in BASE_CELL_DATA], dtype=np.int64)
+    home_k = np.array([ijk[2] for _, ijk in BASE_CELL_DATA], dtype=np.int64)
+    pent = np.zeros(NUM_BASE_CELLS, dtype=bool)
+    for p in PENTAGONS:
+        pent[p] = True
+    nface = np.zeros((NUM_ICOSA_FACES, 4), dtype=np.int64)
+    tri = np.zeros((NUM_ICOSA_FACES, 4, 3), dtype=np.int64)
+    ccw = np.zeros((NUM_ICOSA_FACES, 4), dtype=np.int64)
+    for f in range(NUM_ICOSA_FACES):
+        for q in range(4):
+            g, t, r = _FACE_NEIGHBORS[f][q]
+            nface[f, q] = g
+            tri[f, q] = t
+            ccw[f, q] = r
+    unit_i = np.array([u[0] for u in UNIT_VECS], dtype=np.int64)
+    unit_j = np.array([u[1] for u in UNIT_VECS], dtype=np.int64)
+    unit_k = np.array([u[2] for u in UNIT_VECS], dtype=np.int64)
+    fgeo = np.array(FACE_CENTER_GEO)
+    faz = np.array(FACE_AZ_RADS_CII)
+    return (home_face, home_i, home_j, home_k, pent, nface, tri, ccw,
+            unit_i, unit_j, unit_k, fgeo, faz)
+
+
+_NP_INV_TABLES = None
+
+
+def cell_to_latlng_np(cells):
+    """Vectorized ``cellToLatLng`` over an int64 numpy array of cell
+    indexes (mixed resolutions allowed) — identical output to the
+    scalar path (property-tested). Pentagon base cells (≈10 % of the
+    globe) and numerically-degenerate azimuth rows fall back to the
+    scalar implementation.
+
+    The home-frame digit walk, the Class-II substrate drop, and the
+    overage face-hops are all integer numpy ops; only the final
+    spherical placement is floating point."""
+    import numpy as np
+
+    global _NP_INV_TABLES
+    if _NP_INV_TABLES is None:
+        _NP_INV_TABLES = _np_inv_tables()
+    (home_face, home_i, home_j, home_k, pent_t, nface_t, tri_t, ccw_t,
+     unit_i, unit_j, unit_k, fgeo, faz) = _NP_INV_TABLES
+    cells = np.asarray(cells, dtype=np.int64)
+    n = cells.shape[0]
+    lats = np.empty(n, dtype=np.float64)
+    lngs = np.empty(n, dtype=np.float64)
+    res_all = (cells >> 52) & 0xF
+    base_all = (cells >> 45) & 0x7F
+    scalar_mask = pent_t[base_all]
+    for r in np.unique(res_all):
+        sel = (res_all == r) & ~scalar_mask
+        if not sel.any():
+            continue
+        idx = np.nonzero(sel)[0]
+        sub = cells[idx]
+        base = base_all[idx]
+        face = home_face[base].copy()
+        i = home_i[base].copy()
+        j = home_j[base].copy()
+        k = home_k[base].copy()
+        res = int(r)
+        for rr in range(1, res + 1):
+            if rr % 2 == 1:  # Class III
+                i, j, k = 3 * i + j, 3 * j + k, i + 3 * k
+            else:
+                i, j, k = 3 * i + k, i + 3 * j, j + 3 * k
+            d = (sub >> (3 * (MAX_RES - rr))) & 0x7
+            i = i + unit_i[d]
+            j = j + unit_j[d]
+            k = k + unit_k[d]
+            m = np.minimum(np.minimum(i, j), k)
+            i, j, k = i - m, j - m, k - m
+        oi, oj, ok = i.copy(), j.copy(), k.copy()
+        oface = face.copy()
+        adj = res
+        if res % 2 == 1:  # drop into the Class II substrate
+            i, j, k = 3 * i + k, i + 3 * j, j + 3 * k
+            m = np.minimum(np.minimum(i, j), k)
+            i, j, k = i - m, j - m, k - m
+            adj = res + 1
+        max_dim = 2 * 7 ** (adj // 2)
+        scale = 7 ** (adj // 2)
+        had_over = np.zeros(len(idx), dtype=bool)
+        for _ in range(4):
+            over = (i + j + k) > max_dim
+            if not over.any():
+                break
+            had_over |= over
+            quad = np.where(
+                k > 0, np.where(j > 0, 3, 2), 1
+            )  # JK / KI / IJ
+            nf = nface_t[face, quad]
+            rot = ccw_t[face, quad]
+            ti = tri_t[face, quad, 0] * scale
+            tj = tri_t[face, quad, 1] * scale
+            tk = tri_t[face, quad, 2] * scale
+            ri, rj, rk = i.copy(), j.copy(), k.copy()
+            for step in range(5):
+                do = rot > step
+                ni = np.where(do, ri + rk, ri)
+                nj = np.where(do, ri + rj, rj)
+                nk = np.where(do, rj + rk, rk)
+                m = np.minimum(np.minimum(ni, nj), nk)
+                ri, rj, rk = ni - m, nj - m, nk - m
+            ri = ri + ti
+            rj = rj + tj
+            rk = rk + tk
+            m = np.minimum(np.minimum(ri, rj), rk)
+            ri, rj, rk = ri - m, rj - m, rk - m
+            i = np.where(over, ri, i)
+            j = np.where(over, rj, j)
+            k = np.where(over, rk, k)
+            face = np.where(over, nf, face)
+        if res % 2 == 1:
+            # overage rows: climb back from the substrate (up_ap7r);
+            # non-overage rows: restore the original odd-res coords
+            ii = i - k
+            jj = j - k
+            ui = np.round((2 * ii + jj) / 7.0).astype(np.int64)
+            uj = np.round((3 * jj - ii) / 7.0).astype(np.int64)
+            uk = np.zeros_like(ui)
+            m = np.minimum(np.minimum(ui, uj), uk)
+            ui, uj, uk = ui - m, uj - m, uk - m
+            i = np.where(had_over, ui, oi)
+            j = np.where(had_over, uj, oj)
+            k = np.where(had_over, uk, ok)
+            face = np.where(had_over, face, oface)
+        # hex2d → geo (vectorized _hex2d_to_geo)
+        ii = i - k
+        jj = j - k
+        x = ii - 0.5 * jj
+        y = jj * M_SIN60
+        rr_ = np.hypot(x, y)
+        theta = np.arctan2(y, x)
+        rr_ = rr_ / (M_SQRT7 ** res)
+        rr_ = np.arctan(rr_ * RES0_U_GNOMONIC)
+        if res % 2 == 1:
+            theta = (theta + M_AP7_ROT_RADS) % (2.0 * np.pi)
+        az = (faz[face] - theta % (2.0 * np.pi)) % (2.0 * np.pi)
+        plat = fgeo[face, 0]
+        plng = fgeo[face, 1]
+        sinlat = np.sin(plat) * np.cos(rr_) + np.cos(plat) * np.sin(
+            rr_
+        ) * np.cos(az)
+        lat = np.arcsin(np.clip(sinlat, -1.0, 1.0))
+        coslat = np.cos(lat)
+        sinlng = np.sin(az) * np.sin(rr_) / np.where(coslat == 0, 1.0, coslat)
+        coslng = (np.cos(rr_) - np.sin(plat) * sinlat) / np.where(
+            coslat == 0, 1.0, np.cos(plat) * coslat
+        )
+        lng = plng + np.arctan2(
+            np.clip(sinlng, -1.0, 1.0), np.clip(coslng, -1.0, 1.0)
+        )
+        lng = (lng + np.pi) % (2.0 * np.pi) - np.pi
+        # degenerate rows: cell center at a face center (rr_≈0), due-
+        # north/south azimuths, or poles — scalar fallback for parity
+        # with the branchy reference
+        degen = (
+            (rr_ < _EPSILON)
+            | (np.minimum(az % np.pi, np.pi - (az % np.pi)) < 1e-12)
+            | (np.abs(np.abs(lat) - np.pi / 2.0) < 1e-12)
+            | (coslat == 0)
+        )
+        lats[idx] = np.degrees(lat)
+        lngs[idx] = np.degrees(lng)
+        if degen.any():
+            for pos in idx[degen]:
+                la, lo = cell_to_latlng(int(cells[pos]))
+                lats[pos] = la
+                lngs[pos] = lo
+    if scalar_mask.any():
+        for pos in np.nonzero(scalar_mask)[0]:
+            la, lo = cell_to_latlng(int(cells[pos]))
+            lats[pos] = la
+            lngs[pos] = lo
+    return lats, lngs
