@@ -47,6 +47,13 @@ _PRIORITY = [
     "dedup_semantic",
     "geo_grid_disk",
     "streaming_tableset_ingest",
+    # tier 1b — the round-5 real-hex additions (never sampled; green
+    # in the r5 local sweeps)
+    "geo_latlng_to_cell_hex",
+    "geo_cell_centers_hex",
+    "events_hex_parent_rollup",
+    "corpus_dsir_weights",
+    "streaming_stateful_accumulator",
     # tier 2 — oldest driver-green first (last green r1/r2/r3)
     "pipeline_traversal",
     "pipeline_traversal_prefiltered",
@@ -84,11 +91,6 @@ _PRIORITY = [
     "q18_large_orders",
     "q7_nation_trade_volume",
     "q8_market_share",
-    "q10_returned_customers",
-    "q15_top_suppliers",
-    "q19_bracket_revenue",
-    "q13_order_count_distribution",
-    "q14_promo_revenue_share",
 ]
 
 

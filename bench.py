@@ -64,9 +64,15 @@ HEADLINE = [
 #: (the registry gate keeps the oracle-reproducible mode). Keyed by the
 #: HEADLINE name they replace.
 def _bench_variants():
-    from ukis_h3cellstore_spark.entry_queries_ops import q_ann_ivfpq_top3_bench
+    from ukis_h3cellstore_spark.entry_queries_ops import (
+        q_ann_ivfpq_top3_bench,
+        q_semantic_dedup_bench,
+    )
 
-    return {"ann_ivfpq_top3": q_ann_ivfpq_top3_bench}
+    return {
+        "ann_ivfpq_top3": q_ann_ivfpq_top3_bench,
+        "dedup_semantic": q_semantic_dedup_bench,
+    }
 
 
 def main() -> None:

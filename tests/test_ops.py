@@ -1218,3 +1218,43 @@ def test_semantic_dedup_no_python_broadcast_centroids(spark):
     )
     assert "BatchEvalPython" not in plan
     assert "BroadcastExchange" in plan or "BroadcastNestedLoopJoin" in plan
+
+
+def test_dsir_importance_weights_favor_target_like_docs(spark):
+    from ukis_h3cellstore_spark.ops import sampling as SP
+
+    rows = [
+        (0, "the quick brown fox jumps over the lazy dog", "web"),
+        (1, "quick brown fox and lazy dog again and again", "web"),
+        (2, "def main import numpy as np return x", "code"),
+        (3, "import pandas as pd def helper return y", "code"),
+        (4, "", "web"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string, source string")
+    target = df.filter(F.col("source") == "code")
+    out = (
+        SP.dsir_importance_weights(df, target)
+        .toPandas()
+        .set_index("doc_id")
+    )
+    assert len(out) == 5
+    # code-like docs must outscore prose docs against a code target
+    assert out.loc[2].weight > out.loc[0].weight
+    assert out.loc[3].weight > out.loc[1].weight
+    # empty doc: no grams, weight exactly 0
+    assert out.loc[4].n_grams == 0 and out.loc[4].weight == 0.0
+    # n_grams = occurrences (len(tokens) - 1)
+    assert out.loc[0].n_grams == 8
+
+
+def test_dsir_weights_no_python_and_broadcast_ratios(spark):
+    from ukis_h3cellstore_spark.ops import sampling as SP
+
+    rows = [(i, f"tok{i % 7} tok{(i + 1) % 5} tok{i % 3}", "s" + str(i % 2)) for i in range(60)]
+    df = spark.createDataFrame(rows, "doc_id long, text string, source string")
+    plan = (
+        SP.dsir_importance_weights(df, df.filter(F.col("source") == "s0"))
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "BatchEvalPython" not in plan
+    assert "BroadcastExchange" in plan

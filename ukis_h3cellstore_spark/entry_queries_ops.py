@@ -983,6 +983,21 @@ def q_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_semantic_dedup_bench(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bench-only semantic-dedup variant on the SCALE path: default
+    streaming centroid means instead of the oracle-reproducible
+    ``exact_mean=True`` serial folds (same rationale as
+    :func:`q_ann_ivfpq_top3_bench`). Not registered in
+    ``queries()``/``oracle_sql()``."""
+    return S.semantic_dedup(
+        _embs(spark, sf_dir),
+        n_clusters=_SEM_K,
+        threshold=0.2,
+        train_iters=_IVF_ITERS,
+        exact_mean=False,
+    )
+
+
 def _q_semantic_dedup_sql() -> str:
     """kmeans replay (cosine assignment, sorted serial-fold means,
     LIMIT-{_SEM_K} init) + within-cluster pair pruning."""
@@ -1988,7 +2003,67 @@ FROM ranked WHERE rank <= 3
 """
 
 
+
+def q_corpus_dsir_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSIR-style importance weights (ops/sampling.py:
+    dsir_importance_weights): score every document against the src1
+    sub-corpus as the target domain — the published
+    importance-resampling recipe for domain-targeted data selection.
+    The oracle recomputes the bag-of-bigrams likelihood ratio chain
+    (target-vocabulary feature space + OOV bucket, add-one smoothing)
+    relationally from scratch."""
+    from ukis_h3cellstore_spark.ops import sampling as SP
+
+    docs = _docs(spark, sf_dir)
+    target = docs.filter(F.col("source") == "src1")
+    return SP.dsir_importance_weights(docs, target, k=2)
+
+
+def _q_corpus_dsir_weights_sql() -> str:
+    grams = """SELECT doc_id, concat_ws(' ', toks[i], toks[i+1]) AS g
+FROM (SELECT doc_id, {toks} AS toks FROM documents {where}) t,
+     unnest(generate_series(1, greatest(len(toks) - 1, 0))) AS u(i)"""
+    cg = grams.format(toks=_DUCK_TOKS, where="")
+    tg = grams.format(toks=_DUCK_TOKS, where="WHERE source = 'src1'")
+    return f"""
+WITH cg AS ({cg}),
+tg AS ({tg}),
+ct AS (SELECT g, COUNT(*) AS ct FROM tg GROUP BY 1),
+cs AS (
+  SELECT cg.g, COUNT(*) AS cs FROM cg
+  WHERE cg.g IN (SELECT g FROM ct) GROUP BY 1
+),
+consts AS (
+  SELECT (SELECT COUNT(*) FROM tg) AS nt,
+         (SELECT COUNT(*) FROM cg) AS ns,
+         (SELECT COUNT(*) FROM ct) AS v,
+         (SELECT COALESCE(SUM(cs), 0) FROM cs) AS cs_in
+),
+ratios AS (
+  SELECT ct.g,
+         ((ct.ct + 1) / (c.nt + c.v + 1.0))
+           / ((COALESCE(cs.cs, 0) + 1) / (c.ns + c.v + 1.0)) AS ratio
+  FROM ct LEFT JOIN cs ON ct.g = cs.g CROSS JOIN consts c
+),
+oov AS (
+  SELECT (1.0 / (c.nt + c.v + 1.0))
+           / ((c.ns - c.cs_in + 1) / (c.ns + c.v + 1.0)) AS ratio
+  FROM consts c
+),
+scored AS (
+  SELECT cg.doc_id, COUNT(*) AS n_grams,
+         SUM(ln(COALESCE(r.ratio, (SELECT ratio FROM oov)))) AS w
+  FROM cg LEFT JOIN ratios r ON cg.g = r.g
+  GROUP BY 1
+)
+SELECT d.doc_id,
+       COALESCE(s.n_grams, 0) AS n_grams,
+       round(COALESCE(s.w, 0.0), 6) AS weight
+FROM documents d LEFT JOIN scored s ON d.doc_id = s.doc_id
+"""
+
 QUERIES_OPS: dict[str, Callable[[SparkSession, str], DataFrame]] = {
+    "corpus_dsir_weights": q_corpus_dsir_weights,
     "text_normalize": q_text_normalize,
     "text_boilerplate": q_text_boilerplate,
     "text_quality_logit": q_text_quality_logit,
@@ -2043,6 +2118,7 @@ QUERIES_OPS: dict[str, Callable[[SparkSession, str], DataFrame]] = {
 }
 
 ORACLES_OPS: dict[str, str] = {
+    "corpus_dsir_weights": _q_corpus_dsir_weights_sql(),
     "text_normalize": Q_TEXT_NORMALIZE_SQL,
     "text_boilerplate": Q_TEXT_BOILERPLATE_SQL,
     "text_quality_logit": Q_TEXT_QUALITY_LOGIT_SQL,

@@ -394,7 +394,61 @@ GROUP BY 1
 """
 
 
+
+
+def q_streaming_stateful_accumulator(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Custom stateful streaming operator (``applyInPandasWithState``):
+    per-cell running (count, sum) state updated across micro-batches,
+    emitted in update mode. The memory sink then holds one row per
+    (cell, micro-batch that touched it); both accumulators are
+    monotone per key, so the per-cell MAX is the final state — which
+    must equal the batch aggregation regardless of how the file
+    stream split the rows (max_files_per_trigger=2 forces multiple
+    batches, so state genuinely carries across triggers)."""
+    src = _events(spark, sf_dir).select(
+        _synth_col("event_id", 6).alias("h3index"),
+        F.round(F.col("value") * 100).cast("long").alias("value_cents"),
+    )
+    stream_dir = tempfile.mkdtemp(prefix="h3stream_state_")
+    src.repartition(4).write.mode("overwrite").parquet(stream_dir)
+    stream = st.read_stream(
+        spark, stream_dir, src.schema, max_files_per_trigger=2
+    )
+    acc = st.stateful_cell_accumulator(stream, "h3index", "value_cents")
+    _SINK_COUNTER[0] += 1
+    sink = f"stream_state_sink_{_SINK_COUNTER[0]}"
+    q = (
+        acc.writeStream.format("memory")
+        .queryName(sink)
+        .outputMode("update")
+        .trigger(availableNow=True)
+        .start()
+    )
+    _await_done(q)
+    return (
+        spark.table(sink)
+        .groupBy("h3index")
+        .agg(
+            F.max("n_events").alias("n_events"),
+            F.max("total_value").alias("total_value_cents"),
+        )
+    )
+
+
+def _q_streaming_stateful_accumulator_sql() -> str:
+    cell6 = sg.synth_cell("event_id", 6, DUCK)
+    return f"""
+SELECT ({cell6}) AS h3index,
+       COUNT(*) AS n_events,
+       CAST(SUM(CAST(round(value*100) AS BIGINT)) AS BIGINT)
+         AS total_value_cents
+FROM events
+GROUP BY 1
+"""
+
+
 QUERIES_STREAM: dict[str, Callable[[SparkSession, str], DataFrame]] = {
+    "streaming_stateful_accumulator": q_streaming_stateful_accumulator,
     "streaming_topk": q_streaming_topk,
     "streaming_tableset_ingest": q_streaming_tableset_ingest,
     "streaming_windowed_rollup": q_streaming_windowed_rollup,
@@ -404,6 +458,7 @@ QUERIES_STREAM: dict[str, Callable[[SparkSession, str], DataFrame]] = {
 }
 
 ORACLES_STREAM: dict[str, str] = {
+    "streaming_stateful_accumulator": _q_streaming_stateful_accumulator_sql(),
     "streaming_topk": _Q_STREAMING_TOPK_SQL,
     "streaming_tableset_ingest": _q_streaming_tableset_ingest_sql(),
     "streaming_windowed_rollup": _q_streaming_windowed_rollup_sql(),

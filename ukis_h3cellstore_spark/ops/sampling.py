@@ -293,3 +293,110 @@ def temperature_mixture(
         df, rates, default_rate=0.0,
         source_col=source_col, id_col=id_col, salt=salt,
     )
+
+
+def dsir_importance_weights(
+    corpus: DataFrame,
+    target: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 2,
+    round_digits: int = 6,
+) -> DataFrame:
+    """DSIR-style importance weights for domain-targeted data
+    selection (Xie et al. 2023, "Data Selection for Language Models
+    via Importance Resampling"): score every corpus document by
+    ``Σ_g log p_target(g) / p_source(g)`` over its n-gram occurrences,
+    so resampling ∝ exp(weight) shifts the corpus toward the target
+    domain's n-gram distribution. Returns (id, n_grams, weight).
+
+    Differences from the paper, chosen for engine portability and
+    bounded state: the feature space is the EXACT n-gram vocabulary of
+    the *target* sample plus one OOV bucket (the paper hashes into a
+    fixed bucket count purely to bound memory — the target-vocabulary
+    cap bounds it the same way since the target sample is small by
+    construction), with add-one smoothing on both distributions.
+
+    Scale shape: the only corpus-sized operations are the n-gram
+    explode and one per-document hash aggregation; the log-ratio table
+    is vocabulary-sized and broadcast. Nothing corpus-sized is ever
+    collected or broadcast. Deterministic: no hashing, no rand().
+    """
+
+    def grams(df: DataFrame) -> DataFrame:
+        toks = tokens(text_col)
+        n = F.size(toks)
+        arr = F.when(
+            n >= k,
+            F.transform(
+                F.sequence(F.lit(1), n - F.lit(k - 1)),
+                lambda i: F.concat_ws(" ", F.slice(toks, i, k)),
+            ),
+        ).otherwise(F.array().cast("array<string>"))
+        # occurrences, NOT distinct: the importance weight is over the
+        # bag-of-ngrams likelihood, so multiplicity matters
+        return df.select(
+            F.col(id_col).alias("__id"), F.explode(arr).alias("__g")
+        )
+
+    g_corpus = grams(corpus)
+    g_target = grams(target)
+    ct = g_target.groupBy("__g").agg(F.count(F.lit(1)).alias("__ct"))
+    # in-vocabulary source counts: semi-restrict to the target vocab,
+    # everything else lands in the OOV bucket via the totals
+    cs = (
+        g_corpus.join(F.broadcast(ct.select("__g")), on="__g")
+        .groupBy("__g")
+        .agg(F.count(F.lit(1)).alias("__cs"))
+    )
+    totals_t = g_target.agg(F.count(F.lit(1)).alias("n")).collect()[0].n
+    totals_s = g_corpus.agg(F.count(F.lit(1)).alias("n")).collect()[0].n
+    vocab = ct.join(cs, on="__g", how="left").select(
+        "__g",
+        F.col("__ct"),
+        F.coalesce(F.col("__cs"), F.lit(0)).alias("__cs"),
+    )
+    invoc = vocab.agg(
+        F.count(F.lit(1)).alias("v"),
+        F.coalesce(F.sum("__cs"), F.lit(0)).alias("cs_in"),
+    ).collect()[0]
+    v_size = invoc.v
+    oov_t = 0  # by construction: the vocabulary IS the target's grams
+    oov_s = totals_s - invoc.cs_in
+    denom_t = float(totals_t + v_size + 1)
+    denom_s = float(totals_s + v_size + 1)
+    oov_ratio = float(
+        ((oov_t + 1) / denom_t) / ((oov_s + 1) / denom_s)
+    )
+    ratios = vocab.select(
+        "__g",
+        (
+            ((F.col("__ct") + 1) / F.lit(denom_t))
+            / ((F.col("__cs") + 1) / F.lit(denom_s))
+        ).alias("__ratio"),
+    )
+    scored = (
+        g_corpus.join(F.broadcast(ratios), on="__g", how="left")
+        .select(
+            "__id",
+            F.log(F.coalesce(F.col("__ratio"), F.lit(oov_ratio))).alias(
+                "__lw"
+            ),
+        )
+        .groupBy("__id")
+        .agg(
+            F.count(F.lit(1)).alias("n_grams"),
+            F.sum("__lw").alias("__w"),
+        )
+    )
+    return (
+        corpus.select(F.col(id_col))
+        .join(scored, corpus[id_col] == scored["__id"], "left")
+        .select(
+            F.col(id_col),
+            F.coalesce(F.col("n_grams"), F.lit(0)).alias("n_grams"),
+            F.round(F.coalesce(F.col("__w"), F.lit(0.0)), round_digits).alias(
+                "weight"
+            ),
+        )
+    )

@@ -397,17 +397,23 @@ def kmeans_fit(
             pv = comp.groupBy("centroid_id", "pos").agg(
                 F.avg(F.col("v").cast("double")).alias("m")
             )
-        cent = (
-            pv.groupBy("centroid_id")
-            .agg(F.array_sort(F.collect_list(F.struct("pos", "m"))).alias("pm"))
-            .select(
-                "centroid_id", F.transform("pm", lambda s: s["m"]).alias("c_vec")
-            )
+        # centroids are k×d doubles — dim-lookup-sized metadata by
+        # definition, like the SQ8 codebook — so materialize them on
+        # the driver: one collect replaces a third shuffle (the
+        # per-centroid re-assembly) plus the per-iteration lineage
+        # checkpoint, and the next iteration's broadcast join gets a
+        # local relation with no training subtree behind it.
+        rows = pv.collect()
+        by_c: dict = {}
+        for r in rows:
+            by_c.setdefault(r.centroid_id, {})[r.pos] = float(r.m)
+        data = [
+            (int(cid), [dims[p] for p in sorted(dims)])
+            for cid, dims in sorted(by_c.items())
+        ]
+        cent = corpus.sparkSession.createDataFrame(
+            data, "centroid_id long, c_vec array<double>"
         )
-        # truncate lineage per iteration: downstream consumers (and the
-        # next iteration's cross join) reuse the materialized centroid
-        # table instead of re-running the whole training subtree
-        cent = cent.localCheckpoint(eager=False)
     return cent
 
 
