@@ -22,19 +22,19 @@ from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
 
-# First-50 sampling priority for round 5: the 9 gates that have never
-# earned a driver CORRECTNESS row (r4-late additions), then the gates
-# whose last driver-green row is oldest (r1 pipeline/raster set, the
-# r2 dedup/ann/corpus set, then the r3 TPC-H head). After r5 records
-# green rows for the head, every one of the 137 gates will have been
-# driver-verified at least once.
-# ROUND-6 ROTATION (do this first in r6): move any NEW never-sampled
-# gates to the front, then continue oldest-green-first — the tail of
-# the r3-verified set (q16/q17/q22, events_* window suite, h3_*
-# suite, pipeline_sum/avg/relarea rollups, text r3 set), then the
-# r4-verified 50 (current back), then this round's head. Recompute
-# mechanically: never-sampled first, then sort by max round seen in
-# CORRECTNESS_r0{1..N}.json (ties by registry order).
+# First-50 sampling priority for round 5: the 15 gates that have
+# never earned a driver CORRECTNESS row (9 r4-late additions + the 6
+# new round-5 gates), then the gates whose last driver-green row is
+# oldest (r1 pipeline/raster set, the r2 dedup/ann/corpus set, then
+# the r3 TPC-H head). After r5 records green rows for the head, every
+# pre-r5 gate will have been driver-verified at least once.
+# ROUND-6 ROTATION (do this first in r6): run
+#   python tools/rotation.py --python
+# which recomputes the order mechanically — never-sampled first, then
+# oldest-green (max round across CORRECTNESS_r0*.json, ties by
+# registry order) — sweep the head locally, and paste it here. Splice
+# gates ADDED mid-round straight into the head so they earn a driver
+# row the same round.
 _PRIORITY = [
     # tier 1 — the 9 gates never driver-sampled (r4-late additions;
     # all green in CORRECTNESS_LOCAL_r04{,_sf0.1}.json)
@@ -54,6 +54,7 @@ _PRIORITY = [
     "events_hex_parent_rollup",
     "corpus_dsir_weights",
     "streaming_stateful_accumulator",
+    "geo_polyfill_hex",
     # tier 2 — oldest driver-green first (last green r1/r2/r3)
     "pipeline_traversal",
     "pipeline_traversal_prefiltered",
@@ -90,7 +91,6 @@ _PRIORITY = [
     "q4_order_priority",
     "q18_large_orders",
     "q7_nation_trade_volume",
-    "q8_market_share",
 ]
 
 

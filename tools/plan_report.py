@@ -40,6 +40,12 @@ DEFAULT_QUERIES = [
     "dedup_cross_modal",
     "dedup_semantic",
     "source_zordered_scan",
+    # round-5 additions
+    "geo_latlng_to_cell_hex",
+    "geo_cell_centers_hex",
+    "events_hex_parent_rollup",
+    "corpus_dsir_weights",
+    "q11_important_suppliers",
 ]
 
 

@@ -878,6 +878,231 @@ GROUP BY 1
 """
 
 
+
+
+#: res-2 polyfill cover of the TRIANGLE AOI on the real hexagonal
+#: grid (reference H6: polyfill PLUS exterior-ring cells), precomputed
+#: by geo.polygon_to_cells over H3Grid (pure-Python core; anchored to the SF-polygon counts of the
+#: public H3 C test suite in tests/test_h3_public_vectors.py).
+_HEX_COVER_VALUES = """(586463009581301759),
+  (586464109092929535),
+  (586466857871998975),
+  (586467957383626751),
+  (586468507139440639),
+  (586469056895254527),
+  (586470156406882303),
+  (586950642988220415),
+  (586951192744034303),
+  (586952292255662079),
+  (586952842011475967),
+  (586953391767289855),
+  (586968784930078719),
+  (586970983953334271),
+  (587016613685886975),
+  (587017163441700863),
+  (587017713197514751),
+  (587018262953328639),
+  (587018812709142527),
+  (587019362464956415),
+  (587019912220770303),
+  (587021011732398079),
+  (587022111244025855),
+  (587022660999839743),
+  (587024310267281407),
+  (587025409778909183),
+  (587025959534723071),
+  (587026509290536959),
+  (587027059046350847),
+  (587027608802164735),
+  (587028158557978623),
+  (587028708313792511),
+  (587029807825420287),
+  (587030357581234175),
+  (587030907337048063),
+  (587031457092861951),
+  (587032006848675839),
+  (587032556604489727),
+  (587033106360303615),
+  (587034205871931391),
+  (587034755627745279),
+  (587035305383559167),
+  (587035855139373055),
+  (587036404895186943),
+  (587036954651000831),
+  (587037504406814719),
+  (587038603918442495),
+  (587039703430070271),
+  (587040253185884159),
+  (587041902453325823),
+  (587043001964953599),
+  (587043551720767487),
+  (587044101476581375),
+  (587044651232395263),
+  (587045200988209151),
+  (587045750744023039),
+  (587046300499836927),
+  (587342069127708671),
+  (587343168639336447),
+  (587343718395150335),
+  (587345367662591999),
+  (587359661313753087),
+  (587360760825380863),
+  (587361310581194751),
+  (587362959848636415),
+  (587509194895130623),
+  (587510294406758399),
+  (587510844162572287),
+  (587511393918386175),
+  (587511943674200063),
+  (587512493430013951),
+  (587517990988152831),
+  (587518540743966719),
+  (587519090499780607),
+  (587519640255594495),
+  (587520190011408383),
+  (587520739767222271),
+  (587521289523036159),
+  (587522389034663935),
+  (587522938790477823),
+  (587523488546291711),
+  (587524038302105599),
+  (587524588057919487),
+  (587525137813733375),
+  (587525687569547263),
+  (587526787081175039),
+  (587527336836988927),
+  (587527886592802815),
+  (587528436348616703),
+  (587528986104430591),
+  (587529535860244479),
+  (587530085616058367),
+  (587531185127686143),
+  (587531734883500031),
+  (587532284639313919),
+  (587532834395127807),
+  (587533384150941695),
+  (587533933906755583),
+  (587534483662569471),
+  (587535583174197247),
+  (587536132930011135),
+  (587536682685825023),
+  (587537232441638911),
+  (587537782197452799),
+  (587538331953266687),
+  (587538881709080575),
+  (587659827988135935),
+  (587662027011391487),
+  (587668624081158143),
+  (587670823104413695),
+  (587676320662552575),
+  (587677420174180351),
+  (587677969929994239),
+  (587679069441622015),
+  (587755485499752447),
+  (587756035255566335),
+  (587756585011380223),
+  (587757134767194111),
+  (587757684523007999),
+  (587758234278821887),
+  (587758784034635775),
+  (587759883546263551),
+  (587760433302077439),
+  (587760983057891327),
+  (587761532813705215),
+  (587762082569519103),
+  (587762632325332991),
+  (587763182081146879),
+  (587764281592774655),
+  (587764831348588543),
+  (587765381104402431),
+  (587765930860216319),
+  (587766480616030207),
+  (587767030371844095),
+  (587767580127657983),
+  (587768679639285759),
+  (587769229395099647),
+  (587769779150913535),
+  (587770328906727423),
+  (587770878662541311),
+  (587771428418355199),
+  (587771978174169087),
+  (587779124999749631),
+  (587781873778819071),
+  (587782423534632959),
+  (587782973290446847),
+  (587783523046260735),
+  (587784622557888511),
+  (587785172313702399),
+  (588120523360174079),
+  (588121073115987967),
+  (588122172627615743),
+  (588160105778774015),
+  (588160655534587903),
+  (588161755046215679),
+  (588162304802029567),
+  (588162854557843455),
+  (588163404313657343),
+  (588164503825285119),
+  (588166702848540671),
+  (588167252604354559),
+  (588167802360168447),
+  (588171100895051775),
+  (588172200406679551)"""
+
+
+def q_geo_polyfill_hex(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """H6 on the REAL hexagonal grid: driver-side polyfill of the
+    triangle AOI at res 2 (reference client shape, traversal.rs:
+    131-162) parameterizing a distributed membership count — events
+    are geocoded at res 5 by the vectorized UDF and rolled to res 2
+    via the bit-arithmetic parent function, then counted per cover
+    cell. The oracle takes the vendored cover, re-derives the event
+    res-2 cells from the vendored res-5 leaves with DuckDB's own
+    int64 bit math, and joins — so AOI membership + hierarchy rollup
+    are genuinely cross-engine; only the leaf geocode and the
+    geometry of the cover itself are vendored."""
+    from ukis_h3cellstore_spark.functions import register_h3_sql_functions
+
+    register_h3_sql_functions(spark)
+    cover = geo.polygon_to_cells(TRIANGLE_POLY["coordinates"], 2, geo.H3Grid())
+    cover_df = spark.createDataFrame([(c,) for c in cover], "cell long")
+    cover_df.createOrReplaceTempView("__hex_cover")
+    _events(spark, sf_dir).createOrReplaceTempView("__geo_events_pf")
+    lng = _synth_lng_sql("event_id")
+    lat = _synth_lat_sql("event_id")
+    return spark.sql(
+        f"""
+        SELECT c.cell, COUNT(e.cell2) AS n_events
+        FROM __hex_cover c
+        LEFT JOIN (
+          SELECT h3ToParent(geoToH3({lat}, {lng}, 5), 2) AS cell2
+          FROM __geo_events_pf WHERE event_id < 200
+        ) e ON e.cell2 = c.cell
+        GROUP BY c.cell
+        """
+    )
+
+
+def _q_geo_polyfill_hex_sql() -> str:
+    res_clear = ~(0xF << 52)
+    trailing = (1 << (3 * (15 - 2))) - 1
+    return f"""
+WITH cover AS (SELECT * FROM (VALUES
+  {_HEX_COVER_VALUES}
+) AS t(cell)),
+pts AS (
+  SELECT (v.h3index & {res_clear}) | (2::BIGINT << 52) | {trailing} AS cell2
+  FROM (VALUES
+  {_HEX_VECTORS}
+  ) AS v(event_id, h3index)
+  WHERE v.event_id IN (SELECT event_id FROM events)
+)
+SELECT c.cell, COUNT(p.cell2) AS n_events
+FROM cover c LEFT JOIN pts p ON p.cell2 = c.cell
+GROUP BY c.cell
+"""
+
+
 QUERIES_GEO: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "geo_grid_disk": q_geo_grid_disk,
     "geo_polyfill_traversal": q_geo_polyfill_traversal,
@@ -886,6 +1111,7 @@ QUERIES_GEO: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "geo_latlng_to_cell_hex": q_geo_latlng_to_cell_hex,
     "geo_cell_centers_hex": q_geo_cell_centers_hex,
     "events_hex_parent_rollup": q_events_hex_parent_rollup,
+    "geo_polyfill_hex": q_geo_polyfill_hex,
 }
 
 ORACLES_GEO: dict[str, str] = {
@@ -896,4 +1122,5 @@ ORACLES_GEO: dict[str, str] = {
     "geo_latlng_to_cell_hex": _q_geo_latlng_to_cell_hex_sql(),
     "geo_cell_centers_hex": _q_geo_cell_centers_hex_sql(),
     "events_hex_parent_rollup": _q_events_hex_parent_rollup_sql(),
+    "geo_polyfill_hex": _q_geo_polyfill_hex_sql(),
 }

@@ -487,20 +487,6 @@ def _validate_base_cells() -> None:
 _validate_base_cells()
 
 
-def _nearest_base_cell(lat: float, lng: float) -> tuple[int, float]:
-    v = _geo_to_3d(lat, lng)
-    best, bestd = 0, 9.0
-    for bc, c in enumerate(_BASE_CELL_CENTER_3D):
-        d = (
-            (v[0] - c[0]) ** 2
-            + (v[1] - c[1]) ** 2
-            + (v[2] - c[2]) ** 2
-        )
-        if d < bestd:
-            best, bestd = bc, d
-    return best, bestd
-
-
 def _derive_face_slot_owners() -> dict:
     """(face, normalized res-0 ijk, coords ≤ 2) → base cell.
 
@@ -1460,10 +1446,31 @@ def _np_tables():
         for r in range(6):
             rot_ccw[r, d] = x
             x = _rotate_digit_ccw(x)
+    # pentagon rotation is a UNIFORM cumulative ccw rotation: each
+    # _rotate_pent60_ccw step rotates every digit once, plus once more
+    # when the leading digit lands on K — and the escape count depends
+    # only on the leading digit, so total rotation = TOT[lead, r].
+    tot_pent = np.zeros((8, 6), dtype=np.int64)
+    for lead in range(7):
+        for r in range(6):
+            t = 0
+            cur = lead
+            for _ in range(r):
+                cur = _rotate_digit_ccw(cur)
+                t += 1
+                if cur == K_AXES_DIGIT:
+                    cur = _rotate_digit_ccw(cur)
+                    t += 1
+            tot_pent[lead, r] = t
+    # pentagon cw-offset lookup: [bc * 20 + face] → escape direction
+    pent_cw = np.zeros(NUM_BASE_CELLS * NUM_ICOSA_FACES, dtype=bool)
+    for bc, faces in _PENT_CW_OFFSET.items():
+        for f in faces:
+            pent_cw[bc * NUM_ICOSA_FACES + f] = True
     fc = np.array(_FACE_CENTER_3D)  # (20, 3)
     fgeo = np.array(FACE_CENTER_GEO)  # (20, 2)
     faz = np.array(FACE_AZ_RADS_CII)
-    return owner, rot, pent, rot_ccw, fc, fgeo, faz
+    return owner, rot, pent, rot_ccw, tot_pent, pent_cw, fc, fgeo, faz
 
 
 _NP_TABLES = None
@@ -1471,14 +1478,16 @@ _NP_TABLES = None
 
 def latlng_to_cell_np(lats_deg, lngs_deg, res: int):
     """Vectorized ``latLngToCell`` over numpy arrays of degrees —
-    identical output to the scalar path (property-tested); pentagon
-    base cells (≲10 % of the globe) take the scalar fallback."""
+    identical output to the scalar path (property-tested), pentagon
+    base cells included: the pentagon digit rotation is a uniform
+    cumulative ccw rotation whose escape count depends only on the
+    leading digit, so it reduces to two table lookups."""
     import numpy as np
 
     global _NP_TABLES
     if _NP_TABLES is None:
         _NP_TABLES = _np_tables()
-    owner_t, rot_t, pent_t, rot_ccw, fc, fgeo, faz = _NP_TABLES
+    owner_t, rot_t, pent_t, rot_ccw, tot_pent, pent_cw, fc, fgeo, faz = _NP_TABLES
     lat = np.radians(np.asarray(lats_deg, dtype=np.float64))
     lng = np.radians(np.asarray(lngs_deg, dtype=np.float64))
     n = lat.shape[0]
@@ -1584,9 +1593,25 @@ def latlng_to_cell_np(lats_deg, lngs_deg, res: int):
     bc = owner_t[idx]
     rot = rot_t[idx]
     is_pent = pent_t[bc]
-    scalar_rows = ~valid | is_pent
-    # hexagon fast path: uniform ccw digit rotation
-    out_digits = rot_ccw[rot[:, None], digits] if res else digits
+    scalar_rows = ~valid
+    if res:
+        # leading nonzero digit per row (0 when all digits are 0)
+        nz = digits != 0
+        first = nz.argmax(axis=1)
+        lead = np.where(nz.any(axis=1), digits[np.arange(n), first], 0)
+        # pentagon k-escape: rotate the whole sequence once cw or ccw
+        # depending on the projection face's fold side
+        esc = is_pent & (lead == K_AXES_DIGIT)
+        pre = np.where(
+            esc, np.where(pent_cw[bc * NUM_ICOSA_FACES + face], 5, 1), 0
+        )
+        lead = rot_ccw[pre, lead]
+        # total rotation: pentagon rows use the escape-aware cumulative
+        # count, hexagon rows plain r
+        total = np.where(is_pent, tot_pent[lead, rot], rot) + pre
+        out_digits = rot_ccw[(total % 6)[:, None], digits]
+    else:
+        out_digits = digits
     cells = (
         np.int64(_cells.MODE_CELL) << 59
         | np.int64(res) << 52
@@ -1641,9 +1666,11 @@ _NP_INV_TABLES = None
 def cell_to_latlng_np(cells):
     """Vectorized ``cellToLatLng`` over an int64 numpy array of cell
     indexes (mixed resolutions allowed) — identical output to the
-    scalar path (property-tested). Pentagon base cells (≈10 % of the
-    globe) and numerically-degenerate azimuth rows fall back to the
-    scalar implementation.
+    scalar path (property-tested), pentagon base cells included (the
+    leading-IK pre-rotation is a uniform digit map and the
+    deleted-subsequence overage fold is a masked origin-shifted
+    rotation); only numerically-degenerate azimuth rows fall back to
+    the scalar implementation.
 
     The home-frame digit walk, the Class-II substrate drop, and the
     overage face-hops are all integer numpy ops; only the final
@@ -1661,25 +1688,38 @@ def cell_to_latlng_np(cells):
     lngs = np.empty(n, dtype=np.float64)
     res_all = (cells >> 52) & 0xF
     base_all = (cells >> 45) & 0x7F
-    scalar_mask = pent_t[base_all]
+    # ccw digit-rotation table for the pentagon leading-IK pre-rotation
+    cw1 = np.array([0, 3, 6, 2, 5, 1, 4], dtype=np.int64)  # cw == ccw^5
     for r in np.unique(res_all):
-        sel = (res_all == r) & ~scalar_mask
+        sel = res_all == r
         if not sel.any():
             continue
         idx = np.nonzero(sel)[0]
         sub = cells[idx]
         base = base_all[idx]
+        is_pent = pent_t[base]
         face = home_face[base].copy()
         i = home_i[base].copy()
         j = home_j[base].copy()
         k = home_k[base].copy()
         res = int(r)
+        # leading nonzero digit (for the pentagon pre-rotation and the
+        # deleted-subsequence overage handling)
+        lead = np.zeros(len(idx), dtype=np.int64)
+        for rr in range(1, res + 1):
+            d = (sub >> (3 * (MAX_RES - rr))) & 0x7
+            lead = np.where(lead == 0, d, lead)
+        # pentagon with leading IK: rotate the digit sequence once cw
+        pre_cw = is_pent & (lead == IK_AXES_DIGIT)
+        lead = np.where(pre_cw, cw1[lead], lead)
+        pent_l4 = is_pent & (lead == I_AXES_DIGIT)
         for rr in range(1, res + 1):
             if rr % 2 == 1:  # Class III
                 i, j, k = 3 * i + j, 3 * j + k, i + 3 * k
             else:
                 i, j, k = 3 * i + k, i + 3 * j, j + 3 * k
             d = (sub >> (3 * (MAX_RES - rr))) & 0x7
+            d = np.where(pre_cw, cw1[d], d)
             i = i + unit_i[d]
             j = j + unit_j[d]
             k = k + unit_k[d]
@@ -1696,14 +1736,32 @@ def cell_to_latlng_np(cells):
         max_dim = 2 * 7 ** (adj // 2)
         scale = 7 ** (adj // 2)
         had_over = np.zeros(len(idx), dtype=bool)
-        for _ in range(4):
+        for hop in range(4):
             over = (i + j + k) > max_dim
             if not over.any():
                 break
-            had_over |= over
             quad = np.where(
                 k > 0, np.where(j > 0, 3, 2), 1
             )  # JK / KI / IJ
+            if hop == 0:
+                # pentagon deleted-subsequence fold: a leading-4 cell
+                # overflowing into the KI quadrant first rotates cw
+                # around the face corner (origin-translated) — first
+                # adjustment only, matching the scalar reference
+                p4 = over & pent_l4 & (quad == 2)
+                if p4.any():
+                    ti = i - max_dim
+                    ri2 = ti + j
+                    rj2 = j + k
+                    rk2 = ti + k
+                    m2 = np.minimum(np.minimum(ri2, rj2), rk2)
+                    ri2, rj2, rk2 = ri2 - m2 + max_dim, rj2 - m2, rk2 - m2
+                    m2 = np.minimum(np.minimum(ri2, rj2), rk2)
+                    ri2, rj2, rk2 = ri2 - m2, rj2 - m2, rk2 - m2
+                    i = np.where(p4, ri2, i)
+                    j = np.where(p4, rj2, j)
+                    k = np.where(p4, rk2, k)
+            had_over |= over
             nf = nface_t[face, quad]
             rot = ccw_t[face, quad]
             ti = tri_t[face, quad, 0] * scale
@@ -1783,9 +1841,4 @@ def cell_to_latlng_np(cells):
                 la, lo = cell_to_latlng(int(cells[pos]))
                 lats[pos] = la
                 lngs[pos] = lo
-    if scalar_mask.any():
-        for pos in np.nonzero(scalar_mask)[0]:
-            la, lo = cell_to_latlng(int(cells[pos]))
-            lats[pos] = la
-            lngs[pos] = lo
     return lats, lngs
