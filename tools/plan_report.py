@@ -80,7 +80,8 @@ def main() -> None:
               f"sortmerge={plan.count('SortMergeJoin')} "
               f"nestedloop={plan.count('BroadcastNestedLoopJoin')}")
         print(f"   hashagg={plan.count('HashAggregate')} "
-              f"python-eval={plan.count('BatchEvalPython') + plan.count('ArrowEvalPython')} "
+              f"python-eval={plan.count('BatchEvalPython')} "
+              f"arrow-eval={plan.count('ArrowEvalPython')} "
               f"pandas={plan.count('FlatMapGroupsInPandas') + plan.count('MapInPandas')}")
         if pushed:
             print(f"   example pushdown: {pushed[0][:120]}")
