@@ -55,6 +55,7 @@ _PRIORITY = [
     "corpus_dsir_weights",
     "streaming_stateful_accumulator",
     "geo_polyfill_hex",
+    "pipeline_hex_ingest_query",
     # tier 2 — oldest driver-green first (last green r1/r2/r3)
     "pipeline_traversal",
     "pipeline_traversal_prefiltered",
@@ -90,7 +91,6 @@ _PRIORITY = [
     "q6_forecast_revenue",
     "q4_order_priority",
     "q18_large_orders",
-    "q7_nation_trade_volume",
 ]
 
 

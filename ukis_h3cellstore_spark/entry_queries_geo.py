@@ -1103,6 +1103,73 @@ GROUP BY c.cell
 """
 
 
+
+
+def q_pipeline_hex_ingest_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Flagship on the REAL grid: the reference's end-to-end flow —
+    geocode points (vectorized geoToH3 at res 5) → insert into a
+    Sum-rollup tableset pyramid (Q1: compact/split/rollup/publish) →
+    AOI query at res 2 with the cover computed by driver-side polyfill
+    (Q2 client shape, traversal.rs:131-162). The oracle re-derives the
+    whole relational side — res-2 parents via its own int64 bit math
+    over the vendored leaf geocodes, AOI membership against the
+    vendored cover, and the Sum rollup from raw event values — so
+    everything but the leaf geocode is cross-engine."""
+    from ukis_h3cellstore_spark import CompactedTableSchemaBuilder
+    from ukis_h3cellstore_spark.entry_queries import _cents, _pipeline_store
+    from ukis_h3cellstore_spark.functions import register_h3_sql_functions
+
+    register_h3_sql_functions(spark)
+    _events(spark, sf_dir).createOrReplaceTempView("__geo_events_pipe")
+    lng = _synth_lng_sql("event_id")
+    lat = _synth_lat_sql("event_id")
+    df = spark.sql(
+        f"""
+        SELECT geoToH3({lat}, {lng}, 5) AS h3index,
+               CAST(round(value * 100) AS BIGINT) AS value_cents
+        FROM __geo_events_pipe WHERE event_id < 200
+        """
+    )
+    schema = (
+        CompactedTableSchemaBuilder("hex_ingest")
+        .h3_base_resolutions([2, 5])
+        .add_h3index_column()
+        .add_aggregated_column("value_cents", "UInt64", "Sum")
+        .build()
+    )
+    store = _pipeline_store(spark)
+    store.insert_h3dataframe_into_tableset(schema, df)
+    cover = geo.polygon_to_cells(TRIANGLE_POLY["coordinates"], 2, geo.H3Grid())
+    out = store.query_tableset_cells("hex_ingest", cover, 2)
+    return out.df.select("h3index", "value_cents")
+
+
+def _q_pipeline_hex_ingest_query_sql() -> str:
+    res_clear = ~(0xF << 52)
+    trailing = (1 << (3 * (15 - 2))) - 1
+    return f"""
+WITH leaf AS (
+  SELECT v.event_id, v.h3index
+  FROM (VALUES
+  {_HEX_VECTORS}
+  ) AS v(event_id, h3index)
+),
+pts AS (
+  SELECT (l.h3index & {res_clear}) | (2::BIGINT << 52) | {trailing} AS cell2,
+         CAST(round(e.value * 100) AS BIGINT) AS value_cents
+  FROM leaf l JOIN events e ON e.event_id = l.event_id
+),
+cover AS (SELECT * FROM (VALUES
+  {_HEX_COVER_VALUES}
+) AS t(cell))
+SELECT p.cell2 AS h3index,
+       CAST(SUM(p.value_cents) AS BIGINT) AS value_cents
+FROM pts p
+WHERE p.cell2 IN (SELECT cell FROM cover)
+GROUP BY 1
+"""
+
+
 QUERIES_GEO: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "geo_grid_disk": q_geo_grid_disk,
     "geo_polyfill_traversal": q_geo_polyfill_traversal,
@@ -1112,6 +1179,7 @@ QUERIES_GEO: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "geo_cell_centers_hex": q_geo_cell_centers_hex,
     "events_hex_parent_rollup": q_events_hex_parent_rollup,
     "geo_polyfill_hex": q_geo_polyfill_hex,
+    "pipeline_hex_ingest_query": q_pipeline_hex_ingest_query,
 }
 
 ORACLES_GEO: dict[str, str] = {
@@ -1123,4 +1191,5 @@ ORACLES_GEO: dict[str, str] = {
     "geo_cell_centers_hex": _q_geo_cell_centers_hex_sql(),
     "events_hex_parent_rollup": _q_events_hex_parent_rollup_sql(),
     "geo_polyfill_hex": _q_geo_polyfill_hex_sql(),
+    "pipeline_hex_ingest_query": _q_pipeline_hex_ingest_query_sql(),
 }
