@@ -113,3 +113,27 @@ def test_is_valid_full_digit_and_pentagon_rules(fspark):
     row = fspark.sql(f"SELECT {exprs}").collect()[0]
     for i, cell in enumerate(cases):
         assert row[f"c{i}"] == h3c.is_valid_cell(cell), hex(cell)
+
+
+def test_h3_k_ring_sql_function(spark):
+    from ukis_h3cellstore_spark.functions import register_h3_sql_functions
+
+    register_h3_sql_functions(spark)
+    rows = spark.sql(
+        """
+        SELECT size(h3kRing(603108745894952959, 1)) AS n1,
+               size(h3kRing(603108745894952959, 2)) AS n2,
+               array_contains(h3kRing(603108745894952959, 1),
+                              603108745894952959) AS has_center
+        """
+    ).collect()[0]
+    assert rows.n1 == 7 and rows.n2 == 19 and rows.has_center
+    # explode route (the arrayJoin substitute documented for templates)
+    n = spark.sql(
+        """
+        SELECT explode(ring) FROM (
+          SELECT h3kRing(603108745894952959, 2) AS ring
+        )
+        """
+    ).count()
+    assert n == 19

@@ -21,8 +21,8 @@ driver-side ints and ``h3/expressions.py`` for Column expressions.
 
 Supported-function subset for templates (documented per SURVEY §7.4.8):
 ``h3GetResolution h3GetBaseCell h3ToParent h3ToChildren h3IsValid
-h3IsPentagon max2 modulo geoToH3 h3ToGeo`` plus everything in Spark
-SQL's own library (``if``,
+h3IsPentagon max2 modulo geoToH3 h3ToGeo h3kRing`` plus everything in
+Spark SQL's own library (``if``,
 ``greatest``, ``year``, ``month``, ``floor``, ``ceil``, ...).
 ClickHouse's ``arrayJoin(x)`` must be written as ``explode(x)``, and
 because Spark disallows SQL UDFs directly under a generator, the array
@@ -142,15 +142,59 @@ def register_h3_sql_functions(spark: SparkSession, grid=None) -> list[str]:
     functions on this session. Returns the registered names.
 
     ``grid`` (a :class:`ukis_h3cellstore_spark.geo.GridSystem`) backs
-    ``geoToH3``; when omitted, each executor resolves the default grid
-    itself (requires the ``h3`` package on the executors)."""
+    the geometry functions (``geoToH3``/``h3ToGeo``/``h3kRing``); when
+    omitted they run on the real hexagonal grid via the vectorized
+    pure-Python core — no native package needed anywhere."""
     names = []
     for name, body in _SQL_FUNCTIONS.items():
         spark.sql(f"CREATE OR REPLACE TEMPORARY FUNCTION {name} {body}")
         names.append(name)
     names.append(_register_geo_to_h3(spark, grid))
     names.append(_register_h3_to_geo(spark, grid))
+    names.append(_register_h3_k_ring(spark, grid))
     return names
+
+
+def _register_h3_k_ring(spark: SparkSession, grid=None) -> str:
+    """``h3kRing(cell, k)`` — the grid disk as ``array<bigint>``
+    (ClickHouse's h3kRing shape; pair with ``explode`` since Spark
+    has no ``arrayJoin``). Disk walking is inherently per-cell
+    iterative, so this is an Arrow-batched UDF with a per-batch
+    memo — CH templates use it for small-k buffering of bounded cell
+    lists, not corpus-wide scans (use the driver-side
+    ``geo.grid_disk`` + broadcast joins for those)."""
+    from pyspark.sql.types import ArrayType, LongType
+
+    from ukis_h3cellstore_spark import geo
+
+    g_backend = grid
+
+    if g_backend is None or isinstance(g_backend, geo.H3Grid):
+        global pd
+        import pandas as pd
+        from pyspark.sql.functions import pandas_udf
+
+        @pandas_udf(ArrayType(LongType()))
+        def h3_k_ring(cell: pd.Series, k: pd.Series) -> pd.Series:
+            from ukis_h3cellstore_spark.h3 import icosa
+
+            memo: dict = {}
+            out = []
+            for c, kk in zip(cell, k):
+                key = (int(c), int(kk))
+                if key not in memo:
+                    memo[key] = icosa.grid_disk(int(c), int(kk))
+                out.append(memo[key])
+            return pd.Series(out)
+
+        spark.udf.register("h3kRing", h3_k_ring)
+        return "h3kRing"
+
+    def h3_k_ring_rowwise(cell: int, k: int):
+        return g_backend.grid_disk(int(cell), int(k))
+
+    spark.udf.register("h3kRing", h3_k_ring_rowwise, ArrayType(LongType()))
+    return "h3kRing"
 
 
 def _register_h3_to_geo(spark: SparkSession, grid=None) -> str:
