@@ -61,3 +61,24 @@ def test_raster_rejects_bad_input(spark):
     with pytest.raises(ValueError):
         # det == 0
         cells_to_raster(None, (1, 0, 0, 1, 0, 0), (4, 4), grid=geo.SquareGrid())
+
+
+def test_raster_real_hex_grid_roundtrip(spark, mask):
+    """The reference's tier-3 oracle on the REAL hexagonal grid: ingest
+    the mask through H3Grid (pure-Python icosa core), re-rasterize,
+    and assert <0.5 % of source pixels lost (test_raster.py:80-82
+    parity) — res-7 hexagons (~1.2 km edge) are much finer than the
+    ~18 km pixels."""
+    grid = geo.H3Grid()
+    df = raster_to_dataframe(
+        spark, mask, TRANSFORM, 7, nodata_value=0, grid=grid, band_rows=16
+    )
+    rows = df.count()
+    n_px = int((mask != 0).sum())
+    assert rows >= n_px  # finer cells: at least one per pixel region
+    back = cells_to_raster(df, TRANSFORM, mask.shape, grid=grid)
+    src_set = mask != 0
+    lost = int((src_set & (back == 0)).sum())
+    assert lost / n_px < 0.005
+    # classes survive: the two distinct values map back
+    assert set(np.unique(back[back != 0])) == {3, 7}

@@ -23,7 +23,7 @@ Only three data tables are transcribed from the public H3 spec:
 Every other table the C library hard-codes is **derived at import**
 from those three plus the projection math itself:
 
-- ``_FACE_IJK_BASE_CELLS`` (face slot → base cell): each res-0 lattice
+- ``_FACE_SLOT_OWNER`` (face slot → base cell): each res-0 lattice
   point on a face coincides exactly with some base cell's center, so
   the slot owner is found by nearest-center matching in 3D. Because
   there are exactly 122 base cells and 122 distinct res-0 lattice
