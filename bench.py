@@ -58,6 +58,7 @@ HEADLINE = [
     "dedup_semantic",
     "streaming_tableset_ingest",
     "geo_latlng_to_cell_hex",
+    "ann_ivfpq_search_only",
 ]
 
 #: bench-only implementations: same operator, scale-path configuration
@@ -69,9 +70,12 @@ def _bench_variants():
         q_semantic_dedup_bench,
     )
 
+    from ukis_h3cellstore_spark.entry_queries_ops import q_ann_ivfpq_search_only
+
     return {
         "ann_ivfpq_top3": q_ann_ivfpq_top3_bench,
         "dedup_semantic": q_semantic_dedup_bench,
+        "ann_ivfpq_search_only": q_ann_ivfpq_search_only,
     }
 
 

@@ -1258,3 +1258,19 @@ def test_dsir_weights_no_python_and_broadcast_ratios(spark):
     )
     assert "BatchEvalPython" not in plan
     assert "BroadcastExchange" in plan
+
+
+def test_ivfpq_build_search_matches_topk(vecs):
+    one_shot = S.ivfpq_topk(
+        vecs, vecs.filter(F.col("vec_id") < 2), k=2,
+        n_coarse=2, nprobe=2, m=3, n_centroids=2, dims=3,
+    ).toPandas().sort_values(["query_id", "rank"]).reset_index(drop=True)
+    index = S.ivfpq_build(
+        vecs, n_coarse=2, m=3, n_centroids=2, dims=3, materialize=True
+    )
+    # repeated searches against the same materialized index
+    for _ in range(2):
+        split = S.ivfpq_search(
+            index, vecs.filter(F.col("vec_id") < 2), k=2, nprobe=2
+        ).toPandas().sort_values(["query_id", "rank"]).reset_index(drop=True)
+        assert split.equals(one_shot)

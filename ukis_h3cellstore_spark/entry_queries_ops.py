@@ -718,6 +718,35 @@ def q_ann_ivfpq_top3_bench(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+
+_IVFPQ_INDEX_CACHE: dict = {}
+
+
+def q_ann_ivfpq_search_only(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bench-only: IVF-PQ SEARCH against a prebuilt, eagerly
+    materialized index (ivfpq_build(materialize=True), cached across
+    calls) — the amortized production regime where the index is built
+    once and queried continuously. The first bench iteration pays the
+    build; min-of-3 reports steady-state search. Not registered in
+    ``queries()``/``oracle_sql()``."""
+    key = (sf_dir, id(spark))
+    if key not in _IVFPQ_INDEX_CACHE:
+        _IVFPQ_INDEX_CACHE.clear()
+        _IVFPQ_INDEX_CACHE[key] = S.ivfpq_build(
+            _embs(spark, sf_dir),
+            n_coarse=_IVFPQ_COARSE,
+            m=_PQ_M,
+            n_centroids=_IVFPQ_K,
+            dims=_PQ_M * _PQ_DSUB,
+            train_iters=_PQ_ITERS,
+            materialize=True,
+        )
+    queries = _embs(spark, sf_dir).filter(F.col("vec_id") < 5)
+    return S.ivfpq_search(
+        _IVFPQ_INDEX_CACHE[key], queries, k=3, nprobe=_IVFPQ_NPROBE
+    )
+
+
 def _q_ann_ivfpq_top3_sql() -> str:
     """Replicates ivfpq_topk(exact_mean): coarse Lloyd's on full
     vectors, residuals vs the winning list centroid, the PQ chain on

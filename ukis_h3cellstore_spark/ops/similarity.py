@@ -763,12 +763,9 @@ def l2_topk(
     )
 
 
-def ivfpq_topk(
+def ivfpq_build(
     corpus: DataFrame,
-    queries: DataFrame,
-    k: int = 1,
     n_coarse: int = 8,
-    nprobe: int = 2,
     m: int = 4,
     n_centroids: int = 16,
     dims: int | None = None,
@@ -776,25 +773,16 @@ def ivfpq_topk(
     vec_col: str = "embedding",
     train_iters: int = 2,
     exact_mean: bool = False,
-    round_digits: int = 4,
-) -> DataFrame:
-    """IVF-PQ: the production billion-vector composition (FAISS's
-    default shape) — an L2 coarse quantizer partitions the corpus into
-    ``n_coarse`` inverted lists, PQ codebooks are trained on the
-    RESIDUALS (vector − list centroid, which are much better
-    clustered than raw vectors, recovering PQ accuracy), and each
-    query probes its ``nprobe`` nearest lists with asymmetric-distance
-    scoring against its own per-list residual.
-
-    Returns (query_id, neighbor_id, adc_d2, rank), rank 1 ≈ nearest.
-
-    Scale shape: corpus touched exactly twice at full vector width
-    (coarse assignment, residual+encode — both broadcast joins against
-    centroid tables); afterwards only (id, list, m codes) rows exist.
-    The query-side tables (probe lists, residual distance tables —
-    n_queries × nprobe × m × n_centroids rows) broadcast; scoring is
-    a broadcast-hash join + partial-agg sum restricted to probed
-    lists, so each scored corpus vector costs m lookups."""
+    materialize: bool = False,
+) -> dict:
+    """Build the IVF-PQ index artifacts once: coarse centroids, the
+    residual-trained PQ codebooks, and the inverted code lists —
+    FAISS's train/add phase. Returns a dict of DataFrames
+    (``coarse``, ``books``, ``inv``) plus the geometry params;
+    :func:`ivfpq_search` consumes it. ``materialize=True`` eagerly
+    checkpoints the artifacts so repeated searches pay ZERO training
+    cost — the production shape: the corpus is touched twice at full
+    vector width here and never again."""
     if dims is None:
         dims = len(corpus.select(vec_col).first()[0])
     coarse = kmeans_fit(
@@ -806,32 +794,6 @@ def ivfpq_topk(
         exact_mean=exact_mean,
         metric="l2",
     ).select(F.col("centroid_id").alias("list_id"), F.col("c_vec").alias("l_vec"))
-
-    def nearest_lists(df: DataFrame, out_id: str, n: int) -> DataFrame:
-        """(id, vec, list_id, l_vec) — each vector's n nearest coarse
-        lists (n=1: a min_by hash-agg, no window; n>1: window over the
-        small id×n_coarse cross product)."""
-        crossed = (
-            df.select(F.col(id_col).alias(out_id), F.col(vec_col).alias("__v"))
-            .crossJoin(F.broadcast(coarse))
-            .withColumn("__d2", l2_sq(F.col("__v"), F.col("l_vec")))
-        )
-        if n == 1:
-            return crossed.groupBy(out_id).agg(
-                F.min_by(
-                    F.struct("list_id", "l_vec", "__v"),
-                    F.struct(F.col("__d2"), F.col("list_id")),
-                ).alias("s")
-            ).select(out_id, "s.list_id", "s.l_vec", F.col("s.__v").alias("__v"))
-        w = Window.partitionBy(out_id).orderBy(
-            F.col("__d2").asc(), F.col("list_id").asc()
-        )
-        return (
-            crossed.withColumn("__r", F.row_number().over(w))
-            .filter(F.col("__r") <= n)
-            .select(out_id, "list_id", "l_vec", "__v")
-        )
-
     residual = F.zip_with(
         F.col("__v"), F.col("l_vec"), lambda x, y: x.cast("double") - y.cast("double")
     )
@@ -841,7 +803,7 @@ def ivfpq_topk(
     # width corpus × centroids cross join (measured 6 recomputes,
     # ~4× the whole query's cost at sf0.1)
     c_res = (
-        nearest_lists(corpus, id_col, 1)
+        _nearest_coarse_lists(corpus, coarse, id_col, id_col, vec_col, 1)
         .select(F.col(id_col), F.col("list_id"), residual.alias(vec_col))
         .localCheckpoint(eager=False)
     )
@@ -855,9 +817,75 @@ def ivfpq_topk(
         F.col(id_col).alias("neighbor_id"), "list_id",
         F.posexplode("codes").alias("subspace", "code"),
     )
-    q_res = nearest_lists(queries, "query_id", nprobe).select(
-        "query_id", "list_id", residual.alias(vec_col)
+    if materialize:
+        books = books.localCheckpoint(eager=True)
+        inv = inv.localCheckpoint(eager=True)
+    return {
+        "coarse": coarse,
+        "books": books,
+        "inv": inv,
+        "m": m,
+        "dims": dims,
+        "id_col": id_col,
+        "vec_col": vec_col,
+    }
+
+
+def _nearest_coarse_lists(
+    df: DataFrame, coarse: DataFrame, id_col: str, out_id: str,
+    vec_col: str, n: int,
+) -> DataFrame:
+    """(id, vec, list_id, l_vec) — each vector's n nearest coarse
+    lists (n=1: a min_by hash-agg, no window; n>1: window over the
+    small id×n_coarse cross product)."""
+    crossed = (
+        df.select(F.col(id_col).alias(out_id), F.col(vec_col).alias("__v"))
+        .crossJoin(F.broadcast(coarse))
+        .withColumn("__d2", l2_sq(F.col("__v"), F.col("l_vec")))
     )
+    if n == 1:
+        return crossed.groupBy(out_id).agg(
+            F.min_by(
+                F.struct("list_id", "l_vec", "__v"),
+                F.struct(F.col("__d2"), F.col("list_id")),
+            ).alias("s")
+        ).select(out_id, "s.list_id", "s.l_vec", F.col("s.__v").alias("__v"))
+    w = Window.partitionBy(out_id).orderBy(
+        F.col("__d2").asc(), F.col("list_id").asc()
+    )
+    return (
+        crossed.withColumn("__r", F.row_number().over(w))
+        .filter(F.col("__r") <= n)
+        .select(out_id, "list_id", "l_vec", "__v")
+    )
+
+
+def ivfpq_search(
+    index: dict,
+    queries: DataFrame,
+    k: int = 1,
+    nprobe: int = 2,
+    round_digits: int = 4,
+) -> DataFrame:
+    """Search a prebuilt IVF-PQ index (:func:`ivfpq_build`): each
+    query probes its ``nprobe`` nearest lists with asymmetric-distance
+    scoring against its own per-list residual. Returns
+    (query_id, neighbor_id, adc_d2, rank), rank 1 ≈ nearest. The
+    query-side tables broadcast; the inverted lists are never
+    re-derived — repeated searches amortize the build."""
+    coarse = index["coarse"]
+    books = index["books"]
+    inv = index["inv"]
+    m = index["m"]
+    dims = index["dims"]
+    id_col = index["id_col"]
+    vec_col = index["vec_col"]
+    residual = F.zip_with(
+        F.col("__v"), F.col("l_vec"), lambda x, y: x.cast("double") - y.cast("double")
+    )
+    q_res = _nearest_coarse_lists(
+        queries, coarse, id_col, "query_id", vec_col, nprobe
+    ).select("query_id", "list_id", residual.alias(vec_col))
     # per (query, probed list, subspace, centroid) residual distances;
     # the (query, list) pair is the row identity — a query has nprobe
     # DIFFERENT residuals, one per probed list
@@ -894,6 +922,54 @@ def ivfpq_topk(
         .filter(F.col("rank") <= k)
         .select("query_id", "neighbor_id", "adc_d2", "rank")
     )
+
+
+def ivfpq_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 1,
+    n_coarse: int = 8,
+    nprobe: int = 2,
+    m: int = 4,
+    n_centroids: int = 16,
+    dims: int | None = None,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    train_iters: int = 2,
+    exact_mean: bool = False,
+    round_digits: int = 4,
+) -> DataFrame:
+    """IVF-PQ: the production billion-vector composition (FAISS's
+    default shape) — an L2 coarse quantizer partitions the corpus into
+    ``n_coarse`` inverted lists, PQ codebooks are trained on the
+    RESIDUALS (vector − list centroid, which are much better
+    clustered than raw vectors, recovering PQ accuracy), and each
+    query probes its ``nprobe`` nearest lists with asymmetric-distance
+    scoring against its own per-list residual. One-shot composition of
+    :func:`ivfpq_build` + :func:`ivfpq_search`; amortized callers
+    build once with ``materialize=True`` and search many times.
+
+    Returns (query_id, neighbor_id, adc_d2, rank), rank 1 ≈ nearest.
+
+    Scale shape: corpus touched exactly twice at full vector width
+    (coarse assignment, residual+encode — both broadcast joins against
+    centroid tables); afterwards only (id, list, m codes) rows exist.
+    The query-side tables (probe lists, residual distance tables —
+    n_queries × nprobe × m × n_centroids rows) broadcast; scoring is
+    a broadcast-hash join + partial-agg sum restricted to probed
+    lists, so each scored corpus vector costs m lookups."""
+    index = ivfpq_build(
+        corpus,
+        n_coarse=n_coarse,
+        m=m,
+        n_centroids=n_centroids,
+        dims=dims,
+        id_col=id_col,
+        vec_col=vec_col,
+        train_iters=train_iters,
+        exact_mean=exact_mean,
+    )
+    return ivfpq_search(index, queries, k=k, nprobe=nprobe, round_digits=round_digits)
 
 
 # ------------------------------------------------------- SQ8 quantization
