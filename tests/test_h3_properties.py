@@ -91,3 +91,58 @@ def test_center_child_roundtrip(cell):
         cc = h3c.cell_to_center_child(cell, res + 1)
         assert h3c.cell_to_parent(cc, res) == cell
         assert h3c.get_resolution(cc) == res + 1
+
+
+# ------------------------------------------------ geometry properties
+
+
+@given(valid_cells())
+@settings(max_examples=150, deadline=None)
+def test_geometry_roundtrip_any_cell(cell):
+    """forward(inverse(cell)) == cell for arbitrary generated cells —
+    the geometry layer must agree with the bit layer everywhere,
+    including pentagon bases and face-overage regions."""
+    from ukis_h3cellstore_spark.h3 import icosa
+
+    lat, lng = icosa.cell_to_latlng(cell)
+    assert -90.0 <= lat <= 90.0 and -180.0 <= lng <= 180.0
+    assert icosa.latlng_to_cell(lat, lng, h3c.get_resolution(cell)) == cell
+
+
+@given(
+    lat=st.floats(min_value=-89.9, max_value=89.9),
+    lng=st.floats(min_value=-180.0, max_value=180.0),
+    res=st.integers(min_value=0, max_value=15),
+)
+@settings(max_examples=150, deadline=None)
+def test_vectorized_forward_equals_scalar(lat, lng, res):
+    import numpy as np
+
+    from ukis_h3cellstore_spark.h3 import icosa
+
+    vec = icosa.latlng_to_cell_np(np.array([lat]), np.array([lng]), res)
+    assert int(vec[0]) == icosa.latlng_to_cell(lat, lng, res)
+
+
+@given(valid_cells())
+@settings(max_examples=100, deadline=None)
+def test_vectorized_inverse_equals_scalar(cell):
+    import numpy as np
+
+    from ukis_h3cellstore_spark.h3 import icosa
+
+    vlat, vlng = icosa.cell_to_latlng_np(np.array([cell], dtype=np.int64))
+    slat, slng = icosa.cell_to_latlng(cell)
+    assert abs(vlat[0] - slat) < 1e-12 and abs(vlng[0] - slng) < 1e-12
+
+
+@given(valid_cells())
+@settings(max_examples=60, deadline=None)
+def test_neighbors_are_symmetric_and_complete(cell):
+    from ukis_h3cellstore_spark.h3 import icosa
+
+    nbs = icosa.cell_neighbors(cell)
+    expect = 5 if h3c.is_pentagon(cell) else 6
+    assert len(nbs) == expect and len(set(nbs)) == expect
+    for nb in nbs:
+        assert cell in icosa.cell_neighbors(nb)
