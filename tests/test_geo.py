@@ -121,3 +121,19 @@ def test_point_in_polygon_with_hole():
     assert geo.point_in_polygon(2, 2, rings)
     assert not geo.point_in_polygon(5, 5, rings)  # inside the hole
     assert not geo.point_in_polygon(11, 5, rings)
+
+
+def test_vendored_hex_cover_matches_live_polyfill():
+    """Change detector: the vendored AOI cover in the real-hex gates
+    must match the live driver-side polyfill (polyfill + ring union)."""
+    from ukis_h3cellstore_spark.entry_queries_geo import (
+        _HEX_COVER_VALUES,
+        TRIANGLE_POLY,
+    )
+
+    vendored = sorted(
+        int(row.strip().strip("(),"))
+        for row in _HEX_COVER_VALUES.strip().split("\n")
+    )
+    live = geo.polygon_to_cells(TRIANGLE_POLY["coordinates"], 2, geo.H3Grid())
+    assert vendored == sorted(live)
