@@ -3,11 +3,20 @@ cells ("polyfill" + exterior-ring union, reference traversal.rs:131-162)
 feeding a distributed AOI membership + per-tile rollup, and
 border_cells (reference geom/border_cells.rs:15-101).
 
-These run on the :class:`~ukis_h3cellstore_spark.geo.SquareGrid`
-backend (the ``h3`` wheel is absent in this container). What makes
-them a REAL correctness gate rather than a self-comparison: the
-DuckDB oracles re-implement the entire geometry pipeline
-independently in SQL —
+Two gate families with complementary oracle strategies:
+
+1. The `geo_*` lattice gates run on the
+   :class:`~ukis_h3cellstore_spark.geo.SquareGrid` backend, where the
+   DuckDB oracles re-implement the ENTIRE geometry pipeline
+   independently in SQL (fully cross-engine);
+2. the `*_hex` gates run on the REAL hexagonal grid (pure-Python
+   icosa core): the leaf geocodes are vendored (anchored separately
+   to public spec vectors in tests/test_h3_public_vectors.py), while
+   hierarchy rollups, AOI membership, and the pyramid aggregation are
+   re-derived cross-engine in DuckDB's own int64 bit arithmetic.
+
+What makes the lattice family a REAL correctness gate rather than a
+self-comparison: the oracles re-implement the geometry relationally —
 
 - the bbox scan + even-odd point-in-polygon polyfill is a
   ``generate_series`` cross product with the crossing-parity test
