@@ -11,9 +11,8 @@ registry entries each round, so the dicts are merged through an
 explicit priority list — queries that have never earned a green
 CORRECTNESS row come first, then the ones whose last green row is
 oldest, then the most-recently-verified set. Rotate `_PRIORITY` each
-round as rows come in (r5 samples the 9 last never-sampled gates
-plus the oldest-green r1/r2/r3 set; the r4-verified 50 sit behind
-them and rotate back in r6).
+round as rows come in (after r5, every gate has at least one driver
+row; r6 samples the oldest-green r3 set plus the head of the r4 set).
 """
 
 from __future__ import annotations
@@ -22,75 +21,65 @@ from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
 
-# First-50 sampling priority for round 5: the 15 gates that have
-# never earned a driver CORRECTNESS row (9 r4-late additions + the 6
-# new round-5 gates), then the gates whose last driver-green row is
-# oldest (r1 pipeline/raster set, the r2 dedup/ann/corpus set, then
-# the r3 TPC-H head). After r5 records green rows for the head, every
-# pre-r5 gate will have been driver-verified at least once.
-# ROUND-6 ROTATION (do this first in r6): run
-#   python tools/rotation.py --python
-# which recomputes the order mechanically — never-sampled first, then
-# oldest-green (max round across CORRECTNESS_r0*.json, ties by
-# registry order) — sweep the head locally, and paste it here. Splice
-# gates ADDED mid-round straight into the head so they earn a driver
-# row the same round.
+# ROUND-6 ROTATION (computed by `python tools/rotation.py --python`):
+# no gate remains never-driver-sampled, so the head is the 50 whose
+# last green driver row is oldest — the r3-verified TPC-H / events /
+# h3 / pipeline / text set, then the first six r4-verified gates.
+# Splice gates ADDED mid-round straight into the head so they earn a
+# driver row the same round.
 _PRIORITY = [
-    # tier 1 — the 9 gates never driver-sampled (r4-late additions;
-    # all green in CORRECTNESS_LOCAL_r04{,_sf0.1}.json)
-    "q11_important_suppliers",
-    "q20_dominant_suppliers",
-    "pipeline_join_tablesets",
-    "source_zordered_scan",
-    "events_window_ntile",
-    "events_grouping_sets",
-    "dedup_semantic",
-    "geo_grid_disk",
-    "streaming_tableset_ingest",
-    # tier 1b — the round-5 real-hex additions (never sampled; green
-    # in the r5 local sweeps)
-    "geo_latlng_to_cell_hex",
-    "geo_cell_centers_hex",
-    "events_hex_parent_rollup",
-    "corpus_dsir_weights",
-    "streaming_stateful_accumulator",
-    "geo_polyfill_hex",
-    "pipeline_hex_ingest_query",
-    # tier 2 — oldest driver-green first (last green r1/r2/r3)
-    "pipeline_traversal",
-    "pipeline_traversal_prefiltered",
-    "pipeline_traverse_apply",
-    "pipeline_tableset_stats",
-    "raster_ingest",
-    "streaming_windowed_rollup",
-    "dedup_ngram_jaccard",
-    "dedup_minhash_signatures",
-    "dedup_minhash_lsh_pairs",
-    "dedup_simhash",
-    "dedup_simhash_groups",
-    "dedup_simhash_hamming",
-    "ann_cosine_top3",
-    "ann_ivf_top3",
-    "ann_lsh_top3",
-    "embedding_dup_pairs",
-    "multimodal_decode_meta",
-    "corpus_curation",
-    "corpus_split_counts",
-    "pack_documents",
-    "packing_stats",
-    "corpus_mixture",
-    "text_scrub_pii",
-    "corpus_training_mix",
-    "dedup_cluster_resolve",
-    "corpus_decontaminate",
-    "text_vocab_top50",
-    "text_repetition",
-    "q1_pricing_summary",
-    "q3_shipping_priority",
-    "q5_region_nation_revenue",
-    "q6_forecast_revenue",
-    "q4_order_priority",
-    "q18_large_orders",
+    # tier 1 — never driver-sampled
+    # tier 2 — oldest driver-green first
+    "q7_nation_trade_volume",
+    "q8_market_share",
+    "q10_returned_customers",
+    "q15_top_suppliers",
+    "q19_bracket_revenue",
+    "q13_order_count_distribution",
+    "q14_promo_revenue_share",
+    "q16_supplier_part_counts",
+    "q17_small_quantity_revenue",
+    "q22_idle_rich_customers",
+    "events_hourly_window",
+    "events_sessionize",
+    "events_asof_join",
+    "events_asof_forward",
+    "events_percentiles",
+    "events_cube_counts",
+    "events_range_join",
+    "events_salted_join",
+    "events_cohort_retention",
+    "events_funnel",
+    "events_daily_moving_avg",
+    "events_latest_per_user",
+    "events_rollup_counts",
+    "events_pivot_daily",
+    "events_unpivot_daily",
+    "events_day_set_ops",
+    "events_json_props",
+    "h3_synth_fields",
+    "h3_parent_agg_sum",
+    "h3_minmax_avg",
+    "h3_setnull_on_conflict",
+    "h3_relative_cell_area",
+    "h3_children_explode",
+    "h3_compact",
+    "h3_cell_membership",
+    "h3_hierarchy_semijoin",
+    "resolution_split_counts",
+    "pipeline_sum_rollup",
+    "pipeline_compact_roundtrip",
+    "text_stats",
+    "text_langid",
+    "text_token_counts",
+    "text_fingerprint",
+    "dedup_exact",
+    "q12_late_shipment_priority",
+    "q9_profit_by_nation_year",
+    "q21_blocking_suppliers",
+    "q2_cheapest_supplier",
+    "lineitem_percentiles",
+    "events_value_moments",
 ]
 
 
