@@ -1209,6 +1209,29 @@ def test_semantic_dedup_max_cluster_size_cap_and_report(spark):
     assert not stats.drop(index=hot).dropped.any()
 
 
+def test_semantic_dedup_matrix_kernel_equals_join_path(spark):
+    """The Arrow Gram-matrix pairwise kernel (default) must produce
+    exactly the expression self-join's verdicts — same clusters, same
+    kept flags — on a corpus wide enough to exercise multi-member
+    clusters, singletons, and a max_cluster_size cap."""
+    rows = [
+        (i, [float((i * 7 + d * 3) % 11 - 5) for d in range(6)])
+        for i in range(60)
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    for cap in (None, 10):
+        kw = dict(
+            n_clusters=4,
+            threshold=0.8,
+            train_iters=2,
+            exact_mean=True,
+            max_cluster_size=cap,
+        )
+        m = S.semantic_dedup(df, pairwise="matrix", **kw).orderBy("vec_id")
+        j = S.semantic_dedup(df, pairwise="join", **kw).orderBy("vec_id")
+        assert m.collect() == j.collect()
+
+
 def test_semantic_dedup_no_python_broadcast_centroids(spark):
     rows = [(i, [float(i % 5), 1.0, float(i % 3)]) for i in range(40)]
     df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
