@@ -28,7 +28,8 @@ from pyspark.sql import DataFrame, SparkSession
 # Splice gates ADDED mid-round straight into the head so they earn a
 # driver row the same round.
 _PRIORITY = [
-    # tier 1 — never driver-sampled
+    # tier 1 — never driver-sampled (round-6 additions)
+    "dedup_substring_spans",
     # tier 2 — oldest driver-green first
     "q7_nation_trade_volume",
     "q8_market_share",

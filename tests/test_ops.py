@@ -894,6 +894,58 @@ def test_containment_detects_excerpt(spark):
     assert not ((jac.id_a == 1) & (jac.id_b == 2)).any()
 
 
+def test_substring_spans_finds_planted_run(spark):
+    """A verbatim 12-token run shared by two documents is chained back
+    from its positional 5-gram matches into one maximal span; short
+    overlaps below min_span and unrelated docs report nothing."""
+    shared = " ".join(f"s{i}" for i in range(12))
+    rows = [
+        (1, "alpha beta " + shared + " gamma delta"),
+        (2, shared + " omega xi nu mu"),
+        # shares only a 6-token run with doc 1 -> below min_span=8
+        (3, "alpha beta s0 s1 s2 s3 zz yy xx ww vv uu"),
+        (4, "totally unrelated words that match nothing at all here"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = D.substring_span_pairs(df, k=5, min_span=8).toPandas()
+    assert len(out) == 1
+    r = out.iloc[0]
+    assert (r.id_a, r.id_b, r.max_span_tokens, r.n_spans) == (1, 2, 12, 1)
+    # dropping the threshold surfaces the 6-token overlap too
+    lo = D.substring_span_pairs(df, k=5, min_span=6).toPandas()
+    assert len(lo) == 2
+    assert set(zip(lo.id_a, lo.id_b)) == {(1, 2), (1, 3)}
+
+
+def test_substring_spans_two_runs_same_pair(spark):
+    """Two disjoint shared runs at different alignment offsets are
+    counted as separate spans; max_span_tokens takes the longer."""
+    run_a = " ".join(f"a{i}" for i in range(10))
+    run_b = " ".join(f"b{i}" for i in range(8))
+    rows = [
+        (1, run_a + " filler1 filler2 " + run_b),
+        (2, run_b + " mid1 mid2 mid3 " + run_a),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = D.substring_span_pairs(df, k=5, min_span=8).toPandas()
+    assert len(out) == 1
+    r = out.iloc[0]
+    assert (r.max_span_tokens, r.n_spans) == (10, 2)
+
+
+def test_substring_spans_hot_gram_cap(spark):
+    """max_shingle_df drops grams above the occurrence cap before the
+    join — a stop-phrase shared by every doc stops producing pairs."""
+    stop = "the quick brown fox jumps over the lazy dog now"
+    rows = [(i, stop) for i in range(1, 5)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    assert D.substring_span_pairs(df, k=5, min_span=8).count() == 6
+    assert (
+        D.substring_span_pairs(df, k=5, min_span=8, max_shingle_df=3).count()
+        == 0
+    )
+
+
 def test_char_entropy_orders_structure(spark):
     rows = [
         (1, "aaaaaaaaaa"),        # zero entropy

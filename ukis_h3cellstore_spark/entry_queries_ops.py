@@ -1851,6 +1851,42 @@ WHERE CAST(n_common AS DOUBLE) / least(n_a, n_b) >= 0.5
 """
 
 
+def q_dedup_substring_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact-substring duplication report (ops/dedup.py:
+    substring_span_pairs): the Lee et al. 2021 verbatim-run shape —
+    positional k-gram inverted index, diagonal chaining via the
+    shuffle-free sorted fold, longest shared token run per pair."""
+    out = D.substring_span_pairs(_docs(spark, sf_dir), k=5, min_span=8)
+    return out.select(
+        "id_a",
+        "id_b",
+        F.col("max_span_tokens").cast("long").alias("max_span_tokens"),
+        F.col("n_spans").cast("long").alias("n_spans"),
+    )
+
+
+Q_DEDUP_SUBSTRING_SPANS_SQL = f"""
+WITH toks AS (SELECT doc_id, {_DUCK_TOKS} AS t FROM documents),
+pos AS (SELECT doc_id, generate_subscripts(t, 1) AS i, t FROM toks),
+g AS (SELECT doc_id, i, array_to_string(list_slice(t, i, i + 4), ' ') AS gram
+      FROM pos WHERE i + 4 <= len(t)),
+m AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, a.i - b.i AS diag, a.i AS pa
+      FROM g a JOIN g b ON a.gram = b.gram AND a.doc_id < b.doc_id),
+isl AS (SELECT id_a, id_b, diag, pa,
+               pa - row_number() OVER (PARTITION BY id_a, id_b, diag
+                                       ORDER BY pa) AS grp
+        FROM m),
+runs AS (SELECT id_a, id_b, diag, COUNT(*) + 4 AS span
+         FROM isl GROUP BY id_a, id_b, diag, grp),
+dspan AS (SELECT id_a, id_b, diag, MAX(span) AS span
+          FROM runs GROUP BY 1, 2, 3)
+SELECT CAST(id_a AS BIGINT) AS id_a, CAST(id_b AS BIGINT) AS id_b,
+       CAST(MAX(span) AS BIGINT) AS max_span_tokens,
+       CAST(COUNT(*) AS BIGINT) AS n_spans
+FROM dspan WHERE span >= 8 GROUP BY 1, 2
+"""
+
+
 def q_text_char_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-language character-entropy report (gibberish/boilerplate
     screen): per-doc Shannon entropy in pure array folds, aggregated."""
@@ -2142,6 +2178,7 @@ QUERIES_OPS: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "ann_pq_top3": q_ann_pq_top3,
     "ann_ivfpq_top3": q_ann_ivfpq_top3,
     "dedup_containment": q_dedup_containment,
+    "dedup_substring_spans": q_dedup_substring_spans,
     "text_char_entropy": q_text_char_entropy,
     "corpus_temperature_mix": q_corpus_temperature_mix,
 }
@@ -2199,6 +2236,7 @@ ORACLES_OPS: dict[str, str] = {
     "ann_pq_top3": _q_ann_pq_top3_sql(),
     "ann_ivfpq_top3": _q_ann_ivfpq_top3_sql(),
     "dedup_containment": Q_DEDUP_CONTAINMENT_SQL,
+    "dedup_substring_spans": Q_DEDUP_SUBSTRING_SPANS_SQL,
     "text_char_entropy": Q_TEXT_CHAR_ENTROPY_SQL,
     "corpus_temperature_mix": _q_corpus_temperature_mix_sql(),
 }

@@ -726,3 +726,117 @@ def containment_pairs(
         ).alias("containment"),
     )
     return out.filter(F.col("containment") >= threshold)
+
+
+def positional_shingle_df(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 5,
+) -> DataFrame:
+    """POSITIONAL k-token shingles: (id, pos, sh) with ``pos`` the
+    1-based token offset and ``sh`` a 60-bit md5-derived hash of the
+    space-joined k-gram. Unlike :func:`shingle_df` repeats are KEPT —
+    positions are the whole point (they let the span finder chain
+    adjacent matches into maximal shared substrings). The token array
+    is staged in its own projection for the same CSE reason
+    (docs/SCALE.md "pitfalls"); the hash keeps the exploded table and
+    the inverted-index shuffle 16 bytes wide instead of k words."""
+    toks_df = df.select(F.col(id_col), tokens(text_col).alias("__toks"))
+    toks = F.col("__toks")
+    n = F.size(toks)
+    grams = F.when(
+        n >= k,
+        F.transform(
+            F.sequence(F.lit(1), n - F.lit(k - 1)),
+            lambda i: F.concat_ws(" ", F.slice(toks, i, k)),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    return toks_df.select(
+        F.col(id_col), F.posexplode(grams).alias("pos0", "gram")
+    ).select(
+        F.col(id_col),
+        (F.col("pos0") + 1).alias("pos"),
+        _hash64(F.col("gram")).alias("sh"),
+    )
+
+
+def substring_span_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 5,
+    min_span: int = 10,
+    max_shingle_df: int | None = None,
+) -> DataFrame:
+    """Exact-substring duplication discovery (the Lee et al. 2021
+    "Deduplicating Training Data Makes Language Models Better" shape,
+    re-expressed relationally): for every document pair that shares a
+    verbatim run of ≥ ``min_span`` consecutive tokens, report
+    (id_a, id_b, max_span_tokens, n_spans) with id_a < id_b —
+    ``max_span_tokens`` the longest shared run and ``n_spans`` the
+    number of distinct alignment offsets carrying a qualifying run.
+
+    Plan (reference suffix arrays are a single-machine construct; the
+    distributed shape is an inverted index + diagonal chaining, the
+    seed-and-extend idiom genomics uses at cluster scale):
+
+    1. positional k-gram hashes — one narrow exploded table,
+       checkpointed once, feeding BOTH join sides.
+    2. inverted-index self-join on the hash (shuffle keyed on gram
+       hash, never O(n²) pairs; ``max_shingle_df`` drops grams whose
+       occurrence count exceeds the cap — the stop-phrase guard).
+    3. a run of L shared tokens appears as L-k+1 consecutive ``pos_a``
+       values at ONE alignment offset ``diag = pos_a - pos_b``:
+       group by (id_a, id_b, diag) and find the longest consecutive
+       run with the shuffle-free sorted-fold (array_sort + aggregate —
+       no window sort; per-group rows are bounded by the shorter
+       document's gram count).
+    4. span = run + k - 1; keep diagonals with span ≥ ``min_span``,
+       then one hash-agg per pair for the max/count.
+    """
+    sh = positional_shingle_df(df, text_col, id_col, k).localCheckpoint(
+        eager=False
+    )
+    if max_shingle_df is not None:
+        hot = sh.groupBy("sh").agg(F.count(F.lit(1)).alias("df"))
+        sh = sh.join(
+            F.broadcast(hot.filter(F.col("df") > max_shingle_df).select("sh")),
+            on="sh",
+            how="left_anti",
+        )
+    a = sh.select(F.col(id_col).alias("id_a"), F.col("pos").alias("pos_a"), "sh")
+    b = sh.select(F.col(id_col).alias("id_b"), F.col("pos").alias("pos_b"), "sh")
+    matches = (
+        a.join(b, on="sh")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select(
+            "id_a", "id_b", (F.col("pos_a") - F.col("pos_b")).alias("diag"), "pos_a"
+        )
+    )
+    # longest consecutive run per diagonal: sorted positions folded
+    # left-to-right — (prev, cur, best) carried through the array
+    run = F.aggregate(
+        F.array_sort(F.collect_list("pos_a")),
+        F.struct(
+            F.lit(-2).alias("prev"), F.lit(0).alias("cur"), F.lit(0).alias("best")
+        ),
+        lambda acc, x: F.struct(
+            x.alias("prev"),
+            F.when(x == acc.prev + 1, acc.cur + 1).otherwise(F.lit(1)).alias("cur"),
+            F.greatest(
+                acc.best,
+                F.when(x == acc.prev + 1, acc.cur + 1).otherwise(F.lit(1)),
+            ).alias("best"),
+        ),
+        lambda acc: acc.best,
+    )
+    diag_spans = (
+        matches.groupBy("id_a", "id_b", "diag")
+        .agg((run + F.lit(k - 1)).alias("span"))
+        .filter(F.col("span") >= min_span)
+    )
+    return diag_spans.groupBy("id_a", "id_b").agg(
+        F.max("span").alias("max_span_tokens"),
+        F.count(F.lit(1)).alias("n_spans"),
+    )
