@@ -30,6 +30,7 @@ from pyspark.sql import DataFrame, SparkSession
 _PRIORITY = [
     # tier 1 — never driver-sampled (round-6 additions)
     "dedup_substring_spans",
+    "dedup_segments",
     # tier 2 — oldest driver-green first
     "q7_nation_trade_volume",
     "q8_market_share",

@@ -946,6 +946,58 @@ def test_substring_spans_hot_gram_cap(spark):
     )
 
 
+def test_segment_dedup_keeps_first_occurrence_and_reassembles(spark):
+    """Line-level corpus dedup: the globally first (doc, position)
+    occurrence of each line survives, later copies — across AND within
+    documents — are dropped, and documents rebuild in original order
+    from their surviving lines."""
+    rows = [
+        (1, "alpha one\nshared line\nalpha two"),
+        (2, "shared line\nbeta only\nshared line"),  # dup of doc1 + self-dup
+        (3, "gamma solo"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = D.segment_dedup(df).toPandas().set_index("doc_id")
+    assert out.loc[1].text_clean == "alpha one\nshared line\nalpha two"
+    assert (out.loc[1].n_segments, out.loc[1].n_kept) == (3, 3)
+    # doc 2 loses both copies of the shared line (doc 1 owns it)
+    assert out.loc[2].text_clean == "beta only"
+    assert (out.loc[2].n_segments, out.loc[2].n_kept) == (3, 1)
+    assert out.loc[3].text_clean == "gamma solo"
+
+
+def test_segment_dedup_normalized_key_keeps_original_casing(spark):
+    rows = [
+        (1, "Hello World\nunique a"),
+        (2, "  hello   world  \nunique b"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = D.segment_dedup(df).toPandas().set_index("doc_id")
+    # "Hello World" vs "hello world": same trimmed-lowercase key except
+    # inner whitespace differs -> NOT merged; exact-after-trim match is
+    rows2 = [(1, "Same Line\nx x"), (2, "same line\ny y")]
+    out2 = (
+        D.segment_dedup(
+            spark.createDataFrame(rows2, "doc_id long, text string")
+        )
+        .toPandas()
+        .set_index("doc_id")
+    )
+    assert out2.loc[1].text_clean == "Same Line\nx x"  # original casing kept
+    assert out2.loc[2].text_clean == "y y"
+    # and with normalize=False the case-variant lines both survive
+    raw = (
+        D.segment_dedup(
+            spark.createDataFrame(rows2, "doc_id long, text string"),
+            normalize=False,
+        )
+        .toPandas()
+        .set_index("doc_id")
+    )
+    assert raw.loc[2].text_clean == "same line\ny y"
+    assert out.loc[2].n_kept == 2
+
+
 def test_char_entropy_orders_structure(spark):
     rows = [
         (1, "aaaaaaaaaa"),        # zero entropy

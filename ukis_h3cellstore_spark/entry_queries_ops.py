@@ -1887,6 +1887,58 @@ FROM dspan WHERE span >= 8 GROUP BY 1, 2
 """
 
 
+def q_dedup_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-wide line dedup with reassembly (ops/dedup.py:
+    segment_dedup — the C4/CCNet line-dedup stage). The synthetic
+    corpus has no newlines, so the gate first renders each document as
+    8-token lines (both engines replay the same chunking), then keeps
+    only the globally first occurrence of every line and rebuilds the
+    documents."""
+    docs = _docs(spark, sf_dir)
+    toks_df = docs.select("doc_id", X.tokens("text").alias("__toks"))
+    n = F.size(F.col("__toks"))
+    lines = F.transform(
+        F.sequence(F.lit(0), F.ceil(n / F.lit(8.0)).cast("int") - 1),
+        lambda j: F.concat_ws(
+            " ", F.slice(F.col("__toks"), j * 8 + 1, 8)
+        ),
+    )
+    lined = toks_df.select(
+        "doc_id", F.array_join(lines, "\n").alias("text")
+    )
+    out = D.segment_dedup(lined)
+    return out.select(
+        "doc_id",
+        "text_clean",
+        F.col("n_segments").cast("long").alias("n_segments"),
+        F.col("n_kept").cast("long").alias("n_kept"),
+    )
+
+
+Q_DEDUP_SEGMENTS_SQL = f"""
+WITH toks AS (SELECT doc_id, {_DUCK_TOKS} AS t FROM documents),
+lines AS (
+  SELECT doc_id, j,
+         array_to_string(list_slice(t, j * 8 + 1, j * 8 + 8), ' ') AS seg
+  FROM toks,
+       LATERAL (SELECT unnest(generate_series(
+                  0, CAST(ceil(len(t) / 8.0) AS INT) - 1)) AS j) js
+),
+ranked AS (
+  SELECT doc_id, j, seg,
+         row_number() OVER (PARTITION BY lower(trim(seg))
+                            ORDER BY doc_id, j) AS rn
+  FROM lines WHERE trim(seg) <> ''
+)
+SELECT doc_id,
+       COALESCE(string_agg(seg, chr(10) ORDER BY j)
+                  FILTER (WHERE rn = 1), '') AS text_clean,
+       CAST(COUNT(*) AS BIGINT) AS n_segments,
+       CAST(COUNT(*) FILTER (WHERE rn = 1) AS BIGINT) AS n_kept
+FROM ranked GROUP BY doc_id
+"""
+
+
 def q_text_char_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-language character-entropy report (gibberish/boilerplate
     screen): per-doc Shannon entropy in pure array folds, aggregated."""
@@ -2179,6 +2231,7 @@ QUERIES_OPS: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "ann_ivfpq_top3": q_ann_ivfpq_top3,
     "dedup_containment": q_dedup_containment,
     "dedup_substring_spans": q_dedup_substring_spans,
+    "dedup_segments": q_dedup_segments,
     "text_char_entropy": q_text_char_entropy,
     "corpus_temperature_mix": q_corpus_temperature_mix,
 }
@@ -2237,6 +2290,7 @@ ORACLES_OPS: dict[str, str] = {
     "ann_ivfpq_top3": _q_ann_ivfpq_top3_sql(),
     "dedup_containment": Q_DEDUP_CONTAINMENT_SQL,
     "dedup_substring_spans": Q_DEDUP_SUBSTRING_SPANS_SQL,
+    "dedup_segments": Q_DEDUP_SEGMENTS_SQL,
     "text_char_entropy": Q_TEXT_CHAR_ENTROPY_SQL,
     "corpus_temperature_mix": _q_corpus_temperature_mix_sql(),
 }

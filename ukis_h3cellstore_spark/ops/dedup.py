@@ -840,3 +840,72 @@ def substring_span_pairs(
         F.max("span").alias("max_span_tokens"),
         F.count(F.lit(1)).alias("n_spans"),
     )
+
+
+def segment_dedup(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    sep_regex: str = "\\n+",
+    out_sep: str = "\n",
+    normalize: bool = True,
+) -> DataFrame:
+    """Corpus-wide segment (line / paragraph) deduplication with
+    document reassembly — the C4/CCNet/RefinedWeb line-dedup stage:
+    split every document on ``sep_regex``, keep only the globally
+    FIRST occurrence of each distinct segment (order = (id, position),
+    deterministic), and rebuild each document from its surviving
+    segments in original order. Returns (id, text_clean, n_segments,
+    n_kept).
+
+    Scale shape: one shuffle keyed on the segment hash decides
+    canonical occurrences (``min(struct(id, pos))`` — partial-agg
+    friendly, so a boilerplate line repeated a billion times collapses
+    map-side instead of flooding one reducer), one join back on the
+    same key, and one per-document hash-agg whose sorted-fold
+    reassembly needs no window sort. Nothing corpus-sized is ever
+    broadcast or collected; per-group state is one (id, pos) pair for
+    the canonical agg and one document's segments for the rebuild.
+    ``normalize`` lowercases+trims the MATCH key only — the rebuilt
+    text keeps original casing."""
+    segs = (
+        df.select(F.col(id_col), F.col(text_col))
+        .select(
+            F.col(id_col),
+            F.posexplode(F.split(F.col(text_col), sep_regex)).alias(
+                "pos", "seg"
+            ),
+        )
+        .filter(F.trim(F.col("seg")) != "")
+    )
+    key = F.lower(F.trim(F.col("seg"))) if normalize else F.col("seg")
+    segs = segs.withColumn("__key", F.md5(key))
+    canon = segs.groupBy("__key").agg(
+        F.min(F.struct(F.col(id_col).alias("i"), F.col("pos").alias("p"))).alias(
+            "__first"
+        )
+    )
+    kept = segs.join(canon, on="__key").withColumn(
+        "__kept",
+        (F.col(id_col) == F.col("__first.i")) & (F.col("pos") == F.col("__first.p")),
+    )
+    rebuilt = kept.groupBy(id_col).agg(
+        F.count(F.lit(1)).alias("n_segments"),
+        F.sum(F.col("__kept").cast("long")).alias("n_kept"),
+        F.array_sort(
+            F.collect_list(
+                F.when(
+                    F.col("__kept"),
+                    F.struct(F.col("pos").alias("p"), F.col("seg").alias("s")),
+                )
+            )
+        ).alias("__segs"),
+    )
+    return rebuilt.select(
+        F.col(id_col),
+        F.array_join(
+            F.transform(F.col("__segs"), lambda st: st["s"]), out_sep
+        ).alias("text_clean"),
+        "n_segments",
+        "n_kept",
+    )
