@@ -31,6 +31,7 @@ _PRIORITY = [
     # tier 1 — never driver-sampled (round-6 additions)
     "dedup_substring_spans",
     "dedup_segments",
+    "text_c4_filter",
     # tier 2 — oldest driver-green first
     "q7_nation_trade_volume",
     "q8_market_share",

@@ -998,6 +998,30 @@ def test_segment_dedup_normalized_key_keeps_original_casing(spark):
     assert out.loc[2].n_kept == 2
 
 
+def test_c4_quality_filter_line_and_page_rules(spark):
+    good = "this line has plenty of words and punctuation."
+    rows = [
+        # 3 good sentences -> passes, keeps all lines
+        (1, f"{good}\n{good[:-1]}!\n{good[:-1]}?"),
+        # short line, unpunctuated line, javascript line all dropped ->
+        # only 1 sentence left -> page fails
+        (2, f"{good}\ntoo short.\nno terminal punctuation here at all\nplease enable javascript to view this page."),
+        # lorem ipsum / curly brace page-level kills
+        (3, f"{good}\n{good}\n{good} lorem ipsum dolor sit amet."),
+        (4, f"{good}\n{good}\nfunction f() {{ return 1; }}.\n" + good),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = X.c4_quality_filter(df).toPandas().set_index("doc_id")
+    assert bool(out.loc[1].c4_pass) and out.loc[1].n_kept_lines == 3
+    assert out.loc[1].n_sentences == 3
+    r2 = out.loc[2]
+    assert (r2.n_lines, r2.n_kept_lines) == (4, 1)
+    assert not r2.c4_pass
+    assert r2.text_clean == good
+    assert not out.loc[3].c4_pass and bool(out.loc[3].has_lorem_ipsum)
+    assert not out.loc[4].c4_pass and bool(out.loc[4].has_curly_brace)
+
+
 def test_char_entropy_orders_structure(spark):
     rows = [
         (1, "aaaaaaaaaa"),        # zero entropy

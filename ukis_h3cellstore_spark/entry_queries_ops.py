@@ -1939,6 +1939,77 @@ FROM ranked GROUP BY doc_id
 """
 
 
+def q_text_c4_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C4 page-cleaning recipe (ops/text.py: c4_quality_filter). The
+    synthetic corpus has no lines or punctuation, so the gate renders
+    each document as 8-token lines with a terminal period on
+    even-indexed lines (both engines replay the same rendering) —
+    exercising the terminal-punctuation and min-words line rules and
+    the sentence-count page rule on real data shapes."""
+    docs = _docs(spark, sf_dir)
+    toks_df = docs.select("doc_id", X.tokens("text").alias("__toks"))
+    n = F.size(F.col("__toks"))
+    lines = F.transform(
+        F.sequence(F.lit(0), F.ceil(n / F.lit(8.0)).cast("int") - 1),
+        lambda j: F.concat(
+            F.concat_ws(" ", F.slice(F.col("__toks"), j * 8 + 1, 8)),
+            F.when(j % 2 == 0, F.lit(".")).otherwise(F.lit("")),
+        ),
+    )
+    lined = toks_df.select("doc_id", F.array_join(lines, "\n").alias("text"))
+    return X.c4_quality_filter(lined).select(
+        "doc_id",
+        "text_clean",
+        "n_lines",
+        "n_kept_lines",
+        "n_sentences",
+        "has_lorem_ipsum",
+        "has_curly_brace",
+        "c4_pass",
+    )
+
+
+Q_TEXT_C4_FILTER_SQL = f"""
+WITH toks AS (SELECT doc_id, {_DUCK_TOKS} AS t FROM documents),
+lines AS (
+  SELECT doc_id, j,
+         array_to_string(list_slice(t, j * 8 + 1, j * 8 + 8), ' ')
+           || CASE WHEN j % 2 = 0 THEN '.' ELSE '' END AS line
+  FROM toks,
+       LATERAL (SELECT unnest(generate_series(
+                  0, CAST(ceil(len(t) / 8.0) AS INT) - 1)) AS j) js
+),
+judged AS (
+  SELECT doc_id, j, line,
+         regexp_matches(trim(line), '[.!?"]$')
+           AND len(list_filter(regexp_split_to_array(trim(line), '\\s+'),
+                               w -> len(w) > 0)) >= 5
+           AND NOT regexp_matches(line,
+                 '\\b(javascript|cookie|cookies|privacy policy|terms of use)\\b',
+                 'i') AS ok
+  FROM lines
+),
+pages AS (
+  SELECT doc_id,
+         COALESCE(string_agg(line, chr(10) ORDER BY j)
+                    FILTER (WHERE ok), '') AS text_clean,
+         CAST(COUNT(*) AS BIGINT) AS n_lines,
+         CAST(COUNT(*) FILTER (WHERE ok) AS BIGINT) AS n_kept_lines,
+         bool_or(contains(lower(line), 'lorem ipsum')) AS has_lorem_ipsum,
+         bool_or(contains(line, '{{')) AS has_curly_brace
+  FROM judged GROUP BY doc_id
+)
+SELECT doc_id, text_clean, n_lines, n_kept_lines,
+       CAST(len(list_filter(regexp_split_to_array(text_clean, '[.!?]'),
+                            s -> len(trim(s)) > 0)) AS BIGINT) AS n_sentences,
+       has_lorem_ipsum, has_curly_brace,
+       len(list_filter(regexp_split_to_array(text_clean, '[.!?]'),
+                       s -> len(trim(s)) > 0)) >= 3
+         AND NOT has_lorem_ipsum AND NOT has_curly_brace AS c4_pass
+FROM pages
+"""
+
+
 def q_text_char_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-language character-entropy report (gibberish/boilerplate
     screen): per-doc Shannon entropy in pure array folds, aggregated."""
@@ -2232,6 +2303,7 @@ QUERIES_OPS: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "dedup_containment": q_dedup_containment,
     "dedup_substring_spans": q_dedup_substring_spans,
     "dedup_segments": q_dedup_segments,
+    "text_c4_filter": q_text_c4_filter,
     "text_char_entropy": q_text_char_entropy,
     "corpus_temperature_mix": q_corpus_temperature_mix,
 }
@@ -2291,6 +2363,7 @@ ORACLES_OPS: dict[str, str] = {
     "dedup_containment": Q_DEDUP_CONTAINMENT_SQL,
     "dedup_substring_spans": Q_DEDUP_SUBSTRING_SPANS_SQL,
     "dedup_segments": Q_DEDUP_SEGMENTS_SQL,
+    "text_c4_filter": Q_TEXT_C4_FILTER_SQL,
     "text_char_entropy": Q_TEXT_CHAR_ENTROPY_SQL,
     "corpus_temperature_mix": _q_corpus_temperature_mix_sql(),
 }

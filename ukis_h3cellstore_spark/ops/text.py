@@ -751,3 +751,82 @@ def unigram_surprisal(
             F.expr("(1000 * sum_surprisal) div n_tokens"),
         )
     )
+
+
+#: line-level boilerplate markers from the C4 cleaning recipe — a line
+#: mentioning any of these is dropped regardless of its shape
+C4_POLICY_RE = r"(?i)\b(javascript|cookie|cookies|privacy policy|terms of use)\b"
+
+
+def c4_quality_filter(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    min_line_words: int = 5,
+    min_sentences: int = 3,
+) -> DataFrame:
+    """The C4 (Raffel et al. 2020) page-cleaning recipe as one
+    codegen'd projection: per document, LINE-level filtering (keep
+    only lines that end in terminal punctuation, carry at least
+    ``min_line_words`` words, and mention none of the
+    :data:`C4_POLICY_RE` boilerplate markers) followed by PAGE-level
+    verdicts (≥ ``min_sentences`` sentences measured on the cleaned
+    text, no "lorem ipsum", no ``{``). Returns (id, text_clean,
+    n_lines, n_kept_lines, n_sentences, has_lorem_ipsum,
+    has_curly_brace, c4_pass).
+
+    Complements :func:`gopher_quality_flags` (the other published
+    first-stage web filter): Gopher measures document statistics, C4
+    rewrites the document line-by-line. Pure array/regex expressions —
+    no shuffle, no Python — so it pipelines map-side into any
+    downstream dedup or sampling stage at corpus scale."""
+    t = F.col("__t")
+    lines = F.split(t, "\n")
+
+    def _line_ok(line: Column) -> Column:
+        w = F.filter(F.split(F.trim(line), r"\s+"), lambda x: F.length(x) > 0)
+        return (
+            F.trim(line).rlike(r"[.!?\"]$")
+            & (F.size(w) >= min_line_words)
+            & ~line.rlike(C4_POLICY_RE)
+        )
+
+    kept = F.filter(lines, _line_ok)
+    text_clean = F.array_join(kept, "\n")
+    n_sentences = F.size(
+        F.filter(
+            F.split(F.col("text_clean"), r"[.!?]"),
+            lambda s: F.length(F.trim(s)) > 0,
+        )
+    )
+    staged = df.select(
+        F.col(id_col), F.col(text_col).alias("__t")
+    ).withColumns(
+        {
+            "text_clean": text_clean,
+            "n_lines": F.size(lines).cast("long"),
+            "n_kept_lines": F.size(kept).cast("long"),
+        }
+    )
+    out = staged.withColumns(
+        {
+            "n_sentences": n_sentences.cast("long"),
+            "has_lorem_ipsum": F.lower(F.col("__t")).contains("lorem ipsum"),
+            "has_curly_brace": F.col("__t").contains("{"),
+        }
+    )
+    c4_pass = (
+        (F.col("n_sentences") >= min_sentences)
+        & ~F.col("has_lorem_ipsum")
+        & ~F.col("has_curly_brace")
+    )
+    return out.select(
+        F.col(id_col),
+        "text_clean",
+        "n_lines",
+        "n_kept_lines",
+        "n_sentences",
+        "has_lorem_ipsum",
+        "has_curly_brace",
+        c4_pass.alias("c4_pass"),
+    )
