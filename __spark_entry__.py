@@ -32,6 +32,7 @@ _PRIORITY = [
     "dedup_substring_spans",
     "dedup_segments",
     "text_c4_filter",
+    "dedup_span_excise",
     # tier 2 — oldest driver-green first
     "q7_nation_trade_volume",
     "q8_market_share",

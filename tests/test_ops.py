@@ -998,6 +998,35 @@ def test_segment_dedup_normalized_key_keeps_original_casing(spark):
     assert out.loc[2].n_kept == 2
 
 
+def test_substring_span_extents_and_excision(spark):
+    """Extents locate the shared run in both documents' coordinates;
+    excision cuts it from the higher id only, merging overlaps, and
+    passes untouched docs through with n_cut = 0."""
+    shared = " ".join(f"s{i}" for i in range(12))
+    rows = [
+        (1, "alpha beta " + shared + " gamma delta"),
+        (2, shared + " omega xi nu mu"),
+        (3, "totally unrelated words that match nothing at all here"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    ext = D.substring_span_extents(df, k=5, min_span=8).toPandas()
+    assert len(ext) == 1
+    e = ext.iloc[0]
+    # doc1: run occupies tokens 3..14; doc2: tokens 1..12
+    assert (e.id_a, e.id_b, e.span_tokens) == (1, 2, 12)
+    assert (e.a_start, e.a_end, e.b_start, e.b_end) == (3, 14, 1, 12)
+    out = (
+        D.excise_shared_spans(df, k=5, min_span=8)
+        .toPandas()
+        .set_index("doc_id")
+    )
+    assert out.loc[1].text_clean == "alpha beta " + shared + " gamma delta"
+    assert out.loc[1].n_cut == 0
+    assert out.loc[2].text_clean == "omega xi nu mu"
+    assert (out.loc[2].n_tokens, out.loc[2].n_cut) == (16, 12)
+    assert out.loc[3].n_cut == 0 and len(out) == 3
+
+
 def test_c4_quality_filter_line_and_page_rules(spark):
     good = "this line has plenty of words and punctuation."
     rows = [

@@ -86,6 +86,17 @@ def main() -> None:
     phase("quality_logit", X.quality_logit(docs))
     phase("unigram_surprisal", X.unigram_surprisal(docs))
     phase("boilerplate_chunks", X.boilerplate_chunk_stats(docs))
+    phase("c4_quality_filter", X.c4_quality_filter(docs))
+    # the corpus has no newlines: split on a frequent token so the
+    # segment table really fans out (~8 segments/doc at 1M docs)
+    phase("segment_dedup", D.segment_dedup(docs, sep_regex=" the "))
+    spans = D.substring_span_pairs(docs, k=5, min_span=8)
+    gc()
+    t0 = time.time()
+    n_spans = spans.count()
+    print(
+        f"{'substring_span_pairs':24s} {time.time() - t0:8.1f}s  ({n_spans:,} pairs)"
+    )
     phase("dedup_exact", D.dedup_exact(docs))
     phase("minhash_signatures", D.minhash_signatures(docs))
     pairs = D.minhash_lsh_pairs(docs, min_est_jaccard=0.5)

@@ -1939,6 +1939,51 @@ FROM ranked GROUP BY doc_id
 """
 
 
+def q_dedup_span_excise(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact-substring REMOVAL (ops/dedup.py: excise_shared_spans):
+    every shared run ≥ min_span is cut from the higher-id document —
+    the Lee et al. 2021 dedup action, not just the report. Every doc
+    comes back (text_clean, n_tokens, n_cut)."""
+    return D.excise_shared_spans(_docs(spark, sf_dir), k=5, min_span=8)
+
+
+Q_DEDUP_SPAN_EXCISE_SQL = f"""
+WITH toks AS (SELECT doc_id, {_DUCK_TOKS} AS t FROM documents),
+pos AS (SELECT doc_id, generate_subscripts(t, 1) AS i, t FROM toks),
+g AS (SELECT doc_id, i, array_to_string(list_slice(t, i, i + 4), ' ') AS gram
+      FROM pos WHERE i + 4 <= len(t)),
+m AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, a.i - b.i AS diag, a.i AS pa
+      FROM g a JOIN g b ON a.gram = b.gram AND a.doc_id < b.doc_id),
+isl AS (SELECT id_a, id_b, diag, pa,
+               pa - row_number() OVER (PARTITION BY id_a, id_b, diag
+                                       ORDER BY pa) AS grp
+        FROM m),
+runs AS (SELECT id_a, id_b, diag, grp, COUNT(*) AS cnt,
+                MIN(pa) AS pstart, MAX(pa) AS pend
+         FROM isl GROUP BY 1, 2, 3, 4),
+drun AS (SELECT *, row_number() OVER (PARTITION BY id_a, id_b, diag
+                                      ORDER BY cnt DESC, pstart ASC) AS rn
+         FROM runs),
+cuts AS (SELECT id_b AS doc_id, pstart - diag AS b_start,
+                pend + 4 - diag AS b_end
+         FROM drun WHERE rn = 1 AND cnt + 4 >= 8),
+tok_rows AS (SELECT doc_id, i AS p, t[i] AS w FROM pos),
+marked AS (
+  SELECT tr.doc_id, tr.p, tr.w,
+         EXISTS (SELECT 1 FROM cuts c
+                 WHERE c.doc_id = tr.doc_id
+                   AND tr.p BETWEEN c.b_start AND c.b_end) AS cut
+  FROM tok_rows tr
+)
+SELECT doc_id,
+       COALESCE(string_agg(w, ' ' ORDER BY p) FILTER (WHERE NOT cut), '')
+         AS text_clean,
+       CAST(COUNT(*) AS BIGINT) AS n_tokens,
+       CAST(COUNT(*) FILTER (WHERE cut) AS BIGINT) AS n_cut
+FROM marked GROUP BY doc_id
+"""
+
+
 def q_text_c4_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     """C4 page-cleaning recipe (ops/text.py: c4_quality_filter). The
     synthetic corpus has no lines or punctuation, so the gate renders
@@ -2304,6 +2349,7 @@ QUERIES_OPS: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "dedup_substring_spans": q_dedup_substring_spans,
     "dedup_segments": q_dedup_segments,
     "text_c4_filter": q_text_c4_filter,
+    "dedup_span_excise": q_dedup_span_excise,
     "text_char_entropy": q_text_char_entropy,
     "corpus_temperature_mix": q_corpus_temperature_mix,
 }
@@ -2364,6 +2410,7 @@ ORACLES_OPS: dict[str, str] = {
     "dedup_substring_spans": Q_DEDUP_SUBSTRING_SPANS_SQL,
     "dedup_segments": Q_DEDUP_SEGMENTS_SQL,
     "text_c4_filter": Q_TEXT_C4_FILTER_SQL,
+    "dedup_span_excise": Q_DEDUP_SPAN_EXCISE_SQL,
     "text_char_entropy": Q_TEXT_CHAR_ENTROPY_SQL,
     "corpus_temperature_mix": _q_corpus_temperature_mix_sql(),
 }

@@ -909,3 +909,154 @@ def segment_dedup(
         "n_segments",
         "n_kept",
     )
+
+
+def substring_span_extents(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 5,
+    min_span: int = 10,
+    max_shingle_df: int | None = None,
+) -> DataFrame:
+    """Like :func:`substring_span_pairs` but keeps the COORDINATES of
+    each diagonal's first-longest qualifying run: (id_a, id_b, diag,
+    span_tokens, a_start, a_end, b_start, b_end), token positions
+    1-based inclusive. This is what a removal stage needs — the pair
+    report says WHO shares text, the extents say WHERE to cut.
+
+    Same inverted-index + diagonal-chaining plan; the sorted fold
+    additionally carries the end position of the best run (updated
+    exactly when a new best is set, so ties resolve to the FIRST
+    maximal run in position order — deterministic and replayable by
+    the windowed SQL oracle)."""
+    sh = positional_shingle_df(df, text_col, id_col, k).localCheckpoint(
+        eager=False
+    )
+    if max_shingle_df is not None:
+        hot = sh.groupBy("sh").agg(F.count(F.lit(1)).alias("df"))
+        sh = sh.join(
+            F.broadcast(hot.filter(F.col("df") > max_shingle_df).select("sh")),
+            on="sh",
+            how="left_anti",
+        )
+    a = sh.select(F.col(id_col).alias("id_a"), F.col("pos").alias("pos_a"), "sh")
+    b = sh.select(F.col(id_col).alias("id_b"), F.col("pos").alias("pos_b"), "sh")
+    matches = (
+        a.join(b, on="sh")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select(
+            "id_a", "id_b", (F.col("pos_a") - F.col("pos_b")).alias("diag"), "pos_a"
+        )
+    )
+    best = F.aggregate(
+        F.array_sort(F.collect_list("pos_a")),
+        F.struct(
+            F.lit(-2).alias("prev"),
+            F.lit(0).alias("cur"),
+            F.lit(0).alias("best"),
+            F.lit(0).alias("bend"),
+        ),
+        lambda acc, x: F.struct(
+            x.alias("prev"),
+            F.when(x == acc.prev + 1, acc.cur + 1).otherwise(F.lit(1)).alias("cur"),
+            F.greatest(
+                acc.best,
+                F.when(x == acc.prev + 1, acc.cur + 1).otherwise(F.lit(1)),
+            ).alias("best"),
+            F.when(
+                F.when(x == acc.prev + 1, acc.cur + 1).otherwise(F.lit(1))
+                > acc.best,
+                x,
+            )
+            .otherwise(acc.bend)
+            .alias("bend"),
+        ),
+        lambda acc: F.struct(acc.best.alias("run"), acc.bend.alias("bend")),
+    )
+    ext = (
+        matches.groupBy("id_a", "id_b", "diag")
+        .agg(best.alias("__b"))
+        .select(
+            "id_a",
+            "id_b",
+            "diag",
+            (F.col("__b.run") + F.lit(k - 1)).alias("span_tokens"),
+            (F.col("__b.bend") - F.col("__b.run") + 1).alias("a_start"),
+            (F.col("__b.bend") + F.lit(k - 1)).alias("a_end"),
+        )
+        .filter(F.col("span_tokens") >= min_span)
+    )
+    return ext.select(
+        "id_a",
+        "id_b",
+        "diag",
+        "span_tokens",
+        "a_start",
+        "a_end",
+        (F.col("a_start") - F.col("diag")).alias("b_start"),
+        (F.col("a_end") - F.col("diag")).alias("b_end"),
+    )
+
+
+def excise_shared_spans(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 5,
+    min_span: int = 10,
+    max_shingle_df: int | None = None,
+) -> DataFrame:
+    """The Lee et al. 2021 dedup ACTION: for every qualifying shared
+    run, the lower-id document keeps its copy and the HIGHER-id
+    document has the run's token range cut out; overlapping cuts
+    merge via a per-token keep mask. Returns every document as
+    (id, text_clean, n_tokens, n_cut) — untouched docs pass through
+    with n_cut = 0.
+
+    Scale shape: the extents stage is the inverted-index plan above;
+    the rewrite is one per-document hash-agg of cut ranges (bounded by
+    the doc's own diagonal count) joined LEFT onto the corpus, then a
+    pure array projection (position-indexed keep mask, no explode of
+    the token stream, no shuffle beyond the one cut-range agg)."""
+    ext = substring_span_extents(
+        df, text_col, id_col, k, min_span, max_shingle_df
+    )
+    cuts = (
+        ext.select(
+            F.col("id_b").alias(id_col),
+            F.struct(
+                F.col("b_start").alias("s"), F.col("b_end").alias("e")
+            ).alias("__cut"),
+        )
+        .groupBy(id_col)
+        .agg(F.collect_list("__cut").alias("__cuts"))
+    )
+    toks_df = df.select(
+        F.col(id_col), F.col(text_col).alias("__t")
+    ).withColumn("__toks", tokens("__t"))
+    joined = toks_df.join(cuts, on=id_col, how="left")
+    n = F.size("__toks")
+    kept = F.filter(
+        F.transform(
+            F.sequence(F.lit(1), n),
+            lambda p: F.struct(
+                p.alias("p"), F.element_at("__toks", p).alias("w")
+            ),
+        ),
+        lambda s: ~F.exists(
+            F.coalesce(
+                F.col("__cuts"),
+                F.array().cast("array<struct<s:int,e:int>>"),
+            ),
+            lambda c: s["p"].between(c["s"], c["e"]),
+        ),
+    )
+    return joined.select(
+        F.col(id_col),
+        F.array_join(F.transform(kept, lambda s: s["w"]), " ").alias(
+            "text_clean"
+        ),
+        n.cast("long").alias("n_tokens"),
+        (n - F.size(kept)).cast("long").alias("n_cut"),
+    )
