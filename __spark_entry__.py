@@ -33,6 +33,7 @@ _PRIORITY = [
     "dedup_segments",
     "text_c4_filter",
     "dedup_span_excise",
+    "events_global_cumsum",
     # tier 2 — oldest driver-green first
     "q7_nation_trade_volume",
     "q8_market_share",

@@ -1027,6 +1027,48 @@ def test_substring_span_extents_and_excision(spark):
     assert out.loc[3].n_cut == 0 and len(out) == 3
 
 
+def test_global_cumsum_matches_serial_and_stays_typed(spark):
+    """The range-partition + offset prefix-sum must equal the serial
+    running total exactly (integer path stays integer-typed) and keep
+    more than one partition in play (no single-partition sort)."""
+    from ukis_h3cellstore_spark.ops import prefix as P
+
+    rows = [(i, (i * 37) % 11) for i in range(500)]
+    df = spark.createDataFrame(rows, "k long, v long").repartition(7)
+    out = P.global_cumsum(df, ["k"], "v", num_partitions=5).orderBy("k")
+    got = [(r.k, r.cum_sum) for r in out.collect()]
+    exp, acc = [], 0
+    for k, v in rows:
+        acc += v
+        exp.append((k, acc))
+    assert got == exp
+    assert dict(out.dtypes)["cum_sum"] == "bigint"
+    # double path: same regrouping tolerance-checked
+    dd = spark.createDataFrame(
+        [(k, float(v)) for k, v in rows], "k long, v double"
+    )
+    outd = (
+        P.global_cumsum(dd, ["k"], "v", num_partitions=5).orderBy("k").collect()
+    )
+    for (k, e), r in zip(exp, outd):
+        assert abs(r.cum_sum - e) < 1e-9
+
+
+def test_global_rank_is_total_order_row_number(spark):
+    from ukis_h3cellstore_spark.ops import prefix as P
+    from pyspark.sql import functions as _F
+
+    df = spark.range(300).select(
+        (_F.col("id") * 131 % 997).alias("k"), "id"
+    )
+    out = (
+        P.global_rank(df, ["k", "id"], num_partitions=4)
+        .orderBy("k", "id")
+        .collect()
+    )
+    assert [r.global_rank for r in out] == list(range(1, 301))
+
+
 def test_c4_quality_filter_line_and_page_rules(spark):
     good = "this line has plenty of words and punctuation."
     rows = [

@@ -788,7 +788,37 @@ WHERE k = 7
 """
 
 
+def q_events_global_cumsum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Global running total WITHOUT the single-partition sort
+    (ops/prefix.py: global_cumsum): range partition on the order key,
+    parallel within-partition windows, broadcast partition offsets —
+    the distributed prefix-sum pattern. Integer cents keep the
+    cross-partition regrouping bit-exact vs the serial SQL window."""
+    from ukis_h3cellstore_spark.ops import prefix as P
+
+    e = _events(spark, sf_dir).select(
+        "event_id", "ts_us", _cents(F.col("value")).alias("value_cents")
+    )
+    out = P.global_cumsum(
+        e, ["ts_us", "event_id"], "value_cents", out_col="cum_cents",
+        num_partitions=8,
+    )
+    return out.select(
+        "event_id", "value_cents", F.col("cum_cents").cast("long").alias("cum_cents")
+    )
+
+
+Q_EVENTS_GLOBAL_CUMSUM_SQL = """
+SELECT event_id,
+       CAST(round(value * 100) AS BIGINT) AS value_cents,
+       CAST(SUM(CAST(round(value * 100) AS BIGINT))
+              OVER (ORDER BY epoch_us(ts), event_id) AS BIGINT) AS cum_cents
+FROM events
+"""
+
+
 QUERIES_REL: dict[str, Callable[[SparkSession, str], DataFrame]] = {
+    "events_global_cumsum": q_events_global_cumsum,
     "lineitem_percentiles": q_lineitem_percentiles,
     "events_value_moments": q_events_value_moments,
     "events_zscore": q_events_zscore,
@@ -810,6 +840,7 @@ QUERIES_REL: dict[str, Callable[[SparkSession, str], DataFrame]] = {
 }
 
 ORACLES_REL: dict[str, str] = {
+    "events_global_cumsum": Q_EVENTS_GLOBAL_CUMSUM_SQL,
     "lineitem_percentiles": Q_LINEITEM_PERCENTILES_SQL,
     "events_value_moments": Q_EVENTS_MOMENTS_SQL,
     "events_zscore": Q_EVENTS_ZSCORE_SQL,

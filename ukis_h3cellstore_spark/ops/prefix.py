@@ -1,0 +1,146 @@
+"""Distributed global cumulative aggregation (prefix sums).
+
+Spark's own answer to ``SUM(x) OVER (ORDER BY k)`` — a window with no
+PARTITION BY — is a single-partition sort: the whole dataset funnels
+through ONE task, which is the textbook scale-killer for running
+totals, global ranks, and CDF-style statistics. The classic
+distributed answer (the same two-phase scan MPI/GPU prefix sums use)
+is:
+
+1. **range partition** on the order key (`repartitionByRange`) so
+   partition *i* holds strictly smaller keys than partition *i+1* and
+   equal keys never straddle a boundary;
+2. **within-partition running total** — embarrassingly parallel;
+3. **partition offsets** — each partition's total is one row, so the
+   per-partition totals are collected to the driver (npartitions
+   rows, dim-lookup-sized by construction), exclusive-prefix-summed,
+   and broadcast back as each partition's starting offset.
+
+Every row then carries ``offset(pid) + within_cum``. Two shuffles of
+the data (the range exchange + the window's hash exchange on the
+materialized partition id) and one metadata-sized collect — vs. the
+unbounded single-task sort of the naive window. All arithmetic stays
+JVM-side.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def global_cumsum(
+    df: DataFrame,
+    order_cols: list[str],
+    value_col: str | Column,
+    out_col: str = "cum_sum",
+    num_partitions: int | None = None,
+) -> DataFrame:
+    """Append ``out_col`` = running total of ``value_col`` over the
+    GLOBAL ordering of ``order_cols`` (ties resolved by making
+    ``order_cols`` a total order — include a unique key last, exactly
+    as you would in the SQL ``OVER (ORDER BY ...)`` you are replacing).
+
+    Scale notes: the range exchange samples the key distribution, so
+    skewed keys still spread across partitions; the per-partition
+    totals collect is ``num_partitions`` rows — metadata, not data.
+    The within-partition window re-shuffles on the materialized
+    partition id, preserving parallelism (one window group per range
+    partition, NOT one global group).
+    """
+    value = F.col(value_col) if isinstance(value_col, str) else value_col
+    ncols = [F.col(c) for c in order_cols]
+    if num_partitions is None:
+        rp = df.repartitionByRange(*ncols)
+    else:
+        rp = df.repartitionByRange(num_partitions, *ncols)
+    # materialize the range-partition id BEFORE any further exchange:
+    # spark_partition_id() is only meaningful on the range-partitioned
+    # physical plan, so it must be pinned as data here
+    staged = rp.withColumn("__pid", F.spark_partition_id()).withColumn(
+        "__v", value
+    )
+    w = (
+        Window.partitionBy("__pid")
+        .orderBy(*ncols)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    # materialize once: the totals collect AND the final plan both
+    # consume the range+window result; without lineage truncation the
+    # exchange pair would run twice (Spark reuses exchanges within one
+    # query, not across actions)
+    within = staged.withColumn("__within", F.sum("__v").over(w)).localCheckpoint(
+        eager=False
+    )
+    totals = (
+        within.groupBy("__pid").agg(F.sum("__v").alias("__total")).collect()
+    )
+    by_pid = {int(r["__pid"]): r["__total"] for r in totals}
+    # offsets stay in the value's OWN aggregate type (sum of longs is
+    # long), so integer running totals remain exact — the float
+    # summation-order caveat only exists where SQL itself has it
+    sum_type = dict(
+        within.groupBy("__pid").agg(F.sum("__v").alias("__total")).dtypes
+    )["__total"]
+    cast = float if sum_type in ("double", "float") else int
+    offsets, acc = [], cast(0)
+    for pid in sorted(by_pid):
+        offsets.append((pid, acc))
+        acc += cast(by_pid[pid] or 0)
+    spark = df.sparkSession
+    off_df = spark.createDataFrame(
+        offsets, f"__pid int, __offset {sum_type}"
+    )
+    zero = F.lit(0).cast(sum_type)
+    return (
+        within.join(F.broadcast(off_df), on="__pid", how="left")
+        .withColumn(
+            out_col, F.coalesce(F.col("__offset"), zero) + F.col("__within")
+        )
+        .drop("__pid", "__v", "__within", "__offset")
+    )
+
+
+def global_rank(
+    df: DataFrame,
+    order_cols: list[str],
+    out_col: str = "global_rank",
+    num_partitions: int | None = None,
+) -> DataFrame:
+    """Append the 1-based GLOBAL row number over ``order_cols`` (a
+    total order — same contract as :func:`global_cumsum`) without a
+    single-partition sort: range partition, within-partition
+    ``row_number``, plus broadcast partition-count offsets."""
+    ncols = [F.col(c) for c in order_cols]
+    if num_partitions is None:
+        rp = df.repartitionByRange(*ncols)
+    else:
+        rp = df.repartitionByRange(num_partitions, *ncols)
+    staged = rp.withColumn("__pid", F.spark_partition_id())
+    w = Window.partitionBy("__pid").orderBy(*ncols)
+    # same materialize-once rationale as global_cumsum: the counts
+    # collect and the final plan share the range+window subtree
+    within = staged.withColumn("__rn", F.row_number().over(w)).localCheckpoint(
+        eager=False
+    )
+    counts = within.groupBy("__pid").agg(F.count(F.lit(1)).alias("__n")).collect()
+    by_pid = {int(r["__pid"]): int(r["__n"]) for r in counts}
+    offsets, acc = [], 0
+    for pid in sorted(by_pid):
+        offsets.append((pid, acc))
+        acc += by_pid[pid]
+    spark = df.sparkSession
+    if offsets:
+        off_df = spark.createDataFrame(offsets, "__pid int, __offset long")
+    else:
+        off_df = spark.createDataFrame([], "__pid int, __offset long")
+    return (
+        within.join(F.broadcast(off_df), on="__pid", how="left")
+        .withColumn(
+            out_col,
+            (F.coalesce(F.col("__offset"), F.lit(0)) + F.col("__rn")).cast(
+                "long"
+            ),
+        )
+        .drop("__pid", "__rn", "__offset")
+    )
