@@ -21,12 +21,11 @@ from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
 
-# ROUND-6 ROTATION (computed by `python tools/rotation.py --python`):
-# no gate remains never-driver-sampled, so the head is the 50 whose
-# last green driver row is oldest — the r3-verified TPC-H / events /
-# h3 / pipeline / text set, then the first six r4-verified gates.
-# Splice gates ADDED mid-round straight into the head so they earn a
-# driver row the same round.
+# ROUND-6 ROTATION (computed by `python tools/rotation.py --python`,
+# then the mid-round additions spliced in front per protocol): tier 1
+# is the seven operators ADDED in round 6 (never driver-sampled);
+# tier 2 is the oldest-green set — the r3-verified TPC-H / events /
+# h3 / pipeline / text gates, then the head of the r4 set.
 _PRIORITY = [
     # tier 1 — never driver-sampled (round-6 additions)
     "dedup_substring_spans",
@@ -34,6 +33,8 @@ _PRIORITY = [
     "text_c4_filter",
     "dedup_span_excise",
     "events_global_cumsum",
+    "text_bpe_pairs",
+    "corpus_quality_auc",
     # tier 2 — oldest driver-green first
     "q7_nation_trade_volume",
     "q8_market_share",

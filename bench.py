@@ -59,6 +59,11 @@ HEADLINE = [
     "streaming_tableset_ingest",
     "geo_latlng_to_cell_hex",
     "ann_ivfpq_search_only",
+    # round-6 additions: the exact-substring family (the heaviest new
+    # dedup path) and the distributed prefix-sum primitive
+    "dedup_substring_spans",
+    "dedup_span_excise",
+    "events_global_cumsum",
 ]
 
 #: bench-only implementations: same operator, scale-path configuration

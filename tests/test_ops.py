@@ -1069,6 +1069,45 @@ def test_global_rank_is_total_order_row_number(spark):
     assert [r.global_rank for r in out] == list(range(1, 301))
 
 
+def test_bpe_pair_counts_matches_brute_force(spark):
+    rows = [(1, "a b a b c"), (2, "b c b c"), (3, "x")]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {
+        (r.left, r.right): r.n_pairs
+        for r in X.bpe_pair_counts(df).collect()
+    }
+    from collections import Counter
+
+    exp = Counter()
+    for _, t in rows:
+        ws = t.split()
+        for a, b in zip(ws, ws[1:]):
+            exp[(a, b)] += 1
+    assert out == dict(exp)
+    # top-k is deterministic under ties (lexicographic)
+    top = X.bpe_pair_counts(df, top_k=2).collect()
+    assert [(r.left, r.right) for r in top] == sorted(
+        exp, key=lambda p: (-exp[p], p[0], p[1])
+    )[:2]
+
+
+def test_binary_auc_rank_sum(spark):
+    from ukis_h3cellstore_spark.ops import prefix as P
+
+    # perfectly separable -> 1.0; anti-separated -> 0.0; mixed known
+    rows = [(i, float(i), i >= 5) for i in range(10)]
+    df = spark.createDataFrame(rows, "id long, score double, label boolean")
+    r = P.binary_auc(df, "score", "label", ["id"], num_partitions=3).collect()[0]
+    assert (r.auc, r.n_pos, r.n_neg) == (1.0, 5, 5)
+    flipped = df.withColumn("label", ~F.col("label"))
+    assert P.binary_auc(flipped, "score", "label", ["id"]).collect()[0].auc == 0.0
+    # hand-computed: positives at score ranks {2, 4} of 4 ->
+    # (rank_sum 6 - 2*3/2) / (2*2) = 0.75
+    rows2 = [(1, 1.0, False), (2, 2.0, True), (3, 3.0, False), (4, 4.0, True)]
+    df2 = spark.createDataFrame(rows2, "id long, score double, label boolean")
+    assert P.binary_auc(df2, "score", "label", ["id"]).collect()[0].auc == 0.75
+
+
 def test_c4_quality_filter_line_and_page_rules(spark):
     good = "this line has plenty of words and punctuation."
     rows = [

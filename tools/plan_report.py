@@ -46,6 +46,12 @@ DEFAULT_QUERIES = [
     "events_hex_parent_rollup",
     "corpus_dsir_weights",
     "q11_important_suppliers",
+    # round-6 additions
+    "dedup_substring_spans",
+    "dedup_segments",
+    "dedup_span_excise",
+    "text_c4_filter",
+    "events_global_cumsum",
 ]
 
 

@@ -2055,6 +2055,66 @@ FROM pages
 """
 
 
+def q_text_bpe_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Adjacent-token-pair frequencies (ops/text.py: bpe_pair_counts)
+    — the per-round statistic of BPE tokenizer training, one zip_with
+    + one partial-agg count, top-50 via TakeOrderedAndProject."""
+    out = X.bpe_pair_counts(_docs(spark, sf_dir), top_k=50)
+    return out.select(
+        F.col("left").alias("lhs"),
+        F.col("right").alias("rhs"),
+        F.col("n_pairs").cast("long").alias("n_pairs"),
+    )
+
+
+Q_TEXT_BPE_PAIRS_SQL = f"""
+WITH toks AS (SELECT doc_id, {_DUCK_TOKS} AS t FROM documents),
+pr AS (
+  SELECT t[j] AS lhs, t[j + 1] AS rhs
+  FROM toks,
+       LATERAL (SELECT unnest(generate_series(1, len(t) - 1)) AS j) js
+)
+SELECT lhs, rhs, CAST(COUNT(*) AS BIGINT) AS n_pairs
+FROM pr GROUP BY 1, 2
+ORDER BY n_pairs DESC, lhs ASC, rhs ASC
+LIMIT 50
+"""
+
+
+def q_corpus_quality_auc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed rank-sum ROC-AUC (ops/prefix.py: binary_auc —
+    Mann-Whitney over the global score rank, built on the prefix-sum
+    global_rank): how well document length separates English from
+    non-English in the corpus. One row (auc, n_pos, n_neg)."""
+    from ukis_h3cellstore_spark.ops import prefix as P
+
+    d = _docs(spark, sf_dir).select(
+        "doc_id", "n_chars", (F.col("lang") == "en").alias("is_en")
+    )
+    return P.binary_auc(
+        d, "n_chars", "is_en", tiebreak_cols=["doc_id"], num_partitions=8
+    )
+
+
+Q_CORPUS_QUALITY_AUC_SQL = """
+WITH r AS (
+  SELECT (lang = 'en') AS pos,
+         row_number() OVER (ORDER BY n_chars, doc_id) AS rk
+  FROM documents
+)
+SELECT round((CAST(SUM(rk) FILTER (WHERE pos) AS DOUBLE)
+              - CAST(SUM(CASE WHEN pos THEN 1 ELSE 0 END) AS DOUBLE)
+                * (CAST(SUM(CASE WHEN pos THEN 1 ELSE 0 END) AS DOUBLE) + 1.0)
+                / 2.0)
+             / (CAST(SUM(CASE WHEN pos THEN 1 ELSE 0 END) AS DOUBLE)
+                * CAST(SUM(CASE WHEN NOT pos THEN 1 ELSE 0 END) AS DOUBLE)),
+             6) AS auc,
+       CAST(SUM(CASE WHEN pos THEN 1 ELSE 0 END) AS BIGINT) AS n_pos,
+       CAST(SUM(CASE WHEN NOT pos THEN 1 ELSE 0 END) AS BIGINT) AS n_neg
+FROM r
+"""
+
+
 def q_text_char_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-language character-entropy report (gibberish/boilerplate
     screen): per-doc Shannon entropy in pure array folds, aggregated."""
@@ -2350,6 +2410,8 @@ QUERIES_OPS: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "dedup_segments": q_dedup_segments,
     "text_c4_filter": q_text_c4_filter,
     "dedup_span_excise": q_dedup_span_excise,
+    "text_bpe_pairs": q_text_bpe_pairs,
+    "corpus_quality_auc": q_corpus_quality_auc,
     "text_char_entropy": q_text_char_entropy,
     "corpus_temperature_mix": q_corpus_temperature_mix,
 }
@@ -2411,6 +2473,8 @@ ORACLES_OPS: dict[str, str] = {
     "dedup_segments": Q_DEDUP_SEGMENTS_SQL,
     "text_c4_filter": Q_TEXT_C4_FILTER_SQL,
     "dedup_span_excise": Q_DEDUP_SPAN_EXCISE_SQL,
+    "text_bpe_pairs": Q_TEXT_BPE_PAIRS_SQL,
+    "corpus_quality_auc": Q_CORPUS_QUALITY_AUC_SQL,
     "text_char_entropy": Q_TEXT_CHAR_ENTROPY_SQL,
     "corpus_temperature_mix": _q_corpus_temperature_mix_sql(),
 }

@@ -144,3 +144,55 @@ def global_rank(
         )
         .drop("__pid", "__rn", "__offset")
     )
+
+
+def binary_auc(
+    df: DataFrame,
+    score_col: str,
+    label_col: str,
+    tiebreak_cols: list[str] | None = None,
+    num_partitions: int | None = None,
+) -> DataFrame:
+    """Distributed ROC-AUC by the rank-sum (Mann-Whitney) identity:
+    ``AUC = (Σ rank(positives) − P(P+1)/2) / (P·N)`` with ranks taken
+    over the global score order — built on :func:`global_rank`, so the
+    rank never funnels through a single-partition sort. Returns ONE
+    row (auc, n_pos, n_neg).
+
+    Ties: ranks are row_numbers under (score, *tiebreak_cols), so tied
+    scores resolve deterministically rather than by midrank — exact
+    midrank handling would need a per-score-group average; with
+    continuous scores the two coincide. Give a unique tiebreak for
+    reproducibility (same contract as the SQL window being replaced).
+    """
+    order = [score_col] + list(tiebreak_cols or [])
+    ranked = global_rank(
+        df.select(
+            F.col(score_col), F.col(label_col).cast("boolean").alias("__pos"),
+            *[F.col(c) for c in (tiebreak_cols or [])],
+        ),
+        order,
+        out_col="__r",
+        num_partitions=num_partitions,
+    )
+    agg = ranked.agg(
+        F.sum(F.when(F.col("__pos"), F.col("__r")).otherwise(F.lit(0))).alias(
+            "__rs"
+        ),
+        F.sum(F.col("__pos").cast("long")).alias("n_pos"),
+        F.sum((~F.col("__pos")).cast("long")).alias("n_neg"),
+    )
+    return agg.select(
+        F.round(
+            (
+                F.col("__rs").cast("double")
+                - F.col("n_pos").cast("double")
+                * (F.col("n_pos").cast("double") + 1.0)
+                / 2.0
+            )
+            / (F.col("n_pos").cast("double") * F.col("n_neg").cast("double")),
+            6,
+        ).alias("auc"),
+        "n_pos",
+        "n_neg",
+    )

@@ -830,3 +830,45 @@ def c4_quality_filter(
         "has_curly_brace",
         c4_pass.alias("c4_pass"),
     )
+
+
+def bpe_pair_counts(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    top_k: int | None = None,
+) -> DataFrame:
+    """Corpus-wide adjacent-token-pair frequencies — the statistic a
+    BPE/WordPiece tokenizer trainer recomputes every merge round:
+    (left, right, n_pairs), optionally truncated to the ``top_k`` most
+    frequent (ties broken lexicographically for determinism).
+
+    One pass: per document the token array zips with its own tail
+    (``slice`` + ``zip_with`` — no explode of token STREAMS, only the
+    final pair rows), then a single partial-agg count keyed on the
+    pair. At corpus scale that is the canonical one-shuffle heavy-
+    hitter count; the top-k truncation plans as TakeOrderedAndProject
+    (no global sort materialization)."""
+    toks_df = df.select(F.col(id_col), tokens(text_col).alias("__toks"))
+    t = F.col("__toks")
+    n = F.size(t)
+    prs = F.when(
+        n >= 2,
+        F.zip_with(
+            F.slice(t, 1, n - 1),
+            F.slice(t, 2, n - 1),
+            lambda a, b: F.struct(a.alias("l"), b.alias("r")),
+        ),
+    ).otherwise(F.array().cast("array<struct<l:string,r:string>>"))
+    counts = (
+        toks_df.select(F.explode(prs).alias("__p"))
+        .groupBy(
+            F.col("__p.l").alias("left"), F.col("__p.r").alias("right")
+        )
+        .agg(F.count(F.lit(1)).alias("n_pairs"))
+    )
+    if top_k is not None:
+        counts = counts.orderBy(
+            F.desc("n_pairs"), F.asc("left"), F.asc("right")
+        ).limit(top_k)
+    return counts
