@@ -360,3 +360,101 @@ def test_temperature_rates_closed_form(spark, counts, tau):
     by_n = sorted(counts, key=lambda s: counts[s])
     for sm, lg in zip(by_n, by_n[1:]):
         assert rates[sm] >= rates[lg] - 1e-12
+
+
+def _span_reference(
+    docs: list[tuple[int, list[str]]], k: int, min_span: int
+) -> dict[tuple[int, int], tuple[int, int]]:
+    """Brute force: (id_a, id_b) -> (max shared token run >= min_span,
+    number of alignment offsets carrying one). A run at offset d means
+    tokens a[i + d] == b[i] over a maximal consecutive stretch."""
+    out: dict[tuple[int, int], tuple[int, int]] = {}
+    for ai in range(len(docs)):
+        for bi in range(len(docs)):
+            ida, ta = docs[ai]
+            idb, tb = docs[bi]
+            if ida >= idb:
+                continue
+            best: dict[int, int] = {}
+            for d in range(-(len(tb) - 1), len(ta)):
+                run = mx = 0
+                for j in range(len(tb)):
+                    i = j + d
+                    if 0 <= i < len(ta) and ta[i] == tb[j]:
+                        run += 1
+                        mx = max(mx, run)
+                    else:
+                        run = 0
+                if mx >= k:
+                    best[d] = mx
+            quals = [m for m in best.values() if m >= min_span]
+            if quals:
+                out[(ida, idb)] = (max(quals), len(quals))
+    return out
+
+
+@given(
+    docs=st.lists(
+        st.lists(
+            st.sampled_from(["a", "b", "c"]), min_size=1, max_size=24
+        ),
+        min_size=2,
+        max_size=6,
+    ),
+    k=st.sampled_from([2, 3]),
+)
+@settings(**_SETTINGS)
+def test_substring_span_pairs_matches_brute_force(spark, docs, k):
+    """Tiny alphabet forces repeated grams, multiple diagonals, and
+    periodic self-similar documents — the adversarial cases for the
+    diagonal-chaining fold."""
+    min_span = k + 1
+    rows = [(i, " ".join(toks)) for i, toks in enumerate(docs)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {
+        (r.id_a, r.id_b): (r.max_span_tokens, r.n_spans)
+        for r in D.substring_span_pairs(
+            df, k=k, min_span=min_span
+        ).collect()
+    }
+    want = _span_reference(list(enumerate(docs)), k, min_span)
+    assert got == want
+
+
+@given(
+    docs=st.lists(
+        st.lists(
+            st.sampled_from(["x", "y", "z", "w"]), min_size=1, max_size=6
+        ).map(lambda ws: " ".join(ws)),
+        min_size=1,
+        max_size=8,
+    )
+)
+@settings(**_SETTINGS)
+def test_segment_dedup_matches_brute_force(spark, docs):
+    """Each doc is lines of tiny-alphabet words (collisions likely);
+    keep-first-global semantics and rebuilt text must match a serial
+    scan."""
+    # each document takes a sliding window of up to 3 of the random
+    # lines, so lines repeat across documents by construction
+    rows = [
+        (i, "\n".join(docs[j] for j in range(i, min(i + 3, len(docs)))))
+        for i in range(len(docs))
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {
+        r.doc_id: (r.text_clean, r.n_segments, r.n_kept)
+        for r in D.segment_dedup(df).collect()
+    }
+    seen: set[str] = set()
+    want = {}
+    for i, text in rows:
+        segs = [s for s in text.split("\n") if s.strip()]
+        kept = []
+        for s in segs:
+            key = s.strip().lower()
+            if key not in seen:
+                seen.add(key)
+                kept.append(s)
+        want[i] = ("\n".join(kept), len(segs), len(kept))
+    assert got == want
