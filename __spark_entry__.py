@@ -35,6 +35,7 @@ _PRIORITY = [
     "events_global_cumsum",
     "text_bpe_pairs",
     "corpus_quality_auc",
+    "multimodal_phash_pairs",
     # tier 2 — oldest driver-green first
     "q7_nation_trade_volume",
     "q8_market_share",

@@ -1108,6 +1108,31 @@ def test_binary_auc_rank_sum(spark):
     assert P.binary_auc(df2, "score", "label", ["id"]).collect()[0].auc == 0.75
 
 
+def test_phash_locality_and_pairs(spark):
+    """The perceptual-hash stub must place near-identical payloads at
+    small hamming distance and unrelated payloads far apart, and the
+    banded pair join must find exactly the near-dup pair."""
+    from ukis_h3cellstore_spark.ops import multimodal as M
+
+    base = "the quick brown fox jumps over the lazy dog " * 8
+    near = base[:-10] + "cat sleeps"          # ~97% shared bytes
+    far = "completely different content with other words entirely " * 6
+    df = spark.createDataFrame(
+        [(1, base), (2, near), (3, far)], "doc_id long, text string"
+    )
+    pay = M.attach_binary_payload(df)
+    hs = {
+        r.doc_id: r.phash
+        for r in M.perceptual_hash_stub(pay).collect()
+    }
+    d12 = bin(hs[1] ^ hs[2]).count("1")
+    d13 = bin(hs[1] ^ hs[3]).count("1")
+    assert d12 < d13  # locality: near-dup closer than unrelated
+    assert d12 <= 6 and d13 > 10
+    pairs = M.phash_dup_pairs(pay, max_hamming=6).collect()
+    assert [(p.id_a, p.id_b) for p in pairs] == [(1, 2)]
+
+
 def test_c4_quality_filter_line_and_page_rules(spark):
     good = "this line has plenty of words and punctuation."
     rows = [

@@ -2115,6 +2115,44 @@ FROM r
 """
 
 
+def q_multimodal_phash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-duplicate media detection (ops/multimodal.py:
+    perceptual_hash_stub + ops/dedup.py: hamming_pairs): a SimHash-
+    style perceptual hash over binary payload byte 4-grams (Arrow-
+    batched mapInPandas — the real-decoder swap point), paired by the
+    generic banded-XOR hamming join."""
+    payloads = M.attach_binary_payload(_docs(spark, sf_dir))
+    return M.phash_dup_pairs(payloads, max_hamming=4).select(
+        "id_a", "id_b", F.col("hamming").cast("int").alias("hamming")
+    )
+
+
+Q_MULTIMODAL_PHASH_SQL = """
+WITH g AS (
+  SELECT doc_id, substr(text, j, 4) AS gram
+  FROM documents,
+       LATERAL (SELECT unnest(generate_series(1, len(text) - 3)) AS j) js
+  WHERE len(text) >= 4
+),
+hb AS (SELECT doc_id,
+              ('0x' || substr(md5(gram), 1, 15))::BIGINT AS h
+       FROM g),
+bits AS (
+  SELECT doc_id, b.j,
+         SUM(CASE WHEN (h >> b.j) & 1 = 1 THEN 1 ELSE -1 END) AS s
+  FROM hb, (SELECT unnest(generate_series(0, 59)) AS j) b
+  GROUP BY 1, 2
+),
+ph AS (SELECT doc_id,
+              SUM(CASE WHEN s > 0 THEN (1::BIGINT << j) ELSE 0 END) AS phash
+       FROM bits GROUP BY 1)
+SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+       CAST(bit_count(xor(a.phash, b.phash)) AS INT) AS hamming
+FROM ph a JOIN ph b ON a.doc_id < b.doc_id
+WHERE bit_count(xor(a.phash, b.phash)) <= 4
+"""
+
+
 def q_text_char_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-language character-entropy report (gibberish/boilerplate
     screen): per-doc Shannon entropy in pure array folds, aggregated."""
@@ -2412,6 +2450,7 @@ QUERIES_OPS: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "dedup_span_excise": q_dedup_span_excise,
     "text_bpe_pairs": q_text_bpe_pairs,
     "corpus_quality_auc": q_corpus_quality_auc,
+    "multimodal_phash_pairs": q_multimodal_phash_pairs,
     "text_char_entropy": q_text_char_entropy,
     "corpus_temperature_mix": q_corpus_temperature_mix,
 }
@@ -2475,6 +2514,7 @@ ORACLES_OPS: dict[str, str] = {
     "dedup_span_excise": Q_DEDUP_SPAN_EXCISE_SQL,
     "text_bpe_pairs": Q_TEXT_BPE_PAIRS_SQL,
     "corpus_quality_auc": Q_CORPUS_QUALITY_AUC_SQL,
+    "multimodal_phash_pairs": Q_MULTIMODAL_PHASH_SQL,
     "text_char_entropy": Q_TEXT_CHAR_ENTROPY_SQL,
     "corpus_temperature_mix": _q_corpus_temperature_mix_sql(),
 }

@@ -636,6 +636,26 @@ def simhash_hamming_pairs(
     (measured 2x the whole query at sf0.1 with 4 strips).
     """
     s = simhash(df, text_col, id_col, k, bits).localCheckpoint(eager=False)
+    return hamming_pairs(
+        s, fp_col="simhash", id_col=id_col, bits=bits, max_hamming=max_hamming
+    )
+
+
+def hamming_pairs(
+    fp_df: DataFrame,
+    fp_col: str,
+    id_col: str = "doc_id",
+    bits: int = 64,
+    max_hamming: int = 3,
+) -> DataFrame:
+    """Generic banded-XOR hamming join over ANY integer fingerprint
+    column (SimHash, perceptual hashes, binary sketches): exact all
+    pairs with distance ≤ ``max_hamming`` as (id_a, id_b, hamming).
+    Pigeonhole over ``max_hamming + 1`` contiguous strips — a
+    qualifying pair agrees exactly on ≥ 1 strip, so the self-join is
+    keyed on (band, strip value), never corpus², and ``bit_count(xor)``
+    verifies inline. Callers should checkpoint ``fp_df`` if computing
+    it is expensive (it feeds every band projection on both sides)."""
     n_bands = max_hamming + 1
     widths = [
         bits // n_bands + (1 if i < bits % n_bands else 0) for i in range(n_bands)
@@ -643,13 +663,13 @@ def simhash_hamming_pairs(
     parts = []
     lo = 0
     for i, w in enumerate(widths):
-        band_val = F.shiftrightunsigned(F.col("simhash"), lo).bitwiseAND(
+        band_val = F.shiftrightunsigned(F.col(fp_col), lo).bitwiseAND(
             F.lit((1 << w) - 1)
         )
         parts.append(
-            s.select(
+            fp_df.select(
                 F.col(id_col).alias("id"),
-                F.col("simhash"),
+                F.col(fp_col).alias("__fp"),
                 F.lit(i).alias("band"),
                 band_val.alias("band_key"),
             )
@@ -660,12 +680,12 @@ def simhash_hamming_pairs(
         bands = bands.unionByName(p)
 
     left = bands.select(
-        F.col("id").alias("id_a"), F.col("simhash").alias("sim_a"), "band", "band_key"
+        F.col("id").alias("id_a"), F.col("__fp").alias("fp_a"), "band", "band_key"
     )
     right = bands.select(
-        F.col("id").alias("id_b"), F.col("simhash").alias("sim_b"), "band", "band_key"
+        F.col("id").alias("id_b"), F.col("__fp").alias("fp_b"), "band", "band_key"
     )
-    ham = F.bit_count(F.col("sim_a").bitwiseXOR(F.col("sim_b")))
+    ham = F.bit_count(F.col("fp_a").bitwiseXOR(F.col("fp_b")))
     return (
         left.join(right, on=["band", "band_key"])
         .filter(F.col("id_a") < F.col("id_b"))

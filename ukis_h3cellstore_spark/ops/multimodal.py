@@ -193,3 +193,83 @@ def extract_features_stub(
             yield pd.DataFrame(rows, columns=["doc_id", "dim_no", "feat"])
 
     return df.mapInPandas(feat_batches, FEATURE_SCHEMA)
+
+
+PHASH_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("phash", T.LongType()),
+    ]
+)
+
+
+def perceptual_hash_stub(
+    df: DataFrame, id_col: str = "doc_id", gram: int = 4
+) -> DataFrame:
+    """Perceptual-hash stage for binary payloads: (id, 60-bit phash).
+
+    REAL DECODERS NOT AVAILABLE HERE, so instead of a DCT over decoded
+    pixels this computes a SimHash over the payload's byte ``gram``-
+    grams (md5-derived 60-bit feature hashes, sign-summed per bit).
+    That preserves the property every perceptual hash exists for —
+    similar payloads get NEARBY hashes (near-duplicate media share
+    most byte grams → most sign sums agree → small hamming distance) —
+    while staying bit-reproducible by the SQL oracle through the same
+    md5 idiom the MinHash family uses. Payloads shorter than ``gram``
+    bytes hash to 0. Arrow-batched ``mapInPandas`` with a per-
+    partition gram-hash cache; swapping in a real DCT pHash is a
+    one-function change."""
+
+    def hash_batches(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        import hashlib
+
+        import numpy as np
+        import pandas as pd
+
+        cache: dict[bytes, int] = {}
+
+        def gram_hash(g: bytes) -> int:
+            h = cache.get(g)
+            if h is None:
+                h = int(hashlib.md5(g).hexdigest()[:15], 16)  # 60 bits
+                cache[g] = h
+            return h
+
+        for pdf in batches:
+            out = []
+            for doc_id, payload in zip(pdf[id_col], pdf["payload"]):
+                payload = bytes(payload) if payload is not None else b""
+                m = len(payload) - gram + 1
+                if m <= 0:
+                    out.append((int(doc_id), 0))
+                    continue
+                hs = np.fromiter(
+                    (gram_hash(payload[i : i + gram]) for i in range(m)),
+                    dtype=np.int64,
+                    count=m,
+                )
+                # (m, 60) sign matrix in one shot, then column sums
+                bits = (hs[:, None] >> np.arange(60)) & 1
+                acc = (2 * bits - 1).sum(axis=0)
+                ph = 0
+                for j in np.nonzero(acc > 0)[0]:
+                    ph |= 1 << int(j)
+                out.append((int(doc_id), ph))
+            yield pd.DataFrame(out, columns=["doc_id", "phash"])
+
+    return df.mapInPandas(hash_batches, PHASH_SCHEMA)
+
+
+def phash_dup_pairs(
+    df: DataFrame, max_hamming: int = 8, id_col: str = "doc_id"
+) -> DataFrame:
+    """Near-duplicate media detection: perceptual hashes + the generic
+    banded-XOR hamming join — (id_a, id_b, hamming ≤ max_hamming).
+    The hash table is checkpointed once; the join is keyed on
+    (band, strip value), never corpus²."""
+    from ukis_h3cellstore_spark.ops.dedup import hamming_pairs
+
+    ph = perceptual_hash_stub(df, id_col).localCheckpoint(eager=False)
+    return hamming_pairs(
+        ph, fp_col="phash", id_col="doc_id", bits=64, max_hamming=max_hamming
+    )
