@@ -36,6 +36,7 @@ _PRIORITY = [
     "text_bpe_pairs",
     "corpus_quality_auc",
     "multimodal_phash_pairs",
+    "text_bpe_merge_apply",
     # tier 2 — oldest driver-green first
     "q7_nation_trade_volume",
     "q8_market_share",

@@ -1133,6 +1133,71 @@ def test_phash_locality_and_pairs(spark):
     assert [(p.id_a, p.id_b) for p in pairs] == [(1, 2)]
 
 
+def _bpe_reference(texts, n_merges, joiner=""):
+    """Serial BPE: per round, the (count-desc, lexicographic) argmax
+    adjacent pair, then greedy left-to-right merge in every doc."""
+    from collections import Counter
+
+    docs = {i: t.split() for i, t in texts.items()}
+    merges = []
+    for rank in range(n_merges):
+        counts = Counter()
+        for ws in docs.values():
+            for a, b in zip(ws, ws[1:]):
+                counts[(a, b)] += 1
+        if not counts:
+            break
+        (a, b), n = sorted(
+            counts.items(), key=lambda kv: (-kv[1], kv[0][0], kv[0][1])
+        )[0]
+        merges.append((rank, a, b, n))
+        for i, ws in docs.items():
+            out, j = [], 0
+            while j < len(ws):
+                if j + 1 < len(ws) and ws[j] == a and ws[j + 1] == b:
+                    out.append(a + joiner + b)
+                    j += 2
+                else:
+                    out.append(ws[j])
+                    j += 1
+            docs[i] = out
+    return merges, {i: " ".join(ws) for i, ws in docs.items()}
+
+
+def test_bpe_apply_merge_greedy_including_self_pairs(spark):
+    rows = [(1, "a a a a a"), (2, "x y x y x"), (3, "a a x y")]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = (
+        X.bpe_apply_merge(df, "a", "a").toPandas().set_index("doc_id")
+    )
+    # greedy self-pair: merge at odd run offsets -> "aa aa a"
+    assert out.loc[1].text == "aa aa a" and out.loc[1].n_merged == 2
+    assert out.loc[2].text == "x y x y x" and out.loc[2].n_merged == 0
+    assert out.loc[3].text == "aa x y"
+    out2 = X.bpe_apply_merge(df, "x", "y").toPandas().set_index("doc_id")
+    assert out2.loc[2].text == "xy xy x" and out2.loc[2].n_merged == 2
+
+
+def test_bpe_train_matches_serial_reference(spark):
+    texts = {
+        1: "low low low lower lowest",
+        2: "new new newer newest low low",
+        3: "wide wider new low newer",
+    }
+    df = spark.createDataFrame(
+        list(texts.items()), "doc_id long, text string"
+    )
+    merges = X.bpe_train(df, n_merges=3)
+    ref_merges, ref_docs = _bpe_reference(texts, 3)
+    assert merges == ref_merges
+    # and the rewritten corpus after those merges matches too
+    cur = df
+    for _, a, b, _n in merges:
+        cur = X.bpe_apply_merge(cur, a, b).select("doc_id", "text")
+    got = {r.doc_id: r.text for r in cur.collect()}
+    assert got == ref_docs
+
+
 def test_c4_quality_filter_line_and_page_rules(spark):
     good = "this line has plenty of words and punctuation."
     rows = [

@@ -2153,6 +2153,70 @@ WHERE bit_count(xor(a.phash, b.phash)) <= 4
 """
 
 
+def q_text_bpe_merge_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One BPE training round end-to-end (ops/text.py:
+    bpe_pair_counts + bpe_apply_merge): find the corpus's most
+    frequent adjacent token pair (one-row driver collect — the argmax
+    is metadata), then greedily rewrite every document with that merge
+    applied. The oracle replays greedy-left-to-right as odd positions
+    within match-run islands."""
+    docs = _docs(spark, sf_dir)
+    top = X.bpe_pair_counts(docs, top_k=1).collect()[0]
+    out = X.bpe_apply_merge(docs, top["left"], top["right"])
+    return out.select(
+        "doc_id",
+        F.col("text").alias("text_merged"),
+        F.col("n_merged").cast("long").alias("n_merged"),
+    )
+
+
+Q_TEXT_BPE_MERGE_SQL = f"""
+WITH toks AS (SELECT doc_id, {_DUCK_TOKS} AS t FROM documents),
+pr AS (
+  SELECT t[j] AS lhs, t[j + 1] AS rhs
+  FROM toks, LATERAL (SELECT unnest(generate_series(1, len(t) - 1)) AS j) js
+),
+top AS (SELECT lhs, rhs FROM pr GROUP BY 1, 2
+        ORDER BY COUNT(*) DESC, lhs ASC, rhs ASC LIMIT 1),
+m AS (
+  SELECT tk.doc_id, js.j
+  FROM toks tk, top,
+       LATERAL (SELECT unnest(generate_series(1, len(tk.t) - 1)) AS j) js
+  WHERE tk.t[js.j] = top.lhs AND tk.t[js.j + 1] = top.rhs
+),
+isl AS (SELECT doc_id, j,
+               j - row_number() OVER (PARTITION BY doc_id ORDER BY j) AS grp
+        FROM m),
+st AS (
+  SELECT doc_id, j FROM (
+    SELECT doc_id, j,
+           row_number() OVER (PARTITION BY doc_id, grp ORDER BY j) AS rn
+    FROM isl
+  ) WHERE rn % 2 = 1
+),
+cells AS (
+  SELECT tk.doc_id, js.i, tk.t[js.i] AS w, len(tk.t) AS n
+  FROM toks tk,
+       LATERAL (SELECT unnest(generate_series(1, len(tk.t))) AS i) js
+),
+kept AS (
+  SELECT c.doc_id, c.i,
+         CASE WHEN s1.j IS NOT NULL
+              THEN (SELECT lhs FROM top) || (SELECT rhs FROM top)
+              ELSE c.w END AS w,
+         c.n
+  FROM cells c
+  LEFT JOIN st s1 ON s1.doc_id = c.doc_id AND s1.j = c.i
+  LEFT JOIN st s2 ON s2.doc_id = c.doc_id AND s2.j = c.i - 1
+  WHERE s2.j IS NULL
+)
+SELECT doc_id,
+       string_agg(w, ' ' ORDER BY i) AS text_merged,
+       CAST(MAX(n) - COUNT(*) AS BIGINT) AS n_merged
+FROM kept GROUP BY doc_id
+"""
+
+
 def q_text_char_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-language character-entropy report (gibberish/boilerplate
     screen): per-doc Shannon entropy in pure array folds, aggregated."""
@@ -2451,6 +2515,7 @@ QUERIES_OPS: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "text_bpe_pairs": q_text_bpe_pairs,
     "corpus_quality_auc": q_corpus_quality_auc,
     "multimodal_phash_pairs": q_multimodal_phash_pairs,
+    "text_bpe_merge_apply": q_text_bpe_merge_apply,
     "text_char_entropy": q_text_char_entropy,
     "corpus_temperature_mix": q_corpus_temperature_mix,
 }
@@ -2515,6 +2580,7 @@ ORACLES_OPS: dict[str, str] = {
     "text_bpe_pairs": Q_TEXT_BPE_PAIRS_SQL,
     "corpus_quality_auc": Q_CORPUS_QUALITY_AUC_SQL,
     "multimodal_phash_pairs": Q_MULTIMODAL_PHASH_SQL,
+    "text_bpe_merge_apply": Q_TEXT_BPE_MERGE_SQL,
     "text_char_entropy": Q_TEXT_CHAR_ENTROPY_SQL,
     "corpus_temperature_mix": _q_corpus_temperature_mix_sql(),
 }

@@ -872,3 +872,95 @@ def bpe_pair_counts(
             F.desc("n_pairs"), F.asc("left"), F.asc("right")
         ).limit(top_k)
     return counts
+
+
+def bpe_apply_merge(
+    df: DataFrame,
+    left: str,
+    right: str,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    joiner: str = "",
+) -> DataFrame:
+    """Apply ONE BPE merge greedily left-to-right: every
+    non-overlapping adjacent occurrence of (``left``, ``right``)
+    collapses into the single token ``left + joiner + right`` —
+    including the self-pair case (aa aa → floor(run/2) merges), where
+    greedy equals "merge at odd offsets within each run". Returns
+    (id, text, n_merged).
+
+    One array fold per document (no explode, no shuffle): the
+    accumulator carries (rebuilt tokens, consumed-next flag), so the
+    operator pipelines map-side between the pair-count rounds of a
+    tokenizer training loop (:func:`bpe_train`)."""
+    toks_df = df.select(F.col(id_col), tokens(text_col).alias("__toks"))
+    t = F.col("__toks")
+    n = F.size(t)
+    merged_tok = F.lit(left + joiner + right)
+
+    def step(acc, i):
+        starts = (
+            (i < n)
+            & (F.element_at(t, i) == left)
+            # try_element_at: i+1 may exceed the array, and ANSI
+            # element_at raises instead of returning NULL
+            & (F.try_element_at(t, i + 1) == right)
+            & ~acc["skip"]
+        )
+        return F.struct(
+            F.when(acc["skip"], acc["arr"])
+            .when(starts, F.concat(acc["arr"], F.array(merged_tok)))
+            .otherwise(F.concat(acc["arr"], F.array(F.element_at(t, i))))
+            .alias("arr"),
+            starts.alias("skip"),
+        )
+
+    folded = F.aggregate(
+        F.sequence(F.lit(1), n),
+        F.struct(
+            F.array().cast("array<string>").alias("arr"),
+            F.lit(False).alias("skip"),
+        ),
+        step,
+        lambda acc: acc["arr"],
+    )
+    out = toks_df.select(
+        F.col(id_col), n.alias("__n"), folded.alias("__m")
+    )
+    return out.select(
+        F.col(id_col),
+        F.array_join("__m", " ").alias(text_col),
+        (F.col("__n") - F.size("__m")).cast("long").alias("n_merged"),
+    )
+
+
+def bpe_train(
+    df: DataFrame,
+    n_merges: int,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    joiner: str = "",
+) -> list[tuple[int, str, str, int]]:
+    """Train ``n_merges`` BPE merge rules on the corpus: each round
+    takes the most frequent adjacent pair (ties lexicographic — the
+    deterministic convention of :func:`bpe_pair_counts`) and rewrites
+    the corpus with :func:`bpe_apply_merge`. Returns
+    [(rank, left, right, count), ...].
+
+    Driver involvement per round is ONE one-row collect (the argmax
+    pair — metadata-sized by definition); the corpus itself never
+    leaves the cluster, and each round's rewrite is a map-only fold
+    stacked onto the previous round's frame (checkpointed per round so
+    lineage stays flat across many merges)."""
+    cur = df.select(F.col(id_col), F.col(text_col))
+    merges: list[tuple[int, str, str, int]] = []
+    for rank in range(n_merges):
+        top = bpe_pair_counts(cur, text_col, id_col, top_k=1).collect()
+        if not top:
+            break
+        row = top[0]
+        merges.append((rank, row["left"], row["right"], int(row["n_pairs"])))
+        cur = bpe_apply_merge(
+            cur, row["left"], row["right"], text_col, id_col, joiner
+        ).select(F.col(id_col), F.col(text_col)).localCheckpoint(eager=False)
+    return merges
