@@ -37,6 +37,7 @@ _PRIORITY = [
     "corpus_quality_auc",
     "multimodal_phash_pairs",
     "text_bpe_merge_apply",
+    "text_bigram_surprisal",
     # tier 2 — oldest driver-green first
     "q7_nation_trade_volume",
     "q8_market_share",

@@ -1625,3 +1625,24 @@ def test_ivfpq_build_search_matches_topk(vecs):
             index, vecs.filter(F.col("vec_id") < 2), k=2, nprobe=2
         ).toPandas().sort_values(["query_id", "rank"]).reset_index(drop=True)
         assert split.equals(one_shot)
+
+
+def test_bigram_surprisal_sequence_sensitivity(spark):
+    """Documents with identical unigram content but different bigram
+    structure must score differently: the repeated-phrase doc sees
+    high-count bigrams (low surprisal), the shuffled doc rare ones."""
+    phrase = "the quick brown fox "
+    natural = phrase * 6
+    shuffled = "the the quick brown fox quick fox brown " * 3
+    df = spark.createDataFrame(
+        [(1, natural), (2, shuffled)], "doc_id long, text string"
+    )
+    out = X.bigram_surprisal(df).toPandas().set_index("doc_id")
+    assert out.loc[1].avg_surprisal_milli < out.loc[2].avg_surprisal_milli
+    # exact check on a tiny corpus: "a b a b" alone
+    tiny = spark.createDataFrame([(1, "a b a b")], "doc_id long, text string")
+    r = X.bigram_surprisal(tiny).collect()[0]
+    # bigrams: (a,b)x2, (b,a)x1; V=2; c1(a)=2, c1(b)=1
+    # s(a,b) = bits(2+2) - bits(2+1) = 3-2 = 1  (twice)
+    # s(b,a) = bits(1+2) - bits(1+1) = 2-2 = 0
+    assert (r.n_bigrams, r.sum_surprisal) == (3, 2)

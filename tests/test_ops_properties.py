@@ -458,3 +458,36 @@ def test_segment_dedup_matches_brute_force(spark, docs):
                 kept.append(s)
         want[i] = ("\n".join(kept), len(segs), len(kept))
     assert got == want
+
+
+@given(
+    docs=st.lists(
+        st.lists(st.sampled_from(["a", "b"]), min_size=1, max_size=16),
+        min_size=1,
+        max_size=5,
+    ),
+    pair=st.tuples(st.sampled_from(["a", "b"]), st.sampled_from(["a", "b"])),
+)
+@settings(**_SETTINGS)
+def test_bpe_apply_merge_matches_serial_greedy(spark, docs, pair):
+    """Two-letter alphabet maximizes overlapping-run cases (aaaa with
+    pair (a,a)); the array fold must equal the serial greedy scan."""
+    from ukis_h3cellstore_spark.ops import text as X
+
+    left, right = pair
+    rows = [(i, " ".join(ws)) for i, ws in enumerate(docs)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {
+        r.doc_id: (r.text, r.n_merged)
+        for r in X.bpe_apply_merge(df, left, right).collect()
+    }
+    for i, ws in enumerate(docs):
+        out, j = [], 0
+        while j < len(ws):
+            if j + 1 < len(ws) and ws[j] == left and ws[j + 1] == right:
+                out.append(left + right)
+                j += 2
+            else:
+                out.append(ws[j])
+                j += 1
+        assert got[i] == (" ".join(out), len(ws) - len(out))

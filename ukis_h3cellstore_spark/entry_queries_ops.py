@@ -957,6 +957,42 @@ GROUP BY 1
 """
 
 
+def q_text_bigram_surprisal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Conditional bigram-LM scoring (ops/text.py: bigram_surprisal):
+    integer-exact add-1-smoothed bigram surprisal per document — the
+    sequence-aware rung of the perplexity-filter ladder."""
+    out = X.bigram_surprisal(_docs(spark, sf_dir))
+    return out.select(
+        "doc_id",
+        F.col("n_bigrams").cast("long").alias("n_bigrams"),
+        F.col("sum_surprisal").cast("long").alias("sum_surprisal"),
+        F.col("avg_surprisal_milli").cast("long").alias("avg_surprisal_milli"),
+    )
+
+
+Q_TEXT_BIGRAM_SURPRISAL_SQL = f"""
+WITH toks AS (SELECT doc_id, {_DUCK_TOKS} AS t FROM documents),
+big AS (
+  SELECT doc_id, t[j] AS p, t[j + 1] AS w
+  FROM toks, LATERAL (SELECT unnest(generate_series(1, len(t) - 1)) AS j) js
+),
+c2 AS (SELECT p, w, COUNT(*) AS c2 FROM big GROUP BY 1, 2),
+c1 AS (SELECT p, COUNT(*) AS c1 FROM big GROUP BY 1),
+v AS (
+  SELECT COUNT(DISTINCT tk) AS v
+  FROM (SELECT unnest(t) AS tk FROM toks) u WHERE length(tk) > 0
+)
+SELECT CAST(doc_id AS BIGINT) AS doc_id,
+       CAST(COUNT(*) AS BIGINT) AS n_bigrams,
+       CAST(SUM(length(bin(c1 + v)) - length(bin(c2 + 1))) AS BIGINT)
+         AS sum_surprisal,
+       CAST((1000 * SUM(length(bin(c1 + v)) - length(bin(c2 + 1))))
+            // COUNT(*) AS BIGINT) AS avg_surprisal_milli
+FROM big JOIN c2 USING (p, w) JOIN c1 USING (p) CROSS JOIN v
+GROUP BY 1
+"""
+
+
 def q_ann_filtered_top3(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Filtered ANN (search only rows passing a metadata predicate —
     the 'filtered vector search' every retrieval stack needs): the
@@ -2516,6 +2552,7 @@ QUERIES_OPS: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "corpus_quality_auc": q_corpus_quality_auc,
     "multimodal_phash_pairs": q_multimodal_phash_pairs,
     "text_bpe_merge_apply": q_text_bpe_merge_apply,
+    "text_bigram_surprisal": q_text_bigram_surprisal,
     "text_char_entropy": q_text_char_entropy,
     "corpus_temperature_mix": q_corpus_temperature_mix,
 }
@@ -2581,6 +2618,7 @@ ORACLES_OPS: dict[str, str] = {
     "corpus_quality_auc": Q_CORPUS_QUALITY_AUC_SQL,
     "multimodal_phash_pairs": Q_MULTIMODAL_PHASH_SQL,
     "text_bpe_merge_apply": Q_TEXT_BPE_MERGE_SQL,
+    "text_bigram_surprisal": Q_TEXT_BIGRAM_SURPRISAL_SQL,
     "text_char_entropy": Q_TEXT_CHAR_ENTROPY_SQL,
     "corpus_temperature_mix": _q_corpus_temperature_mix_sql(),
 }

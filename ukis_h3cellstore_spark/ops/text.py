@@ -964,3 +964,69 @@ def bpe_train(
             cur, row["left"], row["right"], text_col, id_col, joiner
         ).select(F.col(id_col), F.col(text_col)).localCheckpoint(eager=False)
     return merges
+
+
+def bigram_surprisal(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Conditional bigram-LM scoring — one rung up from
+    :func:`unigram_surprisal` toward the KenLM perplexity gate: per
+    token position the surprisal of w given its predecessor under an
+    add-1-smoothed corpus bigram model, in the same EXACT integer
+    arithmetic (``bits(c(prev) + V) - bits(c(prev, w) + 1)`` with
+    ``bits`` = binary digit count ≈ floor(log2)+1), so every engine
+    agrees bit-for-bit. Reports (id, n_bigrams, sum_surprisal,
+    avg_surprisal_milli). Word-salad text scores HIGH here even when
+    its unigram frequencies look natural — sequence structure is what
+    the bigram term measures.
+
+    Plan: bigram rows via one zip_with projection (no token-stream
+    explode beyond the pair rows), a pair-count hash-agg and a
+    context-count hash-agg (both map-side combinable), a 1-row vocab
+    size broadcast; the scoring joins shuffle on the pair / context
+    keys with fan-out exactly 1 — both count tables are
+    vocabulary-sized, never broadcast."""
+    toks_df = df.select(F.col(id_col).alias("__id"), tokens(text_col).alias("__toks"))
+    t = F.col("__toks")
+    n = F.size(t)
+    prs = F.when(
+        n >= 2,
+        F.zip_with(
+            F.slice(t, 1, n - 1),
+            F.slice(t, 2, n - 1),
+            lambda a, b: F.struct(a.alias("p"), b.alias("w")),
+        ),
+    ).otherwise(F.array().cast("array<struct<p:string,w:string>>"))
+    big = toks_df.select(F.col("__id"), F.explode(prs).alias("__b")).select(
+        "__id", F.col("__b.p").alias("__p"), F.col("__b.w").alias("__w")
+    )
+    c2 = big.groupBy("__p", "__w").agg(F.count(F.lit(1)).alias("__c2"))
+    c1 = big.groupBy("__p").agg(F.count(F.lit(1)).alias("__c1"))
+    vocab = (
+        df.select(F.explode(tokens(text_col)).alias("__tok"))
+        .filter(F.length("__tok") > 0)
+        .agg(F.countDistinct("__tok").alias("__v"))
+    )
+    scored = (
+        big.join(c2, ["__p", "__w"])
+        .join(c1, "__p")
+        .crossJoin(F.broadcast(vocab))
+        .withColumn(
+            "__s",
+            (
+                F.length(F.bin(F.col("__c1") + F.col("__v")))
+                - F.length(F.bin(F.col("__c2") + 1))
+            ).cast("long"),
+        )
+    )
+    return (
+        scored.groupBy(F.col("__id").alias(id_col))
+        .agg(
+            F.count(F.lit(1)).alias("n_bigrams"),
+            F.sum("__s").alias("sum_surprisal"),
+        )
+        .withColumn(
+            "avg_surprisal_milli",
+            F.expr("(1000 * sum_surprisal) div n_bigrams"),
+        )
+    )
