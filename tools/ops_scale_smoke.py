@@ -97,6 +97,12 @@ def main() -> None:
     print(
         f"{'substring_span_pairs':24s} {time.time() - t0:8.1f}s  ({n_spans:,} pairs)"
     )
+    phase("bigram_surprisal", X.bigram_surprisal(docs))
+    top = X.bpe_pair_counts(docs, top_k=1).collect()[0]
+    phase(
+        "bpe_apply_merge",
+        X.bpe_apply_merge(docs, top["left"], top["right"]),
+    )
     phase("dedup_exact", D.dedup_exact(docs))
     phase("minhash_signatures", D.minhash_signatures(docs))
     pairs = D.minhash_lsh_pairs(docs, min_est_jaccard=0.5)
