@@ -97,6 +97,23 @@ def main() -> None:
     print(
         f"{'substring_span_pairs':24s} {time.time() - t0:8.1f}s  ({n_spans:,} pairs)"
     )
+    # prefix sums at 5M rows: construction goes INSIDE the timed block
+    # because global_cumsum runs its partition-totals collect eagerly
+    from pyspark.sql import functions as _F
+
+    from ukis_h3cellstore_spark.ops import prefix as P
+
+    ev = spark.range(5_000_000).select(
+        _F.col("id"), (_F.col("id") % 997).alias("v")
+    )
+    gc()
+    t0 = time.time()
+    P.global_cumsum(ev, ["id"], "v", num_partitions=64).write.format(
+        "noop"
+    ).mode("overwrite").save()
+    dt = time.time() - t0
+    print(f"{'global_cumsum_5M':24s} {dt:8.1f}s  ({5_000_000 / dt:,.0f} rows/s)")
+
     phase("bigram_surprisal", X.bigram_surprisal(docs))
     top = X.bpe_pair_counts(docs, top_k=1).collect()[0]
     phase(
