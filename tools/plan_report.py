@@ -52,6 +52,11 @@ DEFAULT_QUERIES = [
     "dedup_span_excise",
     "text_c4_filter",
     "events_global_cumsum",
+    "text_bpe_pairs",
+    "text_bpe_merge_apply",
+    "text_bigram_surprisal",
+    "corpus_quality_auc",
+    "multimodal_phash_pairs",
 ]
 
 
