@@ -1646,3 +1646,33 @@ def test_bigram_surprisal_sequence_sensitivity(spark):
     # s(a,b) = bits(2+2) - bits(2+1) = 3-2 = 1  (twice)
     # s(b,a) = bits(1+2) - bits(1+1) = 2-2 = 0
     assert (r.n_bigrams, r.sum_surprisal) == (3, 2)
+
+
+def test_round6_ops_handle_empty_and_degenerate_input(spark):
+    """Empty corpus in -> empty/zero out, no crash, schema intact —
+    for every round-6 operator (the fold/lateral constructions are
+    where empty arrays and zero-row frames typically break)."""
+    from ukis_h3cellstore_spark.ops import multimodal as M
+    from ukis_h3cellstore_spark.ops import prefix as P
+
+    empty = spark.createDataFrame([], "doc_id long, text string")
+    assert D.substring_span_pairs(empty, k=3, min_span=4).count() == 0
+    assert D.substring_span_extents(empty, k=3, min_span=4).count() == 0
+    assert D.excise_shared_spans(empty, k=3, min_span=4).count() == 0
+    assert D.segment_dedup(empty).count() == 0
+    assert X.c4_quality_filter(empty).count() == 0
+    assert X.bpe_pair_counts(empty).count() == 0
+    assert X.bpe_apply_merge(empty, "a", "b").count() == 0
+    assert X.bigram_surprisal(empty).count() == 0
+    assert X.bpe_train(empty, 2) == []
+    assert M.phash_dup_pairs(M.attach_binary_payload(empty)).count() == 0
+    ev = spark.createDataFrame([], "k long, v long")
+    assert P.global_cumsum(ev, ["k"], "v", num_partitions=3).count() == 0
+    assert P.global_rank(ev, ["k"], num_partitions=3).count() == 0
+    # one-token / one-row degenerates
+    one = spark.createDataFrame([(1, "solo")], "doc_id long, text string")
+    assert D.substring_span_pairs(one, k=3, min_span=4).count() == 0
+    r = X.bigram_surprisal(one).collect()
+    assert r == []  # no bigrams in a 1-token doc
+    exc = D.excise_shared_spans(one, k=3, min_span=4).collect()[0]
+    assert exc.text_clean == "solo" and exc.n_cut == 0
