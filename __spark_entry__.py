@@ -38,6 +38,7 @@ _PRIORITY = [
     "multimodal_phash_pairs",
     "text_bpe_merge_apply",
     "text_bigram_surprisal",
+    "corpus_clean_pipeline",
     # tier 2 — oldest driver-green first
     "q7_nation_trade_volume",
     "q8_market_share",

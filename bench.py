@@ -64,6 +64,10 @@ HEADLINE = [
     "dedup_substring_spans",
     "dedup_span_excise",
     "events_global_cumsum",
+    "text_bigram_surprisal",
+    "text_bpe_merge_apply",
+    "multimodal_phash_pairs",
+    "corpus_clean_pipeline",
 ]
 
 #: bench-only implementations: same operator, scale-path configuration

@@ -2253,6 +2253,114 @@ FROM kept GROUP BY doc_id
 """
 
 
+def q_corpus_clean_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The composed modern-corpus cleaning pipeline over the round-6
+    operators, as ONE Catalyst chain: render lines → C4 line+page
+    filter → corpus-wide line dedup on the surviving pages → per-source
+    report (docs kept, lines kept/total, chars out). Exercises
+    cross-operator optimization — the C4 projection, the dedup
+    shuffle, and the report agg plan as one query."""
+    docs = _docs(spark, sf_dir)
+    toks_df = docs.select(
+        "doc_id", "source", X.tokens("text").alias("__toks")
+    )
+    n = F.size(F.col("__toks"))
+    lines = F.transform(
+        F.sequence(F.lit(0), F.ceil(n / F.lit(8.0)).cast("int") - 1),
+        lambda j: F.concat(
+            F.concat_ws(" ", F.slice(F.col("__toks"), j * 8 + 1, 8)),
+            F.when(j % 2 == 0, F.lit(".")).otherwise(F.lit("")),
+        ),
+    )
+    lined = toks_df.select(
+        "doc_id", "source", F.array_join(lines, "\n").alias("text")
+    )
+    cleaned = X.c4_quality_filter(lined.select("doc_id", "text"))
+    passed = cleaned.filter(F.col("c4_pass")).select(
+        "doc_id", F.col("text_clean").alias("text")
+    )
+    deduped = D.segment_dedup(passed)
+    return (
+        deduped.join(lined.select("doc_id", "source"), "doc_id")
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_segments").alias("n_lines"),
+            F.sum("n_kept").alias("n_lines_kept"),
+            F.sum(F.length("text_clean")).alias("n_chars_out"),
+        )
+    )
+
+
+Q_CORPUS_CLEAN_PIPELINE_SQL = f"""
+WITH toks AS (SELECT doc_id, source, {_DUCK_TOKS} AS t FROM documents),
+lines AS (
+  SELECT doc_id, source, j,
+         array_to_string(list_slice(t, j * 8 + 1, j * 8 + 8), ' ')
+           || CASE WHEN j % 2 = 0 THEN '.' ELSE '' END AS line
+  FROM toks,
+       LATERAL (SELECT unnest(generate_series(
+                  0, CAST(ceil(len(t) / 8.0) AS INT) - 1)) AS j) js
+),
+judged AS (
+  SELECT doc_id, source, j, line,
+         regexp_matches(trim(line), '[.!?"]$')
+           AND len(list_filter(regexp_split_to_array(trim(line), '\\s+'),
+                               w -> len(w) > 0)) >= 5
+           AND NOT regexp_matches(line,
+                 '\\b(javascript|cookie|cookies|privacy policy|terms of use)\\b',
+                 'i') AS ok
+  FROM lines
+),
+pages AS (
+  SELECT doc_id, source,
+         COALESCE(string_agg(line, chr(10) ORDER BY j)
+                    FILTER (WHERE ok), '') AS text_clean,
+         bool_or(contains(lower(line), 'lorem ipsum')) AS has_li,
+         bool_or(contains(line, '{{')) AS has_cb
+  FROM judged GROUP BY doc_id, source
+),
+passed AS (
+  SELECT doc_id, source, text_clean AS text
+  FROM pages
+  WHERE len(list_filter(regexp_split_to_array(text_clean, '[.!?]'),
+                        s -> len(trim(s)) > 0)) >= 3
+    AND NOT has_li AND NOT has_cb
+),
+split_docs AS (
+  SELECT doc_id, source, string_split(text, chr(10)) AS ls FROM passed
+),
+seg_pos AS (
+  SELECT doc_id, source, generate_subscripts(ls, 1) AS j2, ls
+  FROM split_docs
+),
+segs AS (
+  SELECT doc_id, source, j2, ls[j2] AS seg
+  FROM seg_pos WHERE trim(ls[j2]) <> ''
+),
+ranked AS (
+  SELECT doc_id, source, j2, seg,
+         row_number() OVER (PARTITION BY lower(trim(seg))
+                            ORDER BY doc_id, j2) AS rn
+  FROM segs
+),
+rebuilt AS (
+  SELECT doc_id, source,
+         COALESCE(string_agg(seg, chr(10) ORDER BY j2)
+                    FILTER (WHERE rn = 1), '') AS text_clean,
+         COUNT(*) AS n_segments,
+         COUNT(*) FILTER (WHERE rn = 1) AS n_kept
+  FROM ranked GROUP BY doc_id, source
+)
+SELECT source,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(n_segments) AS BIGINT) AS n_lines,
+       CAST(SUM(n_kept) AS BIGINT) AS n_lines_kept,
+       CAST(SUM(len(text_clean)) AS BIGINT) AS n_chars_out
+FROM rebuilt GROUP BY source
+"""
+
+
 def q_text_char_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-language character-entropy report (gibberish/boilerplate
     screen): per-doc Shannon entropy in pure array folds, aggregated."""
@@ -2553,6 +2661,7 @@ QUERIES_OPS: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "multimodal_phash_pairs": q_multimodal_phash_pairs,
     "text_bpe_merge_apply": q_text_bpe_merge_apply,
     "text_bigram_surprisal": q_text_bigram_surprisal,
+    "corpus_clean_pipeline": q_corpus_clean_pipeline,
     "text_char_entropy": q_text_char_entropy,
     "corpus_temperature_mix": q_corpus_temperature_mix,
 }
@@ -2619,6 +2728,7 @@ ORACLES_OPS: dict[str, str] = {
     "multimodal_phash_pairs": Q_MULTIMODAL_PHASH_SQL,
     "text_bpe_merge_apply": Q_TEXT_BPE_MERGE_SQL,
     "text_bigram_surprisal": Q_TEXT_BIGRAM_SURPRISAL_SQL,
+    "corpus_clean_pipeline": Q_CORPUS_CLEAN_PIPELINE_SQL,
     "text_char_entropy": Q_TEXT_CHAR_ENTROPY_SQL,
     "corpus_temperature_mix": _q_corpus_temperature_mix_sql(),
 }
