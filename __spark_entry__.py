@@ -39,6 +39,7 @@ _PRIORITY = [
     "text_bpe_merge_apply",
     "text_bigram_surprisal",
     "corpus_clean_pipeline",
+    "corpus_resampled_mix",
     # tier 2 — oldest driver-green first
     "q7_nation_trade_volume",
     "q8_market_share",

@@ -1198,6 +1198,32 @@ def test_bpe_train_matches_serial_reference(spark):
     assert got == ref_docs
 
 
+def test_resample_by_source_upsamples_and_matches_subsample(spark):
+    from ukis_h3cellstore_spark.ops import sampling as SM
+
+    rows = [(i, f"s{i % 3}", "txt") for i in range(300)]
+    df = spark.createDataFrame(rows, "doc_id long, source string, text string")
+    rates = {"s0": 2.5, "s1": 0.4, "s2": 1.0}
+    out = SM.resample_by_source(df, rates).toPandas()
+    # s2 at 1.0: every row exactly once
+    s2 = out[out.source == "s2"]
+    assert len(s2) == 100 and s2.copy_no.max() == 0
+    # s0 at 2.5: every row at least twice, ~half three times
+    s0 = out[out.source == "s0"]
+    per = s0.groupby("doc_id").size()
+    assert per.min() == 2 and per.max() == 3 and len(per) == 100
+    assert 30 <= (per == 3).sum() <= 70  # salted ~50%
+    # s1 at 0.4: identical kept set to the down-sampling operator
+    kept_up = set(out[out.source == "s1"].doc_id)
+    kept_down = {
+        r.doc_id
+        for r in SM.subsample_by_source(df, rates).collect()
+        if r.source == "s1"
+    }
+    assert kept_up == kept_down
+    assert 20 <= len(kept_up) <= 60
+
+
 def test_c4_quality_filter_line_and_page_rules(spark):
     good = "this line has plenty of words and punctuation."
     rows = [

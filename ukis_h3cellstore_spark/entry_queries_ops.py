@@ -1301,6 +1301,56 @@ GROUP BY 1
 """
 
 
+def q_corpus_resampled_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Up-sampling mixture (ops/sampling.py: resample_by_source):
+    rates above 1.0 repeat rows — epoch repetition for rare sources in
+    a temperature-balanced mix. src0 is 2.5×-repeated, src1 keeps 40 %
+    (bit-identical to the down-sampling operator at rates ≤ 1),
+    everything else rides at 1.0."""
+    out = SM.resample_by_source(
+        _docs(spark, sf_dir), {"src0": 2.5, "src1": 0.4}
+    )
+    return out.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.countDistinct("doc_id").alias("n_docs"),
+        F.max("copy_no").cast("long").alias("max_copy_no"),
+    )
+
+
+def _q_corpus_resampled_mix_sql() -> str:
+    bucket = (
+        "(('0x' || substr(md5('mix' || '|' || CAST(doc_id AS VARCHAR)), 1, 15))"
+        f"::BIGINT % {SM.SPLIT_BUCKETS})"
+    )
+    return f"""
+WITH r AS (
+  SELECT doc_id, source, {bucket} AS b,
+         CASE WHEN source = 'src0' THEN 2.5
+              WHEN source = 'src1' THEN 0.4
+              ELSE 1.0 END AS rate
+  FROM documents
+),
+c AS (
+  SELECT doc_id, source,
+         CAST(floor(rate) AS BIGINT)
+           + CASE WHEN b < CAST(round((rate - floor(rate))
+                                      * {SM.SPLIT_BUCKETS}) AS BIGINT)
+                  THEN 1 ELSE 0 END AS n
+  FROM r
+),
+e AS (
+  SELECT doc_id, source,
+         unnest(generate_series(0, CAST(n AS INT) - 1)) AS copy_no
+  FROM c WHERE n > 0
+)
+SELECT source,
+       CAST(COUNT(*) AS BIGINT) AS n_rows,
+       CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS n_docs,
+       CAST(MAX(copy_no) AS BIGINT) AS max_copy_no
+FROM e GROUP BY 1
+"""
+
+
 def _pii_inject_spark() -> list:
     # Built lazily: F.col() needs an active SparkContext, so a
     # module-level list would make the import require a session.
@@ -2662,6 +2712,7 @@ QUERIES_OPS: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "text_bpe_merge_apply": q_text_bpe_merge_apply,
     "text_bigram_surprisal": q_text_bigram_surprisal,
     "corpus_clean_pipeline": q_corpus_clean_pipeline,
+    "corpus_resampled_mix": q_corpus_resampled_mix,
     "text_char_entropy": q_text_char_entropy,
     "corpus_temperature_mix": q_corpus_temperature_mix,
 }
@@ -2729,6 +2780,7 @@ ORACLES_OPS: dict[str, str] = {
     "text_bpe_merge_apply": Q_TEXT_BPE_MERGE_SQL,
     "text_bigram_surprisal": Q_TEXT_BIGRAM_SURPRISAL_SQL,
     "corpus_clean_pipeline": Q_CORPUS_CLEAN_PIPELINE_SQL,
+    "corpus_resampled_mix": _q_corpus_resampled_mix_sql(),
     "text_char_entropy": Q_TEXT_CHAR_ENTROPY_SQL,
     "corpus_temperature_mix": _q_corpus_temperature_mix_sql(),
 }

@@ -400,3 +400,61 @@ def dsir_importance_weights(
             ),
         )
     )
+
+
+def resample_by_source(
+    df: DataFrame,
+    rates: dict[str, float],
+    default_rate: float = 1.0,
+    source_col: str = "source",
+    id_col: str = "doc_id",
+    salt: str = "mix",
+) -> DataFrame:
+    """Mixture weighting with UP-sampling: rates above 1.0 repeat rows
+    (epoch repetition — what a temperature-balanced mix needs when the
+    rare source's target share exceeds its natural share). Each row
+    becomes ``floor(rate)`` guaranteed copies plus one extra decided
+    by the same salted id hash as :func:`subsample_by_source` (so for
+    rates ≤ 1.0 the kept set is IDENTICAL to the down-sampling
+    operator's). Output adds ``copy_no`` (0-based) — distinct
+    (id, copy_no) keys keep downstream shuffles well-defined.
+
+    Pure map-side: one ``explode(sequence(...))`` per row, no shuffle,
+    no rand(); re-running yields the same physical mix, which is what
+    makes checkpoint-resumable training-data builds possible."""
+    bucket = (
+        F.conv(
+            F.substring(
+                F.md5(
+                    F.concat(F.lit(salt), F.lit("|"), F.col(id_col).cast("string"))
+                ),
+                1,
+                15,
+            ),
+            16,
+            10,
+        ).cast("long")
+        % SPLIT_BUCKETS
+    )
+    rate_expr = F.lit(float(default_rate))
+    for src, rate in sorted(rates.items()):
+        rate_expr = F.when(
+            F.col(source_col) == src, F.lit(float(rate))
+        ).otherwise(rate_expr)
+    staged = df.withColumns(
+        {
+            "__whole": F.floor(rate_expr).cast("long"),
+            "__frac_keep": bucket
+            < F.round((rate_expr - F.floor(rate_expr)) * SPLIT_BUCKETS).cast(
+                "long"
+            ),
+        }
+    )
+    n_copies = (
+        F.col("__whole") + F.col("__frac_keep").cast("long")
+    ).cast("int")
+    return (
+        staged.filter(n_copies > 0)
+        .withColumn("copy_no", F.explode(F.sequence(F.lit(0), n_copies - 1)))
+        .drop("__whole", "__frac_keep")
+    )
