@@ -40,6 +40,7 @@ _PRIORITY = [
     "text_bigram_surprisal",
     "corpus_clean_pipeline",
     "corpus_resampled_mix",
+    "streaming_segment_dedup",
     # tier 2 — oldest driver-green first
     "q7_nation_trade_volume",
     "q8_market_share",

@@ -132,6 +132,84 @@ GROUP BY 1
 """
 
 
+def q_streaming_segment_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming LINE dedup for a corpus ingest (the streaming face of
+    ops/dedup.segment_dedup): documents arrive in micro-batches, each
+    is rendered to 8-token lines, and per line key the streaming state
+    keeps the canonical first occurrence — ``min(struct(doc, pos))``
+    and the count are associative, so the answer is independent of how
+    documents split across batches and equals the batch replay."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+        "doc_id", "text"
+    )
+    stream_dir = tempfile.mkdtemp(prefix="h3stream_segs_")
+    docs.repartition(4).write.mode("overwrite").parquet(stream_dir)
+    stream = st.read_stream(
+        spark, stream_dir, docs.schema, max_files_per_trigger=1
+    )
+    toks = F.split(F.trim(F.col("text")), r"\s+")
+    n = F.size(toks)
+    lines = F.transform(
+        F.sequence(F.lit(0), F.ceil(n / F.lit(8.0)).cast("int") - 1),
+        lambda j: F.concat_ws(" ", F.slice(toks, j * 8 + 1, 8)),
+    )
+    seg = (
+        stream.select(
+            "doc_id", F.posexplode(lines).alias("pos", "seg")
+        )
+        .filter(F.trim(F.col("seg")) != "")
+        .select(
+            F.md5(F.lower(F.trim(F.col("seg")))).alias("line_key"),
+            # composite (doc, pos) packed into one BIGINT so the
+            # associative MIN is portable to the SQL oracle (pos is
+            # bounded far below the 100k stride)
+            (F.col("doc_id") * 100_000 + F.col("pos")).alias("occ"),
+        )
+        .groupBy("line_key")
+        .agg(
+            F.min("occ").alias("__first"),
+            F.count(F.lit(1)).alias("n_occurrences"),
+        )
+        .select(
+            "line_key",
+            F.expr("CAST(__first DIV 100000 AS LONG)").alias("canonical_doc"),
+            (F.col("__first") % 100_000).cast("long").alias("canonical_pos"),
+            "n_occurrences",
+        )
+    )
+    _SINK_COUNTER[0] += 1
+    sink = f"stream_segdedup_sink_{_SINK_COUNTER[0]}"
+    q = (
+        seg.writeStream.format("memory")
+        .queryName(sink)
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    _await_done(q)
+    return spark.table(sink)
+
+
+_Q_STREAMING_SEGMENT_DEDUP_SQL = """
+WITH toks AS (SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS t
+              FROM documents),
+lines AS (
+  SELECT doc_id, j AS pos,
+         array_to_string(list_slice(t, j * 8 + 1, j * 8 + 8), ' ') AS seg
+  FROM toks,
+       LATERAL (SELECT unnest(generate_series(
+                  0, CAST(ceil(len(t) / 8.0) AS INT) - 1)) AS j) js
+)
+SELECT md5(lower(trim(seg))) AS line_key,
+       CAST(MIN(doc_id * 100000 + pos) // 100000 AS BIGINT) AS canonical_doc,
+       CAST(MIN(doc_id * 100000 + pos) % 100000 AS BIGINT) AS canonical_pos,
+       COUNT(*) AS n_occurrences
+FROM lines
+WHERE trim(seg) <> ''
+GROUP BY 1
+"""
+
+
 def q_streaming_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Native session windows over the event stream (session_window,
     30-minute gap, complete mode on the bounded stream): micro-batch
@@ -448,6 +526,7 @@ GROUP BY 1
 
 
 QUERIES_STREAM: dict[str, Callable[[SparkSession, str], DataFrame]] = {
+    "streaming_segment_dedup": q_streaming_segment_dedup,
     "streaming_stateful_accumulator": q_streaming_stateful_accumulator,
     "streaming_topk": q_streaming_topk,
     "streaming_tableset_ingest": q_streaming_tableset_ingest,
@@ -458,6 +537,7 @@ QUERIES_STREAM: dict[str, Callable[[SparkSession, str], DataFrame]] = {
 }
 
 ORACLES_STREAM: dict[str, str] = {
+    "streaming_segment_dedup": _Q_STREAMING_SEGMENT_DEDUP_SQL,
     "streaming_stateful_accumulator": _q_streaming_stateful_accumulator_sql(),
     "streaming_topk": _Q_STREAMING_TOPK_SQL,
     "streaming_tableset_ingest": _q_streaming_tableset_ingest_sql(),
