@@ -57,6 +57,8 @@ DEFAULT_QUERIES = [
     "text_bigram_surprisal",
     "corpus_quality_auc",
     "multimodal_phash_pairs",
+    "corpus_clean_pipeline",
+    "corpus_resampled_mix",
 ]
 
 
