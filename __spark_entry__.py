@@ -41,6 +41,7 @@ _PRIORITY = [
     "corpus_clean_pipeline",
     "corpus_resampled_mix",
     "streaming_segment_dedup",
+    "ann_hard_negatives",
     # tier 2 — oldest driver-green first
     "q7_nation_trade_volume",
     "q8_market_share",

@@ -1702,3 +1702,25 @@ def test_round6_ops_handle_empty_and_degenerate_input(spark):
     assert r == []  # no bigrams in a 1-token doc
     exc = D.excise_shared_spans(one, k=3, min_span=4).collect()[0]
     assert exc.text_clean == "solo" and exc.n_cut == 0
+
+
+def test_hard_negative_topk_excludes_near_duplicates(spark):
+    """The anchor's near-duplicate (cos ~1) must NOT appear as a
+    negative; the hardest sub-threshold neighbor must."""
+    rows = [
+        (0, [1.0, 0.0, 0.0]),          # anchor
+        (1, [0.999, 0.01, 0.0]),       # near-dup of anchor -> excluded
+        (2, [0.7, 0.7, 0.0]),          # cos ~0.707 -> hardest negative
+        (3, [0.0, 1.0, 0.0]),          # orthogonal
+        (4, [-1.0, 0.0, 0.0]),         # opposite
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    out = S.hard_negative_topk(
+        df, df.filter(F.col("vec_id") == 0), k=2, dup_threshold=0.9
+    ).collect()
+    assert [(r.neighbor_id, r.rank) for r in out] == [(2, 1), (3, 2)]
+    # with the threshold lifted, the near-dup is rank 1 again
+    top = S.hard_negative_topk(
+        df, df.filter(F.col("vec_id") == 0), k=1, dup_threshold=1.1
+    ).collect()
+    assert top[0].neighbor_id == 1

@@ -491,3 +491,45 @@ def test_bpe_apply_merge_matches_serial_greedy(spark, docs, pair):
                 out.append(ws[j])
                 j += 1
         assert got[i] == (" ".join(out), len(ws) - len(out))
+
+
+@given(
+    docs=st.lists(
+        st.lists(st.sampled_from(["u", "v", "w"]), min_size=1, max_size=10),
+        min_size=1,
+        max_size=5,
+    )
+)
+@settings(**_SETTINGS)
+def test_bigram_surprisal_matches_serial_reference(spark, docs):
+    """Integer bit-count surprisal against a serial Python replay:
+    bits(c1(prev)+V) - bits(c2(prev,w)+1) summed per document."""
+    from collections import Counter
+
+    from ukis_h3cellstore_spark.ops import text as X
+
+    rows = [(i, " ".join(ws)) for i, ws in enumerate(docs)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {
+        r.doc_id: (r.n_bigrams, r.sum_surprisal)
+        for r in X.bigram_surprisal(df).collect()
+    }
+    c2, c1 = Counter(), Counter()
+    vocab = set()
+    for i, ws in enumerate(docs):
+        vocab.update(w for w in ws if w)
+        for a, b in zip(ws, ws[1:]):
+            c2[(a, b)] += 1
+            c1[a] += 1
+    V = len(vocab)
+    want = {}
+    for i, ws in enumerate(docs):
+        n = len(ws) - 1
+        if n <= 0:
+            continue
+        s = sum(
+            (c1[a] + V).bit_length() - (c2[(a, b)] + 1).bit_length()
+            for a, b in zip(ws, ws[1:])
+        )
+        want[i] = (n, s)
+    assert got == want

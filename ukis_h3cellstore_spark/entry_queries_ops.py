@@ -383,6 +383,40 @@ FROM ranked WHERE rank <= 3
 """
 
 
+def q_ann_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Contrastive hard-negative mining (ops/similarity.py:
+    hard_negative_topk): per anchor, the 2 most similar vectors BELOW
+    the duplicate threshold — near-dups are excluded BEFORE ranking so
+    they can't become false negatives. The 0.2 threshold suits the
+    near-orthogonal synthetic corpus (same convention as the semantic
+    dedup gate)."""
+    e = _embs(spark, sf_dir)
+    return S.hard_negative_topk(
+        e, e.filter(F.col("vec_id") < 10), k=2, dup_threshold=0.2
+    )
+
+
+Q_ANN_HARD_NEGATIVES_SQL = f"""
+WITH q AS (SELECT vec_id AS query_id, embedding AS q_vec FROM embeddings
+           WHERE vec_id < 10),
+     c AS (SELECT vec_id AS neighbor_id, embedding AS c_vec FROM embeddings),
+scored AS (
+  SELECT q.query_id, a.neighbor_id,
+         round(CAST({_DUCK_COSINE} AS DOUBLE), 4) AS cosine_sim
+  FROM c a, q WHERE a.neighbor_id <> q.query_id
+),
+ranked AS (
+  SELECT *, row_number() OVER (
+      PARTITION BY query_id ORDER BY cosine_sim DESC, neighbor_id ASC) AS rank
+  FROM scored WHERE cosine_sim < 0.2
+)
+SELECT CAST(query_id AS BIGINT) AS query_id,
+       CAST(neighbor_id AS BIGINT) AS neighbor_id,
+       cosine_sim, CAST(rank AS INT) AS rank
+FROM ranked WHERE rank <= 2
+"""
+
+
 _LSH_TABLES = 4
 _LSH_PLANES = 6
 
@@ -2713,6 +2747,7 @@ QUERIES_OPS: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "text_bigram_surprisal": q_text_bigram_surprisal,
     "corpus_clean_pipeline": q_corpus_clean_pipeline,
     "corpus_resampled_mix": q_corpus_resampled_mix,
+    "ann_hard_negatives": q_ann_hard_negatives,
     "text_char_entropy": q_text_char_entropy,
     "corpus_temperature_mix": q_corpus_temperature_mix,
 }
@@ -2781,6 +2816,7 @@ ORACLES_OPS: dict[str, str] = {
     "text_bigram_surprisal": Q_TEXT_BIGRAM_SURPRISAL_SQL,
     "corpus_clean_pipeline": Q_CORPUS_CLEAN_PIPELINE_SQL,
     "corpus_resampled_mix": _q_corpus_resampled_mix_sql(),
+    "ann_hard_negatives": Q_ANN_HARD_NEGATIVES_SQL,
     "text_char_entropy": Q_TEXT_CHAR_ENTROPY_SQL,
     "corpus_temperature_mix": _q_corpus_temperature_mix_sql(),
 }

@@ -112,6 +112,49 @@ def cosine_topk(
     )
 
 
+def hard_negative_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 1,
+    dup_threshold: float = 0.9,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    round_digits: int = 4,
+) -> DataFrame:
+    """Contrastive hard-negative mining: per query, the top-k MOST
+    similar corpus vectors strictly BELOW ``dup_threshold`` —
+    "hardest non-positive" selection for training retrieval/embedding
+    models, where near-duplicates of the anchor must not be used as
+    negatives (they would be false negatives). Same broadcast-query
+    plan as :func:`cosine_topk`; the duplicate exclusion is a filter
+    BEFORE the rank window, so candidates shrink first."""
+    q = queries.select(
+        F.col(id_col).alias("query_id"), F.col(vec_col).alias("q_vec")
+    )
+    c = corpus.select(
+        F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("c_vec")
+    )
+    scored = (
+        c.crossJoin(F.broadcast(q))
+        .filter(F.col("neighbor_id") != F.col("query_id"))
+        .withColumn(
+            "cosine_sim",
+            F.round(
+                cosine_similarity(F.col("q_vec"), F.col("c_vec")), round_digits
+            ),
+        )
+        .filter(F.col("cosine_sim") < dup_threshold)
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cosine_sim").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "cosine_sim", "rank")
+    )
+
+
 # ------------------------------------------------------------- banded LSH
 
 
