@@ -42,6 +42,7 @@ _PRIORITY = [
     "corpus_resampled_mix",
     "streaming_segment_dedup",
     "ann_hard_negatives",
+    "rag_prep_pipeline",
     # tier 2 — oldest driver-green first
     "q7_nation_trade_volume",
     "q8_market_share",

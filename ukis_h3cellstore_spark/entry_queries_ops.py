@@ -1739,6 +1739,93 @@ FROM st
 """
 
 
+def q_rag_prep_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RAG corpus preparation end-to-end as one Catalyst chain:
+    chunk documents (32-token windows, 8 overlap — the shuffle-free
+    flatMap), attach a deterministic hash embedding per chunk (md5-
+    derived, the honest stand-in for the env-blocked encoder — same
+    convention as the multimodal feature stub), and retrieve the top-3
+    nearest chunks for the first three chunk probes by exact cosine.
+    Chunking, embedding, and retrieval plan as ONE query."""
+    from ukis_h3cellstore_spark.ops import sampling as _SM2
+
+    chunks = _SM2.chunk_documents(
+        _docs(spark, sf_dir), chunk_tokens=32, overlap=8
+    )
+    dims = [
+        (
+            F.conv(
+                F.substring(
+                    F.md5(
+                        F.concat(
+                            F.col("chunk_text"), F.lit("|"), F.lit(str(d))
+                        )
+                    ),
+                    1,
+                    8,
+                ),
+                16,
+                10,
+            ).cast("long")
+            % 1000
+        ).cast("double")
+        / 1000.0
+        for d in range(4)
+    ]
+    emb = chunks.select(
+        (F.col("doc_id") * 1000 + F.col("chunk_no")).alias("vec_id"),
+        F.array(*dims).alias("embedding"),
+    )
+    probes = emb.filter(F.col("vec_id") < 3)
+    return S.cosine_topk(emb, probes, k=3)
+
+
+Q_RAG_PREP_PIPELINE_SQL = f"""
+WITH base AS (SELECT doc_id, {_DUCK_TOKS} AS toks FROM documents),
+nn AS (SELECT doc_id, toks,
+              CASE WHEN len(array_to_string(toks, '')) = 0 THEN 0
+                   ELSE len(toks) END AS n
+       FROM base),
+st AS (SELECT doc_id, toks, n, u.i AS start_i
+       FROM nn, unnest(generate_series(1, n, 24)) AS u(i)),
+chunks AS (
+  SELECT doc_id * 1000 + (start_i - 1) // 24 AS vec_id,
+         array_to_string(list_slice(toks, start_i, start_i + 31), ' ')
+           AS chunk_text
+  FROM st
+),
+emb AS (
+  SELECT vec_id,
+         [CAST(('0x' || substr(md5(chunk_text || '|0'), 1, 8))::BIGINT % 1000
+               AS DOUBLE) / 1000.0,
+          CAST(('0x' || substr(md5(chunk_text || '|1'), 1, 8))::BIGINT % 1000
+               AS DOUBLE) / 1000.0,
+          CAST(('0x' || substr(md5(chunk_text || '|2'), 1, 8))::BIGINT % 1000
+               AS DOUBLE) / 1000.0,
+          CAST(('0x' || substr(md5(chunk_text || '|3'), 1, 8))::BIGINT % 1000
+               AS DOUBLE) / 1000.0] AS embedding
+  FROM chunks
+),
+q AS (SELECT vec_id AS query_id, embedding AS q_vec FROM emb
+      WHERE vec_id < 3),
+c AS (SELECT vec_id AS neighbor_id, embedding AS c_vec FROM emb),
+scored AS (
+  SELECT q.query_id, a.neighbor_id,
+         round(CAST({_DUCK_COSINE} AS DOUBLE), 4) AS cosine_sim
+  FROM c a, q WHERE a.neighbor_id <> q.query_id
+),
+ranked AS (
+  SELECT *, row_number() OVER (
+      PARTITION BY query_id ORDER BY cosine_sim DESC, neighbor_id ASC) AS rank
+  FROM scored
+)
+SELECT CAST(query_id AS BIGINT) AS query_id,
+       CAST(neighbor_id AS BIGINT) AS neighbor_id,
+       cosine_sim, CAST(rank AS INT) AS rank
+FROM ranked WHERE rank <= 3
+"""
+
+
 def q_text_gopher_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Gopher/MassiveText quality rule set per document (ops/text.
     gopher_quality_flags) — rule measurements + combined verdict, all
@@ -2748,6 +2835,7 @@ QUERIES_OPS: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "corpus_clean_pipeline": q_corpus_clean_pipeline,
     "corpus_resampled_mix": q_corpus_resampled_mix,
     "ann_hard_negatives": q_ann_hard_negatives,
+    "rag_prep_pipeline": q_rag_prep_pipeline,
     "text_char_entropy": q_text_char_entropy,
     "corpus_temperature_mix": q_corpus_temperature_mix,
 }
@@ -2817,6 +2905,7 @@ ORACLES_OPS: dict[str, str] = {
     "corpus_clean_pipeline": Q_CORPUS_CLEAN_PIPELINE_SQL,
     "corpus_resampled_mix": _q_corpus_resampled_mix_sql(),
     "ann_hard_negatives": Q_ANN_HARD_NEGATIVES_SQL,
+    "rag_prep_pipeline": Q_RAG_PREP_PIPELINE_SQL,
     "text_char_entropy": Q_TEXT_CHAR_ENTROPY_SQL,
     "corpus_temperature_mix": _q_corpus_temperature_mix_sql(),
 }
