@@ -43,6 +43,7 @@ _PRIORITY = [
     "streaming_segment_dedup",
     "ann_hard_negatives",
     "rag_prep_pipeline",
+    "dedup_incremental_index",
     # tier 2 — oldest driver-green first
     "q7_nation_trade_volume",
     "q8_market_share",

@@ -1724,3 +1724,32 @@ def test_hard_negative_topk_excludes_near_duplicates(spark):
         df, df.filter(F.col("vec_id") == 0), k=1, dup_threshold=1.1
     ).collect()
     assert top[0].neighbor_id == 1
+
+
+def test_incremental_index_reads_buckets_exchange_free(spark):
+    """The persisted MinHash index must join a new batch WITHOUT
+    re-shuffling its own side: no Exchange directly above the index
+    scan in the physical plan, and the candidates must equal the
+    direct cross-set LSH computation."""
+    rows = [(i, f"w{i % 7} w{(i + 1) % 7} w{(i + 2) % 7} w{i % 5} w{i % 3}")
+            for i in range(60)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    corpus, batch = df.filter("doc_id >= 20"), df.filter("doc_id < 20")
+    D.build_minhash_index(corpus, "mh_idx_test", num_buckets=4)
+    try:
+        out = D.dedup_against_index(batch, "mh_idx_test", min_est_jaccard=0.5)
+        plan = out._jdf.queryExecution().executedPlan().toString()
+        # the index side is a FileSourceScan with SelectedBucketsCount;
+        # the only exchanges belong to the (small) batch side
+        assert "SelectedBucketsCount" in plan or "Bucketed: true" in plan
+        got = {(r.id_new, r.id_indexed) for r in out.collect()}
+        # reference: self-join LSH over the union, restricted cross-set
+        allp = D.minhash_lsh_pairs(df, min_est_jaccard=0.5).collect()
+        want = set()
+        for r in allp:
+            lo, hi = sorted((r.id_a, r.id_b))
+            if lo < 20 <= hi:
+                want.add((lo, hi))
+        assert got == want
+    finally:
+        spark.sql("DROP TABLE IF EXISTS mh_idx_test")

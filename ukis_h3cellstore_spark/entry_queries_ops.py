@@ -230,6 +230,48 @@ WHERE ({eq_sum}) / 8.0 >= 0.25
 """
 
 
+_IDX_COUNTER = [0]
+
+
+def q_dedup_incremental_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Day-2 incremental dedup (ops/dedup.py: build_minhash_index +
+    dedup_against_index): the existing corpus (doc_id ≥ 100) is
+    persisted ONCE as a bucketed banded-MinHash index; the incoming
+    batch (doc_id < 100) bands itself and joins the index — only the
+    batch side shuffles (test_ops asserts the index side reads its
+    buckets Exchange-free)."""
+    docs = _docs(spark, sf_dir)
+    _IDX_COUNTER[0] += 1
+    table = f"mh_index_{_IDX_COUNTER[0]}_{abs(hash(sf_dir)) % 10_000}"
+    D.build_minhash_index(docs.filter(F.col("doc_id") >= 100), table)
+    return D.dedup_against_index(
+        docs.filter(F.col("doc_id") < 100), table, min_est_jaccard=0.25
+    )
+
+
+def _q_dedup_incremental_index_sql() -> str:
+    mins = ", ".join(
+        f"MIN({_duck_minhash_slot(i)}) AS m{i}" for i in range(8)
+    )
+    band_conds = " OR ".join(
+        "(" + " AND ".join(f"a.m{i} = b.m{i}" for i in range(b * 2, b * 2 + 2)) + ")"
+        for b in range(4)
+    )
+    eq_sum = " + ".join(
+        f"CASE WHEN a.m{i} = b.m{i} THEN 1 ELSE 0 END" for i in range(8)
+    )
+    return f"""
+WITH sh AS ({_DUCK_SHINGLES}),
+sig AS (SELECT doc_id, {mins} FROM sh GROUP BY doc_id)
+SELECT CAST(a.doc_id AS BIGINT) AS id_new,
+       CAST(b.doc_id AS BIGINT) AS id_indexed,
+       ({eq_sum}) / 8.0 AS est_jaccard
+FROM sig a JOIN sig b
+  ON a.doc_id < 100 AND b.doc_id >= 100 AND ({band_conds})
+WHERE ({eq_sum}) / 8.0 >= 0.25
+"""
+
+
 def q_dedup_lsh_verified(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Two-stage near-dup: MinHash-LSH candidates verified with the
     exact shingle Jaccard (ops/dedup.lsh_verified_pairs) — the
@@ -2836,6 +2878,7 @@ QUERIES_OPS: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "corpus_resampled_mix": q_corpus_resampled_mix,
     "ann_hard_negatives": q_ann_hard_negatives,
     "rag_prep_pipeline": q_rag_prep_pipeline,
+    "dedup_incremental_index": q_dedup_incremental_index,
     "text_char_entropy": q_text_char_entropy,
     "corpus_temperature_mix": q_corpus_temperature_mix,
 }
@@ -2906,6 +2949,7 @@ ORACLES_OPS: dict[str, str] = {
     "corpus_resampled_mix": _q_corpus_resampled_mix_sql(),
     "ann_hard_negatives": Q_ANN_HARD_NEGATIVES_SQL,
     "rag_prep_pipeline": Q_RAG_PREP_PIPELINE_SQL,
+    "dedup_incremental_index": _q_dedup_incremental_index_sql(),
     "text_char_entropy": Q_TEXT_CHAR_ENTROPY_SQL,
     "corpus_temperature_mix": _q_corpus_temperature_mix_sql(),
 }

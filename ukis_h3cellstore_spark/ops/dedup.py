@@ -369,6 +369,54 @@ def minhash_signatures(
     return base.groupBy(id_col).agg(*aggs)
 
 
+def minhash_band_rows(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 3,
+    num_hashes: int = 8,
+    band_size: int = 2,
+    shingles: DataFrame | None = None,
+) -> DataFrame:
+    """Banded MinHash rows (id, sig, band, band_key) — the shared
+    substrate of the LSH self-join, the persisted index build, and
+    incremental index queries. The signature table is checkpointed
+    lazily: it feeds every band projection (and both sides of a
+    self-join), and Spark does not reuse exchanges across
+    differently-aliased consumers — unchecked, the plan re-ran the
+    shingle explode + hashing + min-agg once per band per side
+    (8 corpus scans at the 4-band default)."""
+    sig = minhash_signatures(df, text_col, id_col, k, num_hashes, shingles)
+    msig = [f"m{i}" for i in range(num_hashes)]
+    sig = sig.select(
+        F.col(id_col).alias("id"),
+        F.array(*[F.col(m) for m in msig]).alias("sig"),
+    ).localCheckpoint(eager=False)
+    n_bands = -(-num_hashes // band_size)  # ceil → remainder = short band
+    band_parts = []
+    for b in range(n_bands):
+        lo = b * band_size
+        width = min(band_size, num_hashes - lo)
+        band_parts.append(
+            sig.select(
+                "id",
+                "sig",
+                F.lit(b).alias("band"),
+                F.concat_ws(
+                    "|",
+                    *[
+                        F.element_at("sig", lo + j + 1).cast("string")
+                        for j in range(width)
+                    ],
+                ).alias("band_key"),
+            )
+        )
+    bands = band_parts[0]
+    for p in band_parts[1:]:
+        bands = bands.unionByName(p)
+    return bands
+
+
 def minhash_lsh_pairs(
     df: DataFrame,
     text_col: str = "text",
@@ -393,40 +441,9 @@ def minhash_lsh_pairs(
     re-joins. When ``num_hashes`` is not divisible by ``band_size``,
     the remainder slots form a final short band (no silent recall
     loss)."""
-    sig = minhash_signatures(df, text_col, id_col, k, num_hashes, shingles)
-    msig = [f"m{i}" for i in range(num_hashes)]
-    sig = sig.select(
-        F.col(id_col).alias("id"),
-        F.array(*[F.col(m) for m in msig]).alias("sig"),
-    ).localCheckpoint(eager=False)
-    # checkpointed lazily: the signature table feeds every band
-    # projection on BOTH self-join sides, and Spark does not reuse
-    # exchanges across the differently-aliased consumers — unchecked,
-    # the plan re-ran the shingle explode + hashing + min-agg once
-    # per band per side (8 corpus scans at the 4-band default)
-    n_bands = -(-num_hashes // band_size)  # ceil → remainder = short band
-
-    band_parts = []
-    for b in range(n_bands):
-        lo = b * band_size
-        width = min(band_size, num_hashes - lo)
-        band_parts.append(
-            sig.select(
-                "id",
-                "sig",
-                F.lit(b).alias("band"),
-                F.concat_ws(
-                    "|",
-                    *[
-                        F.element_at("sig", lo + j + 1).cast("string")
-                        for j in range(width)
-                    ],
-                ).alias("band_key"),
-            )
-        )
-    bands = band_parts[0]
-    for p in band_parts[1:]:
-        bands = bands.unionByName(p)
+    bands = minhash_band_rows(
+        df, text_col, id_col, k, num_hashes, band_size, shingles
+    )
 
     left = bands.select(
         F.col("id").alias("id_a"), F.col("sig").alias("sig_a"), "band", "band_key"
@@ -1079,4 +1096,77 @@ def excise_shared_spans(
         ),
         n.cast("long").alias("n_tokens"),
         (n - F.size(kept)).cast("long").alias("n_cut"),
+    )
+
+
+def build_minhash_index(
+    df: DataFrame,
+    table: str,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 3,
+    num_hashes: int = 8,
+    band_size: int = 2,
+    num_buckets: int = 16,
+) -> None:
+    """Persist the corpus's banded MinHash rows as a BUCKETED catalog
+    table keyed on (band, band_key) — the incremental-dedup index. The
+    corpus-sized shuffle is paid ONCE here; every later batch query
+    joins against the index without re-shuffling it (Spark reads the
+    buckets in place — the index side plans Exchange-free, and only
+    the new batch, by construction the small side, moves)."""
+    from ukis_h3cellstore_spark import layout
+
+    bands = minhash_band_rows(df, text_col, id_col, k, num_hashes, band_size)
+    layout.write_bucketed(
+        bands,
+        ["band", "band_key"],
+        table,
+        num_buckets=num_buckets,
+        sort_by=["band", "band_key"],
+    )
+
+
+def dedup_against_index(
+    new_df: DataFrame,
+    index_table: str,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 3,
+    num_hashes: int = 8,
+    band_size: int = 2,
+    min_est_jaccard: float = 0.5,
+) -> DataFrame:
+    """Incremental near-dup screening: band the NEW batch with the
+    same MinHash parameters and join it against the persisted index —
+    (id_new, id_indexed, est_jaccard ≥ threshold). This is the
+    day-2 shape of corpus dedup: the existing corpus never re-shuffles
+    (bucketed index), the batch is the only moving side, and flagged
+    ids feed whatever keep/drop policy the ingest applies. Ids present
+    in both sides are ignored (a re-ingested document is not its own
+    duplicate)."""
+    spark = new_df.sparkSession
+    idx = spark.table(index_table).select(
+        F.col("id").alias("id_indexed"),
+        F.col("sig").alias("sig_idx"),
+        "band",
+        "band_key",
+    )
+    nb = minhash_band_rows(
+        new_df, text_col, id_col, k, num_hashes, band_size
+    ).select(
+        F.col("id").alias("id_new"), F.col("sig").alias("sig_new"), "band", "band_key"
+    )
+    est = F.aggregate(
+        F.zip_with("sig_new", "sig_idx", lambda x, y: (x == y).cast("int")),
+        F.lit(0),
+        lambda acc, v: acc + v,
+    ) / F.lit(float(num_hashes))
+    return (
+        nb.join(idx, on=["band", "band_key"])
+        .filter(F.col("id_new") != F.col("id_indexed"))
+        .withColumn("est_jaccard", est)
+        .filter(F.col("est_jaccard") >= min_est_jaccard)
+        .select("id_new", "id_indexed", "est_jaccard")
+        .distinct()
     )
