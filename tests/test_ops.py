@@ -1753,3 +1753,91 @@ def test_incremental_index_reads_buckets_exchange_free(spark):
         assert got == want
     finally:
         spark.sql("DROP TABLE IF EXISTS mh_idx_test")
+
+
+def test_bm25_matches_bruteforce(spark):
+    import math
+
+    docs = spark.createDataFrame(
+        [
+            (0, "apple banana apple cherry"),
+            (1, "apple banana"),
+            (2, "banana cherry date date"),
+            (3, "date elderberry fig"),
+            (4, ""),
+        ],
+        "doc_id long, text string",
+    )
+    queries = spark.createDataFrame(
+        [(1, "apple date"), (2, "cherry")], "query_id long, query_text string"
+    )
+    out = {
+        (r["query_id"], r["doc_id"]): (r["bm25"], r["rank"])
+        for r in X.bm25_topk(docs, queries, topk=10).collect()
+    }
+
+    corpus = {
+        0: "apple banana apple cherry".split(),
+        1: "apple banana".split(),
+        2: "banana cherry date date".split(),
+        3: "date elderberry fig".split(),
+        4: [],
+    }
+    n_docs = len(corpus)
+    avgdl = sum(len(t) for t in corpus.values()) / n_docs
+    k1, b = 1.2, 0.75
+
+    def idf(term):
+        df = sum(1 for t in corpus.values() if term in t)
+        return math.log((n_docs - df + 0.5) / (df + 0.5) + 1.0)
+
+    def bm25(qterms, toks):
+        s = 0.0
+        for t in sorted(set(qterms)):
+            tf = toks.count(t)
+            if tf == 0:
+                continue
+            dl = len(toks)
+            s += idf(t) * (tf * (k1 + 1.0)) / (
+                tf + k1 * ((1.0 - b) + b * dl / avgdl)
+            )
+        return round(s, 4)
+
+    expected = {}
+    for qid, qtext in [(1, "apple date"), (2, "cherry")]:
+        scores = [
+            (bm25(qtext.split(), toks), did)
+            for did, toks in corpus.items()
+            if bm25(qtext.split(), toks) > 0.0
+        ]
+        for rank, (s, did) in enumerate(
+            sorted(scores, key=lambda x: (-x[0], x[1])), 1
+        ):
+            expected[(qid, did)] = (s, rank)
+
+    assert set(out) == set(expected)
+    for key, (score, rank) in expected.items():
+        assert out[key][0] == pytest.approx(score, abs=1e-4), key
+        assert out[key][1] == rank, key
+
+
+def test_bm25_tf_saturation_and_idf(spark):
+    # same doc length; tf 3 beats tf 1; rare term outweighs common one
+    docs = spark.createDataFrame(
+        [
+            (0, "kiwi kiwi kiwi pad"),
+            (1, "kiwi pad pad pad"),
+            (2, "pad pad pad pad"),
+            (3, "rare pad pad pad"),
+        ],
+        "doc_id long, text string",
+    )
+    q = spark.createDataFrame(
+        [(1, "kiwi"), (2, "rare pad")], "query_id long, query_text string"
+    )
+    rows = X.bm25_topk(docs, q, topk=10).collect()
+    kiwi = {r["doc_id"]: r["rank"] for r in rows if r["query_id"] == 1}
+    assert kiwi[0] == 1 and kiwi[1] == 2 and 2 not in kiwi
+    # for "rare pad": doc 3 (rare, df=1) must beat the pad-only docs
+    mixed = {r["doc_id"]: r["rank"] for r in rows if r["query_id"] == 2}
+    assert mixed[3] == 1

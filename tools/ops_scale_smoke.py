@@ -115,6 +115,18 @@ def main() -> None:
     print(f"{'global_cumsum_5M':24s} {dt:8.1f}s  ({5_000_000 / dt:,.0f} rows/s)")
 
     phase("bigram_surprisal", X.bigram_surprisal(docs))
+    # BM25: query terms carry replica suffixes so each term matches
+    # exactly one replica's postings — the timed cost is the corpus
+    # postings explode + broadcast term filter, i.e. the scale path
+    bm25_q = spark.createDataFrame(
+        [
+            (1, "sparkr0 joinr0 filterr0"),
+            (2, "customerr1 orderr1 datar1"),
+            (3, "streamr2 windowr2 merger2"),
+        ],
+        "query_id long, query_text string",
+    )
+    phase("bm25_topk", X.bm25_topk(docs, bm25_q, topk=10))
     top = X.bpe_pair_counts(docs, top_k=1).collect()[0]
     phase(
         "bpe_apply_merge",

@@ -2814,7 +2814,85 @@ SELECT d.doc_id,
 FROM documents d LEFT JOIN scored s ON d.doc_id = s.doc_id
 """
 
+_BM25_QUERIES = [
+    (1, "spark join filter"),
+    (2, "customer order data"),
+    (3, "stream window merge"),
+]
+
+
+def q_text_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25 lexical retrieval (ops/text.bm25_topk): top-5 documents
+    for three fixed keyword queries. The postings explode is
+    pre-filtered by a broadcast query-term list, so every shuffle
+    scales with matched hits, not corpus x vocab."""
+    queries = spark.createDataFrame(
+        _BM25_QUERIES, "query_id long, query_text string"
+    )
+    return X.bm25_topk(_docs(spark, sf_dir), queries, topk=5)
+
+
+def _q_text_bm25_sql() -> str:
+    vals = ", ".join(f"({i}, '{t}')" for i, t in _BM25_QUERIES)
+    k1, b = 1.2, 0.75
+    k1p1, one_m_b = k1 + 1.0, 1.0 - b
+    return f"""
+WITH q(query_id, query_text) AS (VALUES {vals}),
+base AS (
+  SELECT doc_id,
+         list_filter({_DUCK_TOKS}, t -> len(t) > 0) AS toks
+  FROM documents
+),
+b2 AS (SELECT doc_id, toks, len(toks) AS dl FROM base),
+stats AS (SELECT COUNT(*) AS n_docs, SUM(dl) AS sum_dl FROM b2),
+qt AS (
+  SELECT DISTINCT query_id,
+         unnest(regexp_split_to_array(trim(query_text), '\\s+')) AS term
+  FROM q
+),
+tl AS (SELECT DISTINCT term FROM qt),
+posts AS (
+  SELECT doc_id, dl, u.term
+  FROM b2, unnest(toks) AS u(term)
+  JOIN tl USING (term)
+),
+tf AS (
+  SELECT term, doc_id, dl, COUNT(*) AS tf
+  FROM posts GROUP BY 1, 2, 3
+),
+dfc AS (SELECT term, COUNT(*) AS df FROM tf GROUP BY 1),
+idf AS (
+  SELECT term, ln((s.n_docs - df + 0.5) / (df + 0.5) + 1.0) AS idf,
+         CAST(s.sum_dl AS DOUBLE) / s.n_docs AS avgdl
+  FROM dfc CROSS JOIN stats s
+),
+scored AS (
+  SELECT qt.query_id, tf.doc_id, tf.term,
+         i.idf * ((tf.tf * {k1p1!r})
+                  / (tf.tf + {k1!r} * ({one_m_b!r} + {b!r} * tf.dl / i.avgdl)))
+           AS score
+  FROM tf JOIN idf i USING (term) JOIN qt USING (term)
+),
+per_qd AS (
+  SELECT query_id, doc_id,
+         round(list_reduce(list(score ORDER BY term), (s, v) -> s + v), 4)
+           AS bm25
+  FROM scored GROUP BY 1, 2
+),
+ranked AS (
+  SELECT *, row_number() OVER (
+      PARTITION BY query_id ORDER BY bm25 DESC, doc_id ASC) AS rank
+  FROM per_qd
+)
+SELECT CAST(query_id AS BIGINT) AS query_id,
+       CAST(doc_id AS BIGINT) AS doc_id,
+       bm25, CAST(rank AS INT) AS rank
+FROM ranked WHERE rank <= 5
+"""
+
+
 QUERIES_OPS: dict[str, Callable[[SparkSession, str], DataFrame]] = {
+    "text_bm25_topk": q_text_bm25_topk,
     "corpus_dsir_weights": q_corpus_dsir_weights,
     "text_normalize": q_text_normalize,
     "text_boilerplate": q_text_boilerplate,
@@ -2884,6 +2962,7 @@ QUERIES_OPS: dict[str, Callable[[SparkSession, str], DataFrame]] = {
 }
 
 ORACLES_OPS: dict[str, str] = {
+    "text_bm25_topk": _q_text_bm25_sql(),
     "corpus_dsir_weights": _q_corpus_dsir_weights_sql(),
     "text_normalize": Q_TEXT_NORMALIZE_SQL,
     "text_boilerplate": Q_TEXT_BOILERPLATE_SQL,

@@ -1064,3 +1064,148 @@ def bigram_surprisal(
             F.expr("(1000 * sum_surprisal) div n_bigrams"),
         )
     )
+
+
+def bm25_topk(
+    docs: DataFrame,
+    queries: DataFrame,
+    *,
+    k1: float = 1.2,
+    b: float = 0.75,
+    topk: int = 10,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    query_id_col: str = "query_id",
+    query_text_col: str = "query_text",
+) -> DataFrame:
+    """BM25 lexical retrieval (Robertson/Sparck Jones probabilistic
+    ranking — the function behind Lucene/Elasticsearch relevance):
+    for each query return the ``topk`` documents ranked by
+    ``sum_t idf(t) * tf*(k1+1) / (tf + k1*(1-b+b*dl/avgdl))`` with
+    ``idf = ln((N-df+0.5)/(df+0.5) + 1)``.
+
+    Plan, sized for a corpus-scale doc table and a dim-sized query
+    table: the corpus is scanned twice, both projection-only — once
+    for the 1-row (N, sum_dl) stats aggregate, once to explode
+    postings. Postings are pre-filtered by a BROADCAST semi-join on
+    the distinct query-term list before any shuffle, so tf and df
+    aggregations touch only matched postings (scales with hits, not
+    |corpus| x |vocab|). Doc length rides the posting rows as a
+    grouping key, so no corpus-sized dl join exists. df per term is
+    computable post-filter because df(t) only counts docs containing
+    t. The idf table is query-term-sized and broadcast back; the
+    final per-(query, doc) sum folds term scores in sorted term
+    order (deterministic double accumulation, the documented
+    sorted-fold convention), then a per-query window takes top-k.
+
+    All arithmetic constants are Python-computed doubles fed to both
+    engines, and the fold order is fixed, so results hash-match the
+    DuckDB oracle bit-for-bit at round(4).
+    """
+    toks = F.filter(tokens(text_col), lambda t: F.length(t) > 0)
+    base = docs.select(
+        F.col(id_col).alias("__doc"), toks.alias("__toks")
+    ).withColumn("__dl", F.size("__toks"))
+
+    stats = base.agg(
+        F.count(F.lit(1)).alias("__n_docs"),
+        F.sum("__dl").alias("__sum_dl"),
+    )
+
+    q_terms = (
+        queries.select(
+            F.col(query_id_col).alias("__qid"),
+            F.explode(F.filter(tokens(query_text_col), lambda t: F.length(t) > 0)).alias(
+                "__term"
+            ),
+        )
+        .distinct()
+    )
+    term_list = q_terms.select("__term").distinct()
+
+    posts = base.select(
+        "__doc", "__dl", F.explode("__toks").alias("__term")
+    ).join(F.broadcast(term_list), "__term")
+
+    # ONE materialization of the matched-postings tf table feeds both
+    # the df/idf aggregate and the scoring join — without it Catalyst
+    # re-plans the whole explode+filter subtree for the idf branch and
+    # the corpus text column is scanned twice more (same
+    # no-exchange-reuse rationale as lsh_verified_pairs)
+    tf = (
+        posts.groupBy("__term", "__doc", "__dl")
+        .agg(F.count(F.lit(1)).alias("__tf"))
+        .localCheckpoint(eager=False)
+    )
+    df_tbl = tf.groupBy("__term").agg(F.count(F.lit(1)).alias("__df"))
+
+    idf_tbl = df_tbl.crossJoin(F.broadcast(stats)).withColumn(
+        "__idf",
+        F.log(
+            (F.col("__n_docs") - F.col("__df") + F.lit(0.5))
+            / (F.col("__df") + F.lit(0.5))
+            + F.lit(1.0)
+        ),
+    )
+
+    k1p1 = k1 + 1.0
+    one_m_b = 1.0 - b
+    scored = (
+        tf.join(F.broadcast(idf_tbl.select("__term", "__idf", "__n_docs", "__sum_dl")), "__term")
+        .join(F.broadcast(q_terms), "__term")
+        .withColumn(
+            "__avgdl",
+            F.col("__sum_dl").cast("double") / F.col("__n_docs"),
+        )
+        .withColumn(
+            "__score",
+            F.col("__idf")
+            * (
+                (F.col("__tf") * F.lit(k1p1))
+                / (
+                    F.col("__tf")
+                    + F.lit(k1)
+                    * (
+                        F.lit(one_m_b)
+                        + F.lit(b) * F.col("__dl") / F.col("__avgdl")
+                    )
+                )
+            ),
+        )
+    )
+
+    per_qd = (
+        scored.groupBy("__qid", "__doc")
+        .agg(
+            F.array_sort(
+                F.collect_list(F.struct(F.col("__term"), F.col("__score")))
+            ).alias("__ts")
+        )
+        .withColumn(
+            "__bm25",
+            F.round(
+                F.aggregate(
+                    "__ts",
+                    F.lit(0.0),
+                    lambda acc, x: acc + x["__score"],
+                ),
+                4,
+            ),
+        )
+    )
+
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("__qid").orderBy(
+        F.col("__bm25").desc(), F.col("__doc").asc()
+    )
+    return (
+        per_qd.withColumn("rank", F.row_number().over(w).cast("int"))
+        .filter(F.col("rank") <= topk)
+        .select(
+            F.col("__qid").alias(query_id_col),
+            F.col("__doc").alias(id_col),
+            F.col("__bm25").alias("bm25"),
+            "rank",
+        )
+    )
