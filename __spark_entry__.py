@@ -29,6 +29,7 @@ from pyspark.sql import DataFrame, SparkSession
 _PRIORITY = [
     # tier 1 — never driver-sampled (round-6 additions)
     "text_bm25_topk",
+    "ann_hamming_top3",
     "dedup_substring_spans",
     "dedup_segments",
     "text_c4_filter",

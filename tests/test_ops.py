@@ -1841,3 +1841,45 @@ def test_bm25_tf_saturation_and_idf(spark):
     # for "rare pad": doc 3 (rare, df=1) must beat the pad-only docs
     mixed = {r["doc_id"]: r["rank"] for r in rows if r["query_id"] == 2}
     assert mixed[3] == 1
+
+
+def test_hamming_topk_matches_bruteforce(spark):
+    import numpy as np
+
+    rng = np.random.RandomState(7)
+    vecs = rng.randn(40, 8).astype("float64")
+    df = spark.createDataFrame(
+        [(i, [float(v) for v in vecs[i]]) for i in range(40)],
+        "vec_id long, embedding array<double>",
+    )
+    probes = df.filter(F.col("vec_id") < 2)
+    out = {
+        (r["query_id"], r["rank"]): (r["neighbor_id"], r["hamming"])
+        for r in S.hamming_topk(df, probes, k=3).collect()
+    }
+
+    thr = (vecs.min(axis=0) + vecs.max(axis=0)) / 2.0
+    bits = (vecs > thr).astype(int)
+    for qid in range(2):
+        dists = [
+            (int((bits[qid] != bits[n]).sum()), n)
+            for n in range(40)
+            if n != qid
+        ]
+        for rank, (d, n) in enumerate(sorted(dists), 1):
+            if rank > 3:
+                break
+            assert out[(qid, rank)] == (n, d)
+
+
+def test_sign_binarize_packs_words(spark):
+    df = spark.createDataFrame(
+        [(0, [1.0] * 33), (1, [-1.0] * 33)],
+        "vec_id long, embedding array<double>",
+    )
+    codes = {
+        r["vec_id"]: (r["w0"], r["w1"])
+        for r in S.sign_binarize(df, [0.0] * 33).collect()
+    }
+    assert codes[0] == ((1 << 32) - 1, 1)  # all 32 bits + 1 overflow bit
+    assert codes[1] == (0, 0)

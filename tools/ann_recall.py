@@ -66,6 +66,9 @@ def main() -> None:
         "ivfpq_8c_p4": S.ivfpq_topk(e, q, k=k, n_coarse=8, nprobe=4),
         # SQ8 code-space L2 is per-dim-scaled true L2 (FAISS IndexSQ)
         "sq8": S.sq8_topk(e, q, k=k),
+        # sign-bit Hamming approximates L2 ordering around the
+        # per-dim midpoints (1 bit/dim — the most aggressive rung)
+        "hamming_1bit": S.hamming_topk(e, q, k=k),
     }
     recall_l2 = {
         name: round(len(pairs(df) & exact_l2) / max(len(exact_l2), 1), 4)

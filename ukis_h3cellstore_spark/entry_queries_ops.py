@@ -2891,8 +2891,60 @@ FROM ranked WHERE rank <= 5
 """
 
 
+def q_ann_hamming_top3(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Binary sign-bit ANN (ops/similarity.hamming_topk): 64-d floats
+    pack to two 32-bit words via per-dim midpoint thresholds; top-3
+    by XOR+popcount for the first three vectors. Integer-exact."""
+    e = _embs(spark, sf_dir)
+    probes = e.filter(F.col("vec_id") < 3)
+    return S.hamming_topk(e, probes, k=3)
+
+
+Q_ANN_HAMMING_SQL = """
+WITH comp AS (
+  SELECT generate_subscripts(embedding, 1) AS d,
+         CAST(unnest(embedding) AS DOUBLE) AS v
+  FROM embeddings
+),
+stats AS (
+  SELECT d, (MIN(v) + MAX(v)) / 2.0 AS thr FROM comp GROUP BY d
+),
+tl AS (SELECT list(thr ORDER BY d) AS thr FROM stats),
+codes AS (
+  SELECT vec_id,
+         list_reduce(list_transform(range(1, 33),
+             j -> CASE WHEN CAST(embedding[j] AS DOUBLE) > tl.thr[j]
+                       THEN 1::BIGINT << (j - 1) ELSE 0::BIGINT END),
+             (s, v) -> s + v) AS w0,
+         list_reduce(list_transform(range(33, 65),
+             j -> CASE WHEN CAST(embedding[j] AS DOUBLE) > tl.thr[j]
+                       THEN 1::BIGINT << (j - 33) ELSE 0::BIGINT END),
+             (s, v) -> s + v) AS w1
+  FROM embeddings CROSS JOIN tl
+),
+q AS (SELECT vec_id AS query_id, w0 AS qw0, w1 AS qw1 FROM codes
+      WHERE vec_id < 3),
+scored AS (
+  SELECT q.query_id, c.vec_id AS neighbor_id,
+         CAST(bit_count(xor(c.w0, q.qw0))
+              + bit_count(xor(c.w1, q.qw1)) AS INT) AS hamming
+  FROM codes c, q WHERE c.vec_id <> q.query_id
+),
+ranked AS (
+  SELECT *, row_number() OVER (
+      PARTITION BY query_id ORDER BY hamming ASC, neighbor_id ASC) AS rank
+  FROM scored
+)
+SELECT CAST(query_id AS BIGINT) AS query_id,
+       CAST(neighbor_id AS BIGINT) AS neighbor_id,
+       hamming, CAST(rank AS INT) AS rank
+FROM ranked WHERE rank <= 3
+"""
+
+
 QUERIES_OPS: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "text_bm25_topk": q_text_bm25_topk,
+    "ann_hamming_top3": q_ann_hamming_top3,
     "corpus_dsir_weights": q_corpus_dsir_weights,
     "text_normalize": q_text_normalize,
     "text_boilerplate": q_text_boilerplate,
@@ -2963,6 +3015,7 @@ QUERIES_OPS: dict[str, Callable[[SparkSession, str], DataFrame]] = {
 
 ORACLES_OPS: dict[str, str] = {
     "text_bm25_topk": _q_text_bm25_sql(),
+    "ann_hamming_top3": Q_ANN_HAMMING_SQL,
     "corpus_dsir_weights": _q_corpus_dsir_weights_sql(),
     "text_normalize": Q_TEXT_NORMALIZE_SQL,
     "text_boilerplate": Q_TEXT_BOILERPLATE_SQL,

@@ -1335,3 +1335,102 @@ def semantic_dedup(
             F.col("__drop").isNull().alias("kept"),
         )
     )
+
+
+def sign_binarize(
+    df: DataFrame,
+    thresholds: list[float],
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    word_bits: int = 32,
+) -> DataFrame:
+    """Binary hashing by per-dimension sign bits: bit ``i`` is set iff
+    ``vec[i] > thresholds[i]``; bits pack into ``word_bits``-wide
+    longs (w0, w1, ...). With midpoint thresholds this is the
+    zeroth-order ITQ / spectral-hash shape: a 64-d float vector
+    (256 B) compresses to two longs (16 B), 16x, and downstream
+    distance math becomes XOR + popcount in whole-stage codegen.
+    Thresholds are dims-sized metadata (same collect-and-inline rule
+    as the SQ8 codebook); ``word_bits <= 62`` keeps every packed word
+    inside a signed long."""
+    if not 0 < word_bits <= 62:
+        raise ValueError("word_bits must be in 1..62")
+    words = []
+    for w0 in range(0, len(thresholds), word_bits):
+        dims = range(w0, min(w0 + word_bits, len(thresholds)))
+        word = None
+        for j, i in enumerate(dims):
+            bit = (
+                F.when(
+                    F.element_at(F.col(vec_col), i + 1).cast("double")
+                    > F.lit(thresholds[i]),
+                    F.lit(1 << j).cast("long"),
+                )
+                .otherwise(F.lit(0).cast("long"))
+            )
+            word = bit if word is None else word + bit
+        words.append(word.alias(f"w{w0 // word_bits}"))
+    return df.select(F.col(id_col), *words)
+
+
+def hamming_thresholds(corpus: DataFrame, vec_col: str = "embedding") -> list[float]:
+    """Per-dimension midpoint (min+max)/2 thresholds — order-free
+    aggregates, so every engine derives the identical codebook (the
+    float-mean alternative is NOT reproducible across engines: its
+    value depends on summation order)."""
+    mins, maxs = sq8_train(corpus, vec_col)
+    return [(mn + mx) / 2.0 for mn, mx in zip(mins, maxs)]
+
+
+def hamming_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 1,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    thresholds: list[float] | None = None,
+    word_bits: int = 32,
+) -> DataFrame:
+    """Binary-code ANN: per query the ``k`` corpus vectors with the
+    smallest Hamming distance between sign-bit codes —
+    (query_id, neighbor_id, hamming, rank). The integer-only output
+    makes the gate exact (no float rounding anywhere).
+
+    100 TB plan: one dims-row stats collect (metadata), then the
+    corpus is scanned once producing word-packed codes (16 B/vector
+    at 64-d) with queries broadcast alongside; XOR+popcount runs in
+    codegen and the rank window's WindowGroupLimit keeps only k rows
+    per query per partition before the single query-keyed shuffle.
+    The binary scan is the published memory-bound regime answer
+    (Charikar sign-random-projection family) when even PQ codes are
+    too wide for the scan budget."""
+    if thresholds is None:
+        thresholds = hamming_thresholds(corpus, vec_col)
+    n_words = (len(thresholds) + word_bits - 1) // word_bits
+    c = sign_binarize(corpus, thresholds, id_col, vec_col, word_bits)
+    c = c.select(
+        F.col(id_col).alias("neighbor_id"),
+        *[F.col(f"w{i}").alias(f"cw{i}") for i in range(n_words)],
+    )
+    q = sign_binarize(queries, thresholds, id_col, vec_col, word_bits)
+    q = q.select(
+        F.col(id_col).alias("query_id"),
+        *[F.col(f"w{i}").alias(f"qw{i}") for i in range(n_words)],
+    )
+    ham = None
+    for i in range(n_words):
+        term = F.bit_count(F.col(f"cw{i}").bitwiseXOR(F.col(f"qw{i}")))
+        ham = term if ham is None else ham + term
+    scored = (
+        c.crossJoin(F.broadcast(q))
+        .filter(F.col("neighbor_id") != F.col("query_id"))
+        .withColumn("hamming", ham.cast("int"))
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("hamming").asc(), F.col("neighbor_id").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("int"))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "hamming", "rank")
+    )
