@@ -30,6 +30,7 @@ _PRIORITY = [
     # tier 1 — never driver-sampled (round-6 additions)
     "text_bm25_topk",
     "ann_hamming_top3",
+    "text_trigram_backoff",
     "dedup_substring_spans",
     "dedup_segments",
     "text_c4_filter",

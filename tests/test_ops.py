@@ -1883,3 +1883,66 @@ def test_sign_binarize_packs_words(spark):
     }
     assert codes[0] == ((1 << 32) - 1, 1)  # all 32 bits + 1 overflow bit
     assert codes[1] == (0, 0)
+
+
+def test_trigram_backoff_levels_and_bruteforce(spark):
+    # train corpus: "a b c d" x2 and "b c e"; score doc exercises all
+    # four levels: (a b c)=seen trigram, (c d X...) unseen paths
+    train = spark.createDataFrame(
+        [(0, "a b c d"), (1, "a b c d"), (2, "b c e")],
+        "doc_id long, text string",
+    )
+    score = spark.createDataFrame(
+        # trigrams: (a b c) seen; (b c zz) backoff2 via... compute below
+        [(10, "a b c zz qq"), (11, "d c b")],
+        "doc_id long, text string",
+    )
+    out = {
+        r["doc_id"]: r.asDict()
+        for r in X.trigram_backoff_surprisal(train, score).collect()
+    }
+
+    toks = [t.split() for t in ["a b c d", "a b c d", "b c e"]]
+    tri, big, uni = {}, {}, []
+    for t in toks:
+        for i in range(len(t) - 2):
+            tri[tuple(t[i : i + 3])] = tri.get(tuple(t[i : i + 3]), 0) + 1
+        for i in range(len(t) - 1):
+            big[tuple(t[i : i + 2])] = big.get(tuple(t[i : i + 2]), 0) + 1
+        uni.extend(t)
+    from collections import Counter
+
+    cu = Counter(uni)
+    n_tok = len(uni)
+    bits = lambda x: len(bin(x)) - 2  # noqa: E731
+
+    def ref(words):
+        rows = []
+        for i in range(len(words) - 2):
+            w1, w2, w3 = words[i : i + 3]
+            if (w1, w2, w3) in tri:
+                rows.append((0, bits(big[(w1, w2)]) - bits(tri[(w1, w2, w3)])))
+            elif (w2, w3) in big:
+                rows.append((1, 2 + bits(cu[w2]) - bits(big[(w2, w3)])))
+            elif w3 in cu:
+                rows.append((2, 4 + bits(n_tok) - bits(cu[w3])))
+            else:
+                rows.append((3, 4 + bits(n_tok)))
+        return rows
+
+    for did, text in [(10, "a b c zz qq"), (11, "d c b")]:
+        rows = ref(text.split())
+        got = out[did]
+        assert got["n_trigrams"] == len(rows)
+        assert got["sum_surprisal"] == sum(s for _, s in rows)
+        assert got["n_backoff1"] == sum(1 for l, _ in rows if l == 1)
+        assert got["n_backoff2"] == sum(1 for l, _ in rows if l == 2)
+        assert got["n_oov"] == sum(1 for l, _ in rows if l == 3)
+        assert got["avg_surprisal_milli"] == (
+            1000 * sum(s for _, s in rows)
+        ) // len(rows)
+    # sanity: the score set genuinely exercised backoff + OOV
+    assert out[10]["n_oov"] >= 1 and (
+        out[10]["n_backoff1"] + out[10]["n_backoff2"] + out[11]["n_backoff1"]
+        + out[11]["n_backoff2"]
+    ) >= 1

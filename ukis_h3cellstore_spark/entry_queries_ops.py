@@ -2942,9 +2942,83 @@ FROM ranked WHERE rank <= 3
 """
 
 
+def q_text_trigram_backoff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Held-out stupid-backoff trigram surprisal (ops/text.
+    trigram_backoff_surprisal): counts trained on sources != src0,
+    src0 documents scored — so the backoff levels genuinely fire on
+    unseen trigrams, the published eval shape."""
+    d = _docs(spark, sf_dir)
+    return X.trigram_backoff_surprisal(
+        d.filter(F.col("source") != "src0"),
+        d.filter(F.col("source") == "src0"),
+    )
+
+
+Q_TEXT_TRIGRAM_BACKOFF_SQL = f"""
+WITH tr AS (
+  SELECT doc_id, list_filter({_DUCK_TOKS}, t -> len(t) > 0) AS toks
+  FROM documents WHERE source <> 'src0'
+),
+sc AS (
+  SELECT doc_id, list_filter({_DUCK_TOKS}, t -> len(t) > 0) AS toks
+  FROM documents WHERE source = 'src0'
+),
+tr3 AS (
+  SELECT toks[i] AS w1, toks[i + 1] AS w2, toks[i + 2] AS w3
+  FROM tr, unnest(generate_series(1, greatest(len(toks) - 2, 0))) AS u(i)
+),
+c3 AS (SELECT w1, w2, w3, COUNT(*) AS c3 FROM tr3 GROUP BY 1, 2, 3),
+tr2 AS (
+  SELECT toks[i] AS p, toks[i + 1] AS w
+  FROM tr, unnest(generate_series(1, greatest(len(toks) - 1, 0))) AS u(i)
+),
+cb AS (SELECT p, w, COUNT(*) AS cb FROM tr2 GROUP BY 1, 2),
+tru AS (SELECT u.t FROM tr, unnest(toks) AS u(t)),
+cu AS (SELECT t, COUNT(*) AS cu FROM tru GROUP BY 1),
+tot AS (SELECT COUNT(*) AS n_tok FROM tru),
+sc3 AS (
+  SELECT doc_id, toks[i] AS w1, toks[i + 1] AS w2, toks[i + 2] AS w3
+  FROM sc, unnest(generate_series(1, greatest(len(toks) - 2, 0))) AS u(i)
+),
+j AS (
+  SELECT s.doc_id, c3.c3, x12.cb AS ctx12, b23.cb AS c23,
+         u2.cu AS ctx2, u3.cu AS cu3, tot.n_tok,
+         CASE WHEN c3.c3 IS NOT NULL THEN 0
+              WHEN b23.cb IS NOT NULL THEN 1
+              WHEN u3.cu IS NOT NULL THEN 2
+              ELSE 3 END AS lvl
+  FROM sc3 s
+  LEFT JOIN c3 ON s.w1 = c3.w1 AND s.w2 = c3.w2 AND s.w3 = c3.w3
+  LEFT JOIN cb x12 ON s.w1 = x12.p AND s.w2 = x12.w
+  LEFT JOIN cb b23 ON s.w2 = b23.p AND s.w3 = b23.w
+  LEFT JOIN cu u2 ON s.w2 = u2.t
+  LEFT JOIN cu u3 ON s.w3 = u3.t
+  CROSS JOIN tot
+),
+scored AS (
+  SELECT doc_id, lvl,
+         CASE lvl
+           WHEN 0 THEN length(bin(ctx12)) - length(bin(c3))
+           WHEN 1 THEN 2 + length(bin(ctx2)) - length(bin(c23))
+           WHEN 2 THEN 4 + length(bin(n_tok)) - length(bin(cu3))
+           ELSE 4 + length(bin(n_tok)) END AS s
+  FROM j
+)
+SELECT CAST(doc_id AS BIGINT) AS doc_id,
+       CAST(COUNT(*) AS BIGINT) AS n_trigrams,
+       CAST(SUM(s) AS BIGINT) AS sum_surprisal,
+       CAST(SUM(CASE WHEN lvl = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_backoff1,
+       CAST(SUM(CASE WHEN lvl = 2 THEN 1 ELSE 0 END) AS BIGINT) AS n_backoff2,
+       CAST(SUM(CASE WHEN lvl = 3 THEN 1 ELSE 0 END) AS BIGINT) AS n_oov,
+       CAST((1000 * SUM(s)) // COUNT(*) AS BIGINT) AS avg_surprisal_milli
+FROM scored GROUP BY 1
+"""
+
+
 QUERIES_OPS: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "text_bm25_topk": q_text_bm25_topk,
     "ann_hamming_top3": q_ann_hamming_top3,
+    "text_trigram_backoff": q_text_trigram_backoff,
     "corpus_dsir_weights": q_corpus_dsir_weights,
     "text_normalize": q_text_normalize,
     "text_boilerplate": q_text_boilerplate,
@@ -3016,6 +3090,7 @@ QUERIES_OPS: dict[str, Callable[[SparkSession, str], DataFrame]] = {
 ORACLES_OPS: dict[str, str] = {
     "text_bm25_topk": _q_text_bm25_sql(),
     "ann_hamming_top3": Q_ANN_HAMMING_SQL,
+    "text_trigram_backoff": Q_TEXT_TRIGRAM_BACKOFF_SQL,
     "corpus_dsir_weights": _q_corpus_dsir_weights_sql(),
     "text_normalize": Q_TEXT_NORMALIZE_SQL,
     "text_boilerplate": Q_TEXT_BOILERPLATE_SQL,

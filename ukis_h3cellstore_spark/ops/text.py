@@ -1209,3 +1209,146 @@ def bm25_topk(
             "rank",
         )
     )
+
+
+def trigram_backoff_surprisal(
+    train: DataFrame,
+    score: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Held-out trigram LM scoring with stupid backoff (Brants et al.
+    2007): n-gram counts come from ``train``; each trigram in
+    ``score`` is charged integer-bit surprisal at the deepest level
+    with a nonzero training count —
+
+    - trigram seen:       ``bits(c(w1 w2)) - bits(c(w1 w2 w3))``
+    - else bigram seen:   ``2 + bits(c(w2)) - bits(c(w2 w3))``
+    - else unigram seen:  ``4 + bits(N) - bits(c(w3))``
+    - else (full OOV):    ``4 + bits(N)``
+
+    where ``bits(x) = floor(log2 x) + 1`` (binary digit count — every
+    engine agrees bit-for-bit, unlike float ln sums) and the +2-bit
+    per-level penalty is the integer stand-in for the published
+    lambda = 0.4 backoff discount. Reports per scored document
+    (id, n_trigrams, sum_surprisal, avg_surprisal_milli, n_backoff1,
+    n_backoff2, n_oov) — high average = unseen-sequence-heavy
+    relative to the training corpus; this is the cheap distributed
+    stand-in for a KenLM held-out-perplexity filter.
+
+    Plan: three count tables from one pass over ``train`` (trigram /
+    bigram / unigram hash-aggs, all map-side combinable) plus a 1-row
+    token total. The scored trigram stream shuffles THREE times —
+    once per distinct key shape (w1,w2,w3), (w2,w3), (w3) — with the
+    context counts pre-joined onto the count tables (vocabulary-sized
+    joins), per the join-the-lookup-tables-first lesson from
+    bigram_surprisal. Fan-out of every stream join is exactly 1."""
+
+    def _toks(df: DataFrame) -> DataFrame:
+        return df.select(
+            F.col(id_col).alias("__id"),
+            F.filter(tokens(text_col), lambda t: F.length(t) > 0).alias("__t"),
+        )
+
+    def _tri(df: DataFrame) -> DataFrame:
+        t = F.col("__t")
+        n = F.size(t)
+        idx = F.when(n >= 3, F.sequence(F.lit(1), n - 2)).otherwise(
+            F.array().cast("array<int>")
+        )
+        g = F.transform(
+            idx,
+            lambda i: F.struct(
+                F.element_at(t, i).alias("w1"),
+                F.element_at(t, i + 1).alias("w2"),
+                F.element_at(t, i + 2).alias("w3"),
+            ),
+        )
+        return df.select("__id", F.explode(g).alias("__g")).select(
+            "__id",
+            F.col("__g.w1").alias("__w1"),
+            F.col("__g.w2").alias("__w2"),
+            F.col("__g.w3").alias("__w3"),
+        )
+
+    tr_toks = _toks(train)
+    tr_tri = _tri(tr_toks)
+    c3 = tr_tri.groupBy("__w1", "__w2", "__w3").agg(
+        F.count(F.lit(1)).alias("__c3")
+    )
+    tr_big = tr_toks.select(
+        "__id",
+        F.explode(
+            F.when(
+                F.size("__t") >= 2,
+                F.zip_with(
+                    F.slice("__t", 1, F.size("__t") - 1),
+                    F.slice("__t", 2, F.size("__t") - 1),
+                    lambda a, b: F.struct(a.alias("p"), b.alias("w")),
+                ),
+            ).otherwise(F.array().cast("array<struct<p:string,w:string>>"))
+        ).alias("__b"),
+    ).select(F.col("__b.p").alias("__p"), F.col("__b.w").alias("__w"))
+    cb = tr_big.groupBy("__p", "__w").agg(F.count(F.lit(1)).alias("__cb"))
+    uni = tr_toks.select(F.explode("__t").alias("__u"))
+    cu = uni.groupBy("__u").agg(F.count(F.lit(1)).alias("__cu"))
+    total = uni.agg(F.count(F.lit(1)).alias("__n_tok"))
+
+    # pre-join contexts onto the count tables (vocab-sized joins):
+    # trigram rows carry c(w1,w2); bigram rows carry c(w2)
+    t3 = c3.join(
+        cb.select(
+            F.col("__p").alias("__w1"),
+            F.col("__w").alias("__w2"),
+            F.col("__cb").alias("__ctx12"),
+        ),
+        ["__w1", "__w2"],
+    )
+    b23 = cb.select(
+        F.col("__p").alias("__w2"), F.col("__w").alias("__w3"),
+        F.col("__cb").alias("__c23"),
+    ).join(
+        cu.select(F.col("__u").alias("__w2"), F.col("__cu").alias("__ctx2")),
+        "__w2",
+    )
+
+    bits = lambda c: F.length(F.bin(c)).cast("long")  # noqa: E731
+    stream = (
+        _tri(_toks(score))
+        .join(t3, ["__w1", "__w2", "__w3"], "left")
+        .join(b23, ["__w2", "__w3"], "left")
+        .join(
+            cu.select(F.col("__u").alias("__w3"), F.col("__cu").alias("__cu3")),
+            "__w3",
+            "left",
+        )
+        .crossJoin(F.broadcast(total))
+    )
+    lvl = (
+        F.when(F.col("__c3").isNotNull(), F.lit(0))
+        .when(F.col("__c23").isNotNull(), F.lit(1))
+        .when(F.col("__cu3").isNotNull(), F.lit(2))
+        .otherwise(F.lit(3))
+    )
+    s = (
+        F.when(lvl == 0, bits(F.col("__ctx12")) - bits(F.col("__c3")))
+        .when(lvl == 1, F.lit(2) + bits(F.col("__ctx2")) - bits(F.col("__c23")))
+        .when(lvl == 2, F.lit(4) + bits(F.col("__n_tok")) - bits(F.col("__cu3")))
+        .otherwise(F.lit(4) + bits(F.col("__n_tok")))
+    )
+    return (
+        stream.withColumn("__lvl", lvl)
+        .withColumn("__s", s)
+        .groupBy(F.col("__id").alias(id_col))
+        .agg(
+            F.count(F.lit(1)).alias("n_trigrams"),
+            F.sum("__s").alias("sum_surprisal"),
+            F.sum((F.col("__lvl") == 1).cast("long")).alias("n_backoff1"),
+            F.sum((F.col("__lvl") == 2).cast("long")).alias("n_backoff2"),
+            F.sum((F.col("__lvl") == 3).cast("long")).alias("n_oov"),
+        )
+        .withColumn(
+            "avg_surprisal_milli",
+            F.expr("(1000 * sum_surprisal) div n_trigrams"),
+        )
+    )
