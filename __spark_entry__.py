@@ -28,6 +28,7 @@ from pyspark.sql import DataFrame, SparkSession
 # h3 / pipeline / text gates, then the head of the r4 set.
 _PRIORITY = [
     # tier 1 — never driver-sampled (round-6 additions)
+    "graph_pagerank",
     "text_bm25_topk",
     "ann_hamming_top3",
     "text_trigram_backoff",

@@ -1946,3 +1946,44 @@ def test_trigram_backoff_levels_and_bruteforce(spark):
         out[10]["n_backoff1"] + out[10]["n_backoff2"] + out[11]["n_backoff1"]
         + out[11]["n_backoff2"]
     ) >= 1
+
+
+def test_pagerank_fixed_point_bruteforce(spark):
+    from ukis_h3cellstore_spark.ops import graph as G
+
+    # a->b, a->c, b->c, c->a, d dangling sink (c->d, d has no out),
+    # plus a duplicate edge that must collapse
+    edge_rows = [
+        ("a", "b"), ("a", "c"), ("b", "c"), ("c", "a"), ("c", "d"),
+        ("a", "b"),  # duplicate
+    ]
+    edges = spark.createDataFrame(edge_rows, "src string, dst string")
+    out = {
+        r["node"]: r["rank_fp"]
+        for r in G.pagerank(edges, iterations=4).collect()
+    }
+
+    # Python reference with identical fixed-point arithmetic
+    E = sorted(set(edge_rows))
+    nodes = sorted({u for e in E for u in e})
+    outdeg = {}
+    for s, _ in E:
+        outdeg[s] = outdeg.get(s, 0) + 1
+    n = len(nodes)
+    scale = 10**9
+    tele = (150 * scale) // (1000 * n)
+    r = {v: scale // n for v in nodes}
+    for _ in range(4):
+        c = {v: 0 for v in nodes}
+        for s, d in E:
+            c[d] += r[s] // outdeg[s]
+        r = {v: tele + (850 * c[v]) // 1000 for v in nodes}
+    assert out == r
+    # weak-variant semantics: dangling d absorbs mass (total < scale)
+    assert sum(out.values()) < scale
+    # iterations=0 -> uniform initial ranks
+    out0 = {
+        x["node"]: x["rank_fp"]
+        for x in G.pagerank(edges, iterations=0).collect()
+    }
+    assert set(out0.values()) == {scale // n}

@@ -14,6 +14,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ukis_h3cellstore_spark.ops import dedup as D
+from ukis_h3cellstore_spark.ops import graph as G
 from ukis_h3cellstore_spark.ops import multimodal as M
 from ukis_h3cellstore_spark.ops import sampling as SM
 from ukis_h3cellstore_spark.ops import similarity as S
@@ -3015,7 +3016,61 @@ FROM scored GROUP BY 1
 """
 
 
+def q_graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-point PageRank (ops/graph.pagerank, 3 iterations) over
+    the bipartite user<->event_type interaction graph derived from
+    events — the web-graph centrality signal corpus pipelines rank
+    pages by (Common Crawl publishes exactly this). Integer-exact, so
+    the DuckDB oracle hash-matches bit-for-bit."""
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    b = ev.select(
+        F.concat(F.lit("u"), F.col("user_id").cast("string")).alias("src"),
+        F.concat(F.lit("t"), F.col("event_type")).alias("dst"),
+    ).distinct()
+    edges = b.union(
+        b.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    )
+    return G.pagerank(edges, iterations=3)
+
+
+def _pagerank_oracle_sql(iterations: int = 3) -> str:
+    """Unrolled fixed-point power iteration matching ops/graph."""
+    parts = [
+        "WITH e0 AS (SELECT DISTINCT 'u' || CAST(user_id AS VARCHAR) AS src,"
+        " 't' || event_type AS dst FROM events),",
+        "e AS (SELECT src, dst FROM e0"
+        " UNION SELECT dst AS src, src AS dst FROM e0),",
+        "nd AS (SELECT src AS node FROM e UNION SELECT dst FROM e),",
+        "nn AS (SELECT COUNT(*) AS n FROM nd),",
+        "deg AS (SELECT src, COUNT(*) AS outdeg FROM e GROUP BY 1),",
+        "tele AS (SELECT CAST((150 * CAST(1000000000 AS BIGINT))"
+        " // (1000 * n) AS BIGINT) AS t FROM nn),",
+        "r0 AS (SELECT node, CAST(1000000000 // n AS BIGINT) AS rank_fp"
+        " FROM nd CROSS JOIN nn),",
+    ]
+    for i in range(1, iterations + 1):
+        parts.append(
+            f"c{i} AS (SELECT e.dst AS node,"
+            f" SUM(r.rank_fp // d.outdeg) AS csum"
+            f" FROM e JOIN r{i - 1} r ON e.src = r.node"
+            f" JOIN deg d ON e.src = d.src GROUP BY 1),"
+        )
+        parts.append(
+            f"r{i} AS (SELECT nd.node,"
+            f" CAST(t + (850 * COALESCE(c.csum, 0)) // 1000 AS BIGINT)"
+            f" AS rank_fp"
+            f" FROM nd LEFT JOIN c{i} c ON nd.node = c.node"
+            f" CROSS JOIN tele),"
+        )
+    body = "\n".join(parts).rstrip(",")
+    return f"{body}\nSELECT node, rank_fp FROM r{iterations}"
+
+
+Q_GRAPH_PAGERANK_SQL = _pagerank_oracle_sql(3)
+
+
 QUERIES_OPS: dict[str, Callable[[SparkSession, str], DataFrame]] = {
+    "graph_pagerank": q_graph_pagerank,
     "text_bm25_topk": q_text_bm25_topk,
     "ann_hamming_top3": q_ann_hamming_top3,
     "text_trigram_backoff": q_text_trigram_backoff,
@@ -3088,6 +3143,7 @@ QUERIES_OPS: dict[str, Callable[[SparkSession, str], DataFrame]] = {
 }
 
 ORACLES_OPS: dict[str, str] = {
+    "graph_pagerank": Q_GRAPH_PAGERANK_SQL,
     "text_bm25_topk": _q_text_bm25_sql(),
     "ann_hamming_top3": Q_ANN_HAMMING_SQL,
     "text_trigram_backoff": Q_TEXT_TRIGRAM_BACKOFF_SQL,
