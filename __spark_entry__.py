@@ -29,6 +29,7 @@ from pyspark.sql import DataFrame, SparkSession
 _PRIORITY = [
     # tier 1 — never driver-sampled (round-6 additions)
     "graph_pagerank",
+    "corpus_snapshot_diff",
     "text_bm25_topk",
     "ann_hamming_top3",
     "text_trigram_backoff",

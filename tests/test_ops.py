@@ -1987,3 +1987,30 @@ def test_pagerank_fixed_point_bruteforce(spark):
         for x in G.pagerank(edges, iterations=0).collect()
     }
     assert set(out0.values()) == {scale // n}
+
+
+def test_snapshot_diff_statuses(spark):
+    from ukis_h3cellstore_spark.ops import versioning as V
+
+    old = spark.createDataFrame(
+        [(1, "a"), (2, "b"), (3, "c")], "doc_id long, text string"
+    )
+    new = spark.createDataFrame(
+        [(2, "b"), (3, "C2"), (4, "d")], "doc_id long, text string"
+    )
+    out = {r["doc_id"]: r for r in V.snapshot_diff(old, new).collect()}
+    assert {k: v["status"] for k, v in out.items()} == {
+        1: "removed", 2: "unchanged", 3: "changed", 4: "added"
+    }
+    assert out[1]["new_hash"] is None and out[4]["old_hash"] is None
+    assert out[2]["old_hash"] == out[2]["new_hash"]
+    assert out[3]["old_hash"] != out[3]["new_hash"]
+    # exact mode: content column itself as the comparison key
+    from pyspark.sql import functions as FF
+    out2 = {
+        r["doc_id"]: r["status"]
+        for r in V.snapshot_diff(
+            old, new, hash_col=FF.xxhash64("text")
+        ).collect()
+    }
+    assert out2 == {k: v["status"] for k, v in out.items()}

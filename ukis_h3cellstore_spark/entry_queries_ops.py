@@ -19,6 +19,7 @@ from ukis_h3cellstore_spark.ops import multimodal as M
 from ukis_h3cellstore_spark.ops import sampling as SM
 from ukis_h3cellstore_spark.ops import similarity as S
 from ukis_h3cellstore_spark.ops import text as X
+from ukis_h3cellstore_spark.ops import versioning as V
 
 
 def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -3069,8 +3070,57 @@ def _pagerank_oracle_sql(iterations: int = 3) -> str:
 Q_GRAPH_PAGERANK_SQL = _pagerank_oracle_sql(3)
 
 
+def q_corpus_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Snapshot diff between two corpus versions (ops/versioning.
+    snapshot_diff): old drops doc_id%10==0, new drops doc_id%13==0
+    and edits doc_id%7==0 — so all four statuses genuinely occur.
+    The op shuffles (key, 64-bit hash) only, never the text."""
+    d = _docs(spark, sf_dir)
+    old = d.filter(F.col("doc_id") % 10 != 0)
+    new = d.filter(F.col("doc_id") % 13 != 0).withColumn(
+        "text",
+        F.when(
+            F.col("doc_id") % 7 == 0, F.concat(F.col("text"), F.lit(" v2"))
+        ).otherwise(F.col("text")),
+    )
+    diff = V.snapshot_diff(old, new, key="doc_id", content_cols=("text",))
+    return (
+        diff.join(d.select("doc_id", "source"), "doc_id")
+        .groupBy("source", "status")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("doc_id").alias("sum_doc_id"),
+        )
+    )
+
+
+Q_CORPUS_SNAPSHOT_DIFF_SQL = """
+WITH old AS (
+  SELECT doc_id, text FROM documents WHERE doc_id % 10 <> 0
+),
+new AS (
+  SELECT doc_id,
+         CASE WHEN doc_id % 7 = 0 THEN text || ' v2' ELSE text END AS text
+  FROM documents WHERE doc_id % 13 <> 0
+),
+j AS (
+  SELECT COALESCE(o.doc_id, n.doc_id) AS doc_id,
+         CASE WHEN o.doc_id IS NULL THEN 'added'
+              WHEN n.doc_id IS NULL THEN 'removed'
+              WHEN o.text = n.text THEN 'unchanged'
+              ELSE 'changed' END AS status
+  FROM old o FULL OUTER JOIN new n ON o.doc_id = n.doc_id
+)
+SELECT d.source, j.status, CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(j.doc_id) AS BIGINT) AS sum_doc_id
+FROM j JOIN documents d ON j.doc_id = d.doc_id
+GROUP BY 1, 2
+"""
+
+
 QUERIES_OPS: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "graph_pagerank": q_graph_pagerank,
+    "corpus_snapshot_diff": q_corpus_snapshot_diff,
     "text_bm25_topk": q_text_bm25_topk,
     "ann_hamming_top3": q_ann_hamming_top3,
     "text_trigram_backoff": q_text_trigram_backoff,
@@ -3144,6 +3194,7 @@ QUERIES_OPS: dict[str, Callable[[SparkSession, str], DataFrame]] = {
 
 ORACLES_OPS: dict[str, str] = {
     "graph_pagerank": Q_GRAPH_PAGERANK_SQL,
+    "corpus_snapshot_diff": Q_CORPUS_SNAPSHOT_DIFF_SQL,
     "text_bm25_topk": _q_text_bm25_sql(),
     "ann_hamming_top3": Q_ANN_HAMMING_SQL,
     "text_trigram_backoff": Q_TEXT_TRIGRAM_BACKOFF_SQL,
