@@ -30,6 +30,7 @@ _PRIORITY = [
     # tier 1 — never driver-sampled (round-6 additions)
     "graph_pagerank",
     "corpus_snapshot_diff",
+    "corpus_domain_cap",
     "text_bm25_topk",
     "ann_hamming_top3",
     "text_trigram_backoff",

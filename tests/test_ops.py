@@ -2014,3 +2014,32 @@ def test_snapshot_diff_statuses(spark):
         ).collect()
     }
     assert out2 == {k: v["status"] for k, v in out.items()}
+
+
+def test_cap_per_group_matches_naive_window(spark):
+    from ukis_h3cellstore_spark.ops import sampling as SM
+    from pyspark.sql import Window
+
+    rows = [(i, f"s{i % 3}") for i in range(200)] + [(1000, "tiny")]
+    df = spark.createDataFrame(rows, "doc_id long, source string")
+
+    h = F.conv(
+        F.substring(F.md5(F.concat(F.lit("cap|"), F.col("doc_id").cast("string"))), 1, 15),
+        16, 10,
+    ).cast("long")
+    w = Window.partitionBy("source").orderBy(h.asc(), F.col("doc_id").asc())
+    naive = {
+        (r["doc_id"], r["source"])
+        for r in df.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 10).drop("rn").collect()
+    }
+    for margin in (1.3, 0.01):  # 0.01 forces the undershoot fallback
+        got = {
+            (r["doc_id"], r["source"])
+            for r in SM.cap_per_group(
+                df, cap=10, group_col="source", id_col="doc_id", margin=margin
+            ).collect()
+        }
+        assert got == naive, f"margin={margin}"
+    # under-cap group passes through whole
+    assert (1000, "tiny") in naive

@@ -3118,9 +3118,39 @@ GROUP BY 1, 2
 """
 
 
+def q_corpus_domain_cap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source hard frequency cap (ops/sampling.cap_per_group,
+    cap=40): the domain-cap step of web-corpus curation. Two-phase
+    plan — hash-prefix prefilter sized ~margin*cap, exact rank on
+    survivors only — bit-identical to the naive full window sort the
+    oracle runs."""
+    d = _docs(spark, sf_dir)
+    return SM.cap_per_group(
+        d.select("doc_id", "source"), cap=40,
+        group_col="source", id_col="doc_id",
+    )
+
+
+Q_CORPUS_DOMAIN_CAP_SQL = """
+WITH h AS (
+  SELECT doc_id, source,
+         (('0x' || substr(md5('cap|' || CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT)
+           AS hh
+  FROM documents
+),
+r AS (
+  SELECT doc_id, source,
+         row_number() OVER (PARTITION BY source ORDER BY hh, doc_id) AS rn
+  FROM h
+)
+SELECT doc_id, source FROM r WHERE rn <= 40
+"""
+
+
 QUERIES_OPS: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "graph_pagerank": q_graph_pagerank,
     "corpus_snapshot_diff": q_corpus_snapshot_diff,
+    "corpus_domain_cap": q_corpus_domain_cap,
     "text_bm25_topk": q_text_bm25_topk,
     "ann_hamming_top3": q_ann_hamming_top3,
     "text_trigram_backoff": q_text_trigram_backoff,
@@ -3195,6 +3225,7 @@ QUERIES_OPS: dict[str, Callable[[SparkSession, str], DataFrame]] = {
 ORACLES_OPS: dict[str, str] = {
     "graph_pagerank": Q_GRAPH_PAGERANK_SQL,
     "corpus_snapshot_diff": Q_CORPUS_SNAPSHOT_DIFF_SQL,
+    "corpus_domain_cap": Q_CORPUS_DOMAIN_CAP_SQL,
     "text_bm25_topk": _q_text_bm25_sql(),
     "ann_hamming_top3": Q_ANN_HAMMING_SQL,
     "text_trigram_backoff": Q_TEXT_TRIGRAM_BACKOFF_SQL,

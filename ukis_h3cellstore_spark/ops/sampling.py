@@ -458,3 +458,78 @@ def resample_by_source(
         .withColumn("copy_no", F.explode(F.sequence(F.lit(0), n_copies - 1)))
         .drop("__whole", "__frac_keep")
     )
+
+
+def cap_per_group(
+    df: DataFrame,
+    cap: int,
+    group_col: str = "source",
+    id_col: str = "doc_id",
+    salt: str = "cap",
+    margin: float = 1.3,
+) -> DataFrame:
+    """Hard frequency cap: keep at most ``cap`` rows per group,
+    chosen by a deterministic salted id hash (web pipelines cap pages
+    per domain exactly this way — reproducibly, not with rand()).
+
+    Semantically identical to ``row_number() OVER (PARTITION BY group
+    ORDER BY hash, id) <= cap`` — but that plan sorts EVERY row of
+    every group, and at 100 TB the hot domains make it a skewed
+    monster sort. This is the two-phase version:
+
+    1. group counts (one partial agg, domains-sized result);
+       groups at/under cap pass through with NO sort at all;
+    2. over-cap groups are prefiltered to ``h < 2^60*margin*cap/n`` —
+       a uniform-hash prefix, so the survivors (~margin*cap rows per
+       group) contain the exact top-``cap`` whenever at least ``cap``
+       survive, which a per-group survivor count verifies; the rare
+       undershoot group (hash fluctuation beyond ``margin``) falls
+       back to ranking its full rows.
+
+    The window sort therefore touches O(domains * margin * cap) rows
+    instead of the whole corpus, and the result is bit-identical to
+    the naive plan.
+    """
+    if cap < 0:
+        raise ValueError("cap must be >= 0")
+    cols = df.columns
+    h = F.conv(
+        F.substring(
+            F.md5(F.concat(F.lit(salt), F.lit("|"), F.col(id_col).cast("string"))),
+            1,
+            15,
+        ),
+        16,
+        10,
+    ).cast("long")
+    counts = df.groupBy(group_col).agg(F.count("*").alias("_n"))
+    over = counts.filter(F.col("_n") > cap)
+    hdf = df.withColumn("_h", h)
+    under_rows = hdf.join(
+        F.broadcast(over.select(group_col)), group_col, "left_anti"
+    ).select(*cols)
+    over_rows = hdf.join(F.broadcast(over), group_col)
+    # survivors: uniform-hash prefix sized ~margin*cap (h < 2^60 * frac)
+    thr = F.floor(
+        F.lit(float(2**60) * margin * cap) / F.col("_n")
+    ).cast("long")
+    surv = over_rows.filter(F.col("_h") < thr)
+    surv_ok = (
+        surv.groupBy(group_col)
+        .agg(F.count("*").alias("_ns"))
+        .filter(F.col("_ns") >= cap)
+        .select(group_col)
+    )
+    ranked_input = surv.join(F.broadcast(surv_ok), group_col).unionByName(
+        # undershoot fallback: rank the full group (rare by margin)
+        over_rows.join(F.broadcast(surv_ok), group_col, "left_anti")
+    )
+    w = Window.partitionBy(group_col).orderBy(
+        F.col("_h").asc(), F.col(id_col).asc()
+    )
+    kept_over = (
+        ranked_input.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") <= cap)
+        .select(*cols)
+    )
+    return under_rows.unionByName(kept_over)
