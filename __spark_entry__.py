@@ -31,6 +31,7 @@ _PRIORITY = [
     "graph_pagerank",
     "corpus_snapshot_diff",
     "corpus_domain_cap",
+    "events_fleiss_kappa",
     "text_bm25_topk",
     "ann_hamming_top3",
     "text_trigram_backoff",

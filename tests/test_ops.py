@@ -2043,3 +2043,45 @@ def test_cap_per_group_matches_naive_window(spark):
         assert got == naive, f"margin={margin}"
     # under-cap group passes through whole
     assert (1000, "tiny") in naive
+
+
+def test_fleiss_kappa_textbook_example(spark):
+    from ukis_h3cellstore_spark.ops import annotation as AN
+    from fractions import Fraction
+
+    # Fleiss 1971 worked example: 10 subjects (abridged to 4 here),
+    # 6 raters, plus one incomplete item that must be dropped.
+    panel = {
+        0: [1, 1, 1, 2, 2, 3],
+        1: [2, 2, 2, 2, 2, 2],
+        2: [1, 3, 3, 3, 3, 3],
+        3: [1, 1, 2, 2, 3, 3],
+    }
+    rows = [
+        (i, f"c{lab}") for i, labs in panel.items() for lab in labs
+    ] + [(9, "c1"), (9, "c1")]  # incomplete: only 2 ratings
+    df = spark.createDataFrame(rows, "item_id long, label string")
+    got = AN.fleiss_kappa(df, n_raters=6).collect()[0].asDict()
+
+    # brute-force reference
+    import collections
+    nij = collections.Counter(
+        (i, lab) for i, labs in panel.items() for lab in labs
+    )
+    N, n = len(panel), 6
+    A = sum(v * v for v in nij.values())
+    cj = collections.Counter()
+    for (_, lab), v in nij.items():
+        cj[lab] += v
+    S = sum(v * v for v in cj.values())
+    num = (A - N * n) * N * n - S * (n - 1)
+    den = ((N * n) ** 2 - S) * (n - 1)
+    assert got["n_items"] == N and got["n_dropped_items"] == 1
+    assert got["n_categories"] == 3
+    assert (got["kappa_num"], got["kappa_den"]) == (num, den)
+    # cross-check against the float formula
+    P_bar = (A - N * n) / (N * n * (n - 1))
+    P_e = S / (N * n) ** 2
+    assert abs(
+        Fraction(num, den) - Fraction((P_bar - P_e) / (1 - P_e)).limit_denominator(10**9)
+    ) < Fraction(1, 10**6)

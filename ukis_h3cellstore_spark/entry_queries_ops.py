@@ -13,6 +13,7 @@ from collections.abc import Callable
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from ukis_h3cellstore_spark.ops import annotation as AN
 from ukis_h3cellstore_spark.ops import dedup as D
 from ukis_h3cellstore_spark.ops import graph as G
 from ukis_h3cellstore_spark.ops import multimodal as M
@@ -3147,10 +3148,54 @@ SELECT doc_id, source FROM r WHERE rn <= 40
 """
 
 
+def q_events_fleiss_kappa(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fleiss' kappa (ops/annotation.fleiss_kappa) treating each
+    block of 20 consecutive event_ids as one item rated by a panel of
+    20, with event_type as the label — integer-exact rational kappa,
+    the chance-corrected agreement gate labeled data passes before
+    training."""
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    ratings = ev.select(
+        F.expr("event_id div 20").alias("item_id"),
+        F.col("event_type").alias("label"),
+    )
+    return AN.fleiss_kappa(ratings, n_raters=20)
+
+
+Q_EVENTS_FLEISS_KAPPA_SQL = """
+WITH r AS (
+  SELECT event_id // 20 AS item_id, event_type AS label FROM events
+),
+nij AS (SELECT item_id, label, COUNT(*) AS nij FROM r GROUP BY 1, 2),
+pi AS (
+  SELECT item_id, SUM(nij) AS ni, SUM(nij * nij) AS sq
+  FROM nij GROUP BY 1
+),
+kept AS (SELECT * FROM pi WHERE ni = 20),
+drp AS (SELECT COUNT(*) AS n_dropped_items FROM pi WHERE ni <> 20),
+cj AS (
+  SELECT n.label, SUM(n.nij) AS cj
+  FROM nij n JOIN kept k ON n.item_id = k.item_id GROUP BY 1
+),
+g1 AS (SELECT COUNT(*) AS n_items, SUM(sq) AS a_sum FROM kept),
+g2 AS (SELECT COUNT(*) AS n_categories, SUM(cj * cj) AS s_sum FROM cj)
+SELECT CAST(n_items AS BIGINT) AS n_items,
+       CAST(20 AS BIGINT) AS n_raters,
+       CAST(n_categories AS BIGINT) AS n_categories,
+       CAST(n_dropped_items AS BIGINT) AS n_dropped_items,
+       CAST((a_sum - n_items * 20) * (n_items * 20) - s_sum * 19
+            AS BIGINT) AS kappa_num,
+       CAST(((n_items * 20) * (n_items * 20) - s_sum) * 19
+            AS BIGINT) AS kappa_den
+FROM g1, g2, drp
+"""
+
+
 QUERIES_OPS: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "graph_pagerank": q_graph_pagerank,
     "corpus_snapshot_diff": q_corpus_snapshot_diff,
     "corpus_domain_cap": q_corpus_domain_cap,
+    "events_fleiss_kappa": q_events_fleiss_kappa,
     "text_bm25_topk": q_text_bm25_topk,
     "ann_hamming_top3": q_ann_hamming_top3,
     "text_trigram_backoff": q_text_trigram_backoff,
@@ -3226,6 +3271,7 @@ ORACLES_OPS: dict[str, str] = {
     "graph_pagerank": Q_GRAPH_PAGERANK_SQL,
     "corpus_snapshot_diff": Q_CORPUS_SNAPSHOT_DIFF_SQL,
     "corpus_domain_cap": Q_CORPUS_DOMAIN_CAP_SQL,
+    "events_fleiss_kappa": Q_EVENTS_FLEISS_KAPPA_SQL,
     "text_bm25_topk": _q_text_bm25_sql(),
     "ann_hamming_top3": Q_ANN_HAMMING_SQL,
     "text_trigram_backoff": Q_TEXT_TRIGRAM_BACKOFF_SQL,
