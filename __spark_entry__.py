@@ -32,6 +32,7 @@ _PRIORITY = [
     "corpus_snapshot_diff",
     "corpus_domain_cap",
     "events_fleiss_kappa",
+    "ann_kcenter_coreset",
     "text_bm25_topk",
     "ann_hamming_top3",
     "text_trigram_backoff",

@@ -2085,3 +2085,38 @@ def test_fleiss_kappa_textbook_example(spark):
     assert abs(
         Fraction(num, den) - Fraction((P_bar - P_e) / (1 - P_e)).limit_denominator(10**9)
     ) < Fraction(1, 10**6)
+
+
+def test_kcenter_coreset_bruteforce(spark):
+    from ukis_h3cellstore_spark.ops import selection as SEL
+
+    import random
+    rnd = random.Random(7)
+    vecs = [(i, [rnd.uniform(-1, 1) for _ in range(4)]) for i in range(30)]
+    df = spark.createDataFrame(vecs, "vec_id long, embedding array<float>")
+    got = [
+        (r["sel_order"], r["vec_id"], r["dist_from_set"])
+        for r in SEL.kcenter_coreset(df, k=5).orderBy("sel_order").collect()
+    ]
+
+    # brute-force greedy on the same floor-quantized lattice;
+    # quantize from float32 like the engine does
+    import struct as st
+    f32 = lambda x: st.unpack("f", st.pack("f", x))[0]  # noqa: E731
+    import math
+    q = {i: [math.floor(f32(x) * 10000) for x in v] for i, v in vecs}
+    chosen = [(0, 0, 0)]
+    centers = [q[0]]
+    mind = {}
+    for step in range(1, 5):
+        c = centers[-1]
+        for i, qa in q.items():
+            d = sum((a - b) * (a - b) for a, b in zip(qa, c))
+            mind[i] = min(mind.get(i, d), d)
+        far = max(mind.items(), key=lambda kv: (kv[1], -kv[0]))
+        chosen.append((step, far[0], far[1]))
+        centers.append(q[far[0]])
+    assert got == chosen
+    # coverage radius is non-increasing after the first pick
+    radii = [d for _, _, d in got[1:]]
+    assert radii == sorted(radii, reverse=True)

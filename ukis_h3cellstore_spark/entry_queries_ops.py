@@ -18,6 +18,7 @@ from ukis_h3cellstore_spark.ops import dedup as D
 from ukis_h3cellstore_spark.ops import graph as G
 from ukis_h3cellstore_spark.ops import multimodal as M
 from ukis_h3cellstore_spark.ops import sampling as SM
+from ukis_h3cellstore_spark.ops import selection as SEL
 from ukis_h3cellstore_spark.ops import similarity as S
 from ukis_h3cellstore_spark.ops import text as X
 from ukis_h3cellstore_spark.ops import versioning as V
@@ -3191,8 +3192,65 @@ FROM g1, g2, drp
 """
 
 
+def q_ann_kcenter_coreset(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Greedy k-center coreset (ops/selection.kcenter_coreset, k=6)
+    over the embeddings table — farthest-point data-pruning on a
+    floor-quantized integer lattice, so the max-min distances are
+    exact and the unrolled DuckDB oracle hash-matches."""
+    return SEL.kcenter_coreset(_embs(spark, sf_dir), k=6)
+
+
+def _kcenter_oracle_sql(k: int = 6, scale: int = 10_000) -> str:
+    """Unrolled greedy farthest-point traversal matching
+    ops/selection.kcenter_coreset (seed = min vec_id, ties to the
+    smaller id, squared L2 on the floor-quantized lattice)."""
+    dist = (
+        "list_sum(list_transform(range(1, 1 + len(v.q)),"
+        " i -> (v.q[i] - c.q[i]) * (v.q[i] - c.q[i])))"
+    )
+    parts = [
+        "WITH q AS (SELECT vec_id, list_transform(embedding,"
+        f" x -> CAST(FLOOR(CAST(x AS DOUBLE) * {scale}) AS BIGINT)) AS q"
+        " FROM embeddings),",
+        "c0 AS (SELECT vec_id, q FROM q ORDER BY vec_id LIMIT 1),",
+        f"m1 AS (SELECT v.vec_id, v.q, {dist} AS mind"
+        " FROM q v CROSS JOIN c0 c),",
+    ]
+    sels = ["SELECT 0 AS sel_order, vec_id, 0 AS dist_from_set FROM c0"]
+    for s in range(1, k):
+        parts.append(
+            f"s{s} AS (SELECT vec_id, mind FROM m{s}"
+            " ORDER BY mind DESC, vec_id LIMIT 1),"
+        )
+        sels.append(
+            f"SELECT {s} AS sel_order, vec_id, mind AS dist_from_set FROM s{s}"
+        )
+        if s < k - 1:
+            parts.append(
+                f"c{s} AS (SELECT m.vec_id, m.q FROM m{s} m"
+                f" JOIN s{s} ON m.vec_id = s{s}.vec_id),"
+            )
+            parts.append(
+                f"m{s + 1} AS (SELECT v.vec_id, v.q,"
+                f" LEAST(v.mind, {dist}) AS mind"
+                f" FROM m{s} v CROSS JOIN c{s} c),"
+            )
+    body = "\n".join(parts).rstrip(",")
+    union = "\nUNION ALL ".join(sels)
+    return (
+        f"{body}\nSELECT CAST(sel_order AS BIGINT) AS sel_order,"
+        " CAST(vec_id AS BIGINT) AS vec_id,"
+        " CAST(dist_from_set AS BIGINT) AS dist_from_set"
+        f" FROM ({union})"
+    )
+
+
+Q_ANN_KCENTER_SQL = _kcenter_oracle_sql(6)
+
+
 QUERIES_OPS: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "graph_pagerank": q_graph_pagerank,
+    "ann_kcenter_coreset": q_ann_kcenter_coreset,
     "corpus_snapshot_diff": q_corpus_snapshot_diff,
     "corpus_domain_cap": q_corpus_domain_cap,
     "events_fleiss_kappa": q_events_fleiss_kappa,
@@ -3272,6 +3330,7 @@ ORACLES_OPS: dict[str, str] = {
     "corpus_snapshot_diff": Q_CORPUS_SNAPSHOT_DIFF_SQL,
     "corpus_domain_cap": Q_CORPUS_DOMAIN_CAP_SQL,
     "events_fleiss_kappa": Q_EVENTS_FLEISS_KAPPA_SQL,
+    "ann_kcenter_coreset": Q_ANN_KCENTER_SQL,
     "text_bm25_topk": _q_text_bm25_sql(),
     "ann_hamming_top3": Q_ANN_HAMMING_SQL,
     "text_trigram_backoff": Q_TEXT_TRIGRAM_BACKOFF_SQL,
