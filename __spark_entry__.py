@@ -33,6 +33,7 @@ _PRIORITY = [
     "corpus_domain_cap",
     "events_fleiss_kappa",
     "ann_kcenter_coreset",
+    "corpus_bloom_decontaminate",
     "text_bm25_topk",
     "ann_hamming_top3",
     "text_trigram_backoff",

@@ -68,6 +68,12 @@ HEADLINE = [
     "text_bpe_merge_apply",
     "multimodal_phash_pairs",
     "corpus_clean_pipeline",
+    "text_bm25_topk",
+    "text_trigram_backoff",
+    # round-6 late additions: iterative/graph + selection families
+    "graph_pagerank",
+    "ann_kcenter_coreset",
+    "corpus_domain_cap",
 ]
 
 #: bench-only implementations: same operator, scale-path configuration

@@ -2120,3 +2120,25 @@ def test_kcenter_coreset_bruteforce(spark):
     # coverage radius is non-increasing after the first pick
     radii = [d for _, _, d in got[1:]]
     assert radii == sorted(radii, reverse=True)
+
+
+def test_bloom_membership_no_false_negatives_and_plan(spark):
+    corpus = spark.createDataFrame(
+        [(i, f"doc number {i}") for i in range(3000)],
+        "doc_id long, text string",
+    )
+    keys = spark.createDataFrame(
+        [(f"doc number {i}",) for i in range(0, 3000, 7)], "text string"
+    )
+    out = D.bloom_membership_flags(corpus, keys, bits=4096, n_hashes=3)
+    rows = out.collect()
+    passed = {r["doc_id"] for r in rows if r["pass_bloom"]}
+    truth = set(range(0, 3000, 7))
+    assert truth <= passed          # Bloom guarantee: no false negatives
+    assert len(rows) == 3000        # no rows dropped
+    # fp rate sane for 429 keys in 4096 bits (fill ~27%, (0.27)^3 ~ 2%)
+    fp = len(passed - truth) / (3000 - len(truth))
+    assert fp < 0.10
+    # the corpus check must be map-side: no Exchange in the plan
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan

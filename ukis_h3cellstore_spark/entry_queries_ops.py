@@ -3248,9 +3248,75 @@ def _kcenter_oracle_sql(k: int = 6, scale: int = 10_000) -> str:
 Q_ANN_KCENTER_SQL = _kcenter_oracle_sql(6)
 
 
+def q_corpus_bloom_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bloom prefilter (ops/dedup.bloom_membership_flags) of the
+    corpus against the src0 eval texts: the map-side membership test
+    that avoids shuffling the corpus, with the exact broadcast
+    semi-join alongside so false positives are counted, per source."""
+    d = _docs(spark, sf_dir)
+    ev = d.filter(F.col("source") == "src0").select("text")
+    co = d.filter(F.col("source") != "src0")
+    flagged = D.bloom_membership_flags(co, ev, key_col="text")
+    exact = (
+        co.join(F.broadcast(ev.distinct()), "text", "semi")
+        .select("doc_id")
+        .withColumn("_ex", F.lit(True))
+    )
+    return (
+        flagged.join(exact, "doc_id", "left")
+        .groupBy("source")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum(F.when(F.col("pass_bloom"), 1).otherwise(0)).alias(
+                "n_pass_bloom"
+            ),
+            F.sum(F.when(F.col("_ex"), 1).otherwise(0)).alias("n_exact"),
+            F.sum(
+                F.when(F.col("pass_bloom") & F.col("_ex").isNull(), 1).otherwise(0)
+            ).alias("n_false_pos"),
+        )
+    )
+
+
+Q_CORPUS_BLOOM_SQL = """
+WITH ev AS (SELECT text FROM documents WHERE source = 'src0'),
+co AS (SELECT doc_id, text, source FROM documents WHERE source <> 'src0'),
+bpos AS (
+  SELECT DISTINCT
+    (('0x' || substr(md5(CAST(i AS VARCHAR) || '|' || text), 1, 10))::BIGINT)
+      % 16384 AS pos
+  FROM ev, unnest([0, 1, 2]) AS u(i)
+),
+cpos AS (
+  SELECT doc_id, i,
+    (('0x' || substr(md5(CAST(i AS VARCHAR) || '|' || text), 1, 10))::BIGINT)
+      % 16384 AS pos
+  FROM co, unnest([0, 1, 2]) AS u(i)
+),
+hits AS (
+  SELECT c.doc_id FROM cpos c JOIN bpos b ON c.pos = b.pos
+  GROUP BY c.doc_id HAVING COUNT(DISTINCT c.i) = 3
+),
+ex AS (SELECT DISTINCT co.doc_id FROM co JOIN ev ON co.text = ev.text)
+SELECT co.source,
+  CAST(COUNT(*) AS BIGINT) AS n_docs,
+  CAST(SUM(CASE WHEN h.doc_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+    AS n_pass_bloom,
+  CAST(SUM(CASE WHEN e.doc_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+    AS n_exact,
+  CAST(SUM(CASE WHEN h.doc_id IS NOT NULL AND e.doc_id IS NULL
+                THEN 1 ELSE 0 END) AS BIGINT) AS n_false_pos
+FROM co
+LEFT JOIN hits h ON co.doc_id = h.doc_id
+LEFT JOIN ex e ON co.doc_id = e.doc_id
+GROUP BY 1
+"""
+
+
 QUERIES_OPS: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "graph_pagerank": q_graph_pagerank,
     "ann_kcenter_coreset": q_ann_kcenter_coreset,
+    "corpus_bloom_decontaminate": q_corpus_bloom_decontaminate,
     "corpus_snapshot_diff": q_corpus_snapshot_diff,
     "corpus_domain_cap": q_corpus_domain_cap,
     "events_fleiss_kappa": q_events_fleiss_kappa,
@@ -3331,6 +3397,7 @@ ORACLES_OPS: dict[str, str] = {
     "corpus_domain_cap": Q_CORPUS_DOMAIN_CAP_SQL,
     "events_fleiss_kappa": Q_EVENTS_FLEISS_KAPPA_SQL,
     "ann_kcenter_coreset": Q_ANN_KCENTER_SQL,
+    "corpus_bloom_decontaminate": Q_CORPUS_BLOOM_SQL,
     "text_bm25_topk": _q_text_bm25_sql(),
     "ann_hamming_top3": Q_ANN_HAMMING_SQL,
     "text_trigram_backoff": Q_TEXT_TRIGRAM_BACKOFF_SQL,

@@ -1170,3 +1170,78 @@ def dedup_against_index(
         .select("id_new", "id_indexed", "est_jaccard")
         .distinct()
     )
+
+
+def bloom_membership_flags(
+    corpus: DataFrame,
+    keys: DataFrame,
+    key_col: str = "text",
+    bits: int = 16_384,
+    n_hashes: int = 3,
+) -> DataFrame:
+    """Bloom-filter prefilter for membership/decontamination checks.
+
+    The scale problem: testing a 100 TB corpus against a small eval
+    set must NOT shuffle the corpus. A Bloom filter solves it: the
+    eval side is reduced to a ``bits``-wide bitmap (built with one
+    small aggregation, collected at KB size — metadata, the same
+    driver-appropriate scale as the SQ8 codebook), and the corpus
+    check is a single map-side projection against the bitmap literal:
+    a row "passes" iff all ``n_hashes`` of its bit positions are set.
+    No corpus-sized shuffle, no join — whole-stage codegen end to
+    end.  The exact verify (if needed) then runs on the tiny passing
+    subset, the same two-stage discipline as ``lsh_dedup_verified``.
+
+    Determinism: positions are independent md5 slices
+    (``md5(i + '|' + key)`` -> 10 hex chars -> mod ``bits``), exactly
+    reproducible by any engine with md5 — no JVM-private hashing.
+
+    Returns the corpus frame plus ``pass_bloom boolean`` (no rows
+    dropped, so callers can count false positives against an exact
+    check).  False-positive rate ~ (1-e^{-kn/m})^k; with the default
+    16 Kbit / 3 hashes and a 1 000-key set, ~0.5 %.
+    """
+    if bits % 64 != 0:
+        raise ValueError("bits must be a multiple of 64")
+
+    def positions(col):
+        return [
+            F.pmod(
+                F.conv(
+                    F.substring(
+                        F.md5(F.concat(F.lit(str(i)), F.lit("|"), col)), 1, 10
+                    ),
+                    16,
+                    10,
+                ).cast("long"),
+                F.lit(bits),
+            )
+            for i in range(n_hashes)
+        ]
+
+    # eval side -> distinct positions (<= bits rows) -> driver bitmap
+    pos_rows = (
+        keys.select(F.explode(F.array(*positions(F.col(key_col)))).alias("pos"))
+        .distinct()
+        .collect()
+    )
+    words = [0] * (bits // 64)
+    for r in pos_rows:
+        p = int(r["pos"])
+        words[p >> 6] |= 1 << (p & 63)
+    # signed 64-bit literals for the LongType array
+    words = [w - (1 << 64) if w >= (1 << 63) else w for w in words]
+    bitmap = F.array(*[F.lit(w).cast("long") for w in words])
+
+    cols = corpus.columns
+    tmp = corpus.withColumn("_bloom", bitmap)
+    for i, pc in enumerate(positions(F.col(key_col))):
+        tmp = tmp.withColumn(f"_p{i}", pc)
+    passed = F.expr(
+        " AND ".join(
+            f"((shiftright(_bloom[CAST(_p{i} DIV 64 AS INT)],"
+            f" CAST(_p{i} % 64 AS INT)) & 1) = 1)"
+            for i in range(n_hashes)
+        )
+    )
+    return tmp.withColumn("pass_bloom", passed).select(*cols, "pass_bloom")
