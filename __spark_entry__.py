@@ -34,6 +34,7 @@ _PRIORITY = [
     "events_fleiss_kappa",
     "ann_kcenter_coreset",
     "corpus_bloom_decontaminate",
+    "events_hll_sketch",
     "text_bm25_topk",
     "ann_hamming_top3",
     "text_trigram_backoff",

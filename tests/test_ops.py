@@ -2142,3 +2142,35 @@ def test_bloom_membership_no_false_negatives_and_plan(spark):
     # the corpus check must be map-side: no Exchange in the plan
     plan = out._jdf.queryExecution().executedPlan().toString()
     assert "Exchange" not in plan
+
+
+def test_hll_sketch_accuracy_and_mergeability(spark):
+    from ukis_h3cellstore_spark.ops import sketches as SK
+
+    n = 20_000
+    df = spark.createDataFrame(
+        [(i,) for i in range(n)], "v long"
+    )
+    s = SK.hll_summary(df, "v", b=9).collect()[0]
+    est = SK.hll_estimate(s["m"], s["sum_pow"], b=9)
+    # standard error ~ 1.04/sqrt(512) = 4.6%; allow 3 sigma
+    assert abs(est - n) / n < 0.15
+    assert s["m"] == 512 and s["n_empty_registers"] == 0
+
+    # mergeability: register-wise max of two halves == whole
+    lo = df.filter(F.col("v") < n // 2)
+    hi = df.filter(F.col("v") >= n // 2)
+    whole = {
+        (r["idx"], r["mj"])
+        for r in SK.hll_registers(df, "v", b=9).collect()
+    }
+    merged = {
+        (r["idx"], r["mj"])
+        for r in SK.hll_registers(lo, "v", b=9)
+        .unionByName(SK.hll_registers(hi, "v", b=9))
+        .groupBy("idx").agg(F.max("mj").alias("mj")).collect()
+    }
+    assert merged == whole
+    # duplicates must not change the sketch
+    dup = SK.hll_summary(df.unionByName(df), "v", b=9).collect()[0]
+    assert dup == s

@@ -20,6 +20,7 @@ from ukis_h3cellstore_spark.ops import multimodal as M
 from ukis_h3cellstore_spark.ops import sampling as SM
 from ukis_h3cellstore_spark.ops import selection as SEL
 from ukis_h3cellstore_spark.ops import similarity as S
+from ukis_h3cellstore_spark.ops import sketches as SK
 from ukis_h3cellstore_spark.ops import text as X
 from ukis_h3cellstore_spark.ops import versioning as V
 
@@ -3313,10 +3314,52 @@ GROUP BY 1
 """
 
 
+def q_events_hll_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Engine-reproducible HyperLogLog (ops/sketches.hll_summary,
+    b=9) over event_id, with the exact distinct count alongside —
+    the mergeable cardinality sketch whose md5-derived registers any
+    engine can reproduce bit-for-bit (Spark's approx_count_distinct
+    cannot be cross-checked; this can, and is)."""
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    summary = SK.hll_summary(ev.select("event_id"), "event_id", b=9)
+    exact = ev.agg(
+        F.count_distinct("event_id").cast("long").alias("n_exact")
+    )
+    return summary.crossJoin(exact)
+
+
+Q_EVENTS_HLL_SQL = """
+WITH h AS (
+  SELECT (('0x' || substr(md5(CAST(event_id AS VARCHAR)), 1, 15))::BIGINT)
+    AS h
+  FROM events
+),
+reg AS (
+  SELECT h % 512 AS idx,
+         MAX(CASE WHEN h // 512 = 0 THEN 52
+                  ELSE 52 - length(bin(h // 512)) END) AS mj
+  FROM h GROUP BY 1
+),
+s AS (
+  SELECT COUNT(*) AS n_used,
+         SUM((CAST(1 AS BIGINT) << CAST(52 - mj AS INT))) AS sp
+  FROM reg
+),
+x AS (SELECT COUNT(DISTINCT event_id) AS n_exact FROM events)
+SELECT CAST(512 AS BIGINT) AS m,
+       CAST(512 - n_used AS BIGINT) AS n_empty_registers,
+       CAST(sp + (512 - n_used) * (CAST(1 AS BIGINT) << 52) AS BIGINT)
+         AS sum_pow,
+       CAST(n_exact AS BIGINT) AS n_exact
+FROM s, x
+"""
+
+
 QUERIES_OPS: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "graph_pagerank": q_graph_pagerank,
     "ann_kcenter_coreset": q_ann_kcenter_coreset,
     "corpus_bloom_decontaminate": q_corpus_bloom_decontaminate,
+    "events_hll_sketch": q_events_hll_sketch,
     "corpus_snapshot_diff": q_corpus_snapshot_diff,
     "corpus_domain_cap": q_corpus_domain_cap,
     "events_fleiss_kappa": q_events_fleiss_kappa,
@@ -3398,6 +3441,7 @@ ORACLES_OPS: dict[str, str] = {
     "events_fleiss_kappa": Q_EVENTS_FLEISS_KAPPA_SQL,
     "ann_kcenter_coreset": Q_ANN_KCENTER_SQL,
     "corpus_bloom_decontaminate": Q_CORPUS_BLOOM_SQL,
+    "events_hll_sketch": Q_EVENTS_HLL_SQL,
     "text_bm25_topk": _q_text_bm25_sql(),
     "ann_hamming_top3": Q_ANN_HAMMING_SQL,
     "text_trigram_backoff": Q_TEXT_TRIGRAM_BACKOFF_SQL,
