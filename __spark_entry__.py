@@ -35,6 +35,7 @@ _PRIORITY = [
     "ann_kcenter_coreset",
     "corpus_bloom_decontaminate",
     "events_hll_sketch",
+    "streaming_domain_cap",
     "text_bm25_topk",
     "ann_hamming_top3",
     "text_trigram_backoff",

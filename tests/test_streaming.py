@@ -275,3 +275,54 @@ def test_windowed_topk_matches_batch_rank(spark, events_dir):
     key = lambda r: (r.ws, r.rank)
     assert sorted(got, key=key) == sorted(expected, key=key)
     assert len(got) > 0
+
+
+def test_capped_admission_batch_split_proof(spark, tmp_path):
+    """The admitted set must not depend on micro-batch boundaries:
+    1-file-per-trigger vs all-at-once must agree with each other and
+    with the batch cap_per_group replay."""
+    from ukis_h3cellstore_spark.ops import sampling as SM
+
+    docs = spark.createDataFrame(
+        [(i, f"s{i % 4}") for i in range(500)], "doc_id long, source string"
+    )
+    withh = docs.withColumn(
+        "_h",
+        F.conv(
+            F.substring(
+                F.md5(F.concat(F.lit("cap|"), F.col("doc_id").cast("string"))),
+                1, 15,
+            ), 16, 10,
+        ).cast("long"),
+    )
+    d = str(tmp_path / "capsrc")
+    withh.repartition(6).write.parquet(d)
+
+    def run(mft):
+        stream = st.read_stream(spark, d, withh.schema, max_files_per_trigger=mft)
+        capped = st.capped_admission(stream, cap=25, hash_col="_h")
+        name = f"capsink_{mft}"
+        q = (capped.writeStream.format("memory").queryName(name)
+             .outputMode("update").trigger(availableNow=True).start())
+        assert q.awaitTermination(120)
+        return {
+            (r["source"], r["n_seen"], r["n_kept"], r["sum_kept_ids"])
+            for r in spark.table(name)
+            .groupBy("source")
+            .agg(F.max(F.struct("n_seen", "n_kept", "sum_kept_ids")).alias("m"))
+            .select("source", "m.n_seen", "m.n_kept", "m.sum_kept_ids")
+            .collect()
+        }
+
+    one_by_one, all_at_once = run(1), run(100)
+    assert one_by_one == all_at_once
+    batch = {
+        r["source"]: (r["n"], r["s"])
+        for r in SM.cap_per_group(docs, cap=25)
+        .groupBy("source")
+        .agg(F.count("*").alias("n"), F.sum("doc_id").alias("s"))
+        .collect()
+    }
+    for src, n_seen, n_kept, sum_ids in one_by_one:
+        assert n_seen == 125
+        assert batch[src] == (n_kept, sum_ids)

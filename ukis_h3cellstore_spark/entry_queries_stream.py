@@ -525,7 +525,85 @@ GROUP BY 1
 """
 
 
+def q_streaming_domain_cap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming per-source frequency cap (streaming.capped_admission,
+    cap=40): documents arrive in micro-batches and each source's
+    bounded state keeps the running top-40 by the SAME salted hash
+    the batch cap_per_group uses — hash-priority admission is
+    associative, so the final admitted set is batch-split-proof and
+    equals the batch replay the oracle computes."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+        "doc_id", "source"
+    )
+    withh = docs.withColumn(
+        "_h",
+        F.conv(
+            F.substring(
+                F.md5(F.concat(F.lit("cap|"), F.col("doc_id").cast("string"))),
+                1,
+                15,
+            ),
+            16,
+            10,
+        ).cast("long"),
+    )
+    stream_dir = tempfile.mkdtemp(prefix="h3stream_cap_")
+    withh.repartition(4).write.mode("overwrite").parquet(stream_dir)
+    stream = st.read_stream(
+        spark, stream_dir, withh.schema, max_files_per_trigger=1
+    )
+    capped = st.capped_admission(
+        stream, cap=40, group_col="source", id_col="doc_id", hash_col="_h"
+    )
+    _SINK_COUNTER[0] += 1
+    sink = f"stream_cap_sink_{_SINK_COUNTER[0]}"
+    q = (
+        capped.writeStream.format("memory")
+        .queryName(sink)
+        .outputMode("update")
+        .trigger(availableNow=True)
+        .start()
+    )
+    _await_done(q)
+    # n_seen strictly increases per group: the final state is the row
+    # with max n_seen for each source
+    final = spark.table(sink).groupBy("source").agg(
+        F.max(F.struct("n_seen", "n_kept", "sum_kept_ids")).alias("m")
+    )
+    return final.select(
+        "source",
+        F.col("m.n_seen").alias("n_seen"),
+        F.col("m.n_kept").alias("n_kept"),
+        F.col("m.sum_kept_ids").alias("sum_kept_ids"),
+    )
+
+
+_Q_STREAMING_DOMAIN_CAP_SQL = """
+WITH h AS (
+  SELECT doc_id, source,
+         (('0x' || substr(md5('cap|' || CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT)
+           AS hh
+  FROM documents
+),
+r AS (
+  SELECT doc_id, source,
+         row_number() OVER (PARTITION BY source ORDER BY hh, doc_id) AS rn
+  FROM h
+),
+tot AS (SELECT source, COUNT(*) AS n_seen FROM documents GROUP BY 1),
+kept AS (
+  SELECT source, COUNT(*) AS n_kept, SUM(doc_id) AS sum_kept_ids
+  FROM r WHERE rn <= 40 GROUP BY 1
+)
+SELECT t.source, CAST(t.n_seen AS BIGINT) AS n_seen,
+       CAST(k.n_kept AS BIGINT) AS n_kept,
+       CAST(k.sum_kept_ids AS BIGINT) AS sum_kept_ids
+FROM tot t JOIN kept k ON t.source = k.source
+"""
+
+
 QUERIES_STREAM: dict[str, Callable[[SparkSession, str], DataFrame]] = {
+    "streaming_domain_cap": q_streaming_domain_cap,
     "streaming_segment_dedup": q_streaming_segment_dedup,
     "streaming_stateful_accumulator": q_streaming_stateful_accumulator,
     "streaming_topk": q_streaming_topk,
@@ -537,6 +615,7 @@ QUERIES_STREAM: dict[str, Callable[[SparkSession, str], DataFrame]] = {
 }
 
 ORACLES_STREAM: dict[str, str] = {
+    "streaming_domain_cap": _Q_STREAMING_DOMAIN_CAP_SQL,
     "streaming_segment_dedup": _Q_STREAMING_SEGMENT_DEDUP_SQL,
     "streaming_stateful_accumulator": _q_streaming_stateful_accumulator_sql(),
     "streaming_topk": _Q_STREAMING_TOPK_SQL,

@@ -33,7 +33,9 @@ from pyspark.sql import Window as W
 from pyspark.sql import functions as F
 from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 from pyspark.sql.types import (
+    ArrayType,
     LongType,
+    StringType,
     StructField,
     StructType,
 )
@@ -284,4 +286,79 @@ def topk_per_window(
     return (
         counts.withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= k)
+    )
+
+
+def capped_admission(
+    stream: DataFrame,
+    cap: int,
+    group_col: str = "source",
+    id_col: str = "doc_id",
+    hash_col: str = "_h",
+) -> DataFrame:
+    """Streaming face of ``ops/sampling.cap_per_group``: per-group
+    bounded admission over micro-batches.
+
+    The state per group is the running top-``cap`` set ordered by
+    ``(hash, id)`` — a bounded, ASSOCIATIVE summary (merging two
+    partial top-cap sets and re-truncating gives the global top-cap),
+    so the admitted set is independent of how documents split across
+    micro-batches and equals the batch ``cap_per_group`` replay.
+    First-come admission would NOT have this property; hash-priority
+    admission is what makes a streaming cap reproducible.
+
+    State size is O(cap) ids+hashes per group — bounded regardless of
+    stream length. Emits, per group and micro-batch, the running
+    ``(n_seen, n_kept, sum_kept_ids)``; ``n_seen`` is strictly
+    increasing, so the final answer is the row with max ``n_seen``
+    per group.
+    """
+
+    def update(key, pdf_iter, state: GroupState):
+        import pandas as pd
+
+        n_seen, ids, hashes = (
+            state.get if state.exists else (0, [], [])
+        )
+        pairs = list(zip(hashes, ids))
+        for pdf in pdf_iter:
+            n_seen += len(pdf)
+            pairs.extend(
+                zip(pdf[hash_col].astype("int64"), pdf[id_col].astype("int64"))
+            )
+        pairs.sort()
+        pairs = pairs[:cap]
+        ids = [int(i) for _, i in pairs]
+        hashes = [int(h) for h, _ in pairs]
+        state.update((n_seen, ids, hashes))
+        yield pd.DataFrame(
+            {
+                group_col: [key[0]],
+                "n_seen": [n_seen],
+                "n_kept": [len(ids)],
+                "sum_kept_ids": [sum(ids)],
+            }
+        )
+
+    out_schema = StructType(
+        [
+            StructField(group_col, StringType()),
+            StructField("n_seen", LongType()),
+            StructField("n_kept", LongType()),
+            StructField("sum_kept_ids", LongType()),
+        ]
+    )
+    state_schema = StructType(
+        [
+            StructField("n_seen", LongType()),
+            StructField("ids", ArrayType(LongType())),
+            StructField("hashes", ArrayType(LongType())),
+        ]
+    )
+    return stream.groupBy(group_col).applyInPandasWithState(
+        update,
+        outputStructType=out_schema,
+        stateStructType=state_schema,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
     )
