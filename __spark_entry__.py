@@ -28,6 +28,7 @@ from pyspark.sql import DataFrame, SparkSession
 # h3 / pipeline / text gates, then the head of the r4 set.
 _PRIORITY = [
     # tier 1 — never driver-sampled (round-6 additions)
+    "text_cms_heavy_hitters",
     "graph_pagerank",
     "corpus_snapshot_diff",
     "corpus_domain_cap",

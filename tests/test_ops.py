@@ -2174,3 +2174,48 @@ def test_hll_sketch_accuracy_and_mergeability(spark):
     # duplicates must not change the sketch
     dup = SK.hll_summary(df.unionByName(df), "v", b=9).collect()[0]
     assert dup == s
+
+
+def test_cms_heavy_hitters_guarantees(spark):
+    from ukis_h3cellstore_spark.ops import sketches as SK
+
+    # skewed stream: value i appears (i < 5 ? 1000 : 1) times
+    rows = [(f"hot{i}",) for i in range(5) for _ in range(1000)] + [
+        (f"cold{i}",) for i in range(2000)
+    ]
+    df = spark.createDataFrame(rows, "v string").repartition(8)
+
+    regs = SK.cms_registers(df, "v", d=3, w=256)
+    reg_rows = regs.collect()
+    assert len(reg_rows) <= 3 * 256
+    # total mass per hash row equals the stream length
+    per_j = {}
+    for r in reg_rows:
+        per_j[r["j"]] = per_j.get(r["j"], 0) + r["cnt"]
+    assert set(per_j.values()) == {len(rows)}
+
+    # one-sided error: est >= true count for every value
+    est = {
+        r["v"]: r["est"]
+        for r in SK.cms_estimate(df, regs, "v", d=3, w=256).collect()
+    }
+    for i in range(5):
+        assert est[f"hot{i}"] >= 1000
+    for i in range(0, 2000, 97):
+        assert est[f"cold{i}"] >= 1
+
+    # heavy hitters is a superset of the true >= total/64 set
+    hh = {r["v"] for r in SK.cms_heavy_hitters(df, "v", 64, d=3, w=256).collect()}
+    assert {f"hot{i}" for i in range(5)} <= hh
+
+    # mergeability: register-wise sum of two halves == whole sketch
+    lo = df.filter(F.col("v").startswith("hot"))
+    hi = df.filter(~F.col("v").startswith("hot"))
+    merged = {
+        (r["j"], r["idx"]): r["cnt"]
+        for r in SK.cms_registers(lo, "v", d=3, w=256)
+        .unionByName(SK.cms_registers(hi, "v", d=3, w=256))
+        .groupBy("j", "idx").agg(F.sum("cnt").alias("cnt")).collect()
+    }
+    whole = {(r["j"], r["idx"]): r["cnt"] for r in reg_rows}
+    assert merged == whole

@@ -3355,7 +3355,64 @@ FROM s, x
 """
 
 
+def q_text_cms_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heavy-hitter tokens via an engine-reproducible count-min sketch
+    (ops/sketches.cms_registers, d=3, w=512): salted-md5 register
+    table (≤ d*w rows, mergeable by register-wise sum), candidate
+    probe via broadcast join, threshold = total_tokens div 64.  CMS
+    over-estimates, so the candidate set is a guaranteed superset of
+    the true heavy hitters; the exact count is joined alongside at
+    gate scale to exhibit the one-sided-error contract."""
+    docs = _docs(spark, sf_dir)
+    toks = docs.select(
+        F.explode(
+            F.filter(F.split(F.trim(F.col("text")), r"\s+"), lambda t: F.length(t) > 0)
+        ).alias("tok")
+    )
+    hh = SK.cms_heavy_hitters(toks, "tok", threshold_frac=64, d=3, w=512).select(
+        "tok", "est"
+    )
+    exact = toks.groupBy("tok").agg(F.count(F.lit(1)).cast("long").alias("cnt_exact"))
+    return hh.join(exact, "tok")
+
+
+Q_TEXT_CMS_SQL = """
+WITH raw AS (
+  SELECT unnest(regexp_split_to_array(trim(text), '\\s+')) AS tok
+  FROM documents
+),
+tok AS (SELECT tok FROM raw WHERE length(tok) > 0),
+salts AS (SELECT * FROM (VALUES (0, '0'), (1, '1'), (2, '2')) AS s(j, sj)),
+reg AS (
+  SELECT s.j AS j,
+         (('0x' || substr(md5(s.sj || ':' || tok), 1, 15))::BIGINT) % 512
+           AS idx,
+         COUNT(*) AS cnt
+  FROM tok, salts s
+  GROUP BY 1, 2
+),
+exact AS (SELECT tok, COUNT(*) AS cnt_exact FROM tok GROUP BY 1),
+total AS (SELECT COUNT(*) AS n_total FROM tok),
+probe AS (
+  SELECT e.tok, s.j AS j,
+         (('0x' || substr(md5(s.sj || ':' || e.tok), 1, 15))::BIGINT) % 512
+           AS idx
+  FROM exact e, salts s
+),
+est AS (
+  SELECT p.tok, MIN(r.cnt) AS est
+  FROM probe p JOIN reg r ON r.j = p.j AND r.idx = p.idx
+  GROUP BY 1
+)
+SELECT est.tok AS tok, CAST(est AS BIGINT) AS est,
+       CAST(cnt_exact AS BIGINT) AS cnt_exact
+FROM est JOIN exact USING (tok) CROSS JOIN total
+WHERE est >= n_total // 64
+"""
+
+
 QUERIES_OPS: dict[str, Callable[[SparkSession, str], DataFrame]] = {
+    "text_cms_heavy_hitters": q_text_cms_heavy_hitters,
     "graph_pagerank": q_graph_pagerank,
     "ann_kcenter_coreset": q_ann_kcenter_coreset,
     "corpus_bloom_decontaminate": q_corpus_bloom_decontaminate,
@@ -3442,6 +3499,7 @@ ORACLES_OPS: dict[str, str] = {
     "ann_kcenter_coreset": Q_ANN_KCENTER_SQL,
     "corpus_bloom_decontaminate": Q_CORPUS_BLOOM_SQL,
     "events_hll_sketch": Q_EVENTS_HLL_SQL,
+    "text_cms_heavy_hitters": Q_TEXT_CMS_SQL,
     "text_bm25_topk": _q_text_bm25_sql(),
     "ann_hamming_top3": Q_ANN_HAMMING_SQL,
     "text_trigram_backoff": Q_TEXT_TRIGRAM_BACKOFF_SQL,

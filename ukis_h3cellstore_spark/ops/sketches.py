@@ -29,7 +29,14 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-__all__ = ["hll_registers", "hll_summary", "hll_estimate"]
+__all__ = [
+    "hll_registers",
+    "hll_summary",
+    "hll_estimate",
+    "cms_registers",
+    "cms_estimate",
+    "cms_heavy_hitters",
+]
 
 _HASH_BITS = 60
 
@@ -83,3 +90,101 @@ def hll_estimate(m: int, sum_pow: int, b: int = 9) -> float:
     w_bits = _HASH_BITS - b
     alpha = 0.7213 / (1 + 1.079 / m)
     return alpha * m * m * float(1 << (w_bits + 1)) / float(sum_pow)
+
+
+# --- count-min sketch (Cormode & Muthukrishnan 2005) ------------------
+#
+# Same engine-reproducibility rationale as HLL above: the d hash rows
+# are salted md5 hashes, so the register table is bit-identical on any
+# engine.  ``cms_registers`` is a partial (map-side-combining)
+# aggregation over at most ``d * w`` groups — shards sketch
+# independently and merge by register-wise SUM, the mergeable-sketch
+# contract.  At 100 TB the register table is KBs (d=3, w=1024 →
+# 3072 rows) and broadcastable; estimating a candidate set then costs
+# one broadcast join over the candidates, never a corpus re-scan.
+# CMS guarantees est >= true count (one-sided error), so a
+# threshold filter on the estimate has no false negatives.
+
+
+def _cms_idx(col: str, j: int, w: int):
+    """Row-``j`` bucket index: 60-bit salted md5 hash mod ``w``."""
+    h = F.conv(
+        F.substring(
+            F.md5(F.concat(F.lit(str(j)), F.lit(":"), F.col(col).cast("string"))),
+            1,
+            15,
+        ),
+        16,
+        10,
+    ).cast("long")
+    return F.pmod(h, F.lit(w))
+
+
+def cms_registers(values: DataFrame, col: str, d: int = 3, w: int = 1024) -> DataFrame:
+    """Count-min register table ``(j, idx, cnt)`` — at most ``d * w``
+    rows; merge two sketches by unioning register tables and summing
+    ``cnt`` per ``(j, idx)``."""
+    probes = F.array(
+        *[
+            F.struct(
+                F.lit(j).cast("int").alias("j"),
+                _cms_idx(col, j, w).cast("long").alias("idx"),
+            )
+            for j in range(d)
+        ]
+    )
+    return (
+        values.select(F.explode(probes).alias("p"))
+        .groupBy(F.col("p.j").alias("j"), F.col("p.idx").alias("idx"))
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+
+
+def cms_estimate(
+    candidates: DataFrame, registers: DataFrame, col: str, d: int = 3, w: int = 1024
+) -> DataFrame:
+    """Point-query the sketch for each distinct candidate value:
+    ``est = min_j cnt[j][h_j(v)]``.  The register table is broadcast
+    (``d * w`` rows), so the probe is candidate-sized — no corpus
+    movement."""
+    cand = candidates.select(col).distinct()
+    probes = cand.select(
+        F.col(col),
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(j).cast("int").alias("j"),
+                        _cms_idx(col, j, w).cast("long").alias("idx"),
+                    )
+                    for j in range(d)
+                ]
+            )
+        ).alias("p"),
+    ).select(col, F.col("p.j").alias("j"), F.col("p.idx").alias("idx"))
+    return (
+        probes.join(F.broadcast(registers), ["j", "idx"])
+        .groupBy(col)
+        .agg(F.min("cnt").cast("long").alias("est"))
+    )
+
+
+def cms_heavy_hitters(
+    values: DataFrame,
+    col: str,
+    threshold_frac: int = 64,
+    d: int = 3,
+    w: int = 1024,
+) -> DataFrame:
+    """Values whose CMS estimate is at least ``total / threshold_frac``
+    — the classic heavy-hitters query.  One-sided error means the
+    output is a superset of the true heavy hitters; the estimate is
+    returned so callers can exact-verify the (tiny) candidate set."""
+    regs = cms_registers(values, col, d=d, w=w)
+    total = values.agg((F.count(F.lit(1)).cast("long")).alias("n_total"))
+    est = cms_estimate(values, regs, col, d=d, w=w)
+    return (
+        est.crossJoin(F.broadcast(total))
+        .where(F.col("est") >= F.expr(f"n_total div {threshold_frac}"))
+        .select(col, "est", "n_total")
+    )
