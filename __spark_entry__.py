@@ -29,6 +29,7 @@ from pyspark.sql import DataFrame, SparkSession
 _PRIORITY = [
     # tier 1 — never driver-sampled (round-6 additions)
     "text_cms_heavy_hitters",
+    "dedup_keep_best",
     "graph_pagerank",
     "corpus_snapshot_diff",
     "corpus_domain_cap",

@@ -2219,3 +2219,26 @@ def test_cms_heavy_hitters_guarantees(spark):
     }
     whole = {(r["j"], r["idx"]): r["cnt"] for r in reg_rows}
     assert merged == whole
+
+
+def test_keep_best_per_cluster_argmax_and_ties(spark):
+    from ukis_h3cellstore_spark.ops import dedup as D
+
+    # two clusters: {1,2,3} (chain) and {10,11}; plus isolated 99
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (10, 11)], "id_a long, id_b long"
+    )
+    meta = spark.createDataFrame(
+        [(1, 5), (2, 9), (3, 9), (10, 4), (11, 2), (99, 100)],
+        "doc_id long, q long",
+    )
+    out = {
+        r["component"]: (r["n_members"], r["kept_id"], r["kept_quality"])
+        for r in D.keep_best_per_cluster(pairs, meta, "q").collect()
+    }
+    # cluster 1: max q=9 tied between 2 and 3 -> smallest id (2) kept
+    assert out[1] == (3, 2, 9)
+    # cluster 10: doc 10 has higher quality than 11
+    assert out[10] == (2, 10, 4)
+    # isolated doc never appears (no pair -> no cluster row)
+    assert set(out) == {1, 10}

@@ -1685,6 +1685,48 @@ FROM comp GROUP BY 1
 """
 
 
+def q_dedup_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality-aware dedup (ops/dedup.keep_best_per_cluster): resolve
+    the MinHash-LSH near-duplicate clusters and keep the longest
+    member of each (ties → smallest doc_id) — argmax via a
+    partial-aggregating struct-max, no window sort."""
+    docs = _docs(spark, sf_dir)
+    pairs = D.minhash_lsh_pairs(docs, min_est_jaccard=0.25)
+    kept = D.keep_best_per_cluster(pairs, docs, "n_chars")
+    return kept.select(
+        F.col("component").cast("long").alias("component"),
+        F.col("n_members").cast("long").alias("n_members"),
+        F.col("kept_id").cast("long").alias("kept_id"),
+        F.col("kept_quality").cast("long").alias("kept_quality"),
+    )
+
+
+def _q_dedup_keep_best_sql() -> str:
+    return f"""
+WITH RECURSIVE pairs AS ({_q_dedup_minhash_lsh_sql()}),
+edges AS (SELECT id_a AS src, id_b AS dst FROM pairs
+          UNION SELECT id_b, id_a FROM pairs),
+reach(node, lbl) AS (
+  SELECT src, src FROM edges
+  UNION
+  SELECT e.src, r.lbl FROM edges e JOIN reach r ON r.node = e.dst
+),
+comp AS (SELECT node, MIN(lbl) AS component FROM reach GROUP BY node),
+m AS (SELECT comp.component, comp.node, d.n_chars
+      FROM comp JOIN documents d ON d.doc_id = comp.node),
+r AS (SELECT component, node, n_chars,
+             COUNT(*) OVER (PARTITION BY component) AS n_members,
+             row_number() OVER (PARTITION BY component
+                                ORDER BY n_chars DESC, node ASC) AS rn
+      FROM m)
+SELECT CAST(component AS BIGINT) AS component,
+       CAST(n_members AS BIGINT) AS n_members,
+       CAST(node AS BIGINT) AS kept_id,
+       CAST(n_chars AS BIGINT) AS kept_quality
+FROM r WHERE rn = 1
+"""
+
+
 def _duck_shingles_k(k: int, where: str = "") -> str:
     cat = ", ".join(f"toks[i+{j}]" for j in range(k))
     return f"""SELECT DISTINCT doc_id, concat_ws(' ', {cat}) AS shingle
@@ -3460,6 +3502,7 @@ QUERIES_OPS: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "text_scrub_pii": q_text_scrub_pii,
     "corpus_training_mix": q_corpus_training_mix,
     "dedup_cluster_resolve": q_dedup_cluster_resolve,
+    "dedup_keep_best": q_dedup_keep_best,
     "corpus_decontaminate": q_corpus_decontaminate,
     "text_vocab_top50": q_text_vocab_top50,
     "text_repetition": q_text_repetition,
@@ -3542,6 +3585,7 @@ ORACLES_OPS: dict[str, str] = {
     "text_scrub_pii": _q_text_scrub_pii_sql(),
     "corpus_training_mix": _q_corpus_training_mix_sql(),
     "dedup_cluster_resolve": _q_dedup_cluster_resolve_sql(),
+    "dedup_keep_best": _q_dedup_keep_best_sql(),
     "corpus_decontaminate": _q_corpus_decontaminate_sql(),
     "text_vocab_top50": Q_TEXT_VOCAB_TOP50_SQL,
     "text_repetition": Q_TEXT_REPETITION_SQL,

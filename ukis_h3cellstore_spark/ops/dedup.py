@@ -540,6 +540,54 @@ def duplicate_cluster_stats(
     )
 
 
+def keep_best_per_cluster(
+    pairs: DataFrame,
+    meta: DataFrame,
+    quality_col: str,
+    src_col: str = "id_a",
+    dst_col: str = "id_b",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Quality-aware duplicate resolution: resolve the near-duplicate
+    pair graph into clusters and keep the HIGHEST-``quality_col``
+    member of each (ties → smallest id) instead of the naive
+    keep-first — the curation policy production pipelines actually
+    want (e.g. keep the longest / highest-scoring page of a
+    boilerplate family). Returns one row per multi-member cluster:
+    (component, n_members, kept_id, kept_quality).
+
+    Scale shape: components come from min-label propagation
+    (:func:`connected_components` — never the pair space squared);
+    the representative is a single partial-aggregating struct-max per
+    component (``max(struct(quality, -id))`` — lexicographic struct
+    ordering gives argmax-with-deterministic-ties without a window
+    sort), and ``meta`` is joined on the member id only (cluster
+    membership is tiny relative to the corpus)."""
+    cc = connected_components(pairs, src_col, dst_col)
+    members = cc.join(
+        meta.select(F.col(id_col), F.col(quality_col)),
+        cc["node"] == meta[id_col],
+    ).select("component", "node", quality_col)
+    return (
+        members.groupBy("component")
+        .agg(
+            F.count(F.lit(1)).alias("n_members"),
+            F.max(
+                F.struct(
+                    F.col(quality_col).alias("q"),
+                    (-F.col("node")).alias("nid"),
+                )
+            ).alias("best"),
+        )
+        .select(
+            "component",
+            "n_members",
+            (-F.col("best.nid")).alias("kept_id"),
+            F.col("best.q").alias("kept_quality"),
+        )
+    )
+
+
 def decontaminate_flags(
     train: DataFrame,
     evalset: DataFrame,
