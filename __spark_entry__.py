@@ -30,6 +30,7 @@ _PRIORITY = [
     # tier 1 — never driver-sampled (round-6 additions)
     "text_cms_heavy_hitters",
     "dedup_keep_best",
+    "text_tfidf_topk",
     "graph_pagerank",
     "corpus_snapshot_diff",
     "corpus_domain_cap",

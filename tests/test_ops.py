@@ -2242,3 +2242,29 @@ def test_keep_best_per_cluster_argmax_and_ties(spark):
     assert out[10] == (2, 10, 4)
     # isolated doc never appears (no pair -> no cluster row)
     assert set(out) == {1, 10}
+
+
+def test_tfidf_topk_ranks_distinctive_terms(spark):
+    from ukis_h3cellstore_spark.ops import text as X
+
+    df = spark.createDataFrame(
+        [
+            (1, "apple apple banana shared"),
+            (2, "cherry shared shared"),
+            (3, "banana cherry shared"),
+        ],
+        "doc_id long, text string",
+    )
+    out = X.tfidf_topk(df, k=2).collect()
+    by_doc = {}
+    for r in out:
+        by_doc.setdefault(r["doc_id"], []).append(r)
+    # doc 1: 'apple' (tf=2, df=1) must outrank 'shared' (df=3)
+    assert by_doc[1][0]["token"] == "apple"
+    assert all(len(v) == 2 for v in by_doc.values())
+    # scores are rounded to 4dp
+    for r in out:
+        assert abs(r["score"] - round(r["score"], 4)) < 1e-12
+    # smoothed idf keeps corpus-wide terms positive
+    shared = [r for r in out if r["token"] == "shared"]
+    assert shared and all(r["score"] > 0 for r in shared)

@@ -1767,6 +1767,39 @@ FROM t GROUP BY 1 ORDER BY freq DESC, token ASC LIMIT 50
 """
 
 
+def q_text_tfidf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document top-3 keywords by smoothed tf-idf
+    (ops/text.tfidf_topk): score rounded to 4 decimals before the
+    rank so the cut is engine-reproducible, ties on token text."""
+    return X.tfidf_topk(_docs(spark, sf_dir), k=3)
+
+
+Q_TEXT_TFIDF_SQL = f"""
+WITH t AS (
+  SELECT doc_id, unnest({_DUCK_TOKS}) AS token
+  FROM documents WHERE len(trim(text)) > 0
+),
+tf AS (SELECT doc_id, token, COUNT(*) AS tf FROM t GROUP BY 1, 2),
+dfq AS (SELECT token, COUNT(*) AS doc_freq FROM tf GROUP BY 1),
+n AS (SELECT COUNT(*) AS n_docs FROM documents),
+s AS (
+  SELECT doc_id, token, tf, doc_freq,
+         round(tf * (ln((n_docs + 1.0) / (doc_freq + 1.0)) + 1.0), 4)
+           AS score
+  FROM tf JOIN dfq USING (token) CROSS JOIN n
+),
+r AS (
+  SELECT *, row_number() OVER (PARTITION BY doc_id
+                               ORDER BY score DESC, token ASC) AS rn
+  FROM s
+)
+SELECT CAST(doc_id AS BIGINT) AS doc_id, token,
+       CAST(tf AS BIGINT) AS tf, CAST(doc_freq AS BIGINT) AS doc_freq,
+       score
+FROM r WHERE rn <= 3
+"""
+
+
 def q_text_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
     return X.repetition_stats(_docs(spark, sf_dir))
 
@@ -3503,6 +3536,7 @@ QUERIES_OPS: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "corpus_training_mix": q_corpus_training_mix,
     "dedup_cluster_resolve": q_dedup_cluster_resolve,
     "dedup_keep_best": q_dedup_keep_best,
+    "text_tfidf_topk": q_text_tfidf_topk,
     "corpus_decontaminate": q_corpus_decontaminate,
     "text_vocab_top50": q_text_vocab_top50,
     "text_repetition": q_text_repetition,
@@ -3586,6 +3620,7 @@ ORACLES_OPS: dict[str, str] = {
     "corpus_training_mix": _q_corpus_training_mix_sql(),
     "dedup_cluster_resolve": _q_dedup_cluster_resolve_sql(),
     "dedup_keep_best": _q_dedup_keep_best_sql(),
+    "text_tfidf_topk": Q_TEXT_TFIDF_SQL,
     "corpus_decontaminate": _q_corpus_decontaminate_sql(),
     "text_vocab_top50": Q_TEXT_VOCAB_TOP50_SQL,
     "text_repetition": Q_TEXT_REPETITION_SQL,

@@ -7,7 +7,7 @@ convention shared with the DuckDB oracles: trim, split on ``\\s+``.
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 #: deterministic marker-word lists for the n-gram language heuristic
@@ -243,6 +243,61 @@ def token_frequencies(
             F.count(F.lit(1)).alias("freq"),
             F.count_distinct(F.col(id_col)).alias("doc_freq"),
         )
+    )
+
+
+def tfidf_topk(
+    df: DataFrame, k: int = 3, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Per-document top-k keywords by smoothed tf-idf:
+    ``score = tf * (ln((N+1)/(df+1)) + 1)`` (the sklearn smoothing, so
+    corpus-wide terms still score > 0), rounded to 4 decimals BEFORE
+    ranking so the cut is engine-reproducible; ties break on token
+    text.  Returns (id, token, tf, doc_freq, score).
+
+    Scale shape: term frequencies are one partial hash-agg on
+    (doc, token); document frequencies reuse that table (one more
+    token-keyed agg — never a second corpus scan); N is a scalar
+    cross-joined in.  The per-document top-k window partitions on the
+    doc id — the same key the tf agg already shuffled on, so AQE
+    plans it without a second exchange."""
+    toks = tokens(text_col)
+    nonempty = df.filter(F.length(F.trim(F.col(text_col))) > 0)
+    tf = (
+        nonempty.select(F.col(id_col), F.explode(toks).alias("token"))
+        .groupBy(id_col, "token")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    dfreq = tf.groupBy("token").agg(F.count(F.lit(1)).alias("doc_freq"))
+    n_docs = df.agg(F.count(F.lit(1)).alias("n_docs"))
+    scored = (
+        tf.join(dfreq, "token")
+        .crossJoin(F.broadcast(n_docs))
+        .select(
+            F.col(id_col),
+            "token",
+            "tf",
+            "doc_freq",
+            F.round(
+                F.col("tf")
+                * (
+                    F.log(
+                        (F.col("n_docs") + F.lit(1.0))
+                        / (F.col("doc_freq") + F.lit(1.0))
+                    )
+                    + F.lit(1.0)
+                ),
+                4,
+            ).alias("score"),
+        )
+    )
+    w = Window.partitionBy(id_col).orderBy(
+        F.col("score").desc(), F.col("token").asc()
+    )
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= k)
+        .drop("rn")
     )
 
 
