@@ -2268,3 +2268,145 @@ def test_tfidf_topk_ranks_distinctive_terms(spark):
     # smoothed idf keeps corpus-wide terms positive
     shared = [r for r in out if r["token"] == "shared"]
     assert shared and all(r["score"] > 0 for r in shared)
+
+
+def test_global_cumsum_decimal_offsets_stay_exact(spark):
+    """Advisor r6: decimal value columns must accumulate partition
+    offsets in Decimal, not int() (which floor-truncates fractional
+    parts into every later range partition)."""
+    from decimal import Decimal
+
+    from ukis_h3cellstore_spark.ops import prefix as P
+
+    rows = [(i, Decimal(f"{(i % 7)}.{25 + (i % 3)}")) for i in range(400)]
+    df = spark.createDataFrame(rows, "k long, v decimal(10,2)").repartition(6)
+    out = (
+        P.global_cumsum(df, ["k"], "v", num_partitions=5)
+        .orderBy("k")
+        .collect()
+    )
+    acc = Decimal(0)
+    for (k, v), r in zip(rows, out):
+        acc += v
+        assert r.cum_sum == acc, (k, r.cum_sum, acc)
+    assert dict(
+        P.global_cumsum(df, ["k"], "v", num_partitions=5).dtypes
+    )["cum_sum"].startswith("decimal")
+    # unsupported sum types raise instead of silently truncating
+    sdf = spark.createDataFrame([(1, "x")], "k long, v string")
+    import pytest as _pt
+
+    with _pt.raises(Exception):
+        P.global_cumsum(sdf, ["k"], "v").collect()
+
+
+def test_keep_best_per_cluster_string_ids_and_type_guard(spark):
+    """Advisor r6: the argmax tie-break must be deterministic for
+    STRING ids (no implicit double cast), and non-numeric quality
+    must raise instead of silently miscomparing."""
+    import pytest as _pt
+
+    from ukis_h3cellstore_spark.ops import dedup as D
+
+    pairs = spark.createDataFrame(
+        [("a1", "b2"), ("b2", "c3"), ("x9", "y8")], "id_a string, id_b string"
+    )
+    meta = spark.createDataFrame(
+        [("a1", 5.0), ("b2", 9.0), ("c3", 9.0), ("x9", 1.0), ("y8", 7.0)],
+        "doc_id string, q double",
+    )
+    out = {
+        r["component"]: (r["n_members"], r["kept_id"], r["kept_quality"])
+        for r in D.keep_best_per_cluster(pairs, meta, "q").collect()
+    }
+    # q=9.0 tie between b2 and c3 -> lexicographically smallest id
+    assert out["a1"] == (3, "b2", 9.0)
+    assert out["x9"] == (2, "y8", 7.0)
+    bad_meta = meta.withColumn("q", meta.doc_id)  # string quality
+    with _pt.raises(TypeError, match="must be numeric"):
+        D.keep_best_per_cluster(pairs, bad_meta, "q")
+
+
+def test_resample_matches_subsample_at_half_integer_rates(spark):
+    """Advisor r6: rates whose frac*SPLIT_BUCKETS is a half-integer
+    (0.00025 * 10000 = 2.5) must threshold with the SAME rounding in
+    both operators — banker's via driver-side round() — so the
+    documented rates<=1.0 identity actually holds."""
+    from ukis_h3cellstore_spark.ops import sampling as SM
+
+    rows = [(i, "s0", "t") for i in range(5000)]
+    df = spark.createDataFrame(rows, "doc_id long, source string, text string")
+    for rate in (0.00025, 0.00035, 0.15, 1.00025):
+        rates = {"s0": rate}
+        down = {r.doc_id for r in SM.subsample_by_source(df, rates).collect()}
+        up = SM.resample_by_source(df, rates).collect()
+        base = {r.doc_id for r in up if r.copy_no == 0}
+        extra = {r.doc_id for r in up if r.copy_no == 1}
+        if rate <= 1.0:
+            assert base == down, rate
+            assert not extra
+        else:
+            # every row once, plus the SAME fractional set as the
+            # equivalent rate-frac down-sample
+            assert base == {i for i in range(5000)}
+            frac = {
+                r.doc_id
+                for r in SM.subsample_by_source(
+                    df, {"s0": rate - 1.0}
+                ).collect()
+            }
+            assert extra == frac
+
+
+def test_semantic_dedup_matrix_join_agree_on_ties_and_zero_norms(spark):
+    """Advisor r6: the numpy Gram kernel must replicate F.round's
+    HALF_UP at exact 4th-decimal ties, and zero-norm vectors (cosine
+    undefined — NULL via try_divide under ANSI, -inf in numpy) must
+    never count as duplicates — both kernels must emit the same kept
+    set on such inputs."""
+    from ukis_h3cellstore_spark.ops import similarity as S
+
+    # vectors engineered so a pair's cosine rounds differently under
+    # half-even vs HALF_UP at 4dp: cos = 0.99995 exactly is hard to
+    # hit in binary, so instead verify kernel agreement on a corpus
+    # that includes zero vectors + near-tie angles
+    rows = [
+        (1, [1.0, 0.0, 0.0]),
+        (2, [0.99995, 0.0099998749, 0.0]),  # cos vs 1 ~ 0.99995
+        (3, [0.0, 0.0, 0.0]),               # zero norm
+        (4, [0.0, 0.0, 0.0]),               # zero norm
+        (5, [0.0, 1.0, 0.0]),
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    kw = dict(n_clusters=1, threshold=0.9999, train_iters=1, round_digits=4)
+    m = {
+        r.vec_id: r.kept
+        for r in S.semantic_dedup(df, pairwise="matrix", **kw).collect()
+    }
+    j = {
+        r.vec_id: r.kept
+        for r in S.semantic_dedup(df, pairwise="join", **kw).collect()
+    }
+    assert m == j
+    # zero-norm vectors: undefined cosine -> never duplicates
+    assert m[3] is True and m[4] is True
+
+
+def test_phash_short_payloads_null_not_zero(spark):
+    """Advisor r6: payloads shorter than the gram width carry no
+    signal — they must emit NULL phashes and never pair with each
+    other (the old shared-0 sentinel made all short docs mutual
+    hamming-0 duplicates)."""
+    from ukis_h3cellstore_spark.ops import multimodal as M
+
+    long_text = "the quick brown fox jumps over the lazy dog " * 4
+    df = spark.createDataFrame(
+        [(1, "ab"), (2, "xy"), (3, long_text), (4, long_text + "!")],
+        "doc_id long, text string",
+    )
+    pay = M.attach_binary_payload(df)
+    hs = {r.doc_id: r.phash for r in M.perceptual_hash_stub(pay).collect()}
+    assert hs[1] is None and hs[2] is None
+    assert hs[3] is not None and hs[4] is not None
+    pairs = M.phash_dup_pairs(pay, max_hamming=6).collect()
+    assert [(p.id_a, p.id_b) for p in pairs] == [(3, 4)]

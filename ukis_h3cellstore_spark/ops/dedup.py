@@ -479,14 +479,17 @@ def connected_components(
 
     Min-label propagation: every round each node takes the min of its
     own label and its neighbors' labels. Labels are monotone
-    non-increasing, so an unchanged global label sum IS the fixpoint —
-    convergence costs one cheap agg per round, no row-diff join.
-    Rounds needed = graph diameter; duplicate graphs from LSH / hash
-    buckets are near-cliques of tiny diameter (2-4 typical). Each
-    round shuffles only (node, label) plus the edge list — never the
-    pair space squared — and lineage is truncated per round with an
-    eager localCheckpoint (an iterative plan otherwise grows
-    super-linearly in Catalyst analysis time)."""
+    non-increasing, so the fixpoint is "zero rows changed" — measured
+    EXACTLY by carrying each node's previous label through the same
+    per-round aggregation (min over own-flagged rows) and counting
+    ``new != old`` in a second, grouped-output-sized agg of the SAME
+    job; no row-diff join, no numeric-only label-sum (node ids can be
+    strings). Rounds needed = graph diameter; duplicate graphs from
+    LSH / hash buckets are near-cliques of tiny diameter (2-4
+    typical). Each round shuffles only (node, label) plus the edge
+    list — never the pair space squared — and lineage is truncated
+    per round with a localCheckpoint (an iterative plan otherwise
+    grows super-linearly in Catalyst analysis time)."""
     sym = pairs.select(
         F.col(src_col).alias("src"), F.col(dst_col).alias("dst")
     ).unionByName(
@@ -508,22 +511,30 @@ def connected_components(
         .agg(F.min("component").alias("component"))
         .localCheckpoint(eager=False)
     )
-    prev_sum = labels.agg(F.sum("component")).collect()[0][0]
     for _ in range(max_rounds - 1):
         neigh = edges.join(
             labels.withColumnRenamed("node", "dst"), on="dst"
-        ).select(F.col("src").alias("node"), "component")
-        new_labels = (
-            labels.unionByName(neigh)
+        ).select(
+            F.col("src").alias("node"), "component", F.lit(False).alias("__own")
+        )
+        staged = (
+            labels.withColumn("__own", F.lit(True))
+            .unionByName(neigh)
             .groupBy("node")
-            .agg(F.min("component").alias("component"))
+            .agg(
+                F.min("component").alias("component"),
+                F.min(F.when(F.col("__own"), F.col("component"))).alias(
+                    "__old"
+                ),
+            )
             .localCheckpoint(eager=False)
         )
-        cur_sum = new_labels.agg(F.sum("component")).collect()[0][0]
-        labels = new_labels
-        if cur_sum == prev_sum:
+        n_changed = staged.agg(
+            F.count(F.when(F.col("component") != F.col("__old"), F.lit(1)))
+        ).collect()[0][0]
+        labels = staged.drop("__old")
+        if n_changed == 0:
             break
-        prev_sum = cur_sum
     return labels
 
 
@@ -558,32 +569,48 @@ def keep_best_per_cluster(
 
     Scale shape: components come from min-label propagation
     (:func:`connected_components` — never the pair space squared);
-    the representative is a single partial-aggregating struct-max per
-    component (``max(struct(quality, -id))`` — lexicographic struct
-    ordering gives argmax-with-deterministic-ties without a window
-    sort), and ``meta`` is joined on the member id only (cluster
+    the representative is a single partial-aggregating struct-min per
+    component (``min(struct(-quality, id))`` — lexicographic struct
+    ordering gives argmax-quality-with-smallest-id-ties without a
+    window sort, and works for ANY orderable id type including
+    strings; only ``quality_col`` must be numeric so its sign can be
+    inverted), and ``meta`` is joined on the member id only (cluster
     membership is tiny relative to the corpus)."""
     cc = connected_components(pairs, src_col, dst_col)
     members = cc.join(
         meta.select(F.col(id_col), F.col(quality_col)),
         cc["node"] == meta[id_col],
     ).select("component", "node", quality_col)
+    q_type = dict(members.dtypes)[quality_col]
+    numeric = q_type in (
+        "double",
+        "float",
+        "bigint",
+        "int",
+        "smallint",
+        "tinyint",
+    ) or q_type.startswith("decimal")
+    if not numeric:
+        raise TypeError(
+            f"keep_best_per_cluster: quality_col {quality_col!r} must be "
+            f"numeric (got {q_type!r}) — the argmax tie-break inverts its sign"
+        )
     return (
         members.groupBy("component")
         .agg(
             F.count(F.lit(1)).alias("n_members"),
-            F.max(
+            F.min(
                 F.struct(
-                    F.col(quality_col).alias("q"),
-                    (-F.col("node")).alias("nid"),
+                    (-F.col(quality_col)).alias("nq"),
+                    F.col("node").alias("nid"),
                 )
             ).alias("best"),
         )
         .select(
             "component",
             "n_members",
-            (-F.col("best.nid")).alias("kept_id"),
-            F.col("best.q").alias("kept_quality"),
+            F.col("best.nid").alias("kept_id"),
+            (-F.col("best.nq")).alias("kept_quality"),
         )
     )
 

@@ -216,9 +216,15 @@ def perceptual_hash_stub(
     most byte grams → most sign sums agree → small hamming distance) —
     while staying bit-reproducible by the SQL oracle through the same
     md5 idiom the MinHash family uses. Payloads shorter than ``gram``
-    bytes hash to 0. Arrow-batched ``mapInPandas`` with a per-
-    partition gram-hash cache; swapping in a real DCT pHash is a
-    one-function change."""
+    bytes emit a NULL phash — they carry no gram signal, and a shared
+    sentinel (the old 0) would pair every short payload with every
+    other at hamming 0; :func:`phash_dup_pairs` filters NULLs before
+    the hamming join, matching the oracle's ``len(text) >= gram``
+    predicate on all inputs, not just corpora that happen to lack
+    short docs. (Grams are BYTE grams — on non-ASCII payloads they
+    differ from char grams by design: media payloads are bytes.)
+    Arrow-batched ``mapInPandas`` with a per-partition gram-hash
+    cache; swapping in a real DCT pHash is a one-function change."""
 
     def hash_batches(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
         import hashlib
@@ -241,7 +247,7 @@ def perceptual_hash_stub(
                 payload = bytes(payload) if payload is not None else b""
                 m = len(payload) - gram + 1
                 if m <= 0:
-                    out.append((int(doc_id), 0))
+                    out.append((int(doc_id), None))
                     continue
                 hs = np.fromiter(
                     (gram_hash(payload[i : i + gram]) for i in range(m)),
@@ -255,7 +261,12 @@ def perceptual_hash_stub(
                 for j in np.nonzero(acc > 0)[0]:
                     ph |= 1 << int(j)
                 out.append((int(doc_id), ph))
-            yield pd.DataFrame(out, columns=["doc_id", "phash"])
+            pdf_out = pd.DataFrame(out, columns=["doc_id", "phash"])
+            # nullable Int64 so the short-payload NULLs survive the
+            # Arrow conversion (a plain object/float column would
+            # NaN-poison the long target type)
+            pdf_out["phash"] = pd.array(pdf_out["phash"], dtype="Int64")
+            yield pdf_out
 
     return df.mapInPandas(hash_batches, PHASH_SCHEMA)
 
@@ -265,11 +276,18 @@ def phash_dup_pairs(
 ) -> DataFrame:
     """Near-duplicate media detection: perceptual hashes + the generic
     banded-XOR hamming join — (id_a, id_b, hamming ≤ max_hamming).
-    The hash table is checkpointed once; the join is keyed on
-    (band, strip value), never corpus²."""
+    Payloads too short to carry a gram signal come back with NULL
+    phashes and are excluded here (they cannot be meaningfully
+    compared — see :func:`perceptual_hash_stub`). The hash table is
+    checkpointed once; the join is keyed on (band, strip value),
+    never corpus²."""
     from ukis_h3cellstore_spark.ops.dedup import hamming_pairs
 
-    ph = perceptual_hash_stub(df, id_col).localCheckpoint(eager=False)
+    ph = (
+        perceptual_hash_stub(df, id_col)
+        .filter(F.col("phash").isNotNull())
+        .localCheckpoint(eager=False)
+    )
     return hamming_pairs(
         ph, fp_col="phash", id_col="doc_id", bits=64, max_hamming=max_hamming
     )

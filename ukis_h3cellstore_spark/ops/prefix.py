@@ -77,12 +77,25 @@ def global_cumsum(
     )
     by_pid = {int(r["__pid"]): r["__total"] for r in totals}
     # offsets stay in the value's OWN aggregate type (sum of longs is
-    # long), so integer running totals remain exact — the float
-    # summation-order caveat only exists where SQL itself has it
+    # long, sum of decimal(p,s) is decimal(p+10,s)), so integer and
+    # decimal running totals remain exact — the float summation-order
+    # caveat only exists where SQL itself has it
     sum_type = dict(
         within.groupBy("__pid").agg(F.sum("__v").alias("__total")).dtypes
     )["__total"]
-    cast = float if sum_type in ("double", "float") else int
+    if sum_type in ("double", "float"):
+        cast = float
+    elif sum_type.startswith("decimal"):
+        from decimal import Decimal
+
+        cast = Decimal
+    elif sum_type in ("bigint", "int", "smallint", "tinyint"):
+        cast = int
+    else:
+        raise TypeError(
+            f"global_cumsum: unsupported sum type {sum_type!r} for the "
+            "partition offsets (numeric value_col required)"
+        )
     offsets, acc = [], cast(0)
     for pid in sorted(by_pid):
         offsets.append((pid, acc))

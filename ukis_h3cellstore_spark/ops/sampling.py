@@ -18,6 +18,8 @@ Both are whole-stage-codegen expressions — no Python anywhere.
 
 from __future__ import annotations
 
+import math
+
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
@@ -436,18 +438,31 @@ def resample_by_source(
         ).cast("long")
         % SPLIT_BUCKETS
     )
-    rate_expr = F.lit(float(default_rate))
+    # whole-copy counts and fractional thresholds are computed on the
+    # DRIVER with the exact same Python round() as subsample_by_source
+    # (banker's) — F.round is HALF_UP, and a rate whose frac*BUCKETS
+    # lands on a half-integer (e.g. 0.00025) would otherwise keep a
+    # DIFFERENT set than the down-sampling operator, breaking the
+    # documented rates<=1.0 identity
+    def _split(rate: float) -> tuple[int, int]:
+        whole = int(math.floor(float(rate)))
+        return whole, int(round((float(rate) - whole) * SPLIT_BUCKETS))
+
+    d_whole, d_thresh = _split(default_rate)
+    whole_expr = F.lit(d_whole).cast("long")
+    thresh_expr = F.lit(d_thresh).cast("long")
     for src, rate in sorted(rates.items()):
-        rate_expr = F.when(
-            F.col(source_col) == src, F.lit(float(rate))
-        ).otherwise(rate_expr)
+        w, t = _split(rate)
+        whole_expr = F.when(F.col(source_col) == src, F.lit(w)).otherwise(
+            whole_expr
+        )
+        thresh_expr = F.when(F.col(source_col) == src, F.lit(t)).otherwise(
+            thresh_expr
+        )
     staged = df.withColumns(
         {
-            "__whole": F.floor(rate_expr).cast("long"),
-            "__frac_keep": bucket
-            < F.round((rate_expr - F.floor(rate_expr)) * SPLIT_BUCKETS).cast(
-                "long"
-            ),
+            "__whole": whole_expr.cast("long"),
+            "__frac_keep": bucket < thresh_expr.cast("long"),
         }
     )
     n_copies = (

@@ -60,7 +60,11 @@ def _norm(a: Column) -> Column:
 
 
 def cosine_similarity(a: Column, b: Column) -> Column:
-    return _dot(a, b) / (_norm(a) * _norm(b))
+    """Cosine similarity; NULL when either vector has zero norm (the
+    cosine is undefined there — ``try_divide`` matches DuckDB's
+    NULL-on-zero-divisor instead of raising under ANSI mode, and a
+    NULL sim falls out of every threshold filter / top-k ordering)."""
+    return F.try_divide(_dot(a, b), _norm(a) * _norm(b))
 
 
 def l2_sq(a: Column, b: Column) -> Column:
@@ -1181,11 +1185,18 @@ def _cluster_drops_matrix(
     ``applyInPandas`` keyed by centroid_id: each group sorts its ids,
     builds the row-normalized matrix, takes ONE numpy matmul for the
     full cosine Gram matrix, and emits every id that has a
-    lower-id neighbor at or above ``threshold`` (after rounding to
-    ``round_digits``, matching the expression path and the DuckDB
-    oracle). Ids live in exactly one cluster, so the union of group
-    outputs needs no distinct. Expects columns (centroid_id, __id,
-    __v); returns (__drop) typed like ``__id``."""
+    lower-id neighbor at or above ``threshold`` (after HALF_UP
+    rounding to ``round_digits`` — numpy's ``np.round`` is
+    half-to-even, which disagrees with Spark ``F.round`` / DuckDB
+    ``round`` at exact 4th-decimal ties, so the kernel replicates
+    HALF_UP explicitly; zero-norm vectors have UNDEFINED cosine and
+    are never duplicates — NaN sims map to -inf here, and the join
+    kernel uses ``try_divide`` so 0/0 is NULL, excluded by the
+    threshold filter instead of raising under ANSI mode, matching
+    DuckDB's NULL-on-zero-divisor). Ids live in exactly one cluster,
+    so the
+    union of group outputs needs no distinct. Expects columns
+    (centroid_id, __id, __v); returns (__drop) typed like ``__id``."""
     from pyspark.sql.types import StructField, StructType
 
     th = float(threshold)
@@ -1209,7 +1220,20 @@ def _cluster_drops_matrix(
             ]
         )
         norms = np.sqrt((mat * mat).sum(axis=1))
-        sims = np.round((mat @ mat.T) / np.outer(norms, norms), rd)
+        with np.errstate(divide="ignore", invalid="ignore"):
+            sims = (mat @ mat.T) / np.outer(norms, norms)
+        # HALF_UP (away from zero on ties), matching F.round / DuckDB
+        scale = 10.0**rd
+        sims = (
+            np.where(
+                sims >= 0,
+                np.floor(sims * scale + 0.5),
+                np.ceil(sims * scale - 0.5),
+            )
+            / scale
+        )
+        # zero-norm pairs (0/0 = NaN) are never duplicates
+        sims = np.where(np.isnan(sims), -np.inf, sims)
         hit = np.triu(sims >= th, k=1)  # row i < col j in id order
         return pd.DataFrame({"__drop": ids[hit.any(axis=0)]})
 
@@ -1319,6 +1343,9 @@ def semantic_dedup(
             .filter(F.col("id_a") < F.col("id_b"))
             .withColumn(
                 "__sim",
+                # zero-norm cosines are NULL (cosine_similarity uses
+                # try_divide), excluded by the filter — matching the
+                # matrix kernel and the DuckDB oracle
                 F.round(
                     cosine_similarity(F.col("va"), F.col("vb")), round_digits
                 ),
