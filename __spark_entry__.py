@@ -21,64 +21,13 @@ from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
 
-# ROUND-6 ROTATION (computed by `python tools/rotation.py --python`,
-# then the mid-round additions spliced in front per protocol): tier 1
-# is the seven operators ADDED in round 6 (never driver-sampled);
-# tier 2 is the oldest-green set — the r3-verified TPC-H / events /
-# h3 / pipeline / text gates, then the head of the r4 set.
+# ROUND-7 ROTATION (computed by `python tools/rotation.py --python`):
+# every gate has at least one driver row, so tier 1 is empty until
+# mid-round additions are spliced in; tier 2 re-verifies the
+# oldest-green r4 set (events/h3/pipeline/text/TPC-H tail).
 _PRIORITY = [
-    # tier 1 — never driver-sampled (round-6 additions)
-    "text_cms_heavy_hitters",
-    "dedup_keep_best",
-    "text_tfidf_topk",
-    "graph_pagerank",
-    "corpus_snapshot_diff",
-    "corpus_domain_cap",
-    "events_fleiss_kappa",
-    "ann_kcenter_coreset",
-    "corpus_bloom_decontaminate",
-    "events_hll_sketch",
-    "streaming_domain_cap",
-    "text_bm25_topk",
-    "ann_hamming_top3",
-    "text_trigram_backoff",
-    "dedup_substring_spans",
-    "dedup_segments",
-    "text_c4_filter",
-    "dedup_span_excise",
-    "events_global_cumsum",
-    "text_bpe_pairs",
-    "corpus_quality_auc",
-    "multimodal_phash_pairs",
-    "text_bpe_merge_apply",
-    "text_bigram_surprisal",
-    "corpus_clean_pipeline",
-    "corpus_resampled_mix",
-    "streaming_segment_dedup",
-    "ann_hard_negatives",
-    "rag_prep_pipeline",
-    "dedup_incremental_index",
+    # tier 1 — never driver-sampled
     # tier 2 — oldest driver-green first
-    "q7_nation_trade_volume",
-    "q8_market_share",
-    "q10_returned_customers",
-    "q15_top_suppliers",
-    "q19_bracket_revenue",
-    "q13_order_count_distribution",
-    "q14_promo_revenue_share",
-    "q16_supplier_part_counts",
-    "q17_small_quantity_revenue",
-    "q22_idle_rich_customers",
-    "events_hourly_window",
-    "events_sessionize",
-    "events_asof_join",
-    "events_asof_forward",
-    "events_percentiles",
-    "events_cube_counts",
-    "events_range_join",
-    "events_salted_join",
-    "events_cohort_retention",
-    "events_funnel",
     "events_daily_moving_avg",
     "events_latest_per_user",
     "events_rollup_counts",
@@ -109,6 +58,26 @@ _PRIORITY = [
     "q2_cheapest_supplier",
     "lineitem_percentiles",
     "events_value_moments",
+    "events_zscore",
+    "source_orc_roundtrip",
+    "orders_semi_anti_join",
+    "events_variant_props",
+    "source_csv_roundtrip",
+    "events_distinct_daily",
+    "events_user_type_signature",
+    "part_string_funcs",
+    "source_jsonl_roundtrip",
+    "events_lateral_top2",
+    "events_gapfill_daily",
+    "events_map_ops",
+    "events_window_nav",
+    "text_normalize",
+    "text_boilerplate",
+    "text_quality_logit",
+    "ann_sq8_top3",
+    "ann_filtered_top3",
+    "text_surprisal",
+    "multimodal_features",
 ]
 
 
