@@ -26,7 +26,8 @@ from pyspark.sql import DataFrame, SparkSession
 # mid-round additions are spliced in; tier 2 re-verifies the
 # oldest-green r4 set (events/h3/pipeline/text/TPC-H tail).
 _PRIORITY = [
-    # tier 1 — never driver-sampled
+    # tier 1 — never driver-sampled (round-7 additions)
+    "corpus_weighted_sample",
     # tier 2 — oldest driver-green first
     "events_daily_moving_avg",
     "events_latest_per_user",

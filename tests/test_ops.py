@@ -2410,3 +2410,52 @@ def test_phash_short_payloads_null_not_zero(spark):
     assert hs[3] is not None and hs[4] is not None
     pairs = M.phash_dup_pairs(pay, max_hamming=6).collect()
     assert [(p.id_a, p.id_b) for p in pairs] == [(3, 4)]
+
+
+def test_weighted_sample_matches_brute_force_es(spark):
+    """weighted_sample must select exactly the Efraimidis–Spirakis
+    winners computed serially (same salted hash, same race keys),
+    globally and per group; non-positive weights never win."""
+    import hashlib
+    import math
+
+    from ukis_h3cellstore_spark.ops import sampling as SM
+
+    rows = [
+        (i, f"g{i % 3}", float((i * 13) % 29 + 1) if i % 11 else 0.0)
+        for i in range(120)
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, grp string, w double")
+
+    def key(i, w):
+        h = int(hashlib.md5(f"ws|{i}".encode()).hexdigest()[:15], 16)
+        return math.log((h + 1.0) / 2.0**60) / w
+
+    eligible = [(i, g, w) for i, g, w in rows if w > 0]
+    exp_global = {
+        i
+        for i, _, _ in sorted(
+            eligible, key=lambda r: (-key(r[0], r[2]), r[0])
+        )[:10]
+    }
+    got_global = {
+        r.doc_id for r in SM.weighted_sample(df, 10, "w").collect()
+    }
+    assert got_global == exp_global
+    exp_by = set()
+    for g in ("g0", "g1", "g2"):
+        grp = [r for r in eligible if r[1] == g]
+        exp_by |= {
+            i
+            for i, _, _ in sorted(
+                grp, key=lambda r: (-key(r[0], r[2]), r[0])
+            )[:4]
+        }
+    got_by = {
+        r.doc_id
+        for r in SM.weighted_sample(df, 4, "w", by="grp").collect()
+    }
+    assert got_by == exp_by
+    # zero-weight rows are never selected even when k exceeds eligible
+    all_sel = SM.weighted_sample(df, 1000, "w").collect()
+    assert len(all_sel) == len(eligible)

@@ -3486,7 +3486,41 @@ WHERE est >= n_total // 64
 """
 
 
+def q_corpus_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weighted sampling without replacement (ops/sampling.py:
+    weighted_sample): per-source top-5 winners of the deterministic
+    Efraimidis–Spirakis exponential race, weight = document length —
+    longer documents proportionally likelier, reproducibly (salted md5,
+    no rand()). Output is integer/string columns only; the float race
+    keys never leave the operator (set membership is hash-stable
+    because 60-bit hash gaps dwarf double rounding)."""
+    out = SM.weighted_sample(
+        _docs(spark, sf_dir), k=5, weight_col="n_chars", by="source"
+    )
+    return out.select("doc_id", "source", F.col("n_chars").cast("long"))
+
+
+Q_CORPUS_WEIGHTED_SAMPLE_SQL = """
+WITH keyed AS (
+  SELECT doc_id, source, n_chars,
+         ln((('0x' || substr(md5('ws' || '|' || CAST(doc_id AS VARCHAR)),
+                             1, 15))::BIGINT + 1.0)
+            / 1152921504606846976.0) / CAST(n_chars AS DOUBLE) AS k
+  FROM documents
+  WHERE n_chars IS NOT NULL AND n_chars > 0
+)
+SELECT doc_id, source, CAST(n_chars AS BIGINT) AS n_chars
+FROM (
+  SELECT *, row_number() OVER (PARTITION BY source
+                               ORDER BY k DESC, doc_id) AS rn
+  FROM keyed
+)
+WHERE rn <= 5
+"""
+
+
 QUERIES_OPS: dict[str, Callable[[SparkSession, str], DataFrame]] = {
+    "corpus_weighted_sample": q_corpus_weighted_sample,
     "text_cms_heavy_hitters": q_text_cms_heavy_hitters,
     "graph_pagerank": q_graph_pagerank,
     "ann_kcenter_coreset": q_ann_kcenter_coreset,
@@ -3569,6 +3603,7 @@ QUERIES_OPS: dict[str, Callable[[SparkSession, str], DataFrame]] = {
 }
 
 ORACLES_OPS: dict[str, str] = {
+    "corpus_weighted_sample": Q_CORPUS_WEIGHTED_SAMPLE_SQL,
     "graph_pagerank": Q_GRAPH_PAGERANK_SQL,
     "corpus_snapshot_diff": Q_CORPUS_SNAPSHOT_DIFF_SQL,
     "corpus_domain_cap": Q_CORPUS_DOMAIN_CAP_SQL,

@@ -548,3 +548,64 @@ def cap_per_group(
         .select(*cols)
     )
     return under_rows.unionByName(kept_over)
+
+
+def weighted_sample(
+    df: DataFrame,
+    k: int,
+    weight_col: str,
+    id_col: str = "doc_id",
+    by: str | None = None,
+    salt: str = "ws",
+) -> DataFrame:
+    """Deterministic weighted sampling WITHOUT replacement: keep the
+    ``k`` rows (per ``by`` group if given, else globally) won by the
+    Efraimidis–Spirakis exponential race — each row draws
+    ``u ~ Uniform(0,1]`` from a salted md5 of its id and races with
+    key ``ln(u) / weight``; the k LARGEST keys are exactly a weighted
+    sample without replacement. No ``rand()``: re-running, resharding,
+    or resuming yields the same sample, which is what makes
+    training-data builds reproducible.
+
+    Scale shape: the key is one codegen projection. The global path is
+    ``ORDER BY key LIMIT k`` — Spark plans TakeOrderedAndProject
+    (per-partition top-k, then a k-sized merge), never a full sort.
+    The per-group path windows only because each group's output is
+    bounded by k. Rows with weight <= 0 or NULL can never win a race
+    and are filtered up front (documented ES domain).
+
+    Float caveat: keys are doubles, so an engine replaying the same
+    formula (the DuckDB oracle does) agrees on the selected SET
+    because 60-bit hash gaps dwarf double rounding; don't hash the raw
+    key values across engines, only the selected rows."""
+    if k <= 0:
+        raise ValueError("k must be > 0")
+    u = (
+        F.conv(
+            F.substring(
+                F.md5(
+                    F.concat(F.lit(salt), F.lit("|"), F.col(id_col).cast("string"))
+                ),
+                1,
+                15,
+            ),
+            16,
+            10,
+        ).cast("double")
+        + F.lit(1.0)
+    ) / F.lit(float(2**60))
+    key = F.log(u) / F.col(weight_col).cast("double")
+    staged = (
+        df.filter(F.col(weight_col).isNotNull() & (F.col(weight_col) > 0))
+        .withColumn("__wkey", key)
+    )
+    if by is None:
+        return staged.orderBy(
+            F.col("__wkey").desc(), F.col(id_col)
+        ).limit(k).drop("__wkey")
+    w = Window.partitionBy(by).orderBy(F.col("__wkey").desc(), F.col(id_col))
+    return (
+        staged.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") <= k)
+        .drop("__wkey", "__rn")
+    )
