@@ -28,6 +28,7 @@ from pyspark.sql import DataFrame, SparkSession
 _PRIORITY = [
     # tier 1 — never driver-sampled (round-7 additions)
     "corpus_weighted_sample",
+    "text_taxonomy_tag",
     # tier 2 — oldest driver-green first
     "events_daily_moving_avg",
     "events_latest_per_user",

@@ -2459,3 +2459,33 @@ def test_weighted_sample_matches_brute_force_es(spark):
     # zero-weight rows are never selected even when k exceeds eligible
     all_sel = SM.weighted_sample(df, 1000, "w").collect()
     assert len(all_sel) == len(eligible)
+
+
+def test_taxonomy_tag_counts_ties_and_default(spark):
+    """taxonomy_tag: per-topic counts exact, dominant-topic ties break
+    lexicographically, no-hit docs get the default topic, and bad
+    dictionaries are rejected."""
+    import pytest as _pt
+
+    tax = {"cat": "pets", "dog": "pets", "euro": "money", "yen": "money"}
+    df = spark.createDataFrame(
+        [
+            (1, "Cat dog euro cat"),     # pets=3, money=1
+            (2, "euro yen DOG dog"),     # money=2, pets=2 -> tie -> money
+            (3, "nothing matches here"),
+            (4, ""),
+        ],
+        "doc_id long, text string",
+    )
+    out = {r.doc_id: r for r in X.taxonomy_tag(df, tax).collect()}
+    assert dict(out[1].topic_counts) == {"pets": 3, "money": 1}
+    assert (out[1].n_matches, out[1].dominant_topic) == (4, "pets")
+    assert out[2].dominant_topic == "money"  # tie 2-2 -> lexicographic
+    assert (out[3].n_matches, out[3].dominant_topic) == (0, "other")
+    assert dict(out[3].topic_counts) == {}
+    assert out[4].dominant_topic == "other"
+    assert len(out) == 4
+    with _pt.raises(ValueError, match="lowercase single tokens"):
+        X.taxonomy_tag(df, {"Two Words": "x"})
+    with _pt.raises(ValueError, match="not be empty"):
+        X.taxonomy_tag(df, {})

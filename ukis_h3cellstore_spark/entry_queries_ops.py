@@ -3486,6 +3486,64 @@ WHERE est >= n_total // 64
 """
 
 
+_TAXONOMY = {
+    "join": "relational",
+    "agg": "relational",
+    "sort": "relational",
+    "scan": "storage",
+    "table": "storage",
+    "batch": "streaming",
+    "stream": "streaming",
+    "window": "streaming",
+    "vector": "ml",
+    "hash": "ml",
+}
+
+
+def q_text_taxonomy_tag(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Keyword taxonomy tagging (ops/text.py: taxonomy_tag): route
+    every document to a topic by broadcast-joining a keyword→topic
+    dictionary against the exploded token stream; one partial agg per
+    doc, deterministic lexicographic tie-break. The gate projects the
+    scalar summary (match count, distinct topics, dominant topic) —
+    the per-topic map stays internal."""
+    out = X.taxonomy_tag(_docs(spark, sf_dir), _TAXONOMY)
+    return out.select(
+        "doc_id",
+        F.col("n_matches").cast("long").alias("n_matches"),
+        F.size("topic_counts").cast("long").alias("n_topics"),
+        "dominant_topic",
+    )
+
+
+def _q_text_taxonomy_tag_sql() -> str:
+    vals = ", ".join(f"('{k}', '{v}')" for k, v in sorted(_TAXONOMY.items()))
+    return f"""
+WITH kw(kw, topic) AS (VALUES {vals}),
+tok AS (
+  SELECT doc_id, unnest(regexp_split_to_array(trim(lower(text)), '\\s+')) AS kw
+  FROM documents
+),
+hits AS (
+  SELECT t.doc_id, k.topic, COUNT(*) AS n
+  FROM tok t JOIN kw k USING (kw) GROUP BY 1, 2
+),
+ranked AS (
+  SELECT doc_id, topic, n,
+         row_number() OVER (PARTITION BY doc_id ORDER BY n DESC, topic) AS rn,
+         SUM(n) OVER (PARTITION BY doc_id) AS n_matches,
+         COUNT(*) OVER (PARTITION BY doc_id) AS n_topics
+  FROM hits
+)
+SELECT d.doc_id,
+       CAST(COALESCE(r.n_matches, 0) AS BIGINT) AS n_matches,
+       CAST(COALESCE(r.n_topics, 0) AS BIGINT) AS n_topics,
+       COALESCE(r.topic, 'other') AS dominant_topic
+FROM documents d
+LEFT JOIN (SELECT * FROM ranked WHERE rn = 1) r USING (doc_id)
+"""
+
+
 def q_corpus_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Weighted sampling without replacement (ops/sampling.py:
     weighted_sample): per-source top-5 winners of the deterministic
@@ -3521,6 +3579,7 @@ WHERE rn <= 5
 
 QUERIES_OPS: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "corpus_weighted_sample": q_corpus_weighted_sample,
+    "text_taxonomy_tag": q_text_taxonomy_tag,
     "text_cms_heavy_hitters": q_text_cms_heavy_hitters,
     "graph_pagerank": q_graph_pagerank,
     "ann_kcenter_coreset": q_ann_kcenter_coreset,
@@ -3604,6 +3663,7 @@ QUERIES_OPS: dict[str, Callable[[SparkSession, str], DataFrame]] = {
 
 ORACLES_OPS: dict[str, str] = {
     "corpus_weighted_sample": Q_CORPUS_WEIGHTED_SAMPLE_SQL,
+    "text_taxonomy_tag": _q_text_taxonomy_tag_sql(),
     "graph_pagerank": Q_GRAPH_PAGERANK_SQL,
     "corpus_snapshot_diff": Q_CORPUS_SNAPSHOT_DIFF_SQL,
     "corpus_domain_cap": Q_CORPUS_DOMAIN_CAP_SQL,

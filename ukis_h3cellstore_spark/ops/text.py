@@ -1407,3 +1407,74 @@ def trigram_backoff_surprisal(
             F.expr("(1000 * sum_surprisal) div n_trigrams"),
         )
     )
+
+
+def taxonomy_tag(
+    df: DataFrame,
+    keyword_topics: dict[str, str],
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    default_topic: str = "other",
+) -> DataFrame:
+    """FlashText-style keyword taxonomy tagging at corpus scale: map a
+    keyword→topic dictionary over every document's tokens and return
+    one row per document: (id, topic counts map, n_matches,
+    dominant_topic) — the standard cheap topical router for training-
+    mix composition (e.g. bucket web pages into code / science / news
+    shares before temperature mixing). Documents with no keyword hit
+    get ``default_topic``.
+
+    Scale shape: the dictionary is dim-sized metadata, BROADCAST
+    joined against the exploded token stream (the join is the only
+    shuffle-free wide step — Catalyst broadcasts the k-row side); the
+    per-doc histogram is one partial aggregation keyed by the doc id.
+    Dominant-topic ties break lexicographically (min topic name) so
+    results are partitioning-invariant. Tokens are lowercased before
+    matching; keys must be lowercase single tokens."""
+    if not keyword_topics:
+        raise ValueError("keyword_topics must not be empty")
+    for kw in keyword_topics:
+        if kw != kw.lower() or " " in kw:
+            raise ValueError(f"keys must be lowercase single tokens: {kw!r}")
+    spark = df.sparkSession
+    dim = spark.createDataFrame(
+        sorted(keyword_topics.items()), "__kw string, __topic string"
+    )
+    toks = df.select(
+        F.col(id_col),
+        F.explode(tokens(F.lower(F.col(text_col)))).alias("__kw"),
+    )
+    per_topic = (
+        toks.join(F.broadcast(dim), on="__kw")
+        .groupBy(id_col, "__topic")
+        .agg(F.count(F.lit(1)).alias("__n"))
+    )
+    per_doc = per_topic.groupBy(id_col).agg(
+        F.map_from_entries(
+            F.sort_array(F.collect_list(F.struct("__topic", "__n")))
+        ).alias("topic_counts"),
+        F.sum("__n").alias("n_matches"),
+        # min (-count, name) == most-frequent, ties -> min topic name
+        F.min_by(
+            F.col("__topic"),
+            F.struct((-F.col("__n")).alias("nn"), F.col("__topic").alias("t")),
+        ).alias("dominant_topic"),
+    )
+    return (
+        df.select(F.col(id_col))
+        .join(per_doc, on=id_col, how="left")
+        .select(
+            F.col(id_col),
+            F.coalesce(
+                F.col("topic_counts"),
+                F.map_from_arrays(
+                    F.array().cast("array<string>"),
+                    F.array().cast("array<bigint>"),
+                ),
+            ).alias("topic_counts"),
+            F.coalesce(F.col("n_matches"), F.lit(0)).alias("n_matches"),
+            F.coalesce(F.col("dominant_topic"), F.lit(default_topic)).alias(
+                "dominant_topic"
+            ),
+        )
+    )
