@@ -29,6 +29,7 @@ _PRIORITY = [
     # tier 1 — never driver-sampled (round-7 additions)
     "corpus_weighted_sample",
     "text_taxonomy_tag",
+    "events_mad_outliers",
     # tier 2 — oldest driver-green first
     "events_daily_moving_avg",
     "events_latest_per_user",

@@ -2489,3 +2489,51 @@ def test_taxonomy_tag_counts_ties_and_default(spark):
         X.taxonomy_tag(df, {"Two Words": "x"})
     with _pt.raises(ValueError, match="not be empty"):
         X.taxonomy_tag(df, {})
+
+
+def test_grouped_rank_median_mad_match_brute_force(spark):
+    """grouped_rank/grouped_median/mad_outliers must equal the serial
+    computation exactly — ranks, middle-rank medians ((a+b)/2), MAD,
+    and outlier flags — while never windowing by the bare group key."""
+    import statistics
+
+    from ukis_h3cellstore_spark.ops import robust as R
+
+    rows = []
+    for i in range(700):
+        g = f"g{i % 4}"
+        v = float(((i * 131) % 97) - 48) + (0.25 if i % 3 else 0.0)
+        rows.append((i, g, v))
+    # group g3 gets a contaminated tail
+    rows += [(1000 + j, "g3", 1e6 + j) for j in range(5)]
+    df = spark.createDataFrame(rows, "id long, g string, v double").repartition(9)
+
+    ranked = R.grouped_rank(df, "g", ["v", "id"], num_partitions=5)
+    got = {(r.g, r.id): r.rank for r in ranked.collect()}
+    for g in ("g0", "g1", "g2", "g3"):
+        grp = sorted([r for r in rows if r[1] == g], key=lambda r: (r[2], r[0]))
+        for rk, (i, _, _) in enumerate(grp, start=1):
+            assert got[(g, i)] == rk
+
+    med = {r.g: (r.n, r.median) for r in R.grouped_median(df, "g", "v").collect()}
+    out = R.mad_outliers(df, "g", "v", k=3.5).collect()
+    by_g = {}
+    for r in rows:
+        by_g.setdefault(r[1], []).append(r[2])
+    for g, vals in by_g.items():
+        vs = sorted(vals)
+        n = len(vs)
+        exp_med = (vs[(n - 1) // 2] + vs[n // 2]) / 2
+        assert med[g] == (n, exp_med), g
+        devs = sorted(abs(v - exp_med) for v in vs)
+        exp_mad = (devs[(n - 1) // 2] + devs[n // 2]) / 2
+        grp_rows = [r for r in out if r.g == g]
+        assert all(r.mad == exp_mad for r in grp_rows)
+        exp_out = {True: 0, False: 0}
+        for v in vals:
+            exp_out[abs(v - exp_med) > 3.5 * exp_mad] += 1
+        assert sum(1 for r in grp_rows if r.is_outlier) == exp_out[True]
+    # the contaminated tail is flagged, the bulk is not
+    g3 = [r for r in out if r.g == "g3"]
+    assert sum(1 for r in g3 if r.is_outlier) == 5
+    assert statistics.median([r.v for r in g3]) < 1000

@@ -3486,6 +3486,65 @@ WHERE est >= n_total // 64
 """
 
 
+def q_events_mad_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Robust per-group outlier screen (ops/robust.py: mad_outliers):
+    exact median + MAD per event type via the range-partition +
+    broadcast-offset grouped rank (never a group-wide sort on one
+    task; Spark's own exact ``percentile`` buffers a whole group in
+    one aggregation buffer — a scale-killer when a group is 20 % of
+    the corpus). Summary per type: n, median, MAD, outlier count at
+    k = 3.5."""
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet").filter(
+        F.col("value").isNotNull()
+    )
+    from ukis_h3cellstore_spark.ops import robust as R
+
+    out = R.mad_outliers(ev, "event_type", "value", k=3.5)
+    return out.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.round(F.first("median"), 4).alias("median"),
+        F.round(F.first("mad"), 4).alias("mad"),
+        F.sum(F.col("is_outlier").cast("long")).alias("n_outliers"),
+    )
+
+
+Q_EVENTS_MAD_OUTLIERS_SQL = """
+WITH v AS (SELECT event_type, value FROM events WHERE value IS NOT NULL),
+r AS (
+  SELECT event_type, value,
+         row_number() OVER (PARTITION BY event_type ORDER BY value) AS rk,
+         COUNT(*) OVER (PARTITION BY event_type) AS n
+  FROM v
+),
+med AS (
+  SELECT event_type, ANY_VALUE(n) AS n, SUM(value) / COUNT(*) AS median
+  FROM r WHERE rk = (n + 1) // 2 OR rk = (n + 2) // 2 GROUP BY 1
+),
+d AS (
+  SELECT v.event_type, abs(v.value - m.median) AS dev
+  FROM v JOIN med m USING (event_type)
+),
+r2 AS (
+  SELECT event_type, dev,
+         row_number() OVER (PARTITION BY event_type ORDER BY dev) AS rk,
+         COUNT(*) OVER (PARTITION BY event_type) AS n2
+  FROM d
+),
+mad AS (
+  SELECT event_type, SUM(dev) / COUNT(*) AS mad
+  FROM r2 WHERE rk = (n2 + 1) // 2 OR rk = (n2 + 2) // 2 GROUP BY 1
+)
+SELECT m.event_type,
+       CAST(m.n AS BIGINT) AS n,
+       round(m.median, 4) AS median,
+       round(x.mad, 4) AS mad,
+       CAST(SUM(CASE WHEN d.dev > 3.5 * x.mad THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_outliers
+FROM d JOIN med m USING (event_type) JOIN mad x USING (event_type)
+GROUP BY 1, 2, 3, 4
+"""
+
+
 _TAXONOMY = {
     "join": "relational",
     "agg": "relational",
@@ -3580,6 +3639,7 @@ WHERE rn <= 5
 QUERIES_OPS: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "corpus_weighted_sample": q_corpus_weighted_sample,
     "text_taxonomy_tag": q_text_taxonomy_tag,
+    "events_mad_outliers": q_events_mad_outliers,
     "text_cms_heavy_hitters": q_text_cms_heavy_hitters,
     "graph_pagerank": q_graph_pagerank,
     "ann_kcenter_coreset": q_ann_kcenter_coreset,
@@ -3664,6 +3724,7 @@ QUERIES_OPS: dict[str, Callable[[SparkSession, str], DataFrame]] = {
 ORACLES_OPS: dict[str, str] = {
     "corpus_weighted_sample": Q_CORPUS_WEIGHTED_SAMPLE_SQL,
     "text_taxonomy_tag": _q_text_taxonomy_tag_sql(),
+    "events_mad_outliers": Q_EVENTS_MAD_OUTLIERS_SQL,
     "graph_pagerank": Q_GRAPH_PAGERANK_SQL,
     "corpus_snapshot_diff": Q_CORPUS_SNAPSHOT_DIFF_SQL,
     "corpus_domain_cap": Q_CORPUS_DOMAIN_CAP_SQL,

@@ -1,0 +1,172 @@
+"""Robust per-group statistics: exact grouped median / MAD outliers.
+
+Exact medians are a selection problem, and Spark's own exact
+``percentile`` aggregate buffers every group value in ONE aggregation
+buffer — a scale-killer when a group is a double-digit share of a
+100 TB corpus. The distributed answer reuses the range-partition +
+broadcast-offset machinery of :mod:`ukis_h3cellstore_spark.ops.prefix`,
+generalized to groups:
+
+1. **range partition** on ``(group, value)`` — each group occupies a
+   contiguous RUN of partitions (groups far larger than a partition
+   simply span several), so no single task ever holds a whole group;
+2. **within-partition ranks** per ``(partition, group)`` — parallel;
+3. **(partition, group) counts** collect to the driver — at most
+   ``num_partitions + n_groups`` rows by contiguity, metadata-sized —
+   and prefix-sum into per-(partition, group) rank offsets;
+4. the group's k-th smallest values (the median straddle) are then
+   two broadcast-joined rank lookups, never a group-wide sort on one
+   task.
+
+The median is the mean of the lower/upper middle ranks (equals
+``quantile_cont(0.5)``); MAD runs the same machinery once more over
+``|x - median|``. Everything stays in whole-stage codegen except the
+metadata collects.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+__all__ = ["grouped_rank", "grouped_median", "mad_outliers"]
+
+
+def grouped_rank(
+    df: DataFrame,
+    group_col: str,
+    order_cols: list[str],
+    out_col: str = "rank",
+    num_partitions: int | None = None,
+) -> DataFrame:
+    """Append the 1-based rank of each row WITHIN its group under
+    ``order_cols`` — without partitioning the window by the group key
+    (which would funnel every group through one task). Range-partition
+    on ``(group, *order_cols)``, rank within ``(partition, group)``,
+    and add broadcast per-(partition, group) offsets. The offsets
+    collect is ≤ ``num_partitions + n_groups`` rows (each partition
+    holds a contiguous key range, so it straddles at most one group
+    boundary more than it contains whole groups)."""
+    gcol = F.col(group_col)
+    ncols = [F.col(c) if isinstance(c, str) else c for c in order_cols]
+    keys = [gcol, *ncols]
+    if num_partitions is None:
+        rp = df.repartitionByRange(*keys)
+    else:
+        rp = df.repartitionByRange(num_partitions, *keys)
+    staged = rp.withColumn("__pid", F.spark_partition_id())
+    w = Window.partitionBy("__pid", group_col).orderBy(*ncols)
+    within = staged.withColumn("__rn", F.row_number().over(w)).localCheckpoint(
+        eager=False
+    )
+    counts = (
+        within.groupBy("__pid", group_col)
+        .agg(F.count(F.lit(1)).alias("__n"))
+        .collect()
+    )
+    # exclusive prefix over pids within each group -> rank offsets
+    by_group: dict = {}
+    for r in sorted(counts, key=lambda r: (r[group_col], int(r["__pid"]))):
+        by_group.setdefault(r[group_col], []).append(
+            (int(r["__pid"]), int(r["__n"]))
+        )
+    offsets = []
+    for g, lst in by_group.items():
+        acc = 0
+        for pid, n in lst:
+            offsets.append((pid, g, acc))
+            acc += n
+    spark = df.sparkSession
+    g_type = dict(df.dtypes)[group_col]
+    schema = f"__pid int, {group_col} {g_type}, __offset long"
+    off_df = spark.createDataFrame(offsets, schema)
+    return (
+        within.join(F.broadcast(off_df), on=["__pid", group_col], how="left")
+        .withColumn(
+            out_col,
+            (F.coalesce(F.col("__offset"), F.lit(0)) + F.col("__rn")).cast(
+                "long"
+            ),
+        )
+        .drop("__pid", "__rn", "__offset")
+    )
+
+
+def grouped_median(
+    df: DataFrame,
+    group_col: str,
+    value_col: str | Column,
+    out_col: str = "median",
+    num_partitions: int | None = None,
+) -> DataFrame:
+    """EXACT per-group median: (group, n, median), where median is the
+    mean of the lower/upper middle order statistics (``(a + b) / 2`` —
+    identical to ``quantile_cont(0.5)`` and reproducible bit-for-bit
+    by any engine that selects the same two ranks). NULL values are
+    excluded (SQL aggregate semantics); empty groups yield no row."""
+    value = F.col(value_col) if isinstance(value_col, str) else value_col
+    src = df.select(F.col(group_col), value.alias("__v")).filter(
+        F.col("__v").isNotNull()
+    )
+    ranked = grouped_rank(
+        src, group_col, ["__v"], out_col="__rank", num_partitions=num_partitions
+    )
+    targets = (
+        ranked.groupBy(group_col)
+        .agg(F.count(F.lit(1)).alias("n"))
+        .withColumns(
+            {
+                "__lo": ((F.col("n") + 1) / 2).cast("long"),
+                "__hi": ((F.col("n") + 2) / 2).cast("long"),
+            }
+        )
+    )
+    return (
+        ranked.join(F.broadcast(targets), on=group_col)
+        .filter(
+            (F.col("__rank") == F.col("__lo"))
+            | (F.col("__rank") == F.col("__hi"))
+        )
+        .groupBy(group_col, "n")
+        .agg((F.sum("__v") / F.count(F.lit(1))).alias(out_col))
+        .select(group_col, "n", out_col)
+    )
+
+
+def mad_outliers(
+    df: DataFrame,
+    group_col: str,
+    value_col: str,
+    k: float = 3.5,
+    num_partitions: int | None = None,
+) -> DataFrame:
+    """Robust per-group outlier flags: median / MAD (median absolute
+    deviation) per group, then ``is_outlier = |x - median| > k * MAD``
+    — the Iglewicz–Hoaglin robust z-score family (k = 3.5 on the raw
+    MAD ratio is the classic screen; multiply by 0.6745 yourself if
+    you want the normal-consistent modified z). Unlike mean/stddev
+    screens, a contaminated tail cannot drag the threshold.
+
+    Returns the input rows plus (median, mad, abs_dev, is_outlier).
+    Two passes of :func:`grouped_median` (values, then deviations) —
+    each pass range-partitions and never sorts a group on one task;
+    the medians table is groups-sized and broadcast back."""
+    med = grouped_median(
+        df, group_col, value_col, out_col="median", num_partitions=num_partitions
+    ).select(group_col, "median")
+    with_med = df.join(F.broadcast(med), on=group_col, how="inner")
+    dev = F.abs(F.col(value_col) - F.col("median"))
+    mad = grouped_median(
+        with_med.select(F.col(group_col), dev.alias("__dev")),
+        group_col,
+        "__dev",
+        out_col="mad",
+        num_partitions=num_partitions,
+    ).select(group_col, "mad")
+    return (
+        with_med.join(F.broadcast(mad), on=group_col, how="inner")
+        .withColumn("abs_dev", dev)
+        .withColumn(
+            "is_outlier", F.col("abs_dev") > F.lit(float(k)) * F.col("mad")
+        )
+    )
