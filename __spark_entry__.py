@@ -30,6 +30,7 @@ _PRIORITY = [
     "corpus_weighted_sample",
     "text_taxonomy_tag",
     "events_mad_outliers",
+    "text_ccnet_buckets",
     # tier 2 — oldest driver-green first
     "events_daily_moving_avg",
     "events_latest_per_user",

@@ -2537,3 +2537,21 @@ def test_grouped_rank_median_mad_match_brute_force(spark):
     g3 = [r for r in out if r.g == "g3"]
     assert sum(1 for r in g3 if r.is_outlier) == 5
     assert statistics.median([r.v for r in g3]) < 1000
+
+
+def test_perplexity_buckets_equal_count_tiers(spark):
+    """perplexity_buckets: exact equal-count tiers over the surprisal
+    order, deterministic ties, token-less docs excluded."""
+    rows = [(i, ("common " * 5 + f"rare{i} " * (i % 4)).strip()) for i in range(30)]
+    rows.append((99, "   "))  # token-less
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = X.perplexity_buckets(df, n_buckets=3).collect()
+    assert len(out) == 30  # empty doc excluded
+    sizes = {}
+    for r in out:
+        sizes[r.bucket] = sizes.get(r.bucket, 0) + 1
+    assert sizes == {"head": 10, "middle": 10, "tail": 10}
+    # bucket order follows the surprisal order
+    by_bucket = {b: [r.avg_surprisal_milli for r in out if r.bucket == b] for b in sizes}
+    assert max(by_bucket["head"]) <= min(by_bucket["middle"])
+    assert max(by_bucket["middle"]) <= min(by_bucket["tail"])

@@ -1038,6 +1038,45 @@ GROUP BY 1
 """
 
 
+def q_text_ccnet_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet head/middle/tail corpus split (ops/text.py:
+    perplexity_buckets): exact equal-count terciles of the integer
+    unigram-surprisal score via distributed global rank — no
+    percentile interpolation, deterministic ties by id."""
+    return X.perplexity_buckets(_docs(spark, sf_dir), n_buckets=3)
+
+
+Q_TEXT_CCNET_BUCKETS_SQL = f"""
+WITH tok AS (
+  SELECT doc_id, unnest({_DUCK_TOKS}) AS t
+  FROM documents
+),
+tokf AS (SELECT doc_id, t FROM tok WHERE length(t) > 0),
+freq AS (SELECT t, COUNT(*) AS c FROM tokf GROUP BY 1),
+total AS (SELECT CAST(SUM(c) AS BIGINT) AS total FROM freq),
+scored AS (
+  SELECT CAST(doc_id AS BIGINT) AS doc_id,
+         CAST(COUNT(*) AS BIGINT) AS n_tokens,
+         CAST((1000 * SUM(length(bin(total)) - length(bin(c))))
+              // COUNT(*) AS BIGINT) AS avg_surprisal_milli
+  FROM tokf JOIN freq USING (t) CROSS JOIN total
+  GROUP BY 1
+),
+ranked AS (
+  SELECT *,
+         row_number() OVER (ORDER BY avg_surprisal_milli, doc_id) AS gr,
+         COUNT(*) OVER () AS n
+  FROM scored
+)
+SELECT doc_id, n_tokens, avg_surprisal_milli,
+       CAST((3 * (gr - 1)) // n AS INT) AS bucket_no,
+       CASE (3 * (gr - 1)) // n WHEN 0 THEN 'head'
+                                WHEN 1 THEN 'middle'
+                                ELSE 'tail' END AS bucket
+FROM ranked
+"""
+
+
 def q_text_bigram_surprisal(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Conditional bigram-LM scoring (ops/text.py: bigram_surprisal):
     integer-exact add-1-smoothed bigram surprisal per document — the
@@ -3640,6 +3679,7 @@ QUERIES_OPS: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "corpus_weighted_sample": q_corpus_weighted_sample,
     "text_taxonomy_tag": q_text_taxonomy_tag,
     "events_mad_outliers": q_events_mad_outliers,
+    "text_ccnet_buckets": q_text_ccnet_buckets,
     "text_cms_heavy_hitters": q_text_cms_heavy_hitters,
     "graph_pagerank": q_graph_pagerank,
     "ann_kcenter_coreset": q_ann_kcenter_coreset,
@@ -3725,6 +3765,7 @@ ORACLES_OPS: dict[str, str] = {
     "corpus_weighted_sample": Q_CORPUS_WEIGHTED_SAMPLE_SQL,
     "text_taxonomy_tag": _q_text_taxonomy_tag_sql(),
     "events_mad_outliers": Q_EVENTS_MAD_OUTLIERS_SQL,
+    "text_ccnet_buckets": Q_TEXT_CCNET_BUCKETS_SQL,
     "graph_pagerank": Q_GRAPH_PAGERANK_SQL,
     "corpus_snapshot_diff": Q_CORPUS_SNAPSHOT_DIFF_SQL,
     "corpus_domain_cap": Q_CORPUS_DOMAIN_CAP_SQL,

@@ -1478,3 +1478,52 @@ def taxonomy_tag(
             ),
         )
     )
+
+
+def perplexity_buckets(
+    df: DataFrame,
+    n_buckets: int = 3,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """CCNet-style corpus split by language-model score: rank every
+    document by :func:`unigram_surprisal` (integer-exact ≈ -log2 p,
+    the cheap stand-in for the KenLM perplexity CCNet uses) and cut
+    the corpus into ``n_buckets`` equal-count tiers — bucket 0
+    ("head") is the most-fluent third, the classic pretraining
+    curation signal (Wenzek 2020). Returns (id, n_tokens,
+    avg_surprisal_milli, bucket_no, bucket) — token-less documents
+    have no score and are excluded, as in CCNet.
+
+    Scale shape: the rank comes from the range-partition +
+    broadcast-offset :func:`~ukis_h3cellstore_spark.ops.prefix.
+    global_rank` (never a single-partition ORDER BY); the corpus size
+    is one count job (metadata result); the bucket is then a pure
+    integer projection ``(n_buckets * (rank-1)) div n`` — exact
+    equal-count tiers, deterministic ties by id, no percentile
+    interpolation for engines to disagree on."""
+    if n_buckets < 2:
+        raise ValueError("n_buckets must be >= 2")
+    from ukis_h3cellstore_spark.ops.prefix import global_rank
+
+    scored = unigram_surprisal(df, text_col, id_col)
+    n = scored.count()
+    ranked = global_rank(
+        scored, ["avg_surprisal_milli", id_col], out_col="__gr"
+    )
+    bucket_no = F.expr(f"({n_buckets} * (__gr - 1)) div {max(n, 1)}").cast(
+        "int"
+    )
+    labels = (
+        ["head", "middle", "tail"]
+        if n_buckets == 3
+        else [f"b{i}" for i in range(n_buckets)]
+    )
+    label = F.element_at(
+        F.array(*[F.lit(x) for x in labels]), F.col("bucket_no") + 1
+    )
+    return (
+        ranked.withColumn("bucket_no", bucket_no)
+        .withColumn("bucket", label)
+        .select(id_col, "n_tokens", "avg_surprisal_milli", "bucket_no", "bucket")
+    )
