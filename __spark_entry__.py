@@ -31,6 +31,7 @@ _PRIORITY = [
     "text_taxonomy_tag",
     "events_mad_outliers",
     "text_ccnet_buckets",
+    "corpus_length_batches",
     # tier 2 — oldest driver-green first
     "events_daily_moving_avg",
     "events_latest_per_user",

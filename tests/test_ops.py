@@ -2555,3 +2555,33 @@ def test_perplexity_buckets_equal_count_tiers(spark):
     by_bucket = {b: [r.avg_surprisal_milli for r in out if r.bucket == b] for b in sizes}
     assert max(by_bucket["head"]) <= min(by_bucket["middle"])
     assert max(by_bucket["middle"]) <= min(by_bucket["tail"])
+
+
+def test_length_bucket_batches_pow2_and_full_batches(spark):
+    """length_bucket_batches: power-of-two buckets exact (bit-length,
+    no float log2), deterministic batch numbering by id, batches full
+    except the last per bucket, padding arithmetic exact."""
+    from ukis_h3cellstore_spark.ops import sampling as SM
+
+    rows = [(i, " ".join(["w"] * n)) for i, n in enumerate(
+        [1, 2, 3, 4, 5, 8, 9, 15, 16, 17, 31, 33, 1, 2, 3, 4]
+    )]
+    rows.append((99, ""))
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r.doc_id: r for r in SM.length_bucket_batches(df, batch_size=3).collect()}
+    assert 99 not in out and len(out) == 16
+    exp_bucket = {1: 1, 2: 2, 3: 4, 4: 4, 5: 8, 8: 8, 9: 16, 15: 16,
+                  16: 16, 17: 32, 31: 32, 33: 64}
+    for doc_id, r in out.items():
+        assert r.bucket == exp_bucket[r.n_tokens], (doc_id, r)
+        assert r.pad_tokens == r.bucket - r.n_tokens
+    # bucket 4 holds docs {2(3w),3(4w),13(3w? wait id13 n=2)->bucket2}
+    four = sorted((r.doc_id for r in out.values() if r.bucket == 4))
+    got_batches = {r.doc_id: r.batch_no for r in out.values() if r.bucket == 4}
+    # batch_no assigned in id order, batch_size=3
+    for pos, d in enumerate(four):
+        assert got_batches[d] == pos // 3
+    stats = SM.batch_padding_stats(df, batch_size=3).collect()
+    for s in stats:
+        assert s.padded_tokens == s.bucket * s.n_docs
+        assert s.waste_milli == (1000 * (s.padded_tokens - s.total_tokens)) // s.padded_tokens

@@ -3584,6 +3584,47 @@ GROUP BY 1, 2, 3, 4
 """
 
 
+def q_corpus_length_batches(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Length-bucketed batch assignment (ops/sampling.py:
+    length_bucket_batches / batch_padding_stats): power-of-two length
+    buckets via integer bit-length, per-bucket batch numbering through
+    the distributed grouped_rank, integer-exact padding-waste report
+    per (bucket, batch)."""
+    return SM.batch_padding_stats(_docs(spark, sf_dir), batch_size=32)
+
+
+Q_CORPUS_LENGTH_BATCHES_SQL = """
+WITH base AS (
+  SELECT doc_id,
+         len(regexp_split_to_array(trim(text), '\\s+')) AS n_tokens
+  FROM documents WHERE trim(text) <> ''
+),
+b AS (
+  SELECT doc_id, n_tokens,
+         CASE WHEN n_tokens <= 1 THEN 1
+              ELSE (1::BIGINT << length(bin(n_tokens - 1))) END AS bucket
+  FROM base
+),
+r AS (
+  SELECT *, row_number() OVER (PARTITION BY bucket ORDER BY doc_id) AS rk
+  FROM b
+),
+g AS (
+  SELECT bucket, (rk - 1) // 32 AS batch_no,
+         COUNT(*) AS n_docs, SUM(n_tokens) AS total_tokens
+  FROM r GROUP BY 1, 2
+)
+SELECT CAST(bucket AS BIGINT) AS bucket,
+       CAST(batch_no AS BIGINT) AS batch_no,
+       CAST(n_docs AS BIGINT) AS n_docs,
+       CAST(total_tokens AS BIGINT) AS total_tokens,
+       CAST(bucket * n_docs AS BIGINT) AS padded_tokens,
+       CAST((1000 * (bucket * n_docs - total_tokens))
+            // (bucket * n_docs) AS BIGINT) AS waste_milli
+FROM g
+"""
+
+
 _TAXONOMY = {
     "join": "relational",
     "agg": "relational",
@@ -3680,6 +3721,7 @@ QUERIES_OPS: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "text_taxonomy_tag": q_text_taxonomy_tag,
     "events_mad_outliers": q_events_mad_outliers,
     "text_ccnet_buckets": q_text_ccnet_buckets,
+    "corpus_length_batches": q_corpus_length_batches,
     "text_cms_heavy_hitters": q_text_cms_heavy_hitters,
     "graph_pagerank": q_graph_pagerank,
     "ann_kcenter_coreset": q_ann_kcenter_coreset,
@@ -3766,6 +3808,7 @@ ORACLES_OPS: dict[str, str] = {
     "text_taxonomy_tag": _q_text_taxonomy_tag_sql(),
     "events_mad_outliers": Q_EVENTS_MAD_OUTLIERS_SQL,
     "text_ccnet_buckets": Q_TEXT_CCNET_BUCKETS_SQL,
+    "corpus_length_batches": Q_CORPUS_LENGTH_BATCHES_SQL,
     "graph_pagerank": Q_GRAPH_PAGERANK_SQL,
     "corpus_snapshot_diff": Q_CORPUS_SNAPSHOT_DIFF_SQL,
     "corpus_domain_cap": Q_CORPUS_DOMAIN_CAP_SQL,

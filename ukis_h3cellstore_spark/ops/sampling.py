@@ -609,3 +609,83 @@ def weighted_sample(
         .filter(F.col("__rn") <= k)
         .drop("__wkey", "__rn")
     )
+
+
+def length_bucket_batches(
+    df: DataFrame,
+    batch_size: int = 32,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Length-bucketed batch assignment: round each document's token
+    count up to a power of two ("bucket"), then number fixed-size
+    batches WITHIN each bucket — the standard padding-waste
+    minimization for sequence training (batching similar lengths
+    together means padding to the bucket bound instead of the corpus
+    max). Returns (id, n_tokens, bucket, batch_no, pad_tokens) where
+    ``pad_tokens = bucket - n_tokens`` is the per-doc padding cost.
+    Token-less documents are excluded (nothing to batch).
+
+    Scale shape: the bucket is an integer bit-length projection (no
+    float log2); batch numbering uses the range-partition +
+    broadcast-offset ``grouped_rank`` — per-bucket ranks without
+    funneling a bucket through one window task. Deterministic: ranks
+    order by id, so re-runs produce identical batches."""
+    if batch_size <= 0:
+        raise ValueError("batch_size must be > 0")
+    from ukis_h3cellstore_spark.ops.robust import grouped_rank
+
+    n_tok = F.when(
+        F.length(F.trim(F.col(text_col))) == 0, F.lit(0)
+    ).otherwise(F.size(tokens(text_col)))
+    base = (
+        df.select(F.col(id_col), n_tok.cast("long").alias("n_tokens"))
+        .filter(F.col("n_tokens") > 0)
+        .withColumn(
+            "bucket",
+            F.when(F.col("n_tokens") <= 1, F.lit(1).cast("long")).otherwise(
+                F.expr(
+                    "shiftleft(cast(1 as bigint),"
+                    " length(bin(n_tokens - 1)))"
+                ).cast("long")
+            ),
+        )
+    )
+    ranked = grouped_rank(base, "bucket", [F.col(id_col)], out_col="__rk")
+    return ranked.select(
+        F.col(id_col),
+        "n_tokens",
+        "bucket",
+        F.expr(f"(__rk - 1) div {int(batch_size)}").cast("long").alias(
+            "batch_no"
+        ),
+        (F.col("bucket") - F.col("n_tokens")).alias("pad_tokens"),
+    )
+
+
+def batch_padding_stats(
+    df: DataFrame,
+    batch_size: int = 32,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Per-(bucket, batch) padding report for
+    :func:`length_bucket_batches`: (bucket, batch_no, n_docs,
+    total_tokens, padded_tokens, waste_milli) where ``padded_tokens =
+    bucket * n_docs`` and ``waste_milli = 1000 * (padded - total) div
+    padded`` — integer-exact so every engine agrees."""
+    b = length_bucket_batches(df, batch_size, text_col, id_col)
+    return (
+        b.groupBy("bucket", "batch_no")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_tokens").alias("total_tokens"),
+        )
+        .withColumn("padded_tokens", F.col("bucket") * F.col("n_docs"))
+        .withColumn(
+            "waste_milli",
+            F.expr(
+                "(1000 * (padded_tokens - total_tokens)) div padded_tokens"
+            ),
+        )
+    )
