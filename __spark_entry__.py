@@ -32,6 +32,7 @@ _PRIORITY = [
     "events_mad_outliers",
     "text_ccnet_buckets",
     "corpus_length_batches",
+    "corpus_token_budget_mix",
     # tier 2 — oldest driver-green first
     "events_daily_moving_avg",
     "events_latest_per_user",

@@ -2585,3 +2585,62 @@ def test_length_bucket_batches_pow2_and_full_batches(spark):
     for s in stats:
         assert s.padded_tokens == s.bucket * s.n_docs
         assert s.waste_milli == (1000 * (s.padded_tokens - s.total_tokens)) // s.padded_tokens
+
+
+def test_token_budget_waterfill_matches_greedy(spark):
+    """token_budget_allocation must equal the serial greedy waterline
+    (ascending fill, first source over its candidate line fixes λ),
+    and token_budget_mix keeps exactly the hash-ordered prefix whose
+    running total fits each source's allocation."""
+    import hashlib
+
+    from ukis_h3cellstore_spark.ops import sampling as SM
+
+    counts = [("a", 10), ("b", 100), ("c", 100), ("d", 7)]
+    cdf = spark.createDataFrame(counts, "source string, n_tokens long")
+
+    def greedy(cnts, budget):
+        srt = sorted(cnts, key=lambda r: (r[1], r[0]))
+        k = len(srt)
+        p = 0
+        for j, (s, n) in enumerate(srt, start=1):
+            lam = (budget - p) // (k - j + 1)
+            if n > lam:
+                return {s2: min(n2, lam) for s2, n2 in cnts}
+            p += n
+        return dict(cnts)
+
+    for budget in (0, 4, 17, 60, 120, 216, 217, 1000):
+        got = {
+            r.source: r.alloc
+            for r in SM.token_budget_allocation(cdf, budget).collect()
+        }
+        assert got == greedy(counts, budget), budget
+        assert sum(got.values()) <= max(budget, 0) or sum(
+            got.values()
+        ) == sum(n for _, n in counts)
+
+    # end-to-end: mix keeps the per-source hash-ordered prefix
+    rows = [(i, f"s{i % 2}", " ".join(["w"] * (3 + i % 5))) for i in range(40)]
+    df = spark.createDataFrame(rows, "doc_id long, source string, text string")
+    out = SM.token_budget_mix(df, budget=50)
+    kept = {r.doc_id: r for r in out.collect()}
+    toks = {i: 3 + i % 5 for i, _, _ in rows}
+    src_tokens = {"s0": 0, "s1": 0}
+    for i, s, _ in rows:
+        src_tokens[s] += toks[i]
+    alloc = greedy(sorted(src_tokens.items()), 50)
+    for s in ("s0", "s1"):
+        ids = [i for i, ss, _ in rows if ss == s]
+        ids.sort(
+            key=lambda i: (
+                int(hashlib.md5(f"tb|{i}".encode()).hexdigest()[:15], 16),
+                i,
+            )
+        )
+        cum, exp = 0, set()
+        for i in ids:
+            cum += toks[i]
+            if cum <= alloc[s]:
+                exp.add(i)
+        assert {i for i in kept if kept[i].source == s} == exp, s

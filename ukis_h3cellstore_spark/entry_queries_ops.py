@@ -3625,6 +3625,67 @@ FROM g
 """
 
 
+def q_corpus_token_budget_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token-budget water-filling mix (ops/sampling.py:
+    token_budget_allocation + token_budget_mix): integer waterline
+    across sources (small sources keep everything, big ones capped at
+    the common line), then deterministic hash-ordered prefix
+    truncation per source via the distributed grouped_cumsum. Summary
+    per kept source: docs, tokens kept, allocation."""
+    out = SM.token_budget_mix(_docs(spark, sf_dir), budget=10_000)
+    return out.groupBy("source").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.sum("n_tokens").cast("long").alias("tokens_kept"),
+        F.first("alloc").cast("long").alias("alloc"),
+    )
+
+
+Q_CORPUS_TOKEN_BUDGET_MIX_SQL = """
+WITH base AS (
+  SELECT doc_id, source,
+         len(regexp_split_to_array(trim(text), '\\s+')) AS n_tokens
+  FROM documents WHERE trim(text) <> ''
+),
+counts AS (SELECT source, SUM(n_tokens) AS st FROM base GROUP BY 1),
+st AS (
+  SELECT source, st,
+         row_number() OVER (ORDER BY st, source) AS j,
+         COALESCE(SUM(st) OVER (ORDER BY st, source
+                                ROWS BETWEEN UNBOUNDED PRECEDING
+                                AND 1 PRECEDING), 0) AS p,
+         COUNT(*) OVER () AS k
+  FROM counts
+),
+lam AS (SELECT *, (10000 - p) // (k - j + 1) AS lam_j FROM st),
+line AS (SELECT lam_j AS line FROM lam WHERE st > lam_j ORDER BY j LIMIT 1),
+alloc AS (
+  SELECT source,
+         CASE WHEN (SELECT line FROM line) IS NULL THEN st
+              ELSE LEAST(st, (SELECT line FROM line)) END AS alloc
+  FROM lam
+),
+h AS (
+  SELECT b.*,
+         ('0x' || substr(md5('tb' || '|' || CAST(doc_id AS VARCHAR)),
+                         1, 15))::BIGINT AS hh
+  FROM base b
+),
+c AS (
+  SELECT *, SUM(n_tokens) OVER (PARTITION BY source ORDER BY hh, doc_id
+                                ROWS BETWEEN UNBOUNDED PRECEDING
+                                AND CURRENT ROW) AS cum
+  FROM h
+)
+SELECT c.source,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(n_tokens) AS BIGINT) AS tokens_kept,
+       CAST(ANY_VALUE(a.alloc) AS BIGINT) AS alloc
+FROM c JOIN alloc a USING (source)
+WHERE cum <= a.alloc
+GROUP BY 1
+"""
+
+
 _TAXONOMY = {
     "join": "relational",
     "agg": "relational",
@@ -3722,6 +3783,7 @@ QUERIES_OPS: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "events_mad_outliers": q_events_mad_outliers,
     "text_ccnet_buckets": q_text_ccnet_buckets,
     "corpus_length_batches": q_corpus_length_batches,
+    "corpus_token_budget_mix": q_corpus_token_budget_mix,
     "text_cms_heavy_hitters": q_text_cms_heavy_hitters,
     "graph_pagerank": q_graph_pagerank,
     "ann_kcenter_coreset": q_ann_kcenter_coreset,
@@ -3809,6 +3871,7 @@ ORACLES_OPS: dict[str, str] = {
     "events_mad_outliers": Q_EVENTS_MAD_OUTLIERS_SQL,
     "text_ccnet_buckets": Q_TEXT_CCNET_BUCKETS_SQL,
     "corpus_length_batches": Q_CORPUS_LENGTH_BATCHES_SQL,
+    "corpus_token_budget_mix": Q_CORPUS_TOKEN_BUDGET_MIX_SQL,
     "graph_pagerank": Q_GRAPH_PAGERANK_SQL,
     "corpus_snapshot_diff": Q_CORPUS_SNAPSHOT_DIFF_SQL,
     "corpus_domain_cap": Q_CORPUS_DOMAIN_CAP_SQL,

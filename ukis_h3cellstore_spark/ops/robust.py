@@ -29,7 +29,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
-__all__ = ["grouped_rank", "grouped_median", "mad_outliers"]
+__all__ = ["grouped_rank", "grouped_median", "mad_outliers", "grouped_cumsum"]
 
 
 def grouped_rank(
@@ -169,4 +169,82 @@ def mad_outliers(
         .withColumn(
             "is_outlier", F.col("abs_dev") > F.lit(float(k)) * F.col("mad")
         )
+    )
+
+
+def grouped_cumsum(
+    df: DataFrame,
+    group_col: str,
+    order_cols: list,
+    value_col: str | Column,
+    out_col: str = "cum_sum",
+    num_partitions: int | None = None,
+) -> DataFrame:
+    """Per-group running total of ``value_col`` under ``order_cols``
+    WITHOUT partitioning a window by the bare group key (which funnels
+    every group through one task): the grouped twin of
+    :func:`~ukis_h3cellstore_spark.ops.prefix.global_cumsum`. Range
+    partition on ``(group, *order_cols)``, within-(partition, group)
+    running totals, broadcast per-(partition, group) sum offsets
+    (collect is ≤ partitions + groups rows by range contiguity).
+    Integer value types stay integer-exact."""
+    gcol = F.col(group_col)
+    ncols = [F.col(c) if isinstance(c, str) else c for c in order_cols]
+    value = F.col(value_col) if isinstance(value_col, str) else value_col
+    keys = [gcol, *ncols]
+    if num_partitions is None:
+        rp = df.repartitionByRange(*keys)
+    else:
+        rp = df.repartitionByRange(num_partitions, *keys)
+    staged = rp.withColumn("__pid", F.spark_partition_id()).withColumn(
+        "__v", value
+    )
+    w = (
+        Window.partitionBy("__pid", group_col)
+        .orderBy(*ncols)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    within = staged.withColumn("__within", F.sum("__v").over(w)).localCheckpoint(
+        eager=False
+    )
+    totals_df = within.groupBy("__pid", group_col).agg(
+        F.sum("__v").alias("__total")
+    )
+    sum_type = dict(totals_df.dtypes)["__total"]
+    if sum_type in ("double", "float"):
+        cast = float
+    elif sum_type.startswith("decimal"):
+        from decimal import Decimal
+
+        cast = Decimal
+    elif sum_type in ("bigint", "int", "smallint", "tinyint"):
+        cast = int
+    else:
+        raise TypeError(
+            f"grouped_cumsum: unsupported sum type {sum_type!r}"
+        )
+    counts = totals_df.collect()
+    by_group: dict = {}
+    for r in sorted(counts, key=lambda r: (r[group_col], int(r["__pid"]))):
+        by_group.setdefault(r[group_col], []).append(
+            (int(r["__pid"]), r["__total"])
+        )
+    offsets = []
+    for g, lst in by_group.items():
+        acc = cast(0)
+        for pid, tot in lst:
+            offsets.append((pid, g, acc))
+            acc += cast(tot or 0)
+    spark = df.sparkSession
+    g_type = dict(df.dtypes)[group_col]
+    off_df = spark.createDataFrame(
+        offsets, f"__pid int, {group_col} {g_type}, __offset {sum_type}"
+    )
+    zero = F.lit(0).cast(sum_type)
+    return (
+        within.join(F.broadcast(off_df), on=["__pid", group_col], how="left")
+        .withColumn(
+            out_col, F.coalesce(F.col("__offset"), zero) + F.col("__within")
+        )
+        .drop("__pid", "__v", "__within", "__offset")
     )

@@ -689,3 +689,121 @@ def batch_padding_stats(
             ),
         )
     )
+
+
+def token_budget_allocation(
+    counts: DataFrame,
+    budget: int,
+    source_col: str = "source",
+    tokens_col: str = "n_tokens",
+) -> DataFrame:
+    """Integer water-filling of a global token ``budget`` across
+    sources: sources smaller than the waterline keep every token;
+    the rest are capped at the common waterline λ chosen so the total
+    fits the budget — the standard fair rebalancing when one crawl
+    dwarfs the others. Input is the sources-sized count table; output
+    adds ``alloc`` (tokens granted).
+
+    Exact integer semantics (engine-portable, no float shares): sort
+    sources by (tokens, source) ascending; for position j with
+    exclusive prefix sum ``p_j`` over k sources, the candidate line is
+    ``λ_j = (budget - p_j) div (k - j + 1)``; the waterline is λ at
+    the FIRST j whose source exceeds it (every earlier source fits
+    whole; every later one is at least as big, hence capped). No such
+    j → the budget covers everything. The whole computation is
+    relational over the sources-sized table (windows over metadata,
+    not the corpus)."""
+    if budget < 0:
+        raise ValueError("budget must be >= 0")
+    w_ord = Window.orderBy(F.col(tokens_col).asc(), F.col(source_col).asc())
+    staged = counts.select(source_col, tokens_col).withColumns(
+        {
+            "__j": F.row_number().over(w_ord),
+            "__p": F.coalesce(
+                F.sum(tokens_col).over(
+                    w_ord.rowsBetween(Window.unboundedPreceding, -1)
+                ),
+                F.lit(0),
+            ).cast("long"),
+            "__k": F.count(F.lit(1)).over(
+                Window.rowsBetween(
+                    Window.unboundedPreceding, Window.unboundedFollowing
+                )
+            ),
+        }
+    )
+    lam_j = F.expr(f"({int(budget)} - __p) div (__k - __j + 1)")
+    flagged = staged.withColumn("__lam", lam_j).withColumn(
+        "__over", F.col(tokens_col) > F.col("__lam")
+    )
+    line = flagged.filter(F.col("__over")).agg(
+        F.min_by(F.col("__lam"), F.col("__j")).alias("__line")
+    )
+    return (
+        flagged.crossJoin(F.broadcast(line))
+        .withColumn(
+            "alloc",
+            F.when(
+                F.col("__line").isNull(), F.col(tokens_col).cast("long")
+            ).otherwise(F.least(F.col(tokens_col).cast("long"), F.col("__line"))),
+        )
+        .select(source_col, tokens_col, "alloc")
+    )
+
+
+def token_budget_mix(
+    df: DataFrame,
+    budget: int,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    source_col: str = "source",
+    salt: str = "tb",
+) -> DataFrame:
+    """Budget-bounded corpus mix: water-fill a global token ``budget``
+    across sources (:func:`token_budget_allocation`), then keep each
+    source's documents in salted-hash order while the per-source
+    running token total stays within its allocation — deterministic
+    prefix truncation, the reproducible version of "sample each
+    source down to its token share". Returns kept rows with
+    (n_tokens, alloc, cum_tokens).
+
+    Scale shape: the allocation is computed on the sources-sized count
+    table; the per-source running totals come from the range-partition
+    + broadcast-offset ``grouped_cumsum`` (no one-task source
+    windows); the final keep test is a map-side comparison."""
+    from ukis_h3cellstore_spark.ops.robust import grouped_cumsum
+
+    n_tok = F.when(
+        F.length(F.trim(F.col(text_col))) == 0, F.lit(0)
+    ).otherwise(F.size(tokens(text_col)))
+    base = df.select(
+        F.col(id_col), F.col(source_col), n_tok.cast("long").alias("n_tokens")
+    ).filter(F.col("n_tokens") > 0)
+    counts = base.groupBy(source_col).agg(
+        F.sum("n_tokens").alias("__src_tokens")
+    )
+    alloc = token_budget_allocation(
+        counts, budget, source_col=source_col, tokens_col="__src_tokens"
+    ).select(source_col, "alloc")
+    h = F.conv(
+        F.substring(
+            F.md5(F.concat(F.lit(salt), F.lit("|"), F.col(id_col).cast("string"))),
+            1,
+            15,
+        ),
+        16,
+        10,
+    ).cast("long")
+    ordered = base.withColumn("__h", h)
+    cum = grouped_cumsum(
+        ordered,
+        source_col,
+        [F.col("__h"), F.col(id_col)],
+        "n_tokens",
+        out_col="cum_tokens",
+    )
+    return (
+        cum.join(F.broadcast(alloc), on=source_col)
+        .filter(F.col("cum_tokens") <= F.col("alloc"))
+        .select(id_col, source_col, "n_tokens", "alloc", "cum_tokens")
+    )
