@@ -33,6 +33,7 @@ _PRIORITY = [
     "text_ccnet_buckets",
     "corpus_length_batches",
     "corpus_token_budget_mix",
+    "text_collocations",
     # tier 2 — oldest driver-green first
     "events_daily_moving_avg",
     "events_latest_per_user",

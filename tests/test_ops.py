@@ -2644,3 +2644,36 @@ def test_token_budget_waterfill_matches_greedy(spark):
             if cum <= alloc[s]:
                 exp.add(i)
         assert {i for i in kept if kept[i].source == s} == exp, s
+
+
+def test_collocations_by_lift_exact_and_support_cut(spark):
+    """collocations_by_lift: lift_milli matches the serial integer
+    formula, the support cut drops rare pairs, ranking is
+    deterministic."""
+    from collections import Counter
+
+    texts = ["strong coffee tastes good"] * 6 + [
+        "strong wind blows",
+        "coffee breaks happen",
+        "good strong coffee here",
+    ]
+    rows = [(i, t) for i, t in enumerate(texts)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = X.collocations_by_lift(df, min_count=2, top_k=5).collect()
+    uni = Counter(w for t in texts for w in t.split())
+    big = Counter(
+        (a, b) for t in texts for a, b in zip(t.split(), t.split()[1:])
+    )
+    N = sum(uni.values())
+    exp = sorted(
+        (
+            ((1000 * c * N) // (uni[l] * uni[r]), l, r, c)
+            for (l, r), c in big.items()
+            if c >= 2
+        ),
+        key=lambda x: (-x[0], x[1], x[2]),
+    )[:5]
+    got = [(r.lift_milli, r.left, r.right, r.pair_count) for r in out]
+    assert got == [(m, l, r, c) for m, l, r, c in exp]
+    # rare pairs (count 1) never appear
+    assert all(r.pair_count >= 2 for r in out)

@@ -114,6 +114,37 @@ def main() -> None:
     dt = time.time() - t0
     print(f"{'global_cumsum_5M':24s} {dt:8.1f}s  ({5_000_000 / dt:,.0f} rows/s)")
 
+    # round-7 additions: grouped rank/cumsum machinery + per-row scorers
+    from ukis_h3cellstore_spark.ops import robust as R
+    from ukis_h3cellstore_spark.ops import sampling as SM
+
+    mv = spark.range(5_000_000).select(
+        _F.col("id"),
+        (_F.col("id") % 7).cast("string").alias("g"),
+        ((_F.col("id") * 131) % 9973).cast("double").alias("v"),
+    )
+    gc()
+    t0 = time.time()
+    R.mad_outliers(mv, "g", "v").write.format("noop").mode("overwrite").save()
+    dt = time.time() - t0
+    print(f"{'mad_outliers_5M':24s} {dt:8.1f}s  ({5_000_000 / dt:,.0f} rows/s)")
+    phase(
+        "taxonomy_tag",
+        X.taxonomy_tag(
+            docs,
+            {"sparkr0": "t0", "joinr1": "t1", "tabler2": "t2", "datar3": "t3"},
+        ),
+    )
+    phase("perplexity_buckets", X.perplexity_buckets(docs))
+    phase("length_bucket_batches", SM.length_bucket_batches(docs))
+    phase("token_budget_mix", SM.token_budget_mix(docs, budget=10_000_000))
+    phase(
+        "weighted_sample_1k",
+        SM.weighted_sample(
+            docs.withColumn("w", _F.length("text").cast("double")), 1000, "w"
+        ),
+    )
+
     phase("bigram_surprisal", X.bigram_surprisal(docs))
     # BM25: query terms carry replica suffixes so each term matches
     # exactly one replica's postings — the timed cost is the corpus

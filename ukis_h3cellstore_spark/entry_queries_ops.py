@@ -1077,6 +1077,40 @@ FROM ranked
 """
 
 
+def q_text_collocations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Collocation mining by integer-exact lift (ops/text.py:
+    collocations_by_lift): top-20 adjacent pairs by
+    ``(1000·c2·N) div (c1(l)·c1(r))`` with support cut 5 — PMI's
+    ranking without PMI's float log."""
+    return X.collocations_by_lift(_docs(spark, sf_dir), min_count=5, top_k=20)
+
+
+Q_TEXT_COLLOCATIONS_SQL = f"""
+WITH toks AS (SELECT doc_id, {_DUCK_TOKS} AS t FROM documents),
+big AS (
+  SELECT t[j] AS l, t[j + 1] AS r
+  FROM toks, LATERAL (SELECT unnest(generate_series(1, len(t) - 1)) AS j) js
+),
+uni AS (
+  SELECT t2.tok, COUNT(*) AS c1
+  FROM (SELECT unnest(t) AS tok FROM toks) t2
+  WHERE length(t2.tok) > 0 GROUP BY 1
+),
+total AS (SELECT CAST(SUM(c1) AS BIGINT) AS n FROM uni),
+c2 AS (SELECT l, r, COUNT(*) AS c2 FROM big GROUP BY 1, 2 HAVING COUNT(*) >= 5)
+SELECT c2.l AS left, c2.r AS right,
+       CAST(c2.c2 AS BIGINT) AS pair_count,
+       CAST((1000 * c2.c2 * total.n) // (ul.c1 * ur.c1) AS BIGINT)
+         AS lift_milli
+FROM c2
+JOIN uni ul ON ul.tok = c2.l
+JOIN uni ur ON ur.tok = c2.r
+CROSS JOIN total
+ORDER BY lift_milli DESC, c2.l, c2.r
+LIMIT 20
+"""
+
+
 def q_text_bigram_surprisal(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Conditional bigram-LM scoring (ops/text.py: bigram_surprisal):
     integer-exact add-1-smoothed bigram surprisal per document — the
@@ -3784,6 +3818,7 @@ QUERIES_OPS: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "text_ccnet_buckets": q_text_ccnet_buckets,
     "corpus_length_batches": q_corpus_length_batches,
     "corpus_token_budget_mix": q_corpus_token_budget_mix,
+    "text_collocations": q_text_collocations,
     "text_cms_heavy_hitters": q_text_cms_heavy_hitters,
     "graph_pagerank": q_graph_pagerank,
     "ann_kcenter_coreset": q_ann_kcenter_coreset,
@@ -3872,6 +3907,7 @@ ORACLES_OPS: dict[str, str] = {
     "text_ccnet_buckets": Q_TEXT_CCNET_BUCKETS_SQL,
     "corpus_length_batches": Q_CORPUS_LENGTH_BATCHES_SQL,
     "corpus_token_budget_mix": Q_CORPUS_TOKEN_BUDGET_MIX_SQL,
+    "text_collocations": Q_TEXT_COLLOCATIONS_SQL,
     "graph_pagerank": Q_GRAPH_PAGERANK_SQL,
     "corpus_snapshot_diff": Q_CORPUS_SNAPSHOT_DIFF_SQL,
     "corpus_domain_cap": Q_CORPUS_DOMAIN_CAP_SQL,

@@ -1527,3 +1527,76 @@ def perplexity_buckets(
         .withColumn("bucket", label)
         .select(id_col, "n_tokens", "avg_surprisal_milli", "bucket_no", "bucket")
     )
+
+
+def collocations_by_lift(
+    df: DataFrame,
+    min_count: int = 5,
+    top_k: int = 20,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Collocation mining: the ``top_k`` adjacent token pairs with the
+    highest LIFT ``P(l,r) / (P(l)·P(r)) = c2·N / (c1(l)·c1(r))`` —
+    the association-rule form of PMI (PMI = log lift), kept as an
+    EXACT integer ``lift_milli = (1000·c2·N) div (c1(l)·c1(r))`` so
+    ranking is bit-reproducible across engines (no float log). Pairs
+    below ``min_count`` are dropped first (the classic support cut —
+    rare pairs have unreliable lift). Ties break on (left, right).
+    The standard phrase detector (word2vec's phrase pass uses the
+    same score).
+
+    Plan: pair rows via one zip_with projection; pair and unigram
+    count hash-aggs (map-side combinable); the two count attachments
+    shuffle the PAIR-VOCABULARY-sized table on the token keys (fan-out
+    1), never the corpus; the global top-k is TakeOrdered, never a
+    full sort. N (total unigram positions) is a 1-row broadcast."""
+    toks_df = df.select(tokens(text_col).alias("__toks"))
+    t = F.col("__toks")
+    n = F.size(t)
+    prs = F.when(
+        n >= 2,
+        F.zip_with(
+            F.slice(t, 1, n - 1),
+            F.slice(t, 2, n - 1),
+            lambda a, b: F.struct(a.alias("l"), b.alias("r")),
+        ),
+    ).otherwise(F.array().cast("array<struct<l:string,r:string>>"))
+    big = toks_df.select(F.explode(prs).alias("__b")).select(
+        F.col("__b.l").alias("__l"), F.col("__b.r").alias("__r")
+    )
+    uni = (
+        df.select(F.explode(tokens(text_col)).alias("__tok"))
+        .filter(F.length("__tok") > 0)
+        .groupBy("__tok")
+        .agg(F.count(F.lit(1)).alias("__c1"))
+    )
+    total = uni.agg(F.sum("__c1").alias("__N"))
+    c2 = (
+        big.groupBy("__l", "__r")
+        .agg(F.count(F.lit(1)).alias("__c2"))
+        .filter(F.col("__c2") >= min_count)
+    )
+    scored = (
+        c2.join(uni.withColumnRenamed("__tok", "__l"), "__l")
+        .withColumnRenamed("__c1", "__cl")
+        .join(uni.withColumnRenamed("__tok", "__r"), "__r")
+        .withColumnRenamed("__c1", "__cr")
+        .crossJoin(F.broadcast(total))
+        .withColumn(
+            "lift_milli",
+            F.expr("(1000 * __c2 * __N) div (__cl * __cr)").cast("long"),
+        )
+    )
+    return (
+        scored.orderBy(
+            F.col("lift_milli").desc(), F.col("__l"), F.col("__r")
+        )
+        .limit(top_k)
+        .select(
+            F.col("__l").alias("left"),
+            F.col("__r").alias("right"),
+            F.col("__c2").cast("long").alias("pair_count"),
+            "lift_milli",
+        )
+    )
