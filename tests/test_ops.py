@@ -2677,3 +2677,28 @@ def test_collocations_by_lift_exact_and_support_cut(spark):
     assert got == [(m, l, r, c) for m, l, r, c in exp]
     # rare pairs (count 1) never appear
     assert all(r.pair_count >= 2 for r in out)
+
+
+def test_taxonomy_tag_map_join_parity(spark):
+    """The shuffle-free literal-map kernel and the broadcast-join
+    kernel must produce identical rows on every input shape."""
+    tax = {"cat": "pets", "dog": "pets", "euro": "money", "yen": "money"}
+    df = spark.createDataFrame(
+        [
+            (1, "Cat dog euro cat"),
+            (2, "euro yen DOG dog"),
+            (3, "nothing matches here"),
+            (4, ""),
+            (5, "yen yen yen cat"),
+        ],
+        "doc_id long, text string",
+    )
+    a = {
+        r.doc_id: (dict(r.topic_counts), r.n_matches, r.dominant_topic)
+        for r in X.taxonomy_tag(df, tax, method="map").collect()
+    }
+    b = {
+        r.doc_id: (dict(r.topic_counts), r.n_matches, r.dominant_topic)
+        for r in X.taxonomy_tag(df, tax, method="join").collect()
+    }
+    assert a == b and len(a) == 5

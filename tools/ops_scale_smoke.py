@@ -137,7 +137,12 @@ def main() -> None:
     )
     phase("perplexity_buckets", X.perplexity_buckets(docs))
     phase("length_bucket_batches", SM.length_bucket_batches(docs))
-    phase("token_budget_mix", SM.token_budget_mix(docs, budget=10_000_000))
+    docs_src = docs.withColumn(
+        "source", _F.concat(_F.lit("s"), (_F.col("doc_id") % 20).cast("string"))
+    )
+    phase(
+        "token_budget_mix", SM.token_budget_mix(docs_src, budget=10_000_000)
+    )
     phase(
         "weighted_sample_1k",
         SM.weighted_sample(

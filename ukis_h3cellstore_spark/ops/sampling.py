@@ -767,21 +767,34 @@ def token_budget_mix(
     source down to its token share". Returns kept rows with
     (n_tokens, alloc, cum_tokens).
 
-    Scale shape: the allocation is computed on the sources-sized count
-    table; the per-source running totals come from the range-partition
-    + broadcast-offset ``grouped_cumsum`` (no one-task source
-    windows); the final keep test is a map-side comparison."""
+    Scale shape: the TEXT is tokenized exactly once — the (id, source,
+    n_tokens) skeleton is checkpointed eagerly (doc-count-sized, not
+    corpus-sized: three scalars per document), because the plan
+    otherwise re-derives it for the source counts, the allocation's
+    two references, the range sampling, the cumsum's offsets collect,
+    and the final pass (~6 corpus re-tokenizations measured as a 14×
+    slowdown at the 1M-doc smoke). The allocation is computed on the
+    sources-sized count table (also checkpointed: it is re-read by
+    two subplans); the per-source running totals come from the range-
+    partition + broadcast-offset ``grouped_cumsum`` (no one-task
+    source windows); the final keep test is a map-side comparison."""
     from ukis_h3cellstore_spark.ops.robust import grouped_cumsum
 
     n_tok = F.when(
         F.length(F.trim(F.col(text_col))) == 0, F.lit(0)
     ).otherwise(F.size(tokens(text_col)))
-    base = df.select(
-        F.col(id_col), F.col(source_col), n_tok.cast("long").alias("n_tokens")
-    ).filter(F.col("n_tokens") > 0)
+    base = (
+        df.select(
+            F.col(id_col),
+            F.col(source_col),
+            n_tok.cast("long").alias("n_tokens"),
+        )
+        .filter(F.col("n_tokens") > 0)
+        .localCheckpoint(eager=True)
+    )
     counts = base.groupBy(source_col).agg(
         F.sum("n_tokens").alias("__src_tokens")
-    )
+    ).localCheckpoint(eager=True)
     alloc = token_budget_allocation(
         counts, budget, source_col=source_col, tokens_col="__src_tokens"
     ).select(source_col, "alloc")

@@ -362,3 +362,31 @@ def capped_admission(
         outputMode="update",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+def score_against_static(
+    stream: DataFrame,
+    thresholds: DataFrame,
+    on: str,
+    value_col: str,
+    k: float = 3.5,
+) -> DataFrame:
+    """Online scoring against OFFLINE statistics — the production
+    pattern where thresholds are trained in batch (e.g.
+    :func:`ukis_h3cellstore_spark.ops.robust.grouped_median` medians +
+    MADs) and applied to a live stream: a stream-static equi-join on
+    ``on`` (Spark broadcasts the static side per micro-batch; no
+    stream state at all), then the robust outlier flag
+    ``|value - median| > k * MAD``. Returns the stream rows plus
+    (median, mad, is_outlier) — compose with a windowed aggregation
+    downstream for alert counts.
+
+    ``thresholds`` must have columns (``on``, median, mad). Static
+    thresholds are METADATA (groups-sized); refreshing them is a
+    re-deploy of the query, which is the right cadence for corpus
+    statistics."""
+    t = thresholds.select(on, "median", "mad")
+    return stream.join(F.broadcast(t), on=on, how="inner").withColumn(
+        "is_outlier",
+        F.abs(F.col(value_col) - F.col("median")) > F.lit(float(k)) * F.col("mad"),
+    )
