@@ -34,6 +34,7 @@ _PRIORITY = [
     "corpus_length_batches",
     "corpus_token_budget_mix",
     "text_collocations",
+    "streaming_robust_score",
     # tier 2 — oldest driver-green first
     "events_daily_moving_avg",
     "events_latest_per_user",

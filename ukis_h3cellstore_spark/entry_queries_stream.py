@@ -602,7 +602,95 @@ FROM tot t JOIN kept k ON t.source = k.source
 """
 
 
+def q_streaming_robust_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Online scoring against offline statistics (streaming.
+    score_against_static): per-type median/MAD thresholds are trained
+    in BATCH (ops/robust.py grouped_median — the production cadence
+    for corpus statistics), then a stream of events is stream-static
+    joined against the groups-sized threshold table and robust outlier
+    flags are counted per type. No stream state at all — the static
+    side re-broadcasts per micro-batch; counts are associative, so the
+    result is batch-split-proof and equals the batch replay."""
+    from ukis_h3cellstore_spark.ops import robust as R
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet").select(
+        "event_id", "event_type", "value"
+    ).filter(F.col("value").isNotNull())
+    med = R.grouped_median(ev, "event_type", "value", out_col="median").select(
+        "event_type", "median"
+    )
+    dev = ev.join(F.broadcast(med), "event_type").select(
+        "event_type", F.abs(F.col("value") - F.col("median")).alias("__d")
+    )
+    mad = R.grouped_median(dev, "event_type", "__d", out_col="mad").select(
+        "event_type", "mad"
+    )
+    thresholds = med.join(mad, "event_type").localCheckpoint(eager=True)
+
+    stream_dir = tempfile.mkdtemp(prefix="h3stream_robust_")
+    ev.repartition(4).write.mode("overwrite").parquet(stream_dir)
+    stream = st.read_stream(spark, stream_dir, ev.schema, max_files_per_trigger=1)
+    scored = st.score_against_static(
+        stream, thresholds, on="event_type", value_col="value", k=3.5
+    )
+    agg = scored.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.sum(F.col("is_outlier").cast("long")).alias("n_outliers"),
+    )
+    _SINK_COUNTER[0] += 1
+    sink = f"stream_robust_sink_{_SINK_COUNTER[0]}"
+    q = (
+        agg.writeStream.format("memory")
+        .queryName(sink)
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    _await_done(q)
+    return spark.table(sink).select(
+        "event_type",
+        F.col("n_events").cast("long").alias("n_events"),
+        F.col("n_outliers").cast("long").alias("n_outliers"),
+    )
+
+
+_Q_STREAMING_ROBUST_SCORE_SQL = """
+WITH v AS (SELECT event_type, value FROM events WHERE value IS NOT NULL),
+r AS (
+  SELECT event_type, value,
+         row_number() OVER (PARTITION BY event_type ORDER BY value) AS rk,
+         COUNT(*) OVER (PARTITION BY event_type) AS n
+  FROM v
+),
+med AS (
+  SELECT event_type, SUM(value) / COUNT(*) AS median
+  FROM r WHERE rk = (n + 1) // 2 OR rk = (n + 2) // 2 GROUP BY 1
+),
+d AS (
+  SELECT v.event_type, abs(v.value - m.median) AS dev
+  FROM v JOIN med m USING (event_type)
+),
+r2 AS (
+  SELECT event_type, dev,
+         row_number() OVER (PARTITION BY event_type ORDER BY dev) AS rk,
+         COUNT(*) OVER (PARTITION BY event_type) AS n2
+  FROM d
+),
+mad AS (
+  SELECT event_type, SUM(dev) / COUNT(*) AS mad
+  FROM r2 WHERE rk = (n2 + 1) // 2 OR rk = (n2 + 2) // 2 GROUP BY 1
+)
+SELECT d.event_type,
+       CAST(COUNT(*) AS BIGINT) AS n_events,
+       CAST(SUM(CASE WHEN d.dev > 3.5 * x.mad THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_outliers
+FROM d JOIN mad x USING (event_type)
+GROUP BY 1
+"""
+
+
 QUERIES_STREAM: dict[str, Callable[[SparkSession, str], DataFrame]] = {
+    "streaming_robust_score": q_streaming_robust_score,
     "streaming_domain_cap": q_streaming_domain_cap,
     "streaming_segment_dedup": q_streaming_segment_dedup,
     "streaming_stateful_accumulator": q_streaming_stateful_accumulator,
@@ -615,6 +703,7 @@ QUERIES_STREAM: dict[str, Callable[[SparkSession, str], DataFrame]] = {
 }
 
 ORACLES_STREAM: dict[str, str] = {
+    "streaming_robust_score": _Q_STREAMING_ROBUST_SCORE_SQL,
     "streaming_domain_cap": _Q_STREAMING_DOMAIN_CAP_SQL,
     "streaming_segment_dedup": _Q_STREAMING_SEGMENT_DEDUP_SQL,
     "streaming_stateful_accumulator": _q_streaming_stateful_accumulator_sql(),
