@@ -35,6 +35,8 @@ _PRIORITY = [
     "corpus_token_budget_mix",
     "text_collocations",
     "streaming_robust_score",
+    "events_grouped_auc",
+    "ann_random_projection",
     # tier 2 — oldest driver-green first
     "events_daily_moving_avg",
     "events_latest_per_user",

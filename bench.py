@@ -74,6 +74,14 @@ HEADLINE = [
     "graph_pagerank",
     "ann_kcenter_coreset",
     "corpus_domain_cap",
+    # round-7 additions: robust grouped statistics, budget mixing, and
+    # the new text/curation scorers
+    "events_mad_outliers",
+    "corpus_token_budget_mix",
+    "text_ccnet_buckets",
+    "text_collocations",
+    "text_taxonomy_tag",
+    "corpus_length_batches",
 ]
 
 #: bench-only implementations: same operator, scale-path configuration

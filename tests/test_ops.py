@@ -2702,3 +2702,82 @@ def test_taxonomy_tag_map_join_parity(spark):
         for r in X.taxonomy_tag(df, tax, method="join").collect()
     }
     assert a == b and len(a) == 5
+
+
+def test_grouped_auc_matches_serial_rank_sum(spark):
+    """grouped_auc must equal the serial Mann-Whitney rank-sum per
+    group (integer micro units), with NULL for one-class groups."""
+    from ukis_h3cellstore_spark.ops import robust as R
+
+    rows = []
+    for i in range(300):
+        g = f"g{i % 3}"
+        score = float((i * 37) % 101) + (0.5 if i % 2 else 0.0)
+        label = (i * 7) % 5 < 2
+        rows.append((i, g, score, label))
+    rows += [(900 + j, "gonly", float(j), True) for j in range(5)]  # one-class
+    df = spark.createDataFrame(rows, "id long, g string, s double, y boolean")
+    got = {
+        r.g: (r.n_pos, r.n_neg, r.auc_micro)
+        for r in R.grouped_auc(df, "g", "s", "y", tiebreak_cols=["id"]).collect()
+    }
+    by_g = {}
+    for i, g, s, y in rows:
+        by_g.setdefault(g, []).append((s, i, y))
+    for g, items in by_g.items():
+        items.sort(key=lambda t: (t[0], t[1]))
+        rs = sum(rk for rk, (_, _, y) in enumerate(items, start=1) if y)
+        p = sum(1 for *_, y in items if y)
+        nneg = len(items) - p
+        exp = (
+            (1_000_000 * (2 * rs - p * (p + 1))) // (2 * p * nneg)
+            if p and nneg
+            else None
+        )
+        assert got[g] == (p, nneg, exp), g
+    assert got["gonly"][2] is None
+
+
+def test_random_sign_projection_exact_and_jl_property(spark):
+    """random_sign_projection must equal the serial md5-sign matmul
+    exactly, and approximately preserve pairwise distances (JL)."""
+    import hashlib
+
+    import numpy as np
+
+    from ukis_h3cellstore_spark.ops import similarity as S
+
+    rng = np.random.RandomState(7)
+    vecs = rng.randn(40, 32).astype("float32")
+    rows = [(i, [float(x) for x in vecs[i]]) for i in range(40)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    out = S.random_sign_projection(df, in_dim=32, out_dim=12)
+    got = {}
+    for r in out.collect():
+        got.setdefault(r.vec_id, {})[r.dim_no] = r.proj_milli
+
+    def sign(i, j):
+        return (int(hashlib.md5(f"rp|{i}|{j}".encode()).hexdigest()[:2], 16) % 2) * 2 - 1
+
+    smat = np.array([[sign(i, j) for j in range(12)] for i in range(32)])
+    q = np.floor(vecs.astype("float64") * 1000 + 0.5).astype("int64")
+    exp = q @ smat
+    for i in range(40):
+        for j in range(12):
+            assert got[i][j] == exp[i][j], (i, j)
+    # JL: projected/original distance ratios stay bounded near 1
+    # (isotropic gaussian distances CONCENTRATE, so correlation is the
+    # wrong metric — the guarantee is the per-pair ratio bound)
+    proj = exp.astype("float64") / (1000.0 * np.sqrt(12))
+    ratios = []
+    for a in range(0, 40, 3):
+        for b in range(a + 1, 40, 7):
+            d0 = np.linalg.norm(vecs[a] - vecs[b])
+            dp = np.linalg.norm(proj[a] - proj[b])
+            ratios.append(dp / d0)
+    ratios = np.array(ratios)
+    assert ratios.min() > 0.3 and ratios.max() < 2.5, (
+        ratios.min(),
+        ratios.max(),
+    )
+    assert 0.7 < ratios.mean() < 1.3, ratios.mean()

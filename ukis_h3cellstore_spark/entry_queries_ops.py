@@ -3720,6 +3720,93 @@ GROUP BY 1
 """
 
 
+def q_events_grouped_auc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-segment ROC-AUC (ops/robust.py: grouped_auc): rank-sum AUC
+    of the value score against a synthetic binary label WITHIN each
+    event type — the per-slice separation report curation classifiers
+    need. Integer-exact auc_micro; ranks from the distributed
+    grouped_rank, no group-wide one-task sort."""
+    from ukis_h3cellstore_spark.ops import robust as R
+
+    ev = (
+        spark.read.parquet(f"{sf_dir}/events.parquet")
+        .filter(F.col("value").isNotNull())
+        .select(
+            "event_id",
+            "event_type",
+            "value",
+            (F.col("user_id") % 3 == 0).alias("label"),
+        )
+    )
+    return R.grouped_auc(
+        ev, "event_type", "value", "label", tiebreak_cols=["event_id"]
+    )
+
+
+Q_EVENTS_GROUPED_AUC_SQL = """
+WITH v AS (
+  SELECT event_id, event_type, value, (user_id % 3 = 0) AS pos
+  FROM events WHERE value IS NOT NULL
+),
+r AS (
+  SELECT event_type, pos,
+         row_number() OVER (PARTITION BY event_type
+                            ORDER BY value, event_id) AS rk
+  FROM v
+),
+a AS (
+  SELECT event_type,
+         SUM(CASE WHEN pos THEN rk ELSE 0 END) AS rs,
+         SUM(CASE WHEN pos THEN 1 ELSE 0 END) AS n_pos,
+         SUM(CASE WHEN pos THEN 0 ELSE 1 END) AS n_neg
+  FROM r GROUP BY 1
+)
+SELECT event_type,
+       CAST(n_pos AS BIGINT) AS n_pos,
+       CAST(n_neg AS BIGINT) AS n_neg,
+       CAST(CASE WHEN n_pos > 0 AND n_neg > 0 THEN
+              (1000000 * (2 * rs - n_pos * (n_pos + 1)))
+                // (2 * n_pos * n_neg)
+            ELSE NULL END AS BIGINT) AS auc_micro
+FROM a
+"""
+
+
+def q_ann_random_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic JL sign projection (ops/similarity.py:
+    random_sign_projection): 64-d embeddings down to 16 integer-exact
+    milli components via a salted-md5 ±1 matrix inlined as literals —
+    one shuffle-free codegen projection, reproducible by the SQL
+    oracle through the same md5 formula."""
+    return S.random_sign_projection(
+        _embs(spark, sf_dir), in_dim=64, out_dim=16
+    ).select(
+        "vec_id",
+        F.col("dim_no").cast("int").alias("dim_no"),
+        F.col("proj_milli").cast("long").alias("proj_milli"),
+    )
+
+
+Q_ANN_RANDOM_PROJECTION_SQL = """
+WITH q AS (
+  SELECT vec_id, ii.i - 1 AS i,
+         -- promote to DOUBLE before scaling: FLOAT * INT stays single
+         -- precision in DuckDB and rounds differently at half-milli
+         -- boundaries than Spark's double path
+         CAST(round(CAST(embedding[ii.i] AS DOUBLE) * 1000) AS BIGINT) AS qv
+  FROM embeddings,
+       LATERAL (SELECT unnest(generate_series(1, len(embedding))) AS i) ii
+)
+SELECT q.vec_id,
+       CAST(j.j AS INT) AS dim_no,
+       CAST(SUM(qv * (((('0x' || substr(md5('rp' || '|' || q.i || '|' || j.j),
+                                1, 2))::INT) % 2) * 2 - 1)) AS BIGINT)
+         AS proj_milli
+FROM q, (SELECT unnest(generate_series(0, 15)) AS j) j
+GROUP BY 1, 2
+"""
+
+
 _TAXONOMY = {
     "join": "relational",
     "agg": "relational",
@@ -3819,6 +3906,8 @@ QUERIES_OPS: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "corpus_length_batches": q_corpus_length_batches,
     "corpus_token_budget_mix": q_corpus_token_budget_mix,
     "text_collocations": q_text_collocations,
+    "events_grouped_auc": q_events_grouped_auc,
+    "ann_random_projection": q_ann_random_projection,
     "text_cms_heavy_hitters": q_text_cms_heavy_hitters,
     "graph_pagerank": q_graph_pagerank,
     "ann_kcenter_coreset": q_ann_kcenter_coreset,
@@ -3908,6 +3997,8 @@ ORACLES_OPS: dict[str, str] = {
     "corpus_length_batches": Q_CORPUS_LENGTH_BATCHES_SQL,
     "corpus_token_budget_mix": Q_CORPUS_TOKEN_BUDGET_MIX_SQL,
     "text_collocations": Q_TEXT_COLLOCATIONS_SQL,
+    "events_grouped_auc": Q_EVENTS_GROUPED_AUC_SQL,
+    "ann_random_projection": Q_ANN_RANDOM_PROJECTION_SQL,
     "graph_pagerank": Q_GRAPH_PAGERANK_SQL,
     "corpus_snapshot_diff": Q_CORPUS_SNAPSHOT_DIFF_SQL,
     "corpus_domain_cap": Q_CORPUS_DOMAIN_CAP_SQL,

@@ -29,7 +29,13 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
-__all__ = ["grouped_rank", "grouped_median", "mad_outliers", "grouped_cumsum"]
+__all__ = [
+    "grouped_rank",
+    "grouped_median",
+    "mad_outliers",
+    "grouped_cumsum",
+    "grouped_auc",
+]
 
 
 def grouped_rank(
@@ -247,4 +253,55 @@ def grouped_cumsum(
             out_col, F.coalesce(F.col("__offset"), zero) + F.col("__within")
         )
         .drop("__pid", "__v", "__within", "__offset")
+    )
+
+
+def grouped_auc(
+    df: DataFrame,
+    group_col: str,
+    score_col: str,
+    label_col: str,
+    tiebreak_cols: list[str] | None = None,
+    num_partitions: int | None = None,
+) -> DataFrame:
+    """Per-group ROC-AUC by the rank-sum (Mann-Whitney) identity with
+    ranks from :func:`grouped_rank` — the per-segment twin of
+    ``ops.prefix.binary_auc``, e.g. "does the quality score separate
+    good from junk in EVERY language, not just on average" (per-slice
+    AUC is the standard fairness/robustness report for curation
+    classifiers). Returns (group, n_pos, n_neg, auc_micro) where
+    ``auc_micro = (10^6 · (2·Σrank(pos) − P·(P+1))) div (2·P·N)`` —
+    an exact integer, so engines agree bit-for-bit; groups lacking
+    both classes yield NULL auc_micro.
+
+    Ranks are row_numbers under (score, *tiebreak_cols) within the
+    group — deterministic tie handling (give a unique tiebreak), no
+    group-wide one-task sort anywhere."""
+    order = [score_col] + list(tiebreak_cols or [])
+    ranked = grouped_rank(
+        df.select(
+            F.col(group_col),
+            F.col(score_col),
+            F.col(label_col).cast("boolean").alias("__pos"),
+            *[F.col(c) for c in (tiebreak_cols or [])],
+        ),
+        group_col,
+        order,
+        out_col="__r",
+        num_partitions=num_partitions,
+    )
+    agg = ranked.groupBy(group_col).agg(
+        F.sum(F.when(F.col("__pos"), F.col("__r")).otherwise(F.lit(0))).alias(
+            "__rs"
+        ),
+        F.sum(F.col("__pos").cast("long")).alias("n_pos"),
+        F.sum((~F.col("__pos")).cast("long")).alias("n_neg"),
+    )
+    auc_micro = F.expr(
+        "CASE WHEN n_pos > 0 AND n_neg > 0 THEN "
+        "(1000000 * (2 * __rs - n_pos * (n_pos + 1))) div (2 * n_pos * n_neg) "
+        "ELSE NULL END"
+    ).cast("long")
+    return agg.select(
+        group_col, "n_pos", "n_neg", auc_micro.alias("auc_micro")
     )

@@ -1461,3 +1461,64 @@ def hamming_topk(
         .filter(F.col("rank") <= k)
         .select("query_id", "neighbor_id", "hamming", "rank")
     )
+
+
+def random_sign_projection(
+    df: DataFrame,
+    in_dim: int,
+    out_dim: int,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    salt: str = "rp",
+) -> DataFrame:
+    """Johnson–Lindenstrauss dimensionality reduction with a
+    DETERMINISTIC ±1 sign matrix (Achlioptas 2003): output dim ``j``
+    is ``Σ_i q_i · s(i,j)`` where ``s(i,j) = ±1`` comes from a salted
+    md5 of ``(i, j)`` and ``q_i = round(1000·v_i)`` — inputs are
+    milli-quantized to integers first, so the projection is EXACT
+    integer arithmetic, reproducible by any engine with md5 (no float
+    summation order, no stored matrix to ship). The standard cheap
+    pre-step before LSH / clustering when vectors are wide: distances
+    are preserved within (1±ε) at out_dim = O(log n / ε²).
+
+    Returns (id, dim_no, proj_milli) — divide by 1000·√out_dim for
+    the JL-scaled float embedding.
+
+    Scale shape: the sign matrix is ``in_dim × out_dim`` literal ints
+    INLINED into one shuffle-free codegen projection (a map-side
+    flatMap after posexplode). Sensible up to ~64k inlined signs
+    (e.g. 1024→64); beyond that, switch to an Arrow ``mapInPandas``
+    matmul with the same md5-derived matrix — identical output."""
+    import hashlib
+
+    if in_dim <= 0 or out_dim <= 0:
+        raise ValueError("in_dim and out_dim must be > 0")
+
+    def sign(i: int, j: int) -> int:
+        h = int(hashlib.md5(f"{salt}|{i}|{j}".encode()).hexdigest()[:2], 16)
+        return (h % 2) * 2 - 1
+
+    sign_cols = [
+        [sign(i, j) for i in range(in_dim)] for j in range(out_dim)
+    ]
+    qv = F.transform(
+        F.col(vec_col),
+        lambda x: F.round(x.cast("double") * 1000).cast("long"),
+    )
+    staged = df.select(F.col(id_col), qv.alias("__q"))
+    projs = [
+        F.aggregate(
+            F.zip_with(
+                F.col("__q"),
+                F.lit(sign_cols[j]),
+                lambda x, s: x * s.cast("long"),
+            ),
+            F.lit(0).cast("long"),
+            lambda acc, v: acc + v,
+        )
+        for j in range(out_dim)
+    ]
+    return staged.select(
+        F.col(id_col),
+        F.posexplode(F.array(*projs)).alias("dim_no", "proj_milli"),
+    )
