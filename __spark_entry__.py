@@ -37,6 +37,8 @@ _PRIORITY = [
     "streaming_robust_score",
     "events_grouped_auc",
     "ann_random_projection",
+    "events_winsorized_means",
+    "events_calibration_bins",
     # tier 2 — oldest driver-green first
     "events_daily_moving_avg",
     "events_latest_per_user",

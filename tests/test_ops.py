@@ -2781,3 +2781,35 @@ def test_random_sign_projection_exact_and_jl_property(spark):
         ratios.max(),
     )
     assert 0.7 < ratios.mean() < 1.3, ratios.mean()
+
+
+def test_winsorize_and_calibration_serial_check(spark):
+    """winsorize_by_group clamps at the interpolated p5/p95 exactly;
+    calibration_bins reproduces serial fixed-width binning."""
+    import numpy as np
+
+    from ukis_h3cellstore_spark.ops import robust as R
+
+    vals = [float(v) for v in range(1, 101)]  # 1..100, one group
+    df = spark.createDataFrame(
+        [(i, "g", v) for i, v in enumerate(vals)], "id long, g string, v double"
+    )
+    out = R.winsorize_by_group(df, "g", "v").collect()
+    lo, hi = np.quantile(vals, 0.05), np.quantile(vals, 0.95)
+    for r in out:
+        assert abs(r.lo_cut - lo) < 1e-9 and abs(r.hi_cut - hi) < 1e-9
+        assert r.value_w == min(max(r.v, lo), hi)
+        assert r.clamped_lo == (r.v < lo) and r.clamped_hi == (r.v > hi)
+
+    rows = [((i % 100) / 100.0 + 0.005, i % 4 == 0) for i in range(400)]
+    sdf = spark.createDataFrame(rows, "score double, label boolean")
+    bins = {r.bin_no: r for r in R.calibration_bins(sdf, "score", "label").collect()}
+    exp = {}
+    for s, y in rows:
+        b = min(max(int(s * 10), 0), 9)
+        n, p, ssum = exp.get(b, (0, 0, 0.0))
+        exp[b] = (n + 1, p + int(y), ssum + s)
+    for b, (n, p, ssum) in exp.items():
+        r = bins[b]
+        assert (r.n, r.n_pos) == (n, p), b
+        assert abs(r.mean_score - round(ssum / n, 4)) < 1e-9

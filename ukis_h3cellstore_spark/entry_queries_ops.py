@@ -3807,6 +3807,84 @@ GROUP BY 1, 2
 """
 
 
+def q_events_winsorized_means(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-group winsorization (ops/robust.py: winsorize_by_group):
+    clamp event values to the type's [p5, p95] via the partial-agg
+    interpolating percentile (matches DuckDB quantile_cont), then the
+    per-type winsorized mean + clamp counts."""
+    from ukis_h3cellstore_spark.ops import robust as R
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet").filter(
+        F.col("value").isNotNull()
+    )
+    w = R.winsorize_by_group(ev, "event_type", "value")
+    return w.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum(F.col("clamped_lo").cast("long")).alias("n_clamped_lo"),
+        F.sum(F.col("clamped_hi").cast("long")).alias("n_clamped_hi"),
+        F.round(F.avg("value_w"), 4).alias("mean_winsorized"),
+    )
+
+
+Q_EVENTS_WINSORIZED_SQL = """
+WITH v AS (SELECT event_type, value FROM events WHERE value IS NOT NULL),
+cuts AS (
+  SELECT event_type,
+         quantile_cont(value, 0.05) AS lo_cut,
+         quantile_cont(value, 0.95) AS hi_cut
+  FROM v GROUP BY 1
+)
+SELECT v.event_type,
+       CAST(COUNT(*) AS BIGINT) AS n,
+       CAST(SUM(CASE WHEN v.value < c.lo_cut THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_clamped_lo,
+       CAST(SUM(CASE WHEN v.value > c.hi_cut THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_clamped_hi,
+       round(AVG(LEAST(GREATEST(v.value, c.lo_cut), c.hi_cut)), 4)
+         AS mean_winsorized
+FROM v JOIN cuts c USING (event_type)
+GROUP BY 1
+"""
+
+
+def q_events_calibration_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reliability-diagram calibration bins (ops/robust.py:
+    calibration_bins): fixed-width decile bins over a synthetic
+    pseudo-probability (fractional part of value), observed positive
+    rate per bin — the classifier-calibration eval, one map-side
+    integer binning + hash-agg."""
+    from ukis_h3cellstore_spark.ops import robust as R
+
+    ev = (
+        spark.read.parquet(f"{sf_dir}/events.parquet")
+        .filter(F.col("value").isNotNull())
+        .select(
+            (F.col("value") - F.floor(F.col("value"))).alias("score"),
+            (F.col("user_id") % 3 == 0).alias("label"),
+        )
+    )
+    return R.calibration_bins(ev, "score", "label", n_bins=10)
+
+
+Q_EVENTS_CALIBRATION_SQL = """
+WITH s AS (
+  SELECT value - floor(value) AS score, (user_id % 3 = 0) AS label
+  FROM events WHERE value IS NOT NULL
+),
+b AS (
+  SELECT LEAST(GREATEST(CAST(floor(score * 10) AS INT), 0), 9) AS bin_no,
+         score, CASE WHEN label THEN 1 ELSE 0 END AS y
+  FROM s
+)
+SELECT bin_no,
+       CAST(COUNT(*) AS BIGINT) AS n,
+       CAST(SUM(y) AS BIGINT) AS n_pos,
+       round(AVG(score), 4) AS mean_score,
+       round(AVG(CAST(y AS DOUBLE)), 4) AS pos_rate
+FROM b GROUP BY 1
+"""
+
+
 _TAXONOMY = {
     "join": "relational",
     "agg": "relational",
@@ -3908,6 +3986,8 @@ QUERIES_OPS: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "text_collocations": q_text_collocations,
     "events_grouped_auc": q_events_grouped_auc,
     "ann_random_projection": q_ann_random_projection,
+    "events_winsorized_means": q_events_winsorized_means,
+    "events_calibration_bins": q_events_calibration_bins,
     "text_cms_heavy_hitters": q_text_cms_heavy_hitters,
     "graph_pagerank": q_graph_pagerank,
     "ann_kcenter_coreset": q_ann_kcenter_coreset,
@@ -3999,6 +4079,8 @@ ORACLES_OPS: dict[str, str] = {
     "text_collocations": Q_TEXT_COLLOCATIONS_SQL,
     "events_grouped_auc": Q_EVENTS_GROUPED_AUC_SQL,
     "ann_random_projection": Q_ANN_RANDOM_PROJECTION_SQL,
+    "events_winsorized_means": Q_EVENTS_WINSORIZED_SQL,
+    "events_calibration_bins": Q_EVENTS_CALIBRATION_SQL,
     "graph_pagerank": Q_GRAPH_PAGERANK_SQL,
     "corpus_snapshot_diff": Q_CORPUS_SNAPSHOT_DIFF_SQL,
     "corpus_domain_cap": Q_CORPUS_DOMAIN_CAP_SQL,

@@ -35,6 +35,8 @@ __all__ = [
     "mad_outliers",
     "grouped_cumsum",
     "grouped_auc",
+    "winsorize_by_group",
+    "calibration_bins",
 ]
 
 
@@ -304,4 +306,80 @@ def grouped_auc(
     ).cast("long")
     return agg.select(
         group_col, "n_pos", "n_neg", auc_micro.alias("auc_micro")
+    )
+
+
+def winsorize_by_group(
+    df: DataFrame,
+    group_col: str,
+    value_col: str,
+    lower: float = 0.05,
+    upper: float = 0.95,
+) -> DataFrame:
+    """Per-group winsorization: clamp ``value_col`` to the group's
+    [``lower``, ``upper``] percentile cutoffs — the standard
+    tail-taming transform before means/regressions when you want to
+    bound influence rather than drop rows (contrast
+    :func:`mad_outliers`, which flags). Returns the input rows plus
+    (lo_cut, hi_cut, value_w, clamped_lo, clamped_hi).
+
+    Scale shape: cutoffs come from the partial-aggregating
+    interpolating ``percentile`` (one small shuffled agg, groups-sized
+    result, matching DuckDB's ``quantile_cont``) and are broadcast
+    back; the clamp is a map-side projection. Same plan discipline as
+    ``ops.text.length_percentile_cutoffs``."""
+    if not 0 <= lower < upper <= 1:
+        raise ValueError("need 0 <= lower < upper <= 1")
+    pct = F.percentile(F.col(value_col), F.array(F.lit(lower), F.lit(upper)))
+    cuts = df.groupBy(group_col).agg(
+        pct[0].alias("lo_cut"), pct[1].alias("hi_cut")
+    )
+    v = F.col(value_col)
+    return (
+        df.join(F.broadcast(cuts), on=group_col)
+        .withColumn(
+            "value_w", F.least(F.greatest(v, F.col("lo_cut")), F.col("hi_cut"))
+        )
+        .withColumn("clamped_lo", v < F.col("lo_cut"))
+        .withColumn("clamped_hi", v > F.col("hi_cut"))
+    )
+
+
+def calibration_bins(
+    df: DataFrame,
+    score_col: str,
+    label_col: str,
+    n_bins: int = 10,
+    score_min: float = 0.0,
+    score_max: float = 1.0,
+) -> DataFrame:
+    """Reliability-diagram bins for a probabilistic classifier: split
+    [score_min, score_max] into ``n_bins`` fixed-width bins and report
+    per bin (bin_no, n, n_pos, mean_score, pos_rate) — the standard
+    calibration eval for quality/toxicity classifiers before their
+    scores gate a corpus. Fixed-width binning (not quantile) keeps the
+    bin id a pure integer projection; one hash-agg, map-side
+    combinable. Scores outside the range clamp into the end bins."""
+    if n_bins < 2:
+        raise ValueError("n_bins must be >= 2")
+    span = float(score_max) - float(score_min)
+    if span <= 0:
+        raise ValueError("score_max must exceed score_min")
+    raw = F.floor(
+        (F.col(score_col) - F.lit(float(score_min))) / F.lit(span) * n_bins
+    ).cast("int")
+    bin_no = F.least(F.greatest(raw, F.lit(0)), F.lit(n_bins - 1))
+    return (
+        df.select(
+            bin_no.alias("bin_no"),
+            F.col(score_col).alias("__s"),
+            F.col(label_col).cast("long").alias("__y"),
+        )
+        .groupBy("bin_no")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("__y").alias("n_pos"),
+            F.round(F.avg("__s"), 4).alias("mean_score"),
+            F.round(F.avg("__y"), 4).alias("pos_rate"),
+        )
     )
