@@ -39,6 +39,7 @@ _PRIORITY = [
     "ann_random_projection",
     "events_winsorized_means",
     "events_calibration_bins",
+    "graph_triangles",
     # tier 2 — oldest driver-green first
     "events_daily_moving_avg",
     "events_latest_per_user",

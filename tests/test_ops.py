@@ -2813,3 +2813,34 @@ def test_winsorize_and_calibration_serial_check(spark):
         r = bins[b]
         assert (r.n, r.n_pos) == (n, p), b
         assert abs(r.mean_score - round(ssum / n, 4)) < 1e-9
+
+
+def test_triangle_counts_match_brute_force(spark):
+    """triangle_counts (degree-ordered node-iterator) must equal the
+    serial all-triples count, including on graphs with hubs, isolated
+    edges, self-loops, and duplicate/reversed input edges."""
+    from itertools import combinations
+
+    from ukis_h3cellstore_spark.ops import graph as G
+
+    edges = [
+        (1, 2), (2, 3), (1, 3),            # triangle
+        (3, 4), (4, 5), (3, 5), (4, 6),    # second triangle + tail
+        (2, 1), (1, 1), (5, 4),            # reversed dup, self-loop, dup
+        (7, 8),                            # isolated edge
+    ]
+    # hub: node 0 connects to 10..19, and 10-11, 12-13 close triangles
+    edges += [(0, k) for k in range(10, 20)] + [(10, 11), (12, 13)]
+    df = spark.createDataFrame(edges, "id_a long, id_b long")
+    got = {r.node: r.n_triangles for r in G.triangle_counts(df).collect()}
+
+    und = {tuple(sorted(e)) for e in edges if e[0] != e[1]}
+    nodes = sorted({n for e in und for n in e})
+    exp = {}
+    for a, b, c in combinations(nodes, 3):
+        if {(a, b), (a, c), (b, c)} <= und:
+            for n in (a, b, c):
+                exp[n] = exp.get(n, 0) + 1
+    assert got == exp
+    assert got[0] == 2 and got[1] == 1 and got[3] == 2
+    assert 7 not in got and 6 not in got

@@ -3885,6 +3885,40 @@ FROM b GROUP BY 1
 """
 
 
+def q_graph_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-node triangle counts (ops/graph.py: triangle_counts) on a
+    deterministic synthetic graph over the events table — the
+    degree-ordered node-iterator whose wedge join pivots only on the
+    low-degree endpoint."""
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet").select(
+        (F.col("event_id") % 60).alias("id_a"),
+        (F.col("user_id") % 60).alias("id_b"),
+    )
+    return G.triangle_counts(ev)
+
+
+Q_GRAPH_TRIANGLES_SQL = """
+WITH e0 AS (
+  SELECT DISTINCT LEAST(event_id % 60, user_id % 60) AS a,
+                  GREATEST(event_id % 60, user_id % 60) AS b
+  FROM events WHERE event_id % 60 <> user_id % 60
+),
+t AS (
+  SELECT e1.a AS x, e1.b AS y, e2.b AS z
+  FROM e0 e1
+  JOIN e0 e2 ON e2.a = e1.b
+  JOIN e0 e3 ON e3.a = e1.a AND e3.b = e2.b
+),
+m AS (
+  SELECT x AS node FROM t
+  UNION ALL SELECT y FROM t
+  UNION ALL SELECT z FROM t
+)
+SELECT node, CAST(COUNT(*) AS BIGINT) AS n_triangles
+FROM m GROUP BY 1
+"""
+
+
 _TAXONOMY = {
     "join": "relational",
     "agg": "relational",
@@ -3988,6 +4022,7 @@ QUERIES_OPS: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "ann_random_projection": q_ann_random_projection,
     "events_winsorized_means": q_events_winsorized_means,
     "events_calibration_bins": q_events_calibration_bins,
+    "graph_triangles": q_graph_triangles,
     "text_cms_heavy_hitters": q_text_cms_heavy_hitters,
     "graph_pagerank": q_graph_pagerank,
     "ann_kcenter_coreset": q_ann_kcenter_coreset,
@@ -4081,6 +4116,7 @@ ORACLES_OPS: dict[str, str] = {
     "ann_random_projection": Q_ANN_RANDOM_PROJECTION_SQL,
     "events_winsorized_means": Q_EVENTS_WINSORIZED_SQL,
     "events_calibration_bins": Q_EVENTS_CALIBRATION_SQL,
+    "graph_triangles": Q_GRAPH_TRIANGLES_SQL,
     "graph_pagerank": Q_GRAPH_PAGERANK_SQL,
     "corpus_snapshot_diff": Q_CORPUS_SNAPSHOT_DIFF_SQL,
     "corpus_domain_cap": Q_CORPUS_DOMAIN_CAP_SQL,

@@ -30,7 +30,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-__all__ = ["pagerank"]
+__all__ = ["pagerank", "triangle_counts"]
 
 
 def pagerank(
@@ -118,3 +118,83 @@ def pagerank(
     if iterations > 0:  # checkpointed ranks no longer need the cache
         nodes.unpersist()
     return ranks
+
+
+def triangle_counts(
+    edges: DataFrame, src_col: str = "id_a", dst_col: str = "id_b"
+) -> DataFrame:
+    """Per-node triangle counts — the clustering signal behind
+    community/spam detection on link graphs (a page whose neighbors
+    interlink is structurally different from a link farm). Returns
+    (node, n_triangles); nodes in no triangle are omitted.
+
+    Scale shape: the classic degree-ordered node-iterator. Every edge
+    is oriented from its LOWER-(degree, id) endpoint to the higher
+    one — a total order, so each triangle is generated exactly once:
+    as a wedge at its minimum-rank corner plus one closing-edge
+    lookup. Orientation bounds the wedge join's fan-out by the SMALL
+    endpoint's degree (Σ min-degree² ≪ Σ degree² on power-law
+    graphs — the hub that would explode a naive wedge join only ever
+    appears as a wedge TARGET, never the pivot). Joins shuffle on
+    node / edge keys only; degrees are a nodes-sized table."""
+    und = (
+        edges.select(
+            F.least(F.col(src_col), F.col(dst_col)).alias("a"),
+            F.greatest(F.col(src_col), F.col(dst_col)).alias("b"),
+        )
+        .filter(F.col("a") != F.col("b"))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    deg = (
+        und.select(F.col("a").alias("n"))
+        .unionByName(und.select(F.col("b").alias("n")))
+        .groupBy("n")
+        .agg(F.count(F.lit(1)).alias("d"))
+    )
+    # orient by (degree, id) rank: lower endpoint -> higher endpoint
+    ranked = (
+        und.join(deg.withColumnRenamed("n", "a").withColumnRenamed("d", "da"), "a")
+        .join(deg.withColumnRenamed("n", "b").withColumnRenamed("d", "db"), "b")
+    )
+    fwd = ranked.filter(
+        (F.col("da") < F.col("db"))
+        | ((F.col("da") == F.col("db")) & (F.col("a") < F.col("b")))
+    ).select(
+        F.col("a").alias("src"),
+        F.col("b").alias("dst"),
+        F.col("db").alias("rd"),
+    )
+    rev = ranked.filter(
+        (F.col("db") < F.col("da"))
+        | ((F.col("da") == F.col("db")) & (F.col("b") < F.col("a")))
+    ).select(
+        F.col("b").alias("src"),
+        F.col("a").alias("dst"),
+        F.col("da").alias("rd"),
+    )
+    oriented = fwd.unionByName(rev).localCheckpoint(eager=True)
+    e1 = oriented.select(
+        F.col("src"), F.col("dst").alias("v"), F.col("rd").alias("rv")
+    )
+    e2 = oriented.select(
+        F.col("src"), F.col("dst").alias("w"), F.col("rd").alias("rw")
+    )
+    wedges = e1.join(e2, on="src").filter(
+        (F.col("rv") < F.col("rw"))
+        | ((F.col("rv") == F.col("rw")) & (F.col("v") < F.col("w")))
+    )
+    closing = oriented.select(
+        F.col("src").alias("v"), F.col("dst").alias("w")
+    )
+    tris = wedges.join(closing, on=["v", "w"]).select(
+        F.col("src").alias("x"), "v", "w"
+    )
+    member = (
+        tris.select(F.col("x").alias("node"))
+        .unionByName(tris.select(F.col("v").alias("node")))
+        .unionByName(tris.select(F.col("w").alias("node")))
+    )
+    return member.groupBy("node").agg(
+        F.count(F.lit(1)).cast("long").alias("n_triangles")
+    )
