@@ -40,6 +40,7 @@ _PRIORITY = [
     "events_winsorized_means",
     "events_calibration_bins",
     "graph_triangles",
+    "corpus_source_drift",
     # tier 2 — oldest driver-green first
     "events_daily_moving_avg",
     "events_latest_per_user",

@@ -2844,3 +2844,30 @@ def test_triangle_counts_match_brute_force(spark):
     assert got == exp
     assert got[0] == 2 and got[1] == 1 and got[3] == 2
     assert 7 not in got and 6 not in got
+
+
+def test_source_minhash_drift_estimates(spark):
+    """source_minhash_drift: identical sources agree on every
+    permutation; disjoint-shingle sources agree on ~none; a half-
+    overlapping source lands in between."""
+    from ukis_h3cellstore_spark.ops import sketches as SK
+
+    text_a = " ".join(f"tok{i}" for i in range(60))
+    text_b = " ".join(f"tok{i}" for i in range(30)) + " " + " ".join(
+        f"other{i}" for i in range(30)
+    )
+    text_c = " ".join(f"zzz{i}" for i in range(60))
+    rows = [
+        (1, "sA", text_a), (2, "sA2", text_a),       # identical corpora
+        (3, "sB", text_b),                           # ~half overlap w/ A
+        (4, "sC", text_c),                           # disjoint
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, source string, text string")
+    out = {
+        (r.source_a, r.source_b): r.matches
+        for r in SK.source_minhash_drift(df, k=32).collect()
+    }
+    assert out[("sA", "sA2")] == 32
+    assert out[("sA", "sC")] <= 3
+    assert 5 <= out[("sA", "sB")] <= 28  # est of true J≈1/3
+    assert len(out) == 6

@@ -3919,6 +3919,41 @@ FROM m GROUP BY 1
 """
 
 
+def q_corpus_source_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pairwise source-level MinHash drift (ops/sketches.py:
+    source_minhash_drift): one k=32 partial-agg signature per source
+    over its 3-token shingles, broadcast self-join for signature
+    agreement — the corpus-level re-crawl screen."""
+    return SK.source_minhash_drift(_docs(spark, sf_dir), k=32)
+
+
+Q_CORPUS_SOURCE_DRIFT_SQL = """
+WITH base AS (
+  SELECT source, regexp_split_to_array(trim(text), '\\s+') AS toks
+  FROM documents
+),
+sh AS (
+  SELECT source, concat_ws(' ', toks[i], toks[i+1], toks[i+2]) AS shingle
+  FROM base,
+       LATERAL (SELECT unnest(generate_series(1, greatest(len(toks) - 2, 0)))
+                AS i) u
+),
+m AS (
+  SELECT source, jj.j,
+         MIN(('0x' || substr(md5(jj.j || ':' || shingle), 1, 15))::BIGINT)
+           AS h
+  FROM sh, (SELECT unnest(generate_series(0, 31)) AS j) jj
+  GROUP BY 1, 2
+)
+SELECT a.source AS source_a, b.source AS source_b,
+       CAST(SUM(CASE WHEN a.h = b.h THEN 1 ELSE 0 END) AS BIGINT) AS matches,
+       CAST((1000 * SUM(CASE WHEN a.h = b.h THEN 1 ELSE 0 END)) // 32
+            AS BIGINT) AS est_jaccard_milli
+FROM m a JOIN m b ON a.j = b.j AND a.source < b.source
+GROUP BY 1, 2
+"""
+
+
 _TAXONOMY = {
     "join": "relational",
     "agg": "relational",
@@ -4023,6 +4058,7 @@ QUERIES_OPS: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "events_winsorized_means": q_events_winsorized_means,
     "events_calibration_bins": q_events_calibration_bins,
     "graph_triangles": q_graph_triangles,
+    "corpus_source_drift": q_corpus_source_drift,
     "text_cms_heavy_hitters": q_text_cms_heavy_hitters,
     "graph_pagerank": q_graph_pagerank,
     "ann_kcenter_coreset": q_ann_kcenter_coreset,
@@ -4117,6 +4153,7 @@ ORACLES_OPS: dict[str, str] = {
     "events_winsorized_means": Q_EVENTS_WINSORIZED_SQL,
     "events_calibration_bins": Q_EVENTS_CALIBRATION_SQL,
     "graph_triangles": Q_GRAPH_TRIANGLES_SQL,
+    "corpus_source_drift": Q_CORPUS_SOURCE_DRIFT_SQL,
     "graph_pagerank": Q_GRAPH_PAGERANK_SQL,
     "corpus_snapshot_diff": Q_CORPUS_SNAPSHOT_DIFF_SQL,
     "corpus_domain_cap": Q_CORPUS_DOMAIN_CAP_SQL,

@@ -188,3 +188,70 @@ def cms_heavy_hitters(
         .where(F.col("est") >= F.expr(f"n_total div {threshold_frac}"))
         .select(col, "est", "n_total")
     )
+
+
+def source_minhash_drift(
+    df: DataFrame,
+    k: int = 32,
+    shingle_k: int = 3,
+    text_col: str = "text",
+    source_col: str = "source",
+) -> DataFrame:
+    """Corpus-level near-duplication BETWEEN sources: a k-permutation
+    MinHash signature per source over its distinct token shingles,
+    then pairwise signature agreement — the cheap screen for "crawl B
+    is mostly a re-crawl of crawl A" before any document-level dedup
+    runs (matches/k estimates the shingle-set Jaccard; Broder 1997).
+    Returns (source_a < source_b, matches, est_jaccard_milli).
+
+    Scale shape: the k mins are ONE partial aggregation (k ``min``
+    columns over the shingle stream — no explode by k, no shuffle
+    wider than sources × k); signatures are a sources-sized table, so
+    the pairwise stage is a broadcast self-join over metadata. All
+    hashes are salted md5 — bit-identical on any engine."""
+    if k < 1:
+        raise ValueError("k must be >= 1")
+    from ukis_h3cellstore_spark.ops.dedup import shingle_df
+
+    sh = shingle_df(
+        df.select(F.col(source_col).alias("__src"), F.col(text_col)),
+        text_col,
+        "__src",
+        shingle_k,
+    ).select(F.col("__src"), F.col("shingle"))
+
+    def h(j: int):
+        return F.conv(
+            F.substring(F.md5(F.concat(F.lit(f"{j}:"), F.col("shingle"))), 1, 15),
+            16,
+            10,
+        ).cast("long")
+
+    sigs = sh.groupBy("__src").agg(
+        *[F.min(h(j)).alias(f"h{j}") for j in range(k)]
+    )
+    a = sigs.select(
+        F.col("__src").alias("source_a"),
+        *[F.col(f"h{j}").alias(f"a{j}") for j in range(k)],
+    )
+    b = sigs.select(
+        F.col("__src").alias("source_b"),
+        *[F.col(f"h{j}").alias(f"b{j}") for j in range(k)],
+    )
+    matches = sum(
+        F.when(F.col(f"a{j}") == F.col(f"b{j}"), 1).otherwise(0)
+        for j in range(k)
+    )
+    return (
+        a.crossJoin(F.broadcast(b))
+        .filter(F.col("source_a") < F.col("source_b"))
+        .select(
+            "source_a",
+            "source_b",
+            matches.cast("long").alias("matches"),
+        )
+        .withColumn(
+            "est_jaccard_milli",
+            F.expr(f"(1000 * matches) div {k}").cast("long"),
+        )
+    )
