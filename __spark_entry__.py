@@ -41,6 +41,7 @@ _PRIORITY = [
     "events_calibration_bins",
     "graph_triangles",
     "corpus_source_drift",
+    "events_quantile_transform",
     # tier 2 — oldest driver-green first
     "events_daily_moving_avg",
     "events_latest_per_user",

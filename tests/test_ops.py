@@ -2871,3 +2871,23 @@ def test_source_minhash_drift_estimates(spark):
     assert out[("sA", "sC")] <= 3
     assert 5 <= out[("sA", "sB")] <= 28  # est of true J≈1/3
     assert len(out) == 6
+
+
+def test_quantile_transform_uniformizes_per_group(spark):
+    """quantile_transform: q_milli equals the serial (1000*rank)//(n+1)
+    per group, so per-group distributions become uniform ranks."""
+    from ukis_h3cellstore_spark.ops import robust as R
+
+    rows = [(i, f"g{i % 2}", float((i * 37) % 50) * (10 if i % 2 else 0.1))
+            for i in range(200)]
+    df = spark.createDataFrame(rows, "id long, g string, v double")
+    out = {r.id: r.q_milli for r in R.quantile_transform(
+        df, "g", "v", tiebreak_cols=["id"]).collect()}
+    by_g = {}
+    for i, g, v in rows:
+        by_g.setdefault(g, []).append((v, i))
+    for g, items in by_g.items():
+        items.sort()
+        n = len(items)
+        for rk, (v, i) in enumerate(items, start=1):
+            assert out[i] == (1000 * rk) // (n + 1), (g, i)

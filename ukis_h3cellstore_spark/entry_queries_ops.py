@@ -3954,6 +3954,40 @@ GROUP BY 1, 2
 """
 
 
+def q_events_quantile_transform(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Within-group quantile normalization (ops/robust.py:
+    quantile_transform): each event's value mapped to its empirical
+    milli-quantile inside its type — distribution-free cross-group
+    score calibration via the distributed grouped_rank."""
+    from ukis_h3cellstore_spark.ops import robust as R
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet").select(
+        "event_id", "event_type", "value"
+    ).filter(F.col("value").isNotNull())
+    out = R.quantile_transform(
+        ev, "event_type", "value", tiebreak_cols=["event_id"]
+    )
+    return out.select("event_id", "event_type", "q_milli")
+
+
+Q_EVENTS_QUANTILE_SQL = """
+WITH v AS (
+  SELECT event_id, event_type, value
+  FROM events WHERE value IS NOT NULL
+),
+r AS (
+  SELECT event_id, event_type,
+         row_number() OVER (PARTITION BY event_type
+                            ORDER BY value, event_id) AS rk,
+         COUNT(*) OVER (PARTITION BY event_type) AS n
+  FROM v
+)
+SELECT event_id, event_type,
+       CAST((1000 * rk) // (n + 1) AS BIGINT) AS q_milli
+FROM r
+"""
+
+
 _TAXONOMY = {
     "join": "relational",
     "agg": "relational",
@@ -4059,6 +4093,7 @@ QUERIES_OPS: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "events_calibration_bins": q_events_calibration_bins,
     "graph_triangles": q_graph_triangles,
     "corpus_source_drift": q_corpus_source_drift,
+    "events_quantile_transform": q_events_quantile_transform,
     "text_cms_heavy_hitters": q_text_cms_heavy_hitters,
     "graph_pagerank": q_graph_pagerank,
     "ann_kcenter_coreset": q_ann_kcenter_coreset,
@@ -4154,6 +4189,7 @@ ORACLES_OPS: dict[str, str] = {
     "events_calibration_bins": Q_EVENTS_CALIBRATION_SQL,
     "graph_triangles": Q_GRAPH_TRIANGLES_SQL,
     "corpus_source_drift": Q_CORPUS_SOURCE_DRIFT_SQL,
+    "events_quantile_transform": Q_EVENTS_QUANTILE_SQL,
     "graph_pagerank": Q_GRAPH_PAGERANK_SQL,
     "corpus_snapshot_diff": Q_CORPUS_SNAPSHOT_DIFF_SQL,
     "corpus_domain_cap": Q_CORPUS_DOMAIN_CAP_SQL,

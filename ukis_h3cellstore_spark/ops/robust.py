@@ -37,6 +37,7 @@ __all__ = [
     "grouped_auc",
     "winsorize_by_group",
     "calibration_bins",
+    "quantile_transform",
 ]
 
 
@@ -382,4 +383,37 @@ def calibration_bins(
             F.round(F.avg("__s"), 4).alias("mean_score"),
             F.round(F.avg("__y"), 4).alias("pos_rate"),
         )
+    )
+
+
+def quantile_transform(
+    df: DataFrame,
+    group_col: str,
+    value_col: str,
+    tiebreak_cols: list[str] | None = None,
+    out_col: str = "q_milli",
+    num_partitions: int | None = None,
+) -> DataFrame:
+    """Within-group quantile (rank) normalization: map each value to
+    its empirical quantile ``(1000·rank) div (n+1)`` in its group —
+    the distribution-free score calibration that makes thresholds
+    comparable ACROSS groups (a p90 is a p90 in every language/source,
+    which per-group z-scores only give under normality). Integer milli
+    output, engine-exact. Ranks are row_numbers under
+    (value, *tiebreak_cols) — pass a unique tiebreak for reproducible
+    handling of duplicate values (same contract as
+    :func:`grouped_auc`). Built on the range-partition
+    :func:`grouped_rank`; group sizes are a groups-sized broadcast."""
+    order = [value_col] + list(tiebreak_cols or [])
+    ranked = grouped_rank(
+        df, group_col, order, out_col="__qrk", num_partitions=num_partitions
+    )
+    sizes = ranked.groupBy(group_col).agg(F.count(F.lit(1)).alias("__qn"))
+    return (
+        ranked.join(F.broadcast(sizes), on=group_col)
+        .withColumn(
+            out_col,
+            F.expr("(1000 * __qrk) div (__qn + 1)").cast("long"),
+        )
+        .drop("__qrk", "__qn")
     )
