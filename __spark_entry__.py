@@ -42,6 +42,7 @@ _PRIORITY = [
     "graph_triangles",
     "corpus_source_drift",
     "events_quantile_transform",
+    "events_asof_nearest",
     # tier 2 — oldest driver-green first
     "events_daily_moving_avg",
     "events_latest_per_user",

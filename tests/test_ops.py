@@ -2891,3 +2891,37 @@ def test_quantile_transform_uniformizes_per_group(spark):
         n = len(items)
         for rk, (v, i) in enumerate(items, start=1):
             assert out[i] == (1000 * rk) // (n + 1), (g, i)
+
+
+def test_asof_nearest_matches_brute_force(spark):
+    """asof_join direction='nearest' must pick the closer side with
+    backward tie-break, honor tolerance per side, and cost one sort
+    (no second union pass needed for correctness)."""
+    from ukis_h3cellstore_spark.ops import joins as J
+
+    left = spark.createDataFrame(
+        [(1, "u", 100), (2, "u", 205), (3, "u", 300), (4, "v", 50),
+         (5, "w", 10)],
+        "id long, k string, ts_us long",
+    )
+    right = spark.createDataFrame(
+        [("u", 90, 9000), ("u", 210, 21000), ("u", 290, 29000),
+         ("v", 50, 5000)],
+        "k string, ts_us long, val long",
+    )
+    out = {r.id: (r.asof_ts_us, r.asof_val) for r in J.asof_join(
+        left, right, on="k", direction="nearest").collect()}
+    assert out[1] == (90, 9000)       # 10 back vs 110 fwd
+    assert out[2] == (210, 21000)     # 5 fwd vs 115 back
+    assert out[3] == (290, 29000)     # 10 back vs none fwd... (310 none)
+    assert out[4] == (50, 5000)       # exact tie -> distance 0
+    assert out[5] == (None, None)     # no right rows for key
+    # equidistant -> backward
+    left2 = spark.createDataFrame([(9, "u", 150)], "id long, k string, ts_us long")
+    out2 = {r.id: r.asof_ts_us for r in J.asof_join(
+        left2, right, on="k", direction="nearest").collect()}
+    assert out2[9] == 90  # 60 back vs 60 fwd (210) -> backward
+    # tolerance drops far matches per side
+    out3 = {r.id: r.asof_ts_us for r in J.asof_join(
+        left, right, on="k", direction="nearest", tolerance=8).collect()}
+    assert out3[1] is None and out3[2] == 210 and out3[4] == 50

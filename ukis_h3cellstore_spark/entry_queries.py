@@ -996,6 +996,47 @@ FROM l ASOF LEFT JOIN r ON l.user_id = r.user_id AND l.ts_us <= r.ts_us
 """
 
 
+def q_events_asof_nearest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Nearest as-of join: every error event annotated with the same
+    user's CLOSEST click on either side (ops/joins asof_join
+    direction='nearest'; equidistant -> backward). One union-and-sort
+    shuffle, two window carries. Oracle: backward + forward DuckDB
+    ASOF joins merged with the same closest/tie rule."""
+    from ukis_h3cellstore_spark.ops import joins as J
+
+    e = _events(spark, sf_dir)
+    errors = e.filter(F.col("event_type") == "error").select(
+        "event_id", "user_id", "ts_us"
+    )
+    clicks = e.filter(F.col("event_type") == "click").select(
+        "user_id", "ts_us", _cents(F.col("value")).alias("value_cents")
+    )
+    return J.asof_join(errors, clicks, on="user_id", direction="nearest")
+
+
+Q_EVENTS_ASOF_NEAREST_SQL = """
+WITH l AS (SELECT event_id, user_id, epoch_us(ts) AS ts_us
+           FROM events WHERE event_type = 'error'),
+r AS (SELECT user_id, epoch_us(ts) AS ts_us,
+             CAST(round(value*100) AS BIGINT) AS value_cents
+      FROM events WHERE event_type = 'click'),
+b AS (SELECT l.event_id, r.ts_us AS bts, r.value_cents AS bval
+      FROM l ASOF LEFT JOIN r
+        ON l.user_id = r.user_id AND l.ts_us >= r.ts_us),
+f AS (SELECT l.event_id, r.ts_us AS fts, r.value_cents AS fval
+      FROM l ASOF LEFT JOIN r
+        ON l.user_id = r.user_id AND l.ts_us <= r.ts_us)
+SELECT l.event_id, l.user_id, l.ts_us,
+       CASE WHEN fts IS NULL
+              OR (bts IS NOT NULL AND (l.ts_us - bts) <= (fts - l.ts_us))
+            THEN bts ELSE fts END AS asof_ts_us,
+       CASE WHEN fts IS NULL
+              OR (bts IS NOT NULL AND (l.ts_us - bts) <= (fts - l.ts_us))
+            THEN bval ELSE fval END AS asof_value_cents
+FROM l JOIN b USING (event_id) JOIN f USING (event_id)
+"""
+
+
 def q_events_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact interpolated percentiles of the event value per type —
     Spark's ``percentile`` and DuckDB's ``quantile_cont`` share the
@@ -2221,6 +2262,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "events_sessionize": q_events_sessionize,
     "events_asof_join": q_events_asof_join,
     "events_asof_forward": q_events_asof_forward,
+    "events_asof_nearest": q_events_asof_nearest,
     "events_percentiles": q_events_percentiles,
     "events_cube_counts": q_events_cube_counts,
     "events_range_join": q_events_range_join,
@@ -2276,6 +2318,7 @@ ORACLES: dict[str, str] = {
     "events_sessionize": Q_EVENTS_SESSIONIZE_SQL,
     "events_asof_join": Q_EVENTS_ASOF_JOIN_SQL,
     "events_asof_forward": Q_EVENTS_ASOF_FORWARD_SQL,
+    "events_asof_nearest": Q_EVENTS_ASOF_NEAREST_SQL,
     "events_percentiles": Q_EVENTS_PERCENTILES_SQL,
     "events_cube_counts": Q_EVENTS_CUBE_SQL,
     "events_range_join": Q_EVENTS_RANGE_JOIN_SQL,

@@ -139,16 +139,28 @@ def asof_join(
     """As-of join: left rows gain the payload of the closest right row
     for the same key(s) — ``backward`` (default) matches the latest
     right row with ``right_ts <= left_ts``, ``forward`` the earliest
-    with ``right_ts >= left_ts`` — or NULLs if none (left outer
-    semantics; ties on the timestamp match).
+    with ``right_ts >= left_ts``, ``nearest`` the closer of the two
+    (exact ties and equidistant matches resolve BACKWARD, i.e. the
+    earlier right row) — or NULLs if none (left outer semantics).
 
     ``tolerance`` (same unit as the timestamps) drops matches farther
     than ``tolerance`` from ``left_ts``. Right payload columns are
     prefixed with ``right_prefix``; the matched right timestamp is
     exposed as ``{right_prefix}{right_ts}``.
-    """
+
+    ``nearest`` costs the SAME single sort shuffle as the one-sided
+    directions: both carries are window functions over one union-and-
+    sort frame (right rows sort before left at equal timestamps, so
+    the forward carry cannot see an exact tie — harmless, because the
+    backward carry matches it at distance 0 and wins every tie)."""
+    if direction == "nearest":
+        return _asof_nearest(
+            left, right, on, left_ts, right_ts, tolerance, right_prefix
+        )
     if direction not in ("backward", "forward"):
-        raise ValueError(f"direction must be backward/forward, got {direction!r}")
+        raise ValueError(
+            f"direction must be backward/forward/nearest, got {direction!r}"
+        )
     backward = direction == "backward"
     keys = [on] if isinstance(on, str) else list(on)
     payload = [c for c in right.columns if c not in keys and c != right_ts]
@@ -209,6 +221,80 @@ def asof_join(
             F.when(dist <= F.lit(tolerance), F.col("__m")),
         )
     return out.select(
+        *[F.col(c) for c in lcols],
+        F.col("__m.__matched_ts").alias(f"{right_prefix}{right_ts}"),
+        *[F.col(f"__m.{c}").alias(f"{right_prefix}{c}") for c in payload],
+    )
+
+
+def _asof_nearest(
+    left: DataFrame,
+    right: DataFrame,
+    on: str | list[str],
+    left_ts: str,
+    right_ts: str,
+    tolerance: int | None,
+    right_prefix: str,
+) -> DataFrame:
+    """``direction="nearest"`` kernel for :func:`asof_join`: one
+    union-and-sort, TWO carries (backward ``last``, forward
+    ``first``), closest wins, distance ties go backward."""
+    keys = [on] if isinstance(on, str) else list(on)
+    payload = [c for c in right.columns if c not in keys and c != right_ts]
+    r = right.select(
+        *keys,
+        F.col(right_ts).alias("__ts"),
+        F.lit(0).alias("__side"),
+        F.struct(
+            F.col(right_ts).alias("__matched_ts"),
+            *[F.col(c) for c in payload],
+        ).alias("__r"),
+    )
+    l = left.withColumn("__ts", F.col(left_ts)).withColumn(
+        "__side", F.lit(1)
+    )
+    lcols = list(left.columns)
+    unioned = l.select(
+        *[F.col(c) for c in lcols],
+        "__ts",
+        "__side",
+        F.lit(None).cast(r.schema["__r"].dataType).alias("__r"),
+    ).unionByName(
+        r.select(
+            *[
+                (
+                    F.col(c)
+                    if c in keys
+                    else F.lit(None).cast(left.schema[c].dataType)
+                ).alias(c)
+                for c in lcols
+            ],
+            "__ts",
+            "__side",
+            "__r",
+        )
+    )
+    base = Window.partitionBy(*keys).orderBy("__ts", "__side")
+    wb = base.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    wf = base.rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    carried = unioned.withColumn(
+        "__mb", F.last("__r", ignorenulls=True).over(wb)
+    ).withColumn("__mf", F.first("__r", ignorenulls=True).over(wf))
+    out = carried.filter(F.col("__side") == 1)
+    db = F.col("__ts") - F.col("__mb.__matched_ts")
+    df_ = F.col("__mf.__matched_ts") - F.col("__ts")
+    mb = F.col("__mb")
+    mf = F.col("__mf")
+    if tolerance is not None:
+        mb = F.when(db <= F.lit(tolerance), mb)
+        mf = F.when(df_ <= F.lit(tolerance), mf)
+    staged = out.withColumn("__cb", mb).withColumn("__cf", mf)
+    pick = F.when(
+        F.col("__cf").isNull()
+        | (F.col("__cb").isNotNull() & (db <= df_)),
+        F.col("__cb"),
+    ).otherwise(F.col("__cf"))
+    return staged.withColumn("__m", pick).select(
         *[F.col(c) for c in lcols],
         F.col("__m.__matched_ts").alias(f"{right_prefix}{right_ts}"),
         *[F.col(f"__m.{c}").alias(f"{right_prefix}{c}") for c in payload],
