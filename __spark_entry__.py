@@ -43,6 +43,7 @@ _PRIORITY = [
     "corpus_source_drift",
     "events_quantile_transform",
     "events_asof_nearest",
+    "streaming_ttl_dedup",
     # tier 2 — oldest driver-green first
     "events_daily_moving_avg",
     "events_latest_per_user",

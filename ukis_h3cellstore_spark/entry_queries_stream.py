@@ -689,8 +689,61 @@ GROUP BY 1
 """
 
 
+def q_streaming_ttl_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bounded-state streaming dedup (streaming.dedup_within_watermark
+    / dropDuplicatesWithinWatermark): the events table DOUBLED (every
+    row a duplicate) arrives in micro-batches; one row per event_id
+    survives. The watermark delay spans the whole synthetic time range
+    here, so the streamed answer equals the batch distinct the oracle
+    computes — production sizes the delay to the re-delivery window
+    and accepts later dupes as the state-bound trade."""
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet").select(
+        "event_id",
+        # watermarks need TIMESTAMP (LTZ); parquet yields TIMESTAMP_NTZ
+        F.col("ts").cast("timestamp").alias("ts"),
+        "event_type",
+    )
+    doubled = ev.unionByName(ev)
+    stream_dir = tempfile.mkdtemp(prefix="h3stream_ttl_")
+    doubled.repartition(6).write.mode("overwrite").parquet(stream_dir)
+    stream = st.read_stream(
+        spark, stream_dir, doubled.schema, max_files_per_trigger=2
+    )
+    deduped = st.dedup_within_watermark(
+        stream, ["event_id"], "ts", delay="87600 hours"
+    )
+    _SINK_COUNTER[0] += 1
+    sink = f"stream_ttl_sink_{_SINK_COUNTER[0]}"
+    q = (
+        deduped.writeStream.format("memory")
+        .queryName(sink)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    _await_done(q)
+    return (
+        spark.table(sink)
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_unique"),
+            F.sum("event_id").cast("long").alias("sum_ids"),
+        )
+    )
+
+
+_Q_STREAMING_TTL_DEDUP_SQL = """
+SELECT event_type,
+       CAST(COUNT(DISTINCT event_id) AS BIGINT) AS n_unique,
+       CAST(SUM(DISTINCT event_id) AS BIGINT) AS sum_ids
+FROM events
+GROUP BY 1
+"""
+
+
 QUERIES_STREAM: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "streaming_robust_score": q_streaming_robust_score,
+    "streaming_ttl_dedup": q_streaming_ttl_dedup,
     "streaming_domain_cap": q_streaming_domain_cap,
     "streaming_segment_dedup": q_streaming_segment_dedup,
     "streaming_stateful_accumulator": q_streaming_stateful_accumulator,
@@ -704,6 +757,7 @@ QUERIES_STREAM: dict[str, Callable[[SparkSession, str], DataFrame]] = {
 
 ORACLES_STREAM: dict[str, str] = {
     "streaming_robust_score": _Q_STREAMING_ROBUST_SCORE_SQL,
+    "streaming_ttl_dedup": _Q_STREAMING_TTL_DEDUP_SQL,
     "streaming_domain_cap": _Q_STREAMING_DOMAIN_CAP_SQL,
     "streaming_segment_dedup": _Q_STREAMING_SEGMENT_DEDUP_SQL,
     "streaming_stateful_accumulator": _q_streaming_stateful_accumulator_sql(),

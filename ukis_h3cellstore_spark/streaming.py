@@ -390,3 +390,24 @@ def score_against_static(
         "is_outlier",
         F.abs(F.col(value_col) - F.col("median")) > F.lit(float(k)) * F.col("mad"),
     )
+
+
+def dedup_within_watermark(
+    stream: DataFrame,
+    keys: list[str],
+    ts_col: str,
+    delay: str = "1 hour",
+) -> DataFrame:
+    """Streaming exact dedup with BOUNDED state:
+    ``dropDuplicatesWithinWatermark`` keeps one row per key and ages
+    each key out of state once the watermark passes it — the ingest
+    dedup you can actually run forever (plain ``dropDuplicates`` on a
+    stream grows state without bound; the batch operators in
+    ``ops/dedup`` are the replay semantics). Duplicates arriving more
+    than ``delay`` after the first occurrence are NOT caught — that is
+    the deliberate state/completeness trade; size ``delay`` to the
+    real re-delivery window (minutes for queue redelivery, hours for
+    crawler re-fetch)."""
+    return stream.withWatermark(ts_col, delay).dropDuplicatesWithinWatermark(
+        keys
+    )
