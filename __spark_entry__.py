@@ -44,6 +44,7 @@ _PRIORITY = [
     "events_quantile_transform",
     "events_asof_nearest",
     "streaming_ttl_dedup",
+    "graph_personalized_pagerank",
     # tier 2 — oldest driver-green first
     "events_daily_moving_avg",
     "events_latest_per_user",

@@ -2925,3 +2925,29 @@ def test_asof_nearest_matches_brute_force(spark):
     out3 = {r.id: r.asof_ts_us for r in J.asof_join(
         left, right, on="k", direction="nearest", tolerance=8).collect()}
     assert out3[1] is None and out3[2] == 210 and out3[4] == 50
+
+
+def test_personalized_pagerank_seed_semantics(spark):
+    """pagerank(seeds=...): mass restarts only at seeds, non-seed
+    sinks still accumulate via edges, seeds=None unchanged, and a
+    seed set disjoint from the graph raises."""
+    import pytest as _pt
+
+    from ukis_h3cellstore_spark.ops import graph as G
+
+    edges = spark.createDataFrame(
+        [("a", "b"), ("b", "c"), ("c", "a"), ("d", "a")],
+        "src string, dst string",
+    )
+    seeds = spark.createDataFrame([("a",), ("zzz",)], "node string")
+    pr = {r.node: r.rank_fp for r in G.pagerank(edges, 2, seeds=seeds).collect()}
+    # d has no in-edges and is not a seed -> exactly zero
+    assert pr["d"] == 0
+    # the seed keeps teleport mass; its neighbors accumulate
+    assert pr["a"] > pr["b"] > 0
+    # unpersonalized run gives d the uniform teleport
+    pr0 = {r.node: r.rank_fp for r in G.pagerank(edges, 2).collect()}
+    assert pr0["d"] > 0
+    bad = spark.createDataFrame([("nope",)], "node string")
+    with _pt.raises(ValueError, match="no seed node"):
+        G.pagerank(edges, 2, seeds=bad)

@@ -3185,6 +3185,60 @@ def q_graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     return G.pagerank(edges, iterations=3)
 
 
+def q_graph_personalized_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Personalized PageRank (ops/graph.pagerank with seeds): restart
+    mass concentrated on the event-type nodes of the bipartite
+    user<->type graph — relevance-to-the-seeds instead of global
+    centrality, the 'rank pages near trusted domains' signal.
+    Integer-exact fixed point, bit-matched by the unrolled oracle."""
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    b = ev.select(
+        F.concat(F.lit("u"), F.col("user_id").cast("string")).alias("src"),
+        F.concat(F.lit("t"), F.col("event_type")).alias("dst"),
+    ).distinct()
+    edges = b.union(
+        b.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    )
+    seeds = b.select(F.col("dst").alias("node")).distinct()
+    return G.pagerank(edges, iterations=3, seeds=seeds)
+
+
+def _ppr_oracle_sql(iterations: int = 3) -> str:
+    """Unrolled personalized fixed-point iteration: teleport + initial
+    mass restricted to the seed set (type nodes, prefix 't')."""
+    parts = [
+        "WITH e0 AS (SELECT DISTINCT 'u' || CAST(user_id AS VARCHAR) AS src,"
+        " 't' || event_type AS dst FROM events),",
+        "e AS (SELECT src, dst FROM e0"
+        " UNION SELECT dst AS src, src AS dst FROM e0),",
+        "nd0 AS (SELECT src AS node FROM e UNION SELECT dst FROM e),",
+        "nd AS (SELECT node, CASE WHEN node LIKE 't%' THEN 1 ELSE 0 END"
+        " AS sd FROM nd0),",
+        "ns AS (SELECT SUM(sd) AS n FROM nd),",
+        "deg AS (SELECT src, COUNT(*) AS outdeg FROM e GROUP BY 1),",
+        "tele AS (SELECT CAST((150 * CAST(1000000000 AS BIGINT))"
+        " // (1000 * n) AS BIGINT) AS t FROM ns),",
+        "r0 AS (SELECT node, CAST(sd * (1000000000 // n) AS BIGINT)"
+        " AS rank_fp FROM nd CROSS JOIN ns),",
+    ]
+    for i in range(1, iterations + 1):
+        parts.append(
+            f"c{i} AS (SELECT e.dst AS node,"
+            f" SUM(r.rank_fp // d.outdeg) AS csum"
+            f" FROM e JOIN r{i - 1} r ON e.src = r.node"
+            f" JOIN deg d ON e.src = d.src GROUP BY 1),"
+        )
+        parts.append(
+            f"r{i} AS (SELECT nd.node,"
+            f" CAST(nd.sd * t + (850 * COALESCE(c.csum, 0)) // 1000"
+            f" AS BIGINT) AS rank_fp"
+            f" FROM nd LEFT JOIN c{i} c ON nd.node = c.node"
+            f" CROSS JOIN tele),"
+        )
+    body = "\n".join(parts).rstrip(",")
+    return f"{body}\nSELECT node, rank_fp FROM r{iterations}"
+
+
 def _pagerank_oracle_sql(iterations: int = 3) -> str:
     """Unrolled fixed-point power iteration matching ops/graph."""
     parts = [
@@ -4094,6 +4148,7 @@ QUERIES_OPS: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "graph_triangles": q_graph_triangles,
     "corpus_source_drift": q_corpus_source_drift,
     "events_quantile_transform": q_events_quantile_transform,
+    "graph_personalized_pagerank": q_graph_personalized_pagerank,
     "text_cms_heavy_hitters": q_text_cms_heavy_hitters,
     "graph_pagerank": q_graph_pagerank,
     "ann_kcenter_coreset": q_ann_kcenter_coreset,
@@ -4190,6 +4245,7 @@ ORACLES_OPS: dict[str, str] = {
     "graph_triangles": Q_GRAPH_TRIANGLES_SQL,
     "corpus_source_drift": Q_CORPUS_SOURCE_DRIFT_SQL,
     "events_quantile_transform": Q_EVENTS_QUANTILE_SQL,
+    "graph_personalized_pagerank": _ppr_oracle_sql(3),
     "graph_pagerank": Q_GRAPH_PAGERANK_SQL,
     "corpus_snapshot_diff": Q_CORPUS_SNAPSHOT_DIFF_SQL,
     "corpus_domain_cap": Q_CORPUS_DOMAIN_CAP_SQL,

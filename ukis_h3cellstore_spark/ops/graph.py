@@ -38,6 +38,7 @@ def pagerank(
     iterations: int = 3,
     damping_milli: int = 850,
     scale: int = 10**9,
+    seeds: DataFrame | None = None,
 ) -> DataFrame:
     """Fixed-point PageRank over a directed edge list.
 
@@ -62,6 +63,14 @@ def pagerank(
                 + (d * SUM over in-edges(u,v) of r(u) // outdeg(u)) // 1000
 
     All divisions are floor divisions on integers.
+
+    ``seeds`` (optional, a one-column node DataFrame) switches to
+    PERSONALIZED PageRank: initial mass and the teleport term
+    concentrate on the seed set (``N`` → ``|S ∩ nodes|``; non-seeds
+    get teleport 0) — relevance-to-the-seeds instead of global
+    centrality, the standard "rank pages near these trusted domains"
+    signal. Seeds outside the graph are ignored; the seed flag rides
+    the cached node table, so the per-iteration plan is unchanged.
     """
     if iterations < 0:
         raise ValueError("iterations must be >= 0")
@@ -76,15 +85,37 @@ def pagerank(
     # loop-invariant big operand — cache it so K iterations scan it
     # from memory/disk instead of recomputing the distinct + join.
     ed = e.join(outdeg, "src").persist()
+    if seeds is not None:
+        sd = (
+            seeds.select(F.col(seeds.columns[0]).alias("node"))
+            .distinct()
+            .withColumn("__seed", F.lit(1))
+        )
+        nodes = nodes.join(sd, "node", "left").select(
+            "node", F.coalesce(F.col("__seed"), F.lit(0)).alias("__seed")
+        )
+    else:
+        nodes = nodes.withColumn("__seed", F.lit(1))
     nodes = nodes.persist()  # scanned once per iteration
     n_nodes = nodes.count()  # driver scalar; also materializes `nodes`
+    n_mass = (
+        n_nodes
+        if seeds is None
+        else nodes.filter(F.col("__seed") == 1).count()
+    )
     if n_nodes == 0:
         return nodes.select(
             "node", F.lit(0).cast("long").alias("rank_fp")
         )
-    teleport = ((1000 - damping_milli) * scale) // (1000 * n_nodes)
+    if n_mass == 0:
+        raise ValueError("no seed node appears in the graph")
+    teleport = ((1000 - damping_milli) * scale) // (1000 * n_mass)
+    tele_expr = F.col("__seed").cast("long") * F.lit(teleport)
     ranks = nodes.select(
-        "node", F.lit(scale // n_nodes).cast("long").alias("rank_fp")
+        "node",
+        (F.col("__seed").cast("long") * F.lit(scale // n_mass)).alias(
+            "rank_fp"
+        ),
     )
     for _ in range(iterations):
         contrib = (
@@ -104,7 +135,7 @@ def pagerank(
             .select(
                 "node",
                 (
-                    F.lit(teleport)
+                    tele_expr
                     + F.expr(
                         f"(CAST({damping_milli} AS BIGINT)"
                         " * coalesce(csum, CAST(0 AS BIGINT)))"
