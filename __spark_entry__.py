@@ -45,6 +45,7 @@ _PRIORITY = [
     "events_asof_nearest",
     "streaming_ttl_dedup",
     "graph_personalized_pagerank",
+    "ann_label_centroid_sim",
     # tier 2 — oldest driver-green first
     "events_daily_moving_avg",
     "events_latest_per_user",

@@ -2951,3 +2951,34 @@ def test_personalized_pagerank_seed_semantics(spark):
     bad = spark.createDataFrame([("nope",)], "node string")
     with _pt.raises(ValueError, match="no seed node"):
         G.pagerank(edges, 2, seeds=bad)
+
+
+def test_label_centroid_similarity_matches_numpy(spark):
+    """label_centroid_similarity must equal numpy centroid cosines on
+    milli-quantized vectors (scale-invariance: sum == mean)."""
+    import numpy as np
+
+    from ukis_h3cellstore_spark.ops import similarity as S
+
+    rng = np.random.RandomState(3)
+    rows = []
+    for lab in range(3):
+        base = rng.randn(8)
+        for i in range(20):
+            v = base + 0.1 * rng.randn(8)
+            rows.append((lab * 100 + i, lab, [float(x) for x in v]))
+    df = spark.createDataFrame(rows, "vec_id long, label int, embedding array<float>")
+    got = {
+        (r.label_a, r.label_b): r.centroid_cos
+        for r in S.label_centroid_similarity(df).collect()
+    }
+    sums = {}
+    for _, lab, v in rows:
+        q = np.floor(np.array(v, dtype="float32").astype("float64") * 1000 + 0.5)
+        sums[lab] = sums.get(lab, 0) + q
+    for (a, b), cos in got.items():
+        sa, sb = sums[a], sums[b]
+        exp = float(sa @ sb) / np.sqrt(float(sa @ sa) * float(sb @ sb))
+        assert abs(cos - round(exp, 4)) < 1e-9, (a, b)
+    # tight same-ish clusters should separate: all pairwise < 1
+    assert all(c < 1.0 for c in got.values()) and len(got) == 3

@@ -4042,6 +4042,38 @@ FROM r
 """
 
 
+def q_ann_label_centroid_sim(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Class-separation report (ops/similarity.py:
+    label_centroid_similarity): pairwise cosine between per-label
+    embedding centroids via integer milli-quantized sums — exact until
+    the final pair-level division."""
+    return S.label_centroid_similarity(_embs(spark, sf_dir))
+
+
+Q_ANN_LABEL_CENTROID_SQL = """
+WITH q AS (
+  SELECT label, ii.i - 1 AS i,
+         CAST(round(CAST(embedding[ii.i] AS DOUBLE) * 1000) AS BIGINT) AS qv
+  FROM embeddings,
+       LATERAL (SELECT unnest(generate_series(1, len(embedding))) AS i) ii
+),
+s AS (SELECT label, i, SUM(qv) AS s FROM q GROUP BY 1, 2),
+n AS (SELECT label, SUM(s * s) AS n2 FROM s GROUP BY 1),
+d AS (
+  SELECT a.label AS label_a, b.label AS label_b, SUM(a.s * b.s) AS dt
+  FROM s a JOIN s b ON a.i = b.i AND a.label < b.label
+  GROUP BY 1, 2
+)
+SELECT d.label_a, d.label_b,
+       round(CAST(dt AS DOUBLE)
+             / sqrt(CAST(na.n2 AS DOUBLE) * CAST(nb.n2 AS DOUBLE)), 4)
+         AS centroid_cos
+FROM d
+JOIN n na ON na.label = d.label_a
+JOIN n nb ON nb.label = d.label_b
+"""
+
+
 _TAXONOMY = {
     "join": "relational",
     "agg": "relational",
@@ -4149,6 +4181,7 @@ QUERIES_OPS: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "corpus_source_drift": q_corpus_source_drift,
     "events_quantile_transform": q_events_quantile_transform,
     "graph_personalized_pagerank": q_graph_personalized_pagerank,
+    "ann_label_centroid_sim": q_ann_label_centroid_sim,
     "text_cms_heavy_hitters": q_text_cms_heavy_hitters,
     "graph_pagerank": q_graph_pagerank,
     "ann_kcenter_coreset": q_ann_kcenter_coreset,
@@ -4246,6 +4279,7 @@ ORACLES_OPS: dict[str, str] = {
     "corpus_source_drift": Q_CORPUS_SOURCE_DRIFT_SQL,
     "events_quantile_transform": Q_EVENTS_QUANTILE_SQL,
     "graph_personalized_pagerank": _ppr_oracle_sql(3),
+    "ann_label_centroid_sim": Q_ANN_LABEL_CENTROID_SQL,
     "graph_pagerank": Q_GRAPH_PAGERANK_SQL,
     "corpus_snapshot_diff": Q_CORPUS_SNAPSHOT_DIFF_SQL,
     "corpus_domain_cap": Q_CORPUS_DOMAIN_CAP_SQL,

@@ -1522,3 +1522,74 @@ def random_sign_projection(
         F.col(id_col),
         F.posexplode(F.array(*projs)).alias("dim_no", "proj_milli"),
     )
+
+
+def label_centroid_similarity(
+    df: DataFrame,
+    label_col: str = "label",
+    vec_col: str = "embedding",
+    round_digits: int = 4,
+) -> DataFrame:
+    """Class-separation report: pairwise cosine similarity between
+    per-label embedding CENTROIDS — high off-diagonal cosines mean the
+    label taxonomy is not separable in this embedding space (the cheap
+    sanity check before training a classifier head or routing by
+    class). Returns (label_a < label_b, cos_milli_e{round_digits}).
+
+    Exactness: cosine is scale-invariant, so the centroid (mean) is
+    replaced by the per-label SUM of milli-quantized integer
+    components — commutative integer aggregation, no float summation
+    order, no division until the final pair-level cosine (a
+    deterministic double expression both engines evaluate the same
+    way). Bound: per-label component sums must keep Σs² inside int64 —
+    fine up to ~10⁹ rows · 60-d milli vectors per label; shrink the
+    quantization for more.
+
+    Scale shape: one posexplode + (label, dim) hash-agg (map-side
+    combinable), labels-sized norm and sum tables, broadcast pairwise
+    join on the dim key. The corpus is scanned once."""
+    q = df.select(
+        F.col(label_col).alias("__lab"),
+        F.posexplode(
+            F.transform(
+                F.col(vec_col),
+                lambda x: F.round(x.cast("double") * 1000).cast("long"),
+            )
+        ).alias("__i", "__q"),
+    )
+    sums = q.groupBy("__lab", "__i").agg(F.sum("__q").alias("__s"))
+    norms = sums.groupBy("__lab").agg(
+        F.sum(F.col("__s") * F.col("__s")).alias("__n2")
+    )
+    a = sums.select(
+        F.col("__lab").alias("label_a"), "__i", F.col("__s").alias("__sa")
+    )
+    b = sums.select(
+        F.col("__lab").alias("label_b"), "__i", F.col("__s").alias("__sb")
+    )
+    dots = (
+        a.join(b, on="__i")
+        .filter(F.col("label_a") < F.col("label_b"))
+        .groupBy("label_a", "label_b")
+        .agg(F.sum(F.col("__sa") * F.col("__sb")).alias("__dot"))
+    )
+    na = norms.select(F.col("__lab").alias("label_a"), F.col("__n2").alias("__na"))
+    nb = norms.select(F.col("__lab").alias("label_b"), F.col("__n2").alias("__nb"))
+    return (
+        dots.join(F.broadcast(na), "label_a")
+        .join(F.broadcast(nb), "label_b")
+        .select(
+            "label_a",
+            "label_b",
+            F.round(
+                F.try_divide(
+                    F.col("__dot").cast("double"),
+                    F.sqrt(
+                        F.col("__na").cast("double")
+                        * F.col("__nb").cast("double")
+                    ),
+                ),
+                round_digits,
+            ).alias("centroid_cos"),
+        )
+    )
