@@ -46,6 +46,7 @@ _PRIORITY = [
     "streaming_ttl_dedup",
     "graph_personalized_pagerank",
     "ann_label_centroid_sim",
+    "corpus_datacard",
     # tier 2 — oldest driver-green first
     "events_daily_moving_avg",
     "events_latest_per_user",

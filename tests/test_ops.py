@@ -2982,3 +2982,27 @@ def test_label_centroid_similarity_matches_numpy(spark):
         assert abs(cos - round(exp, 4)) < 1e-9, (a, b)
     # tight same-ish clusters should separate: all pairwise < 1
     assert all(c < 1.0 for c in got.values()) and len(got) == 3
+
+
+def test_corpus_datacard_serial_check(spark):
+    """corpus_datacard equals the serial datasheet computation,
+    including dup accounting and the exact middle-rank median."""
+    from ukis_h3cellstore_spark.ops import report as RP
+
+    rows = [
+        (1, "s0", "en", "alpha beta gamma"),
+        (2, "s0", "en", "alpha beta gamma"),      # exact dup of 1
+        (3, "s0", "de", "  ALPHA beta GAMMA  "),  # dup after lower+trim
+        (4, "s1", "en", "delta"),
+        (5, "s1", "fr", ""),
+        (6, "s0", "en", "eps zeta eta theta iota"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, source string, lang string, text string")
+    r = RP.corpus_datacard(df).collect()[0]
+    assert (r.n_docs, r.n_sources, r.n_langs) == (6, 2, 3)
+    assert r.total_tokens == 3 + 3 + 3 + 1 + 0 + 5
+    assert r.total_chars == sum(len(t) for *_, t in rows)
+    lens = sorted(len(t) for *_, t in rows)
+    assert r.median_chars == (lens[2] + lens[3]) / 2
+    assert (r.n_dup_groups, r.n_dup_docs) == (1, 3)  # docs 1,2,3 share key
+    assert r.top_source_share_milli == (1000 * 4) // 6

@@ -4074,6 +4074,66 @@ JOIN n nb ON nb.label = d.label_b
 """
 
 
+def q_corpus_datacard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One-row corpus datasheet (ops/report.py: corpus_datacard):
+    size, composition, exact-dup level, exact median length, source
+    skew — the numeric core of a 'Datasheets for Datasets' card as
+    engine-exact aggregates."""
+    from ukis_h3cellstore_spark.ops import report as RP
+
+    return RP.corpus_datacard(_docs(spark, sf_dir))
+
+
+Q_CORPUS_DATACARD_SQL = """
+WITH base AS (
+  SELECT doc_id, source, lang,
+         CAST(length(text) AS BIGINT) AS chars,
+         CASE WHEN trim(text) = '' THEN 0
+              ELSE len(regexp_split_to_array(trim(text), '\\s+')) END AS toks,
+         md5(lower(trim(text))) AS h
+  FROM documents
+),
+totals AS (
+  SELECT COUNT(*) AS n_docs,
+         COUNT(DISTINCT source) AS n_sources,
+         COUNT(DISTINCT lang) AS n_langs,
+         SUM(toks) AS total_tokens,
+         SUM(chars) AS total_chars
+  FROM base
+),
+dups AS (
+  SELECT COALESCE(COUNT(*), 0) AS n_dup_groups,
+         COALESCE(SUM(n), 0) AS n_dup_docs
+  FROM (SELECT h, COUNT(*) AS n FROM base GROUP BY 1 HAVING COUNT(*) > 1)
+),
+r AS (
+  SELECT chars,
+         row_number() OVER (ORDER BY chars) AS rk,
+         COUNT(*) OVER () AS n
+  FROM base
+),
+med AS (
+  SELECT SUM(chars) / COUNT(*) AS median_chars
+  FROM r WHERE rk = (n + 1) // 2 OR rk = (n + 2) // 2
+),
+ts AS (
+  SELECT MAX(sn) AS top FROM (
+    SELECT COUNT(*) AS sn FROM base GROUP BY source
+  )
+)
+SELECT CAST(t.n_docs AS BIGINT) AS n_docs,
+       CAST(t.n_sources AS BIGINT) AS n_sources,
+       CAST(t.n_langs AS BIGINT) AS n_langs,
+       CAST(t.total_tokens AS BIGINT) AS total_tokens,
+       CAST(t.total_chars AS BIGINT) AS total_chars,
+       med.median_chars,
+       CAST(d.n_dup_groups AS BIGINT) AS n_dup_groups,
+       CAST(d.n_dup_docs AS BIGINT) AS n_dup_docs,
+       CAST((1000 * ts.top) // t.n_docs AS BIGINT) AS top_source_share_milli
+FROM totals t CROSS JOIN dups d CROSS JOIN med CROSS JOIN ts
+"""
+
+
 _TAXONOMY = {
     "join": "relational",
     "agg": "relational",
@@ -4182,6 +4242,7 @@ QUERIES_OPS: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "events_quantile_transform": q_events_quantile_transform,
     "graph_personalized_pagerank": q_graph_personalized_pagerank,
     "ann_label_centroid_sim": q_ann_label_centroid_sim,
+    "corpus_datacard": q_corpus_datacard,
     "text_cms_heavy_hitters": q_text_cms_heavy_hitters,
     "graph_pagerank": q_graph_pagerank,
     "ann_kcenter_coreset": q_ann_kcenter_coreset,
@@ -4280,6 +4341,7 @@ ORACLES_OPS: dict[str, str] = {
     "events_quantile_transform": Q_EVENTS_QUANTILE_SQL,
     "graph_personalized_pagerank": _ppr_oracle_sql(3),
     "ann_label_centroid_sim": Q_ANN_LABEL_CENTROID_SQL,
+    "corpus_datacard": Q_CORPUS_DATACARD_SQL,
     "graph_pagerank": Q_GRAPH_PAGERANK_SQL,
     "corpus_snapshot_diff": Q_CORPUS_SNAPSHOT_DIFF_SQL,
     "corpus_domain_cap": Q_CORPUS_DOMAIN_CAP_SQL,
