@@ -47,6 +47,7 @@ _PRIORITY = [
     "graph_personalized_pagerank",
     "ann_label_centroid_sim",
     "corpus_datacard",
+    "ann_whitened",
     # tier 2 — oldest driver-green first
     "events_daily_moving_avg",
     "events_latest_per_user",

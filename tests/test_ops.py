@@ -3006,3 +3006,27 @@ def test_corpus_datacard_serial_check(spark):
     assert r.median_chars == (lens[2] + lens[3]) / 2
     assert (r.n_dup_groups, r.n_dup_docs) == (1, 3)  # docs 1,2,3 share key
     assert r.top_source_share_milli == (1000 * 4) // 6
+
+
+def test_whiten_embeddings_moments_and_constant_dim(spark):
+    """whiten_embeddings: whitened dims have (numerically) zero mean
+    and unit variance over the milli-quantized inputs; constant dims
+    yield NULL."""
+    import numpy as np
+
+    from ukis_h3cellstore_spark.ops import similarity as S
+
+    rng = np.random.RandomState(11)
+    vecs = rng.randn(50, 6).astype("float32")
+    vecs[:, 5] = 0.5  # constant dim
+    rows = [(i, [float(x) for x in vecs[i]]) for i in range(50)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    out = S.whiten_embeddings(df, round_digits=6).collect()
+    by_dim = {}
+    for r in out:
+        by_dim.setdefault(r.dim_no, []).append(r.w)
+    for d in range(5):
+        ws = np.array(by_dim[d], dtype="float64")
+        assert abs(ws.mean()) < 1e-3
+        assert abs(ws.std() - 1.0) < 1e-3
+    assert all(w is None for w in by_dim[5])

@@ -4134,6 +4134,41 @@ FROM totals t CROSS JOIN dups d CROSS JOIN med CROSS JOIN ts
 """
 
 
+def q_ann_whitened(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding whitening (ops/similarity.py: whiten_embeddings):
+    per-dimension z-scores from commutative integer moment sums —
+    deterministic double math on exact integers, corpus never
+    shuffles."""
+    out = S.whiten_embeddings(_embs(spark, sf_dir))
+    return out.select(
+        "vec_id",
+        F.col("dim_no").cast("int").alias("dim_no"),
+        # + 0.0 collapses IEEE negative zero: BigDecimal rounding loses
+        # the sign on Spark while DuckDB's round keeps -0.0
+        (F.col("w") + F.lit(0.0)).alias("w"),
+    )
+
+
+Q_ANN_WHITENED_SQL = """
+WITH q AS (
+  SELECT vec_id, ii.i - 1 AS dim_no,
+         CAST(round(CAST(embedding[ii.i] AS DOUBLE) * 1000) AS BIGINT) AS qv
+  FROM embeddings,
+       LATERAL (SELECT unnest(generate_series(1, len(embedding))) AS i) ii
+),
+st AS (
+  SELECT dim_no, SUM(qv) AS s, SUM(qv * qv) AS s2, COUNT(*) AS n
+  FROM q GROUP BY 1
+)
+SELECT q.vec_id, CAST(q.dim_no AS INT) AS dim_no,
+       round((CAST(q.qv AS DOUBLE) - CAST(s AS DOUBLE) / n)
+             / sqrt((CAST(s2 AS DOUBLE)
+                     - CAST(s AS DOUBLE) * CAST(s AS DOUBLE) / n) / n),
+             4) + 0.0 AS w
+FROM q JOIN st USING (dim_no)
+"""
+
+
 _TAXONOMY = {
     "join": "relational",
     "agg": "relational",
@@ -4243,6 +4278,7 @@ QUERIES_OPS: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "graph_personalized_pagerank": q_graph_personalized_pagerank,
     "ann_label_centroid_sim": q_ann_label_centroid_sim,
     "corpus_datacard": q_corpus_datacard,
+    "ann_whitened": q_ann_whitened,
     "text_cms_heavy_hitters": q_text_cms_heavy_hitters,
     "graph_pagerank": q_graph_pagerank,
     "ann_kcenter_coreset": q_ann_kcenter_coreset,
@@ -4342,6 +4378,7 @@ ORACLES_OPS: dict[str, str] = {
     "graph_personalized_pagerank": _ppr_oracle_sql(3),
     "ann_label_centroid_sim": Q_ANN_LABEL_CENTROID_SQL,
     "corpus_datacard": Q_CORPUS_DATACARD_SQL,
+    "ann_whitened": Q_ANN_WHITENED_SQL,
     "graph_pagerank": Q_GRAPH_PAGERANK_SQL,
     "corpus_snapshot_diff": Q_CORPUS_SNAPSHOT_DIFF_SQL,
     "corpus_domain_cap": Q_CORPUS_DOMAIN_CAP_SQL,

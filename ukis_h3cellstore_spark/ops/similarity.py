@@ -1593,3 +1593,64 @@ def label_centroid_similarity(
             ).alias("centroid_cos"),
         )
     )
+
+
+def whiten_embeddings(
+    df: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    round_digits: int = 4,
+) -> DataFrame:
+    """Per-dimension whitening (mean-center + unit variance) of an
+    embedding column — the standard retrieval pre-step (centering
+    alone fixes most anisotropy in sentence embeddings; see the
+    "whitening for retrieval" line of work). Returns (id, dim_no,
+    w) rows with ``w = (q - mean) / stddev`` rounded.
+
+    Exactness: components are milli-quantized to integers first, so
+    the per-dimension moment sums (Σq, Σq²) are COMMUTATIVE integer
+    aggregations — no float summation order; mean/variance/output are
+    then deterministic double expressions any engine evaluates
+    identically. Constant dimensions (zero variance) yield NULL
+    (undefined z-score) via try_divide.
+
+    Scale shape: one posexplode scan for the dims-sized moment table,
+    broadcast back onto a second scan keyed on the dim — the corpus
+    never shuffles."""
+    q = df.select(
+        F.col(id_col),
+        F.posexplode(
+            F.transform(
+                F.col(vec_col),
+                lambda x: F.round(x.cast("double") * 1000).cast("long"),
+            )
+        ).alias("dim_no", "__q"),
+    )
+    stats = q.groupBy("dim_no").agg(
+        F.sum("__q").alias("__s"),
+        F.sum(F.col("__q") * F.col("__q")).alias("__s2"),
+        F.count(F.lit(1)).alias("__n"),
+    )
+    mean = F.col("__s").cast("double") / F.col("__n")
+    var = (
+        F.col("__s2").cast("double")
+        - F.col("__s").cast("double") * F.col("__s").cast("double")
+        / F.col("__n")
+    ) / F.col("__n")
+    enriched = stats.select(
+        "dim_no", mean.alias("__mean"), F.sqrt(var).alias("__sd")
+    )
+    return (
+        q.join(F.broadcast(enriched), on="dim_no")
+        .select(
+            F.col(id_col),
+            "dim_no",
+            F.round(
+                F.try_divide(
+                    F.col("__q").cast("double") - F.col("__mean"),
+                    F.col("__sd"),
+                ),
+                round_digits,
+            ).alias("w"),
+        )
+    )
