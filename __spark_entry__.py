@@ -48,6 +48,7 @@ _PRIORITY = [
     "ann_label_centroid_sim",
     "corpus_datacard",
     "ann_whitened",
+    "events_sliding_window",
     # tier 2 — oldest driver-green first
     "events_daily_moving_avg",
     "events_latest_per_user",

@@ -996,6 +996,52 @@ FROM l ASOF LEFT JOIN r ON l.user_id = r.user_id AND l.ts_us <= r.ts_us
 """
 
 
+def q_events_sliding_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding-window rollup: 2-hour windows sliding by 1 hour via
+    F.window(slideDuration) — every event lands in TWO overlapping
+    windows (the overlap is what tumbling windows cannot express);
+    per (type, window): count + integer-cent sum. Oracle replays the
+    window membership as the two hour-floor starts."""
+    e = _events(spark, sf_dir)
+    w = F.window(
+        F.timestamp_micros(F.col("ts_us")), "2 hours", "1 hour"
+    )
+    return (
+        e.select(
+            "event_type", w.alias("__w"), _cents(F.col("value")).alias("__c")
+        )
+        .groupBy("event_type", "__w")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_events"),
+            F.sum("__c").cast("long").alias("sum_cents"),
+        )
+        .select(
+            "event_type",
+            F.unix_micros(F.col("__w.start")).alias("window_start_us"),
+            "n_events",
+            "sum_cents",
+        )
+    )
+
+
+Q_EVENTS_SLIDING_WINDOW_SQL = """
+WITH x AS (
+  SELECT event_type, epoch_us(ts) AS t,
+         CAST(round(value * 100) AS BIGINT) AS cents
+  FROM events
+),
+w AS (
+  SELECT event_type,
+         ((t // 3600000000) - kk.k) * 3600000000 AS ws, cents
+  FROM x, (SELECT unnest([0, 1]) AS k) kk
+)
+SELECT event_type, CAST(ws AS BIGINT) AS window_start_us,
+       CAST(COUNT(*) AS BIGINT) AS n_events,
+       CAST(SUM(cents) AS BIGINT) AS sum_cents
+FROM w GROUP BY 1, 2
+"""
+
+
 def q_events_asof_nearest(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Nearest as-of join: every error event annotated with the same
     user's CLOSEST click on either side (ops/joins asof_join
@@ -2263,6 +2309,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "events_asof_join": q_events_asof_join,
     "events_asof_forward": q_events_asof_forward,
     "events_asof_nearest": q_events_asof_nearest,
+    "events_sliding_window": q_events_sliding_window,
     "events_percentiles": q_events_percentiles,
     "events_cube_counts": q_events_cube_counts,
     "events_range_join": q_events_range_join,
@@ -2319,6 +2366,7 @@ ORACLES: dict[str, str] = {
     "events_asof_join": Q_EVENTS_ASOF_JOIN_SQL,
     "events_asof_forward": Q_EVENTS_ASOF_FORWARD_SQL,
     "events_asof_nearest": Q_EVENTS_ASOF_NEAREST_SQL,
+    "events_sliding_window": Q_EVENTS_SLIDING_WINDOW_SQL,
     "events_percentiles": Q_EVENTS_PERCENTILES_SQL,
     "events_cube_counts": Q_EVENTS_CUBE_SQL,
     "events_range_join": Q_EVENTS_RANGE_JOIN_SQL,
