@@ -49,6 +49,8 @@ _PRIORITY = [
     "corpus_datacard",
     "ann_whitened",
     "events_sliding_window",
+    "text_fertility",
+    "corpus_k_anonymity",
     # tier 2 — oldest driver-green first
     "events_daily_moving_avg",
     "events_latest_per_user",

@@ -4169,6 +4169,81 @@ FROM q JOIN st USING (dim_no)
 """
 
 
+def q_text_fertility(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tokenizer fertility per language: chars-per-token in milli
+    (integer div of exact sums) — the budgeting number multilingual
+    tokenizer work reports (high fertility = the language pays more
+    context window per character). One partial agg."""
+    docs = _docs(spark, sf_dir)
+    n_tok = F.when(
+        F.length(F.trim(F.col("text"))) == 0, F.lit(0)
+    ).otherwise(F.size(F.split(F.trim(F.col("text")), r"\s+")))
+    return (
+        docs.select(
+            "lang",
+            F.length("text").cast("long").alias("__c"),
+            n_tok.cast("long").alias("__t"),
+        )
+        .groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.sum("__c").alias("total_chars"),
+            F.sum("__t").alias("total_tokens"),
+        )
+        .withColumn(
+            "chars_per_token_milli",
+            F.expr("(1000 * total_chars) div total_tokens").cast("long"),
+        )
+    )
+
+
+Q_TEXT_FERTILITY_SQL = """
+WITH x AS (
+  SELECT lang, CAST(length(text) AS BIGINT) AS c,
+         CASE WHEN trim(text) = '' THEN 0
+              ELSE len(regexp_split_to_array(trim(text), '\\s+')) END AS t
+  FROM documents
+)
+SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(c) AS BIGINT) AS total_chars,
+       CAST(SUM(t) AS BIGINT) AS total_tokens,
+       CAST((1000 * SUM(c)) // SUM(t) AS BIGINT) AS chars_per_token_milli
+FROM x GROUP BY 1
+"""
+
+
+def q_corpus_k_anonymity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k-anonymity audit over quasi-identifiers: group the corpus by
+    (lang, source, log2 length bucket) and report every group with
+    fewer than k=5 members — the privacy-review question "can a
+    document be singled out by its visible attributes". Integer
+    bit-length buckets, one hash-agg."""
+    docs = _docs(spark, sf_dir)
+    bucket = F.when(F.col("n_chars") <= 1, F.lit(0)).otherwise(
+        F.length(F.bin(F.col("n_chars") - 1))
+    )
+    return (
+        docs.select("lang", "source", bucket.cast("int").alias("len_bucket"))
+        .groupBy("lang", "source", "len_bucket")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_members"))
+        .filter(F.col("n_members") < 5)
+    )
+
+
+Q_CORPUS_K_ANON_SQL = """
+WITH x AS (
+  SELECT lang, source,
+         CASE WHEN n_chars <= 1 THEN 0
+              ELSE length(bin(n_chars - 1)) END AS len_bucket
+  FROM documents
+)
+SELECT lang, source, CAST(len_bucket AS INT) AS len_bucket,
+       CAST(COUNT(*) AS BIGINT) AS n_members
+FROM x GROUP BY 1, 2, 3
+HAVING COUNT(*) < 5
+"""
+
+
 _TAXONOMY = {
     "join": "relational",
     "agg": "relational",
@@ -4279,6 +4354,8 @@ QUERIES_OPS: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "ann_label_centroid_sim": q_ann_label_centroid_sim,
     "corpus_datacard": q_corpus_datacard,
     "ann_whitened": q_ann_whitened,
+    "text_fertility": q_text_fertility,
+    "corpus_k_anonymity": q_corpus_k_anonymity,
     "text_cms_heavy_hitters": q_text_cms_heavy_hitters,
     "graph_pagerank": q_graph_pagerank,
     "ann_kcenter_coreset": q_ann_kcenter_coreset,
@@ -4379,6 +4456,8 @@ ORACLES_OPS: dict[str, str] = {
     "ann_label_centroid_sim": Q_ANN_LABEL_CENTROID_SQL,
     "corpus_datacard": Q_CORPUS_DATACARD_SQL,
     "ann_whitened": Q_ANN_WHITENED_SQL,
+    "text_fertility": Q_TEXT_FERTILITY_SQL,
+    "corpus_k_anonymity": Q_CORPUS_K_ANON_SQL,
     "graph_pagerank": Q_GRAPH_PAGERANK_SQL,
     "corpus_snapshot_diff": Q_CORPUS_SNAPSHOT_DIFF_SQL,
     "corpus_domain_cap": Q_CORPUS_DOMAIN_CAP_SQL,
