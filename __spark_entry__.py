@@ -51,6 +51,7 @@ _PRIORITY = [
     "events_sliding_window",
     "text_fertility",
     "corpus_k_anonymity",
+    "ann_knn_label_agreement",
     # tier 2 — oldest driver-green first
     "events_daily_moving_avg",
     "events_latest_per_user",

@@ -3030,3 +3030,26 @@ def test_whiten_embeddings_moments_and_constant_dim(spark):
         assert abs(ws.mean()) < 1e-3
         assert abs(ws.std() - 1.0) < 1e-3
     assert all(w is None for w in by_dim[5])
+
+
+def test_knn_label_agreement_flags_mislabel(spark):
+    """knn_label_agreement: a vector planted inside another label's
+    cluster gets zero agreement; in-cluster vectors agree fully."""
+    import numpy as np
+
+    from ukis_h3cellstore_spark.ops import similarity as S
+
+    rng = np.random.RandomState(5)
+    rows = []
+    for lab, center in ((0, np.array([10.0, 0, 0])), (1, np.array([0, 10.0, 0]))):
+        for i in range(10):
+            v = center + 0.1 * rng.randn(3)
+            rows.append((lab * 100 + i, lab, [float(x) for x in v]))
+    # mislabeled: sits in cluster 0, labeled 1
+    rows.append((999, 1, [10.0, 0.05, 0.0]))
+    df = spark.createDataFrame(rows, "vec_id long, label int, embedding array<float>")
+    out = {r.vec_id: (r.n_neighbors, r.n_agree)
+           for r in S.knn_label_agreement(df, k=3).collect()}
+    assert out[999] == (3, 0)
+    clean = [v for k, v in out.items() if k != 999 and k >= 100]
+    assert all(a == n for n, a in clean)  # label-1 cluster members agree

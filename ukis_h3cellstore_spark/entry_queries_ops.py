@@ -430,6 +430,40 @@ FROM ranked WHERE rank <= 3
 """
 
 
+def q_ann_knn_label_agreement(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Label-noise screen (ops/similarity.py: knn_label_agreement):
+    fraction of each audit vector's top-3 cosine neighbors sharing its
+    label — integer agreement counts over the exact brute-force
+    neighbor sets."""
+    e = _embs(spark, sf_dir)
+    return S.knn_label_agreement(e, e.filter(F.col("vec_id") < 100), k=3)
+
+
+Q_ANN_KNN_AGREEMENT_SQL = f"""
+WITH q AS (SELECT vec_id AS query_id, embedding AS q_vec, label AS qlab
+           FROM embeddings WHERE vec_id < 100),
+     c AS (SELECT vec_id AS neighbor_id, embedding AS c_vec, label AS nlab
+           FROM embeddings),
+scored AS (
+  SELECT q.query_id, q.qlab, a.neighbor_id, a.nlab,
+         round(CAST({_DUCK_COSINE} AS DOUBLE), 4) AS cosine_sim
+  FROM c a, q WHERE a.neighbor_id <> q.query_id
+),
+ranked AS (
+  SELECT *, row_number() OVER (
+      PARTITION BY query_id ORDER BY cosine_sim DESC, neighbor_id ASC) AS rank
+  FROM scored
+)
+SELECT CAST(query_id AS BIGINT) AS vec_id,
+       CAST(qlab AS INT) AS label,
+       CAST(COUNT(*) AS BIGINT) AS n_neighbors,
+       CAST(SUM(CASE WHEN nlab = qlab THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_agree
+FROM ranked WHERE rank <= 3
+GROUP BY 1, 2
+"""
+
+
 def q_ann_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Contrastive hard-negative mining (ops/similarity.py:
     hard_negative_topk): per anchor, the 2 most similar vectors BELOW
@@ -4356,6 +4390,7 @@ QUERIES_OPS: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "ann_whitened": q_ann_whitened,
     "text_fertility": q_text_fertility,
     "corpus_k_anonymity": q_corpus_k_anonymity,
+    "ann_knn_label_agreement": q_ann_knn_label_agreement,
     "text_cms_heavy_hitters": q_text_cms_heavy_hitters,
     "graph_pagerank": q_graph_pagerank,
     "ann_kcenter_coreset": q_ann_kcenter_coreset,
@@ -4458,6 +4493,7 @@ ORACLES_OPS: dict[str, str] = {
     "ann_whitened": Q_ANN_WHITENED_SQL,
     "text_fertility": Q_TEXT_FERTILITY_SQL,
     "corpus_k_anonymity": Q_CORPUS_K_ANON_SQL,
+    "ann_knn_label_agreement": Q_ANN_KNN_AGREEMENT_SQL,
     "graph_pagerank": Q_GRAPH_PAGERANK_SQL,
     "corpus_snapshot_diff": Q_CORPUS_SNAPSHOT_DIFF_SQL,
     "corpus_domain_cap": Q_CORPUS_DOMAIN_CAP_SQL,

@@ -1654,3 +1654,47 @@ def whiten_embeddings(
             ).alias("w"),
         )
     )
+
+
+def knn_label_agreement(
+    corpus: DataFrame,
+    queries: DataFrame | None = None,
+    k: int = 3,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    label_col: str = "label",
+) -> DataFrame:
+    """Label-noise screen (confident-learning lite): for each labeled
+    query vector, how many of its k nearest cosine neighbors share its
+    label — low agreement flags probable mislabels / ambiguous items
+    before they poison a classifier head. Returns (id, label,
+    n_neighbors, n_agree); integer counts, engine-exact given the same
+    neighbor sets.
+
+    Uses the exact brute-force :func:`cosine_topk` (queries broadcast,
+    corpus streamed — right when the query side is an audit sample);
+    swap in :func:`lsh_topk` / :func:`ivf_topk` neighbors for a
+    full-corpus sweep at 100 TB, the agreement join is the same."""
+    q = queries if queries is not None else corpus
+    nbrs = cosine_topk(corpus, q, k=k, id_col=id_col, vec_col=vec_col)
+    q_lab = q.select(
+        F.col(id_col).alias("query_id"), F.col(label_col).alias("label")
+    )
+    c_lab = corpus.select(
+        F.col(id_col).alias("neighbor_id"),
+        F.col(label_col).alias("__nlab"),
+    )
+    return (
+        nbrs.join(c_lab, on="neighbor_id")
+        .join(F.broadcast(q_lab), on="query_id")
+        .groupBy("query_id", "label")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_neighbors"),
+            F.sum(
+                (F.col("__nlab") == F.col("label")).cast("long")
+            ).alias("n_agree"),
+        )
+        .select(
+            F.col("query_id").alias(id_col), "label", "n_neighbors", "n_agree"
+        )
+    )
