@@ -52,6 +52,7 @@ _PRIORITY = [
     "text_fertility",
     "corpus_k_anonymity",
     "ann_knn_label_agreement",
+    "text_vocab_profile",
     # tier 2 — oldest driver-green first
     "events_daily_moving_avg",
     "events_latest_per_user",

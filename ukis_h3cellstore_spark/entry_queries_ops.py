@@ -4278,6 +4278,52 @@ HAVING COUNT(*) < 5
 """
 
 
+def q_text_vocab_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source vocabulary profile: token count, distinct vocabulary,
+    hapax legomena (once-only tokens), and type-token ratio in milli —
+    the Heaps'-law point per source, the linguistic-diversity number
+    corpus cards report. One (source, token) hash-agg, map-side
+    combinable, then a sources-sized rollup."""
+    docs = _docs(spark, sf_dir)
+    tok = docs.select(
+        "source",
+        F.explode(F.split(F.trim(F.col("text")), r"\s+")).alias("__tok"),
+    ).filter(F.length("__tok") > 0)
+    per_tok = tok.groupBy("source", "__tok").agg(
+        F.count(F.lit(1)).alias("__c")
+    )
+    return (
+        per_tok.groupBy("source")
+        .agg(
+            F.sum("__c").cast("long").alias("total_tokens"),
+            F.count(F.lit(1)).cast("long").alias("vocab_size"),
+            F.sum((F.col("__c") == 1).cast("long")).alias("n_hapax"),
+        )
+        .withColumn(
+            "ttr_milli",
+            F.expr("(1000 * vocab_size) div total_tokens").cast("long"),
+        )
+    )
+
+
+Q_TEXT_VOCAB_PROFILE_SQL = """
+WITH tok AS (
+  SELECT source, t2.tok
+  FROM (SELECT source, regexp_split_to_array(trim(text), '\\s+') AS toks
+        FROM documents) x,
+       LATERAL (SELECT unnest(toks) AS tok) t2
+  WHERE length(t2.tok) > 0
+),
+pt AS (SELECT source, tok, COUNT(*) AS c FROM tok GROUP BY 1, 2)
+SELECT source,
+       CAST(SUM(c) AS BIGINT) AS total_tokens,
+       CAST(COUNT(*) AS BIGINT) AS vocab_size,
+       CAST(SUM(CASE WHEN c = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_hapax,
+       CAST((1000 * COUNT(*)) // SUM(c) AS BIGINT) AS ttr_milli
+FROM pt GROUP BY 1
+"""
+
+
 _TAXONOMY = {
     "join": "relational",
     "agg": "relational",
@@ -4391,6 +4437,7 @@ QUERIES_OPS: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "text_fertility": q_text_fertility,
     "corpus_k_anonymity": q_corpus_k_anonymity,
     "ann_knn_label_agreement": q_ann_knn_label_agreement,
+    "text_vocab_profile": q_text_vocab_profile,
     "text_cms_heavy_hitters": q_text_cms_heavy_hitters,
     "graph_pagerank": q_graph_pagerank,
     "ann_kcenter_coreset": q_ann_kcenter_coreset,
@@ -4494,6 +4541,7 @@ ORACLES_OPS: dict[str, str] = {
     "text_fertility": Q_TEXT_FERTILITY_SQL,
     "corpus_k_anonymity": Q_CORPUS_K_ANON_SQL,
     "ann_knn_label_agreement": Q_ANN_KNN_AGREEMENT_SQL,
+    "text_vocab_profile": Q_TEXT_VOCAB_PROFILE_SQL,
     "graph_pagerank": Q_GRAPH_PAGERANK_SQL,
     "corpus_snapshot_diff": Q_CORPUS_SNAPSHOT_DIFF_SQL,
     "corpus_domain_cap": Q_CORPUS_DOMAIN_CAP_SQL,
