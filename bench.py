@@ -82,6 +82,11 @@ HEADLINE = [
     "text_collocations",
     "text_taxonomy_tag",
     "corpus_length_batches",
+    # round-7 late additions
+    "corpus_source_drift",
+    "corpus_datacard",
+    "events_quantile_transform",
+    "ann_label_centroid_sim",
 ]
 
 #: bench-only implementations: same operator, scale-path configuration

@@ -149,6 +149,35 @@ def main() -> None:
             docs.withColumn("w", _F.length("text").cast("double")), 1000, "w"
         ),
     )
+    phase("source_minhash_drift", __import__(
+        "ukis_h3cellstore_spark.ops.sketches", fromlist=["x"]
+    ).source_minhash_drift(docs_src, k=16))
+    # endpoints from two independent xxhash64 streams: any polynomial
+    # of id mod p repeats with period p, bounding the DISTINCT edge set
+    # at p rows and starving the graph of triangles (measured 0-3
+    # triangle nodes); hashed endpoints give a real ER graph
+    # (~2M edges over 100k nodes, avg degree ~40 — web-graph-like sparsity; at degree ~130 the wedge volume is 10x and the smoke takes ~6 min)
+    gq = spark.range(2_000_000).select(
+        _F.pmod(_F.xxhash64(_F.col("id"), _F.lit(1)), _F.lit(100_000)).alias(
+            "id_a"
+        ),
+        _F.pmod(_F.xxhash64(_F.col("id"), _F.lit(2)), _F.lit(100_000)).alias(
+            "id_b"
+        ),
+    )
+    gc()
+    t0 = time.time()
+    n_tri = __import__(
+        "ukis_h3cellstore_spark.ops.graph", fromlist=["x"]
+    ).triangle_counts(gq).count()
+    print(f"{'triangle_counts_2M':24s} {time.time() - t0:8.1f}s  ({n_tri:,} nodes)")
+    gc()
+    t0 = time.time()
+    R.quantile_transform(mv, "g", "v", tiebreak_cols=["id"]).write.format(
+        "noop"
+    ).mode("overwrite").save()
+    dt = time.time() - t0
+    print(f"{'quantile_transform_5M':24s} {dt:8.1f}s  ({5_000_000 / dt:,.0f} rows/s)")
 
     phase("bigram_surprisal", X.bigram_surprisal(docs))
     # BM25: query terms carry replica suffixes so each term matches

@@ -4015,7 +4015,14 @@ def q_corpus_source_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     return SK.source_minhash_drift(_docs(spark, sf_dir), k=32)
 
 
-Q_CORPUS_SOURCE_DRIFT_SQL = """
+def _q_corpus_source_drift_sql(k: int = 32) -> str:
+    from ukis_h3cellstore_spark.ops.dedup import MINHASH_PRIME, _minhash_coeffs
+
+    coefs = ", ".join(
+        f"({j}, {a}, {b})"
+        for j, (a, b) in ((j, _minhash_coeffs(j)) for j in range(k))
+    )
+    return f"""
 WITH base AS (
   SELECT source, regexp_split_to_array(trim(text), '\\s+') AS toks
   FROM documents
@@ -4026,16 +4033,21 @@ sh AS (
        LATERAL (SELECT unnest(generate_series(1, greatest(len(toks) - 2, 0)))
                 AS i) u
 ),
+hx AS (
+  SELECT source,
+         (('0x' || substr(md5(shingle), 1, 15))::BIGINT) % {MINHASH_PRIME}
+           AS x
+  FROM sh
+),
+coef(j, ca, cb) AS (VALUES {coefs}),
 m AS (
-  SELECT source, jj.j,
-         MIN(('0x' || substr(md5(jj.j || ':' || shingle), 1, 15))::BIGINT)
-           AS h
-  FROM sh, (SELECT unnest(generate_series(0, 31)) AS j) jj
+  SELECT source, c.j, MIN((c.ca * x + c.cb) % {MINHASH_PRIME}) AS h
+  FROM hx, coef c
   GROUP BY 1, 2
 )
 SELECT a.source AS source_a, b.source AS source_b,
        CAST(SUM(CASE WHEN a.h = b.h THEN 1 ELSE 0 END) AS BIGINT) AS matches,
-       CAST((1000 * SUM(CASE WHEN a.h = b.h THEN 1 ELSE 0 END)) // 32
+       CAST((1000 * SUM(CASE WHEN a.h = b.h THEN 1 ELSE 0 END)) // {k}
             AS BIGINT) AS est_jaccard_milli
 FROM m a JOIN m b ON a.j = b.j AND a.source < b.source
 GROUP BY 1, 2
@@ -4532,7 +4544,7 @@ ORACLES_OPS: dict[str, str] = {
     "events_winsorized_means": Q_EVENTS_WINSORIZED_SQL,
     "events_calibration_bins": Q_EVENTS_CALIBRATION_SQL,
     "graph_triangles": Q_GRAPH_TRIANGLES_SQL,
-    "corpus_source_drift": Q_CORPUS_SOURCE_DRIFT_SQL,
+    "corpus_source_drift": _q_corpus_source_drift_sql(32),
     "events_quantile_transform": Q_EVENTS_QUANTILE_SQL,
     "graph_personalized_pagerank": _ppr_oracle_sql(3),
     "ann_label_centroid_sim": Q_ANN_LABEL_CENTROID_SQL,

@@ -207,11 +207,20 @@ def source_minhash_drift(
     Scale shape: the k mins are ONE partial aggregation (k ``min``
     columns over the shingle stream — no explode by k, no shuffle
     wider than sources × k); signatures are a sources-sized table, so
-    the pairwise stage is a broadcast self-join over metadata. All
-    hashes are salted md5 — bit-identical on any engine."""
+    the pairwise stage is a broadcast self-join over metadata. The
+    permutations use the one-hash-k-perms idiom shared with
+    ``ops.dedup.minhash_signatures``: ONE md5 per shingle row, staged
+    in its own projection (HashAggregate does not CSE across aggregate
+    inputs — k md5s per row cost 9× at the 1M-doc smoke), then k
+    affine scrambles mod the MinHash prime. Bit-identical on any
+    engine with md5."""
     if k < 1:
         raise ValueError("k must be >= 1")
-    from ukis_h3cellstore_spark.ops.dedup import shingle_df
+    from ukis_h3cellstore_spark.ops.dedup import (
+        MINHASH_PRIME,
+        _minhash_coeffs,
+        shingle_df,
+    )
 
     sh = shingle_df(
         df.select(F.col(source_col).alias("__src"), F.col(text_col)),
@@ -219,17 +228,24 @@ def source_minhash_drift(
         "__src",
         shingle_k,
     ).select(F.col("__src"), F.col("shingle"))
-
-    def h(j: int):
-        return F.conv(
-            F.substring(F.md5(F.concat(F.lit(f"{j}:"), F.col("shingle"))), 1, 15),
-            16,
-            10,
-        ).cast("long")
-
-    sigs = sh.groupBy("__src").agg(
-        *[F.min(h(j)).alias(f"h{j}") for j in range(k)]
+    base = sh.select(
+        "__src",
+        (
+            F.conv(
+                F.substring(F.md5(F.col("shingle")), 1, 15), 16, 10
+            ).cast("long")
+            % F.lit(MINHASH_PRIME)
+        ).alias("__x"),
     )
+    aggs = []
+    for j in range(k):
+        ca, cb = _minhash_coeffs(j)
+        aggs.append(
+            F.min(
+                (F.lit(ca) * F.col("__x") + F.lit(cb)) % F.lit(MINHASH_PRIME)
+            ).alias(f"h{j}")
+        )
+    sigs = base.groupBy("__src").agg(*aggs)
     a = sigs.select(
         F.col("__src").alias("source_a"),
         *[F.col(f"h{j}").alias(f"a{j}") for j in range(k)],
