@@ -543,7 +543,7 @@ def test_asof_join_forward(spark):
     assert tol[3] == (None, None)   # 10-5 > 3 dropped
     assert tol[1] == (10, 1.0)
     with pytest.raises(ValueError):
-        J.asof_join(left, right, on="key", direction="nearest")
+        J.asof_join(left, right, on="key", direction="sideways")
 
 
 def test_asof_join_single_shuffle(spark):
