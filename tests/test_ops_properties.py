@@ -533,3 +533,57 @@ def test_bigram_surprisal_matches_serial_reference(spark, docs):
         )
         want[i] = (n, s)
     assert got == want
+
+
+@given(
+    st.lists(
+        st.tuples(
+            st.integers(0, 3),                     # group
+            st.integers(-50, 50),                  # value
+        ),
+        min_size=1,
+        max_size=60,
+    ),
+    st.integers(2, 7),                             # partitions
+)
+@settings(**_SETTINGS)
+def test_grouped_rank_median_cumsum_match_serial(spark, rows, nparts):
+    """The range-partition + broadcast-offset grouped machinery must
+    equal serial per-group ranks, middle-rank medians, and running
+    totals on arbitrary shapes (dup values, singleton/empty groups,
+    any partition count)."""
+    from ukis_h3cellstore_spark.ops import robust as R
+
+    data = [(i, f"g{g}", float(v)) for i, (g, v) in enumerate(rows)]
+    df = spark.createDataFrame(data, "id long, g string, v double").repartition(
+        3
+    )
+    ranked = {
+        (r.g, r.id): r.rank
+        for r in R.grouped_rank(
+            df, "g", ["v", "id"], num_partitions=nparts
+        ).collect()
+    }
+    med = {
+        r.g: (r.n, r.median)
+        for r in R.grouped_median(df, "g", "v", num_partitions=nparts).collect()
+    }
+    cum = {
+        (r.g, r.id): r.cum_sum
+        for r in R.grouped_cumsum(
+            df, "g", ["v", "id"], "v", num_partitions=nparts
+        ).collect()
+    }
+    by_g: dict = {}
+    for i, g, v in data:
+        by_g.setdefault(g, []).append((v, i))
+    for g, items in by_g.items():
+        items.sort()
+        acc = 0.0
+        for rk, (v, i) in enumerate(items, start=1):
+            assert ranked[(g, i)] == rk
+            acc += v
+            assert cum[(g, i)] == acc
+        vs = sorted(v for v, _ in items)
+        n = len(vs)
+        assert med[g] == (n, (vs[(n - 1) // 2] + vs[n // 2]) / 2)
