@@ -53,6 +53,7 @@ _PRIORITY = [
     "corpus_k_anonymity",
     "ann_knn_label_agreement",
     "text_vocab_profile",
+    "streaming_hll_distinct",
     # tier 2 — oldest driver-green first
     "events_daily_moving_avg",
     "events_latest_per_user",

@@ -741,9 +741,94 @@ GROUP BY 1
 """
 
 
+def q_streaming_hll_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming distinct-user cardinality per event type via the
+    md5-deterministic HLL (ops/sketches.hll_registers_by): the
+    register-wise MAX is associative, so micro-batched state (bounded
+    by types x 2^b rows) converges to exactly the batch registers
+    regardless of batch splits; the oracle recomputes registers +
+    integer summary relationally and the exact distinct count rides
+    alongside."""
+    from ukis_h3cellstore_spark.ops import sketches as SKS
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet").select(
+        "event_type", "user_id"
+    )
+    stream_dir = tempfile.mkdtemp(prefix="h3stream_hll_")
+    ev.repartition(4).write.mode("overwrite").parquet(stream_dir)
+    stream = st.read_stream(spark, stream_dir, ev.schema, max_files_per_trigger=1)
+    regs = SKS.hll_registers_by(stream, "user_id", ["event_type"], b=9)
+    _SINK_COUNTER[0] += 1
+    sink = f"stream_hll_sink_{_SINK_COUNTER[0]}"
+    q = (
+        regs.writeStream.format("memory")
+        .queryName(sink)
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    _await_done(q)
+    w_pow = 52  # _HASH_BITS - b + 1
+    summary = (
+        spark.table(sink)
+        .groupBy("event_type")
+        .agg(
+            F.lit(512).cast("long").alias("m"),
+            (F.lit(512) - F.count(F.lit(1))).cast("long").alias(
+                "n_empty_registers"
+            ),
+            (
+                F.sum(
+                    F.expr(
+                        f"shiftleft(CAST(1 AS BIGINT), CAST({w_pow} - mj AS INT))"
+                    )
+                )
+                + (F.lit(512) - F.count(F.lit(1)))
+                * F.lit(1 << w_pow).cast("long")
+            ).cast("long").alias("sum_pow"),
+        )
+    )
+    exact = (
+        spark.read.parquet(f"{sf_dir}/events.parquet")
+        .groupBy("event_type")
+        .agg(F.count_distinct("user_id").cast("long").alias("n_exact"))
+    )
+    return summary.join(exact, "event_type")
+
+
+_Q_STREAMING_HLL_SQL = """
+WITH h AS (
+  SELECT event_type,
+         (('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 15))::BIGINT) AS h
+  FROM events
+),
+reg AS (
+  SELECT event_type, h % 512 AS idx,
+         MAX(CASE WHEN h // 512 = 0 THEN 52
+                  ELSE 52 - length(bin(h // 512)) END) AS mj
+  FROM h GROUP BY 1, 2
+),
+summ AS (
+  SELECT event_type,
+         CAST(512 AS BIGINT) AS m,
+         CAST(512 - COUNT(*) AS BIGINT) AS n_empty_registers,
+         CAST(SUM(1::BIGINT << CAST(52 - mj AS INT))
+              + (512 - COUNT(*)) * (1::BIGINT << 52) AS BIGINT) AS sum_pow
+  FROM reg GROUP BY 1
+),
+ex AS (
+  SELECT event_type, CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_exact
+  FROM events GROUP BY 1
+)
+SELECT s.event_type, s.m, s.n_empty_registers, s.sum_pow, ex.n_exact
+FROM summ s JOIN ex USING (event_type)
+"""
+
+
 QUERIES_STREAM: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "streaming_robust_score": q_streaming_robust_score,
     "streaming_ttl_dedup": q_streaming_ttl_dedup,
+    "streaming_hll_distinct": q_streaming_hll_distinct,
     "streaming_domain_cap": q_streaming_domain_cap,
     "streaming_segment_dedup": q_streaming_segment_dedup,
     "streaming_stateful_accumulator": q_streaming_stateful_accumulator,
@@ -758,6 +843,7 @@ QUERIES_STREAM: dict[str, Callable[[SparkSession, str], DataFrame]] = {
 ORACLES_STREAM: dict[str, str] = {
     "streaming_robust_score": _Q_STREAMING_ROBUST_SCORE_SQL,
     "streaming_ttl_dedup": _Q_STREAMING_TTL_DEDUP_SQL,
+    "streaming_hll_distinct": _Q_STREAMING_HLL_SQL,
     "streaming_domain_cap": _Q_STREAMING_DOMAIN_CAP_SQL,
     "streaming_segment_dedup": _Q_STREAMING_SEGMENT_DEDUP_SQL,
     "streaming_stateful_accumulator": _q_streaming_stateful_accumulator_sql(),

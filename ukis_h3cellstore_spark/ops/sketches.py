@@ -36,6 +36,8 @@ __all__ = [
     "cms_registers",
     "cms_estimate",
     "cms_heavy_hitters",
+    "source_minhash_drift",
+    "hll_registers_by",
 ]
 
 _HASH_BITS = 60
@@ -270,4 +272,34 @@ def source_minhash_drift(
             "est_jaccard_milli",
             F.expr(f"(1000 * matches) div {k}").cast("long"),
         )
+    )
+
+
+def hll_registers_by(
+    values: DataFrame, col: str, group_cols: list[str], b: int = 9
+) -> DataFrame:
+    """Per-group HLL register tables ``(*group_cols, idx, mj)`` — the
+    groupable/STREAMING variant of :func:`hll_registers`: the
+    register-wise ``max`` is associative, so the same expression runs
+    over a micro-batched stream in complete/update mode with state
+    bounded by groups × 2^b rows, and the final state equals the batch
+    replay bit-for-bit (md5-derived hashes)."""
+    m = 1 << b
+    w_bits = _HASH_BITS - b
+    h = F.conv(
+        F.substring(F.md5(F.col(col).cast("string")), 1, 15), 16, 10
+    ).cast("long")
+    staged = values.select(*group_cols, h.alias("__h")).select(
+        *group_cols,
+        F.pmod(F.col("__h"), F.lit(m)).alias("idx"),
+        F.expr(f"__h div {m}").alias("__w"),
+    )
+    rho = (
+        F.when(F.col("__w") == 0, F.lit(w_bits + 1))
+        .otherwise(F.lit(w_bits + 1) - F.length(F.bin(F.col("__w"))))
+    )
+    return (
+        staged.withColumn("__rho", rho)
+        .groupBy(*group_cols, "idx")
+        .agg(F.max("__rho").alias("mj"))
     )
