@@ -54,6 +54,7 @@ _PRIORITY = [
     "ann_knn_label_agreement",
     "text_vocab_profile",
     "streaming_hll_distinct",
+    "corpus_source_containment",
     # tier 2 — oldest driver-green first
     "events_daily_moving_avg",
     "events_latest_per_user",

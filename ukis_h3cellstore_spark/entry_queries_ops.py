@@ -4336,6 +4336,45 @@ FROM pt GROUP BY 1
 """
 
 
+def q_corpus_source_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Directed source overlap (ops/sketches.py: source_containment):
+    |A∩B|/|A| over distinct shingles per ordered source pair — catches
+    'B contains A' that symmetric Jaccard drift misses."""
+    return SK.source_containment(_docs(spark, sf_dir)).select(
+        "source_a",
+        "source_b",
+        F.col("inter").cast("long").alias("inter"),
+        F.col("size_a").cast("long").alias("size_a"),
+        "containment_milli",
+    )
+
+
+Q_CORPUS_SOURCE_CONTAINMENT_SQL = """
+WITH base AS (
+  SELECT source, regexp_split_to_array(trim(text), '\\s+') AS toks
+  FROM documents
+),
+sh AS (
+  SELECT DISTINCT source,
+         concat_ws(' ', toks[i], toks[i+1], toks[i+2]) AS shingle
+  FROM base,
+       LATERAL (SELECT unnest(generate_series(1, greatest(len(toks) - 2, 0)))
+                AS i) u
+),
+sz AS (SELECT source, COUNT(*) AS size_a FROM sh GROUP BY 1),
+it AS (
+  SELECT a.source AS source_a, b.source AS source_b, COUNT(*) AS inter
+  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.source <> b.source
+  GROUP BY 1, 2
+)
+SELECT it.source_a, it.source_b,
+       CAST(it.inter AS BIGINT) AS inter,
+       CAST(sz.size_a AS BIGINT) AS size_a,
+       CAST((1000 * it.inter) // sz.size_a AS BIGINT) AS containment_milli
+FROM it JOIN sz ON sz.source = it.source_a
+"""
+
+
 _TAXONOMY = {
     "join": "relational",
     "agg": "relational",
@@ -4450,6 +4489,7 @@ QUERIES_OPS: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "corpus_k_anonymity": q_corpus_k_anonymity,
     "ann_knn_label_agreement": q_ann_knn_label_agreement,
     "text_vocab_profile": q_text_vocab_profile,
+    "corpus_source_containment": q_corpus_source_containment,
     "text_cms_heavy_hitters": q_text_cms_heavy_hitters,
     "graph_pagerank": q_graph_pagerank,
     "ann_kcenter_coreset": q_ann_kcenter_coreset,
@@ -4554,6 +4594,7 @@ ORACLES_OPS: dict[str, str] = {
     "corpus_k_anonymity": Q_CORPUS_K_ANON_SQL,
     "ann_knn_label_agreement": Q_ANN_KNN_AGREEMENT_SQL,
     "text_vocab_profile": Q_TEXT_VOCAB_PROFILE_SQL,
+    "corpus_source_containment": Q_CORPUS_SOURCE_CONTAINMENT_SQL,
     "graph_pagerank": Q_GRAPH_PAGERANK_SQL,
     "corpus_snapshot_diff": Q_CORPUS_SNAPSHOT_DIFF_SQL,
     "corpus_domain_cap": Q_CORPUS_DOMAIN_CAP_SQL,

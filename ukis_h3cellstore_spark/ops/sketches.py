@@ -303,3 +303,62 @@ def hll_registers_by(
         .groupBy(*group_cols, "idx")
         .agg(F.max("__rho").alias("mj"))
     )
+
+
+def source_containment(
+    df: DataFrame,
+    shingle_k: int = 3,
+    text_col: str = "text",
+    source_col: str = "source",
+    max_shingle_df: int | None = None,
+) -> DataFrame:
+    """DIRECTED source-level overlap: ``|A∩B| / |A|`` over distinct
+    token shingles for every ordered source pair with any overlap —
+    the asymmetric companion to :func:`source_minhash_drift` (Jaccard
+    misses "B simply contains A", the re-crawl-plus-extra case).
+    Returns (source_a, source_b, inter, size_a, containment_milli).
+
+    Scale shape: one distinct (source, shingle) table; the
+    intersection is a shingle-keyed self-join (never sources² at
+    corpus width) with ``max_shingle_df`` to drop boilerplate shingles
+    shared by more than N sources (each surviving shingle fans out at
+    most N²); sizes are a sources-sized broadcast."""
+    from ukis_h3cellstore_spark.ops.dedup import shingle_df
+
+    sh = (
+        shingle_df(
+            df.select(F.col(source_col).alias("__src"), F.col(text_col)),
+            text_col,
+            "__src",
+            shingle_k,
+        )
+        .select(F.col("__src"), F.col("shingle"))
+        .distinct()
+    )
+    if max_shingle_df is not None:
+        hot = (
+            sh.groupBy("shingle")
+            .agg(F.count(F.lit(1)).alias("__df"))
+            .filter(F.col("__df") > max_shingle_df)
+            .select("shingle")
+        )
+        sh = sh.join(hot, on="shingle", how="left_anti")
+    sizes = sh.groupBy("__src").agg(F.count(F.lit(1)).alias("size_a"))
+    a = sh.select(F.col("__src").alias("source_a"), "shingle")
+    b = sh.select(F.col("__src").alias("source_b"), "shingle")
+    inter = (
+        a.join(b, on="shingle")
+        .filter(F.col("source_a") != F.col("source_b"))
+        .groupBy("source_a", "source_b")
+        .agg(F.count(F.lit(1)).alias("inter"))
+    )
+    return (
+        inter.join(
+            F.broadcast(sizes.withColumnRenamed("__src", "source_a")),
+            on="source_a",
+        )
+        .withColumn(
+            "containment_milli",
+            F.expr("(1000 * inter) div size_a").cast("long"),
+        )
+    )
