@@ -3053,3 +3053,38 @@ def test_knn_label_agreement_flags_mislabel(spark):
     assert out[999] == (3, 0)
     clean = [v for k, v in out.items() if k != 999 and k >= 100]
     assert all(a == n for n, a in clean)  # label-1 cluster members agree
+
+
+def test_hll_registers_by_matches_ungrouped_and_containment_brute(spark):
+    """hll_registers_by on a single group equals hll_registers; the
+    directed source containment equals set arithmetic."""
+    from ukis_h3cellstore_spark.ops import sketches as SK
+
+    vals = spark.createDataFrame([(i % 97,) for i in range(500)], "v long")
+    solo = {(r.idx): r.mj for r in SK.hll_registers(vals, "v", b=5).collect()}
+    grouped = {
+        r.idx: r.mj
+        for r in SK.hll_registers_by(
+            vals.withColumn("g", __import__("pyspark").sql.functions.lit("x")),
+            "v",
+            ["g"],
+            b=5,
+        ).collect()
+    }
+    assert grouped == solo
+
+    docs = spark.createDataFrame(
+        [
+            (1, "sA", "a b c d e f"),          # shingles: abc bcd cde def
+            (2, "sB", "a b c d"),               # abc bcd  (subset of A)
+            (3, "sC", "x y z w"),               # disjoint
+        ],
+        "doc_id long, source string, text string",
+    )
+    out = {
+        (r.source_a, r.source_b): (r.inter, r.size_a, r.containment_milli)
+        for r in SK.source_containment(docs).collect()
+    }
+    assert out[("sB", "sA")] == (2, 2, 1000)  # B fully contained in A
+    assert out[("sA", "sB")] == (2, 4, 500)
+    assert ("sC", "sA") not in out and ("sA", "sC") not in out
