@@ -55,6 +55,8 @@ _PRIORITY = [
     "text_vocab_profile",
     "streaming_hll_distinct",
     "corpus_source_containment",
+    "corpus_group_split",
+    "events_interarrival",
     # tier 2 — oldest driver-green first
     "events_daily_moving_avg",
     "events_latest_per_user",

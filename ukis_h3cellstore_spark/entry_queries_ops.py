@@ -10,7 +10,7 @@ from __future__ import annotations
 
 from collections.abc import Callable
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ukis_h3cellstore_spark.ops import annotation as AN
@@ -4375,6 +4375,85 @@ FROM it JOIN sz ON sz.source = it.source_a
 """
 
 
+def q_corpus_group_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Group-integrity train/val/test split (ops/sampling.py:
+    split_by_group): the split hashes the SOURCE key, so a domain's
+    documents never straddle the train/test fence (the leak
+    GroupShuffleSplit exists to prevent). The gate proves integrity:
+    one row per (source, split) — a source appearing under two splits
+    would change the row count."""
+    out = SM.split_by_group(
+        _docs(spark, sf_dir), "source", {"train": 0.8, "val": 0.1, "test": 0.1}
+    )
+    return out.groupBy("source", "split").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs")
+    )
+
+
+def _q_corpus_group_split_sql() -> str:
+    bucket = (
+        "(('0x' || substr(md5('gsplit' || '|' || source), 1, 15))"
+        f"::BIGINT % {SM.SPLIT_BUCKETS})"
+    )
+    t_hi = int(round(0.8 * SM.SPLIT_BUCKETS))
+    v_hi = t_hi + int(round(0.1 * SM.SPLIT_BUCKETS))
+    return f"""
+SELECT source,
+       CASE WHEN {bucket} < {t_hi} THEN 'train'
+            WHEN {bucket} < {v_hi} THEN 'val'
+            ELSE 'test' END AS split,
+       CAST(COUNT(*) AS BIGINT) AS n_docs
+FROM documents
+GROUP BY 1, 2
+"""
+
+
+def q_events_interarrival(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-type inter-arrival statistics: exact median gap (µs)
+    between a user's consecutive events of that type — per-user lag
+    windows (users are many and small, so the window key is fine),
+    then the distributed grouped median over the gap stream."""
+    from ukis_h3cellstore_spark.entry_queries import _events
+    from ukis_h3cellstore_spark.ops import robust as R
+
+    e = _events(spark, sf_dir).select("user_id", "event_type", "ts_us")
+    w = Window.partitionBy("user_id", "event_type").orderBy("ts_us", "user_id")
+    gaps = (
+        e.withColumn("__prev", F.lag("ts_us").over(w))
+        .filter(F.col("__prev").isNotNull())
+        .select(
+            "event_type", (F.col("ts_us") - F.col("__prev")).alias("__gap")
+        )
+    )
+    return R.grouped_median(gaps, "event_type", "__gap").select(
+        "event_type",
+        F.col("n").cast("long").alias("n_gaps"),
+        F.col("median").alias("median_gap_us"),
+    )
+
+
+Q_EVENTS_INTERARRIVAL_SQL = """
+WITH g AS (
+  SELECT event_type,
+         epoch_us(ts) - lag(epoch_us(ts)) OVER (
+             PARTITION BY user_id, event_type ORDER BY epoch_us(ts)) AS gap
+  FROM events
+),
+v AS (SELECT event_type, gap FROM g WHERE gap IS NOT NULL),
+r AS (
+  SELECT event_type, gap,
+         row_number() OVER (PARTITION BY event_type ORDER BY gap) AS rk,
+         COUNT(*) OVER (PARTITION BY event_type) AS n
+  FROM v
+)
+SELECT event_type,
+       CAST(ANY_VALUE(n) AS BIGINT) AS n_gaps,
+       SUM(gap) / COUNT(*) AS median_gap_us
+FROM r WHERE rk = (n + 1) // 2 OR rk = (n + 2) // 2
+GROUP BY 1
+"""
+
+
 _TAXONOMY = {
     "join": "relational",
     "agg": "relational",
@@ -4490,6 +4569,8 @@ QUERIES_OPS: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "ann_knn_label_agreement": q_ann_knn_label_agreement,
     "text_vocab_profile": q_text_vocab_profile,
     "corpus_source_containment": q_corpus_source_containment,
+    "corpus_group_split": q_corpus_group_split,
+    "events_interarrival": q_events_interarrival,
     "text_cms_heavy_hitters": q_text_cms_heavy_hitters,
     "graph_pagerank": q_graph_pagerank,
     "ann_kcenter_coreset": q_ann_kcenter_coreset,
@@ -4595,6 +4676,8 @@ ORACLES_OPS: dict[str, str] = {
     "ann_knn_label_agreement": Q_ANN_KNN_AGREEMENT_SQL,
     "text_vocab_profile": Q_TEXT_VOCAB_PROFILE_SQL,
     "corpus_source_containment": Q_CORPUS_SOURCE_CONTAINMENT_SQL,
+    "corpus_group_split": _q_corpus_group_split_sql(),
+    "events_interarrival": Q_EVENTS_INTERARRIVAL_SQL,
     "graph_pagerank": Q_GRAPH_PAGERANK_SQL,
     "corpus_snapshot_diff": Q_CORPUS_SNAPSHOT_DIFF_SQL,
     "corpus_domain_cap": Q_CORPUS_DOMAIN_CAP_SQL,

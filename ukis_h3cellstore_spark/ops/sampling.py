@@ -820,3 +820,20 @@ def token_budget_mix(
         .filter(F.col("cum_tokens") <= F.col("alloc"))
         .select(id_col, source_col, "n_tokens", "alloc", "cum_tokens")
     )
+
+
+def split_by_group(
+    df: DataFrame,
+    group_col: str,
+    weights: dict[str, float] | None = None,
+    salt: str = "gsplit",
+) -> DataFrame:
+    """Train/val/test assignment with GROUP integrity: the split is a
+    salted hash of the GROUP key (domain, author, user), so every row
+    of a group lands in the same split — the leak-proof variant of
+    :func:`split_by_hash` (random row-level splits put near-identical
+    pages of one domain on both sides of the train/test fence, which
+    inflates eval; scikit-learn's GroupShuffleSplit exists for exactly
+    this reason). Same bucket arithmetic and insertion-order carving
+    as split_by_hash; fractions are of GROUPS, not rows."""
+    return split_by_hash(df, weights, id_col=group_col, salt=salt)
