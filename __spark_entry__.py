@@ -57,6 +57,7 @@ _PRIORITY = [
     "corpus_source_containment",
     "corpus_group_split",
     "events_interarrival",
+    "streaming_sliding_window",
     # tier 2 — oldest driver-green first
     "events_daily_moving_avg",
     "events_latest_per_user",

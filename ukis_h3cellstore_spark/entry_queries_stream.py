@@ -825,10 +825,69 @@ FROM summ s JOIN ex USING (event_type)
 """
 
 
+def q_streaming_sliding_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming SLIDING windows (2h width, 1h slide) with a
+    watermark: every event feeds two overlapping windows across
+    micro-batches; counts and integer-cent sums are associative, so
+    the complete-mode state equals the batch replay (the overlap is
+    what tumbling streaming rollups cannot express)."""
+    src = _events(spark, sf_dir).select(
+        "event_type",
+        F.timestamp_micros(F.col("ts_us")).alias("ts"),
+        F.round(F.col("value") * 100).cast("long").alias("value_cents"),
+    )
+    stream_dir = tempfile.mkdtemp(prefix="h3stream_slide_")
+    src.repartition(4).write.mode("overwrite").parquet(stream_dir)
+    stream = st.read_stream(spark, stream_dir, src.schema, max_files_per_trigger=2)
+    agg = (
+        stream.withWatermark("ts", "4 hours")
+        .groupBy(F.window("ts", "2 hours", "1 hour"), "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum("value_cents").alias("sum_cents"),
+        )
+    )
+    _SINK_COUNTER[0] += 1
+    sink = f"stream_slide_sink_{_SINK_COUNTER[0]}"
+    q = (
+        agg.writeStream.format("memory")
+        .queryName(sink)
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    _await_done(q)
+    return spark.table(sink).select(
+        "event_type",
+        F.unix_micros(F.col("window.start")).alias("window_start_us"),
+        F.col("n_events").cast("long").alias("n_events"),
+        F.col("sum_cents").cast("long").alias("sum_cents"),
+    )
+
+
+_Q_STREAMING_SLIDING_SQL = """
+WITH x AS (
+  SELECT event_type, epoch_us(ts) AS t,
+         CAST(round(value * 100) AS BIGINT) AS cents
+  FROM events
+),
+w AS (
+  SELECT event_type,
+         ((t // 3600000000) - kk.k) * 3600000000 AS ws, cents
+  FROM x, (SELECT unnest([0, 1]) AS k) kk
+)
+SELECT event_type, CAST(ws AS BIGINT) AS window_start_us,
+       CAST(COUNT(*) AS BIGINT) AS n_events,
+       CAST(SUM(cents) AS BIGINT) AS sum_cents
+FROM w GROUP BY 1, 2
+"""
+
+
 QUERIES_STREAM: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "streaming_robust_score": q_streaming_robust_score,
     "streaming_ttl_dedup": q_streaming_ttl_dedup,
     "streaming_hll_distinct": q_streaming_hll_distinct,
+    "streaming_sliding_window": q_streaming_sliding_window,
     "streaming_domain_cap": q_streaming_domain_cap,
     "streaming_segment_dedup": q_streaming_segment_dedup,
     "streaming_stateful_accumulator": q_streaming_stateful_accumulator,
@@ -844,6 +903,7 @@ ORACLES_STREAM: dict[str, str] = {
     "streaming_robust_score": _Q_STREAMING_ROBUST_SCORE_SQL,
     "streaming_ttl_dedup": _Q_STREAMING_TTL_DEDUP_SQL,
     "streaming_hll_distinct": _Q_STREAMING_HLL_SQL,
+    "streaming_sliding_window": _Q_STREAMING_SLIDING_SQL,
     "streaming_domain_cap": _Q_STREAMING_DOMAIN_CAP_SQL,
     "streaming_segment_dedup": _Q_STREAMING_SEGMENT_DEDUP_SQL,
     "streaming_stateful_accumulator": _q_streaming_stateful_accumulator_sql(),
