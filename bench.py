@@ -87,6 +87,7 @@ HEADLINE = [
     "corpus_datacard",
     "events_quantile_transform",
     "ann_label_centroid_sim",
+    "events_interarrival",
 ]
 
 #: bench-only implementations: same operator, scale-path configuration
