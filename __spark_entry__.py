@@ -21,63 +21,12 @@ from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
 
-# ROUND-7 ROTATION (computed by `python tools/rotation.py --python`):
-# every gate has at least one driver row, so tier 1 is empty until
-# mid-round additions are spliced in; tier 2 re-verifies the
-# oldest-green r4 set (events/h3/pipeline/text/TPC-H tail).
+# ROUND-8 ROTATION (computed by `python tools/rotation.py --python`):
+# tier 1 = the 5 gates whose last driver row is r3, then the oldest
+# r4-green set; round-8 additions are spliced to the head as written.
 _PRIORITY = [
-    # tier 1 — never driver-sampled (round-7 additions)
-    "corpus_weighted_sample",
-    "text_taxonomy_tag",
-    "events_mad_outliers",
-    "text_ccnet_buckets",
-    "corpus_length_batches",
-    "corpus_token_budget_mix",
-    "text_collocations",
-    "streaming_robust_score",
-    "events_grouped_auc",
-    "ann_random_projection",
-    "events_winsorized_means",
-    "events_calibration_bins",
-    "graph_triangles",
-    "corpus_source_drift",
-    "events_quantile_transform",
-    "events_asof_nearest",
-    "streaming_ttl_dedup",
-    "graph_personalized_pagerank",
-    "ann_label_centroid_sim",
-    "corpus_datacard",
-    "ann_whitened",
-    "events_sliding_window",
-    "text_fertility",
-    "corpus_k_anonymity",
-    "ann_knn_label_agreement",
-    "text_vocab_profile",
-    "streaming_hll_distinct",
-    "corpus_source_containment",
-    "corpus_group_split",
-    "events_interarrival",
-    "streaming_sliding_window",
+    # tier 1 — never driver-sampled
     # tier 2 — oldest driver-green first
-    "events_daily_moving_avg",
-    "events_latest_per_user",
-    "events_rollup_counts",
-    "events_pivot_daily",
-    "events_unpivot_daily",
-    "events_day_set_ops",
-    "events_json_props",
-    "h3_synth_fields",
-    "h3_parent_agg_sum",
-    "h3_minmax_avg",
-    "h3_setnull_on_conflict",
-    "h3_relative_cell_area",
-    "h3_children_explode",
-    "h3_compact",
-    "h3_cell_membership",
-    "h3_hierarchy_semijoin",
-    "resolution_split_counts",
-    "pipeline_sum_rollup",
-    "pipeline_compact_roundtrip",
     "text_stats",
     "text_langid",
     "text_token_counts",
@@ -109,7 +58,27 @@ _PRIORITY = [
     "ann_filtered_top3",
     "text_surprisal",
     "multimodal_features",
+    "dedup_cross_modal",
+    "dedup_lsh_verified",
+    "embedding_norm_report",
+    "multimodal_frame_sample",
+    "text_gopher_quality",
+    "corpus_source_report",
+    "corpus_stratified_sample",
+    "corpus_chunked",
+    "corpus_length_filter",
+    "corpus_oov_report",
+    "corpus_cross_source_dups",
+    "ann_pq_top3",
+    "ann_ivfpq_top3",
+    "dedup_containment",
+    "text_char_entropy",
+    "corpus_temperature_mix",
+    "pipeline_templated_query",
+    "geo_polyfill_traversal",
+    "geo_border_cells",
 ]
+
 
 
 def _ordered(merged: dict) -> dict:
