@@ -2873,6 +2873,58 @@ def test_source_minhash_drift_estimates(spark):
     assert len(out) == 6
 
 
+def test_grouped_rank_tie_run_splits_across_partitions(spark):
+    """The trailing range_tiebreaker key must split a dominant EQUAL
+    (group, value) tie-run across range partitions — range partitioning
+    alone can never separate equal keys, so a 40 %-repeated value would
+    otherwise be one unsplittable task at scale. Median/rank answers
+    must be unchanged by the split (tie-order independence)."""
+    from pyspark.sql import functions as F
+
+    from ukis_h3cellstore_spark.ops import robust as R
+
+    # one group holds half the rows; value 0.0 repeats for 40 % of it
+    rows = [
+        (i, "big" if i % 2 == 0 else f"g{i % 5}",
+         0.0 if (i % 2 == 0 and i % 10 < 4) else float((i * 131) % 997))
+        for i in range(4000)
+    ]
+    df = spark.createDataFrame(rows, "id long, g string, v double")
+
+    rp = df.repartitionByRange(8, F.col("g"), F.col("v"), R.range_tiebreaker(df))
+    sizes = [
+        r["count"]
+        for r in rp.groupBy(F.spark_partition_id()).count().collect()
+    ]
+    n_ties = sum(1 for _, g, v in rows if g == "big" and v == 0.0)
+    assert n_ties >= 800  # 800 planted + the odd (i*131) % 997 == 0 hits
+    # without the tiebreaker the max partition holds the whole tie-run
+    # (>= 800 rows); with it no task should exceed ~2x the ideal share
+    assert max(sizes) < 800, sizes
+    assert max(sizes) <= 2 * (len(rows) // 8), sizes
+
+    # rank -> value mapping identical to the serial computation
+    ranked = R.grouped_rank(df, "g", ["v"], num_partitions=8)
+    got = {}
+    for r in ranked.collect():
+        got.setdefault(r.g, {})[r.rank] = r.v
+    for g in {r[1] for r in rows}:
+        vs = sorted(v for _, gg, v in rows if gg == g)
+        assert got[g] == {i + 1: v for i, v in enumerate(vs)}, g
+
+    # and an explicit unique tiebreak column is honored verbatim
+    ranked_id = R.grouped_rank(
+        df, "g", ["v", "id"], num_partitions=8, range_tiebreak="id"
+    )
+    got_id = {(r.g, r.id): r.rank for r in ranked_id.collect()}
+    for g in {r[1] for r in rows}:
+        grp = sorted(
+            [r for r in rows if r[1] == g], key=lambda r: (r[2], r[0])
+        )
+        for rk, (i, _, _) in enumerate(grp, start=1):
+            assert got_id[(g, i)] == rk
+
+
 def test_quantile_transform_uniformizes_per_group(spark):
     """quantile_transform: q_milli equals the serial (1000*rank)//(n+1)
     per group, so per-group distributions become uniform ranks."""

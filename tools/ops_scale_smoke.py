@@ -179,6 +179,44 @@ def main() -> None:
     dt = time.time() - t0
     print(f"{'quantile_transform_5M':24s} {dt:8.1f}s  ({5_000_000 / dt:,.0f} rows/s)")
 
+    # round-8: equal-key tie-skew — 10M rows where one group holds
+    # 50 % of all rows AND one REPEATED value is 40 % of that group
+    # (2M identical (g, v) keys). Range partitioning alone cannot
+    # split equal keys, so without the trailing range_tiebreaker the
+    # whole tie-run is one task; with it the max task should sit near
+    # the ideal rows/partitions.
+    sk = spark.range(10_000_000).select(
+        _F.col("id"),
+        _F.when(_F.col("id") % 2 == 0, _F.lit("big"))
+        .otherwise(_F.concat(_F.lit("g"), (_F.col("id") % 13).cast("string")))
+        .alias("g"),
+        _F.when(
+            (_F.col("id") % 2 == 0) & (_F.col("id") % 10 < 3), _F.lit(0.0)
+        )
+        .otherwise(((_F.col("id") * 131) % 9973).cast("double"))
+        .alias("v"),
+    )
+    rp = sk.repartitionByRange(
+        64, _F.col("g"), _F.col("v"), R.range_tiebreaker(sk)
+    )
+    srow = (
+        rp.groupBy(_F.spark_partition_id().alias("p"))
+        .count()
+        .agg(_F.max("count").alias("mx"), _F.count(_F.lit(1)).alias("np"))
+        .collect()[0]
+    )
+    ideal = 10_000_000 // 64
+    print(
+        f"{'tie_skew_partitions':24s} max task {srow['mx']:,} rows over "
+        f"{srow['np']} partitions (ideal {ideal:,}; "
+        f"straggler-free iff max << 2,000,000 tie-run)"
+    )
+    gc()
+    t0 = time.time()
+    R.mad_outliers(sk, "g", "v").write.format("noop").mode("overwrite").save()
+    dt = time.time() - t0
+    print(f"{'mad_outliers_skew_10M':24s} {dt:8.1f}s  ({10_000_000 / dt:,.0f} rows/s)")
+
     phase("bigram_surprisal", X.bigram_surprisal(docs))
     # BM25: query terms carry replica suffixes so each term matches
     # exactly one replica's postings — the timed cost is the corpus

@@ -31,6 +31,7 @@ from pyspark.sql import functions as F
 
 __all__ = [
     "grouped_rank",
+    "range_tiebreaker",
     "grouped_median",
     "mad_outliers",
     "grouped_cumsum",
@@ -41,24 +42,57 @@ __all__ = [
 ]
 
 
+def range_tiebreaker(df: DataFrame, range_tiebreak=None) -> Column:
+    """The deterministic high-cardinality column appended to every
+    ``repartitionByRange`` key list in this module. Range partitioning
+    can NEVER split EQUAL keys across partitions, so a dominant
+    repeated (group, value) — e.g. 30 % of an event column being
+    exactly 0 — would land its whole tie-run on one task at 100×.
+    Appending a near-unique trailing key lets the range sampler cut
+    inside tie-runs; ranks/cumsums are unaffected because the window
+    functions still order by the caller's keys only (equal order keys
+    already have engine-arbitrary relative rank, and every caller in
+    this package is tie-order independent or passes its own unique
+    tiebreak in ``order_cols``).
+
+    Callers with a natural row id should pass it (perfect splitting);
+    the default is ``xxhash64`` over every hashable column — collisions
+    only re-merge FULLY identical rows, which is the pre-fix behavior
+    for those rows alone."""
+    if range_tiebreak is not None:
+        return (
+            F.col(range_tiebreak)
+            if isinstance(range_tiebreak, str)
+            else range_tiebreak
+        )
+    hashable = [c for c, t in df.dtypes if "map<" not in t]
+    if not hashable:
+        return F.lit(0)
+    return F.xxhash64(*[F.col(c) for c in hashable])
+
+
 def grouped_rank(
     df: DataFrame,
     group_col: str,
     order_cols: list[str],
     out_col: str = "rank",
     num_partitions: int | None = None,
+    range_tiebreak=None,
 ) -> DataFrame:
     """Append the 1-based rank of each row WITHIN its group under
     ``order_cols`` — without partitioning the window by the group key
     (which would funnel every group through one task). Range-partition
-    on ``(group, *order_cols)``, rank within ``(partition, group)``,
-    and add broadcast per-(partition, group) offsets. The offsets
-    collect is ≤ ``num_partitions + n_groups`` rows (each partition
-    holds a contiguous key range, so it straddles at most one group
-    boundary more than it contains whole groups)."""
+    on ``(group, *order_cols, tiebreak)``, rank within
+    ``(partition, group)``, and add broadcast per-(partition, group)
+    offsets. The offsets collect is ≤ ``num_partitions + n_groups``
+    rows (each partition holds a contiguous key range, so it straddles
+    at most one group boundary more than it contains whole groups).
+    The trailing :func:`range_tiebreaker` key splits EQUAL
+    (group, order) tie-runs across partitions — without it a dominant
+    repeated value is an unsplittable one-task straggler at scale."""
     gcol = F.col(group_col)
     ncols = [F.col(c) if isinstance(c, str) else c for c in order_cols]
-    keys = [gcol, *ncols]
+    keys = [gcol, *ncols, range_tiebreaker(df, range_tiebreak)]
     if num_partitions is None:
         rp = df.repartitionByRange(*keys)
     else:
@@ -188,19 +222,23 @@ def grouped_cumsum(
     value_col: str | Column,
     out_col: str = "cum_sum",
     num_partitions: int | None = None,
+    range_tiebreak=None,
 ) -> DataFrame:
     """Per-group running total of ``value_col`` under ``order_cols``
     WITHOUT partitioning a window by the bare group key (which funnels
     every group through one task): the grouped twin of
     :func:`~ukis_h3cellstore_spark.ops.prefix.global_cumsum`. Range
-    partition on ``(group, *order_cols)``, within-(partition, group)
-    running totals, broadcast per-(partition, group) sum offsets
-    (collect is ≤ partitions + groups rows by range contiguity).
-    Integer value types stay integer-exact."""
+    partition on ``(group, *order_cols, tiebreak)`` (trailing
+    :func:`range_tiebreaker` splits equal-key tie-runs — pass unique
+    ``order_cols`` if per-row cumsums under ties must be reproducible),
+    within-(partition, group) running totals, broadcast
+    per-(partition, group) sum offsets (collect is ≤ partitions +
+    groups rows by range contiguity). Integer value types stay
+    integer-exact."""
     gcol = F.col(group_col)
     ncols = [F.col(c) if isinstance(c, str) else c for c in order_cols]
     value = F.col(value_col) if isinstance(value_col, str) else value_col
-    keys = [gcol, *ncols]
+    keys = [gcol, *ncols, range_tiebreaker(df, range_tiebreak)]
     if num_partitions is None:
         rp = df.repartitionByRange(*keys)
     else:
