@@ -25,7 +25,8 @@ from pyspark.sql import DataFrame, SparkSession
 # tier 1 = the 5 gates whose last driver row is r3, then the oldest
 # r4-green set; round-8 additions are spliced to the head as written.
 _PRIORITY = [
-    # tier 1 — never driver-sampled
+    # tier 1 — never driver-sampled (round-8 additions spliced at head)
+    "corpus_tokenize_pack",
     # tier 2 — oldest driver-green first
     "text_stats",
     "text_langid",

@@ -88,6 +88,8 @@ HEADLINE = [
     "events_quantile_transform",
     "ann_label_centroid_sim",
     "events_interarrival",
+    # round-8 additions
+    "corpus_tokenize_pack",
 ]
 
 #: bench-only implementations: same operator, scale-path configuration

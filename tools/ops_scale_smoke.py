@@ -235,6 +235,14 @@ def main() -> None:
         "bpe_apply_merge",
         X.bpe_apply_merge(docs, top["left"], top["right"]),
     )
+    # bpe_train at 1M docs: the sequential per-round argmax cost the
+    # sample-then-apply posture bounds (docs/SCALE.md) — each round is
+    # one corpus pair-count + one map-only rewrite
+    gc()
+    t0 = time.time()
+    X.bpe_train(docs, n_merges=3)
+    dt = time.time() - t0
+    print(f"{'bpe_train_3rounds':24s} {dt:8.1f}s  ({n / dt:,.0f} docs/s)")
     phase("dedup_exact", D.dedup_exact(docs))
     phase("minhash_signatures", D.minhash_signatures(docs))
     pairs = D.minhash_lsh_pairs(docs, min_est_jaccard=0.5)

@@ -4545,6 +4545,125 @@ WHERE rn <= 5
 """
 
 
+_TOKPACK_MERGES = 3
+
+
+def q_corpus_tokenize_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Flagship tokenize→pack→shard pipeline — the daily end-to-end a
+    training-data user runs, composed from the gated pieces: train a
+    BPE merge table on the corpus (ops/text.py: bpe_train, 3 rounds),
+    apply the FULL merge table (bpe_apply_merge per rule — map-only
+    array folds, no shuffle), pack the retokenized corpus into
+    512-token context windows over 8 shards (ops/sampling.py:
+    pack_documents), export the packed corpus as JSON-line shards
+    (layout.write_jsonl_shards), and report per-(shard, bin) packing
+    stats computed from the READ-BACK export — so the shard write/read
+    roundtrip is inside the verified chain, not just the plan.
+
+    Scale posture: bpe_train's per-round driver involvement is one
+    1-row argmax collect (train on a sample at 100 TB — see
+    docs/SCALE.md); the merge application, packing window, and shard
+    write are all distributed and corpus-sized exactly once each."""
+    import tempfile
+
+    from ukis_h3cellstore_spark import layout as L
+
+    docs = _docs(spark, sf_dir).select("doc_id", "text")
+    merges = X.bpe_train(docs, n_merges=_TOKPACK_MERGES)
+    cur = docs
+    for _, left, right, _ in merges:
+        cur = X.bpe_apply_merge(cur, left, right).select("doc_id", "text")
+    packed = SM.pack_documents(cur, max_tokens=512, num_shards=8)
+    export = cur.join(packed, "doc_id").select(
+        "doc_id", "shard", "n_tokens", "bin", "text"
+    )
+    path = tempfile.mkdtemp(prefix="tokpack_")
+    L.write_jsonl_shards(export.repartition(8), path, docs_per_shard=2000)
+    back = spark.read.json(path)
+    return (
+        back.groupBy(
+            F.col("shard").cast("int").alias("shard"),
+            F.col("bin").cast("long").alias("bin"),
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_tokens").cast("long").alias("total_tokens"),
+        )
+        .withColumn(
+            "fill_ratio", F.round(F.col("total_tokens") / F.lit(512.0), 4)
+        )
+    )
+
+
+def _q_corpus_tokenize_pack_sql(n_merges: int = _TOKPACK_MERGES) -> str:
+    """Programmatically-built oracle: each BPE round re-derives the
+    argmax pair and rewrites the token lists with the same greedy
+    island/odd-rank semantics as Q_TEXT_BPE_MERGE_SQL, chained through
+    ``n_merges`` CTE generations; the final corpus packs with the
+    pack_documents window arithmetic."""
+    parts = [
+        "WITH c0 AS (SELECT CAST(doc_id AS BIGINT) AS doc_id, "
+        f"{_DUCK_TOKS} AS t FROM documents)"
+    ]
+    for k in range(1, n_merges + 1):
+        p = k - 1
+        parts.append(f""",
+top{k} AS (
+  SELECT t[j] AS lhs, t[j + 1] AS rhs
+  FROM c{p}, LATERAL (SELECT unnest(generate_series(1, len(t) - 1)) AS j) js
+  GROUP BY 1, 2 ORDER BY COUNT(*) DESC, lhs ASC, rhs ASC LIMIT 1),
+m{k} AS (
+  SELECT c.doc_id, js.j
+  FROM c{p} c, top{k},
+       LATERAL (SELECT unnest(generate_series(1, len(c.t) - 1)) AS j) js
+  WHERE c.t[js.j] = top{k}.lhs AND c.t[js.j + 1] = top{k}.rhs),
+isl{k} AS (SELECT doc_id, j,
+                  j - row_number() OVER (PARTITION BY doc_id ORDER BY j) AS grp
+           FROM m{k}),
+st{k} AS (
+  SELECT doc_id, j FROM (
+    SELECT doc_id, j,
+           row_number() OVER (PARTITION BY doc_id, grp ORDER BY j) AS rn
+    FROM isl{k}
+  ) WHERE rn % 2 = 1),
+cells{k} AS (
+  SELECT c.doc_id, js.i, c.t[js.i] AS w
+  FROM c{p} c, LATERAL (SELECT unnest(generate_series(1, len(c.t))) AS i) js),
+kept{k} AS (
+  SELECT cl.doc_id, cl.i,
+         CASE WHEN s1.j IS NOT NULL
+              THEN (SELECT lhs FROM top{k}) || (SELECT rhs FROM top{k})
+              ELSE cl.w END AS w
+  FROM cells{k} cl
+  LEFT JOIN st{k} s1 ON s1.doc_id = cl.doc_id AND s1.j = cl.i
+  LEFT JOIN st{k} s2 ON s2.doc_id = cl.doc_id AND s2.j = cl.i - 1
+  WHERE s2.j IS NULL),
+c{k} AS (SELECT doc_id, list(w ORDER BY i) AS t FROM kept{k} GROUP BY doc_id)""")
+    parts.append(f""",
+tp_base AS (
+  SELECT doc_id,
+         CAST((('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT
+               % 8) AS INT) AS shard,
+         CAST(CASE WHEN len(t) = 1 AND t[1] = '' THEN 0 ELSE len(t) END
+              AS BIGINT) AS n_tokens
+  FROM c{n_merges}),
+tp_packed AS (
+  SELECT shard, n_tokens,
+         SUM(n_tokens) OVER (PARTITION BY shard ORDER BY doc_id
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - n_tokens
+           AS bin_offset
+  FROM tp_base)
+SELECT shard, CAST(bin_offset // 512 AS BIGINT) AS bin,
+       COUNT(*) AS n_docs,
+       CAST(SUM(n_tokens) AS BIGINT) AS total_tokens,
+       round(SUM(n_tokens) / 512.0, 4) AS fill_ratio
+FROM tp_packed GROUP BY 1, 2""")
+    return "".join(parts)
+
+
+Q_CORPUS_TOKENIZE_PACK_SQL = _q_corpus_tokenize_pack_sql()
+
+
 QUERIES_OPS: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "corpus_weighted_sample": q_corpus_weighted_sample,
     "text_taxonomy_tag": q_text_taxonomy_tag,
@@ -4644,6 +4763,7 @@ QUERIES_OPS: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "text_bpe_merge_apply": q_text_bpe_merge_apply,
     "text_bigram_surprisal": q_text_bigram_surprisal,
     "corpus_clean_pipeline": q_corpus_clean_pipeline,
+    "corpus_tokenize_pack": q_corpus_tokenize_pack,
     "corpus_resampled_mix": q_corpus_resampled_mix,
     "ann_hard_negatives": q_ann_hard_negatives,
     "rag_prep_pipeline": q_rag_prep_pipeline,
@@ -4753,6 +4873,7 @@ ORACLES_OPS: dict[str, str] = {
     "text_bpe_merge_apply": Q_TEXT_BPE_MERGE_SQL,
     "text_bigram_surprisal": Q_TEXT_BIGRAM_SURPRISAL_SQL,
     "corpus_clean_pipeline": Q_CORPUS_CLEAN_PIPELINE_SQL,
+    "corpus_tokenize_pack": Q_CORPUS_TOKENIZE_PACK_SQL,
     "corpus_resampled_mix": _q_corpus_resampled_mix_sql(),
     "ann_hard_negatives": Q_ANN_HARD_NEGATIVES_SQL,
     "rag_prep_pipeline": Q_RAG_PREP_PIPELINE_SQL,

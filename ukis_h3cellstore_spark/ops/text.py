@@ -1036,7 +1036,17 @@ def bpe_train(
     pair — metadata-sized by definition); the corpus itself never
     leaves the cluster, and each round's rewrite is a map-only fold
     stacked onto the previous round's frame (checkpointed per round so
-    lineage stays flat across many merges)."""
+    lineage stays flat across many merges).
+
+    100-TB posture: the per-merge driver round-trip is inherent to BPE
+    (merge k's argmax depends on the corpus rewritten with merges
+    1..k-1 — it cannot be batched), so TRAIN ON A SAMPLE: a few GB of
+    representative text pins the merge table to within-noise of the
+    full-corpus table (BPE statistics concentrate fast), and sampling
+    bounds the sequential round cost by sample size, not corpus size.
+    APPLYING the trained table is the distributed path —
+    :func:`bpe_apply_merge` per rule is a map-only projection over the
+    full corpus with zero driver involvement. See docs/SCALE.md."""
     cur = df.select(F.col(id_col), F.col(text_col))
     merges: list[tuple[int, str, str, int]] = []
     for rank in range(n_merges):
