@@ -1,0 +1,106 @@
+"""Frozen ANN recall floors.
+
+The correctness gates pin PARAMETERS (exact hashes, fixed seeds), so a
+quantization regression that degrades neighbor quality while keeping
+the pipeline deterministic is invisible to them. This test freezes the
+measured recall@3 of each approximate family against the exact
+brute-force baseline (cosine for the hash/partition families, L2 for
+the quantized-code families — PQ/SQ8 approximate L2 ranking) on the
+500×64 sf0.001 embeddings with 25 query vectors.
+
+Every path is seed-fixed and order-independent, so the measured recall
+is bit-stable (verified across repeated runs and parallelism levels);
+the floors are set AT the measured values — any drop fails, any
+improvement passes. Re-freeze deliberately (tools/ann_recall.py prints
+the full sweep) when a quantizer is intentionally retrained.
+
+Absolute levels are honest context, not indictments: the synthetic
+embeddings are i.i.d. noise with no cluster structure, the worst case
+for ANN (distances concentrate), and these configs are the aggressive
+compression rungs. Relative movement is what the floors watch.
+"""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from ukis_h3cellstore_spark.ops import similarity as S
+
+K = 3
+N_QUERIES = 25
+
+# measured 2026-08-15 (round 8) on /root/testdata/sf0.001 embeddings;
+# integer hits out of N_QUERIES * K = 75 exact pairs (recall floors
+# 0.28 / 0.84 / 0.267 / 0.133 / 0.827) — integers, so no float-edge
+# flakiness in the comparison
+FLOOR_HITS_COSINE = {
+    "lsh_8x6": 21,
+    "ivf_16c_p4": 63,
+}
+FLOOR_HITS_L2 = {
+    "pq_m8_k16": 20,
+    "ivfpq_8c_p4": 10,
+    "sq8": 62,
+}
+
+
+def _pairs(df) -> set:
+    return {(r["query_id"], r["neighbor_id"]) for r in df.collect()}
+
+
+@pytest.fixture(scope="module")
+def corpus(spark, sf_dir):
+    e = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    q = e.filter(F.col("vec_id") < N_QUERIES)
+    return e, q
+
+
+@pytest.fixture(scope="module")
+def exact_cos(corpus):
+    e, q = corpus
+    got = _pairs(S.cosine_topk(e, q, k=K))
+    assert len(got) == N_QUERIES * K
+    return got
+
+
+@pytest.fixture(scope="module")
+def exact_l2(corpus):
+    e, q = corpus
+    got = _pairs(S.l2_topk(e, q, k=K))
+    assert len(got) == N_QUERIES * K
+    return got
+
+
+def _hits(approx: set, exact: set) -> int:
+    return len(approx & exact)
+
+
+def test_lsh_recall_floor(corpus, exact_cos):
+    e, q = corpus
+    got = _hits(_pairs(S.lsh_topk(e, q, k=K, num_tables=8, num_planes=6)), exact_cos)
+    assert got >= FLOOR_HITS_COSINE["lsh_8x6"], got
+
+
+def test_ivf_recall_floor(corpus, exact_cos):
+    e, q = corpus
+    got = _hits(_pairs(S.ivf_topk(e, q, k=K, n_centroids=16, nprobe=4)), exact_cos)
+    assert got >= FLOOR_HITS_COSINE["ivf_16c_p4"], got
+
+
+def test_pq_recall_floor(corpus, exact_l2):
+    e, q = corpus
+    got = _hits(_pairs(S.pq_topk(e, q, k=K, m=8, n_centroids=16)), exact_l2)
+    assert got >= FLOOR_HITS_L2["pq_m8_k16"], got
+
+
+def test_ivfpq_recall_floor(corpus, exact_l2):
+    e, q = corpus
+    got = _hits(_pairs(S.ivfpq_topk(e, q, k=K, n_coarse=8, nprobe=4)), exact_l2)
+    assert got >= FLOOR_HITS_L2["ivfpq_8c_p4"], got
+
+
+def test_sq8_recall_floor(corpus, exact_l2):
+    e, q = corpus
+    got = _hits(_pairs(S.sq8_topk(e, q, k=K)), exact_l2)
+    assert got >= FLOOR_HITS_L2["sq8"], got
