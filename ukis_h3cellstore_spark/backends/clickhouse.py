@@ -145,7 +145,12 @@ def _partition_by_expressions(schema: CompactedTableSchema) -> list[str]:
             )
         parts.extend(temporal_exprs)
     else:
-        parts.extend(col_expr(c) for c in schema.partition_by_columns)
+        for c in schema.partition_by_columns:
+            expr = col_expr(c)
+            # the reference skips duplicate expressions
+            # (mod.rs:273-279 "if !partition_by.contains(...)")
+            if expr not in parts:
+                parts.append(expr)
     return parts
 
 
