@@ -27,6 +27,7 @@ from pyspark.sql import DataFrame, SparkSession
 _PRIORITY = [
     # tier 1 — never driver-sampled (round-8 additions spliced at head)
     "corpus_tokenize_pack",
+    "dedup_incremental_e2e",
     # tier 2 — oldest driver-green first
     "text_stats",
     "text_langid",

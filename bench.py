@@ -90,6 +90,7 @@ HEADLINE = [
     "events_interarrival",
     # round-8 additions
     "corpus_tokenize_pack",
+    "dedup_incremental_e2e",
 ]
 
 #: bench-only implementations: same operator, scale-path configuration

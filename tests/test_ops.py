@@ -1755,6 +1755,28 @@ def test_incremental_index_reads_buckets_exchange_free(spark):
         spark.sql("DROP TABLE IF EXISTS mh_idx_test")
 
 
+def test_incremental_e2e_composition_plan_and_bounds(spark):
+    """The composed day-2 ingest gate (screen against the persisted
+    index, drop flagged, excise shared spans) must still read the
+    bucketed index Exchange-free inside the FULL composition's plan,
+    and its output must be the batch side only with sane cut bounds.
+    Value-level correctness is the dedup_incremental_e2e oracle gate."""
+    from ukis_h3cellstore_spark.entry_queries_ops import (
+        q_dedup_incremental_e2e,
+    )
+
+    out = q_dedup_incremental_e2e(spark, "/root/testdata/sf0.001")
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "SelectedBucketsCount" in plan or "Bucketed: true" in plan
+    rows = out.collect()
+    assert rows
+    assert all(r.doc_id < 100 for r in rows)
+    assert all(0 <= r.n_cut <= r.n_tokens for r in rows)
+    # at least one surviving doc must actually have a span excised
+    # (sf0.001 has planted cross-doc duplication)
+    assert any(r.n_cut > 0 for r in rows)
+
+
 def test_bm25_matches_bruteforce(spark):
     import math
 

@@ -277,6 +277,111 @@ WHERE ({eq_sum}) / 8.0 >= 0.25
 """
 
 
+def q_dedup_incremental_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The full day-2 crawl-ingest composition (ops/dedup.py:
+    build_minhash_index → dedup_against_index → excise_shared_spans):
+    the existing corpus (doc_id ≥ 100) is persisted once as the
+    bucketed MinHash index; the incoming snapshot (doc_id < 100) is
+    screened against it and near-dup documents are DROPPED
+    (est_jaccard ≥ 0.25); the survivors then get every exact shared
+    run vs the established corpus CUT (Lee et al. span excision — the
+    corpus keeps its copy, the new crawl loses the repeated spans,
+    enforced by offsetting survivor ids above the corpus ids).
+    Returns the ingested snapshot: (doc_id, text_clean, n_tokens,
+    n_cut).
+
+    Scale shape: index built/shuffled once (bucketed — the screening
+    join reads it Exchange-free, plan-asserted in tests/test_ops.py);
+    only the batch moves; the excision union is corpus+batch-sized
+    but its inverted-index join is df-capped per shingle."""
+    docs = _docs(spark, sf_dir)
+    corpus = docs.filter(F.col("doc_id") >= 100).select("doc_id", "text")
+    batch = docs.filter(F.col("doc_id") < 100).select("doc_id", "text")
+    _IDX_COUNTER[0] += 1
+    table = f"mh_index_e2e_{_IDX_COUNTER[0]}_{abs(hash(sf_dir)) % 10_000}"
+    D.build_minhash_index(corpus, table)
+    flagged = (
+        D.dedup_against_index(batch, table, min_est_jaccard=0.25)
+        .select(F.col("id_new").alias("doc_id"))
+        .distinct()
+    )
+    survivors = batch.join(flagged, on="doc_id", how="left_anti")
+    union = corpus.unionByName(
+        survivors.select(
+            (F.col("doc_id") + F.lit(1_000_000)).alias("doc_id"), "text"
+        )
+    )
+    out = D.excise_shared_spans(union, k=5, min_span=8)
+    return out.filter(F.col("doc_id") >= 1_000_000).select(
+        (F.col("doc_id") - F.lit(1_000_000)).alias("doc_id"),
+        "text_clean",
+        "n_tokens",
+        "n_cut",
+    )
+
+
+def _q_dedup_incremental_e2e_sql() -> str:
+    mins = ", ".join(
+        f"MIN({_duck_minhash_slot(i)}) AS m{i}" for i in range(8)
+    )
+    band_conds = " OR ".join(
+        "(" + " AND ".join(f"a.m{i} = b.m{i}" for i in range(b * 2, b * 2 + 2)) + ")"
+        for b in range(4)
+    )
+    eq_sum = " + ".join(
+        f"CASE WHEN a.m{i} = b.m{i} THEN 1 ELSE 0 END" for i in range(8)
+    )
+    return f"""
+WITH sh AS ({_DUCK_SHINGLES}),
+sig AS (SELECT doc_id, {mins} FROM sh GROUP BY doc_id),
+flagged AS (
+  SELECT DISTINCT a.doc_id AS id_new
+  FROM sig a JOIN sig b
+    ON a.doc_id < 100 AND b.doc_id >= 100 AND ({band_conds})
+  WHERE ({eq_sum}) / 8.0 >= 0.25
+),
+uni AS (
+  SELECT doc_id, text FROM documents WHERE doc_id >= 100
+  UNION ALL
+  SELECT doc_id + 1000000 AS doc_id, text FROM documents
+  WHERE doc_id < 100 AND doc_id NOT IN (SELECT id_new FROM flagged)
+),
+toks AS (SELECT doc_id, {_DUCK_TOKS} AS t FROM uni),
+pos AS (SELECT doc_id, generate_subscripts(t, 1) AS i, t FROM toks),
+g AS (SELECT doc_id, i, array_to_string(list_slice(t, i, i + 4), ' ') AS gram
+      FROM pos WHERE i + 4 <= len(t)),
+m AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, a.i - b.i AS diag, a.i AS pa
+      FROM g a JOIN g b ON a.gram = b.gram AND a.doc_id < b.doc_id),
+isl AS (SELECT id_a, id_b, diag, pa,
+               pa - row_number() OVER (PARTITION BY id_a, id_b, diag
+                                       ORDER BY pa) AS grp
+        FROM m),
+runs AS (SELECT id_a, id_b, diag, grp, COUNT(*) AS cnt,
+                MIN(pa) AS pstart, MAX(pa) AS pend
+         FROM isl GROUP BY 1, 2, 3, 4),
+drun AS (SELECT *, row_number() OVER (PARTITION BY id_a, id_b, diag
+                                      ORDER BY cnt DESC, pstart ASC) AS rn
+         FROM runs),
+cuts AS (SELECT id_b AS doc_id, pstart - diag AS b_start,
+                pend + 4 - diag AS b_end
+         FROM drun WHERE rn = 1 AND cnt + 4 >= 8),
+tok_rows AS (SELECT doc_id, i AS p, t[i] AS w FROM pos),
+marked AS (
+  SELECT tr.doc_id, tr.p, tr.w,
+         EXISTS (SELECT 1 FROM cuts c
+                 WHERE c.doc_id = tr.doc_id
+                   AND tr.p BETWEEN c.b_start AND c.b_end) AS cut
+  FROM tok_rows tr
+)
+SELECT CAST(doc_id - 1000000 AS BIGINT) AS doc_id,
+       COALESCE(string_agg(w, ' ' ORDER BY p) FILTER (WHERE NOT cut), '')
+         AS text_clean,
+       CAST(COUNT(*) AS BIGINT) AS n_tokens,
+       CAST(COUNT(*) FILTER (WHERE cut) AS BIGINT) AS n_cut
+FROM marked WHERE doc_id >= 1000000 GROUP BY doc_id
+"""
+
+
 def q_dedup_lsh_verified(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Two-stage near-dup: MinHash-LSH candidates verified with the
     exact shingle Jaccard (ops/dedup.lsh_verified_pairs) — the
@@ -4768,6 +4873,7 @@ QUERIES_OPS: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "ann_hard_negatives": q_ann_hard_negatives,
     "rag_prep_pipeline": q_rag_prep_pipeline,
     "dedup_incremental_index": q_dedup_incremental_index,
+    "dedup_incremental_e2e": q_dedup_incremental_e2e,
     "text_char_entropy": q_text_char_entropy,
     "corpus_temperature_mix": q_corpus_temperature_mix,
 }
@@ -4878,6 +4984,7 @@ ORACLES_OPS: dict[str, str] = {
     "ann_hard_negatives": Q_ANN_HARD_NEGATIVES_SQL,
     "rag_prep_pipeline": Q_RAG_PREP_PIPELINE_SQL,
     "dedup_incremental_index": _q_dedup_incremental_index_sql(),
+    "dedup_incremental_e2e": _q_dedup_incremental_e2e_sql(),
     "text_char_entropy": Q_TEXT_CHAR_ENTROPY_SQL,
     "corpus_temperature_mix": _q_corpus_temperature_mix_sql(),
 }
