@@ -28,6 +28,9 @@ _PRIORITY = [
     # tier 1 — never driver-sampled (round-8 additions spliced at head)
     "corpus_tokenize_pack",
     "dedup_incremental_e2e",
+    "corpus_novelty_rate",
+    "corpus_filter_attrition",
+    "corpus_l_diversity",
     # tier 2 — oldest driver-green first
     "text_stats",
     "text_langid",

@@ -4395,6 +4395,161 @@ HAVING COUNT(*) < 5
 """
 
 
+def q_corpus_l_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """l-diversity audit (ops/report.py: l_diversity) — k-anonymity's
+    sibling: equivalence classes of (source, log2 length bucket) whose
+    LANGUAGE attribute takes fewer than l=3 distinct values — a large
+    class still leaks the sensitive attribute if every member shares
+    one. One hash-agg, classes-sized output."""
+    from ukis_h3cellstore_spark.ops import report as RP
+
+    docs = _docs(spark, sf_dir)
+    bucket = F.when(F.col("n_chars") <= 1, F.lit(0)).otherwise(
+        F.length(F.bin(F.col("n_chars") - 1))
+    )
+    base = docs.select(
+        "source", bucket.cast("int").alias("len_bucket"), "lang"
+    )
+    return RP.l_diversity(base, ["source", "len_bucket"], "lang", l=3)
+
+
+Q_CORPUS_L_DIVERSITY_SQL = """
+WITH x AS (
+  SELECT source,
+         CASE WHEN n_chars <= 1 THEN 0
+              ELSE length(bin(n_chars - 1)) END AS len_bucket,
+         lang
+  FROM documents
+)
+SELECT source, CAST(len_bucket AS INT) AS len_bucket,
+       CAST(COUNT(*) AS BIGINT) AS n_members,
+       CAST(COUNT(DISTINCT lang) AS BIGINT) AS l_distinct
+FROM x GROUP BY 1, 2
+HAVING COUNT(DISTINCT lang) < 3
+"""
+
+
+def q_corpus_novelty_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental-crawl novelty triage (ops/dedup.py:
+    novelty_against_corpus): for each incoming document (doc_id < 100)
+    the fraction of its distinct 3-shingles absent from the
+    established corpus (doc_id ≥ 100) — near-zero novelty means the
+    crawl re-fetched known content. Inverted-index anti-join on the
+    shingle key; the corpus reduces to its distinct shingle set once."""
+    docs = _docs(spark, sf_dir)
+    return D.novelty_against_corpus(
+        docs.filter(F.col("doc_id") < 100),
+        docs.filter(F.col("doc_id") >= 100),
+    )
+
+
+Q_CORPUS_NOVELTY_SQL = f"""
+WITH sh AS ({_DUCK_SHINGLES}),
+newsh AS (SELECT doc_id, shingle FROM sh WHERE doc_id < 100),
+corp AS (SELECT DISTINCT shingle FROM sh WHERE doc_id >= 100),
+tot AS (SELECT doc_id, COUNT(*) AS n_shingles FROM newsh GROUP BY 1),
+nov AS (SELECT n.doc_id, COUNT(*) AS n_novel FROM newsh n
+        WHERE n.shingle NOT IN (SELECT shingle FROM corp) GROUP BY 1)
+SELECT t.doc_id, CAST(t.n_shingles AS BIGINT) AS n_shingles,
+       CAST(COALESCE(v.n_novel, 0) AS BIGINT) AS n_novel,
+       CAST((1000 * COALESCE(v.n_novel, 0)) // t.n_shingles AS BIGINT)
+         AS novelty_milli
+FROM tot t LEFT JOIN nov v ON v.doc_id = t.doc_id
+"""
+
+
+def q_corpus_filter_attrition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Filter-cascade attrition report (ops/selection.py:
+    first_fail_stage): every document is charged to the FIRST stage it
+    fails — min-token floor, mean-token-length ceiling, type-token
+    ratio floor, exact-dup canonicality — and the per-source waterfall
+    (n_docs, drop per stage, n_kept) is the observability table a
+    curation run ships. Integer-exact predicates (thresholds sit
+    inside the corpus's actual distributions so every stage fires);
+    the dup flag is the one corpus-context join (min doc_id per
+    80-char-prefix fingerprint — the cheap URL-less canonicality
+    proxy), everything else is one map-side CASE chain."""
+    docs = _docs(spark, sf_dir)
+    toks = X.tokens("text")
+    n_tok = F.when(
+        F.length(F.trim(F.col("text"))) == 0, F.lit(0)
+    ).otherwise(F.size(toks))
+    staged = docs.select(
+        "doc_id",
+        "source",
+        n_tok.cast("long").alias("__nt"),
+        F.aggregate(
+            toks, F.lit(0).cast("long"), lambda a, x: a + F.length(x)
+        ).alias("__tc"),
+        F.size(F.array_distinct(toks)).cast("long").alias("__nd"),
+        F.md5(F.substring(F.col("text"), 1, 80)).alias("__h"),
+    )
+    canon = staged.groupBy("__h").agg(F.min("doc_id").alias("__canon"))
+    flagged = staged.join(canon, on="__h")
+    out = SEL.first_fail_stage(
+        flagged,
+        [
+            ("min_tokens", F.col("__nt") >= 20),
+            ("tok_len", 10 * F.col("__tc") <= 49 * F.col("__nt")),
+            ("ttr", 10 * F.col("__nd") >= 3 * F.col("__nt")),
+            ("dup", F.col("doc_id") == F.col("__canon")),
+        ],
+    )
+
+    def _n(stage: str):
+        return F.sum(
+            F.when(F.col("fail_stage") == stage, 1).otherwise(0)
+        ).cast("long")
+
+    return out.groupBy("source").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        _n("min_tokens").alias("drop_min_tokens"),
+        _n("tok_len").alias("drop_tok_len"),
+        _n("ttr").alias("drop_ttr"),
+        _n("dup").alias("drop_dup"),
+        F.sum(
+            F.when(F.col("fail_stage").isNull(), 1).otherwise(0)
+        ).cast("long").alias("n_kept"),
+    )
+
+
+Q_CORPUS_ATTRITION_SQL = f"""
+WITH base AS (
+  SELECT doc_id, source,
+         CASE WHEN length(trim(text)) = 0 THEN 0
+              ELSE len({_DUCK_TOKS}) END AS nt,
+         list_aggregate(list_transform({_DUCK_TOKS}, x -> length(x)),
+                        'sum') AS tc,
+         len(list_distinct({_DUCK_TOKS})) AS nd,
+         md5(substr(text, 1, 80)) AS h
+  FROM documents
+),
+canon AS (SELECT h, MIN(doc_id) AS canon FROM base GROUP BY 1),
+staged AS (
+  SELECT b.source,
+         CASE WHEN NOT (b.nt >= 20) THEN 'min_tokens'
+              WHEN NOT (10 * b.tc <= 49 * b.nt) THEN 'tok_len'
+              WHEN NOT (10 * b.nd >= 3 * b.nt) THEN 'ttr'
+              WHEN NOT (b.doc_id = c.canon) THEN 'dup'
+              ELSE NULL END AS fail_stage
+  FROM base b JOIN canon c ON c.h = b.h
+)
+SELECT source,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(CASE WHEN fail_stage = 'min_tokens' THEN 1 ELSE 0 END)
+            AS BIGINT) AS drop_min_tokens,
+       CAST(SUM(CASE WHEN fail_stage = 'tok_len' THEN 1 ELSE 0 END)
+            AS BIGINT) AS drop_tok_len,
+       CAST(SUM(CASE WHEN fail_stage = 'ttr' THEN 1 ELSE 0 END)
+            AS BIGINT) AS drop_ttr,
+       CAST(SUM(CASE WHEN fail_stage = 'dup' THEN 1 ELSE 0 END)
+            AS BIGINT) AS drop_dup,
+       CAST(SUM(CASE WHEN fail_stage IS NULL THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_kept
+FROM staged GROUP BY 1
+"""
+
+
 def q_text_vocab_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-source vocabulary profile: token count, distinct vocabulary,
     hapax legomena (once-only tokens), and type-token ratio in milli —
@@ -4790,6 +4945,9 @@ QUERIES_OPS: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "ann_whitened": q_ann_whitened,
     "text_fertility": q_text_fertility,
     "corpus_k_anonymity": q_corpus_k_anonymity,
+    "corpus_l_diversity": q_corpus_l_diversity,
+    "corpus_novelty_rate": q_corpus_novelty_rate,
+    "corpus_filter_attrition": q_corpus_filter_attrition,
     "ann_knn_label_agreement": q_ann_knn_label_agreement,
     "text_vocab_profile": q_text_vocab_profile,
     "corpus_source_containment": q_corpus_source_containment,
@@ -4899,6 +5057,9 @@ ORACLES_OPS: dict[str, str] = {
     "ann_whitened": Q_ANN_WHITENED_SQL,
     "text_fertility": Q_TEXT_FERTILITY_SQL,
     "corpus_k_anonymity": Q_CORPUS_K_ANON_SQL,
+    "corpus_l_diversity": Q_CORPUS_L_DIVERSITY_SQL,
+    "corpus_novelty_rate": Q_CORPUS_NOVELTY_SQL,
+    "corpus_filter_attrition": Q_CORPUS_ATTRITION_SQL,
     "ann_knn_label_agreement": Q_ANN_KNN_AGREEMENT_SQL,
     "text_vocab_profile": Q_TEXT_VOCAB_PROFILE_SQL,
     "corpus_source_containment": Q_CORPUS_SOURCE_CONTAINMENT_SQL,

@@ -1247,6 +1247,49 @@ def dedup_against_index(
     )
 
 
+def novelty_against_corpus(
+    new_df: DataFrame,
+    corpus_df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 3,
+) -> DataFrame:
+    """Per-document NOVELTY of an incoming batch vs the established
+    corpus: the fraction of the document's distinct k-shingles that
+    appear nowhere in the corpus — (id, n_shingles, n_novel,
+    novelty_milli) with ``novelty_milli = (1000 · n_novel) div
+    n_shingles``. The incremental-crawl triage metric: near-zero
+    novelty means the crawl is re-fetching known content (skip it
+    BEFORE paying full dedup), high novelty means genuinely new text.
+    Documents too short to form a shingle yield no row.
+
+    Scale shape: the corpus side reduces to its DISTINCT shingle set
+    once (one shuffle, vocabulary-sized output); the batch's shingles
+    anti-join it keyed on the shingle — the same inverted-index
+    semi-join plan as decontamination, never a pair explosion. Exact
+    integer counts, engine-reproducible."""
+    new_sh = shingle_df(new_df, text_col, id_col, k)
+    corpus_sh = shingle_df(corpus_df, text_col, id_col, k).select(
+        "shingle"
+    ).distinct()
+    totals = new_sh.groupBy(id_col).agg(
+        F.count(F.lit(1)).cast("long").alias("n_shingles")
+    )
+    novel = (
+        new_sh.join(corpus_sh, on="shingle", how="left_anti")
+        .groupBy(id_col)
+        .agg(F.count(F.lit(1)).cast("long").alias("n_novel"))
+    )
+    return (
+        totals.join(novel, on=id_col, how="left")
+        .withColumn("n_novel", F.coalesce(F.col("n_novel"), F.lit(0)))
+        .withColumn(
+            "novelty_milli",
+            F.expr("(1000 * n_novel) div n_shingles").cast("long"),
+        )
+    )
+
+
 def bloom_membership_flags(
     corpus: DataFrame,
     keys: DataFrame,

@@ -22,7 +22,35 @@ from pyspark.sql import functions as F
 
 from ukis_h3cellstore_spark.ops.text import tokens
 
-__all__ = ["corpus_datacard"]
+__all__ = ["corpus_datacard", "l_diversity"]
+
+
+def l_diversity(
+    df: DataFrame,
+    quasi_cols: list[str],
+    sensitive_col: str,
+    l: int = 3,
+) -> DataFrame:
+    """l-diversity audit — k-anonymity's sibling: a quasi-identifier
+    class can be large (k-anonymous) yet still leak the SENSITIVE
+    attribute if every member shares one value. Group by
+    ``quasi_cols`` and report every equivalence class whose sensitive
+    attribute takes fewer than ``l`` distinct values:
+    (*quasi_cols, n_members, l_distinct).
+
+    One hash aggregation (count + count-distinct per class), map-side
+    combinable; output is classes-sized. Pair with the k-anonymity
+    gate for the standard privacy-review duo."""
+    if l < 2:
+        raise ValueError("l must be >= 2")
+    return (
+        df.groupBy(*quasi_cols)
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_members"),
+            F.countDistinct(sensitive_col).cast("long").alias("l_distinct"),
+        )
+        .filter(F.col("l_distinct") < l)
+    )
 
 
 def corpus_datacard(

@@ -27,7 +27,30 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-__all__ = ["kcenter_coreset"]
+__all__ = ["kcenter_coreset", "first_fail_stage"]
+
+
+def first_fail_stage(
+    df: DataFrame, stages: list[tuple[str, "F.Column"]]
+) -> DataFrame:
+    """Filter-cascade attribution: append ``fail_stage`` — the NAME of
+    the first stage (in order) whose predicate the row fails, or NULL
+    if it passes every stage. This is the corpus-observability primitive
+    behind attrition ("waterfall") reports: every dropped document is
+    charged to exactly ONE stage, so per-stage drop counts sum to the
+    total drop and the report answers "which filter is eating my data".
+
+    Pure map-side projection — the staged predicates become one CASE
+    chain in whole-stage codegen; any aggregation over ``fail_stage``
+    is an ordinary partial-agg groupBy. Predicates that need corpus
+    context (dup-canonicality, frequency cutoffs) should be joined on
+    as boolean columns BEFORE calling this."""
+    if not stages:
+        raise ValueError("stages must not be empty")
+    expr = F.lit(None).cast("string")
+    for name, pred in reversed(stages):
+        expr = F.when(~pred, F.lit(name)).otherwise(expr)
+    return df.withColumn("fail_stage", expr)
 
 
 def kcenter_coreset(
