@@ -31,6 +31,7 @@ _PRIORITY = [
     "corpus_novelty_rate",
     "corpus_filter_attrition",
     "corpus_l_diversity",
+    "corpus_cluster_balanced_sample",
     # tier 2 — oldest driver-green first
     "text_stats",
     "text_langid",

@@ -771,6 +771,111 @@ FROM ranked WHERE rank <= 3
 """
 
 
+def q_corpus_cluster_balanced(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cluster-balanced sampling (ops/similarity.kmeans_fit +
+    ops/sampling.balanced_sample_by_group): cluster the embeddings
+    (Lloyd's, 8 centroids, oracle-pinned exact means), then keep each
+    vector with probability n_min/n_cluster decided by an integer
+    salted-hash test — the topic-rebalancing mix that equalizes
+    expected cluster sizes before training. Reports per cluster
+    (centroid_id, n_members, n_kept)."""
+    e = _embs(spark, sf_dir)
+    cent = S.kmeans_fit(e, n_centroids=8, max_iter=_IVF_ITERS, exact_mean=True)
+    assigned = (
+        e.select("vec_id", "embedding")
+        .crossJoin(F.broadcast(cent))
+        .withColumn(
+            "__sim", S.cosine_similarity(F.col("embedding"), F.col("c_vec"))
+        )
+        .groupBy("vec_id")
+        .agg(
+            F.max_by(
+                "centroid_id", F.struct(F.col("__sim"), -F.col("centroid_id"))
+            ).alias("centroid_id")
+        )
+    )
+    flagged = SM.balanced_sample_by_group(
+        assigned, "centroid_id", id_col="vec_id", salt="cbal"
+    )
+    return flagged.groupBy("centroid_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_members"),
+        F.sum(F.col("keep").cast("long")).alias("n_kept"),
+    )
+
+
+def _q_corpus_cluster_balanced_sql() -> str:
+    """kmeans_fit(8, 2 iters, exact_mean) replica (the ann_ivf CTE
+    pattern) + the integer bucket·n < n_min·2^20 keep test."""
+
+    def cos(a_vec: str, b_vec: str) -> str:
+        return _DUCK_COSINE.replace("a.c_vec", a_vec).replace("q.q_vec", b_vec)
+
+    ctes = [
+        """cent0 AS (
+  SELECT vec_id AS centroid_id,
+         list_transform(embedding, v -> CAST(v AS DOUBLE)) AS c_vec
+  FROM embeddings ORDER BY vec_id LIMIT 8
+)"""
+    ]
+    for i in range(1, _IVF_ITERS + 1):
+        prev = f"cent{i - 1}"
+        ctes.append(
+            f"""a{i} AS (
+  SELECT vec_id, embedding, centroid_id FROM (
+    SELECT e.vec_id, e.embedding, c.centroid_id,
+           row_number() OVER (PARTITION BY e.vec_id
+             ORDER BY {cos('c.c_vec', 'e.embedding')} DESC,
+                      c.centroid_id ASC) AS r
+    FROM embeddings e, {prev} c
+  ) WHERE r = 1
+),
+comp{i} AS (
+  SELECT centroid_id, vec_id,
+         generate_subscripts(embedding, 1) AS pos,
+         CAST(unnest(embedding) AS DOUBLE) AS v
+  FROM a{i}
+),
+pv{i} AS (
+  SELECT centroid_id, pos,
+         list_reduce(list(v ORDER BY vec_id), (x, y) -> x + y)
+           / COUNT(*) AS m
+  FROM comp{i} GROUP BY centroid_id, pos
+),
+cent{i} AS (
+  SELECT centroid_id, list(m ORDER BY pos) AS c_vec
+  FROM pv{i} GROUP BY centroid_id
+)"""
+        )
+    last = f"cent{_IVF_ITERS}"
+    ctes.append(
+        f"""assigned AS (
+  SELECT vec_id, centroid_id FROM (
+    SELECT e.vec_id, c.centroid_id,
+           row_number() OVER (PARTITION BY e.vec_id
+             ORDER BY {cos('c.c_vec', 'e.embedding')} DESC,
+                      c.centroid_id ASC) AS r
+    FROM embeddings e, {last} c
+  ) WHERE r = 1
+),
+counts AS (SELECT centroid_id, COUNT(*) AS n_group FROM assigned GROUP BY 1),
+mn AS (SELECT MIN(n_group) AS n_min FROM counts),
+flagged AS (
+  SELECT a.centroid_id,
+         ((('0x' || substr(md5('cbal' || '|' || CAST(a.vec_id AS VARCHAR)),
+                           1, 15))::BIGINT % 1048576) * t.n_group
+          < mn.n_min * 1048576) AS keep
+  FROM assigned a JOIN counts t USING (centroid_id), mn
+)"""
+    )
+    return f"""
+WITH {', '.join(ctes)}
+SELECT CAST(centroid_id AS BIGINT) AS centroid_id,
+       CAST(COUNT(*) AS BIGINT) AS n_members,
+       CAST(SUM(CASE WHEN keep THEN 1 ELSE 0 END) AS BIGINT) AS n_kept
+FROM flagged GROUP BY 1
+"""
+
+
 _PQ_M = 4
 _PQ_DSUB = 16  # 64 dims / 4 subspaces
 _PQ_K = 16
@@ -4946,6 +5051,7 @@ QUERIES_OPS: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "text_fertility": q_text_fertility,
     "corpus_k_anonymity": q_corpus_k_anonymity,
     "corpus_l_diversity": q_corpus_l_diversity,
+    "corpus_cluster_balanced_sample": q_corpus_cluster_balanced,
     "corpus_novelty_rate": q_corpus_novelty_rate,
     "corpus_filter_attrition": q_corpus_filter_attrition,
     "ann_knn_label_agreement": q_ann_knn_label_agreement,
@@ -5058,6 +5164,7 @@ ORACLES_OPS: dict[str, str] = {
     "text_fertility": Q_TEXT_FERTILITY_SQL,
     "corpus_k_anonymity": Q_CORPUS_K_ANON_SQL,
     "corpus_l_diversity": Q_CORPUS_L_DIVERSITY_SQL,
+    "corpus_cluster_balanced_sample": _q_corpus_cluster_balanced_sql(),
     "corpus_novelty_rate": Q_CORPUS_NOVELTY_SQL,
     "corpus_filter_attrition": Q_CORPUS_ATTRITION_SQL,
     "ann_knn_label_agreement": Q_ANN_KNN_AGREEMENT_SQL,

@@ -837,3 +837,52 @@ def split_by_group(
     this reason). Same bucket arithmetic and insertion-order carving
     as split_by_hash; fractions are of GROUPS, not rows."""
     return split_by_hash(df, weights, id_col=group_col, salt=salt)
+
+
+def balanced_sample_by_group(
+    df: DataFrame,
+    group_col: str,
+    id_col: str = "doc_id",
+    salt: str = "bal",
+    buckets: int = 1 << 20,
+) -> DataFrame:
+    """Group-balanced downsampling flags: keep each row with
+    probability ``n_min / n_group`` (the smallest group keeps
+    everything), so every group's EXPECTED surviving size equals the
+    smallest group's — the uniform-across-clusters / topic-rebalancing
+    mix (temperature τ→0 at the group level, but exactly computable
+    and integer-decided). Appends (n_group, keep); deciding by a
+    salted id-hash bucket keeps the sample reproducible and
+    incremental (same id ⇒ same verdict on re-runs), and the keep
+    test ``bucket · n_group < n_min · buckets`` is pure integer
+    arithmetic — engine-exact, no float rates.
+
+    Scale shape: one groups-sized count aggregate broadcast back plus
+    a 1-row min; the verdict is a map-side projection."""
+    counts = df.groupBy(group_col).agg(F.count(F.lit(1)).alias("n_group"))
+    n_min = counts.agg(F.min("n_group").alias("__mn"))
+    bucket = (
+        F.conv(
+            F.substring(
+                F.md5(
+                    F.concat(
+                        F.lit(salt), F.lit("|"), F.col(id_col).cast("string")
+                    )
+                ),
+                1,
+                15,
+            ),
+            16,
+            10,
+        ).cast("long")
+        % F.lit(buckets)
+    )
+    return (
+        df.join(F.broadcast(counts), on=group_col)
+        .crossJoin(F.broadcast(n_min))
+        .withColumn(
+            "keep",
+            bucket * F.col("n_group") < F.col("__mn") * F.lit(buckets),
+        )
+        .drop("__mn")
+    )
