@@ -217,6 +217,41 @@ def main() -> None:
     dt = time.time() - t0
     print(f"{'mad_outliers_skew_10M':24s} {dt:8.1f}s  ({10_000_000 / dt:,.0f} rows/s)")
 
+    # round-8 scorers: the attrition CASE chain (pure projection +
+    # one dup-canonicality join) and the novelty anti-join (batch
+    # shingles vs the distinct corpus shingle set)
+    from ukis_h3cellstore_spark.ops import selection as SE
+
+    att = docs_src.select(
+        "doc_id",
+        "source",
+        _F.size(X.tokens("text")).cast("long").alias("__nt"),
+        _F.aggregate(
+            X.tokens("text"), _F.lit(0).cast("long"), lambda a, x: a + _F.length(x)
+        ).alias("__tc"),
+        _F.size(_F.array_distinct(X.tokens("text"))).cast("long").alias("__nd"),
+    )
+    phase(
+        "filter_attrition",
+        SE.first_fail_stage(
+            att,
+            [
+                ("min_tokens", _F.col("__nt") >= 20),
+                ("tok_len", 10 * _F.col("__tc") <= 49 * _F.col("__nt")),
+                ("ttr", 10 * _F.col("__nd") >= 3 * _F.col("__nt")),
+            ],
+        ).groupBy("source", "fail_stage").count(),
+    )
+    nov_batch = docs.filter(_F.col("doc_id") % 20 == 0)
+    nov_corpus = docs.filter(_F.col("doc_id") % 20 != 0)
+    gc()
+    t0 = time.time()
+    D.novelty_against_corpus(nov_batch, nov_corpus).write.format("noop").mode(
+        "overwrite"
+    ).save()
+    dt = time.time() - t0
+    print(f"{'novelty_5pct_batch':24s} {dt:8.1f}s  ({n / dt:,.0f} docs/s)")
+
     phase("bigram_surprisal", X.bigram_surprisal(docs))
     # BM25: query terms carry replica suffixes so each term matches
     # exactly one replica's postings — the timed cost is the corpus
