@@ -32,6 +32,7 @@ _PRIORITY = [
     "corpus_filter_attrition",
     "corpus_l_diversity",
     "corpus_cluster_balanced_sample",
+    "streaming_novelty",
     # tier 2 — oldest driver-green first
     "text_stats",
     "text_langid",

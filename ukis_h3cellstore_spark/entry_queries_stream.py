@@ -883,7 +883,75 @@ FROM w GROUP BY 1, 2
 """
 
 
+def q_streaming_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming crawl-novelty triage (streaming.novelty_against_static):
+    the incoming snapshot (doc_id < 100) streams in file micro-batches;
+    each document's distinct 3-shingles are marked novel by a
+    stream-static LEFT OUTER join against the established corpus's
+    (doc_id ≥ 100) shingle set — stateless, the static side re-reads
+    per batch — and ONE streaming aggregation accumulates per-source
+    (n_shingles, n_novel). Associative sums ⇒ equals the batch replay
+    regardless of the micro-batch split."""
+    from ukis_h3cellstore_spark.ops.dedup import shingle_df
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+        "doc_id", "source", "text"
+    )
+    corpus_sh = (
+        shingle_df(docs.filter(F.col("doc_id") >= 100), "text", "doc_id", 3)
+        .select("shingle")
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    batch = docs.filter(F.col("doc_id") < 100)
+    stream_dir = tempfile.mkdtemp(prefix="h3stream_novelty_")
+    batch.repartition(4).write.mode("overwrite").parquet(stream_dir)
+    stream = st.read_stream(
+        spark, stream_dir, batch.schema, max_files_per_trigger=1
+    )
+    agg = st.novelty_against_static(stream, corpus_sh, "text", "source", k=3)
+    _SINK_COUNTER[0] += 1
+    sink = f"stream_novelty_sink_{_SINK_COUNTER[0]}"
+    q = (
+        agg.writeStream.format("memory")
+        .queryName(sink)
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    _await_done(q)
+    return spark.table(sink).select(
+        "source",
+        F.col("n_shingles").cast("long").alias("n_shingles"),
+        F.col("n_novel").cast("long").alias("n_novel"),
+    )
+
+
+_Q_STREAMING_NOVELTY_SQL = """
+WITH sh AS (
+  SELECT DISTINCT doc_id,
+         concat_ws(' ', toks[i], toks[i+1], toks[i+2]) AS shingle
+  FROM (SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS toks
+        FROM documents) t,
+       unnest(generate_series(1, greatest(len(toks) - 2, 0))) AS u(i)
+),
+corp AS (SELECT DISTINCT shingle FROM sh WHERE doc_id >= 100),
+newsh AS (
+  SELECT s.shingle, d.source
+  FROM sh s JOIN documents d USING (doc_id)
+  WHERE s.doc_id < 100
+)
+SELECT source,
+       CAST(COUNT(*) AS BIGINT) AS n_shingles,
+       CAST(SUM(CASE WHEN c.shingle IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_novel
+FROM newsh n LEFT JOIN corp c ON c.shingle = n.shingle
+GROUP BY 1
+"""
+
+
 QUERIES_STREAM: dict[str, Callable[[SparkSession, str], DataFrame]] = {
+    "streaming_novelty": q_streaming_novelty,
     "streaming_robust_score": q_streaming_robust_score,
     "streaming_ttl_dedup": q_streaming_ttl_dedup,
     "streaming_hll_distinct": q_streaming_hll_distinct,
@@ -900,6 +968,7 @@ QUERIES_STREAM: dict[str, Callable[[SparkSession, str], DataFrame]] = {
 }
 
 ORACLES_STREAM: dict[str, str] = {
+    "streaming_novelty": _Q_STREAMING_NOVELTY_SQL,
     "streaming_robust_score": _Q_STREAMING_ROBUST_SCORE_SQL,
     "streaming_ttl_dedup": _Q_STREAMING_TTL_DEDUP_SQL,
     "streaming_hll_distinct": _Q_STREAMING_HLL_SQL,

@@ -392,6 +392,57 @@ def score_against_static(
     )
 
 
+def novelty_against_static(
+    stream: DataFrame,
+    corpus_shingles: DataFrame,
+    text_col: str = "text",
+    group_col: str = "source",
+    k: int = 3,
+) -> DataFrame:
+    """Streaming novelty triage — the online twin of
+    :func:`ukis_h3cellstore_spark.ops.dedup.novelty_against_corpus`:
+    each streamed document's DISTINCT k-shingles are marked novel via
+    a stream-static LEFT OUTER join against the established corpus's
+    shingle set (stateless — the static side is re-read per
+    micro-batch, no stream state), then ONE streaming aggregation
+    accumulates per-``group_col`` (n_shingles, n_novel). Both counts
+    are associative sums, so the result is batch-split-proof and
+    equals the batch replay.
+
+    The per-document shingle set is built INSIDE the row (sequence →
+    transform → array_distinct → explode), deliberately avoiding a
+    per-doc DISTINCT aggregation — chaining two stateful operators is
+    where streaming plans go to die; this plan has exactly one.
+
+    ``corpus_shingles`` must be a static (shingle) frame, already
+    distinct; at scale it is the persisted inverted index's key set."""
+    toks = F.split(F.trim(F.col(text_col)), r"\s+")
+    n = F.size(toks)
+    sh_arr = F.array_distinct(
+        F.when(
+            n >= k,
+            F.transform(
+                F.sequence(F.lit(1), n - (k - 1)),
+                lambda i: F.concat_ws(
+                    " ", *[F.element_at(toks, i + j) for j in range(k)]
+                ),
+            ),
+        ).otherwise(F.array().cast("array<string>"))
+    )
+    exploded = stream.select(
+        F.col(group_col), F.explode(sh_arr).alias("shingle")
+    )
+    marked = exploded.join(
+        corpus_shingles.select("shingle", F.lit(1).alias("__known")),
+        on="shingle",
+        how="left_outer",
+    )
+    return marked.groupBy(group_col).agg(
+        F.count(F.lit(1)).alias("n_shingles"),
+        F.sum(F.col("__known").isNull().cast("long")).alias("n_novel"),
+    )
+
+
 def dedup_within_watermark(
     stream: DataFrame,
     keys: list[str],
