@@ -133,6 +133,48 @@ def main() -> None:
     )
     print(f"z-ordered publish: {spark.read.parquet(out).count()} rows at {out}")
 
+    # 16. (round 8) the daily ingest, end to end: screen the incoming
+    # snapshot against the persisted MinHash index, drop near-dups,
+    # excise exact shared spans from the survivors
+    corpus = docs.filter(F.col("doc_id") >= 100).select("doc_id", "text")
+    batch = docs.filter(F.col("doc_id") < 100).select("doc_id", "text")
+    D.build_minhash_index(corpus, "example_mh_index")
+    hits = D.dedup_against_index(batch, "example_mh_index", min_est_jaccard=0.25)
+    print(f"incoming docs flagged as near-dups of the corpus: {hits.count()}")
+    nov = D.novelty_against_corpus(batch, corpus)
+    nov.agg(F.min("novelty_milli"), F.max("novelty_milli")).show()
+    spark.sql("DROP TABLE IF EXISTS example_mh_index")
+
+    # 17. (round 8) attrition waterfall: which filter eats the data
+    from ukis_h3cellstore_spark.ops import selection as SEL
+
+    att_base = docs.select(
+        "doc_id",
+        "source",
+        F.size(X.tokens("text")).cast("long").alias("nt"),
+        F.size(F.array_distinct(X.tokens("text"))).cast("long").alias("nd"),
+    )
+    SEL.first_fail_stage(
+        att_base,
+        [("min_tokens", F.col("nt") >= 20), ("ttr", 10 * F.col("nd") >= 3 * F.col("nt"))],
+    ).groupBy("fail_stage").count().show()
+
+    # 18. (round 8) tokenize -> pack -> shard: train a BPE merge table
+    # (on a sample at scale), apply it, pack 512-token windows, export
+    merges = X.bpe_train(docs.select("doc_id", "text"), n_merges=2)
+    print(f"learned merges: {[(l, r) for _, l, r, _ in merges]}")
+    cur = docs.select("doc_id", "text")
+    for _, l, r, _ in merges:
+        cur = X.bpe_apply_merge(cur, l, r).select("doc_id", "text")
+    packed = SM.pack_documents(cur, max_tokens=512, num_shards=8)
+    from ukis_h3cellstore_spark.layout import write_jsonl_shards
+
+    shard_dir = tempfile.mkdtemp(prefix="shards_")
+    manifest = write_jsonl_shards(
+        cur.join(packed, "doc_id"), shard_dir, docs_per_shard=2000
+    )
+    print(f"exported {manifest.count()} jsonl shards to {shard_dir}")
+
     spark.stop()
 
 
