@@ -33,6 +33,12 @@ _PRIORITY = [
     "corpus_l_diversity",
     "corpus_cluster_balanced_sample",
     "streaming_novelty",
+    "events_ks_drift",
+    "events_type_bucket_dependence",
+    "events_pareto_frontier",
+    "text_readability",
+    "ann_matryoshka_top3",
+    "streaming_cdc_upsert",
     # tier 2 — oldest driver-green first
     "text_stats",
     "text_langid",

@@ -1,0 +1,234 @@
+"""Unit tests for the round-8 second-wave operators against serial
+brute force: ks_vs_rest (explicit ECDF sweep), categorical_dependence
+(hand contingency math), pareto_frontier (O(n^2) dominance), the
+global_cummax primitive (inclusive + exclusive), readability
+(hand-counted fixtures), matryoshka_topk (numpy prefix cosine), and
+cdc_upsert micro-batch-split invariance with tombstone semantics."""
+
+from __future__ import annotations
+
+import math
+
+from pyspark.sql import functions as F
+
+from ukis_h3cellstore_spark.ops.prefix import global_cummax
+from ukis_h3cellstore_spark.ops.report import categorical_dependence
+from ukis_h3cellstore_spark.ops.robust import ks_vs_rest
+from ukis_h3cellstore_spark.ops.selection import pareto_frontier
+from ukis_h3cellstore_spark.ops.similarity import matryoshka_topk
+from ukis_h3cellstore_spark.ops.text import readability
+
+
+def _brute_ks(rows, scale=1_000_000):
+    """Serial KS-vs-rest: evaluate both ECDF numerators at every
+    pooled distinct value, integer arithmetic throughout."""
+    all_vals = sorted({v for _, v in rows})
+    n = len(rows)
+    out = {}
+    for g in {g for g, _ in rows}:
+        gvals = sorted(v for gg, v in rows if gg == g)
+        ng = len(gvals)
+        d = 0
+        for v in all_vals:
+            cg = sum(1 for x in gvals if x <= v)
+            c = sum(1 for _, x in rows if x <= v)
+            d = max(d, abs(cg * n - c * ng))
+        out[g] = (ng, (d * scale) // (ng * n))
+    return out
+
+
+def test_ks_vs_rest_matches_brute_force(spark):
+    rows = [
+        ("a", 1.0), ("a", 2.0), ("a", 2.0), ("a", 9.0),
+        ("b", 2.0), ("b", 3.0), ("b", 4.0), ("b", 4.0), ("b", 5.0),
+        ("c", 0.5), ("c", 9.5),
+    ]
+    df = spark.createDataFrame(rows, "g string, v double")
+    got = {
+        r["g"]: (r["n_group"], r["ks_scaled"])
+        for r in ks_vs_rest(df, "g", "v").collect()
+    }
+    assert got == _brute_ks(rows)
+
+
+def test_ks_vs_rest_identical_distribution_is_zero(spark):
+    # two groups with IDENTICAL value multisets -> pooled equals each,
+    # D = 0 exactly
+    rows = [("a", float(v)) for v in (1, 2, 3)] + [
+        ("b", float(v)) for v in (1, 2, 3)
+    ]
+    df = spark.createDataFrame(rows, "g string, v double")
+    for r in ks_vs_rest(df, "g", "v").collect():
+        assert r["ks_scaled"] == 0
+
+
+def test_categorical_dependence_hand_computed(spark):
+    # 2x2 table: o = [[20, 10], [10, 20]], n = 60
+    rows = (
+        [("x", 0)] * 20 + [("x", 1)] * 10 + [("y", 0)] * 10 + [("y", 1)] * 20
+    )
+    df = spark.createDataFrame(rows, "a string, b int")
+    r = categorical_dependence(df, "a", "b").collect()[0]
+    assert (r["n"], r["n_a"], r["n_b"], r["dof"]) == (60, 2, 2, 1)
+    # chi2 = sum (o-e)^2/e with e = 15 everywhere: 4 * 25/15 = 20/3
+    assert r["chi2"] == round(20 / 3, 6)
+    mi = sum(
+        (o / 60) * math.log(o * 60 / (30 * 30))
+        for o in (20, 10, 10, 20)
+    )
+    assert r["mi_nats"] == round(mi, 6)
+    assert r["cramers_v"] == round(math.sqrt((20 / 3) / 60), 6)
+
+
+def test_categorical_dependence_independent_is_zero(spark):
+    # perfectly proportional table -> chi2 = mi = 0
+    rows = [("x", 0)] * 8 + [("x", 1)] * 4 + [("y", 0)] * 4 + [("y", 1)] * 2
+    df = spark.createDataFrame(rows, "a string, b int")
+    r = categorical_dependence(df, "a", "b").collect()[0]
+    assert r["chi2"] == 0.0 and r["mi_nats"] == 0.0 and r["cramers_v"] == 0.0
+
+
+def _brute_frontier(pts):
+    pts = set(pts)
+    return {
+        p
+        for p in pts
+        if not any(
+            q != p and q[0] >= p[0] and q[1] >= p[1] for q in pts
+        )
+    }
+
+
+def test_pareto_frontier_matches_brute_force(spark):
+    pts = [
+        (1, 9.0), (2, 9.0), (2, 3.0), (3, 7.0), (4, 7.0), (4, 1.0),
+        (5, 0.5), (1, 9.0),
+    ]
+    df = spark.createDataFrame(pts, "x long, y double")
+    got = {(r["x"], r["y"]) for r in pareto_frontier(df, "x", "y").collect()}
+    assert got == _brute_frontier(pts)
+    # (2, 9.0) dominates (1, 9.0); (4, 7.0) dominates (3, 7.0)
+    assert got == {(2, 9.0), (4, 7.0), (5, 0.5)}
+
+
+def test_pareto_frontier_single_point(spark):
+    df = spark.createDataFrame([(7, 7.0)], "x long, y double")
+    assert [tuple(r) for r in pareto_frontier(df, "x", "y").collect()] == [
+        (7, 7.0)
+    ]
+
+
+def test_global_cummax_inclusive_and_exclusive(spark):
+    rows = [(i, v) for i, v in enumerate([3, 1, 4, 1, 5, 9, 2, 6])]
+    df = spark.createDataFrame(rows, "i long, v long").repartition(4)
+    inc = {
+        r["i"]: r["cum_max"]
+        for r in global_cummax(df, ["i"], "v", num_partitions=3).collect()
+    }
+    exc = {
+        r["i"]: r["cum_max"]
+        for r in global_cummax(
+            df, ["i"], "v", exclusive=True, num_partitions=3
+        ).collect()
+    }
+    vals = [3, 1, 4, 1, 5, 9, 2, 6]
+    run = None
+    for i, v in enumerate(vals):
+        assert exc[i] == run
+        run = v if run is None else max(run, v)
+        assert inc[i] == run
+
+
+def test_readability_hand_counted(spark):
+    df = spark.createDataFrame(
+        [(1, "The cat sat. It purred!"), (2, ""), (3, "no terminator here")],
+        "doc_id long, text string",
+    )
+    got = {r["doc_id"]: r for r in readability(df).collect()}
+    # doc 1: 5 words, 2 sentence runs, syllable nuclei: e-a-a-I-u-e = 6
+    r1 = got[1]
+    assert (r1["n_words"], r1["n_sents"], r1["n_syllables"]) == (5, 2, 6)
+    assert r1["flesch_milli"] == 206835 - (1015 * 5) // 2 - (84600 * 6) // 5
+    # empty doc: zero words -> NULL score, sentence floor still 1
+    assert got[2]["n_words"] == 0 and got[2]["flesch_milli"] is None
+    # no [.!?] at all -> n_sents floored at 1
+    assert got[3]["n_sents"] == 1
+
+
+def test_matryoshka_topk_equals_prefix_cosine(spark):
+    import numpy as np
+
+    rng = np.random.default_rng(8)
+    vecs = rng.normal(size=(12, 8)).astype("float32")
+    rows = [(i, [float(x) for x in vecs[i]]) for i in range(12)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    got = matryoshka_topk(df, df.filter(F.col("vec_id") < 2), dims=4, k=2)
+    by_q = {}
+    for r in got.collect():
+        by_q.setdefault(r["query_id"], []).append(
+            (r["rank"], r["neighbor_id"], r["cosine_sim"])
+        )
+    for qid in (0, 1):
+        q = vecs[qid][:4].astype("float64")
+        sims = []
+        for nid in range(12):
+            if nid == qid:
+                continue
+            c = vecs[nid][:4].astype("float64")
+            sims.append(
+                (
+                    round(float(q @ c / (np.linalg.norm(q) * np.linalg.norm(c))), 4),
+                    nid,
+                )
+            )
+        sims.sort(key=lambda t: (-t[0], t[1]))
+        want = [(i + 1, nid, s) for i, (s, nid) in enumerate(sims[:2])]
+        assert sorted(by_q[qid]) == want
+
+
+def test_cdc_upsert_split_invariant_with_tombstones(spark, tmp_path):
+    from ukis_h3cellstore_spark import streaming as st
+
+    # key 1: update then delete (tombstoned); key 2: delete then
+    # update (resurrected); key 3: plain updates
+    rows = [
+        (1, 10, False, 100), (1, 20, True, 0),
+        (2, 11, True, 0), (2, 21, False, 200),
+        (3, 12, False, 300), (3, 22, False, 333),
+    ]
+    src = spark.createDataFrame(
+        rows, "user_id long, seq long, is_del boolean, cents long"
+    )
+
+    def run(maxf, tag):
+        d = str(tmp_path / f"cdc_{tag}")
+        src.repartition(6).write.mode("overwrite").parquet(d)
+        stream = st.read_stream(
+            spark, d, src.schema, max_files_per_trigger=maxf
+        )
+        out = st.cdc_upsert(stream, "user_id", "seq", "is_del", "cents")
+        sink = f"t_cdc_{tag}"
+        q = (
+            out.writeStream.format("memory").queryName(sink)
+            .outputMode("update").trigger(availableNow=True).start()
+        )
+        assert q.awaitTermination(120)
+        return {
+            r["user_id"]: (r["last_seq"], r["is_deleted"], r["last_value"])
+            for r in (
+                spark.table(sink)
+                .groupBy("user_id")
+                .agg(
+                    F.max(
+                        F.struct("last_seq", "is_deleted", "last_value")
+                    ).alias("m")
+                )
+                .select("user_id", "m.last_seq", "m.is_deleted", "m.last_value")
+                .collect()
+            )
+        }
+
+    one = run(1, "one")
+    allf = run(6, "all")
+    want = {1: (20, True, 0), 2: (21, False, 200), 3: (22, False, 333)}
+    assert one == want and allf == want

@@ -5029,7 +5029,184 @@ FROM tp_packed GROUP BY 1, 2""")
 Q_CORPUS_TOKENIZE_PACK_SQL = _q_corpus_tokenize_pack_sql()
 
 
+# ---------------------------------------------------------------------------
+# round 8 additions: KS drift, categorical dependence, Pareto frontier,
+# readability, matryoshka prefix ANN
+# ---------------------------------------------------------------------------
+
+
+def q_events_ks_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distribution-drift audit (ops/robust.py:ks_vs_rest): per
+    event_type two-sample Kolmogorov-Smirnov statistic of ``value``
+    against the pooled distribution, integer-exact in micro units
+    (cumulative-count cross products + integral division; no float).
+    Both ECDF sweeps are range-partition + broadcast-offset cumsums —
+    no one-task global window."""
+    from ukis_h3cellstore_spark.entry_queries import _events
+    from ukis_h3cellstore_spark.ops.robust import ks_vs_rest
+
+    ev = _events(spark, sf_dir).select("event_type", "value")
+    out = ks_vs_rest(ev, "event_type", "value", scale=1_000_000)
+    return out.select(
+        "event_type", "n_group", F.col("ks_scaled").alias("ks_micro")
+    )
+
+
+Q_EVENTS_KS_DRIFT_SQL = """
+WITH ev AS (SELECT event_type AS g, value AS v FROM events WHERE value IS NOT NULL),
+cnt AS (SELECT v, g, COUNT(*) AS c FROM ev GROUP BY 1,2),
+perval AS (SELECT v, SUM(c) AS cv FROM cnt GROUP BY 1),
+pooled AS (SELECT v, SUM(cv) OVER (ORDER BY v) AS cpool FROM perval),
+grp AS (SELECT g, SUM(c) AS n_group FROM cnt GROUP BY 1),
+tot AS (SELECT SUM(n_group) AS n_all FROM grp),
+grid AS (SELECT p.v, p.cpool, gr.g, gr.n_group, COALESCE(c.c, 0) AS cellc
+         FROM pooled p CROSS JOIN grp gr
+         LEFT JOIN cnt c ON c.v = p.v AND c.g = gr.g),
+gcum AS (SELECT v, g, cpool, n_group,
+                SUM(cellc) OVER (PARTITION BY g ORDER BY v) AS cgrp
+         FROM grid),
+d AS (SELECT g, n_group,
+             MAX(ABS(CAST(cgrp AS HUGEINT) * (SELECT n_all FROM tot)
+                     - CAST(cpool AS HUGEINT) * n_group)) AS dnum
+      FROM gcum GROUP BY 1,2)
+SELECT g AS event_type, CAST(n_group AS BIGINT) AS n_group,
+       CAST((dnum * 1000000) // (CAST(n_group AS HUGEINT)
+            * (SELECT n_all FROM tot)) AS BIGINT) AS ks_micro
+FROM d
+"""
+
+
+def q_events_type_bucket_dependence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Confounding audit (ops/report.py:categorical_dependence):
+    chi-squared + mutual information + Cramer's V between event_type
+    and a user-id bucket — "is my label independent of my cohort".
+    One |A|x|B| contingency aggregation; margins broadcast."""
+    from ukis_h3cellstore_spark.entry_queries import _events
+    from ukis_h3cellstore_spark.ops.report import categorical_dependence
+
+    ev = _events(spark, sf_dir).withColumn(
+        "user_bucket", F.pmod(F.col("user_id"), F.lit(7)).cast("int")
+    )
+    return categorical_dependence(ev, "event_type", "user_bucket")
+
+
+Q_EVENTS_DEPENDENCE_SQL = """
+WITH base AS (SELECT event_type AS a, CAST(user_id % 7 AS INT) AS b FROM events),
+cells AS (SELECT a, b, COUNT(*) AS o FROM base GROUP BY 1,2),
+ra AS (SELECT a, SUM(o) AS r FROM cells GROUP BY 1),
+cb AS (SELECT b, SUM(o) AS c FROM cells GROUP BY 1),
+tot AS (SELECT SUM(o) AS n, COUNT(DISTINCT a) AS na, COUNT(DISTINCT b) AS nb
+        FROM cells),
+grid AS (SELECT ra.a, cb.b, ra.r, cb.c, COALESCE(cells.o, 0) AS o
+         FROM ra CROSS JOIN cb
+         LEFT JOIN cells ON cells.a = ra.a AND cells.b = cb.b)
+SELECT CAST(n AS BIGINT) AS n, CAST(na AS BIGINT) AS n_a,
+       CAST(nb AS BIGINT) AS n_b, CAST((na-1)*(nb-1) AS BIGINT) AS dof,
+       round(SUM((o - r*c/CAST(n AS DOUBLE))^2 / (r*c/CAST(n AS DOUBLE))), 6)
+         AS chi2,
+       round(SUM(CASE WHEN o > 0 THEN (o/CAST(n AS DOUBLE))
+                 * ln(o * CAST(n AS DOUBLE) / (r * CAST(c AS DOUBLE)))
+                 ELSE 0 END), 6) AS mi_nats,
+       round(sqrt(SUM((o - r*c/CAST(n AS DOUBLE))^2 / (r*c/CAST(n AS DOUBLE)))
+             / (n * (least(na, nb) - 1))), 6) AS cramers_v
+FROM grid, tot GROUP BY n, na, nb
+"""
+
+
+def q_events_pareto_frontier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-criteria pick list (ops/selection.py:pareto_frontier):
+    undominated (n_events, max_value) user profiles — per-x max
+    reduction then ONE distributed exclusive-cummax sweep
+    (ops/prefix.py:global_cummax), never the all-pairs dominance
+    join."""
+    from ukis_h3cellstore_spark.entry_queries import _events
+    from ukis_h3cellstore_spark.ops.selection import pareto_frontier
+
+    up = (
+        _events(spark, sf_dir)
+        .groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.max("value").alias("max_value"),
+        )
+    )
+    return pareto_frontier(up, "n_events", "max_value")
+
+
+Q_EVENTS_PARETO_SQL = """
+WITH u AS (SELECT user_id, COUNT(*) AS n_events, MAX(value) AS max_value
+           FROM events GROUP BY 1),
+p AS (SELECT DISTINCT n_events, max_value FROM u)
+SELECT CAST(n_events AS BIGINT) AS n_events, max_value FROM p
+WHERE NOT EXISTS (
+  SELECT 1 FROM p q
+  WHERE q.n_events >= p.n_events AND q.max_value >= p.max_value
+    AND (q.n_events > p.n_events OR q.max_value > p.max_value))
+"""
+
+
+def q_text_readability(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Flesch-style readability screen (ops/text.py:readability):
+    integer-exact words / sentence-runs / vowel-group syllables and
+    the milli-scaled reading-ease score, pure whole-stage-codegen
+    projection."""
+    return X.readability(_docs(spark, sf_dir))
+
+
+Q_TEXT_READABILITY_SQL = r"""
+WITH b AS (
+  SELECT doc_id,
+    CASE WHEN length(trim(text)) = 0 THEN 0
+         ELSE len(regexp_split_to_array(trim(text), '\s+')) END AS n_words,
+    greatest(len(regexp_extract_all(text, '[.!?]+')), 1) AS n_sents,
+    len(regexp_extract_all(lower(text), '[aeiouy]+')) AS n_syll
+  FROM documents)
+SELECT CAST(doc_id AS BIGINT) AS doc_id, CAST(n_words AS BIGINT) AS n_words,
+       CAST(n_sents AS BIGINT) AS n_sents, CAST(n_syll AS BIGINT) AS n_syllables,
+       CASE WHEN n_words > 0
+            THEN CAST(206835 - (1015 * n_words) // n_sents
+                 - (84600 * n_syll) // n_words AS BIGINT) END AS flesch_milli
+FROM b
+"""
+
+
+def q_ann_matryoshka_top3(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Matryoshka prefix retrieval (ops/similarity.py:matryoshka_topk):
+    exact cosine top-3 over the FIRST 16 embedding coordinates — the
+    cheap tier of truncated-then-rerank tiered search. Same broadcast
+    + TakeOrderedAndProject shape as ann_cosine_top3 at 16/d the
+    dot-product cost."""
+    e = _embs(spark, sf_dir)
+    return S.matryoshka_topk(e, e.filter(F.col("vec_id") < 10), dims=16, k=3)
+
+
+Q_ANN_MATRYOSHKA_SQL = f"""
+WITH q AS (SELECT vec_id AS query_id, embedding[1:16] AS q_vec FROM embeddings
+           WHERE vec_id < 10),
+     c AS (SELECT vec_id AS neighbor_id, embedding[1:16] AS c_vec FROM embeddings),
+scored AS (
+  SELECT q.query_id, a.neighbor_id,
+         round(CAST({_DUCK_COSINE} AS DOUBLE), 4) AS cosine_sim
+  FROM c a, q WHERE a.neighbor_id <> q.query_id
+),
+ranked AS (
+  SELECT *, row_number() OVER (
+      PARTITION BY query_id ORDER BY cosine_sim DESC, neighbor_id ASC) AS rank
+  FROM scored
+)
+SELECT CAST(query_id AS BIGINT) AS query_id,
+       CAST(neighbor_id AS BIGINT) AS neighbor_id,
+       cosine_sim, CAST(rank AS INT) AS rank
+FROM ranked WHERE rank <= 3
+"""
+
+
 QUERIES_OPS: dict[str, Callable[[SparkSession, str], DataFrame]] = {
+    "events_ks_drift": q_events_ks_drift,
+    "events_type_bucket_dependence": q_events_type_bucket_dependence,
+    "events_pareto_frontier": q_events_pareto_frontier,
+    "text_readability": q_text_readability,
+    "ann_matryoshka_top3": q_ann_matryoshka_top3,
     "corpus_weighted_sample": q_corpus_weighted_sample,
     "text_taxonomy_tag": q_text_taxonomy_tag,
     "events_mad_outliers": q_events_mad_outliers,
@@ -5143,6 +5320,11 @@ QUERIES_OPS: dict[str, Callable[[SparkSession, str], DataFrame]] = {
 }
 
 ORACLES_OPS: dict[str, str] = {
+    "events_ks_drift": Q_EVENTS_KS_DRIFT_SQL,
+    "events_type_bucket_dependence": Q_EVENTS_DEPENDENCE_SQL,
+    "events_pareto_frontier": Q_EVENTS_PARETO_SQL,
+    "text_readability": Q_TEXT_READABILITY_SQL,
+    "ann_matryoshka_top3": Q_ANN_MATRYOSHKA_SQL,
     "corpus_weighted_sample": Q_CORPUS_WEIGHTED_SAMPLE_SQL,
     "text_taxonomy_tag": _q_text_taxonomy_tag_sql(),
     "events_mad_outliers": Q_EVENTS_MAD_OUTLIERS_SQL,

@@ -950,8 +950,72 @@ GROUP BY 1
 """
 
 
+def q_streaming_cdc_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CDC apply (streaming.py:cdc_upsert): last-writer-wins upsert
+    with tombstones over the events table replayed as a change stream
+    (event_id as the LSN; 'click' rows are deletes). The per-key state
+    is the max of (seq, is_delete, value) — associative, commutative,
+    idempotent — so the materialized table is micro-batch-split-proof
+    and equals the batch argmax the oracle computes. Final
+    materialization: max last_seq per key over the update-mode
+    emissions."""
+    import tempfile
+
+    from ukis_h3cellstore_spark import streaming as st
+
+    src = _events(spark, sf_dir).select(
+        F.col("user_id"),
+        F.col("event_id").alias("seq"),
+        (F.col("event_type") == "click").alias("is_del"),
+        F.round(F.col("value") * 100).cast("long").alias("cents"),
+    )
+    stream_dir = tempfile.mkdtemp(prefix="cdc_src_")
+    src.repartition(8).write.mode("overwrite").parquet(stream_dir)
+    stream = st.read_stream(spark, stream_dir, src.schema, max_files_per_trigger=2)
+    out = st.cdc_upsert(stream, "user_id", "seq", "is_del", "cents")
+    _SINK_COUNTER[0] += 1
+    sink = f"cdc_sink_{_SINK_COUNTER[0]}"
+    q = (
+        out.writeStream.format("memory")
+        .queryName(sink)
+        .outputMode("update")
+        .trigger(availableNow=True)
+        .start()
+    )
+    _await_done(q)
+    return (
+        spark.table(sink)
+        .groupBy("user_id")
+        .agg(F.max(F.struct("last_seq", "is_deleted", "last_value")).alias("m"))
+        .select(
+            "user_id",
+            F.col("m.last_seq").alias("last_seq"),
+            F.col("m.is_deleted").alias("is_deleted"),
+            F.col("m.last_value").alias("last_value"),
+        )
+    )
+
+
+_Q_STREAMING_CDC_UPSERT_SQL = """
+WITH c AS (
+  SELECT user_id, event_id AS seq, (event_type = 'click') AS is_del,
+         CAST(round(value * 100) AS BIGINT) AS cents
+  FROM events
+),
+w AS (
+  SELECT user_id, seq, is_del, cents,
+         row_number() OVER (PARTITION BY user_id ORDER BY seq DESC) AS rn
+  FROM c
+)
+SELECT CAST(user_id AS BIGINT) AS user_id, CAST(seq AS BIGINT) AS last_seq,
+       is_del AS is_deleted, cents AS last_value
+FROM w WHERE rn = 1
+"""
+
+
 QUERIES_STREAM: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "streaming_novelty": q_streaming_novelty,
+    "streaming_cdc_upsert": q_streaming_cdc_upsert,
     "streaming_robust_score": q_streaming_robust_score,
     "streaming_ttl_dedup": q_streaming_ttl_dedup,
     "streaming_hll_distinct": q_streaming_hll_distinct,
@@ -969,6 +1033,7 @@ QUERIES_STREAM: dict[str, Callable[[SparkSession, str], DataFrame]] = {
 
 ORACLES_STREAM: dict[str, str] = {
     "streaming_novelty": _Q_STREAMING_NOVELTY_SQL,
+    "streaming_cdc_upsert": _Q_STREAMING_CDC_UPSERT_SQL,
     "streaming_robust_score": _Q_STREAMING_ROBUST_SCORE_SQL,
     "streaming_ttl_dedup": _Q_STREAMING_TTL_DEDUP_SQL,
     "streaming_hll_distinct": _Q_STREAMING_HLL_SQL,

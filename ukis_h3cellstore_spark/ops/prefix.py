@@ -209,3 +209,58 @@ def binary_auc(
         "n_pos",
         "n_neg",
     )
+
+
+def global_cummax(
+    df: DataFrame,
+    order_cols: list,
+    value_col,
+    out_col: str = "cum_max",
+    exclusive: bool = False,
+    num_partitions: int | None = None,
+) -> DataFrame:
+    """Append ``out_col`` = running MAX of ``value_col`` over the
+    global ordering of ``order_cols`` — the cummax twin of
+    :func:`global_cumsum`, same range-partition + broadcast-offset
+    shape (offsets combine by max, which is associative AND
+    idempotent, so the per-partition collect is num_partitions rows of
+    metadata). ``exclusive=True`` yields the max over STRICTLY
+    preceding rows (NULL for the global first row) — the form
+    dominance/skyline tests need. Column expressions are accepted in
+    ``order_cols`` (e.g. ``F.col("x").desc()``)."""
+    value = F.col(value_col) if isinstance(value_col, str) else value_col
+    ncols = [F.col(c) if isinstance(c, str) else c for c in order_cols]
+    if num_partitions is None:
+        rp = df.repartitionByRange(*ncols)
+    else:
+        rp = df.repartitionByRange(num_partitions, *ncols)
+    staged = rp.withColumn("__pid", F.spark_partition_id()).withColumn(
+        "__v", value
+    )
+    hi = -1 if exclusive else 0
+    w = (
+        Window.partitionBy("__pid")
+        .orderBy(*ncols)
+        .rowsBetween(Window.unboundedPreceding, hi)
+    )
+    within = staged.withColumn("__within", F.max("__v").over(w)).localCheckpoint(
+        eager=False
+    )
+    totals = (
+        within.groupBy("__pid").agg(F.max("__v").alias("__total")).collect()
+    )
+    by_pid = {int(r["__pid"]): r["__total"] for r in totals}
+    v_type = dict(staged.select(F.col("__v")).dtypes)["__v"]
+    offsets, acc = [], None
+    for pid in sorted(by_pid):
+        offsets.append((pid, acc))
+        t = by_pid[pid]
+        if t is not None:
+            acc = t if acc is None else max(acc, t)
+    spark = df.sparkSession
+    off_df = spark.createDataFrame(offsets, f"__pid int, __offset {v_type}")
+    return (
+        within.join(F.broadcast(off_df), on="__pid", how="left")
+        .withColumn(out_col, F.greatest("__offset", "__within"))
+        .drop("__pid", "__v", "__within", "__offset")
+    )

@@ -22,7 +22,7 @@ from pyspark.sql import functions as F
 
 from ukis_h3cellstore_spark.ops.text import tokens
 
-__all__ = ["corpus_datacard", "l_diversity"]
+__all__ = ["corpus_datacard", "l_diversity", "categorical_dependence"]
 
 
 def l_diversity(
@@ -127,5 +127,76 @@ def corpus_datacard(
             F.expr("(1000 * __top) div n_docs").cast("long").alias(
                 "top_source_share_milli"
             ),
+        )
+    )
+
+
+def categorical_dependence(df: DataFrame, col_a: str, col_b: str) -> DataFrame:
+    """Dependence audit between two categorical columns — the
+    contingency-table trio every dataset datasheet wants for "is my
+    label confounded with my source": Pearson chi-squared, mutual
+    information (nats), and Cramer's V, one output row.
+
+    Definitions (o = observed cell count, r/c = margins, n = total):
+    ``chi2 = sum (o - rc/n)^2 / (rc/n)`` over ALL margin pairs (zero
+    cells contribute (rc/n)), ``mi = sum (o/n) ln(o n / (r c))`` over
+    observed cells (0 ln 0 = 0), ``cramers_v =
+    sqrt(chi2 / (n (min(|A|,|B|) - 1)))``.
+
+    Scale shape: ONE data-sized aggregation (the |A| x |B| cell
+    count, map-side combinable); margins and the zero-cell grid are
+    cells-sized frames joined broadcast. Float enters only in the
+    final per-cell terms (integer counts up to there), and the
+    6-decimal rounding is far coarser than the ~1e-14 summation-order
+    jitter of the cells-sized sums."""
+    cells = df.groupBy(col_a, col_b).agg(F.count(F.lit(1)).alias("__o"))
+    ra = cells.groupBy(col_a).agg(F.sum("__o").alias("__ra"))
+    cb = cells.groupBy(col_b).agg(F.sum("__o").alias("__cb"))
+    # full margin grid so zero cells still contribute their expected
+    # count to chi2 (MI terms vanish at o = 0 by convention)
+    grid = (
+        ra.crossJoin(F.broadcast(cb))
+        .join(cells, on=[col_a, col_b], how="left")
+        .withColumn("__o", F.coalesce(F.col("__o"), F.lit(0)))
+    )
+    tot = cells.agg(
+        F.sum("__o").alias("__n"),
+        F.count_distinct(F.col(col_a)).alias("n_a"),
+        F.count_distinct(F.col(col_b)).alias("n_b"),
+    )
+    o = F.col("__o").cast("double")
+    n = F.col("__n").cast("double")
+    e = F.col("__ra").cast("double") * F.col("__cb").cast("double") / n
+    chi_term = (o - e) * (o - e) / e
+    mi_term = F.when(
+        F.col("__o") > 0,
+        (o / n)
+        * F.log(
+            o * n / (F.col("__ra").cast("double") * F.col("__cb").cast("double"))
+        ),
+    ).otherwise(F.lit(0.0))
+    return (
+        grid.crossJoin(F.broadcast(tot))
+        .withColumn("__chi", chi_term)
+        .withColumn("__mi", mi_term)
+        .groupBy("__n", "n_a", "n_b")
+        .agg(F.sum("__chi").alias("__chi2"), F.sum("__mi").alias("__minat"))
+        .select(
+            F.col("__n").cast("long").alias("n"),
+            F.col("n_a").cast("long").alias("n_a"),
+            F.col("n_b").cast("long").alias("n_b"),
+            ((F.col("n_a") - 1) * (F.col("n_b") - 1)).cast("long").alias("dof"),
+            F.round(F.col("__chi2"), 6).alias("chi2"),
+            F.round(F.col("__minat"), 6).alias("mi_nats"),
+            F.round(
+                F.sqrt(
+                    F.col("__chi2")
+                    / (
+                        F.col("__n").cast("double")
+                        * (F.least(F.col("n_a"), F.col("n_b")) - 1).cast("double")
+                    )
+                ),
+                6,
+            ).alias("cramers_v"),
         )
     )

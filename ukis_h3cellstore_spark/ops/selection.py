@@ -27,7 +27,48 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-__all__ = ["kcenter_coreset", "first_fail_stage"]
+__all__ = ["kcenter_coreset", "first_fail_stage", "pareto_frontier"]
+
+
+def pareto_frontier(
+    df: DataFrame,
+    x_col: str,
+    y_col: str,
+    num_partitions: int | None = None,
+) -> DataFrame:
+    """2-D Pareto frontier (skyline, both coordinates maximized): the
+    distinct ``(x, y)`` points NOT weakly dominated by any other point
+    (q dominates p iff ``qx >= px AND qy >= py`` with at least one
+    strict). The curation use: "which (n_events, best_score) profiles
+    are undominated" — the classic multi-criteria pick list.
+
+    Scale shape — never the naive all-pairs dominance join: reduce to
+    one candidate per distinct x (``groupBy(x).max(y)``, an ordinary
+    partial-agg shuffle), then a single distributed cummax sweep in x-
+    descending order (:func:`~ukis_h3cellstore_spark.ops.prefix.
+    global_cummax`, range-partition + broadcast offsets — no one-task
+    global window). A candidate survives iff its y strictly exceeds
+    the EXCLUSIVE running max over larger x; ties in y across
+    different x lose to the larger x (weak dominance), which the
+    strict ``>`` encodes exactly. Output: ``(x, y)`` frontier points,
+    x ascending semantics left to the caller."""
+    cand = df.groupBy(F.col(x_col).alias("__x")).agg(
+        F.max(F.col(y_col)).alias("__y")
+    )
+    from ukis_h3cellstore_spark.ops.prefix import global_cummax
+
+    swept = global_cummax(
+        cand,
+        [F.col("__x").desc()],
+        "__y",
+        out_col="__m",
+        exclusive=True,
+        num_partitions=num_partitions,
+    )
+    return (
+        swept.filter(F.col("__m").isNull() | (F.col("__y") > F.col("__m")))
+        .select(F.col("__x").alias(x_col), F.col("__y").alias(y_col))
+    )
 
 
 def first_fail_stage(

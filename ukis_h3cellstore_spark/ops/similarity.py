@@ -1698,3 +1698,34 @@ def knn_label_agreement(
             F.col("query_id").alias(id_col), "label", "n_neighbors", "n_agree"
         )
     )
+
+
+def matryoshka_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    dims: int,
+    k: int = 3,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    round_digits: int = 4,
+) -> DataFrame:
+    """Matryoshka-style truncated retrieval: exact cosine top-k over
+    only the FIRST ``dims`` coordinates of each embedding (matryoshka
+    representation learning trains prefixes to be usable embeddings,
+    so tiered retrieval searches the cheap prefix first and re-ranks
+    survivors at full width). This is the prefix stage; compose with
+    :func:`cosine_topk` on the full vectors over the survivors for the
+    re-rank stage.
+
+    Same scale shape as :func:`cosine_topk` (queries broadcast,
+    corpus-parallel scoring, TakeOrderedAndProject top-k) with the
+    dot-product loop ``dims/d`` cheaper — the slice happens before
+    normalization, so prefix cosine is exact, not a rescaled full
+    cosine."""
+    if dims < 1:
+        raise ValueError("dims must be >= 1")
+    c = corpus.withColumn(vec_col, F.slice(F.col(vec_col), 1, dims))
+    q = queries.withColumn(vec_col, F.slice(F.col(vec_col), 1, dims))
+    return cosine_topk(
+        c, q, k=k, id_col=id_col, vec_col=vec_col, round_digits=round_digits
+    )

@@ -1686,3 +1686,48 @@ def collocations_by_lift(
             "lift_milli",
         )
     )
+
+
+def readability(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Integer-exact Flesch-style readability features per document —
+    the classic grade-level quality screen (education-level mix audits
+    for a training corpus). Counts words (whitespace tokens), sentence
+    terminator runs (``[.!?]+``, min 1 so the score is total), and a
+    vowel-group syllable proxy (``[aeiouy]+`` runs over the lowercased
+    text — the standard hyphenation-free approximation; one run per
+    syllable nucleus), then the Flesch reading-ease score in MILLI
+    units by pure integral division:
+
+    ``flesch_milli = 206835 - (1015 * words) div sents
+      - (84600 * syll) div words``
+
+    No float anywhere, so the score is reproducible bit-for-bit by any
+    engine with the same regex semantics (the patterns are character
+    classes only — identical under Java regex and RE2). Pure map-side
+    projection in whole-stage codegen; empty docs yield zero counts
+    and a NULL score."""
+    txt = F.col(text_col)
+    n_words = F.when(F.length(F.trim(txt)) == 0, F.lit(0)).otherwise(
+        F.size(tokens(text_col))
+    )
+    n_sents = F.regexp_count(txt, F.lit(r"[.!?]+"))
+    n_syll = F.regexp_count(F.lower(txt), F.lit(r"[aeiouy]+"))
+    out = (
+        df.select(
+            F.col(id_col),
+            n_words.cast("long").alias("n_words"),
+            F.greatest(n_sents.cast("long"), F.lit(1)).alias("n_sents"),
+            n_syll.cast("long").alias("n_syllables"),
+        )
+    )
+    return out.withColumn(
+        "flesch_milli",
+        F.when(
+            F.col("n_words") > 0,
+            F.lit(206835)
+            - F.expr("(1015 * n_words) div n_sents")
+            - F.expr("(84600 * n_syllables) div n_words"),
+        ).cast("long"),
+    )

@@ -34,6 +34,7 @@ from pyspark.sql import functions as F
 from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 from pyspark.sql.types import (
     ArrayType,
+    BooleanType,
     LongType,
     StringType,
     StructField,
@@ -461,4 +462,75 @@ def dedup_within_watermark(
     crawler re-fetch)."""
     return stream.withWatermark(ts_col, delay).dropDuplicatesWithinWatermark(
         keys
+    )
+
+
+def cdc_upsert(
+    stream: DataFrame,
+    key_col: str,
+    seq_col: str,
+    delete_col: str,
+    value_col: str,
+) -> DataFrame:
+    """Streaming CDC apply: last-writer-wins upsert with tombstones —
+    the change-data-capture consumer that materializes a mutable
+    table from an insert/update/delete event stream (the Debezium →
+    lakehouse pattern).
+
+    Per key the state is ONE tuple: the change record with the
+    maximal ``(seq, is_delete, value)`` — an associative, commutative,
+    idempotent max, so the materialized row per key is independent of
+    micro-batch boundaries, arrival order, and replays (exactly the
+    property file-compaction CDC sinks need). Deletes are kept as
+    TOMBSTONES in state (dropping them would resurrect a key when a
+    late pre-delete update arrives); the live-table view is
+    ``is_deleted = false`` downstream.
+
+    Emits, per key and micro-batch, the current winner
+    ``(key, last_seq, is_deleted, last_value)``; ``last_seq`` is
+    non-decreasing per key, so the final materialization is the row
+    with max ``last_seq`` per key. State is O(1) per key."""
+
+    def update(key, pdf_iter, state: GroupState):
+        import pandas as pd
+
+        best = tuple(state.get) if state.exists else None
+        for pdf in pdf_iter:
+            for seq, dele, val in zip(
+                pdf[seq_col], pdf[delete_col], pdf[value_col]
+            ):
+                cand = (int(seq), int(bool(dele)), int(val))
+                if best is None or cand > best:
+                    best = cand
+        state.update(best)
+        yield pd.DataFrame(
+            {
+                key_col: [key[0]],
+                "last_seq": [best[0]],
+                "is_deleted": [bool(best[1])],
+                "last_value": [best[2]],
+            }
+        )
+
+    out_schema = StructType(
+        [
+            StructField(key_col, LongType()),
+            StructField("last_seq", LongType()),
+            StructField("is_deleted", BooleanType()),
+            StructField("last_value", LongType()),
+        ]
+    )
+    state_schema = StructType(
+        [
+            StructField("seq", LongType()),
+            StructField("dele", LongType()),
+            StructField("val", LongType()),
+        ]
+    )
+    return stream.groupBy(key_col).applyInPandasWithState(
+        update,
+        outputStructType=out_schema,
+        stateStructType=state_schema,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
     )
