@@ -39,6 +39,10 @@ _PRIORITY = [
     "text_readability",
     "ann_matryoshka_top3",
     "streaming_cdc_upsert",
+    "lineitem_copurchase_lift",
+    "part_fuzzy_match",
+    "events_cusum_changepoint",
+    "corpus_psi_drift",
     # tier 2 — oldest driver-green first
     "text_stats",
     "text_langid",

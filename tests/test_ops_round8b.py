@@ -232,3 +232,71 @@ def test_cdc_upsert_split_invariant_with_tombstones(spark, tmp_path):
     allf = run(6, "all")
     want = {1: (20, True, 0), 2: (21, False, 200), 3: (22, False, 333)}
     assert one == want and allf == want
+
+
+def test_association_rules_hand_computed(spark):
+    # baskets: {1:(a,b), 2:(a,b), 3:(a,c), 4:(b,)} -> pair (a,b) n=2
+    rows = [(1, "a"), (1, "b"), (2, "a"), (2, "b"), (3, "a"), (3, "c"),
+            (4, "b"), (2, "a")]  # duplicate (2, a) must not double-count
+    from ukis_h3cellstore_spark.ops.joins import association_rules
+
+    df = spark.createDataFrame(rows, "b long, i string")
+    out = {(r["item_a"], r["item_b"]): r
+           for r in association_rules(df, "b", "i", min_pair_support=2).collect()}
+    assert set(out) == {("a", "b")}
+    r = out[("a", "b")]
+    # a in 3 baskets, b in 3, pair in 2, 4 baskets total
+    assert (r["pair_n"], r["a_n"], r["b_n"]) == (2, 3, 3)
+    assert r["lift_milli"] == (1000 * 2 * 4) // (3 * 3)  # 888
+    assert r["conf_milli"] == (1000 * 2) // 3             # 666
+
+
+def test_fuzzy_join_blocks_and_verifies(spark):
+    from ukis_h3cellstore_spark.ops.joins import fuzzy_join
+
+    rows = [
+        (1, "red widget"), (2, "red wodget"),   # same block, dist 1
+        (3, "red wormgear"),                     # same block, dist > 3
+        (4, "blue widget"),                      # different block
+    ]
+    df = spark.createDataFrame(rows, "id long, name string")
+    got = {(r["id_a"], r["id_b"], r["distance"])
+           for r in fuzzy_join(df, df, "name", "id", max_distance=3).collect()}
+    assert got == {(1, 2, 1)}
+
+
+def test_cusum_changepoint_hand_computed(spark):
+    from ukis_h3cellstore_spark.ops.robust import cusum_changepoint
+
+    # series: 0,0,0,10,10 (mean 4): S_i (scaled by n=5) over
+    # dev = 5x - 20: -20,-40,-60,-30,0 -> peak |S|=60 at k=3
+    rows = [("g", k, v) for k, v in enumerate([0, 0, 0, 10, 10], start=1)]
+    df = spark.createDataFrame(rows, "g string, k long, v long")
+    r = cusum_changepoint(df, "g", ["k"], "v").collect()[0]
+    assert (r["n_group"], r["peak_abs_dev"], r["peak_k"]) == (5, 60 // 5, 3)
+
+
+def test_psi_drift_single_group_is_zero(spark):
+    from ukis_h3cellstore_spark.ops.report import psi_drift
+
+    rows = [("s", float(v)) for v in (1, 5, 12, 30, 77)]
+    df = spark.createDataFrame(rows, "g string, v double")
+    r = psi_drift(df, "g", "v", [10.0, 50.0]).collect()[0]
+    # the only group IS the pooled corpus -> p_g == p_all -> PSI = 0
+    assert r["psi"] == 0.0 and r["n_group"] == 5
+
+
+def test_psi_drift_hand_computed_two_groups(spark):
+    from ukis_h3cellstore_spark.ops.report import psi_drift
+
+    rows = [("a", 1.0)] * 4 + [("b", 100.0)] * 6
+    df = spark.createDataFrame(rows, "g string, v double")
+    got = {r["g"]: r["psi"] for r in psi_drift(df, "g", "v", [10.0]).collect()}
+    # bins: (<10, >=10); counts a=(4,0), b=(0,6), pooled=(4,6); B=2
+    def psi(cs, ng):
+        ps = [(c + 1) / (ng + 2) for c in cs]
+        pa = [(c + 1) / (10 + 2) for c in (4, 6)]
+        return round(sum((g - a) * math.log(g / a) for g, a in zip(ps, pa)), 6)
+
+    assert got["a"] == psi((4, 0), 4)
+    assert got["b"] == psi((0, 6), 6)

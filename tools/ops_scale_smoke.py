@@ -87,6 +87,7 @@ def main() -> None:
     phase("unigram_surprisal", X.unigram_surprisal(docs))
     phase("boilerplate_chunks", X.boilerplate_chunk_stats(docs))
     phase("c4_quality_filter", X.c4_quality_filter(docs))
+    phase("readability", X.readability(docs))
     # the corpus has no newlines: split on a frequent token so the
     # segment table really fans out (~8 segments/doc at 1M docs)
     phase("segment_dedup", D.segment_dedup(docs, sep_regex=" the "))
@@ -216,6 +217,14 @@ def main() -> None:
     R.mad_outliers(sk, "g", "v").write.format("noop").mode("overwrite").save()
     dt = time.time() - t0
     print(f"{'mad_outliers_skew_10M':24s} {dt:8.1f}s  ({10_000_000 / dt:,.0f} rows/s)")
+    # round-8b: KS on the same skewed frame — the pooled cumsum sees
+    # the 3M-row tie at v=0.0 and the grouped sweep sees the dominant
+    # group; both inherit the tiebreaker split
+    gc()
+    t0 = time.time()
+    R.ks_vs_rest(sk, "g", "v").write.format("noop").mode("overwrite").save()
+    dt = time.time() - t0
+    print(f"{'ks_vs_rest_skew_10M':24s} {dt:8.1f}s  ({10_000_000 / dt:,.0f} rows/s)")
 
     # round-8 scorers: the attrition CASE chain (pure projection +
     # one dup-canonicality join) and the novelty anti-join (batch

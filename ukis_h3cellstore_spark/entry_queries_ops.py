@@ -5201,7 +5201,150 @@ FROM ranked WHERE rank <= 3
 """
 
 
+def q_lineitem_copurchase_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Market-basket mining (ops/joins.py:association_rules): part
+    pairs co-ordered in >= 3 orders with integer-exact support and
+    milli-scaled confidence/lift. Pair generation is a self-join on
+    the ORDER key (work bounded by basket width^2), margins join back
+    broadcast, ratios are integral division on count cross products."""
+    from ukis_h3cellstore_spark.ops.joins import association_rules
+
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    return association_rules(li, "l_orderkey", "l_partkey", min_pair_support=3)
+
+
+Q_LINEITEM_COPURCHASE_SQL = """
+WITH base AS (SELECT DISTINCT l_orderkey AS b, l_partkey AS i FROM lineitem),
+nb AS (SELECT COUNT(DISTINCT b) AS n FROM base),
+items AS (SELECT i, COUNT(*) AS c FROM base GROUP BY 1),
+pairs AS (SELECT l.i AS item_a, r.i AS item_b, COUNT(*) AS pair_n
+          FROM base l JOIN base r ON l.b = r.b AND l.i < r.i
+          GROUP BY 1,2 HAVING COUNT(*) >= 3)
+SELECT CAST(item_a AS BIGINT) AS item_a, CAST(item_b AS BIGINT) AS item_b,
+       CAST(pair_n AS BIGINT) AS pair_n,
+       CAST(a.c AS BIGINT) AS a_n, CAST(b.c AS BIGINT) AS b_n,
+       CAST((1000 * CAST(pair_n AS HUGEINT) * (SELECT n FROM nb))
+            // (CAST(a.c AS HUGEINT) * b.c) AS BIGINT) AS lift_milli,
+       CAST((1000 * pair_n) // a.c AS BIGINT) AS conf_milli
+FROM pairs JOIN items a ON a.i = pairs.item_a
+           JOIN items b ON b.i = pairs.item_b
+"""
+
+
+def q_part_fuzzy_match(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Entity-resolution fuzzy join (ops/joins.py:fuzzy_join): part
+    names deduplicated to one entity per distinct name (min partkey),
+    blocked on their first token, verified with JVM-side Levenshtein
+    <= 3 — the blocked record-linkage shape (candidates linear in
+    block sizes, never corpus^2; exact-duplicate collapse first keeps
+    the near-miss pair set name-sized)."""
+    from ukis_h3cellstore_spark.ops.joins import fuzzy_join
+
+    pt = (
+        spark.read.parquet(f"{sf_dir}/part.parquet")
+        .groupBy("p_name")
+        .agg(F.min("p_partkey").alias("name_id"))
+    )
+    return fuzzy_join(pt, pt, "p_name", "name_id", max_distance=3)
+
+
+Q_PART_FUZZY_SQL = r"""
+WITH ent AS (SELECT p_name, MIN(p_partkey) AS id FROM part GROUP BY 1),
+p AS (SELECT id, p_name AS t,
+             regexp_split_to_array(trim(p_name), '\s+')[1] AS blk
+      FROM ent)
+SELECT CAST(a.id AS BIGINT) AS id_a, CAST(b.id AS BIGINT) AS id_b,
+       a.t AS text_a, b.t AS text_b,
+       CAST(levenshtein(a.t, b.t) AS INT) AS distance
+FROM p a JOIN p b ON a.blk = b.blk AND a.id < b.id
+WHERE levenshtein(a.t, b.t) <= 3
+"""
+
+
+def q_events_cusum_changepoint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUSUM changepoint (ops/robust.py:cusum_changepoint): per
+    event_type, where the cumulative deviation from the series' own
+    mean peaks — integer-exact (mean-centered cumsum scaled by n_g,
+    decimal accumulators, integral division at the end), swept with
+    the range-partition grouped cumsum."""
+    from ukis_h3cellstore_spark.entry_queries import _events
+    from ukis_h3cellstore_spark.ops.robust import cusum_changepoint
+
+    ev = _events(spark, sf_dir).select(
+        "event_type",
+        "event_id",
+        "ts_us",
+        F.round(F.col("value") * 100).cast("long").alias("cents"),
+    )
+    return cusum_changepoint(ev, "event_type", ["ts_us", "event_id"], "cents")
+
+
+Q_EVENTS_CUSUM_SQL = """
+WITH c AS (SELECT event_type AS g, event_id, epoch_us(ts) AS ts_us,
+                  CAST(round(value * 100) AS BIGINT) AS cents FROM events),
+st AS (SELECT g, COUNT(*) AS ng, SUM(cents) AS sg FROM c GROUP BY 1),
+dev AS (SELECT c.g, c.ts_us, c.event_id, st.ng,
+               CAST(st.ng AS HUGEINT) * c.cents - st.sg AS d
+        FROM c JOIN st USING (g)),
+sw AS (SELECT g, ng, ts_us,
+              SUM(d) OVER (PARTITION BY g ORDER BY ts_us, event_id) AS s
+       FROM dev),
+pk AS (SELECT g, ng, ts_us, ABS(s) AS a,
+              row_number() OVER (PARTITION BY g
+                  ORDER BY ABS(s) DESC, ts_us ASC) AS rn
+       FROM sw)
+SELECT g AS event_type, CAST(ng AS BIGINT) AS n_group,
+       CAST(a // ng AS BIGINT) AS peak_abs_dev,
+       CAST(ts_us AS BIGINT) AS peak_ts_us
+FROM pk WHERE rn = 1
+"""
+
+
+def q_corpus_psi_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Population Stability Index (ops/report.py:psi_drift): per
+    source, PSI of the doc token-count distribution vs the pooled
+    corpus over fixed bins [30, 50, 70, 90] with Laplace smoothing —
+    the standard "has this source's length profile moved" drift
+    score."""
+    from ukis_h3cellstore_spark.ops.report import psi_drift
+
+    docs = _docs(spark, sf_dir).select(
+        "source", F.size(X.tokens("text")).cast("long").alias("n_tokens")
+    )
+    return psi_drift(docs, "source", "n_tokens", [30.0, 50.0, 70.0, 90.0])
+
+
+Q_CORPUS_PSI_SQL = r"""
+WITH d AS (SELECT source, len(regexp_split_to_array(trim(text), '\s+')) AS nt
+           FROM documents),
+b AS (SELECT source, CASE WHEN nt < 30 THEN 0 WHEN nt < 50 THEN 1
+                          WHEN nt < 70 THEN 2 WHEN nt < 90 THEN 3
+                          ELSE 4 END AS bin
+      FROM d),
+cells AS (SELECT source, bin, COUNT(*) AS c FROM b GROUP BY 1,2),
+grp AS (SELECT source, SUM(c) AS ng FROM cells GROUP BY 1),
+pool AS (SELECT bin, SUM(c) AS cp FROM cells GROUP BY 1),
+tot AS (SELECT SUM(c) AS n FROM cells),
+bins AS (SELECT unnest(range(5)) AS bin),
+grid AS (SELECT g.source, g.ng, bi.bin, COALESCE(cells.c, 0) AS c,
+                COALESCE(pool.cp, 0) AS cp
+         FROM grp g CROSS JOIN bins bi
+         LEFT JOIN cells ON cells.source = g.source AND cells.bin = bi.bin
+         LEFT JOIN pool ON pool.bin = bi.bin)
+SELECT source, CAST(ng AS BIGINT) AS n_group,
+       round(SUM(((c+1)/CAST(ng+5 AS DOUBLE)
+                  - (cp+1)/CAST((SELECT n FROM tot)+5 AS DOUBLE))
+             * ln(((c+1)/CAST(ng+5 AS DOUBLE))
+                  / ((cp+1)/CAST((SELECT n FROM tot)+5 AS DOUBLE)))), 6) AS psi
+FROM grid GROUP BY 1, 2
+"""
+
+
 QUERIES_OPS: dict[str, Callable[[SparkSession, str], DataFrame]] = {
+    "lineitem_copurchase_lift": q_lineitem_copurchase_lift,
+    "part_fuzzy_match": q_part_fuzzy_match,
+    "events_cusum_changepoint": q_events_cusum_changepoint,
+    "corpus_psi_drift": q_corpus_psi_drift,
     "events_ks_drift": q_events_ks_drift,
     "events_type_bucket_dependence": q_events_type_bucket_dependence,
     "events_pareto_frontier": q_events_pareto_frontier,
@@ -5320,6 +5463,10 @@ QUERIES_OPS: dict[str, Callable[[SparkSession, str], DataFrame]] = {
 }
 
 ORACLES_OPS: dict[str, str] = {
+    "lineitem_copurchase_lift": Q_LINEITEM_COPURCHASE_SQL,
+    "part_fuzzy_match": Q_PART_FUZZY_SQL,
+    "events_cusum_changepoint": Q_EVENTS_CUSUM_SQL,
+    "corpus_psi_drift": Q_CORPUS_PSI_SQL,
     "events_ks_drift": Q_EVENTS_KS_DRIFT_SQL,
     "events_type_bucket_dependence": Q_EVENTS_DEPENDENCE_SQL,
     "events_pareto_frontier": Q_EVENTS_PARETO_SQL,

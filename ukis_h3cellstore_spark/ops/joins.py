@@ -299,3 +299,120 @@ def _asof_nearest(
         F.col("__m.__matched_ts").alias(f"{right_prefix}{right_ts}"),
         *[F.col(f"__m.{c}").alias(f"{right_prefix}{c}") for c in payload],
     )
+
+
+def association_rules(
+    baskets: DataFrame,
+    basket_col: str,
+    item_col: str,
+    min_pair_support: int = 2,
+) -> DataFrame:
+    """Market-basket association mining over (basket, item) rows:
+    every unordered item pair co-occurring in at least
+    ``min_pair_support`` baskets, with integer-exact support counts
+    and milli-scaled confidence/lift:
+
+    ``lift_milli  = (1000 · pair_n · n_baskets) div (a_n · b_n)``
+    ``conf_milli  = (1000 · pair_n) div a_n``  (rule a → b, a < b)
+
+    Scale shape: pairs are generated by a SELF-JOIN ON THE BASKET KEY
+    (co-partitioned shuffle; work is Σ items-per-basket², bounded by
+    the basket width, never corpus²), counts are one partial-agg
+    groupBy, and the item-frequency margins join back BROADCAST
+    (items-sized). All ratios are integral division on count cross
+    products — engine-exact, no float."""
+    b = F.col(basket_col)
+    it = F.col(item_col)
+    # base is consumed 4x (count, margins, both self-join sides):
+    # truncate lineage once so the distinct shuffle never re-runs
+    base = (
+        baskets.select(b.alias("__b"), it.alias("__i"))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    n_baskets = base.select("__b").distinct().count()
+    items = base.groupBy("__i").agg(F.count(F.lit(1)).alias("__in"))
+    pairs = (
+        base.alias("l")
+        .join(
+            base.alias("r"),
+            (F.col("l.__b") == F.col("r.__b"))
+            & (F.col("l.__i") < F.col("r.__i")),
+        )
+        .groupBy(
+            F.col("l.__i").alias("item_a"), F.col("r.__i").alias("item_b")
+        )
+        .agg(F.count(F.lit(1)).alias("pair_n"))
+        .filter(F.col("pair_n") >= int(min_pair_support))
+    )
+    dec = "decimal(18,0)"
+    return (
+        pairs.join(
+            F.broadcast(items.select(F.col("__i").alias("item_a"),
+                                     F.col("__in").alias("a_n"))),
+            on="item_a",
+        )
+        .join(
+            F.broadcast(items.select(F.col("__i").alias("item_b"),
+                                     F.col("__in").alias("b_n"))),
+            on="item_b",
+        )
+        .select(
+            "item_a",
+            "item_b",
+            F.col("pair_n").cast("long").alias("pair_n"),
+            F.col("a_n").cast("long").alias("a_n"),
+            F.col("b_n").cast("long").alias("b_n"),
+            F.expr(
+                f"CAST(1000 * CAST(pair_n AS {dec}) * {int(n_baskets)} AS DECIMAL(38,0)) "
+                f"div CAST(CAST(a_n AS {dec}) * CAST(b_n AS {dec}) AS DECIMAL(38,0))"
+            ).cast("long").alias("lift_milli"),
+            F.expr("(1000 * pair_n) div a_n").cast("long").alias("conf_milli"),
+        )
+    )
+
+
+def fuzzy_join(
+    left: DataFrame,
+    right: DataFrame,
+    text_col: str,
+    id_col: str,
+    max_distance: int = 3,
+    block_expr=None,
+) -> DataFrame:
+    """Blocked fuzzy self/cross join for entity resolution: candidate
+    pairs share a BLOCK KEY (default: the first whitespace token of
+    ``text_col``), then survive an exact Levenshtein verify at
+    ``<= max_distance``. The classic record-linkage shape — the
+    blocking equi-join keeps candidate generation linear in the block
+    sizes (Σ|block|², never |corpus|²), and the quadratic verify runs
+    only inside blocks, exactly like the LSH-then-verify dedup path.
+
+    Pass ``block_expr`` (a Column over ``text_col``'s row) to block on
+    something stronger (phonetic key, prefix+length bucket). Output:
+    (id_a, id_b, text_a, text_b, distance), id_a < id_b, JVM-side
+    ``levenshtein`` — no Python in the verify."""
+    blk = (
+        block_expr
+        if block_expr is not None
+        else F.split(F.trim(F.col(text_col)), r"\s+").getItem(0)
+    )
+    l = left.select(
+        F.col(id_col).alias("id_a"),
+        F.col(text_col).alias("text_a"),
+        blk.alias("__blk"),
+    )
+    r = right.select(
+        F.col(id_col).alias("id_b"),
+        F.col(text_col).alias("text_b"),
+        blk.alias("__blk"),
+    )
+    return (
+        l.join(r, on="__blk")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .withColumn(
+            "distance", F.levenshtein(F.col("text_a"), F.col("text_b"))
+        )
+        .filter(F.col("distance") <= int(max_distance))
+        .select("id_a", "id_b", "text_a", "text_b", "distance")
+    )

@@ -22,7 +22,7 @@ from pyspark.sql import functions as F
 
 from ukis_h3cellstore_spark.ops.text import tokens
 
-__all__ = ["corpus_datacard", "l_diversity", "categorical_dependence"]
+__all__ = ["corpus_datacard", "l_diversity", "categorical_dependence", "psi_drift"]
 
 
 def l_diversity(
@@ -198,5 +198,70 @@ def categorical_dependence(df: DataFrame, col_a: str, col_b: str) -> DataFrame:
                 ),
                 6,
             ).alias("cramers_v"),
+        )
+    )
+
+
+def psi_drift(
+    df: DataFrame,
+    group_col: str,
+    value_col,
+    bin_edges: list[float],
+    smooth: int = 1,
+) -> DataFrame:
+    """Population Stability Index per group against the pooled
+    corpus — the standard ML-ops drift score for "has this source's
+    length/score distribution moved" (PSI < 0.1 stable, > 0.25
+    shifted). Values are bucketed by the FIXED ``bin_edges``
+    (B = len(edges) + 1 bins: (-inf, e1), [e1, e2), ..., [eB-1, inf)),
+    counts are Laplace-smoothed by ``smooth`` so empty bins stay
+    finite and the score is defined for every group:
+
+    ``psi = sum_bins (p_g - p_all) * ln(p_g / p_all)``,
+    ``p = (count + smooth) / (n + smooth * B)``, rounded to 6 dp.
+
+    Scale shape: ONE data-sized aggregation (the (group, bin) count);
+    the bin grid is groups x B rows built from broadcast margins, and
+    the pooled distribution is a B-row broadcast. Same float posture
+    as :func:`categorical_dependence`: integers until the final
+    per-bin terms, 6-dp rounding far above summation-order jitter."""
+    val = F.col(value_col) if isinstance(value_col, str) else value_col
+    edges = [float(e) for e in bin_edges]
+    if sorted(edges) != edges or len(set(edges)) != len(edges):
+        raise ValueError("bin_edges must be strictly increasing")
+    nbins = len(edges) + 1
+    b = F.lit(nbins - 1)
+    for i in range(len(edges) - 1, -1, -1):
+        b = F.when(val < F.lit(edges[i]), F.lit(i)).otherwise(b)
+    binned = df.select(F.col(group_col), b.cast("int").alias("__bin"))
+    cells = binned.groupBy(group_col, "__bin").agg(
+        F.count(F.lit(1)).alias("__c")
+    )
+    groups = cells.groupBy(group_col).agg(F.sum("__c").alias("__ng"))
+    pooled = cells.groupBy("__bin").agg(F.sum("__c").alias("__cp"))
+    n_all = cells.agg(F.sum("__c").alias("__n"))
+    spark = df.sparkSession
+    bins = spark.range(nbins).select(F.col("id").cast("int").alias("__bin"))
+    grid = (
+        groups.crossJoin(F.broadcast(bins))
+        .join(cells, on=[group_col, "__bin"], how="left")
+        .withColumn("__c", F.coalesce(F.col("__c"), F.lit(0)))
+        .join(F.broadcast(pooled), on="__bin", how="left")
+        .withColumn("__cp", F.coalesce(F.col("__cp"), F.lit(0)))
+        .crossJoin(F.broadcast(n_all))
+    )
+    sm = int(smooth)
+    pg = (F.col("__c") + sm).cast("double") / (
+        F.col("__ng") + sm * nbins
+    ).cast("double")
+    pa = (F.col("__cp") + sm).cast("double") / (
+        F.col("__n") + sm * nbins
+    ).cast("double")
+    return (
+        grid.withColumn("__t", (pg - pa) * F.log(pg / pa))
+        .groupBy(group_col, "__ng")
+        .agg(F.round(F.sum("__t"), 6).alias("psi"))
+        .select(
+            group_col, F.col("__ng").cast("long").alias("n_group"), "psi"
         )
     )

@@ -36,6 +36,7 @@ __all__ = [
     "mad_outliers",
     "grouped_cumsum",
     "ks_vs_rest",
+    "cusum_changepoint",
     "grouped_auc",
     "winsorize_by_group",
     "calibration_bins",
@@ -528,3 +529,75 @@ def ks_vs_rest(
         )
         .select(group_col, F.col("n_group").cast("long").alias("n_group"), "ks_scaled")
     )
+
+
+def cusum_changepoint(
+    df: DataFrame,
+    group_col: str,
+    order_cols: list[str],
+    value_col: str,
+    num_partitions: int | None = None,
+) -> DataFrame:
+    """Per-group CUSUM changepoint: the order position where the
+    cumulative deviation from the group's own mean peaks — the classic
+    Page/CUSUM "did this series shift, and when" audit for event
+    streams and ingestion monitoring.
+
+    Integer-exact: with integral values x (use cents), the running
+    statistic is kept as ``S_i = sum_{j<=i} (n_g * x_j - sum_g)``
+    (the mean-centered cumsum scaled by n_g, so no division happens
+    until the end) and the report is
+    ``peak_abs_dev = max_i |S_i| div n_g`` — exactly
+    ``max_i |sum_{j<=i} (x_j - mean_g)|`` floor-quantized to value
+    units. Ties on |S| resolve to the EARLIEST order position.
+    ``order_cols`` must be a total order within each group (append a
+    unique id).
+
+    Scale shape: one groups-sized stats aggregation joined broadcast,
+    one :func:`grouped_cumsum` sweep (range partition +
+    broadcast offsets — no one-task group window), one argmax
+    aggregation. Deviations accumulate in decimal(38,0), exact past
+    any 100 TB count*value product."""
+    if not order_cols:
+        raise ValueError("order_cols must name a total order")
+    stats = df.groupBy(group_col).agg(
+        F.count(F.lit(1)).alias("__ng"),
+        F.sum(F.col(value_col).cast("decimal(18,0)")).alias("__sg"),
+    )
+    dev = df.join(F.broadcast(stats), on=group_col).withColumn(
+        "__dev",
+        (
+            F.col("__ng").cast("decimal(18,0)")
+            * F.col(value_col).cast("decimal(18,0)")
+            - F.col("__sg")
+        ).cast("decimal(38,0)"),
+    )
+    swept = grouped_cumsum(
+        dev,
+        group_col,
+        order_cols,
+        "__dev",
+        out_col="__S",
+        num_partitions=num_partitions,
+    )
+    first_order = order_cols[0]
+    peak = (
+        swept.groupBy(group_col, "__ng")
+        .agg(
+            F.max(
+                F.struct(
+                    F.abs(F.col("__S")).alias("a"),
+                    (-F.col(first_order)).alias("negk"),
+                )
+            ).alias("__m")
+        )
+        .select(
+            group_col,
+            F.col("__ng").cast("long").alias("n_group"),
+            F.expr("__m.a div CAST(__ng AS DECIMAL(18,0))")
+            .cast("long")
+            .alias("peak_abs_dev"),
+            (-F.col("__m.negk")).alias(f"peak_{first_order}"),
+        )
+    )
+    return peak
