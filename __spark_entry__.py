@@ -43,6 +43,9 @@ _PRIORITY = [
     "part_fuzzy_match",
     "events_cusum_changepoint",
     "corpus_psi_drift",
+    "graph_hits",
+    "orders_rfm_segments",
+    "corpus_zipf_slope",
     # tier 2 — oldest driver-green first
     "text_stats",
     "text_langid",

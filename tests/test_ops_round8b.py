@@ -300,3 +300,82 @@ def test_psi_drift_hand_computed_two_groups(spark):
 
     assert got["a"] == psi((4, 0), 4)
     assert got["b"] == psi((0, 6), 6)
+
+
+def test_hits_star_graph_hand_computed(spark):
+    from ukis_h3cellstore_spark.ops.graph import hits
+
+    # star: u1,u2,u3 -> t ; u1 -> t2. After 1 iteration:
+    # a_raw(t)=3s, a_raw(t2)=s (s=1e9); tot=4s -> a(t)=0.75s, a(t2)=0.25s
+    # h_raw(u1)=a(t)+a(t2)=1.0s, h_raw(u2)=h_raw(u3)=0.75s; tot=2.5s
+    # -> h(u1)=0.4s, h(u2)=h(u3)=0.3s
+    edges = spark.createDataFrame(
+        [("u1", "t"), ("u2", "t"), ("u3", "t"), ("u1", "t2")],
+        "src string, dst string",
+    )
+    got = {r["node"]: (r["hub_fp"], r["auth_fp"])
+           for r in hits(edges, iterations=1).collect()}
+    s = 10**9
+    assert got["t"] == (0, 3 * s // 4)
+    assert got["t2"] == (0, s // 4)
+    assert got["u1"] == (4 * s // 10, 0)
+    assert got["u2"] == (3 * s // 10, 0)
+    assert got["u3"] == (3 * s // 10, 0)
+
+
+def test_hits_iterations_preserve_normalization(spark):
+    from ukis_h3cellstore_spark.ops.graph import hits
+
+    edges = spark.createDataFrame(
+        [("a", "x"), ("a", "y"), ("b", "y"), ("c", "x"), ("c", "z")],
+        "src string, dst string",
+    )
+    rows = hits(edges, iterations=3).collect()
+    s = 10**9
+    hub_tot = sum(r["hub_fp"] for r in rows)
+    auth_tot = sum(r["auth_fp"] for r in rows)
+    # floor division loses at most 1 unit per node
+    assert s - len(rows) <= hub_tot <= s
+    assert s - len(rows) <= auth_tot <= s
+
+
+def test_rfm_segments_hand_computed(spark):
+    from ukis_h3cellstore_spark.ops.report import rfm_segments
+
+    # 5 entities, metrics are permutations of 1..5 -> quintiles are
+    # exactly the ascending rank of each metric
+    rows = [
+        (1, 10, 3, 500), (2, 20, 1, 400), (3, 30, 4, 300),
+        (4, 40, 5, 200), (5, 50, 2, 100),
+    ]
+    df = spark.createDataFrame(rows, "id long, rec long, freq long, mon long")
+    got = {r["id"]: (r["r_score"], r["f_score"], r["m_score"], r["segment"])
+           for r in rfm_segments(df, "id", "rec", "freq", "mon").collect()}
+    assert got[1] == (1, 3, 5, 135)
+    assert got[4] == (4, 5, 2, 452)
+    assert got[5] == (5, 2, 1, 521)
+
+
+def test_zipf_slope_exact_power_law(spark):
+    from ukis_h3cellstore_spark.ops.text import zipf_slope
+
+    # construct a corpus whose term frequencies are freq(r) = 2^(8-r)
+    # for ranks 1..4: ln(freq) = ln(2^8) - r' ... not linear in
+    # ln(rank), so just verify against the serial normal equations
+    words = []
+    for i, f in enumerate([64, 32, 16, 8]):
+        words += [f"w{i}"] * f
+    df = spark.createDataFrame(
+        [(1, " ".join(words))], "doc_id long, text string"
+    )
+    r = zipf_slope(df, top_n=10).collect()[0]
+    xs = [math.log(k + 1) for k in range(4)]
+    ys = [math.log(f) for f in [64, 32, 16, 8]]
+    n = 4
+    sx, sy = sum(xs), sum(ys)
+    sxy = sum(x * y for x, y in zip(xs, ys))
+    sxx = sum(x * x for x in xs)
+    slope = (n * sxy - sx * sy) / (n * sxx - sx * sx)
+    assert r["n_terms"] == 4
+    assert abs(r["slope"] - round(slope, 6)) <= 1e-6
+    assert abs(r["intercept"] - round((sy - slope * sx) / n, 6)) <= 1e-6

@@ -5340,7 +5340,130 @@ FROM grid GROUP BY 1, 2
 """
 
 
+def q_graph_hits(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-point HITS (ops/graph.py:hits, 3 iterations) over the
+    DIRECTED user -> event_type interaction graph: users are hubs,
+    event types are authorities — Kleinberg's bipartite quality
+    transfer. Integer-exact (per-round renormalization by floor
+    division in decimal products), bit-matched by the unrolled
+    oracle."""
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    edges = ev.select(
+        F.concat(F.lit("u"), F.col("user_id").cast("string")).alias("src"),
+        F.concat(F.lit("t"), F.col("event_type")).alias("dst"),
+    )
+    return G.hits(edges, iterations=3)
+
+
+def _hits_oracle_sql(iterations: int = 3) -> str:
+    """Unrolled HITS power iteration matching ops/graph.hits."""
+    parts = [
+        "WITH e AS (SELECT DISTINCT 'u' || CAST(user_id AS VARCHAR) AS src,"
+        " 't' || event_type AS dst FROM events),",
+        "nd AS (SELECT src AS node FROM e UNION SELECT dst FROM e),",
+        "h0 AS (SELECT node, CAST(1000000000 AS BIGINT) AS hub_fp FROM nd),",
+    ]
+    for i in range(1, iterations + 1):
+        parts += [
+            f"a{i}r AS (SELECT e.dst AS node, SUM(h.hub_fp) AS raw"
+            f" FROM e JOIN h{i - 1} h ON e.src = h.node GROUP BY 1),",
+            f"a{i}t AS (SELECT SUM(raw) AS tot FROM a{i}r),",
+            f"a{i} AS (SELECT nd.node,"
+            f" CAST(CAST(COALESCE(r.raw, 0) AS HUGEINT) * 1000000000"
+            f" // (SELECT tot FROM a{i}t) AS BIGINT) AS auth_fp"
+            f" FROM nd LEFT JOIN a{i}r r USING (node)),",
+            f"h{i}r AS (SELECT e.src AS node, SUM(a.auth_fp) AS raw"
+            f" FROM e JOIN a{i} a ON e.dst = a.node GROUP BY 1),",
+            f"h{i}t AS (SELECT SUM(raw) AS tot FROM h{i}r),",
+            f"h{i} AS (SELECT nd.node,"
+            f" CAST(CAST(COALESCE(r.raw, 0) AS HUGEINT) * 1000000000"
+            f" // (SELECT tot FROM h{i}t) AS BIGINT) AS hub_fp"
+            f" FROM nd LEFT JOIN h{i}r r USING (node)),",
+        ]
+    body = "\n".join(parts).rstrip(",")
+    return (
+        f"{body}\nSELECT nd.node, h.hub_fp, a.auth_fp FROM nd"
+        f" JOIN h{iterations} h USING (node)"
+        f" JOIN a{iterations} a USING (node)"
+    )
+
+
+Q_GRAPH_HITS_SQL = _hits_oracle_sql(3)
+
+
+def q_orders_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RFM segmentation (ops/report.py:rfm_segments): per customer,
+    recency = latest order epoch, frequency = order count, monetary =
+    lifetime cents; integer-exact quintiles from three
+    range-partitioned rank sweeps."""
+    from ukis_h3cellstore_spark.ops.report import rfm_segments
+
+    od = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    cust = od.groupBy("o_custkey").agg(
+        F.max(
+            F.unix_micros(F.col("o_orderdate").cast("timestamp"))
+        ).alias("rec"),
+        F.count(F.lit(1)).alias("freq"),
+        F.sum(F.round(F.col("o_totalprice") * 100).cast("long")).alias("mon"),
+    )
+    return rfm_segments(cust, "o_custkey", "rec", "freq", "mon")
+
+
+Q_ORDERS_RFM_SQL = """
+WITH c AS (SELECT o_custkey, MAX(epoch_us(o_orderdate)) AS rec,
+                  COUNT(*) AS freq,
+                  SUM(CAST(round(o_totalprice * 100) AS BIGINT)) AS mon
+           FROM orders GROUP BY 1),
+n AS (SELECT COUNT(*) AS n FROM c),
+rk AS (SELECT o_custkey,
+              row_number() OVER (ORDER BY rec, o_custkey) AS rr,
+              row_number() OVER (ORDER BY freq, o_custkey) AS fr,
+              row_number() OVER (ORDER BY mon, o_custkey) AS mr
+       FROM c)
+SELECT CAST(o_custkey AS BIGINT) AS o_custkey,
+       CAST(1 + ((rr - 1) * 5) // (SELECT n FROM n) AS INT) AS r_score,
+       CAST(1 + ((fr - 1) * 5) // (SELECT n FROM n) AS INT) AS f_score,
+       CAST(1 + ((mr - 1) * 5) // (SELECT n FROM n) AS INT) AS m_score,
+       CAST((1 + ((rr - 1) * 5) // (SELECT n FROM n)) * 100
+            + (1 + ((fr - 1) * 5) // (SELECT n FROM n)) * 10
+            + (1 + ((mr - 1) * 5) // (SELECT n FROM n)) AS INT) AS segment
+FROM rk
+"""
+
+
+def q_corpus_zipf_slope(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Zipf's-law diagnostic (ops/text.py:zipf_slope): OLS slope of
+    ln(freq) on ln(rank) over the top-200 vocabulary — natural text
+    sits near -1, templated corpora flatten. Rank via the
+    range-partitioned global_rank; the fit is a bounded 200-point
+    reduction."""
+    return X.zipf_slope(_docs(spark, sf_dir), top_n=200)
+
+
+Q_CORPUS_ZIPF_SQL = r"""
+WITH v AS (SELECT t.term, COUNT(*) AS freq
+           FROM (SELECT unnest(regexp_split_to_array(trim(text), '\s+'))
+                 AS term FROM documents) t
+           WHERE t.term <> '' GROUP BY 1),
+rk AS (SELECT term, freq,
+              row_number() OVER (ORDER BY freq DESC, term ASC) AS r
+       FROM v),
+pts AS (SELECT ln(CAST(r AS DOUBLE)) AS x, ln(CAST(freq AS DOUBLE)) AS y
+        FROM rk WHERE r <= 200),
+agg AS (SELECT COUNT(*) AS n, SUM(x) AS sx, SUM(y) AS sy,
+               SUM(x * y) AS sxy, SUM(x * x) AS sxx FROM pts)
+SELECT CAST(n AS BIGINT) AS n_terms,
+       round((n * sxy - sx * sy) / (n * sxx - sx * sx), 6) AS slope,
+       round((sy - ((n * sxy - sx * sy) / (n * sxx - sx * sx)) * sx) / n, 6)
+         AS intercept
+FROM agg
+"""
+
+
 QUERIES_OPS: dict[str, Callable[[SparkSession, str], DataFrame]] = {
+    "graph_hits": q_graph_hits,
+    "orders_rfm_segments": q_orders_rfm_segments,
+    "corpus_zipf_slope": q_corpus_zipf_slope,
     "lineitem_copurchase_lift": q_lineitem_copurchase_lift,
     "part_fuzzy_match": q_part_fuzzy_match,
     "events_cusum_changepoint": q_events_cusum_changepoint,
@@ -5463,6 +5586,9 @@ QUERIES_OPS: dict[str, Callable[[SparkSession, str], DataFrame]] = {
 }
 
 ORACLES_OPS: dict[str, str] = {
+    "graph_hits": Q_GRAPH_HITS_SQL,
+    "orders_rfm_segments": Q_ORDERS_RFM_SQL,
+    "corpus_zipf_slope": Q_CORPUS_ZIPF_SQL,
     "lineitem_copurchase_lift": Q_LINEITEM_COPURCHASE_SQL,
     "part_fuzzy_match": Q_PART_FUZZY_SQL,
     "events_cusum_changepoint": Q_EVENTS_CUSUM_SQL,

@@ -30,7 +30,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-__all__ = ["pagerank", "triangle_counts"]
+__all__ = ["pagerank", "triangle_counts", "hits"]
 
 
 def pagerank(
@@ -229,3 +229,87 @@ def triangle_counts(
     return member.groupBy("node").agg(
         F.count(F.lit(1)).cast("long").alias("n_triangles")
     )
+
+
+def hits(
+    edges: DataFrame,
+    iterations: int = 3,
+    scale: int = 10**9,
+) -> DataFrame:
+    """Fixed-point HITS (Kleinberg hubs & authorities) over a directed
+    edge list — the link-analysis twin of :func:`pagerank`: a good HUB
+    points at good authorities, a good AUTHORITY is pointed at by good
+    hubs. The curation use is bipartite quality transfer (domains <->
+    documents, users <-> items).
+
+    Same determinism discipline as :func:`pagerank`: every quantity is
+    an INTEGER out of ``scale``; each half-step sums the opposite
+    score over edges and renormalizes by the round's total with floor
+    division (``x_fp = (x_raw * scale) div sum(x_raw)``, products in
+    decimal(38,0) so count*scale can never overflow) — so two runs or
+    two engines agree bit-for-bit, and the unrolled SQL oracle can
+    replay it.
+
+    Scale shape: per iteration, two equi-join + partial-agg shuffles
+    over the cached distinct edge table and two one-row total
+    aggregates broadcast as literals-via-join; lineage stays flat
+    (the loop operand is the cached edge list, scores frames are
+    re-derived, not chained). Returns
+    ``(node string, hub_fp long, auth_fp long)`` — nodes with no
+    outgoing (incoming) edges hold hub (authority) 0.
+    """
+    if iterations < 1:
+        raise ValueError("iterations must be >= 1")
+    e = edges.select("src", "dst").distinct().persist()
+    nodes = (
+        e.select(F.col("src").alias("node"))
+        .union(e.select(F.col("dst").alias("node")))
+        .distinct()
+        .persist()
+    )
+    dec = "decimal(38,0)"
+    hub = nodes.select("node", F.lit(int(scale)).cast("long").alias("hub_fp"))
+    auth = None
+    for _ in range(iterations):
+        a_raw = (
+            e.join(hub, e.src == hub.node)
+            .groupBy(F.col("dst").alias("node"))
+            .agg(F.sum("hub_fp").alias("__raw"))
+        )
+        a_tot = a_raw.agg(F.sum("__raw").alias("__tot"))
+        auth = (
+            nodes.join(a_raw, "node", "left")
+            .crossJoin(F.broadcast(a_tot))
+            .select(
+                "node",
+                F.expr(
+                    f"CAST(coalesce(__raw, 0) AS {dec}) * {int(scale)} "
+                    f"div CAST(__tot AS {dec})"
+                ).cast("long").alias("auth_fp"),
+            )
+            .localCheckpoint(eager=False)
+        )
+        h_raw = (
+            e.join(auth, e.dst == auth.node)
+            .groupBy(F.col("src").alias("node"))
+            .agg(F.sum("auth_fp").alias("__raw"))
+        )
+        h_tot = h_raw.agg(F.sum("__raw").alias("__tot"))
+        hub = (
+            nodes.join(h_raw, "node", "left")
+            .crossJoin(F.broadcast(h_tot))
+            .select(
+                "node",
+                F.expr(
+                    f"CAST(coalesce(__raw, 0) AS {dec}) * {int(scale)} "
+                    f"div CAST(__tot AS {dec})"
+                ).cast("long").alias("hub_fp"),
+            )
+            .localCheckpoint(eager=False)
+        )
+    out = nodes.join(hub, "node", "left").join(auth, "node", "left").select(
+        "node",
+        F.coalesce("hub_fp", F.lit(0)).cast("long").alias("hub_fp"),
+        F.coalesce("auth_fp", F.lit(0)).cast("long").alias("auth_fp"),
+    )
+    return out

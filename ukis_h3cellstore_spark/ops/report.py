@@ -22,7 +22,7 @@ from pyspark.sql import functions as F
 
 from ukis_h3cellstore_spark.ops.text import tokens
 
-__all__ = ["corpus_datacard", "l_diversity", "categorical_dependence", "psi_drift"]
+__all__ = ["corpus_datacard", "l_diversity", "categorical_dependence", "psi_drift", "rfm_segments"]
 
 
 def l_diversity(
@@ -264,4 +264,65 @@ def psi_drift(
         .select(
             group_col, F.col("__ng").cast("long").alias("n_group"), "psi"
         )
+    )
+
+
+def rfm_segments(
+    df: DataFrame,
+    id_col: str,
+    recency_col: str,
+    frequency_col: str,
+    monetary_col: str,
+) -> DataFrame:
+    """RFM quintile segmentation — the classic customer/entity scoring
+    grid (5 = best on each axis): input one row per entity with its
+    recency (larger = more recent), frequency, and monetary metrics;
+    output integer quintile scores and the composite segment code
+    ``r*100 + f*10 + m``.
+
+    Integer-exact: each metric is ranked ASCENDING with ``id_col`` as
+    the deterministic tiebreak via the range-partitioned
+    :func:`~ukis_h3cellstore_spark.ops.robust.grouped_rank` (constant
+    group — still no one-task window, entities spread across range
+    partitions), and the quintile is ``1 + ((rank - 1) * 5) div n`` —
+    pure integral arithmetic, so any engine reproduces it
+    bit-for-bit. Three rank sweeps + one scalar count; no all-pairs
+    anything."""
+    from ukis_h3cellstore_spark.ops.robust import grouped_rank
+
+    base = df.select(
+        F.col(id_col),
+        F.col(recency_col).alias("__r"),
+        F.col(frequency_col).alias("__f"),
+        F.col(monetary_col).alias("__m"),
+    ).withColumn("__one", F.lit(1))
+    n_ent = int(base.count())
+    out = base
+    for metric, score in (
+        ("__r", "r_score"),
+        ("__f", "f_score"),
+        ("__m", "m_score"),
+    ):
+        out = (
+            grouped_rank(
+                out,
+                "__one",
+                [metric, id_col],
+                out_col="__rk",
+                range_tiebreak=id_col,
+            )
+            .withColumn(
+                score,
+                F.expr(f"CAST(1 + ((__rk - 1) * 5) div {n_ent} AS INT)"),
+            )
+            .drop("__rk")
+        )
+    return out.select(
+        id_col,
+        "r_score",
+        "f_score",
+        "m_score",
+        (
+            F.col("r_score") * 100 + F.col("f_score") * 10 + F.col("m_score")
+        ).cast("int").alias("segment"),
     )

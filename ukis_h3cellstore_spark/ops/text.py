@@ -1731,3 +1731,57 @@ def readability(
             - F.expr("(84600 * n_syllables) div n_words"),
         ).cast("long"),
     )
+
+
+def zipf_slope(
+    df: DataFrame,
+    text_col: str = "text",
+    top_n: int = 1000,
+) -> DataFrame:
+    """Zipf's-law fit over the corpus vocabulary: OLS slope of
+    ``ln(freq)`` on ``ln(rank)`` for the ``top_n`` most frequent
+    terms — the one-number "is this corpus natural language"
+    diagnostic (natural text sits near -1; templated/boilerplate
+    corpora flatten, OCR noise steepens). Pairs with the Heaps'-law
+    point of ``vocab_profile``.
+
+    Returns ONE row ``(n_terms, slope, intercept)`` (6 dp). Ranks come
+    from the range-partitioned
+    :func:`~ukis_h3cellstore_spark.ops.prefix.global_rank`
+    (freq desc, term asc — deterministic under ties), the fit is the
+    explicit normal-equations formula over at most ``top_n`` points,
+    so the float work is a bounded final reduction."""
+    from ukis_h3cellstore_spark.ops.prefix import global_rank
+
+    vocab = (
+        df.select(F.explode(tokens(text_col)).alias("term"))
+        .filter(F.col("term") != "")
+        .groupBy("term")
+        .agg(F.count(F.lit(1)).alias("freq"))
+        .withColumn("__negf", -F.col("freq"))
+    )
+    ranked = global_rank(vocab, ["__negf", "term"], out_col="rank").filter(
+        F.col("rank") <= int(top_n)
+    )
+    pts = ranked.select(
+        F.log(F.col("rank").cast("double")).alias("__x"),
+        F.log(F.col("freq").cast("double")).alias("__y"),
+    )
+    agg = pts.agg(
+        F.count(F.lit(1)).alias("__n"),
+        F.sum("__x").alias("__sx"),
+        F.sum("__y").alias("__sy"),
+        F.sum(F.col("__x") * F.col("__y")).alias("__sxy"),
+        F.sum(F.col("__x") * F.col("__x")).alias("__sxx"),
+    )
+    n = F.col("__n").cast("double")
+    slope = (n * F.col("__sxy") - F.col("__sx") * F.col("__sy")) / (
+        n * F.col("__sxx") - F.col("__sx") * F.col("__sx")
+    )
+    return agg.select(
+        F.col("__n").cast("long").alias("n_terms"),
+        F.round(slope, 6).alias("slope"),
+        F.round(
+            (F.col("__sy") - slope * F.col("__sx")) / n, 6
+        ).alias("intercept"),
+    )
