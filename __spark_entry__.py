@@ -46,6 +46,8 @@ _PRIORITY = [
     "graph_hits",
     "orders_rfm_segments",
     "corpus_zipf_slope",
+    "corpus_score_rank_corr",
+    "streaming_psi_drift",
     # tier 2 — oldest driver-green first
     "text_stats",
     "text_langid",

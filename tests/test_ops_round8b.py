@@ -379,3 +379,33 @@ def test_zipf_slope_exact_power_law(spark):
     assert r["n_terms"] == 4
     assert abs(r["slope"] - round(slope, 6)) <= 1e-6
     assert abs(r["intercept"] - round((sy - slope * sx) / n, 6)) <= 1e-6
+
+
+def test_spearman_milli_matches_brute_force(spark):
+    from ukis_h3cellstore_spark.ops.robust import spearman_milli
+
+    rows = [(1, 10, 100), (2, 20, 90), (3, 30, 95), (4, 40, 70), (5, 50, 60)]
+    df = spark.createDataFrame(rows, "id long, x long, y long")
+    r = spearman_milli(df, "x", "y", "id").collect()[0]
+    xr = {i: k + 1 for k, (i, _, _) in enumerate(sorted(rows, key=lambda t: (t[1], t[0])))}
+    yr = {i: k + 1 for k, (i, _, _) in enumerate(sorted(rows, key=lambda t: (t[2], t[0])))}
+    sd2 = sum((xr[i] - yr[i]) ** 2 for i, _, _ in rows)
+    n = 5
+    want = (1000 * (n * (n * n - 1) - 6 * sd2)) // (n * (n * n - 1))
+    # python // floors; both engines truncate toward zero — equal here
+    # because the test numerator is chosen negative-safe via int()
+    num = 1000 * (n * (n * n - 1) - 6 * sd2)
+    den = n * (n * n - 1)
+    want = int(num / den) if num < 0 else num // den
+    assert (r["n"], r["rho_milli"]) == (5, want)
+
+
+def test_spearman_milli_perfect_and_inverse(spark):
+    from ukis_h3cellstore_spark.ops.robust import spearman_milli
+
+    rows = [(i, i, i * 7) for i in range(1, 9)]
+    df = spark.createDataFrame(rows, "id long, x long, y long")
+    assert spearman_milli(df, "x", "y", "id").collect()[0]["rho_milli"] == 1000
+    inv = [(i, i, 100 - i) for i in range(1, 9)]
+    df2 = spark.createDataFrame(inv, "id long, x long, y long")
+    assert spearman_milli(df2, "x", "y", "id").collect()[0]["rho_milli"] == -1000

@@ -5460,7 +5460,51 @@ FROM agg
 """
 
 
+def q_corpus_score_rank_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scorer-agreement audit (ops/robust.py:spearman_milli): Spearman
+    rank correlation between document length (tokens) and the Flesch
+    readability score — the "is my quality signal just a length
+    proxy" check. Integer-exact tie-broken rho in milli units from two
+    range-partitioned rank sweeps."""
+    from ukis_h3cellstore_spark.ops.robust import spearman_milli
+
+    d = _docs(spark, sf_dir)
+    r = X.readability(d).filter(F.col("n_words") > 0).select(
+        "doc_id", "n_words", "flesch_milli"
+    )
+    return spearman_milli(r, "n_words", "flesch_milli", "doc_id")
+
+
+Q_CORPUS_RANK_CORR_SQL = r"""
+WITH b AS (
+  SELECT doc_id,
+    CASE WHEN length(trim(text)) = 0 THEN 0
+         ELSE len(regexp_split_to_array(trim(text), '\s+')) END AS n_words,
+    greatest(len(regexp_extract_all(text, '[.!?]+')), 1) AS n_sents,
+    len(regexp_extract_all(lower(text), '[aeiouy]+')) AS n_syll
+  FROM documents),
+sc AS (SELECT doc_id, n_words,
+              206835 - (1015 * n_words) // n_sents
+              - (84600 * n_syll) // n_words AS flesch_milli
+       FROM b WHERE n_words > 0),
+rk AS (SELECT doc_id,
+              row_number() OVER (ORDER BY n_words, doc_id) AS rx,
+              row_number() OVER (ORDER BY flesch_milli, doc_id) AS ry
+       FROM sc),
+agg AS (SELECT COUNT(*) AS n,
+               SUM(CAST((rx - ry) AS HUGEINT) * (rx - ry)) AS sd2
+        FROM rk)
+SELECT CAST(n AS BIGINT) AS n,
+       CAST((1000 * (CAST(n AS HUGEINT) * (CAST(n AS HUGEINT) * n - 1)
+             - 6 * sd2))
+            // (CAST(n AS HUGEINT) * (CAST(n AS HUGEINT) * n - 1))
+            AS BIGINT) AS rho_milli
+FROM agg
+"""
+
+
 QUERIES_OPS: dict[str, Callable[[SparkSession, str], DataFrame]] = {
+    "corpus_score_rank_corr": q_corpus_score_rank_corr,
     "graph_hits": q_graph_hits,
     "orders_rfm_segments": q_orders_rfm_segments,
     "corpus_zipf_slope": q_corpus_zipf_slope,
@@ -5586,6 +5630,7 @@ QUERIES_OPS: dict[str, Callable[[SparkSession, str], DataFrame]] = {
 }
 
 ORACLES_OPS: dict[str, str] = {
+    "corpus_score_rank_corr": Q_CORPUS_RANK_CORR_SQL,
     "graph_hits": Q_GRAPH_HITS_SQL,
     "orders_rfm_segments": Q_ORDERS_RFM_SQL,
     "corpus_zipf_slope": Q_CORPUS_ZIPF_SQL,

@@ -1013,9 +1013,79 @@ FROM w WHERE rn = 1
 """
 
 
+def q_streaming_psi_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming drift monitor (ops/report.py:psi_from_counts): the
+    documents table replayed as a stream, token counts binned map-side
+    with the SAME fixed edges as the batch corpus_psi_drift gate, and
+    the (source, bin) counts accumulated by a streaming aggregation in
+    complete mode — counts are associative, so the final table is
+    micro-batch-split-proof; PSI is computed relationally from the
+    materialized counts."""
+    import tempfile
+
+    from ukis_h3cellstore_spark.entry_queries_ops import _docs
+    from ukis_h3cellstore_spark.ops.report import psi_from_counts
+    from ukis_h3cellstore_spark.ops.text import tokens
+
+    src = _docs(spark, sf_dir).select("doc_id", "source", "text")
+    stream_dir = tempfile.mkdtemp(prefix="psi_src_")
+    src.repartition(8).write.mode("overwrite").parquet(stream_dir)
+    stream = st.read_stream(spark, stream_dir, src.schema, max_files_per_trigger=2)
+    nt = F.size(tokens("text")).cast("long")
+    b = F.lit(4)
+    for i, e in ((3, 90.0), (2, 70.0), (1, 50.0), (0, 30.0)):
+        b = F.when(nt < F.lit(e), F.lit(i)).otherwise(b)
+    binned = stream.select(F.col("source"), b.cast("int").alias("bin"))
+    counts = binned.groupBy("source", "bin").count()
+    _SINK_COUNTER[0] += 1
+    sink = f"psi_sink_{_SINK_COUNTER[0]}"
+    q = (
+        counts.writeStream.format("memory")
+        .queryName(sink)
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    _await_done(q)
+    # eager checkpoint: the counts table is consumed by three
+    # sub-aggregations inside psi_from_counts; a fresh LogicalRDD also
+    # sidesteps the view self-join attribute-conflict analyzer error
+    counts_tbl = spark.table(sink).localCheckpoint(eager=True)
+    return psi_from_counts(
+        counts_tbl, "source", "bin", "count", nbins=5, smooth=1
+    )
+
+
+_Q_STREAMING_PSI_SQL = r"""
+WITH d AS (SELECT source, len(regexp_split_to_array(trim(text), '\s+')) AS nt
+           FROM documents),
+b AS (SELECT source, CASE WHEN nt < 30 THEN 0 WHEN nt < 50 THEN 1
+                          WHEN nt < 70 THEN 2 WHEN nt < 90 THEN 3
+                          ELSE 4 END AS bin
+      FROM d),
+cells AS (SELECT source, bin, COUNT(*) AS c FROM b GROUP BY 1,2),
+grp AS (SELECT source, SUM(c) AS ng FROM cells GROUP BY 1),
+pool AS (SELECT bin, SUM(c) AS cp FROM cells GROUP BY 1),
+tot AS (SELECT SUM(c) AS n FROM cells),
+bins AS (SELECT unnest(range(5)) AS bin),
+grid AS (SELECT g.source, g.ng, bi.bin, COALESCE(cells.c, 0) AS c,
+                COALESCE(pool.cp, 0) AS cp
+         FROM grp g CROSS JOIN bins bi
+         LEFT JOIN cells ON cells.source = g.source AND cells.bin = bi.bin
+         LEFT JOIN pool ON pool.bin = bi.bin)
+SELECT source, CAST(ng AS BIGINT) AS n_group,
+       round(SUM(((c+1)/CAST(ng+5 AS DOUBLE)
+                  - (cp+1)/CAST((SELECT n FROM tot)+5 AS DOUBLE))
+             * ln(((c+1)/CAST(ng+5 AS DOUBLE))
+                  / ((cp+1)/CAST((SELECT n FROM tot)+5 AS DOUBLE)))), 6) AS psi
+FROM grid GROUP BY 1, 2
+"""
+
+
 QUERIES_STREAM: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "streaming_novelty": q_streaming_novelty,
     "streaming_cdc_upsert": q_streaming_cdc_upsert,
+    "streaming_psi_drift": q_streaming_psi_drift,
     "streaming_robust_score": q_streaming_robust_score,
     "streaming_ttl_dedup": q_streaming_ttl_dedup,
     "streaming_hll_distinct": q_streaming_hll_distinct,
@@ -1034,6 +1104,7 @@ QUERIES_STREAM: dict[str, Callable[[SparkSession, str], DataFrame]] = {
 ORACLES_STREAM: dict[str, str] = {
     "streaming_novelty": _Q_STREAMING_NOVELTY_SQL,
     "streaming_cdc_upsert": _Q_STREAMING_CDC_UPSERT_SQL,
+    "streaming_psi_drift": _Q_STREAMING_PSI_SQL,
     "streaming_robust_score": _Q_STREAMING_ROBUST_SCORE_SQL,
     "streaming_ttl_dedup": _Q_STREAMING_TTL_DEDUP_SQL,
     "streaming_hll_distinct": _Q_STREAMING_HLL_SQL,

@@ -22,7 +22,7 @@ from pyspark.sql import functions as F
 
 from ukis_h3cellstore_spark.ops.text import tokens
 
-__all__ = ["corpus_datacard", "l_diversity", "categorical_dependence", "psi_drift", "rfm_segments"]
+__all__ = ["corpus_datacard", "l_diversity", "categorical_dependence", "psi_drift", "psi_from_counts", "rfm_segments"]
 
 
 def l_diversity(
@@ -237,10 +237,32 @@ def psi_drift(
     cells = binned.groupBy(group_col, "__bin").agg(
         F.count(F.lit(1)).alias("__c")
     )
+    return psi_from_counts(cells, group_col, "__bin", "__c", nbins, smooth)
+
+
+def psi_from_counts(
+    cells: DataFrame,
+    group_col: str,
+    bin_col: str,
+    count_col: str,
+    nbins: int,
+    smooth: int = 1,
+) -> DataFrame:
+    """PSI from a pre-aggregated (group, bin, count) table — the shared
+    tail of :func:`psi_drift`, exposed so STREAMING drift monitors can
+    accumulate the (group, bin) counts incrementally (counts are
+    associative, hence micro-batch-split-proof) and compute the same
+    score at materialization time. ``bin_col`` must be dense ints in
+    ``[0, nbins)``."""
+    cells = cells.select(
+        F.col(group_col),
+        F.col(bin_col).cast("int").alias("__bin"),
+        F.col(count_col).cast("long").alias("__c"),
+    )
     groups = cells.groupBy(group_col).agg(F.sum("__c").alias("__ng"))
     pooled = cells.groupBy("__bin").agg(F.sum("__c").alias("__cp"))
     n_all = cells.agg(F.sum("__c").alias("__n"))
-    spark = df.sparkSession
+    spark = cells.sparkSession
     bins = spark.range(nbins).select(F.col("id").cast("int").alias("__bin"))
     grid = (
         groups.crossJoin(F.broadcast(bins))

@@ -37,6 +37,7 @@ __all__ = [
     "grouped_cumsum",
     "ks_vs_rest",
     "cusum_changepoint",
+    "spearman_milli",
     "grouped_auc",
     "winsorize_by_group",
     "calibration_bins",
@@ -601,3 +602,61 @@ def cusum_changepoint(
         )
     )
     return peak
+
+
+def spearman_milli(
+    df: DataFrame,
+    x_col: str,
+    y_col: str,
+    id_col: str,
+    num_partitions: int | None = None,
+) -> DataFrame:
+    """Spearman rank correlation between two numeric columns, in MILLI
+    units and integer-exact — the "do my two quality scorers agree"
+    audit (rank agreement is what reranking/mixing actually consumes,
+    and unlike Pearson it ignores the scorers' scales).
+
+    Ranks are row_numbers under ``(value, id)`` — ``id_col`` is the
+    deterministic tiebreak, so ranks are a permutation and the
+    no-ties identity applies EXACTLY as computed:
+    ``rho = 1 - 6 * sum(d^2) / (n * (n^2 - 1))``, returned as
+    ``rho_milli = (1000 * (n(n^2-1) - 6*sum_d2)) div (n(n^2-1))``
+    — every quantity integral (decimal(38,0) products), so any engine
+    reproduces the same number bit-for-bit. (With heavy ties this is
+    the tie-broken variant, not the averaged-rank one; the tiebreak
+    column makes that choice explicit and reproducible.)
+
+    Scale shape: two range-partitioned :func:`grouped_rank` sweeps on
+    a constant group (no one-task window), one join on ``id_col``,
+    one one-row reduction."""
+    base = df.select(
+        F.col(id_col), F.col(x_col).alias("__x"), F.col(y_col).alias("__y")
+    ).withColumn("__one", F.lit(1))
+    rx = grouped_rank(
+        base, "__one", ["__x", id_col], out_col="__rx",
+        num_partitions=num_partitions, range_tiebreak=id_col,
+    ).select(id_col, "__rx")
+    ry = grouped_rank(
+        base, "__one", ["__y", id_col], out_col="__ry",
+        num_partitions=num_partitions, range_tiebreak=id_col,
+    ).select(id_col, "__ry")
+    d2 = (
+        rx.join(ry, on=id_col)
+        .select(
+            (
+                (F.col("__rx") - F.col("__ry"))
+                * (F.col("__rx") - F.col("__ry"))
+            ).cast("decimal(18,0)").alias("__d2")
+        )
+        .agg(
+            F.count(F.lit(1)).alias("__n"), F.sum("__d2").alias("__sd2")
+        )
+    )
+    return d2.select(
+        F.col("__n").cast("long").alias("n"),
+        F.expr(
+            "CAST(1000 * (CAST(__n AS DECIMAL(18,0)) * (CAST(__n AS DECIMAL(18,0)) * __n - 1) "
+            "- 6 * __sd2) AS DECIMAL(38,0)) div "
+            "CAST(CAST(__n AS DECIMAL(18,0)) * (CAST(__n AS DECIMAL(18,0)) * __n - 1) AS DECIMAL(38,0))"
+        ).cast("long").alias("rho_milli"),
+    )
