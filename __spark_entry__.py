@@ -48,6 +48,7 @@ _PRIORITY = [
     "corpus_zipf_slope",
     "corpus_score_rank_corr",
     "streaming_psi_drift",
+    "dedup_minhash_error",
     # tier 2 — oldest driver-green first
     "text_stats",
     "text_langid",

@@ -91,6 +91,15 @@ HEADLINE = [
     # round-8 additions
     "corpus_tokenize_pack",
     "dedup_incremental_e2e",
+    # round-8 late additions: rank-machinery statistics, link analysis,
+    # market-basket, blocked fuzzy join, streaming CDC
+    "events_ks_drift",
+    "events_cusum_changepoint",
+    "graph_hits",
+    "lineitem_copurchase_lift",
+    "part_fuzzy_match",
+    "streaming_cdc_upsert",
+    "orders_rfm_segments",
 ]
 
 #: bench-only implementations: same operator, scale-path configuration

@@ -409,3 +409,28 @@ def test_spearman_milli_perfect_and_inverse(spark):
     inv = [(i, i, 100 - i) for i in range(1, 9)]
     df2 = spark.createDataFrame(inv, "id long, x long, y long")
     assert spearman_milli(df2, "x", "y", "id").collect()[0]["rho_milli"] == -1000
+
+
+def test_minhash_estimate_error_zero_on_exact_dups(spark):
+    from ukis_h3cellstore_spark.ops import dedup as D
+
+    # identical docs: est = true = 1.0 exactly -> zero error on the
+    # 3 candidate pairs; the unrelated doc never collides
+    text = "a b c d e f g h i j"
+    rows = [(1, text), (2, text), (3, text),
+            (4, "zz yy xx ww vv uu tt ss rr qq")]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    r = D.minhash_estimate_error(df, min_est_jaccard=0.25).collect()[0]
+    assert r["n_pairs"] == 3
+    assert r["mean_abs_err_milli"] == 0 and r["max_abs_err_milli"] == 0
+
+
+def test_minhash_estimate_error_bounds(spark):
+    from ukis_h3cellstore_spark.ops import dedup as D
+
+    base = "the quick brown fox jumps over the lazy dog again and again"
+    rows = [(i, base + f" tail{i % 3}") for i in range(12)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    r = D.minhash_estimate_error(df, min_est_jaccard=0.25).collect()[0]
+    assert r["n_pairs"] >= 1
+    assert 0 <= r["mean_abs_err_milli"] <= r["max_abs_err_milli"] <= 1000

@@ -5503,7 +5503,44 @@ FROM agg
 """
 
 
+def q_dedup_minhash_error(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Estimator-quality audit (ops/dedup.py:minhash_estimate_error):
+    |signature-estimated - exact| Jaccard in milli over the LSH
+    candidates, one summary row — the "is 8 hashes enough" check run
+    before trusting est_jaccard as a dedup threshold."""
+    return D.minhash_estimate_error(_docs(spark, sf_dir), min_est_jaccard=0.25)
+
+
+def _q_dedup_minhash_error_sql() -> str:
+    return f"""
+WITH cand AS ({_q_dedup_minhash_lsh_sql()}),
+sh AS ({_DUCK_SHINGLES}),
+sizes AS (SELECT doc_id, COUNT(*) AS n_sh FROM sh GROUP BY 1),
+common AS (
+  SELECT c.id_a, c.id_b, COUNT(*) AS n_common
+  FROM cand c
+  JOIN sh a ON a.doc_id = c.id_a
+  JOIN sh b ON b.doc_id = c.id_b AND b.shingle = a.shingle
+  GROUP BY 1, 2
+),
+err AS (
+  SELECT ABS((1000 * CAST(round(c.est_jaccard * 8) AS BIGINT)) // 8
+             - (1000 * m.n_common)
+               // (sa.n_sh + sb.n_sh - m.n_common)) AS e
+  FROM cand c
+  JOIN common m ON m.id_a = c.id_a AND m.id_b = c.id_b
+  JOIN sizes sa ON sa.doc_id = c.id_a
+  JOIN sizes sb ON sb.doc_id = c.id_b
+)
+SELECT CAST(COUNT(*) AS BIGINT) AS n_pairs,
+       CAST(SUM(e) // COUNT(*) AS BIGINT) AS mean_abs_err_milli,
+       CAST(MAX(e) AS BIGINT) AS max_abs_err_milli
+FROM err
+"""
+
+
 QUERIES_OPS: dict[str, Callable[[SparkSession, str], DataFrame]] = {
+    "dedup_minhash_error": q_dedup_minhash_error,
     "corpus_score_rank_corr": q_corpus_score_rank_corr,
     "graph_hits": q_graph_hits,
     "orders_rfm_segments": q_orders_rfm_segments,
@@ -5630,6 +5667,7 @@ QUERIES_OPS: dict[str, Callable[[SparkSession, str], DataFrame]] = {
 }
 
 ORACLES_OPS: dict[str, str] = {
+    "dedup_minhash_error": _q_dedup_minhash_error_sql(),
     "corpus_score_rank_corr": Q_CORPUS_RANK_CORR_SQL,
     "graph_hits": Q_GRAPH_HITS_SQL,
     "orders_rfm_segments": Q_ORDERS_RFM_SQL,

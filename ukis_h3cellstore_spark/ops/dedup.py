@@ -1363,3 +1363,74 @@ def bloom_membership_flags(
         )
     )
     return tmp.withColumn("pass_bloom", passed).select(*cols, "pass_bloom")
+
+
+def minhash_estimate_error(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 3,
+    num_hashes: int = 8,
+    band_size: int = 2,
+    min_est_jaccard: float = 0.25,
+) -> DataFrame:
+    """Estimator-quality audit for the MinHash pipeline: over the LSH
+    candidate pairs, compare the SIGNATURE-estimated Jaccard against
+    the exact shingle-set Jaccard and summarize the absolute error —
+    the number that tells you whether ``num_hashes`` is adequate
+    before you trust the estimate as a dedup threshold.
+
+    Integer-exact: ``est_milli = (1000 * n_match) div H`` (n_match
+    recovered exactly — est is an exact multiple of 1/H in binary),
+    ``true_milli = (1000 * n_common) div (n_a + n_b - n_common)``,
+    error ``|est - true|`` in milli; ONE summary row
+    ``(n_pairs, mean_abs_err_milli, max_abs_err_milli)`` with the mean
+    floor-divided. Candidates with no common shingle (possible only
+    under raw hash collisions) follow the verify join's inner
+    semantics on both engines.
+
+    Scale shape: exactly the two-stage LSH pipeline's cost — one
+    shared shingle materialization, banded candidate join, verify join
+    over candidates only — plus a one-row reduction."""
+    sh = shingle_df(df, text_col, id_col, k).localCheckpoint(eager=False)
+    cand = minhash_lsh_pairs(
+        df, text_col, id_col, k, num_hashes, band_size, min_est_jaccard,
+        shingles=sh,
+    )
+    sizes = sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("n_sh"))
+    a = sh.select(F.col(id_col).alias("id_a"), "shingle")
+    b = sh.select(F.col(id_col).alias("id_b"), "shingle")
+    common = (
+        cand.select("id_a", "id_b")
+        .join(a, on="id_a")
+        .join(b, on=["id_b", "shingle"])
+        .groupBy("id_a", "id_b")
+        .agg(F.count(F.lit(1)).alias("n_common"))
+    )
+    sa = sizes.select(F.col(id_col).alias("id_a"), F.col("n_sh").alias("n_a"))
+    sb = sizes.select(F.col(id_col).alias("id_b"), F.col("n_sh").alias("n_b"))
+    joined = (
+        cand.join(common, on=["id_a", "id_b"])
+        .join(sa, on="id_a")
+        .join(sb, on="id_b")
+        .withColumn(
+            "__nm", F.round(F.col("est_jaccard") * num_hashes).cast("long")
+        )
+        .withColumn(
+            "__un", (F.col("n_a") + F.col("n_b") - F.col("n_common")).cast("long")
+        )
+        .withColumn(
+            "__err",
+            F.abs(
+                F.expr(f"(1000 * __nm) div {int(num_hashes)}")
+                - F.expr("(1000 * n_common) div __un")
+            ),
+        )
+    )
+    return joined.agg(
+        F.count(F.lit(1)).cast("long").alias("n_pairs"),
+        F.expr("CAST(sum(__err) div count(1) AS BIGINT)").alias(
+            "mean_abs_err_milli"
+        ),
+        F.max("__err").cast("long").alias("max_abs_err_milli"),
+    )
