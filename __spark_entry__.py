@@ -49,6 +49,7 @@ _PRIORITY = [
     "corpus_score_rank_corr",
     "streaming_psi_drift",
     "dedup_minhash_error",
+    "geo_disk_smoothing",
     # tier 2 — oldest driver-green first
     "text_stats",
     "text_langid",

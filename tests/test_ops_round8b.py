@@ -434,3 +434,41 @@ def test_minhash_estimate_error_bounds(spark):
     r = D.minhash_estimate_error(df, min_est_jaccard=0.25).collect()[0]
     assert r["n_pairs"] >= 1
     assert 0 <= r["mean_abs_err_milli"] <= r["max_abs_err_milli"] <= 1000
+
+
+def test_disk_smooth_matches_python_grid(spark):
+    from ukis_h3cellstore_spark import geo as G
+
+    grid = G.SquareGrid()
+    # occupied cells: a 2x2 block plus one far cell, res 4
+    coords = [(10.0, 10.0), (10.0, 12.0), (12.0, 10.0), (12.0, 12.0),
+              (-60.0, -170.0)]
+    cells = {}
+    for k, (lat, lng) in enumerate(coords):
+        cells[grid.latlng_to_cell(lat, lng, 4)] = (k + 1) * 10
+    df = spark.createDataFrame(
+        sorted(cells.items()), "cell long, cents long"
+    )
+    got = {r["cell"]: (r["n_present"], r["disk_sum"], r["mean_milli"])
+           for r in G.disk_smooth(df, "cell", "cents", k=1).collect()}
+    for c, v in cells.items():
+        disk = set(grid.grid_disk(c, 1))
+        present = [cells[d] for d in disk if d in cells]
+        want = (len(present), sum(present),
+                (1000 * sum(present)) // len(present))
+        assert got[c] == want
+
+
+def test_disk_smooth_pole_and_antimeridian(spark):
+    from ukis_h3cellstore_spark import geo as G
+
+    grid = G.SquareGrid()
+    # cells hugging the pole (j clamps) and the antimeridian (i wraps)
+    pts = [(89.0, 179.5), (89.0, -179.5), (-89.0, 0.0)]
+    cells = {grid.latlng_to_cell(lat, lng, 3): 100 for lat, lng in pts}
+    df = spark.createDataFrame(sorted(cells.items()), "cell long, cents long")
+    got = {r["cell"]: r["n_present"]
+           for r in G.disk_smooth(df, "cell", "cents", k=1).collect()}
+    for c in cells:
+        disk = set(grid.grid_disk(c, 1))
+        assert got[c] == sum(1 for d in disk if d in cells)

@@ -1179,7 +1179,60 @@ GROUP BY 1
 """
 
 
+def q_geo_disk_smoothing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Focal statistics (geo.py:disk_smooth): per-cell event cents
+    smoothed over the k=1 lattice disk — neighbor ids are pure bit
+    arithmetic in codegen (wrap/clamp identical to
+    SquareGrid.grid_disk), so the only shuffle is the disk-member
+    equi-join against the occupied-cell table. Integer milli mean.
+    The oracle re-derives every neighbor with independent SQL lattice
+    arithmetic."""
+    from ukis_h3cellstore_spark.geo import disk_smooth
+
+    _events(spark, sf_dir).createOrReplaceTempView("__geo_smooth_events")
+    lng = _synth_lng_sql("event_id")
+    lat = _synth_lat_sql("event_id")
+    cells = spark.sql(
+        f"""
+        SELECT {_sq_cell_sql(lat, lng)} AS cell,
+               CAST(SUM(CAST(round(value * 100) AS BIGINT)) AS BIGINT)
+                 AS cents
+        FROM __geo_smooth_events GROUP BY 1
+        """
+    )
+    return disk_smooth(cells, "cell", "cents", k=1)
+
+
+def _q_geo_disk_smoothing_sql() -> str:
+    n = 1 << (GEO_RES + 3)
+    mask = (1 << 26) - 1
+    cell = _sq_cell_sql(_synth_lat_sql("event_id"), _synth_lng_sql("event_id"))
+    return f"""
+WITH cells AS (
+  SELECT {cell} AS cell,
+         CAST(SUM(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS cents
+  FROM events GROUP BY 1
+),
+off AS (SELECT a.di, b.dj
+        FROM (SELECT unnest([-1, 0, 1]) AS di) a
+        CROSS JOIN (SELECT unnest([-1, 0, 1]) AS dj) b),
+nbs AS (
+  SELECT DISTINCT c.cell,
+         ({1 << 60} | {GEO_RES << 52}
+          | ((((((c.cell >> 26) & {mask}) + o.di) % {n} + {n}) % {n}) << 26)
+          | greatest(0, least((c.cell & {mask}) + o.dj, {n // 2 - 1}))) AS nb
+  FROM cells c CROSS JOIN off o
+)
+SELECT nbs.cell, CAST(COUNT(*) AS BIGINT) AS n_present,
+       CAST(SUM(v.cents) AS BIGINT) AS disk_sum,
+       CAST((1000 * SUM(v.cents)) // COUNT(*) AS BIGINT) AS mean_milli
+FROM nbs JOIN cells v ON v.cell = nbs.nb
+GROUP BY 1
+"""
+
+
 QUERIES_GEO: dict[str, Callable[[SparkSession, str], DataFrame]] = {
+    "geo_disk_smoothing": q_geo_disk_smoothing,
     "geo_grid_disk": q_geo_grid_disk,
     "geo_polyfill_traversal": q_geo_polyfill_traversal,
     "geo_border_cells": q_geo_border_cells,
@@ -1192,6 +1245,7 @@ QUERIES_GEO: dict[str, Callable[[SparkSession, str], DataFrame]] = {
 }
 
 ORACLES_GEO: dict[str, str] = {
+    "geo_disk_smoothing": _q_geo_disk_smoothing_sql(),
     "geo_grid_disk": _q_geo_grid_disk_sql(),
     "geo_polyfill_traversal": _q_geo_polyfill_traversal_sql(),
     "geo_border_cells": _q_geo_border_cells_sql(),

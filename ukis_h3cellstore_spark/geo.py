@@ -323,3 +323,66 @@ def border_cells(
             break
         border.update(layer)
     return sorted(border)
+
+
+def disk_smooth(
+    df,
+    cell_col: str = "cell",
+    value_col: str = "value",
+    k: int = 1,
+):
+    """Focal (neighborhood-mean) statistics over the square-lattice
+    grid — the classic raster/hex smoothing pass ("average each cell
+    with its ring"), fully distributed: the ``(2k+1)^2`` disk members
+    of every cell are PURE BIT ARITHMETIC on the packed (res, i, j)
+    id (antimeridian wraps modulo the column count, poles clamp — the
+    exact :meth:`SquareGrid.grid_disk` algebra as Catalyst
+    expressions), so neighbor generation is a codegen projection and
+    the only shuffle is the equi-join of disk members against the
+    occupied-cell value table.
+
+    ``df`` holds one row per OCCUPIED cell: ``(cell, value)`` with an
+    integral value (pre-aggregate first). Output per occupied cell:
+    ``(cell, n_present, disk_sum, mean_milli)`` where ``n_present``
+    counts occupied disk members (the cell itself included),
+    ``disk_sum`` their value total, and
+    ``mean_milli = (1000 * disk_sum) div n_present`` — integral, so
+    engine-exact. Pole-clamped duplicate neighbors collapse
+    (array_distinct), matching the de-duplicated disk."""
+    from pyspark.sql import functions as F
+
+    mask = (1 << 26) - 1
+    c = cell_col
+    res = f"(shiftright({c}, 52) & 15)"
+    n = f"shiftleft(CAST(1 AS BIGINT), {res} + 3)"
+    i = f"(shiftright({c}, 26) & {mask})"
+    j = f"({c} & {mask})"
+    nbs = []
+    for di in range(-k, k + 1):
+        for dj in range(-k, k + 1):
+            ni = f"((({i} + {di}) % {n} + {n}) % {n})"
+            nj = f"greatest(CAST(0 AS BIGINT), least({j} + {dj}, {n} div 2 - 1))"
+            nbs.append(
+                F.expr(
+                    f"CAST({1 << 60} AS BIGINT) | shiftleft(CAST({res} AS BIGINT), 52)"
+                    f" | shiftleft({ni}, 26) | {nj}"
+                )
+            )
+    cell = F.col(cell_col)
+    exploded = df.select(
+        cell.alias("__c"), F.explode(F.array_distinct(F.array(*nbs))).alias("__nb")
+    )
+    vals = df.select(
+        F.col(cell_col).alias("__nb"), F.col(value_col).alias("__v")
+    )
+    return (
+        exploded.join(vals, on="__nb")
+        .groupBy(F.col("__c").alias(cell_col))
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_present"),
+            F.sum("__v").cast("long").alias("disk_sum"),
+        )
+        .withColumn(
+            "mean_milli", F.expr("(1000 * disk_sum) div n_present").cast("long")
+        )
+    )
