@@ -50,6 +50,8 @@ _PRIORITY = [
     "streaming_psi_drift",
     "dedup_minhash_error",
     "geo_disk_smoothing",
+    "part_abc_classes",
+    "events_benford_audit",
     # tier 2 — oldest driver-green first
     "text_stats",
     "text_langid",

@@ -472,3 +472,35 @@ def test_disk_smooth_pole_and_antimeridian(spark):
     for c in cells:
         disk = set(grid.grid_disk(c, 1))
         assert got[c] == sum(1 for d in disk if d in cells)
+
+
+def test_benford_digit_extraction_and_constants(spark):
+    from ukis_h3cellstore_spark.entry_queries_ops import _BENFORD_MILLI
+
+    assert sum(_BENFORD_MILLI) == 995  # nine floors each drop < 1 milli
+    rows = [(float(v),) for v in (0.01, 0.19, 2.0, 95.5, 10.0, 0.0, -1.0)]
+    df = spark.createDataFrame(rows, "value double")
+    from pyspark.sql import functions as F2
+
+    cents = df.select(
+        F2.round(F2.col("value") * 100).cast("long").alias("c")
+    ).filter(F2.col("c") > 0)
+    dig = {
+        r["c"]: int(str(r["c"])[0]) for r in cents.collect()
+    }
+    # 0.01->1c->1, 0.19->19c->1, 2.0->200c->2, 95.5->9550c->9, 10->1000c->1
+    assert dig == {1: 1, 19: 1, 200: 2, 9550: 9, 1000: 1}
+
+
+def test_abc_classes_hand_computed(spark):
+    from ukis_h3cellstore_spark.ops.prefix import global_cumsum
+    from pyspark.sql import functions as F2
+
+    # revenues 50, 30, 15, 5 (total 100): cum shares 500, 800, 950, 1000
+    # -> classes A, A, B, C
+    rev = spark.createDataFrame(
+        [(1, 50), (2, 30), (3, 15), (4, 5)], "k long, cents long"
+    ).withColumn("__negc", -F2.col("cents"))
+    cum = global_cumsum(rev, ["__negc", "k"], "cents", out_col="c")
+    rows = {r["k"]: (1000 * r["c"]) // 100 for r in cum.collect()}
+    assert rows == {1: 500, 2: 800, 3: 950, 4: 1000}

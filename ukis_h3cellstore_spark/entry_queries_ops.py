@@ -5539,7 +5539,129 @@ FROM err
 """
 
 
+def q_part_abc_classes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ABC (Pareto 80/95) revenue classification
+    (ops/prefix.py:global_cumsum): parts ranked by lineitem revenue,
+    cumulative share in milli by integral division, class A while the
+    RUNNING share <= 800, B <= 950, else C — summarized per class.
+    The cumulative sweep is the range-partitioned broadcast-offset
+    cumsum; no one-task global window."""
+    from ukis_h3cellstore_spark.ops.prefix import global_cumsum
+
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    rev = li.groupBy("l_partkey").agg(
+        F.sum(
+            F.round(F.col("l_extendedprice") * 100).cast("long")
+        ).alias("cents")
+    ).withColumn("__negc", -F.col("cents"))
+    cum = global_cumsum(rev, ["__negc", "l_partkey"], "cents", out_col="__cum")
+    tot = rev.agg(F.sum("cents").alias("__tot"))
+    classed = (
+        cum.crossJoin(F.broadcast(tot))
+        .withColumn(
+            "__share_milli", F.expr("(1000 * __cum) div __tot").cast("long")
+        )
+        .withColumn(
+            "abc_class",
+            F.when(F.col("__share_milli") <= 800, F.lit("A"))
+            .when(F.col("__share_milli") <= 950, F.lit("B"))
+            .otherwise(F.lit("C")),
+        )
+    )
+    return classed.groupBy("abc_class").agg(
+        F.count(F.lit(1)).cast("long").alias("n_parts"),
+        F.sum("cents").cast("long").alias("revenue_cents"),
+    )
+
+
+Q_PART_ABC_SQL = """
+WITH rev AS (
+  SELECT l_partkey,
+         SUM(CAST(round(l_extendedprice * 100) AS BIGINT)) AS cents
+  FROM lineitem GROUP BY 1
+),
+tot AS (SELECT SUM(cents) AS t FROM rev),
+cum AS (
+  SELECT l_partkey, cents,
+         SUM(cents) OVER (ORDER BY -cents, l_partkey) AS c
+  FROM rev
+),
+cls AS (
+  SELECT cents,
+         CASE WHEN (1000 * c) // (SELECT t FROM tot) <= 800 THEN 'A'
+              WHEN (1000 * c) // (SELECT t FROM tot) <= 950 THEN 'B'
+              ELSE 'C' END AS abc_class
+  FROM cum
+)
+SELECT abc_class, CAST(COUNT(*) AS BIGINT) AS n_parts,
+       CAST(SUM(cents) AS BIGINT) AS revenue_cents
+FROM cls GROUP BY 1
+"""
+
+
+_BENFORD_MILLI = [301, 176, 124, 96, 79, 66, 57, 51, 45]
+
+
+def q_events_benford_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benford's-law fraud/synthetic-data screen: leading digit of the
+    integer cents of each positive event value (digit from the decimal
+    string — identical in any engine, no float log), observed share in
+    milli by integral division, against the Benford expectation as
+    precomputed integer constants. Pure counting; one aggregation."""
+    from ukis_h3cellstore_spark.entry_queries import _events
+
+    ev = _events(spark, sf_dir).select(
+        F.round(F.col("value") * 100).cast("long").alias("cents")
+    ).filter(F.col("cents") > 0)
+    dig = ev.select(
+        F.substring(F.col("cents").cast("string"), 1, 1).cast("int").alias(
+            "digit"
+        )
+    )
+    counts = dig.groupBy("digit").agg(F.count(F.lit(1)).alias("n"))
+    tot = counts.agg(F.sum("n").alias("__t"))
+    bf = F.create_map(
+        *[
+            x
+            for d, m in enumerate(_BENFORD_MILLI, start=1)
+            for x in (F.lit(d), F.lit(m))
+        ]
+    )
+    return (
+        counts.crossJoin(F.broadcast(tot))
+        .select(
+            "digit",
+            F.col("n").cast("long").alias("n"),
+            F.expr("(1000 * n) div __t").cast("long").alias("obs_milli"),
+            F.element_at(bf, F.col("digit")).cast("long").alias(
+                "benford_milli"
+            ),
+        )
+    )
+
+
+_BENFORD_CASE = " ".join(
+    f"WHEN {d} THEN {m}" for d, m in enumerate(_BENFORD_MILLI, start=1)
+)
+
+Q_EVENTS_BENFORD_SQL = f"""
+WITH c AS (
+  SELECT CAST(round(value * 100) AS BIGINT) AS cents FROM events
+  WHERE CAST(round(value * 100) AS BIGINT) > 0
+),
+d AS (SELECT CAST(substr(CAST(cents AS VARCHAR), 1, 1) AS INT) AS digit FROM c),
+cnt AS (SELECT digit, COUNT(*) AS n FROM d GROUP BY 1),
+tot AS (SELECT SUM(n) AS t FROM cnt)
+SELECT digit, CAST(n AS BIGINT) AS n,
+       CAST((1000 * n) // (SELECT t FROM tot) AS BIGINT) AS obs_milli,
+       CAST(CASE digit {_BENFORD_CASE} END AS BIGINT) AS benford_milli
+FROM cnt
+"""
+
+
 QUERIES_OPS: dict[str, Callable[[SparkSession, str], DataFrame]] = {
+    "part_abc_classes": q_part_abc_classes,
+    "events_benford_audit": q_events_benford_audit,
     "dedup_minhash_error": q_dedup_minhash_error,
     "corpus_score_rank_corr": q_corpus_score_rank_corr,
     "graph_hits": q_graph_hits,
@@ -5667,6 +5789,8 @@ QUERIES_OPS: dict[str, Callable[[SparkSession, str], DataFrame]] = {
 }
 
 ORACLES_OPS: dict[str, str] = {
+    "part_abc_classes": Q_PART_ABC_SQL,
+    "events_benford_audit": Q_EVENTS_BENFORD_SQL,
     "dedup_minhash_error": _q_dedup_minhash_error_sql(),
     "corpus_score_rank_corr": Q_CORPUS_RANK_CORR_SQL,
     "graph_hits": Q_GRAPH_HITS_SQL,
