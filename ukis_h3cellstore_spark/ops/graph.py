@@ -287,7 +287,7 @@ def hits(
                     f"div CAST(__tot AS {dec})"
                 ).cast("long").alias("auth_fp"),
             )
-            .localCheckpoint(eager=False)
+            .localCheckpoint(eager=True)
         )
         h_raw = (
             e.join(auth, e.dst == auth.node)
@@ -305,11 +305,18 @@ def hits(
                     f"div CAST(__tot AS {dec})"
                 ).cast("long").alias("hub_fp"),
             )
-            .localCheckpoint(eager=False)
+            .localCheckpoint(eager=True)  # flat lineage: 2 jobs/round
         )
-    out = nodes.join(hub, "node", "left").join(auth, "node", "left").select(
-        "node",
-        F.coalesce("hub_fp", F.lit(0)).cast("long").alias("hub_fp"),
-        F.coalesce("auth_fp", F.lit(0)).cast("long").alias("auth_fp"),
+    out = (
+        nodes.join(hub, "node", "left")
+        .join(auth, "node", "left")
+        .select(
+            "node",
+            F.coalesce("hub_fp", F.lit(0)).cast("long").alias("hub_fp"),
+            F.coalesce("auth_fp", F.lit(0)).cast("long").alias("auth_fp"),
+        )
+        .localCheckpoint(eager=True)
     )
+    e.unpersist()
+    nodes.unpersist()  # checkpointed scores no longer need the caches
     return out
