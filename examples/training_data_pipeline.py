@@ -175,6 +175,20 @@ def main() -> None:
     )
     print(f"exported {manifest.count()} jsonl shards to {shard_dir}")
 
+    # 19. (round 8) statistical audits: KS drift per source, PSI of the
+    # length distribution, scorer rank agreement, Zipf diagnostic
+    from ukis_h3cellstore_spark.ops.report import psi_drift
+    from ukis_h3cellstore_spark.ops.robust import ks_vs_rest, spearman_milli
+
+    lens = docs.select("source", F.size(X.tokens("text")).cast("long").alias("nt"))
+    ks_vs_rest(lens, "source", "nt").orderBy(F.desc("ks_scaled")).show(3)
+    psi_drift(lens, "source", "nt", [30.0, 50.0, 70.0, 90.0]).orderBy(
+        F.desc("psi")
+    ).show(3)
+    rd = X.readability(docs).filter(F.col("n_words") > 0)
+    spearman_milli(rd, "n_words", "flesch_milli", "doc_id").show()
+    X.zipf_slope(docs, top_n=200).show()
+
     spark.stop()
 
 
