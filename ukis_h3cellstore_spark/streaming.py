@@ -492,16 +492,25 @@ def cdc_upsert(
     with max ``last_seq`` per key. State is O(1) per key."""
 
     def update(key, pdf_iter, state: GroupState):
+        import numpy as np
         import pandas as pd
 
         best = tuple(state.get) if state.exists else None
         for pdf in pdf_iter:
-            for seq, dele, val in zip(
-                pdf[seq_col], pdf[delete_col], pdf[value_col]
-            ):
-                cand = (int(seq), int(bool(dele)), int(val))
-                if best is None or cand > best:
-                    best = cand
+            if not len(pdf):
+                continue
+            arr = np.column_stack(
+                [
+                    pdf[seq_col].to_numpy("int64"),
+                    pdf[delete_col].to_numpy(bool).astype("int64"),
+                    pdf[value_col].to_numpy("int64"),
+                ]
+            )
+            # vectorized lexicographic argmax (last key first for lexsort)
+            i = np.lexsort((arr[:, 2], arr[:, 1], arr[:, 0]))[-1]
+            cand = (int(arr[i, 0]), int(arr[i, 1]), int(arr[i, 2]))
+            if best is None or cand > best:
+                best = cand
         state.update(best)
         yield pd.DataFrame(
             {
