@@ -52,6 +52,7 @@ _PRIORITY = [
     "geo_disk_smoothing",
     "part_abc_classes",
     "events_benford_audit",
+    "events_markov_transitions",
     # tier 2 — oldest driver-green first
     "text_stats",
     "text_langid",

@@ -504,3 +504,25 @@ def test_abc_classes_hand_computed(spark):
     cum = global_cumsum(rev, ["__negc", "k"], "cents", out_col="c")
     rows = {r["k"]: (1000 * r["c"]) // 100 for r in cum.collect()}
     assert rows == {1: 500, 2: 800, 3: 950, 4: 1000}
+
+
+def test_markov_transitions_hand_computed(spark):
+    from ukis_h3cellstore_spark.ops.sessions import markov_transitions
+
+    # user 1: a -> b -> a -> b ; user 2: a -> a -> c
+    rows = [
+        (1, 1, "a"), (1, 2, "b"), (1, 3, "a"), (1, 4, "b"),
+        (2, 1, "a"), (2, 2, "a"), (2, 3, "c"),
+    ]
+    df = spark.createDataFrame(rows, "u long, t long, s string")
+    got = {(r["from_state"], r["to_state"]):
+           (r["n_transitions"], r["row_total"], r["cond_milli"])
+           for r in markov_transitions(df, "u", ["t"], "s").collect()}
+    # from a: a->b twice (user 1), a->a once, a->c once -> total 4
+    assert got[("a", "b")] == (2, 4, 500)
+    assert got[("a", "a")] == (1, 4, 250)
+    assert got[("a", "c")] == (1, 4, 250)
+    # from b: b->a once (user 1; the trailing b has no successor)
+    assert got[("b", "a")] == (1, 1, 1000)
+    # sequences never cross users: no c->anything
+    assert not any(k[0] == "c" for k in got)

@@ -5659,7 +5659,45 @@ FROM cnt
 """
 
 
+def q_events_markov_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sequence audit (ops/sessions.py:markov_transitions): per-user
+    event-type transition matrix with integral conditional
+    probabilities — consecutive pairs from a per-user lead window
+    (parallel across users), one (from, to) aggregation, broadcast
+    row totals."""
+    from ukis_h3cellstore_spark.entry_queries import _events
+    from ukis_h3cellstore_spark.ops.sessions import markov_transitions
+
+    ev = _events(spark, sf_dir).select(
+        "user_id", "ts_us", "event_id", "event_type"
+    )
+    return markov_transitions(
+        ev, "user_id", ["ts_us", "event_id"], "event_type"
+    )
+
+
+Q_EVENTS_MARKOV_SQL = """
+WITH seq AS (
+  SELECT user_id, event_type AS from_state,
+         lead(event_type) OVER (
+             PARTITION BY user_id ORDER BY epoch_us(ts), event_id
+         ) AS to_state
+  FROM events
+),
+cnt AS (
+  SELECT from_state, to_state, COUNT(*) AS n
+  FROM seq WHERE to_state IS NOT NULL GROUP BY 1, 2
+),
+tot AS (SELECT from_state, SUM(n) AS row_total FROM cnt GROUP BY 1)
+SELECT c.from_state, c.to_state, CAST(c.n AS BIGINT) AS n_transitions,
+       CAST(t.row_total AS BIGINT) AS row_total,
+       CAST((1000 * c.n) // t.row_total AS BIGINT) AS cond_milli
+FROM cnt c JOIN tot t USING (from_state)
+"""
+
+
 QUERIES_OPS: dict[str, Callable[[SparkSession, str], DataFrame]] = {
+    "events_markov_transitions": q_events_markov_transitions,
     "part_abc_classes": q_part_abc_classes,
     "events_benford_audit": q_events_benford_audit,
     "dedup_minhash_error": q_dedup_minhash_error,
@@ -5789,6 +5827,7 @@ QUERIES_OPS: dict[str, Callable[[SparkSession, str], DataFrame]] = {
 }
 
 ORACLES_OPS: dict[str, str] = {
+    "events_markov_transitions": Q_EVENTS_MARKOV_SQL,
     "part_abc_classes": Q_PART_ABC_SQL,
     "events_benford_audit": Q_EVENTS_BENFORD_SQL,
     "dedup_minhash_error": _q_dedup_minhash_error_sql(),

@@ -63,3 +63,57 @@ def session_stats(
     if value_col is not None:
         aggs.append(F.sum(value_col).alias("sum_value"))
     return s.groupBy(user_col, "session_seq").agg(*aggs)
+
+
+def markov_transitions(
+    df: DataFrame,
+    key_col: str,
+    order_cols: list[str],
+    state_col: str,
+) -> DataFrame:
+    """First-order Markov transition matrix over per-key event
+    sequences — the sequence-modeling audit ("what follows what, and
+    how deterministically") behind funnel design and synthetic-
+    sequence validation. Consecutive-state pairs come from
+    ``lead(state) over (partition by key order by order_cols)``
+    (sequences never cross keys), then one (from, to) count
+    aggregation with broadcast row totals:
+
+    ``(from_state, to_state, n_transitions, row_total,
+       cond_milli = (1000 * n) div row_total)`` — integral division,
+    engine-exact.
+
+    Scale: one shuffle on the key (the window), one partial-agg
+    shuffle on the (from, to) pair — the matrix is |states|², a
+    metadata-sized broadcast for categorical state columns. Per-key
+    windows are parallel across keys; a pathologically hot key is
+    bounded by that key's own event count (AQE skew-split applies).
+    ``order_cols`` must totally order each key's events (append a
+    unique id) or the transition multiset is engine-arbitrary."""
+    w = Window.partitionBy(key_col).orderBy(*[F.col(c) for c in order_cols])
+    pairs = (
+        df.withColumn("__to", F.lead(state_col).over(w))
+        .filter(F.col("__to").isNotNull())
+        .select(
+            F.col(state_col).alias("from_state"),
+            F.col("__to").alias("to_state"),
+        )
+    )
+    counts = pairs.groupBy("from_state", "to_state").agg(
+        F.count(F.lit(1)).alias("n_transitions")
+    )
+    totals = counts.groupBy("from_state").agg(
+        F.sum("n_transitions").alias("row_total")
+    )
+    return (
+        counts.join(F.broadcast(totals), on="from_state")
+        .select(
+            "from_state",
+            "to_state",
+            F.col("n_transitions").cast("long").alias("n_transitions"),
+            F.col("row_total").cast("long").alias("row_total"),
+            F.expr("(1000 * n_transitions) div row_total")
+            .cast("long")
+            .alias("cond_milli"),
+        )
+    )
