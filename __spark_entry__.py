@@ -53,6 +53,8 @@ _PRIORITY = [
     "part_abc_classes",
     "events_benford_audit",
     "events_markov_transitions",
+    "corpus_length_gini",
+    "corpus_jsd_drift",
     # tier 2 — oldest driver-green first
     "text_stats",
     "text_langid",

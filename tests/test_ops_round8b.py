@@ -526,3 +526,56 @@ def test_markov_transitions_hand_computed(spark):
     assert got[("b", "a")] == (1, 1, 1000)
     # sequences never cross users: no c->anything
     assert not any(k[0] == "c" for k in got)
+
+
+def test_gini_by_group_known_values(spark):
+    from ukis_h3cellstore_spark.ops.robust import gini_by_group
+
+    # perfectly equal -> 0; one doc owns everything -> (n-1)/n
+    rows = [("eq", i, 10) for i in range(1, 6)] + [
+        ("uneq", 1, 0), ("uneq", 2, 0), ("uneq", 3, 0), ("uneq", 4, 100),
+    ]
+    df = spark.createDataFrame(rows, "g string, id long, x long")
+    got = {r["g"]: r["gini_milli"]
+           for r in gini_by_group(df, "g", "x", "id").collect()}
+    assert got["eq"] == 0
+    # n=4, all mass on the top rank: G = (2*4*100 - 5*100)/(4*100) = 0.75
+    assert got["uneq"] == 750
+
+
+def test_jsd_identical_distribution_is_zero(spark):
+    from ukis_h3cellstore_spark.ops.text import js_divergence_by_source
+
+    # one source: its distribution IS the pooled distribution
+    df = spark.createDataFrame(
+        [(1, "s", "a b b c"), (2, "s", "c a b")],
+        "doc_id long, source string, text string",
+    )
+    r = js_divergence_by_source(df).collect()[0]
+    assert r["jsd_nats"] == 0.0
+
+
+def test_jsd_disjoint_vocabulary_is_ln2_bound(spark):
+    import math
+
+    from ukis_h3cellstore_spark.ops.text import js_divergence_by_source
+
+    # two sources with disjoint vocab, equal mass: JSD(p, pooled) where
+    # pooled = (p + other)/2 ... brute-force the expectation serially
+    df = spark.createDataFrame(
+        [(1, "x", "a a b"), (2, "y", "c d d")],
+        "doc_id long, source string, text string",
+    )
+    got = {r["source"]: r["jsd_nats"]
+           for r in js_divergence_by_source(df).collect()}
+    for src, counts in (("x", {"a": 2, "b": 1}), ("y", {"c": 1, "d": 2})):
+        pooled = {"a": 2 / 6, "b": 1 / 6, "c": 1 / 6, "d": 2 / 6}
+        p = {t: c / 3 for t, c in counts.items()}
+        want = 0.0
+        for t, q in pooled.items():
+            pi = p.get(t, 0.0)
+            m = (pi + q) / 2
+            if pi > 0:
+                want += 0.5 * pi * math.log(pi / m)
+            want += 0.5 * q * math.log(q / m)
+        assert abs(got[src] - round(want, 6)) <= 1e-6

@@ -5696,7 +5696,76 @@ FROM cnt c JOIN tot t USING (from_state)
 """
 
 
+def q_corpus_length_gini(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Concentration audit (ops/robust.py:gini_by_group): per-source
+    Gini of document token counts in milli — integer-exact via the
+    rank-weighted identity over one range-partitioned rank sweep."""
+    from ukis_h3cellstore_spark.ops.robust import gini_by_group
+
+    lens = _docs(spark, sf_dir).select(
+        "source", "doc_id", F.size(X.tokens("text")).cast("long").alias("nt")
+    )
+    return gini_by_group(lens, "source", "nt", "doc_id")
+
+
+Q_CORPUS_GINI_SQL = r"""
+WITH lens AS (
+  SELECT source, doc_id,
+         len(regexp_split_to_array(trim(text), '\s+')) AS nt
+  FROM documents
+),
+rk AS (
+  SELECT source, nt,
+         row_number() OVER (PARTITION BY source ORDER BY nt, doc_id) AS i
+  FROM lens
+),
+agg AS (
+  SELECT source, COUNT(*) AS n, SUM(nt) AS sx,
+         SUM(CAST(i AS HUGEINT) * nt) AS six
+  FROM rk GROUP BY 1
+)
+SELECT source, CAST(n AS BIGINT) AS n_group,
+       CAST((1000 * (2 * six - (n + 1) * CAST(sx AS HUGEINT)))
+            // (CAST(n AS HUGEINT) * sx) AS BIGINT) AS gini_milli
+FROM agg
+"""
+
+
+def q_corpus_jsd_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lexical-drift audit (ops/text.py:js_divergence_by_source):
+    Jensen-Shannon divergence in nats between each source's token
+    distribution and the pooled corpus — absent-term mass folded in
+    closed form, no vocab x source grid."""
+    return X.js_divergence_by_source(_docs(spark, sf_dir))
+
+
+Q_CORPUS_JSD_SQL = r"""
+WITH toks AS (
+  SELECT source, unnest(regexp_split_to_array(trim(text), '\s+')) AS t
+  FROM documents
+),
+cells AS (SELECT source, t, COUNT(*) AS c FROM toks WHERE t <> ''
+          GROUP BY 1, 2),
+grp AS (SELECT source, SUM(c) AS ng FROM cells GROUP BY 1),
+pooled AS (SELECT t, SUM(c) AS cp FROM cells GROUP BY 1),
+tot AS (SELECT SUM(c) AS n FROM cells),
+j AS (
+  SELECT cells.source, grp.ng,
+         cells.c / CAST(grp.ng AS DOUBLE) AS p,
+         pooled.cp / CAST((SELECT n FROM tot) AS DOUBLE) AS q
+  FROM cells JOIN pooled USING (t) JOIN grp USING (source)
+)
+SELECT source, CAST(ng AS BIGINT) AS n_tokens,
+       round(SUM(0.5 * p * ln(p / ((p + q) / 2.0))
+                 + 0.5 * q * ln(q / ((p + q) / 2.0)))
+             + 0.5 * 0.6931471805599453 * (1.0 - SUM(q)), 6) AS jsd_nats
+FROM j GROUP BY source, ng
+"""
+
+
 QUERIES_OPS: dict[str, Callable[[SparkSession, str], DataFrame]] = {
+    "corpus_length_gini": q_corpus_length_gini,
+    "corpus_jsd_drift": q_corpus_jsd_drift,
     "events_markov_transitions": q_events_markov_transitions,
     "part_abc_classes": q_part_abc_classes,
     "events_benford_audit": q_events_benford_audit,
@@ -5827,6 +5896,8 @@ QUERIES_OPS: dict[str, Callable[[SparkSession, str], DataFrame]] = {
 }
 
 ORACLES_OPS: dict[str, str] = {
+    "corpus_length_gini": Q_CORPUS_GINI_SQL,
+    "corpus_jsd_drift": Q_CORPUS_JSD_SQL,
     "events_markov_transitions": Q_EVENTS_MARKOV_SQL,
     "part_abc_classes": Q_PART_ABC_SQL,
     "events_benford_audit": Q_EVENTS_BENFORD_SQL,

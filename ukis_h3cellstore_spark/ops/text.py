@@ -1785,3 +1785,63 @@ def zipf_slope(
             (F.col("__sy") - slope * F.col("__sx")) / n, 6
         ).alias("intercept"),
     )
+
+
+def js_divergence_by_source(
+    df: DataFrame,
+    group_col: str = "source",
+    text_col: str = "text",
+) -> DataFrame:
+    """Jensen-Shannon divergence (nats) between each group's token
+    distribution and the POOLED corpus distribution — the fine-grained
+    lexical-drift audit (PSI bins lengths; this compares the actual
+    vocabularies). ``JSD(p, m) = 0.5 KL(p||m) + 0.5 KL(q||m)`` with
+    ``m = 0.5 (p + q)`` and q the pooled distribution; bounded by
+    ln 2, zero iff identical.
+
+    Shape: one (group, term) count aggregation (map-side combinable),
+    pooled term counts by a second partial agg, one shuffle join on
+    the term key (never broadcast — vocabulary is corpus-scale), and a
+    per-group reduction. Terms absent from a group contribute only
+    through the q-side sum, handled in closed form (no |V|x|G| grid
+    anywhere): for p_i = 0, the KL(q||m) term is q_i ln 2, summed as
+    ``ln 2 - sum over present terms of q_i ln 2``-complement. Float
+    enters in the final per-term expressions, 6-dp rounded."""
+    toks = df.select(
+        F.col(group_col), F.explode(tokens(text_col)).alias("__t")
+    ).filter(F.col("__t") != "")
+    cells = toks.groupBy(group_col, "__t").agg(
+        F.count(F.lit(1)).alias("__c")
+    ).localCheckpoint(eager=False)
+    grp = cells.groupBy(group_col).agg(F.sum("__c").alias("__ng"))
+    pooled = cells.groupBy("__t").agg(F.sum("__c").alias("__cp"))
+    tot = cells.agg(F.sum("__c").alias("__n"))
+    j = (
+        cells.join(pooled, on="__t")
+        .join(F.broadcast(grp), on=group_col)
+        .crossJoin(F.broadcast(tot))
+    )
+    p = F.col("__c").cast("double") / F.col("__ng").cast("double")
+    q = F.col("__cp").cast("double") / F.col("__n").cast("double")
+    m = (p + q) / 2.0
+    # per present term: 0.5 p ln(p/m) + 0.5 q ln(q/m); absent terms
+    # (p = 0) contribute 0.5 q ln 2 each, i.e. 0.5 ln 2 * (1 - sum of
+    # present q) added in closed form after the reduction
+    term = 0.5 * p * F.log(p / m) + 0.5 * q * F.log(q / m)
+    ln2 = 0.6931471805599453
+    return (
+        j.withColumn("__term", term)
+        .withColumn("__q", q)
+        .groupBy(group_col, "__ng")
+        .agg(
+            F.sum("__term").alias("__s"),
+            F.sum("__q").alias("__qs"),
+        )
+        .select(
+            F.col(group_col),
+            F.col("__ng").cast("long").alias("n_tokens"),
+            F.round(
+                F.col("__s") + 0.5 * ln2 * (1.0 - F.col("__qs")), 6
+            ).alias("jsd_nats"),
+        )
+    )
