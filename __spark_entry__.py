@@ -55,6 +55,8 @@ _PRIORITY = [
     "events_markov_transitions",
     "corpus_length_gini",
     "corpus_jsd_drift",
+    "embedding_two_nn_dim",
+    "events_gap_survival",
     # tier 2 — oldest driver-green first
     "text_stats",
     "text_langid",

@@ -579,3 +579,40 @@ def test_jsd_disjoint_vocabulary_is_ln2_bound(spark):
                 want += 0.5 * pi * math.log(pi / m)
             want += 0.5 * q * math.log(q / m)
         assert abs(got[src] - round(want, 6)) <= 1e-6
+
+
+def test_two_nn_intrinsic_dim_on_a_line(spark):
+    # points on a 1-D line embedded in 4-D: intrinsic dim ~ 1. Use
+    # irrational-ish spacing so no two gaps tie after rounding.
+    from ukis_h3cellstore_spark.ops.similarity import two_nn_intrinsic_dim
+
+    xs = [0.0, 1.0, 2.7, 4.1, 6.3, 9.2, 11.0, 14.9, 17.3, 21.8]
+    rows = [(i, [x, 2.0 * x, -x, 0.5 * x]) for i, x in enumerate(xs)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    r = two_nn_intrinsic_dim(df, df).collect()[0]
+    assert r["n_queries"] == 10
+    # the MLE on a 1-D manifold should sit near 1 (small-sample noise)
+    assert 0.4 <= r["lid_estimate"] <= 2.5
+
+
+def test_two_nn_excludes_exact_duplicates(spark):
+    from ukis_h3cellstore_spark.ops.similarity import two_nn_intrinsic_dim
+
+    rows = [(1, [0.0, 0.0]), (2, [0.0, 0.0]), (3, [1.0, 0.0]),
+            (4, [3.0, 0.0]), (5, [7.0, 0.0])]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    r = two_nn_intrinsic_dim(df, df).collect()[0]
+    # vectors 1 and 2 are exact duplicates -> their d1 = 0 -> excluded
+    assert r["n_queries"] == 3
+
+
+def test_survival_at_horizons_hand_computed(spark):
+    from ukis_h3cellstore_spark.ops.sessions import survival_at_horizons
+
+    # user 1 gaps: 5, 15, 50 ; user 2 gaps: 25
+    rows = [(1, 0), (1, 5), (1, 20), (1, 70), (2, 100), (2, 125)]
+    df = spark.createDataFrame(rows, "u long, t long")
+    got = {r["horizon"]: (r["n_gaps"], r["n_surviving"], r["survival_milli"])
+           for r in survival_at_horizons(df, "u", "t", [10, 30]).collect()}
+    assert got[10] == (4, 3, 750)   # 15, 50, 25 exceed 10
+    assert got[30] == (4, 1, 250)   # only 50 exceeds 30

@@ -5763,7 +5763,91 @@ FROM j GROUP BY source, ng
 """
 
 
+_DUCK_L2SQ = """
+list_reduce(list_transform(list_zip(a.c_vec, q.q_vec),
+            x -> (CAST(x[1] AS DOUBLE) - CAST(x[2] AS DOUBLE))
+                 * (CAST(x[1] AS DOUBLE) - CAST(x[2] AS DOUBLE))),
+            (s, v) -> s + v)
+"""
+
+
+def q_embedding_two_nn_dim(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Intrinsic-dimension audit (ops/similarity.py:
+    two_nn_intrinsic_dim): Facco et al. Two-NN MLE over the exact
+    1st/2nd L2 neighbors of 200 audit vectors — the compression-
+    headroom number that guides PQ/JL parameter choices."""
+    e = _embs(spark, sf_dir)
+    return S.two_nn_intrinsic_dim(e, e.filter(F.col("vec_id") < 200))
+
+
+Q_EMBEDDING_TWO_NN_SQL = f"""
+WITH q AS (SELECT vec_id AS query_id, embedding AS q_vec FROM embeddings
+           WHERE vec_id < 200),
+     c AS (SELECT vec_id AS neighbor_id, embedding AS c_vec FROM embeddings),
+scored AS (
+  SELECT q.query_id, a.neighbor_id,
+         round(CAST({_DUCK_L2SQ} AS DOUBLE), 4) AS d2
+  FROM c a, q WHERE a.neighbor_id <> q.query_id
+),
+ranked AS (
+  SELECT *, row_number() OVER (
+      PARTITION BY query_id ORDER BY d2 ASC, neighbor_id ASC) AS rank
+  FROM scored
+),
+wide AS (
+  SELECT query_id,
+         MAX(CASE WHEN rank = 1 THEN d2 END) AS d1,
+         MAX(CASE WHEN rank = 2 THEN d2 END) AS d2_
+  FROM ranked WHERE rank <= 2 GROUP BY 1
+),
+terms AS (
+  SELECT 0.5 * ln(d2_ / d1) AS t FROM wide
+  WHERE d1 > 0 AND d2_ IS NOT NULL
+)
+SELECT CAST(COUNT(*) AS BIGINT) AS n_queries,
+       round(SUM(t) / COUNT(*), 6) AS mean_ln_ratio,
+       round(COUNT(*) / SUM(t), 6) AS lid_estimate
+FROM terms
+"""
+
+
+def q_events_gap_survival(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Retention curve (ops/sessions.py:survival_at_horizons): the
+    share of per-user return gaps exceeding 1h / 6h / 24h, integral
+    milli — the assumption-free churn statistic."""
+    from ukis_h3cellstore_spark.entry_queries import _events
+    from ukis_h3cellstore_spark.ops.sessions import survival_at_horizons
+
+    ev = _events(spark, sf_dir).select("user_id", "ts_us")
+    hour = 3_600_000_000
+    return survival_at_horizons(
+        ev, "user_id", "ts_us", [hour, 6 * hour, 24 * hour]
+    )
+
+
+Q_EVENTS_GAP_SURVIVAL_SQL = """
+WITH g AS (
+  SELECT epoch_us(ts) - lag(epoch_us(ts)) OVER (
+             PARTITION BY user_id ORDER BY epoch_us(ts)
+         ) AS gap
+  FROM events
+),
+gaps AS (SELECT gap FROM g WHERE gap IS NOT NULL),
+h AS (SELECT unnest([3600000000, 21600000000, 86400000000]) AS horizon)
+SELECT CAST(h.horizon AS BIGINT) AS horizon,
+       CAST(COUNT(*) AS BIGINT) AS n_gaps,
+       CAST(SUM(CASE WHEN gap > h.horizon THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_surviving,
+       CAST((1000 * SUM(CASE WHEN gap > h.horizon THEN 1 ELSE 0 END))
+            // COUNT(*) AS BIGINT) AS survival_milli
+FROM gaps CROSS JOIN h
+GROUP BY 1
+"""
+
+
 QUERIES_OPS: dict[str, Callable[[SparkSession, str], DataFrame]] = {
+    "embedding_two_nn_dim": q_embedding_two_nn_dim,
+    "events_gap_survival": q_events_gap_survival,
     "corpus_length_gini": q_corpus_length_gini,
     "corpus_jsd_drift": q_corpus_jsd_drift,
     "events_markov_transitions": q_events_markov_transitions,
@@ -5896,6 +5980,8 @@ QUERIES_OPS: dict[str, Callable[[SparkSession, str], DataFrame]] = {
 }
 
 ORACLES_OPS: dict[str, str] = {
+    "embedding_two_nn_dim": Q_EMBEDDING_TWO_NN_SQL,
+    "events_gap_survival": Q_EVENTS_GAP_SURVIVAL_SQL,
     "corpus_length_gini": Q_CORPUS_GINI_SQL,
     "corpus_jsd_drift": Q_CORPUS_JSD_SQL,
     "events_markov_transitions": Q_EVENTS_MARKOV_SQL,

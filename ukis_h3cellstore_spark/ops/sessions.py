@@ -117,3 +117,50 @@ def markov_transitions(
             .alias("cond_milli"),
         )
     )
+
+
+def survival_at_horizons(
+    df: DataFrame,
+    key_col: str,
+    ts_col: str,
+    horizons: list[int],
+) -> DataFrame:
+    """Empirical survival of per-key inter-event gaps at fixed
+    horizons — the retention/churn curve ("what share of return gaps
+    exceed 1h / 6h / 24h") in its assumption-free form. One row per
+    horizon: ``(horizon, n_gaps, n_surviving,
+    survival_milli = (1000 * n_surviving) div n_gaps)`` — integral,
+    engine-exact.
+
+    Gaps come from the same per-key lag window as sessionization
+    (parallel across keys); each horizon is one conditional-sum column
+    in a single reduction, so the horizon list adds expressions, not
+    passes."""
+    if not horizons:
+        raise ValueError("horizons must not be empty")
+    w = Window.partitionBy(key_col).orderBy(F.col(ts_col))
+    gap = F.col(ts_col) - F.lag(ts_col).over(w)
+    gaps = df.withColumn("__gap", gap).filter(F.col("__gap").isNotNull())
+    aggs = [F.count(F.lit(1)).alias("__n")]
+    for h in horizons:
+        aggs.append(
+            F.sum((F.col("__gap") > int(h)).cast("long")).alias(f"__s{h}")
+        )
+    row = gaps.agg(*aggs)
+    spark = df.sparkSession
+    hdf = spark.createDataFrame(
+        [(int(h),) for h in horizons], "horizon long"
+    )
+    out = row.crossJoin(F.broadcast(hdf))
+    surv = None
+    for h in horizons:
+        c = F.when(F.col("horizon") == int(h), F.col(f"__s{h}"))
+        surv = c if surv is None else F.coalesce(surv, c)
+    return out.select(
+        "horizon",
+        F.col("__n").cast("long").alias("n_gaps"),
+        surv.cast("long").alias("n_surviving"),
+    ).withColumn(
+        "survival_milli",
+        F.expr("(1000 * n_surviving) div n_gaps").cast("long"),
+    )

@@ -1729,3 +1729,46 @@ def matryoshka_topk(
     return cosine_topk(
         c, q, k=k, id_col=id_col, vec_col=vec_col, round_digits=round_digits
     )
+
+
+def two_nn_intrinsic_dim(
+    corpus: DataFrame,
+    queries: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    round_digits: int = 4,
+) -> DataFrame:
+    """Two-NN intrinsic-dimension estimate (Facco et al. 2017) of an
+    embedding table — the "is my 64-d embedding really using 64
+    dimensions" audit that guides PQ/JL compression choices. For each
+    query, the ratio mu = r2/r1 of its two nearest-neighbor distances
+    follows a Pareto law with exponent = intrinsic dim, so the MLE is
+    ``d_hat = n / sum(ln mu)``.
+
+    Built on the exact :func:`l2_topk` baseline (broadcast queries,
+    corpus-parallel scan, TakeOrderedAndProject) with its 4-dp-rounded
+    squared distances — ``ln mu = 0.5 ln(d2_2 / d2_1)``. Queries whose
+    nearest neighbor is an exact duplicate (d2_1 = 0) are excluded
+    (the estimator is undefined there; the dedup gates own that
+    signal). ONE summary row: (n_queries, mean_ln_ratio, lid_estimate)
+    at 6 dp."""
+    nn = l2_topk(corpus, queries, k=2, id_col=id_col, vec_col=vec_col,
+                 round_digits=round_digits)
+    wide = (
+        nn.groupBy("query_id")
+        .pivot("rank", [1, 2])
+        .agg(F.first("d2"))
+        .withColumnRenamed("1", "__d1")
+        .withColumnRenamed("2", "__d2")
+        .filter((F.col("__d1") > 0) & F.col("__d2").isNotNull())
+    )
+    term = 0.5 * F.log(F.col("__d2") / F.col("__d1"))
+    return (
+        wide.select(term.alias("__t"))
+        .agg(F.count(F.lit(1)).alias("__n"), F.sum("__t").alias("__s"))
+        .select(
+            F.col("__n").cast("long").alias("n_queries"),
+            F.round(F.col("__s") / F.col("__n"), 6).alias("mean_ln_ratio"),
+            F.round(F.col("__n") / F.col("__s"), 6).alias("lid_estimate"),
+        )
+    )
