@@ -57,6 +57,8 @@ _PRIORITY = [
     "corpus_jsd_drift",
     "embedding_two_nn_dim",
     "events_gap_survival",
+    "text_burstiness",
+    "geo_ring_profile",
     # tier 2 — oldest driver-green first
     "text_stats",
     "text_langid",

@@ -616,3 +616,45 @@ def test_survival_at_horizons_hand_computed(spark):
            for r in survival_at_horizons(df, "u", "t", [10, 30]).collect()}
     assert got[10] == (4, 3, 750)   # 15, 50, 25 exceed 10
     assert got[30] == (4, 1, 250)   # only 50 exceeds 30
+
+
+def test_term_burstiness_hand_computed(spark):
+    from ukis_h3cellstore_spark.ops.text import term_burstiness
+
+    # 4 docs; "f" appears once everywhere (Poisson-flat), "b" bursts
+    rows = [
+        (1, "f b b b"), (2, "f"), (3, "f"), (4, "f"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r["term"]: r for r in term_burstiness(df, top_n=5).collect()}
+    # f: counts (1,1,1,1): S1=4, S2=4, n=4 -> vmr = (16-16)/(16) = 0
+    assert (got["f"]["total_count"], got["f"]["n_docs_with"]) == (4, 4)
+    assert got["f"]["vmr_milli"] == 0
+    # b: counts (3,0,0,0): S1=3, S2=9, n=4 -> (1000*(36-9))/(12) = 2250
+    assert (got["b"]["total_count"], got["b"]["n_docs_with"]) == (3, 1)
+    assert got["b"]["vmr_milli"] == 2250
+
+
+def test_ring_profile_matches_python_grid(spark):
+    from ukis_h3cellstore_spark import geo as G
+
+    grid = G.SquareGrid()
+    center = grid.latlng_to_cell(0.0, 0.0, 4)
+    # occupied: the center, a ring-1 cell, a ring-2 cell, a far cell
+    pts = [(0.0, 0.0), (0.0, 3.0), (6.0, 6.0), (40.0, 90.0)]
+    cells = {grid.latlng_to_cell(lat, lng, 4): 10 * (i + 1)
+             for i, (lat, lng) in enumerate(pts)}
+    df = spark.createDataFrame(sorted(cells.items()), "cell long, cents long")
+    got = {r["ring"]: (r["n_cells"], r["value_sum"])
+           for r in G.ring_profile(df, "cell", "cents", center, k=3).collect()}
+    # serial expectation via unpack arithmetic
+    res, ci, cj = grid.unpack(center)
+    n = 1 << (res + 3)
+    want = {}
+    for c, v in cells.items():
+        _, i, j = grid.unpack(c)
+        ring = max(min(abs(i - ci), n - abs(i - ci)), abs(j - cj))
+        if ring <= 3:
+            a, b = want.get(ring, (0, 0))
+            want[ring] = (a + 1, b + v)
+    assert got == want and 0 in got

@@ -1231,8 +1231,59 @@ GROUP BY 1
 """
 
 
+def q_geo_ring_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distance-band rollup (geo.py:ring_profile): per-cell event
+    cents aggregated by Chebyshev ring distance (<= 6) from a fixed
+    POI cell — the "activity decay from the point of interest"
+    profile. Ring indices are bit arithmetic in codegen; no join."""
+    from ukis_h3cellstore_spark.geo import ring_profile
+
+    _events(spark, sf_dir).createOrReplaceTempView("__geo_ring_events")
+    lng = _synth_lng_sql("event_id")
+    lat = _synth_lat_sql("event_id")
+    cells = spark.sql(
+        f"""
+        SELECT {_sq_cell_sql(lat, lng)} AS cell,
+               CAST(SUM(CAST(round(value * 100) AS BIGINT)) AS BIGINT)
+                 AS cents
+        FROM __geo_ring_events GROUP BY 1
+        """
+    )
+    center = geo.SquareGrid().latlng_to_cell(10.0, 20.0, GEO_RES)
+    return ring_profile(cells, "cell", "cents", center, k=6)
+
+
+def _q_geo_ring_profile_sql() -> str:
+    grid = geo.SquareGrid()
+    center = grid.latlng_to_cell(10.0, 20.0, GEO_RES)
+    res, ci, cj = grid.unpack(center)
+    n = 1 << (GEO_RES + 3)
+    mask = (1 << 26) - 1
+    cell = _sq_cell_sql(_synth_lat_sql("event_id"), _synth_lng_sql("event_id"))
+    return f"""
+WITH cells AS (
+  SELECT {cell} AS cell,
+         CAST(SUM(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS cents
+  FROM events GROUP BY 1
+),
+rings AS (
+  SELECT CAST(greatest(
+             least(abs(((cell >> 26) & {mask}) - {ci}),
+                   {n} - abs(((cell >> 26) & {mask}) - {ci})),
+             abs((cell & {mask}) - {cj})) AS INT) AS ring,
+         cents
+  FROM cells
+  WHERE ((cell >> 52) & 15) = {res}
+)
+SELECT ring, CAST(COUNT(*) AS BIGINT) AS n_cells,
+       CAST(SUM(cents) AS BIGINT) AS value_sum
+FROM rings WHERE ring <= 6 GROUP BY 1
+"""
+
+
 QUERIES_GEO: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "geo_disk_smoothing": q_geo_disk_smoothing,
+    "geo_ring_profile": q_geo_ring_profile,
     "geo_grid_disk": q_geo_grid_disk,
     "geo_polyfill_traversal": q_geo_polyfill_traversal,
     "geo_border_cells": q_geo_border_cells,
@@ -1246,6 +1297,7 @@ QUERIES_GEO: dict[str, Callable[[SparkSession, str], DataFrame]] = {
 
 ORACLES_GEO: dict[str, str] = {
     "geo_disk_smoothing": _q_geo_disk_smoothing_sql(),
+    "geo_ring_profile": _q_geo_ring_profile_sql(),
     "geo_grid_disk": _q_geo_grid_disk_sql(),
     "geo_polyfill_traversal": _q_geo_polyfill_traversal_sql(),
     "geo_border_cells": _q_geo_border_cells_sql(),

@@ -5845,7 +5845,40 @@ GROUP BY 1
 """
 
 
+def q_text_burstiness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Content/function-word discriminator (ops/text.py:
+    term_burstiness): variance-to-mean ratio of per-doc counts for the
+    top-20 terms, integer-exact milli — Poisson-ish VMR ~ 1000 means
+    function word, VMR >> 1000 means topical/bursty."""
+    return X.term_burstiness(_docs(spark, sf_dir), top_n=20)
+
+
+Q_TEXT_BURSTINESS_SQL = r"""
+WITH pairs AS (
+  SELECT doc_id, t, COUNT(*) AS c
+  FROM (SELECT doc_id,
+               unnest(regexp_split_to_array(trim(text), '\s+')) AS t
+        FROM documents)
+  WHERE t <> '' GROUP BY 1, 2
+),
+nd AS (SELECT COUNT(DISTINCT doc_id) AS n FROM documents),
+stats AS (
+  SELECT t, SUM(c) AS s1, SUM(CAST(c AS HUGEINT) * c) AS s2,
+         COUNT(*) AS ndw
+  FROM pairs GROUP BY 1
+),
+top AS (SELECT * FROM stats ORDER BY s1 DESC, t ASC LIMIT 20)
+SELECT t AS term, CAST(s1 AS BIGINT) AS total_count,
+       CAST(ndw AS BIGINT) AS n_docs_with,
+       CAST((1000 * ((SELECT n FROM nd) * s2 - CAST(s1 AS HUGEINT) * s1))
+            // ((SELECT n FROM nd) * CAST(s1 AS HUGEINT)) AS BIGINT)
+         AS vmr_milli
+FROM top
+"""
+
+
 QUERIES_OPS: dict[str, Callable[[SparkSession, str], DataFrame]] = {
+    "text_burstiness": q_text_burstiness,
     "embedding_two_nn_dim": q_embedding_two_nn_dim,
     "events_gap_survival": q_events_gap_survival,
     "corpus_length_gini": q_corpus_length_gini,
@@ -5980,6 +6013,7 @@ QUERIES_OPS: dict[str, Callable[[SparkSession, str], DataFrame]] = {
 }
 
 ORACLES_OPS: dict[str, str] = {
+    "text_burstiness": Q_TEXT_BURSTINESS_SQL,
     "embedding_two_nn_dim": Q_EMBEDDING_TWO_NN_SQL,
     "events_gap_survival": Q_EVENTS_GAP_SURVIVAL_SQL,
     "corpus_length_gini": Q_CORPUS_GINI_SQL,

@@ -386,3 +386,46 @@ def disk_smooth(
             "mean_milli", F.expr("(1000 * disk_sum) div n_present").cast("long")
         )
     )
+
+
+def ring_profile(
+    df,
+    cell_col: str,
+    value_col: str,
+    center_cell: int,
+    k: int,
+):
+    """Distance-band (ring) aggregation around a point of interest:
+    occupied cells within Chebyshev ring distance ``<= k`` of
+    ``center_cell`` on the square-lattice grid, rolled up per ring —
+    "how does activity decay with distance from the POI". The ring
+    index is pure bit arithmetic in codegen (column distance wraps the
+    antimeridian via the modular minimum; row distance is absolute),
+    so the whole profile is one filtered scan + one tiny aggregation —
+    no join at all.
+
+    Output: ``(ring, n_cells, value_sum)`` for rings 0..k, occupied
+    rings only."""
+    from pyspark.sql import functions as F
+
+    grid = SquareGrid()
+    res, ci, cj = grid.unpack(int(center_cell))
+    n = 1 << (res + 3)
+    mask = (1 << 26) - 1
+    c = cell_col
+    i = f"(shiftright({c}, 26) & {mask})"
+    j = f"({c} & {mask})"
+    di = f"least(abs({i} - {ci}), {n} - abs({i} - {ci}))"
+    dj = f"abs({j} - {cj})"
+    same_res = f"((shiftright({c}, 52) & 15) = {res})"
+    ring = F.expr(f"CAST(greatest({di}, {dj}) AS INT)")
+    return (
+        df.filter(F.expr(same_res))
+        .withColumn("ring", ring)
+        .filter(F.col("ring") <= int(k))
+        .groupBy("ring")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_cells"),
+            F.sum(value_col).cast("long").alias("value_sum"),
+        )
+    )

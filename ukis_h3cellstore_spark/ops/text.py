@@ -1845,3 +1845,50 @@ def js_divergence_by_source(
             ).alias("jsd_nats"),
         )
     )
+
+
+def term_burstiness(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    top_n: int = 20,
+) -> DataFrame:
+    """Per-term burstiness (variance-to-mean ratio of per-document
+    counts) for the ``top_n`` most frequent terms — the corpus-
+    linguistics content/function-word discriminator (function words
+    are Poisson-ish, VMR ~ 1; topical words are bursty, VMR >> 1) and
+    a templated-corpus tell (VMR << 1 means suspiciously uniform).
+
+    Integer-exact: with S1 = total occurrences, S2 = sum of squared
+    per-doc counts (absent docs contribute 0), n = total docs,
+    ``vmr_milli = (1000 * (n*S2 - S1^2)) div (n * S1)`` — population
+    variance over mean, decimal products + integral division.
+
+    Shape: one (doc, term) count aggregation, term totals by a second
+    partial agg, top-n via TakeOrderedAndProject (freq desc, term asc),
+    then one bounded reduction. Output:
+    (term, total_count, n_docs_with, vmr_milli)."""
+    pairs = (
+        df.select(F.col(id_col), F.explode(tokens(text_col)).alias("__t"))
+        .filter(F.col("__t") != "")
+        .groupBy(id_col, "__t")
+        .agg(F.count(F.lit(1)).alias("__c"))
+    ).localCheckpoint(eager=False)
+    n_docs = df.select(id_col).distinct().count()
+    stats = pairs.groupBy("__t").agg(
+        F.sum("__c").alias("__s1"),
+        F.sum(F.col("__c").cast("decimal(18,0)") * F.col("__c")).alias("__s2"),
+        F.count(F.lit(1)).alias("__nd"),
+    )
+    top = stats.orderBy(F.desc("__s1"), F.asc("__t")).limit(int(top_n))
+    dec = "decimal(18,0)"
+    return top.select(
+        F.col("__t").alias("term"),
+        F.col("__s1").cast("long").alias("total_count"),
+        F.col("__nd").cast("long").alias("n_docs_with"),
+        F.expr(
+            f"CAST(1000 * ({int(n_docs)} * __s2 - CAST(__s1 AS {dec}) * __s1) "
+            f"AS DECIMAL(38,0)) div "
+            f"CAST({int(n_docs)} * CAST(__s1 AS {dec}) AS DECIMAL(38,0))"
+        ).cast("long").alias("vmr_milli"),
+    )
