@@ -59,6 +59,8 @@ _PRIORITY = [
     "events_gap_survival",
     "text_burstiness",
     "geo_ring_profile",
+    "corpus_surprisal_outliers",
+    "multimodal_dup_clusters",
     # tier 2 — oldest driver-green first
     "text_stats",
     "text_langid",

@@ -5877,7 +5877,106 @@ FROM top
 """
 
 
+def q_corpus_surprisal_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source perplexity-outlier screen — the composed daily gate:
+    integer-exact unigram surprisal per doc (ops/text.py:
+    unigram_surprisal) fed into the robust per-source median/MAD
+    outlier flag (ops/robust.py:mad_outliers), summarized per source.
+    Flags rare-token junk AND implausibly-flat boilerplate relative to
+    each source's own distribution."""
+    from ukis_h3cellstore_spark.ops import robust as R
+
+    d = _docs(spark, sf_dir)
+    sc = X.unigram_surprisal(d).join(d.select("doc_id", "source"), "doc_id")
+    out = R.mad_outliers(sc, "source", "avg_surprisal_milli", k=3.5)
+    return out.groupBy("source").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.round(F.first("median"), 4).alias("median"),
+        F.round(F.first("mad"), 4).alias("mad"),
+        F.sum(F.col("is_outlier").cast("long")).alias("n_outliers"),
+    )
+
+
+Q_CORPUS_SURPRISAL_OUTLIERS_SQL = f"""
+WITH tok AS (
+  SELECT doc_id, unnest({_DUCK_TOKS}) AS t
+  FROM documents
+),
+tokf AS (SELECT doc_id, t FROM tok WHERE length(t) > 0),
+freq AS (SELECT t, COUNT(*) AS c FROM tokf GROUP BY 1),
+total AS (SELECT CAST(SUM(c) AS BIGINT) AS total FROM freq),
+sc AS (
+  SELECT tokf.doc_id,
+         CAST((1000 * SUM(length(bin(total)) - length(bin(c))))
+              // COUNT(*) AS BIGINT) AS v
+  FROM tokf JOIN freq USING (t) CROSS JOIN total
+  GROUP BY 1
+),
+vs AS (SELECT d.source, sc.v FROM sc JOIN documents d USING (doc_id)),
+r AS (
+  SELECT source, v,
+         row_number() OVER (PARTITION BY source ORDER BY v) AS rk,
+         COUNT(*) OVER (PARTITION BY source) AS n
+  FROM vs
+),
+med AS (
+  SELECT source, ANY_VALUE(n) AS n, SUM(v) / COUNT(*) AS median
+  FROM r WHERE rk = (n + 1) // 2 OR rk = (n + 2) // 2 GROUP BY 1
+),
+d2 AS (
+  SELECT vs.source, abs(vs.v - m.median) AS dev
+  FROM vs JOIN med m USING (source)
+),
+r2 AS (
+  SELECT source, dev,
+         row_number() OVER (PARTITION BY source ORDER BY dev) AS rk,
+         COUNT(*) OVER (PARTITION BY source) AS n2
+  FROM d2
+),
+mad AS (
+  SELECT source, SUM(dev) / COUNT(*) AS mad
+  FROM r2 WHERE rk = (n2 + 1) // 2 OR rk = (n2 + 2) // 2 GROUP BY 1
+)
+SELECT m.source,
+       CAST(m.n AS BIGINT) AS n_docs,
+       round(m.median, 4) AS median,
+       round(x.mad, 4) AS mad,
+       CAST(SUM(CASE WHEN d2.dev > 3.5 * x.mad THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_outliers
+FROM d2 JOIN med m USING (source) JOIN mad x USING (source)
+GROUP BY 1, 2, 3, 4
+"""
+
+
+def q_multimodal_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Image-dedup e2e (the composed pipeline over gated pieces):
+    perceptual hashes -> banded hamming candidate pairs
+    (multimodal_phash_pairs) -> min-label connected components ->
+    one row per duplicate-media cluster with size and max member."""
+    payloads = M.attach_binary_payload(_docs(spark, sf_dir))
+    pairs = M.phash_dup_pairs(payloads, max_hamming=4).select("id_a", "id_b")
+    return D.duplicate_cluster_stats(pairs)
+
+
+Q_MULTIMODAL_DUP_CLUSTERS_SQL = f"""
+WITH RECURSIVE pairs AS ({Q_MULTIMODAL_PHASH_SQL}),
+edges AS (SELECT id_a AS src, id_b AS dst FROM pairs
+          UNION SELECT id_b, id_a FROM pairs),
+reach(node, lbl) AS (
+  SELECT src, src FROM edges
+  UNION
+  SELECT e.src, r.lbl FROM edges e JOIN reach r ON r.node = e.dst
+),
+comp AS (SELECT node, MIN(lbl) AS component FROM reach GROUP BY node)
+SELECT CAST(component AS BIGINT) AS component, COUNT(*) AS n_members,
+       CAST(MAX(node) AS BIGINT) AS max_member
+FROM comp GROUP BY 1
+"""
+
+
 QUERIES_OPS: dict[str, Callable[[SparkSession, str], DataFrame]] = {
+    "corpus_surprisal_outliers": q_corpus_surprisal_outliers,
+    "multimodal_dup_clusters": q_multimodal_dup_clusters,
     "text_burstiness": q_text_burstiness,
     "embedding_two_nn_dim": q_embedding_two_nn_dim,
     "events_gap_survival": q_events_gap_survival,
@@ -6013,6 +6112,8 @@ QUERIES_OPS: dict[str, Callable[[SparkSession, str], DataFrame]] = {
 }
 
 ORACLES_OPS: dict[str, str] = {
+    "corpus_surprisal_outliers": Q_CORPUS_SURPRISAL_OUTLIERS_SQL,
+    "multimodal_dup_clusters": Q_MULTIMODAL_DUP_CLUSTERS_SQL,
     "text_burstiness": Q_TEXT_BURSTINESS_SQL,
     "embedding_two_nn_dim": Q_EMBEDDING_TWO_NN_SQL,
     "events_gap_survival": Q_EVENTS_GAP_SURVIVAL_SQL,
