@@ -61,6 +61,7 @@ _PRIORITY = [
     "geo_ring_profile",
     "corpus_surprisal_outliers",
     "multimodal_dup_clusters",
+    "ann_tiered_rerank",
     # tier 2 — oldest driver-green first
     "text_stats",
     "text_langid",

@@ -658,3 +658,25 @@ def test_ring_profile_matches_python_grid(spark):
             a, b = want.get(ring, (0, 0))
             want[ring] = (a + 1, b + v)
     assert got == want and 0 in got
+
+
+def test_tiered_rerank_recall_vs_exact(spark):
+    import numpy as np
+
+    from ukis_h3cellstore_spark.ops.similarity import (
+        cosine_topk,
+        tiered_rerank,
+    )
+
+    rng = np.random.default_rng(88)
+    vecs = rng.normal(size=(40, 8)).astype("float32")
+    rows = [(i, [float(x) for x in vecs[i]]) for i in range(40)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    q = df.filter(F.col("vec_id") < 3)
+    tiered = {(r["query_id"], r["rank"]): r["neighbor_id"]
+              for r in tiered_rerank(df, q, dims=4, shortlist_k=40, k=2).collect()}
+    exact = {(r["query_id"], r["rank"]): r["neighbor_id"]
+             for r in cosine_topk(df, q, k=2).collect()}
+    # with the shortlist covering the whole corpus, the tiered result
+    # must equal the exact full-width top-k
+    assert tiered == exact

@@ -5974,7 +5974,70 @@ FROM comp GROUP BY 1
 """
 
 
+def q_ann_tiered_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tiered retrieval e2e (ops/similarity.py:tiered_rerank): prefix-16
+    cosine shortlists 20 candidates per query, full-width rerank keeps
+    top-3 — the matryoshka production pipeline where full-dimension
+    scoring touches shortlist-sized data only."""
+    e = _embs(spark, sf_dir)
+    return S.tiered_rerank(
+        e, e.filter(F.col("vec_id") < 10), dims=16, shortlist_k=20, k=3
+    )
+
+
+Q_ANN_TIERED_RERANK_SQL = f"""
+WITH q AS (SELECT vec_id AS query_id, embedding AS q_vec FROM embeddings
+           WHERE vec_id < 10),
+     c AS (SELECT vec_id AS neighbor_id, embedding[1:16] AS c_vec
+           FROM embeddings),
+     qp AS (SELECT query_id, q_vec[1:16] AS q_vec FROM q),
+pre AS (
+  SELECT qp.query_id, a.neighbor_id,
+         round(CAST(
+list_reduce(list_transform(list_zip(a.c_vec, qp.q_vec),
+            x -> CAST(x[1] AS DOUBLE) * CAST(x[2] AS DOUBLE)), (s, v) -> s + v)
+/ (sqrt(list_reduce(list_transform(a.c_vec, v -> CAST(v AS DOUBLE) * CAST(v AS DOUBLE)),
+        (s, v) -> s + v))
+   * sqrt(list_reduce(list_transform(qp.q_vec, v -> CAST(v AS DOUBLE) * CAST(v AS DOUBLE)),
+        (s, v) -> s + v)))
+ AS DOUBLE), 4) AS pre_sim
+  FROM c a, qp WHERE a.neighbor_id <> qp.query_id
+),
+short AS (
+  SELECT query_id, neighbor_id FROM (
+    SELECT *, row_number() OVER (
+        PARTITION BY query_id ORDER BY pre_sim DESC, neighbor_id ASC) AS prerank
+    FROM pre
+  ) WHERE prerank <= 20
+),
+fullsc AS (
+  SELECT s.query_id, s.neighbor_id,
+         round(CAST(
+list_reduce(list_transform(list_zip(a.embedding, q.q_vec),
+            x -> CAST(x[1] AS DOUBLE) * CAST(x[2] AS DOUBLE)), (s, v) -> s + v)
+/ (sqrt(list_reduce(list_transform(a.embedding, v -> CAST(v AS DOUBLE) * CAST(v AS DOUBLE)),
+        (s, v) -> s + v))
+   * sqrt(list_reduce(list_transform(q.q_vec, v -> CAST(v AS DOUBLE) * CAST(v AS DOUBLE)),
+        (s, v) -> s + v)))
+ AS DOUBLE), 4) AS cosine_sim
+  FROM short s
+  JOIN embeddings a ON a.vec_id = s.neighbor_id
+  JOIN q ON q.query_id = s.query_id
+),
+ranked AS (
+  SELECT *, row_number() OVER (
+      PARTITION BY query_id ORDER BY cosine_sim DESC, neighbor_id ASC) AS rank
+  FROM fullsc
+)
+SELECT CAST(query_id AS BIGINT) AS query_id,
+       CAST(neighbor_id AS BIGINT) AS neighbor_id,
+       cosine_sim, CAST(rank AS INT) AS rank
+FROM ranked WHERE rank <= 3
+"""
+
+
 QUERIES_OPS: dict[str, Callable[[SparkSession, str], DataFrame]] = {
+    "ann_tiered_rerank": q_ann_tiered_rerank,
     "corpus_surprisal_outliers": q_corpus_surprisal_outliers,
     "multimodal_dup_clusters": q_multimodal_dup_clusters,
     "text_burstiness": q_text_burstiness,
@@ -6112,6 +6175,7 @@ QUERIES_OPS: dict[str, Callable[[SparkSession, str], DataFrame]] = {
 }
 
 ORACLES_OPS: dict[str, str] = {
+    "ann_tiered_rerank": Q_ANN_TIERED_RERANK_SQL,
     "corpus_surprisal_outliers": Q_CORPUS_SURPRISAL_OUTLIERS_SQL,
     "multimodal_dup_clusters": Q_MULTIMODAL_DUP_CLUSTERS_SQL,
     "text_burstiness": Q_TEXT_BURSTINESS_SQL,

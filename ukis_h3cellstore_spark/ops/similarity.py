@@ -1772,3 +1772,57 @@ def two_nn_intrinsic_dim(
             F.round(F.col("__n") / F.col("__s"), 6).alias("lid_estimate"),
         )
     )
+
+
+def tiered_rerank(
+    corpus: DataFrame,
+    queries: DataFrame,
+    dims: int,
+    shortlist_k: int = 20,
+    k: int = 3,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    round_digits: int = 4,
+) -> DataFrame:
+    """Tiered matryoshka retrieval end-to-end: a cheap prefix-``dims``
+    cosine pass shortlists ``shortlist_k`` candidates per query
+    (:func:`matryoshka_topk`), then ONLY the shortlist is re-scored at
+    full width and the top ``k`` kept — the production shape where the
+    expensive full-dimension scoring touches shortlist-sized data, not
+    the corpus.
+
+    Scale: stage 1 is the corpus-parallel broadcast scan at dims/d
+    cost; stage 2 joins the (queries x shortlist_k)-sized candidate
+    list back to the corpus vectors (shuffle keyed on the candidate
+    id — candidates-sized, never corpus²) and re-ranks inside each
+    query group (bounded by shortlist_k). Output:
+    (query_id, neighbor_id, cosine_sim, rank) at full precision."""
+    short = matryoshka_topk(
+        corpus, queries, dims=dims, k=shortlist_k,
+        id_col=id_col, vec_col=vec_col, round_digits=round_digits,
+    ).select("query_id", "neighbor_id")
+    qv = queries.select(
+        F.col(id_col).alias("query_id"), F.col(vec_col).alias("q_vec")
+    )
+    cv = corpus.select(
+        F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("c_vec")
+    )
+    scored = (
+        short.join(cv, on="neighbor_id")
+        .join(F.broadcast(qv), on="query_id")
+        .withColumn(
+            "cosine_sim",
+            F.round(
+                cosine_similarity(F.col("q_vec"), F.col("c_vec")),
+                round_digits,
+            ),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cosine_sim").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "cosine_sim", "rank")
+    )
