@@ -62,6 +62,7 @@ _PRIORITY = [
     "corpus_surprisal_outliers",
     "multimodal_dup_clusters",
     "ann_tiered_rerank",
+    "corpus_w1_drift",
     # tier 2 — oldest driver-green first
     "text_stats",
     "text_langid",

@@ -680,3 +680,35 @@ def test_tiered_rerank_recall_vs_exact(spark):
     # with the shortlist covering the whole corpus, the tiered result
     # must equal the exact full-width top-k
     assert tiered == exact
+
+
+def test_w1_vs_rest_matches_brute_force(spark):
+    from ukis_h3cellstore_spark.ops.robust import w1_vs_rest
+
+    rows = [("a", 1), ("a", 2), ("a", 2), ("a", 9),
+            ("b", 2), ("b", 3), ("b", 4), ("b", 4), ("b", 5), ("c", 7)]
+    df = spark.createDataFrame(rows, "g string, v long")
+    got = {r["g"]: (r["n_group"], r["w1_scaled"])
+           for r in w1_vs_rest(df, "g", "v").collect()}
+    vals = sorted({v for _, v in rows})
+    n = len(rows)
+    want = {}
+    for g in {g for g, _ in rows}:
+        gv = [v for gg, v in rows if gg == g]
+        ng = len(gv)
+        W = 0
+        for v, vn in zip(vals, vals[1:]):
+            cg = sum(1 for x in gv if x <= v)
+            c = sum(1 for _, x in rows if x <= v)
+            W += abs(cg * n - c * ng) * (vn - v)
+        want[g] = (ng, (W * 1_000_000) // (ng * n))
+    assert got == want
+
+
+def test_w1_identical_distribution_is_zero(spark):
+    from ukis_h3cellstore_spark.ops.robust import w1_vs_rest
+
+    rows = [("a", v) for v in (1, 5, 9)] + [("b", v) for v in (1, 5, 9)]
+    df = spark.createDataFrame(rows, "g string, v long")
+    for r in w1_vs_rest(df, "g", "v").collect():
+        assert r["w1_scaled"] == 0

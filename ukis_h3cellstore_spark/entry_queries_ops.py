@@ -6036,7 +6036,57 @@ FROM ranked WHERE rank <= 3
 """
 
 
+def q_corpus_w1_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Transport-cost drift (ops/robust.py:w1_vs_rest): Wasserstein-1
+    distance between each source's token-count distribution and the
+    pooled corpus, integer-exact in micro token units — the integral
+    complement of the KS max-deviation score (a uniform small shift
+    scores higher than one local spike)."""
+    from ukis_h3cellstore_spark.ops.robust import w1_vs_rest
+
+    lens = _docs(spark, sf_dir).select(
+        "source", F.size(X.tokens("text")).cast("long").alias("nt")
+    )
+    out = w1_vs_rest(lens, "source", "nt", scale=1_000_000)
+    return out.select(
+        "source", "n_group", F.col("w1_scaled").alias("w1_micro")
+    )
+
+
+Q_CORPUS_W1_SQL = r"""
+WITH lens AS (
+  SELECT source AS g,
+         len(regexp_split_to_array(trim(text), '\s+')) AS v
+  FROM documents
+),
+cnt AS (SELECT v, g, COUNT(*) AS c FROM lens GROUP BY 1, 2),
+perval AS (SELECT v, SUM(c) AS cv FROM cnt GROUP BY 1),
+pooled AS (SELECT v, SUM(cv) OVER (ORDER BY v) AS cpool,
+                  lead(v) OVER (ORDER BY v) AS vnext
+           FROM perval),
+grp AS (SELECT g, SUM(c) AS n_group FROM cnt GROUP BY 1),
+tot AS (SELECT SUM(n_group) AS n_all FROM grp),
+grid AS (SELECT p.v, p.cpool, COALESCE(p.vnext - p.v, 0) AS dv,
+                gr.g, gr.n_group, COALESCE(c.c, 0) AS cellc
+         FROM pooled p CROSS JOIN grp gr
+         LEFT JOIN cnt c ON c.v = p.v AND c.g = gr.g),
+gcum AS (SELECT v, g, cpool, dv, n_group,
+                SUM(cellc) OVER (PARTITION BY g ORDER BY v) AS cgrp
+         FROM grid),
+w AS (SELECT g, n_group,
+             SUM(ABS(CAST(cgrp AS HUGEINT) * (SELECT n_all FROM tot)
+                     - CAST(cpool AS HUGEINT) * n_group)
+                 * CAST(dv AS HUGEINT)) AS wnum
+      FROM gcum GROUP BY 1, 2)
+SELECT g AS source, CAST(n_group AS BIGINT) AS n_group,
+       CAST((wnum * 1000000) // (CAST(n_group AS HUGEINT)
+            * (SELECT n_all FROM tot)) AS BIGINT) AS w1_micro
+FROM w
+"""
+
+
 QUERIES_OPS: dict[str, Callable[[SparkSession, str], DataFrame]] = {
+    "corpus_w1_drift": q_corpus_w1_drift,
     "ann_tiered_rerank": q_ann_tiered_rerank,
     "corpus_surprisal_outliers": q_corpus_surprisal_outliers,
     "multimodal_dup_clusters": q_multimodal_dup_clusters,
@@ -6175,6 +6225,7 @@ QUERIES_OPS: dict[str, Callable[[SparkSession, str], DataFrame]] = {
 }
 
 ORACLES_OPS: dict[str, str] = {
+    "corpus_w1_drift": Q_CORPUS_W1_SQL,
     "ann_tiered_rerank": Q_ANN_TIERED_RERANK_SQL,
     "corpus_surprisal_outliers": Q_CORPUS_SURPRISAL_OUTLIERS_SQL,
     "multimodal_dup_clusters": Q_MULTIMODAL_DUP_CLUSTERS_SQL,

@@ -39,6 +39,7 @@ __all__ = [
     "cusum_changepoint",
     "spearman_milli",
     "gini_by_group",
+    "w1_vs_rest",
     "grouped_auc",
     "winsorize_by_group",
     "calibration_bins",
@@ -703,4 +704,95 @@ def gini_by_group(
             "CAST(1000 * (2 * __six - (n_group + 1) * __sx) AS DECIMAL(38,0)) "
             "div CAST(CAST(n_group AS DECIMAL(18,0)) * __sx AS DECIMAL(38,0))"
         ).cast("long").alias("gini_milli"),
+    )
+
+
+def w1_vs_rest(
+    df: DataFrame,
+    group_col: str,
+    value_col: str,
+    scale: int = 1_000_000,
+    num_partitions: int | None = None,
+) -> DataFrame:
+    """Per-group Wasserstein-1 (earth-mover) distance between the
+    group's distribution of an INTEGER-valued column and the pooled
+    corpus — the transport-cost complement of :func:`ks_vs_rest`
+    (KS reports the worst single deviation; W1 integrates all of it,
+    so a small shift across the whole range scores higher than one
+    local spike). ``W1 = integral |F_g - F| dx``, evaluated exactly on
+    the pooled distinct-value grid:
+
+    ``w1_scaled = (scale * sum_v |Cg(v)*N - C(v)*n_g| * (v_next - v))
+                  div (n_g * N)``
+
+    — pure integer arithmetic end to end (the value column must be
+    integral: token counts, cents), so any engine agrees bit-for-bit.
+
+    Scale shape: identical to :func:`ks_vs_rest` (one (value, group)
+    count shuffle, range-partitioned cumulative sweeps, |V| x |G|
+    grid) plus ONE extra rank equi-join to pair each distinct value
+    with its successor — built from the same range-partitioned
+    :func:`~ukis_h3cellstore_spark.ops.prefix.global_rank`, no
+    one-task window anywhere."""
+    from ukis_h3cellstore_spark.ops.prefix import global_cumsum, global_rank
+
+    vals = df.filter(F.col(value_col).isNotNull()).select(group_col, value_col)
+    cnt = vals.groupBy(value_col, group_col).agg(F.count(F.lit(1)).alias("__c"))
+    per_val = cnt.groupBy(value_col).agg(F.sum("__c").alias("__cv"))
+    pooled = global_cumsum(
+        per_val, [value_col], "__cv", out_col="__cpool",
+        num_partitions=num_partitions,
+    ).drop("__cv")
+    ranked = global_rank(
+        pooled, [value_col], out_col="__vr", num_partitions=num_partitions
+    )
+    nxt = ranked.select(
+        (F.col("__vr") - 1).alias("__vr"),
+        F.col(value_col).alias("__vnext"),
+    )
+    gapped = (
+        ranked.join(nxt, on="__vr", how="left")
+        .withColumn(
+            "__dv",
+            F.coalesce(
+                (F.col("__vnext") - F.col(value_col)).cast("decimal(18,0)"),
+                F.lit(0).cast("decimal(18,0)"),
+            ),
+        )
+        .drop("__vr", "__vnext")
+    )
+    groups = cnt.groupBy(group_col).agg(F.sum("__c").alias("n_group"))
+    grid = (
+        gapped.crossJoin(F.broadcast(groups.select(group_col)))
+        .join(cnt, on=[value_col, group_col], how="left")
+        .withColumn("__c", F.coalesce(F.col("__c"), F.lit(0)))
+    )
+    gcum = grouped_cumsum(
+        grid, group_col, [value_col], "__c", out_col="__cgrp",
+        num_partitions=num_partitions,
+    )
+    total = groups.agg(F.sum("n_group").alias("__N"))
+    dec = "decimal(18,0)"
+    num = (
+        F.abs(
+            F.col("__cgrp").cast(dec) * F.col("__N").cast(dec)
+            - F.col("__cpool").cast(dec) * F.col("n_group").cast(dec)
+        ).cast("decimal(38,0)")
+        * F.col("__dv")
+    )
+    return (
+        gcum.join(F.broadcast(groups), on=group_col)
+        .crossJoin(F.broadcast(total))
+        .withColumn("__num", num)
+        .groupBy(group_col, "n_group", "__N")
+        .agg(F.sum("__num").alias("__W"))
+        .withColumn(
+            "w1_scaled",
+            F.expr(
+                f"CAST(__W * {int(scale)} AS DECIMAL(38,0)) div "
+                f"CAST(CAST(n_group AS DECIMAL(18,0)) * CAST(__N AS DECIMAL(18,0)) "
+                f"AS DECIMAL(38,0))"
+            ).cast("long"),
+        )
+        .select(group_col, F.col("n_group").cast("long").alias("n_group"), "w1_scaled")
     )
