@@ -63,6 +63,7 @@ _PRIORITY = [
     "multimodal_dup_clusters",
     "ann_tiered_rerank",
     "corpus_w1_drift",
+    "text_code_score",
     # tier 2 — oldest driver-green first
     "text_stats",
     "text_langid",

@@ -712,3 +712,21 @@ def test_w1_identical_distribution_is_zero(spark):
     df = spark.createDataFrame(rows, "g string, v long")
     for r in w1_vs_rest(df, "g", "v").collect():
         assert r["w1_scaled"] == 0
+
+
+def test_code_score_separates_code_from_prose(spark):
+    from ukis_h3cellstore_spark.ops.text import code_score
+
+    rows = [
+        (1, "def f(x): return {'k': x[0] + 1};"),
+        (2, "The quiet afternoon passed without any event at all"),
+        (3, ""),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r["doc_id"]: r for r in code_score(df).collect()}
+    assert got[1]["code_score_milli"] > got[2]["code_score_milli"]
+    # hand-check doc 2: no symbols/braces/digits at all
+    assert (got[2]["n_symbols"], got[2]["n_braces"], got[2]["n_digits"]) == (0, 0, 0)
+    assert got[2]["code_score_milli"] == 0
+    # empty doc: NULL ratios
+    assert got[3]["code_score_milli"] is None

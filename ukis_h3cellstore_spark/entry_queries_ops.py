@@ -6085,7 +6085,50 @@ FROM w
 """
 
 
+def q_text_code_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Code-vs-prose routing screen (ops/text.py:code_score):
+    integer-exact structural milli ratios (symbols, braces, digits)
+    and the composite heuristic — the pre-router corpus pipelines run
+    before language-specific processing. Pure codegen projection."""
+    return X.code_score(_docs(spark, sf_dir))
+
+
+Q_TEXT_CODE_SCORE_SQL = r"""
+WITH b AS (
+  SELECT doc_id, length(text) AS n_chars,
+         length(text) - length(regexp_replace(text, '[^A-Za-z0-9\s]', '', 'g'))
+           AS n_symbols,
+         length(text) - length(regexp_replace(text, '[{}()\[\];=]', '', 'g'))
+           AS n_braces,
+         length(text) - length(regexp_replace(text, '[0-9]', '', 'g'))
+           AS n_digits
+  FROM documents
+),
+m AS (
+  SELECT doc_id, n_chars, n_symbols, n_braces, n_digits,
+         CASE WHEN n_chars > 0 THEN (1000 * n_symbols) // n_chars END
+           AS symbol_milli,
+         CASE WHEN n_chars > 0 THEN (1000 * n_braces) // n_chars END
+           AS brace_milli,
+         CASE WHEN n_chars > 0 THEN (1000 * n_digits) // n_chars END
+           AS digit_milli
+  FROM b
+)
+SELECT CAST(doc_id AS BIGINT) AS doc_id, CAST(n_chars AS BIGINT) AS n_chars,
+       CAST(n_symbols AS BIGINT) AS n_symbols,
+       CAST(n_braces AS BIGINT) AS n_braces,
+       CAST(n_digits AS BIGINT) AS n_digits,
+       CAST(symbol_milli AS BIGINT) AS symbol_milli,
+       CAST(brace_milli AS BIGINT) AS brace_milli,
+       CAST(digit_milli AS BIGINT) AS digit_milli,
+       CAST(brace_milli + (symbol_milli // 2) + (digit_milli // 4) AS BIGINT)
+         AS code_score_milli
+FROM m
+"""
+
+
 QUERIES_OPS: dict[str, Callable[[SparkSession, str], DataFrame]] = {
+    "text_code_score": q_text_code_score,
     "corpus_w1_drift": q_corpus_w1_drift,
     "ann_tiered_rerank": q_ann_tiered_rerank,
     "corpus_surprisal_outliers": q_corpus_surprisal_outliers,
@@ -6225,6 +6268,7 @@ QUERIES_OPS: dict[str, Callable[[SparkSession, str], DataFrame]] = {
 }
 
 ORACLES_OPS: dict[str, str] = {
+    "text_code_score": Q_TEXT_CODE_SCORE_SQL,
     "corpus_w1_drift": Q_CORPUS_W1_SQL,
     "ann_tiered_rerank": Q_ANN_TIERED_RERANK_SQL,
     "corpus_surprisal_outliers": Q_CORPUS_SURPRISAL_OUTLIERS_SQL,

@@ -1892,3 +1892,54 @@ def term_burstiness(
             f"CAST({int(n_docs)} * CAST(__s1 AS {dec}) AS DECIMAL(38,0))"
         ).cast("long").alias("vmr_milli"),
     )
+
+
+def code_score(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Code-vs-prose routing screen: integer-exact structural features
+    that separate source code from natural text — the filter corpus
+    pipelines run before sending documents down language-specific
+    processing (code wants different dedup/quality rules than prose).
+
+    Features (all milli ratios by integral division, zero float):
+    ``symbol_milli`` (non-alnum-nonspace chars / chars),
+    ``brace_milli`` (``{}()[];=`` chars / chars),
+    ``digit_milli`` (digits / chars), and the composite
+    ``code_score_milli = brace_milli + (symbol_milli div 2)
+    + (digit_milli div 4)`` — a monotone codegen-only heuristic, not a
+    learned model (swap in quality_logit-style weights when labels
+    exist). Pure whole-stage-codegen projection; empty docs score
+    NULL."""
+    txt = F.col(text_col)
+    n_chars = F.length(txt)
+    n_sym = n_chars - F.length(F.regexp_replace(txt, r"[^A-Za-z0-9\s]", ""))
+    n_brace = n_chars - F.length(F.regexp_replace(txt, r"[{}()\[\];=]", ""))
+    n_digit = n_chars - F.length(F.regexp_replace(txt, r"[0-9]", ""))
+    out = df.select(
+        F.col(id_col),
+        n_chars.cast("long").alias("n_chars"),
+        n_sym.cast("long").alias("n_symbols"),
+        n_brace.cast("long").alias("n_braces"),
+        n_digit.cast("long").alias("n_digits"),
+    )
+    return (
+        out.withColumn(
+            "symbol_milli",
+            F.expr("CASE WHEN n_chars > 0 THEN (1000 * n_symbols) div n_chars END").cast("long"),
+        )
+        .withColumn(
+            "brace_milli",
+            F.expr("CASE WHEN n_chars > 0 THEN (1000 * n_braces) div n_chars END").cast("long"),
+        )
+        .withColumn(
+            "digit_milli",
+            F.expr("CASE WHEN n_chars > 0 THEN (1000 * n_digits) div n_chars END").cast("long"),
+        )
+        .withColumn(
+            "code_score_milli",
+            F.expr(
+                "brace_milli + (symbol_milli div 2) + (digit_milli div 4)"
+            ).cast("long"),
+        )
+    )
