@@ -1,0 +1,101 @@
+"""Round-9 hardening tests: NULL-handling contracts for the drift /
+dependence auditors and cross-join semantics for fuzzy_join — the three
+low-severity findings from the round-8 advisor, pinned so they stay
+fixed.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from ukis_h3cellstore_spark.ops.joins import fuzzy_join
+from ukis_h3cellstore_spark.ops.report import categorical_dependence, psi_drift
+from ukis_h3cellstore_spark.ops.robust import ks_vs_rest, w1_vs_rest
+
+
+def test_fuzzy_join_self_emits_each_pair_once(spark):
+    df = spark.createDataFrame(
+        [(1, "acme corp"), (2, "acme corp."), (3, "zebra inc")],
+        ["id", "name"],
+    )
+    got = {(r["id_a"], r["id_b"]) for r in
+           fuzzy_join(df, df, "name", "id", max_distance=3).collect()}
+    assert got == {(1, 2)}
+
+
+def test_fuzzy_join_cross_keeps_pairs_regardless_of_id_order(spark):
+    # left ids are HIGHER than right ids — under the old id_a < id_b
+    # filter every one of these valid matches was silently dropped.
+    left = spark.createDataFrame(
+        [(100, "acme corp"), (101, "zebra inc")], ["id", "name"]
+    )
+    right = spark.createDataFrame(
+        [(1, "acme corp."), (2, "zebra incx")], ["id", "name"]
+    )
+    got = {(r["id_a"], r["id_b"]) for r in
+           fuzzy_join(left, right, "name", "id", max_distance=3).collect()}
+    assert got == {(100, 1), (101, 2)}
+
+
+def test_fuzzy_join_cross_excludes_same_id_only(spark):
+    # cross join with overlapping id ranges: both orientations of a
+    # distinct-id match survive; identical ids are excluded.
+    left = spark.createDataFrame(
+        [(1, "acme corp"), (2, "acme corps")], ["id", "name"]
+    )
+    right = spark.createDataFrame(
+        [(1, "acme corp"), (2, "acme corps")], ["id", "name"]
+    )
+    got = {(r["id_a"], r["id_b"]) for r in
+           fuzzy_join(left, right, "name", "id", max_distance=3).collect()}
+    assert got == {(1, 2), (2, 1)}
+
+
+def test_psi_drift_ignores_null_values_and_groups(spark):
+    base = [("a", float(v)) for v in (1, 2, 3, 60)] + [
+        ("b", float(v)) for v in (1, 2, 3, 60)
+    ]
+    clean = spark.createDataFrame(base, ["g", "v"])
+    dirty = spark.createDataFrame(
+        base + [("a", None)] * 50 + [(None, 5.0)] * 50,
+        "g string, v double",
+    )
+    edges = [10.0, 50.0]
+    ref = {(r["g"], r["psi"]) for r in
+           psi_drift(clean, "g", "v", edges).collect()}
+    got = {(r["g"], r["psi"]) for r in
+           psi_drift(dirty, "g", "v", edges).collect()}
+    # NULL values used to fall through every when() into the TOP bin
+    # (and NULL groups formed a phantom group); both must be no-ops.
+    assert got == ref
+    assert all(g is not None for g, _ in got)
+
+
+def test_categorical_dependence_ignores_null_categories(spark):
+    base = [("x", "p"), ("x", "q"), ("y", "p"), ("y", "q"), ("x", "p")]
+    clean = spark.createDataFrame(base, ["a", "b"])
+    dirty = spark.createDataFrame(
+        base + [(None, "p")] * 20 + [("x", None)] * 20 + [(None, None)] * 5,
+        "a string, b string",
+    )
+    ref = categorical_dependence(clean, "a", "b").collect()[0]
+    got = categorical_dependence(dirty, "a", "b").collect()[0]
+    assert got.asDict() == ref.asDict()
+    assert got["n"] == len(base)
+
+
+def test_ks_and_w1_ignore_null_groups(spark):
+    base = [("a", v) for v in (1, 2, 3, 4)] + [("b", v) for v in (101, 102)]
+    clean = spark.createDataFrame(base, ["g", "v"])
+    dirty = spark.createDataFrame(
+        base + [(None, 50)] * 30, "g string, v bigint"
+    )
+    for fn in (ks_vs_rest, w1_vs_rest):
+        ref = sorted(
+            (tuple(r) for r in fn(clean, "g", "v").collect())
+        )
+        got_rows = fn(dirty, "g", "v").collect()
+        assert all(r["g"] is not None for r in got_rows)
+        # the NULL rows change the POOLED curve only via their absence:
+        # with them filtered, the dirty frame equals the clean one.
+        assert sorted(tuple(r) for r in got_rows) == ref

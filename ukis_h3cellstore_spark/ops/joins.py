@@ -390,8 +390,17 @@ def fuzzy_join(
 
     Pass ``block_expr`` (a Column over ``text_col``'s row) to block on
     something stronger (phonetic key, prefix+length bucket). Output:
-    (id_a, id_b, text_a, text_b, distance), id_a < id_b, JVM-side
-    ``levenshtein`` — no Python in the verify."""
+    (id_a, id_b, text_a, text_b, distance); JVM-side ``levenshtein`` —
+    no Python in the verify.
+
+    Pair orientation is ASYMMETRIC by call shape: when ``left is
+    right`` (a self-join) each unordered pair is emitted once with
+    ``id_a < id_b``; for a genuine left-vs-right linkage (new batch vs
+    corpus, disjoint id ranges) EVERY matching (left, right) pair is
+    kept — id_a is always the left row and id_b the right row, and no
+    ordering filter is applied (it would silently drop matches
+    whenever the left id happens to exceed the right id). Self-pairs
+    (same id on both sides) are still excluded in the cross case."""
     blk = (
         block_expr
         if block_expr is not None
@@ -407,9 +416,14 @@ def fuzzy_join(
         F.col(text_col).alias("text_b"),
         blk.alias("__blk"),
     )
+    pair_filter = (
+        F.col("id_a") < F.col("id_b")
+        if left is right
+        else F.col("id_a") != F.col("id_b")
+    )
     return (
         l.join(r, on="__blk")
-        .filter(F.col("id_a") < F.col("id_b"))
+        .filter(pair_filter)
         .withColumn(
             "distance", F.levenshtein(F.col("text_a"), F.col("text_b"))
         )

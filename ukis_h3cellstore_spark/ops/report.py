@@ -148,7 +148,14 @@ def categorical_dependence(df: DataFrame, col_a: str, col_b: str) -> DataFrame:
     cells-sized frames joined broadcast. Float enters only in the
     final per-cell terms (integer counts up to there), and the
     6-decimal rounding is far coarser than the ~1e-14 summation-order
-    jitter of the cells-sized sums."""
+    jitter of the cells-sized sums.
+
+    Rows with a NULL in EITHER column are excluded up front: a NULL
+    category would enter the margins but never equi-join back to the
+    grid (its observed count would read 0 while its expected count
+    still contributed, inflating chi2) and count_distinct would drop
+    it from n_a/n_b — margins, cells, and cardinalities must agree."""
+    df = df.filter(F.col(col_a).isNotNull() & F.col(col_b).isNotNull())
     cells = df.groupBy(col_a, col_b).agg(F.count(F.lit(1)).alias("__o"))
     ra = cells.groupBy(col_a).agg(F.sum("__o").alias("__ra"))
     cb = cells.groupBy(col_b).agg(F.sum("__o").alias("__cb"))
@@ -233,7 +240,13 @@ def psi_drift(
     b = F.lit(nbins - 1)
     for i in range(len(edges) - 1, -1, -1):
         b = F.when(val < F.lit(edges[i]), F.lit(i)).otherwise(b)
-    binned = df.select(F.col(group_col), b.cast("int").alias("__bin"))
+    # NULL values (and NULL groups) are excluded, matching
+    # ks_vs_rest/w1_vs_rest — an unfiltered NULL would make every
+    # when() condition null and fall through to the TOP bin,
+    # silently skewing the top-bin mass for sparse columns.
+    binned = df.filter(
+        val.isNotNull() & F.col(group_col).isNotNull()
+    ).select(F.col(group_col), b.cast("int").alias("__bin"))
     cells = binned.groupBy(group_col, "__bin").agg(
         F.count(F.lit(1)).alias("__c")
     )

@@ -493,7 +493,12 @@ def ks_vs_rest(
     """
     from ukis_h3cellstore_spark.ops.prefix import global_cumsum
 
-    vals = df.filter(F.col(value_col).isNotNull()).select(group_col, value_col)
+    # NULL groups must go too: a NULL group key survives the groupBy
+    # but never equi-joins back to the evaluation grid, so its
+    # per-group cumulative would read 0 against a real n_group.
+    vals = df.filter(
+        F.col(value_col).isNotNull() & F.col(group_col).isNotNull()
+    ).select(group_col, value_col)
     cnt = vals.groupBy(value_col, group_col).agg(F.count(F.lit(1)).alias("__c"))
     per_val = cnt.groupBy(value_col).agg(F.sum("__c").alias("__cv"))
     pooled = global_cumsum(
@@ -736,7 +741,11 @@ def w1_vs_rest(
     one-task window anywhere."""
     from ukis_h3cellstore_spark.ops.prefix import global_cumsum, global_rank
 
-    vals = df.filter(F.col(value_col).isNotNull()).select(group_col, value_col)
+    # same NULL-group exclusion as ks_vs_rest (grid equi-join misses
+    # NULL keys; see that function's comment)
+    vals = df.filter(
+        F.col(value_col).isNotNull() & F.col(group_col).isNotNull()
+    ).select(group_col, value_col)
     cnt = vals.groupBy(value_col, group_col).agg(F.count(F.lit(1)).alias("__c"))
     per_val = cnt.groupBy(value_col).agg(F.sum("__c").alias("__cv"))
     pooled = global_cumsum(
