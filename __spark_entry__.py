@@ -21,62 +21,14 @@ from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
 
-# ROUND-8 ROTATION (computed by `python tools/rotation.py --python`):
-# tier 1 = the 5 gates whose last driver row is r3, then the oldest
-# r4-green set; round-8 additions are spliced to the head as written.
+# ROUND-9 ROTATION (computed by `python tools/rotation.py --python`):
+# tier 1 = the round-9 additions, then the 43-gate r4-aged backlog
+# (the registry's oldest driver-green cohort) + the 5 oldest r5.
 _PRIORITY = [
-    # tier 1 — never driver-sampled (round-8 additions spliced at head)
-    "corpus_tokenize_pack",
-    "dedup_incremental_e2e",
-    "corpus_novelty_rate",
-    "corpus_filter_attrition",
-    "corpus_l_diversity",
-    "corpus_cluster_balanced_sample",
-    "streaming_novelty",
-    "events_ks_drift",
-    "events_type_bucket_dependence",
-    "events_pareto_frontier",
-    "text_readability",
-    "ann_matryoshka_top3",
-    "streaming_cdc_upsert",
-    "lineitem_copurchase_lift",
-    "part_fuzzy_match",
-    "events_cusum_changepoint",
-    "corpus_psi_drift",
-    "graph_hits",
-    "orders_rfm_segments",
-    "corpus_zipf_slope",
-    "corpus_score_rank_corr",
-    "streaming_psi_drift",
-    "dedup_minhash_error",
-    "geo_disk_smoothing",
-    "part_abc_classes",
-    "events_benford_audit",
-    "events_markov_transitions",
-    "corpus_length_gini",
-    "corpus_jsd_drift",
-    "embedding_two_nn_dim",
-    "events_gap_survival",
-    "text_burstiness",
-    "geo_ring_profile",
-    "corpus_surprisal_outliers",
-    "multimodal_dup_clusters",
-    "ann_tiered_rerank",
-    "corpus_w1_drift",
-    "text_code_score",
-    # tier 2 — oldest driver-green first
-    "text_stats",
-    "text_langid",
-    "text_token_counts",
-    "text_fingerprint",
-    "dedup_exact",
-    "q12_late_shipment_priority",
-    "q9_profit_by_nation_year",
-    "q21_blocking_suppliers",
-    "q2_cheapest_supplier",
-    "lineitem_percentiles",
-    "events_value_moments",
-    "events_zscore",
+    # tier 1 — never driver-sampled (round-9 additions at head)
+    "corpus_curation_e2e",
+    "part_fuzzy_link",
+    # tier 2 — oldest driver-green first (the r4-aged backlog)
     "source_orc_roundtrip",
     "orders_semi_anti_join",
     "events_variant_props",
@@ -115,6 +67,16 @@ _PRIORITY = [
     "pipeline_templated_query",
     "geo_polyfill_traversal",
     "geo_border_cells",
+    "geo_latlng_to_cell",
+    "streaming_topk",
+    "streaming_dedup_exact",
+    "streaming_sessionize",
+    "streaming_interval_join",
+    "q1_pricing_summary",
+    "q3_shipping_priority",
+    "q5_region_nation_revenue",
+    "q6_forecast_revenue",
+    "q4_order_priority",
 ]
 
 

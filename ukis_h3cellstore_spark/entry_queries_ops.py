@@ -6127,7 +6127,293 @@ FROM m
 """
 
 
+# ---------------------------------------------------------------------------
+# round 9 additions: the composed curation flagship + cross-linkage fuzzy join
+# ---------------------------------------------------------------------------
+
+
+def q_corpus_curation_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Flagship end-to-end curation run — the whole training-data
+    curation loop as ONE verified composition of the gated pieces:
+
+    1. CLEAN (ops/text.py: gopher_quality_flags): keep documents
+       passing the Gopher measurements that discriminate on this
+       corpus — n_words >= 50, mean word length in [3, 10], alphabetic
+       word fraction >= 0.8 (the stop-word rule is omitted: the
+       synthetic corpus has no English stop words, so it would zero
+       the funnel rather than filter it).
+    2. DEDUP (ops/dedup.py: minhash_lsh_pairs → excise_shared_spans):
+       MinHash-LSH near-dup candidates at est_jaccard >= 0.25 drop the
+       HIGHER doc_id of each pair (keep-first), then every exact
+       shared >= 8-token run among survivors is excised from the
+       higher-id doc (Lee et al. spans).
+    3. DRIFT GATE (ops/report.py: psi_drift): per-source PSI of the
+       post-excision token-count distribution vs the pooled corpus
+       (fixed edges 30/50/70/90); the 3 highest-PSI sources are
+       quarantined (rank-based — load-bearing at every SF, unlike an
+       absolute threshold which saturates as n grows).
+    4. MIX (ops/sampling.py: balanced_sample_by_group): topic-balance
+       the survivors over the embedding ``label`` (doc_id == vec_id),
+       integer salted-hash keep test, salt "cure9".
+    5. PACK+SHARD (ops/sampling.py: pack_documents + layout.
+       write_jsonl_shards): pack the mixed corpus into 512-token
+       windows over 8 shards, export as JSON-line shards, and report
+       per-(shard, bin) stats from the READ-BACK export — the shard
+       write/read roundtrip is inside the verified chain.
+
+    Every stage changes the survivor set, so the final (shard, bin)
+    hash is load-bearing for all five stages. Scale posture: each
+    stage is the already-audited plan of its gated operator — banded
+    candidate joins, inverted-index span extents, groups-sized PSI
+    grid, broadcast count joins, one window per shard key — composed
+    without any new shuffle shape."""
+    import tempfile
+
+    from ukis_h3cellstore_spark import layout as L
+    from ukis_h3cellstore_spark.ops.report import psi_drift
+
+    docs = _docs(spark, sf_dir)
+    g = X.gopher_quality_flags(docs).select(
+        "doc_id", "n_words", "mean_word_len", "alpha_word_frac"
+    )
+    clean = (
+        docs.join(g, on="doc_id")
+        .filter(
+            (F.col("n_words") >= 50)
+            & F.col("mean_word_len").between(3.0, 10.0)
+            & (F.col("alpha_word_frac") >= 0.8)
+        )
+        .select("doc_id", "text", "source")
+    )
+    dropped = (
+        D.minhash_lsh_pairs(clean, min_est_jaccard=0.25)
+        .select(F.col("id_b").alias("doc_id"))
+        .distinct()
+    )
+    surv = clean.join(dropped, on="doc_id", how="left_anti")
+    exc = D.excise_shared_spans(surv, k=5, min_span=8)
+    lens = exc.select(
+        "doc_id",
+        "text_clean",
+        (F.col("n_tokens") - F.col("n_cut")).alias("nt"),
+    ).join(surv.select("doc_id", "source"), on="doc_id")
+    psi = psi_drift(lens, "source", "nt", [30.0, 50.0, 70.0, 90.0])
+    worst = (
+        psi.orderBy(F.desc("psi"), F.asc("source")).limit(3).select("source")
+    )
+    kept = lens.join(F.broadcast(worst), on="source", how="left_anti")
+    topical = kept.join(
+        _embs(spark, sf_dir).select(
+            F.col("vec_id").alias("doc_id"), "label"
+        ),
+        on="doc_id",
+    )
+    mixed = (
+        SM.balanced_sample_by_group(
+            topical, "label", id_col="doc_id", salt="cure9"
+        )
+        .filter(F.col("keep"))
+        .select("doc_id", F.col("text_clean").alias("text"))
+    )
+    packed = SM.pack_documents(mixed, max_tokens=512, num_shards=8)
+    export = mixed.join(packed, on="doc_id").select(
+        "doc_id", "shard", "n_tokens", "bin", "text"
+    )
+    path = tempfile.mkdtemp(prefix="cure_")
+    L.write_jsonl_shards(export.repartition(8), path, docs_per_shard=2000)
+    back = spark.read.json(path)
+    return (
+        back.groupBy(
+            F.col("shard").cast("int").alias("shard"),
+            F.col("bin").cast("long").alias("bin"),
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_tokens").cast("long").alias("total_tokens"),
+        )
+        .withColumn(
+            "fill_ratio", F.round(F.col("total_tokens") / F.lit(512.0), 4)
+        )
+    )
+
+
+def _q_corpus_curation_e2e_sql() -> str:
+    """Oracle composed from the proven per-stage fragments: the Gopher
+    measurement CTE, the minhash band join, the e2e span-excision
+    chain, the PSI grid, the integer balanced-keep test, and the
+    tp_base/tp_packed packing arithmetic."""
+    mins = ", ".join(f"MIN({_duck_minhash_slot(i)}) AS m{i}" for i in range(8))
+    band_conds = " OR ".join(
+        "("
+        + " AND ".join(f"a.m{i} = b.m{i}" for i in range(b * 2, b * 2 + 2))
+        + ")"
+        for b in range(4)
+    )
+    eq_sum = " + ".join(
+        f"CASE WHEN a.m{i} = b.m{i} THEN 1 ELSE 0 END" for i in range(8)
+    )
+    return f"""
+WITH g AS ({Q_TEXT_GOPHER_SQL}),
+clean AS (
+  SELECT d.doc_id, d.text, d.source FROM documents d JOIN g USING (doc_id)
+  WHERE g.n_words >= 50 AND g.mean_word_len BETWEEN 3.0 AND 10.0
+    AND g.alpha_word_frac >= 0.8
+),
+csh AS (
+  SELECT DISTINCT doc_id,
+         concat_ws(' ', toks[i], toks[i+1], toks[i+2]) AS shingle
+  FROM (SELECT doc_id, {_DUCK_TOKS} AS toks FROM clean) t,
+       unnest(generate_series(1, greatest(len(toks) - 2, 0))) AS u(i)
+),
+sig AS (SELECT doc_id, {mins} FROM csh GROUP BY doc_id),
+dropped AS (
+  SELECT DISTINCT b.doc_id
+  FROM sig a JOIN sig b ON a.doc_id < b.doc_id AND ({band_conds})
+  WHERE ({eq_sum}) / 8.0 >= 0.25
+),
+surv AS (SELECT * FROM clean
+         WHERE doc_id NOT IN (SELECT doc_id FROM dropped)),
+toks AS (SELECT doc_id, {_DUCK_TOKS} AS t FROM surv),
+pos AS (SELECT doc_id, generate_subscripts(t, 1) AS i, t FROM toks),
+gg AS (SELECT doc_id, i, array_to_string(list_slice(t, i, i + 4), ' ') AS gram
+       FROM pos WHERE i + 4 <= len(t)),
+mm AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, a.i - b.i AS diag, a.i AS pa
+       FROM gg a JOIN gg b ON a.gram = b.gram AND a.doc_id < b.doc_id),
+isl AS (SELECT id_a, id_b, diag, pa,
+               pa - row_number() OVER (PARTITION BY id_a, id_b, diag
+                                       ORDER BY pa) AS grp
+        FROM mm),
+runs AS (SELECT id_a, id_b, diag, grp, COUNT(*) AS cnt,
+                MIN(pa) AS pstart, MAX(pa) AS pend
+         FROM isl GROUP BY 1, 2, 3, 4),
+drun AS (SELECT *, row_number() OVER (PARTITION BY id_a, id_b, diag
+                                      ORDER BY cnt DESC, pstart ASC) AS rn
+         FROM runs),
+cuts AS (SELECT id_b AS doc_id, pstart - diag AS b_start,
+                pend + 4 - diag AS b_end
+         FROM drun WHERE rn = 1 AND cnt + 4 >= 8),
+tok_rows AS (SELECT doc_id, i AS p, t[i] AS w FROM pos),
+marked AS (
+  SELECT tr.doc_id, tr.p, tr.w,
+         EXISTS (SELECT 1 FROM cuts c
+                 WHERE c.doc_id = tr.doc_id
+                   AND tr.p BETWEEN c.b_start AND c.b_end) AS cut
+  FROM tok_rows tr
+),
+exc AS (
+  SELECT doc_id,
+         COALESCE(string_agg(w, ' ' ORDER BY p) FILTER (WHERE NOT cut), '')
+           AS text_clean,
+         CAST(COUNT(*) FILTER (WHERE NOT cut) AS BIGINT) AS nt
+  FROM marked GROUP BY doc_id
+),
+lens AS (SELECT e.doc_id, s.source, e.nt, e.text_clean
+         FROM exc e JOIN surv s USING (doc_id)),
+lb AS (SELECT source, CASE WHEN nt < 30 THEN 0 WHEN nt < 50 THEN 1
+                           WHEN nt < 70 THEN 2 WHEN nt < 90 THEN 3
+                           ELSE 4 END AS bin
+       FROM lens),
+cells AS (SELECT source, bin, COUNT(*) AS c FROM lb GROUP BY 1, 2),
+grp AS (SELECT source, SUM(c) AS ng FROM cells GROUP BY 1),
+pool AS (SELECT bin, SUM(c) AS cp FROM cells GROUP BY 1),
+tot AS (SELECT SUM(c) AS n FROM cells),
+bins AS (SELECT unnest(range(5)) AS bin),
+grid AS (SELECT gr.source, gr.ng, bi.bin, COALESCE(cells.c, 0) AS c,
+                COALESCE(pool.cp, 0) AS cp
+         FROM grp gr CROSS JOIN bins bi
+         LEFT JOIN cells ON cells.source = gr.source AND cells.bin = bi.bin
+         LEFT JOIN pool ON pool.bin = bi.bin),
+psi AS (
+  SELECT source,
+         round(SUM(((c+1)/CAST(ng+5 AS DOUBLE)
+                    - (cp+1)/CAST((SELECT n FROM tot)+5 AS DOUBLE))
+               * ln(((c+1)/CAST(ng+5 AS DOUBLE))
+                    / ((cp+1)/CAST((SELECT n FROM tot)+5 AS DOUBLE)))), 6)
+           AS psi
+  FROM grid GROUP BY 1
+),
+worst AS (SELECT source FROM psi ORDER BY psi DESC, source ASC LIMIT 3),
+kept AS (SELECT l.* FROM lens l
+         WHERE l.source NOT IN (SELECT source FROM worst)),
+topical AS (
+  SELECT k.doc_id, k.text_clean, e.label
+  FROM kept k JOIN embeddings e ON e.vec_id = k.doc_id
+),
+counts AS (SELECT label, COUNT(*) AS n_group FROM topical GROUP BY 1),
+mn AS (SELECT MIN(n_group) AS n_min FROM counts),
+mixed AS (
+  SELECT t.doc_id, t.text_clean
+  FROM topical t JOIN counts USING (label), mn
+  WHERE ((('0x' || substr(md5('cure9' || '|' || CAST(t.doc_id AS VARCHAR)),
+                          1, 15))::BIGINT % 1048576) * counts.n_group
+         < mn.n_min * 1048576)
+),
+tp_base AS (
+  SELECT doc_id,
+         CAST((('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT
+               % 8) AS INT) AS shard,
+         CAST(CASE WHEN length(trim(text_clean)) = 0 THEN 0
+              ELSE len(regexp_split_to_array(trim(text_clean), '\\s+')) END
+              AS BIGINT) AS n_tokens
+  FROM mixed),
+tp_packed AS (
+  SELECT shard, n_tokens,
+         SUM(n_tokens) OVER (PARTITION BY shard ORDER BY doc_id
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - n_tokens
+           AS bin_offset
+  FROM tp_base)
+SELECT shard, CAST(bin_offset // 512 AS BIGINT) AS bin,
+       COUNT(*) AS n_docs,
+       CAST(SUM(n_tokens) AS BIGINT) AS total_tokens,
+       round(SUM(n_tokens) / 512.0, 4) AS fill_ratio
+FROM tp_packed GROUP BY 1, 2
+"""
+
+
+Q_CORPUS_CURATION_E2E_SQL = _q_corpus_curation_e2e_sql()
+
+
+def q_part_fuzzy_link(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-table record linkage (ops/joins.py:fuzzy_join, the
+    left-vs-right shape): part-name entities are split by name-hash
+    parity into a "catalog" and an "incoming batch" and the batch is
+    linked against the catalog — blocked on the first token, verified
+    with JVM Levenshtein <= 3. Exercises the cross-join contract
+    where EVERY matching (left, right) pair is kept regardless of id
+    order (a self-join-style id_a < id_b filter would silently drop
+    every match whose batch id exceeds its catalog id)."""
+    from ukis_h3cellstore_spark.ops.joins import fuzzy_join
+
+    ent = (
+        spark.read.parquet(f"{sf_dir}/part.parquet")
+        .groupBy("p_name")
+        .agg(F.min("p_partkey").alias("name_id"))
+    )
+    parity = F.pmod(
+        F.conv(F.substring(F.md5("p_name"), 1, 15), 16, 10).cast("long"),
+        F.lit(2),
+    )
+    batch = ent.filter(parity == 0)
+    catalog = ent.filter(parity == 1)
+    return fuzzy_join(batch, catalog, "p_name", "name_id", max_distance=3)
+
+
+Q_PART_FUZZY_LINK_SQL = r"""
+WITH ent AS (SELECT p_name, MIN(p_partkey) AS id FROM part GROUP BY 1),
+p AS (SELECT id, p_name AS t,
+             regexp_split_to_array(trim(p_name), '\s+')[1] AS blk,
+             (('0x' || substr(md5(p_name), 1, 15))::BIGINT % 2) AS par
+      FROM ent)
+SELECT a.id AS id_a, b.id AS id_b, a.t AS text_a, b.t AS text_b,
+       CAST(levenshtein(a.t, b.t) AS INT) AS distance
+FROM p a JOIN p b ON a.blk = b.blk AND a.par = 0 AND b.par = 1
+WHERE a.id != b.id AND levenshtein(a.t, b.t) <= 3
+"""
+
+
 QUERIES_OPS: dict[str, Callable[[SparkSession, str], DataFrame]] = {
+    "corpus_curation_e2e": q_corpus_curation_e2e,
+    "part_fuzzy_link": q_part_fuzzy_link,
     "text_code_score": q_text_code_score,
     "corpus_w1_drift": q_corpus_w1_drift,
     "ann_tiered_rerank": q_ann_tiered_rerank,
@@ -6268,6 +6554,8 @@ QUERIES_OPS: dict[str, Callable[[SparkSession, str], DataFrame]] = {
 }
 
 ORACLES_OPS: dict[str, str] = {
+    "corpus_curation_e2e": Q_CORPUS_CURATION_E2E_SQL,
+    "part_fuzzy_link": Q_PART_FUZZY_LINK_SQL,
     "text_code_score": Q_TEXT_CODE_SCORE_SQL,
     "corpus_w1_drift": Q_CORPUS_W1_SQL,
     "ann_tiered_rerank": Q_ANN_TIERED_RERANK_SQL,

@@ -1721,7 +1721,12 @@ def matryoshka_topk(
     corpus-parallel scoring, TakeOrderedAndProject top-k) with the
     dot-product loop ``dims/d`` cheaper — the slice happens before
     normalization, so prefix cosine is exact, not a rescaled full
-    cosine."""
+    cosine.
+
+    SAMPLE-QUERIES CONTRACT: ``queries`` is broadcast, so it must be
+    a bounded query/sample set. Passing the corpus as its own query
+    side is brute-force n² by construction — for corpus-vs-corpus
+    retrieval use the IVF/LSH paths (see docs/SCALE.md)."""
     if dims < 1:
         raise ValueError("dims must be >= 1")
     c = corpus.withColumn(vec_col, F.slice(F.col(vec_col), 1, dims))
@@ -1751,7 +1756,13 @@ def two_nn_intrinsic_dim(
     nearest neighbor is an exact duplicate (d2_1 = 0) are excluded
     (the estimator is undefined there; the dedup gates own that
     signal). ONE summary row: (n_queries, mean_ln_ratio, lid_estimate)
-    at 6 dp."""
+    at 6 dp.
+
+    SAMPLE-QUERIES CONTRACT: the audit is statistically sound on a
+    few-thousand-row query SAMPLE (the MLE concentrates fast), and
+    ``queries`` rides the broadcast side of :func:`l2_topk` —
+    corpus-as-queries is brute-force n² by construction and is not
+    the intended call shape (see docs/SCALE.md)."""
     nn = l2_topk(corpus, queries, k=2, id_col=id_col, vec_col=vec_col,
                  round_digits=round_digits)
     wide = (
