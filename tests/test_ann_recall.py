@@ -44,6 +44,15 @@ FLOOR_HITS_L2 = {
     "sq8": 62,
 }
 
+# measured 2026-08-15 (round 9): prefix-dim retrieval quality for the
+# matryoshka family — recall@3 hits out of 75 vs exact full-width
+# cosine. The prefix stage alone degrades hard on i.i.d. noise (no
+# learned matryoshka structure), while the tiered full-width rerank of
+# a 20-deep shortlist recovers most of it; the floors watch BOTH so a
+# slicing or rerank regression can't hide.
+FLOOR_HITS_MATRYOSHKA = {8: 6, 16: 9, 32: 18}
+FLOOR_HITS_TIERED = {8: 17, 16: 30, 32: 53}
+
 
 def _pairs(df) -> set:
     return {(r["query_id"], r["neighbor_id"]) for r in df.collect()}
@@ -104,3 +113,23 @@ def test_sq8_recall_floor(corpus, exact_l2):
     e, q = corpus
     got = _hits(_pairs(S.sq8_topk(e, q, k=K)), exact_l2)
     assert got >= FLOOR_HITS_L2["sq8"], got
+
+
+@pytest.mark.parametrize("dims", [8, 16, 32])
+def test_matryoshka_recall_floor(corpus, exact_cos, dims):
+    e, q = corpus
+    got = _hits(_pairs(S.matryoshka_topk(e, q, dims=dims, k=K)), exact_cos)
+    assert got >= FLOOR_HITS_MATRYOSHKA[dims], (dims, got)
+
+
+@pytest.mark.parametrize("dims", [8, 16, 32])
+def test_tiered_rerank_recall_floor(corpus, exact_cos, dims):
+    e, q = corpus
+    got = _hits(
+        _pairs(S.tiered_rerank(e, q, dims=dims, shortlist_k=20, k=K)),
+        exact_cos,
+    )
+    assert got >= FLOOR_HITS_TIERED[dims], (dims, got)
+    # the rerank must never do worse than its own prefix stage
+    pre = _hits(_pairs(S.matryoshka_topk(e, q, dims=dims, k=K)), exact_cos)
+    assert got >= pre, (dims, got, pre)

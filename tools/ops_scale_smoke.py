@@ -5,6 +5,7 @@ resolution — and text statistics at that volume, printing per-phase
 wall times and throughput. Not part of pytest; run ad hoc:
 
     python tools/ops_scale_smoke.py [n_docs]
+    python tools/ops_scale_smoke.py --r9   # only the round-9 block
 
 The replicas keep the original duplicate structure: every source doc
 appears N/5000 times with distinct ids, and a replica-specific suffix
@@ -26,7 +27,159 @@ import time
 sys.path.insert(0, "/root/repo")
 
 
+def _r9_block(spark, gc) -> None:
+    """Round-9 smoke: the round-8 statistical/join operators at 10M
+    rows under skew — W1 transport drift, Spearman, HITS, association
+    rules (bounded basket width), blocked fuzzy join (one hot block),
+    and the CDC upsert state path driven as a real availableNow
+    stream over a pre-written 10M-row changelog."""
+    import tempfile
+    import time
+
+    from pyspark.sql import functions as _F
+
+    from ukis_h3cellstore_spark.ops import graph as G
+    from ukis_h3cellstore_spark.ops import joins as J
+    from ukis_h3cellstore_spark.ops import robust as R
+
+    def timed(name, fn, n_rows):
+        gc()
+        t0 = time.time()
+        fn()
+        dt = time.time() - t0
+        print(f"{name:24s} {dt:8.1f}s  ({n_rows / dt:,.0f} rows/s)")
+
+    # the round-8 tie-skew frame: one group holds 50% of rows AND one
+    # repeated value is 40% of that group (2M identical (g, v) keys)
+    sk = spark.range(10_000_000).select(
+        _F.col("id"),
+        _F.when(_F.col("id") % 2 == 0, _F.lit("big"))
+        .otherwise(_F.concat(_F.lit("g"), (_F.col("id") % 13).cast("string")))
+        .alias("g"),
+        _F.when(
+            (_F.col("id") % 2 == 0) & (_F.col("id") % 10 < 3), _F.lit(0.0)
+        )
+        .otherwise(((_F.col("id") * 131) % 9973).cast("double"))
+        .alias("v"),
+    )
+    ski = sk.withColumn("v", _F.col("v").cast("long")).withColumn(
+        "y", ((_F.col("id") * 17) % 9973).cast("long")
+    )
+    timed(
+        "w1_vs_rest_skew_10M",
+        lambda: R.w1_vs_rest(ski, "g", "v")
+        .write.format("noop").mode("overwrite").save(),
+        10_000_000,
+    )
+    timed(
+        "spearman_skew_10M",
+        lambda: R.spearman_milli(ski, "v", "y", "id")
+        .write.format("noop").mode("overwrite").save(),
+        10_000_000,
+    )
+    # web-graph-like ER graph (~2M edges / 100k nodes, avg degree ~40;
+    # hashed endpoints — see the triangle_counts comment above)
+    gq = spark.range(2_000_000).select(
+        _F.pmod(_F.xxhash64(_F.col("id"), _F.lit(1)), _F.lit(100_000))
+        .alias("src"),
+        _F.pmod(_F.xxhash64(_F.col("id"), _F.lit(2)), _F.lit(100_000))
+        .alias("dst"),
+    )
+    timed(
+        "hits_3iter_2M_edges",
+        lambda: G.hits(gq, iterations=3)
+        .write.format("noop").mode("overwrite").save(),
+        2_000_000,
+    )
+    # 10M (basket, item) rows over 2M baskets × 5 items; item space
+    # zipf-ish with one hot item in ~30% of baskets — work is bounded
+    # by Σ width² = 25 × 2M pair rows, never corpus²
+    bk = spark.range(10_000_000).select(
+        (_F.col("id") % 2_000_000).alias("basket"),
+        _F.when(
+            (_F.col("id") < 2_000_000) & (_F.col("id") % 10 < 3),
+            _F.lit(0),
+        )
+        .otherwise(_F.pmod(_F.xxhash64("id"), _F.lit(1_000)))
+        .alias("item"),
+    )
+    timed(
+        "assoc_rules_10M",
+        lambda: J.association_rules(bk, "basket", "item", min_pair_support=50)
+        .write.format("noop").mode("overwrite").save(),
+        10_000_000,
+    )
+    # 2M names; blocks of ~20 rows plus ONE 2,000-row hot block —
+    # candidate volume Σ|block|² ≈ 44M verified JVM-side
+    nm = spark.range(2_000_000).select(
+        _F.col("id").alias("name_id"),
+        _F.concat(
+            _F.when(_F.col("id") < 2_000, _F.lit("hotblock")).otherwise(
+                _F.concat(_F.lit("b"), (_F.col("id") % 100_000).cast("string"))
+            ),
+            _F.lit(" corp unit "),
+            (_F.col("id") % 97).cast("string"),
+        ).alias("name"),
+    )
+    timed(
+        "fuzzy_join_hotblock_2M",
+        lambda: J.fuzzy_join(nm, nm, "name", "name_id", max_distance=3)
+        .write.format("noop").mode("overwrite").save(),
+        2_000_000,
+    )
+    # CDC steady-state: 10M-row changelog (1M keys × 10 changes, 5%
+    # tombstones) pre-written untimed; the timed section is ONE
+    # availableNow pass through the applyInPandasWithState update —
+    # the state-update cost without the multi-trigger gate harness
+    chg_dir = tempfile.mkdtemp(prefix="cdc_smoke_")
+    out_dir = tempfile.mkdtemp(prefix="cdc_smoke_sink_")
+    spark.range(10_000_000).select(
+        (_F.col("id") % 1_000_000).alias("k"),
+        _F.floor(_F.col("id") / 1_000_000).cast("long").alias("seq"),
+        (_F.pmod(_F.xxhash64("id"), _F.lit(20)) == 0).alias("is_delete"),
+        _F.pmod(_F.xxhash64("id", _F.lit(7)), _F.lit(1_000_000)).alias("val"),
+    ).repartition(8).write.mode("overwrite").parquet(chg_dir)
+    from ukis_h3cellstore_spark import streaming as ST
+
+    def run_cdc():
+        stream = spark.readStream.schema(
+            "k long, seq long, is_delete boolean, val long"
+        ).parquet(chg_dir)
+        q = (
+            ST.cdc_upsert(stream, "k", "seq", "is_delete", "val")
+            .writeStream.format("noop")
+            .outputMode("update")
+            .option("checkpointLocation", out_dir + "/ckpt")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+
+    timed("cdc_upsert_steady_10M", run_cdc, 10_000_000)
+
+
 def main() -> None:
+    if "--r9" in sys.argv:
+        from pyspark.sql import SparkSession
+
+        spark = (
+            SparkSession.builder.master("local[32]")
+            .config("spark.sql.shuffle.partitions", "64")
+            .config("spark.sql.adaptive.enabled", "true")
+            .config("spark.driver.memory", "48g")
+            .config("spark.ui.enabled", "false")
+            .getOrCreate()
+        )
+        spark.sparkContext.setLogLevel("ERROR")
+        spark.range(1).count()
+
+        def gc():
+            spark.catalog.clearCache()
+            spark._jvm.System.gc()
+
+        _r9_block(spark, gc)
+        spark.stop()
+        return
     n_docs = int(sys.argv[1]) if len(sys.argv) > 1 else 1_000_000
     from pyspark.sql import SparkSession
     from pyspark.sql import functions as F
@@ -298,6 +451,7 @@ def main() -> None:
     t0 = time.time()
     n_clusters = D.duplicate_cluster_stats(pairs).count()
     print(f"{'cluster_resolve':24s} {time.time() - t0:8.1f}s  ({n_clusters:,} clusters)")
+    _r9_block(spark, gc)
     spark.stop()
 
 
