@@ -28,6 +28,10 @@ _PRIORITY = [
     # tier 1 — never driver-sampled (round-9 additions at head)
     "corpus_curation_e2e",
     "part_fuzzy_link",
+    "events_funnel_conversion",
+    "corpus_ngram_diversity",
+    "corpus_pack_curriculum",
+    "embedding_margin_pairs",
     # tier 2 — oldest driver-green first (the r4-aged backlog)
     "source_orc_roundtrip",
     "orders_semi_anti_join",
@@ -73,10 +77,6 @@ _PRIORITY = [
     "streaming_sessionize",
     "streaming_interval_join",
     "q1_pricing_summary",
-    "q3_shipping_priority",
-    "q5_region_nation_revenue",
-    "q6_forecast_revenue",
-    "q4_order_priority",
 ]
 
 

@@ -99,3 +99,57 @@ def test_ks_and_w1_ignore_null_groups(spark):
         # the NULL rows change the POOLED curve only via their absence:
         # with them filtered, the dirty frame equals the clean one.
         assert sorted(tuple(r) for r in got_rows) == ref
+
+
+def test_pack_documents_order_cols_curriculum(spark):
+    from ukis_h3cellstore_spark.ops.sampling import pack_documents
+
+    rows = [(i, " ".join(["w"] * n)) for i, n in
+            enumerate([50, 10, 30, 20, 40, 5, 25, 15])]
+    df = spark.createDataFrame(rows, ["doc_id", "text"]).withColumn(
+        "nt", F.size(F.split(F.trim(F.col("text")), r"\s+"))
+    )
+    default = pack_documents(df, max_tokens=60, num_shards=1)
+    curric = pack_documents(
+        df, max_tokens=60, num_shards=1, order_cols=["nt", "doc_id"]
+    )
+    # default packs in id order; curriculum packs shortest-first
+    d = {r["doc_id"]: r["bin_offset"] for r in default.collect()}
+    c = {r["doc_id"]: r["bin_offset"] for r in curric.collect()}
+    assert d[0] == 0  # id order: doc 0 first
+    assert c[5] == 0  # curriculum: the 5-token doc first
+    # offsets under curriculum are the exclusive cumsum of sorted lengths
+    order = sorted(rows, key=lambda r: (len(r[1].split()), r[0]))
+    run = 0
+    for i, text in order:
+        assert c[i] == run
+        run += len(text.split())
+    # same bins content-wise when order_cols is the id (back-compat)
+    same = pack_documents(df, max_tokens=60, num_shards=1, order_cols=["doc_id"])
+    assert {tuple(r) for r in same.collect()} == {
+        tuple(r) for r in default.collect()
+    }
+
+
+def test_margin_pairs_hand_computed(spark):
+    from ukis_h3cellstore_spark.ops.similarity import margin_pairs
+
+    # query q is collinear with c1 (cos 1.0), at 45° to c2 (~0.7071),
+    # orthogonal to c3 — margin = 1.0 - 0.7071
+    corpus = spark.createDataFrame(
+        [(10, [1.0, 0.0]), (11, [1.0, 1.0]), (12, [0.0, 1.0])],
+        ["vec_id", "embedding"],
+    )
+    q = spark.createDataFrame([(1, [2.0, 0.0])], ["vec_id", "embedding"])
+    r = margin_pairs(corpus, q).collect()[0]
+    assert r["query_id"] == 1 and r["neighbor_id"] == 10
+    assert r["cos_top1"] == 1.0 and abs(r["cos_top2"] - 0.7071) < 1e-9
+    assert abs(r["margin"] - 0.2929) < 1e-9
+
+
+def test_margin_pairs_requires_two_neighbors(spark):
+    from ukis_h3cellstore_spark.ops.similarity import margin_pairs
+
+    corpus = spark.createDataFrame([(10, [1.0, 0.0])], ["vec_id", "embedding"])
+    q = spark.createDataFrame([(1, [1.0, 0.0])], ["vec_id", "embedding"])
+    assert margin_pairs(corpus, q).count() == 0

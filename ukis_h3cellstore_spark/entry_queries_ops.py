@@ -6411,9 +6411,257 @@ WHERE a.id != b.id AND levenshtein(a.t, b.t) <= 3
 """
 
 
+def q_events_funnel_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered funnel conversion over the event stream: per user, the
+    earliest signup, then the earliest view AT OR AFTER it, then the
+    earliest click after that, then the earliest purchase — the
+    classic product-analytics funnel where each stage must follow the
+    previous one in event time. Reports per stage the number of users
+    reaching it and the integral milli conversion from the previous
+    stage.
+
+    Scale shape: one events-sized aggregation per stage, every join
+    keyed on user_id (the SAME shuffle key each stage, so a real
+    cluster reuses the exchange); each stage's user->timestamp frame
+    is user-bounded and eagerly checkpointed so stage k does not
+    re-run stages 1..k-1's lineage (the multi-reference re-execution
+    trap, docs/SCALE.md). The 4-row stage report joins to itself
+    broadcast for the conversion ratio — no window anywhere."""
+    stages = ["signup", "view", "click", "purchase"]
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet").select(
+        "user_id", "event_type", "ts"
+    )
+    counts = []
+    prev = None
+    for i, s in enumerate(stages):
+        matched = ev.filter(F.col("event_type") == s)
+        if prev is not None:
+            matched = matched.join(prev, on="user_id").filter(
+                F.col("ts") >= F.col("__t")
+            )
+        cur = (
+            matched.groupBy("user_id")
+            .agg(F.min("ts").alias("__t"))
+            .localCheckpoint(eager=True)
+        )
+        counts.append(
+            cur.agg(F.count(F.lit(1)).alias("n_users")).select(
+                F.lit(i + 1).alias("stage"),
+                F.lit(s).alias("stage_name"),
+                F.col("n_users").cast("long").alias("n_users"),
+            )
+        )
+        prev = cur
+    rep = counts[0]
+    for c in counts[1:]:
+        rep = rep.unionByName(c)
+    prev_rep = rep.select(
+        (F.col("stage") + 1).alias("stage"), F.col("n_users").alias("__pn")
+    )
+    return (
+        rep.join(F.broadcast(prev_rep), on="stage", how="left")
+        .select(
+            "stage",
+            "stage_name",
+            "n_users",
+            F.coalesce(
+                F.expr("(1000 * n_users) div __pn"), F.lit(1000)
+            ).cast("long").alias("conv_milli"),
+        )
+    )
+
+
+Q_EVENTS_FUNNEL_SQL = """
+WITH s1 AS (SELECT user_id, MIN(ts) AS t FROM events
+            WHERE event_type = 'signup' GROUP BY 1),
+s2 AS (SELECT e.user_id, MIN(e.ts) AS t FROM events e
+       JOIN s1 ON e.user_id = s1.user_id AND e.ts >= s1.t
+       WHERE e.event_type = 'view' GROUP BY 1),
+s3 AS (SELECT e.user_id, MIN(e.ts) AS t FROM events e
+       JOIN s2 ON e.user_id = s2.user_id AND e.ts >= s2.t
+       WHERE e.event_type = 'click' GROUP BY 1),
+s4 AS (SELECT e.user_id, MIN(e.ts) AS t FROM events e
+       JOIN s3 ON e.user_id = s3.user_id AND e.ts >= s3.t
+       WHERE e.event_type = 'purchase' GROUP BY 1),
+counts AS (
+  SELECT 1 AS stage, 'signup' AS stage_name, COUNT(*) AS n FROM s1
+  UNION ALL SELECT 2, 'view', COUNT(*) FROM s2
+  UNION ALL SELECT 3, 'click', COUNT(*) FROM s3
+  UNION ALL SELECT 4, 'purchase', COUNT(*) FROM s4
+)
+SELECT c.stage, c.stage_name, CAST(c.n AS BIGINT) AS n_users,
+       CAST(COALESCE((1000 * c.n) // p.n, 1000) AS BIGINT) AS conv_milli
+FROM counts c LEFT JOIN counts p ON p.stage = c.stage - 1
+"""
+
+
+def q_corpus_ngram_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source n-gram diversity report: distinct trigrams over
+    total trigram instances (milli) — the self-repetition audit that
+    catches template-generated or boilerplate-heavy sources before
+    they skew training (low diversity = the source repeats itself).
+    One totals aggregation plus one distinct-count over the exploded
+    trigram rows; both partial-aggregable, the explode is the only
+    data-expansion and is bounded by token count."""
+    docs = _docs(spark, sf_dir)
+    toks = X.tokens("text")
+    n = F.size(toks)
+    tri = F.when(
+        n >= 3,
+        F.transform(
+            F.sequence(F.lit(1), n - 2),
+            lambda i: F.concat_ws(
+                " ",
+                F.element_at(toks, i),
+                F.element_at(toks, i + 1),
+                F.element_at(toks, i + 2),
+            ),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    base = docs.select(
+        "source", n.alias("__nt"), tri.alias("__tri")
+    )
+    tot = base.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("__nt").cast("long").alias("total_tokens"),
+        F.sum(F.size("__tri")).cast("long").alias("total_trigrams"),
+    )
+    dist = (
+        base.select("source", F.explode("__tri").alias("__g"))
+        .groupBy("source")
+        .agg(F.count_distinct("__g").alias("distinct_trigrams"))
+    )
+    return (
+        tot.join(dist, on="source")
+        .select(
+            "source",
+            "n_docs",
+            "total_tokens",
+            "total_trigrams",
+            F.col("distinct_trigrams").cast("long").alias("distinct_trigrams"),
+            F.expr("(1000 * distinct_trigrams) div total_trigrams")
+            .cast("long")
+            .alias("diversity_milli"),
+        )
+    )
+
+
+Q_CORPUS_NGRAM_DIVERSITY_SQL = f"""
+WITH t AS (SELECT doc_id, source, {_DUCK_TOKS} AS toks FROM documents),
+tot AS (
+  SELECT source, COUNT(*) AS n_docs,
+         CAST(SUM(len(toks)) AS BIGINT) AS total_tokens,
+         CAST(SUM(greatest(len(toks) - 2, 0)) AS BIGINT) AS total_trigrams
+  FROM t GROUP BY 1
+),
+tri AS (
+  SELECT source, concat_ws(' ', toks[i], toks[i+1], toks[i+2]) AS g
+  FROM t, unnest(generate_series(1, greatest(len(toks) - 2, 0))) AS u(i)
+),
+d AS (SELECT source, COUNT(DISTINCT g) AS distinct_trigrams
+      FROM tri GROUP BY 1)
+SELECT tot.source, tot.n_docs, tot.total_tokens, tot.total_trigrams,
+       CAST(d.distinct_trigrams AS BIGINT) AS distinct_trigrams,
+       CAST((1000 * d.distinct_trigrams) // tot.total_trigrams AS BIGINT)
+         AS diversity_milli
+FROM tot JOIN d USING (source)
+"""
+
+
+def q_corpus_pack_curriculum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Curriculum packing (ops/sampling.py: pack_documents with
+    order_cols): shortest-first schedule — within each shard the
+    documents pack in ascending token-count order (doc_id tiebreak),
+    so early bins hold the easiest/shortest documents. Reports per
+    (shard, bin) the doc count, token total, and the min/max document
+    length — the min/max columns make the curriculum ordering itself
+    part of the verified hash, not just the bin arithmetic."""
+    docs = _docs(spark, sf_dir).select(
+        "doc_id", "text", F.size(X.tokens("text")).alias("nt")
+    )
+    packed = SM.pack_documents(
+        docs, max_tokens=512, num_shards=8, order_cols=["nt", "doc_id"]
+    )
+    return (
+        packed.groupBy("shard", "bin")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_tokens").cast("long").alias("total_tokens"),
+            F.min("n_tokens").cast("long").alias("min_doc_tokens"),
+            F.max("n_tokens").cast("long").alias("max_doc_tokens"),
+        )
+    )
+
+
+Q_CORPUS_PACK_CURRICULUM_SQL = f"""
+WITH base AS (
+  SELECT doc_id,
+         CAST((('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT
+               % 8) AS INT) AS shard,
+         CAST(len({_DUCK_TOKS}) AS BIGINT) AS nt
+  FROM documents),
+packed AS (
+  SELECT shard, nt,
+         SUM(nt) OVER (PARTITION BY shard ORDER BY nt, doc_id
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - nt
+           AS bin_offset
+  FROM base)
+SELECT shard, CAST(bin_offset // 512 AS BIGINT) AS bin,
+       COUNT(*) AS n_docs,
+       CAST(SUM(nt) AS BIGINT) AS total_tokens,
+       CAST(MIN(nt) AS BIGINT) AS min_doc_tokens,
+       CAST(MAX(nt) AS BIGINT) AS max_doc_tokens
+FROM packed GROUP BY 1, 2
+"""
+
+
+def q_embedding_margin_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Margin-based pair mining (ops/similarity.py: margin_pairs, the
+    Artetxe & Schwenk bitext criterion): label-0 vectors mined
+    against the rest of the corpus — per query its best cross-group
+    neighbor plus the top1-top2 margin that scores how decisive the
+    match is. One broadcast-query scored scan at k=2, then a
+    queries-sized pivot."""
+    e = _embs(spark, sf_dir)
+    return S.margin_pairs(
+        e.filter(F.col("label") != 0), e.filter(F.col("label") == 0)
+    )
+
+
+Q_EMBEDDING_MARGIN_PAIRS_SQL = f"""
+WITH q AS (SELECT vec_id AS query_id, embedding AS q_vec FROM embeddings
+           WHERE label = 0),
+     c AS (SELECT vec_id AS neighbor_id, embedding AS c_vec FROM embeddings
+           WHERE label <> 0),
+scored AS (
+  SELECT q.query_id, a.neighbor_id,
+         round(CAST({_DUCK_COSINE} AS DOUBLE), 4) AS cosine_sim
+  FROM c a, q WHERE a.neighbor_id <> q.query_id
+),
+ranked AS (
+  SELECT *, row_number() OVER (
+      PARTITION BY query_id ORDER BY cosine_sim DESC, neighbor_id ASC) AS rank
+  FROM scored
+)
+SELECT CAST(query_id AS BIGINT) AS query_id,
+       CAST(MAX(CASE WHEN rank = 1 THEN neighbor_id END) AS BIGINT)
+         AS neighbor_id,
+       MAX(CASE WHEN rank = 1 THEN cosine_sim END) AS cos_top1,
+       MAX(CASE WHEN rank = 2 THEN cosine_sim END) AS cos_top2,
+       round(MAX(CASE WHEN rank = 1 THEN cosine_sim END)
+             - MAX(CASE WHEN rank = 2 THEN cosine_sim END), 4) AS margin
+FROM ranked WHERE rank <= 2 GROUP BY query_id
+HAVING MAX(CASE WHEN rank = 2 THEN cosine_sim END) IS NOT NULL
+"""
+
+
 QUERIES_OPS: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "corpus_curation_e2e": q_corpus_curation_e2e,
     "part_fuzzy_link": q_part_fuzzy_link,
+    "events_funnel_conversion": q_events_funnel_conversion,
+    "corpus_ngram_diversity": q_corpus_ngram_diversity,
+    "corpus_pack_curriculum": q_corpus_pack_curriculum,
+    "embedding_margin_pairs": q_embedding_margin_pairs,
     "text_code_score": q_text_code_score,
     "corpus_w1_drift": q_corpus_w1_drift,
     "ann_tiered_rerank": q_ann_tiered_rerank,
@@ -6556,6 +6804,10 @@ QUERIES_OPS: dict[str, Callable[[SparkSession, str], DataFrame]] = {
 ORACLES_OPS: dict[str, str] = {
     "corpus_curation_e2e": Q_CORPUS_CURATION_E2E_SQL,
     "part_fuzzy_link": Q_PART_FUZZY_LINK_SQL,
+    "events_funnel_conversion": Q_EVENTS_FUNNEL_SQL,
+    "corpus_ngram_diversity": Q_CORPUS_NGRAM_DIVERSITY_SQL,
+    "corpus_pack_curriculum": Q_CORPUS_PACK_CURRICULUM_SQL,
+    "embedding_margin_pairs": Q_EMBEDDING_MARGIN_PAIRS_SQL,
     "text_code_score": Q_TEXT_CODE_SCORE_SQL,
     "corpus_w1_drift": Q_CORPUS_W1_SQL,
     "ann_tiered_rerank": Q_ANN_TIERED_RERANK_SQL,

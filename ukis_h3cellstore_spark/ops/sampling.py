@@ -155,17 +155,26 @@ def pack_documents(
     num_shards: int = 64,
     text_col: str = "text",
     id_col: str = "doc_id",
+    order_cols: list | None = None,
 ) -> DataFrame:
     """Assign each document to a (shard, bin) context window:
     (id, shard, n_tokens, bin, bin_offset).
 
     ``shard`` spreads the corpus (hash of the id); within a shard,
-    documents pack in id order by running token count: a document's
-    bin is the window its FIRST token lands in
-    (``floor(exclusive_cumsum / max_tokens)``), and ``bin_offset`` is
-    that starting position within the shard's token stream. Documents
-    longer than ``max_tokens`` span bins (the trainer's splitter deals
-    with those; they are flagged by ``n_tokens > max_tokens``)."""
+    documents pack in ``order_cols`` order (default: id order) by
+    running token count: a document's bin is the window its FIRST
+    token lands in (``floor(exclusive_cumsum / max_tokens)``), and
+    ``bin_offset`` is that starting position within the shard's token
+    stream. Documents longer than ``max_tokens`` span bins (the
+    trainer's splitter deals with those; they are flagged by
+    ``n_tokens > max_tokens``).
+
+    ``order_cols`` is the CURRICULUM knob: pass e.g. a difficulty
+    score (with ``id_col`` appended as tiebreak for determinism) and
+    early bins hold the easiest documents per shard — the
+    shortest-first / easiest-first schedule, without any extra
+    shuffle (the packing window runs per shard either way). Every
+    column referenced must exist on ``df``."""
     toks = tokens(text_col)
     n_tokens = F.when(
         F.length(F.trim(F.col(text_col))) == 0, F.lit(0)
@@ -176,14 +185,20 @@ def pack_documents(
         ).cast("long"),
         F.lit(num_shards),
     ).cast("int")
+    order = (
+        [F.col(c) if isinstance(c, str) else c for c in order_cols]
+        if order_cols
+        else [F.col(id_col)]
+    )
     base = df.select(
         F.col(id_col),
         shard.alias("shard"),
         n_tokens.cast("long").alias("n_tokens"),
+        *[o.alias(f"__ord{i}") for i, o in enumerate(order)],
     )
     w = (
         Window.partitionBy("shard")
-        .orderBy(F.col(id_col))
+        .orderBy(*[F.col(f"__ord{i}") for i in range(len(order))])
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
     cum = F.sum("n_tokens").over(w)

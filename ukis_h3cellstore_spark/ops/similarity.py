@@ -1837,3 +1837,53 @@ def tiered_rerank(
         .filter(F.col("rank") <= k)
         .select("query_id", "neighbor_id", "cosine_sim", "rank")
     )
+
+
+def margin_pairs(
+    corpus: DataFrame,
+    queries: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    round_digits: int = 4,
+) -> DataFrame:
+    """Margin-based pair mining (the Artetxe & Schwenk bitext-mining
+    criterion, absolute-margin form): for each query vector, its best
+    corpus neighbor together with how decisively it wins —
+    ``margin = cos_top1 - cos_top2``. High-margin pairs are reliable
+    alignments (translation pairs, near-duplicate captions, matched
+    records); a low margin means the query sits in a dense
+    neighborhood where the best match is indistinguishable from the
+    runner-up and should not be trusted.
+
+    Output: (query_id, neighbor_id, cos_top1, cos_top2, margin), one
+    row per query with >= 2 scored neighbors, similarities rounded to
+    ``round_digits``.
+
+    Scale shape: ONE corpus-parallel scored scan (the broadcast-query
+    :func:`cosine_topk` plan at k=2) followed by a queries-sized
+    pivot aggregation — no second scan, no corpus shuffle.
+
+    SAMPLE-QUERIES CONTRACT (same as :func:`matryoshka_topk`): the
+    query side is broadcast; mine corpus-vs-corpus alignments through
+    the IVF/LSH bucketed paths, not this exact scan."""
+    nn = cosine_topk(
+        corpus, queries, k=2, id_col=id_col, vec_col=vec_col,
+        round_digits=round_digits,
+    )
+    r1 = F.when(F.col("rank") == 1, F.col("cosine_sim"))
+    r2 = F.when(F.col("rank") == 2, F.col("cosine_sim"))
+    return (
+        nn.groupBy("query_id")
+        .agg(
+            F.max(F.when(F.col("rank") == 1, F.col("neighbor_id"))).alias(
+                "neighbor_id"
+            ),
+            F.max(r1).alias("cos_top1"),
+            F.max(r2).alias("cos_top2"),
+        )
+        .filter(F.col("cos_top2").isNotNull())
+        .withColumn(
+            "margin",
+            F.round(F.col("cos_top1") - F.col("cos_top2"), round_digits),
+        )
+    )
