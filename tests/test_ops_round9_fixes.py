@@ -153,3 +153,23 @@ def test_margin_pairs_requires_two_neighbors(spark):
     corpus = spark.createDataFrame([(10, [1.0, 0.0])], ["vec_id", "embedding"])
     q = spark.createDataFrame([(1, [1.0, 0.0])], ["vec_id", "embedding"])
     assert margin_pairs(corpus, q).count() == 0
+
+
+def test_psi_from_counts_drops_null_groups(spark):
+    from ukis_h3cellstore_spark.ops.report import psi_from_counts
+
+    clean = spark.createDataFrame(
+        [("a", 0, 5), ("a", 1, 5), ("b", 0, 2), ("b", 1, 8)],
+        "g string, bin int, c long",
+    )
+    dirty = spark.createDataFrame(
+        [("a", 0, 5), ("a", 1, 5), ("b", 0, 2), ("b", 1, 8),
+         (None, 0, 100), (None, 1, 100)],
+        "g string, bin int, c long",
+    )
+    ref = {(r["g"], r["n_group"]) for r in
+           psi_from_counts(clean, "g", "bin", "c", 2).collect()}
+    got_rows = psi_from_counts(dirty, "g", "bin", "c", 2).collect()
+    assert all(r["g"] is not None for r in got_rows)
+    # NULL counts must not leak into the pooled curve either
+    assert {(r["g"], r["n_group"]) for r in got_rows} == ref

@@ -266,8 +266,10 @@ def psi_from_counts(
     accumulate the (group, bin) counts incrementally (counts are
     associative, hence micro-batch-split-proof) and compute the same
     score at materialization time. ``bin_col`` must be dense ints in
-    ``[0, nbins)``."""
-    cells = cells.select(
+    ``[0, nbins)``. NULL group rows are dropped (a NULL key would
+    enter the margins but never equi-join back to the grid — same
+    contract as :func:`psi_drift`/``ks_vs_rest``)."""
+    cells = cells.filter(F.col(group_col).isNotNull()).select(
         F.col(group_col),
         F.col(bin_col).cast("int").alias("__bin"),
         F.col(count_col).cast("long").alias("__c"),
