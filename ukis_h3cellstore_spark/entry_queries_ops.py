@@ -6192,11 +6192,20 @@ def q_corpus_curation_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     surv = clean.join(dropped, on="doc_id", how="left_anti")
     exc = D.excise_shared_spans(surv, k=5, min_span=8)
-    lens = exc.select(
-        "doc_id",
-        "text_clean",
-        (F.col("n_tokens") - F.col("n_cut")).alias("nt"),
-    ).join(surv.select("doc_id", "source"), on="doc_id")
+    # the clean→LSH→excision lineage fans out to FOUR consumers (PSI,
+    # quarantine, mix, pack/export); materialize it once — without
+    # this the whole span-excision chain re-executes per reference
+    # (the multi-reference trap, docs/SCALE.md; measured 23 s → ~6 s
+    # on the sf0.1 bench entry)
+    lens = (
+        exc.select(
+            "doc_id",
+            "text_clean",
+            (F.col("n_tokens") - F.col("n_cut")).alias("nt"),
+        )
+        .join(surv.select("doc_id", "source"), on="doc_id")
+        .localCheckpoint(eager=True)
+    )
     psi = psi_drift(lens, "source", "nt", [30.0, 50.0, 70.0, 90.0])
     worst = (
         psi.orderBy(F.desc("psi"), F.asc("source")).limit(3).select("source")
@@ -6214,6 +6223,7 @@ def q_corpus_curation_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .filter(F.col("keep"))
         .select("doc_id", F.col("text_clean").alias("text"))
+        .localCheckpoint(eager=True)  # read by pack AND the export join
     )
     packed = SM.pack_documents(mixed, max_tokens=512, num_shards=8)
     export = mixed.join(packed, on="doc_id").select(
@@ -6464,9 +6474,13 @@ def q_events_funnel_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
             "stage",
             "stage_name",
             "n_users",
-            F.coalesce(
-                F.expr("(1000 * n_users) div __pn"), F.lit(1000)
-            ).cast("long").alias("conv_milli"),
+            # ANSI: div throws on zero — an empty previous stage
+            # converts nobody, not an error (stage 1 has NULL __pn)
+            F.when(F.col("__pn").isNull(), F.lit(1000))
+            .when(F.col("__pn") == 0, F.lit(0))
+            .otherwise(F.expr("(1000 * n_users) div __pn"))
+            .cast("long")
+            .alias("conv_milli"),
         )
     )
 
@@ -6490,7 +6504,9 @@ counts AS (
   UNION ALL SELECT 4, 'purchase', COUNT(*) FROM s4
 )
 SELECT c.stage, c.stage_name, CAST(c.n AS BIGINT) AS n_users,
-       CAST(COALESCE((1000 * c.n) // p.n, 1000) AS BIGINT) AS conv_milli
+       CAST(CASE WHEN p.n IS NULL THEN 1000
+                 WHEN p.n = 0 THEN 0
+                 ELSE (1000 * c.n) // p.n END AS BIGINT) AS conv_milli
 FROM counts c LEFT JOIN counts p ON p.stage = c.stage - 1
 """
 
