@@ -60,20 +60,24 @@ def range_tiebreaker(df: DataFrame, range_tiebreak=None) -> Column:
     this package is tie-order independent or passes its own unique
     tiebreak in ``order_cols``).
 
-    Callers with a natural row id should pass it (perfect splitting);
-    the default is ``xxhash64`` over every hashable column — collisions
-    only re-merge FULLY identical rows, which is the pre-fix behavior
-    for those rows alone."""
+    Callers with a natural row id should pass it; the default is
+    ``monotonically_increasing_id()`` — O(1) per row regardless of
+    table width (the old ``xxhash64(*all columns)`` default priced
+    every column on wide frames) and it splits even byte-identical
+    rows. The id is partition-dependent and NOT stable across runs,
+    which is fine here by construction: it only steers WHERE the range
+    sampler may cut, never any rank/cumsum value (window functions
+    order by the caller's keys alone, and every caller is tie-order
+    independent or passes its own unique tiebreak in ``order_cols``) —
+    property verified by tools/determinism_check.py across partition
+    layouts."""
     if range_tiebreak is not None:
         return (
             F.col(range_tiebreak)
             if isinstance(range_tiebreak, str)
             else range_tiebreak
         )
-    hashable = [c for c, t in df.dtypes if "map<" not in t]
-    if not hashable:
-        return F.lit(0)
-    return F.xxhash64(*[F.col(c) for c in hashable])
+    return F.monotonically_increasing_id()
 
 
 def grouped_rank(
