@@ -6422,49 +6422,72 @@ WHERE a.id != b.id AND levenshtein(a.t, b.t) <= 3
 
 
 def q_events_funnel_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Ordered funnel conversion over the event stream: per user, the
-    earliest signup, then the earliest view AT OR AFTER it, then the
-    earliest click after that, then the earliest purchase — the
-    classic product-analytics funnel where each stage must follow the
-    previous one in event time. Reports per stage the number of users
-    reaching it and the integral milli conversion from the previous
-    stage.
+    """Ordered windowed funnel over the event stream: per user, the
+    earliest signup, then the earliest view within 24 h AT OR AFTER
+    it, then the earliest click within 24 h of that, then the
+    earliest purchase within 24 h again — the classic
+    product-analytics conversion funnel (each stage must follow the
+    previous one in event time, inside the per-hop conversion
+    window). Reports per stage the users reaching it and the integral
+    milli conversion from the previous stage.
 
-    Scale shape: one events-sized aggregation per stage, every join
-    keyed on user_id (the SAME shuffle key each stage, so a real
-    cluster reuses the exchange); each stage's user->timestamp frame
-    is user-bounded and eagerly checkpointed so stage k does not
-    re-run stages 1..k-1's lineage (the multi-reference re-execution
-    trap, docs/SCALE.md). The 4-row stage report joins to itself
-    broadcast for the conversion ratio — no window anywhere."""
+    Scale shape: ONE events scan and ONE shuffle (groupBy user,
+    sorted event array), then the whole stage chain is a per-user
+    array fold in whole-stage codegen — filter(evs, type==s && ts in
+    [t_prev, t_prev+24h])[1] per stage. The per-user fold is bounded
+    by that user's own event count (the sessionize posture); compare
+    the naive shape — one events-sized aggregation PER STAGE — which
+    scans the stream S times. The 4-row stage report joins to itself
+    broadcast for the ratio — no one-task window anywhere."""
     stages = ["signup", "view", "click", "purchase"]
+    window = F.expr("INTERVAL 24 HOURS")
     ev = spark.read.parquet(f"{sf_dir}/events.parquet").select(
         "user_id", "event_type", "ts"
     )
-    counts = []
-    prev = None
+    cur = ev.groupBy("user_id").agg(
+        F.array_sort(F.collect_list(F.struct("ts", "event_type"))).alias(
+            "__evs"
+        )
+    )
+    def _stage_pred(s, prev_t):
+        # factory: F.filter requires an EXACTLY-one-parameter callable
+        # (defaults count toward the higher-order function's arity)
+        if prev_t is None:
+            return lambda e: e["event_type"] == s
+        return lambda e: (
+            (e["event_type"] == s)
+            & (e["ts"] >= prev_t)
+            & (e["ts"] <= prev_t + window)
+        )
+
     for i, s in enumerate(stages):
-        matched = ev.filter(F.col("event_type") == s)
-        if prev is not None:
-            matched = matched.join(prev, on="user_id").filter(
-                F.col("ts") >= F.col("__t")
-            )
-        cur = (
-            matched.groupBy("user_id")
-            .agg(F.min("ts").alias("__t"))
-            .localCheckpoint(eager=True)
+        prev_t = None if i == 0 else F.col(f"__t{i - 1}")
+        hit = F.filter(F.col("__evs"), _stage_pred(s, prev_t))
+        # try_element_at: ANSI element_at THROWS on the empty array a
+        # user who never reaches the stage produces
+        cur = cur.withColumn(
+            f"__t{i}", F.try_element_at(hit, F.lit(1))["ts"]
         )
-        counts.append(
-            cur.agg(F.count(F.lit(1)).alias("n_users")).select(
-                F.lit(i + 1).alias("stage"),
-                F.lit(s).alias("stage_name"),
-                F.col("n_users").cast("long").alias("n_users"),
+    wide = cur.agg(
+        *[
+            F.count(F.col(f"__t{i}")).cast("long").alias(f"__n{i}")
+            for i in range(len(stages))
+        ]
+    )
+    rep = wide.select(
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(i + 1).alias("stage"),
+                        F.lit(s).alias("stage_name"),
+                        F.col(f"__n{i}").alias("n_users"),
+                    )
+                    for i, s in enumerate(stages)
+                ]
             )
-        )
-        prev = cur
-    rep = counts[0]
-    for c in counts[1:]:
-        rep = rep.unionByName(c)
+        ).alias("r")
+    ).select("r.stage", "r.stage_name", "r.n_users")
     prev_rep = rep.select(
         (F.col("stage") + 1).alias("stage"), F.col("n_users").alias("__pn")
     )
@@ -6490,12 +6513,15 @@ WITH s1 AS (SELECT user_id, MIN(ts) AS t FROM events
             WHERE event_type = 'signup' GROUP BY 1),
 s2 AS (SELECT e.user_id, MIN(e.ts) AS t FROM events e
        JOIN s1 ON e.user_id = s1.user_id AND e.ts >= s1.t
+        AND e.ts <= s1.t + INTERVAL 24 HOUR
        WHERE e.event_type = 'view' GROUP BY 1),
 s3 AS (SELECT e.user_id, MIN(e.ts) AS t FROM events e
        JOIN s2 ON e.user_id = s2.user_id AND e.ts >= s2.t
+        AND e.ts <= s2.t + INTERVAL 24 HOUR
        WHERE e.event_type = 'click' GROUP BY 1),
 s4 AS (SELECT e.user_id, MIN(e.ts) AS t FROM events e
        JOIN s3 ON e.user_id = s3.user_id AND e.ts >= s3.t
+        AND e.ts <= s3.t + INTERVAL 24 HOUR
        WHERE e.event_type = 'purchase' GROUP BY 1),
 counts AS (
   SELECT 1 AS stage, 'signup' AS stage_name, COUNT(*) AS n FROM s1
