@@ -22,8 +22,9 @@ from collections.abc import Callable
 from pyspark.sql import DataFrame, SparkSession
 
 # ROUND-9 ROTATION (computed by `python tools/rotation.py --python`):
-# tier 1 = the round-9 additions, then the 43-gate r4-aged backlog
-# (the registry's oldest driver-green cohort) + the 5 oldest r5.
+# tier 1 = the 6 round-9 additions, then the FULL 43-gate r4-aged
+# backlog (the registry's oldest driver-green cohort) + the oldest r5
+# entry — exactly the head-50 the round-8 verdict prescribed.
 _PRIORITY = [
     # tier 1 — never driver-sampled (round-9 additions at head)
     "corpus_curation_e2e",

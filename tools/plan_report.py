@@ -59,6 +59,18 @@ DEFAULT_QUERIES = [
     "multimodal_phash_pairs",
     "corpus_clean_pipeline",
     "corpus_resampled_mix",
+    # round-8/9 additions
+    "events_ks_drift",
+    "corpus_w1_drift",
+    "graph_hits",
+    "lineitem_copurchase_lift",
+    "part_fuzzy_match",
+    "ann_tiered_rerank",
+    "corpus_curation_e2e",
+    "events_funnel_conversion",
+    "corpus_ngram_diversity",
+    "corpus_pack_curriculum",
+    "embedding_margin_pairs",
 ]
 
 
