@@ -33,6 +33,7 @@ _PRIORITY = [
     "corpus_ngram_diversity",
     "corpus_pack_curriculum",
     "embedding_margin_pairs",
+    "embedding_source_drift",
     # tier 2 — oldest driver-green first (the r4-aged backlog)
     "source_orc_roundtrip",
     "orders_semi_anti_join",

@@ -173,3 +173,32 @@ def test_psi_from_counts_drops_null_groups(spark):
     assert all(r["g"] is not None for r in got_rows)
     # NULL counts must not leak into the pooled curve either
     assert {(r["g"], r["n_group"]) for r in got_rows} == ref
+
+
+def test_centroid_drift_hand_computed(spark):
+    from ukis_h3cellstore_spark.ops.similarity import centroid_drift
+
+    # group a: mean = [1, 0]; group b: mean = [0, 1];
+    # pooled mean = [0.5, 0.5] -> cosine with each = 1/sqrt(2)
+    df = spark.createDataFrame(
+        [("a", [2.0, 0.0]), ("a", [0.0, 0.0]),
+         ("b", [0.0, 2.0]), ("b", [0.0, 0.0])],
+        "g string, embedding array<float>",
+    )
+    got = {r["g"]: r for r in centroid_drift(df, "g").collect()}
+    assert got["a"]["n_vecs"] == 2 and got["b"]["n_vecs"] == 2
+    import math
+    want = round(1 / math.sqrt(2), 4)
+    assert abs(got["a"]["centroid_cos"] - want) < 1e-9
+    assert abs(got["b"]["centroid_cos"] - want) < 1e-9
+
+
+def test_centroid_drift_identical_groups_cos_one(spark):
+    from ukis_h3cellstore_spark.ops.similarity import centroid_drift
+
+    df = spark.createDataFrame(
+        [(g, [1.0, 2.0, 3.0]) for g in ("a", "b", "a", "b")],
+        "g string, embedding array<float>",
+    )
+    for r in centroid_drift(df, "g").collect():
+        assert r["centroid_cos"] == 1.0

@@ -6697,9 +6697,60 @@ HAVING MAX(CASE WHEN rank = 2 THEN cosine_sim END) IS NOT NULL
 """
 
 
+def q_embedding_source_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-space drift audit (ops/similarity.py: centroid_drift):
+    per source, the cosine of the source's mean embedding against the
+    pooled corpus centroid — catches a source whose semantic direction
+    moved even when every scalar column looks stable (the vector
+    complement of the KS/W1/PSI gates). One dimension-explode, one
+    (source, dim) partial-agg shuffle, 1-row pooled broadcast."""
+    from ukis_h3cellstore_spark.ops.similarity import centroid_drift
+
+    j = (
+        _docs(spark, sf_dir)
+        .select("doc_id", "source")
+        .join(
+            _embs(spark, sf_dir).select(
+                F.col("vec_id").alias("doc_id"), "embedding"
+            ),
+            on="doc_id",
+        )
+    )
+    return centroid_drift(j, "source")
+
+
+Q_EMBEDDING_SOURCE_DRIFT_SQL = """
+WITH j AS (
+  SELECT d.source, e.embedding
+  FROM documents d JOIN embeddings e ON e.vec_id = d.doc_id
+),
+comp AS (
+  SELECT source, generate_subscripts(embedding, 1) AS pos,
+         CAST(unnest(embedding) AS DOUBLE) AS v
+  FROM j
+),
+src AS (SELECT source, pos, SUM(v) AS s, COUNT(*) AS n
+        FROM comp GROUP BY 1, 2),
+srcv AS (SELECT source, list(s / n ORDER BY pos) AS c_vec,
+                CAST(MIN(n) AS BIGINT) AS n_vecs
+         FROM src GROUP BY 1),
+alldim AS (SELECT pos, SUM(v) AS s, COUNT(*) AS n FROM comp GROUP BY 1),
+allv AS (SELECT list(s / n ORDER BY pos) AS g_vec FROM alldim)
+SELECT source, n_vecs,
+       round(list_reduce(list_transform(list_zip(c_vec, g_vec),
+                                        x -> x[1] * x[2]), (a, b) -> a + b)
+             / (sqrt(list_reduce(list_transform(c_vec, x -> x * x),
+                                 (a, b) -> a + b))
+                * sqrt(list_reduce(list_transform(g_vec, x -> x * x),
+                                   (a, b) -> a + b))), 4) AS centroid_cos
+FROM srcv, allv
+"""
+
+
 QUERIES_OPS: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "corpus_curation_e2e": q_corpus_curation_e2e,
     "part_fuzzy_link": q_part_fuzzy_link,
+    "embedding_source_drift": q_embedding_source_drift,
     "events_funnel_conversion": q_events_funnel_conversion,
     "corpus_ngram_diversity": q_corpus_ngram_diversity,
     "corpus_pack_curriculum": q_corpus_pack_curriculum,
@@ -6846,6 +6897,7 @@ QUERIES_OPS: dict[str, Callable[[SparkSession, str], DataFrame]] = {
 ORACLES_OPS: dict[str, str] = {
     "corpus_curation_e2e": Q_CORPUS_CURATION_E2E_SQL,
     "part_fuzzy_link": Q_PART_FUZZY_LINK_SQL,
+    "embedding_source_drift": Q_EMBEDDING_SOURCE_DRIFT_SQL,
     "events_funnel_conversion": Q_EVENTS_FUNNEL_SQL,
     "corpus_ngram_diversity": Q_CORPUS_NGRAM_DIVERSITY_SQL,
     "corpus_pack_curriculum": Q_CORPUS_PACK_CURRICULUM_SQL,

@@ -1887,3 +1887,72 @@ def margin_pairs(
             F.round(F.col("cos_top1") - F.col("cos_top2"), round_digits),
         )
     )
+
+
+def centroid_drift(
+    df: DataFrame,
+    group_col: str,
+    vec_col: str = "embedding",
+    round_digits: int = 4,
+) -> DataFrame:
+    """Embedding-space drift per group: cosine of each group's mean
+    vector against the pooled corpus centroid — the EMBEDDING
+    complement of the scalar drift family (KS/W1/PSI watch univariate
+    columns; this catches a source whose whole semantic direction
+    moved, which no per-column score sees). Low cosine = the group's
+    content centroid points away from the corpus.
+
+    Output: (group, n_vecs, centroid_cos), cosine rounded to
+    ``round_digits``.
+
+    Scale shape: one dimension-explode (rows x d, d bounded), one
+    (group, dim)-keyed partial-agg shuffle, then group- and
+    dims-sized frames only; the global centroid is a 1-row broadcast.
+    No pairwise anything — linear in the corpus. Sum-order float
+    jitter (~1e-13 relative) sits far under the output rounding."""
+    comp = df.select(
+        F.col(group_col),
+        F.posexplode(F.col(vec_col)).alias("__pos", "__v"),
+    ).withColumn("__v", F.col("__v").cast("double"))
+    by_dim = comp.groupBy(group_col, "__pos").agg(
+        F.sum("__v").alias("__s"), F.count(F.lit(1)).alias("__n")
+    )
+    grp_vec = by_dim.groupBy(group_col).agg(
+        F.transform(
+            F.array_sort(
+                F.collect_list(
+                    F.struct(F.col("__pos"), (F.col("__s") / F.col("__n")).alias("m"))
+                )
+            ),
+            lambda s: s["m"],
+        ).alias("__cvec"),
+        F.min("__n").cast("long").alias("n_vecs"),
+    )
+    pooled = (
+        comp.groupBy("__pos")
+        .agg(F.sum("__v").alias("__s"), F.count(F.lit(1)).alias("__n"))
+        .groupBy()
+        .agg(
+            F.transform(
+                F.array_sort(
+                    F.collect_list(
+                        F.struct(
+                            F.col("__pos"), (F.col("__s") / F.col("__n")).alias("m")
+                        )
+                    )
+                ),
+                lambda s: s["m"],
+            ).alias("__gvec")
+        )
+    )
+    return (
+        grp_vec.crossJoin(F.broadcast(pooled))
+        .withColumn(
+            "centroid_cos",
+            F.round(
+                cosine_similarity(F.col("__cvec"), F.col("__gvec")),
+                round_digits,
+            ),
+        )
+        .select(group_col, "n_vecs", "centroid_cos")
+    )
