@@ -40,6 +40,27 @@ def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return spark.read.parquet(f"{sf_dir}/{name}.parquet")
 
 
+def _stable_tmpdir(prefix: str, sf_dir: str) -> str:
+    """A STABLE scratch directory keyed by (prefix, sf_dir), cleared on
+    every call. Gates that export shards / stage stream sources used to
+    ``mkdtemp`` per invocation, which the sweeps (2 SFs × correctness,
+    2-config determinism, min-of-3 bench) turn into unbounded temp-disk
+    accumulation across processes; a deterministic path means each
+    re-run REPLACES the previous contents instead. Sweeps are
+    sequential by protocol (docs/SCALE.md bench rules), so no two
+    invocations race on the same path."""
+    import hashlib
+    import os
+    import shutil
+    import tempfile
+
+    key = hashlib.md5(sf_dir.encode()).hexdigest()[:12]
+    path = os.path.join(tempfile.gettempdir(), f"{prefix}{key}")
+    shutil.rmtree(path, ignore_errors=True)
+    os.makedirs(path, exist_ok=True)
+    return path
+
+
 def _events(spark: SparkSession, sf_dir: str) -> DataFrame:
     """events table with the ``ts`` column exposed as ``ts_us``
     (microseconds since epoch, BIGINT) — the cross-engine parity ground

@@ -4929,9 +4929,8 @@ def q_corpus_tokenize_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
     1-row argmax collect (train on a sample at 100 TB — see
     docs/SCALE.md); the merge application, packing window, and shard
     write are all distributed and corpus-sized exactly once each."""
-    import tempfile
-
     from ukis_h3cellstore_spark import layout as L
+    from ukis_h3cellstore_spark.entry_queries import _stable_tmpdir
 
     docs = _docs(spark, sf_dir).select("doc_id", "text")
     merges = X.bpe_train(docs, n_merges=_TOKPACK_MERGES)
@@ -4942,7 +4941,7 @@ def q_corpus_tokenize_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
     export = cur.join(packed, "doc_id").select(
         "doc_id", "shard", "n_tokens", "bin", "text"
     )
-    path = tempfile.mkdtemp(prefix="tokpack_")
+    path = _stable_tmpdir("tokpack_", sf_dir)
     L.write_jsonl_shards(export.repartition(8), path, docs_per_shard=2000)
     back = spark.read.json(path)
     return (
@@ -6167,9 +6166,8 @@ def q_corpus_curation_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
     candidate joins, inverted-index span extents, groups-sized PSI
     grid, broadcast count joins, one window per shard key — composed
     without any new shuffle shape."""
-    import tempfile
-
     from ukis_h3cellstore_spark import layout as L
+    from ukis_h3cellstore_spark.entry_queries import _stable_tmpdir
     from ukis_h3cellstore_spark.ops.report import psi_drift
 
     docs = _docs(spark, sf_dir)
@@ -6229,7 +6227,7 @@ def q_corpus_curation_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
     export = mixed.join(packed, on="doc_id").select(
         "doc_id", "shard", "n_tokens", "bin", "text"
     )
-    path = tempfile.mkdtemp(prefix="cure_")
+    path = _stable_tmpdir("cure_", sf_dir)
     L.write_jsonl_shards(export.repartition(8), path, docs_per_shard=2000)
     back = spark.read.json(path)
     return (
@@ -6723,6 +6721,7 @@ Q_EMBEDDING_SOURCE_DRIFT_SQL = """
 WITH j AS (
   SELECT d.source, e.embedding
   FROM documents d JOIN embeddings e ON e.vec_id = d.doc_id
+  WHERE d.source IS NOT NULL
 ),
 comp AS (
   SELECT source, generate_subscripts(embedding, 1) AS pos,

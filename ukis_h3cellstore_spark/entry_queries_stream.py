@@ -7,14 +7,18 @@ across micro-batches)."""
 
 from __future__ import annotations
 
-import tempfile
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ukis_h3cellstore_spark import streaming as st
-from ukis_h3cellstore_spark.entry_queries import DUCK, _events, _synth_col
+from ukis_h3cellstore_spark.entry_queries import (
+    DUCK,
+    _events,
+    _stable_tmpdir,
+    _synth_col,
+)
 from ukis_h3cellstore_spark.h3 import sqlgen as sg
 
 _SINK_COUNTER = [0]
@@ -38,7 +42,7 @@ def q_streaming_windowed_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.timestamp_micros(F.col("ts_us")).alias("ts"),
         F.round(F.col("value") * 100).cast("long").alias("value_cents"),
     )
-    stream_dir = tempfile.mkdtemp(prefix="h3stream_src_")
+    stream_dir = _stable_tmpdir("h3stream_src_", sf_dir)
     src.repartition(4).write.mode("overwrite").parquet(stream_dir)
 
     stream = st.read_stream(
@@ -96,7 +100,7 @@ def q_streaming_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
         "doc_id", "text"
     )
-    stream_dir = tempfile.mkdtemp(prefix="h3stream_docs_")
+    stream_dir = _stable_tmpdir("h3stream_docs_", sf_dir)
     docs.repartition(4).write.mode("overwrite").parquet(stream_dir)
     stream = st.read_stream(
         spark, stream_dir, docs.schema, max_files_per_trigger=1
@@ -142,7 +146,7 @@ def q_streaming_segment_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
         "doc_id", "text"
     )
-    stream_dir = tempfile.mkdtemp(prefix="h3stream_segs_")
+    stream_dir = _stable_tmpdir("h3stream_segs_", sf_dir)
     docs.repartition(4).write.mode("overwrite").parquet(stream_dir)
     stream = st.read_stream(
         spark, stream_dir, docs.schema, max_files_per_trigger=1
@@ -221,7 +225,7 @@ def q_streaming_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.timestamp_micros(F.col("ts_us")).alias("ts"),
         F.round(F.col("value") * 100).cast("long").alias("value_cents"),
     )
-    stream_dir = tempfile.mkdtemp(prefix="h3stream_sess_")
+    stream_dir = _stable_tmpdir("h3stream_sess_", sf_dir)
     src.repartition(4).write.mode("overwrite").parquet(stream_dir)
     stream = st.read_stream(spark, stream_dir, src.schema, max_files_per_trigger=2)
     sessions = st.session_rollup(
@@ -284,7 +288,7 @@ def q_streaming_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         "event_type",
         F.round(F.col("value") * 100).cast("long").alias("value_cents"),
     )
-    stream_dir = tempfile.mkdtemp(prefix="h3stream_ij_")
+    stream_dir = _stable_tmpdir("h3stream_ij_", sf_dir)
     src.repartition(4).write.mode("overwrite").parquet(stream_dir)
 
     clicks = (
@@ -353,7 +357,7 @@ def q_streaming_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     src = _events(spark, sf_dir).select(
         "event_type", F.timestamp_micros(F.col("ts_us")).alias("ts")
     )
-    stream_dir = tempfile.mkdtemp(prefix="h3stream_topk_")
+    stream_dir = _stable_tmpdir("h3stream_topk_", sf_dir)
     src.repartition(4).write.mode("overwrite").parquet(stream_dir)
     stream = st.read_stream(spark, stream_dir, src.schema, max_files_per_trigger=2)
     counts = st.windowed_key_counts(
@@ -409,7 +413,6 @@ def q_streaming_tableset_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
     final state independent of how rows split across batches — the
     oracle is the same one-shot relational rollup that verifies the
     batch pipeline."""
-    import tempfile as _tf
 
     from ukis_h3cellstore_spark import CellStore, CompactedTableSchemaBuilder
     from ukis_h3cellstore_spark import streaming as _st
@@ -428,16 +431,16 @@ def q_streaming_tableset_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
         _synth_col("event_id", 6).alias("h3index"),
         _cents(F.col("value")).alias("value_cents"),
     )
-    stream_dir = tempfile.mkdtemp(prefix="h3stream_ingest_src_")
+    stream_dir = _stable_tmpdir("h3stream_ingest_src_", sf_dir)
     src.repartition(4).write.mode("overwrite").parquet(stream_dir)
     stream = st.read_stream(spark, stream_dir, src.schema, max_files_per_trigger=2)
 
-    store = CellStore(spark, _tf.mkdtemp(prefix="h3stream_wh_"))
+    store = CellStore(spark, _stable_tmpdir("h3stream_wh_", sf_dir))
     q = _st.stream_insert_into_tableset(
         store,
         schema,
         stream,
-        checkpoint_dir=tempfile.mkdtemp(prefix="h3stream_ckpt_"),
+        checkpoint_dir=_stable_tmpdir("h3stream_ckpt_", sf_dir),
         trigger_available_now=True,
     )
     _await_done(q)
@@ -487,7 +490,7 @@ def q_streaming_stateful_accumulator(spark: SparkSession, sf_dir: str) -> DataFr
         _synth_col("event_id", 6).alias("h3index"),
         F.round(F.col("value") * 100).cast("long").alias("value_cents"),
     )
-    stream_dir = tempfile.mkdtemp(prefix="h3stream_state_")
+    stream_dir = _stable_tmpdir("h3stream_state_", sf_dir)
     src.repartition(4).write.mode("overwrite").parquet(stream_dir)
     stream = st.read_stream(
         spark, stream_dir, src.schema, max_files_per_trigger=2
@@ -547,7 +550,7 @@ def q_streaming_domain_cap(spark: SparkSession, sf_dir: str) -> DataFrame:
             10,
         ).cast("long"),
     )
-    stream_dir = tempfile.mkdtemp(prefix="h3stream_cap_")
+    stream_dir = _stable_tmpdir("h3stream_cap_", sf_dir)
     withh.repartition(4).write.mode("overwrite").parquet(stream_dir)
     stream = st.read_stream(
         spark, stream_dir, withh.schema, max_files_per_trigger=1
@@ -627,7 +630,7 @@ def q_streaming_robust_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     thresholds = med.join(mad, "event_type").localCheckpoint(eager=True)
 
-    stream_dir = tempfile.mkdtemp(prefix="h3stream_robust_")
+    stream_dir = _stable_tmpdir("h3stream_robust_", sf_dir)
     ev.repartition(4).write.mode("overwrite").parquet(stream_dir)
     stream = st.read_stream(spark, stream_dir, ev.schema, max_files_per_trigger=1)
     scored = st.score_against_static(
@@ -704,7 +707,7 @@ def q_streaming_ttl_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         "event_type",
     )
     doubled = ev.unionByName(ev)
-    stream_dir = tempfile.mkdtemp(prefix="h3stream_ttl_")
+    stream_dir = _stable_tmpdir("h3stream_ttl_", sf_dir)
     doubled.repartition(6).write.mode("overwrite").parquet(stream_dir)
     stream = st.read_stream(
         spark, stream_dir, doubled.schema, max_files_per_trigger=2
@@ -754,7 +757,7 @@ def q_streaming_hll_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = spark.read.parquet(f"{sf_dir}/events.parquet").select(
         "event_type", "user_id"
     )
-    stream_dir = tempfile.mkdtemp(prefix="h3stream_hll_")
+    stream_dir = _stable_tmpdir("h3stream_hll_", sf_dir)
     ev.repartition(4).write.mode("overwrite").parquet(stream_dir)
     stream = st.read_stream(spark, stream_dir, ev.schema, max_files_per_trigger=1)
     regs = SKS.hll_registers_by(stream, "user_id", ["event_type"], b=9)
@@ -836,7 +839,7 @@ def q_streaming_sliding_window(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.timestamp_micros(F.col("ts_us")).alias("ts"),
         F.round(F.col("value") * 100).cast("long").alias("value_cents"),
     )
-    stream_dir = tempfile.mkdtemp(prefix="h3stream_slide_")
+    stream_dir = _stable_tmpdir("h3stream_slide_", sf_dir)
     src.repartition(4).write.mode("overwrite").parquet(stream_dir)
     stream = st.read_stream(spark, stream_dir, src.schema, max_files_per_trigger=2)
     agg = (
@@ -904,7 +907,7 @@ def q_streaming_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
         .localCheckpoint(eager=True)
     )
     batch = docs.filter(F.col("doc_id") < 100)
-    stream_dir = tempfile.mkdtemp(prefix="h3stream_novelty_")
+    stream_dir = _stable_tmpdir("h3stream_novelty_", sf_dir)
     batch.repartition(4).write.mode("overwrite").parquet(stream_dir)
     stream = st.read_stream(
         spark, stream_dir, batch.schema, max_files_per_trigger=1
@@ -959,7 +962,6 @@ def q_streaming_cdc_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
     and equals the batch argmax the oracle computes. Final
     materialization: max last_seq per key over the update-mode
     emissions."""
-    import tempfile
 
     from ukis_h3cellstore_spark import streaming as st
 
@@ -969,7 +971,7 @@ def q_streaming_cdc_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("event_type") == "click").alias("is_del"),
         F.round(F.col("value") * 100).cast("long").alias("cents"),
     )
-    stream_dir = tempfile.mkdtemp(prefix="cdc_src_")
+    stream_dir = _stable_tmpdir("cdc_src_", sf_dir)
     src.repartition(8).write.mode("overwrite").parquet(stream_dir)
     stream = st.read_stream(spark, stream_dir, src.schema, max_files_per_trigger=2)
     out = st.cdc_upsert(stream, "user_id", "seq", "is_del", "cents")
@@ -1029,9 +1031,8 @@ def q_streaming_cdc_upsert_bench(
     the tempdir write + 4-trigger harness the correctness gate pays
     (that gate deliberately splits batches to prove split-invariance;
     this one measures the state logic)."""
-    import tempfile
-
     from ukis_h3cellstore_spark import streaming as st
+    from ukis_h3cellstore_spark.entry_queries import _stable_tmpdir
 
     src = _events(spark, sf_dir).select(
         F.col("user_id"),
@@ -1041,7 +1042,9 @@ def q_streaming_cdc_upsert_bench(
     )
     stream_dir = _CDC_BENCH_SRC.get(sf_dir)
     if stream_dir is None:
-        stream_dir = tempfile.mkdtemp(prefix="cdc_bench_src_")
+        # stable per-sf_dir path: cross-process re-runs REPLACE the
+        # previous staging parquet instead of accumulating mkdtemp dirs
+        stream_dir = _stable_tmpdir("cdc_bench_src_", sf_dir)
         src.repartition(8).write.mode("overwrite").parquet(stream_dir)
         _CDC_BENCH_SRC[sf_dir] = stream_dir
     stream = st.read_stream(spark, stream_dir, src.schema)
@@ -1079,14 +1082,13 @@ def q_streaming_psi_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     complete mode — counts are associative, so the final table is
     micro-batch-split-proof; PSI is computed relationally from the
     materialized counts."""
-    import tempfile
 
     from ukis_h3cellstore_spark.entry_queries_ops import _docs
     from ukis_h3cellstore_spark.ops.report import psi_from_counts
     from ukis_h3cellstore_spark.ops.text import tokens
 
     src = _docs(spark, sf_dir).select("doc_id", "source", "text")
-    stream_dir = tempfile.mkdtemp(prefix="psi_src_")
+    stream_dir = _stable_tmpdir("psi_src_", sf_dir)
     src.repartition(8).write.mode("overwrite").parquet(stream_dir)
     stream = st.read_stream(spark, stream_dir, src.schema, max_files_per_trigger=2)
     nt = F.size(tokens("text")).cast("long")

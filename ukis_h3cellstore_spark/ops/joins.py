@@ -379,6 +379,7 @@ def fuzzy_join(
     id_col: str,
     max_distance: int = 3,
     block_expr=None,
+    self_join: bool | None = None,
 ) -> DataFrame:
     """Blocked fuzzy self/cross join for entity resolution: candidate
     pairs share a BLOCK KEY (default: the first whitespace token of
@@ -393,14 +394,22 @@ def fuzzy_join(
     (id_a, id_b, text_a, text_b, distance); JVM-side ``levenshtein`` —
     no Python in the verify.
 
-    Pair orientation is ASYMMETRIC by call shape: when ``left is
-    right`` (a self-join) each unordered pair is emitted once with
-    ``id_a < id_b``; for a genuine left-vs-right linkage (new batch vs
-    corpus, disjoint id ranges) EVERY matching (left, right) pair is
-    kept — id_a is always the left row and id_b the right row, and no
-    ordering filter is applied (it would silently drop matches
-    whenever the left id happens to exceed the right id). Self-pairs
-    (same id on both sides) are still excluded in the cross case."""
+    Pair orientation is ASYMMETRIC by ``self_join``: in self mode each
+    unordered pair is emitted once with ``id_a < id_b``; for a genuine
+    left-vs-right linkage (new batch vs corpus, disjoint id ranges)
+    EVERY matching (left, right) pair is kept — id_a is always the
+    left row and id_b the right row, and no ordering filter is applied
+    (it would silently drop matches whenever the left id happens to
+    exceed the right id). Self-pairs (same id on both sides) are still
+    excluded in the cross case.
+
+    ``self_join=None`` (the default) infers self mode from Python
+    object identity (``left is right``) — convenient but UNSAFE for a
+    logical self-join passed as two distinct DataFrame objects (e.g.
+    ``df.select(...)`` called twice, or a cached copy), which would
+    silently switch to cross semantics and emit BOTH orientations of
+    every pair. Pass ``self_join=True``/``False`` explicitly whenever
+    the two arguments may be distinct objects over the same rows."""
     blk = (
         block_expr
         if block_expr is not None
@@ -416,9 +425,10 @@ def fuzzy_join(
         F.col(text_col).alias("text_b"),
         blk.alias("__blk"),
     )
+    is_self = (left is right) if self_join is None else bool(self_join)
     pair_filter = (
         F.col("id_a") < F.col("id_b")
-        if left is right
+        if is_self
         else F.col("id_a") != F.col("id_b")
     )
     return (

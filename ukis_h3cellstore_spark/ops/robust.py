@@ -61,23 +61,30 @@ def range_tiebreaker(df: DataFrame, range_tiebreak=None) -> Column:
     tiebreak in ``order_cols``).
 
     Callers with a natural row id should pass it; the default is
-    ``monotonically_increasing_id()`` — O(1) per row regardless of
-    table width (the old ``xxhash64(*all columns)`` default priced
-    every column on wide frames) and it splits even byte-identical
-    rows. The id is partition-dependent and NOT stable across runs,
-    which is fine here by construction: it only steers WHERE the range
-    sampler may cut, never any rank/cumsum value (window functions
-    order by the caller's keys alone, and every caller is tie-order
-    independent or passes its own unique tiebreak in ``order_cols``) —
-    property verified by tools/determinism_check.py across partition
-    layouts."""
+    ``xxhash64`` over the FIRST 16 columns of the frame — bounded cost
+    on arbitrarily wide tables (the pre-round-9 default hashed EVERY
+    column) while remaining a pure function of row content, so a
+    retried map task recomputes the SAME partition assignment.
+    ``monotonically_increasing_id()`` (the brief round-9 default) is
+    NOT retry-stable: under shuffle-fetch-failure recovery a re-run
+    map task mints different ids, so tie rows can migrate between
+    range partitions across attempts and downstream stages that
+    already fetched the old attempt's output can observe duplicated or
+    dropped rows. Determinism caveat: the tiebreak only steers WHERE
+    the range sampler may cut, never any rank/cumsum value (window
+    functions order by the caller's keys alone, and every caller is
+    tie-order independent or passes its own unique tiebreak in
+    ``order_cols``) — property verified by tools/determinism_check.py
+    across partition layouts. If the first 16 columns are constant
+    inside a dominant tie-run (hash collisions by construction), pass
+    a discriminating column explicitly."""
     if range_tiebreak is not None:
         return (
             F.col(range_tiebreak)
             if isinstance(range_tiebreak, str)
             else range_tiebreak
         )
-    return F.monotonically_increasing_id()
+    return F.xxhash64(*[F.col(c) for c in df.columns[:16]])
 
 
 def grouped_rank(

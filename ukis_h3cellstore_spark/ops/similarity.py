@@ -1909,7 +1909,13 @@ def centroid_drift(
     (group, dim)-keyed partial-agg shuffle, then group- and
     dims-sized frames only; the global centroid is a 1-row broadcast.
     No pairwise anything — linear in the corpus. Sum-order float
-    jitter (~1e-13 relative) sits far under the output rounding."""
+    jitter (~1e-13 relative) sits far under the output rounding.
+
+    NULL-group rows are EXCLUDED before any aggregation (no phantom
+    NULL-group output row, and they don't shift the pooled centroid) —
+    the same NULL-group contract as the scalar drift family
+    (psi_drift / ks_vs_rest / w1_vs_rest)."""
+    df = df.filter(F.col(group_col).isNotNull())
     comp = df.select(
         F.col(group_col),
         F.posexplode(F.col(vec_col)).alias("__pos", "__v"),
