@@ -1,0 +1,150 @@
+"""Round-10 operator tests: the first-class ``ops.sessions.funnel``
+(promoted from the gate per the round-9 verdict), its per-user and
+unbounded-window modes, and funnel/gate equivalence.
+"""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from ukis_h3cellstore_spark.ops.sessions import funnel
+
+
+def _ev(spark, rows):
+    return spark.createDataFrame(
+        rows, "user_id long, event_type string, ts long"
+    )
+
+
+def test_funnel_basic_numeric_window(spark):
+    # u0 converts all the way; u1 stalls at view (click outside the
+    # window); u2 never signs up (purchase first doesn't count)
+    rows = [
+        (0, "signup", 0), (0, "view", 10), (0, "click", 15),
+        (0, "purchase", 20),
+        (1, "signup", 0), (1, "view", 50), (1, "click", 200),
+        (2, "purchase", 0), (2, "view", 5),
+    ]
+    rep = {
+        r["stage_name"]: r
+        for r in funnel(
+            _ev(spark, rows),
+            ["signup", "view", "click", "purchase"],
+            window=100,
+        ).collect()
+    }
+    assert rep["signup"]["n_users"] == 2
+    assert rep["view"]["n_users"] == 2
+    assert rep["click"]["n_users"] == 1
+    assert rep["purchase"]["n_users"] == 1
+    assert rep["signup"]["conv_milli"] == 1000
+    assert rep["view"]["conv_milli"] == 1000
+    assert rep["click"]["conv_milli"] == 500
+    assert rep["purchase"]["conv_milli"] == 1000
+
+
+def test_funnel_ordering_is_strict(spark):
+    # the view BEFORE the signup must not count
+    rows = [(0, "view", 0), (0, "signup", 10)]
+    rep = {
+        r["stage_name"]: r["n_users"]
+        for r in funnel(
+            _ev(spark, rows), ["signup", "view"], window=100
+        ).collect()
+    }
+    assert rep == {"signup": 1, "view": 0}
+
+
+def test_funnel_unbounded_window(spark):
+    rows = [(0, "signup", 0), (0, "view", 10_000_000)]
+    rep = {
+        r["stage_name"]: r["n_users"]
+        for r in funnel(_ev(spark, rows), ["signup", "view"]).collect()
+    }
+    assert rep == {"signup": 1, "view": 1}
+
+
+def test_funnel_earliest_hit_not_best_hit(spark):
+    # the fold takes the EARLIEST qualifying stage event: the view at
+    # t=90 opens click window [90, 190], so the click at 193 misses —
+    # even though anchoring on the later view at 95 ([95, 195]) would
+    # have caught it (earliest-hit, not best-path, semantics)
+    rows = [
+        (0, "signup", 0), (0, "view", 90), (0, "view", 95),
+        (0, "click", 193),
+    ]
+    rep = {
+        r["stage_name"]: r["n_users"]
+        for r in funnel(
+            _ev(spark, rows), ["signup", "view", "click"], window=100
+        ).collect()
+    }
+    assert rep["view"] == 1 and rep["click"] == 0
+
+
+def test_funnel_per_user_mode(spark):
+    rows = [
+        (0, "signup", 0), (0, "view", 10),
+        (1, "signup", 5),
+    ]
+    got = {
+        r["user_id"]: r
+        for r in funnel(
+            _ev(spark, rows), ["signup", "view"], window=100, per_user=True
+        ).collect()
+    }
+    assert got[0]["stage1_ts"] == 0 and got[0]["stage2_ts"] == 10
+    assert got[1]["stage1_ts"] == 5 and got[1]["stage2_ts"] is None
+
+
+def test_funnel_empty_stages_raises(spark):
+    with pytest.raises(ValueError):
+        funnel(_ev(spark, [(0, "signup", 0)]), [])
+
+
+def test_funnel_zero_prev_stage_converts_nobody(spark):
+    rows = [(0, "view", 0)]
+    rep = {
+        r["stage_name"]: r
+        for r in funnel(
+            _ev(spark, rows), ["signup", "view", "click"], window=10
+        ).collect()
+    }
+    assert rep["signup"]["n_users"] == 0
+    # stage 2: 0/0 -> 0, not a division error (ANSI div guard)
+    assert rep["view"]["conv_milli"] == 0
+    assert rep["click"]["conv_milli"] == 0
+
+
+def test_funnel_matches_gate_on_timestamps(spark, tmp_path):
+    """The gate is a thin wrapper: same numbers through both paths."""
+    import random
+
+    from ukis_h3cellstore_spark.entry_queries_ops import (
+        q_events_funnel_conversion,
+    )
+
+    rng = random.Random(10)
+    types = ["signup", "view", "click", "purchase", "scroll"]
+    rows = [
+        (rng.randrange(20), rng.choice(types), float(rng.randrange(0, 200_000)))
+        for _ in range(400)
+    ]
+    df = spark.createDataFrame(
+        rows, "user_id long, event_type string, sec double"
+    ).select("user_id", "event_type", F.timestamp_seconds("sec").alias("ts"))
+    d = str(tmp_path)
+    df.write.mode("overwrite").parquet(f"{d}/events.parquet")
+    via_gate = sorted(
+        tuple(r) for r in q_events_funnel_conversion(spark, d).collect()
+    )
+    via_op = sorted(
+        tuple(r)
+        for r in funnel(
+            spark.read.parquet(f"{d}/events.parquet"),
+            ["signup", "view", "click", "purchase"],
+            window=F.expr("INTERVAL 24 HOURS"),
+        ).collect()
+    )
+    assert via_gate == via_op

@@ -6436,73 +6436,18 @@ def q_events_funnel_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
     by that user's own event count (the sessionize posture); compare
     the naive shape — one events-sized aggregation PER STAGE — which
     scans the stream S times. The 4-row stage report joins to itself
-    broadcast for the ratio — no one-task window anywhere."""
-    stages = ["signup", "view", "click", "purchase"]
-    window = F.expr("INTERVAL 24 HOURS")
+    broadcast for the ratio — no one-task window anywhere. Thin
+    wrapper over :func:`ops.sessions.funnel` (the first-class
+    operator; the plan above is its docstring's contract)."""
+    from ukis_h3cellstore_spark.ops.sessions import funnel
+
     ev = spark.read.parquet(f"{sf_dir}/events.parquet").select(
         "user_id", "event_type", "ts"
     )
-    cur = ev.groupBy("user_id").agg(
-        F.array_sort(F.collect_list(F.struct("ts", "event_type"))).alias(
-            "__evs"
-        )
-    )
-    def _stage_pred(s, prev_t):
-        # factory: F.filter requires an EXACTLY-one-parameter callable
-        # (defaults count toward the higher-order function's arity)
-        if prev_t is None:
-            return lambda e: e["event_type"] == s
-        return lambda e: (
-            (e["event_type"] == s)
-            & (e["ts"] >= prev_t)
-            & (e["ts"] <= prev_t + window)
-        )
-
-    for i, s in enumerate(stages):
-        prev_t = None if i == 0 else F.col(f"__t{i - 1}")
-        hit = F.filter(F.col("__evs"), _stage_pred(s, prev_t))
-        # try_element_at: ANSI element_at THROWS on the empty array a
-        # user who never reaches the stage produces
-        cur = cur.withColumn(
-            f"__t{i}", F.try_element_at(hit, F.lit(1))["ts"]
-        )
-    wide = cur.agg(
-        *[
-            F.count(F.col(f"__t{i}")).cast("long").alias(f"__n{i}")
-            for i in range(len(stages))
-        ]
-    )
-    rep = wide.select(
-        F.explode(
-            F.array(
-                *[
-                    F.struct(
-                        F.lit(i + 1).alias("stage"),
-                        F.lit(s).alias("stage_name"),
-                        F.col(f"__n{i}").alias("n_users"),
-                    )
-                    for i, s in enumerate(stages)
-                ]
-            )
-        ).alias("r")
-    ).select("r.stage", "r.stage_name", "r.n_users")
-    prev_rep = rep.select(
-        (F.col("stage") + 1).alias("stage"), F.col("n_users").alias("__pn")
-    )
-    return (
-        rep.join(F.broadcast(prev_rep), on="stage", how="left")
-        .select(
-            "stage",
-            "stage_name",
-            "n_users",
-            # ANSI: div throws on zero — an empty previous stage
-            # converts nobody, not an error (stage 1 has NULL __pn)
-            F.when(F.col("__pn").isNull(), F.lit(1000))
-            .when(F.col("__pn") == 0, F.lit(0))
-            .otherwise(F.expr("(1000 * n_users) div __pn"))
-            .cast("long")
-            .alias("conv_milli"),
-        )
+    return funnel(
+        ev,
+        ["signup", "view", "click", "purchase"],
+        window=F.expr("INTERVAL 24 HOURS"),
     )
 
 

@@ -65,6 +65,119 @@ def session_stats(
     return s.groupBy(user_col, "session_seq").agg(*aggs)
 
 
+def funnel(
+    events: DataFrame,
+    stages: list[str],
+    user_col: str = "user_id",
+    type_col: str = "event_type",
+    ts_col: str = "ts",
+    window=None,
+    per_user: bool = False,
+) -> DataFrame:
+    """Ordered windowed conversion funnel — the product-analytics
+    staple: per user, the earliest ``stages[0]`` event, then the
+    earliest ``stages[1]`` at-or-after it within the per-hop
+    conversion ``window``, and so on down the stage list. Reports per
+    stage the users reaching it and the integral milli conversion
+    from the previous stage: ``(stage, stage_name, n_users,
+    conv_milli)`` with ``conv_milli = (1000 * n_users) div
+    prev_n_users`` (stage 1 reports 1000; an empty previous stage
+    converts nobody, not an error).
+
+    ``window`` bounds each hop: a Column interval (e.g.
+    ``F.expr("INTERVAL 24 HOURS")``) for timestamp ``ts_col``, a
+    number in the column's own units for numeric ``ts_col``, or
+    ``None`` for an unbounded strictly-ordered funnel.
+
+    ``per_user=True`` returns the per-user stage hit times instead —
+    ``(user, stage1_ts, ..., stageN_ts)``, NULL from the first missed
+    stage on — for composition (time-to-convert, cohort splits).
+
+    Scale shape: ONE events scan and ONE shuffle (groupBy user,
+    sorted event array), then the whole stage chain is a per-user
+    array fold in whole-stage codegen — ``filter(evs, type==s && ts
+    in [t_prev, t_prev+window])[1]`` per stage. Compare the naive
+    shape — one events-sized min-ts aggregation PER STAGE — which
+    scans the stream |stages| times. The per-user fold is bounded by
+    that user's own event count (the :func:`sessionize` skew posture:
+    a pathologically hot user is that user's problem, never a global
+    straggler, and AQE skew-split applies to the single shuffle). The
+    |stages|-row report joins to itself broadcast for the ratio — no
+    one-task window anywhere."""
+    if not stages:
+        raise ValueError("stages must not be empty")
+    cur = events.groupBy(F.col(user_col).alias("__user")).agg(
+        F.array_sort(
+            F.collect_list(
+                F.struct(F.col(ts_col).alias("ts"), F.col(type_col).alias("et"))
+            )
+        ).alias("__evs")
+    )
+
+    def _stage_pred(s, prev_t):
+        # factory: F.filter requires an EXACTLY-one-parameter callable
+        # (defaults count toward the higher-order function's arity)
+        if prev_t is None:
+            return lambda e: e["et"] == s
+        if window is None:
+            return lambda e: (e["et"] == s) & (e["ts"] >= prev_t)
+        return lambda e: (
+            (e["et"] == s)
+            & (e["ts"] >= prev_t)
+            & (e["ts"] <= prev_t + window)
+        )
+
+    for i, s in enumerate(stages):
+        prev_t = None if i == 0 else F.col(f"__t{i - 1}")
+        hit = F.filter(F.col("__evs"), _stage_pred(s, prev_t))
+        # try_element_at: ANSI element_at THROWS on the empty array a
+        # user who never reaches the stage produces
+        cur = cur.withColumn(f"__t{i}", F.try_element_at(hit, F.lit(1))["ts"])
+    if per_user:
+        return cur.select(
+            F.col("__user").alias(user_col),
+            *[
+                F.col(f"__t{i}").alias(f"stage{i + 1}_ts")
+                for i in range(len(stages))
+            ],
+        )
+    wide = cur.agg(
+        *[
+            F.count(F.col(f"__t{i}")).cast("long").alias(f"__n{i}")
+            for i in range(len(stages))
+        ]
+    )
+    rep = wide.select(
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(i + 1).alias("stage"),
+                        F.lit(s).alias("stage_name"),
+                        F.col(f"__n{i}").alias("n_users"),
+                    )
+                    for i, s in enumerate(stages)
+                ]
+            )
+        ).alias("r")
+    ).select("r.stage", "r.stage_name", "r.n_users")
+    prev_rep = rep.select(
+        (F.col("stage") + 1).alias("stage"), F.col("n_users").alias("__pn")
+    )
+    return rep.join(F.broadcast(prev_rep), on="stage", how="left").select(
+        "stage",
+        "stage_name",
+        "n_users",
+        # ANSI: div throws on zero — an empty previous stage converts
+        # nobody, not an error (stage 1 has NULL __pn)
+        F.when(F.col("__pn").isNull(), F.lit(1000))
+        .when(F.col("__pn") == 0, F.lit(0))
+        .otherwise(F.expr("(1000 * n_users) div __pn"))
+        .cast("long")
+        .alias("conv_milli"),
+    )
+
+
 def markov_transitions(
     df: DataFrame,
     key_col: str,
