@@ -148,3 +148,54 @@ def test_funnel_matches_gate_on_timestamps(spark, tmp_path):
         ).collect()
     )
     assert via_gate == via_op
+
+
+def test_ngram_diversity_approx_close_to_exact(spark):
+    """approx=True (HLL++, rsd=0.02) must track the exact distinct
+    count within a generous multiple of the configured rsd on the
+    fixture corpus, and every structural invariant must still hold."""
+    from ukis_h3cellstore_spark.ops.text import ngram_diversity
+
+    docs = spark.read.parquet("/root/testdata/sf0.01/documents.parquet")
+    exact = {
+        r["source"]: r
+        for r in ngram_diversity(docs, "source", "text", approx=False).collect()
+    }
+    approx = {
+        r["source"]: r
+        for r in ngram_diversity(
+            docs, "source", "text", approx=True, rsd=0.02
+        ).collect()
+    }
+    assert set(exact) == set(approx)
+    for src, er in exact.items():
+        ar = approx[src]
+        # totals are exact in both modes
+        assert ar["n_docs"] == er["n_docs"]
+        assert ar["total_ngrams"] == er["total_ngrams"]
+        # distinct estimate within 5x the 2% rsd (catches gross breakage
+        # without flaking on estimator variance)
+        rel = abs(ar["distinct_ngrams"] - er["distinct_ngrams"]) / max(
+            er["distinct_ngrams"], 1
+        )
+        assert rel <= 0.10, (src, er["distinct_ngrams"], ar["distinct_ngrams"])
+        assert 0 <= ar["diversity_milli"] <= 1000
+
+
+def test_ngram_diversity_gate_unchanged(spark):
+    """The gate wraps the exact operator — column names and values must
+    match the pre-promotion inline implementation (hash-gate parity)."""
+    from ukis_h3cellstore_spark.entry_queries_ops import (
+        q_corpus_ngram_diversity,
+    )
+
+    out = q_corpus_ngram_diversity(spark, "/root/testdata/sf0.001")
+    assert out.columns == [
+        "source", "n_docs", "total_tokens", "total_trigrams",
+        "distinct_trigrams", "diversity_milli",
+    ]
+    rows = out.collect()
+    assert rows
+    for r in rows:
+        assert 0 <= r["distinct_trigrams"] <= r["total_trigrams"]
+        assert 0 <= r["diversity_milli"] <= 1000

@@ -25,6 +25,19 @@ from ukis_h3cellstore_spark.ops import text as X
 from ukis_h3cellstore_spark.ops import versioning as V
 
 
+#: tools/plan_report.py sets this to a callable(label, df) to capture
+#: per-stage physical plans inside composed flagships (the checkpoint
+#: boundaries truncate the final lineage, so the stages must be probed
+#: while the pipeline builds). None in normal runs — zero overhead.
+PLAN_PROBE = None
+
+
+def _probe(label: str, df: DataFrame) -> DataFrame:
+    if PLAN_PROBE is not None:
+        PLAN_PROBE(label, df)
+    return df
+
+
 def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.read.parquet(f"{sf_dir}/documents.parquet")
 
@@ -6188,6 +6201,7 @@ def q_corpus_curation_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(F.col("id_b").alias("doc_id"))
         .distinct()
     )
+    clean = _probe("stage1 gopher-clean", clean)
     surv = clean.join(dropped, on="doc_id", how="left_anti")
     exc = D.excise_shared_spans(surv, k=5, min_span=8)
     # the clean→LSH→excision lineage fans out to FOUR consumers (PSI,
@@ -6208,7 +6222,10 @@ def q_corpus_curation_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
     worst = (
         psi.orderBy(F.desc("psi"), F.asc("source")).limit(3).select("source")
     )
-    kept = lens.join(F.broadcast(worst), on="source", how="left_anti")
+    kept = _probe(
+        "stage3 psi-quarantine",
+        lens.join(F.broadcast(worst), on="source", how="left_anti"),
+    )
     topical = kept.join(
         _embs(spark, sf_dir).select(
             F.col("vec_id").alias("doc_id"), "label"
@@ -6487,47 +6504,20 @@ def q_corpus_ngram_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
     they skew training (low diversity = the source repeats itself).
     One totals aggregation plus one distinct-count over the exploded
     trigram rows; both partial-aggregable, the explode is the only
-    data-expansion and is bounded by token count."""
-    docs = _docs(spark, sf_dir)
-    toks = X.tokens("text")
-    n = F.size(toks)
-    tri = F.when(
-        n >= 3,
-        F.transform(
-            F.sequence(F.lit(1), n - 2),
-            lambda i: F.concat_ws(
-                " ",
-                F.element_at(toks, i),
-                F.element_at(toks, i + 1),
-                F.element_at(toks, i + 2),
-            ),
-        ),
-    ).otherwise(F.array().cast("array<string>"))
-    base = docs.select(
-        "source", n.alias("__nt"), tri.alias("__tri")
-    )
-    tot = base.groupBy("source").agg(
-        F.count(F.lit(1)).alias("n_docs"),
-        F.sum("__nt").cast("long").alias("total_tokens"),
-        F.sum(F.size("__tri")).cast("long").alias("total_trigrams"),
-    )
-    dist = (
-        base.select("source", F.explode("__tri").alias("__g"))
-        .groupBy("source")
-        .agg(F.count_distinct("__g").alias("distinct_trigrams"))
-    )
-    return (
-        tot.join(dist, on="source")
-        .select(
-            "source",
-            "n_docs",
-            "total_tokens",
-            "total_trigrams",
-            F.col("distinct_trigrams").cast("long").alias("distinct_trigrams"),
-            F.expr("(1000 * distinct_trigrams) div total_trigrams")
-            .cast("long")
-            .alias("diversity_milli"),
-        )
+    data-expansion and is bounded by token count. Thin wrapper over
+    :func:`ops.text.ngram_diversity` in its EXACT form (the hash gate
+    needs bit-exact counts; the datacard path should use
+    ``approx=True`` — HLL sketch state instead of per-group distinct
+    state, see docs/SCALE.md)."""
+    return X.ngram_diversity(
+        _docs(spark, sf_dir), "source", "text", n=3, approx=False
+    ).select(
+        "source",
+        "n_docs",
+        "total_tokens",
+        F.col("total_ngrams").alias("total_trigrams"),
+        F.col("distinct_ngrams").alias("distinct_trigrams"),
+        "diversity_milli",
     )
 
 

@@ -1943,3 +1943,70 @@ def code_score(
             ).cast("long"),
         )
     )
+
+
+def ngram_diversity(
+    df: DataFrame,
+    group_col: str = "source",
+    text_col: str = "text",
+    n: int = 3,
+    approx: bool = False,
+    rsd: float = 0.02,
+) -> DataFrame:
+    """Per-group n-gram diversity report: distinct n-grams over total
+    n-gram instances (milli) — the self-repetition audit that catches
+    template-generated or boilerplate-heavy sources before they skew
+    training (low diversity = the group repeats itself). Output:
+    ``(group, n_docs, total_tokens, total_ngrams, distinct_ngrams,
+    diversity_milli)``.
+
+    ``approx=False`` (exact): ``count_distinct`` over the exploded
+    n-grams — two partial-aggregable shuffles, but the per-group
+    distinct state is proportional to the group's UNIQUE n-gram count,
+    which at 100 TB is the dominant cost for what is a datacard
+    metric. ``approx=True`` switches the distinct count to
+    ``approx_count_distinct`` (HyperLogLog++, relative standard
+    deviation ``rsd``, default 2 %): per-group state collapses to one
+    2^p-register HLL sketch (~2.5 KB at 2 %; Spark derives p from
+    rsd), independent of cardinality — the right default for the
+    report path. diversity_milli inherits the estimate's error, so
+    hash-gate exactness needs ``approx=False`` (the
+    corpus_ngram_diversity gate keeps the exact form).
+    """
+    toks = tokens(text_col)
+    nt = F.size(toks)
+    grams = F.when(
+        nt >= n,
+        F.transform(
+            F.sequence(F.lit(1), nt - (n - 1)),
+            lambda i: F.concat_ws(
+                " ", *[F.element_at(toks, i + j) for j in range(n)]
+            ),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    base = df.select(group_col, nt.alias("__nt"), grams.alias("__g"))
+    tot = base.groupBy(group_col).agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("__nt").cast("long").alias("total_tokens"),
+        F.sum(F.size("__g")).cast("long").alias("total_ngrams"),
+    )
+    exploded = base.select(group_col, F.explode("__g").alias("__gram"))
+    dcount = (
+        F.approx_count_distinct("__gram", rsd)
+        if approx
+        else F.count_distinct("__gram")
+    )
+    dist = exploded.groupBy(group_col).agg(
+        dcount.cast("long").alias("distinct_ngrams")
+    )
+    return tot.join(dist, on=group_col).select(
+        group_col,
+        "n_docs",
+        "total_tokens",
+        "total_ngrams",
+        "distinct_ngrams",
+        F.when(F.col("total_ngrams") == 0, F.lit(0))
+        .otherwise(F.expr("(1000 * distinct_ngrams) div total_ngrams"))
+        .cast("long")
+        .alias("diversity_milli"),
+    )
