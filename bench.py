@@ -102,6 +102,8 @@ HEADLINE = [
     "orders_rfm_segments",
     # round-9 addition: the composed curation flagship
     "corpus_curation_e2e",
+    # round-10 additions
+    "streaming_cdc_upsert_jvm",
 ]
 
 #: bench-only implementations: same operator, scale-path configuration

@@ -199,3 +199,58 @@ def test_ngram_diversity_gate_unchanged(spark):
     for r in rows:
         assert 0 <= r["distinct_trigrams"] <= r["total_trigrams"]
         assert 0 <= r["diversity_milli"] <= 1000
+
+
+def test_cdc_precompact_identical_results(spark, tmp_path):
+    """precompact=True is semantics-free: the materialized table must
+    be bit-identical to the raw state path on a feed with duplicate
+    keys per batch, tombstones, and out-of-order sequence numbers."""
+    import random
+
+    from ukis_h3cellstore_spark import streaming as st
+
+    rng = random.Random(1010)
+    rows = [
+        (
+            rng.randrange(40),
+            rng.randrange(1000),
+            rng.random() < 0.15,
+            rng.randrange(10_000),
+        )
+        for _ in range(2000)
+    ]
+    src = spark.createDataFrame(
+        rows, "user_id long, seq long, is_del boolean, cents long"
+    )
+
+    def run(pre, tag):
+        d = str(tmp_path / f"cdcpre_{tag}")
+        src.repartition(5).write.mode("overwrite").parquet(d)
+        stream = st.read_stream(spark, d, src.schema, max_files_per_trigger=2)
+        out = st.cdc_upsert(
+            stream, "user_id", "seq", "is_del", "cents", precompact=pre
+        )
+        sink = f"t_cdcpre_{tag}"
+        q = (
+            out.writeStream.format("memory").queryName(sink)
+            .outputMode("update").trigger(availableNow=True).start()
+        )
+        assert q.awaitTermination(120)
+        return {
+            r["user_id"]: (r["last_seq"], r["is_deleted"], r["last_value"])
+            for r in (
+                spark.table(sink)
+                .groupBy("user_id")
+                .agg(
+                    F.max(
+                        F.struct("last_seq", "is_deleted", "last_value")
+                    ).alias("m")
+                )
+                .select(
+                    "user_id", "m.last_seq", "m.is_deleted", "m.last_value"
+                )
+                .collect()
+            )
+        }
+
+    assert run(True, "on") == run(False, "off")

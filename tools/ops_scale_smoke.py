@@ -128,25 +128,54 @@ def _r9_block(spark, gc) -> None:
         2_000_000,
     )
     # CDC steady-state: 10M-row changelog (1M keys × 10 changes, 5%
-    # tombstones) pre-written untimed; the timed section is ONE
-    # availableNow pass through the applyInPandasWithState update —
-    # the state-update cost without the multi-trigger gate harness
+    # tombstones) pre-written untimed, KEY-CLUSTERED per partition the
+    # way real CDC feeds arrive (Debezium/Kafka topics partition by
+    # primary key); the timed section is ONE availableNow pass through
+    # the applyInPandasWithState update — the state-update cost
+    # without the multi-trigger gate harness. Timed twice: with the
+    # r10 partition-local pre-compaction (state path sees ~1 row/key)
+    # and without it (the r9 ceiling, every change crosses the
+    # Arrow/Python state boundary).
     chg_dir = tempfile.mkdtemp(prefix="cdc_smoke_")
-    out_dir = tempfile.mkdtemp(prefix="cdc_smoke_sink_")
     spark.range(10_000_000).select(
         (_F.col("id") % 1_000_000).alias("k"),
         _F.floor(_F.col("id") / 1_000_000).cast("long").alias("seq"),
         (_F.pmod(_F.xxhash64("id"), _F.lit(20)) == 0).alias("is_delete"),
         _F.pmod(_F.xxhash64("id", _F.lit(7)), _F.lit(1_000_000)).alias("val"),
-    ).repartition(8).write.mode("overwrite").parquet(chg_dir)
+    ).repartition(8, "k").write.mode("overwrite").parquet(chg_dir)
     from ukis_h3cellstore_spark import streaming as ST
 
-    def run_cdc():
+    def run_cdc(pre):
+        out_dir = tempfile.mkdtemp(prefix="cdc_smoke_sink_")
+
+        def go():
+            stream = spark.readStream.schema(
+                "k long, seq long, is_delete boolean, val long"
+            ).parquet(chg_dir)
+            q = (
+                ST.cdc_upsert(
+                    stream, "k", "seq", "is_delete", "val", precompact=pre
+                )
+                .writeStream.format("noop")
+                .outputMode("update")
+                .option("checkpointLocation", out_dir + "/ckpt")
+                .trigger(availableNow=True)
+                .start()
+            )
+            q.awaitTermination()
+
+        return go
+
+    timed("cdc_upsert_steady_10M_precompact", run_cdc(True), 10_000_000)
+    timed("cdc_upsert_steady_10M_nopre", run_cdc(False), 10_000_000)
+
+    def run_cdc_jvm():
+        out_dir = tempfile.mkdtemp(prefix="cdc_smoke_sink_")
         stream = spark.readStream.schema(
             "k long, seq long, is_delete boolean, val long"
         ).parquet(chg_dir)
         q = (
-            ST.cdc_upsert(stream, "k", "seq", "is_delete", "val")
+            ST.cdc_upsert_jvm(stream, "k", "seq", "is_delete", "val")
             .writeStream.format("noop")
             .outputMode("update")
             .option("checkpointLocation", out_dir + "/ckpt")
@@ -155,7 +184,7 @@ def _r9_block(spark, gc) -> None:
         )
         q.awaitTermination()
 
-    timed("cdc_upsert_steady_10M", run_cdc, 10_000_000)
+    timed("cdc_upsert_jvm_10M", run_cdc_jvm, 10_000_000)
 
 
 def main() -> None:

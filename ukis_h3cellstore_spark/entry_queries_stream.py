@@ -1020,6 +1020,49 @@ FROM w WHERE rn = 1
 _CDC_BENCH_SRC: dict[str, str] = {}
 
 
+def q_streaming_cdc_upsert_jvm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CDC apply, pure-JVM form (streaming.py:cdc_upsert_jvm): the
+    same last-writer-wins-with-tombstones contract as
+    streaming_cdc_upsert, but the associative per-key argmax runs as
+    a whole-stage-codegen streaming aggregation in the JVM state
+    store — map-side partial aggregation per micro-batch, zero
+    Arrow/Python crossings, measured 21x the Python-state form at 10M
+    changes (docs/SCALE.md). Same oracle: the batch argmax per key."""
+    from ukis_h3cellstore_spark import streaming as st
+
+    src = _events(spark, sf_dir).select(
+        F.col("user_id"),
+        F.col("event_id").alias("seq"),
+        (F.col("event_type") == "click").alias("is_del"),
+        F.round(F.col("value") * 100).cast("long").alias("cents"),
+    )
+    stream_dir = _stable_tmpdir("cdc_jvm_src_", sf_dir)
+    src.repartition(8).write.mode("overwrite").parquet(stream_dir)
+    stream = st.read_stream(spark, stream_dir, src.schema, max_files_per_trigger=2)
+    out = st.cdc_upsert_jvm(stream, "user_id", "seq", "is_del", "cents")
+    _SINK_COUNTER[0] += 1
+    sink = f"cdc_jvm_sink_{_SINK_COUNTER[0]}"
+    q = (
+        out.writeStream.format("memory")
+        .queryName(sink)
+        .outputMode("update")
+        .trigger(availableNow=True)
+        .start()
+    )
+    _await_done(q)
+    return (
+        spark.table(sink)
+        .groupBy("user_id")
+        .agg(F.max(F.struct("last_seq", "is_deleted", "last_value")).alias("m"))
+        .select(
+            "user_id",
+            F.col("m.last_seq").alias("last_seq"),
+            F.col("m.is_deleted").alias("is_deleted"),
+            F.col("m.last_value").alias("last_value"),
+        )
+    )
+
+
 def q_streaming_cdc_upsert_bench(
     spark: SparkSession, sf_dir: str
 ) -> DataFrame:
@@ -1145,6 +1188,7 @@ FROM grid GROUP BY 1, 2
 QUERIES_STREAM: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "streaming_novelty": q_streaming_novelty,
     "streaming_cdc_upsert": q_streaming_cdc_upsert,
+    "streaming_cdc_upsert_jvm": q_streaming_cdc_upsert_jvm,
     "streaming_psi_drift": q_streaming_psi_drift,
     "streaming_robust_score": q_streaming_robust_score,
     "streaming_ttl_dedup": q_streaming_ttl_dedup,
@@ -1164,6 +1208,7 @@ QUERIES_STREAM: dict[str, Callable[[SparkSession, str], DataFrame]] = {
 ORACLES_STREAM: dict[str, str] = {
     "streaming_novelty": _Q_STREAMING_NOVELTY_SQL,
     "streaming_cdc_upsert": _Q_STREAMING_CDC_UPSERT_SQL,
+    "streaming_cdc_upsert_jvm": _Q_STREAMING_CDC_UPSERT_SQL,
     "streaming_psi_drift": _Q_STREAMING_PSI_SQL,
     "streaming_robust_score": _Q_STREAMING_ROBUST_SCORE_SQL,
     "streaming_ttl_dedup": _Q_STREAMING_TTL_DEDUP_SQL,

@@ -471,6 +471,7 @@ def cdc_upsert(
     seq_col: str,
     delete_col: str,
     value_col: str,
+    precompact: bool = False,
 ) -> DataFrame:
     """Streaming CDC apply: last-writer-wins upsert with tombstones —
     the change-data-capture consumer that materializes a mutable
@@ -489,7 +490,49 @@ def cdc_upsert(
     Emits, per key and micro-batch, the current winner
     ``(key, last_seq, is_deleted, last_value)``; ``last_seq`` is
     non-decreasing per key, so the final materialization is the row
-    with max ``last_seq`` per key. State is O(1) per key."""
+    with max ``last_seq`` per key. State is O(1) per key.
+
+    THROUGHPUT: this Python-state form exists for ARBITRARY per-key
+    logic; for this particular reducer (an associative max) use
+    :func:`cdc_upsert_jvm`, which is the same contract as a pure-JVM
+    streaming aggregation and measured 21× faster (10M changes / 1M
+    keys, local[32]: 4.6 s vs 96 s — the Arrow/Python state boundary
+    is the entire cost, see docs/SCALE.md).
+
+    ``precompact=True`` inserts a PARTITION-LOCAL, batch-local
+    pre-compaction before the state path: a stateless Arrow-batched
+    ``mapInPandas`` that reduces each batch to one argmax row per key
+    it contains. Because the argmax is associative and idempotent,
+    the state result is bit-identical with or without it (equivalence
+    pytest-verified) and the rows crossing the STATE SHUFFLE shrink
+    from changes-sized toward keys-sized on key-clustered feeds (the
+    Debezium/Kafka norm). Default OFF because it does NOT lift the
+    local throughput ceiling: every change still crosses the Arrow
+    boundary once (in the compactor instead of the state op —
+    measured a wash, 99 s vs 96 s at 10M), so it only pays on a real
+    cluster where the state shuffle's network volume dominates. The
+    ideal shape — a whole-stage-codegen ``groupBy(key).agg(max(...))``
+    ahead of the state op — is REJECTED by Spark's stateful-operator
+    checker ("applyInPandasWithState in update mode is not supported
+    with aggregation on a streaming DataFrame", AnalysisException,
+    Spark 4.1); when the reducer allows it, that aggregation should
+    simply REPLACE the state op — :func:`cdc_upsert_jvm`."""
+    if precompact:
+        cols = [key_col, seq_col, delete_col, value_col]
+        fields = {f.name: f for f in stream.schema.fields}
+        proj_schema = StructType([fields[c] for c in cols])
+
+        def compact(pdf_iter):
+            for pdf in pdf_iter:
+                if not len(pdf):
+                    continue
+                yield (
+                    pdf.sort_values(
+                        [seq_col, delete_col, value_col], kind="stable"
+                    ).drop_duplicates(subset=[key_col], keep="last")
+                )
+
+        stream = stream.select(*cols).mapInPandas(compact, proj_schema)
 
     def update(key, pdf_iter, state: GroupState):
         import numpy as np
@@ -542,4 +585,48 @@ def cdc_upsert(
         stateStructType=state_schema,
         outputMode="update",
         timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+
+
+def cdc_upsert_jvm(
+    stream: DataFrame,
+    key_col: str,
+    seq_col: str,
+    delete_col: str,
+    value_col: str,
+) -> DataFrame:
+    """:func:`cdc_upsert` as a pure-JVM streaming aggregation — the
+    scale path. The per-key last-writer-wins reducer is an
+    associative, commutative, idempotent ``max(struct(seq, is_delete,
+    value))``, which is exactly a streaming ``groupBy().agg()``: the
+    state lives in the JVM state store, updates run in whole-stage
+    codegen with map-side partial aggregation (each micro-batch
+    partial-aggregates BEFORE the state shuffle — the pre-compaction
+    Spark refuses to chain in front of ``applyInPandasWithState`` it
+    performs natively here), and no row ever crosses the Arrow/Python
+    boundary. Measured 21× over the Python-state form at 10M changes
+    / 1M keys on local[32] (4.6 s vs 96 s; docs/SCALE.md).
+
+    Identical output contract: per key and micro-batch (update mode),
+    ``(key, last_seq, is_deleted, last_value)``; tombstones are kept
+    in state; the final materialization is the max-``last_seq`` row
+    per key. Use :func:`cdc_upsert` only when the per-key logic is
+    NOT expressible as Spark aggregates."""
+    return (
+        stream.groupBy(key_col)
+        .agg(
+            F.max(
+                F.struct(
+                    F.col(seq_col).alias("seq"),
+                    F.col(delete_col).alias("dele"),
+                    F.col(value_col).alias("val"),
+                )
+            ).alias("__m")
+        )
+        .select(
+            key_col,
+            F.col("__m.seq").alias("last_seq"),
+            F.col("__m.dele").alias("is_deleted"),
+            F.col("__m.val").alias("last_value"),
+        )
     )
