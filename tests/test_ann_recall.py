@@ -133,3 +133,29 @@ def test_tiered_rerank_recall_floor(corpus, exact_cos, dims):
     # the rerank must never do worse than its own prefix stage
     pre = _hits(_pairs(S.matryoshka_topk(e, q, dims=dims, k=K)), exact_cos)
     assert got >= pre, (dims, got, pre)
+
+
+# measured 2026-08-15 (round 10): corpus-vs-corpus margin mining.
+# Top-1 agreement with exact margin_pairs over all 500 queries —
+# i.i.d. noise embeddings make probed-list recall the binding factor
+# (same regime as the raw IVF floors above); nprobe trades cost for
+# recall exactly as documented.
+FLOOR_MARGIN_TOP1 = {2: 195, 4: 290}  # measured 215 / 316
+
+
+@pytest.mark.parametrize("nprobe", [2, 4])
+def test_margin_pairs_ivf_recall_floor(corpus, nprobe):
+    e, _ = corpus
+    exact = {
+        r["query_id"]: r["neighbor_id"] for r in S.margin_pairs(e, e).collect()
+    }
+    ivf = {
+        r["query_id"]: r["neighbor_id"]
+        for r in S.margin_pairs_ivf(
+            e, e, n_centroids=16, nprobe=nprobe
+        ).collect()
+    }
+    # every query lands in some probed list, so coverage stays total
+    assert len(ivf) == len(exact)
+    hits = sum(1 for q, n in exact.items() if ivf.get(q) == n)
+    assert hits >= FLOOR_MARGIN_TOP1[nprobe], (nprobe, hits)

@@ -6630,6 +6630,113 @@ HAVING MAX(CASE WHEN rank = 2 THEN cosine_sim END) IS NOT NULL
 """
 
 
+def q_embedding_margin_pairs_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-vs-corpus margin mining (ops/similarity.py:
+    margin_pairs_ivf): EVERY vector mined against the whole corpus —
+    the real bitext/alignment shape the exact margin gate's
+    sample-queries contract forbids. Candidates come from the IVF
+    probed lists (16 centroids, nprobe=2, oracle-pinned exact-mean
+    training), the scoring join shuffles both sides on centroid_id
+    (no queries-sized broadcast), then the same top-2 margin pivot.
+    Recall vs exact margins is floor-frozen in
+    tests/test_ann_recall.py."""
+    e = _embs(spark, sf_dir)
+    return S.margin_pairs_ivf(
+        e, e, n_centroids=16, nprobe=2,
+        train_iters=_IVF_ITERS, exact_mean=True,
+    )
+
+
+def _q_embedding_margin_pairs_ivf_sql() -> str:
+    """Replays kmeans_fit(exact_mean=True) + the nprobe=2 probed-list
+    scoring (the ann_ivf oracle machinery), then the margin pivot over
+    rank <= 2 — corpus-vs-corpus, so q_assign has no vec_id filter."""
+
+    def cos(a_vec: str, b_vec: str) -> str:
+        return _DUCK_COSINE.replace("a.c_vec", a_vec).replace("q.q_vec", b_vec)
+
+    ctes = [
+        """cent0 AS (
+  SELECT vec_id AS centroid_id,
+         list_transform(embedding, v -> CAST(v AS DOUBLE)) AS c_vec
+  FROM embeddings ORDER BY vec_id LIMIT 16
+)"""
+    ]
+    for i in range(1, _IVF_ITERS + 1):
+        prev = f"cent{i - 1}"
+        ctes.append(
+            f"""a{i} AS (
+  SELECT vec_id, embedding, centroid_id FROM (
+    SELECT e.vec_id, e.embedding, c.centroid_id,
+           row_number() OVER (PARTITION BY e.vec_id
+             ORDER BY {cos('c.c_vec', 'e.embedding')} DESC,
+                      c.centroid_id ASC) AS r
+    FROM embeddings e, {prev} c
+  ) WHERE r = 1
+),
+comp{i} AS (
+  SELECT centroid_id, vec_id,
+         generate_subscripts(embedding, 1) AS pos,
+         CAST(unnest(embedding) AS DOUBLE) AS v
+  FROM a{i}
+),
+pv{i} AS (
+  SELECT centroid_id, pos,
+         list_reduce(list(v ORDER BY vec_id), (x, y) -> x + y)
+           / COUNT(*) AS m
+  FROM comp{i} GROUP BY centroid_id, pos
+),
+cent{i} AS (
+  SELECT centroid_id, list(m ORDER BY pos) AS c_vec
+  FROM pv{i} GROUP BY centroid_id
+)"""
+        )
+    last = f"cent{_IVF_ITERS}"
+    ctes.append(
+        f"""c_assign AS (
+  SELECT neighbor_id, n_vec, centroid_id FROM (
+    SELECT e.vec_id AS neighbor_id, e.embedding AS n_vec, c.centroid_id,
+           row_number() OVER (PARTITION BY e.vec_id
+             ORDER BY {cos('c.c_vec', 'e.embedding')} DESC,
+                      c.centroid_id ASC) AS r
+    FROM embeddings e, {last} c
+  ) WHERE r = 1
+),
+q_assign AS (
+  SELECT query_id, q_vec, centroid_id FROM (
+    SELECT e.vec_id AS query_id, e.embedding AS q_vec, c.centroid_id,
+           row_number() OVER (PARTITION BY e.vec_id
+             ORDER BY {cos('c.c_vec', 'e.embedding')} DESC,
+                      c.centroid_id ASC) AS r
+    FROM embeddings e, {last} c
+  ) WHERE r <= 2
+),
+scored AS (
+  SELECT q.query_id, c.neighbor_id,
+         round(CAST({cos('c.n_vec', 'q.q_vec')} AS DOUBLE), 4) AS cosine_sim
+  FROM c_assign c JOIN q_assign q USING (centroid_id)
+  WHERE c.neighbor_id <> q.query_id
+),
+ranked AS (
+  SELECT *, row_number() OVER (
+      PARTITION BY query_id ORDER BY cosine_sim DESC, neighbor_id ASC) AS rank
+  FROM scored
+)"""
+    )
+    return f"""
+WITH {', '.join(ctes)}
+SELECT CAST(query_id AS BIGINT) AS query_id,
+       CAST(MAX(CASE WHEN rank = 1 THEN neighbor_id END) AS BIGINT)
+         AS neighbor_id,
+       MAX(CASE WHEN rank = 1 THEN cosine_sim END) AS cos_top1,
+       MAX(CASE WHEN rank = 2 THEN cosine_sim END) AS cos_top2,
+       round(MAX(CASE WHEN rank = 1 THEN cosine_sim END)
+             - MAX(CASE WHEN rank = 2 THEN cosine_sim END), 4) AS margin
+FROM ranked WHERE rank <= 2 GROUP BY query_id
+HAVING MAX(CASE WHEN rank = 2 THEN cosine_sim END) IS NOT NULL
+"""
+
+
 def q_embedding_source_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding-space drift audit (ops/similarity.py: centroid_drift):
     per source, the cosine of the source's mean embedding against the
@@ -6689,6 +6796,7 @@ QUERIES_OPS: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "corpus_ngram_diversity": q_corpus_ngram_diversity,
     "corpus_pack_curriculum": q_corpus_pack_curriculum,
     "embedding_margin_pairs": q_embedding_margin_pairs,
+    "embedding_margin_pairs_ivf": q_embedding_margin_pairs_ivf,
     "text_code_score": q_text_code_score,
     "corpus_w1_drift": q_corpus_w1_drift,
     "ann_tiered_rerank": q_ann_tiered_rerank,
@@ -6836,6 +6944,7 @@ ORACLES_OPS: dict[str, str] = {
     "corpus_ngram_diversity": Q_CORPUS_NGRAM_DIVERSITY_SQL,
     "corpus_pack_curriculum": Q_CORPUS_PACK_CURRICULUM_SQL,
     "embedding_margin_pairs": Q_EMBEDDING_MARGIN_PAIRS_SQL,
+    "embedding_margin_pairs_ivf": _q_embedding_margin_pairs_ivf_sql(),
     "text_code_score": Q_TEXT_CODE_SCORE_SQL,
     "corpus_w1_drift": Q_CORPUS_W1_SQL,
     "ann_tiered_rerank": Q_ANN_TIERED_RERANK_SQL,

@@ -476,6 +476,7 @@ def ivf_topk(
     centroids: DataFrame | None = None,
     train_iters: int = 2,
     exact_mean: bool = False,
+    broadcast_queries: bool = True,
 ) -> DataFrame:
     """IVF ANN: the corpus is partitioned into inverted lists by
     nearest k-means centroid; each query probes its ``nprobe`` nearest
@@ -486,7 +487,14 @@ def ivf_topk(
     (centroid_id, c_vec) is passed — at scale, train once and reuse.
     Corpus assignment is the windowless ``max_by`` aggregate; only the
     tiny query side uses a window (nprobe > 1 ranking). Shuffles are
-    keyed on the centroid id; the centroid set is broadcast."""
+    keyed on the centroid id; the centroid set is broadcast.
+
+    ``broadcast_queries=True`` (default) broadcasts the probed query
+    lists into the scoring join — right for the sample-queries
+    posture. Pass ``False`` when the query side is CORPUS-SIZED
+    (corpus-vs-corpus mining, :func:`margin_pairs_ivf`): the scoring
+    join then shuffles BOTH sides on centroid_id — each side moves
+    once, no driver-sized broadcast."""
     cent = (
         centroids
         if centroids is not None
@@ -523,8 +531,10 @@ def ivf_topk(
         .filter(F.col("__r") <= nprobe)
         .drop("c_vec", "__sim", "__r")
     )
+    if broadcast_queries:
+        q_lists = F.broadcast(q_lists)
     scored = (
-        c_lists.join(F.broadcast(q_lists), on="centroid_id")
+        c_lists.join(q_lists, on="centroid_id")
         .filter(F.col("neighbor_id") != F.col("query_id"))
         .withColumn(
             "cosine_sim",
@@ -1870,6 +1880,13 @@ def margin_pairs(
         corpus, queries, k=2, id_col=id_col, vec_col=vec_col,
         round_digits=round_digits,
     )
+    return _margin_pivot(nn, round_digits)
+
+
+def _margin_pivot(nn: DataFrame, round_digits: int) -> DataFrame:
+    """(query_id, neighbor_id, cosine_sim, rank<=2) → one margin row
+    per query with both ranks present — the queries-sized pivot shared
+    by the exact and IVF margin miners."""
     r1 = F.when(F.col("rank") == 1, F.col("cosine_sim"))
     r2 = F.when(F.col("rank") == 2, F.col("cosine_sim"))
     return (
@@ -1887,6 +1904,53 @@ def margin_pairs(
             F.round(F.col("cos_top1") - F.col("cos_top2"), round_digits),
         )
     )
+
+
+def margin_pairs_ivf(
+    corpus: DataFrame,
+    queries: DataFrame,
+    n_centroids: int = 16,
+    nprobe: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    round_digits: int = 4,
+    centroids: DataFrame | None = None,
+    train_iters: int = 2,
+    exact_mean: bool = False,
+) -> DataFrame:
+    """Corpus-vs-corpus margin mining — :func:`margin_pairs` freed of
+    its sample-queries contract by routing candidate generation
+    through the IVF bucketed path: each query scores only its
+    ``nprobe`` probed inverted lists, top-2 and the margin pivot run
+    over candidates. This is the real bitext/alignment-mining shape
+    (every document of corpus A against all of corpus B): candidate
+    volume is Σ |probed list| per query instead of |queries|×|corpus|,
+    and the scoring join SHUFFLES both sides on centroid_id
+    (``broadcast_queries=False``) — each side moves exactly once, no
+    driver-sized broadcast anywhere.
+
+    Output: identical schema/meaning to :func:`margin_pairs`
+    ``(query_id, neighbor_id, cos_top1, cos_top2, margin)``, but
+    top-1/top-2 are the best of the PROBED lists — an approximation
+    whose recall vs exact margins is measured and floor-frozen in
+    tests/test_ann_recall.py (raise ``nprobe``/``n_centroids`` to
+    trade cost for recall). Train centroids once and pass them via
+    ``centroids`` when mining repeatedly."""
+    nn = ivf_topk(
+        corpus,
+        queries,
+        k=2,
+        n_centroids=n_centroids,
+        nprobe=nprobe,
+        id_col=id_col,
+        vec_col=vec_col,
+        round_digits=round_digits,
+        centroids=centroids,
+        train_iters=train_iters,
+        exact_mean=exact_mean,
+        broadcast_queries=False,
+    )
+    return _margin_pivot(nn, round_digits)
 
 
 def centroid_drift(
