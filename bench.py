@@ -104,6 +104,8 @@ HEADLINE = [
     "corpus_curation_e2e",
     # round-10 additions
     "streaming_cdc_upsert_jvm",
+    "multimodal_curation_e2e",
+    "embedding_margin_pairs_ivf",
 ]
 
 #: bench-only implementations: same operator, scale-path configuration

@@ -6398,6 +6398,227 @@ FROM tp_packed GROUP BY 1, 2
 Q_CORPUS_CURATION_E2E_SQL = _q_corpus_curation_e2e_sql()
 
 
+def q_multimodal_curation_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Composed MULTIMODAL curation flagship — five stages, one
+    verified hash, the image-text twin of corpus_curation_e2e:
+
+    1. MEDIA NEAR-DUP CANDIDATES: perceptual hashes over the binary
+       payloads (ops/multimodal.perceptual_hash_stub — the real-
+       decoder swap point), paired by the banded-XOR hamming join at
+       <= 8 bits (ops/dedup.hamming_pairs);
+    2. CROSS-MODAL CONSISTENCY GATE: each candidate image pair is
+       verified against its CAPTIONS by exact unigram Jaccard
+       (ops/dedup.verify_pairs_jaccard at 0.8). Pairs whose captions
+       agree are true duplicates — drop the higher id (keep-first);
+       pairs whose captions DISAGREE are cross-modal noise (same
+       image, conflicting captions — the LAION-style mismatch) and
+       BOTH sides are quarantined;
+    3. CAPTION DEDUP: MinHash-LSH over the survivors' captions
+       (est. Jaccard >= 0.25), keep-first;
+    4. TOPIC-BALANCED MIX: embedding labels, integral salted-hash
+       keep test (ops/sampling.balanced_sample_by_group);
+    5. PACK + EXPORT: 512-token packing windows over 8 shards, JSONL
+       shard export, stats from the READ-BACK export.
+
+    Every stage changes the survivor set at both test SFs (482 image
+    pairs → 337 dups + 145 quarantined pair-sides at sf0.01), so the
+    final (shard, bin) hash is load-bearing for all five. Scale
+    posture: each stage is the already-audited plan of its gated
+    operator (banded hamming join, (id, shingle)-keyed verify,
+    banded minhash join, broadcast count join, per-shard packing
+    windows); the pair table and the verified table each feed two
+    consumers and are localCheckpoint'ed once (the multi-reference
+    trap, docs/SCALE.md)."""
+    from ukis_h3cellstore_spark import layout as L
+    from ukis_h3cellstore_spark.entry_queries import _stable_tmpdir
+
+    docs = _docs(spark, sf_dir)
+    payloads = M.attach_binary_payload(docs)
+    pairs = (
+        M.phash_dup_pairs(payloads, max_hamming=8)
+        .select("id_a", "id_b")
+        .localCheckpoint(eager=True)  # feeds verify AND the anti-join
+    )
+    pairs = _probe("stage1 phash-pairs", pairs)
+    sh = D.shingle_df(docs, "text", "doc_id", 1)
+    verified = (
+        D.verify_pairs_jaccard(pairs, sh, "doc_id", 0.8)
+        .select("id_a", "id_b")
+        .localCheckpoint(eager=True)  # feeds dup-drop AND inconsistency
+    )
+    inconsistent = pairs.join(verified, on=["id_a", "id_b"], how="left_anti")
+    quarantined = (
+        inconsistent.select(F.col("id_a").alias("doc_id"))
+        .union(inconsistent.select(F.col("id_b").alias("doc_id")))
+        .distinct()
+    )
+    dup_drop = verified.select(F.col("id_b").alias("doc_id")).distinct()
+    s1 = docs.join(
+        quarantined.union(dup_drop).distinct(), on="doc_id", how="left_anti"
+    )
+    s1 = _probe("stage2 cross-modal gate", s1)
+    cap_drop = (
+        D.minhash_lsh_pairs(s1, min_est_jaccard=0.25)
+        .select(F.col("id_b").alias("doc_id"))
+        .distinct()
+    )
+    s2 = s1.join(cap_drop, on="doc_id", how="left_anti")
+    s2 = _probe("stage3 caption-dedup", s2)
+    topical = s2.join(
+        _embs(spark, sf_dir).select(F.col("vec_id").alias("doc_id"), "label"),
+        on="doc_id",
+    )
+    mixed = (
+        SM.balanced_sample_by_group(
+            topical, "label", id_col="doc_id", salt="mmcure10"
+        )
+        .filter(F.col("keep"))
+        .select("doc_id", "text")
+        .localCheckpoint(eager=True)  # read by pack AND the export join
+    )
+    mixed = _probe("stage4 balanced-mix", mixed)
+    packed = SM.pack_documents(mixed, max_tokens=512, num_shards=8)
+    export = mixed.join(packed, on="doc_id").select(
+        "doc_id", "shard", "n_tokens", "bin", "text"
+    )
+    path = _stable_tmpdir("mmcure_", sf_dir)
+    L.write_jsonl_shards(export.repartition(8), path, docs_per_shard=2000)
+    back = spark.read.json(path)
+    return (
+        back.groupBy(
+            F.col("shard").cast("int").alias("shard"),
+            F.col("bin").cast("long").alias("bin"),
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_tokens").cast("long").alias("total_tokens"),
+        )
+        .withColumn(
+            "fill_ratio", F.round(F.col("total_tokens") / F.lit(512.0), 4)
+        )
+    )
+
+
+def _q_multimodal_curation_e2e_sql() -> str:
+    """Oracle composed from the proven per-stage fragments: the phash
+    SimHash chain (Q_MULTIMODAL_PHASH_SQL's idiom at hamming <= 8),
+    the unigram-shingle Jaccard verify, the minhash band join over
+    survivors, the integer balanced-keep test, and the
+    tp_base/tp_packed packing arithmetic."""
+    mins = ", ".join(f"MIN({_duck_minhash_slot(i)}) AS m{i}" for i in range(8))
+    band_conds = " OR ".join(
+        "("
+        + " AND ".join(f"a.m{i} = b.m{i}" for i in range(b * 2, b * 2 + 2))
+        + ")"
+        for b in range(4)
+    )
+    eq_sum = " + ".join(
+        f"CASE WHEN a.m{i} = b.m{i} THEN 1 ELSE 0 END" for i in range(8)
+    )
+    return f"""
+WITH g AS (
+  SELECT doc_id, substr(text, j, 4) AS gram
+  FROM documents,
+       LATERAL (SELECT unnest(generate_series(1, len(text) - 3)) AS j) js
+  WHERE len(text) >= 4
+),
+hb AS (SELECT doc_id,
+              ('0x' || substr(md5(gram), 1, 15))::BIGINT AS h
+       FROM g),
+bits AS (
+  SELECT doc_id, b.j,
+         SUM(CASE WHEN (h >> b.j) & 1 = 1 THEN 1 ELSE -1 END) AS s
+  FROM hb, (SELECT unnest(generate_series(0, 59)) AS j) b
+  GROUP BY 1, 2
+),
+ph AS (SELECT doc_id,
+              SUM(CASE WHEN s > 0 THEN (1::BIGINT << j) ELSE 0 END) AS phash
+       FROM bits GROUP BY 1),
+pairs AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b
+  FROM ph a JOIN ph b ON a.doc_id < b.doc_id
+  WHERE bit_count(xor(a.phash, b.phash)) <= 8
+),
+ush AS ({_duck_shingles_k(1)}),
+usz AS (SELECT doc_id, COUNT(*) AS n_sh FROM ush GROUP BY 1),
+jac AS (
+  SELECT p.id_a, p.id_b, COUNT(*) AS n_common
+  FROM pairs p
+  JOIN ush a ON a.doc_id = p.id_a
+  JOIN ush b ON b.doc_id = p.id_b AND b.shingle = a.shingle
+  GROUP BY 1, 2
+),
+verified AS (
+  SELECT j.id_a, j.id_b
+  FROM jac j JOIN usz sa ON sa.doc_id = j.id_a
+             JOIN usz sb ON sb.doc_id = j.id_b
+  WHERE CAST(j.n_common AS DOUBLE)
+        / (sa.n_sh + sb.n_sh - j.n_common) >= 0.8
+),
+inconsistent AS (
+  SELECT p.id_a, p.id_b FROM pairs p
+  WHERE NOT EXISTS (SELECT 1 FROM verified v
+                    WHERE v.id_a = p.id_a AND v.id_b = p.id_b)
+),
+removed AS (
+  SELECT id_a AS doc_id FROM inconsistent
+  UNION SELECT id_b FROM inconsistent
+  UNION SELECT id_b FROM verified
+),
+s1 AS (SELECT d.* FROM documents d
+       WHERE d.doc_id NOT IN (SELECT doc_id FROM removed)),
+csh AS (
+  SELECT DISTINCT doc_id,
+         concat_ws(' ', toks[i], toks[i+1], toks[i+2]) AS shingle
+  FROM (SELECT doc_id, {_DUCK_TOKS} AS toks FROM s1) t,
+       unnest(generate_series(1, greatest(len(toks) - 2, 0))) AS u(i)
+),
+sig AS (SELECT doc_id, {mins} FROM csh GROUP BY doc_id),
+capdrop AS (
+  SELECT DISTINCT b.doc_id
+  FROM sig a JOIN sig b ON a.doc_id < b.doc_id AND ({band_conds})
+  WHERE ({eq_sum}) / 8.0 >= 0.25
+),
+s2 AS (SELECT * FROM s1
+       WHERE doc_id NOT IN (SELECT doc_id FROM capdrop)),
+topical AS (
+  SELECT s.doc_id, s.text, e.label
+  FROM s2 s JOIN embeddings e ON e.vec_id = s.doc_id
+),
+counts AS (SELECT label, COUNT(*) AS n_group FROM topical GROUP BY 1),
+mn AS (SELECT MIN(n_group) AS n_min FROM counts),
+mixed AS (
+  SELECT t.doc_id, t.text
+  FROM topical t JOIN counts USING (label), mn
+  WHERE ((('0x' || substr(md5('mmcure10' || '|' || CAST(t.doc_id AS VARCHAR)),
+                          1, 15))::BIGINT % 1048576) * counts.n_group
+         < mn.n_min * 1048576)
+),
+tp_base AS (
+  SELECT doc_id,
+         CAST((('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT
+               % 8) AS INT) AS shard,
+         CAST(CASE WHEN length(trim(text)) = 0 THEN 0
+              ELSE len(regexp_split_to_array(trim(text), '\\s+')) END
+              AS BIGINT) AS n_tokens
+  FROM mixed),
+tp_packed AS (
+  SELECT shard, n_tokens,
+         SUM(n_tokens) OVER (PARTITION BY shard ORDER BY doc_id
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - n_tokens
+           AS bin_offset
+  FROM tp_base)
+SELECT shard, CAST(bin_offset // 512 AS BIGINT) AS bin,
+       COUNT(*) AS n_docs,
+       CAST(SUM(n_tokens) AS BIGINT) AS total_tokens,
+       round(SUM(n_tokens) / 512.0, 4) AS fill_ratio
+FROM tp_packed GROUP BY 1, 2
+"""
+
+
+Q_MULTIMODAL_CURATION_E2E_SQL = _q_multimodal_curation_e2e_sql()
+
+
 def q_part_fuzzy_link(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Cross-table record linkage (ops/joins.py:fuzzy_join, the
     left-vs-right shape): part-name entities are split by name-hash
@@ -6790,6 +7011,7 @@ FROM srcv, allv
 
 QUERIES_OPS: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "corpus_curation_e2e": q_corpus_curation_e2e,
+    "multimodal_curation_e2e": q_multimodal_curation_e2e,
     "part_fuzzy_link": q_part_fuzzy_link,
     "embedding_source_drift": q_embedding_source_drift,
     "events_funnel_conversion": q_events_funnel_conversion,
@@ -6938,6 +7160,7 @@ QUERIES_OPS: dict[str, Callable[[SparkSession, str], DataFrame]] = {
 
 ORACLES_OPS: dict[str, str] = {
     "corpus_curation_e2e": Q_CORPUS_CURATION_E2E_SQL,
+    "multimodal_curation_e2e": Q_MULTIMODAL_CURATION_E2E_SQL,
     "part_fuzzy_link": Q_PART_FUZZY_LINK_SQL,
     "embedding_source_drift": Q_EMBEDDING_SOURCE_DRIFT_SQL,
     "events_funnel_conversion": Q_EVENTS_FUNNEL_SQL,
