@@ -1,0 +1,119 @@
+"""Adversarial polyfill geometry: the round-9 verdict's residual-risk
+slice (reference ``traversal.rs:131-162`` guarantees polyfill respects
+the exterior ring exactly; the C library is unavailable here, so these
+tests pin the CENTER-CONTAINMENT contract itself on the shapes most
+likely to break an icosahedral implementation):
+
+- thin slivers (1000:1 aspect) that thread between cell centers,
+- non-convex notched polygons (concavity must exclude the notch),
+- polygons centered on PENTAGONS (the icosahedron vertices — the
+  fill region necessarily spans several icosahedron faces, crossing
+  the coordinate-system seams),
+- degenerate zero-area rings (must fill nothing),
+- holes that puncture the interior (even-odd rule).
+
+Every case asserts BOTH directions of the contract:
+soundness — every returned cell's center lies inside the rings — and
+completeness — every cell of a covering disk whose center lies inside
+is returned — plus sortedness/dedup/validity/resolution.
+"""
+
+from __future__ import annotations
+
+import pytest
+
+from ukis_h3cellstore_spark.geo import point_in_polygon
+from ukis_h3cellstore_spark.h3 import cells as c
+from ukis_h3cellstore_spark.h3 import icosa
+
+
+def _assert_contract(rings, res, anchor_latlng, cover_k=12):
+    cells = icosa.polygon_to_cells(rings, res)
+    assert cells == sorted(set(cells))
+    for x in cells:
+        assert c.is_valid_cell(x) and c.get_resolution(x) == res
+        lat, lng = icosa.cell_to_latlng(x)
+        assert point_in_polygon(lng, lat, rings), hex(x)
+    anchor = icosa.latlng_to_cell(anchor_latlng[0], anchor_latlng[1], res)
+    got = set(cells)
+    for cand in icosa.grid_disk(anchor, cover_k):
+        lat, lng = icosa.cell_to_latlng(cand)
+        if point_in_polygon(lng, lat, rings):
+            assert cand in got, hex(cand)
+    return cells
+
+
+def test_thin_sliver_between_centers():
+    # 0.004 deg tall x 4 deg wide at res 5 (cells ~0.2 deg apart):
+    # the sliver threads BETWEEN most cell centers; whatever it does
+    # catch must satisfy the contract exactly, and the covering check
+    # proves nothing inside was missed
+    ring = [(-122.0, 37.400), (-118.0, 37.400), (-118.0, 37.404),
+            (-122.0, 37.404), (-122.0, 37.400)]
+    _assert_contract([ring], 5, (37.402, -120.0), cover_k=16)
+
+
+def test_thin_sliver_diagonal():
+    ring = [(10.0, 45.0), (14.0, 49.0), (14.01, 49.0), (10.01, 45.0),
+            (10.0, 45.0)]
+    _assert_contract([ring], 5, (47.0, 12.0), cover_k=20)
+
+
+def test_notched_nonconvex_polygon():
+    # square with a deep notch cut into the east side — concave
+    ring = [(-10.0, -10.0), (10.0, -10.0), (10.0, -1.0), (-5.0, 0.0),
+            (10.0, 1.0), (10.0, 10.0), (-10.0, 10.0), (-10.0, -10.0)]
+    cells = _assert_contract([ring], 3, (0.0, -7.0), cover_k=14)
+    assert cells  # a 20-degree square at res 3 is far from empty
+    # the notch mouth's center must be excluded (it lies in the notch)
+    notch_cell = icosa.latlng_to_cell(0.0, 8.0, 3)
+    assert notch_cell not in cells
+
+
+@pytest.mark.parametrize("base", sorted(icosa.PENTAGONS - icosa.POLAR_PENTAGONS)[:4])
+def test_polygon_across_icosahedron_vertex(base):
+    # a square centered on a pentagon's latlng spans >= 3 icosahedron
+    # faces — the fill must cross face seams without gaps or phantoms
+    lat, lng = icosa.cell_to_latlng(c.build_cell(base, []))
+    d = 3.0
+    ring = [(lng - d, lat - d), (lng + d, lat - d), (lng + d, lat + d),
+            (lng - d, lat + d), (lng - d, lat - d)]
+    cells = _assert_contract([ring], 3, (lat, lng), cover_k=14)
+    assert cells, f"pentagon {base}: empty fill around the vertex"
+    # the pentagon-lineage cell at the center must itself be caught
+    center_cell = icosa.latlng_to_cell(lat, lng, 3)
+    assert center_cell in cells
+
+
+def test_degenerate_zero_area_ring():
+    # all four vertices collinear — zero area, no center can be inside
+    ring = [(-50.0, 20.0), (-49.0, 20.0), (-48.0, 20.0), (-50.0, 20.0)]
+    assert icosa.polygon_to_cells([ring], 4) == []
+
+
+def test_single_cell_dot_polygon():
+    # a dot-sized square around one res-6 cell center catches exactly
+    # that cell
+    anchor = icosa.latlng_to_cell(48.8566, 2.3522, 6)
+    lat, lng = icosa.cell_to_latlng(anchor)
+    e = 1e-4
+    ring = [(lng - e, lat - e), (lng + e, lat - e), (lng + e, lat + e),
+            (lng - e, lat + e), (lng - e, lat - e)]
+    assert icosa.polygon_to_cells([ring], 6) == [anchor]
+
+
+def test_hole_punctures_interior():
+    outer = [(-3.0, -3.0), (3.0, -3.0), (3.0, 3.0), (-3.0, 3.0),
+             (-3.0, -3.0)]
+    hole = [(-1.5, -1.5), (1.5, -1.5), (1.5, 1.5), (-1.5, 1.5),
+            (-1.5, -1.5)]
+    full = set(icosa.polygon_to_cells([outer], 4))
+    holed = _assert_contract([outer, hole], 4, (0.0, 0.0), cover_k=12)
+    holed = set(holed)
+    assert holed < full
+    # every cell dropped by the hole has its center inside the hole
+    for x in full - holed:
+        lat, lng = icosa.cell_to_latlng(x)
+        assert point_in_polygon(lng, lat, [hole]), hex(x)
+    # the exact center cell is inside the hole -> excluded
+    assert icosa.latlng_to_cell(0.0, 0.0, 4) not in holed
