@@ -21,64 +21,64 @@ from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
 
-# ROUND-9 ROTATION (computed by `python tools/rotation.py --python`):
-# tier 1 = the 6 round-9 additions, then the FULL 43-gate r4-aged
-# backlog (the registry's oldest driver-green cohort) + the oldest r5
-# entry — exactly the head-50 the round-8 verdict prescribed.
+# ROUND-10 ROTATION (computed by `python tools/rotation.py --python`):
+# tier 1 = the 3 round-10 additions (never driver-sampled), then
+# the full 47-gate r5-aged cohort — the registry's oldest
+# driver-green set, which would breach the <=4-round
+# re-verification bound in round 10 otherwise.
 _PRIORITY = [
-    # tier 1 — never driver-sampled (round-9 additions at head)
-    "corpus_curation_e2e",
-    "part_fuzzy_link",
-    "events_funnel_conversion",
-    "corpus_ngram_diversity",
-    "corpus_pack_curriculum",
-    "embedding_margin_pairs",
-    "embedding_source_drift",
-    # tier 2 — oldest driver-green first (the r4-aged backlog)
-    "source_orc_roundtrip",
-    "orders_semi_anti_join",
-    "events_variant_props",
-    "source_csv_roundtrip",
-    "events_distinct_daily",
-    "events_user_type_signature",
-    "part_string_funcs",
-    "source_jsonl_roundtrip",
-    "events_lateral_top2",
-    "events_gapfill_daily",
-    "events_map_ops",
-    "events_window_nav",
-    "text_normalize",
-    "text_boilerplate",
-    "text_quality_logit",
-    "ann_sq8_top3",
-    "ann_filtered_top3",
-    "text_surprisal",
-    "multimodal_features",
-    "dedup_cross_modal",
-    "dedup_lsh_verified",
-    "embedding_norm_report",
-    "multimodal_frame_sample",
-    "text_gopher_quality",
-    "corpus_source_report",
-    "corpus_stratified_sample",
-    "corpus_chunked",
-    "corpus_length_filter",
-    "corpus_oov_report",
-    "corpus_cross_source_dups",
-    "ann_pq_top3",
-    "ann_ivfpq_top3",
-    "dedup_containment",
-    "text_char_entropy",
-    "corpus_temperature_mix",
-    "pipeline_templated_query",
-    "geo_polyfill_traversal",
-    "geo_border_cells",
-    "geo_latlng_to_cell",
-    "streaming_topk",
-    "streaming_dedup_exact",
-    "streaming_sessionize",
-    "streaming_interval_join",
+    # tier 1 — never driver-sampled
+    "multimodal_curation_e2e",
+    "embedding_margin_pairs_ivf",
+    "streaming_cdc_upsert_jvm",
+    # tier 2 — oldest driver-green first
     "q1_pricing_summary",
+    "q3_shipping_priority",
+    "q5_region_nation_revenue",
+    "q6_forecast_revenue",
+    "q4_order_priority",
+    "q18_large_orders",
+    "q11_important_suppliers",
+    "q20_dominant_suppliers",
+    "pipeline_join_tablesets",
+    "source_zordered_scan",
+    "events_window_ntile",
+    "events_grouping_sets",
+    "corpus_dsir_weights",
+    "dedup_semantic",
+    "dedup_ngram_jaccard",
+    "dedup_minhash_signatures",
+    "dedup_minhash_lsh_pairs",
+    "dedup_simhash",
+    "dedup_simhash_groups",
+    "dedup_simhash_hamming",
+    "ann_cosine_top3",
+    "ann_ivf_top3",
+    "ann_lsh_top3",
+    "embedding_dup_pairs",
+    "multimodal_decode_meta",
+    "corpus_curation",
+    "corpus_split_counts",
+    "pack_documents",
+    "packing_stats",
+    "corpus_mixture",
+    "text_scrub_pii",
+    "corpus_training_mix",
+    "dedup_cluster_resolve",
+    "corpus_decontaminate",
+    "text_vocab_top50",
+    "text_repetition",
+    "pipeline_traversal",
+    "pipeline_traversal_prefiltered",
+    "pipeline_traverse_apply",
+    "pipeline_tableset_stats",
+    "geo_grid_disk",
+    "geo_latlng_to_cell_hex",
+    "geo_cell_centers_hex",
+    "events_hex_parent_rollup",
+    "geo_polyfill_hex",
+    "pipeline_hex_ingest_query",
+    "raster_ingest",
 ]
 
 
