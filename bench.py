@@ -120,6 +120,7 @@ def _bench_variants():
     from ukis_h3cellstore_spark.entry_queries_ops import q_ann_ivfpq_search_only
     from ukis_h3cellstore_spark.entry_queries_stream import (
         q_streaming_cdc_upsert_bench,
+        q_streaming_cdc_upsert_jvm_bench,
     )
 
     return {
@@ -131,6 +132,10 @@ def _bench_variants():
         # harness (round-8 judge: the 8.5 s gate number masked the
         # operator cost)
         "streaming_cdc_upsert": q_streaming_cdc_upsert_bench,
+        # same cached source, single availableNow batch — times the
+        # JVM state aggregation, directly comparable to the Python
+        # state path above
+        "streaming_cdc_upsert_jvm": q_streaming_cdc_upsert_jvm_bench,
     }
 
 

@@ -254,3 +254,100 @@ def test_cdc_precompact_identical_results(spark, tmp_path):
         }
 
     assert run(True, "on") == run(False, "off")
+
+
+def test_funnel_repeated_stage_needs_distinct_events(spark):
+    # one purchase can NOT satisfy ["purchase", "purchase"]; two can —
+    # each stage consumes a distinct event (position-tracked fold)
+    rows1 = [(0, "purchase", 5)]
+    rep1 = {
+        r["stage"]: r["n_users"]
+        for r in funnel(
+            _ev(spark, rows1), ["purchase", "purchase"], window=100
+        ).collect()
+    }
+    assert rep1 == {1: 1, 2: 0}
+    rows2 = [(0, "purchase", 5), (0, "purchase", 5)]  # equal ts, distinct
+    rep2 = {
+        r["stage"]: r["n_users"]
+        for r in funnel(
+            _ev(spark, rows2), ["purchase", "purchase"], window=100
+        ).collect()
+    }
+    assert rep2 == {1: 1, 2: 1}
+    # three stages over two events: stage 3 may not reuse stage 1's event
+    rep3 = {
+        r["stage"]: r["n_users"]
+        for r in funnel(
+            _ev(spark, rows2),
+            ["purchase", "purchase", "purchase"],
+            window=100,
+        ).collect()
+    }
+    assert rep3 == {1: 1, 2: 1, 3: 0}
+
+
+def test_funnel_matches_bruteforce_reference(spark):
+    """Independent oracle: a pure-Python earliest-hit fold over the
+    same rows (not the wrapper — the semantics themselves)."""
+    import random
+
+    rng = random.Random(77)
+    types = ["a", "b", "c"]
+    rows = [
+        (rng.randrange(12), rng.choice(types), rng.randrange(0, 300))
+        for _ in range(250)
+    ]
+    stages, window = ["a", "b", "c"], 60
+
+    def brute():
+        by_user: dict = {}
+        for u, et, ts in rows:
+            by_user.setdefault(u, []).append((ts, et))
+        counts = [0] * len(stages)
+        for evs in by_user.values():
+            evs.sort()
+            prev_t, used, reached = None, set(), 0
+            for si, s in enumerate(stages):
+                hit = None
+                for pos, (ts, et) in enumerate(evs):
+                    if et != s or pos in used:
+                        continue
+                    if prev_t is not None and (
+                        ts < prev_t or ts > prev_t + window
+                    ):
+                        continue
+                    hit = (ts, pos)
+                    break
+                if hit is None:
+                    break
+                prev_t = hit[0]
+                used.add(hit[1])
+                reached = si + 1
+            for si in range(reached):
+                counts[si] += 1
+        return counts
+
+    want = brute()
+    got = {
+        r["stage"]: r["n_users"]
+        for r in funnel(_ev(spark, rows), stages, window=window).collect()
+    }
+    assert [got[i + 1] for i in range(len(stages))] == want
+
+
+def test_range_tiebreaker_tolerates_map_and_dotted_columns(spark):
+    """The default tiebreak hash must skip unhashable (map) columns and
+    reference dotted names literally instead of raising at plan time."""
+    from ukis_h3cellstore_spark.ops.robust import grouped_rank
+
+    df = spark.createDataFrame(
+        [(1, "g1", 2.0, {"k": "v"}), (2, "g1", 1.0, {"k": "w"}),
+         (3, "g2", 5.0, None)],
+        "`id.x` long, g string, v double, props map<string,string>",
+    )
+    out = {
+        r["id.x"]: r["rank"]
+        for r in grouped_rank(df, "g", ["v"]).collect()
+    }
+    assert out == {2: 1, 1: 2, 3: 1}

@@ -215,8 +215,12 @@ def main() -> None:
             final = _stats(_plan_str(df))
         print(f"== {name}")
         segs = [(lbl, _stats(p)) for lbl, p in cap.segments]
-        pyeval_total = final["pyeval"] + sum(s["pyeval"] for _, s in segs)
-        arrow_total = final["arrow"] + sum(s["arrow"] for _, s in segs)
+        # probe segments are NOT checkpoint boundaries — their lineage
+        # overlaps later checkpoint/export captures, so a SUM would
+        # double-count nodes; the per-segment MAX is the honest
+        # aggregate (zero iff every segment is zero)
+        pyeval_max = max([final["pyeval"]] + [s["pyeval"] for _, s in segs])
+        arrow_max = max([final["arrow"]] + [s["arrow"] for _, s in segs])
         if segs:
             for i, (lbl, s) in enumerate(segs, 1):
                 print(f"   -- segment {i}/{len(segs)} [{lbl}]")
@@ -224,8 +228,8 @@ def main() -> None:
             print(f"   -- final (returned frame)")
             _print_block("      ", final)
             print(
-                f"   TOTAL across {len(segs) + 1} segments: "
-                f"python-eval={pyeval_total} arrow-eval={arrow_total}"
+                f"   PER-SEGMENT MAX over {len(segs) + 1} segments: "
+                f"python-eval={pyeval_max} arrow-eval={arrow_max}"
             )
         else:
             _print_block("   ", final)

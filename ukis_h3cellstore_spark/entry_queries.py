@@ -48,7 +48,14 @@ def _stable_tmpdir(prefix: str, sf_dir: str) -> str:
     accumulation across processes; a deterministic path means each
     re-run REPLACES the previous contents instead. Sweeps are
     sequential by protocol (docs/SCALE.md bench rules), so no two
-    invocations race on the same path."""
+    invocations race on the same path.
+
+    CONTRACT: re-invoking a gate INVALIDATES any still-unconsumed
+    DataFrame the previous invocation returned over this directory
+    (the files back it lazily). Every harness here — correctness,
+    determinism, bench — fully materializes each gate's result before
+    the next invocation; interactive callers holding a returned frame
+    across a re-invocation must collect/checkpoint it first."""
     import hashlib
     import os
     import shutil

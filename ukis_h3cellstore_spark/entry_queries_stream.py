@@ -1117,6 +1117,57 @@ def q_streaming_cdc_upsert_bench(
     )
 
 
+def q_streaming_cdc_upsert_jvm_bench(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Steady-state bench variant of ``streaming_cdc_upsert_jvm``:
+    same operator and final materialization, but consuming the SAME
+    cached per-sf_dir staging parquet as the Python-path bench variant
+    in a single availableNow micro-batch — so the timed number is the
+    JVM state aggregation, not the staging write. The two variants
+    sharing one source makes their headline numbers directly
+    comparable (same rows, same layout)."""
+    from ukis_h3cellstore_spark import streaming as st
+    from ukis_h3cellstore_spark.entry_queries import _stable_tmpdir
+
+    src = _events(spark, sf_dir).select(
+        F.col("user_id"),
+        F.col("event_id").alias("seq"),
+        (F.col("event_type") == "click").alias("is_del"),
+        F.round(F.col("value") * 100).cast("long").alias("cents"),
+    )
+    stream_dir = _CDC_BENCH_SRC.get(sf_dir)
+    if stream_dir is None:
+        stream_dir = _stable_tmpdir("cdc_bench_src_", sf_dir)
+        src.repartition(8).write.mode("overwrite").parquet(stream_dir)
+        _CDC_BENCH_SRC[sf_dir] = stream_dir
+    stream = st.read_stream(spark, stream_dir, src.schema)
+    out = st.cdc_upsert_jvm(stream, "user_id", "seq", "is_del", "cents")
+    _SINK_COUNTER[0] += 1
+    sink = f"cdc_jvm_bench_sink_{_SINK_COUNTER[0]}"
+    q = (
+        out.writeStream.format("memory")
+        .queryName(sink)
+        .outputMode("update")
+        .trigger(availableNow=True)
+        .start()
+    )
+    _await_done(q)
+    return (
+        spark.table(sink)
+        .groupBy("user_id")
+        .agg(
+            F.max(F.struct("last_seq", "is_deleted", "last_value")).alias("m")
+        )
+        .select(
+            "user_id",
+            F.col("m.last_seq").alias("last_seq"),
+            F.col("m.is_deleted").alias("is_deleted"),
+            F.col("m.last_value").alias("last_value"),
+        )
+    )
+
+
 def q_streaming_psi_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Streaming drift monitor (ops/report.py:psi_from_counts): the
     documents table replayed as a stream, token counts binned map-side

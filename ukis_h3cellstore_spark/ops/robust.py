@@ -84,7 +84,30 @@ def range_tiebreaker(df: DataFrame, range_tiebreak=None) -> Column:
             if isinstance(range_tiebreak, str)
             else range_tiebreak
         )
-    return F.xxhash64(*[F.col(c) for c in df.columns[:16]])
+
+    def hashable(dt) -> bool:
+        # xxhash64 rejects MapType anywhere in the input type tree
+        from pyspark.sql import types as T
+
+        if isinstance(dt, T.MapType):
+            return False
+        if isinstance(dt, T.ArrayType):
+            return hashable(dt.elementType)
+        if isinstance(dt, T.StructType):
+            return all(hashable(f.dataType) for f in dt.fields)
+        return True
+
+    # backtick-quoted references keep dotted column names literal; the
+    # hashable filter keeps map-bearing frames working — they hash
+    # whatever non-map columns exist instead of raising at plan time
+    cols = [
+        F.col("`" + f.name.replace("`", "``") + "`")
+        for f in df.schema.fields
+        if hashable(f.dataType)
+    ]
+    if not cols:
+        return F.lit(0)  # nothing hashable: no splitting, but no crash
+    return F.xxhash64(*cols[:16])
 
 
 def grouped_rank(

@@ -93,6 +93,14 @@ def funnel(
     ``(user, stage1_ts, ..., stageN_ts)``, NULL from the first missed
     stage on — for composition (time-to-convert, cohort splits).
 
+    Each stage consumes a DISTINCT event: the fold tracks the sorted-
+    array position of every anchoring event and later stages skip
+    already-consumed positions, so a repeated-stage funnel
+    (``["purchase", "purchase"]``) needs two purchase events — a
+    single event can never satisfy two stages. Time comparison stays
+    ``ts >= t_prev`` (equal-timestamp events of different types may
+    chain), matching the relational min-ts-chain oracle.
+
     Scale shape: ONE events scan and ONE shuffle (groupBy user,
     sorted event array), then the whole stage chain is a per-user
     array fold in whole-stage codegen — ``filter(evs, type==s && ts
@@ -113,26 +121,44 @@ def funnel(
             )
         ).alias("__evs")
     )
+    # attach the sorted-array position so later stages can exclude
+    # already-consumed events (2-arg transform lambda receives the
+    # element index)
+    cur = cur.withColumn(
+        "__evs",
+        F.transform(
+            F.col("__evs"),
+            lambda e, i: F.struct(
+                e["ts"].alias("ts"), e["et"].alias("et"), i.alias("pos")
+            ),
+        ),
+    )
 
-    def _stage_pred(s, prev_t):
+    def _stage_pred(s, prev_t, used):
         # factory: F.filter requires an EXACTLY-one-parameter callable
         # (defaults count toward the higher-order function's arity)
         if prev_t is None:
             return lambda e: e["et"] == s
+        fresh = lambda e: ~F.array_contains(used, e["pos"])  # noqa: E731
         if window is None:
-            return lambda e: (e["et"] == s) & (e["ts"] >= prev_t)
+            return lambda e: (e["et"] == s) & (e["ts"] >= prev_t) & fresh(e)
         return lambda e: (
             (e["et"] == s)
             & (e["ts"] >= prev_t)
             & (e["ts"] <= prev_t + window)
+            & fresh(e)
         )
 
     for i, s in enumerate(stages):
         prev_t = None if i == 0 else F.col(f"__t{i - 1}")
-        hit = F.filter(F.col("__evs"), _stage_pred(s, prev_t))
+        used = F.array(*[F.col(f"__p{j}") for j in range(i)])
+        hit = F.filter(F.col("__evs"), _stage_pred(s, prev_t, used))
         # try_element_at: ANSI element_at THROWS on the empty array a
         # user who never reaches the stage produces
-        cur = cur.withColumn(f"__t{i}", F.try_element_at(hit, F.lit(1))["ts"])
+        first = F.try_element_at(hit, F.lit(1))
+        cur = cur.withColumn(f"__t{i}", first["ts"]).withColumn(
+            f"__p{i}", first["pos"]
+        )
     if per_user:
         return cur.select(
             F.col("__user").alias(user_col),
