@@ -189,6 +189,19 @@ def main() -> None:
     spearman_milli(rd, "n_words", "flesch_milli", "doc_id").show()
     X.zipf_slope(docs, top_n=200).show()
 
+    # 20. (round 10) corpus-vs-corpus alignment mining + diversity
+    # datacard: every embedding mined against the whole corpus through
+    # the IVF probed lists (no broadcast of the query side), and the
+    # self-repetition audit in its fixed-state approximate form
+    from ukis_h3cellstore_spark.ops.similarity import margin_pairs_ivf
+
+    margin_pairs_ivf(embs, embs, n_centroids=16, nprobe=4).orderBy(
+        F.desc("margin")
+    ).show(5)
+    X.ngram_diversity(docs, "source", "text", approx=True).orderBy(
+        "diversity_milli"
+    ).show(5)
+
     spark.stop()
 
 
