@@ -351,3 +351,40 @@ def test_range_tiebreaker_tolerates_map_and_dotted_columns(spark):
         for r in grouped_rank(df, "g", ["v"]).collect()
     }
     assert out == {2: 1, 1: 2, 3: 1}
+
+
+def test_cross_modal_gate_semantics_hand_built(spark, tmp_path, monkeypatch):
+    """The flagship's stage-2 contract on a hand-built corpus:
+    identical payloads with agreeing captions dedup keep-first;
+    identical payloads with conflicting captions quarantine BOTH."""
+    from ukis_h3cellstore_spark.ops import dedup as D
+    from ukis_h3cellstore_spark.ops import multimodal as M
+
+    # docs 1/2: same long text (same payload, agreeing captions)
+    # docs 3/4: 3's text is a long phrase, 4 shares only byte-grams
+    #   via a shuffled variant -> near phash, disjoint captions
+    base = "alpha beta gamma delta epsilon zeta eta theta " * 6
+    shuf = "gamma delta epsilon zeta eta theta alpha beta " * 6
+    rows = [
+        (1, base), (2, base),
+        (3, base + "iota"), (4, shuf + "kappa"),
+        (5, "totally unrelated short text nothing shared here at all"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    payloads = M.attach_binary_payload(docs)
+    pairs = M.phash_dup_pairs(payloads, max_hamming=8).select("id_a", "id_b")
+    got_pairs = {(r["id_a"], r["id_b"]) for r in pairs.collect()}
+    assert (1, 2) in got_pairs  # identical payloads -> hamming 0
+    sh = D.shingle_df(docs, "text", "doc_id", 1)
+    verified = D.verify_pairs_jaccard(pairs, sh, "doc_id", 0.8).select(
+        "id_a", "id_b"
+    )
+    vp = {(r["id_a"], r["id_b"]) for r in verified.collect()}
+    assert (1, 2) in vp  # captions agree -> true duplicate, drop id 2
+    inconsistent = got_pairs - vp
+    for a, b in inconsistent:
+        # every quarantined pair really has caption jaccard < 0.8
+        ta = dict(rows)[a].split()
+        tb = dict(rows)[b].split()
+        j = len(set(ta) & set(tb)) / len(set(ta) | set(tb))
+        assert j < 0.8, (a, b, j)
