@@ -117,7 +117,10 @@ def _bench_variants():
         q_semantic_dedup_bench,
     )
 
-    from ukis_h3cellstore_spark.entry_queries_ops import q_ann_ivfpq_search_only
+    from ukis_h3cellstore_spark.entry_queries_ops import (
+        q_ann_ivfpq_search_only,
+        q_embedding_margin_pairs_ivf_bench,
+    )
     from ukis_h3cellstore_spark.entry_queries_stream import (
         q_streaming_cdc_upsert_bench,
         q_streaming_cdc_upsert_jvm_bench,
@@ -136,6 +139,9 @@ def _bench_variants():
         # JVM state aggregation, directly comparable to the Python
         # state path above
         "streaming_cdc_upsert_jvm": q_streaming_cdc_upsert_jvm_bench,
+        # train-once-reuse: cached centroids, times the probed-list
+        # mining (the gate keeps the oracle-pinned training inline)
+        "embedding_margin_pairs_ivf": q_embedding_margin_pairs_ivf_bench,
     }
 
 

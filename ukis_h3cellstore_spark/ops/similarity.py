@@ -91,19 +91,31 @@ def cosine_topk(
 ) -> DataFrame:
     """Exact brute-force top-k neighbors for each query vector:
     (query_id, neighbor_id, cosine_sim, rank). Queries are broadcast;
-    ties break on neighbor id (deterministic)."""
+    ties break on neighbor id (deterministic).
+
+    Norms are precomputed PER ROW before the cross join — each side's
+    ``sqrt(sum(v^2))`` fold runs once per vector instead of once per
+    (query, neighbor) pair (a |queries|-fold saving on the corpus
+    side), and ``sqrt(a)*sqrt(b)`` is the exact expression the inline
+    cosine evaluates, so results are bit-identical."""
     q = queries.select(
         F.col(id_col).alias("query_id"), F.col(vec_col).alias("q_vec")
-    )
+    ).withColumn("__qn", _norm(F.col("q_vec")))
     c = corpus.select(
         F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("c_vec")
-    )
+    ).withColumn("__cn", _norm(F.col("c_vec")))
     scored = (
         c.crossJoin(F.broadcast(q))
         .filter(F.col("neighbor_id") != F.col("query_id"))
         .withColumn(
             "cosine_sim",
-            F.round(cosine_similarity(F.col("q_vec"), F.col("c_vec")), round_digits),
+            F.round(
+                F.try_divide(
+                    _dot(F.col("q_vec"), F.col("c_vec")),
+                    F.col("__qn") * F.col("__cn"),
+                ),
+                round_digits,
+            ),
         )
     )
     w = Window.partitionBy("query_id").orderBy(
@@ -137,14 +149,19 @@ def hard_negative_topk(
     )
     c = corpus.select(
         F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("c_vec")
-    )
+    ).withColumn("__cn", _norm(F.col("c_vec")))
+    q = q.withColumn("__qn", _norm(F.col("q_vec")))
     scored = (
         c.crossJoin(F.broadcast(q))
         .filter(F.col("neighbor_id") != F.col("query_id"))
         .withColumn(
             "cosine_sim",
             F.round(
-                cosine_similarity(F.col("q_vec"), F.col("c_vec")), round_digits
+                F.try_divide(
+                    _dot(F.col("q_vec"), F.col("c_vec")),
+                    F.col("__qn") * F.col("__cn"),
+                ),
+                round_digits,
             ),
         )
         .filter(F.col("cosine_sim") < dup_threshold)
@@ -271,11 +288,21 @@ def lsh_topk(
         corpus, id_col, vec_col, num_tables, num_planes, "neighbor_id", "c_vec"
     )
     scored = (
-        c.join(F.broadcast(q), on=["band", "bucket"])
+        c.withColumn("__cn", _norm(F.col("c_vec")))
+        .join(
+            F.broadcast(q.withColumn("__qn", _norm(F.col("q_vec")))),
+            on=["band", "bucket"],
+        )
         .filter(F.col("neighbor_id") != F.col("query_id"))
         .withColumn(
             "cosine_sim",
-            F.round(cosine_similarity(F.col("q_vec"), F.col("c_vec")), round_digits),
+            F.round(
+                F.try_divide(
+                    _dot(F.col("q_vec"), F.col("c_vec")),
+                    F.col("__qn") * F.col("__cn"),
+                ),
+                round_digits,
+            ),
         )
         .select("query_id", "neighbor_id", "cosine_sim")
         .distinct()
@@ -328,16 +355,22 @@ def embedding_dup_pairs(
         bands = bands.join(keep, on=["band", "bucket"], how="inner")
     a = bands.select(
         F.col("id").alias("id_a"), F.col("vec").alias("vec_a"), "band", "bucket"
-    )
+    ).withColumn("__na", _norm(F.col("vec_a")))
     b = bands.select(
         F.col("id").alias("id_b"), F.col("vec").alias("vec_b"), "band", "bucket"
-    )
+    ).withColumn("__nb", _norm(F.col("vec_b")))
     return (
         a.join(b, on=["band", "bucket"])
         .filter(F.col("id_a") < F.col("id_b"))
         .withColumn(
             "cosine_sim",
-            F.round(cosine_similarity(F.col("vec_a"), F.col("vec_b")), round_digits),
+            F.round(
+                F.try_divide(
+                    _dot(F.col("vec_a"), F.col("vec_b")),
+                    F.col("__na") * F.col("__nb"),
+                ),
+                round_digits,
+            ),
         )
         .filter(F.col("cosine_sim") >= threshold)
         .select("id_a", "id_b", "cosine_sim")
@@ -397,10 +430,16 @@ def kmeans_fit(
     for _ in range(max_iter):
         assigned = (
             corpus.select(F.col(id_col).alias("__id"), F.col(vec_col).alias("__vec"))
-            .crossJoin(F.broadcast(cent))
+            # corpus-side norm once per row, not once per (row, centroid)
+            # pair — sqrt(a)*sqrt(b) matches the inline cosine exactly
+            .withColumn("__vn", _norm(F.col("__vec")))
+            .crossJoin(F.broadcast(cent.withColumn("__cn", _norm(F.col("c_vec")))))
             .withColumn(
                 "__sim",
-                cosine_similarity(F.col("__vec"), F.col("c_vec"))
+                F.try_divide(
+                    _dot(F.col("__vec"), F.col("c_vec")),
+                    F.col("__vn") * F.col("__cn"),
+                )
                 if metric == "cosine"
                 # argmax(-d2) == argmin(d2): same max_by plan shape
                 else -l2_sq(F.col("__vec"), F.col("c_vec")),
@@ -504,12 +543,20 @@ def ivf_topk(
     )
     cent = F.broadcast(cent)
 
+    cent_n = F.broadcast(cent.withColumn("__cn", _norm(F.col("c_vec"))))
     c_lists = (
         corpus.select(
             F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("n_vec")
         )
-        .crossJoin(cent)
-        .withColumn("__sim", cosine_similarity(F.col("n_vec"), F.col("c_vec")))
+        .withColumn("__vn", _norm(F.col("n_vec")))
+        .crossJoin(cent_n)
+        .withColumn(
+            "__sim",
+            F.try_divide(
+                _dot(F.col("n_vec"), F.col("c_vec")),
+                F.col("__vn") * F.col("__cn"),
+            ),
+        )
         .groupBy("neighbor_id")
         .agg(
             F.max_by(
@@ -520,25 +567,45 @@ def ivf_topk(
     )
     q_scored = (
         queries.select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("q_vec"))
-        .crossJoin(cent)
-        .withColumn("__sim", cosine_similarity(F.col("q_vec"), F.col("c_vec")))
+        .withColumn("__vn", _norm(F.col("q_vec")))
+        .crossJoin(cent_n)
+        .withColumn(
+            "__sim",
+            F.try_divide(
+                _dot(F.col("q_vec"), F.col("c_vec")),
+                F.col("__vn") * F.col("__cn"),
+            ),
+        )
     )
     wq = Window.partitionBy("query_id").orderBy(
         F.col("__sim").desc(), F.col("centroid_id").asc()
     )
+    # per-row norms travel INTO the scoring join: each vector's
+    # sqrt(sum(v^2)) fold runs once, not once per candidate pair
+    # (sqrt(a)*sqrt(b) is the exact inline-cosine expression, so
+    # results stay bit-identical); __vn was already computed for the
+    # centroid assignment above
     q_lists = (
         q_scored.withColumn("__r", F.row_number().over(wq))
         .filter(F.col("__r") <= nprobe)
-        .drop("c_vec", "__sim", "__r")
+        .drop("c_vec", "__cn", "__sim", "__r")
+        .withColumnRenamed("__vn", "__qn")
     )
     if broadcast_queries:
         q_lists = F.broadcast(q_lists)
     scored = (
-        c_lists.join(q_lists, on="centroid_id")
+        c_lists.withColumn("__nn", _norm(F.col("n_vec")))
+        .join(q_lists, on="centroid_id")
         .filter(F.col("neighbor_id") != F.col("query_id"))
         .withColumn(
             "cosine_sim",
-            F.round(cosine_similarity(F.col("q_vec"), F.col("n_vec")), round_digits),
+            F.round(
+                F.try_divide(
+                    _dot(F.col("q_vec"), F.col("n_vec")),
+                    F.col("__qn") * F.col("__nn"),
+                ),
+                round_digits,
+            ),
         )
     )
     w = Window.partitionBy("query_id").orderBy(
@@ -1935,7 +2002,13 @@ def margin_pairs_ivf(
     whose recall vs exact margins is measured and floor-frozen in
     tests/test_ann_recall.py (raise ``nprobe``/``n_centroids`` to
     trade cost for recall). Train centroids once and pass them via
-    ``centroids`` when mining repeatedly."""
+    ``centroids`` when mining repeatedly.
+
+    At scale, size ``n_centroids ~ sqrt(corpus)`` (the FAISS rule):
+    candidate volume per query is ``nprobe * corpus / n_centroids``
+    and the scoring join's key cardinality IS ``n_centroids``, so
+    list sizes and join parallelism shrink/grow together; a hot list
+    is an AQE skew-split away."""
     nn = ivf_topk(
         corpus,
         queries,
