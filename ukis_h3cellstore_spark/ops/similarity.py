@@ -1234,8 +1234,15 @@ def semantic_cluster_stats(
     )
     sizes = (
         corpus.select(F.col(id_col).alias("__id"), F.col(vec_col).alias("__v"))
-        .crossJoin(F.broadcast(cents))
-        .withColumn("__cos", cosine_similarity(F.col("__v"), F.col("c_vec")))
+        .withColumn("__vn", _norm(F.col("__v")))
+        .crossJoin(F.broadcast(cents.withColumn("__cn", _norm(F.col("c_vec")))))
+        .withColumn(
+            "__cos",
+            F.try_divide(
+                _dot(F.col("__v"), F.col("c_vec")),
+                F.col("__vn") * F.col("__cn"),
+            ),
+        )
         .groupBy("__id")
         .agg(
             F.max_by(
@@ -1381,8 +1388,15 @@ def semantic_dedup(
     )
     assigned = (
         corpus.select(F.col(id_col).alias("__id"), F.col(vec_col).alias("__v"))
-        .crossJoin(F.broadcast(cents))
-        .withColumn("__cos", cosine_similarity(F.col("__v"), F.col("c_vec")))
+        .withColumn("__vn", _norm(F.col("__v")))
+        .crossJoin(F.broadcast(cents.withColumn("__cn", _norm(F.col("c_vec")))))
+        .withColumn(
+            "__cos",
+            F.try_divide(
+                _dot(F.col("__v"), F.col("c_vec")),
+                F.col("__vn") * F.col("__cn"),
+            ),
+        )
         .groupBy("__id")
         .agg(
             F.max_by(
