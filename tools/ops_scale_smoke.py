@@ -6,6 +6,7 @@ wall times and throughput. Not part of pytest; run ad hoc:
 
     python tools/ops_scale_smoke.py [n_docs]
     python tools/ops_scale_smoke.py --r9   # only the round-9 block
+    python tools/ops_scale_smoke.py --r10  # only the round-10 block
 
 The replicas keep the original duplicate structure: every source doc
 appears N/5000 times with distinct ids, and a replica-specific suffix
@@ -187,7 +188,76 @@ def _r9_block(spark, gc) -> None:
     timed("cdc_upsert_jvm_10M", run_cdc_jvm, 10_000_000)
 
 
+def _r10_block(spark, gc) -> None:
+    """Round-10 smoke: corpus-vs-corpus margin mining at 100k vectors
+    through the IVF probed lists (the non-broadcast scoring join —
+    candidate volume nprobe * n^2 / n_centroids ~ 78M pairs at
+    512 centroids / nprobe 4), and the CDC upsert trio (Python state
+    path with/without the partition-local pre-compaction vs the
+    pure-JVM streaming aggregation) over a key-clustered 10M-row
+    changelog."""
+    import time
+
+    from pyspark.sql import functions as _F
+
+    from ukis_h3cellstore_spark.ops import similarity as S
+
+    def timed(name, fn, n_rows):
+        gc()
+        t0 = time.time()
+        fn()
+        dt = time.time() - t0
+        print(f"{name:36s} {dt:8.1f}s  ({n_rows / dt:,.0f} rows/s)")
+
+    # 100k x 32-dim deterministic pseudo-random vectors (hash-derived,
+    # no RNG): i.i.d.-noise-like, the same regime as the recall tests
+    n, d = 100_000, 32
+    vec = _F.transform(
+        _F.sequence(_F.lit(0), _F.lit(d - 1)),
+        lambda j: (
+            _F.pmod(_F.xxhash64(_F.col("id"), j), _F.lit(2000)) - 1000.0
+        )
+        / 1000.0,
+    )
+    emb = spark.range(n).select(
+        _F.col("id").alias("vec_id"), vec.alias("embedding")
+    )
+    emb.persist()
+    emb.count()
+    cents = S.kmeans_fit(emb, n_centroids=512, max_iter=1)
+
+    timed(
+        "margin_pairs_ivf_100k_c512_p4",
+        lambda: S.margin_pairs_ivf(
+            emb, emb, nprobe=4, centroids=cents
+        ).write.format("noop").mode("overwrite").save(),
+        n,
+    )
+    emb.unpersist()
+
+
 def main() -> None:
+    if "--r10" in sys.argv:
+        from pyspark.sql import SparkSession
+
+        spark = (
+            SparkSession.builder.master("local[32]")
+            .config("spark.sql.shuffle.partitions", "64")
+            .config("spark.sql.adaptive.enabled", "true")
+            .config("spark.driver.memory", "48g")
+            .config("spark.ui.enabled", "false")
+            .getOrCreate()
+        )
+        spark.sparkContext.setLogLevel("ERROR")
+        spark.range(1).count()
+
+        def gc():
+            spark.catalog.clearCache()
+            spark._jvm.System.gc()
+
+        _r10_block(spark, gc)
+        spark.stop()
+        return
     if "--r9" in sys.argv:
         from pyspark.sql import SparkSession
 
