@@ -388,3 +388,29 @@ def test_cross_modal_gate_semantics_hand_built(spark, tmp_path, monkeypatch):
         tb = dict(rows)[b].split()
         j = len(set(ta) & set(tb)) / len(set(ta) | set(tb))
         assert j < 0.8, (a, b, j)
+
+
+def test_margin_pivot_invariants(spark):
+    """Structural invariants of both margin miners on the fixture
+    embeddings: cos_top1 >= cos_top2 (so margin >= 0 up to the output
+    rounding), the neighbor is never the query, and the IVF miner's
+    per-query top-1 cosine never exceeds the exact miner's (probing a
+    subset of lists can only miss neighbors, not invent better ones)."""
+    from ukis_h3cellstore_spark.ops.similarity import (
+        margin_pairs,
+        margin_pairs_ivf,
+    )
+
+    e = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    exact = {r["query_id"]: r for r in margin_pairs(e, e).collect()}
+    ivf = {
+        r["query_id"]: r
+        for r in margin_pairs_ivf(e, e, n_centroids=16, nprobe=2).collect()
+    }
+    for name, rows in [("exact", exact), ("ivf", ivf)]:
+        for qid, r in rows.items():
+            assert r["neighbor_id"] != qid, name
+            assert r["cos_top1"] >= r["cos_top2"], (name, qid)
+            assert r["margin"] >= -1e-9, (name, qid)
+    for qid, r in ivf.items():
+        assert r["cos_top1"] <= exact[qid]["cos_top1"] + 1e-9, qid
