@@ -361,13 +361,14 @@ def test_cross_modal_gate_semantics_hand_built(spark, tmp_path, monkeypatch):
     from ukis_h3cellstore_spark.ops import multimodal as M
 
     # docs 1/2: same long text (same payload, agreeing captions)
-    # docs 3/4: 3's text is a long phrase, 4 shares only byte-grams
-    #   via a shuffled variant -> near phash, disjoint captions
+    # docs 3/4: phash-near variants (shared byte grams dominate) whose
+    #   caption token sets diverge well below the 0.8 bar -> both
+    #   orientations against 1/2 and each other must QUARANTINE
     base = "alpha beta gamma delta epsilon zeta eta theta " * 6
     shuf = "gamma delta epsilon zeta eta theta alpha beta " * 6
     rows = [
         (1, base), (2, base),
-        (3, base + "iota"), (4, shuf + "kappa"),
+        (3, base + "iota one two"), (4, shuf + "kappa four five"),
         (5, "totally unrelated short text nothing shared here at all"),
     ]
     docs = spark.createDataFrame(rows, "doc_id long, text string")
@@ -382,6 +383,9 @@ def test_cross_modal_gate_semantics_hand_built(spark, tmp_path, monkeypatch):
     vp = {(r["id_a"], r["id_b"]) for r in verified.collect()}
     assert (1, 2) in vp  # captions agree -> true duplicate, drop id 2
     inconsistent = got_pairs - vp
+    # the quarantine branch must actually fire: docs 3/4 are
+    # phash-near to 1/2 and each other with caption jaccard < 0.8
+    assert (3, 4) in inconsistent and (1, 3) in inconsistent
     for a, b in inconsistent:
         # every quarantined pair really has caption jaccard < 0.8
         ta = dict(rows)[a].split()
@@ -390,7 +394,7 @@ def test_cross_modal_gate_semantics_hand_built(spark, tmp_path, monkeypatch):
         assert j < 0.8, (a, b, j)
 
 
-def test_margin_pivot_invariants(spark):
+def test_margin_pivot_invariants(spark, sf_dir):
     """Structural invariants of both margin miners on the fixture
     embeddings: cos_top1 >= cos_top2 (so margin >= 0 up to the output
     rounding), the neighbor is never the query, and the IVF miner's
@@ -401,7 +405,7 @@ def test_margin_pivot_invariants(spark):
         margin_pairs_ivf,
     )
 
-    e = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    e = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
     exact = {r["query_id"]: r for r in margin_pairs(e, e).collect()}
     ivf = {
         r["query_id"]: r

@@ -28,6 +28,27 @@ import time
 sys.path.insert(0, "/root/repo")
 
 
+def _local_session():
+    from pyspark.sql import SparkSession
+
+    spark = (
+        SparkSession.builder.master("local[32]")
+        .config("spark.sql.shuffle.partitions", "64")
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.driver.memory", "48g")
+        .config("spark.ui.enabled", "false")
+        .getOrCreate()
+    )
+    spark.sparkContext.setLogLevel("ERROR")
+    spark.range(1).count()
+
+    def gc():
+        spark.catalog.clearCache()
+        spark._jvm.System.gc()
+
+    return spark, gc
+
+
 def _r9_block(spark, gc) -> None:
     """Round-9 smoke: the round-8 statistical/join operators at 10M
     rows under skew — W1 transport drift, Spearman, HITS, association
@@ -192,10 +213,9 @@ def _r10_block(spark, gc) -> None:
     """Round-10 smoke: corpus-vs-corpus margin mining at 100k vectors
     through the IVF probed lists (the non-broadcast scoring join —
     candidate volume nprobe * n^2 / n_centroids ~ 78M pairs at
-    512 centroids / nprobe 4), and the CDC upsert trio (Python state
-    path with/without the partition-local pre-compaction vs the
-    pure-JVM streaming aggregation) over a key-clustered 10M-row
-    changelog."""
+    512 centroids / nprobe 4). The CDC upsert trio (precompact /
+    no-precompact / pure-JVM) lives in the --r9 block, which stages
+    the 10M-row key-clustered changelog it shares."""
     import time
 
     from pyspark.sql import functions as _F
@@ -219,11 +239,12 @@ def _r10_block(spark, gc) -> None:
         )
         / 1000.0,
     )
+    # no persist: timed() clears the cache before the run anyway, and
+    # the corpus is a cheap deterministic hash transform over range()
+    # — the timed section honestly includes its in-plan derivation
     emb = spark.range(n).select(
         _F.col("id").alias("vec_id"), vec.alias("embedding")
     )
-    emb.persist()
-    emb.count()
     cents = S.kmeans_fit(emb, n_centroids=512, max_iter=1)
 
     timed(
@@ -233,49 +254,16 @@ def _r10_block(spark, gc) -> None:
         ).write.format("noop").mode("overwrite").save(),
         n,
     )
-    emb.unpersist()
 
 
 def main() -> None:
     if "--r10" in sys.argv:
-        from pyspark.sql import SparkSession
-
-        spark = (
-            SparkSession.builder.master("local[32]")
-            .config("spark.sql.shuffle.partitions", "64")
-            .config("spark.sql.adaptive.enabled", "true")
-            .config("spark.driver.memory", "48g")
-            .config("spark.ui.enabled", "false")
-            .getOrCreate()
-        )
-        spark.sparkContext.setLogLevel("ERROR")
-        spark.range(1).count()
-
-        def gc():
-            spark.catalog.clearCache()
-            spark._jvm.System.gc()
-
+        spark, gc = _local_session()
         _r10_block(spark, gc)
         spark.stop()
         return
     if "--r9" in sys.argv:
-        from pyspark.sql import SparkSession
-
-        spark = (
-            SparkSession.builder.master("local[32]")
-            .config("spark.sql.shuffle.partitions", "64")
-            .config("spark.sql.adaptive.enabled", "true")
-            .config("spark.driver.memory", "48g")
-            .config("spark.ui.enabled", "false")
-            .getOrCreate()
-        )
-        spark.sparkContext.setLogLevel("ERROR")
-        spark.range(1).count()
-
-        def gc():
-            spark.catalog.clearCache()
-            spark._jvm.System.gc()
-
+        spark, gc = _local_session()
         _r9_block(spark, gc)
         spark.stop()
         return
@@ -551,6 +539,7 @@ def main() -> None:
     n_clusters = D.duplicate_cluster_stats(pairs).count()
     print(f"{'cluster_resolve':24s} {time.time() - t0:8.1f}s  ({n_clusters:,} clusters)")
     _r9_block(spark, gc)
+    _r10_block(spark, gc)
     spark.stop()
 
 

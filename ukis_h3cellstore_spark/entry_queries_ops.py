@@ -6868,7 +6868,7 @@ def q_embedding_margin_pairs_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-_MARGIN_IVF_CENTROIDS: dict[str, "DataFrame"] = {}
+_MARGIN_IVF_CENTROIDS: dict[tuple[int, str], "DataFrame"] = {}
 
 
 def q_embedding_margin_pairs_ivf_bench(
@@ -6881,11 +6881,16 @@ def q_embedding_margin_pairs_ivf_bench(
     scoring + margin pivot, not the k-means driver loop. Same
     mining parameters as the gate; exact_mean off (scale path)."""
     e = _embs(spark, sf_dir)
-    cent = _MARGIN_IVF_CENTROIDS.get(sf_dir)
+    # cache key includes the session: a DataFrame handle dies with its
+    # SparkContext, so a recreated session must retrain
+    key = (id(spark), sf_dir)
+    cent = _MARGIN_IVF_CENTROIDS.get(key)
     if cent is None:
+        # kmeans_fit already returns a driver-local relation (its last
+        # step is createDataFrame over collected centroid rows) — no
+        # extra collect round-trip needed
         cent = S.kmeans_fit(e, n_centroids=16, max_iter=_IVF_ITERS)
-        cent = spark.createDataFrame(cent.collect(), cent.schema)
-        _MARGIN_IVF_CENTROIDS[sf_dir] = cent
+        _MARGIN_IVF_CENTROIDS[key] = cent
     return S.margin_pairs_ivf(e, e, nprobe=2, centroids=cent)
 
 

@@ -563,6 +563,11 @@ def ivf_topk(
                 "centroid_id", F.struct(F.col("__sim"), -F.col("centroid_id"))
             ).alias("centroid_id"),
             F.first("n_vec").alias("n_vec"),
+            # the norm is constant within the group (one vector's
+            # cross-join rows) — carrying it through the agg reuses
+            # the assignment's fold instead of recomputing it for the
+            # scoring join
+            F.first("__vn").alias("__nn"),
         )
     )
     q_scored = (
@@ -583,8 +588,8 @@ def ivf_topk(
     # per-row norms travel INTO the scoring join: each vector's
     # sqrt(sum(v^2)) fold runs once, not once per candidate pair
     # (sqrt(a)*sqrt(b) is the exact inline-cosine expression, so
-    # results stay bit-identical); __vn was already computed for the
-    # centroid assignment above
+    # results stay bit-identical); both sides reuse the fold the
+    # centroid assignment already paid for
     q_lists = (
         q_scored.withColumn("__r", F.row_number().over(wq))
         .filter(F.col("__r") <= nprobe)
@@ -594,8 +599,7 @@ def ivf_topk(
     if broadcast_queries:
         q_lists = F.broadcast(q_lists)
     scored = (
-        c_lists.withColumn("__nn", _norm(F.col("n_vec")))
-        .join(q_lists, on="centroid_id")
+        c_lists.join(q_lists, on="centroid_id")
         .filter(F.col("neighbor_id") != F.col("query_id"))
         .withColumn(
             "cosine_sim",
