@@ -232,15 +232,25 @@ def perceptual_hash_stub(
         import numpy as np
         import pandas as pd
 
-        cache: dict[bytes, int] = {}
+        # gram-value -> 60-bit md5 hash, keyed on the gram's packed
+        # little-endian integer (x86 byte order == payload byte order,
+        # so reconstructing the bytes for hashlib is exact)
+        cache: dict[int, int] = {}
+        nbytes = gram  # packed-int width in bytes
 
-        def gram_hash(g: bytes) -> int:
-            h = cache.get(g)
-            if h is None:
-                h = int(hashlib.md5(g).hexdigest()[:15], 16)  # 60 bits
-                cache[g] = h
-            return h
+        def hashes_for(uniq: "np.ndarray") -> "np.ndarray":
+            out = np.empty(len(uniq), dtype=np.int64)
+            for i, v in enumerate(uniq):
+                iv = int(v)
+                h = cache.get(iv)
+                if h is None:
+                    g = iv.to_bytes(nbytes, "little")
+                    h = int(hashlib.md5(g).hexdigest()[:15], 16)  # 60 bits
+                    cache[iv] = h
+                out[i] = h
+            return out
 
+        shifts = np.arange(60)
         for pdf in batches:
             out = []
             for doc_id, payload in zip(pdf[id_col], pdf["payload"]):
@@ -249,14 +259,27 @@ def perceptual_hash_stub(
                 if m <= 0:
                     out.append((int(doc_id), None))
                     continue
-                hs = np.fromiter(
-                    (gram_hash(payload[i : i + gram]) for i in range(m)),
-                    dtype=np.int64,
-                    count=m,
-                )
-                # (m, 60) sign matrix in one shot, then column sums
-                bits = (hs[:, None] >> np.arange(60)) & 1
-                acc = (2 * bits - 1).sum(axis=0)
+                # vectorized gram extraction: every length-`gram`
+                # window packed into one integer (md5 runs once per
+                # UNIQUE gram per partition, not once per occurrence —
+                # the old per-slice Python loop paid ~10M hashlib/dict
+                # calls per 5k docs)
+                if gram > 8:  # packed-int path needs the gram in a u64
+                    raise ValueError(
+                        "perceptual_hash_stub supports gram <= 8 bytes"
+                    )
+                a = np.frombuffer(payload, dtype=np.uint8)
+                w = np.lib.stride_tricks.sliding_window_view(a, gram)
+                packed = (
+                    w.astype(np.uint64)
+                    << (np.arange(gram, dtype=np.uint64) * 8)
+                ).sum(axis=1)
+                uniq, counts = np.unique(packed, return_counts=True)
+                hs = hashes_for(uniq)
+                # per-bit signed sums over occurrences: for each bit j,
+                # sum over unique grams of count * (2*bit - 1)
+                bits = (hs[:, None] >> shifts) & 1
+                acc = ((2 * bits - 1) * counts[:, None]).sum(axis=0)
                 ph = 0
                 for j in np.nonzero(acc > 0)[0]:
                     ph |= 1 << int(j)
