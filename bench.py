@@ -58,18 +58,15 @@ HEADLINE = [
     "dedup_semantic",
     "streaming_tableset_ingest",
     "geo_latlng_to_cell_hex",
-    "ann_ivfpq_search_only",
     # round-6 additions: the exact-substring family (the heaviest new
     # dedup path) and the distributed prefix-sum primitive
     "dedup_substring_spans",
-    "dedup_span_excise",
     "events_global_cumsum",
     "text_bigram_surprisal",
     "text_bpe_merge_apply",
     "multimodal_phash_pairs",
     "corpus_clean_pipeline",
     "text_bm25_topk",
-    "text_trigram_backoff",
     # round-6 late additions: iterative/graph + selection families
     "graph_pagerank",
     "ann_kcenter_coreset",
@@ -98,7 +95,6 @@ HEADLINE = [
     "graph_hits",
     "lineitem_copurchase_lift",
     "part_fuzzy_match",
-    "streaming_cdc_upsert",
     "orders_rfm_segments",
     # round-9 addition: the composed curation flagship
     "corpus_curation_e2e",
@@ -208,17 +204,35 @@ def main() -> None:
         timings[name] = round(best, 3)
 
     total = round(sum(timings.values()), 3)
-    print(
-        json.dumps(
-            {
-                "metric": "headline_queries_total",
-                "value": total,
-                "unit": "sec",
-                "queries": timings,
-                "sf": sf,
-            }
-        )
+    payload = {
+        "metric": "headline_queries_total",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "sf": sf,
+    }
+    # FULL precision goes to the file artifact (the correctness sweep's
+    # pattern) — the driver captures only the last 2000 chars of
+    # stdout, which truncated the ms-precision single line in rounds
+    # 9-10 ("parsed": null, tail begins mid-JSON in BENCH_r10.json)
+    out_path = os.environ.get("BENCH_JSON_OUT", "BENCH_LATEST.json")
+    try:
+        with open(out_path, "w") as fh:
+            fh.write(json.dumps(payload) + "\n")
+    except OSError as exc:
+        print(f"bench: could not write {out_path}: {exc}", file=sys.stderr)
+    # the printed line must fit the driver's 2000-char tail window:
+    # compact separators + centisecond precision (min-of-3 host noise
+    # exceeds 10 ms anyway). BUDGET: each headline entry costs ~40
+    # chars — when adding one, retire a redundant one (assert below
+    # fails the bench loudly rather than shipping a truncated line)
+    compact = dict(payload, queries={k: round(v, 2) for k, v in timings.items()})
+    line = json.dumps(compact, separators=(",", ":"))
+    assert len(line) <= 1990, (
+        f"bench stdout line is {len(line)} chars; the driver tail "
+        "window is 2000 — retire a headline entry"
     )
+    print(line)
     spark.stop()
 
 

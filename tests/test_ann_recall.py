@@ -155,7 +155,12 @@ def test_margin_pairs_ivf_recall_floor(corpus, nprobe):
             e, e, n_centroids=16, nprobe=nprobe
         ).collect()
     }
-    # every query lands in some probed list, so coverage stays total
-    assert len(ivf) == len(exact)
+    # coverage can only shrink vs exact: a query whose probed lists
+    # hold fewer than 2 other vectors is dropped by the margin pivot's
+    # cos_top2 IS NOT NULL filter. With this fixture (500 vecs / 16
+    # centroids) every probed list has >= 2 members so coverage is
+    # total in practice, but the operator contract only bounds it
+    assert len(ivf) <= len(exact)
+    assert len(ivf) >= int(0.95 * len(exact)), (len(ivf), len(exact))
     hits = sum(1 for q, n in exact.items() if ivf.get(q) == n)
     assert hits >= FLOOR_MARGIN_TOP1[nprobe], (nprobe, hits)

@@ -50,6 +50,13 @@ def _stable_tmpdir(prefix: str, sf_dir: str) -> str:
     sequential by protocol (docs/SCALE.md bench rules), so no two
     invocations race on the same path.
 
+    The key is namespaced by uid + repo root so two checkouts (or two
+    users on a shared host) keyed on the same sf_dir never collide on
+    one path — a foreign run's rmtree would otherwise corrupt this
+    run's lazily-read gate output. A failed cleanup (e.g. stale
+    foreign-owned files surviving an earlier non-namespaced layout)
+    raises instead of silently mixing stale shards into the result.
+
     CONTRACT: re-invoking a gate INVALIDATES any still-unconsumed
     DataFrame the previous invocation returned over this directory
     (the files back it lazily). Every harness here — correctness,
@@ -61,9 +68,16 @@ def _stable_tmpdir(prefix: str, sf_dir: str) -> str:
     import shutil
     import tempfile
 
-    key = hashlib.md5(sf_dir.encode()).hexdigest()[:12]
+    repo_root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    ns = f"{os.getuid()}:{repo_root}:{sf_dir}"
+    key = hashlib.md5(ns.encode()).hexdigest()[:12]
     path = os.path.join(tempfile.gettempdir(), f"{prefix}{key}")
     shutil.rmtree(path, ignore_errors=True)
+    if os.path.isdir(path) and os.listdir(path):
+        raise RuntimeError(
+            f"_stable_tmpdir: {path} is non-empty after rmtree — foreign "
+            "files present; refusing to mix stale shards into gate output"
+        )
     os.makedirs(path, exist_ok=True)
     return path
 

@@ -6868,7 +6868,7 @@ def q_embedding_margin_pairs_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-_MARGIN_IVF_CENTROIDS: dict[tuple[int, str], "DataFrame"] = {}
+_MARGIN_IVF_CENTROIDS: dict[tuple[str, str], "DataFrame"] = {}
 
 
 def q_embedding_margin_pairs_ivf_bench(
@@ -6881,9 +6881,10 @@ def q_embedding_margin_pairs_ivf_bench(
     scoring + margin pivot, not the k-means driver loop. Same
     mining parameters as the gate; exact_mean off (scale path)."""
     e = _embs(spark, sf_dir)
-    # cache key includes the session: a DataFrame handle dies with its
-    # SparkContext, so a recreated session must retrain
-    key = (id(spark), sf_dir)
+    # cache key includes the session via applicationId (session-stable,
+    # never reused after GC the way id() can be): a DataFrame handle
+    # dies with its SparkContext, so a recreated session must retrain
+    key = (spark.sparkContext.applicationId, sf_dir)
     cent = _MARGIN_IVF_CENTROIDS.get(key)
     if cent is None:
         # kmeans_fit already returns a driver-local relation (its last

@@ -225,6 +225,13 @@ def perceptual_hash_stub(
     differ from char grams by design: media payloads are bytes.)
     Arrow-batched ``mapInPandas`` with a per-partition gram-hash
     cache; swapping in a real DCT pHash is a one-function change."""
+    if not 1 <= gram <= 8:
+        # validate on the driver: the packed-int gram path needs the
+        # gram to fit a u64, and failing here beats a late worker
+        # traceback (or no failure at all on short-payload partitions)
+        raise ValueError(
+            f"perceptual_hash_stub supports 1 <= gram <= 8 bytes, got {gram}"
+        )
 
     def hash_batches(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
         import hashlib
@@ -264,10 +271,6 @@ def perceptual_hash_stub(
                 # UNIQUE gram per partition, not once per occurrence —
                 # the old per-slice Python loop paid ~10M hashlib/dict
                 # calls per 5k docs)
-                if gram > 8:  # packed-int path needs the gram in a u64
-                    raise ValueError(
-                        "perceptual_hash_stub supports gram <= 8 bytes"
-                    )
                 a = np.frombuffer(payload, dtype=np.uint8)
                 w = np.lib.stride_tricks.sliding_window_view(a, gram)
                 packed = (

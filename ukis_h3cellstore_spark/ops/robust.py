@@ -60,11 +60,16 @@ def range_tiebreaker(df: DataFrame, range_tiebreak=None) -> Column:
     this package is tie-order independent or passes its own unique
     tiebreak in ``order_cols``).
 
-    Callers with a natural row id should pass it; the default is
-    ``xxhash64`` over the FIRST 16 columns of the frame — bounded cost
-    on arbitrarily wide tables (the pre-round-9 default hashed EVERY
-    column) while remaining a pure function of row content, so a
-    retried map task recomputes the SAME partition assignment.
+    Callers with a natural row id should pass it (the
+    ``range_tiebreak`` argument is the documented escape hatch — use
+    it on frames dominated by byte-identical rows, where ANY
+    content hash collides by construction). The default is
+    ``xxhash64`` over 16 columns chosen NARROWEST-FIRST (fixed-width
+    primitives, then strings, then binary/nested) — bounded cost on
+    arbitrarily wide tables without paying full-row hashing of wide
+    text/array columns when cheap discriminating primitives exist —
+    while remaining a pure function of row content, so a retried map
+    task recomputes the SAME partition assignment.
     ``monotonically_increasing_id()`` (the brief round-9 default) is
     NOT retry-stable: under shuffle-fetch-failure recovery a re-run
     map task mints different ids, so tie rows can migrate between
@@ -97,17 +102,38 @@ def range_tiebreaker(df: DataFrame, range_tiebreak=None) -> Column:
             return all(hashable(f.dataType) for f in dt.fields)
         return True
 
+    def width_class(dt) -> int:
+        # narrow fixed-width primitives hash cheapest and discriminate
+        # as well as anything; wide text/array columns are last resort
+        from pyspark.sql import types as T
+
+        if isinstance(
+            dt,
+            (
+                T.ByteType, T.ShortType, T.IntegerType, T.LongType,
+                T.FloatType, T.DoubleType, T.DecimalType, T.BooleanType,
+                T.DateType, T.TimestampType, T.TimestampNTZType,
+            ),
+        ):
+            return 0
+        if isinstance(dt, T.StringType):
+            return 1
+        return 2  # binary / array / struct
+
     # backtick-quoted references keep dotted column names literal; the
     # hashable filter keeps map-bearing frames working — they hash
-    # whatever non-map columns exist instead of raising at plan time
+    # whatever non-map columns exist instead of raising at plan time.
+    # Stable sort: narrowest class first, schema order within a class.
+    fields = sorted(
+        (f for f in df.schema.fields if hashable(f.dataType)),
+        key=lambda f: width_class(f.dataType),
+    )
     cols = [
-        F.col("`" + f.name.replace("`", "``") + "`")
-        for f in df.schema.fields
-        if hashable(f.dataType)
+        F.col("`" + f.name.replace("`", "``") + "`") for f in fields[:16]
     ]
     if not cols:
         return F.lit(0)  # nothing hashable: no splitting, but no crash
-    return F.xxhash64(*cols[:16])
+    return F.xxhash64(*cols)
 
 
 def grouped_rank(
