@@ -87,6 +87,16 @@ def _engine_sql(schema: CompactedTableSchema) -> str:
         return f"SummingMergeTree({', '.join(schema.summing_columns)})"
     if schema.table_engine is TableEngine.AGGREGATING:
         return "AggregatingMergeTree"
+    if schema.version_column:
+        # ClickHouse ReplacingMergeTree(ver[, is_deleted]) — the
+        # keep-max-version CDC merge (beyond-reference extension; the
+        # reference's mod.rs:314-320 emits only the bare name)
+        if schema.deleted_column:
+            return (
+                f"ReplacingMergeTree({schema.version_column}, "
+                f"{schema.deleted_column})"
+            )
+        return f"ReplacingMergeTree({schema.version_column})"
     return "ReplacingMergeTree"
 
 

@@ -315,6 +315,15 @@ class CompactedTableSchema:
     name: str
     table_engine: TableEngine = TableEngine.REPLACING
     summing_columns: list[str] = field(default_factory=list)
+    #: ClickHouse ``ReplacingMergeTree(ver[, is_deleted])`` semantics —
+    #: a beyond-reference extension (the reference's engine enum,
+    #: other.rs:11-22, carries no version parameter): duplicates on the
+    #: sort key keep the row with the maximal version instead of
+    #: full-row dedup. ``deleted_column`` marks CDC tombstones: the
+    #: winning row stays in the table (so a late lower-version update
+    #: cannot resurrect the key) and coarser-level rollups exclude it.
+    version_column: str | None = None
+    deleted_column: str | None = None
     compression_method: CompressionMethod = field(
         default_factory=lambda: CompressionMethod("ZSTD", 6)
     )
@@ -441,6 +450,33 @@ class CompactedTableSchema:
             for col in self.summing_columns:
                 if col not in self.columns:
                     raise SchemaError(f"SummingMergeTree column {col!r} not in schema")
+        if self.version_column is not None:
+            if self.table_engine is not TableEngine.REPLACING:
+                raise SchemaError(
+                    "version_column requires the ReplacingMergeTree engine"
+                )
+            cd = self.columns.get(self.version_column)
+            if cd is None:
+                raise SchemaError(
+                    f"version column {self.version_column!r} not in schema"
+                )
+            if cd.kind == "h3index" or cd.order_key_position is not None:
+                raise SchemaError(
+                    "version column must not be part of the sort key"
+                )
+        if self.deleted_column is not None:
+            if self.version_column is None:
+                # ClickHouse enforces the same: is_deleted only with ver
+                raise SchemaError("deleted_column requires version_column")
+            cd = self.columns.get(self.deleted_column)
+            if cd is None:
+                raise SchemaError(
+                    f"deleted column {self.deleted_column!r} not in schema"
+                )
+            if cd.kind == "h3index" or cd.order_key_position is not None:
+                raise SchemaError(
+                    "deleted column must not be part of the sort key"
+                )
         for name, cd in self.columns.items():
             if cd.kind == "aggregated" and not cd.aggregation.is_applicable_to(
                 cd.datatype, cd.nullable
@@ -478,6 +514,8 @@ class CompactedTableSchema:
             "name": self.name,
             "table_engine": self.table_engine.value,
             "summing_columns": self.summing_columns,
+            "version_column": self.version_column,
+            "deleted_column": self.deleted_column,
             "compression_method": self.compression_method.to_json(),
             "h3_base_resolutions": sorted(self.h3_base_resolutions),
             "use_compaction": self.use_compaction,
@@ -516,6 +554,8 @@ class CompactedTableSchema:
             name=d["name"],
             table_engine=TableEngine(d["table_engine"]),
             summing_columns=d.get("summing_columns", []),
+            version_column=d.get("version_column"),
+            deleted_column=d.get("deleted_column"),
             compression_method=CompressionMethod.from_json(d["compression_method"]),
             h3_base_resolutions=list(d["h3_base_resolutions"]),
             use_compaction=d["use_compaction"],
@@ -545,9 +585,20 @@ class CompactedTableSchemaBuilder:
     def __init__(self, name: str):
         self._schema = CompactedTableSchema(name=name)
 
-    def table_engine(self, engine: str, summing_columns: list[str] | None = None):
+    def table_engine(
+        self,
+        engine: str,
+        summing_columns: list[str] | None = None,
+        version_column: str | None = None,
+        deleted_column: str | None = None,
+    ):
+        """``version_column``/``deleted_column`` select ClickHouse's
+        ``ReplacingMergeTree(ver[, is_deleted])`` keep-max-version
+        merge — the CDC-apply engine (beyond-reference extension)."""
         self._schema.table_engine = TableEngine(engine)
         self._schema.summing_columns = summing_columns or []
+        self._schema.version_column = version_column
+        self._schema.deleted_column = deleted_column
         return self
 
     def compression_method(self, name: str, level: int | None = None):

@@ -502,6 +502,202 @@ class CellStore:
                 sc.setJobGroup("", "")
             self._insert_job_group = None
 
+    # ------------------------------------------------------------ CDC upsert
+
+    def upsert_h3dataframe_into_tableset(
+        self,
+        schema: CompactedTableSchema,
+        df: DataFrame,
+        h3index_column: str | None = None,
+        options: InsertOptions | None = None,
+    ) -> None:
+        """CDC apply into a MUTABLE tableset pyramid — the Debezium →
+        lakehouse → H3 shape (beyond-reference; mirrors ClickHouse's
+        public ``ReplacingMergeTree(ver, is_deleted)`` + dependent-
+        rollup refresh pattern).
+
+        ``df`` holds per-key WINNERS at the tableset's max resolution —
+        one row per cell, e.g. a micro-batch of
+        :func:`~ukis_h3cellstore_spark.streaming.cdc_upsert_jvm`
+        output. The pipeline:
+
+        1. base level: append + partition-scoped keep-max-version merge
+           (``_apply_engine_merge``'s versioned Replacing branch), so
+           the base table converges to the latest row per cell with
+           tombstones retained;
+        2. every coarser base resolution: the TOUCHED coarse partitions
+           are recomputed from the post-merge base live view
+           (``deleted_column = false``) and replaced via dynamic
+           partition overwrite — incremental materialized-view
+           maintenance, never a full-pyramid rebuild.
+
+        Correctness across micro-batches: the last batch that touches a
+        coarse partition recomputes it from every child's FINAL base
+        row (no later batch touches those children), so the final
+        pyramid is independent of how changes split across batches —
+        the same batch-split invariance the Sum ingest path gets from
+        associativity, achieved here by recomputation because
+        keep-max-version aggregates do not compose across partial
+        views. At scale the rewrite cost per batch is proportional to
+        the touched key-space, the same envelope as the reference's
+        partition-scoped ``OPTIMIZE ... PARTITION`` (O11,
+        optimize.rs:20-113).
+
+        Restrictions (validated): ``ReplacingMergeTree`` with a
+        ``version_column``; compaction disabled (a compacted parent
+        cell would be indistinguishable from a parent-level key,
+        breaking per-key replacement); H3-only partitioning (no
+        temporal/custom partition columns)."""
+        options = options or InsertOptions()
+        schema.validate()
+        if (
+            schema.table_engine is not TableEngine.REPLACING
+            or not schema.version_column
+        ):
+            raise SchemaError(
+                "upsert requires ReplacingMergeTree with a version_column"
+            )
+        if schema.compaction_enabled:
+            raise SchemaError(
+                "upsert requires use_compacted_resolutions(False)"
+            )
+        if schema.temporal_partition_column() or schema.partition_by_columns:
+            raise SchemaError(
+                "upsert supports H3-only partitioning (no temporal or "
+                "custom partition columns)"
+            )
+        h3name = schema.h3index_column()
+        if h3index_column and h3index_column != h3name:
+            df = df.withColumnRenamed(h3index_column, h3name)
+        target = schema.spark_schema()
+        df = df.select(
+            *[F.col(f.name).cast(f.dataType) for f in target.fields]
+        )
+        if options.create_schema and not self.tableset_exists(schema.name):
+            self.create_tableset(schema)
+        max_res = schema.max_h3_resolution
+        df = df.persist()
+        try:
+            stats = df.select(
+                F.count(F.lit(1)).alias("n"),
+                F.min(hx.h3_get_resolution(F.col(h3name))).alias("lo"),
+                F.max(hx.h3_get_resolution(F.col(h3name))).alias("hi"),
+            ).collect()[0]
+            if stats["n"] == 0:
+                return
+            if stats["lo"] != max_res or stats["hi"] != max_res:
+                raise SchemaError(
+                    "upsert rows must all be at the tableset's max "
+                    f"resolution {max_res} (found {stats['lo']}..{stats['hi']})"
+                )
+            batch_rows = stats["n"] if self.auto_partitioning else None
+            base_meta = ResolutionMetadata(max_res, False)
+            existed = os.path.isdir(self._table_path(schema.name, base_meta))
+            self._write_table(
+                schema,
+                base_meta,
+                self._apply_engine_merge(schema, df),
+                options,
+                batch_rows,
+            )
+            if existed and options.deduplicate_after_insert:
+                mode = self._table_mode(schema, base_meta)
+                pdf = self._with_partition_columns(schema, df, max_res, mode)
+                touched = pdf.select("h3part").distinct().collect()
+                self.deduplicate_tableset(
+                    schema.name, [base_meta], {base_meta: touched}
+                )
+            for tres in sorted(
+                (r for r in schema.h3_base_resolutions if r != max_res),
+                reverse=True,
+            ):
+                self._refresh_coarse_level(
+                    schema, df, base_meta, tres, batch_rows
+                )
+        finally:
+            df.unpersist()
+
+    def _refresh_coarse_level(
+        self,
+        schema: CompactedTableSchema,
+        batch: DataFrame,
+        base_meta: ResolutionMetadata,
+        tres: int,
+        batch_rows: int | None,
+    ) -> None:
+        """Recompute one coarser base level from the post-merge finest
+        base table's live view — every coarse level derives DIRECTLY
+        from the finest rows (not chained), so order-sensitive
+        aggregates (Average) see the true leaf population."""
+        h3name = schema.h3index_column()
+        meta = ResolutionMetadata(tres, False)
+        path = self._table_path(schema.name, meta)
+        mode = self._table_mode(schema, meta, batch_rows)
+        live = self.read_table(schema, base_meta).drop("h3part", "tpart")
+        if schema.deleted_column:
+            live = live.filter(~F.col(schema.deleted_column).cast("boolean"))
+        sort_cols = schema.sort_key()
+        if mode == "global":
+            # single-directory table: full recompute + atomic swap
+            rolled = rollup.rollup_level(schema, live, base_meta.resolution, tres)
+            out = self._with_partition_columns(schema, rolled, tres, mode)
+            tmp = path + "__upsert_tmp"
+            (
+                out.repartition(F.col("h3part"))
+                .sortWithinPartitions(*sort_cols)
+                .write.mode("overwrite")
+                .partitionBy("h3part")
+                .parquet(tmp)
+            )
+            if os.path.isdir(path):
+                shutil.rmtree(path)
+            os.rename(tmp, path)
+            self._mode_cache.pop(self._mode_path(schema.name, meta), None)
+            self._record_table_mode(schema, meta, mode)
+            return
+        # coarse partition value, computable from a CHILD cell directly
+        # (partition parents compose through the resolution chain)
+        def cpart(col):
+            if schema.h3_partitioning.kind == "basecell":
+                return hx.h3_get_base_cell(col)
+            diff = schema.h3_partitioning.resolution_difference
+            return hx.h3_to_parent(col, max(tres - diff, 0))
+
+        touched_vals = [
+            r["p"]
+            for r in batch.select(cpart(F.col(h3name)).alias("p"))
+            .distinct()
+            .collect()
+        ]
+        # pre-filter BEFORE the rollup aggregation: only touched coarse
+        # partitions' children participate (partition-scoped refresh)
+        live = live.filter(cpart(F.col(h3name)).isin(touched_vals))
+        rolled = rollup.rollup_level(schema, live, base_meta.resolution, tres)
+        out = (
+            self._with_partition_columns(schema, rolled, tres, mode)
+            .repartition(F.col("h3part"))
+            .sortWithinPartitions(*sort_cols)
+            .persist()
+        )
+        try:
+            present = {r["h3part"] for r in out.select("h3part").distinct().collect()}
+            # tombstone-only partitions produce no recomputed rows —
+            # dynamic overwrite would leave their stale files in place
+            for v in set(touched_vals) - present:
+                pdir = os.path.join(path, f"h3part={v}")
+                if os.path.isdir(pdir):
+                    shutil.rmtree(pdir)
+            if present:
+                (
+                    out.write.mode("overwrite")
+                    .option("partitionOverwriteMode", "dynamic")
+                    .partitionBy("h3part")
+                    .parquet(path)
+                )
+            self._record_table_mode(schema, meta, mode)
+        finally:
+            out.unpersist()
+
     def cancel_insert(self) -> None:
         """Cancel a running insert from another thread (reference
         cooperative abort, insert.rs:75-87: the Python side polls
@@ -682,6 +878,47 @@ class CellStore:
             if not aggs:
                 return df.dropDuplicates()
             return df.groupBy(*keys).agg(*aggs).select(*df.columns)
+        if (
+            schema.table_engine is TableEngine.REPLACING
+            and schema.version_column
+            and schema.version_column in df.columns
+        ):
+            # ReplacingMergeTree(ver[, is_deleted]) semantics: rows
+            # sharing the sort key keep the MAX-version row. ClickHouse
+            # leaves version ties engine-arbitrary; here the remaining
+            # columns break ties lexicographically so the merge is a
+            # deterministic pure function of the row set (the same
+            # strengthening the Summing path documents above). The
+            # deleted column ranks second so a tombstone wins a version
+            # tie — a delete at version v beats an update at version v,
+            # matching the cdc_upsert argmax (streaming.py).
+            part_cols = [
+                c for c in self._partition_columns(schema) if c in df.columns
+            ]
+            keys = list(
+                dict.fromkeys(
+                    [c for c in schema.sort_key() if c in df.columns]
+                    + part_cols
+                )
+            )
+            ver = schema.version_column
+            rest = [schema.deleted_column] if (
+                schema.deleted_column and schema.deleted_column in df.columns
+            ) else []
+            rest += sorted(
+                c for c in df.columns if c not in keys and c != ver
+                and c not in rest
+            )
+            merged = (
+                df.groupBy(*keys)
+                .agg(F.max(F.struct(ver, *rest)).alias("__w"))
+                .select(
+                    *keys,
+                    F.col(f"__w.{ver}").alias(ver),
+                    *[F.col(f"__w.{c}").alias(c) for c in rest],
+                )
+            )
+            return merged.select(*df.columns)
         # Replacing / Aggregating: full-row dedup (OPTIMIZE DEDUPLICATE parity)
         return df.dropDuplicates()
 

@@ -588,6 +588,39 @@ def cdc_upsert(
     )
 
 
+def cdc_apply_into_tableset(
+    store,
+    schema,
+    upsert_stream: DataFrame,
+    checkpoint_dir: str,
+    trigger_available_now: bool = False,
+):
+    """Compose the CDC family into the CellStore: a streaming upsert
+    (the UPDATE-mode output of :func:`cdc_upsert_jvm` /
+    :func:`cdc_upsert`, columns ``(h3index, version, deleted, ...)``
+    named per ``schema``) materializes a MUTABLE tableset pyramid —
+    the Debezium → lakehouse → H3 shape. Every micro-batch delivers
+    one winner row per key updated in that batch;
+    ``store.upsert_h3dataframe_into_tableset`` merges it keep-max-
+    version into the base level and refreshes the touched coarse
+    partitions from the post-merge live view, so the final pyramid is
+    micro-batch-split independent. Returns the StreamingQuery."""
+
+    def _sink(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        store.upsert_h3dataframe_into_tableset(schema, batch_df)
+
+    writer = (
+        upsert_stream.writeStream.foreachBatch(_sink)
+        .option("checkpointLocation", checkpoint_dir)
+        .outputMode("update")
+    )
+    if trigger_available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
+
+
 def cdc_upsert_jvm(
     stream: DataFrame,
     key_col: str,
