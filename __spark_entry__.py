@@ -21,64 +21,75 @@ from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
 
-# ROUND-10 ROTATION (computed by `python tools/rotation.py --python`):
-# tier 1 = the 3 round-10 additions (never driver-sampled), then
-# the full 47-gate r5-aged cohort — the registry's oldest
-# driver-green set, which would breach the <=4-round
-# re-verification bound in round 10 otherwise.
+# ROUND-11 ROTATION (computed by `python tools/rotation.py --python`):
+# tier 1 = the 1 round-11 addition (never driver-sampled) + the 3
+# gates that breached driver-age 5 in round 10 (the r5-aged streaming
+# trio the rotation slots couldn't fit), then the oldest r6-aged
+# cohort filling the 50 head slots (46 of 50; the remaining 4 lead
+# round 12).
+#
+# PROTOCOL (round-11 decision, per the round-10 verdict): at 253+
+# gates / 50 driver slots a <=4-round re-verification bound is
+# arithmetically impossible (253/50 = 5.06 rounds per full cycle).
+# The bound is now **<=6 rounds driver-age** — enforced by
+# `tools/rotation.py --check` — with the full-registry local sweep
+# (CORRECTNESS_LOCAL_r{N} at sf0.01 AND sf0.1, every gate, every
+# round) as the compensating control. New-gate budget per round must
+# satisfy: new + oldest-cohort-size <= 50, else the cohort ages one
+# extra round toward the bound.
 _PRIORITY = [
     # tier 1 — never driver-sampled
-    "multimodal_curation_e2e",
-    "embedding_margin_pairs_ivf",
-    "streaming_cdc_upsert_jvm",
+    "streaming_cdc_tableset",
     # tier 2 — oldest driver-green first
-    "q1_pricing_summary",
-    "q3_shipping_priority",
-    "q5_region_nation_revenue",
-    "q6_forecast_revenue",
-    "q4_order_priority",
-    "q18_large_orders",
-    "q11_important_suppliers",
-    "q20_dominant_suppliers",
-    "pipeline_join_tablesets",
-    "source_zordered_scan",
-    "events_window_ntile",
-    "events_grouping_sets",
-    "corpus_dsir_weights",
-    "dedup_semantic",
-    "dedup_ngram_jaccard",
-    "dedup_minhash_signatures",
-    "dedup_minhash_lsh_pairs",
-    "dedup_simhash",
-    "dedup_simhash_groups",
-    "dedup_simhash_hamming",
-    "ann_cosine_top3",
-    "ann_ivf_top3",
-    "ann_lsh_top3",
-    "embedding_dup_pairs",
-    "multimodal_decode_meta",
-    "corpus_curation",
-    "corpus_split_counts",
-    "pack_documents",
-    "packing_stats",
-    "corpus_mixture",
-    "text_scrub_pii",
-    "corpus_training_mix",
-    "dedup_cluster_resolve",
-    "corpus_decontaminate",
-    "text_vocab_top50",
-    "text_repetition",
-    "pipeline_traversal",
-    "pipeline_traversal_prefiltered",
-    "pipeline_traverse_apply",
-    "pipeline_tableset_stats",
-    "geo_grid_disk",
-    "geo_latlng_to_cell_hex",
-    "geo_cell_centers_hex",
-    "events_hex_parent_rollup",
-    "geo_polyfill_hex",
-    "pipeline_hex_ingest_query",
-    "raster_ingest",
+    "streaming_stateful_accumulator",
+    "streaming_tableset_ingest",
+    "streaming_windowed_rollup",
+    "q7_nation_trade_volume",
+    "q8_market_share",
+    "q10_returned_customers",
+    "q15_top_suppliers",
+    "q19_bracket_revenue",
+    "q13_order_count_distribution",
+    "q14_promo_revenue_share",
+    "q16_supplier_part_counts",
+    "q17_small_quantity_revenue",
+    "q22_idle_rich_customers",
+    "events_hourly_window",
+    "events_sessionize",
+    "events_asof_join",
+    "events_asof_forward",
+    "events_percentiles",
+    "events_cube_counts",
+    "events_range_join",
+    "events_salted_join",
+    "events_cohort_retention",
+    "events_funnel",
+    "events_global_cumsum",
+    "text_cms_heavy_hitters",
+    "graph_pagerank",
+    "ann_kcenter_coreset",
+    "corpus_bloom_decontaminate",
+    "events_hll_sketch",
+    "corpus_snapshot_diff",
+    "corpus_domain_cap",
+    "events_fleiss_kappa",
+    "text_bm25_topk",
+    "ann_hamming_top3",
+    "text_trigram_backoff",
+    "dedup_keep_best",
+    "text_tfidf_topk",
+    "dedup_substring_spans",
+    "dedup_segments",
+    "text_c4_filter",
+    "dedup_span_excise",
+    "text_bpe_pairs",
+    "corpus_quality_auc",
+    "multimodal_phash_pairs",
+    "text_bpe_merge_apply",
+    "text_bigram_surprisal",
+    "corpus_clean_pipeline",
+    "corpus_resampled_mix",
+    "ann_hard_negatives",
 ]
 
 

@@ -102,6 +102,8 @@ HEADLINE = [
     "streaming_cdc_upsert_jvm",
     "multimodal_curation_e2e",
     "embedding_margin_pairs_ivf",
+    # round-11 addition: the CDC→mutable-tableset composition
+    "streaming_cdc_tableset",
 ]
 
 #: bench-only implementations: same operator, scale-path configuration

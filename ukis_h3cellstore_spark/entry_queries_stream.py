@@ -1168,6 +1168,102 @@ def q_streaming_cdc_upsert_jvm_bench(
     )
 
 
+def q_streaming_cdc_tableset(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The CDC composition flagship of the streaming family: change
+    stream → :func:`streaming.cdc_upsert_jvm` (pure-JVM last-writer-
+    wins state) → :func:`streaming.cdc_apply_into_tableset` (per
+    micro-batch, keep-max-version merge into a MUTABLE tableset via
+    ``ReplacingMergeTree(ver, is_deleted)`` semantics + touched-
+    partition refresh of the res-4 rollup from the post-merge live
+    view) — the Debezium → lakehouse → H3 pyramid shape. The events
+    table replays as the change feed: each res-6 cell (synthesized
+    from user_id, so every cell receives ~67 versioned changes) is a
+    mutable key; event_id is the LSN; 'click' rows are deletes. The
+    oracle recomputes the final pyramid relationally: per-cell argmax
+    by seq, tombstones dropped, live rows rolled to res 4 (Sum cents,
+    Max seq). Matching hashes prove the WHOLE composition — JVM CDC
+    state, versioned engine merge, and incremental rollup refresh —
+    is micro-batch-split independent."""
+    from ukis_h3cellstore_spark import CellStore, CompactedTableSchemaBuilder
+    from ukis_h3cellstore_spark import streaming as _st
+    from ukis_h3cellstore_spark.entry_queries import _cents, _synth_py
+    from ukis_h3cellstore_spark.h3 import cells as _h3c
+
+    schema = (
+        CompactedTableSchemaBuilder("cdc_state")
+        .h3_base_resolutions([4, 6])
+        .use_compacted_resolutions(False)
+        .add_h3index_column()
+        .add_aggregated_column("last_seq", "UInt64", "Max")
+        .add_aggregated_column("is_deleted", "UInt8", "Min")
+        .add_aggregated_column("last_value", "Int64", "Sum")
+        .table_engine(
+            "ReplacingMergeTree",
+            version_column="last_seq",
+            deleted_column="is_deleted",
+        )
+        .build()
+    )
+    src = _events(spark, sf_dir).select(
+        _synth_col("user_id", 6).alias("h3index"),
+        F.col("event_id").alias("seq"),
+        (F.col("event_type") == "click").alias("is_del"),
+        _cents(F.col("value")).alias("cents"),
+    )
+    stream_dir = _stable_tmpdir("cdc_ts_src_", sf_dir)
+    src.repartition(8).write.mode("overwrite").parquet(stream_dir)
+    stream = st.read_stream(
+        spark, stream_dir, src.schema, max_files_per_trigger=2
+    )
+    upsert = st.cdc_upsert_jvm(stream, "h3index", "seq", "is_del", "cents")
+    store = CellStore(spark, _stable_tmpdir("cdc_ts_wh_", sf_dir))
+    q = _st.cdc_apply_into_tableset(
+        store,
+        schema,
+        upsert,
+        checkpoint_dir=_stable_tmpdir("cdc_ts_ckpt_", sf_dir),
+        trigger_available_now=True,
+    )
+    _await_done(q)
+    parents = sorted(
+        {_h3c.cell_to_parent(_synth_py(i, 6), 4) for i in range(128)}
+    )
+    out = store.query_tableset_cells("cdc_state", parents, 4)
+    return out.df.select(
+        "h3index",
+        F.col("last_seq").cast("long").alias("last_seq"),
+        F.col("last_value").cast("long").alias("last_value"),
+    )
+
+
+def _q_streaming_cdc_tableset_sql() -> str:
+    from ukis_h3cellstore_spark.entry_queries import _synth_py
+    from ukis_h3cellstore_spark.h3 import cells as _h3c
+
+    cell = sg.synth_cell("user_id", 6, DUCK)
+    parents = sorted(
+        {_h3c.cell_to_parent(_synth_py(i, 6), 4) for i in range(128)}
+    )
+    plist = ", ".join(str(p) for p in parents)
+    parent4 = sg.to_parent("cell", 4, DUCK)
+    return f"""
+WITH c AS (SELECT {cell} AS cell, event_id AS seq,
+                  (event_type = 'click') AS is_del,
+                  CAST(round(value*100) AS BIGINT) AS cents
+           FROM events),
+w AS (SELECT cell, seq, is_del, cents,
+             row_number() OVER (PARTITION BY cell ORDER BY seq DESC) AS rn
+      FROM c),
+live AS (SELECT * FROM w WHERE rn = 1 AND NOT is_del)
+SELECT {parent4} AS h3index,
+       CAST(MAX(seq) AS BIGINT) AS last_seq,
+       CAST(SUM(cents) AS BIGINT) AS last_value
+FROM live
+WHERE {parent4} IN ({plist})
+GROUP BY 1
+"""
+
+
 def q_streaming_psi_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Streaming drift monitor (ops/report.py:psi_from_counts): the
     documents table replayed as a stream, token counts binned map-side
@@ -1240,6 +1336,7 @@ QUERIES_STREAM: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "streaming_novelty": q_streaming_novelty,
     "streaming_cdc_upsert": q_streaming_cdc_upsert,
     "streaming_cdc_upsert_jvm": q_streaming_cdc_upsert_jvm,
+    "streaming_cdc_tableset": q_streaming_cdc_tableset,
     "streaming_psi_drift": q_streaming_psi_drift,
     "streaming_robust_score": q_streaming_robust_score,
     "streaming_ttl_dedup": q_streaming_ttl_dedup,
@@ -1260,6 +1357,7 @@ ORACLES_STREAM: dict[str, str] = {
     "streaming_novelty": _Q_STREAMING_NOVELTY_SQL,
     "streaming_cdc_upsert": _Q_STREAMING_CDC_UPSERT_SQL,
     "streaming_cdc_upsert_jvm": _Q_STREAMING_CDC_UPSERT_SQL,
+    "streaming_cdc_tableset": _q_streaming_cdc_tableset_sql(),
     "streaming_psi_drift": _Q_STREAMING_PSI_SQL,
     "streaming_robust_score": _Q_STREAMING_ROBUST_SCORE_SQL,
     "streaming_ttl_dedup": _Q_STREAMING_TTL_DEDUP_SQL,

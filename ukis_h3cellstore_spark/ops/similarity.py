@@ -51,6 +51,62 @@ def _dot(a: Column, b: Column) -> Column:
     )
 
 
+#: dims at and above which the Arrow-batched numpy scorer beats the
+#: JVM higher-order-function fold in the IVF scoring join (measured
+#: round 11, docs/SCALE.md: the HOF fold costs ~linear-in-dims per
+#: pair while the numpy batch amortizes to near-constant overhead;
+#: crossover sits well under 128 but the fold keeps plans pure-JVM,
+#: so low-dim defaults stay on it).
+ARROW_SCORER_MIN_DIMS = 128
+
+
+def _cosine_arrow(q_vec: Column, n_vec: Column, q_norm: Column, n_norm: Column) -> Column:
+    """Arrow-batched cosine for the candidate-scoring hot loop: one
+    vectorized numpy row-wise dot per Arrow batch instead of a per-row
+    JVM fold. Semantics match the HOF form (NULL on zero norm); exact
+    float equality is NOT guaranteed — numpy's blocked summation
+    reorders the adds — so oracle-checked gates keep the sequential
+    fold and this path serves high-dim scale runs (the same columnar
+    philosophy as the reference's Arrow-IPC data plane, lib.rs).
+    The result is deterministic for a given input (blocked order is
+    fixed), so determinism sweeps hold on this path too."""
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("double")
+    def _cos(q, n, a, b):
+        import numpy as np
+        import pandas as pd
+
+        if not len(q):
+            return pd.Series([], dtype="float64")
+        qa = np.stack(q.to_numpy()).astype(np.float64, copy=False)
+        na = np.stack(n.to_numpy()).astype(np.float64, copy=False)
+        dots = np.einsum("ij,ij->i", qa, na)
+        denom = a.to_numpy(dtype=np.float64) * b.to_numpy(dtype=np.float64)
+        out = pd.array(
+            np.divide(dots, denom, out=np.zeros_like(dots), where=denom != 0),
+            dtype="Float64",
+        )
+        out[denom == 0] = pd.NA
+        return pd.Series(out, dtype="Float64")
+
+    return _cos(q_vec, n_vec, q_norm, n_norm)
+
+
+def _resolve_scorer(scorer: str, queries: DataFrame, vec_col: str) -> bool:
+    """True = use the Arrow scorer. 'auto' peeks at one query vector's
+    length (a LIMIT-1 job, metadata-sized) and applies the measured
+    dims threshold."""
+    if scorer == "arrow":
+        return True
+    if scorer == "hof":
+        return False
+    if scorer != "auto":
+        raise ValueError(f"scorer must be 'auto'|'hof'|'arrow', got {scorer!r}")
+    row = queries.select(F.size(F.col(vec_col)).alias("d")).first()
+    return bool(row) and (row["d"] or 0) >= ARROW_SCORER_MIN_DIMS
+
+
 def _norm(a: Column) -> Column:
     return F.sqrt(
         F.aggregate(
@@ -516,6 +572,7 @@ def ivf_topk(
     train_iters: int = 2,
     exact_mean: bool = False,
     broadcast_queries: bool = True,
+    scorer: str = "auto",
 ) -> DataFrame:
     """IVF ANN: the corpus is partitioned into inverted lists by
     nearest k-means centroid; each query probes its ``nprobe`` nearest
@@ -533,7 +590,17 @@ def ivf_topk(
     posture. Pass ``False`` when the query side is CORPUS-SIZED
     (corpus-vs-corpus mining, :func:`margin_pairs_ivf`): the scoring
     join then shuffles BOTH sides on centroid_id — each side moves
-    once, no driver-sized broadcast."""
+    once, no driver-sized broadcast.
+
+    ``scorer`` picks the candidate-pair cosine implementation:
+    ``'hof'`` = the sequential JVM fold (bit-reproducible by the SQL
+    oracle — what gates use); ``'arrow'`` = the vectorized numpy
+    pandas-UDF (one honest pandas node in the plan; ~10× at 256+
+    dims, docs/SCALE.md); ``'auto'`` (default) = arrow at
+    ``ARROW_SCORER_MIN_DIMS``+ dims, else hof. Centroid assignment
+    and list probing always stay on the JVM fold — they run once per
+    VECTOR, not once per candidate pair, so the fold cost is
+    amortized there."""
     cent = (
         centroids
         if centroids is not None
@@ -598,20 +665,20 @@ def ivf_topk(
     )
     if broadcast_queries:
         q_lists = F.broadcast(q_lists)
-    scored = (
-        c_lists.join(q_lists, on="centroid_id")
-        .filter(F.col("neighbor_id") != F.col("query_id"))
-        .withColumn(
-            "cosine_sim",
-            F.round(
-                F.try_divide(
-                    _dot(F.col("q_vec"), F.col("n_vec")),
-                    F.col("__qn") * F.col("__nn"),
-                ),
-                round_digits,
-            ),
-        )
+    use_arrow = _resolve_scorer(scorer, queries, vec_col)
+    joined = c_lists.join(q_lists, on="centroid_id").filter(
+        F.col("neighbor_id") != F.col("query_id")
     )
+    if use_arrow:
+        cos = _cosine_arrow(
+            F.col("q_vec"), F.col("n_vec"), F.col("__qn"), F.col("__nn")
+        )
+    else:
+        cos = F.try_divide(
+            _dot(F.col("q_vec"), F.col("n_vec")),
+            F.col("__qn") * F.col("__nn"),
+        )
+    scored = joined.withColumn("cosine_sim", F.round(cos, round_digits))
     w = Window.partitionBy("query_id").orderBy(
         F.col("cosine_sim").desc(), F.col("neighbor_id").asc()
     )
@@ -2002,6 +2069,7 @@ def margin_pairs_ivf(
     centroids: DataFrame | None = None,
     train_iters: int = 2,
     exact_mean: bool = False,
+    scorer: str = "auto",
 ) -> DataFrame:
     """Corpus-vs-corpus margin mining — :func:`margin_pairs` freed of
     its sample-queries contract by routing candidate generation
@@ -2040,6 +2108,7 @@ def margin_pairs_ivf(
         train_iters=train_iters,
         exact_mean=exact_mean,
         broadcast_queries=False,
+        scorer=scorer,
     )
     return _margin_pivot(nn, round_digits)
 
