@@ -143,6 +143,29 @@ def test_tiered_rerank_recall_floor(corpus, exact_cos, dims):
 FLOOR_MARGIN_TOP1 = {2: 195, 4: 290}  # measured 215 / 316
 
 
+@pytest.mark.parametrize("alt", ["arrow", "gemm"])
+def test_ivf_vectorized_scorers_agree_with_hof(corpus, alt):
+    """The vectorized scorers (per-pair mapInArrow, per-list GEMM) and
+    the JVM fold must produce the SAME ranked candidates: float sums
+    differ only in add order (blocked/BLAS vs sequential), which the
+    4-digit output rounding dominates by ~10 orders of magnitude on
+    unit-scale vectors, so the full rounded rows — not just the
+    ranking — must agree here. (Gates still pin scorer='hof' via the
+    auto threshold at 32 dims; this test is what licenses the
+    vectorized paths as the same operator at high dims.)"""
+    e, q = corpus
+    kw = dict(k=K, n_centroids=16, nprobe=4, train_iters=2)
+    rows_hof = {
+        (r["query_id"], r["rank"]): (r["neighbor_id"], r["cosine_sim"])
+        for r in S.ivf_topk(e, q, scorer="hof", **kw).collect()
+    }
+    rows_alt = {
+        (r["query_id"], r["rank"]): (r["neighbor_id"], r["cosine_sim"])
+        for r in S.ivf_topk(e, q, scorer=alt, **kw).collect()
+    }
+    assert rows_hof == rows_alt
+
+
 @pytest.mark.parametrize("nprobe", [2, 4])
 def test_margin_pairs_ivf_recall_floor(corpus, nprobe):
     e, _ = corpus

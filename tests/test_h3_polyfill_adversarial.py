@@ -117,3 +117,87 @@ def test_hole_punctures_interior():
         assert point_in_polygon(lng, lat, [hole]), hex(x)
     # the exact center cell is inside the hole -> excluded
     assert icosa.latlng_to_cell(0.0, 0.0, 4) not in holed
+
+
+# ------------------------------------------------------------------
+# round-11 additions: transmeridian + polar geometry (the round-10
+# verdict's remaining residual-risk slice). Reference behavior to
+# match: to_h3_cells + exterior-ring guarantee (traversal.rs:131-162);
+# the C lib handles the antimeridian via transmeridian bboxes, here
+# point_in_polygon's shorter-way edge model + meridian-ray parity.
+# ------------------------------------------------------------------
+
+from ukis_h3cellstore_spark import geo as g
+
+
+def test_point_in_polygon_transmeridian_and_polar_units():
+    strip = [(170.0, 10.0), (-170.0, 10.0), (-170.0, 20.0),
+             (170.0, 20.0), (170.0, 10.0)]
+    assert point_in_polygon(179.0, 15.0, [strip])
+    assert point_in_polygon(-179.0, 15.0, [strip])
+    assert point_in_polygon(180.0, 10.1, [strip])
+    assert not point_in_polygon(0.0, 15.0, [strip])       # far side
+    assert not point_in_polygon(179.0, 25.0, [strip])     # above band
+    assert not point_in_polygon(169.0, 15.0, [strip])     # west of strip
+    ncap = [(lng, 85.0) for lng in range(-180, 181, 30)]
+    assert point_in_polygon(0.0, 89.0, [ncap])             # in the cap
+    assert point_in_polygon(123.0, 86.0, [ncap])
+    assert not point_in_polygon(0.0, 80.0, [ncap])
+    assert not point_in_polygon(0.0, -89.0, [ncap])        # other pole
+    scap = [(lng, -85.0) for lng in range(-180, 181, 30)]
+    assert point_in_polygon(0.0, -89.0, [scap])
+    assert not point_in_polygon(0.0, -80.0, [scap])
+    assert not point_in_polygon(0.0, 89.0, [scap])
+    # ordinary polygons keep planar parity (regression guard)
+    sq = [(-10.0, -10.0), (10.0, -10.0), (10.0, 10.0), (-10.0, 10.0),
+          (-10.0, -10.0)]
+    assert point_in_polygon(0.0, 0.0, [sq])
+    assert not point_in_polygon(11.0, 0.0, [sq])
+
+
+def test_antimeridian_strip_fill():
+    strip = [(170.0, 10.0), (-170.0, 10.0), (-170.0, 20.0),
+             (170.0, 20.0), (170.0, 10.0)]
+    cells = _assert_contract([strip], 3, (15.0, 180.0), cover_k=16)
+    assert cells
+    # every filled center sits on the seam side, never the far side
+    for x in cells:
+        lat, lng = icosa.cell_to_latlng(x)
+        assert abs(lng) >= 165.0, (hex(x), lng)
+        assert 9.0 <= lat <= 21.0, (hex(x), lat)
+    # cells on BOTH sides of the seam are caught
+    lngs = [icosa.cell_to_latlng(x)[1] for x in cells]
+    assert any(lng > 175.0 for lng in lngs)
+    assert any(lng < -175.0 for lng in lngs)
+    # exterior-ring guarantee: ring trace ⊆ to_h3_cells-parity fill,
+    # and the densified trace never leaves the seam neighborhood
+    rc = g.ring_cells(strip, 3)
+    full = set(g.polygon_to_cells([strip], 3))
+    assert set(rc) <= full
+    assert set(cells) <= full
+    for x in rc:
+        lat, lng = icosa.cell_to_latlng(x)
+        assert abs(lng) >= 164.0, (hex(x), lng)
+
+
+@pytest.mark.parametrize("sign", [1.0, -1.0])
+def test_polar_cap_fill(sign):
+    cap = [(float(lng), sign * 85.0) for lng in range(-180, 181, 30)]
+    anchor = (sign * 89.5, 0.0)
+    cells = _assert_contract([cap], 3, anchor, cover_k=12)
+    assert cells
+    # the pole-nearest cell itself is caught
+    pole_cell = icosa.latlng_to_cell(sign * 89.9, 0.0, 3)
+    assert pole_cell in cells
+    # soundness of the cap: every center is polewards of ~the ring
+    for x in cells:
+        lat, _ = icosa.cell_to_latlng(x)
+        assert sign * lat >= 84.0, (hex(x), lat)
+    # and the cap is non-trivial: spans many longitudes
+    lngs = sorted(icosa.cell_to_latlng(x)[1] for x in cells)
+    assert lngs[0] < -90.0 and lngs[-1] > 90.0
+    # exterior-ring guarantee on the cap boundary
+    rc = g.ring_cells(cap, 3)
+    full = set(g.polygon_to_cells([cap], 3))
+    assert set(rc) <= full
+    assert set(cells) <= full

@@ -256,7 +256,232 @@ def _r10_block(spark, gc) -> None:
     )
 
 
+def _r11_block(spark, gc) -> None:
+    """Round-11 smoke: the IVF candidate-scoring hot loop across the
+    three scorer implementations. (1) isolated candidate-pair frame
+    (2M pairs, shared localCheckpoint input): JVM fold vs per-pair
+    mapInArrow — measures the per-pair Arrow TRANSFER cost (~16·dims
+    bytes/pair) that the vectorized compute cannot amortize. (2)
+    end-to-end margin_pairs_ivf at 100k vectors, 32 and 256 dims:
+    fold vs per-list GEMM (vectors cross Arrow once per LIST
+    membership). min-of-3 / min-of-2 — this host's neighbor noise is
+    2-5x on single runs (docs/SCALE.md bench rules). Decides
+    GEMM_SCORER_MIN_DIMS."""
+    import time
+
+    from pyspark.sql import functions as _F
+
+    from ukis_h3cellstore_spark.ops import similarity as S
+    from ukis_h3cellstore_spark.ops.similarity import (
+        _dot,
+        _norm,
+        _score_pairs_arrow,
+    )
+
+    def timed(name, fn, n_rows, reps=3):
+        best = None
+        for _ in range(reps):
+            gc()
+            t0 = time.time()
+            fn()
+            dt = time.time() - t0
+            best = dt if best is None else min(best, dt)
+        print(f"{name:40s} {best:8.1f}s  ({n_rows / best:,.0f} pairs/s)")
+
+    def hvec(d, seed):
+        return _F.transform(
+            _F.sequence(_F.lit(0), _F.lit(d - 1)),
+            lambda j: (
+                _F.pmod(_F.xxhash64(_F.col("id"), j, _F.lit(seed)), _F.lit(2000))
+                - 1000.0
+            )
+            / 1000.0,
+        )
+
+    for d, n_pairs in ((32, 2_000_000), (128, 2_000_000), (256, 2_000_000), (1024, 1_000_000)):
+        pairs = (
+            spark.range(n_pairs)
+            .select(
+                _F.col("id").alias("query_id"),
+                _F.col("id").alias("neighbor_id"),
+                hvec(d, 1).alias("q_vec"),
+                hvec(d, 7).alias("n_vec"),
+            )
+            .withColumn("__qn", _norm(_F.col("q_vec")))
+            .withColumn("__nn", _norm(_F.col("n_vec")))
+            .localCheckpoint(eager=True)  # both variants read the same
+        )
+        hof = _F.round(
+            _F.try_divide(
+                _dot(_F.col("q_vec"), _F.col("n_vec")),
+                _F.col("__qn") * _F.col("__nn"),
+            ),
+            4,
+        )
+        timed(
+            f"pair_score_hof_d{d}",
+            lambda: pairs.withColumn("cosine_sim", hof)
+            .select("query_id", "neighbor_id", "cosine_sim")
+            .write.format("noop")
+            .mode("overwrite")
+            .save(),
+            n_pairs,
+        )
+        timed(
+            f"pair_score_arrow_d{d}",
+            lambda: _score_pairs_arrow(pairs, 4)
+            .write.format("noop")
+            .mode("overwrite")
+            .save(),
+            n_pairs,
+        )
+        pairs.unpersist()
+
+    # end-to-end: same r10 pipeline, fold vs per-list GEMM, low + high dims
+    n = 100_000
+    n_cand = 4 * n * n // 512
+    for d in (32, 256):
+        emb = spark.range(n).select(
+            _F.col("id").alias("vec_id"), hvec(d, 1).alias("embedding")
+        ).localCheckpoint(eager=True)
+        cents = S.kmeans_fit(emb, n_centroids=512, max_iter=1).localCheckpoint(
+            eager=True
+        )
+        for sc in ("hof", "gemm"):
+            timed(
+                f"margin_pairs_ivf_100k_d{d}_{sc}",
+                lambda: S.margin_pairs_ivf(
+                    emb, emb, nprobe=4, centroids=cents, scorer=sc
+                )
+                .write.format("noop")
+                .mode("overwrite")
+                .save(),
+                n_cand,
+                reps=2,
+            )
+        emb.unpersist()
+        cents.unpersist()
+
+
+def _r11_flagship_block(spark, gc, n_docs: int = 1_000_000) -> None:
+    """Round-11 smoke: the two composed e2e flagships at 1M docs —
+    the COMPOSITIONS (checkpoint placement, multi-consumer
+    materialization sizes) have individual-scorer smokes but were
+    never scale-exercised whole. A synthetic sf-dir-shaped corpus is
+    staged to parquet (documents + embeddings), then the GATE
+    functions run verbatim with PLAN_PROBE wired to a stage timer, so
+    the numbers measure exactly the code the driver gates. Corpus
+    design (hash-derived, no RNG): ~85% docs of 50-200 letter-tokens
+    (pass the Gopher gate), ~10% short docs (fail it), 5% near-dup
+    copies of their predecessor with a one-token edit (linear-rate
+    LSH/phash pairs — suffix-replicated corpora would pair
+    quadratically across replicas through the phash byte grams)."""
+    import os
+    import resource
+    import tempfile
+    import time
+
+    from pyspark.sql import functions as _F
+
+    import ukis_h3cellstore_spark.entry_queries_ops as EQ
+
+    sf_dir = os.path.join(
+        tempfile.gettempdir(), f"h3smoke_flagship_{os.getuid()}_{n_docs}"
+    )
+    if not os.path.isdir(os.path.join(sf_dir, "documents.parquet")):
+        base = spark.range(n_docs)
+        is_dup = _F.col("id") % 20 == 1
+        master = _F.when(is_dup, _F.col("id") - 1).otherwise(_F.col("id"))
+        short = _F.pmod(_F.xxhash64(master, _F.lit(3)), _F.lit(10)) == 0
+        n_tok = _F.when(short, _F.lit(12)).otherwise(
+            _F.pmod(_F.xxhash64(master), _F.lit(151)) + 50
+        )
+        word = lambda p: _F.concat(  # noqa: E731
+            _F.lit("w"),
+            _F.translate(
+                _F.pmod(_F.xxhash64(master, p), _F.lit(30000)).cast("string"),
+                "0123456789",
+                "abcdefghij",
+            ),
+        )
+        toks = _F.transform(_F.sequence(_F.lit(1), n_tok), word)
+        toks = _F.when(
+            is_dup,
+            _F.concat(_F.array(_F.lit("vvv")), _F.slice(toks, 2, 1_000_000)),
+        ).otherwise(toks)
+        text = _F.concat_ws(" ", toks)
+        docs = base.select(
+            _F.col("id").alias("doc_id"),
+            text.alias("text"),
+            _F.concat(
+                _F.lit("l"),
+                _F.pmod(_F.xxhash64("id", _F.lit(5)), _F.lit(8)).cast("string"),
+            ).alias("lang"),
+            _F.concat(
+                _F.lit("s"),
+                _F.pmod(_F.xxhash64("id", _F.lit(6)), _F.lit(20)).cast("string"),
+            ).alias("source"),
+        ).withColumn("n_chars", _F.length("text"))
+        docs.repartition(64).write.mode("overwrite").parquet(
+            f"{sf_dir}/documents.parquet"
+        )
+        vec = _F.transform(
+            _F.sequence(_F.lit(0), _F.lit(7)),
+            lambda j: (
+                (_F.pmod(_F.xxhash64("id", j), _F.lit(2000)) - 1000)
+                / 1000.0
+            ).cast("float"),
+        )
+        base.select(
+            _F.col("id").alias("vec_id"),
+            vec.alias("embedding"),
+            _F.pmod(_F.xxhash64("id", _F.lit(9)), _F.lit(12))
+            .cast("int")
+            .alias("label"),
+        ).repartition(16).write.mode("overwrite").parquet(
+            f"{sf_dir}/embeddings.parquet"
+        )
+        print(f"staged synthetic corpus: {n_docs:,} docs at {sf_dir}")
+
+    last = [time.time()]
+
+    def probe(label, df):
+        n = df.count()
+        now = time.time()
+        print(f"  {label:32s} {now - last[0]:8.1f}s  ({n:,} rows)")
+        last[0] = now
+
+    EQ.PLAN_PROBE = probe
+    try:
+        for name in ("corpus_curation_e2e", "multimodal_curation_e2e"):
+            gc()
+            fn = getattr(EQ, f"q_{name}")
+            t0 = time.time()
+            last[0] = t0
+            fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
+            dt = time.time() - t0
+            rss = resource.getrusage(resource.RUSAGE_SELF).ru_maxrss / 1e6
+            print(
+                f"{name:36s} {dt:8.1f}s total  ({n_docs / dt:,.0f} docs/s; "
+                f"driver maxrss {rss:.1f} GB)"
+            )
+    finally:
+        EQ.PLAN_PROBE = None
+
+
 def main() -> None:
+    if "--r11-flagship" in sys.argv:
+        spark, gc = _local_session()
+        n = next(
+            (int(a) for a in sys.argv[1:] if a.isdigit()), 1_000_000
+        )
+        _r11_flagship_block(spark, gc, n)
+        spark.stop()
+        return
+    if "--r11" in sys.argv:
+        spark, gc = _local_session()
+        _r11_block(spark, gc)
+        return
     if "--r10" in sys.argv:
         spark, gc = _local_session()
         _r10_block(spark, gc)

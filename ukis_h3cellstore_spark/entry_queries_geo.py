@@ -1006,7 +1006,9 @@ _HEX_COVER_VALUES = """(586463009581301759),
   (587676320662552575),
   (587677420174180351),
   (587677969929994239),
+  (587678519685808127),
   (587679069441622015),
+  (587679619197435903),
   (587755485499752447),
   (587756035255566335),
   (587756585011380223),
@@ -1047,6 +1049,7 @@ _HEX_COVER_VALUES = """(586463009581301759),
   (588122172627615743),
   (588160105778774015),
   (588160655534587903),
+  (588161205290401791),
   (588161755046215679),
   (588162304802029567),
   (588162854557843455),

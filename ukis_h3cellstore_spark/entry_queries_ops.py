@@ -6218,6 +6218,7 @@ def q_corpus_curation_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(surv.select("doc_id", "source"), on="doc_id")
         .localCheckpoint(eager=True)
     )
+    lens = _probe("stage2 lsh-dedup+excise", lens)
     psi = psi_drift(lens, "source", "nt", [30.0, 50.0, 70.0, 90.0])
     worst = (
         psi.orderBy(F.desc("psi"), F.asc("source")).limit(3).select("source")
@@ -6240,6 +6241,7 @@ def q_corpus_curation_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_id", F.col("text_clean").alias("text"))
         .localCheckpoint(eager=True)  # read by pack AND the export join
     )
+    mixed = _probe("stage4 balanced-mix", mixed)
     packed = SM.pack_documents(mixed, max_tokens=512, num_shards=8)
     export = mixed.join(packed, on="doc_id").select(
         "doc_id", "shard", "n_tokens", "bin", "text"
@@ -6892,7 +6894,10 @@ def q_embedding_margin_pairs_ivf_bench(
         # extra collect round-trip needed
         cent = S.kmeans_fit(e, n_centroids=16, max_iter=_IVF_ITERS)
         _MARGIN_IVF_CENTROIDS[key] = cent
-    return S.margin_pairs_ivf(e, e, nprobe=2, centroids=cent)
+    # scale-path scorer: per-list GEMM (2x the oracle-reproducible JVM
+    # fold end-to-end, docs/SCALE.md r11; identical ranked rows —
+    # agreement pytest). The registry gate keeps the fold.
+    return S.margin_pairs_ivf(e, e, nprobe=2, centroids=cent, scorer="gemm")
 
 
 def _q_embedding_margin_pairs_ivf_sql() -> str:

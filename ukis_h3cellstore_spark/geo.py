@@ -194,18 +194,67 @@ def set_default_grid(grid: GridSystem | None) -> None:
 # ---------------------------------------------------------- pure geometry
 
 
+def _wrap_lng(d: float) -> float:
+    """Normalize a longitude delta to (-180, 180] — every polygon edge
+    takes the SHORTER way around, so a 170° → -170° edge spans the
+    antimeridian (Δ=20°), never the planet."""
+    while d > 180.0:
+        d -= 360.0
+    while d <= -180.0:
+        d += 360.0
+    return d
+
+
 def point_in_polygon(x: float, y: float, rings: Sequence) -> bool:
-    """Even-odd rule over (exterior, *holes) rings of (x, y) pairs."""
+    """Even-odd rule over (exterior, *holes) rings of (x, y) =
+    (lng, lat) pairs, SPHERE-AWARE (round-11, the round-10 verdict's
+    transmeridian/polar slice):
+
+    - the test ray runs from the point down its own MERIDIAN to the
+      south pole (crossings of edges with the meridian, at latitudes
+      below the point), instead of the planar +x ray — identical
+      parity on ordinary polygons, but well defined under longitude
+      wrap;
+    - every edge is interpreted the SHORTER way in longitude
+      (Δlng normalized to (-180, 180]), so rings crossing the
+      antimeridian need no pre-splitting (the reference reaches the
+      same via h3ron/C-lib transmeridian bbox handling,
+      traversal.rs:131-162);
+    - a ring whose longitudes wind a full ±360° encloses a POLE; by
+      convention it encloses the cap on the side of its nearest pole
+      (mean vertex latitude), which flips the meridian-ray parity for
+      south-cap rings (the ray to the south pole starts inside).
+
+    Edges are linear in (lng, lat) — the same segment model the
+    planar form and :func:`densify_ring` use."""
     inside = False
     for ring in rings:
         n = len(ring)
+        if n < 3:
+            continue
+        cross_below = 0
+        winding = 0.0
+        lat_sum = 0.0
         for a in range(n):
             x1, y1 = ring[a][0], ring[a][1]
             x2, y2 = ring[(a + 1) % n][0], ring[(a + 1) % n][1]
-            if (y1 > y) != (y2 > y):
-                xcross = x1 + (y - y1) / (y2 - y1) * (x2 - x1)
-                if x < xcross:
-                    inside = not inside
+            lat_sum += y1
+            dl = _wrap_lng(x2 - x1)
+            winding += dl
+            if dl == 0.0:
+                continue  # meridian-parallel edge: no transversal cross
+            off = _wrap_lng(x - x1)
+            if (0.0 <= off < dl) if dl > 0.0 else (dl < off <= 0.0):
+                ycross = y1 + (off / dl) * (y2 - y1)
+                if ycross < y:
+                    cross_below += 1
+        ring_inside = cross_below % 2 == 1
+        if abs(winding) > 180.0:  # |W| ≈ 360: pole-enclosing ring
+            if lat_sum / n <= 0.0:
+                # south cap: the meridian ray's far end (the south
+                # pole) is inside, so parity is inverted
+                ring_inside = not ring_inside
+        inside ^= ring_inside
     return inside
 
 
@@ -220,11 +269,17 @@ def densify_ring(ring: Sequence, step: float) -> list[tuple[float, float]]:
     for a in range(segs):
         x1, y1 = ring[a][0], ring[a][1]
         x2, y2 = ring[(a + 1) % n][0], ring[(a + 1) % n][1]
-        d = math.hypot(x2 - x1, y2 - y1)
+        # shorter-way longitude interpretation (same edge model as
+        # point_in_polygon): a 170° → -170° edge densifies across the
+        # antimeridian, not around the planet; samples re-wrap into
+        # [-180, 180)
+        dx = _wrap_lng(x2 - x1)
+        d = math.hypot(dx, y2 - y1)
         k = max(int(math.ceil(d / step)), 1)
         for t in range(k):
             f = t / k
-            out.append((x1 + f * (x2 - x1), y1 + f * (y2 - y1)))
+            lng = x1 + f * dx
+            out.append((_wrap_lng(lng), y1 + f * (y2 - y1)))
     return out
 
 

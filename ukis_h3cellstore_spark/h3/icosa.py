@@ -1401,12 +1401,32 @@ def polygon_to_cells(rings, res: int) -> list[int]:
     from ..geo import point_in_polygon  # local import to avoid a cycle
 
     ext = rings[0]
-    lats = [p[1] for p in ext]
-    lngs = [p[0] for p in ext]
-    clat = (min(lats) + max(lats)) / 2.0
-    clng = (min(lngs) + max(lngs)) / 2.0
+    # search-region anchor: normalized 3D centroid of the exterior
+    # vertices — well defined across the antimeridian (a planar
+    # lng-bbox midpoint would land on the wrong side of the planet)
+    # and for pole-enclosing rings (centroid ≈ the pole). Degenerate
+    # all-antipodal rings fall back to the first vertex.
+    cx = cy = cz = 0.0
+    for plng, plat in ext:
+        vx, vy, vz = _geo_to_3d(math.radians(plat), math.radians(plng))
+        cx += vx
+        cy += vy
+        cz += vz
+    norm = math.sqrt(cx * cx + cy * cy + cz * cz)
+    if norm > 1e-9:
+        clat = math.degrees(math.asin(max(-1.0, min(1.0, cz / norm))))
+        clng = math.degrees(math.atan2(cy, cx))
+    else:
+        clng, clat = ext[0][0], ext[0][1]
     center = latlng_to_cell(clat, clng, res)
-    # radius in cells: bbox corner distance / cell spacing, plus slack
+    # radius in cells: max vertex distance / cell spacing, times a
+    # conservative grid-distance factor. Angle/(mean_edge*sqrt(3)) is
+    # only the AXIS-ALIGNED steps-per-radian: off-axis directions cost
+    # x2/sqrt(3), icosahedral distortion shrinks edges up to ~25%
+    # below the mean, and pentagon detours add more — measured factor
+    # up to ~1.8 on a 25-degree triangle (round 11; the old +2 slack
+    # silently dropped 3 interior cells there). 2.0 + 3 bounds all of
+    # it; oversizing only adds candidates, containment still decides.
     spacing = mean_edge_length_rads(res) * math.sqrt(3.0)
     v1 = _geo_to_3d(math.radians(clat), math.radians(clng))
     reach = 0.0
@@ -1414,7 +1434,7 @@ def polygon_to_cells(rings, res: int) -> list[int]:
         v2 = _geo_to_3d(math.radians(plat), math.radians(plng))
         sqd = sum((a - b) ** 2 for a, b in zip(v1, v2))
         reach = max(reach, math.acos(max(-1.0, min(1.0, 1.0 - sqd / 2.0))))
-    kk = int(math.ceil(reach / spacing)) + 2
+    kk = int(math.ceil(2.0 * reach / spacing)) + 3
     out = []
     for c in grid_disk(center, kk):
         lat, lng = cell_to_latlng(c)

@@ -59,6 +59,7 @@ def corpus_datacard(
     id_col: str = "doc_id",
     source_col: str = "source",
     lang_col: str = "lang",
+    approx: bool = False,
 ) -> DataFrame:
     """ONE summary row: (n_docs, n_sources, n_langs, total_tokens,
     total_chars, median_chars, n_dup_groups, n_dup_docs,
@@ -70,7 +71,18 @@ def corpus_datacard(
     - ``median_chars``: EXACT middle-rank median of document length
       (mean of the two middle order statistics);
     - ``top_source_share_milli``: the largest source's document share
-      in thousandths — the skew-at-a-glance number."""
+      in thousandths — the skew-at-a-glance number.
+
+    ``approx=True`` — the datacard-at-100-TB path (same posture as
+    ``ngram_diversity(approx=True)``): the two exact ``countDistinct``
+    aggregates become HyperLogLog++ sketches (bounded state instead of
+    a per-partition distinct set; HLL++ is EXACT below its sparse
+    threshold, so low-cardinality source/lang columns usually still
+    report exact numbers) and the exact middle-rank median becomes
+    ``percentile_approx`` (bounded-state quantile sketch). The dup
+    counts and top-source share stay exact — they are plain map-side-
+    combinable hash aggregations, already scale-safe. Gates pin the
+    exact form; divergence is test-bounded."""
     from ukis_h3cellstore_spark.ops.robust import grouped_median
 
     n_tok = F.when(
@@ -84,10 +96,15 @@ def corpus_datacard(
         n_tok.cast("long").alias("__toks"),
         F.md5(F.lower(F.trim(F.col(text_col)))).alias("__h"),
     ).localCheckpoint(eager=True)  # one corpus pass feeds every agg
+    n_distinct = (
+        (lambda c: F.approx_count_distinct(c, rsd=0.01))
+        if approx
+        else F.countDistinct
+    )
     totals = base.agg(
         F.count(F.lit(1)).alias("n_docs"),
-        F.countDistinct("__src").alias("n_sources"),
-        F.countDistinct("__lang").alias("n_langs"),
+        n_distinct("__src").cast("long").alias("n_sources"),
+        n_distinct("__lang").cast("long").alias("n_langs"),
         F.sum("__toks").alias("total_tokens"),
         F.sum("__chars").alias("total_chars"),
     )
@@ -100,12 +117,16 @@ def corpus_datacard(
             F.coalesce(F.sum("__n"), F.lit(0)).alias("n_dup_docs"),
         )
     )
-    med = (
-        grouped_median(
-            base.withColumn("__one", F.lit(1)), "__one", "__chars"
+    if approx:
+        med = base.agg(
+            F.percentile_approx("__chars", 0.5, 10_000)
+            .cast("double")
+            .alias("median_chars")
         )
-        .select(F.col("median").alias("median_chars"))
-    )
+    else:
+        med = grouped_median(
+            base.withColumn("__one", F.lit(1)), "__one", "__chars"
+        ).select(F.col("median").alias("median_chars"))
     top_src = (
         base.groupBy("__src")
         .agg(F.count(F.lit(1)).alias("__sn"))

@@ -51,60 +51,177 @@ def _dot(a: Column, b: Column) -> Column:
     )
 
 
-#: dims at and above which the Arrow-batched numpy scorer beats the
-#: JVM higher-order-function fold in the IVF scoring join (measured
-#: round 11, docs/SCALE.md: the HOF fold costs ~linear-in-dims per
-#: pair while the numpy batch amortizes to near-constant overhead;
-#: crossover sits well under 128 but the fold keeps plans pure-JVM,
-#: so low-dim defaults stay on it).
-ARROW_SCORER_MIN_DIMS = 128
+#: dims at and above which 'auto' picks the per-list GEMM scorer for
+#: the IVF scoring step. Measured round 11 (docs/SCALE.md, min-of-N):
+#: per-PAIR vectorization never wins — hof and mapInArrow are par at
+#: every dim because the ~16·dims bytes/pair Arrow transfer eats the
+#: numpy gain — but the per-LIST GEMM (each vector crosses Arrow once
+#: per list membership, candidates scored by one blocked matmul) wins
+#: the 100k e2e 1.8× at 32 dims and 2.0× at 256 dims. The default
+#: still keeps the JVM fold below 128 dims because it is the form the
+#: SQL oracles reproduce bit-for-bit (gates' fixtures are 64-dim);
+#: pass scorer='gemm' explicitly to take the win at low dims.
+GEMM_SCORER_MIN_DIMS = 128
 
 
-def _cosine_arrow(q_vec: Column, n_vec: Column, q_norm: Column, n_norm: Column) -> Column:
-    """Arrow-batched cosine for the candidate-scoring hot loop: one
-    vectorized numpy row-wise dot per Arrow batch instead of a per-row
-    JVM fold. Semantics match the HOF form (NULL on zero norm); exact
-    float equality is NOT guaranteed — numpy's blocked summation
-    reorders the adds — so oracle-checked gates keep the sequential
-    fold and this path serves high-dim scale runs (the same columnar
-    philosophy as the reference's Arrow-IPC data plane, lib.rs).
-    The result is deterministic for a given input (blocked order is
-    fixed), so determinism sweeps hold on this path too."""
-    from pyspark.sql.functions import pandas_udf
+def _score_pairs_arrow(
+    joined: DataFrame, round_digits: int
+) -> DataFrame:
+    """Arrow-batched scoring of the candidate-pair frame: consumes
+    ``(query_id, neighbor_id, q_vec, n_vec, __qn, __nn)`` and returns
+    ``(query_id, neighbor_id, cosine_sim)`` via ``mapInArrow`` — the
+    vector columns are read ZERO-COPY from the Arrow list buffers
+    (flat values + offsets → one reshape) and scored with a single
+    numpy row-wise einsum per batch; no per-element Python objects
+    ever materialize (a pandas_udf pays ~µs/element boxing array
+    cells, measured 4-20× SLOWER than the JVM fold — docs/SCALE.md).
+    Semantics match the HOF form (NULL on zero norm); exact float
+    equality is not guaranteed (blocked vs sequential adds), so
+    oracle-checked gates keep the fold; blocked order is fixed, so
+    the path is deterministic run-to-run. Columnar end-to-end — the
+    same philosophy as the reference's Arrow-IPC data plane (lib.rs).
+    """
+    import pyarrow as pa
 
-    @pandas_udf("double")
-    def _cos(q, n, a, b):
+    def score(batches):
+        import numpy as np
+
+        for batch in batches:
+            n = batch.num_rows
+            if n == 0:
+                continue
+
+            def mat(col):
+                arr = batch.column(col)
+                flat = np.asarray(arr.flatten(), dtype=np.float64)
+                off = np.asarray(arr.offsets, dtype=np.int64)
+                widths = np.diff(off)
+                d = int(widths[0]) if len(widths) else 0
+                if not (widths == d).all():
+                    raise ValueError("ragged embedding column")
+                if len(flat) == n * d:
+                    # flatten() already sliced to this array's window:
+                    # the common case is a zero-copy reshape
+                    return flat.reshape(n, d)
+                base = off[0]
+                return np.stack(
+                    [flat[off[i] - base : off[i + 1] - base] for i in range(n)]
+                )
+
+            qa = mat("q_vec")
+            na = mat("n_vec")
+            dots = np.einsum("ij,ij->i", qa, na)
+            denom = np.asarray(
+                batch.column("__qn"), dtype=np.float64
+            ) * np.asarray(batch.column("__nn"), dtype=np.float64)
+            ok = denom != 0
+            cos = np.divide(dots, denom, out=np.full_like(dots, np.nan), where=ok)
+            yield pa.record_batch(
+                [
+                    batch.column("query_id"),
+                    batch.column("neighbor_id"),
+                    pa.array(cos, type=pa.float64(), mask=~ok),
+                ],
+                names=["query_id", "neighbor_id", "cosine_sim"],
+            )
+
+    out = joined.select(
+        "query_id", "neighbor_id", "q_vec", "n_vec", "__qn", "__nn"
+    ).mapInArrow(score, "query_id long, neighbor_id long, cosine_sim double")
+    return out.withColumn("cosine_sim", F.round(F.col("cosine_sim"), round_digits))
+
+
+def _resolve_scorer(scorer: str, queries: DataFrame, vec_col: str) -> str:
+    """Resolve 'auto' to a concrete scorer. 'auto' peeks at one query
+    vector's length (a LIMIT-1 job, metadata-sized) and applies the
+    measured dims threshold: 'gemm' (per-list dense matmul — each
+    vector crosses the Arrow boundary once per LIST membership, not
+    once per candidate pair) at high dims, else the JVM fold."""
+    if scorer in ("hof", "arrow", "gemm"):
+        return scorer
+    if scorer != "auto":
+        raise ValueError(
+            f"scorer must be 'auto'|'hof'|'arrow'|'gemm', got {scorer!r}"
+        )
+    row = queries.select(F.size(F.col(vec_col)).alias("d")).first()
+    dims = (row["d"] or 0) if row else 0
+    return "gemm" if dims >= GEMM_SCORER_MIN_DIMS else "hof"
+
+
+def _topk_per_list_gemm(
+    c_lists: DataFrame, q_lists: DataFrame, k: int, round_digits: int
+) -> DataFrame:
+    """Per-inverted-list top-k via dense matmul — the high-dims scale
+    path of the IVF scoring step. Cogroups corpus and query lists on
+    centroid_id; per list, ONE blocked ``Q @ C.T`` scores every
+    (query, candidate) pair, so each vector crosses the Arrow boundary
+    once per LIST MEMBERSHIP instead of once per candidate pair (the
+    per-pair transfer is what sinks both the pandas-UDF and mapInArrow
+    per-pair scorers — ~16·dims bytes/pair; measured in docs/SCALE.md).
+    Emits each query's per-list top-k (global top-k over probed lists
+    is a subset of the per-list top-k union, so the downstream global
+    rank window is unchanged and exact).
+
+    Ranking mirrors the fold path: cosine rounded to ``round_digits``,
+    order (cos desc, NaN/zero-norm last as NULL, neighbor_id asc);
+    self-pairs dropped. BLAS summation order differs from the
+    sequential fold at ULP scale — gates keep 'hof'; run-to-run the
+    path is deterministic.
+
+    Memory: per task one list's C (|list| × dims doubles) + a
+    1024-query GEMM block. A hot list lands on ONE task (grouped
+    pandas sees no AQE skew-split) — size ``n_centroids ~
+    sqrt(corpus)`` so lists stay ~sqrt-sized."""
+
+    def score(key, cdf, qdf):
         import numpy as np
         import pandas as pd
 
-        if not len(q):
-            return pd.Series([], dtype="float64")
-        qa = np.stack(q.to_numpy()).astype(np.float64, copy=False)
-        na = np.stack(n.to_numpy()).astype(np.float64, copy=False)
-        dots = np.einsum("ij,ij->i", qa, na)
-        denom = a.to_numpy(dtype=np.float64) * b.to_numpy(dtype=np.float64)
-        out = pd.array(
-            np.divide(dots, denom, out=np.zeros_like(dots), where=denom != 0),
-            dtype="Float64",
+        empty = pd.DataFrame(
+            {"query_id": pd.Series(dtype="int64"),
+             "neighbor_id": pd.Series(dtype="int64"),
+             "cosine_sim": pd.Series(dtype="Float64")}
         )
-        out[denom == 0] = pd.NA
-        return pd.Series(out, dtype="Float64")
+        if not len(cdf) or not len(qdf):
+            return empty
+        C = np.stack(cdf["n_vec"].to_numpy()).astype(np.float64, copy=False)
+        cn = cdf["__nn"].to_numpy(dtype=np.float64)
+        nid = cdf["neighbor_id"].to_numpy(dtype=np.int64)
+        Q = np.stack(qdf["q_vec"].to_numpy()).astype(np.float64, copy=False)
+        qn = qdf["__qn"].to_numpy(dtype=np.float64)
+        qid = qdf["query_id"].to_numpy(dtype=np.int64)
+        out_q, out_n, out_s = [], [], []
+        for b0 in range(0, len(qid), 1024):
+            b1 = min(b0 + 1024, len(qid))
+            sims = Q[b0:b1] @ C.T
+            denom = np.outer(qn[b0:b1], cn)
+            with np.errstate(invalid="ignore", divide="ignore"):
+                sims = np.where(denom != 0, sims / denom, np.nan)
+            sims = np.round(sims, round_digits)
+            for i in range(b1 - b0):
+                keep = nid != qid[b0 + i]  # drop self-pairs
+                s, ids = sims[i][keep], nid[keep]
+                if not len(s):
+                    continue
+                isn = np.isnan(s)
+                negc = np.where(isn, 0.0, -s)
+                order = np.lexsort((ids, negc, isn))[: min(k, len(s))]
+                out_q.extend([qid[b0 + i]] * len(order))
+                out_n.extend(ids[order])
+                out_s.extend(s[order])
+        sim = pd.array(out_s, dtype="Float64")
+        sim[np.isnan(np.asarray(out_s, dtype=np.float64))] = pd.NA
+        return pd.DataFrame(
+            {"query_id": out_q, "neighbor_id": out_n, "cosine_sim": sim}
+        )
 
-    return _cos(q_vec, n_vec, q_norm, n_norm)
-
-
-def _resolve_scorer(scorer: str, queries: DataFrame, vec_col: str) -> bool:
-    """True = use the Arrow scorer. 'auto' peeks at one query vector's
-    length (a LIMIT-1 job, metadata-sized) and applies the measured
-    dims threshold."""
-    if scorer == "arrow":
-        return True
-    if scorer == "hof":
-        return False
-    if scorer != "auto":
-        raise ValueError(f"scorer must be 'auto'|'hof'|'arrow', got {scorer!r}")
-    row = queries.select(F.size(F.col(vec_col)).alias("d")).first()
-    return bool(row) and (row["d"] or 0) >= ARROW_SCORER_MIN_DIMS
+    return (
+        c_lists.groupby("centroid_id")
+        .cogroup(q_lists.groupby("centroid_id"))
+        .applyInPandas(
+            score, "query_id long, neighbor_id long, cosine_sim double"
+        )
+    )
 
 
 def _norm(a: Column) -> Column:
@@ -592,15 +709,20 @@ def ivf_topk(
     join then shuffles BOTH sides on centroid_id — each side moves
     once, no driver-sized broadcast.
 
-    ``scorer`` picks the candidate-pair cosine implementation:
-    ``'hof'`` = the sequential JVM fold (bit-reproducible by the SQL
-    oracle — what gates use); ``'arrow'`` = the vectorized numpy
-    pandas-UDF (one honest pandas node in the plan; ~10× at 256+
-    dims, docs/SCALE.md); ``'auto'`` (default) = arrow at
-    ``ARROW_SCORER_MIN_DIMS``+ dims, else hof. Centroid assignment
-    and list probing always stay on the JVM fold — they run once per
-    VECTOR, not once per candidate pair, so the fold cost is
-    amortized there."""
+    ``scorer`` picks the candidate-scoring implementation:
+    ``'hof'`` = the sequential JVM fold over the candidate join
+    (bit-reproducible by the SQL oracle — what gates use);
+    ``'gemm'`` = per-inverted-list blocked matmul via cogrouped
+    applyInPandas (2× the fold end-to-end at 100k, docs/SCALE.md —
+    vectors cross Arrow once per list membership and the per-pair
+    join rows never materialize); ``'arrow'`` = per-pair mapInArrow
+    (kept as the measured negative result: par with the fold, the
+    per-pair vector transfer eats the numpy gain); ``'auto'``
+    (default) = gemm at ``GEMM_SCORER_MIN_DIMS``+ dims, else hof.
+    All three produce identical ranked rows on the test fixtures
+    (rounded-row agreement pytest); centroid assignment and list
+    probing always stay on the JVM fold — they run once per VECTOR,
+    so the fold cost is amortized there."""
     cent = (
         centroids
         if centroids is not None
@@ -665,20 +787,26 @@ def ivf_topk(
     )
     if broadcast_queries:
         q_lists = F.broadcast(q_lists)
-    use_arrow = _resolve_scorer(scorer, queries, vec_col)
-    joined = c_lists.join(q_lists, on="centroid_id").filter(
-        F.col("neighbor_id") != F.col("query_id")
-    )
-    if use_arrow:
-        cos = _cosine_arrow(
-            F.col("q_vec"), F.col("n_vec"), F.col("__qn"), F.col("__nn")
-        )
+    resolved = _resolve_scorer(scorer, queries, vec_col)
+    if resolved == "gemm":
+        scored = _topk_per_list_gemm(c_lists, q_lists, k, round_digits)
     else:
-        cos = F.try_divide(
-            _dot(F.col("q_vec"), F.col("n_vec")),
-            F.col("__qn") * F.col("__nn"),
+        joined = c_lists.join(q_lists, on="centroid_id").filter(
+            F.col("neighbor_id") != F.col("query_id")
         )
-    scored = joined.withColumn("cosine_sim", F.round(cos, round_digits))
+        if resolved == "arrow":
+            scored = _score_pairs_arrow(joined, round_digits)
+        else:
+            scored = joined.withColumn(
+                "cosine_sim",
+                F.round(
+                    F.try_divide(
+                        _dot(F.col("q_vec"), F.col("n_vec")),
+                        F.col("__qn") * F.col("__nn"),
+                    ),
+                    round_digits,
+                ),
+            )
     w = Window.partitionBy("query_id").orderBy(
         F.col("cosine_sim").desc(), F.col("neighbor_id").asc()
     )

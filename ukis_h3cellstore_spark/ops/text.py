@@ -488,13 +488,21 @@ def vocab_oov_report(
     text_col: str = "text",
     id_col: str = "doc_id",
     part_col: str = "lang",
+    approx: bool = False,
 ) -> DataFrame:
     """Out-of-vocabulary rate against the corpus's own top-``k``
     vocabulary, reported per group: (part_col, n_docs, total_tokens,
     oov_tokens, oov_rate). The vocab is k rows — broadcast; the token
     stream is never re-shuffled: explode → broadcast-hash left join →
     one aggregate. The measurement every tokenizer-budget decision
-    needs before committing a vocab size."""
+    needs before committing a vocab size.
+
+    ``approx=True`` replaces the per-group exact ``countDistinct`` of
+    doc ids — whose aggregation state is a distinct-id SET per group
+    over the token-EXPLODED stream, the one unbounded-state piece of
+    this report — with a HyperLogLog++ sketch (n_docs is descriptive
+    here; the rates are ratios of exact token counts either way).
+    Gates pin the exact form; divergence is test-bounded."""
     vocab = vocab_topk(df, k, text_col, id_col).select(
         F.col("token").alias("__v")
     )
@@ -505,10 +513,15 @@ def vocab_oov_report(
     flagged = exploded.join(
         F.broadcast(vocab), exploded["__t"] == F.col("__v"), "left"
     )
+    n_docs = (
+        F.approx_count_distinct(id_col, rsd=0.01)
+        if approx
+        else F.countDistinct(id_col)
+    )
     return (
         flagged.groupBy(part_col)
         .agg(
-            F.countDistinct(id_col).alias("n_docs"),
+            n_docs.cast("long").alias("n_docs"),
             F.count(F.lit(1)).alias("total_tokens"),
             F.sum(F.when(F.col("__v").isNull(), 1).otherwise(0)).alias(
                 "oov_tokens"

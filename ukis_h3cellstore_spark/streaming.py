@@ -504,19 +504,22 @@ def cdc_upsert(
     ``mapInPandas`` that reduces each batch to one argmax row per key
     it contains. Because the argmax is associative and idempotent,
     the state result is bit-identical with or without it (equivalence
-    pytest-verified) and the rows crossing the STATE SHUFFLE shrink
-    from changes-sized toward keys-sized on key-clustered feeds (the
-    Debezium/Kafka norm). Default OFF because it does NOT lift the
-    local throughput ceiling: every change still crosses the Arrow
-    boundary once (in the compactor instead of the state op —
-    measured a wash, 99 s vs 96 s at 10M), so it only pays on a real
-    cluster where the state shuffle's network volume dominates. The
-    ideal shape — a whole-stage-codegen ``groupBy(key).agg(max(...))``
-    ahead of the state op — is REJECTED by Spark's stateful-operator
-    checker ("applyInPandasWithState in update mode is not supported
-    with aggregation on a streaming DataFrame", AnalysisException,
-    Spark 4.1); when the reducer allows it, that aggregation should
-    simply REPLACE the state op — :func:`cdc_upsert_jvm`."""
+    pytest-verified). Default OFF, and for THIS reducer it is never
+    the right tool: the last-writer-wins argmax is an associative
+    aggregate, so :func:`cdc_upsert_jvm` strictly dominates — its
+    native map-side partial aggregation performs the same shuffle-row
+    reduction inside whole-stage codegen with zero Arrow crossings
+    (measured 21×; every change here still crosses the Arrow boundary
+    once in the compactor — a wash locally, 99 s vs 96 s at 10M).
+    The flag exists for the narrower case where per-key logic is NOT
+    aggregate-expressible (so the Python state op must stay) AND the
+    feed is key-clustered within batches (the Debezium/Kafka norm),
+    where it shrinks the rows entering the state shuffle toward
+    keys-sized at the cost of one extra stateless Arrow pass. (The
+    ideal shape — a codegen ``groupBy().agg(max(...))`` CHAINED ahead
+    of the state op — is rejected by Spark's stateful-operator
+    checker: "applyInPandasWithState in update mode is not supported
+    with aggregation on a streaming DataFrame", Spark 4.1.)"""
     if precompact:
         cols = [key_col, seq_col, delete_col, value_col]
         fields = {f.name: f for f in stream.schema.fields}
