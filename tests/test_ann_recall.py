@@ -166,6 +166,29 @@ def test_ivf_vectorized_scorers_agree_with_hof(corpus, alt):
     assert rows_hof == rows_alt
 
 
+def test_gemm_hot_list_block_split_exact(corpus):
+    """Forcing the hot-list split (block_rows=7 → every ~31-row
+    inverted list shatters into ~5 hash blocks, queries replicated to
+    each) must leave the ranked output IDENTICAL to the unsplit gemm
+    scorer and the JVM fold: per-block top-k union ⊇ per-list top-k,
+    and the global rank window downstream picks the same exact rows.
+    This is what licenses the split as a pure physical-skew knob —
+    at 100 TB a hot list becomes ceil(|list|/block_rows) tasks instead
+    of pinning one grouped-pandas task."""
+    e, q = corpus
+    kw = dict(k=K, n_centroids=16, nprobe=4, train_iters=2)
+
+    def rows(**extra):
+        return {
+            (r["query_id"], r["rank"]): (r["neighbor_id"], r["cosine_sim"])
+            for r in S.ivf_topk(e, q, **kw, **extra).collect()
+        }
+
+    split = rows(scorer="gemm", gemm_block_rows=7)
+    assert split == rows(scorer="gemm")
+    assert split == rows(scorer="hof")
+
+
 @pytest.mark.parametrize("nprobe", [2, 4])
 def test_margin_pairs_ivf_recall_floor(corpus, nprobe):
     e, _ = corpus

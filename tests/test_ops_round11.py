@@ -66,3 +66,65 @@ def test_datacard_gate_pins_exact_form(spark):
 
     src = inspect.getsource(EQ.q_corpus_datacard)
     assert "approx=True" not in src
+
+
+def test_auto_clean_blocks_ladder():
+    """The auto depth must stay at the plain pigeonhole split (c=1)
+    for every test-SF-sized corpus and climb only where the c=1 key
+    space saturates: d=8 over 64 bits has 7-bit strip keys, so at 1M
+    prints the expected collision volume forces the deep combination
+    tables; d=3 keeps 16-bit strips that remain selective at 1M."""
+    from ukis_h3cellstore_spark.ops.dedup import _auto_clean_blocks
+
+    assert _auto_clean_blocks(6_000, 64, 8) == 1
+    assert _auto_clean_blocks(13_000, 64, 8) == 1
+    assert _auto_clean_blocks(1_000_000, 64, 3) == 1
+    assert _auto_clean_blocks(1_000_000, 64, 8) == 4
+    # the table cap binds before the volume target at extreme n
+    import math
+
+    c = _auto_clean_blocks(10**9, 64, 8)
+    assert math.comb(8 + c, c) <= 1024
+
+
+def test_hamming_pairs_combination_banding_exact(spark):
+    """Every clean_blocks depth is an exact superset generator: the
+    verified pair set must be IDENTICAL across c=1 (classic strips),
+    c=2..4 (combination tables), and auto — including fingerprints
+    differing in exactly max_hamming bits (kept) and max_hamming+1
+    bits (dropped), with the differing bits adversarially packed into
+    one block and spread across all blocks."""
+    from ukis_h3cellstore_spark.ops.dedup import hamming_pairs
+
+    def signed(v):
+        return v - (1 << 64) if v >= (1 << 63) else v
+
+    base = 0x0123_4567_89AB_CDEF
+    rows = [
+        (0, signed(base)),
+        (1, signed(base ^ 0xFF)),                  # 8 bits, one low block
+        (2, signed(base ^ 0x1FF)),                 # 9 bits -> excluded
+        (3, signed(base ^ (1 << 63) ^ 1)),         # 2 bits, extreme blocks
+        (4, signed(base ^ 0x8040_2010_0804_0201)), # 8 bits, spread over all
+        (5, signed(base ^ 0x8040_2010_0804_0301)), # 9 bits spread -> excluded
+        (6, signed(0x7777_7777_7777_7777)),        # far from everything
+    ]
+    fp = spark.createDataFrame(rows, "doc_id long, fp long")
+    expected = None
+    for c in (1, 2, 3, 4, "auto"):
+        got = sorted(
+            (r["id_a"], r["id_b"], r["hamming"])
+            for r in hamming_pairs(
+                fp, "fp", bits=64, max_hamming=8, clean_blocks=c
+            ).collect()
+        )
+        if expected is None:
+            expected = got
+            assert (0, 1, 8) in got and (0, 3, 2) in got and (0, 4, 8) in got
+            assert (1, 2, 1) in got and (4, 5, 1) in got
+            assert all(p[2] <= 8 for p in got)
+            dropped = {(0, 2), (0, 5)}  # 9-bit distances
+            assert not any((a, b) in dropped for a, b, _ in got)
+            assert not any(6 in (a, b) for a, b, _ in got)
+        else:
+            assert got == expected, c

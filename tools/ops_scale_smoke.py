@@ -363,6 +363,78 @@ def _r11_block(spark, gc) -> None:
         cents.unpersist()
 
 
+def _r11_hotlist_block(spark, gc) -> None:
+    """Round-11 smoke: the GEMM scorer's hot-list hash split. 100k
+    64-dim vectors where 30% sit in a tight cone around one direction
+    (assigned to ONE inverted list by construction — precomputed
+    centroids include the cone axis), 64 centroids, nprobe 2. Without
+    the split one cogrouped-pandas task owns the whole ~30k-row list
+    and its ~9e8 candidate pairs while the rest of the machine drains;
+    with ``gemm_block_rows`` the list shatters into independent tasks.
+    min-of-2 wall times; ranked-output equality is pytest-licensed
+    (tests/test_ann_recall.py::test_gemm_hot_list_block_split_exact),
+    so this measures the SKEW TAIL only."""
+    import time
+
+    from pyspark.sql import functions as _F
+
+    from ukis_h3cellstore_spark.ops import similarity as S
+
+    n, d = 100_000, 64
+    hot = _F.pmod(_F.xxhash64("id", _F.lit(11)), _F.lit(10)) < 3
+
+    def noise(j, seed, scale):
+        return (
+            (_F.pmod(_F.xxhash64(_F.col("id"), j, _F.lit(seed)), _F.lit(2000))
+             - 1000.0) / 1000.0 * scale
+        )
+
+    def axis(j):
+        # fixed unit-ish direction, a pure function of the dim index
+        return (
+            (_F.pmod(_F.xxhash64(_F.lit(424242), j), _F.lit(2000)) - 1000.0)
+            / 1000.0
+        )
+
+    vec = _F.transform(
+        _F.sequence(_F.lit(0), _F.lit(d - 1)),
+        lambda j: _F.when(hot, axis(j) + noise(j, 1, 0.05)).otherwise(
+            noise(j, 2, 1.0)
+        ),
+    )
+    emb = spark.range(n).select(
+        _F.col("id").alias("vec_id"), vec.alias("embedding")
+    ).localCheckpoint(eager=True)
+    # 64 precomputed centroids: id 0 is the cone axis, the rest are
+    # hash noise — the cone's 30k vectors all land in list 0
+    cents = spark.range(64).select(
+        _F.col("id").cast("int").alias("centroid_id"),
+        _F.transform(
+            _F.sequence(_F.lit(0), _F.lit(d - 1)),
+            lambda j: _F.when(
+                _F.col("id") == 0, axis(j)
+            ).otherwise(noise(j, 3, 1.0)),
+        ).alias("c_vec"),
+    ).localCheckpoint(eager=True)
+
+    for label, blk in (
+        ("gemm_unsplit (1 task owns hot list)", 1 << 40),
+        ("gemm_block_rows=8192", 8192),
+        ("gemm_block_rows=2048", 2048),
+    ):
+        best = None
+        for _ in range(2):
+            gc()
+            t0 = time.time()
+            S.margin_pairs_ivf(
+                emb, emb, nprobe=2, centroids=cents, scorer="gemm",
+                gemm_block_rows=blk,
+            ).write.format("noop").mode("overwrite").save()
+            dt = time.time() - t0
+            best = dt if best is None else min(best, dt)
+        print(f"{label:42s} {best:8.1f}s")
+
+
 def _r11_flagship_block(spark, gc, n_docs: int = 1_000_000) -> None:
     """Round-11 smoke: the two composed e2e flagships at 1M docs —
     the COMPOSITIONS (checkpoint placement, multi-consumer
@@ -374,8 +446,16 @@ def _r11_flagship_block(spark, gc, n_docs: int = 1_000_000) -> None:
     design (hash-derived, no RNG): ~85% docs of 50-200 letter-tokens
     (pass the Gopher gate), ~10% short docs (fail it), 5% near-dup
     copies of their predecessor with a one-token edit (linear-rate
-    LSH/phash pairs — suffix-replicated corpora would pair
-    quadratically across replicas through the phash byte grams)."""
+    LSH/phash pairs). The vocabulary is HIGH-ENTROPY (~9-letter words
+    from a ~1e9-word space): the multimodal payload is the caption
+    bytes (attach_binary_payload), and a shared SMALL vocabulary
+    concentrates the gram-simhash phashes — measured on the first cut
+    (30k-word vocab): median inter-doc hamming 21/64, P[ham<=8] =
+    3.8e-4, i.e. ~192M TRUE pairs at 1M docs — the dense-duplicate
+    regime where the OUTPUT is quadratic and no candidate scheme can
+    help (docs/SCALE.md, fingerprint-density note). Distinct media =
+    near-uniform fingerprints; only the engineered 5% near-dups
+    pair."""
     import os
     import resource
     import tempfile
@@ -386,7 +466,7 @@ def _r11_flagship_block(spark, gc, n_docs: int = 1_000_000) -> None:
     import ukis_h3cellstore_spark.entry_queries_ops as EQ
 
     sf_dir = os.path.join(
-        tempfile.gettempdir(), f"h3smoke_flagship_{os.getuid()}_{n_docs}"
+        tempfile.gettempdir(), f"h3smoke_flagship_v2_{os.getuid()}_{n_docs}"
     )
     if not os.path.isdir(os.path.join(sf_dir, "documents.parquet")):
         base = spark.range(n_docs)
@@ -399,7 +479,8 @@ def _r11_flagship_block(spark, gc, n_docs: int = 1_000_000) -> None:
         word = lambda p: _F.concat(  # noqa: E731
             _F.lit("w"),
             _F.translate(
-                _F.pmod(_F.xxhash64(master, p), _F.lit(30000)).cast("string"),
+                _F.pmod(_F.xxhash64(master, p), _F.lit(999_999_937))
+                .cast("string"),
                 "0123456789",
                 "abcdefghij",
             ),
@@ -476,6 +557,11 @@ def main() -> None:
             (int(a) for a in sys.argv[1:] if a.isdigit()), 1_000_000
         )
         _r11_flagship_block(spark, gc, n)
+        spark.stop()
+        return
+    if "--r11-hotlist" in sys.argv:
+        spark, gc = _local_session()
+        _r11_hotlist_block(spark, gc)
         spark.stop()
         return
     if "--r11" in sys.argv:

@@ -733,43 +733,109 @@ def simhash_hamming_pairs(
     )
 
 
+def _auto_clean_blocks(
+    n: int, bits: int, max_hamming: int, cap: int = 1024
+) -> int:
+    """Pick the combination-banding depth ``c`` for an exact hamming
+    self-join over ``n`` fingerprints: smallest ``c`` whose expected
+    RANDOM-collision candidate volume ``C(d+c, c) / 2^(c·bits/(d+c))
+    · n²/2`` fits ``max(50·n, 1e7)`` (candidates should scale with
+    the corpus, not its square), else the largest ``c`` whose table
+    count stays under ``cap``. c=1 is the plain pigeonhole split —
+    what small corpora (every test SF) resolve to."""
+    import math
+
+    best = 1
+    for c in range(1, 9):
+        b = max_hamming + c
+        if b > bits:
+            break
+        tables = math.comb(b, c)
+        if tables > cap:
+            break
+        best = c
+        slack = tables / 2 ** (c * bits // b)
+        if slack * n * n / 2 <= max(50 * n, 1e7):
+            break
+    return best
+
+
 def hamming_pairs(
     fp_df: DataFrame,
     fp_col: str,
     id_col: str = "doc_id",
     bits: int = 64,
     max_hamming: int = 3,
+    clean_blocks: int | str = "auto",
 ) -> DataFrame:
     """Generic banded-XOR hamming join over ANY integer fingerprint
     column (SimHash, perceptual hashes, binary sketches): exact all
     pairs with distance ≤ ``max_hamming`` as (id_a, id_b, hamming).
-    Pigeonhole over ``max_hamming + 1`` contiguous strips — a
-    qualifying pair agrees exactly on ≥ 1 strip, so the self-join is
-    keyed on (band, strip value), never corpus², and ``bit_count(xor)``
-    verifies inline. Callers should checkpoint ``fp_df`` if computing
-    it is expensive (it feeds every band projection on both sides)."""
-    n_bands = max_hamming + 1
+
+    Candidate generation is COMBINATION BANDING (the block-permuted
+    tables of Manku et al., WWW'07, "Detecting near-duplicates for
+    web crawling", generalized): the fingerprint splits into
+    ``b = max_hamming + clean_blocks`` near-equal blocks; ``d``
+    differing bits ruin at most ``d`` blocks, so every qualifying
+    pair agrees on some ``c = clean_blocks`` whole blocks — the
+    self-join keys on the packed values of every C(b, c) block
+    combination and ``bit_count(xor)`` verifies inline. ``c=1`` is
+    the classic pigeonhole strip split; it saturates when
+    ``2^(bits/(d+1))`` falls below the corpus size (d=8 over 64 bits
+    → 7-bit keys → ~n/128-row buckets → an n²/128 pair explosion at
+    1M fingerprints — measured, docs/SCALE.md). Deeper ``c`` widens
+    the agreement key to ``c·bits/b`` bits at the cost of C(b, c)-way
+    row replication: candidates stay ~linear in n while the
+    replication grows polynomially — the honest envelope is d ≲ 8 on
+    64-bit prints; beyond that, use a wider fingerprint or a
+    recall-bounded LSH.
+
+    ``clean_blocks='auto'`` (default) counts ``fp_df`` and picks the
+    smallest sufficient depth (:func:`_auto_clean_blocks`) — at every
+    test SF that resolves to the c=1 strip split. ANY depth returns
+    the same exact result set (supersets differ, the verified output
+    doesn't), so the knob is purely physical. Callers should
+    checkpoint ``fp_df`` — it feeds the count and both join sides."""
+    if clean_blocks == "auto":
+        c = _auto_clean_blocks(fp_df.count(), bits, max_hamming)
+    else:
+        c = int(clean_blocks)
+        if c < 1:
+            raise ValueError(f"clean_blocks must be >= 1, got {c}")
+    n_blocks = max_hamming + c
+    if n_blocks > bits:
+        raise ValueError(
+            f"max_hamming + clean_blocks = {n_blocks} exceeds bits = {bits}"
+        )
     widths = [
-        bits // n_bands + (1 if i < bits % n_bands else 0) for i in range(n_bands)
+        bits // n_blocks + (1 if i < bits % n_blocks else 0)
+        for i in range(n_blocks)
     ]
-    parts = []
+    offsets = []
     lo = 0
-    for i, w in enumerate(widths):
-        band_val = F.shiftrightunsigned(F.col(fp_col), lo).bitwiseAND(
-            F.lit((1 << w) - 1)
-        )
-        parts.append(
-            fp_df.select(
-                F.col(id_col).alias("id"),
-                F.col(fp_col).alias("__fp"),
-                F.lit(i).alias("band"),
-                band_val.alias("band_key"),
-            )
-        )
+    for w in widths:
+        offsets.append(lo)
         lo += w
-    bands = parts[0]
-    for p in parts[1:]:
-        bands = bands.unionByName(p)
+
+    def block_val(i: int):
+        return F.shiftrightunsigned(F.col(fp_col), offsets[i]).bitwiseAND(
+            F.lit((1 << widths[i]) - 1)
+        )
+
+    import itertools
+
+    combos = list(itertools.combinations(range(n_blocks), c))
+    tables = []
+    for t, combo in enumerate(combos):
+        key = block_val(combo[0])
+        for i in combo[1:]:
+            key = F.shiftleft(key, widths[i]).bitwiseOR(block_val(i))
+        tables.append(F.struct(F.lit(t).alias("band"), key.alias("band_key")))
+    bands = fp_df.select(
+        F.col(id_col).alias("id"),
+        F.col(fp_col).alias("__fp"),
+        F.explode(F.array(*tables)).alias("__t"),
+    ).select("id", "__fp", "__t.band", "__t.band_key")
 
     left = bands.select(
         F.col("id").alias("id_a"), F.col("__fp").alias("fp_a"), "band", "band_key"

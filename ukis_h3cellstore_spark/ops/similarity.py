@@ -63,6 +63,25 @@ def _dot(a: Column, b: Column) -> Column:
 #: pass scorer='gemm' explicitly to take the win at low dims.
 GEMM_SCORER_MIN_DIMS = 128
 
+#: corpus rows per GEMM scoring task. An inverted list larger than
+#: this is split into ceil(|list| / GEMM_BLOCK_ROWS) hash blocks
+#: (``pmod(xxhash64(neighbor_id), nblk)`` — a pure row function, so a
+#: retried task recomputes the SAME assignment) and each probing
+#: query is replicated to every block of the list: a hot list becomes
+#: nblk independent tasks instead of pinning ONE grouped-pandas task
+#: (cogrouped applyInPandas gets no AQE skew split). Per-block top-k
+#: union ⊇ per-list top-k ⊇ global top-k, so the downstream global
+#: rank window is unchanged and exact. Sized from the r11 hot-list
+#: smoke (100k×64-dim corpus-vs-corpus, 30% of rows in one list):
+#: unsplit 139 s, 8192 → 29 s, 2048 → 20 s (docs/SCALE.md) — in
+#: corpus-vs-corpus mode a list with L rows is ~L queries × L
+#: candidates, so the task GEMM is ~L²·dims flops; 8192 keeps tasks
+#: ~seconds-sized while bounding the query-side replication (a query
+#: crosses Arrow once per block of each probed list). Well-balanced
+#: workloads (lists ~ sqrt(corpus)) rarely reach the threshold at
+#: all.
+GEMM_BLOCK_ROWS = 8_192
+
 
 def _score_pairs_arrow(
     joined: DataFrame, round_digits: int
@@ -149,7 +168,11 @@ def _resolve_scorer(scorer: str, queries: DataFrame, vec_col: str) -> str:
 
 
 def _topk_per_list_gemm(
-    c_lists: DataFrame, q_lists: DataFrame, k: int, round_digits: int
+    c_lists: DataFrame,
+    q_lists: DataFrame,
+    k: int,
+    round_digits: int,
+    block_rows: int | None = None,
 ) -> DataFrame:
     """Per-inverted-list top-k via dense matmul — the high-dims scale
     path of the IVF scoring step. Cogroups corpus and query lists on
@@ -168,10 +191,23 @@ def _topk_per_list_gemm(
     sequential fold at ULP scale — gates keep 'hof'; run-to-run the
     path is deterministic.
 
-    Memory: per task one list's C (|list| × dims doubles) + a
-    1024-query GEMM block. A hot list lands on ONE task (grouped
-    pandas sees no AQE skew-split) — size ``n_centroids ~
-    sqrt(corpus)`` so lists stay ~sqrt-sized."""
+    Memory: per task at most ``block_rows`` corpus vectors (×dims
+    doubles) + a 1024-query GEMM block. Hot lists do NOT pin one
+    task: any list larger than ``block_rows`` (default
+    :data:`GEMM_BLOCK_ROWS`) is hash-split into blocks and each
+    probing query scores every block — a pair's score is the same
+    dims-length dot wherever its candidate lands (BLAS kernel choice
+    varies with matrix shape, so only ULP-equal pre-rounding; the
+    ``round_digits`` rounding absorbs it), and the per-block top-k
+    union contains the per-list top-k, so the final ranking is
+    unchanged. The
+    list-size count that drives the split is an n_centroids-row
+    aggregate whose exchange Catalyst reuses from the assignment agg
+    (same canonical subplan)."""
+    if block_rows is None:
+        block_rows = GEMM_BLOCK_ROWS
+    if block_rows < 1:
+        raise ValueError(f"block_rows must be >= 1, got {block_rows}")
 
     def score(key, cdf, qdf):
         import numpy as np
@@ -215,9 +251,33 @@ def _topk_per_list_gemm(
             {"query_id": out_q, "neighbor_id": out_n, "cosine_sim": sim}
         )
 
+    blocks = F.broadcast(
+        c_lists.groupBy("centroid_id").agg(
+            F.ceil(F.count(F.lit(1)) / F.lit(block_rows))
+            .cast("int")
+            .alias("__nblk")
+        )
+    )
+    c_b = (
+        c_lists.join(blocks, "centroid_id")
+        .withColumn(
+            "__blk",
+            F.pmod(F.xxhash64("neighbor_id"), F.col("__nblk")).cast("int"),
+        )
+        .drop("__nblk")
+    )
+    # queries probing an empty list drop out of the inner join — they
+    # had no candidates in that list anyway
+    q_b = (
+        q_lists.join(blocks, "centroid_id")
+        .withColumn(
+            "__blk", F.explode(F.sequence(F.lit(0), F.col("__nblk") - 1))
+        )
+        .drop("__nblk")
+    )
     return (
-        c_lists.groupby("centroid_id")
-        .cogroup(q_lists.groupby("centroid_id"))
+        c_b.groupby("centroid_id", "__blk")
+        .cogroup(q_b.groupby("centroid_id", "__blk"))
         .applyInPandas(
             score, "query_id long, neighbor_id long, cosine_sim double"
         )
@@ -690,6 +750,7 @@ def ivf_topk(
     exact_mean: bool = False,
     broadcast_queries: bool = True,
     scorer: str = "auto",
+    gemm_block_rows: int | None = None,
 ) -> DataFrame:
     """IVF ANN: the corpus is partitioned into inverted lists by
     nearest k-means centroid; each query probes its ``nprobe`` nearest
@@ -722,7 +783,10 @@ def ivf_topk(
     All three produce identical ranked rows on the test fixtures
     (rounded-row agreement pytest); centroid assignment and list
     probing always stay on the JVM fold — they run once per VECTOR,
-    so the fold cost is amortized there."""
+    so the fold cost is amortized there. ``gemm_block_rows`` caps the
+    corpus rows one gemm scoring task owns (default
+    :data:`GEMM_BLOCK_ROWS`): hot inverted lists are hash-split so no
+    single grouped-pandas task inherits a skewed list whole."""
     cent = (
         centroids
         if centroids is not None
@@ -789,7 +853,9 @@ def ivf_topk(
         q_lists = F.broadcast(q_lists)
     resolved = _resolve_scorer(scorer, queries, vec_col)
     if resolved == "gemm":
-        scored = _topk_per_list_gemm(c_lists, q_lists, k, round_digits)
+        scored = _topk_per_list_gemm(
+            c_lists, q_lists, k, round_digits, gemm_block_rows
+        )
     else:
         joined = c_lists.join(q_lists, on="centroid_id").filter(
             F.col("neighbor_id") != F.col("query_id")
@@ -2198,6 +2264,7 @@ def margin_pairs_ivf(
     train_iters: int = 2,
     exact_mean: bool = False,
     scorer: str = "auto",
+    gemm_block_rows: int | None = None,
 ) -> DataFrame:
     """Corpus-vs-corpus margin mining — :func:`margin_pairs` freed of
     its sample-queries contract by routing candidate generation
@@ -2222,7 +2289,9 @@ def margin_pairs_ivf(
     candidate volume per query is ``nprobe * corpus / n_centroids``
     and the scoring join's key cardinality IS ``n_centroids``, so
     list sizes and join parallelism shrink/grow together; a hot list
-    is an AQE skew-split away."""
+    is an AQE skew-split away on the 'hof' join path and a
+    deterministic ``gemm_block_rows`` hash-split on the 'gemm'
+    path."""
     nn = ivf_topk(
         corpus,
         queries,
@@ -2237,6 +2306,7 @@ def margin_pairs_ivf(
         exact_mean=exact_mean,
         broadcast_queries=False,
         scorer=scorer,
+        gemm_block_rows=gemm_block_rows,
     )
     return _margin_pivot(nn, round_digits)
 
