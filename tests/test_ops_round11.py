@@ -128,3 +128,52 @@ def test_hamming_pairs_combination_banding_exact(spark):
             assert not any(6 in (a, b) for a, b, _ in got)
         else:
             assert got == expected, c
+
+
+def test_hamming_bucket_cap_and_stats(spark):
+    """max_bucket_size drops only pairs whose EVERY agreeing
+    combination bucket is hot: a planted hot bucket (many prints
+    sharing one strip value) is excluded, while a near-dup pair that
+    also agrees on an uncapped strip survives. hamming_bucket_stats
+    must report exactly the buckets the cap dropped."""
+    from ukis_h3cellstore_spark.ops.dedup import (
+        hamming_bucket_stats,
+        hamming_pairs,
+    )
+
+    # bits=16, d=1, c=1 -> 2 strips of 8 bits. 40 prints share LOW
+    # byte 0x55 with EVEN-PARITY high bytes (a distance-2 code: no
+    # qualifying d<=1 pair among them — the hot low-strip bucket holds
+    # only non-pairs); ids 100/101 differ by 1 bit in the LOW byte so
+    # they agree on the HIGH strip (0x3300) only.
+    evens = [b for b in range(256) if bin(b).count("1") % 2 == 0][:40]
+    rows = [(i, (evens[i] << 8) | 0x55) for i in range(40)]
+    rows += [(100, 0x3300 | 0x0F), (101, 0x3300 | 0x0E)]
+    fp = spark.createDataFrame(rows, "doc_id long, fp long")
+
+    uncapped = {
+        (r["id_a"], r["id_b"])
+        for r in hamming_pairs(
+            fp, "fp", bits=16, max_hamming=1, clean_blocks=1
+        ).collect()
+    }
+    capped = {
+        (r["id_a"], r["id_b"])
+        for r in hamming_pairs(
+            fp, "fp", bits=16, max_hamming=1, clean_blocks=1,
+            max_bucket_size=10,
+        ).collect()
+    }
+    # the hot bucket held no qualifying pairs, and (100, 101) agrees
+    # on the uncapped high strip -> capped output is identical here
+    assert (100, 101) in capped and capped == uncapped
+
+    stats = hamming_bucket_stats(
+        fp, "fp", bits=16, max_hamming=1, clean_blocks=1,
+        max_bucket_size=10,
+    ).collect()
+    dropped = [(r["band"], r["band_key"], r["n_prints"])
+               for r in stats if r["dropped"]]
+    # ids 100/101 carry low bytes 0x0F/0x0E, not 0x55, so exactly the
+    # 40 planted prints populate the one hot bucket
+    assert dropped == [(0, 0x55, 40)]

@@ -709,16 +709,20 @@ def simhash_hamming_pairs(
     k: int = 3,
     bits: int = 16,
     max_hamming: int = 3,
+    clean_blocks: int | str = "auto",
+    max_bucket_size: int | None = None,
 ) -> DataFrame:
     """ALL pairs with SimHash hamming distance ≤ ``max_hamming``:
     (id_a, id_b, hamming) with id_a < id_b — exact, not approximate.
 
-    Banded-XOR LSH: the ``bits``-bit fingerprint splits into
-    ``max_hamming + 1`` contiguous strips; by pigeonhole any pair
-    within hamming ≤ max_hamming agrees EXACTLY on at least one strip,
-    so a per-strip equality self-join generates a candidate superset,
-    and ``bit_count(xor)`` verifies the exact distance inline. The
-    shuffle is keyed on (band, strip value), never the corpus squared.
+    Candidates come from :func:`hamming_pairs`' combination banding
+    (``clean_blocks='auto'``: the classic max_hamming+1 strip split
+    while the strip key space stays selective, deeper C(b, c) block-
+    combination tables when it saturates); ``bit_count(xor)`` verifies
+    the exact distance inline. The shuffle is keyed on (band, packed
+    block values), never the corpus squared; ``max_bucket_size`` is
+    the dense-regime escape hatch (:func:`hamming_bucket_stats`
+    reports what a cap dropped).
 
     The fingerprint table is checkpointed (lazily — the join's first
     action materializes it) before fanning out: it feeds
@@ -729,7 +733,13 @@ def simhash_hamming_pairs(
     """
     s = simhash(df, text_col, id_col, k, bits).localCheckpoint(eager=False)
     return hamming_pairs(
-        s, fp_col="simhash", id_col=id_col, bits=bits, max_hamming=max_hamming
+        s,
+        fp_col="simhash",
+        id_col=id_col,
+        bits=bits,
+        max_hamming=max_hamming,
+        clean_blocks=clean_blocks,
+        max_bucket_size=max_bucket_size,
     )
 
 
@@ -760,42 +770,16 @@ def _auto_clean_blocks(
     return best
 
 
-def hamming_pairs(
+def _hamming_bands(
     fp_df: DataFrame,
     fp_col: str,
-    id_col: str = "doc_id",
-    bits: int = 64,
-    max_hamming: int = 3,
-    clean_blocks: int | str = "auto",
+    id_col: str,
+    bits: int,
+    max_hamming: int,
+    clean_blocks: int | str,
 ) -> DataFrame:
-    """Generic banded-XOR hamming join over ANY integer fingerprint
-    column (SimHash, perceptual hashes, binary sketches): exact all
-    pairs with distance ≤ ``max_hamming`` as (id_a, id_b, hamming).
-
-    Candidate generation is COMBINATION BANDING (the block-permuted
-    tables of Manku et al., WWW'07, "Detecting near-duplicates for
-    web crawling", generalized): the fingerprint splits into
-    ``b = max_hamming + clean_blocks`` near-equal blocks; ``d``
-    differing bits ruin at most ``d`` blocks, so every qualifying
-    pair agrees on some ``c = clean_blocks`` whole blocks — the
-    self-join keys on the packed values of every C(b, c) block
-    combination and ``bit_count(xor)`` verifies inline. ``c=1`` is
-    the classic pigeonhole strip split; it saturates when
-    ``2^(bits/(d+1))`` falls below the corpus size (d=8 over 64 bits
-    → 7-bit keys → ~n/128-row buckets → an n²/128 pair explosion at
-    1M fingerprints — measured, docs/SCALE.md). Deeper ``c`` widens
-    the agreement key to ``c·bits/b`` bits at the cost of C(b, c)-way
-    row replication: candidates stay ~linear in n while the
-    replication grows polynomially — the honest envelope is d ≲ 8 on
-    64-bit prints; beyond that, use a wider fingerprint or a
-    recall-bounded LSH.
-
-    ``clean_blocks='auto'`` (default) counts ``fp_df`` and picks the
-    smallest sufficient depth (:func:`_auto_clean_blocks`) — at every
-    test SF that resolves to the c=1 strip split. ANY depth returns
-    the same exact result set (supersets differ, the verified output
-    doesn't), so the knob is purely physical. Callers should
-    checkpoint ``fp_df`` — it feeds the count and both join sides."""
+    """(id, __fp, band, band_key) — one row per fingerprint per
+    combination table (see :func:`hamming_pairs` for the scheme)."""
     if clean_blocks == "auto":
         c = _auto_clean_blocks(fp_df.count(), bits, max_hamming)
     else:
@@ -831,11 +815,101 @@ def hamming_pairs(
         for i in combo[1:]:
             key = F.shiftleft(key, widths[i]).bitwiseOR(block_val(i))
         tables.append(F.struct(F.lit(t).alias("band"), key.alias("band_key")))
-    bands = fp_df.select(
+    return fp_df.select(
         F.col(id_col).alias("id"),
         F.col(fp_col).alias("__fp"),
         F.explode(F.array(*tables)).alias("__t"),
     ).select("id", "__fp", "__t.band", "__t.band_key")
+
+
+def hamming_bucket_stats(
+    fp_df: DataFrame,
+    fp_col: str,
+    id_col: str = "doc_id",
+    bits: int = 64,
+    max_hamming: int = 3,
+    clean_blocks: int | str = "auto",
+    max_bucket_size: int | None = None,
+) -> DataFrame:
+    """Per-(band, band_key) population report: (band, band_key,
+    n_prints, dropped) — the :func:`~ukis_h3cellstore_spark.ops.
+    similarity.lsh_bucket_stats` twin for the hamming join. ``dropped``
+    marks buckets a ``max_bucket_size`` cap would discard; run it
+    alongside a capped pair query so a cap never truncates silently.
+    A hot bucket here means MANY prints share those agreement blocks —
+    the dense-fingerprint regime (docs/SCALE.md): unlike LSH, dropping
+    one bucket only loses pairs whose EVERY other agreeing combination
+    is also hot."""
+    bands = _hamming_bands(
+        fp_df, fp_col, id_col, bits, max_hamming, clean_blocks
+    )
+    out = bands.groupBy("band", "band_key").agg(
+        F.count(F.lit(1)).alias("n_prints")
+    )
+    cap = F.lit(max_bucket_size) if max_bucket_size is not None else F.lit(None)
+    return out.withColumn(
+        "dropped",
+        F.when(cap.isNotNull(), F.col("n_prints") > cap).otherwise(F.lit(False)),
+    )
+
+
+def hamming_pairs(
+    fp_df: DataFrame,
+    fp_col: str,
+    id_col: str = "doc_id",
+    bits: int = 64,
+    max_hamming: int = 3,
+    clean_blocks: int | str = "auto",
+    max_bucket_size: int | None = None,
+) -> DataFrame:
+    """Generic banded-XOR hamming join over ANY integer fingerprint
+    column (SimHash, perceptual hashes, binary sketches): exact all
+    pairs with distance ≤ ``max_hamming`` as (id_a, id_b, hamming).
+
+    Candidate generation is COMBINATION BANDING (the block-permuted
+    tables of Manku et al., WWW'07, "Detecting near-duplicates for
+    web crawling", generalized): the fingerprint splits into
+    ``b = max_hamming + clean_blocks`` near-equal blocks; ``d``
+    differing bits ruin at most ``d`` blocks, so every qualifying
+    pair agrees on some ``c = clean_blocks`` whole blocks — the
+    self-join keys on the packed values of every C(b, c) block
+    combination and ``bit_count(xor)`` verifies inline. ``c=1`` is
+    the classic pigeonhole strip split; it saturates when
+    ``2^(bits/(d+1))`` falls below the corpus size (d=8 over 64 bits
+    → 7-bit keys → ~n/128-row buckets → an n²/128 pair explosion at
+    1M fingerprints — measured, docs/SCALE.md). Deeper ``c`` widens
+    the agreement key to ``c·bits/b`` bits at the cost of C(b, c)-way
+    row replication: candidates stay ~linear in n while the
+    replication grows polynomially — the honest envelope is d ≲ 8 on
+    64-bit prints; beyond that, use a wider fingerprint or a
+    recall-bounded LSH.
+
+    ``clean_blocks='auto'`` (default) counts ``fp_df`` and picks the
+    smallest sufficient depth (:func:`_auto_clean_blocks`) — at every
+    test SF that resolves to the c=1 strip split. ANY depth returns
+    the same exact result set (supersets differ, the verified output
+    doesn't), so the knob is purely physical. Callers should
+    checkpoint ``fp_df`` — it feeds the count and both join sides.
+
+    ``max_bucket_size`` drops (band, band_key) buckets larger than
+    the cap before the self-join — the explicit RECALL-for-cost
+    escape hatch for the dense-fingerprint regime, where the TRUE
+    pair set is itself quadratic and exactness IS the explosion
+    (docs/SCALE.md). Default None = exact (what every gate pins). A
+    dropped bucket loses only pairs whose every other agreeing
+    combination is also hot; :func:`hamming_bucket_stats` reports
+    exactly what a cap excluded — no silent truncation."""
+    bands = _hamming_bands(
+        fp_df, fp_col, id_col, bits, max_hamming, clean_blocks
+    )
+    if max_bucket_size is not None:
+        keep = (
+            bands.groupBy("band", "band_key")
+            .agg(F.count(F.lit(1)).alias("__bn"))
+            .filter(F.col("__bn") <= max_bucket_size)
+            .select("band", "band_key")
+        )
+        bands = bands.join(keep, on=["band", "band_key"], how="inner")
 
     left = bands.select(
         F.col("id").alias("id_a"), F.col("__fp").alias("fp_a"), "band", "band_key"
