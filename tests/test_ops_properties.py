@@ -587,3 +587,42 @@ def test_grouped_rank_median_cumsum_match_serial(spark, rows, nparts):
         vs = sorted(v for v, _ in items)
         n = len(vs)
         assert med[g] == (n, (vs[(n - 1) // 2] + vs[n // 2]) / 2)
+
+
+# ------------------------------------------- hamming combination banding
+
+
+@given(
+    fps=st.lists(
+        st.integers(min_value=0, max_value=(1 << 64) - 1),
+        min_size=2,
+        max_size=60,
+    ),
+    max_hamming=st.integers(min_value=1, max_value=10),
+    clean_blocks=st.sampled_from([1, 2, 3, "auto"]),
+)
+@settings(**_SETTINGS)
+def test_hamming_pairs_matches_bruteforce(spark, fps, max_hamming, clean_blocks):
+    """hamming_pairs is EXACT at every combination-banding depth: the
+    (id_a, id_b, hamming) set must equal the brute-force all-pairs
+    popcount reference for random 64-bit prints and random d — the
+    property that licenses `clean_blocks` as a purely physical knob."""
+    expected = set()
+    for i in range(len(fps)):
+        for j in range(i + 1, len(fps)):
+            h = bin(fps[i] ^ fps[j]).count("1")
+            if h <= max_hamming:
+                expected.add((i, j, h))
+
+    signed = [v - (1 << 64) if v >= (1 << 63) else v for v in fps]
+    df = spark.createDataFrame(
+        list(enumerate(signed)), "doc_id long, fp long"
+    )
+    got = {
+        (r["id_a"], r["id_b"], r["hamming"])
+        for r in D.hamming_pairs(
+            df, "fp", bits=64, max_hamming=max_hamming,
+            clean_blocks=clean_blocks,
+        ).collect()
+    }
+    assert got == expected
