@@ -186,6 +186,7 @@ def test_gemm_hot_list_block_split_exact(corpus):
 
     split = rows(scorer="gemm", gemm_block_rows=7)
     assert split == rows(scorer="gemm")
+    assert split == rows(scorer="gemm", gemm_block_rows=0)  # no-split path
     assert split == rows(scorer="hof")
 
 

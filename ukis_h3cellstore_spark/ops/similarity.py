@@ -200,14 +200,19 @@ def _topk_per_list_gemm(
     varies with matrix shape, so only ULP-equal pre-rounding; the
     ``round_digits`` rounding absorbs it), and the per-block top-k
     union contains the per-list top-k, so the final ranking is
-    unchanged. The
-    list-size count that drives the split is an n_centroids-row
-    aggregate whose exchange Catalyst reuses from the assignment agg
-    (same canonical subplan)."""
+    unchanged.
+
+    ``c_lists`` feeds TWO consumers here (the n_centroids-row
+    list-size aggregate that drives the split, and the scoring
+    cogroup), so it is localCheckpoint'ed lazily — WITHOUT the
+    truncation the centroid-assignment aggregate re-executes once per
+    consumer (measured 215 s vs ~120 s on the 100k×256-dim e2e: AQE
+    does NOT reuse the assignment exchange across the broadcast-
+    branch boundary — the multi-reference trap, docs/SCALE.md)."""
     if block_rows is None:
         block_rows = GEMM_BLOCK_ROWS
-    if block_rows < 1:
-        raise ValueError(f"block_rows must be >= 1, got {block_rows}")
+    if block_rows < 0:
+        raise ValueError(f"block_rows must be >= 0, got {block_rows}")
 
     def score(key, cdf, qdf):
         import numpy as np
@@ -251,6 +256,19 @@ def _topk_per_list_gemm(
             {"query_id": out_q, "neighbor_id": out_n, "cosine_sim": sim}
         )
 
+    if block_rows == 0:
+        # explicit no-split fast path: no list-size count, no
+        # checkpoint — the balanced-workload plan, ~20% cheaper than
+        # the split machinery when no list is hot (docs/SCALE.md)
+        return (
+            c_lists.groupby("centroid_id")
+            .cogroup(q_lists.groupby("centroid_id"))
+            .applyInPandas(
+                score, "query_id long, neighbor_id long, cosine_sim double"
+            )
+        )
+
+    c_lists = c_lists.localCheckpoint(eager=False)
     blocks = F.broadcast(
         c_lists.groupBy("centroid_id").agg(
             F.ceil(F.count(F.lit(1)) / F.lit(block_rows))
@@ -786,7 +804,10 @@ def ivf_topk(
     so the fold cost is amortized there. ``gemm_block_rows`` caps the
     corpus rows one gemm scoring task owns (default
     :data:`GEMM_BLOCK_ROWS`): hot inverted lists are hash-split so no
-    single grouped-pandas task inherits a skewed list whole."""
+    single grouped-pandas task inherits a skewed list whole (139 → 20
+    s on a 30%-hot 100k corpus); ``0`` disables the split machinery
+    entirely (no list-size count, no checkpoint — ~20% cheaper when
+    you KNOW no list is hot; both numbers in docs/SCALE.md)."""
     cent = (
         centroids
         if centroids is not None
