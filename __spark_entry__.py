@@ -22,10 +22,10 @@ from collections.abc import Callable
 from pyspark.sql import DataFrame, SparkSession
 
 # ROUND-11 ROTATION (computed by `python tools/rotation.py --python`):
-# tier 1 = the 1 round-11 addition (never driver-sampled) + the 3
+# tier 1 = the 2 round-11 additions (never driver-sampled) + the 3
 # gates that breached driver-age 5 in round 10 (the r5-aged streaming
 # trio the rotation slots couldn't fit), then the oldest r6-aged
-# cohort filling the 50 head slots (46 of 50; the remaining 4 lead
+# cohort filling the 50 head slots (45 of 50; the remaining 5 lead
 # round 12).
 #
 # PROTOCOL (round-11 decision, per the round-10 verdict): at 253+
@@ -40,6 +40,7 @@ from pyspark.sql import DataFrame, SparkSession
 _PRIORITY = [
     # tier 1 — never driver-sampled
     "streaming_cdc_tableset",
+    "corpus_key_skew",
     # tier 2 — oldest driver-green first
     "streaming_stateful_accumulator",
     "streaming_tableset_ingest",

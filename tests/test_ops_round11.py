@@ -177,3 +177,35 @@ def test_hamming_bucket_cap_and_stats(spark):
     # ids 100/101 carry low bytes 0x0F/0x0E, not 0x55, so exactly the
     # 40 planted prints populate the one hot bucket
     assert dropped == [(0, 0x55, 40)]
+
+
+def test_key_skew_report_semantics(spark):
+    """Exact counts, deterministic tie ranks (count desc, value asc),
+    NULL as a first-class reported key, per-column distincts, and
+    integral milli shares — checked against a hand-computed frame."""
+    from ukis_h3cellstore_spark.ops.report import key_skew_report
+
+    rows = [
+        ("a", "x"), ("a", "x"), ("a", "x"), ("a", None),
+        ("b", "x"), ("b", "y"), ("c", "y"), ("c", "y"), ("d", "z"),
+        ("d", "z"),
+    ]
+    df = spark.createDataFrame(rows, "k string, v string")
+    out = {
+        (r["column"], r["rank"]): (
+            r["value"], r["n_rows"], r["share_milli"], r["n_distinct"]
+        )
+        for r in key_skew_report(df, ["k", "v"], top_n=3).collect()
+    }
+    # k: a=4, b=2, c=2, d=2 -> ties at rank 2 break on value asc
+    assert out[("k", 1)] == ("a", 4, 400, 4)
+    assert out[("k", 2)] == ("b", 2, 200, 4)
+    assert out[("k", 3)] == ("c", 2, 200, 4)
+    # v: x=4, y=3, z=2, <null>=1 (NULL is a reported key value)
+    assert out[("v", 1)] == ("x", 4, 400, 4)
+    assert out[("v", 2)] == ("y", 3, 300, 4)
+    assert out[("v", 3)] == ("z", 2, 200, 4)
+    assert len(out) == 6  # top_n=3 per column
+
+    full = key_skew_report(df, ["v"], top_n=10).collect()
+    assert ("<null>", 1) in {(r["value"], r["n_rows"]) for r in full}

@@ -7041,6 +7041,53 @@ FROM srcv, allv
 """
 
 
+def q_corpus_key_skew(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Key-skew pre-flight report (ops/report.py: key_skew_report):
+    per candidate key column, the exact top-5 heaviest values with
+    counts, integral milli shares, and the column's exact distinct
+    count — the report that parameterizes the engine's skew knobs
+    (salting, blocking-key choice, gemm_block_rows, max_bucket_size)
+    BEFORE a 100 TB shuffle ships."""
+    from ukis_h3cellstore_spark.ops import report as RP
+
+    return RP.key_skew_report(
+        _docs(spark, sf_dir), ["source", "lang", "n_chars"], top_n=5
+    )
+
+
+Q_CORPUS_KEY_SKEW_SQL = """
+WITH pairs AS (
+  SELECT 'source' AS "column",
+         COALESCE(CAST(source AS VARCHAR), '<null>') AS value
+  FROM documents
+  UNION ALL
+  SELECT 'lang', COALESCE(CAST(lang AS VARCHAR), '<null>') FROM documents
+  UNION ALL
+  SELECT 'n_chars', COALESCE(CAST(n_chars AS VARCHAR), '<null>')
+  FROM documents
+), counts AS (
+  SELECT "column", value, COUNT(*) AS n_rows
+  FROM pairs GROUP BY "column", value
+), tot AS (
+  SELECT SUM(n_rows) AS total FROM counts WHERE "column" = 'source'
+), dist AS (
+  SELECT "column", COUNT(*) AS n_distinct FROM counts GROUP BY "column"
+), ranked AS (
+  SELECT "column", value, n_rows,
+         ROW_NUMBER() OVER (
+           PARTITION BY "column" ORDER BY n_rows DESC, value ASC
+         ) AS rank
+  FROM counts
+)
+SELECT r."column" AS "column", r.value, r.n_rows,
+       CAST(r.rank AS INT) AS rank,
+       CAST((r.n_rows * 1000) // t.total AS BIGINT) AS share_milli,
+       d.n_distinct
+FROM ranked r CROSS JOIN tot t JOIN dist d USING ("column")
+WHERE r.rank <= 5
+"""
+
+
 QUERIES_OPS: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "corpus_curation_e2e": q_corpus_curation_e2e,
     "multimodal_curation_e2e": q_multimodal_curation_e2e,
@@ -7095,6 +7142,7 @@ QUERIES_OPS: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "graph_personalized_pagerank": q_graph_personalized_pagerank,
     "ann_label_centroid_sim": q_ann_label_centroid_sim,
     "corpus_datacard": q_corpus_datacard,
+    "corpus_key_skew": q_corpus_key_skew,
     "ann_whitened": q_ann_whitened,
     "text_fertility": q_text_fertility,
     "corpus_k_anonymity": q_corpus_k_anonymity,
@@ -7244,6 +7292,7 @@ ORACLES_OPS: dict[str, str] = {
     "graph_personalized_pagerank": _ppr_oracle_sql(3),
     "ann_label_centroid_sim": Q_ANN_LABEL_CENTROID_SQL,
     "corpus_datacard": Q_CORPUS_DATACARD_SQL,
+    "corpus_key_skew": Q_CORPUS_KEY_SKEW_SQL,
     "ann_whitened": Q_ANN_WHITENED_SQL,
     "text_fertility": Q_TEXT_FERTILITY_SQL,
     "corpus_k_anonymity": Q_CORPUS_K_ANON_SQL,

@@ -22,7 +22,7 @@ from pyspark.sql import functions as F
 
 from ukis_h3cellstore_spark.ops.text import tokens
 
-__all__ = ["corpus_datacard", "l_diversity", "categorical_dependence", "psi_drift", "psi_from_counts", "rfm_segments"]
+__all__ = ["corpus_datacard", "l_diversity", "categorical_dependence", "psi_drift", "psi_from_counts", "rfm_segments", "key_skew_report"]
 
 
 def l_diversity(
@@ -383,4 +383,87 @@ def rfm_segments(
         (
             F.col("r_score") * 100 + F.col("f_score") * 10 + F.col("m_score")
         ).cast("int").alias("segment"),
+    )
+
+
+def key_skew_report(
+    df: DataFrame, cols: list[str], top_n: int = 10
+) -> DataFrame:
+    """Per-key-column skew diagnostics — the PRE-FLIGHT report you run
+    before choosing a join/blocking/salting strategy at scale: for
+    each candidate key column, the top-``top_n`` heaviest values with
+    exact counts and integral milli shares, plus the column's exact
+    distinct-value count. A 30%-hot key tells you to salt or split
+    BEFORE the shuffle ships (the engine's AQE skew handling, the
+    fuzzy-join blocking-key choice, `gemm_block_rows`, and
+    `max_bucket_size` are all knobs this report parameterizes).
+
+    Output: (column, value, n_rows, rank, share_milli, n_distinct),
+    rank 1.. by (count desc, value asc) — deterministic; NULLs are a
+    first-class key value (a classic hot key) reported as the
+    ``<null>`` sentinel, which also pins identical NULL ordering
+    across engines.
+
+    Scale shape: ONE corpus scan explodes (column, value) string
+    pairs; per-(column, value) counts are a map-side-combinable hash
+    aggregation, localCheckpoint'ed once for its |cols|+2 consumers
+    (the multi-reference trap, docs/SCALE.md). Each column's top-N
+    plans as ``orderBy().limit()`` → TakeOrderedAndProject
+    (per-partition top-N + an N-sized merge) — NEVER a one-task
+    window sort over a high-cardinality column's distinct values. The
+    total and distinct counts ride the counts frame (column-count-
+    sized aggregations); the final rank window runs over ≤
+    |cols|·top_n rows."""
+    if not cols:
+        raise ValueError("cols must be a non-empty list of column names")
+    pairs = df.select(
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(c).alias("column"),
+                        F.coalesce(
+                            F.col(c).cast("string"), F.lit("<null>")
+                        ).alias("value"),
+                    )
+                    for c in cols
+                ]
+            )
+        ).alias("kv")
+    ).select("kv.column", "kv.value")
+    counts = (
+        pairs.groupBy("column", "value")
+        .agg(F.count(F.lit(1)).alias("n_rows"))
+        .localCheckpoint(eager=False)
+    )
+    total = counts.filter(F.col("column") == cols[0]).agg(
+        F.sum("n_rows").alias("__total")
+    )
+    dist = counts.groupBy("column").agg(
+        F.count(F.lit(1)).alias("n_distinct")
+    )
+    top = None
+    for c in cols:
+        t = (
+            counts.filter(F.col("column") == c)
+            .orderBy(F.col("n_rows").desc(), F.col("value").asc())
+            .limit(top_n)
+        )
+        top = t if top is None else top.unionByName(t)
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("column").orderBy(
+        F.col("n_rows").desc(), F.col("value").asc()
+    )
+    return (
+        top.crossJoin(F.broadcast(total))
+        .join(F.broadcast(dist), on="column")
+        .withColumn("rank", F.row_number().over(w))
+        .withColumn(
+            "share_milli",
+            F.expr("(n_rows * 1000) div __total").cast("long"),
+        )
+        .select(
+            "column", "value", "n_rows", "rank", "share_milli", "n_distinct"
+        )
     )
