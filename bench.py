@@ -102,8 +102,10 @@ HEADLINE = [
     "streaming_cdc_upsert_jvm",
     "multimodal_curation_e2e",
     "embedding_margin_pairs_ivf",
-    # round-11 addition: the CDC→mutable-tableset composition
+    # round-11 additions: the CDC→mutable-tableset composition and
+    # the key-skew pre-flight report
     "streaming_cdc_tableset",
+    "corpus_key_skew",
 ]
 
 #: bench-only implementations: same operator, scale-path configuration
