@@ -91,6 +91,9 @@ DEFAULT_QUERIES = [
     # round-10 additions
     "embedding_margin_pairs_ivf",
     "multimodal_curation_e2e",
+    # round-11 additions
+    "streaming_cdc_tableset",
+    "corpus_key_skew",
 ]
 
 
