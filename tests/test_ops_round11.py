@@ -209,3 +209,29 @@ def test_key_skew_report_semantics(spark):
 
     full = key_skew_report(df, ["v"], top_n=10).collect()
     assert ("<null>", 1) in {(r["value"], r["n_rows"]) for r in full}
+
+
+def test_hamming_pairs_max_hamming_zero_full_width(spark):
+    """max_hamming=0 with c=1 is one FULL-WIDTH 64-bit block — the
+    mask literal 2^64-1 would overflow a signed long, so the block
+    extractor must skip the mask (shift-by-0 IS the value). Semantics:
+    exact-duplicate fingerprint pairs only."""
+    from ukis_h3cellstore_spark.ops.dedup import hamming_pairs
+
+    rows = [(0, 7), (1, 7), (2, 6), (3, -1), (4, -1)]
+    fp = spark.createDataFrame(rows, "doc_id long, fp long")
+    got = sorted(
+        (r["id_a"], r["id_b"], r["hamming"])
+        for r in hamming_pairs(
+            fp, "fp", bits=64, max_hamming=0, clean_blocks=1
+        ).collect()
+    )
+    assert got == [(0, 1, 0), (3, 4, 0)]
+
+
+def test_key_skew_report_rejects_duplicate_cols(spark):
+    from ukis_h3cellstore_spark.ops.report import key_skew_report
+
+    df = spark.createDataFrame([("a",)], "k string")
+    with pytest.raises(ValueError, match="duplicates"):
+        key_skew_report(df, ["k", "k"])

@@ -724,8 +724,10 @@ def simhash_hamming_pairs(
     the dense-regime escape hatch (:func:`hamming_bucket_stats`
     reports what a cap dropped).
 
-    The fingerprint table is checkpointed (lazily — the join's first
-    action materializes it) before fanning out: it feeds
+    The fingerprint table is checkpointed before fanning out (under
+    the default ``clean_blocks='auto'`` the depth-resolution count
+    inside :func:`hamming_pairs` materializes it at construction;
+    with an explicit depth, the join's first action does): it feeds
     ``max_hamming + 1`` band projections on BOTH sides of the
     self-join, and without lineage truncation Catalyst re-executes
     the shingle-explode + bit-sum aggregation once per reference
@@ -802,9 +804,13 @@ def _hamming_bands(
         lo += w
 
     def block_val(i: int):
-        return F.shiftrightunsigned(F.col(fp_col), offsets[i]).bitwiseAND(
-            F.lit((1 << widths[i]) - 1)
-        )
+        shifted = F.shiftrightunsigned(F.col(fp_col), offsets[i])
+        if widths[i] >= 64:
+            # full-width block (max_hamming=0, clean_blocks=1): the
+            # mask literal 2^64-1 overflows a signed long — and no
+            # mask is needed, the shift-by-0 already IS the value
+            return shifted
+        return shifted.bitwiseAND(F.lit((1 << widths[i]) - 1))
 
     import itertools
 
@@ -835,7 +841,10 @@ def hamming_bucket_stats(
     n_prints, dropped) — the :func:`~ukis_h3cellstore_spark.ops.
     similarity.lsh_bucket_stats` twin for the hamming join. ``dropped``
     marks buckets a ``max_bucket_size`` cap would discard; run it
-    alongside a capped pair query so a cap never truncates silently.
+    alongside a capped pair query so a cap never truncates silently —
+    with an EXPLICIT shared ``clean_blocks`` (under 'auto' each call
+    counts and resolves the depth independently; checkpoint ``fp_df``
+    so both see the same rows).
     A hot bucket here means MANY prints share those agreement blocks —
     the dense-fingerprint regime (docs/SCALE.md): unlike LSH, dropping
     one bucket only loses pairs whose EVERY other agreeing combination
@@ -846,11 +855,12 @@ def hamming_bucket_stats(
     out = bands.groupBy("band", "band_key").agg(
         F.count(F.lit(1)).alias("n_prints")
     )
-    cap = F.lit(max_bucket_size) if max_bucket_size is not None else F.lit(None)
-    return out.withColumn(
-        "dropped",
-        F.when(cap.isNotNull(), F.col("n_prints") > cap).otherwise(F.lit(False)),
+    dropped = (
+        F.lit(False)
+        if max_bucket_size is None
+        else F.col("n_prints") > F.lit(max_bucket_size)
     )
+    return out.withColumn("dropped", dropped)
 
 
 def hamming_pairs(
@@ -888,8 +898,14 @@ def hamming_pairs(
     smallest sufficient depth (:func:`_auto_clean_blocks`) — at every
     test SF that resolves to the c=1 strip split. ANY depth returns
     the same exact result set (supersets differ, the verified output
-    doesn't), so the knob is purely physical. Callers should
-    checkpoint ``fp_df`` — it feeds the count and both join sides.
+    doesn't), so the knob is purely physical. NOTE: 'auto' resolves
+    at CONSTRUCTION time — building the DataFrame runs one count job
+    (materializing a checkpointed ``fp_df``); pass an explicit
+    ``clean_blocks`` int for fully-lazy construction (plan-only
+    tooling, conditional execution), and pass the SAME int to
+    :func:`hamming_bucket_stats` when pairing the two so both
+    describe one banding. Callers should checkpoint ``fp_df`` — it
+    feeds the count and both join sides.
 
     ``max_bucket_size`` drops (band, band_key) buckets larger than
     the cap before the self-join — the explicit RECALL-for-cost

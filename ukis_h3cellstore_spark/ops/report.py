@@ -416,6 +416,10 @@ def key_skew_report(
     |cols|·top_n rows."""
     if not cols:
         raise ValueError("cols must be a non-empty list of column names")
+    if len(set(cols)) != len(cols):
+        # a duplicated column would silently double its counts (and,
+        # for cols[0], the share denominator)
+        raise ValueError(f"cols contains duplicates: {cols}")
     pairs = df.select(
         F.explode(
             F.array(
