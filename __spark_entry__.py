@@ -21,12 +21,15 @@ from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
 
-# ROUND-11 ROTATION (computed by `python tools/rotation.py --python`):
-# tier 1 = the 2 round-11 additions (never driver-sampled) + the 3
-# gates that breached driver-age 5 in round 10 (the r5-aged streaming
-# trio the rotation slots couldn't fit), then the oldest r6-aged
-# cohort filling the 50 head slots (45 of 50; the remaining 5 lead
-# round 12).
+# ROUND-12 ROTATION (computed by `python tools/rotation.py --python`):
+# tier 1 = the 5 gates whose driver age reaches the 6-round bound at
+# r12 (ann_hard_negatives, rag_prep_pipeline, dedup_incremental_index,
+# streaming_domain_cap, streaming_segment_dedup — exactly the set the
+# round-11 `rotation.py --check` breach named), then the oldest
+# driver-green cohort (r7) filling the 50 head slots. New r12 gates
+# are appended at the END of tier 1 only if slots permit without
+# evicting an age-bound gate; otherwise they debut in the local sweep
+# and enter the head next round.
 #
 # PROTOCOL (round-11 decision, per the round-10 verdict): at 253+
 # gates / 50 driver slots a <=4-round re-verification bound is
@@ -38,59 +41,59 @@ from pyspark.sql import DataFrame, SparkSession
 # satisfy: new + oldest-cohort-size <= 50, else the cohort ages one
 # extra round toward the bound.
 _PRIORITY = [
-    # tier 1 — never driver-sampled
-    "streaming_cdc_tableset",
-    "corpus_key_skew",
-    # tier 2 — oldest driver-green first
-    "streaming_stateful_accumulator",
-    "streaming_tableset_ingest",
-    "streaming_windowed_rollup",
-    "q7_nation_trade_volume",
-    "q8_market_share",
-    "q10_returned_customers",
-    "q15_top_suppliers",
-    "q19_bracket_revenue",
-    "q13_order_count_distribution",
-    "q14_promo_revenue_share",
-    "q16_supplier_part_counts",
-    "q17_small_quantity_revenue",
-    "q22_idle_rich_customers",
-    "events_hourly_window",
-    "events_sessionize",
-    "events_asof_join",
-    "events_asof_forward",
-    "events_percentiles",
-    "events_cube_counts",
-    "events_range_join",
-    "events_salted_join",
-    "events_cohort_retention",
-    "events_funnel",
-    "events_global_cumsum",
-    "text_cms_heavy_hitters",
-    "graph_pagerank",
-    "ann_kcenter_coreset",
-    "corpus_bloom_decontaminate",
-    "events_hll_sketch",
-    "corpus_snapshot_diff",
-    "corpus_domain_cap",
-    "events_fleiss_kappa",
-    "text_bm25_topk",
-    "ann_hamming_top3",
-    "text_trigram_backoff",
-    "dedup_keep_best",
-    "text_tfidf_topk",
-    "dedup_substring_spans",
-    "dedup_segments",
-    "text_c4_filter",
-    "dedup_span_excise",
-    "text_bpe_pairs",
-    "corpus_quality_auc",
-    "multimodal_phash_pairs",
-    "text_bpe_merge_apply",
-    "text_bigram_surprisal",
-    "corpus_clean_pipeline",
-    "corpus_resampled_mix",
+    # tier 1 — the 5 gates whose driver age reaches the 6-round bound
+    # at r12 (rotation.py --check named them after r11)
     "ann_hard_negatives",
+    "rag_prep_pipeline",
+    "dedup_incremental_index",
+    "streaming_domain_cap",
+    "streaming_segment_dedup",
+    # tier 2 — oldest driver-green first (r7 cohort)
+    "events_asof_nearest",
+    "events_sliding_window",
+    "events_daily_moving_avg",
+    "events_latest_per_user",
+    "events_rollup_counts",
+    "events_pivot_daily",
+    "events_unpivot_daily",
+    "events_day_set_ops",
+    "events_json_props",
+    "h3_synth_fields",
+    "h3_parent_agg_sum",
+    "h3_minmax_avg",
+    "h3_setnull_on_conflict",
+    "h3_relative_cell_area",
+    "h3_children_explode",
+    "h3_compact",
+    "h3_cell_membership",
+    "h3_hierarchy_semijoin",
+    "resolution_split_counts",
+    "pipeline_sum_rollup",
+    "pipeline_compact_roundtrip",
+    "corpus_weighted_sample",
+    "text_taxonomy_tag",
+    "events_mad_outliers",
+    "text_ccnet_buckets",
+    "corpus_length_batches",
+    "corpus_token_budget_mix",
+    "text_collocations",
+    "events_grouped_auc",
+    "ann_random_projection",
+    "events_winsorized_means",
+    "events_calibration_bins",
+    "graph_triangles",
+    "corpus_source_drift",
+    "events_quantile_transform",
+    "graph_personalized_pagerank",
+    "ann_label_centroid_sim",
+    "corpus_datacard",
+    "ann_whitened",
+    "text_fertility",
+    "corpus_k_anonymity",
+    "ann_knn_label_agreement",
+    "text_vocab_profile",
+    "corpus_source_containment",
+    "corpus_group_split",
 ]
 
 
