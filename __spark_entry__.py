@@ -48,6 +48,8 @@ _PRIORITY = [
     "dedup_incremental_index",
     "streaming_domain_cap",
     "streaming_segment_dedup",
+    # tier 1b — new r12 gates (never driver-sampled)
+    "multimodal_phash_density",
     # tier 2 — oldest driver-green first (r7 cohort)
     "events_asof_nearest",
     "events_sliding_window",
@@ -93,7 +95,6 @@ _PRIORITY = [
     "ann_knn_label_agreement",
     "text_vocab_profile",
     "corpus_source_containment",
-    "corpus_group_split",
 ]
 
 

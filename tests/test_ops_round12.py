@@ -1,0 +1,135 @@
+"""Round-12 operator tests: the hamming density pre-flight probe and
+the guided-threshold helper that the multimodal flagship consumes."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from ukis_h3cellstore_spark.ops import dedup as D
+
+
+def _fp_df(spark, prints):
+    return spark.createDataFrame(
+        [(i, int(p)) for i, p in enumerate(prints)], "doc_id long, fp long"
+    )
+
+
+class TestHammingDensityProbe:
+    def test_exact_when_unsampled(self, spark):
+        # 4 prints: 0b0000, 0b0001, 0b0011, 0b1111 — pairwise hamming
+        # distances: (0,1)=1 (0,3)=2 (0,15)=4 (1,3)=1 (1,15)=3 (3,15)=2
+        df = _fp_df(spark, [0b0000, 0b0001, 0b0011, 0b1111])
+        rows = {
+            r["hamming"]: r
+            for r in D.hamming_density_probe(
+                df, "fp", max_hamming=4, sample_mod=1
+            ).collect()
+        }
+        assert set(rows) == {0, 1, 2, 3, 4}
+        cum = {0: 0, 1: 2, 2: 4, 3: 5, 4: 6}
+        for d, want in cum.items():
+            assert rows[d]["sample_pairs_le"] == want
+            # mod=1: the sample IS the corpus, prediction is exact
+            assert rows[d]["predicted_pairs_le"] == want
+            assert rows[d]["n_sample"] == 4 and rows[d]["n_total"] == 4
+
+    def test_extrapolation_arithmetic(self, spark):
+        # sample half the corpus via an explicit mod; prediction must
+        # equal sample_pairs * (C(n,2) // C(s,2)) in integer div order
+        n = 40
+        df = _fp_df(spark, [0] * n)  # all identical: every pair is d=0
+        out = {
+            r["hamming"]: r
+            for r in D.hamming_density_probe(
+                df, "fp", max_hamming=1, sample_mod=2
+            ).collect()
+        }
+        s = out[0]["n_sample"]
+        assert 2 <= s < n
+        sp = out[0]["sample_pairs_le"]
+        assert sp == s * (s - 1) // 2
+        assert (
+            out[0]["predicted_pairs_le"]
+            == sp * (n * (n - 1) // 2) // (s * (s - 1) // 2)
+        )
+
+    def test_null_prediction_on_tiny_sample(self, spark):
+        # a mod larger than the hash spread can leave <2 sampled rows;
+        # prediction must be NULL, not a division error
+        df = _fp_df(spark, [1, 2])
+        rows = D.hamming_density_probe(
+            df, "fp", max_hamming=1, sample_mod=10**6
+        ).collect()
+        assert all(r["predicted_pairs_le"] is None for r in rows) or all(
+            r["n_sample"] >= 2 for r in rows
+        )
+
+    def test_row_count_fixed_by_max_hamming(self, spark):
+        df = _fp_df(spark, [0, 1 << 40, 3 << 20])
+        out = D.hamming_density_probe(df, "fp", max_hamming=6, sample_mod=1)
+        assert out.count() == 7
+
+
+class TestGuidedMaxHamming:
+    def test_keeps_requested_when_sparse(self, spark):
+        # 3 well-separated prints; any budget >= 3 keeps requested
+        df = _fp_df(spark, [0, (1 << 60) - 1, 0b101010])
+        got = D.guided_max_hamming(
+            df, "fp", requested=4, pair_budget=100, sample_mod=1
+        )
+        assert got == 4
+
+    def test_tightens_on_dense_corpus(self, spark):
+        # 30 identical prints (435 exact pairs) + 3 singletons at
+        # growing distance. Cumulative: d=0 → 435; d=1 → 467 (30
+        # zero~1 pairs + 1~3 + 3~7); d=2 → 498 (30 zero~3 + 1~7);
+        # d=3 → 528 (30 zero~7). Budget 500 admits d<=2 only.
+        prints = [0] * 30 + [0b1, 0b11, 0b111]
+        df = _fp_df(spark, prints)
+        got = D.guided_max_hamming(
+            df, "fp", requested=3, pair_budget=500, sample_mod=1
+        )
+        assert got == 2
+
+    def test_fail_policy_raises(self, spark):
+        df = _fp_df(spark, [0] * 30 + [0b1])
+        with pytest.raises(D.DensityBudgetExceeded):
+            D.guided_max_hamming(
+                df,
+                "fp",
+                requested=2,
+                pair_budget=440,
+                policy="fail",
+                sample_mod=1,
+            )
+
+    def test_warns_and_floors_when_saturated(self, spark):
+        # even exact-dup pairs blow the budget → warn + return 0
+        df = _fp_df(spark, [7] * 50)
+        with pytest.warns(UserWarning, match="dup-saturated"):
+            got = D.guided_max_hamming(
+                df, "fp", requested=2, pair_budget=10, sample_mod=1
+            )
+        assert got == 0
+
+    def test_bad_policy_rejected(self, spark):
+        df = _fp_df(spark, [0, 1])
+        with pytest.raises(ValueError):
+            D.guided_max_hamming(df, "fp", policy="ignore")
+
+
+class TestBucketStatsAutoWarning:
+    def test_warns_on_capped_auto(self, spark):
+        df = _fp_df(spark, [0, 1, 2, 3])
+        with pytest.warns(UserWarning, match="explicit clean_blocks"):
+            D.hamming_bucket_stats(
+                df, "fp", id_col="doc_id", max_bucket_size=10
+            ).collect()
+
+    def test_silent_with_explicit_depth(self, spark, recwarn):
+        df = _fp_df(spark, [0, 1, 2, 3])
+        D.hamming_bucket_stats(
+            df, "fp", id_col="doc_id", max_bucket_size=10, clean_blocks=1
+        ).collect()
+        assert not [w for w in recwarn if issubclass(w.category, UserWarning)]

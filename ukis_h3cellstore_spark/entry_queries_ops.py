@@ -2812,6 +2812,76 @@ WHERE bit_count(xor(a.phash, b.phash)) <= 4
 """
 
 
+def q_multimodal_phash_density(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fingerprint-density pre-flight for the banded hamming join
+    (ops/dedup.py: hamming_density_probe): a deterministic
+    hash-sampled inter-print hamming distribution over the corpus's
+    perceptual hashes, extrapolated to a predicted-true-pair count
+    per candidate threshold 0..8. This is the probe the multimodal
+    curation flagship consults (via phash_dup_pairs'
+    ``pair_budget``) before committing to a hamming join — the
+    dense-print regime's answer to "is this threshold affordable".
+    At sf0.1 the auto sample_mod resolves to 2 (5000 prints /
+    target 2000), exercising the sampled path; at sf0.01 it is 1
+    (exact)."""
+    payloads = M.attach_binary_payload(_docs(spark, sf_dir))
+    ph = (
+        M.perceptual_hash_stub(payloads)
+        .filter(F.col("phash").isNotNull())
+        .localCheckpoint(eager=False)
+    )
+    return D.hamming_density_probe(ph, "phash", id_col="doc_id", max_hamming=8)
+
+
+Q_MULTIMODAL_PHASH_DENSITY_SQL = """
+WITH g AS (
+  SELECT doc_id, substr(text, j, 4) AS gram
+  FROM documents,
+       LATERAL (SELECT unnest(generate_series(1, len(text) - 3)) AS j) js
+  WHERE len(text) >= 4
+),
+hb AS (SELECT doc_id,
+              ('0x' || substr(md5(gram), 1, 15))::BIGINT AS h
+       FROM g),
+bits AS (
+  SELECT doc_id, b.j,
+         SUM(CASE WHEN (h >> b.j) & 1 = 1 THEN 1 ELSE -1 END) AS s
+  FROM hb, (SELECT unnest(generate_series(0, 59)) AS j) b
+  GROUP BY 1, 2
+),
+ph AS (SELECT doc_id,
+              SUM(CASE WHEN s > 0 THEN (1::BIGINT << j) ELSE 0 END) AS phash
+       FROM bits GROUP BY 1),
+tot AS (SELECT COUNT(*) AS n_total FROM ph),
+m AS (SELECT GREATEST(1, (SELECT n_total FROM tot) // 2000) AS smod),
+samp AS (
+  SELECT doc_id, phash FROM ph
+  WHERE (('0x' || substr(md5('hdprobe' || '|' || CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT)
+        % (SELECT smod FROM m) = 0
+),
+sc AS (SELECT COUNT(*) AS n_sample FROM samp),
+hist AS (
+  SELECT CAST(bit_count(xor(a.phash, b.phash)) AS INT) AS d,
+         COUNT(*) AS cnt
+  FROM samp a JOIN samp b ON a.doc_id < b.doc_id
+  GROUP BY 1
+)
+SELECT CAST(ds.hamming AS INT) AS hamming,
+       CAST(COALESCE(SUM(h.cnt), 0) AS BIGINT) AS sample_pairs_le,
+       CAST((SELECT n_sample FROM sc) AS BIGINT) AS n_sample,
+       CAST((SELECT n_total FROM tot) AS BIGINT) AS n_total,
+       CASE WHEN (SELECT n_sample FROM sc) >= 2 THEN
+         CAST(COALESCE(SUM(h.cnt), 0)
+              * (((SELECT n_total FROM tot) * ((SELECT n_total FROM tot) - 1)) // 2)
+              // (((SELECT n_sample FROM sc) * ((SELECT n_sample FROM sc) - 1)) // 2)
+              AS BIGINT)
+       END AS predicted_pairs_le
+FROM (SELECT unnest(generate_series(0, 8)) AS hamming) ds
+LEFT JOIN hist h ON h.d <= ds.hamming
+GROUP BY ds.hamming
+"""
+
+
 def q_text_bpe_merge_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
     """One BPE training round end-to-end (ops/text.py:
     bpe_pair_counts + bpe_apply_merge): find the corpus's most
@@ -6407,7 +6477,14 @@ def q_multimodal_curation_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
     1. MEDIA NEAR-DUP CANDIDATES: perceptual hashes over the binary
        payloads (ops/multimodal.perceptual_hash_stub — the real-
        decoder swap point), paired by the banded-XOR hamming join at
-       <= 8 bits (ops/dedup.hamming_pairs);
+       <= 8 bits (ops/dedup.hamming_pairs) GUARDED by the density
+       pre-flight (pair_budget="auto" → ops/dedup.
+       hamming_density_probe tightens the threshold when the
+       predicted pair volume exceeds max(50·n, 1e7) — the in-engine
+       fix for the 1M dense-print smoke that quarantined 58% of the
+       corpus, docs/SCALE.md; at both test SFs the prediction is far
+       under budget so the guided threshold stays 8 and the gate
+       hash is unchanged);
     2. CROSS-MODAL CONSISTENCY GATE: each candidate image pair is
        verified against its CAPTIONS by exact unigram Jaccard
        (ops/dedup.verify_pairs_jaccard at 0.8). Pairs whose captions
@@ -6437,7 +6514,7 @@ def q_multimodal_curation_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = _docs(spark, sf_dir)
     payloads = M.attach_binary_payload(docs)
     pairs = (
-        M.phash_dup_pairs(payloads, max_hamming=8)
+        M.phash_dup_pairs(payloads, max_hamming=8, pair_budget="auto")
         .select("id_a", "id_b")
         .localCheckpoint(eager=True)  # feeds verify AND the anti-join
     )
@@ -7225,6 +7302,7 @@ QUERIES_OPS: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "text_bpe_pairs": q_text_bpe_pairs,
     "corpus_quality_auc": q_corpus_quality_auc,
     "multimodal_phash_pairs": q_multimodal_phash_pairs,
+    "multimodal_phash_density": q_multimodal_phash_density,
     "text_bpe_merge_apply": q_text_bpe_merge_apply,
     "text_bigram_surprisal": q_text_bigram_surprisal,
     "corpus_clean_pipeline": q_corpus_clean_pipeline,
@@ -7377,6 +7455,7 @@ ORACLES_OPS: dict[str, str] = {
     "text_bpe_pairs": Q_TEXT_BPE_PAIRS_SQL,
     "corpus_quality_auc": Q_CORPUS_QUALITY_AUC_SQL,
     "multimodal_phash_pairs": Q_MULTIMODAL_PHASH_SQL,
+    "multimodal_phash_density": Q_MULTIMODAL_PHASH_DENSITY_SQL,
     "text_bpe_merge_apply": Q_TEXT_BPE_MERGE_SQL,
     "text_bigram_surprisal": Q_TEXT_BIGRAM_SURPRISAL_SQL,
     "corpus_clean_pipeline": Q_CORPUS_CLEAN_PIPELINE_SQL,

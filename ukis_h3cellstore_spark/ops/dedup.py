@@ -849,6 +849,19 @@ def hamming_bucket_stats(
     the dense-fingerprint regime (docs/SCALE.md): unlike LSH, dropping
     one bucket only loses pairs whose EVERY other agreeing combination
     is also hot."""
+    if max_bucket_size is not None and clean_blocks == "auto":
+        import warnings
+
+        warnings.warn(
+            "hamming_bucket_stats(max_bucket_size=..., clean_blocks='auto'): "
+            "'auto' resolves the banding depth from THIS call's fp_df count "
+            "— a paired capped hamming_pairs call resolves its own, and if "
+            "the source is non-checkpointed or its count drifts the stats "
+            "describe a different banding than the join. Pass the same "
+            "explicit clean_blocks int to both calls.",
+            UserWarning,
+            stacklevel=2,
+        )
     bands = _hamming_bands(
         fp_df, fp_col, id_col, bits, max_hamming, clean_blocks
     )
@@ -919,6 +932,13 @@ def hamming_pairs(
         fp_df, fp_col, id_col, bits, max_hamming, clean_blocks
     )
     if max_bucket_size is not None:
+        # the capped path reads the bands frame THREE times (the keep
+        # aggregate + both self-join sides); without lineage truncation
+        # the C(b,c)-way explode over fp_df re-executes per consumer —
+        # at c=4 that is 495 tables rebuilt twice more even when fp_df
+        # itself is checkpointed. Same lazy-localCheckpoint fix as
+        # _topk_per_list_gemm's c_lists.
+        bands = bands.localCheckpoint(eager=False)
         keep = (
             bands.groupBy("band", "band_key")
             .agg(F.count(F.lit(1)).alias("__bn"))
@@ -942,6 +962,163 @@ def hamming_pairs(
         .select("id_a", "id_b", "hamming")
         .distinct()
     )
+
+
+class DensityBudgetExceeded(RuntimeError):
+    """Raised by :func:`guided_max_hamming` (policy='fail') when the
+    probe predicts a pair volume over budget even after tightening."""
+
+
+def hamming_density_probe(
+    fp_df: DataFrame,
+    fp_col: str,
+    id_col: str = "doc_id",
+    max_hamming: int = 8,
+    sample_mod: int | None = None,
+    target_sample: int = 2000,
+    salt: str = "hdprobe",
+) -> DataFrame:
+    """Corpus-level fingerprint DENSITY pre-flight: a deterministic
+    hash-sampled inter-print hamming distribution extrapolated to the
+    full corpus — (hamming, sample_pairs_le, n_sample, n_total,
+    predicted_pairs_le) for every distance 0..``max_hamming``,
+    cumulative (``_le`` = at-or-below that distance).
+
+    This is the :func:`hamming_bucket_stats` twin one level up: bucket
+    stats describe ONE banding's bucket populations after the banding
+    is chosen; the density probe predicts the TRUE pair volume before
+    any join runs, so a caller can tighten ``max_hamming`` (or refuse
+    to run) when the corpus sits in the dense-fingerprint regime where
+    the exact pair set is itself quadratic (docs/SCALE.md: the 1M
+    dense-print flagship smoke quarantined 58% of the corpus because
+    nothing priced the threshold against the density).
+
+    Mechanics: prints whose ``md5(salt|id)``-derived hash is ``0 mod
+    sample_mod`` form the sample (``sample_mod=None`` → ``max(1,
+    n // target_sample)``, one count job); the sample self-joins ALL
+    pairs (O(s²) bounded by ``target_sample``, a broadcast
+    nested-loop over ≲2·target_sample rows — the bounded cost IS the
+    point), the per-distance histogram cumulates over a ≤65-row
+    non-equi join, and ``predicted_pairs_le`` scales sample pairs by
+    C(n,2)/C(s,2) in exact integer arithmetic (``div``, matching the
+    DuckDB oracle bit-for-bit; NULL when the sample has <2 prints).
+    Envelope: the integer product overflows past n ≈ 3e9 × 500k
+    sample pairs — shrink ``target_sample`` for larger corpora.
+
+    Callers should checkpoint ``fp_df``: it feeds the auto-mod count,
+    the sample filter, and the n_total aggregate."""
+    spark = fp_df.sparkSession
+    if sample_mod is None:
+        sample_mod = max(1, fp_df.count() // target_sample)
+    samp = (
+        fp_df.select(F.col(id_col).alias("__id"), F.col(fp_col).alias("__fp"))
+        .filter(
+            F.pmod(
+                _hash64(F.col(id_col).cast("string"), salt), F.lit(sample_mod)
+            )
+            == 0
+        )
+        .localCheckpoint(eager=False)  # feeds both join sides + n_sample
+    )
+    a = samp.select(F.col("__id").alias("id_a"), F.col("__fp").alias("fp_a"))
+    b = samp.select(F.col("__id").alias("id_b"), F.col("__fp").alias("fp_b"))
+    ham = F.bit_count(F.col("fp_a").bitwiseXOR(F.col("fp_b"))).cast("int")
+    hist = (
+        a.join(b, F.col("id_a") < F.col("id_b"))
+        .select(ham.alias("__d"))
+        .groupBy("__d")
+        .agg(F.count(F.lit(1)).alias("__cnt"))
+    )
+    dists = spark.range(max_hamming + 1).select(
+        F.col("id").cast("int").alias("hamming")
+    )
+    cum = (
+        dists.join(hist, F.col("__d") <= F.col("hamming"), "left")
+        .groupBy("hamming")
+        .agg(
+            F.coalesce(F.sum("__cnt"), F.lit(0))
+            .cast("long")
+            .alias("sample_pairs_le")
+        )
+    )
+    totals = fp_df.agg(F.count(F.lit(1)).cast("long").alias("n_total"))
+    scount = samp.agg(F.count(F.lit(1)).cast("long").alias("n_sample"))
+    return cum.crossJoin(totals).crossJoin(scount).select(
+        "hamming",
+        "sample_pairs_le",
+        "n_sample",
+        "n_total",
+        F.when(
+            F.col("n_sample") >= 2,
+            F.expr(
+                "sample_pairs_le * ((n_total * (n_total - 1)) div 2) "
+                "div ((n_sample * (n_sample - 1)) div 2)"
+            ),
+        )
+        .cast("long")
+        .alias("predicted_pairs_le"),
+    )
+
+
+def guided_max_hamming(
+    fp_df: DataFrame,
+    fp_col: str,
+    id_col: str = "doc_id",
+    requested: int = 8,
+    pair_budget: int | None = None,
+    policy: str = "tighten",
+    **probe_kw,
+) -> int:
+    """Resolve the LARGEST ``max_hamming <= requested`` whose
+    :func:`hamming_density_probe`-predicted pair volume fits
+    ``pair_budget`` (default ``max(50·n, 1e7)`` — pairs should scale
+    with the corpus, the same target :func:`_auto_clean_blocks` sizes
+    candidates against).
+
+    ``policy='tighten'`` returns the resolved threshold (0 with a
+    ``UserWarning`` when even exact duplicates blow the budget — a
+    dup-saturated corpus); ``policy='fail'`` raises
+    :class:`DensityBudgetExceeded` whenever tightening would change
+    the requested threshold, for pipelines where a silent recall
+    change is worse than an abort. Collects ≤ requested+1 probe rows
+    (metadata-sized); the probe itself is the only cluster work."""
+    if policy not in ("tighten", "fail"):
+        raise ValueError(f"policy must be 'tighten' or 'fail', got {policy!r}")
+    rows = sorted(
+        hamming_density_probe(
+            fp_df, fp_col, id_col, max_hamming=requested, **probe_kw
+        ).collect(),
+        key=lambda r: r["hamming"],
+    )
+    n = rows[0]["n_total"] if rows else 0
+    budget = pair_budget if pair_budget is not None else max(50 * n, 10_000_000)
+    best = None
+    for r in rows:
+        pred = r["predicted_pairs_le"]
+        if pred is not None and pred > budget:
+            break
+        best = r["hamming"]
+    if best == requested:
+        return requested
+    if policy == "fail":
+        raise DensityBudgetExceeded(
+            f"predicted pair volume exceeds budget {budget} above "
+            f"max_hamming={best}; requested {requested} "
+            f"(n={n}, probe rows: "
+            f"{[(r['hamming'], r['predicted_pairs_le']) for r in rows]})"
+        )
+    if best is None:
+        import warnings
+
+        warnings.warn(
+            f"hamming density probe: even exact-duplicate pairs exceed "
+            f"the budget {budget} (dup-saturated corpus, n={n}); "
+            "tightening to max_hamming=0",
+            UserWarning,
+            stacklevel=2,
+        )
+        best = 0
+    return best
 
 
 def containment_pairs(

@@ -298,7 +298,11 @@ def perceptual_hash_stub(
 
 
 def phash_dup_pairs(
-    df: DataFrame, max_hamming: int = 8, id_col: str = "doc_id"
+    df: DataFrame,
+    max_hamming: int = 8,
+    id_col: str = "doc_id",
+    pair_budget: int | str | None = None,
+    density_policy: str = "tighten",
 ) -> DataFrame:
     """Near-duplicate media detection: perceptual hashes + the generic
     banded-XOR hamming join — (id_a, id_b, hamming ≤ max_hamming).
@@ -306,14 +310,35 @@ def phash_dup_pairs(
     phashes and are excluded here (they cannot be meaningfully
     compared — see :func:`perceptual_hash_stub`). The hash table is
     checkpointed once; the join is keyed on (band, strip value),
-    never corpus²."""
-    from ukis_h3cellstore_spark.ops.dedup import hamming_pairs
+    never corpus².
+
+    ``pair_budget`` arms the DENSITY PRE-FLIGHT (``ops.dedup.
+    hamming_density_probe``): a sampled inter-print hamming
+    distribution predicts the true pair volume, and ``max_hamming``
+    is tightened to the largest threshold whose prediction fits the
+    budget (``"auto"`` = the probe's own ``max(50·n, 1e7)`` default;
+    ``density_policy='fail'`` raises instead of tightening). This is
+    the in-engine answer to the 1M dense-print smoke where an
+    unpriced threshold quarantined 58% of the corpus (docs/
+    SCALE.md): the guard costs one bounded O(sample²) probe, not a
+    quadratic join. Default None keeps the historical unguarded
+    behavior (what the fixed-threshold gates pin)."""
+    from ukis_h3cellstore_spark.ops.dedup import guided_max_hamming, hamming_pairs
 
     ph = (
         perceptual_hash_stub(df, id_col)
         .filter(F.col("phash").isNotNull())
         .localCheckpoint(eager=False)
     )
+    if pair_budget is not None:
+        max_hamming = guided_max_hamming(
+            ph,
+            "phash",
+            id_col="doc_id",
+            requested=max_hamming,
+            pair_budget=None if pair_budget == "auto" else pair_budget,
+            policy=density_policy,
+        )
     return hamming_pairs(
         ph, fp_col="phash", id_col="doc_id", bits=64, max_hamming=max_hamming
     )
