@@ -133,3 +133,71 @@ class TestBucketStatsAutoWarning:
             df, "fp", id_col="doc_id", max_bucket_size=10, clean_blocks=1
         ).collect()
         assert not [w for w in recwarn if issubclass(w.category, UserWarning)]
+
+
+class TestSuggestSkewKnobs:
+    def _report(self, spark, values):
+        from ukis_h3cellstore_spark.ops.report import key_skew_report
+
+        df = spark.createDataFrame([(v,) for v in values], "k string")
+        return key_skew_report(df, ["k"], top_n=3)
+
+    def test_balanced_key_accepted(self, spark):
+        from ukis_h3cellstore_spark.ops.report import suggest_skew_knobs
+
+        # 20 distinct values, 5% each → top share 50‰, under the cap
+        values = [f"v{i}" for i in range(20) for _ in range(5)]
+        k = suggest_skew_knobs(self._report(spark, values))["k"]
+        assert k["usable_block_key"] and k["num_salts"] == 1
+        assert k["n_distinct"] == 20 and k["top_share_milli"] == 50
+
+    def test_hot_key_salted(self, spark):
+        from ukis_h3cellstore_spark.ops.report import suggest_skew_knobs
+
+        # one value holds 50% → share 500‰ → salts: 500>100→2,
+        # 500>200→4, 500>400→8, 500>800 no → 8
+        values = ["hot"] * 50 + [f"v{i}" for i in range(50)]
+        k = suggest_skew_knobs(self._report(spark, values))["k"]
+        assert not k["usable_block_key"]
+        assert k["num_salts"] == 8 and k["top_value"] == "hot"
+
+    def test_salt_cap(self, spark):
+        from ukis_h3cellstore_spark.ops.report import suggest_skew_knobs
+
+        values = ["hot"] * 99 + ["cold"]  # 990‰
+        k = suggest_skew_knobs(
+            self._report(spark, values), max_share_milli=10, num_salts_cap=16
+        )["k"]
+        assert k["num_salts"] == 16  # capped, not 128
+
+
+class TestFuzzyJoinSkewGuard:
+    def test_raises_on_hot_block(self, spark):
+        from ukis_h3cellstore_spark.ops.joins import BlockSkewExceeded, fuzzy_join
+
+        rows = [(i, "common suffix%d" % i) for i in range(40)]
+        df = spark.createDataFrame(rows, "name_id long, p_name string")
+        with pytest.raises(BlockSkewExceeded, match="common"):
+            fuzzy_join(
+                df, df, "p_name", "name_id", max_block_share_milli=500
+            ).collect()
+
+    def test_passes_under_cap_same_result(self, spark):
+        from ukis_h3cellstore_spark.ops.joins import fuzzy_join
+
+        rows = [
+            (1, "alpha one"), (2, "alpha onf"), (3, "beta two"),
+            (4, "beta twq"), (5, "gamma three"), (6, "delta four"),
+        ]
+        df = spark.createDataFrame(rows, "name_id long, p_name string")
+        unguarded = sorted(
+            (r["id_a"], r["id_b"])
+            for r in fuzzy_join(df, df, "p_name", "name_id").collect()
+        )
+        guarded = sorted(
+            (r["id_a"], r["id_b"])
+            for r in fuzzy_join(
+                df, df, "p_name", "name_id", max_block_share_milli=500
+            ).collect()
+        )
+        assert guarded == unguarded == [(1, 2), (3, 4)]

@@ -1666,8 +1666,14 @@ def q_events_salted_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Fact-to-dim join under the skew-salted strategy: events joined
     to a per-type rank dim on the (Zipf-ish) event_type key through
     ops/joins.salted_join — identical result set to the plain join,
-    hot keys spread over 8 salted reducers. Oracle: the plain join."""
+    hot keys spread over salted reducers. The salt factor is no
+    longer hardcoded: ops/report.suggest_skew_knobs maps the
+    key_skew_report's top-share (~200‰ at both test SFs → 4 salts)
+    to the num_salts knob — the report driving the operator it was
+    built to parameterize. Salting never changes the result set, so
+    the gate hash is salt-count-invariant. Oracle: the plain join."""
     from ukis_h3cellstore_spark.ops import joins as J
+    from ukis_h3cellstore_spark.ops import report as R
 
     e = _events(spark, sf_dir)
     dim = (
@@ -1680,11 +1686,15 @@ def q_events_salted_join(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
+    knobs = R.suggest_skew_knobs(
+        R.key_skew_report(e.select("event_type"), ["event_type"], top_n=1),
+        max_share_milli=100,
+    )
     joined = J.salted_join(
         e.select("event_id", "event_type", _cents(F.col("value")).alias("value_cents")),
         dim,
         on="event_type",
-        num_salts=8,
+        num_salts=max(2, knobs["event_type"]["num_salts"]),
     )
     return joined.groupBy("event_type", "type_rank", "type_total").agg(
         F.count(F.lit(1)).alias("n_events"),

@@ -5319,7 +5319,11 @@ def q_part_fuzzy_match(spark: SparkSession, sf_dir: str) -> DataFrame:
     blocked on their first token, verified with JVM-side Levenshtein
     <= 3 — the blocked record-linkage shape (candidates linear in
     block sizes, never corpus^2; exact-duplicate collapse first keeps
-    the near-miss pair set name-sized)."""
+    the near-miss pair set name-sized). The skew pre-flight
+    (max_block_share_milli=200) prices the block key before the join
+    ships: the hottest first-token holds ~13% of names at both test
+    SFs, under the cap — a skewed corpus raises BlockSkewExceeded
+    instead of running a near-quadratic join."""
     from ukis_h3cellstore_spark.ops.joins import fuzzy_join
 
     pt = (
@@ -5327,7 +5331,10 @@ def q_part_fuzzy_match(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("p_name")
         .agg(F.min("p_partkey").alias("name_id"))
     )
-    return fuzzy_join(pt, pt, "p_name", "name_id", max_distance=3)
+    return fuzzy_join(
+        pt, pt, "p_name", "name_id", max_distance=3,
+        max_block_share_milli=200,
+    )
 
 
 Q_PART_FUZZY_SQL = r"""

@@ -44,6 +44,11 @@ from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 
+class BlockSkewExceeded(RuntimeError):
+    """Raised by :func:`fuzzy_join`'s ``max_block_share_milli``
+    pre-flight when the hottest block's row share breaks the cap."""
+
+
 def range_join(
     left: DataFrame,
     ranges: DataFrame,
@@ -380,6 +385,7 @@ def fuzzy_join(
     max_distance: int = 3,
     block_expr=None,
     self_join: bool | None = None,
+    max_block_share_milli: int | None = None,
 ) -> DataFrame:
     """Blocked fuzzy self/cross join for entity resolution: candidate
     pairs share a BLOCK KEY (default: the first whitespace token of
@@ -403,6 +409,17 @@ def fuzzy_join(
     exceed the right id). Self-pairs (same id on both sides) are still
     excluded in the cross case.
 
+    ``max_block_share_milli`` arms the SKEW PRE-FLIGHT: before the
+    blocking join ships, ``ops.report.key_skew_report`` measures the
+    hottest block's row share on each side (one bounded scan per
+    side; rank-1 only) and raises :class:`BlockSkewExceeded` when it
+    exceeds the cap — candidates are Σ|block|², so one block holding
+    share s contributes s² of the full quadratic, and a 300‰ block
+    key is barely blocking at all. The error names the offending
+    value so the caller can supply a stronger ``block_expr`` (see
+    ``ops.report.suggest_skew_knobs`` for the accept test this
+    mirrors). Default None keeps the historical unguarded behavior.
+
     ``self_join=None`` (the default) infers self mode from Python
     object identity (``left is right``) — convenient but UNSAFE for a
     logical self-join passed as two distinct DataFrame objects (e.g.
@@ -425,6 +442,25 @@ def fuzzy_join(
         F.col(text_col).alias("text_b"),
         blk.alias("__blk"),
     )
+    if max_block_share_milli is not None:
+        from ukis_h3cellstore_spark.ops.report import key_skew_report
+
+        sides = [l] if left is right else [l, r]
+        for side in sides:
+            row = (
+                key_skew_report(
+                    side.select(F.col("__blk").alias("block")), ["block"], top_n=1
+                )
+                .collect()
+            )
+            if row and row[0]["share_milli"] > max_block_share_milli:
+                raise BlockSkewExceeded(
+                    f"hottest block {row[0]['value']!r} holds "
+                    f"{row[0]['share_milli']}‰ of rows (> "
+                    f"{max_block_share_milli}‰): Σ|block|² is no longer "
+                    "~linear — pass a stronger block_expr (e.g. prefix + "
+                    "length bucket) or raise the cap"
+                )
     is_self = (left is right) if self_join is None else bool(self_join)
     pair_filter = (
         F.col("id_a") < F.col("id_b")

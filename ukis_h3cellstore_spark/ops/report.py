@@ -22,7 +22,7 @@ from pyspark.sql import functions as F
 
 from ukis_h3cellstore_spark.ops.text import tokens
 
-__all__ = ["corpus_datacard", "l_diversity", "categorical_dependence", "psi_drift", "psi_from_counts", "rfm_segments", "key_skew_report"]
+__all__ = ["corpus_datacard", "l_diversity", "categorical_dependence", "psi_drift", "psi_from_counts", "rfm_segments", "key_skew_report", "suggest_skew_knobs"]
 
 
 def l_diversity(
@@ -402,18 +402,26 @@ def key_skew_report(
     rank 1.. by (count desc, value asc) — deterministic; NULLs are a
     first-class key value (a classic hot key) reported as the
     ``<null>`` sentinel, which also pins identical NULL ordering
-    across engines.
+    across engines. CAVEAT: the sentinel is in-band — a column whose
+    actual string value is the literal ``<null>`` merges its count
+    with real NULLs in this report (both describe a hot key the
+    caller must handle, so the knob suggestions below are unaffected,
+    but the bucket's label is ambiguous; pre-map such values if the
+    distinction matters).
 
     Scale shape: ONE corpus scan explodes (column, value) string
     pairs; per-(column, value) counts are a map-side-combinable hash
-    aggregation, localCheckpoint'ed once for its |cols|+2 consumers
-    (the multi-reference trap, docs/SCALE.md). Each column's top-N
-    plans as ``orderBy().limit()`` → TakeOrderedAndProject
-    (per-partition top-N + an N-sized merge) — NEVER a one-task
-    window sort over a high-cardinality column's distinct values. The
-    total and distinct counts ride the counts frame (column-count-
-    sized aggregations); the final rank window runs over ≤
-    |cols|·top_n rows."""
+    aggregation, localCheckpoint'ed once for its 3 consumers (the
+    multi-reference trap, docs/SCALE.md). The per-column top-N is a
+    SINGLE two-phase pass (round-12, replacing a per-column
+    ``orderBy().limit()`` loop that cost |cols| jobs): phase 1 ranks
+    within (column, input-partition-id) — each window group is one
+    shuffle partition's slice of one column, never a whole
+    high-cardinality column in one task — and keeps ``top_n`` per
+    group (≤ P·|cols|·top_n candidate rows, a guaranteed superset of
+    every column's true top-N under ANY partitioning); phase 2 ranks
+    the bounded candidates per column. The total and distinct counts
+    ride the counts frame (column-count-sized aggregations)."""
     if not cols:
         raise ValueError("cols must be a non-empty list of column names")
     if len(set(cols)) != len(cols):
@@ -446,23 +454,26 @@ def key_skew_report(
     dist = counts.groupBy("column").agg(
         F.count(F.lit(1)).alias("n_distinct")
     )
-    top = None
-    for c in cols:
-        t = (
-            counts.filter(F.col("column") == c)
-            .orderBy(F.col("n_rows").desc(), F.col("value").asc())
-            .limit(top_n)
-        )
-        top = t if top is None else top.unionByName(t)
     from pyspark.sql import Window
 
-    w = Window.partitionBy("column").orderBy(
-        F.col("n_rows").desc(), F.col("value").asc()
+    order = [F.col("n_rows").desc(), F.col("value").asc()]
+    # phase 1: partial top-N inside each (column, input partition)
+    # slice — the window's own shuffle key bounds every sort group by
+    # one partition's rows, and any candidate superset yields the
+    # same final top-N because the ordering is a total order
+    wp = Window.partitionBy("column", "__p").orderBy(*order)
+    cand = (
+        counts.withColumn("__p", F.spark_partition_id())
+        .withColumn("__r", F.row_number().over(wp))
+        .filter(F.col("__r") <= top_n)
+        .drop("__p", "__r")
     )
+    w = Window.partitionBy("column").orderBy(*order)
     return (
-        top.crossJoin(F.broadcast(total))
+        cand.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= top_n)
+        .crossJoin(F.broadcast(total))
         .join(F.broadcast(dist), on="column")
-        .withColumn("rank", F.row_number().over(w))
         .withColumn(
             "share_milli",
             F.expr("(n_rows * 1000) div __total").cast("long"),
@@ -471,3 +482,51 @@ def key_skew_report(
             "column", "value", "n_rows", "rank", "share_milli", "n_distinct"
         )
     )
+
+
+def suggest_skew_knobs(
+    report: DataFrame,
+    max_share_milli: int = 100,
+    num_salts_cap: int = 64,
+) -> dict[str, dict]:
+    """Map a :func:`key_skew_report` to CONCRETE operator knobs — the
+    consumer the report was built for, so pipelines act on skew
+    instead of reading it. Per column:
+
+    - ``top_share_milli`` / ``top_value`` / ``n_distinct``: the
+      report's rank-1 facts.
+    - ``usable_block_key``: True iff the hottest value holds ≤
+      ``max_share_milli`` ‰ of rows — the accept test for a fuzzy-join
+      blocking key (candidates are Σ|block|²: one block at share s
+      contributes s²·n² pairs, so a 300‰ key is ~9% of the full
+      quadratic — not blocking at all).
+    - ``num_salts``: the :func:`~ukis_h3cellstore_spark.ops.joins.
+      salted_join` factor — 1 when under ``max_share_milli``, else
+      the next power of two ≥ top_share/max_share (each salted slice
+      of the hot key then fits the target share), capped.
+
+    Collects the report (≤ |cols|·top_n rows — metadata, not data).
+    The suggestions are deterministic in the report contents, and the
+    knobs they feed never change RESULTS (salting is partitioning-
+    only; a rejected block key raises before work ships)."""
+    rows = [r for r in report.collect() if r["rank"] == 1]
+    out: dict[str, dict] = {}
+    for r in rows:
+        share = int(r["share_milli"])
+        if share <= max_share_milli:
+            num_salts = 1
+        else:
+            num_salts = 1
+            while (
+                num_salts < num_salts_cap
+                and share > max_share_milli * num_salts
+            ):
+                num_salts *= 2
+        out[r["column"]] = {
+            "top_value": r["value"],
+            "top_share_milli": share,
+            "n_distinct": int(r["n_distinct"]),
+            "usable_block_key": share <= max_share_milli,
+            "num_salts": num_salts,
+        }
+    return out
