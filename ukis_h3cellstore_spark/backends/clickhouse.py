@@ -328,3 +328,87 @@ class ClickHouseJdbcBackend:
 
     def drop_tableset(self, schema: CompactedTableSchema) -> None:
         self.run_ddl(drop_tableset_ddl(schema, self.database))
+
+    # -- templated query passthrough (P3) ----------------------------------
+
+    def tableset_template_sql(
+        self,
+        schema: CompactedTableSchema,
+        template: str,
+        cells: list[int],
+        h3_resolution: int,
+    ) -> list[tuple[str, str]]:
+        """The EXACT per-resolution-table SQL a templated tableset
+        query ships to ClickHouse — the statement-level parity slice
+        of the reference's P3 path (validation ``select.rs:30-44``,
+        substitution ``select.rs:127-129``, per-table cell-set prep
+        ``select.rs:139-162``): contributing tables are the base
+        table at the query resolution plus every compacted ancestor
+        (``tableset.rs:153-170``), ``<[table]>`` becomes the
+        db-qualified table name, and ``<[h3indexes]>`` the
+        comma-joined literal cell list NORMALIZED to each table's own
+        resolution (a compacted res-3 table is probed with the query
+        cells' res-3 ancestors, sorted + deduplicated —
+        ``select.rs:156-157`` parity via ``h3.cells.
+        change_resolution``).
+
+        Returns ``[(table_name, substituted_sql), ...]``
+        coarse-to-fine. Pure — no driver or connection required."""
+        from ukis_h3cellstore_spark.h3 import cells as h3c
+        from ukis_h3cellstore_spark.query import (
+            PLACEHOLDER_H3INDEXES,
+            PLACEHOLDER_TABLE,
+            TableSetQuery,
+        )
+        from ukis_h3cellstore_spark.tableset import TableSet
+
+        TableSetQuery.from_template(template)  # <[table]> presence parity
+        if not cells:
+            raise ValueError("empty cell list")  # select.rs:87-89 parity
+        metas = schema.resolution_metadata()
+        ts = TableSet(
+            name=schema.name,
+            base_resolutions=[m.resolution for m in metas if not m.is_compacted],
+            compacted_resolutions=[m.resolution for m in metas if m.is_compacted],
+        )
+        out: list[tuple[str, str]] = []
+        for meta in ts.tables_to_satisfy_query_at_resolution(h3_resolution):
+            t = meta.table_name(schema.name)
+            sql = template.replace(PLACEHOLDER_TABLE, f"{self.database}.{t}")
+            if PLACEHOLDER_H3INDEXES in template:
+                table_cells = h3c.change_resolution(cells, meta.resolution)
+                sql = sql.replace(
+                    PLACEHOLDER_H3INDEXES,
+                    ", ".join(str(int(c)) for c in table_cells),
+                )
+            out.append((t, sql))
+        return out
+
+    def read_tableset_template(
+        self,
+        schema: CompactedTableSchema,
+        template: str,
+        cells: list[int],
+        h3_resolution: int,
+    ) -> DataFrame:
+        """Run a P3 templated query against a ClickHouse tableset: one
+        JDBC subquery scan per contributing resolution table (the
+        substituted SQL executes CH-SIDE — predicates and projections
+        never ship raw rows), results unioned by name. The template
+        fully owns projection and filtering, exactly like the
+        local-store templated path (``query.py``)."""
+        self._require_driver()
+        parts = []
+        for i, (_t, sql) in enumerate(
+            self.tableset_template_sql(schema, template, cells, h3_resolution)
+        ):
+            reader = self.spark.read.format("jdbc")
+            opts = self._options("ignored")
+            opts["dbtable"] = f"({sql}) AS __tq{i}"
+            for k, v in opts.items():
+                reader = reader.option(k, v)
+            parts.append(reader.load())
+        df = parts[0]
+        for p in parts[1:]:
+            df = df.unionByName(p)
+        return df
