@@ -201,3 +201,104 @@ class TestFuzzyJoinSkewGuard:
             ).collect()
         )
         assert guarded == unguarded == [(1, 2), (3, 4)]
+
+
+class TestHierarchicalPolyfill:
+    FIXTURES = {
+        "sf": (
+            [[(-122.4089866999972145, 37.813318999983238),
+              (-122.3805436999997056, 37.7866302000007224),
+              (-122.3544736999993603, 37.7198061999978478),
+              (-122.5123436999983966, 37.7076131999975672),
+              (-122.5247187000021967, 37.7835871999971715),
+              (-122.4798767000009008, 37.8151571999998453),
+              (-122.4089866999972145, 37.813318999983238)]],
+            7,
+        ),
+        "antimeridian": (
+            [[(170, -10), (-170, -10), (-170, 10), (170, 10), (170, -10)]],
+            4,
+        ),
+        "south_cap": (
+            [[(0, -80), (60, -80), (120, -80), (180, -80), (-120, -80),
+              (-60, -80), (0, -80)]],
+            4,
+        ),
+        "pentagon_nbhd": (
+            [[(58.1, 10.0), (58.9, 10.0), (58.9, 10.8), (58.1, 10.8),
+              (58.1, 10.0)]],
+            7,
+        ),
+    }
+
+    @pytest.mark.parametrize("name", sorted(FIXTURES))
+    def test_equals_flat_polyfill(self, name):
+        from ukis_h3cellstore_spark.h3 import icosa
+
+        rings, res = self.FIXTURES[name]
+        flat = icosa.polygon_to_cells(rings, res)
+        hier = icosa.polygon_to_cells_hierarchical(rings, res)
+        assert hier == flat and len(flat) > 0
+
+    def test_small_polygon_takes_flat_path(self):
+        # when the target-res covering disk is already affordable the
+        # hierarchical entry point IS the flat scan (start == res)
+        from ukis_h3cellstore_spark.h3 import icosa
+
+        rings, res = self.FIXTURES["sf"]
+        assert icosa.polygon_to_cells_hierarchical(
+            rings, res, max_level_candidates=10**9
+        ) == icosa.polygon_to_cells(rings, res)
+
+    def test_forced_hierarchical_on_tiny_budget(self):
+        # force multi-level classification even for the small fixture
+        from ukis_h3cellstore_spark.h3 import icosa
+
+        rings, res = self.FIXTURES["sf"]
+        assert icosa.polygon_to_cells_hierarchical(
+            rings, res, max_level_candidates=40
+        ) == icosa.polygon_to_cells(rings, res)
+
+
+class TestDistributedPrefilter:
+    def test_same_kept_set_as_chunked(self, spark, tmp_path):
+        from ukis_h3cellstore_spark import (
+            CellStore,
+            CompactedTableSchemaBuilder,
+        )
+        from ukis_h3cellstore_spark import traversal as T
+        from ukis_h3cellstore_spark.h3 import cells as h3c
+        from ukis_h3cellstore_spark.query import TableSetQuery
+
+        schema = (
+            CompactedTableSchemaBuilder("pref_set")
+            .h3_base_resolutions([4, 5, 6])
+            .add_h3index_column()
+            .add_column("value", "Int32")
+            .build()
+        )
+        region_a = h3c.build_cell(60, [1, 2, 3, 4, 5])
+        region_b = h3c.build_cell(60, [1, 2, 3, 4, 6])
+        cells = h3c.cell_to_children(region_a, 6)
+        store = CellStore(spark, str(tmp_path / "wh"))
+        store.insert_h3dataframe_into_tableset(
+            schema,
+            spark.createDataFrame(
+                [(c, i) for i, c in enumerate(cells)],
+                "h3index long, value int",
+            ),
+        )
+        f = TableSetQuery.from_template(
+            "select * from <[table]> where value >= 0 "
+            "and h3index in <[h3indexes]>"
+        )
+        trav = [region_a, region_b]
+        chunked = T._prefilter_cells(store, "pref_set", trav, 5, f)
+        # force the distributed path for the same 2-cell input
+        orig = T.PREFILTER_DISTRIBUTED_MIN_CELLS
+        T.PREFILTER_DISTRIBUTED_MIN_CELLS = 1
+        try:
+            distributed = T._prefilter_cells(store, "pref_set", trav, 5, f)
+        finally:
+            T.PREFILTER_DISTRIBUTED_MIN_CELLS = orig
+        assert chunked == distributed == [region_a]

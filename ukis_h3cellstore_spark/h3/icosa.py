@@ -1394,12 +1394,10 @@ def mean_edge_length_rads(res: int) -> float:
 # ------------------------------------------------------------ polyfill
 
 
-def polygon_to_cells(rings, res: int) -> list[int]:
-    """Cells whose center lies inside the polygon (even-odd over
-    (exterior, *holes) rings of (lng, lat)-degree pairs) —
-    ``polygonToCells`` containment-mode parity."""
-    from ..geo import point_in_polygon  # local import to avoid a cycle
-
+def _poly_anchor(rings, res: int) -> tuple[int, int]:
+    """(center cell at ``res``, covering grid-disk radius) for the
+    polygon's bounding circle — the search region both polyfill forms
+    start from."""
     ext = rings[0]
     # search-region anchor: normalized 3D centroid of the exterior
     # vertices — well defined across the antimeridian (a planar
@@ -1435,11 +1433,136 @@ def polygon_to_cells(rings, res: int) -> list[int]:
         sqd = sum((a - b) ** 2 for a, b in zip(v1, v2))
         reach = max(reach, math.acos(max(-1.0, min(1.0, 1.0 - sqd / 2.0))))
     kk = int(math.ceil(2.0 * reach / spacing)) + 3
+    return center, kk
+
+
+def polygon_to_cells(rings, res: int) -> list[int]:
+    """Cells whose center lies inside the polygon (even-odd over
+    (exterior, *holes) rings of (lng, lat)-degree pairs) —
+    ``polygonToCells`` containment-mode parity."""
+    from ..geo import point_in_polygon  # local import to avoid a cycle
+
+    center, kk = _poly_anchor(rings, res)
     out = []
     for c in grid_disk(center, kk):
         lat, lng = cell_to_latlng(c)
         if point_in_polygon(lng, lat, rings):
             out.append(c)
+    return sorted(out)
+
+
+#: descendant-center drift bound for the hierarchical classifier, in
+#: units of the level's center-to-center spacing: child centers sit
+#: within ~0.76 spacings of the parent center, the geometric series
+#: over all depths converges to ~1.2, and icosahedral distortion
+#: stretches local spacings up to ~40% over the equatorial mean —
+#: 3.0 bounds all of it (oversizing only widens the recursion band,
+#: never changes the output; equality is pytest-pinned against the
+#: flat form on adversarial fixtures incl. pentagon neighborhoods)
+_HIER_MARGIN_SPACINGS = 3.0
+
+
+def polygon_to_cells_hierarchical(
+    rings, res: int, max_level_candidates: int = 20_000
+) -> list[int]:
+    """EXACTLY :func:`polygon_to_cells`, restructured for large
+    areas: instead of point-in-polygon testing every candidate of a
+    covering disk at the target resolution (O(area) scalar tests —
+    ~0.4 ms/cell makes a continent at res 6 a ten-minute driver
+    stall), classify cells level by level:
+
+    - a cell whose center is provably farther from the polygon
+      BOUNDARY than the maximum descendant-center drift is wholly
+      decided by ONE center test — inside parents expand to children
+      by pure index arithmetic, outside parents are dropped;
+    - only the boundary band (≈ perimeter-sized, not area-sized)
+      recurses to the next finer level, and reaches the target
+      resolution with a scalar test per remaining cell.
+
+    Distance-to-boundary lower bounds come from one densified sample
+    set of all rings (numpy dot products against unit vectors, minus
+    the sampling step as slack — an UNDERestimate only ever widens
+    the recursion band). Work is O(perimeter·levels + area·arith),
+    vs the flat form's O(area·pip): the Africa-box fixture at res 6
+    (~1M cells) classifies ~97% of the area arithmetically.
+
+    The coarsest level is chosen so its covering disk stays under
+    ``max_level_candidates``; when the target resolution itself fits,
+    this IS the flat form (small polygons take the identical path,
+    which is why the polyfill gates are unaffected)."""
+    import numpy as np
+
+    from ..geo import densify_ring, point_in_polygon
+
+    # coarsest start level whose covering disk is affordable
+    start = res
+    while start > 0:
+        _, kk = _poly_anchor(rings, start)
+        if 3.3 * kk * kk <= max_level_candidates:
+            break
+        start -= 1
+    center, kk = _poly_anchor(rings, start)
+    if start == res:
+        return polygon_to_cells(rings, res)
+
+    # one boundary sample set serves every level: step sized to the
+    # TARGET resolution so the slack never dominates a coarser
+    # level's margin
+    step_deg = math.degrees(mean_edge_length_rads(res) * math.sqrt(3.0))
+    pts: list[tuple[float, float]] = []
+    for ring in rings:
+        if len(ring) >= 3:
+            pts.extend(densify_ring(ring, step_deg))
+    latr = np.radians(np.array([p[1] for p in pts]))
+    lngr = np.radians(np.array([p[0] for p in pts]))
+    bnd = np.stack(
+        [np.cos(latr) * np.cos(lngr), np.cos(latr) * np.sin(lngr), np.sin(latr)],
+        axis=1,
+    )  # (K, 3) unit vectors
+    step_rad = math.radians(step_deg)
+
+    out: list[int] = []
+    level_cells = np.array(grid_disk(center, kk), dtype=np.int64)
+    for level in range(start, res + 1):
+        if level_cells.size == 0:
+            break
+        lats, lngs = cell_to_latlng_np(level_cells)
+        clat = np.radians(lats)
+        clng = np.radians(lngs)
+        ctr = np.stack(
+            [np.cos(clat) * np.cos(clng), np.cos(clat) * np.sin(clng), np.sin(clat)],
+            axis=1,
+        )
+        # lower bound on angle to the boundary polyline
+        max_dot = (ctr @ bnd.T).max(axis=1)
+        d_lb = np.arccos(np.clip(max_dot, -1.0, 1.0)) - step_rad
+        margin = (
+            _HIER_MARGIN_SPACINGS
+            * mean_edge_length_rads(level)
+            * math.sqrt(3.0)
+        )
+        far = d_lb > margin
+        near_idx = np.nonzero(~far)[0]
+        far_idx = np.nonzero(far)[0]
+        # far cells: one center test decides the whole subtree
+        for i in far_idx:
+            if point_in_polygon(float(lngs[i]), float(lats[i]), rings):
+                c = int(level_cells[i])
+                if level == res:
+                    out.append(c)
+                else:
+                    out.extend(_cells.cell_to_children(c, res))
+        if level == res:
+            # boundary band at target resolution: scalar decide
+            for i in near_idx:
+                if point_in_polygon(float(lngs[i]), float(lats[i]), rings):
+                    out.append(int(level_cells[i]))
+            break
+        # boundary band: recurse one level finer
+        nxt: list[int] = []
+        for i in near_idx:
+            nxt.extend(_cells.cell_to_children(int(level_cells[i]), level + 1))
+        level_cells = np.array(nxt, dtype=np.int64)
     return sorted(out)
 
 

@@ -198,9 +198,13 @@ def _topk_per_list_gemm(
     probing query scores every block — a pair's score is the same
     dims-length dot wherever its candidate lands (BLAS kernel choice
     varies with matrix shape, so only ULP-equal pre-rounding; the
-    ``round_digits`` rounding absorbs it), and the per-block top-k
+    ``round_digits`` rounding has absorbed that on every tested
+    fixture, though a cosine landing exactly on a rounding
+    half-boundary could in principle round differently across block
+    shapes — gates pin the 'hof' path, so verification never rides
+    on this), and the per-block top-k
     union contains the per-list top-k, so the final ranking is
-    unchanged.
+    unchanged up to that boundary caveat.
 
     ``c_lists`` feeds TWO consumers here (the n_centroids-row
     list-size aggregate that drives the split, and the scoring

@@ -46,6 +46,10 @@ from ukis_h3cellstore_spark.query import TableSetQuery
 DEFAULT_MAX_FETCH_COUNT = 500
 #: reference hardcoded prefilter chunk (traversal.rs:298)
 PREFILTER_CHUNK_SIZE = 50
+#: above this many traversal cells the prefilter switches from the
+#: reference-parity chunked loop to one distributed Q2 query (same
+#: kept set; see _prefilter_cells)
+PREFILTER_DISTRIBUTED_MIN_CELLS = 1_000
 
 
 class TraversalError(ValueError):
@@ -192,6 +196,26 @@ def _prefilter_cells(
     resolution in chunks; keep only traversal cells present in the
     response after normalizing the (still-compacted) response cells to
     the traversal resolution (traversal.rs:384-389)."""
+    if len(traversal_cells) > PREFILTER_DISTRIBUTED_MIN_CELLS:
+        # scale path: ONE Q2 query over the whole cell set. The
+        # chunked loop below is reference parity for bounded gRPC
+        # fetches (traversal.rs:357-393), but at a continent-sized
+        # AOI it degenerates into len/50 SEQUENTIAL driver round
+        # trips (1M cells = 20k jobs); Spark's cell predicate is
+        # already a broadcast semi-join at any list size, so one
+        # query returns the same kept set and the collect stays
+        # traversal-cell-sized metadata. Result is identical to the
+        # chunked form (set-intersection semantics either way).
+        res = store.query_tableset_cells(
+            tableset_name,
+            traversal_cells,
+            traversal_resolution,
+            query=filter_query,
+            do_uncompact=False,
+        )
+        got = [r[0] for r in res.df.select(res.h3col).distinct().collect()]
+        kept = set(h3c.change_resolution(got, traversal_resolution))
+        return [c for c in traversal_cells if c in kept]
     kept: set[int] = set()
     for i in range(0, len(traversal_cells), PREFILTER_CHUNK_SIZE):
         chunk = traversal_cells[i : i + PREFILTER_CHUNK_SIZE]
