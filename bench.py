@@ -116,6 +116,8 @@ HEADLINE = [
     # the key-skew pre-flight report
     "streaming_cdc_tableset",
     "corpus_key_skew",
+    # round-12 addition: the fingerprint-density pre-flight probe
+    "multimodal_phash_density",
 ]
 
 #: bench-only implementations: same operator, scale-path configuration

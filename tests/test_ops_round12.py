@@ -302,3 +302,51 @@ class TestDistributedPrefilter:
         finally:
             T.PREFILTER_DISTRIBUTED_MIN_CELLS = orig
         assert chunked == distributed == [region_a]
+
+
+class TestTemplateBigCellList:
+    def test_subquery_substitution_same_result(self, spark, tmp_path, monkeypatch):
+        from ukis_h3cellstore_spark import (
+            CellStore,
+            CompactedTableSchemaBuilder,
+        )
+        from ukis_h3cellstore_spark import query as Q
+        from ukis_h3cellstore_spark.h3 import cells as h3c
+        from ukis_h3cellstore_spark.query import TableSetQuery
+
+        schema = (
+            CompactedTableSchemaBuilder("big_tmpl")
+            .h3_base_resolutions([5, 6])
+            .add_h3index_column()
+            .add_column("value", "Int32")
+            .build()
+        )
+        region = h3c.build_cell(60, [1, 2, 3, 4, 5])
+        cells = h3c.cell_to_children(region, 6)
+        store = CellStore(spark, str(tmp_path / "wh"))
+        store.insert_h3dataframe_into_tableset(
+            schema,
+            spark.createDataFrame(
+                [(c, i) for i, c in enumerate(cells)],
+                "h3index long, value int",
+            ),
+        )
+        f = TableSetQuery.from_template(
+            "select h3index, value from <[table]> "
+            "where h3index in <[h3indexes]> and value >= 3"
+        )
+        want = sorted(
+            (r["h3index"], r["value"])
+            for r in store.query_tableset_cells(
+                "big_tmpl", cells, 6, query=f
+            ).df.collect()
+        )
+        # force every cell list through the IN-subquery branch
+        monkeypatch.setattr(Q, "MAX_INLIST_CELLS", 2)
+        got = sorted(
+            (r["h3index"], r["value"])
+            for r in store.query_tableset_cells(
+                "big_tmpl", cells, 6, query=f
+            ).df.collect()
+        )
+        assert got == want and len(want) == len(cells) - 3

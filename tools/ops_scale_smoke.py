@@ -550,7 +550,338 @@ def _r11_flagship_block(spark, gc, n_docs: int = 1_000_000) -> None:
         EQ.PLAN_PROBE = None
 
 
+def _r12_density_block(spark, gc, n_docs: int = 1_000_000) -> None:
+    """Round-12 smoke: the GUIDED hamming path on the DENSE
+    shared-small-vocab corpus — the v1 corpus whose unguided d=8 join
+    produced ~4.6M mostly-background pairs and quarantined 58% of the
+    1M-doc flagship (docs/SCALE.md). The density probe must predict
+    the explosion from a bounded sample and tighten max_hamming so
+    the join completes inside the pair budget."""
+    import os
+    import resource
+    import tempfile
+    import time
+
+    from pyspark.sql import functions as _F
+
+    from ukis_h3cellstore_spark.ops import dedup as D
+    from ukis_h3cellstore_spark.ops import multimodal as M
+
+    sf_dir = os.path.join(
+        tempfile.gettempdir(), f"h3smoke_dense_v1_{os.getuid()}_{n_docs}"
+    )
+    if not os.path.isdir(os.path.join(sf_dir, "documents.parquet")):
+        # the r11 flagship generator with a SHARED 30k-word vocabulary
+        # (the dense regime: gram-simhash prints concentrate, median
+        # inter-doc hamming ~21/64, P[ham<=8] ~ 3.8e-4)
+        base = spark.range(n_docs)
+        is_dup = _F.col("id") % 20 == 1
+        master = _F.when(is_dup, _F.col("id") - 1).otherwise(_F.col("id"))
+        n_tok = _F.pmod(_F.xxhash64(master), _F.lit(151)) + 50
+        word = lambda p: _F.concat(  # noqa: E731
+            _F.lit("w"),
+            _F.translate(
+                _F.pmod(_F.xxhash64(master, p), _F.lit(30_000))
+                .cast("string"),
+                "0123456789",
+                "abcdefghij",
+            ),
+        )
+        toks = _F.transform(_F.sequence(_F.lit(1), n_tok), word)
+        text = _F.concat_ws(" ", toks)
+        base.select(
+            _F.col("id").alias("doc_id"), text.alias("text")
+        ).repartition(64).write.mode("overwrite").parquet(
+            f"{sf_dir}/documents.parquet"
+        )
+        print(f"staged dense corpus: {n_docs:,} docs at {sf_dir}")
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    payloads = M.attach_binary_payload(docs)
+
+    t0 = time.time()
+    ph = (
+        M.perceptual_hash_stub(payloads)
+        .filter(_F.col("phash").isNotNull())
+        .localCheckpoint(eager=True)
+    )
+    n = ph.count()
+    print(f"phash stage: {n:,} prints in {time.time() - t0:.1f}s")
+
+    t0 = time.time()
+    probe = D.hamming_density_probe(ph, "phash", max_hamming=8).collect()
+    print(f"density probe ({time.time() - t0:.1f}s):")
+    for r in sorted(probe, key=lambda r: r["hamming"]):
+        print(
+            f"  d<={r['hamming']}: sample_pairs={r['sample_pairs_le']:,} "
+            f"predicted={r['predicted_pairs_le']:,} "
+            f"(n_sample={r['n_sample']:,})"
+        )
+
+    t0 = time.time()
+    guided = D.guided_max_hamming(ph, "phash", requested=8)
+    budget = max(50 * n, 10_000_000)
+    print(
+        f"guided_max_hamming: requested 8 -> {guided} "
+        f"(budget {budget:,}; {time.time() - t0:.1f}s)"
+    )
+
+    gc()
+    t0 = time.time()
+    pairs = D.hamming_pairs(
+        ph, fp_col="phash", id_col="doc_id", bits=64, max_hamming=guided
+    ).count()
+    dt = time.time() - t0
+    rss = resource.getrusage(resource.RUSAGE_SELF).ru_maxrss / 1e6
+    print(
+        f"hamming join at guided d={guided}: {pairs:,} pairs in {dt:.1f}s "
+        f"(the probe predicted the unguided d=8 output at ~5x the "
+        f"budget — the regime whose background pairs ate 58% of the "
+        f"r11 flagship corpus; driver maxrss {rss:.1f} GB)"
+    )
+
+
+def _r12_traversal_block(spark, gc) -> None:
+    """Round-12 smoke: Q3 at a CONTINENT-sized AOI — the res-6 Africa
+    box (~1.56M traversal cells). Exercises the hierarchical polyfill,
+    the full insert pipeline at ~5.4M res-7 rows, the DISTRIBUTED
+    prefilter (one Q2 query; the chunked reference loop would be ~31k
+    sequential driver jobs), and the traverse_apply per-tile scale
+    path. The pull iterator is timed on its first 20 cells only — at
+    1M cells it is structurally the wrong tool (one driver round trip
+    per cell), which is exactly why traverse_apply exists."""
+    import resource
+    import tempfile
+    import time
+
+    import numpy as np
+    from pyspark.sql import functions as _F
+
+    from ukis_h3cellstore_spark import CellStore, CompactedTableSchemaBuilder
+    from ukis_h3cellstore_spark import geo
+    from ukis_h3cellstore_spark import traversal as T
+    from ukis_h3cellstore_spark.h3 import expressions as hx
+    from ukis_h3cellstore_spark.h3 import icosa
+    from ukis_h3cellstore_spark.query import TableSetQuery
+
+    AOI = {
+        "type": "Polygon",
+        "coordinates": [
+            [(-20, -35), (50, -35), (50, 35), (-20, 35), (-20, -35)]
+        ],
+    }
+
+    t0 = time.time()
+    trav_cells = geo.geometry_to_cells(AOI, 6)
+    print(
+        f"polyfill res 6 (hierarchical): {len(trav_cells):,} traversal "
+        f"cells in {time.time() - t0:.1f}s"
+    )
+
+    # populate the WESTERN half (lng < 15) at res 7 so the prefilter
+    # has something to prune
+    t0 = time.time()
+    arr = np.array(trav_cells, dtype=np.int64)
+    lats, lngs = icosa.cell_to_latlng_np(arr)
+    west = [int(c) for c, lng in zip(trav_cells, lngs) if lng < 15.0]
+    base6 = spark.createDataFrame(
+        [(c,) for c in west], "h3index long"
+    ).repartition(64)
+    offsets = hx.h3_cell_offsets(spark, 6, 7)
+    data = (
+        base6.crossJoin(_F.broadcast(offsets))
+        .select(
+            hx.h3_uncompact_expr(
+                _F.col("h3index"), 6, 7, _F.col("child_offset")
+            ).alias("h3index")
+        )
+        .filter(hx.h3_is_valid_cell(_F.col("h3index")))
+        .withColumn(
+            "value", _F.pmod(_F.xxhash64("h3index"), _F.lit(1000)).cast("int")
+        )
+    )
+    schema = (
+        CompactedTableSchemaBuilder("africa_trav")
+        .h3_base_resolutions([6, 7])
+        .add_h3index_column()
+        .add_column("value", "Int32")
+        .build()
+    )
+    store = CellStore(spark, tempfile.mkdtemp(prefix="h3trav_"))
+    store.insert_h3dataframe_into_tableset(schema, data)
+    from ukis_h3cellstore_spark.schema import ResolutionMetadata
+
+    n_rows = store.read_table(schema, ResolutionMetadata(7, False)).count()
+    print(
+        f"insert pipeline: {len(west):,} west-half tiles -> {n_rows:,} "
+        f"res-7 rows in {time.time() - t0:.1f}s"
+    )
+
+    # distributed prefilter over the FULL 1.56M-cell AOI
+    f = TableSetQuery.from_template(
+        "select * from <[table]> where value >= 0 "
+        "and h3index in <[h3indexes]>"
+    )
+    gc()
+    t0 = time.time()
+    kept = T._prefilter_cells(store, "africa_trav", trav_cells, 6, f)
+    print(
+        f"distributed prefilter: {len(trav_cells):,} -> {len(kept):,} "
+        f"cells in {time.time() - t0:.1f}s (chunked loop would be "
+        f"{len(trav_cells) // T.PREFILTER_CHUNK_SIZE:,} sequential jobs)"
+    )
+
+    # per-tile apply across the whole AOI: ONE job
+    def tile_stats(pdf):
+        import pandas as pd
+
+        return pd.DataFrame(
+            {
+                "tile": [int(pdf["__traversal_cell"].iloc[0])],
+                "n": [len(pdf)],
+                "mean_value": [float(pdf["value"].mean())],
+            }
+        )
+
+    gc()
+    t0 = time.time()
+    out = T.traverse_apply(
+        store,
+        "africa_trav",
+        AOI,
+        7,
+        tile_stats,
+        "tile long, n long, mean_value double",
+        options=T.TraversalOptions(max_h3indexes_fetch_count=7),
+    )
+    n_tiles = out.count()
+    print(
+        f"traverse_apply (res-7 data, per-res-6-tile stats): "
+        f"{n_tiles:,} tiles in {time.time() - t0:.1f}s"
+    )
+
+    # pull iterator: first 20 cells only (per-step latency sample)
+    trav = T.Traverser(
+        store=store,
+        tableset_name="africa_trav",
+        traversal_cells=kept[:20],
+        h3_resolution=7,
+        options=T.TraversalOptions(max_h3indexes_fetch_count=7),
+    )
+    t0 = time.time()
+    steps = sum(1 for _ in trav)
+    per = (time.time() - t0) / 20
+    rss = resource.getrusage(resource.RUSAGE_SELF).ru_maxrss / 1e6
+    print(
+        f"pull iterator: 20 cells, {steps} non-empty, {per * 1000:.0f} "
+        f"ms/cell -> {len(kept) * per / 3600:.1f} h extrapolated at "
+        f"{len(kept):,} cells (use traverse_apply); driver maxrss "
+        f"{rss:.1f} GB"
+    )
+
+
+def _r12_cdc_block(spark, gc, n_changes: int = 1_000_000) -> None:
+    """Round-12 smoke: the CDC -> mutable-tableset composition at 1M
+    changes across 4 batches — measures the O11 envelope claim that
+    per-batch cost is proportional to the TOUCHED key space (changed
+    partitions rewritten, untouched partitions left alone), not the
+    table size."""
+    import resource
+    import tempfile
+    import time
+
+    from pyspark.sql import functions as _F
+
+    from ukis_h3cellstore_spark import CellStore, CompactedTableSchemaBuilder
+    from ukis_h3cellstore_spark.h3 import cells as h3c
+
+    # key space: res-9 descendants of four res-3 regions on DISTINCT
+    # base cells — ~470k keys; lower_resolution(4) partitioning puts
+    # each region's keys into 49 res-5 partitions (196 total), so
+    # partition-scoped refresh has something to scope to
+    regions = [h3c.build_cell(b, [1, 2, 3]) for b in (10, 36, 60, 80)]
+    keyspace: list[int] = []
+    for r in regions:
+        keyspace.extend(h3c.cell_to_children(r, 9))
+    n_keys = len(keyspace)
+
+    schema = (
+        CompactedTableSchemaBuilder("cdc_scale")
+        .h3_base_resolutions([5, 9])
+        .use_compacted_resolutions(False)
+        .h3_partitioning("lower_resolution", 4)
+        .add_h3index_column()
+        .add_aggregated_column("last_seq", "UInt64", "Max")
+        .add_aggregated_column("is_deleted", "UInt8", "Min")
+        .add_aggregated_column("last_value", "Int64", "Sum")
+        .table_engine(
+            "ReplacingMergeTree",
+            version_column="last_seq",
+            deleted_column="is_deleted",
+        )
+        .build()
+    )
+    store = CellStore(spark, tempfile.mkdtemp(prefix="h3cdc_"))
+
+    n_batches = 5
+    total = 0
+    for b in range(n_batches):
+        # alternating batches touch HALF the regions (2 of 4), so half
+        # the partitions must be rewritten and half left untouched —
+        # the envelope under test; the final batch touches ONE region
+        # (a quarter of the key space) and must cost ~half a half-batch
+        if b == n_batches - 1:
+            touched = regions[:1]
+        else:
+            touched = regions[:2] if b % 2 == 0 else regions[2:]
+        t_keys = [c for r in touched for c in h3c.cell_to_children(r, 9)]
+        winners = spark.createDataFrame(
+            [(c,) for c in t_keys], "h3index long"
+        ).select(
+            "h3index",
+            (_F.lit(b + 1)).cast("long").alias("last_seq"),
+            _F.lit(0).alias("is_deleted"),
+            _F.pmod(_F.xxhash64("h3index", _F.lit(b)), _F.lit(1000))
+            .cast("long")
+            .alias("last_value"),
+        )
+        n_batch = len(t_keys)
+        total += n_batch
+        gc()
+        t0 = time.time()
+        store.upsert_h3dataframe_into_tableset(schema, winners)
+        dt = time.time() - t0
+        print(
+            f"batch {b}: {n_batch:,} change winners "
+            f"({len(touched)} region(s), {len(touched) * 49} touched "
+            f"res-5 partitions of 196) applied in {dt:.1f}s "
+            f"({n_batch / dt:,.0f} rows/s)"
+        )
+    live = store.query_tableset_cells("cdc_scale", regions, 5).df.count()
+    rss = resource.getrusage(resource.RUSAGE_SELF).ru_maxrss / 1e6
+    print(
+        f"total {total:,} changes across {n_batches} batches; rollup "
+        f"rows at res 5: {live:,} (keyspace {n_keys:,}); driver maxrss "
+        f"{rss:.1f} GB"
+    )
+
+
 def main() -> None:
+    if "--r12-density" in sys.argv:
+        spark, gc = _local_session()
+        _r12_density_block(spark, gc)
+        spark.stop()
+        return
+    if "--r12-traversal" in sys.argv:
+        spark, gc = _local_session()
+        _r12_traversal_block(spark, gc)
+        spark.stop()
+        return
+    if "--r12-cdc" in sys.argv:
+        spark, gc = _local_session()
+        _r12_cdc_block(spark, gc)
+        spark.stop()
+        return
     if "--r11-flagship" in sys.argv:
         spark, gc = _local_session()
         n = next(

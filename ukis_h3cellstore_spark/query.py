@@ -109,8 +109,21 @@ def build_table_query(
     df.createOrReplaceTempView(view)
     sql = query.template.replace(PLACEHOLDER_TABLE, view)
     if PLACEHOLDER_H3INDEXES in sql:
-        literal = ",".join(str(c) for c in table_cells) or "NULL"
-        sql = sql.replace(PLACEHOLDER_H3INDEXES, f"({literal})")
+        if len(table_cells) <= MAX_INLIST_CELLS:
+            literal = ",".join(str(c) for c in table_cells) or "NULL"
+            sub = f"({literal})"
+        else:
+            # big cell sets (continent AOIs through the distributed
+            # prefilter) would otherwise inline megabytes of literals
+            # into the SQL text and stall the parser; an IN-subquery
+            # over a temp view plans as the same semi-join
+            # cells_predicate uses, with identical semantics
+            cells_view = f"__h3cs_cells_{_VIEW_COUNTER[0]}"
+            spark.createDataFrame(
+                [(c,) for c in table_cells], "__cell long"
+            ).createOrReplaceTempView(cells_view)
+            sub = f"(SELECT __cell FROM {cells_view})"
+        sql = sql.replace(PLACEHOLDER_H3INDEXES, sub)
     try:
         return spark.sql(sql)
     except Exception as e:  # surface missing columns etc. (test_traversal parity)
