@@ -350,3 +350,69 @@ class TestTemplateBigCellList:
             ).df.collect()
         )
         assert got == want and len(want) == len(cells) - 3
+
+
+class TestDistributedPolyfill:
+    def _check(self, spark, gi, res, multi=False):
+        from ukis_h3cellstore_spark import geo
+
+        want = geo.geometry_to_cells(gi, res)
+        df = geo.geometry_to_cells_df(spark, gi, res)
+        got = sorted(r["h3index"] for r in df.collect())
+        assert got == want
+        # single polygons must partition (no distinct needed)
+        assert df.count() == len(want)
+
+    def test_polygon_equality(self, spark):
+        self._check(
+            spark,
+            {
+                "type": "Polygon",
+                "coordinates": [
+                    [(-122.41, 37.81), (-122.35, 37.72), (-122.51, 37.71),
+                     (-122.52, 37.78), (-122.41, 37.81)]
+                ],
+            },
+            7,
+        )
+
+    def test_pentagon_area_equality(self, spark):
+        from ukis_h3cellstore_spark.h3 import cells as h3c
+        from ukis_h3cellstore_spark.h3 import icosa
+
+        plat, plng = icosa.cell_to_latlng(h3c.build_cell(4, []))
+        self._check(
+            spark,
+            {
+                "type": "Polygon",
+                "coordinates": [
+                    [(plng - 3, plat - 3), (plng + 3, plat - 3),
+                     (plng + 3, plat + 3), (plng - 3, plat + 3),
+                     (plng - 3, plat - 3)]
+                ],
+            },
+            4,
+        )
+
+    def test_multipolygon_overlap_dedup(self, spark):
+        from ukis_h3cellstore_spark import geo
+
+        gi = {
+            "type": "MultiPolygon",
+            "coordinates": [
+                [[(0, 0), (2, 0), (2, 2), (0, 2), (0, 0)]],
+                [[(1, 1), (3, 1), (3, 3), (1, 3), (1, 1)]],
+            ],
+        }
+        want = geo.geometry_to_cells(gi, 5)
+        df = geo.geometry_to_cells_df(spark, gi, 5)
+        assert sorted(r["h3index"] for r in df.collect()) == want
+
+    def test_non_polygon_fallback(self, spark):
+        from ukis_h3cellstore_spark import geo
+
+        gi = {"type": "Point", "coordinates": (11.5, 48.1)}
+        df = geo.geometry_to_cells_df(spark, gi, 8)
+        assert [r["h3index"] for r in df.collect()] == geo.geometry_to_cells(
+            gi, 8
+        )

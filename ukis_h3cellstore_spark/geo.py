@@ -347,6 +347,72 @@ def geometry_to_cells(
     return sorted(cells)
 
 
+def geometry_to_cells_df(
+    spark, geometry, res: int, grid: GridSystem | None = None,
+    h3name: str = "h3index",
+):
+    """DISTRIBUTED polyfill — the planet-scale H6 path: a DataFrame of
+    the geometry's cells at ``res`` whose AREA never materializes on
+    the driver. The driver runs only the hierarchical boundary
+    classification (``icosa.polygon_to_cells_cover`` — perimeter-
+    sized: provably-interior parents + boundary leaf cells); interior
+    subtrees expand EXECUTOR-side through the JVM child-offset
+    arithmetic (``h3_cell_offsets`` cross-join + ``h3_uncompact_expr``,
+    the insert pipeline's own uncompaction idiom). A res-9 continent
+    (~0.5 B cells) is a ~50k-row driver cover and one narrow scan —
+    the driver-list form (:func:`geometry_to_cells`) cannot represent
+    it at all.
+
+    Exact-equality contract with the driver form (pytest-pinned):
+    same cells, incl. the exterior-ring cover and pentagon-descendant
+    validity filtering. Non-polygon geometries and non-H3 grids fall
+    back to the driver list wrapped in a frame. For MultiPolygon the
+    result is de-duplicated across parts (single polygons need no
+    distinct — cover subtrees and leaves partition the set)."""
+    from pyspark.sql import functions as F
+
+    from ukis_h3cellstore_spark.h3 import expressions as hx
+    from ukis_h3cellstore_spark.query import cells_frame
+
+    g = grid or default_grid()
+    gi = getattr(geometry, "__geo_interface__", geometry)
+    gtype = gi["type"]
+    if not isinstance(g, H3Grid) or gtype not in ("Polygon", "MultiPolygon"):
+        return cells_frame(spark, h3name, geometry_to_cells(gi, res, g))
+    from ukis_h3cellstore_spark.h3 import icosa
+
+    polys = (
+        [gi["coordinates"]] if gtype == "Polygon" else list(gi["coordinates"])
+    )
+    interior: list[tuple[int, int]] = []
+    leaves: set[int] = set()
+    for poly in polys:
+        inn, lv = icosa.polygon_to_cells_cover(poly, res)
+        interior.extend(inn)
+        leaves.update(lv)
+        leaves.update(ring_cells(poly[0], res, g))
+    by_level: dict[int, list[int]] = {}
+    for c, lvl in interior:
+        by_level.setdefault(lvl, []).append(c)
+    parts = [cells_frame(spark, h3name, sorted(leaves))]
+    for lvl, cs in sorted(by_level.items()):
+        offsets = hx.h3_cell_offsets(spark, lvl, res)
+        parts.append(
+            cells_frame(spark, h3name, sorted(cs))
+            .crossJoin(F.broadcast(offsets))
+            .select(
+                hx.h3_uncompact_expr(
+                    F.col(h3name), lvl, res, F.col("child_offset")
+                ).alias(h3name)
+            )
+            .filter(hx.h3_is_valid_cell(F.col(h3name)))
+        )
+    df = parts[0]
+    for p in parts[1:]:
+        df = df.unionByName(p)
+    return df.distinct() if len(polys) > 1 else df
+
+
 def border_cells(
     polygon,
     res: int,

@@ -1490,6 +1490,25 @@ def polygon_to_cells_hierarchical(
     ``max_level_candidates``; when the target resolution itself fits,
     this IS the flat form (small polygons take the identical path,
     which is why the polyfill gates are unaffected)."""
+    interior, leaves = polygon_to_cells_cover(rings, res, max_level_candidates)
+    out = list(leaves)
+    for cell, level in interior:
+        out.extend(_cells.cell_to_children(cell, res) if level < res else [cell])
+    return sorted(out)
+
+
+def polygon_to_cells_cover(
+    rings, res: int, max_level_candidates: int = 20_000
+) -> tuple[list[tuple[int, int]], list[int]]:
+    """The hierarchical classifier WITHOUT the expansion — the
+    distributed-polyfill building block: ``(interior, leaves)`` where
+    ``interior`` is ``[(cell, level)]`` parents whose ENTIRE
+    res-descendant set is provably inside the polygon (expansion is
+    pure index arithmetic — do it in Spark for planet-scale AOIs),
+    and ``leaves`` are exact target-resolution cells already decided
+    by a containment test. ``expand(interior) ∪ leaves`` equals
+    :func:`polygon_to_cells` exactly; driver cost is classification
+    only (perimeter-sized), never the area."""
     import numpy as np
 
     from ..geo import densify_ring, point_in_polygon
@@ -1503,67 +1522,73 @@ def polygon_to_cells_hierarchical(
         start -= 1
     center, kk = _poly_anchor(rings, start)
     if start == res:
-        return polygon_to_cells(rings, res)
+        return [], polygon_to_cells(rings, res)
 
-    # one boundary sample set serves every level: step sized to the
-    # TARGET resolution so the slack never dominates a coarser
-    # level's margin
-    step_deg = math.degrees(mean_edge_length_rads(res) * math.sqrt(3.0))
-    pts: list[tuple[float, float]] = []
-    for ring in rings:
-        if len(ring) >= 3:
-            pts.extend(densify_ring(ring, step_deg))
-    latr = np.radians(np.array([p[1] for p in pts]))
-    lngr = np.radians(np.array([p[0] for p in pts]))
-    bnd = np.stack(
-        [np.cos(latr) * np.cos(lngr), np.cos(latr) * np.sin(lngr), np.sin(latr)],
-        axis=1,
-    )  # (K, 3) unit vectors
-    step_rad = math.radians(step_deg)
+    def boundary_vectors(step_deg: float):
+        pts: list[tuple[float, float]] = []
+        for ring in rings:
+            if len(ring) >= 3:
+                pts.extend(densify_ring(ring, step_deg))
+        latr = np.radians(np.array([p[1] for p in pts]))
+        lngr = np.radians(np.array([p[0] for p in pts]))
+        return np.stack(
+            [
+                np.cos(latr) * np.cos(lngr),
+                np.cos(latr) * np.sin(lngr),
+                np.sin(latr),
+            ],
+            axis=1,
+        )  # (K, 3) unit vectors
 
-    out: list[int] = []
+    interior: list[tuple[int, int]] = []
+    leaves: list[int] = []
     level_cells = np.array(grid_disk(center, kk), dtype=np.int64)
     for level in range(start, res + 1):
         if level_cells.size == 0:
             break
         lats, lngs = cell_to_latlng_np(level_cells)
+        if level == res:
+            # the target level needs no distance pass at all — every
+            # surviving band cell gets the exact containment test
+            # (this is also where a full-matrix pass would be most
+            # expensive: band × samples is quadratic in perimeter)
+            for lat, lng, c in zip(lats, lngs, level_cells):
+                if point_in_polygon(float(lng), float(lat), rings):
+                    leaves.append(int(c))
+            break
+        spacing = mean_edge_length_rads(level) * math.sqrt(3.0)
+        # per-level samples: step = one spacing of THIS level, so the
+        # sample count tracks the level's own boundary-cell count
+        # (slack of one step is subtracted from the distance bound —
+        # an underestimate only widens the band, never flips a cell)
+        bnd = boundary_vectors(math.degrees(spacing))
         clat = np.radians(lats)
         clng = np.radians(lngs)
         ctr = np.stack(
             [np.cos(clat) * np.cos(clng), np.cos(clat) * np.sin(clng), np.sin(clat)],
             axis=1,
         )
-        # lower bound on angle to the boundary polyline
-        max_dot = (ctr @ bnd.T).max(axis=1)
-        d_lb = np.arccos(np.clip(max_dot, -1.0, 1.0)) - step_rad
-        margin = (
-            _HIER_MARGIN_SPACINGS
-            * mean_edge_length_rads(level)
-            * math.sqrt(3.0)
-        )
+        # blocked max-dot: the (cells × samples) matrix never
+        # materializes whole (1024-row blocks bound the working set)
+        max_dot = np.empty(ctr.shape[0])
+        for lo in range(0, ctr.shape[0], 1024):
+            hi = lo + 1024
+            max_dot[lo:hi] = (ctr[lo:hi] @ bnd.T).max(axis=1)
+        d_lb = np.arccos(np.clip(max_dot, -1.0, 1.0)) - spacing
+        margin = _HIER_MARGIN_SPACINGS * spacing
         far = d_lb > margin
         near_idx = np.nonzero(~far)[0]
         far_idx = np.nonzero(far)[0]
         # far cells: one center test decides the whole subtree
         for i in far_idx:
             if point_in_polygon(float(lngs[i]), float(lats[i]), rings):
-                c = int(level_cells[i])
-                if level == res:
-                    out.append(c)
-                else:
-                    out.extend(_cells.cell_to_children(c, res))
-        if level == res:
-            # boundary band at target resolution: scalar decide
-            for i in near_idx:
-                if point_in_polygon(float(lngs[i]), float(lats[i]), rings):
-                    out.append(int(level_cells[i]))
-            break
+                interior.append((int(level_cells[i]), level))
         # boundary band: recurse one level finer
         nxt: list[int] = []
         for i in near_idx:
             nxt.extend(_cells.cell_to_children(int(level_cells[i]), level + 1))
         level_cells = np.array(nxt, dtype=np.int64)
-    return sorted(out)
+    return interior, leaves
 
 
 # ------------------------------------------------ vectorized forward

@@ -74,14 +74,28 @@ def auto_projection_columns(columns: list[str], h3index_column: str) -> list[str
     return [h3index_column] + rest
 
 
+def cells_frame(spark: SparkSession, name: str, cells) -> DataFrame:
+    """One-column DataFrame of a driver-side cell list, built through
+    pandas/Arrow rather than a Python tuple list — at a continent-AOI
+    list (~1.5M cells) the tuple path serializes row by row through
+    the JVM gateway and holds several list copies on the driver; the
+    Arrow path ships one int64 buffer."""
+    import pandas as pd
+
+    return spark.createDataFrame(
+        pd.DataFrame({name: pd.array(list(cells), dtype="int64")})
+    )
+
+
 def cells_predicate(
     spark: SparkSession, df: DataFrame, h3name: str, cells: list[int]
 ) -> DataFrame:
     """P2/J1 cell-membership semi-join, scale-adaptive."""
     if len(cells) <= MAX_INLIST_CELLS:
         return df.filter(F.col(h3name).isin(cells))
-    cells_df = spark.createDataFrame([(c,) for c in cells], f"{h3name} long")
-    return df.join(F.broadcast(cells_df), on=h3name, how="leftsemi")
+    return df.join(
+        F.broadcast(cells_frame(spark, h3name, cells)), on=h3name, how="leftsemi"
+    )
 
 
 def build_table_query(
@@ -119,9 +133,9 @@ def build_table_query(
             # over a temp view plans as the same semi-join
             # cells_predicate uses, with identical semantics
             cells_view = f"__h3cs_cells_{_VIEW_COUNTER[0]}"
-            spark.createDataFrame(
-                [(c,) for c in table_cells], "__cell long"
-            ).createOrReplaceTempView(cells_view)
+            cells_frame(spark, "__cell", table_cells).createOrReplaceTempView(
+                cells_view
+            )
             sub = f"(SELECT __cell FROM {cells_view})"
         sql = sql.replace(PLACEHOLDER_H3INDEXES, sub)
     try:
