@@ -50,6 +50,7 @@ _PRIORITY = [
     "streaming_segment_dedup",
     # tier 1b — new r12 gates (never driver-sampled)
     "multimodal_phash_density",
+    "pipeline_query_cells_df",
     # tier 2 — oldest driver-green first (r7 cohort)
     "events_asof_nearest",
     "events_sliding_window",
@@ -94,7 +95,6 @@ _PRIORITY = [
     "corpus_k_anonymity",
     "ann_knn_label_agreement",
     "text_vocab_profile",
-    "corpus_source_containment",
 ]
 
 

@@ -416,3 +416,119 @@ class TestDistributedPolyfill:
         assert [r["h3index"] for r in df.collect()] == geo.geometry_to_cells(
             gi, 8
         )
+
+
+class TestQueryCellsDf:
+    @pytest.fixture()
+    def dfq_store(self, spark, tmp_path):
+        from ukis_h3cellstore_spark import (
+            CellStore,
+            CompactedTableSchemaBuilder,
+        )
+        from ukis_h3cellstore_spark.h3 import cells as h3c
+
+        schema = (
+            CompactedTableSchemaBuilder("dfq")
+            .h3_base_resolutions([4, 5, 6, 7])
+            .add_h3index_column()
+            .add_column("value", "Int32")
+            .build()
+        )
+        region = h3c.build_cell(60, [1, 2, 3, 4, 5])
+        cells7 = h3c.cell_to_children(region, 7)
+        store = CellStore(spark, str(tmp_path / "wh"))
+        store.insert_h3dataframe_into_tableset(
+            schema,
+            spark.createDataFrame(
+                [(c, i) for i, c in enumerate(cells7)],
+                "h3index long, value int",
+            ),
+        )
+        return store, region, cells7
+
+    def _rows(self, h3df):
+        return sorted(
+            (r["h3index"], r["value"])
+            for r in h3df.df.select("h3index", "value").collect()
+        )
+
+    def test_matches_list_api_both_directions(self, spark, dfq_store):
+        from ukis_h3cellstore_spark.query import cells_frame
+
+        store, region, cells7 = dfq_store
+        # coarse probe cell, finer target (offset expansion in-plan)
+        assert self._rows(
+            store.query_tableset_cells_df(
+                "dfq", cells_frame(spark, "h3index", [region]), 7
+            )
+        ) == self._rows(store.query_tableset_cells("dfq", [region], 7))
+        # fine probe cells, coarser target (parent arithmetic in-plan)
+        assert self._rows(
+            store.query_tableset_cells_df(
+                "dfq", cells_frame(spark, "h3index", cells7), 5
+            )
+        ) == self._rows(store.query_tableset_cells("dfq", cells7, 5))
+
+    def test_templated_matches_list_api(self, spark, dfq_store):
+        from ukis_h3cellstore_spark.query import TableSetQuery, cells_frame
+
+        store, _region, cells7 = dfq_store
+        t = TableSetQuery.from_template(
+            "select * from <[table]> where value >= 3 "
+            "and h3index in <[h3indexes]>"
+        )
+        assert self._rows(
+            store.query_tableset_cells_df(
+                "dfq", cells_frame(spark, "h3index", cells7), 7, query=t
+            )
+        ) == self._rows(
+            store.query_tableset_cells("dfq", cells7, 7, query=t)
+        )
+
+    def test_empty_and_mixed_resolution_rejected(self, spark, dfq_store):
+        from ukis_h3cellstore_spark.query import cells_frame
+
+        store, region, cells7 = dfq_store
+        with pytest.raises(ValueError, match="empty cell list"):
+            store.query_tableset_cells_df(
+                "dfq", cells_frame(spark, "h3index", []), 7
+            )
+        with pytest.raises(ValueError, match="uniform-resolution"):
+            store.query_tableset_cells_df(
+                "dfq",
+                cells_frame(spark, "h3index", [region, cells7[0]]),
+                7,
+            )
+
+    def test_traverse_apply_accepts_cell_frame(self, spark, dfq_store):
+        from ukis_h3cellstore_spark import traversal as T
+        from ukis_h3cellstore_spark.query import cells_frame
+
+        store, region, cells7 = dfq_store
+
+        def tile_count(pdf):
+            import pandas as pd
+
+            return pd.DataFrame(
+                {
+                    "tile": [int(pdf["__traversal_cell"].iloc[0])],
+                    "n": [len(pdf)],
+                }
+            )
+
+        opts = T.TraversalOptions(max_h3indexes_fetch_count=50)
+        via_df = sorted(
+            (r["tile"], r["n"])
+            for r in T.traverse_apply(
+                store, "dfq", cells_frame(spark, "h3index", [region]), 7,
+                tile_count, "tile long, n long", options=opts,
+            ).collect()
+        )
+        via_list = sorted(
+            (r["tile"], r["n"])
+            for r in T.traverse_apply(
+                store, "dfq", [region], 7,
+                tile_count, "tile long, n long", options=opts,
+            ).collect()
+        )
+        assert via_df == via_list and via_df[0][1] == 49

@@ -735,6 +735,55 @@ GROUP BY 1
 """
 
 
+def q_pipeline_query_cells_df(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q2 through the DATAFRAME probe API (store.query_tableset_cells_df
+    + query.normalize_cells_df): same insert as pipeline_sum_rollup,
+    but the res-4 query cell set is handed over as a Spark frame — the
+    planet-scale AOI path where the cell set never exists as a driver
+    list (per-table normalization is parent bit arithmetic / offset
+    expansion in-plan, partition pruning collects partition VALUES
+    only). Oracle: the identical relational rollup — the df API's
+    contract is exact result equality with the list API."""
+    from ukis_h3cellstore_spark import CompactedTableSchemaBuilder
+    from ukis_h3cellstore_spark.query import cells_frame
+
+    schema = (
+        CompactedTableSchemaBuilder("entry_cells_df")
+        .h3_base_resolutions([4, 6])
+        .add_h3index_column()
+        .add_aggregated_column("value_cents", "UInt64", "Sum")
+        .build()
+    )
+    e = _events(spark, sf_dir)
+    df = e.select(
+        _synth_col("event_id", 6).alias("h3index"),
+        _cents(F.col("value")).alias("value_cents"),
+    )
+    store = _pipeline_store(spark)
+    store.insert_h3dataframe_into_tableset(schema, df)
+    parents = sorted({h3c.cell_to_parent(_synth_py(i, 6), 4) for i in range(200)})
+    out = store.query_tableset_cells_df(
+        "entry_cells_df", cells_frame(spark, "h3index", parents), 4
+    )
+    return out.df.select("h3index", "value_cents")
+
+
+def _q_pipeline_query_cells_df_sql() -> str:
+    cell = sg.synth_cell("event_id", 6, DUCK)
+    parents = sorted({h3c.cell_to_parent(_synth_py(i, 6), 4) for i in range(200)})
+    plist = ", ".join(str(p) for p in parents)
+    return f"""
+WITH syn AS (SELECT {cell} AS h3index,
+                    CAST(round(value*100) AS BIGINT) AS value_cents
+             FROM events)
+SELECT {sg.to_parent('h3index', 4, DUCK)} AS h3index,
+       CAST(SUM(value_cents) AS BIGINT) AS value_cents
+FROM syn
+WHERE {sg.to_parent('h3index', 4, DUCK)} IN ({plist})
+GROUP BY 1
+"""
+
+
 def q_pipeline_join_tablesets(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Cross-tableset analytics — the reference's users join tableset
     tables in ClickHouse SQL (schema/mod.rs pyramid tables are plain
@@ -2386,6 +2435,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "h3_hierarchy_semijoin": q_h3_hierarchy_semijoin,
     "resolution_split_counts": q_resolution_split_counts,
     "pipeline_sum_rollup": q_pipeline_sum_rollup,
+    "pipeline_query_cells_df": q_pipeline_query_cells_df,
     "pipeline_join_tablesets": q_pipeline_join_tablesets,
     "pipeline_compact_roundtrip": q_pipeline_compact_roundtrip,
 }
@@ -2443,6 +2493,7 @@ ORACLES: dict[str, str] = {
     "h3_hierarchy_semijoin": _q_h3_hierarchy_semijoin_sql(),
     "resolution_split_counts": Q_RESOLUTION_SPLIT_SQL,
     "pipeline_sum_rollup": _q_pipeline_sum_rollup_sql(),
+    "pipeline_query_cells_df": _q_pipeline_query_cells_df_sql(),
     "pipeline_join_tablesets": _q_pipeline_join_tablesets_sql(),
     "pipeline_compact_roundtrip": _q_pipeline_compact_roundtrip_sql(),
 }

@@ -83,7 +83,8 @@ def cells_frame(spark: SparkSession, name: str, cells) -> DataFrame:
     import pandas as pd
 
     return spark.createDataFrame(
-        pd.DataFrame({name: pd.array(list(cells), dtype="int64")})
+        pd.DataFrame({name: pd.array(list(cells), dtype="int64")}),
+        schema=f"{name} long",  # explicit: empty lists can't infer
     )
 
 
@@ -96,6 +97,74 @@ def cells_predicate(
     return df.join(
         F.broadcast(cells_frame(spark, h3name, cells)), on=h3name, how="leftsemi"
     )
+
+
+def normalize_cells_df(
+    spark: SparkSession, cells_df: DataFrame, h3name: str,
+    from_res: int, to_res: int,
+) -> DataFrame:
+    """Cell-set normalization as a PLAN — the DataFrame twin of
+    ``h3.cells.change_resolution`` for a uniform-resolution set:
+    parents via the index bit arithmetic + distinct for coarser
+    targets, child expansion via the broadcast offset cross-join for
+    finer (invalid pentagon descendants filtered), identity-distinct
+    otherwise. All JVM expressions; the input set is deduplicated
+    BEFORE a child expansion (children of distinct parents are
+    distinct, so no post-expansion shuffle)."""
+    from ukis_h3cellstore_spark.h3 import expressions as hx
+
+    col = F.col(h3name)
+    if to_res == from_res:
+        return cells_df.select(col.alias(h3name)).distinct()
+    if to_res < from_res:
+        return cells_df.select(
+            hx.h3_to_parent(col, to_res).alias(h3name)
+        ).distinct()
+    offsets = hx.h3_cell_offsets(spark, from_res, to_res)
+    return (
+        cells_df.select(col.alias(h3name))
+        .distinct()
+        .crossJoin(F.broadcast(offsets))
+        .select(
+            hx.h3_uncompact_expr(
+                F.col(h3name), from_res, to_res, F.col("child_offset")
+            ).alias(h3name)
+        )
+        .filter(hx.h3_is_valid_cell(F.col(h3name)))
+    )
+
+
+def build_table_query_df(
+    spark: SparkSession,
+    df: DataFrame,
+    h3name: str,
+    table_cells_df: DataFrame,
+    query: TableSetQuery | None,
+    table_columns: list[str],
+) -> DataFrame:
+    """:func:`build_table_query` with the probe side as a DataFrame —
+    the cell predicate is a broadcast semi-join (auto mode) or an
+    IN-subquery over a temp view (templated mode); the cell set never
+    exists as a driver list."""
+    if query is None or query.template is None:
+        proj = auto_projection_columns(table_columns, h3name)
+        return df.select(*proj).join(
+            F.broadcast(table_cells_df), on=h3name, how="leftsemi"
+        )
+    _VIEW_COUNTER[0] += 1
+    view = f"__h3cs_table_{_VIEW_COUNTER[0]}"
+    df.createOrReplaceTempView(view)
+    sql = query.template.replace(PLACEHOLDER_TABLE, view)
+    if PLACEHOLDER_H3INDEXES in sql:
+        cells_view = f"__h3cs_cells_{_VIEW_COUNTER[0]}"
+        table_cells_df.createOrReplaceTempView(cells_view)
+        sql = sql.replace(
+            PLACEHOLDER_H3INDEXES, f"(SELECT {h3name} FROM {cells_view})"
+        )
+    try:
+        return spark.sql(sql)
+    except Exception as e:
+        raise IOError(f"templated query failed: {e}") from e
 
 
 def build_table_query(

@@ -36,6 +36,7 @@ from ukis_h3cellstore_spark import compaction, rollup
 from ukis_h3cellstore_spark.frame import H3DataFrame
 from ukis_h3cellstore_spark.h3 import cells as h3c
 from ukis_h3cellstore_spark.h3 import expressions as hx
+from ukis_h3cellstore_spark import query as build_query
 from ukis_h3cellstore_spark.query import (
     TableSetQuery,
     build_table_query,
@@ -1013,6 +1014,139 @@ class CellStore:
                 F.broadcast(cells_df.distinct()), on=h3name, how="leftsemi"
             )
         return H3DataFrame(out, h3name)
+
+    def query_tableset_cells_df(
+        self,
+        name: str,
+        cells_df: DataFrame,
+        h3_resolution: int,
+        query: TableSetQuery | None = None,
+        do_uncompact: bool = True,
+    ) -> H3DataFrame:
+        """Q2 with the probe side as a DATAFRAME — the planet-scale
+        AOI read: the cell set (e.g. ``geo.geometry_to_cells_df``
+        output) never materializes as a driver list. Semantics match
+        :meth:`query_tableset_cells` on the same set exactly
+        (gate-verified); the differences are purely physical:
+
+        - one validation job reads (count, min/max resolution,
+          pentagon presence) — a UNIFORM resolution is required
+          (mixed-resolution sets stay on the list API);
+        - per contributing table the set normalizes IN-PLAN
+          (``query.normalize_cells_df``: parent bit arithmetic or
+          broadcast offset expansion) and probes via broadcast
+          semi-join;
+        - partition pruning collects only the distinct partition
+          VALUES (bounded by the table's partition count, never the
+          cell count).
+
+        The input frame's first column is taken as the cell column."""
+        schema = self.get_schema(name)
+        h3name = schema.h3index_column()
+        cells_df = (
+            cells_df.select(F.col(cells_df.columns[0]).alias(h3name))
+            .filter(hx.h3_is_valid_cell(F.col(h3name)))
+            .localCheckpoint(eager=False)  # feeds every table + the final restrict
+        )
+        pent = (
+            hx.h3_get_base_cell(F.col(h3name))
+            .isin(sorted(h3c.PENTAGON_BASE_CELLS))
+            .cast("int")
+        )
+        stats = cells_df.agg(
+            F.count(F.lit(1)).alias("n"),
+            F.min(hx.h3_get_resolution(F.col(h3name))).alias("lo"),
+            F.max(hx.h3_get_resolution(F.col(h3name))).alias("hi"),
+            F.max(pent).alias("pent"),
+        ).collect()[0]
+        if stats["n"] == 0:
+            raise ValueError("empty cell list")  # select.rs:87-89 parity
+        if stats["lo"] != stats["hi"]:
+            raise ValueError(
+                "query_tableset_cells_df requires a uniform-resolution "
+                f"cell set (found {stats['lo']}..{stats['hi']}); use "
+                "query_tableset_cells for mixed-resolution lists"
+            )
+        cells_res = int(stats["lo"])
+        any_pentagon = bool(stats["pent"])
+        ts = self._tableset_from_schema(name, schema)
+        metas = ts.tables_to_satisfy_query_at_resolution(h3_resolution)
+        metas = [
+            m for m in metas if os.path.isdir(self._table_path(name, m))
+        ] or metas[:1]
+        parts: list[DataFrame] = []
+        for meta in metas:
+            table_cells = build_query.normalize_cells_df(
+                self.spark, cells_df, h3name, cells_res, meta.resolution
+            )
+            tdf = self.read_table(schema, meta)
+            tdf = self._prune_partitions_df(schema, tdf, meta, table_cells)
+            tdf = build_query.build_table_query_df(
+                self.spark,
+                tdf,
+                h3name,
+                table_cells,
+                query,
+                list(schema.spark_schema().names),
+            )
+            if do_uncompact and meta.resolution < h3_resolution:
+                offsets = hx.h3_cell_offsets(
+                    self.spark, meta.resolution, h3_resolution
+                )
+                cols = tdf.columns
+                tdf = (
+                    tdf.crossJoin(F.broadcast(offsets))
+                    .withColumn(
+                        h3name,
+                        hx.h3_uncompact_expr(
+                            F.col(h3name),
+                            meta.resolution,
+                            h3_resolution,
+                            F.col("child_offset"),
+                        ),
+                    )
+                    .select(*cols)
+                )
+                if any_pentagon:
+                    tdf = tdf.filter(hx.h3_is_valid_cell(F.col(h3name)))
+            parts.append(tdf)
+        if not parts:
+            raise ValueError("no tables satisfy the query")
+        out = parts[0]
+        for p in parts[1:]:
+            out = out.unionByName(p)
+        if do_uncompact:
+            target = build_query.normalize_cells_df(
+                self.spark, cells_df, h3name, cells_res, h3_resolution
+            )
+            out = out.join(F.broadcast(target), on=h3name, how="leftsemi")
+        return H3DataFrame(out, h3name)
+
+    def _prune_partitions_df(
+        self,
+        schema: CompactedTableSchema,
+        df: DataFrame,
+        meta: ResolutionMetadata,
+        table_cells_df: DataFrame,
+    ) -> DataFrame:
+        """:meth:`_prune_partitions` with the cell set as a frame —
+        the collect is partition-VALUE-sized (bounded by the table's
+        partition count), never cell-sized."""
+        if self._table_mode(schema, meta) == "global":
+            return df
+        col = F.col(schema.h3index_column())
+        if schema.h3_partitioning.kind == "basecell":
+            expr = hx.h3_get_base_cell(col)
+        else:
+            diff = schema.h3_partitioning.resolution_difference
+            expr = hx.h3_to_parent(col, max(meta.resolution - diff, 0))
+        values = sorted(
+            r["p"]
+            for r in table_cells_df.select(expr.alias("p")).distinct().collect()
+        )
+        if len(values) <= MAX_INLIST_CELLS:
+            df = df.filter(F.col("h3part").isin(values))
+        return df
 
     def _tableset_from_schema(self, name: str, schema: CompactedTableSchema) -> TableSet:
         metas = schema.resolution_metadata()

@@ -300,6 +300,7 @@ def traverse_apply(
     ``applyInPandas`` — scale path for "process every tile" workloads
     (SURVEY §3.3). ``output_schema`` is the result schema (DDL string
     or StructType)."""
+    from pyspark.sql import DataFrame as _DF
     from pyspark.sql import functions as F
 
     options = options or TraversalOptions()
@@ -309,12 +310,21 @@ def traverse_apply(
         h3_resolution,
         options.max_h3indexes_fetch_count,
     )
-    cells = _area_of_interest_cells(area_of_interest, trav_res)
-    if not cells:
-        raise TraversalError("area of interest contains no cells")
-    h3df = store.query_tableset_cells(
-        tableset_name, cells, h3_resolution, query=query
-    )
+    if isinstance(area_of_interest, _DF):
+        # planet-scale AOI: a uniform-resolution cell FRAME (e.g.
+        # geo.geometry_to_cells_df output) — the cell set never
+        # becomes a driver list; query_tableset_cells_df normalizes
+        # it per contributing table in-plan
+        h3df = store.query_tableset_cells_df(
+            tableset_name, area_of_interest, h3_resolution, query=query
+        )
+    else:
+        cells = _area_of_interest_cells(area_of_interest, trav_res)
+        if not cells:
+            raise TraversalError("area of interest contains no cells")
+        h3df = store.query_tableset_cells(
+            tableset_name, cells, h3_resolution, query=query
+        )
     keyed = h3df.df.withColumn(
         "__traversal_cell", hx.h3_to_parent(h3df.h3col, trav_res)
     )
