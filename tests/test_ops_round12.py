@@ -532,3 +532,95 @@ class TestQueryCellsDf:
             ).collect()
         )
         assert via_df == via_list and via_df[0][1] == 49
+
+
+class TestSimhashGuard:
+    def test_guarded_matches_unguarded_when_sparse(self, spark):
+        docs = spark.createDataFrame(
+            [
+                (1, "alpha beta gamma delta epsilon"),
+                (2, "alpha beta gamma delta zeta"),
+                (3, "one two three four five six"),
+                (4, "completely different words here now"),
+            ],
+            "doc_id long, text string",
+        )
+        plain = sorted(
+            (r["id_a"], r["id_b"])
+            for r in D.simhash_hamming_pairs(docs, max_hamming=3).collect()
+        )
+        guarded = sorted(
+            (r["id_a"], r["id_b"])
+            for r in D.simhash_hamming_pairs(
+                docs, max_hamming=3, pair_budget=1000
+            ).collect()
+        )
+        assert guarded == plain
+
+    def test_fail_policy_on_dup_saturated(self, spark):
+        docs = spark.createDataFrame(
+            [(i, "same text everywhere") for i in range(30)],
+            "doc_id long, text string",
+        )
+        with pytest.raises(D.DensityBudgetExceeded):
+            D.simhash_hamming_pairs(
+                docs, max_hamming=3, pair_budget=10, density_policy="fail"
+            ).collect()
+
+
+class TestTraverseApplyResolution:
+    def test_coarser_groups_same_totals(self, spark, tmp_path):
+        from ukis_h3cellstore_spark import (
+            CellStore,
+            CompactedTableSchemaBuilder,
+        )
+        from ukis_h3cellstore_spark import traversal as T
+        from ukis_h3cellstore_spark.h3 import cells as h3c
+
+        schema = (
+            CompactedTableSchemaBuilder("tar")
+            .h3_base_resolutions([4, 5, 6])
+            .add_h3index_column()
+            .add_column("value", "Int32")
+            .build()
+        )
+        region = h3c.build_cell(60, [1, 2, 3, 4])  # res 4
+        cells6 = h3c.cell_to_children(region, 6)
+        store = CellStore(spark, str(tmp_path / "wh"))
+        store.insert_h3dataframe_into_tableset(
+            schema,
+            spark.createDataFrame(
+                [(c, 1) for c in cells6], "h3index long, value int"
+            ),
+        )
+
+        def tile_sum(pdf):
+            import pandas as pd
+
+            return pd.DataFrame(
+                {
+                    "tile": [int(pdf["__traversal_cell"].iloc[0])],
+                    "n": [len(pdf)],
+                }
+            )
+
+        opts = T.TraversalOptions(max_h3indexes_fetch_count=50)
+        # traversal res 5 (7^1=7<=50... 7^(6-4)=49<=50 → trav res 4):
+        # default grouping = trav cells; apply_resolution=4 regroups
+        fine = T.traverse_apply(
+            store, "tar", [region], 6, tile_sum, "tile long, n long",
+            options=T.TraversalOptions(max_h3indexes_fetch_count=7),
+        ).collect()  # trav res 5 → 7 tiles of 7
+        coarse = T.traverse_apply(
+            store, "tar", [region], 6, tile_sum, "tile long, n long",
+            options=T.TraversalOptions(max_h3indexes_fetch_count=7),
+            apply_resolution=4,
+        ).collect()  # one group holding all 49
+        assert sum(r["n"] for r in fine) == sum(r["n"] for r in coarse) == 49
+        assert len(fine) == 7 and len(coarse) == 1
+        with pytest.raises(T.TraversalError, match="finer"):
+            T.traverse_apply(
+                store, "tar", [region], 6, tile_sum, "tile long, n long",
+                options=T.TraversalOptions(max_h3indexes_fetch_count=7),
+                apply_resolution=6,
+            )

@@ -711,9 +711,19 @@ def simhash_hamming_pairs(
     max_hamming: int = 3,
     clean_blocks: int | str = "auto",
     max_bucket_size: int | None = None,
+    pair_budget: int | str | None = None,
+    density_policy: str = "tighten",
 ) -> DataFrame:
     """ALL pairs with SimHash hamming distance ≤ ``max_hamming``:
     (id_a, id_b, hamming) with id_a < id_b — exact, not approximate.
+
+    ``pair_budget`` arms the density pre-flight, same contract as
+    ``ops.multimodal.phash_dup_pairs``: :func:`hamming_density_probe`
+    predicts the true pair volume from a bounded sample and
+    ``max_hamming`` is tightened to the largest threshold whose
+    prediction fits (``"auto"`` = ``max(50·n, 1e7)``;
+    ``density_policy='fail'`` raises instead). Default None keeps the
+    unguarded behavior the fixed-threshold gates pin.
 
     Candidates come from :func:`hamming_pairs`' combination banding
     (``clean_blocks='auto'``: the classic max_hamming+1 strip split
@@ -734,6 +744,15 @@ def simhash_hamming_pairs(
     (measured 2x the whole query at sf0.1 with 4 strips).
     """
     s = simhash(df, text_col, id_col, k, bits).localCheckpoint(eager=False)
+    if pair_budget is not None:
+        max_hamming = guided_max_hamming(
+            s,
+            "simhash",
+            id_col=id_col,
+            requested=max_hamming,
+            pair_budget=None if pair_budget == "auto" else pair_budget,
+            policy=density_policy,
+        )
     return hamming_pairs(
         s,
         fp_col="simhash",

@@ -293,13 +293,22 @@ def traverse_apply(
     output_schema,
     query: TableSetQuery | None = None,
     options: TraversalOptions | None = None,
+    apply_resolution: int | None = None,
 ) -> DataFrame:
     """Distributed traversal: ONE Spark job instead of a driver pull
     loop. The whole AOI is fetched lazily, grouped by traversal cell,
     and ``func(pandas_df) -> pandas_df`` runs per group via
     ``applyInPandas`` — scale path for "process every tile" workloads
     (SURVEY §3.3). ``output_schema`` is the result schema (DDL string
-    or StructType)."""
+    or StructType).
+
+    ``apply_resolution`` decouples the GROUP granularity from the
+    traversal sizing: by default groups are traversal cells, but when
+    per-tile work is trivial the per-group Arrow/pandas overhead
+    (~0.2 ms/group measured at the 819k-tile continent smoke)
+    dominates — pass a coarser resolution to hand ``func`` bigger
+    tiles (its ``__traversal_cell`` column then holds that coarser
+    parent). Must be ≤ the traversal resolution."""
     from pyspark.sql import DataFrame as _DF
     from pyspark.sql import functions as F
 
@@ -325,7 +334,13 @@ def traverse_apply(
         h3df = store.query_tableset_cells(
             tableset_name, cells, h3_resolution, query=query
         )
+    group_res = trav_res if apply_resolution is None else int(apply_resolution)
+    if group_res > trav_res:
+        raise TraversalError(
+            f"apply_resolution {group_res} is finer than the traversal "
+            f"resolution {trav_res}"
+        )
     keyed = h3df.df.withColumn(
-        "__traversal_cell", hx.h3_to_parent(h3df.h3col, trav_res)
+        "__traversal_cell", hx.h3_to_parent(h3df.h3col, group_res)
     )
     return keyed.groupBy("__traversal_cell").applyInPandas(func, output_schema)
