@@ -94,6 +94,9 @@ DEFAULT_QUERIES = [
     # round-11 additions
     "streaming_cdc_tableset",
     "corpus_key_skew",
+    # round-12 additions
+    "multimodal_phash_density",
+    "pipeline_query_cells_df",
 ]
 
 
