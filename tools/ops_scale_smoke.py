@@ -780,6 +780,121 @@ def _r12_traversal_block(spark, gc) -> None:
     )
 
 
+def _r12_traversal_df_block(spark, gc) -> None:
+    """Round-12 follow-up smoke: the SAME continent AOI as
+    --r12-traversal but through the driver-list-free path —
+    geo.geometry_to_cells_df → store.query_tableset_cells_df →
+    traverse_apply(cell frame) with a coarser apply_resolution. The
+    list path held 1.56M-cell Python lists on the driver (maxrss
+    3.7 GB); here the AOI exists only as a cover + a distributed
+    frame."""
+    import resource
+    import tempfile
+    import time
+
+    import numpy as np
+    from pyspark.sql import functions as _F
+
+    from ukis_h3cellstore_spark import CellStore, CompactedTableSchemaBuilder
+    from ukis_h3cellstore_spark import geo
+    from ukis_h3cellstore_spark import traversal as T
+    from ukis_h3cellstore_spark.h3 import expressions as hx
+    from ukis_h3cellstore_spark.h3 import icosa
+
+    AOI = {
+        "type": "Polygon",
+        "coordinates": [
+            [(-20, -35), (50, -35), (50, 35), (-20, 35), (-20, -35)]
+        ],
+    }
+
+    t0 = time.time()
+    aoi_df = geo.geometry_to_cells_df(spark, AOI, 6).localCheckpoint(
+        eager=True
+    )
+    n_aoi = aoi_df.count()
+    print(
+        f"geometry_to_cells_df res 6: {n_aoi:,} cells materialized "
+        f"in {time.time() - t0:.1f}s (driver holds the cover only)"
+    )
+
+    # same west-half population as --r12-traversal, but built FROM the
+    # frame (no driver cell list): western cells by the vectorized
+    # center longitudes of the res-5 parents — cheap driver metadata
+    t0 = time.time()
+    parents5 = [
+        int(r["p"])
+        for r in aoi_df.select(
+            hx.h3_to_parent(_F.col("h3index"), 5).alias("p")
+        )
+        .distinct()
+        .collect()
+    ]
+    lats, lngs = icosa.cell_to_latlng_np(np.array(parents5, dtype=np.int64))
+    west5 = {c for c, lng in zip(parents5, lngs) if lng < 15.0}
+    west_df = aoi_df.join(
+        _F.broadcast(
+            spark.createDataFrame([(c,) for c in sorted(west5)], "p long")
+        ),
+        on=hx.h3_to_parent(_F.col("h3index"), 5) == _F.col("p"),
+        how="leftsemi",
+    )
+    offsets = hx.h3_cell_offsets(spark, 6, 7)
+    data = (
+        west_df.crossJoin(_F.broadcast(offsets))
+        .select(
+            hx.h3_uncompact_expr(
+                _F.col("h3index"), 6, 7, _F.col("child_offset")
+            ).alias("h3index")
+        )
+        .filter(hx.h3_is_valid_cell(_F.col("h3index")))
+        .withColumn(
+            "value", _F.pmod(_F.xxhash64("h3index"), _F.lit(1000)).cast("int")
+        )
+    )
+    schema = (
+        CompactedTableSchemaBuilder("africa_trav_df")
+        .h3_base_resolutions([6, 7])
+        .add_h3index_column()
+        .add_column("value", "Int32")
+        .build()
+    )
+    store = CellStore(spark, tempfile.mkdtemp(prefix="h3travdf_"))
+    store.insert_h3dataframe_into_tableset(schema, data)
+    print(f"insert (frame-derived population): {time.time() - t0:.1f}s")
+
+    def tile_stats(pdf):
+        import pandas as pd
+
+        return pd.DataFrame(
+            {
+                "tile": [int(pdf["__traversal_cell"].iloc[0])],
+                "n": [len(pdf)],
+                "mean_value": [float(pdf["value"].mean())],
+            }
+        )
+
+    gc()
+    t0 = time.time()
+    out = T.traverse_apply(
+        store,
+        "africa_trav_df",
+        aoi_df,
+        7,
+        tile_stats,
+        "tile long, n long, mean_value double",
+        options=T.TraversalOptions(max_h3indexes_fetch_count=7),
+        apply_resolution=5,  # ~49x larger tiles: per-group overhead off
+    )
+    n_tiles = out.count()
+    rss = resource.getrusage(resource.RUSAGE_SELF).ru_maxrss / 1e6
+    print(
+        f"traverse_apply (cell-frame AOI, apply_resolution=5): "
+        f"{n_tiles:,} tiles in {time.time() - t0:.1f}s; driver maxrss "
+        f"{rss:.2f} GB (list path: 3.7 GB)"
+    )
+
+
 def _r12_cdc_block(spark, gc, n_changes: int = 1_000_000) -> None:
     """Round-12 smoke: the CDC -> mutable-tableset composition at 1M
     changes across 4 batches — measures the O11 envelope claim that
@@ -870,6 +985,11 @@ def main() -> None:
     if "--r12-density" in sys.argv:
         spark, gc = _local_session()
         _r12_density_block(spark, gc)
+        spark.stop()
+        return
+    if "--r12-traversal-df" in sys.argv:
+        spark, gc = _local_session()
+        _r12_traversal_df_block(spark, gc)
         spark.stop()
         return
     if "--r12-traversal" in sys.argv:
