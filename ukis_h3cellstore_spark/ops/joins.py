@@ -443,23 +443,34 @@ def fuzzy_join(
         blk.alias("__blk"),
     )
     if max_block_share_milli is not None:
-        from ukis_h3cellstore_spark.ops.report import key_skew_report
-
+        # guard-only slice of key_skew_report: the accept test needs
+        # just (hottest count, total) — one map-side-combinable
+        # count + a 3-column reduce per side, not the full ranked
+        # report (which costs a checkpoint + two windows). max_by's
+        # tie choice only labels the error message.
         sides = [l] if left is right else [l, r]
         for side in sides:
             row = (
-                key_skew_report(
-                    side.select(F.col("__blk").alias("block")), ["block"], top_n=1
+                side.groupBy("__blk")
+                .agg(F.count(F.lit(1)).alias("__n"))
+                .agg(
+                    F.max("__n").alias("mx"),
+                    F.sum("__n").alias("tot"),
+                    F.expr("max_by(__blk, __n)").alias("val"),
                 )
-                .collect()
+                .collect()[0]
             )
-            if row and row[0]["share_milli"] > max_block_share_milli:
+            if row["tot"] is None:
+                continue  # empty side: nothing to block on
+            share = 1000 * row["mx"] // row["tot"]
+            if share > max_block_share_milli:
                 raise BlockSkewExceeded(
-                    f"hottest block {row[0]['value']!r} holds "
-                    f"{row[0]['share_milli']}‰ of rows (> "
+                    f"hottest block {row['val']!r} holds "
+                    f"{share}‰ of rows (> "
                     f"{max_block_share_milli}‰): Σ|block|² is no longer "
                     "~linear — pass a stronger block_expr (e.g. prefix + "
-                    "length bucket) or raise the cap"
+                    "length bucket) or raise the cap (see "
+                    "ops.report.suggest_skew_knobs for the full report)"
                 )
     is_self = (left is right) if self_join is None else bool(self_join)
     pair_filter = (
