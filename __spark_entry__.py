@@ -51,6 +51,7 @@ _PRIORITY = [
     # tier 1b — new r12 gates (never driver-sampled)
     "multimodal_phash_density",
     "pipeline_query_cells_df",
+    "dedup_minhash_buckets",
     # tier 2 — oldest driver-green first (r7 cohort)
     "events_asof_nearest",
     "events_sliding_window",
@@ -94,7 +95,6 @@ _PRIORITY = [
     "text_fertility",
     "corpus_k_anonymity",
     "ann_knn_label_agreement",
-    "text_vocab_profile",
 ]
 
 

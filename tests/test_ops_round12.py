@@ -624,3 +624,40 @@ class TestTraverseApplyResolution:
                 options=T.TraversalOptions(max_h3indexes_fetch_count=7),
                 apply_resolution=6,
             )
+
+
+class TestMinhashBucketStats:
+    def _docs(self, spark):
+        rows = [
+            (i, "the same boilerplate body of text here") for i in range(10)
+        ] + [
+            (100 + i, f"unique document number {i} with words w{i} x{i}")
+            for i in range(5)
+        ]
+        return spark.createDataFrame(rows, "doc_id long, text string")
+
+    def test_candidate_volume_exact(self, spark):
+        docs = self._docs(spark)
+        stats = D.minhash_bucket_stats(docs).collect()
+        # 10 identical docs collide in EVERY band: 4 buckets of 10 =
+        # 4 * C(10,2) = 180 candidate pairs from the dup block
+        dup = [r for r in stats if r["n_docs"] == 10]
+        assert len(dup) == 4
+        assert all(r["candidate_pairs"] == 45 for r in dup)
+        assert all(not r["dropped"] for r in stats)
+
+    def test_cap_drops_hot_bucket_and_join_respects_it(self, spark):
+        docs = self._docs(spark)
+        stats = D.minhash_bucket_stats(docs, max_bucket_size=5).collect()
+        assert all(r["dropped"] == (r["n_docs"] > 5) for r in stats)
+        uncapped = D.minhash_lsh_pairs(docs, min_est_jaccard=0.25)
+        capped = D.minhash_lsh_pairs(
+            docs, min_est_jaccard=0.25, max_bucket_size=5
+        )
+        pu = {(r["id_a"], r["id_b"]) for r in uncapped.collect()}
+        pc = {(r["id_a"], r["id_b"]) for r in capped.collect()}
+        # capped pairs are a subset; the hot identical block (every
+        # band bucket > 5) vanishes entirely
+        assert pc <= pu
+        assert all(a >= 100 or b >= 100 for a, b in pc)
+        assert len(pu) >= 45

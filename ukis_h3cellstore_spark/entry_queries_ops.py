@@ -248,6 +248,43 @@ WHERE ({eq_sum}) / 8.0 >= 0.25
 """
 
 
+def q_dedup_minhash_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Candidate-volume pre-flight for the MinHash LSH join
+    (ops/dedup.py: minhash_bucket_stats): per-(band, band_key) bucket
+    populations with the EXACT candidate-pair count the LSH self-join
+    would generate — the one-aggregation answer to "can I afford this
+    dedup run" that the hamming side already had
+    (hamming_bucket_stats / the density probe). Only >=2-member
+    buckets are emitted (singletons generate no pairs)."""
+    return D.minhash_bucket_stats(_docs(spark, sf_dir)).select(
+        F.col("band").cast("int").alias("band"),
+        "band_key",
+        F.col("n_docs").cast("long").alias("n_docs"),
+        F.col("candidate_pairs").cast("long").alias("candidate_pairs"),
+    )
+
+
+def _q_dedup_minhash_buckets_sql() -> str:
+    mins = ", ".join(
+        f"MIN({_duck_minhash_slot(i)}) AS m{i}" for i in range(8)
+    )
+    band_rows = " UNION ALL ".join(
+        f"SELECT doc_id, {b} AS band, "
+        f"CAST(m{2*b} AS VARCHAR) || '|' || CAST(m{2*b+1} AS VARCHAR) AS band_key "
+        "FROM sig"
+        for b in range(4)
+    )
+    return f"""
+WITH sh AS ({_DUCK_SHINGLES}),
+sig AS (SELECT doc_id, {mins} FROM sh GROUP BY doc_id),
+bands AS ({band_rows})
+SELECT CAST(band AS INT) AS band, band_key,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST((COUNT(*) * (COUNT(*) - 1)) // 2 AS BIGINT) AS candidate_pairs
+FROM bands GROUP BY 1, 2 HAVING COUNT(*) >= 2
+"""
+
+
 _IDX_COUNTER = [0]
 
 
@@ -7268,6 +7305,7 @@ QUERIES_OPS: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
     "dedup_minhash_signatures": q_dedup_minhash,
     "dedup_minhash_lsh_pairs": q_dedup_minhash_lsh_pairs,
+    "dedup_minhash_buckets": q_dedup_minhash_buckets,
     "dedup_lsh_verified": q_dedup_lsh_verified,
     "dedup_simhash": q_dedup_simhash,
     "dedup_simhash_groups": q_dedup_simhash_groups,
@@ -7419,6 +7457,7 @@ ORACLES_OPS: dict[str, str] = {
     "dedup_ngram_jaccard": Q_DEDUP_NGRAM_JACCARD_SQL,
     "dedup_minhash_signatures": _q_dedup_minhash_sql(),
     "dedup_minhash_lsh_pairs": _q_dedup_minhash_lsh_sql(),
+    "dedup_minhash_buckets": _q_dedup_minhash_buckets_sql(),
     "dedup_lsh_verified": _q_dedup_lsh_verified_sql(),
     "dedup_simhash": _q_dedup_simhash_sql(),
     "dedup_simhash_groups": _q_dedup_simhash_groups_sql(),

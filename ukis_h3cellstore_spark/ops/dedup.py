@@ -417,6 +417,52 @@ def minhash_band_rows(
     return bands
 
 
+def minhash_bucket_stats(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 3,
+    num_hashes: int = 8,
+    band_size: int = 2,
+    shingles: DataFrame | None = None,
+    max_bucket_size: int | None = None,
+) -> DataFrame:
+    """Candidate-volume pre-flight for the MinHash LSH join — the
+    :func:`hamming_bucket_stats` twin on the banded-signature side:
+    (band, band_key, n_docs, candidate_pairs, dropped) for every
+    bucket with ≥2 members. ``candidate_pairs = C(n_docs, 2)`` is
+    EXACT (the self-join generates precisely those pairs per bucket
+    before the est-jaccard filter), so ``SUM(candidate_pairs)`` prices
+    a :func:`minhash_lsh_pairs` run from one aggregation over the
+    band rows — run it before committing a join on a corpus whose
+    near-dup structure is unknown (a boilerplate-heavy crawl can put
+    half the corpus in one bucket and the join at C(n/2, 2)).
+
+    ``dropped`` marks buckets a ``max_bucket_size`` cap would skip.
+    Unlike the hamming join's combination banding, an LSH bucket's
+    pairs are NOT guaranteed to be caught by another band — a cap
+    here trades RECALL for cost exactly like raising
+    ``min_est_jaccard``; the stats make the trade visible."""
+    bands = minhash_band_rows(
+        df, text_col, id_col, k, num_hashes, band_size, shingles
+    )
+    out = (
+        bands.groupBy("band", "band_key")
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+        .filter(F.col("n_docs") >= 2)
+        .withColumn(
+            "candidate_pairs",
+            F.expr("(n_docs * (n_docs - 1)) div 2").cast("long"),
+        )
+    )
+    dropped = (
+        F.lit(False)
+        if max_bucket_size is None
+        else F.col("n_docs") > F.lit(max_bucket_size)
+    )
+    return out.withColumn("dropped", dropped)
+
+
 def minhash_lsh_pairs(
     df: DataFrame,
     text_col: str = "text",
@@ -426,6 +472,7 @@ def minhash_lsh_pairs(
     band_size: int = 2,
     min_est_jaccard: float = 0.5,
     shingles: DataFrame | None = None,
+    max_bucket_size: int | None = None,
 ) -> DataFrame:
     """LSH candidate pairs: documents colliding in ≥1 band of the
     MinHash signature, with the estimated Jaccard (fraction of equal
@@ -440,10 +487,29 @@ def minhash_lsh_pairs(
     slot comparison) instead of via two corpus-sized signature
     re-joins. When ``num_hashes`` is not divisible by ``band_size``,
     the remainder slots form a final short band (no silent recall
-    loss)."""
+    loss).
+
+    ``max_bucket_size`` drops band buckets larger than the cap before
+    the self-join — the dense-corpus escape hatch. A dropped LSH
+    bucket's pairs are recovered only if another band catches them
+    (NOT guaranteed, unlike the hamming join's combination banding) —
+    :func:`minhash_bucket_stats` reports exactly what a cap excludes.
+    Default None = the historical exact-candidate behavior every gate
+    pins."""
     bands = minhash_band_rows(
         df, text_col, id_col, k, num_hashes, band_size, shingles
     )
+    if max_bucket_size is not None:
+        # three consumers of the exploded band rows (keep agg + both
+        # join sides) — truncate lineage like the capped hamming path
+        bands = bands.localCheckpoint(eager=False)
+        keep = (
+            bands.groupBy("band", "band_key")
+            .agg(F.count(F.lit(1)).alias("__bn"))
+            .filter(F.col("__bn") <= max_bucket_size)
+            .select("band", "band_key")
+        )
+        bands = bands.join(keep, on=["band", "band_key"], how="inner")
 
     left = bands.select(
         F.col("id").alias("id_a"), F.col("sig").alias("sig_a"), "band", "band_key"
