@@ -97,6 +97,7 @@ DEFAULT_QUERIES = [
     # round-12 additions
     "multimodal_phash_density",
     "pipeline_query_cells_df",
+    "dedup_minhash_buckets",
 ]
 
 
