@@ -116,8 +116,10 @@ HEADLINE = [
     # the key-skew pre-flight report
     "streaming_cdc_tableset",
     "corpus_key_skew",
-    # round-12 addition: the fingerprint-density pre-flight probe
+    # round-12 additions: the fingerprint-density pre-flight probe
+    # and the LSH candidate-volume pre-flight
     "multimodal_phash_density",
+    "dedup_minhash_buckets",
 ]
 
 #: bench-only implementations: same operator, scale-path configuration
