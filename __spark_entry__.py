@@ -41,60 +41,60 @@ from pyspark.sql import DataFrame, SparkSession
 # satisfy: new + oldest-cohort-size <= 50, else the cohort ages one
 # extra round toward the bound.
 _PRIORITY = [
-    # tier 1 — the 5 gates whose driver age reaches the 6-round bound
-    # at r12 (rotation.py --check named them after r11)
-    "ann_hard_negatives",
-    "rag_prep_pipeline",
-    "dedup_incremental_index",
-    "streaming_domain_cap",
-    "streaming_segment_dedup",
-    # tier 1b — new r12 gates (never driver-sampled)
-    "multimodal_phash_density",
-    "pipeline_query_cells_df",
-    "dedup_minhash_buckets",
-    # tier 2 — oldest driver-green first (r7 cohort)
-    "events_asof_nearest",
-    "events_sliding_window",
-    "events_daily_moving_avg",
-    "events_latest_per_user",
-    "events_rollup_counts",
-    "events_pivot_daily",
-    "events_unpivot_daily",
-    "events_day_set_ops",
-    "events_json_props",
-    "h3_synth_fields",
-    "h3_parent_agg_sum",
-    "h3_minmax_avg",
-    "h3_setnull_on_conflict",
-    "h3_relative_cell_area",
-    "h3_children_explode",
-    "h3_compact",
-    "h3_cell_membership",
-    "h3_hierarchy_semijoin",
-    "resolution_split_counts",
-    "pipeline_sum_rollup",
-    "pipeline_compact_roundtrip",
-    "corpus_weighted_sample",
-    "text_taxonomy_tag",
-    "events_mad_outliers",
-    "text_ccnet_buckets",
-    "corpus_length_batches",
-    "corpus_token_budget_mix",
-    "text_collocations",
-    "events_grouped_auc",
-    "ann_random_projection",
-    "events_winsorized_means",
-    "events_calibration_bins",
-    "graph_triangles",
-    "corpus_source_drift",
-    "events_quantile_transform",
-    "graph_personalized_pagerank",
-    "ann_label_centroid_sim",
-    "corpus_datacard",
-    "ann_whitened",
-    "text_fertility",
-    "corpus_k_anonymity",
-    "ann_knn_label_agreement",
+    # tier 1 — the 8 gates whose driver age reaches the 6-round bound
+    # at r13 (rotation.py --check named them after r12; r7 cohort)
+    "text_vocab_profile",
+    "corpus_source_containment",
+    "corpus_group_split",
+    "events_interarrival",
+    "streaming_robust_score",
+    "streaming_ttl_dedup",
+    "streaming_hll_distinct",
+    "streaming_sliding_window",
+    # tier 2 — oldest driver-green first (r8 cohort onward, registry
+    # order within a cohort; regenerate with tools/rotation.py --python)
+    "q12_late_shipment_priority",
+    "q9_profit_by_nation_year",
+    "q21_blocking_suppliers",
+    "q2_cheapest_supplier",
+    "lineitem_percentiles",
+    "events_value_moments",
+    "events_zscore",
+    "text_code_score",
+    "corpus_w1_drift",
+    "ann_tiered_rerank",
+    "corpus_surprisal_outliers",
+    "multimodal_dup_clusters",
+    "text_burstiness",
+    "embedding_two_nn_dim",
+    "events_gap_survival",
+    "corpus_length_gini",
+    "corpus_jsd_drift",
+    "events_markov_transitions",
+    "part_abc_classes",
+    "events_benford_audit",
+    "dedup_minhash_error",
+    "corpus_score_rank_corr",
+    "graph_hits",
+    "orders_rfm_segments",
+    "corpus_zipf_slope",
+    "lineitem_copurchase_lift",
+    "part_fuzzy_match",
+    "events_cusum_changepoint",
+    "corpus_psi_drift",
+    "events_ks_drift",
+    "events_type_bucket_dependence",
+    "events_pareto_frontier",
+    "text_readability",
+    "ann_matryoshka_top3",
+    "corpus_l_diversity",
+    "corpus_cluster_balanced_sample",
+    "corpus_novelty_rate",
+    "corpus_filter_attrition",
+    "text_stats",
+    "text_langid",
+    "text_token_counts",
+    "text_fingerprint",
 ]
 
 
