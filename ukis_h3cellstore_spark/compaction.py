@@ -16,9 +16,11 @@ Spark-first design (scale notes):
   Each level's survivors are accumulated lazily; intermediates are
   persisted to keep the plan linear instead of exponential.
 - ``uncompact_df`` expands mixed-resolution rows to a target
-  resolution with a **broadcast join against a tiny child-offset
-  table** (7^diff rows, built by ``h3_cell_offsets``) and pure bit
-  arithmetic — the Spark realization of the reference's client-side
+  resolution with **staged broadcast joins against small child-offset
+  tables** (``h3_expand_to_children``: each stage's offsets frame is at
+  most 7^MAX_OFFSET_DIFF rows, so even a res-0 row under a res-10
+  target never builds a multi-GB broadcast) and pure bit arithmetic —
+  the Spark realization of the reference's client-side
   ``h3_uncompact_dataframe_subset`` (``mod.rs:459-477``) that scales to
   any number of rows (no driver materialization).
 """
@@ -28,6 +30,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from ukis_h3cellstore_spark import query as build_query
 from ukis_h3cellstore_spark.h3 import cells as h3c
 from ukis_h3cellstore_spark.h3 import expressions as hx
 
@@ -208,6 +211,7 @@ def uncompact_df(
     h3index_column: str = "h3index",
     cells_df: DataFrame | None = None,
     source_resolutions: list[int] | None = None,
+    cells_count: int | None = None,
 ) -> DataFrame:
     """Expand mixed-resolution rows to ``target_res`` descendants.
 
@@ -217,8 +221,13 @@ def uncompact_df(
     carry a K-axis digit are filtered out with a validity bit-test.
 
     ``cells_df`` (single column named like ``h3index_column``)
-    optionally restricts the result via a broadcast left-semi join —
-    the reference's "uncompact subset" (``mod.rs:459-477``).
+    optionally restricts the result via a left-semi join — the
+    reference's "uncompact subset" (``mod.rs:459-477``). The join is
+    broadcast-hinted only when ``cells_count`` (the caller's bound on
+    the restriction set's size, when known) is at most
+    ``query.BROADCAST_MAX_CELLS``; an unknown size keeps the hint for
+    backward compatibility with in-memory callers, so pass the bound
+    whenever the set may be continent-scale.
 
     ``source_resolutions``: the resolutions that may occur in ``df``
     below ``target_res``. Pass it when the caller knows (the store
@@ -243,29 +252,28 @@ def uncompact_df(
 
     parts = [at_target]
     for r in sorted(res_present):
-        offsets = hx.h3_cell_offsets(spark, r, target_res)
-        lvl = (
-            coarser.filter(res_col == r)
-            .crossJoin(F.broadcast(offsets))
-            .withColumn(
-                h3index_column,
-                hx.h3_uncompact_expr(h3col, r, target_res, F.col("child_offset")),
-            )
-            .drop("child_offset")
+        # staged expansion: no single offsets broadcast above
+        # 7^MAX_OFFSET_DIFF rows even for res-0 rows under a fine
+        # target; drops K-axis children under pentagon chains per stage
+        lvl = hx.h3_expand_to_children(
+            coarser.filter(res_col == r),
+            h3index_column,
+            r,
+            target_res,
+            filter_invalid=True,
         )
-        # drop K-axis children under pentagon chains (invalid cells)
-        lvl = lvl.filter(hx.h3_is_valid_cell(F.col(h3index_column)))
         parts.append(lvl.select(*df.columns))
 
     out = parts[0]
     for p in parts[1:]:
         out = out.unionByName(p)
     if cells_df is not None:
-        out = out.join(
-            F.broadcast(cells_df.select(F.col(cells_df.columns[0]).alias(h3index_column)).distinct()),
-            on=h3index_column,
-            how="leftsemi",
-        )
+        restrict = cells_df.select(
+            F.col(cells_df.columns[0]).alias(h3index_column)
+        ).distinct()
+        if cells_count is None or cells_count <= build_query.BROADCAST_MAX_CELLS:
+            restrict = F.broadcast(restrict)
+        out = out.join(restrict, on=h3index_column, how="leftsemi")
     return out
 
 

@@ -396,16 +396,16 @@ def geometry_to_cells_df(
         by_level.setdefault(lvl, []).append(c)
     parts = [cells_frame(spark, h3name, sorted(leaves))]
     for lvl, cs in sorted(by_level.items()):
-        offsets = hx.h3_cell_offsets(spark, lvl, res)
+        # staged expansion: an interior res-0/1 subtree under a res-9
+        # target would otherwise broadcast a 7^8+ offsets frame
         parts.append(
-            cells_frame(spark, h3name, sorted(cs))
-            .crossJoin(F.broadcast(offsets))
-            .select(
-                hx.h3_uncompact_expr(
-                    F.col(h3name), lvl, res, F.col("child_offset")
-                ).alias(h3name)
+            hx.h3_expand_to_children(
+                cells_frame(spark, h3name, sorted(cs)),
+                h3name,
+                lvl,
+                res,
+                filter_invalid=True,
             )
-            .filter(hx.h3_is_valid_cell(F.col(h3name)))
         )
     df = parts[0]
     for p in parts[1:]:

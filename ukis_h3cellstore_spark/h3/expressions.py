@@ -130,6 +130,79 @@ def h3_is_valid_cell(col: Column | str) -> Column:
     return ok
 
 
+# Uncompaction-offsets envelope: a single offsets frame has 7^diff
+# rows and is always broadcast, so diff must be capped — at diff 8
+# (compacted res-0/1 rows under a res-9 query) the frame is 5.8M rows
+# (~46 MB serialized), at diff 10 it is 282M rows (~2.3 GB, past the
+# broadcast hard cap). MAX_OFFSET_DIFF = 6 keeps every broadcast at
+# <= 7^6 = 117,649 rows (~1 MB); wider expansions go through
+# h3_expand_to_children, which chains stages of <= MAX_OFFSET_DIFF
+# steps each (the row count of the EXPANDED data is the same either
+# way — only the broadcast relation is bounded).
+MAX_OFFSET_DIFF = 6
+
+
+def h3_uncompact_stages(parent_res: int, child_res: int) -> list[tuple[int, int]]:
+    """Split parent_res→child_res into (lo, hi) stages of at most
+    MAX_OFFSET_DIFF resolution steps each."""
+    stages: list[tuple[int, int]] = []
+    r = parent_res
+    while r < child_res:
+        nxt = min(r + MAX_OFFSET_DIFF, child_res)
+        stages.append((r, nxt))
+        r = nxt
+    return stages
+
+
+def h3_expand_to_children(
+    df: DataFrame,
+    h3name: str,
+    parent_res: int,
+    child_res: int,
+    filter_invalid: bool = False,
+) -> DataFrame:
+    """Expand ``h3name`` (uniform ``parent_res`` cells) to all
+    ``child_res`` descendants via broadcast offset cross-joins, staged
+    so no single offsets frame exceeds 7^MAX_OFFSET_DIFF rows. All
+    other columns pass through (each parent's values repeat on every
+    descendant row — the uncompaction semantics of mod.rs:459-477).
+
+    ``filter_invalid=True`` drops K-axis pentagon descendants after
+    EVERY stage — required when pentagon parents may be present, and
+    cheaper mid-pipeline than carrying invalid subtrees into the next
+    7^k fan-out.
+
+    Between stages the frame is hash-repartitioned on the (partially
+    expanded) cell. Coarse compacted rows are FEW by construction —
+    a compacted table's res-0/1 stratum might be a handful of rows in
+    one parquet footer — so without the redistribution every later
+    stage's 7^k fan-out would run inside the input's original task:
+    one task emitting 7^10 ≈ 282M rows while 31 cores idle. One small
+    shuffle (≤ n·7^MAX_OFFSET_DIFF rows, only when diff >
+    MAX_OFFSET_DIFF) buys full parallelism on the expensive stages;
+    single-stage expansions (the common pyramid case) add no shuffle."""
+    spark = df.sparkSession
+    cols = df.columns
+    stages = h3_uncompact_stages(parent_res, child_res)
+    for i, (lo, hi) in enumerate(stages):
+        if i > 0:
+            df = df.repartition(
+                spark.sparkContext.defaultParallelism, F.col(h3name)
+            )
+        offsets = h3_cell_offsets(spark, lo, hi)
+        df = (
+            df.crossJoin(F.broadcast(offsets))
+            .withColumn(
+                h3name,
+                h3_uncompact_expr(F.col(h3name), lo, hi, F.col("child_offset")),
+            )
+            .select(*cols)
+        )
+        if filter_invalid:
+            df = df.filter(h3_is_valid_cell(F.col(h3name)))
+    return df
+
+
 def h3_cell_offsets(spark: SparkSession, parent_res: int, child_res: int) -> DataFrame:
     """Helper table of child suffixes for JVM-side uncompaction.
 
@@ -138,7 +211,9 @@ def h3_cell_offsets(spark: SparkSession, parent_res: int, child_res: int) -> Dat
     ``parent_res`` (with its trailing 7s cleared) into each child at
     ``child_res``. Used as a broadcast join side by
     :func:`h3_uncompact_df`. Pentagon parents are handled by filtering
-    invalid children afterwards (see h3_uncompact_df).
+    invalid children afterwards (see h3_uncompact_df). Callers that may
+    span more than MAX_OFFSET_DIFF resolutions must stage the expansion
+    (:func:`h3_expand_to_children`) instead of using one frame.
     """
     diff = child_res - parent_res
     n = 7**diff

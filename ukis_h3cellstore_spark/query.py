@@ -38,6 +38,16 @@ PLACEHOLDER_H3INDEXES = "<[h3indexes]>"
 #: avoids, and the broadcast path is the one that scales.
 MAX_INLIST_CELLS = 256
 
+#: Probe-side broadcast ceiling for cell-set semi-joins, in CELLS.
+#: 5M int64 cells is a ~40 MB broadcast relation — comfortably inside
+#: executor memory and Spark's 8 GB broadcast hard cap. Above it, the
+#: hint is OMITTED and the semi-join is left to AQE: a res-8 continent
+#: AOI (SCALE.md's Africa box is 76,285,075 cells; a res-9 continent
+#:  ~0.5B) must shuffle, not broadcast — a forced hint there builds a
+#: multi-GB broadcast relation and OOMs the exact workload the
+#: DataFrame-probe path exists for.
+BROADCAST_MAX_CELLS = 5_000_000
+
 _VIEW_COUNTER = [0]
 
 
@@ -106,8 +116,9 @@ def normalize_cells_df(
     """Cell-set normalization as a PLAN — the DataFrame twin of
     ``h3.cells.change_resolution`` for a uniform-resolution set:
     parents via the index bit arithmetic + distinct for coarser
-    targets, child expansion via the broadcast offset cross-join for
-    finer (invalid pentagon descendants filtered), identity-distinct
+    targets, child expansion via staged broadcast offset cross-joins
+    for finer (<= 7^MAX_OFFSET_DIFF rows per broadcast; invalid
+    pentagon descendants filtered per stage), identity-distinct
     otherwise. All JVM expressions; the input set is deduplicated
     BEFORE a child expansion (children of distinct parents are
     distinct, so no post-expansion shuffle)."""
@@ -120,17 +131,12 @@ def normalize_cells_df(
         return cells_df.select(
             hx.h3_to_parent(col, to_res).alias(h3name)
         ).distinct()
-    offsets = hx.h3_cell_offsets(spark, from_res, to_res)
-    return (
-        cells_df.select(col.alias(h3name))
-        .distinct()
-        .crossJoin(F.broadcast(offsets))
-        .select(
-            hx.h3_uncompact_expr(
-                F.col(h3name), from_res, to_res, F.col("child_offset")
-            ).alias(h3name)
-        )
-        .filter(hx.h3_is_valid_cell(F.col(h3name)))
+    return hx.h3_expand_to_children(
+        cells_df.select(col.alias(h3name)).distinct(),
+        h3name,
+        from_res,
+        to_res,
+        filter_invalid=True,
     )
 
 
@@ -141,16 +147,26 @@ def build_table_query_df(
     table_cells_df: DataFrame,
     query: TableSetQuery | None,
     table_columns: list[str],
+    n_cells: int | None = None,
 ) -> DataFrame:
     """:func:`build_table_query` with the probe side as a DataFrame —
-    the cell predicate is a broadcast semi-join (auto mode) or an
-    IN-subquery over a temp view (templated mode); the cell set never
-    exists as a driver list."""
+    the cell predicate is a semi-join (auto mode) or an IN-subquery
+    over a temp view (templated mode); the cell set never exists as a
+    driver list.
+
+    ``n_cells``: upper bound on the probe frame's row count, when the
+    caller knows it (the store does, arithmetically: stats n · 7^diff).
+    The broadcast hint is applied ONLY below BROADCAST_MAX_CELLS —
+    a res-8 continent AOI is tens of millions of cells, and a forced
+    hint there overrides Spark's size threshold into a multi-GB
+    broadcast build. Unknown (None) or over-threshold sizes emit the
+    plain leftsemi and let AQE pick the physical join."""
     if query is None or query.template is None:
         proj = auto_projection_columns(table_columns, h3name)
-        return df.select(*proj).join(
-            F.broadcast(table_cells_df), on=h3name, how="leftsemi"
-        )
+        probe = table_cells_df
+        if n_cells is not None and n_cells <= BROADCAST_MAX_CELLS:
+            probe = F.broadcast(probe)
+        return df.select(*proj).join(probe, on=h3name, how="leftsemi")
     _VIEW_COUNTER[0] += 1
     view = f"__h3cs_table_{_VIEW_COUNTER[0]}"
     df.createOrReplaceTempView(view)
