@@ -895,6 +895,113 @@ def _r12_traversal_df_block(spark, gc) -> None:
     )
 
 
+def _r13_query_df_block(spark, gc) -> None:
+    """Round-13 smoke: query_tableset_cells_df at its DESIGN POINT —
+    the res-8 Africa box (76.3M cells) as the probe frame, end-to-end
+    through the store (validation job, semi-join partition pruning,
+    per-table in-plan normalization, staged uncompaction, final
+    restrict) — NOT just the polyfill count. The r12 verdict's #1
+    defect was a forced F.broadcast on this exact frame; the smoke
+    asserts the optimized plan carries NO LeftSemi broadcast hint
+    (the arithmetic bound 76M > BROADCAST_MAX_CELLS suppresses it and
+    AQE picks the physical join)."""
+    import resource
+    import tempfile
+    import time
+
+    import numpy as np
+    from pyspark.sql import functions as _F
+
+    from ukis_h3cellstore_spark import CellStore, CompactedTableSchemaBuilder
+    from ukis_h3cellstore_spark import geo
+    from ukis_h3cellstore_spark.h3 import expressions as hx
+    from ukis_h3cellstore_spark.h3 import icosa
+
+    AOI = {
+        "type": "Polygon",
+        "coordinates": [
+            [(-20, -35), (50, -35), (50, 35), (-20, 35), (-20, -35)]
+        ],
+    }
+
+    # population: west-half of the AOI at res 7 (same recipe as
+    # --r12-traversal-df) — ~5.7M rows into a [6,7] pyramid
+    t0 = time.time()
+    aoi6 = geo.geometry_to_cells_df(spark, AOI, 6).localCheckpoint(eager=True)
+    parents5 = [
+        int(r["p"])
+        for r in aoi6.select(hx.h3_to_parent(_F.col("h3index"), 5).alias("p"))
+        .distinct()
+        .collect()
+    ]
+    lats, lngs = icosa.cell_to_latlng_np(np.array(parents5, dtype=np.int64))
+    west5 = {c for c, lng in zip(parents5, lngs) if lng < 15.0}
+    west_df = aoi6.join(
+        _F.broadcast(
+            spark.createDataFrame([(c,) for c in sorted(west5)], "p long")
+        ),
+        on=hx.h3_to_parent(_F.col("h3index"), 5) == _F.col("p"),
+        how="leftsemi",
+    )
+    data = hx.h3_expand_to_children(
+        west_df.select("h3index"), "h3index", 6, 7, filter_invalid=True
+    ).withColumn(
+        "value", _F.pmod(_F.xxhash64("h3index"), _F.lit(1000)).cast("int")
+    )
+    schema = (
+        CompactedTableSchemaBuilder("africa_q13")
+        .h3_base_resolutions([6, 7])
+        .add_h3index_column()
+        .add_column("value", "Int32")
+        .build()
+    )
+    store = CellStore(spark, tempfile.mkdtemp(prefix="h3q13_"))
+    store.insert_h3dataframe_into_tableset(schema, data)
+    sch = store.get_schema("africa_q13")
+    meta7 = next(
+        m
+        for m in store._tableset_from_schema(
+            "africa_q13", sch
+        ).tables_to_satisfy_query_at_resolution(7)
+        if m.resolution == 7
+    )
+    n_pop = store.read_table(sch, meta7).count()
+    print(f"population insert (res-7 west half): {time.time() - t0:.1f}s")
+
+    # the design-point probe: the FULL res-8 AOI as a frame (76.3M
+    # cells; a driver list of it would be ~10 GB of Python objects)
+    t0 = time.time()
+    aoi8 = geo.geometry_to_cells_df(spark, AOI, 8).localCheckpoint(eager=True)
+    n_aoi = aoi8.count()
+    print(
+        f"geometry_to_cells_df res 8: {n_aoi:,} cells in "
+        f"{time.time() - t0:.1f}s"
+    )
+
+    gc()
+    t0 = time.time()
+    # query at the finest base resolution (7) with the res-8 frame as
+    # the probe: the 76M-cell set normalizes to res 7 IN-PLAN
+    # (parent arithmetic + distinct, ~10.9M cells) — the arithmetic
+    # bound stays 76M, well over BROADCAST_MAX_CELLS
+    out = store.query_tableset_cells_df("africa_q13", aoi8, 7)
+    plan = out.df._jdf.queryExecution().optimizedPlan().toString()
+    semi_hints = [
+        ln
+        for ln in plan.splitlines()
+        if "LeftSemi" in ln and "strategy=broadcast" in ln
+    ]
+    assert not semi_hints, semi_hints
+    n_out = out.df.count()
+    rss = resource.getrusage(resource.RUSAGE_SELF).ru_maxrss / 1e6
+    print(
+        f"query_tableset_cells_df(res 7, 76M-cell res-8 probe): {n_out:,} "
+        f"rows in {time.time() - t0:.1f}s; 0 LeftSemi broadcast hints "
+        f"in the plan; driver maxrss {rss:.2f} GB "
+        f"(populated res-7 rows: {n_pop:,})"
+    )
+
+
 def _r12_cdc_block(spark, gc, n_changes: int = 1_000_000) -> None:
     """Round-12 smoke: the CDC -> mutable-tableset composition at 1M
     changes across 4 batches — measures the O11 envelope claim that
@@ -982,6 +1089,11 @@ def _r12_cdc_block(spark, gc, n_changes: int = 1_000_000) -> None:
 
 
 def main() -> None:
+    if "--r13-query-df" in sys.argv:
+        spark, gc = _local_session()
+        _r13_query_df_block(spark, gc)
+        spark.stop()
+        return
     if "--r12-density" in sys.argv:
         spark, gc = _local_session()
         _r12_density_block(spark, gc)
@@ -1291,11 +1403,14 @@ def main() -> None:
     print(f"{'bpe_train_3rounds':24s} {dt:8.1f}s  ({n / dt:,.0f} docs/s)")
     phase("dedup_exact", D.dedup_exact(docs))
     phase("minhash_signatures", D.minhash_signatures(docs))
-    pairs = D.minhash_lsh_pairs(docs, min_est_jaccard=0.5)
+    # r13: the flagship runs budget-armed — the bucket-stats pre-flight
+    # prices SUM C(n,2) before the self-join and tightens the cap only
+    # if this corpus's near-dup structure blows max(50·n, 1e7)
+    pairs = D.minhash_lsh_pairs(docs, min_est_jaccard=0.5, pair_budget="auto")
     gc()
     t0 = time.time()
     n_pairs = pairs.count()
-    print(f"{'minhash_lsh_pairs':24s} {time.time() - t0:8.1f}s  ({n_pairs:,} pairs)")
+    print(f"{'minhash_lsh_pairs':24s} {time.time() - t0:8.1f}s  ({n_pairs:,} pairs, pair_budget=auto)")
     gc()
     t0 = time.time()
     n_clusters = D.duplicate_cluster_stats(pairs).count()

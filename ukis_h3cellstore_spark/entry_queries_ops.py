@@ -285,6 +285,66 @@ FROM bands GROUP BY 1, 2 HAVING COUNT(*) >= 2
 """
 
 
+def q_dedup_minhash_guided(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Budget-armed MinHash LSH pairs (ops/dedup.py: minhash_lsh_pairs
+    with pair_budget + guided_max_bucket_size): the bucket-stats
+    pre-flight prices the exact candidate volume SUM C(n_docs, 2)
+    BEFORE the self-join and tightens max_bucket_size to the largest
+    value whose kept volume fits the budget (policy='tighten' — the
+    recall trade is explicit, unlike the hamming side no other band
+    is guaranteed to re-catch a dropped bucket's pairs). At sf0.01
+    the corpus fits the 1200-pair budget uncapped; at sf0.1 the cap
+    resolves to 4 — the gate hashes BOTH behaviors against an oracle
+    that re-derives the cap from the same cumulative size histogram."""
+    return D.minhash_lsh_pairs(
+        _docs(spark, sf_dir), min_est_jaccard=0.25, pair_budget=1200
+    )
+
+
+def _q_dedup_minhash_guided_sql() -> str:
+    mins = ", ".join(
+        f"MIN({_duck_minhash_slot(i)}) AS m{i}" for i in range(8)
+    )
+    band_rows = " UNION ALL ".join(
+        f"SELECT doc_id, {b} AS band, "
+        f"CAST(m{2*b} AS VARCHAR) || '|' || CAST(m{2*b+1} AS VARCHAR) AS band_key "
+        "FROM sig"
+        for b in range(4)
+    )
+    eq_sum = " + ".join(
+        f"CASE WHEN sa.m{i} = sb.m{i} THEN 1 ELSE 0 END" for i in range(8)
+    )
+    return f"""
+WITH sh AS ({_DUCK_SHINGLES}),
+sig AS (SELECT doc_id, {mins} FROM sh GROUP BY doc_id),
+bands AS ({band_rows}),
+bsize AS (SELECT band, band_key, COUNT(*) AS n_docs
+          FROM bands GROUP BY 1, 2),
+hist AS (SELECT n_docs,
+                SUM((n_docs * (n_docs - 1)) // 2) AS pairs
+         FROM bsize WHERE n_docs >= 2 GROUP BY 1),
+cum AS (SELECT n_docs,
+               SUM(pairs) OVER (ORDER BY n_docs) AS cum_pairs
+        FROM hist),
+cap AS (SELECT COALESCE(MAX(n_docs) FILTER (WHERE cum_pairs <= 1200), 1)
+               AS max_sz FROM cum),
+kept AS (SELECT b.doc_id, b.band, b.band_key
+         FROM bands b
+         JOIN bsize s ON s.band = b.band AND s.band_key = b.band_key, cap
+         WHERE s.n_docs <= cap.max_sz),
+cand AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+         FROM kept a
+         JOIN kept b ON a.band = b.band AND a.band_key = b.band_key
+                     AND a.doc_id < b.doc_id)
+SELECT CAST(id_a AS BIGINT) AS id_a, CAST(id_b AS BIGINT) AS id_b,
+       ({eq_sum}) / 8.0 AS est_jaccard
+FROM cand
+JOIN sig sa ON sa.doc_id = id_a
+JOIN sig sb ON sb.doc_id = id_b
+WHERE ({eq_sum}) / 8.0 >= 0.25
+"""
+
+
 _IDX_COUNTER = [0]
 
 
@@ -6310,8 +6370,15 @@ def q_corpus_curation_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select("doc_id", "text", "source")
     )
+    # budget-armed (r13): the bucket-stats pre-flight prices the LSH
+    # candidate volume before the self-join; 10M pairs is far above
+    # any sf's structure, so the gate result is byte-identical — the
+    # contract is that a boilerplate-saturated corpus would tighten
+    # here instead of running a quadratic join unpriced
     dropped = (
-        D.minhash_lsh_pairs(clean, min_est_jaccard=0.25)
+        D.minhash_lsh_pairs(
+            clean, min_est_jaccard=0.25, pair_budget=10_000_000
+        )
         .select(F.col("id_b").alias("doc_id"))
         .distinct()
     )
@@ -7306,6 +7373,7 @@ QUERIES_OPS: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "dedup_minhash_signatures": q_dedup_minhash,
     "dedup_minhash_lsh_pairs": q_dedup_minhash_lsh_pairs,
     "dedup_minhash_buckets": q_dedup_minhash_buckets,
+    "dedup_minhash_guided": q_dedup_minhash_guided,
     "dedup_lsh_verified": q_dedup_lsh_verified,
     "dedup_simhash": q_dedup_simhash,
     "dedup_simhash_groups": q_dedup_simhash_groups,
@@ -7458,6 +7526,7 @@ ORACLES_OPS: dict[str, str] = {
     "dedup_minhash_signatures": _q_dedup_minhash_sql(),
     "dedup_minhash_lsh_pairs": _q_dedup_minhash_lsh_sql(),
     "dedup_minhash_buckets": _q_dedup_minhash_buckets_sql(),
+    "dedup_minhash_guided": _q_dedup_minhash_guided_sql(),
     "dedup_lsh_verified": _q_dedup_lsh_verified_sql(),
     "dedup_simhash": _q_dedup_simhash_sql(),
     "dedup_simhash_groups": _q_dedup_simhash_groups_sql(),

@@ -446,6 +446,16 @@ def minhash_bucket_stats(
     bands = minhash_band_rows(
         df, text_col, id_col, k, num_hashes, band_size, shingles
     )
+    return _bucket_stats_from_bands(bands, max_bucket_size)
+
+
+def _bucket_stats_from_bands(
+    bands: DataFrame, max_bucket_size: int | None = None
+) -> DataFrame:
+    """(band, band_key, n_docs, candidate_pairs, dropped) from
+    already-built band rows — shared by :func:`minhash_bucket_stats`
+    and the in-join pre-flight of :func:`minhash_lsh_pairs` so the
+    guided path prices the SAME band frame it will join."""
     out = (
         bands.groupBy("band", "band_key")
         .agg(F.count(F.lit(1)).alias("n_docs"))
@@ -463,6 +473,77 @@ def minhash_bucket_stats(
     return out.withColumn("dropped", dropped)
 
 
+def guided_max_bucket_size(
+    stats_df: DataFrame,
+    pair_budget: int,
+    policy: str = "tighten",
+    requested: int | None = None,
+) -> int | None:
+    """Resolve the LARGEST ``max_bucket_size <= requested`` whose kept
+    candidate volume (SUM of ``candidate_pairs`` over buckets with
+    ``n_docs <= cap``) fits ``pair_budget`` — the MinHash analogue of
+    :func:`guided_max_hamming`, consuming a
+    :func:`minhash_bucket_stats` frame.
+
+    Unlike the hamming side (where combination banding re-catches a
+    capped bucket's pairs in another band), a dropped LSH bucket's
+    pairs are gone unless another band independently collides them —
+    tightening here is a RECALL trade, which is why the policy
+    contract is identical and explicit: ``'tighten'`` returns the
+    resolved cap (warning when even size-2 buckets blow the budget —
+    a dup-saturated corpus — and returning 1, which drops every
+    candidate); ``'fail'`` raises :class:`DensityBudgetExceeded`
+    whenever the resolved cap differs from ``requested``
+    (``requested=None`` = uncapped).
+
+    One aggregation over the stats frame (grouped by bucket SIZE, so
+    the collect is bounded by the number of distinct sizes — tens,
+    not buckets); the cumulative fit is driver-side integer
+    arithmetic."""
+    if policy not in ("tighten", "fail"):
+        raise ValueError(f"policy must be 'tighten' or 'fail', got {policy!r}")
+    by_size = sorted(
+        stats_df.groupBy("n_docs")
+        .agg(F.sum("candidate_pairs").cast("long").alias("pairs"))
+        .collect(),
+        key=lambda r: r["n_docs"],
+    )
+    total = 0
+    best = 1  # cap below the smallest pairing bucket = no candidates
+    over = False
+    for r in by_size:
+        if requested is not None and r["n_docs"] > requested:
+            break
+        if total + r["pairs"] > pair_budget:
+            over = True
+            break
+        total += r["pairs"]
+        best = r["n_docs"]
+    if not over:
+        # every bucket within the requested range fits the budget —
+        # the caller's cap (or uncapped) stands unchanged
+        return requested
+    if policy == "fail":
+        raise DensityBudgetExceeded(
+            f"predicted LSH candidate volume exceeds budget "
+            f"{pair_budget} above max_bucket_size={best}; requested "
+            f"{'uncapped' if requested is None else requested} "
+            f"(size histogram: "
+            f"{[(r['n_docs'], r['pairs']) for r in by_size[:20]]})"
+        )
+    if best == 1:
+        import warnings
+
+        warnings.warn(
+            f"minhash bucket stats: even size-2 buckets exceed the "
+            f"pair budget {pair_budget} (dup-saturated corpus); "
+            "capping at 1 — NO candidates will be generated",
+            UserWarning,
+            stacklevel=2,
+        )
+    return best
+
+
 def minhash_lsh_pairs(
     df: DataFrame,
     text_col: str = "text",
@@ -473,6 +554,8 @@ def minhash_lsh_pairs(
     min_est_jaccard: float = 0.5,
     shingles: DataFrame | None = None,
     max_bucket_size: int | None = None,
+    pair_budget: int | str | None = None,
+    policy: str = "tighten",
 ) -> DataFrame:
     """LSH candidate pairs: documents colliding in ≥1 band of the
     MinHash signature, with the estimated Jaccard (fraction of equal
@@ -495,10 +578,34 @@ def minhash_lsh_pairs(
     (NOT guaranteed, unlike the hamming join's combination banding) —
     :func:`minhash_bucket_stats` reports exactly what a cap excludes.
     Default None = the historical exact-candidate behavior every gate
-    pins."""
+    pins.
+
+    ``pair_budget`` arms the bucket-stats pre-flight (same contract
+    as the simhash side's density probe, r12 verdict item #5): the
+    EXACT candidate volume ``SUM C(n_docs, 2)`` is priced from one
+    aggregation over the band rows BEFORE the self-join, and
+    :func:`guided_max_bucket_size` resolves the cap —
+    ``policy='tighten'`` lowers ``max_bucket_size`` to the largest
+    value that fits (a visible recall trade), ``policy='fail'``
+    raises :class:`DensityBudgetExceeded` instead of silently
+    changing recall. ``'auto'`` sizes the budget as
+    ``max(50·n_docs, 1e7)`` (one count job), mirroring
+    :func:`guided_max_hamming`'s default."""
     bands = minhash_band_rows(
         df, text_col, id_col, k, num_hashes, band_size, shingles
     )
+    if pair_budget is not None:
+        if pair_budget == "auto":
+            pair_budget = max(50 * df.count(), 10_000_000)
+        # bands feed the stats agg AND (below) the keep agg + both
+        # join sides — truncate lineage once here
+        bands = bands.localCheckpoint(eager=False)
+        max_bucket_size = guided_max_bucket_size(
+            _bucket_stats_from_bands(bands),
+            int(pair_budget),
+            policy=policy,
+            requested=max_bucket_size,
+        )
     if max_bucket_size is not None:
         # three consumers of the exploded band rows (keep agg + both
         # join sides) — truncate lineage like the capped hamming path
