@@ -120,6 +120,9 @@ HEADLINE = [
     # and the LSH candidate-volume pre-flight
     "multimodal_phash_density",
     "dedup_minhash_buckets",
+    # r13: the budget-armed LSH join (prices SUM C(n,2), tightens the
+    # bucket cap under the 1200-pair budget at sf0.1)
+    "dedup_minhash_guided",
 ]
 
 #: bench-only implementations: same operator, scale-path configuration

@@ -164,15 +164,39 @@ def _partition_by_expressions(schema: CompactedTableSchema) -> list[str]:
     return parts
 
 
+def new_temporary_key() -> str:
+    """A reference-shaped temporary-table key
+    (``temporary_key.rs:12-33``: ``{unix_secs}_{millis}_{random}`` —
+    the creation time is readable from the key itself, so an orphaned
+    ``_tmp`` table from a crashed insert can be aged out by eye)."""
+    import random
+    import time
+
+    ms = int(time.time() * 1000)
+    return f"{ms // 1000}_{ms % 1000}_{random.randrange(65536)}"
+
+
+def temporary_table_name(base_table: str, temporary_key: str) -> str:
+    """``tableset.rs:60-81`` naming: the ``_tmp{key}`` suffix follows
+    the ``_base``/``_compacted`` suffix."""
+    return f"{base_table}_tmp{temporary_key}"
+
+
 def create_table_ddl(
     schema: CompactedTableSchema,
     meta: ResolutionMetadata,
     database: str | None = None,
+    temporary_key: str | None = None,
 ) -> str:
     """One pyramid table's DDL — byte-parity with the reference's
     ``build_create_statement`` format string (``schema/mod.rs:342-349``):
-    single statement, columns joined with ``,\\n``, trailing ``;``."""
+    single statement, columns joined with ``,\\n``, trailing ``;``.
+    With ``temporary_key`` the statement creates the insert-staging
+    twin (``insert.rs:230-245`` creates the whole pyramid once more
+    under the ``_tmp{key}`` suffix, same columns/engine/partitioning)."""
     table = meta.table_name(schema.name)
+    if temporary_key is not None:
+        table = temporary_table_name(table, temporary_key)
     if database:
         table = f"{database}.{table}"
     partition_by = ", ".join(_partition_by_expressions(schema))
@@ -185,25 +209,32 @@ def create_table_ddl(
 
 
 def clickhouse_ddl(
-    schema: CompactedTableSchema, database: str | None = None
+    schema: CompactedTableSchema,
+    database: str | None = None,
+    temporary_key: str | None = None,
 ) -> list[str]:
     """All CREATE TABLE statements of the tableset pyramid, coarse to
     fine, base before compacted (reference create_tableset,
-    mod.rs:246-263)."""
+    mod.rs:246-263); with ``temporary_key`` the staging pyramid."""
     schema.validate()
     return [
-        create_table_ddl(schema, meta, database)
+        create_table_ddl(schema, meta, database, temporary_key)
         for meta in schema.resolution_metadata()
     ]
 
 
 def drop_tableset_ddl(
-    schema: CompactedTableSchema, database: str | None = None
+    schema: CompactedTableSchema,
+    database: str | None = None,
+    temporary_key: str | None = None,
 ) -> list[str]:
-    """DROP TABLE statements (reference drop_tableset, mod.rs:215-244)."""
+    """DROP TABLE statements (reference drop_tableset, mod.rs:215-244;
+    with ``temporary_key`` the staging pyramid, insert.rs:247-276)."""
     out = []
     for meta in schema.resolution_metadata():
         table = meta.table_name(schema.name)
+        if temporary_key is not None:
+            table = temporary_table_name(table, temporary_key)
         if database:
             table = f"{database}.{table}"
         out.append(f"DROP TABLE IF EXISTS {table}")
@@ -383,6 +414,210 @@ class ClickHouseJdbcBackend:
                 )
             out.append((t, sql))
         return out
+
+    # -- traversal statement generation (Q3 over ClickHouse) -----------------
+
+    def tableset_cell_query_sql(
+        self,
+        schema: CompactedTableSchema,
+        cells: list[int],
+        h3_resolution: int,
+        template: str | None = None,
+    ) -> list[tuple[str, str]]:
+        """The per-resolution-table SQL of ONE cell query —
+        ``template=None`` generates the reference's autogenerated form
+        (``select.rs:117-125``: ``select h3index, {columns} from
+        {table} where h3index in (...)``, the cell set normalized to
+        each table's own resolution by ``collect_queryable_h3indexes``
+        ``select.rs:139-162`` — ancestors for compacted parents,
+        CHILDREN for the base table when the probe cells are coarser);
+        a template delegates to :meth:`tableset_template_sql`.
+        Statement-level deviations from the Rust shape, both
+        documented: per-table statements ship as separate JDBC
+        subquery scans instead of one ``union all`` string (Spark
+        parallelizes the scans), and column order is name-sorted
+        (the reference iterates a ``HashMap`` — its order is not part
+        of the contract)."""
+        if template is not None:
+            return self.tableset_template_sql(
+                schema, template, cells, h3_resolution
+            )
+        from ukis_h3cellstore_spark.h3 import cells as h3c
+        from ukis_h3cellstore_spark.tableset import TableSet
+
+        if not cells:
+            raise ValueError("empty cell list")  # select.rs:87-89 parity
+        h3name = schema.h3index_column()
+        selectable = ", ".join(
+            n for n in sorted(schema.columns) if not n.startswith(h3name)
+        )
+        metas = schema.resolution_metadata()
+        ts = TableSet(
+            name=schema.name,
+            base_resolutions=[m.resolution for m in metas if not m.is_compacted],
+            compacted_resolutions=[m.resolution for m in metas if m.is_compacted],
+        )
+        out: list[tuple[str, str]] = []
+        for meta in ts.tables_to_satisfy_query_at_resolution(h3_resolution):
+            t = meta.table_name(schema.name)
+            table_cells = h3c.change_resolution(cells, meta.resolution)
+            in_list = ", ".join(str(int(c)) for c in table_cells)
+            out.append(
+                (
+                    t,
+                    f"select {h3name}, {selectable} from {self.database}.{t} "
+                    f"where {h3name} in ({in_list})",
+                )
+            )
+        return out
+
+    def tableset_traversal_sql(
+        self,
+        schema: CompactedTableSchema,
+        area_cells: list[int],
+        h3_resolution: int,
+        max_h3indexes_fetch_count: int = 500,
+        template: str | None = None,
+    ) -> tuple[int, list[tuple[int, list[tuple[str, str]]]]]:
+        """The EXACT per-traversal-cell statement sequence of the
+        reference's traversal (``traversal.rs:23-50`` resolution rule,
+        ``:380-391`` sorted+deduplicated traversal cells, ``:420-464``
+        one ``query_tableset_cells`` dispatch per traversal cell):
+        the AOI cells are normalized to the coarsest base resolution
+        whose per-cell fetch stays within ``max_h3indexes_fetch_count``
+        descendants, and each traversal cell generates its own
+        per-table statements (the base table at the query resolution
+        is probed with the traversal cell's ≤ fetch-count children —
+        the chunking guarantee IS the resolution rule).
+
+        Returns ``(traversal_resolution, [(traversal_cell,
+        [(table, sql), ...]), ...])``. Pure — no driver required."""
+        from ukis_h3cellstore_spark.h3 import cells as h3c
+        from ukis_h3cellstore_spark.traversal import (
+            select_traversal_resolution,
+        )
+
+        if not area_cells:
+            raise ValueError("empty cell list")
+        metas = schema.resolution_metadata()
+        trav_res = select_traversal_resolution(
+            [m.resolution for m in metas if not m.is_compacted],
+            h3_resolution,
+            max_h3indexes_fetch_count,
+        )
+        trav_cells = sorted(set(h3c.change_resolution(area_cells, trav_res)))
+        return trav_res, [
+            (
+                c,
+                self.tableset_cell_query_sql(
+                    schema, [c], h3_resolution, template
+                ),
+            )
+            for c in trav_cells
+        ]
+
+    # -- insert-publish cycle (temporary-table dance, insert.rs:133-228) ----
+
+    def insert_publish_sql(
+        self, schema: CompactedTableSchema, temporary_key: str
+    ) -> dict[str, list[str]]:
+        """The static statement phases of one insert-publish cycle —
+        the reference's temporary-table dance (``insert.rs:133-228``):
+
+        - ``drop_tmp``: drop the staging pyramid first "to be sure
+          they are empty" (``insert.rs:230-231``);
+        - ``create_tmp``: create it (``insert.rs:232-245`` — the same
+          CREATE statements with the ``_tmp{key}`` suffix,
+          ``tableset.rs:60-81``);
+        - (data then lands in the staging tables via batched JDBC
+          appends — :meth:`write_table`; not SQL);
+        - ``copy``: one ``insert into {final} ({cols}) select {cols}
+          from {tmp}`` per pyramid table (``insert.rs:550-594`` —
+          the publish is a server-side move, rows never round-trip);
+        - ``partition_probe``: one ``select distinct
+          toString((exprs)) pe from {tmp}`` per table
+          (``optimize.rs:40-56``) — the probe output feeds
+          :meth:`optimize_partition_sql`, scoping deduplication to
+          partitions the insert actually touched;
+        - ``drop_tmp`` again on finish (``insert.rs:585-594``).
+        """
+        cols = ", ".join(sorted(schema.columns))
+        part_expr = ", ".join(_partition_by_expressions(schema))
+        copy, probe = [], []
+        for meta in schema.resolution_metadata():
+            final = meta.table_name(schema.name)
+            tmp = temporary_table_name(final, temporary_key)
+            if self.database:
+                final = f"{self.database}.{final}"
+                tmp = f"{self.database}.{tmp}"
+            copy.append(
+                f"insert into {final} ({cols}) select {cols} from {tmp}"
+            )
+            probe.append(
+                f"select distinct toString(({part_expr})) pe from {tmp}"
+            )
+        return {
+            "drop_tmp": drop_tableset_ddl(schema, self.database, temporary_key),
+            "create_tmp": clickhouse_ddl(schema, self.database, temporary_key),
+            "copy": copy,
+            "partition_probe": probe,
+        }
+
+    def optimize_partition_sql(
+        self,
+        schema: CompactedTableSchema,
+        meta: ResolutionMetadata,
+        partition: str,
+    ) -> str:
+        """``optimize.rs:62-70``: deduplicate ONE touched partition of
+        a final table (the partition string is the probe's
+        ``toString`` output, passed through verbatim)."""
+        final = meta.table_name(schema.name)
+        if self.database:
+            final = f"{self.database}.{final}"
+        return f"optimize table {final} partition {partition} deduplicate"
+
+    def publish_tableset_insert(
+        self,
+        schema: CompactedTableSchema,
+        dfs_by_table: dict[str, DataFrame],
+        temporary_key: str | None = None,
+        deduplicate: bool = True,
+    ) -> str:
+        """Run one full insert-publish cycle over JDBC: stage → copy →
+        scoped deduplicate → drop staging (``insert.rs:133-228``).
+        ``dfs_by_table`` maps FINAL table names (``meta.table_name``)
+        to their row batches; tables without a batch still take part
+        in the dance (the reference creates/copies the whole pyramid).
+        Returns the temporary key used."""
+        tk = temporary_key if temporary_key is not None else new_temporary_key()
+        phases = self.insert_publish_sql(schema, tk)
+        self.run_ddl(phases["drop_tmp"])
+        self.run_ddl(phases["create_tmp"])
+        for final, df in dfs_by_table.items():
+            self.write_table(temporary_table_name(final, tk), df)
+        self.run_ddl(phases["copy"])
+        if deduplicate:
+            optimize: list[str] = []
+            for meta, probe_sql in zip(
+                schema.resolution_metadata(), phases["partition_probe"]
+            ):
+                final = meta.table_name(schema.name)
+                if final not in dfs_by_table:
+                    continue  # untouched table: nothing to probe
+                reader = self.spark.read.format("jdbc")
+                opts = self._options("ignored")
+                opts["dbtable"] = f"({probe_sql}) AS __pp"
+                for k, v in opts.items():
+                    reader = reader.option(k, v)
+                for row in reader.load().collect():
+                    optimize.append(
+                        self.optimize_partition_sql(schema, meta, row["pe"])
+                    )
+            if optimize:
+                self.run_ddl(optimize)
+        self.run_ddl(phases["drop_tmp"])
+        return tk
 
     def read_tableset_template(
         self,
