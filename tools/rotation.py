@@ -37,8 +37,11 @@ def rotation() -> list[tuple[str, int | None]]:
     import __spark_entry__ as entrymod
 
     rounds: dict[str, int] = {}
-    for path in sorted(glob.glob("CORRECTNESS_r*.json")):
-        rnd = int(path.split("_r")[1].split(".")[0])
+    for path in sorted(
+        glob.glob("CORRECTNESS_r*.json")
+        + glob.glob("docs/history/CORRECTNESS_r*.json")
+    ):
+        rnd = int(os.path.basename(path).split("_r")[1].split(".")[0])
         with open(path) as f:
             for name, row in json.load(f).items():
                 if row.get("hash_match") or row.get("rows_match"):
@@ -65,8 +68,11 @@ def check() -> int:
 
     rounds: dict[str, int] = {}
     latest = 0
-    for path in sorted(glob.glob("CORRECTNESS_r*.json")):
-        rnd = int(path.split("_r")[1].split(".")[0])
+    for path in sorted(
+        glob.glob("CORRECTNESS_r*.json")
+        + glob.glob("docs/history/CORRECTNESS_r*.json")
+    ):
+        rnd = int(os.path.basename(path).split("_r")[1].split(".")[0])
         latest = max(latest, rnd)
         with open(path) as f:
             for name, row in json.load(f).items():
