@@ -95,6 +95,10 @@ _PRIORITY = [
     "text_langid",
     "text_token_counts",
     "text_fingerprint",
+    # dedup_minhash_guided (r13's one new gate) debuts in the r13
+    # LOCAL sweep only: the head-50 is fully booked by the 8 age-bound
+    # r7 gates + the 42-gate r8 cohort, and the protocol forbids
+    # evicting for a debut — it enters the head at r14.
 ]
 
 
