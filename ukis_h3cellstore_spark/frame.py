@@ -58,15 +58,22 @@ class H3DataFrame:
         expand mixed-resolution rows to ``target_res``; ``cells``
         optionally restricts the output."""
         from ukis_h3cellstore_spark import compaction
+        from ukis_h3cellstore_spark.query import cells_frame
 
         cells_df = None
+        cells_count = None
         if cells is not None:
-            cells_df = self.df.sparkSession.createDataFrame(
-                [(c,) for c in cells], f"{self.h3index_column_name} long"
+            cells_df = cells_frame(
+                self.df.sparkSession, self.h3index_column_name, list(cells)
             )
+            cells_count = len(cells)
         return H3DataFrame(
             compaction.uncompact_df(
-                self.df, target_res, self.h3index_column_name, cells_df=cells_df
+                self.df,
+                target_res,
+                self.h3index_column_name,
+                cells_df=cells_df,
+                cells_count=cells_count,
             ),
             self.h3index_column_name,
         )
