@@ -98,6 +98,8 @@ DEFAULT_QUERIES = [
     "multimodal_phash_density",
     "pipeline_query_cells_df",
     "dedup_minhash_buckets",
+    # round-13 additions
+    "dedup_minhash_guided",
 ]
 
 
