@@ -619,6 +619,75 @@ class ClickHouseJdbcBackend:
         self.run_ddl(phases["drop_tmp"])
         return tk
 
+    def read_tableset_cells(
+        self,
+        schema: CompactedTableSchema,
+        cells: list[int],
+        h3_resolution: int,
+        template: str | None = None,
+        do_uncompact: bool = True,
+    ) -> DataFrame:
+        """Q2 against a ClickHouse tableset: the auto-generated (or
+        templated) per-table statements of
+        :meth:`tableset_cell_query_sql` ship as JDBC subquery scans —
+        predicates execute CH-SIDE, only matching rows cross the wire
+        — and the union is uncompacted IN-PLAN to ``h3_resolution``
+        (per-part staged offset expansion; each contributing table
+        holds exactly one resolution, so no res-dispatch filters) and
+        restricted to the requested cell set (broadcast-hinted only
+        under ``query.BROADCAST_MAX_CELLS``, like the local store).
+        The reference runs the same two steps client-side after its
+        gRPC fetch (``mod.rs:459-477`` uncompact-subset); here both
+        are Spark plan nodes, so they distribute."""
+        self._require_driver()
+        from pyspark.sql import functions as F
+
+        from ukis_h3cellstore_spark import query as build_query
+        from ukis_h3cellstore_spark.h3 import cells as h3c
+        from ukis_h3cellstore_spark.h3 import expressions as hx
+        from ukis_h3cellstore_spark.tableset import TableSet
+
+        h3name = schema.h3index_column()
+        metas = schema.resolution_metadata()
+        ts = TableSet(
+            name=schema.name,
+            base_resolutions=[m.resolution for m in metas if not m.is_compacted],
+            compacted_resolutions=[m.resolution for m in metas if m.is_compacted],
+        )
+        contributing = ts.tables_to_satisfy_query_at_resolution(h3_resolution)
+        stmts = self.tableset_cell_query_sql(
+            schema, cells, h3_resolution, template
+        )
+        parts = []
+        for i, (meta, (_t, sql)) in enumerate(zip(contributing, stmts)):
+            reader = self.spark.read.format("jdbc")
+            opts = self._options("ignored")
+            opts["dbtable"] = f"({sql}) AS __cq{i}"
+            for k, v in opts.items():
+                reader = reader.option(k, v)
+            part = reader.load()
+            if do_uncompact and meta.resolution < h3_resolution:
+                part = hx.h3_expand_to_children(
+                    part,
+                    h3name,
+                    meta.resolution,
+                    h3_resolution,
+                    filter_invalid=True,
+                )
+            parts.append(part)
+        df = parts[0]
+        for p in parts[1:]:
+            df = df.unionByName(p)
+        if do_uncompact:
+            cells_at_res = h3c.change_resolution(cells, h3_resolution)
+            restrict = build_query.cells_frame(
+                self.spark, h3name, cells_at_res
+            ).distinct()
+            if len(cells_at_res) <= build_query.BROADCAST_MAX_CELLS:
+                restrict = F.broadcast(restrict)
+            df = df.join(restrict, on=h3name, how="leftsemi")
+        return df
+
     def read_tableset_template(
         self,
         schema: CompactedTableSchema,
