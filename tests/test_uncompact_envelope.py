@@ -114,3 +114,23 @@ def test_expand_diff10_exact_slow(spark):
     df = spark.createDataFrame([(base,)], "h3index long")
     out = hx.h3_expand_to_children(df, "h3index", 1, 11, filter_invalid=True)
     assert out.count() == 7**10
+
+
+def test_multi_stage_expansion_repartitions_between_stages(spark):
+    # the inter-stage redistribution is the fix for the single-task
+    # fan-out (one coarse row expanding 7^10 in the input's original
+    # partition); guard it at the plan level: multi-stage expansions
+    # carry a hash repartition, single-stage ones add NO shuffle
+    from pyspark.sql import functions as F
+
+    base = h3c.build_cell(20, [3])
+    df = spark.createDataFrame([(base,)], "h3index long")
+
+    multi = hx.h3_expand_to_children(df, "h3index", 1, 9)  # 2 stages
+    plan_multi = multi._jdf.queryExecution().optimizedPlan().toString()
+    assert "RepartitionByExpression" in plan_multi
+
+    single = hx.h3_expand_to_children(df, "h3index", 1, 5)  # 1 stage
+    plan_single = single._jdf.queryExecution().optimizedPlan().toString()
+    assert "RepartitionByExpression" not in plan_single
+    assert "Repartition" not in plan_single
