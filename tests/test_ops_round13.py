@@ -326,3 +326,103 @@ class TestMinhashPairBudget:
             for r in D.minhash_lsh_pairs(docs, min_est_jaccard=0.5).collect()
         )
         assert auto == base
+
+
+class TestResolveBucketCapProperties:
+    """Hypothesis properties of the pure cumulative-fit: budget
+    compliance and MAXIMALITY of the resolved cap."""
+
+    def test_budget_and_maximality(self):
+        import warnings
+
+        from hypothesis import given, settings
+        from hypothesis import strategies as st
+
+        from ukis_h3cellstore_spark.ops.dedup import _resolve_bucket_cap
+
+        hist = st.lists(
+            st.tuples(
+                st.integers(min_value=2, max_value=10_000),
+                st.integers(min_value=1, max_value=10**12),
+            ),
+            min_size=0,
+            max_size=30,
+            unique_by=lambda t: t[0],
+        ).map(sorted)
+
+        @given(
+            by_size=hist,
+            budget=st.integers(min_value=0, max_value=10**13),
+            requested=st.one_of(
+                st.none(), st.integers(min_value=1, max_value=12_000)
+            ),
+        )
+        @settings(max_examples=300, deadline=None)
+        def prop(by_size, budget, requested):
+            with warnings.catch_warnings():
+                warnings.simplefilter("ignore")
+                cap = _resolve_bucket_cap(by_size, budget, "tighten", requested)
+
+            def kept(c):
+                if c is None:
+                    c = float("inf")
+                return sum(p for n, p in by_size if n <= c)
+
+            in_range = [
+                (n, p) for n, p in by_size
+                if requested is None or n <= requested
+            ]
+            if cap == requested:
+                # unchanged = everything within the requested range fits
+                assert sum(p for _, p in in_range) <= budget
+            else:
+                # tightened: kept volume fits ...
+                assert kept(cap) <= budget
+                # ... the cap never exceeds the request ...
+                if requested is not None:
+                    assert cap <= requested
+                # ... and it is maximal: the next histogram size within
+                # the requested range would blow the budget
+                nxt = [
+                    (n, p) for n, p in in_range if n > cap
+                ]
+                assert nxt and kept(cap) + nxt[0][1] > budget
+
+        prop()
+
+    def test_fail_policy_consistent_with_tighten(self):
+        import warnings
+
+        import pytest as _pt
+        from hypothesis import given, settings
+        from hypothesis import strategies as st
+
+        from ukis_h3cellstore_spark.ops.dedup import (
+            DensityBudgetExceeded,
+            _resolve_bucket_cap,
+        )
+
+        hist = st.lists(
+            st.tuples(
+                st.integers(min_value=2, max_value=100),
+                st.integers(min_value=1, max_value=10**6),
+            ),
+            min_size=0,
+            max_size=10,
+            unique_by=lambda t: t[0],
+        ).map(sorted)
+
+        @given(by_size=hist, budget=st.integers(min_value=0, max_value=10**7))
+        @settings(max_examples=200, deadline=None)
+        def prop(by_size, budget):
+            with warnings.catch_warnings():
+                warnings.simplefilter("ignore")
+                tightened = _resolve_bucket_cap(by_size, budget, "tighten", None)
+                if tightened is None:
+                    # no change -> fail must also pass through
+                    assert _resolve_bucket_cap(by_size, budget, "fail", None) is None
+                else:
+                    with _pt.raises(DensityBudgetExceeded):
+                        _resolve_bucket_cap(by_size, budget, "fail", None)
+
+        prop()

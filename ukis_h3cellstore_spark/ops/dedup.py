@@ -503,22 +503,36 @@ def guided_max_bucket_size(
     if policy not in ("tighten", "fail"):
         raise ValueError(f"policy must be 'tighten' or 'fail', got {policy!r}")
     by_size = sorted(
-        stats_df.groupBy("n_docs")
+        (int(r["n_docs"]), int(r["pairs"]))
+        for r in stats_df.groupBy("n_docs")
         .agg(F.sum("candidate_pairs").cast("long").alias("pairs"))
-        .collect(),
-        key=lambda r: r["n_docs"],
+        .collect()
     )
+    return _resolve_bucket_cap(by_size, pair_budget, policy, requested)
+
+
+def _resolve_bucket_cap(
+    by_size: list[tuple[int, int]],
+    pair_budget: int,
+    policy: str = "tighten",
+    requested: int | None = None,
+) -> int | None:
+    """The pure cumulative-fit of :func:`guided_max_bucket_size` —
+    ``by_size`` is the ascending (bucket_size, total_pairs) histogram.
+    Property-tested (hypothesis): the resolved cap's kept volume fits
+    the budget, and the cap is MAXIMAL (admitting the next size would
+    exceed it)."""
     total = 0
     best = 1  # cap below the smallest pairing bucket = no candidates
     over = False
-    for r in by_size:
-        if requested is not None and r["n_docs"] > requested:
+    for n_docs, pairs in by_size:
+        if requested is not None and n_docs > requested:
             break
-        if total + r["pairs"] > pair_budget:
+        if total + pairs > pair_budget:
             over = True
             break
-        total += r["pairs"]
-        best = r["n_docs"]
+        total += pairs
+        best = n_docs
     if not over:
         # every bucket within the requested range fits the budget —
         # the caller's cap (or uncapped) stands unchanged
@@ -528,8 +542,7 @@ def guided_max_bucket_size(
             f"predicted LSH candidate volume exceeds budget "
             f"{pair_budget} above max_bucket_size={best}; requested "
             f"{'uncapped' if requested is None else requested} "
-            f"(size histogram: "
-            f"{[(r['n_docs'], r['pairs']) for r in by_size[:20]]})"
+            f"(size histogram: {by_size[:20]})"
         )
     if best == 1:
         import warnings
