@@ -41,64 +41,62 @@ from pyspark.sql import DataFrame, SparkSession
 # satisfy: new + oldest-cohort-size <= 50, else the cohort ages one
 # extra round toward the bound.
 _PRIORITY = [
-    # tier 1 — the 8 gates whose driver age reaches the 6-round bound
-    # at r13 (rotation.py --check named them after r12; r7 cohort)
-    "text_vocab_profile",
-    "corpus_source_containment",
-    "corpus_group_split",
-    "events_interarrival",
-    "streaming_robust_score",
-    "streaming_ttl_dedup",
-    "streaming_hll_distinct",
-    "streaming_sliding_window",
-    # tier 2 — oldest driver-green first (r8 cohort onward, registry
-    # order within a cohort; regenerate with tools/rotation.py --python)
-    "q12_late_shipment_priority",
-    "q9_profit_by_nation_year",
-    "q21_blocking_suppliers",
-    "q2_cheapest_supplier",
-    "lineitem_percentiles",
-    "events_value_moments",
-    "events_zscore",
-    "text_code_score",
-    "corpus_w1_drift",
-    "ann_tiered_rerank",
-    "corpus_surprisal_outliers",
-    "multimodal_dup_clusters",
-    "text_burstiness",
-    "embedding_two_nn_dim",
-    "events_gap_survival",
-    "corpus_length_gini",
-    "corpus_jsd_drift",
-    "events_markov_transitions",
-    "part_abc_classes",
-    "events_benford_audit",
-    "dedup_minhash_error",
-    "corpus_score_rank_corr",
-    "graph_hits",
-    "orders_rfm_segments",
-    "corpus_zipf_slope",
-    "lineitem_copurchase_lift",
-    "part_fuzzy_match",
-    "events_cusum_changepoint",
-    "corpus_psi_drift",
-    "events_ks_drift",
-    "events_type_bucket_dependence",
-    "events_pareto_frontier",
-    "text_readability",
-    "ann_matryoshka_top3",
-    "corpus_l_diversity",
-    "corpus_cluster_balanced_sample",
-    "corpus_novelty_rate",
-    "corpus_filter_attrition",
-    "text_stats",
-    "text_langid",
-    "text_token_counts",
-    "text_fingerprint",
-    # dedup_minhash_guided (r13's one new gate) debuts in the r13
-    # LOCAL sweep only: the head-50 is fully booked by the 8 age-bound
-    # r7 gates + the 42-gate r8 cohort, and the protocol forbids
-    # evicting for a debut — it enters the head at r14.
+    # tier 1 — dedup_minhash_guided debuts (r13's new gate, green in
+    # both r13 local sweeps, protocol-committed to enter at r14)
+    "dedup_minhash_guided",
+    # tier 2 — the 8 r8-aged gates rotation.py --check named after
+    # r13 (driver age reaches the 6-round bound at r14), then the
+    # rest of the r8 cohort in registry order (regenerate with
+    # tools/rotation.py --python)
+    "dedup_exact",
+    "corpus_tokenize_pack",
+    "dedup_incremental_e2e",
+    "geo_disk_smoothing",
+    "geo_ring_profile",
+    "streaming_novelty",
+    "streaming_cdc_upsert",
+    "streaming_psi_drift",
+    "source_orc_roundtrip",
+    "orders_semi_anti_join",
+    "events_variant_props",
+    "source_csv_roundtrip",
+    "events_distinct_daily",
+    "events_user_type_signature",
+    "part_string_funcs",
+    "source_jsonl_roundtrip",
+    "events_lateral_top2",
+    "events_gapfill_daily",
+    "events_map_ops",
+    "events_window_nav",
+    "corpus_curation_e2e",
+    "part_fuzzy_link",
+    "embedding_source_drift",
+    "events_funnel_conversion",
+    "corpus_ngram_diversity",
+    "corpus_pack_curriculum",
+    "embedding_margin_pairs",
+    "text_normalize",
+    "text_boilerplate",
+    "text_quality_logit",
+    "ann_sq8_top3",
+    "ann_filtered_top3",
+    "text_surprisal",
+    "multimodal_features",
+    "dedup_cross_modal",
+    "dedup_lsh_verified",
+    "embedding_norm_report",
+    "multimodal_frame_sample",
+    "text_gopher_quality",
+    "corpus_source_report",
+    "corpus_stratified_sample",
+    "corpus_chunked",
+    "corpus_length_filter",
+    "corpus_oov_report",
+    "corpus_cross_source_dups",
+    "ann_pq_top3",
+    "ann_ivfpq_top3",
+    "dedup_containment",
+    "text_char_entropy",
 ]
 
 
