@@ -190,9 +190,9 @@ class TestQueryCellsDfScalePath:
         assert _has_broadcast_hint(out.df)
 
     def test_prune_partitions_join_path(self, spark, dfq_store, monkeypatch):
-        # above MAX_INLIST_CELLS (via a 0 patch) the pruning must go
-        # through the in-plan semi-join, not the driver collect, and
-        # keep the result identical
+        # with the static path disabled (cap patched below zero) the
+        # pruning must go through the in-plan semi-join, not the
+        # driver collect, and keep the result identical
         from ukis_h3cellstore_spark import store as store_mod
         from ukis_h3cellstore_spark.query import cells_frame
 
@@ -200,7 +200,7 @@ class TestQueryCellsDfScalePath:
         baseline = self._rows(
             store.query_tableset_cells("dfq13", cells7, 7)
         )
-        monkeypatch.setattr(store_mod, "MAX_INLIST_CELLS", 0)
+        monkeypatch.setattr(store_mod, "STATIC_PRUNE_MAX_PARTITIONS", -1)
         out = store.query_tableset_cells_df(
             "dfq13", cells_frame(spark, "h3index", cells7), 7
         )

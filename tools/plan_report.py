@@ -120,6 +120,11 @@ def _stats(plan: str) -> dict:
         "scans": plan.count("FileScan"),
         "pushed": pushed,
         "parts": parts,
+        # dynamic partition pruning subqueries in the scan (DPP fires
+        # only for broadcast-reusable, selectively-filtered probe
+        # sides — the static PartitionFilters path is the reliable
+        # one; this counter verifies which form a plan actually got)
+        "dpp": len(re.findall(r"dynamicpruning", plan, re.IGNORECASE)),
         "bhj": plan.count("BroadcastHashJoin"),
         "smj": plan.count("SortMergeJoin"),
         "bnlj": plan.count("BroadcastNestedLoopJoin"),
@@ -135,7 +140,8 @@ def _print_block(indent: str, s: dict) -> None:
     print(
         f"{indent}scans: {s['scans']}  "
         f"pushed-filter scans: {len(s['pushed'])}  "
-        f"partition-filter scans: {len(s['parts'])}"
+        f"partition-filter scans: {len(s['parts'])}  "
+        f"dynamic-pruning: {s['dpp']}"
     )
     print(
         f"{indent}joins: broadcast={s['bhj']} "

@@ -54,6 +54,15 @@ from ukis_h3cellstore_spark.tableset import TableSet, group_tables_into_tableset
 #: at plan time); larger sets become broadcast semi-joins.
 MAX_INLIST_CELLS = 4096
 
+#: Static partition pruning (literal ``h3part IN (…)`` →
+#: ``PartitionFilters`` in the scan) is used whenever the probe
+#: touches at most this many DISTINCT partition values.  Sized for
+#: plan cost, not driver memory: a 64k-value IN parses in ~30 ms and
+#: analyzes in ~3 s (measured) — negligible against the full-table
+#: scan the leftsemi fallback would pay at 100 TB, and it covers a
+#: res-3 partition layout (41,162 cells) outright.
+STATIC_PRUNE_MAX_PARTITIONS = 65_536
+
 
 @dataclass
 class InsertOptions:
@@ -1027,9 +1036,14 @@ class CellStore:
           broadcast-hinted ONLY when the arithmetic size bound
           (n·7^diff) is under ``query.BROADCAST_MAX_CELLS``, else left
           to AQE (a 76M-cell res-8 continent AOI must shuffle);
-        - partition pruning collects the distinct partition VALUES
-          only when the bound is IN-list-small; larger sets prune via
-          an in-plan semi-join on the partition column instead.
+        - partition pruning is sized on the DISTINCT-partition-value
+          bound (≤122 basecell / 2+120·7^part_res, further capped by
+          the probe arithmetic) — under
+          ``STATIC_PRUNE_MAX_PARTITIONS`` it collects the values (a
+          partition-count-sized collect) into a literal IN predicate
+          so the scan gets static ``PartitionFilters``; a huge bound
+          first checks the ACTUAL count with one bounded job, and
+          only then falls back to an in-plan semi-join.
 
         The input frame's first column is taken as the cell column."""
         schema = self.get_schema(name)
@@ -1083,7 +1097,14 @@ class CellStore:
             )
             tdf = self.read_table(schema, meta)
             tdf = self._prune_partitions_df(
-                schema, tdf, meta, table_cells, n_cells=_bound(meta.resolution)
+                schema,
+                tdf,
+                meta,
+                table_cells,
+                n_cells=_bound(meta.resolution),
+                probe_df=cells_df,
+                probe_res=cells_res,
+                n_probe=n_cells,
             )
             tdf = build_query.build_table_query_df(
                 self.spark,
@@ -1124,38 +1145,93 @@ class CellStore:
         meta: ResolutionMetadata,
         table_cells_df: DataFrame,
         n_cells: int | None = None,
+        probe_df: DataFrame | None = None,
+        probe_res: int | None = None,
+        n_probe: int | None = None,
     ) -> DataFrame:
         """:meth:`_prune_partitions` with the cell set as a frame.
 
-        ``n_cells`` (the caller's arithmetic bound on the cell count)
-        picks the physical strategy: an IN-list-small set collects its
-        distinct partition values (static pruning — PartitionFilters in
-        the scan); anything larger prunes via an in-plan leftsemi join
-        on the partition column — the collect a continent AOI would
-        need (hundreds of thousands of parent values) never happens,
-        and the join is broadcast-hinted only under
-        ``query.BROADCAST_MAX_CELLS``."""
+        The strategy decision is sized on the number of DISTINCT
+        PARTITION VALUES the probe can touch — never on the cell
+        count.  That bound is arithmetic: ≤122 for basecell
+        partitioning, else min(probe_count · 7^max(0, part_res −
+        probe_res), 2 + 120·7^part_res) — so a 76M-cell res-8
+        continent AOI over a res-3-partitioned table is known to touch
+        ≤41,162 partitions WITHOUT running a job.  Under
+        ``STATIC_PRUNE_MAX_PARTITIONS`` the distinct values are
+        collected (a partition-count-sized collect) and emitted as a
+        literal IN predicate, which Spark turns into static
+        ``PartitionFilters`` on the scan — file-level pruning that
+        does not depend on dynamic partition pruning firing (DPP's
+        ``reuseBroadcastOnly`` + selective-filter heuristics do NOT
+        trigger for a derived, checkpoint-truncated probe side, so the
+        leftsemi fallback scans every partition; matching the
+        reference's ClickHouse part pruning, schema/mod.rs:306-350,
+        requires the static form).  When the arithmetic bound is
+        huge, one bounded job (``limit(max+1).collect()`` over the
+        distinct frame — driver cost capped at max+1 rows) checks the
+        ACTUAL count: a sane layout still gets static pruning, and
+        only a probe that genuinely touches >max partitions falls back
+        to the in-plan leftsemi join (broadcast-hinted only under
+        ``query.BROADCAST_MAX_CELLS``).
+
+        ``probe_df``/``probe_res``/``n_probe`` describe the RAW
+        uniform-resolution probe; when the partition resolution is at
+        or below ``probe_res`` the distinct parents are computed from
+        it directly (a cover-sized frame) instead of the normalized —
+        possibly child-expanded, cell-count-sized — ``table_cells_df``.
+        ``n_cells`` (the bound at ``meta.resolution``) is a fallback
+        bound used only when the probe description is absent."""
         if self._table_mode(schema, meta) == "global":
             return df
-        col = F.col(schema.h3index_column())
+        h3name = schema.h3index_column()
         if schema.h3_partitioning.kind == "basecell":
-            expr = hx.h3_get_base_cell(col)
+            part_res: int | None = None
+            pv_bound = 122  # base cells are fixed by the H3 spec
         else:
             diff = schema.h3_partitioning.resolution_difference
-            expr = hx.h3_to_parent(col, max(meta.resolution - diff, 0))
-        if n_cells is None or n_cells <= MAX_INLIST_CELLS:
-            values = sorted(
-                r["p"]
-                for r in table_cells_df.select(expr.alias("p")).distinct().collect()
-            )
-            if len(values) <= MAX_INLIST_CELLS:
-                return df.filter(F.col("h3part").isin(values))
-            vals_df = self.spark.createDataFrame(
-                [(v,) for v in values], "h3part long"
-            ).distinct()
+            part_res = max(meta.resolution - diff, 0)
+            pv_bound = 2 + 120 * 7**part_res  # total H3 cells at part_res
+            if n_probe is not None and probe_res is not None:
+                pv_bound = min(
+                    pv_bound, n_probe * 7 ** max(0, part_res - probe_res)
+                )
+            elif n_cells is not None:
+                # parents at a coarser resolution only collapse
+                pv_bound = min(pv_bound, n_cells)
+        if probe_df is not None and (
+            part_res is None
+            or (probe_res is not None and part_res <= probe_res)
+        ):
+            # ancestors at part_res ≤ probe_res are identical for the
+            # raw probe and its normalized form — use the smaller frame
+            src = probe_df
         else:
-            vals_df = table_cells_df.select(expr.alias("h3part")).distinct()
-        if n_cells is not None and n_cells <= build_query.BROADCAST_MAX_CELLS:
+            src = table_cells_df
+        col = F.col(h3name)
+        if part_res is None:
+            expr = hx.h3_get_base_cell(col)
+        else:
+            expr = hx.h3_to_parent(col, part_res)
+        vals_df = src.select(expr.alias("h3part")).distinct()
+        values: list[int] | None = None
+        if pv_bound <= STATIC_PRUNE_MAX_PARTITIONS:
+            values = [r["h3part"] for r in vals_df.collect()]
+        else:
+            sample = vals_df.limit(STATIC_PRUNE_MAX_PARTITIONS + 1).collect()
+            if len(sample) <= STATIC_PRUNE_MAX_PARTITIONS:
+                values = [r["h3part"] for r in sample]
+        if values is not None:
+            if not values:
+                return df.filter(F.lit(False))
+            # a single-parse SQL IN beats Column.isin here: isin builds
+            # one py4j literal per value (~25 s at 50k values, measured)
+            # while the parsed form lands in the same INSET/
+            # PartitionFilters at ~0.03 s build cost
+            return df.filter(
+                F.expr("h3part IN (%s)" % ",".join(map(str, sorted(values))))
+            )
+        if pv_bound <= build_query.BROADCAST_MAX_CELLS:
             vals_df = F.broadcast(vals_df)
         return df.join(vals_df, on="h3part", how="leftsemi")
 
