@@ -594,29 +594,40 @@ class ClickHouseJdbcBackend:
         phases = self.insert_publish_sql(schema, tk)
         self.run_ddl(phases["drop_tmp"])
         self.run_ddl(phases["create_tmp"])
-        for final, df in dfs_by_table.items():
-            self.write_table(temporary_table_name(final, tk), df)
-        self.run_ddl(phases["copy"])
-        if deduplicate:
-            optimize: list[str] = []
-            for meta, probe_sql in zip(
-                schema.resolution_metadata(), phases["partition_probe"]
-            ):
-                final = meta.table_name(schema.name)
-                if final not in dfs_by_table:
-                    continue  # untouched table: nothing to probe
-                reader = self.spark.read.format("jdbc")
-                opts = self._options("ignored")
-                opts["dbtable"] = f"({probe_sql}) AS __pp"
-                for k, v in opts.items():
-                    reader = reader.option(k, v)
-                for row in reader.load().collect():
-                    optimize.append(
-                        self.optimize_partition_sql(schema, meta, row["pe"])
-                    )
-            if optimize:
-                self.run_ddl(optimize)
-        self.run_ddl(phases["drop_tmp"])
+        # the staging pyramid is dropped even when a write/copy/optimize
+        # phase fails — the reference tolerates orphaned _tmp{key}
+        # tables (the key encodes creation time and the next insert's
+        # drop_tmp ages them out, insert.rs:133-228), but eager cleanup
+        # is strictly better; drop errors are swallowed so the original
+        # failure propagates
+        try:
+            for final, df in dfs_by_table.items():
+                self.write_table(temporary_table_name(final, tk), df)
+            self.run_ddl(phases["copy"])
+            if deduplicate:
+                optimize: list[str] = []
+                for meta, probe_sql in zip(
+                    schema.resolution_metadata(), phases["partition_probe"]
+                ):
+                    final = meta.table_name(schema.name)
+                    if final not in dfs_by_table:
+                        continue  # untouched table: nothing to probe
+                    reader = self.spark.read.format("jdbc")
+                    opts = self._options("ignored")
+                    opts["dbtable"] = f"({probe_sql}) AS __pp"
+                    for k, v in opts.items():
+                        reader = reader.option(k, v)
+                    for row in reader.load().collect():
+                        optimize.append(
+                            self.optimize_partition_sql(schema, meta, row["pe"])
+                        )
+                if optimize:
+                    self.run_ddl(optimize)
+        finally:
+            try:
+                self.run_ddl(phases["drop_tmp"])
+            except Exception:
+                pass
         return tk
 
     def read_tableset_cells(

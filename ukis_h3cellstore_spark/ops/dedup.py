@@ -607,12 +607,14 @@ def minhash_lsh_pairs(
     bands = minhash_band_rows(
         df, text_col, id_col, k, num_hashes, band_size, shingles
     )
+    checkpointed = False
     if pair_budget is not None:
         if pair_budget == "auto":
             pair_budget = max(50 * df.count(), 10_000_000)
         # bands feed the stats agg AND (below) the keep agg + both
         # join sides — truncate lineage once here
         bands = bands.localCheckpoint(eager=False)
+        checkpointed = True
         max_bucket_size = guided_max_bucket_size(
             _bucket_stats_from_bands(bands),
             int(pair_budget),
@@ -622,7 +624,11 @@ def minhash_lsh_pairs(
     if max_bucket_size is not None:
         # three consumers of the exploded band rows (keep agg + both
         # join sides) — truncate lineage like the capped hamming path
-        bands = bands.localCheckpoint(eager=False)
+        # (skipped when the budget pre-flight already materialized it:
+        # a second localCheckpoint would store a redundant copy of the
+        # exploded band rows in executor storage)
+        if not checkpointed:
+            bands = bands.localCheckpoint(eager=False)
         keep = (
             bands.groupBy("band", "band_key")
             .agg(F.count(F.lit(1)).alias("__bn"))
