@@ -274,6 +274,36 @@ def main() -> None:
         "queries": timings,
         "sf": sf,
     }
+    # annotate each timing against the stored local noise band
+    # (BENCH_LOCAL_r{N}: 3-run medians + per-query spread) so the
+    # artifact is self-flagging — the r12-established methodology
+    # applied by the producer instead of re-derived at review time.
+    # Flags live only in the file payload; timings and the stdout
+    # line are unchanged.
+    band_path = os.environ.get("BENCH_BAND_FILE")
+    if band_path is None:
+        import glob as _glob
+
+        bands = sorted(
+            _glob.glob("BENCH_LOCAL_r*.json"),
+            key=lambda p: int(p.split("_r")[1].split(".")[0]),
+        )
+        band_path = bands[-1] if bands else None
+    if band_path and os.path.isfile(band_path):
+        from tools.bench_band import band_flag
+
+        with open(band_path) as fh:
+            band = json.loads(fh.read().strip().splitlines()[-1])
+        bq, bs = band.get("queries", {}), band.get("spread", {})
+        payload["band_ref"] = band_path
+        payload["band_flag"] = {
+            q: (
+                band_flag(t, bq[q], bs.get(q, 0.0))
+                if q in bq and bq[q] > 0
+                else "new"
+            )
+            for q, t in timings.items()
+        }
     # FULL precision goes to the file artifact (the correctness sweep's
     # pattern) — the driver captures only the last 2000 chars of
     # stdout, which truncated the ms-precision single line in rounds

@@ -23,6 +23,28 @@ def _load(path: str) -> dict:
         return json.loads(f.read().strip().splitlines()[-1])
 
 
+#: sub-noise floor: a band narrower than this is treated as 10% (a
+#: 3-run min can be accidentally tight) and absolute moves under
+#: 0.25 s are never flagged — same rules the --baseline comparison
+#: applies below
+BAND_FLOOR = 0.10
+ABS_FLOOR_SEC = 0.25
+
+
+def band_flag(timing: float, median: float, spread: float) -> str:
+    """Classify one timing against a stored (median, spread) band:
+    ``inside`` / ``above`` / ``below``. The single methodology both
+    this tool's --baseline mode and bench.py's per-query annotation
+    use, so the driver artifact and the local band agree by
+    construction."""
+    band = max(spread, BAND_FLOOR)
+    if timing > median * (1.0 + band) and timing - median > ABS_FLOOR_SEC:
+        return "above"
+    if timing < median * (1.0 - band) and median - timing > ABS_FLOOR_SEC:
+        return "below"
+    return "inside"
+
+
 def main() -> int:
     args = [a for a in sys.argv[1:] if not a.startswith("--")]
     baseline_path = None
@@ -66,9 +88,7 @@ def main() -> int:
         base = _load(baseline_path)["queries"]
         flagged = []
         for q in sorted(names & set(base)):
-            band = max(spread[q], 0.10)  # floor: sub-noise moves are noise
-            ratio = queries[q] / base[q] if base[q] > 0 else 1.0
-            if ratio > 1.0 + band and queries[q] - base[q] > 0.25:
+            if base[q] > 0 and band_flag(queries[q], base[q], spread[q]) == "above":
                 flagged.append((q, base[q], queries[q], spread[q]))
         if flagged:
             print("outside-band regressions vs", baseline_path)
