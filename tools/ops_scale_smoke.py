@@ -895,7 +895,7 @@ def _r12_traversal_df_block(spark, gc) -> None:
     )
 
 
-def _r13_query_df_block(spark, gc) -> None:
+def _r13_query_df_block(spark, gc, probe_res: int = 8) -> None:
     """Round-13 smoke: query_tableset_cells_df at its DESIGN POINT —
     the res-8 Africa box (76.3M cells) as the probe frame, end-to-end
     through the store (validation job, semi-join partition pruning,
@@ -968,22 +968,27 @@ def _r13_query_df_block(spark, gc) -> None:
     n_pop = store.read_table(sch, meta7).count()
     print(f"population insert (res-7 west half): {time.time() - t0:.1f}s")
 
-    # the design-point probe: the FULL res-8 AOI as a frame (76.3M
-    # cells; a driver list of it would be ~10 GB of Python objects)
+    # the design-point probe: the FULL AOI at probe_res as a frame
+    # (res 8: 76.3M cells; res 9 — the r14 "next decade": ~534M. A
+    # driver list of either would be GBs of Python objects; the cover
+    # stays ~440k rows either way, res 9 just adds one staged offset
+    # expansion inside the plan)
     t0 = time.time()
-    aoi8 = geo.geometry_to_cells_df(spark, AOI, 8).localCheckpoint(eager=True)
+    aoi8 = geo.geometry_to_cells_df(
+        spark, AOI, probe_res
+    ).localCheckpoint(eager=True)
     n_aoi = aoi8.count()
     print(
-        f"geometry_to_cells_df res 8: {n_aoi:,} cells in "
+        f"geometry_to_cells_df res {probe_res}: {n_aoi:,} cells in "
         f"{time.time() - t0:.1f}s"
     )
 
     gc()
     t0 = time.time()
-    # query at the finest base resolution (7) with the res-8 frame as
-    # the probe: the 76M-cell set normalizes to res 7 IN-PLAN
-    # (parent arithmetic + distinct, ~10.9M cells) — the arithmetic
-    # bound stays 76M, well over BROADCAST_MAX_CELLS
+    # query at the finest base resolution (7) with the probe frame:
+    # the cell set normalizes to res 7 IN-PLAN (parent arithmetic +
+    # distinct, ~10.9M cells) — the arithmetic bound stays n_aoi,
+    # well over BROADCAST_MAX_CELLS
     out = store.query_tableset_cells_df("africa_q13", aoi8, 7)
     plan = out.df._jdf.queryExecution().optimizedPlan().toString()
     semi_hints = [
@@ -995,7 +1000,8 @@ def _r13_query_df_block(spark, gc) -> None:
     n_out = out.df.count()
     rss = resource.getrusage(resource.RUSAGE_SELF).ru_maxrss / 1e6
     print(
-        f"query_tableset_cells_df(res 7, 76M-cell res-8 probe): {n_out:,} "
+        f"query_tableset_cells_df(res 7, {n_aoi:,}-cell res-{probe_res} "
+        f"probe): {n_out:,} "
         f"rows in {time.time() - t0:.1f}s; 0 LeftSemi broadcast hints "
         f"in the plan; driver maxrss {rss:.2f} GB "
         f"(populated res-7 rows: {n_pop:,})"
@@ -1089,6 +1095,15 @@ def _r12_cdc_block(spark, gc, n_changes: int = 1_000_000) -> None:
 
 
 def main() -> None:
+    if "--r14-query-df9" in sys.argv:
+        # the next decade of the design point: a ~534M-cell res-9
+        # continent probe through the full store path (r13 verdict
+        # item #5) — exercises the staged offset expansion INSIDE the
+        # query plan, not just standalone
+        spark, gc = _local_session()
+        _r13_query_df_block(spark, gc, probe_res=9)
+        spark.stop()
+        return
     if "--r13-query-df" in sys.argv:
         spark, gc = _local_session()
         _r13_query_df_block(spark, gc)

@@ -419,9 +419,15 @@ class CellStore:
             group = self._insert_job_group
 
             def _write(meta: ResolutionMetadata, level_df: DataFrame) -> None:
+                # the description names the pyramid level so the UI /
+                # status REST API can attribute shuffle bytes per level
+                # (tools/scale_smoke.py --rollup-bytes); the GROUP id —
+                # what cancel_insert() keys on — is unchanged
                 sc.setJobGroup(
                     group,
-                    f"insert into tableset {schema.name}",
+                    f"insert into tableset {schema.name} "
+                    f"[res={meta.resolution}"
+                    f"{'c' if meta.is_compacted else 'b'}]",
                     interruptOnCancel=True,
                 )
                 self._write_table(schema, meta, level_df, options, batch_rows)
