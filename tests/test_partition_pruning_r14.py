@@ -231,3 +231,30 @@ class TestStaticPruningLowerResolution:
         )
         assert "LeftSemi" in _physical(out.df)
         assert _rows(out) == expected
+
+
+class TestListApiWidePruning:
+    def test_above_inlist_bound_still_prunes_statically(
+        self, spark, tmp_path, monkeypatch
+    ):
+        # the list API used to SKIP pruning above MAX_INLIST_CELLS —
+        # a full scan; now anything under STATIC_PRUNE_MAX_PARTITIONS
+        # gets the single-parse IN. Forced via a 0 patch; proven by
+        # the same corrupt-the-other-partitions trick.
+        from ukis_h3cellstore_spark import store as store_mod
+        from ukis_h3cellstore_spark.h3 import cells as h3c
+
+        store, schema, r_a, r_b = _store_with(spark, tmp_path, "pp14g")
+        aoi = h3c.cell_to_children(r_a, 5)
+        expected = _rows(store.query_tableset_cells("pp14g", aoi, 5))
+
+        tables_dir = str(tmp_path / "wh" / "pp14g" / "tables")
+        assert sum(
+            _corrupt_partitions_outside(os.path.join(tables_dir, t), {60})
+            for t in os.listdir(tables_dir)
+        ) > 0
+
+        monkeypatch.setattr(store_mod, "MAX_INLIST_CELLS", 0)
+        out = store.query_tableset_cells("pp14g", aoi, 5)
+        assert _partition_filters(out.df)
+        assert _rows(out) == expected

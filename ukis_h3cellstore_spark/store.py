@@ -1271,6 +1271,13 @@ class CellStore:
             values = sorted({h3c.cell_to_parent(c, target) for c in cells})
         if len(values) <= MAX_INLIST_CELLS:
             df = df.filter(F.col("h3part").isin(values))
+        elif len(values) <= STATIC_PRUNE_MAX_PARTITIONS:
+            # used to skip pruning entirely above MAX_INLIST_CELLS — a
+            # full scan; the single-parse SQL IN makes wide static
+            # PartitionFilters cheap (see _prune_partitions_df)
+            df = df.filter(
+                F.expr("h3part IN (%s)" % ",".join(map(str, values)))
+            )
         return df
 
     # ----------------------------------------------------------------- Q4 stats
