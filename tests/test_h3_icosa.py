@@ -131,3 +131,48 @@ def test_vendored_hex_gate_vectors_current():
         lng = ((eid * 7919) % 36000) / 100.0 - 180.0
         lat = ((eid * 104729) % 14000) / 100.0 - 70.0
         assert icosa.latlng_to_cell(lat, lng, 5) == cell
+
+
+class TestChildrenOneLevelNp:
+    """Round-14: the vectorized one-level child expansion that keeps
+    the hierarchical polyfill's recursion band out of Python lists —
+    cell-for-cell parity with cells.cell_to_children, pentagon chains
+    included."""
+
+    def test_parity_with_scalar_form(self):
+        import random
+
+        import numpy as np
+
+        from ukis_h3cellstore_spark.h3 import cells as _cells
+        from ukis_h3cellstore_spark.h3 import icosa
+
+        rng = random.Random(1234)
+        for level in [0, 1, 2, 5, 8, 14]:
+            parents = []
+            for bc in (4, 14, 38, 117, 60, 20, 33):  # pentagons + hexagons
+                c = _cells.build_cell(bc, [])
+                for r in range(level):
+                    kids = _cells.cell_to_children(c, r + 1)
+                    # mix center-chain (pentagon-preserving) and random
+                    c = kids[0] if bc in (4, 14) else rng.choice(kids)
+                parents.append(c)
+            arr = np.array(parents, dtype=np.int64)
+            got = sorted(int(x) for x in icosa.children_one_level_np(arr, level))
+            want = sorted(
+                k for c in parents for k in _cells.cell_to_children(c, level + 1)
+            )
+            assert got == want
+
+    def test_pentagon_chain_skips_k_axis(self):
+        import numpy as np
+
+        from ukis_h3cellstore_spark.h3 import cells as _cells
+        from ukis_h3cellstore_spark.h3 import icosa
+
+        pent5 = _cells.build_cell(4, [0, 0, 0, 0, 0])  # res-5 pentagon
+        kids = icosa.children_one_level_np(
+            np.array([pent5], dtype=np.int64), 5
+        )
+        assert len(kids) == 6  # K-axis child deleted
+        assert sorted(int(k) for k in kids) == _cells.cell_to_children(pent5, 6)

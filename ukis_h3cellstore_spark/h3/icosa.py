@@ -1497,6 +1497,37 @@ def polygon_to_cells_hierarchical(
     return sorted(out)
 
 
+def children_one_level_np(cells, level: int):
+    """One-level child expansion as pure int64 array arithmetic — the
+    numpy twin of :func:`cells.cell_to_children` for a single level
+    (pentagon-chain parents skip the K-axis digit; parity pytest-
+    pinned cell-for-cell). Exists so the hierarchical polyfill's
+    recursion band never materializes as a Python int list: a 1.7M-
+    cell res-9 band costs ~13 MB here vs ~450 MB of list/temporary
+    churn through the per-parent recursive form."""
+    import numpy as np
+
+    next_res = level + 1
+    shift = np.int64(3 * (15 - next_res))
+    shifted = (cells & np.int64(~_cells._RES_MASK)) | np.int64(next_res << 52)
+    cleared = shifted & ~(np.int64(0x7) << shift)
+    kids = cleared[:, None] | (np.arange(7, dtype=np.int64) << shift)[None, :]
+    pent = np.isin((cells >> np.int64(45)) & np.int64(0x7F), _PENTAGON_ARRAY)
+    if level > 0:
+        # on the pentagon chain only while digits 1..level are all 0
+        lo = 3 * (15 - level)
+        region = ((np.int64(1) << np.int64(45 - lo)) - 1) << np.int64(lo)
+        pent &= (cells & region) == 0
+    if pent.any():
+        keep = np.ones(kids.shape, dtype=bool)
+        keep[pent, _cells._K_AXES_DIGIT] = False
+        return kids[keep]
+    return kids.reshape(-1)
+
+
+_PENTAGON_ARRAY = sorted(PENTAGONS)
+
+
 def polygon_to_cells_cover(
     rings, res: int, max_level_candidates: int = 20_000
 ) -> tuple[list[tuple[int, int]], list[int]]:
@@ -1540,54 +1571,92 @@ def polygon_to_cells_cover(
             axis=1,
         )  # (K, 3) unit vectors
 
+    def max_dot(rows, bnd):
+        # blocked: the (cells × samples) matrix never materializes
+        # whole (1024-row blocks bound the working set)
+        out = np.empty(rows.shape[0])
+        for b in range(0, rows.shape[0], 1024):
+            out[b : b + 1024] = (rows[b : b + 1024] @ bnd.T).max(axis=1)
+        return out
+
+    CHUNK = 262_144  # bounds every per-level numpy temporary
     interior: list[tuple[int, int]] = []
     leaves: list[int] = []
     level_cells = np.array(grid_disk(center, kk), dtype=np.int64)
     for level in range(start, res + 1):
         if level_cells.size == 0:
             break
-        lats, lngs = cell_to_latlng_np(level_cells)
         if level == res:
             # the target level needs no distance pass at all — every
-            # surviving band cell gets the exact containment test
-            # (this is also where a full-matrix pass would be most
-            # expensive: band × samples is quadratic in perimeter)
-            for lat, lng, c in zip(lats, lngs, level_cells):
-                if point_in_polygon(float(lng), float(lat), rings):
-                    leaves.append(int(c))
+            # surviving band cell gets the exact containment test, in
+            # bounded chunks (the full-band latlng temporaries were
+            # the driver-memory peak of a res-9 continent cover)
+            for lo in range(0, level_cells.size, CHUNK):
+                blk = level_cells[lo : lo + CHUNK]
+                lats, lngs = cell_to_latlng_np(blk)
+                for lat, lng, c in zip(lats, lngs, blk):
+                    if point_in_polygon(float(lng), float(lat), rings):
+                        leaves.append(int(c))
             break
         spacing = mean_edge_length_rads(level) * math.sqrt(3.0)
-        # per-level samples: step = one spacing of THIS level, so the
-        # sample count tracks the level's own boundary-cell count
-        # (slack of one step is subtracted from the distance bound —
-        # an underestimate only widens the band, never flips a cell)
-        bnd = boundary_vectors(math.degrees(spacing))
-        clat = np.radians(lats)
-        clng = np.radians(lngs)
-        ctr = np.stack(
-            [np.cos(clat) * np.cos(clng), np.cos(clat) * np.sin(clng), np.sin(clat)],
-            axis=1,
-        )
-        # blocked max-dot: the (cells × samples) matrix never
-        # materializes whole (1024-row blocks bound the working set)
-        max_dot = np.empty(ctr.shape[0])
-        for lo in range(0, ctr.shape[0], 1024):
-            hi = lo + 1024
-            max_dot[lo:hi] = (ctr[lo:hi] @ bnd.T).max(axis=1)
-        d_lb = np.arccos(np.clip(max_dot, -1.0, 1.0)) - spacing
         margin = _HIER_MARGIN_SPACINGS * spacing
-        far = d_lb > margin
-        near_idx = np.nonzero(~far)[0]
-        far_idx = np.nonzero(far)[0]
-        # far cells: one center test decides the whole subtree
-        for i in far_idx:
-            if point_in_polygon(float(lngs[i]), float(lats[i]), rings):
-                interior.append((int(level_cells[i]), level))
-        # boundary band: recurse one level finer
-        nxt: list[int] = []
-        for i in near_idx:
-            nxt.extend(_cells.cell_to_children(int(level_cells[i]), level + 1))
-        level_cells = np.array(nxt, dtype=np.int64)
+        # two-tier distance pass. Fine samples: step = one spacing of
+        # THIS level, so the sample count tracks the level's own
+        # boundary-cell count (slack of one step is subtracted from
+        # the distance bound — an underestimate only widens the band,
+        # never flips a cell). But band × fine-samples is quadratic
+        # in perimeter — the dominant cover cost at continent scale —
+        # so a COARSE sample set (8× the step, 8× fewer samples)
+        # first decides the cells that clear the margin even after
+        # paying BOTH passes' sampling slack: for those,
+        # d_fine ≥ d_true ≥ d_coarse − coarse_step, hence
+        # d_coarse − coarse_step − fine_step > margin ⟹ the fine
+        # criterion already holds — coarse-far ⊆ fine-far, and the
+        # classification is IDENTICAL to the fine-only pass
+        # (equality with the flat form stays pytest-pinned). Only the
+        # thin uncertain shell pays the fine max-dot.
+        bnd_fine = boundary_vectors(math.degrees(spacing))
+        coarse_step = 8.0 * spacing
+        bnd_coarse = boundary_vectors(math.degrees(coarse_step))
+        coarse_slack = coarse_step + spacing
+        near_parts: list = []
+        for lo in range(0, level_cells.size, CHUNK):
+            blk = level_cells[lo : lo + CHUNK]
+            lats, lngs = cell_to_latlng_np(blk)
+            clat = np.radians(lats)
+            clng = np.radians(lngs)
+            ctr = np.stack(
+                [
+                    np.cos(clat) * np.cos(clng),
+                    np.cos(clat) * np.sin(clng),
+                    np.sin(clat),
+                ],
+                axis=1,
+            )
+            d_coarse = np.arccos(np.clip(max_dot(ctr, bnd_coarse), -1.0, 1.0))
+            far = d_coarse - coarse_slack > margin
+            unsure = np.nonzero(~far)[0]
+            if unsure.size:
+                d_fine = (
+                    np.arccos(
+                        np.clip(max_dot(ctr[unsure], bnd_fine), -1.0, 1.0)
+                    )
+                    - spacing
+                )
+                far[unsure] = d_fine > margin
+            # far cells: one center test decides the whole subtree
+            for i in np.nonzero(far)[0]:
+                if point_in_polygon(float(lngs[i]), float(lats[i]), rings):
+                    interior.append((int(blk[i]), level))
+            # boundary band: recurse one level finer
+            near = blk[~far]
+            if near.size:
+                near_parts.append(children_one_level_np(near, level))
+        level_cells = (
+            np.concatenate(near_parts)
+            if near_parts
+            else np.empty(0, dtype=np.int64)
+        )
     return interior, leaves
 
 
