@@ -258,3 +258,71 @@ class TestListApiWidePruning:
         out = store.query_tableset_cells("pp14g", aoi, 5)
         assert _partition_filters(out.df)
         assert _rows(out) == expected
+
+
+class TestPhysicalPartitionIntersection:
+    def test_huge_bound_physical_listing_recovers_static(
+        self, spark, tmp_path, monkeypatch
+    ):
+        # arithmetic bound huge AND above the cap — but the table's
+        # PHYSICAL partition listing fits, so the probe's parents are
+        # intersected with it (one bounded job) and the scan still
+        # gets static PartitionFilters; proven by corrupting every
+        # partition outside the AOI
+        from ukis_h3cellstore_spark import store as store_mod
+        from ukis_h3cellstore_spark.h3 import cells as h3c
+        from ukis_h3cellstore_spark.query import cells_frame
+
+        store, schema, r_a, r_b = _store_with(
+            spark, tmp_path, "pp14h", partitioning=("lower_resolution", 3)
+        )
+        aoi = h3c.cell_to_children(r_a, 5)
+        expected = _rows(store.query_tableset_cells("pp14h", aoi, 5))
+
+        keep = set()
+        for m in schema.resolution_metadata():
+            pr = max(m.resolution - 3, 0)
+            keep.update(h3c.cell_to_parent(c, pr) for c in aoi)
+        tables_dir = str(tmp_path / "wh" / "pp14h" / "tables")
+        assert sum(
+            _corrupt_partitions_outside(os.path.join(tables_dir, t), keep)
+            for t in os.listdir(tables_dir)
+        ) > 0
+
+        # two res-0 regions => 98 physical res-2 partitions on the
+        # res-5 table; cap at exactly that so the arithmetic bound
+        # (5,882) exceeds it but the physical listing fits
+        monkeypatch.setattr(store_mod, "STATIC_PRUNE_MAX_PARTITIONS", 98)
+        out = store.query_tableset_cells_df(
+            "pp14h", cells_frame(spark, "h3index", aoi), 5
+        )
+        assert _partition_filters(out.df)
+        # no semi-join ON THE PARTITION COLUMN (the h3index cell-
+        # membership semi-join is legitimate: 16,807 AOI cells exceed
+        # the cell IN-list bound)
+        assert not [
+            ln
+            for ln in _physical(out.df).splitlines()
+            if "LeftSemi" in ln and "h3part" in ln
+        ]
+        assert _rows(out) == expected
+
+    def test_listing_reads_expected_values(self, spark, tmp_path):
+        from ukis_h3cellstore_spark.h3 import cells as h3c
+
+        store, schema, r_a, r_b = _store_with(
+            spark, tmp_path, "pp14i", partitioning=("lower_resolution", 3)
+        )
+        meta = [
+            m
+            for m in schema.resolution_metadata()
+            if m.resolution == 5 and not m.is_compacted
+        ][0]
+        got = store._physical_partition_values("pp14i", meta)
+        want = {
+            h3c.cell_to_parent(c, 2)
+            for r in (r_a, r_b)
+            for c in h3c.cell_to_children(r, 5)
+        }
+        assert got is not None and set(got) == want
+        assert store._physical_partition_values("nope", meta) is None

@@ -1224,9 +1224,31 @@ class CellStore:
         if pv_bound <= STATIC_PRUNE_MAX_PARTITIONS:
             values = [r["h3part"] for r in vals_df.collect()]
         else:
-            sample = vals_df.limit(STATIC_PRUNE_MAX_PARTITIONS + 1).collect()
-            if len(sample) <= STATIC_PRUNE_MAX_PARTITIONS:
-                values = [r["h3part"] for r in sample]
+            physical = self._physical_partition_values(schema.name, meta)
+            if (
+                physical is not None
+                and len(physical) <= STATIC_PRUNE_MAX_PARTITIONS
+            ):
+                # the filter only ever keeps partitions that physically
+                # exist, so intersect the probe's parents with the
+                # table's directory listing: ONE job whose output is
+                # bounded by the PHYSICAL partition count regardless of
+                # the probe's size — static pruning stays reachable for
+                # any table with a sane layout even when the probe's
+                # arithmetic bound is planetary
+                phys_df = self.spark.createDataFrame(
+                    [(v,) for v in sorted(physical)], "h3part long"
+                )
+                values = [
+                    r["h3part"]
+                    for r in vals_df.join(
+                        F.broadcast(phys_df), on="h3part", how="leftsemi"
+                    ).collect()
+                ]
+            else:
+                sample = vals_df.limit(STATIC_PRUNE_MAX_PARTITIONS + 1).collect()
+                if len(sample) <= STATIC_PRUNE_MAX_PARTITIONS:
+                    values = [r["h3part"] for r in sample]
         if values is not None:
             if not values:
                 return df.filter(F.lit(False))
@@ -1240,6 +1262,28 @@ class CellStore:
         if pv_bound <= build_query.BROADCAST_MAX_CELLS:
             vals_df = F.broadcast(vals_df)
         return df.join(vals_df, on="h3part", how="leftsemi")
+
+    def _physical_partition_values(
+        self, tableset_name: str, meta: ResolutionMetadata
+    ) -> list[int] | None:
+        """The ``h3part`` values physically present in one pyramid
+        table, read from the partition directory names (h3part is
+        always the FIRST partition column, so they are the top-level
+        entries). A driver-side listing bounded by the table's layout
+        — the same metadata a file-index partition discovery reads —
+        used to cap the static-pruning collect independently of the
+        probe's size. ``None`` when the table directory is missing."""
+        path = self._table_path(tableset_name, meta)
+        if not os.path.isdir(path):
+            return None
+        out: list[int] = []
+        for name in os.listdir(path):
+            if name.startswith("h3part="):
+                try:
+                    out.append(int(name.split("=", 1)[1]))
+                except ValueError:
+                    return None  # unexpected layout: don't guess
+        return out
 
     def _tableset_from_schema(self, name: str, schema: CompactedTableSchema) -> TableSet:
         metas = schema.resolution_metadata()
