@@ -1094,7 +1094,54 @@ def _r12_cdc_block(spark, gc, n_changes: int = 1_000_000) -> None:
     )
 
 
+def _r14_polyfill10_block(spark, gc) -> None:
+    """Round-14 extension smoke: `geometry_to_cells_df` at res 10 over
+    the Africa box — ~3.7B cells, two decades above the 76M res-8
+    design point — counted in ONE streaming pass.  Nothing (driver or
+    executor storage) ever holds the cell set: the driver classifies
+    the perimeter-sized cover, the interior expands executor-side via
+    two staged ≤7^6-row offset cross-joins, and the count aggregates
+    map-side.  Companion to the standalone res-10 cover measurement
+    (the driver half) recorded in docs/SCALE.md."""
+    import resource
+    import time
+
+    from ukis_h3cellstore_spark import geo
+
+    AOI = {
+        "type": "Polygon",
+        "coordinates": [
+            [(-20, -35), (50, -35), (50, 35), (-20, 35), (-20, -35)]
+        ],
+    }
+    gc()
+    t0 = time.time()
+    df = geo.geometry_to_cells_df(spark, AOI, 10)
+    n = df.count()
+    dt = time.time() - t0
+    rss = resource.getrusage(resource.RUSAGE_SELF).ru_maxrss / 1e6
+    print(
+        f"geometry_to_cells_df res 10 (streaming count, no "
+        f"materialization): {n:,} cells in {dt:.1f}s "
+        f"({n / dt / 1e6:,.1f}M cells/s); driver maxrss {rss:.2f} GB"
+    )
+
+
 def main() -> None:
+    if "--r14-polyfill10" in sys.argv:
+        # two decades above the r12 polyfill design point: the res-10
+        # Africa box is ~3.7B cells — far larger than this host's
+        # storage, so the smoke COUNTS the expansion in one streaming
+        # pass (no checkpoint, nothing materialized anywhere): cover
+        # (~2M rows) -> two staged ≤7^6-row offset expansions inside
+        # the plan -> count. Proves the expansion pipeline itself is
+        # storage-free at 3.7B cells; the full store-path query stays
+        # pinned at res 9 (--r14-query-df9) where the probe checkpoint
+        # fits local disk.
+        spark, gc = _local_session()
+        _r14_polyfill10_block(spark, gc)
+        spark.stop()
+        return
     if "--r14-query-df9" in sys.argv:
         # the next decade of the design point: a ~534M-cell res-9
         # continent probe through the full store path (r13 verdict

@@ -264,6 +264,66 @@ def point_in_polygon(x: float, y: float, rings: Sequence) -> bool:
     return inside
 
 
+def points_in_polygon_np(lngs, lats, rings):
+    """:func:`point_in_polygon` vectorized over POINT ARRAYS — the
+    rings/edges loop stays scalar (edge counts are perimeter-sized),
+    each edge's crossing test runs as one numpy pass over all points.
+    Every float operation is the scalar form's operation broadcast
+    (the longitude wrap applies the same conditional ±360 the while
+    loop would), so verdicts are bitwise-identical to calling
+    :func:`point_in_polygon` per point — pinned by fuzz test.  This
+    is the hierarchical polyfill's final-level containment test: a
+    res-10 continent band is millions of centers, where the scalar
+    call dominated the cover's wall."""
+    import numpy as np
+
+    X = np.ascontiguousarray(lngs, dtype=np.float64)
+    Y = np.ascontiguousarray(lats, dtype=np.float64)
+    inside = np.zeros(X.shape, dtype=bool)
+    for ring in rings:
+        n = len(ring)
+        if n < 3:
+            continue
+        cross_below = np.zeros(X.shape, dtype=np.int64)
+        winding = 0.0
+        lat_sum = 0.0
+        for a in range(n):
+            x1, y1 = ring[a][0], ring[a][1]
+            x2, y2 = ring[(a + 1) % n][0], ring[(a + 1) % n][1]
+            lat_sum += y1
+            dl = _wrap_lng(x2 - x1)
+            winding += dl
+            if dl == 0.0:
+                continue  # meridian-parallel edge: no transversal cross
+            off = X - x1
+            # _wrap_lng per element: same iterated ±360 as the scalar
+            # while loop (one pass in practice — deltas of in-range
+            # longitudes span at most one wrap)
+            while True:
+                high = off > 180.0
+                if not high.any():
+                    break
+                off = np.where(high, off - 360.0, off)
+            while True:
+                low = off <= -180.0
+                if not low.any():
+                    break
+                off = np.where(low, off + 360.0, off)
+            if dl > 0.0:
+                m = (0.0 <= off) & (off < dl)
+            else:
+                m = (dl < off) & (off <= 0.0)
+            ycross = y1 + (off / dl) * (y2 - y1)
+            cross_below += m & (ycross < Y)
+        ring_inside = (cross_below & 1).astype(bool)
+        if abs(winding) > 180.0:  # |W| ≈ 360: pole-enclosing ring
+            if lat_sum / n <= 0.0:
+                # south cap: meridian-ray parity inverted (scalar form)
+                ring_inside = ~ring_inside
+        inside ^= ring_inside
+    return inside
+
+
 def densify_ring(ring: Sequence, step: float) -> list[tuple[float, float]]:
     """Insert points along each segment so consecutive samples are at
     most ``step`` degrees apart (reference densifies offset polylines,
@@ -381,28 +441,39 @@ def geometry_to_cells_df(
         return cells_frame(spark, h3name, geometry_to_cells(gi, res, g))
     from ukis_h3cellstore_spark.h3 import icosa
 
+    import numpy as np
+
     polys = (
         [gi["coordinates"]] if gtype == "Polygon" else list(gi["coordinates"])
     )
-    interior: list[tuple[int, int]] = []
-    leaves: set[int] = set()
+    # numpy end-to-end: the leaf band of a res-10 continent is ~2.3M
+    # cells — as Python set/list it was the polyfill's driver-RSS
+    # peak; as int64 arrays it is ~18 MB and ships to Spark as one
+    # Arrow buffer (cells_frame)
+    ic_parts: list = []
+    il_parts: list = []
+    leaf_parts: list = []
     for poly in polys:
-        inn, lv = icosa.polygon_to_cells_cover(poly, res)
-        interior.extend(inn)
-        leaves.update(lv)
-        leaves.update(ring_cells(poly[0], res, g))
-    by_level: dict[int, list[int]] = {}
-    for c, lvl in interior:
-        by_level.setdefault(lvl, []).append(c)
-    parts = [cells_frame(spark, h3name, sorted(leaves))]
-    for lvl, cs in sorted(by_level.items()):
+        ic, il, lv = icosa.polygon_to_cells_cover_np(poly, res)
+        ic_parts.append(ic)
+        il_parts.append(il)
+        leaf_parts.append(lv)
+        leaf_parts.append(np.array(ring_cells(poly[0], res, g), dtype=np.int64))
+    inter_cells = np.concatenate(ic_parts)
+    inter_levels = np.concatenate(il_parts)
+    # sorted-unique == the old sorted(set(...)) union across polygons
+    leaves = np.unique(np.concatenate(leaf_parts))
+    parts = [cells_frame(spark, h3name, leaves)]
+    for lvl in np.unique(inter_levels):
         # staged expansion: an interior res-0/1 subtree under a res-9
         # target would otherwise broadcast a 7^8+ offsets frame
         parts.append(
             hx.h3_expand_to_children(
-                cells_frame(spark, h3name, sorted(cs)),
+                cells_frame(
+                    spark, h3name, np.sort(inter_cells[inter_levels == lvl])
+                ),
                 h3name,
-                lvl,
+                int(lvl),
                 res,
                 filter_invalid=True,
             )

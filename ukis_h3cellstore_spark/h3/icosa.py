@@ -1539,10 +1539,33 @@ def polygon_to_cells_cover(
     and ``leaves`` are exact target-resolution cells already decided
     by a containment test. ``expand(interior) ∪ leaves`` equals
     :func:`polygon_to_cells` exactly; driver cost is classification
-    only (perimeter-sized), never the area."""
+    only (perimeter-sized), never the area.
+
+    List-returning wrapper over :func:`polygon_to_cells_cover_np` —
+    planet-scale callers (``geo.geometry_to_cells_df``) use the numpy
+    form directly so the multi-million-cell leaf band never boxes
+    into Python objects."""
+    ic, il, lv = polygon_to_cells_cover_np(rings, res, max_level_candidates)
+    return (
+        [(int(c), int(l)) for c, l in zip(ic, il)],
+        [int(c) for c in lv],
+    )
+
+
+def polygon_to_cells_cover_np(
+    rings, res: int, max_level_candidates: int = 20_000
+):
+    """:func:`polygon_to_cells_cover` returning numpy int64 arrays
+    ``(interior_cells, interior_levels, leaves)`` — identical
+    classification, no per-cell Python objects: the final-level
+    containment test runs vectorized (``geo.points_in_polygon_np``,
+    bitwise-equal to the scalar rule) and the leaf band accumulates
+    as array chunks.  At a res-10 continent cover (~2.3M leaves) the
+    scalar per-center loop and boxed-int lists dominated both wall
+    and driver RSS."""
     import numpy as np
 
-    from ..geo import densify_ring, point_in_polygon
+    from ..geo import _wrap_lng, densify_ring, points_in_polygon_np
 
     # coarsest start level whose covering disk is affordable
     start = res
@@ -1552,36 +1575,102 @@ def polygon_to_cells_cover(
             break
         start -= 1
     center, kk = _poly_anchor(rings, start)
+    empty = np.empty(0, dtype=np.int64)
     if start == res:
-        return [], polygon_to_cells(rings, res)
+        return (
+            empty,
+            empty,
+            np.array(polygon_to_cells(rings, res), dtype=np.int64),
+        )
 
-    def boundary_vectors(step_deg: float):
-        pts: list[tuple[float, float]] = []
-        for ring in rings:
-            if len(ring) >= 3:
-                pts.extend(densify_ring(ring, step_deg))
-        latr = np.radians(np.array([p[1] for p in pts]))
-        lngr = np.radians(np.array([p[0] for p in pts]))
-        return np.stack(
-            [
-                np.cos(latr) * np.cos(lngr),
-                np.cos(latr) * np.sin(lngr),
-                np.sin(latr),
-            ],
-            axis=1,
-        )  # (K, 3) unit vectors
+    # ---- exact chord-segment distance machinery (level-independent,
+    # built ONCE per cover). The boundary is the plate-carrée polyline
+    # point_in_polygon tests against; densify it at a FIXED fine step
+    # and take the resulting vertices as CHORD endpoints: the distance
+    # from a cell center to the chord polyline is EXACT (per-segment:
+    # great-circle-foot distance when the foot falls inside the arc,
+    # else nearest-endpoint distance), so the only slack left is the
+    # deviation of the true path from its chords.  For a plate-carrée
+    # sub-segment with per-axis radian spans (Δφ, Δλ), each 3D
+    # coordinate of the path is a sum of sinusoids in the interp
+    # parameter with total frequency s = |Δφ|+|Δλ|, so |r''| ≤ √3·s²
+    # and the chord deviation is ≤ √3·s²/8 < 0.25·s² (normalization
+    # of the near-unit chord adds only O(dev²)).  At the 0.25° step
+    # that is ≤ 2e-5 rad — a few percent of even a res-11 margin —
+    # versus the ONE-SPACING slack of the former sampled max-dot pass,
+    # which forced a per-level sample set (cells × samples GEMM,
+    # quadratic in perimeter) and a coarse pre-pass whose 9-spacing
+    # slack exceeded the recursion band's own width, so it pruned
+    # nothing: every band cell paid the fine GEMM.  Exact distances
+    # cost (vertices + 3·segments) dot products per cell — fixed for
+    # ALL levels — and prune the band tighter than the sampled form
+    # ever could.
+    _STEP_DEG = 0.25
+    verts: list = []
+    seg_a: list = []
+    seg_b: list = []
+    dev = 0.0
+    for ring in rings:
+        if len(ring) < 3:
+            continue
+        pts = densify_ring(ring, _STEP_DEG)
+        m = len(pts)
+        base = len(verts)
+        verts.extend(pts)
+        seg_a.extend(range(base, base + m))
+        seg_b.extend([base + (i + 1) % m for i in range(m)])
+        for i in range(m):
+            x1, y1 = pts[i]
+            x2, y2 = pts[(i + 1) % m]
+            s = math.radians(abs(_wrap_lng(x2 - x1)) + abs(y2 - y1))
+            dev = max(dev, 0.25 * s * s)
+    vlat = np.radians(np.array([p[1] for p in verts]))
+    vlng = np.radians(np.array([p[0] for p in verts]))
+    V = np.stack(
+        [np.cos(vlat) * np.cos(vlng), np.cos(vlat) * np.sin(vlng),
+         np.sin(vlat)],
+        axis=1,
+    )  # (K, 3) unit vertex vectors
+    A = V[np.array(seg_a, dtype=np.int64)]
+    B = V[np.array(seg_b, dtype=np.int64)]
+    cr = np.cross(A, B)
+    nrm = np.linalg.norm(cr, axis=1)
+    ok = nrm > 1e-14  # drop zero-length chords (repeated vertices)
+    n_hat = cr[ok] / nrm[ok, None]
+    U = np.cross(n_hat, A[ok])  # P·U ≥ 0 ∧ P·W ≥ 0 ⟺ foot inside arc
+    W = np.cross(B[ok], n_hat)
 
-    def max_dot(rows, bnd):
-        # blocked: the (cells × samples) matrix never materializes
-        # whole (1024-row blocks bound the working set)
-        out = np.empty(rows.shape[0])
-        for b in range(0, rows.shape[0], 1024):
-            out[b : b + 1024] = (rows[b : b + 1024] @ bnd.T).max(axis=1)
+    def min_arc_dist(ctr):
+        # exact distance to the chord polyline, blocked so no
+        # temporary exceeds a few MB: per row-block, a running max
+        # over vertex dots and a running min over in-arc plane sines
+        N = ctr.shape[0]
+        out = np.empty(N)
+        for rb in range(0, N, 4096):
+            P = ctr[rb : rb + 4096]
+            cmax = np.full(P.shape[0], -1.0)
+            for vb in range(0, V.shape[0], 2048):
+                np.maximum(
+                    cmax, (P @ V[vb : vb + 2048].T).max(axis=1), out=cmax
+                )
+            smin = np.full(P.shape[0], np.inf)
+            for eb in range(0, n_hat.shape[0], 512):
+                pn = np.abs(P @ n_hat[eb : eb + 512].T)
+                inarc = (P @ U[eb : eb + 512].T >= 0.0) & (
+                    P @ W[eb : eb + 512].T >= 0.0
+                )
+                pn[~inarc] = np.inf
+                np.minimum(smin, pn.min(axis=1), out=smin)
+            out[rb : rb + 4096] = np.minimum(
+                np.arcsin(np.clip(smin, 0.0, 1.0)),
+                np.arccos(np.clip(cmax, -1.0, 1.0)),
+            )
         return out
 
     CHUNK = 262_144  # bounds every per-level numpy temporary
-    interior: list[tuple[int, int]] = []
-    leaves: list[int] = []
+    interior_cells_parts: list = []
+    interior_levels_parts: list = []
+    leaf_parts: list = []
     level_cells = np.array(grid_disk(center, kk), dtype=np.int64)
     for level in range(start, res + 1):
         if level_cells.size == 0:
@@ -1594,31 +1683,10 @@ def polygon_to_cells_cover(
             for lo in range(0, level_cells.size, CHUNK):
                 blk = level_cells[lo : lo + CHUNK]
                 lats, lngs = cell_to_latlng_np(blk)
-                for lat, lng, c in zip(lats, lngs, blk):
-                    if point_in_polygon(float(lng), float(lat), rings):
-                        leaves.append(int(c))
+                leaf_parts.append(blk[points_in_polygon_np(lngs, lats, rings)])
             break
         spacing = mean_edge_length_rads(level) * math.sqrt(3.0)
         margin = _HIER_MARGIN_SPACINGS * spacing
-        # two-tier distance pass. Fine samples: step = one spacing of
-        # THIS level, so the sample count tracks the level's own
-        # boundary-cell count (slack of one step is subtracted from
-        # the distance bound — an underestimate only widens the band,
-        # never flips a cell). But band × fine-samples is quadratic
-        # in perimeter — the dominant cover cost at continent scale —
-        # so a COARSE sample set (8× the step, 8× fewer samples)
-        # first decides the cells that clear the margin even after
-        # paying BOTH passes' sampling slack: for those,
-        # d_fine ≥ d_true ≥ d_coarse − coarse_step, hence
-        # d_coarse − coarse_step − fine_step > margin ⟹ the fine
-        # criterion already holds — coarse-far ⊆ fine-far, and the
-        # classification is IDENTICAL to the fine-only pass
-        # (equality with the flat form stays pytest-pinned). Only the
-        # thin uncertain shell pays the fine max-dot.
-        bnd_fine = boundary_vectors(math.degrees(spacing))
-        coarse_step = 8.0 * spacing
-        bnd_coarse = boundary_vectors(math.degrees(coarse_step))
-        coarse_slack = coarse_step + spacing
         near_parts: list = []
         for lo in range(0, level_cells.size, CHUNK):
             blk = level_cells[lo : lo + CHUNK]
@@ -1633,21 +1701,20 @@ def polygon_to_cells_cover(
                 ],
                 axis=1,
             )
-            d_coarse = np.arccos(np.clip(max_dot(ctr, bnd_coarse), -1.0, 1.0))
-            far = d_coarse - coarse_slack > margin
-            unsure = np.nonzero(~far)[0]
-            if unsure.size:
-                d_fine = (
-                    np.arccos(
-                        np.clip(max_dot(ctr[unsure], bnd_fine), -1.0, 1.0)
-                    )
-                    - spacing
-                )
-                far[unsure] = d_fine > margin
+            # d − dev lower-bounds the true boundary distance (the
+            # chord-deviation proof above); an underestimate only
+            # widens the band, never flips a far cell
+            far = min_arc_dist(ctr) - dev > margin
             # far cells: one center test decides the whole subtree
-            for i in np.nonzero(far)[0]:
-                if point_in_polygon(float(lngs[i]), float(lats[i]), rings):
-                    interior.append((int(blk[i]), level))
+            fi = np.nonzero(far)[0]
+            if fi.size:
+                ins = points_in_polygon_np(lngs[fi], lats[fi], rings)
+                inside_cells = blk[fi[ins]]
+                if inside_cells.size:
+                    interior_cells_parts.append(inside_cells)
+                    interior_levels_parts.append(
+                        np.full(inside_cells.size, level, dtype=np.int64)
+                    )
             # boundary band: recurse one level finer
             near = blk[~far]
             if near.size:
@@ -1657,7 +1724,14 @@ def polygon_to_cells_cover(
             if near_parts
             else np.empty(0, dtype=np.int64)
         )
-    return interior, leaves
+    cat = lambda parts: (  # noqa: E731
+        np.concatenate(parts) if parts else np.empty(0, dtype=np.int64)
+    )
+    return (
+        cat(interior_cells_parts),
+        cat(interior_levels_parts),
+        cat(leaf_parts),
+    )
 
 
 # ------------------------------------------------ vectorized forward

@@ -90,10 +90,17 @@ def cells_frame(spark: SparkSession, name: str, cells) -> DataFrame:
     list (~1.5M cells) the tuple path serializes row by row through
     the JVM gateway and holds several list copies on the driver; the
     Arrow path ships one int64 buffer."""
+    import numpy as np
     import pandas as pd
 
+    if isinstance(cells, np.ndarray):
+        # zero-boxing: the planet-scale polyfill hands its leaf band
+        # straight through as one int64 buffer
+        col = cells.astype(np.int64, copy=False)
+    else:
+        col = pd.array(list(cells), dtype="int64")
     return spark.createDataFrame(
-        pd.DataFrame({name: pd.array(list(cells), dtype="int64")}),
+        pd.DataFrame({name: col}),
         schema=f"{name} long",  # explicit: empty lists can't infer
     )
 
