@@ -463,6 +463,26 @@ def geometry_to_cells_df(
     inter_levels = np.concatenate(il_parts)
     # sorted-unique == the old sorted(set(...)) union across polygons
     leaves = np.unique(np.concatenate(leaf_parts))
+    # only pentagon-rooted subtrees contain invalid (K-axis) children,
+    # so the ~45-node per-row validity filter — priced on EVERY row of
+    # a multi-billion-cell expansion — is conditioned on an exact
+    # vectorized pentagon test of the interior parents (same
+    # conditioning the store's uncompaction applies via any_pentagon)
+    from ukis_h3cellstore_spark.h3 import cells as h3c
+
+    pent_bases = np.fromiter(h3c.PENTAGON_BASE_CELLS, dtype=np.int64)
+    ts_by_res = np.array(
+        [h3c.trailing_sevens(r) for r in range(16)], dtype=np.int64
+    )
+    any_pentagon = bool(
+        np.any(
+            np.isin((inter_cells >> 45) & 0x7F, pent_bases)
+            & (
+                (inter_cells & h3c._DIGIT_AREA_MASK)
+                == ts_by_res[inter_levels]
+            )
+        )
+    )
     parts = [cells_frame(spark, h3name, leaves)]
     for lvl in np.unique(inter_levels):
         # staged expansion: an interior res-0/1 subtree under a res-9
@@ -475,7 +495,7 @@ def geometry_to_cells_df(
                 h3name,
                 int(lvl),
                 res,
-                filter_invalid=True,
+                filter_invalid=any_pentagon,
             )
         )
     df = parts[0]
