@@ -464,40 +464,41 @@ def geometry_to_cells_df(
     # sorted-unique == the old sorted(set(...)) union across polygons
     leaves = np.unique(np.concatenate(leaf_parts))
     # only pentagon-rooted subtrees contain invalid (K-axis) children,
-    # so the ~45-node per-row validity filter — priced on EVERY row of
-    # a multi-billion-cell expansion — is conditioned on an exact
-    # vectorized pentagon test of the interior parents (same
-    # conditioning the store's uncompaction applies via any_pentagon)
+    # and at most 12 cover parents can BE pentagons — so the interior
+    # set is split PER PARENT: the (≤12-row) pentagon side expands
+    # with the ~45-node per-row validity filter, everything else
+    # without it.  A continent AOI that happens to cover one pentagon
+    # (the Africa box does) would otherwise price the filter onto
+    # every row of a multi-billion-cell expansion — measured 40× on
+    # the per-row expansion cost.  Exact vectorized pentagon test:
+    # pentagon base cell AND all digits zero down to the cell's res.
     from ukis_h3cellstore_spark.h3 import cells as h3c
 
     pent_bases = np.fromiter(h3c.PENTAGON_BASE_CELLS, dtype=np.int64)
     ts_by_res = np.array(
         [h3c.trailing_sevens(r) for r in range(16)], dtype=np.int64
     )
-    any_pentagon = bool(
-        np.any(
-            np.isin((inter_cells >> 45) & 0x7F, pent_bases)
-            & (
-                (inter_cells & h3c._DIGIT_AREA_MASK)
-                == ts_by_res[inter_levels]
-            )
-        )
+    is_pent = np.isin((inter_cells >> 45) & 0x7F, pent_bases) & (
+        (inter_cells & h3c._DIGIT_AREA_MASK) == ts_by_res[inter_levels]
     )
     parts = [cells_frame(spark, h3name, leaves)]
     for lvl in np.unique(inter_levels):
         # staged expansion: an interior res-0/1 subtree under a res-9
         # target would otherwise broadcast a 7^8+ offsets frame
-        parts.append(
-            hx.h3_expand_to_children(
-                cells_frame(
-                    spark, h3name, np.sort(inter_cells[inter_levels == lvl])
-                ),
-                h3name,
-                int(lvl),
-                res,
-                filter_invalid=any_pentagon,
+        at_level = inter_levels == lvl
+        for pent in (False, True):
+            cs = inter_cells[at_level & (is_pent if pent else ~is_pent)]
+            if cs.size == 0:
+                continue
+            parts.append(
+                hx.h3_expand_to_children(
+                    cells_frame(spark, h3name, np.sort(cs)),
+                    h3name,
+                    int(lvl),
+                    res,
+                    filter_invalid=pent,
+                )
             )
-        )
     df = parts[0]
     for p in parts[1:]:
         df = df.unionByName(p)
