@@ -25,15 +25,83 @@ def _box(lng, lat, half):
     }
 
 
+# the pentagon K-axis condition is recognizable in the optimized plan
+# by the INSET membership test over the 12 pentagon base cells
+# (Catalyst may keep it as a Filter node or push it into the cross
+# join's condition — both count as "the filter is applied")
+_PENT_MARKER = "INSET"
+
+
 def test_pentagon_free_aoi_skips_validity_filter(spark):
     # Africa box at res 6: hierarchical path, no pentagon anywhere in
-    # the cover -> the plan must contain NO Filter node at all (the
-    # expansion is leaves ∪ cross-joined projections)
+    # the cover -> neither a Filter node nor a pentagon-base INSET
+    # condition anywhere in the plan (the expansion is leaves ∪
+    # cross-joined projections)
     df = geo.geometry_to_cells_df(spark, _box(15.0, 0.0, 20.0), 6)
-    assert "Filter" not in _plan(df)
+    plan = _plan(df)
+    assert "Filter" not in plan and _PENT_MARKER not in plan
     # and the result still matches the driver polyfill exactly
     want = geo.geometry_to_cells(_box(15.0, 0.0, 20.0), 6)
     assert sorted(r["h3index"] for r in df.collect()) == want
+
+
+def test_staged_rule_matches_driver_children(spark):
+    # h3_expand_to_children's staged pentagon rule must reproduce the
+    # driver hierarchy exactly: single-stage, multi-stage (two offset
+    # stages across the MAX_OFFSET_DIFF split), and mixed
+    # pentagon/hexagon parents sharing one frame
+    import numpy as np
+
+    from ukis_h3cellstore_spark.h3 import expressions as hx
+    from ukis_h3cellstore_spark.query import cells_frame
+
+    pent = h3c.build_cell(4, [])
+    for target in (4, 8):
+        got = sorted(
+            r["h3index"]
+            for r in hx.h3_expand_to_children(
+                cells_frame(spark, "h3index", np.array([pent])),
+                "h3index", 0, target, filter_invalid=True,
+            ).collect()
+        )
+        assert got == sorted(h3c.cell_to_children(pent, target))
+    mix = [h3c.build_cell(4, [0, 0]), h3c.build_cell(4, [2, 0]),
+           h3c.build_cell(10, [1, 2])]
+    got = sorted(
+        r["h3index"]
+        for r in hx.h3_expand_to_children(
+            cells_frame(spark, "h3index", np.array(mix)),
+            "h3index", 2, 7, filter_invalid=True,
+        ).collect()
+    )
+    assert got == sorted(c for p in mix for c in h3c.cell_to_children(p, 7))
+
+
+def test_staged_rule_agrees_with_full_validity(spark):
+    # on every child of a valid parent the staged clause and the full
+    # h3_is_valid_cell tree must agree (the staged form exists because
+    # the full tree was 40x per-row on a multi-billion-row expansion)
+    import numpy as np
+
+    from pyspark.sql import functions as F
+
+    from ukis_h3cellstore_spark.h3 import expressions as hx
+    from ukis_h3cellstore_spark.query import cells_frame
+
+    # all parents AT res 1 (the expansion contract): a res-1 pentagon,
+    # a non-pentagon child on the pentagon base, and a plain hexagon
+    parents = [h3c.build_cell(4, [0]), h3c.build_cell(4, [3]),
+               h3c.build_cell(37, [5])]
+    pf = cells_frame(spark, "h3index", np.array(parents))
+    raw = hx.h3_expand_to_children(pf, "h3index", 1, 4, filter_invalid=False)
+    both = raw.select(
+        hx.h3_pentagon_rule_staged(F.col("h3index"), 1, 4).alias("staged"),
+        hx.h3_is_valid_cell(F.col("h3index")).alias("full"),
+    )
+    # NOTE: parents at res 1 expand in ONE stage here, so the staged
+    # rule sees (lo=1, hi=4) exactly as the expansion applies it
+    assert both.filter(F.col("staged") != F.col("full")).count() == 0
+    assert both.filter(~F.col("full")).count() > 0  # pentagons present
 
 
 def test_pentagon_aoi_keeps_validity_filter(spark):
@@ -49,6 +117,6 @@ def test_pentagon_aoi_keeps_validity_filter(spark):
         h3c.is_pentagon(int(c)) for c in ic
     )
     assert has_pent, "fixture must put a pentagon in the cover interior"
-    assert "Filter" in _plan(df)
+    assert _PENT_MARKER in _plan(df)
     want = geo.geometry_to_cells(gi, 5)
     assert sorted(r["h3index"] for r in df.collect()) == want

@@ -154,6 +154,74 @@ def h3_uncompact_stages(parent_res: int, child_res: int) -> list[tuple[int, int]
     return stages
 
 
+def h3_pentagon_rule(col: Column | str) -> Column:
+    """The pentagon K-axis clause of :func:`h3_is_valid_cell` ALONE:
+    False iff the cell sits on a pentagon base cell AND its first
+    nonzero digit is the deleted K axis (1).
+
+    Uncompaction output of structurally-VALID parents can violate
+    nothing else — every other clause of the full validity tree
+    (mode bits, base-cell range, digit-vs-resolution rules) is
+    preserved by OR-ing child digits into a valid parent — so the
+    expansion filter needs only this clause.  The pentagon-base
+    membership test is evaluated FIRST and whole-stage codegen
+    short-circuits ``And``, so the ~99% of rows on hexagon base cells
+    never evaluate the 15-position unrolled digit scan (the full
+    tree was measured 40× on expansion throughput: a 284M-row diff-6
+    stage ran 4.1 s unfiltered vs 164.8 s under h3_is_valid_cell)."""
+    col = _col(col)
+    res = h3_get_resolution(col)
+    pent_base = h3_get_base_cell(col).isin(*sorted(c.PENTAGON_BASE_CELLS))
+    leading_k = F.lit(False)
+    for r in range(1, c.MAX_RESOLUTION + 1):
+        digit = F.shiftrightunsigned(col, 3 * (15 - r)).bitwiseAND(F.lit(0x7))
+        if r == 1:
+            prefix_zero = F.lit(True)
+        else:
+            prefix = F.shiftrightunsigned(col, 3 * (15 - (r - 1))).bitwiseAND(
+                F.lit((1 << (3 * (r - 1))) - 1)
+            )
+            prefix_zero = prefix == 0
+        leading_k = leading_k | ((F.lit(r) <= res) & prefix_zero & (digit == 1))
+    return ~(pent_base & leading_k)
+
+
+def h3_pentagon_rule_staged(
+    col: Column | str, parent_res: int, child_res: int
+) -> Column:
+    """:func:`h3_pentagon_rule` specialized for one uncompaction stage
+    with STATIC resolutions: the output res is ``child_res`` (a
+    literal, no per-row res decode), a valid pentagon parent has all
+    digits 1..parent_res zero (ONE static mask test instead of a
+    per-term prefix scan), and only the ``child_res - parent_res``
+    appended digit positions can carry the first nonzero digit — so
+    the unrolled K-axis scan shrinks from 15 terms over the whole
+    digit area to ≤ MAX_OFFSET_DIFF terms over the appended range.
+    Same verdicts as the general rule on this stage's output."""
+    col = _col(col)
+    pent_base = h3_get_base_cell(col).isin(*sorted(c.PENTAGON_BASE_CELLS))
+    if parent_res > 0:
+        parent_digits = F.shiftrightunsigned(
+            col, 3 * (15 - parent_res)
+        ).bitwiseAND(F.lit((1 << (3 * parent_res)) - 1))
+        pent_parent = pent_base & (parent_digits == 0)
+    else:
+        pent_parent = pent_base
+    leading_k = F.lit(False)
+    for r in range(parent_res + 1, child_res + 1):
+        digit = F.shiftrightunsigned(col, 3 * (15 - r)).bitwiseAND(F.lit(0x7))
+        if r == parent_res + 1:
+            appended_zero = F.lit(True)
+        else:
+            width = 3 * (r - 1 - parent_res)
+            appended = F.shiftrightunsigned(
+                col, 3 * (15 - (r - 1))
+            ).bitwiseAND(F.lit((1 << width) - 1))
+            appended_zero = appended == 0
+        leading_k = leading_k | (appended_zero & (digit == 1))
+    return ~(pent_parent & leading_k)
+
+
 def h3_expand_to_children(
     df: DataFrame,
     h3name: str,
@@ -199,7 +267,11 @@ def h3_expand_to_children(
             .select(*cols)
         )
         if filter_invalid:
-            df = df.filter(h3_is_valid_cell(F.col(h3name)))
+            # parents are valid cells at every call site, so the only
+            # droppable children are pentagon K-axis subtrees — the
+            # full h3_is_valid_cell tree is 40× per-row overkill here,
+            # and this stage's static (lo, hi) shrinks the rule further
+            df = df.filter(h3_pentagon_rule_staged(F.col(h3name), lo, hi))
     return df
 
 
