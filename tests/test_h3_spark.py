@@ -49,6 +49,42 @@ def test_expressions_match_python(spark):
         assert row["valid"] == c.is_valid_cell(x), hex(x)
 
 
+def test_is_valid_cell_bit_algebra_fuzz(spark):
+    """The branch-free bit-algebra form of h3_is_valid_cell must agree
+    with the Python reference on EVERY 64-bit pattern class: raw
+    random longs, negatives, structured cells with 7-digits inside
+    the used range, random bit flips, and every pentagon base cell
+    with leading-digit variants around the K-axis rule."""
+    rng = random.Random(77)
+    cases = [rng.getrandbits(63) for _ in range(3000)]
+    cases += [-rng.getrandbits(63) - 1 for _ in range(500)]
+    for _ in range(3000):
+        res = rng.randint(0, 15)
+        bc = rng.randint(0, 125)  # incl. out-of-range bases
+        cell = (1 << 59) | (res << 52) | (bc << 45) | c.trailing_sevens(res)
+        for r in range(1, res + 1):
+            cell |= rng.randint(0, 7) << (3 * (15 - r))  # incl. digit 7
+        if rng.random() < 0.3:
+            cell ^= 1 << rng.randint(0, 62)
+        cases.append(cell)
+    for pb in sorted(c.PENTAGON_BASE_CELLS):
+        for digs in ([1], [0, 1], [0, 0, 1], [2, 1], [0, 3], [1, 0, 0],
+                     [0, 0, 0], [0, 0, 0, 0, 0, 1], [6, 1, 1]):
+            res = len(digs)
+            cell = (1 << 59) | (res << 52) | (pb << 45) | c.trailing_sevens(res)
+            for r, d in enumerate(digs, start=1):
+                cell |= d << (3 * (15 - r))
+            cases.append(cell)
+    df = spark.createDataFrame([(x,) for x in cases], "h3index long")
+    got = df.select(
+        "h3index", hx.h3_is_valid_cell("h3index").alias("v")
+    ).collect()
+    bad = [
+        row for row in got if row["v"] != c.is_valid_cell(row["h3index"])
+    ]
+    assert not bad, [hex(r["h3index"] & (2**64 - 1)) for r in bad[:5]]
+
+
 def test_to_parent_matches_python(spark):
     cells = [x for x in _sample_cells(300, 2) if c.get_resolution(x) >= 4]
     df = spark.createDataFrame([(x,) for x in cells], "h3index long")

@@ -93,40 +93,63 @@ def h3_children_count(col: Column | str, child_res: int | Column) -> Column:
     return F.when(h3_is_pentagon(col), pent_count).otherwise(hex_count)
 
 
+#: bit 0 of every 3-bit digit group in the 45-bit digit area
+_DIGIT_LOW_BITS = sum(1 << (3 * k) for k in range(15))
+
+
 def h3_is_valid_cell(col: Column | str) -> Column:
     """Structural validity (high bit, mode, base cell range, digit rules).
 
-    Digit-by-digit checks are unrolled to 15 static bit tests — still a
-    single codegen'd expression tree.
+    Branch-free bit algebra instead of a 15-way per-digit unroll — a
+    ~25-op expression a probe-entry filter can afford on half a
+    billion rows (the unrolled form fell out of whole-stage codegen
+    budgets and was measured 40× on expansion-sized scans):
+
+    - a digit equals 7 iff all three of its bits are set, so
+      ``u & u>>1 & u>>2`` masked to the groups' low bits finds ANY
+      7-digit in the used range in three ops;
+    - the unused trailing range must be ALL 7s == ALL ones, one mask
+      compare;
+    - the pentagon K-axis rule needs "first nonzero digit == 1",
+      which holds iff the HIGHEST set bit of the used digit area
+      falls on a group's low bit (bits 1/2 of that group are clear
+      by definition of highest) — one 6-step smear isolates it.
     """
     col = _col(col)
     res = h3_get_resolution(col)
+    # 2^(3*(15-res)) − 1: all bits of the unused trailing digit range.
+    # pow on doubles is exact here (≤ 2^45 < 2^53)
+    mask_low = (
+        F.pow(F.lit(2.0), (F.lit(45) - res * 3).cast("double")).cast("long")
+        - 1
+    )
+    digit_area = col.bitwiseAND(F.lit((1 << 45) - 1))
+    used = digit_area.bitwiseAND(F.bitwise_not(mask_low))
+    sevens = (
+        used.bitwiseAND(F.shiftrightunsigned(used, 1))
+        .bitwiseAND(F.shiftrightunsigned(used, 2))
+        .bitwiseAND(F.lit(_DIGIT_LOW_BITS))
+    )
     ok = (
         (col >= 0)
         & (F.shiftrightunsigned(col, 59).bitwiseAND(F.lit(0xF)) == c.MODE_CELL)
         & (F.shiftrightunsigned(col, 56).bitwiseAND(F.lit(0x7)) == 0)
         & (h3_get_base_cell(col) <= 121)
+        & (sevens == 0)
+        & (digit_area.bitwiseAND(mask_low) == mask_low)
     )
-    for r in range(1, c.MAX_RESOLUTION + 1):
-        digit = F.shiftrightunsigned(col, 3 * (15 - r)).bitwiseAND(F.lit(0x7))
-        ok = ok & F.when(F.lit(r) <= res, digit != 7).otherwise(digit == 7)
-    # pentagon rule: on a pentagon base cell the first non-zero digit
-    # must not be the (deleted) K axis digit 1 — unrolled over the 15
-    # possible positions of that first digit
+    # pentagon rule: first nonzero digit must not be the deleted K
+    # axis (1) — i.e. the HIGHEST set bit of the used digit area falls
+    # on a group's low bit. Split the bits into the groups' low-bit
+    # plane and the rest: the planes occupy disjoint positions, so the
+    # overall top bit lies in the low plane iff the low-plane value
+    # exceeds the rest — one compare, no bit-smear (a smear chain
+    # duplicates the expression tree exponentially and falls out of
+    # codegen budgets)
+    m1 = used.bitwiseAND(F.lit(_DIGIT_LOW_BITS))
+    m24 = used.bitwiseAND(F.lit(((1 << 45) - 1) & ~_DIGIT_LOW_BITS))
     pent_base = h3_get_base_cell(col).isin(*sorted(c.PENTAGON_BASE_CELLS))
-    leading_k = F.lit(False)
-    for r in range(1, c.MAX_RESOLUTION + 1):
-        digit = F.shiftrightunsigned(col, 3 * (15 - r)).bitwiseAND(F.lit(0x7))
-        if r == 1:
-            prefix_zero = F.lit(True)
-        else:
-            # digits 1..r-1 occupy bits 3*(15-(r-1)) .. 44
-            prefix = F.shiftrightunsigned(col, 3 * (15 - (r - 1))).bitwiseAND(
-                F.lit((1 << (3 * (r - 1))) - 1)
-            )
-            prefix_zero = prefix == 0
-        leading_k = leading_k | ((F.lit(r) <= res) & prefix_zero & (digit == 1))
-    ok = ok & ~(pent_base & leading_k)
+    ok = ok & ~(pent_base & (m1 > m24))
     return ok
 
 

@@ -1096,21 +1096,68 @@ class CellStore:
             diff = max(0, at_res - cells_res)
             return n_cells * 7**diff
 
+        # ---- normalization cache. A continent-scale probe normalized
+        # DOWN shrinks ~7^diff-fold, yet the naive per-table form
+        # re-scans the full probe for every table resolution AND the
+        # final restrict — three 534M-row scan+distincts at the res-9
+        # design point. Ancestry is transitive (parent-of-parent =
+        # parent), so the full-probe distinct runs ONCE at the finest
+        # needed coarser-than-probe resolution; every coarser set
+        # derives from that (checkpointed, ~7^diff smaller) result,
+        # and repeated requests reuse the same frame.  Expansions
+        # (target finer than the probe) stay uncached in-plan
+        # cross-joins — their size is the bound, not the scan.
+        norm_cache: dict[int, DataFrame] = {}
+
+        def _normalized(to_res: int) -> DataFrame:
+            if to_res == cells_res:
+                return cells_df
+            if to_res > cells_res:
+                return build_query.normalize_cells_df(
+                    self.spark, cells_df, h3name, cells_res, to_res
+                )
+            if to_res not in norm_cache:
+                finer = [r for r in norm_cache if r > to_res]
+                src_res = min(finer) if finer else cells_res
+                src = norm_cache.get(src_res, cells_df)
+                norm_cache[to_res] = build_query.normalize_cells_df(
+                    self.spark, src, h3name, src_res, to_res
+                ).localCheckpoint(eager=False)
+            return norm_cache[to_res]
+
+        # materialize finest-first so coarser sets derive from the
+        # smallest possible parent set
+        needed = {m.resolution for m in metas}
+        if do_uncompact:
+            needed.add(h3_resolution)
+        for r in sorted((r for r in needed if r < cells_res), reverse=True):
+            _normalized(r)
+
         parts: list[DataFrame] = []
         for meta in metas:
-            table_cells = build_query.normalize_cells_df(
-                self.spark, cells_df, h3name, cells_res, meta.resolution
-            )
+            table_cells = _normalized(meta.resolution)
             tdf = self.read_table(schema, meta)
+            # prune from whichever probe description is SMALLER: the
+            # normalized (cached) set when the table is coarser than
+            # the probe, else the raw probe — partition parents are
+            # identical either way (ancestor transitivity)
+            if meta.resolution < cells_res:
+                prune_probe, prune_res, prune_n = (
+                    table_cells,
+                    meta.resolution,
+                    _bound(meta.resolution),
+                )
+            else:
+                prune_probe, prune_res, prune_n = cells_df, cells_res, n_cells
             tdf = self._prune_partitions_df(
                 schema,
                 tdf,
                 meta,
                 table_cells,
                 n_cells=_bound(meta.resolution),
-                probe_df=cells_df,
-                probe_res=cells_res,
-                n_probe=n_cells,
+                probe_df=prune_probe,
+                probe_res=prune_res,
+                n_probe=prune_n,
             )
             tdf = build_query.build_table_query_df(
                 self.spark,
@@ -1136,9 +1183,7 @@ class CellStore:
         for p in parts[1:]:
             out = out.unionByName(p)
         if do_uncompact:
-            target = build_query.normalize_cells_df(
-                self.spark, cells_df, h3name, cells_res, h3_resolution
-            )
+            target = _normalized(h3_resolution)
             if _bound(h3_resolution) <= build_query.BROADCAST_MAX_CELLS:
                 target = F.broadcast(target)
             out = out.join(target, on=h3name, how="leftsemi")
