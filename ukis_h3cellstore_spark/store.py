@@ -592,13 +592,37 @@ class CellStore:
         if options.create_schema and not self.tableset_exists(schema.name):
             self.create_tableset(schema)
         max_res = schema.max_h3_resolution
+        coarse_levels = sorted(
+            (r for r in schema.h3_base_resolutions if r != max_res),
+            reverse=True,
+        )
         df = df.persist()
+        checkpointed = None
         try:
-            stats = df.select(
+            # ONE aggregation job collects the batch stats AND every
+            # touched-partition value set (base + each coarse target) —
+            # previously 2 + L separate jobs per micro-batch (stats
+            # collect, base-partition distinct, one distinct per coarse
+            # level). Partition values derive from the row itself, so
+            # the sets are exact (guide §1.2/§2.4: fewer passes).
+            def _schema_part(res: int):
+                if schema.h3_partitioning.kind == "basecell":
+                    return hx.h3_get_base_cell(F.col(h3name))
+                diff = schema.h3_partitioning.resolution_difference
+                return hx.h3_to_parent(F.col(h3name), max(res - diff, 0))
+
+            res_col = hx.h3_get_resolution(F.col(h3name))
+            aggs = [
                 F.count(F.lit(1)).alias("n"),
-                F.min(hx.h3_get_resolution(F.col(h3name))).alias("lo"),
-                F.max(hx.h3_get_resolution(F.col(h3name))).alias("hi"),
-            ).collect()[0]
+                F.min(res_col).alias("lo"),
+                F.max(res_col).alias("hi"),
+                F.collect_set(_schema_part(max_res)).alias("p_base"),
+            ]
+            for tres in coarse_levels:
+                aggs.append(
+                    F.collect_set(_schema_part(tres)).alias(f"p_{tres}")
+                )
+            stats = df.agg(*aggs).collect()[0]
             if stats["n"] == 0:
                 return
             if stats["lo"] != max_res or stats["hi"] != max_res:
@@ -608,48 +632,122 @@ class CellStore:
                 )
             batch_rows = stats["n"] if self.auto_partitioning else None
             base_meta = ResolutionMetadata(max_res, False)
-            existed = os.path.isdir(self._table_path(schema.name, base_meta))
-            self._write_table(
-                schema,
-                base_meta,
-                self._apply_engine_merge(schema, df),
-                options,
-                batch_rows,
-            )
+            path = self._table_path(schema.name, base_meta)
+            existed = os.path.isdir(path)
+            mode = self._table_mode(schema, base_meta, batch_rows)
+            merged = self._apply_engine_merge(schema, df)
+            # `live` covers the post-merge touched base partitions;
+            # `live_is_full` marks it as the WHOLE post-merge live base
+            live: DataFrame | None = None
+            live_is_full = False
             if existed and options.deduplicate_after_insert:
-                mode = self._table_mode(schema, base_meta)
-                pdf = self._with_partition_columns(schema, df, max_res, mode)
-                touched = pdf.select("h3part").distinct().collect()
-                self.deduplicate_tableset(
-                    schema.name, [base_meta], {base_meta: touched}
+                # single-write merge: union the batch with the touched
+                # existing partitions and dynamic-overwrite them ONCE.
+                # The old shape appended the merged batch and then
+                # immediately re-read + re-merged + rewrote the same
+                # partitions (deduplicate_tableset) — every batch row
+                # was written twice and the touched partitions read
+                # twice (guide §2.4: remove passes outright). The
+                # engine merge is an associative per-key max/sum, so
+                # merge(old ∪ merge(batch)) == merge(old ∪ batch).
+                touched_vals = (
+                    [0] if mode == "global" else sorted(stats["p_base"])
                 )
-            for tres in sorted(
-                (r for r in schema.h3_base_resolutions if r != max_res),
-                reverse=True,
-            ):
+                existing = (
+                    self.read_table(schema, base_meta)
+                    .filter(F.col("h3part").isin(touched_vals))
+                    .drop("h3part", "tpart")
+                )
+                pdf_merged = self._apply_engine_merge(
+                    schema, existing.unionByName(df)
+                )
+                out = self._with_partition_columns(
+                    schema, pdf_merged, max_res, mode
+                )
+                # one shuffle task per touched partition value — a hash
+                # repartition on h3part can never use more tasks than
+                # distinct values, so the default-64 shuffle was mostly
+                # empty task-scheduling overhead
+                out = (
+                    out.repartition(len(touched_vals), F.col("h3part"))
+                    .sortWithinPartitions(*schema.sort_key())
+                    .localCheckpoint(eager=True)
+                )
+                checkpointed = out
+                (
+                    out.write.mode("overwrite")
+                    .option("partitionOverwriteMode", "dynamic")
+                    .partitionBy("h3part")
+                    .parquet(path)
+                )
+                self._record_table_mode(schema, base_meta, mode)
+                # the checkpoint holds ALL post-merge rows of the
+                # touched base partitions: reusable as the coarse
+                # refresh source (saves the base-table read-back) when
+                # it covers everything a refresh can touch
+                live = out.drop("h3part")
+                live_is_full = mode == "global"
+            else:
+                self._write_table(schema, base_meta, merged, options, batch_rows)
+                if not existed:
+                    # fresh table: its full content IS the merged batch
+                    live = merged
+                    live_is_full = True
+            touched_by_level = {
+                tres: ([0] if mode == "global" else sorted(stats[f"p_{tres}"]))
+                for tres in coarse_levels
+            }
+            for tres in coarse_levels:
                 self._refresh_coarse_level(
-                    schema, df, base_meta, tres, batch_rows
+                    schema,
+                    base_meta,
+                    tres,
+                    batch_rows,
+                    touched_by_level[tres],
+                    live=live,
+                    live_is_full=live_is_full,
                 )
         finally:
             df.unpersist()
+            if checkpointed is not None:
+                checkpointed.unpersist()
 
     def _refresh_coarse_level(
         self,
         schema: CompactedTableSchema,
-        batch: DataFrame,
         base_meta: ResolutionMetadata,
         tres: int,
         batch_rows: int | None,
+        touched_vals: list,
+        live: DataFrame | None = None,
+        live_is_full: bool = False,
     ) -> None:
         """Recompute one coarser base level from the post-merge finest
         base table's live view — every coarse level derives DIRECTLY
         from the finest rows (not chained), so order-sensitive
-        aggregates (Average) see the true leaf population."""
+        aggregates (Average) see the true leaf population.
+
+        ``touched_vals`` is the batch's coarse-partition value set,
+        precomputed by the caller's single stats aggregation. ``live``
+        (when given) is the caller's already-checkpointed post-merge
+        frame covering the touched BASE partitions — reused as the
+        refresh source instead of re-reading the base table from disk
+        (one read-back saved per level per micro-batch). It is a valid
+        source iff it covers every child row a refresh can touch:
+        always when ``live_is_full`` (fresh table / global-mode base,
+        i.e. the frame IS the whole table), and for the partition-
+        scoped branch under ``basecell`` partitioning (a coarse
+        partition's children live in the same basecell partition the
+        batch touched)."""
         h3name = schema.h3index_column()
         meta = ResolutionMetadata(tres, False)
         path = self._table_path(schema.name, meta)
         mode = self._table_mode(schema, meta, batch_rows)
-        live = self.read_table(schema, base_meta).drop("h3part", "tpart")
+        scoped_ok = live_is_full or schema.h3_partitioning.kind == "basecell"
+        if live is None or (mode == "global" and not live_is_full) or (
+            mode != "global" and not scoped_ok
+        ):
+            live = self.read_table(schema, base_meta).drop("h3part", "tpart")
         if schema.deleted_column:
             live = live.filter(~F.col(schema.deleted_column).cast("boolean"))
         sort_cols = schema.sort_key()
@@ -659,7 +757,7 @@ class CellStore:
             out = self._with_partition_columns(schema, rolled, tres, mode)
             tmp = path + "__upsert_tmp"
             (
-                out.repartition(F.col("h3part"))
+                out.repartition(1, F.col("h3part"))
                 .sortWithinPartitions(*sort_cols)
                 .write.mode("overwrite")
                 .partitionBy("h3part")
@@ -679,19 +777,13 @@ class CellStore:
             diff = schema.h3_partitioning.resolution_difference
             return hx.h3_to_parent(col, max(tres - diff, 0))
 
-        touched_vals = [
-            r["p"]
-            for r in batch.select(cpart(F.col(h3name)).alias("p"))
-            .distinct()
-            .collect()
-        ]
         # pre-filter BEFORE the rollup aggregation: only touched coarse
         # partitions' children participate (partition-scoped refresh)
         live = live.filter(cpart(F.col(h3name)).isin(touched_vals))
         rolled = rollup.rollup_level(schema, live, base_meta.resolution, tres)
         out = (
             self._with_partition_columns(schema, rolled, tres, mode)
-            .repartition(F.col("h3part"))
+            .repartition(max(len(touched_vals), 1), F.col("h3part"))
             .sortWithinPartitions(*sort_cols)
             .persist()
         )

@@ -610,8 +610,9 @@ def cdc_apply_into_tableset(
     micro-batch-split independent. Returns the StreamingQuery."""
 
     def _sink(batch_df: DataFrame, batch_id: int) -> None:
-        if batch_df.isEmpty():
-            return
+        # no isEmpty() pre-check: the upsert's single stats aggregation
+        # already returns early on an empty batch, and the pre-check
+        # cost one extra Spark job per micro-batch (guide §1.2)
         store.upsert_h3dataframe_into_tableset(schema, batch_df)
 
     writer = (
