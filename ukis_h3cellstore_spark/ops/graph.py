@@ -251,12 +251,15 @@ def hits(
     replay it.
 
     Scale shape: per iteration, two equi-join + partial-agg shuffles
-    over the cached distinct edge table and two one-row total
-    aggregates broadcast as literals-via-join; lineage stays flat
-    (the loop operand is the cached edge list, scores frames are
-    re-derived, not chained). Returns
-    ``(node string, hub_fp long, auth_fp long)`` — nodes with no
-    outgoing (incoming) edges hold hub (authority) 0.
+    over the cached distinct edge table, each materialized ONCE (the
+    checkpointed raw-sum frame feeds both the one-row total and the
+    renormalized score — the earlier shape re-ran the edge join inside
+    the broadcast total's subtree, doubling the per-round edge joins);
+    the round total is an integer-exact one-row collect folded in as a
+    literal. Score frames are re-derived from the checkpointed raws
+    (nodes-sized joins), so lineage stays flat without per-score
+    checkpoints. Returns ``(node string, hub_fp long, auth_fp long)``
+    — nodes with no outgoing (incoming) edges hold hub (authority) 0.
     """
     if iterations < 1:
         raise ValueError("iterations must be >= 1")
@@ -275,37 +278,29 @@ def hits(
             e.join(hub, e.src == hub.node)
             .groupBy(F.col("dst").alias("node"))
             .agg(F.sum("hub_fp").alias("__raw"))
+            .localCheckpoint(eager=True)  # edge join runs exactly once
         )
-        a_tot = a_raw.agg(F.sum("__raw").alias("__tot"))
-        auth = (
-            nodes.join(a_raw, "node", "left")
-            .crossJoin(F.broadcast(a_tot))
-            .select(
-                "node",
-                F.expr(
-                    f"CAST(coalesce(__raw, 0) AS {dec}) * {int(scale)} "
-                    f"div CAST(__tot AS {dec})"
-                ).cast("long").alias("auth_fp"),
-            )
-            .localCheckpoint(eager=True)
+        a_tot = a_raw.agg(F.sum("__raw").alias("__tot")).collect()[0]["__tot"]
+        auth = nodes.join(a_raw, "node", "left").select(
+            "node",
+            F.expr(
+                f"CAST(coalesce(__raw, 0) AS {dec}) * {int(scale)} "
+                f"div CAST({a_tot if a_tot is not None else 'NULL'} AS {dec})"
+            ).cast("long").alias("auth_fp"),
         )
         h_raw = (
             e.join(auth, e.dst == auth.node)
             .groupBy(F.col("src").alias("node"))
             .agg(F.sum("auth_fp").alias("__raw"))
-        )
-        h_tot = h_raw.agg(F.sum("__raw").alias("__tot"))
-        hub = (
-            nodes.join(h_raw, "node", "left")
-            .crossJoin(F.broadcast(h_tot))
-            .select(
-                "node",
-                F.expr(
-                    f"CAST(coalesce(__raw, 0) AS {dec}) * {int(scale)} "
-                    f"div CAST(__tot AS {dec})"
-                ).cast("long").alias("hub_fp"),
-            )
             .localCheckpoint(eager=True)  # flat lineage: 2 jobs/round
+        )
+        h_tot = h_raw.agg(F.sum("__raw").alias("__tot")).collect()[0]["__tot"]
+        hub = nodes.join(h_raw, "node", "left").select(
+            "node",
+            F.expr(
+                f"CAST(coalesce(__raw, 0) AS {dec}) * {int(scale)} "
+                f"div CAST({h_tot if h_tot is not None else 'NULL'} AS {dec})"
+            ).cast("long").alias("hub_fp"),
         )
     out = (
         nodes.join(hub, "node", "left")
@@ -318,5 +313,5 @@ def hits(
         .localCheckpoint(eager=True)
     )
     e.unpersist()
-    nodes.unpersist()  # checkpointed scores no longer need the caches
+    nodes.unpersist()  # checkpointed raws no longer need the caches
     return out
