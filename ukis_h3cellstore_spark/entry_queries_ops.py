@@ -5123,7 +5123,12 @@ def q_corpus_tokenize_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     path = _stable_tmpdir("tokpack_", sf_dir)
     L.write_jsonl_shards(export.repartition(8), path, docs_per_shard=2000)
-    back = spark.read.json(path)
+    # explicit schema (the written fields are known): JSON schema
+    # inference is itself a full parse pass over the export —
+    # one read instead of two (guide §6)
+    back = spark.read.schema(
+        "bin long, doc_id long, n_tokens long, shard long, text string"
+    ).json(path)
     return (
         back.groupBy(
             F.col("shard").cast("int").alias("shard"),
@@ -6429,7 +6434,12 @@ def q_corpus_curation_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     path = _stable_tmpdir("cure_", sf_dir)
     L.write_jsonl_shards(export.repartition(8), path, docs_per_shard=2000)
-    back = spark.read.json(path)
+    # explicit schema (the written fields are known): JSON schema
+    # inference is itself a full parse pass over the export —
+    # one read instead of two (guide §6)
+    back = spark.read.schema(
+        "bin long, doc_id long, n_tokens long, shard long, text string"
+    ).json(path)
     return (
         back.groupBy(
             F.col("shard").cast("int").alias("shard"),
@@ -6673,7 +6683,12 @@ def q_multimodal_curation_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     path = _stable_tmpdir("mmcure_", sf_dir)
     L.write_jsonl_shards(export.repartition(8), path, docs_per_shard=2000)
-    back = spark.read.json(path)
+    # explicit schema (the written fields are known): JSON schema
+    # inference is itself a full parse pass over the export —
+    # one read instead of two (guide §6)
+    back = spark.read.schema(
+        "bin long, doc_id long, n_tokens long, shard long, text string"
+    ).json(path)
     return (
         back.groupBy(
             F.col("shard").cast("int").alias("shard"),

@@ -132,15 +132,12 @@ def write_jsonl_shards(
     shards via ``spark.read.text`` — one JSON-line per doc, so line
     count == doc count with no JSON parse and no schema inference
     (the earlier ``spark.read.json`` manifest re-parsed the whole
-    export and threw on an empty one). Empty input short-circuits to
-    an empty manifest. At 100 TB the manifest is thousands of rows —
-    trivially collectable."""
+    export and threw on an empty one; ``read.text`` of an empty
+    export yields the empty manifest directly, so there is no
+    ``isEmpty`` pre-flight — that probe cost a near-full extra pass
+    of the upstream plan per export). At 100 TB the manifest is
+    thousands of rows — trivially collectable."""
     spark = df.sparkSession
-    if df.isEmpty():
-        df.write.mode(mode).option(
-            "maxRecordsPerFile", docs_per_shard
-        ).json(path)
-        return spark.createDataFrame([], "shard string, n_docs long")
     (
         df.write.mode(mode)
         .option("maxRecordsPerFile", docs_per_shard)
