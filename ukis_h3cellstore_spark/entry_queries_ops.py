@@ -421,8 +421,12 @@ def q_dedup_incremental_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("doc_id") + F.lit(1_000_000)).alias("doc_id"), "text"
         )
     )
-    out = D.excise_shared_spans(union, k=5, min_span=8)
-    return out.filter(F.col("doc_id") >= 1_000_000).select(
+    # cut_min_id: only the ingested snapshot is rewritten/returned, so
+    # the extents join's cut side is the batch, not the whole corpus —
+    # byte-identical to excising the full union and filtering (cuts
+    # land on the higher id; the corpus keeps its copy by construction)
+    out = D.excise_shared_spans(union, k=5, min_span=8, cut_min_id=1_000_000)
+    return out.select(
         (F.col("doc_id") - F.lit(1_000_000)).alias("doc_id"),
         "text_clean",
         "n_tokens",

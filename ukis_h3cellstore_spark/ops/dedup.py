@@ -1574,6 +1574,7 @@ def substring_span_extents(
     k: int = 5,
     min_span: int = 10,
     max_shingle_df: int | None = None,
+    cut_min_id: int | None = None,
 ) -> DataFrame:
     """Like :func:`substring_span_pairs` but keeps the COORDINATES of
     each diagonal's first-longest qualifying run: (id_a, id_b, diag,
@@ -1585,7 +1586,16 @@ def substring_span_extents(
     additionally carries the end position of the best run (updated
     exactly when a new best is set, so ties resolve to the FIRST
     maximal run in position order — deterministic and replayable by
-    the windowed SQL oracle)."""
+    the windowed SQL oracle).
+
+    ``cut_min_id`` restricts the CUT side: only extents with
+    ``id_b >= cut_min_id`` are produced (identical to filtering the
+    full output on that bound — cuts land on the higher id, so a pair
+    whose higher id is below the bound can never contribute). For the
+    incremental-ingest shape (a small batch offset above an
+    established corpus) this shrinks the join's b-side from the whole
+    corpus to the batch, which the planner can then broadcast — the
+    corpus-side gram shuffle disappears (guide §3.1/§3.3)."""
     sh = positional_shingle_df(df, text_col, id_col, k).localCheckpoint(
         eager=False
     )
@@ -1596,8 +1606,11 @@ def substring_span_extents(
             on="sh",
             how="left_anti",
         )
+    b_src = (
+        sh if cut_min_id is None else sh.filter(F.col(id_col) >= cut_min_id)
+    )
     a = sh.select(F.col(id_col).alias("id_a"), F.col("pos").alias("pos_a"), "sh")
-    b = sh.select(F.col(id_col).alias("id_b"), F.col("pos").alias("pos_b"), "sh")
+    b = b_src.select(F.col(id_col).alias("id_b"), F.col("pos").alias("pos_b"), "sh")
     matches = (
         a.join(b, on="sh")
         .filter(F.col("id_a") < F.col("id_b"))
@@ -1662,6 +1675,7 @@ def excise_shared_spans(
     k: int = 5,
     min_span: int = 10,
     max_shingle_df: int | None = None,
+    cut_min_id: int | None = None,
 ) -> DataFrame:
     """The Lee et al. 2021 dedup ACTION: for every qualifying shared
     run, the lower-id document keeps its copy and the HIGHER-id
@@ -1670,13 +1684,20 @@ def excise_shared_spans(
     (id, text_clean, n_tokens, n_cut) — untouched docs pass through
     with n_cut = 0.
 
+    ``cut_min_id`` restricts BOTH the cut side and the rewritten
+    output to documents with id >= the bound: byte-identical to
+    ``excise_shared_spans(df).filter(id >= bound)`` (cuts land only
+    on the higher id of a pair), but documents below the bound are
+    never rewritten and the extents join's cut side shrinks to the
+    batch — the incremental-ingest fast path.
+
     Scale shape: the extents stage is the inverted-index plan above;
     the rewrite is one per-document hash-agg of cut ranges (bounded by
     the doc's own diagonal count) joined LEFT onto the corpus, then a
     pure array projection (position-indexed keep mask, no explode of
     the token stream, no shuffle beyond the one cut-range agg)."""
     ext = substring_span_extents(
-        df, text_col, id_col, k, min_span, max_shingle_df
+        df, text_col, id_col, k, min_span, max_shingle_df, cut_min_id
     )
     cuts = (
         ext.select(
@@ -1691,6 +1712,8 @@ def excise_shared_spans(
     toks_df = df.select(
         F.col(id_col), F.col(text_col).alias("__t")
     ).withColumn("__toks", tokens("__t"))
+    if cut_min_id is not None:
+        toks_df = toks_df.filter(F.col(id_col) >= cut_min_id)
     joined = toks_df.join(cuts, on=id_col, how="left")
     n = F.size("__toks")
     kept = F.filter(
