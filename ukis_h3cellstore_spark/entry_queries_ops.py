@@ -38,12 +38,28 @@ def _probe(label: str, df: DataFrame) -> DataFrame:
     return df
 
 
+def _spread(df: DataFrame, spark: SparkSession) -> DataFrame:
+    """Spread a scan whose file layout yields fewer input partitions
+    than the session has cores: a parquet file can never split below
+    row-group granularity, so at the test SFs the single-file corpus
+    funnels every downstream per-row expression chain (tokenize, C4
+    regexes, shingles, vector math) through ONE task — input skew,
+    guide §2.5. Round-robin repartition is deterministic (Spark sorts
+    before round-robin repartition, SPARK-23207) and the branch is a
+    no-op at scale, where the scan already splits past the core
+    count."""
+    n = spark.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() < n:
+        return df.repartition(n)
+    return df
+
+
 def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return _spread(spark.read.parquet(f"{sf_dir}/documents.parquet"), spark)
 
 
 def _embs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    return _spread(spark.read.parquet(f"{sf_dir}/embeddings.parquet"), spark)
 
 
 _DUCK_TOKS = "regexp_split_to_array(trim(text), '\\s+')"
@@ -3066,9 +3082,16 @@ def q_corpus_clean_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.when(j % 2 == 0, F.lit(".")).otherwise(F.lit("")),
         ),
     )
+    # materialization barrier: without it Catalyst pushes the c4_pass
+    # predicate — which embeds this whole render — below the exchange
+    # into the scan's Filter, re-evaluating the render per branch AND
+    # per predicate on the unsplittable 1-task scan stage (observed as
+    # two serial ~1.6 s single-task jobs at sf0.1; the same shape at
+    # 100 TB re-renders the corpus 3×). The render now computes once,
+    # spread across the cluster, and both consumers read the blocks.
     lined = toks_df.select(
         "doc_id", "source", F.array_join(lines, "\n").alias("text")
-    )
+    ).localCheckpoint(eager=False)
     cleaned = X.c4_quality_filter(lined.select("doc_id", "text"))
     passed = cleaned.filter(F.col("c4_pass")).select(
         "doc_id", F.col("text_clean").alias("text")
@@ -5117,10 +5140,12 @@ def q_corpus_tokenize_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ukis_h3cellstore_spark.entry_queries import _stable_tmpdir
 
     docs = _docs(spark, sf_dir).select("doc_id", "text")
-    merges = X.bpe_train(docs, n_merges=_TOKPACK_MERGES)
-    cur = docs
-    for _, left, right, _ in merges:
-        cur = X.bpe_apply_merge(cur, left, right).select("doc_id", "text")
+    # the training loop's final checkpointed frame IS the corpus with
+    # every merge applied — re-applying the table from raw text ran
+    # the whole rewrite chain (and its tokenizations) a second time
+    merges, cur = X.bpe_train(
+        docs, n_merges=_TOKPACK_MERGES, return_corpus=True
+    )
     packed = SM.pack_documents(cur, max_tokens=512, num_shards=8)
     export = cur.join(packed, "doc_id").select(
         "doc_id", "shard", "n_tokens", "bin", "text"
@@ -6378,6 +6403,11 @@ def q_corpus_curation_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
             & (F.col("alpha_word_frac") >= 0.8)
         )
         .select("doc_id", "text", "source")
+        # barrier: the gopher predicate embeds the full measurement
+        # expressions; without it every consumer branch (LSH shingles,
+        # survivor anti-join, excision, lens join) re-evaluates them
+        # at the scan — 5 filter sites in the before plan
+        .localCheckpoint(eager=False)
     )
     # budget-armed (r13): the bucket-stats pre-flight prices the LSH
     # candidate volume before the self-join; 10M pairs is far above

@@ -1038,7 +1038,8 @@ def bpe_train(
     text_col: str = "text",
     id_col: str = "doc_id",
     joiner: str = "",
-) -> list[tuple[int, str, str, int]]:
+    return_corpus: bool = False,
+) -> list[tuple[int, str, str, int]] | tuple[list, DataFrame]:
     """Train ``n_merges`` BPE merge rules on the corpus: each round
     takes the most frequent adjacent pair (ties lexicographic — the
     deterministic convention of :func:`bpe_pair_counts`) and rewrites
@@ -1059,7 +1060,14 @@ def bpe_train(
     bounds the sequential round cost by sample size, not corpus size.
     APPLYING the trained table is the distributed path —
     :func:`bpe_apply_merge` per rule is a map-only projection over the
-    full corpus with zero driver involvement. See docs/SCALE.md."""
+    full corpus with zero driver involvement. See docs/SCALE.md.
+
+    ``return_corpus=True`` returns ``(merges, corpus)`` where
+    ``corpus`` is the training frame with every merge already applied
+    (the loop's final checkpointed state). A caller that trains on the
+    FULL corpus and then applies the merge table to it was re-running
+    the whole rewrite chain from raw text — the trained frame IS that
+    result, already materialized."""
     cur = df.select(F.col(id_col), F.col(text_col))
     merges: list[tuple[int, str, str, int]] = []
     for rank in range(n_merges):
@@ -1071,6 +1079,8 @@ def bpe_train(
         cur = bpe_apply_merge(
             cur, row["left"], row["right"], text_col, id_col, joiner
         ).select(F.col(id_col), F.col(text_col)).localCheckpoint(eager=False)
+    if return_corpus:
+        return merges, cur
     return merges
 
 

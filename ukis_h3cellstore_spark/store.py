@@ -282,6 +282,34 @@ class CellStore:
             df = df.withColumn("tpart", bucket)
         return df
 
+    def _write_width(
+        self, schema: CompactedTableSchema, meta: ResolutionMetadata, mode: str
+    ) -> int | None:
+        """Shuffle width for a partition-keyed write. A hash
+        repartition on the partition value can never occupy more tasks
+        than there are DISTINCT values (every value hashes to exactly
+        one task), so any width beyond the value-space bound is
+        empty-task scheduling overhead — at every scale. Returns None
+        (keep the session default) when the bound is unknown (custom /
+        temporal partition columns) or not smaller than the default."""
+        if mode == "global":
+            return 1
+        if (
+            schema.temporal_partition_column() is not None
+            or schema.partition_by_columns
+        ):
+            return None
+        if schema.h3_partitioning.kind == "basecell":
+            bound = 122
+        else:
+            diff = schema.h3_partitioning.resolution_difference
+            target = max(meta.resolution - diff, 0)
+            bound = 122 * 7 ** min(target, 10)
+        default = int(
+            self.spark.conf.get("spark.sql.shuffle.partitions", "200")
+        )
+        return bound if bound < default else None
+
     def _write_table(
         self,
         schema: CompactedTableSchema,
@@ -295,9 +323,14 @@ class CellStore:
         mode = self._table_mode(schema, meta, batch_rows)
         out = self._with_partition_columns(schema, df, meta.resolution, mode)
         self._record_table_mode(schema, meta, mode)
+        width = self._write_width(schema, meta, mode)
+        rep = (
+            out.repartition(width, *[F.col(c) for c in part_cols])
+            if width
+            else out.repartition(*[F.col(c) for c in part_cols])
+        )
         (
-            out.repartition(*[F.col(c) for c in part_cols])
-            .sortWithinPartitions(*sort_cols)
+            rep.sortWithinPartitions(*sort_cols)
             .write.mode("append")
             .option("maxRecordsPerFile", options.max_num_rows_per_chunk)
             .partitionBy(*part_cols)
@@ -913,9 +946,14 @@ class CellStore:
                 deduped = self._apply_engine_merge(schema, scoped)
                 # materialize before overwriting the path being read
                 # (breaks the logical read-write cycle; dynamic
-                # overwrite then replaces ONLY the touched partitions)
+                # overwrite then replaces ONLY the touched partitions).
+                # Width = touched-value count: a hash repartition on
+                # the partition columns cannot occupy more tasks than
+                # distinct value combinations.
                 deduped = (
-                    deduped.repartition(*[F.col(c) for c in part_cols])
+                    deduped.repartition(
+                        max(len(touched), 1), *[F.col(c) for c in part_cols]
+                    )
                     .sortWithinPartitions(*schema.sort_key())
                     .localCheckpoint(eager=True)
                 )
@@ -929,9 +967,14 @@ class CellStore:
             else:
                 deduped = self._apply_engine_merge(schema, df)
                 tmp = path + "__dedup_tmp"
+                width = self._write_width(schema, meta, mode)
+                rep = (
+                    deduped.repartition(width, *[F.col(c) for c in part_cols])
+                    if width
+                    else deduped.repartition(*[F.col(c) for c in part_cols])
+                )
                 (
-                    deduped.repartition(*[F.col(c) for c in part_cols])
-                    .sortWithinPartitions(*schema.sort_key())
+                    rep.sortWithinPartitions(*schema.sort_key())
                     .write.mode("overwrite")
                     .partitionBy(*part_cols)
                     .parquet(tmp)
