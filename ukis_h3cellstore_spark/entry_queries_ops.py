@@ -6660,9 +6660,9 @@ def q_multimodal_curation_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
     posture: each stage is the already-audited plan of its gated
     operator (banded hamming join, (id, shingle)-keyed verify,
     banded minhash join, broadcast count join, per-shard packing
-    windows); the pair table and the verified table each feed two
-    consumers and are localCheckpoint'ed once (the multi-reference
-    trap, docs/SCALE.md)."""
+    windows); the pair table, the verified table and the stage-2
+    survivor set each feed two consumers and are localCheckpoint'ed
+    once (the multi-reference trap, docs/SCALE.md)."""
     from ukis_h3cellstore_spark import layout as L
     from ukis_h3cellstore_spark.entry_queries import _stable_tmpdir
 
@@ -6689,7 +6689,7 @@ def q_multimodal_curation_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
     dup_drop = verified.select(F.col("id_b").alias("doc_id")).distinct()
     s1 = docs.join(
         quarantined.union(dup_drop).distinct(), on="doc_id", how="left_anti"
-    )
+    ).localCheckpoint(eager=False)  # feeds LSH shingles AND the survivor anti-join
     s1 = _probe("stage2 cross-modal gate", s1)
     cap_drop = (
         D.minhash_lsh_pairs(s1, min_est_jaccard=0.25)
