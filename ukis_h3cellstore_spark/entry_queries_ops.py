@@ -6422,7 +6422,12 @@ def q_corpus_curation_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
         .distinct()
     )
     clean = _probe("stage1 gopher-clean", clean)
-    surv = clean.join(dropped, on="doc_id", how="left_anti")
+    # barrier: surv feeds THREE sites (the excision's extents chain,
+    # its token side, and the lens source join) — without it the LSH
+    # self-join + distinct + anti-join re-execute per reference
+    surv = clean.join(dropped, on="doc_id", how="left_anti").localCheckpoint(
+        eager=False
+    )
     exc = D.excise_shared_spans(surv, k=5, min_span=8)
     # the clean→LSH→excision lineage fans out to FOUR consumers (PSI,
     # quarantine, mix, pack/export); materialize it once — without
