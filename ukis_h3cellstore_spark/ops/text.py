@@ -1615,7 +1615,12 @@ def perplexity_buckets(
         raise ValueError("n_buckets must be >= 2")
     from ukis_h3cellstore_spark.ops.prefix import global_rank
 
-    scored = unigram_surprisal(df, text_col, id_col)
+    # materialize once: the corpus-count job AND global_rank's range
+    # exchange both consume the surprisal result — without the barrier
+    # the explode + freq join + per-doc agg subtree runs twice
+    scored = unigram_surprisal(df, text_col, id_col).localCheckpoint(
+        eager=False
+    )
     n = scored.count()
     ranked = global_rank(
         scored, ["avg_surprisal_milli", id_col], out_col="__gr"
