@@ -1115,8 +1115,16 @@ def bigram_surprisal(
             lambda a, b: F.struct(a.alias("p"), b.alias("w")),
         ),
     ).otherwise(F.array().cast("array<struct<p:string,w:string>>"))
-    big = toks_df.select(F.col("__id"), F.explode(prs).alias("__b")).select(
-        "__id", F.col("__b.p").alias("__p"), F.col("__b.w").alias("__w")
+    big = (
+        toks_df.select(F.col("__id"), F.explode(prs).alias("__b"))
+        .select(
+            "__id", F.col("__b.p").alias("__p"), F.col("__b.w").alias("__w")
+        )
+        # three consumers (pair counts, context counts, the scoring
+        # join) — truncate lineage once so the tokenize + zip_with +
+        # explode pass runs once, not three times (same posture as the
+        # shingle frames)
+        .localCheckpoint(eager=False)
     )
     c2 = big.groupBy("__p", "__w").agg(F.count(F.lit(1)).alias("__c2"))
     c1 = big.groupBy("__p").agg(F.count(F.lit(1)).alias("__c1"))
