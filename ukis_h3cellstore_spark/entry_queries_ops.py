@@ -6686,14 +6686,19 @@ def q_multimodal_curation_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
         .localCheckpoint(eager=True)  # feeds dup-drop AND inconsistency
     )
     inconsistent = pairs.join(verified, on=["id_a", "id_b"], how="left_anti")
-    quarantined = (
+    # quarantined pair-sides and keep-first dup drops fused into ONE
+    # distinct: the left_anti below is a set-membership test, so the
+    # three separate distinct exchanges this used to run (quarantine,
+    # dup-drop, then the union of the two) collapse to a single
+    # aggregation over the union of all three id streams
+    drop = (
         inconsistent.select(F.col("id_a").alias("doc_id"))
         .union(inconsistent.select(F.col("id_b").alias("doc_id")))
+        .union(verified.select(F.col("id_b").alias("doc_id")))
         .distinct()
     )
-    dup_drop = verified.select(F.col("id_b").alias("doc_id")).distinct()
     s1 = docs.join(
-        quarantined.union(dup_drop).distinct(), on="doc_id", how="left_anti"
+        drop, on="doc_id", how="left_anti"
     ).localCheckpoint(eager=False)  # feeds LSH shingles AND the survivor anti-join
     s1 = _probe("stage2 cross-modal gate", s1)
     cap_drop = (
