@@ -181,3 +181,84 @@ def test_tombstone_only_partition_is_cleaned(spark, tmp_path):
     assert not any(
         e.startswith("h3part=") for e in os.listdir(path)
     ), os.listdir(path)
+
+
+def test_empty_upsert_does_not_create_tableset(spark, tmp_path):
+    """An all-empty batch (a quiet CDC stream's micro-batch) must not
+    materialize an empty tableset as a side effect: tableset creation
+    happens only after the stats aggregation proves the batch has
+    rows (r15; restores the pre-r14 streaming-sink contract that the
+    isEmpty pre-check used to provide for free)."""
+    store = CellStore(spark, str(tmp_path / "wh"))
+    store.upsert_h3dataframe_into_tableset(mutable_schema(), winners(spark, []))
+    assert not store.tableset_exists("sensor_state")
+    # and a later non-empty batch creates it normally
+    store.upsert_h3dataframe_into_tableset(
+        mutable_schema(), winners(spark, [(CELLS[0], 1, 0, 10)])
+    )
+    assert store.tableset_exists("sensor_state")
+    assert read_level(store, 6)[CELLS[0]] == (1, 0, 10)
+
+
+def test_coarse_refresh_not_scoped_by_base_mode(spark, tmp_path):
+    """touched_by_level must carry the REAL per-level touched values:
+    _refresh_coarse_level resolves its mode PER LEVEL, so a base table
+    whose marker says 'global' can coexist with a coarse level that
+    re-resolves to 'schema' (its dir/marker lost, recreated by a batch
+    over the auto-partitioning threshold). Substituting [0] from the
+    BASE mode scoped that refresh to partition 0 and left every other
+    coarse partition stale/missing."""
+    import shutil
+
+    a, b, c, d = CELLS[0], CELLS[1], CELLS[2], CELLS[3]
+    schema = mutable_schema()
+    wh = str(tmp_path / "wh")
+    s1 = CellStore(
+        spark, wh, auto_partitioning=True, target_rows_per_partition=100
+    )
+    s1.upsert_h3dataframe_into_tableset(schema, winners(spark, [(a, 1, 0, 10)]))
+    # base + coarse markers now say 'global'; lose the coarse table
+    # (dir AND marker), then apply a batch from a FRESH store (empty
+    # mode cache) large enough that the recreated coarse level
+    # resolves 'schema' while the base keeps its sticky 'global'
+    shutil.rmtree(s1._table_path("sensor_state", ResolutionMetadata(4, False)))
+    s2 = CellStore(
+        spark, wh, auto_partitioning=True, target_rows_per_partition=2
+    )
+    s2.upsert_h3dataframe_into_tableset(
+        schema, winners(spark, [(b, 2, 0, 20), (c, 3, 0, 30), (d, 4, 0, 40)])
+    )
+    assert read_level(s2, 4)[REGION] == (4, 0, 10 + 20 + 30 + 40)
+
+
+def test_upsert_merge_path_honors_chunk_size(spark, tmp_path):
+    """The single-write merge path must honor
+    InsertOptions.max_num_rows_per_chunk (maxRecordsPerFile) exactly as
+    the append path does — the r14 rewrite dropped the option, letting
+    chunk files grow unboundedly."""
+    import os
+
+    from ukis_h3cellstore_spark.store import InsertOptions
+
+    a, b, c = CELLS[0], CELLS[1], CELLS[2]
+    schema = mutable_schema()
+    store = CellStore(spark, str(tmp_path / "wh"), auto_partitioning=False)
+    opts = InsertOptions(max_num_rows_per_chunk=1)
+    store.upsert_h3dataframe_into_tableset(
+        schema, winners(spark, [(a, 1, 0, 10)]), options=opts
+    )
+    # second upsert takes the merge (dynamic-overwrite) path
+    store.upsert_h3dataframe_into_tableset(
+        schema, winners(spark, [(b, 2, 0, 20), (c, 3, 0, 30)]), options=opts
+    )
+    path = store._table_path("sensor_state", ResolutionMetadata(6, False))
+    part_dirs = [e for e in os.listdir(path) if e.startswith("h3part=")]
+    assert part_dirs
+    files = [
+        f
+        for d in part_dirs
+        for f in os.listdir(os.path.join(path, d))
+        if f.endswith(".parquet")
+    ]
+    # 3 live rows at 1 row/file -> at least 3 data files
+    assert len(files) >= 3, files

@@ -47,20 +47,43 @@ def _spread(df: DataFrame, spark: SparkSession) -> DataFrame:
     guide §2.5. Round-robin repartition is deterministic (Spark sorts
     before round-robin repartition, SPARK-23207) and the branch is a
     no-op at scale, where the scan already splits past the core
-    count."""
+    count.
+
+    OPT-IN per call site (r15): r14 applied this inside every
+    ``_docs``/``_embs`` read and the driver measured the 23 queries
+    touched ONLY by the spread at geomean 0.741 vs the 0.894 drift
+    line — a ~17% tax. The full-corpus round-robin exchange only pays
+    for itself where an expression-heavy chain (C4 render, BPE train,
+    shingle explode) would otherwise run on the 1-task scan AND a
+    lineage barrier pins that chain's parallelism; plain
+    scan→aggregate queries collapse the row stream at the scan via
+    partial aggregation, so shipping full-width rows buys nothing."""
     n = spark.sparkContext.defaultParallelism
     if df.rdd.getNumPartitions() < n:
         return df.repartition(n)
     return df
 
 
-def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return _spread(spark.read.parquet(f"{sf_dir}/documents.parquet"), spark)
+def _docs(
+    spark: SparkSession, sf_dir: str, spread: bool = False
+) -> DataFrame:
+    df = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return _spread(df, spark) if spread else df
 
 
-def _embs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return _spread(spark.read.parquet(f"{sf_dir}/embeddings.parquet"), spark)
+def _embs(
+    spark: SparkSession, sf_dir: str, spread: bool = False
+) -> DataFrame:
+    df = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    return _spread(df, spark) if spread else df
 
+
+#: readback schema of layout.write_jsonl_shards exports produced by the
+#: pack pipelines' `export` select (doc_id, shard, n_tokens, bin, text)
+#: — one definition so the three readers cannot drift from each other
+_PACK_EXPORT_SCHEMA = (
+    "bin long, doc_id long, n_tokens long, shard long, text string"
+)
 
 _DUCK_TOKS = "regexp_split_to_array(trim(text), '\\s+')"
 _DUCK_HASH64 = "(('0x' || substr(md5({x}), 1, 15))::BIGINT)"
@@ -70,7 +93,9 @@ _DUCK_HASH64 = "(('0x' || substr(md5({x}), 1, 15))::BIGINT)"
 
 
 def q_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return X.text_stats(_docs(spark, sf_dir))
+    # spread (paired A/B 0.34 vs 0.48 s): the whole tokenize chain
+    # runs on the unsplittable scan and the output stays row-per-doc
+    return X.text_stats(_docs(spark, sf_dir, spread=True))
 
 
 Q_TEXT_STATS_SQL = f"""
@@ -420,7 +445,9 @@ def q_dedup_incremental_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
     join reads it Exchange-free, plan-asserted in tests/test_ops.py);
     only the batch moves; the excision union is corpus+batch-sized
     but its inverted-index join is df-capped per shingle."""
-    docs = _docs(spark, sf_dir)
+    # spread: the index build's shingle explode runs directly on the
+    # corpus scan — 1-task at the test SFs without it
+    docs = _docs(spark, sf_dir, spread=True)
     corpus = docs.filter(F.col("doc_id") >= 100).select("doc_id", "text")
     batch = docs.filter(F.col("doc_id") < 100).select("doc_id", "text")
     _IDX_COUNTER[0] += 1
@@ -2632,7 +2659,9 @@ def q_dedup_substring_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     substring_span_pairs): the Lee et al. 2021 verbatim-run shape —
     positional k-gram inverted index, diagonal chaining via the
     shuffle-free sorted fold, longest shared token run per pair."""
-    out = D.substring_span_pairs(_docs(spark, sf_dir), k=5, min_span=8)
+    # spread (paired A/B 1.56 vs 1.69 s): the k-gram explode hangs
+    # directly off the scan
+    out = D.substring_span_pairs(_docs(spark, sf_dir, spread=True), k=5, min_span=8)
     return out.select(
         "id_a",
         "id_b",
@@ -2897,7 +2926,9 @@ def q_multimodal_phash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     style perceptual hash over binary payload byte 4-grams (Arrow-
     batched mapInPandas — the real-decoder swap point), paired by the
     generic banded-XOR hamming join."""
-    payloads = M.attach_binary_payload(_docs(spark, sf_dir))
+    # spread (paired A/B ~1.7 vs ~2.6 s): the synthetic payload
+    # render + 64-bit phash fold is a heavy per-row chain on the scan
+    payloads = M.attach_binary_payload(_docs(spark, sf_dir, spread=True))
     return M.phash_dup_pairs(payloads, max_hamming=4).select(
         "id_a", "id_b", F.col("hamming").cast("int").alias("hamming")
     )
@@ -2941,7 +2972,9 @@ def q_multimodal_phash_density(spark: SparkSession, sf_dir: str) -> DataFrame:
     At sf0.1 the auto sample_mod resolves to 2 (5000 prints /
     target 2000), exercising the sampled path; at sf0.01 it is 1
     (exact)."""
-    payloads = M.attach_binary_payload(_docs(spark, sf_dir))
+    # spread (paired A/B ~1.7 vs ~2.6 s): the synthetic payload
+    # render + 64-bit phash fold is a heavy per-row chain on the scan
+    payloads = M.attach_binary_payload(_docs(spark, sf_dir, spread=True))
     ph = (
         M.perceptual_hash_stub(payloads)
         .filter(F.col("phash").isNotNull())
@@ -3070,7 +3103,9 @@ def q_corpus_clean_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     report (docs kept, lines kept/total, chars out). Exercises
     cross-operator optimization — the C4 projection, the dedup
     shuffle, and the report agg plan as one query."""
-    docs = _docs(spark, sf_dir)
+    # spread: the render chain below is barriered, so without it the
+    # whole line-render evaluates on the unsplittable 1-task scan
+    docs = _docs(spark, sf_dir, spread=True)
     toks_df = docs.select(
         "doc_id", "source", X.tokens("text").alias("__toks")
     )
@@ -5139,7 +5174,10 @@ def q_corpus_tokenize_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ukis_h3cellstore_spark import layout as L
     from ukis_h3cellstore_spark.entry_queries import _stable_tmpdir
 
-    docs = _docs(spark, sf_dir).select("doc_id", "text")
+    # spread: bpe_train's per-round rewrite chain checkpoints each
+    # round, so the scan's 1-task layout would pin every round's
+    # tokenize+merge pass to one core
+    docs = _docs(spark, sf_dir, spread=True).select("doc_id", "text")
     # the training loop's final checkpointed frame IS the corpus with
     # every merge applied — re-applying the table from raw text ran
     # the whole rewrite chain (and its tokenizations) a second time
@@ -5152,12 +5190,15 @@ def q_corpus_tokenize_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     path = _stable_tmpdir("tokpack_", sf_dir)
     L.write_jsonl_shards(export.repartition(8), path, docs_per_shard=2000)
-    # explicit schema (the written fields are known): JSON schema
-    # inference is itself a full parse pass over the export —
-    # one read instead of two (guide §6)
-    back = spark.read.schema(
-        "bin long, doc_id long, n_tokens long, shard long, text string"
-    ).json(path)
+    # explicit shared schema + FAILFAST: inference is a full parse
+    # pass over the export (one read instead of two, guide §6), and
+    # FAILFAST makes any drift in the exported columns fail loudly
+    # instead of PERMISSIVE's silent nulls
+    back = (
+        spark.read.schema(_PACK_EXPORT_SCHEMA)
+        .option("mode", "FAILFAST")
+        .json(path)
+    )
     return (
         back.groupBy(
             F.col("shard").cast("int").alias("shard"),
@@ -6391,7 +6432,10 @@ def q_corpus_curation_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ukis_h3cellstore_spark.entry_queries import _stable_tmpdir
     from ukis_h3cellstore_spark.ops.report import psi_drift
 
-    docs = _docs(spark, sf_dir)
+    # spread: the gopher-clean frame is barriered below, so its
+    # measurement expressions (and the downstream shingle explodes
+    # reading the checkpoint blocks) inherit the scan's partitioning
+    docs = _docs(spark, sf_dir, spread=True)
     g = X.gopher_quality_flags(docs).select(
         "doc_id", "n_words", "mean_word_len", "alpha_word_frac"
     )
@@ -6473,12 +6517,15 @@ def q_corpus_curation_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     path = _stable_tmpdir("cure_", sf_dir)
     L.write_jsonl_shards(export.repartition(8), path, docs_per_shard=2000)
-    # explicit schema (the written fields are known): JSON schema
-    # inference is itself a full parse pass over the export —
-    # one read instead of two (guide §6)
-    back = spark.read.schema(
-        "bin long, doc_id long, n_tokens long, shard long, text string"
-    ).json(path)
+    # explicit shared schema + FAILFAST: inference is a full parse
+    # pass over the export (one read instead of two, guide §6), and
+    # FAILFAST makes any drift in the exported columns fail loudly
+    # instead of PERMISSIVE's silent nulls
+    back = (
+        spark.read.schema(_PACK_EXPORT_SCHEMA)
+        .option("mode", "FAILFAST")
+        .json(path)
+    )
     return (
         back.groupBy(
             F.col("shard").cast("int").alias("shard"),
@@ -6671,7 +6718,10 @@ def q_multimodal_curation_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ukis_h3cellstore_spark import layout as L
     from ukis_h3cellstore_spark.entry_queries import _stable_tmpdir
 
-    docs = _docs(spark, sf_dir)
+    # spread: the payload phash chain and the caption shingle explode
+    # both hang off the scan, and s1's barrier pins the survivor set's
+    # parallelism to it
+    docs = _docs(spark, sf_dir, spread=True)
     payloads = M.attach_binary_payload(docs)
     pairs = (
         M.phash_dup_pairs(payloads, max_hamming=8, pair_budget="auto")
@@ -6727,12 +6777,15 @@ def q_multimodal_curation_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     path = _stable_tmpdir("mmcure_", sf_dir)
     L.write_jsonl_shards(export.repartition(8), path, docs_per_shard=2000)
-    # explicit schema (the written fields are known): JSON schema
-    # inference is itself a full parse pass over the export —
-    # one read instead of two (guide §6)
-    back = spark.read.schema(
-        "bin long, doc_id long, n_tokens long, shard long, text string"
-    ).json(path)
+    # explicit shared schema + FAILFAST: inference is a full parse
+    # pass over the export (one read instead of two, guide §6), and
+    # FAILFAST makes any drift in the exported columns fail loudly
+    # instead of PERMISSIVE's silent nulls
+    back = (
+        spark.read.schema(_PACK_EXPORT_SCHEMA)
+        .option("mode", "FAILFAST")
+        .json(path)
+    )
     return (
         back.groupBy(
             F.col("shard").cast("int").alias("shard"),

@@ -129,33 +129,44 @@ def global_rank(
         rp = df.repartitionByRange(*ncols)
     else:
         rp = df.repartitionByRange(num_partitions, *ncols)
-    staged = rp.withColumn("__pid", F.spark_partition_id())
-    w = Window.partitionBy("__pid").orderBy(*ncols)
-    # same materialize-once rationale as global_cumsum: the counts
-    # collect and the final plan share the range+window subtree
-    within = staged.withColumn("__rn", F.row_number().over(w)).localCheckpoint(
-        eager=False
+    # WINDOWLESS within-partition row number (r15): the old
+    # ``Window.partitionBy("__pid")`` forced a SECOND full-data hash
+    # exchange on the materialized partition id. Sort within the range
+    # partitions instead and let ``monotonically_increasing_id()``
+    # stamp (pid << 33 | position) MAP-SIDE; the partition-count
+    # offsets collect also carries each partition's min id, so
+    # rank = (offset − m0 + 1) + mid — one full-data exchange total.
+    staged = rp.sortWithinPartitions(*ncols).withColumn(
+        "__mid", F.monotonically_increasing_id()
     )
-    counts = within.groupBy("__pid").agg(F.count(F.lit(1)).alias("__n")).collect()
-    by_pid = {int(r["__pid"]): int(r["__n"]) for r in counts}
+    within = staged.withColumn(
+        "__pid", F.shiftrightunsigned("__mid", 33).cast("int")
+    ).localCheckpoint(eager=False)
+    counts = (
+        within.groupBy("__pid")
+        .agg(F.count(F.lit(1)).alias("__n"), F.min("__mid").alias("__m0"))
+        .collect()
+    )
+    by_pid = {int(r["__pid"]): (int(r["__n"]), int(r["__m0"])) for r in counts}
     offsets, acc = [], 0
     for pid in sorted(by_pid):
-        offsets.append((pid, acc))
-        acc += by_pid[pid]
+        n, m0 = by_pid[pid]
+        offsets.append((pid, acc - m0 + 1))
+        acc += n
     spark = df.sparkSession
     if offsets:
-        off_df = spark.createDataFrame(offsets, "__pid int, __offset long")
+        off_df = spark.createDataFrame(offsets, "__pid int, __base long")
     else:
-        off_df = spark.createDataFrame([], "__pid int, __offset long")
+        off_df = spark.createDataFrame([], "__pid int, __base long")
     return (
         within.join(F.broadcast(off_df), on="__pid", how="left")
         .withColumn(
             out_col,
-            (F.coalesce(F.col("__offset"), F.lit(0)) + F.col("__rn")).cast(
+            (F.coalesce(F.col("__base"), F.lit(1)) + F.col("__mid")).cast(
                 "long"
             ),
         )
-        .drop("__pid", "__rn", "__offset")
+        .drop("__pid", "__mid", "__base")
     )
 
 

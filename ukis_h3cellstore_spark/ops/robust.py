@@ -162,41 +162,66 @@ def grouped_rank(
         rp = df.repartitionByRange(*keys)
     else:
         rp = df.repartitionByRange(num_partitions, *keys)
-    staged = rp.withColumn("__pid", F.spark_partition_id())
-    w = Window.partitionBy("__pid", group_col).orderBy(*ncols)
-    within = staged.withColumn("__rn", F.row_number().over(w)).localCheckpoint(
-        eager=False
+    # WINDOWLESS within-partition rank (r15): the old
+    # ``Window.partitionBy("__pid", group)`` forced a SECOND full-data
+    # Exchange (hashpartitioning on the materialized partition id) that
+    # Catalyst cannot prove redundant with the range exchange. Instead:
+    # sort within the range partitions by (group, order) so each
+    # (partition, group) block is contiguous and ordered, then let
+    # ``monotonically_increasing_id()`` stamp (pid << 33 | position)
+    # MAP-SIDE. rank-within-block = mid − min(mid of the block) + 1,
+    # and the per-(pid, group) min rides the same metadata-sized
+    # offsets collect as before — one full-data exchange total.
+    # (Bound: a partition must stay under 2^33 rows for the id split —
+    # a per-partition size no sane layout approaches.)
+    staged = rp.sortWithinPartitions(gcol, *ncols).withColumn(
+        "__mid", F.monotonically_increasing_id()
     )
+    within = staged.withColumn(
+        "__pid", F.shiftrightunsigned("__mid", 33).cast("int")
+    ).localCheckpoint(eager=False)
     counts = (
         within.groupBy("__pid", group_col)
-        .agg(F.count(F.lit(1)).alias("__n"))
+        .agg(
+            F.count(F.lit(1)).alias("__n"),
+            F.min("__mid").alias("__m0"),
+        )
         .collect()
     )
-    # exclusive prefix over pids within each group -> rank offsets
+    # exclusive prefix over pids within each group -> rank offsets,
+    # folded with the block-start id into ONE long per (pid, group):
+    # rank = __base + __mid  where  __base = offset − m0 + 1
     by_group: dict = {}
     for r in sorted(counts, key=lambda r: (r[group_col], int(r["__pid"]))):
         by_group.setdefault(r[group_col], []).append(
-            (int(r["__pid"]), int(r["__n"]))
+            (int(r["__pid"]), int(r["__n"]), int(r["__m0"]))
         )
     offsets = []
     for g, lst in by_group.items():
         acc = 0
-        for pid, n in lst:
-            offsets.append((pid, g, acc))
+        for pid, n, m0 in lst:
+            offsets.append((pid, g, acc - m0 + 1))
             acc += n
     spark = df.sparkSession
     g_type = dict(df.dtypes)[group_col]
-    schema = f"__pid int, {group_col} {g_type}, __offset long"
+    schema = f"__pid int, {group_col} {g_type}, __base long"
     off_df = spark.createDataFrame(offsets, schema)
+    # every (pid, group) present in the data appears in the collect, so
+    # the null-safe equality join cannot miss (including NULL groups,
+    # which the old EqualTo join silently failed to offset)
+    cond = within["__pid"] == off_df["__pid"]
+    cond = cond & within[group_col].eqNullSafe(off_df[group_col])
     return (
-        within.join(F.broadcast(off_df), on=["__pid", group_col], how="left")
+        within.join(F.broadcast(off_df), cond, how="left")
+        .drop(off_df["__pid"])
+        .drop(off_df[group_col])
         .withColumn(
             out_col,
-            (F.coalesce(F.col("__offset"), F.lit(0)) + F.col("__rn")).cast(
+            (F.coalesce(F.col("__base"), F.lit(1)) + F.col("__mid")).cast(
                 "long"
             ),
         )
-        .drop("__pid", "__rn", "__offset")
+        .drop("__pid", "__mid", "__base")
     )
 
 

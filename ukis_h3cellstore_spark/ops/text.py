@@ -1115,17 +1115,15 @@ def bigram_surprisal(
             lambda a, b: F.struct(a.alias("p"), b.alias("w")),
         ),
     ).otherwise(F.array().cast("array<struct<p:string,w:string>>"))
-    big = (
-        toks_df.select(F.col("__id"), F.explode(prs).alias("__b"))
-        .select(
-            "__id", F.col("__b.p").alias("__p"), F.col("__b.w").alias("__w")
-        )
-        # three consumers (pair counts, context counts, the scoring
-        # join) — truncate lineage once so the tokenize + zip_with +
-        # explode pass runs once, not three times (same posture as the
-        # shingle frames)
-        .localCheckpoint(eager=False)
+    big = toks_df.select(F.col("__id"), F.explode(prs).alias("__b")).select(
+        "__id", F.col("__b.p").alias("__p"), F.col("__b.w").alias("__w")
     )
+    # NO lineage barrier here: the r14 localCheckpoint on this frame
+    # materialized the corpus-sized bigram stream to save two tokenize
+    # passes, and the driver's cold min-of-3 measured it 2.3× SLOWER
+    # (0.91 → 2.05 s) — writing every pair row to block storage costs
+    # more than re-running the map-only tokenize+zip_with chain, the
+    # same wash the 2-consumer collocations A/B measured. Reverted.
     c2 = big.groupBy("__p", "__w").agg(F.count(F.lit(1)).alias("__c2"))
     c1 = big.groupBy("__p").agg(F.count(F.lit(1)).alias("__c1"))
     vocab = (

@@ -622,8 +622,6 @@ class CellStore:
         df = df.select(
             *[F.col(f.name).cast(f.dataType) for f in target.fields]
         )
-        if options.create_schema and not self.tableset_exists(schema.name):
-            self.create_tableset(schema)
         max_res = schema.max_h3_resolution
         coarse_levels = sorted(
             (r for r in schema.h3_base_resolutions if r != max_res),
@@ -658,6 +656,14 @@ class CellStore:
             stats = df.agg(*aggs).collect()[0]
             if stats["n"] == 0:
                 return
+            # create AFTER the empty-batch early return: with the
+            # streaming sink's isEmpty pre-check gone (r14), an
+            # all-empty stream would otherwise materialize an empty
+            # tableset as a side effect
+            if options.create_schema and not self.tableset_exists(
+                schema.name
+            ):
+                self.create_tableset(schema)
             if stats["lo"] != max_res or stats["hi"] != max_res:
                 raise SchemaError(
                     "upsert rows must all be at the tableset's max "
@@ -710,6 +716,9 @@ class CellStore:
                 (
                     out.write.mode("overwrite")
                     .option("partitionOverwriteMode", "dynamic")
+                    .option(
+                        "maxRecordsPerFile", options.max_num_rows_per_chunk
+                    )
                     .partitionBy("h3part")
                     .parquet(path)
                 )
@@ -726,9 +735,14 @@ class CellStore:
                     # fresh table: its full content IS the merged batch
                     live = merged
                     live_is_full = True
+            # always the REAL per-level value sets: _refresh_coarse_level
+            # resolves mode PER LEVEL (a coarse table can resolve
+            # 'schema' while the base is 'global'), and its global
+            # branch never reads touched_vals — substituting [0] from
+            # the BASE mode would scope a schema-mode coarse refresh to
+            # partition 0 and leave the others stale
             touched_by_level = {
-                tres: ([0] if mode == "global" else sorted(stats[f"p_{tres}"]))
-                for tres in coarse_levels
+                tres: sorted(stats[f"p_{tres}"]) for tres in coarse_levels
             }
             for tres in coarse_levels:
                 self._refresh_coarse_level(
