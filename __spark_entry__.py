@@ -41,62 +41,60 @@ from pyspark.sql import DataFrame, SparkSession
 # satisfy: new + oldest-cohort-size <= 50, else the cohort ages one
 # extra round toward the bound.
 _PRIORITY = [
-    # tier 1 — dedup_minhash_guided debuts (r13's new gate, green in
-    # both r13 local sweeps, protocol-committed to enter at r14)
-    "dedup_minhash_guided",
-    # tier 2 — the 8 r8-aged gates rotation.py --check named after
-    # r13 (driver age reaches the 6-round bound at r14), then the
-    # rest of the r8 cohort in registry order (regenerate with
-    # tools/rotation.py --python)
-    "dedup_exact",
-    "corpus_tokenize_pack",
-    "dedup_incremental_e2e",
-    "geo_disk_smoothing",
-    "geo_ring_profile",
-    "streaming_novelty",
-    "streaming_cdc_upsert",
-    "streaming_psi_drift",
-    "source_orc_roundtrip",
-    "orders_semi_anti_join",
-    "events_variant_props",
-    "source_csv_roundtrip",
-    "events_distinct_daily",
-    "events_user_type_signature",
-    "part_string_funcs",
-    "source_jsonl_roundtrip",
-    "events_lateral_top2",
-    "events_gapfill_daily",
-    "events_map_ops",
-    "events_window_nav",
-    "corpus_curation_e2e",
-    "part_fuzzy_link",
-    "embedding_source_drift",
-    "events_funnel_conversion",
-    "corpus_ngram_diversity",
-    "corpus_pack_curriculum",
-    "embedding_margin_pairs",
-    "text_normalize",
-    "text_boilerplate",
-    "text_quality_logit",
-    "ann_sq8_top3",
-    "ann_filtered_top3",
-    "text_surprisal",
-    "multimodal_features",
-    "dedup_cross_modal",
-    "dedup_lsh_verified",
-    "embedding_norm_report",
-    "multimodal_frame_sample",
-    "text_gopher_quality",
-    "corpus_source_report",
-    "corpus_stratified_sample",
-    "corpus_chunked",
-    "corpus_length_filter",
-    "corpus_oov_report",
-    "corpus_cross_source_dups",
-    "ann_pq_top3",
-    "ann_ivfpq_top3",
-    "dedup_containment",
-    "text_char_entropy",
+    # r15 rotation (tools/rotation.py --python): no tier-1 debuts this
+    # round; tier 2 leads with the 9 gates whose driver age reaches
+    # the 6-round bound at r15 (last green r9), then the rest of the
+    # r9 cohort in rotation order
+    "corpus_temperature_mix",
+    "pipeline_templated_query",
+    "geo_polyfill_traversal",
+    "geo_border_cells",
+    "geo_latlng_to_cell",
+    "streaming_topk",
+    "streaming_dedup_exact",
+    "streaming_sessionize",
+    "streaming_interval_join",
+    "q1_pricing_summary",
+    "q3_shipping_priority",
+    "q5_region_nation_revenue",
+    "q6_forecast_revenue",
+    "q4_order_priority",
+    "q18_large_orders",
+    "q11_important_suppliers",
+    "q20_dominant_suppliers",
+    "pipeline_join_tablesets",
+    "source_zordered_scan",
+    "events_window_ntile",
+    "events_grouping_sets",
+    "multimodal_curation_e2e",
+    "embedding_margin_pairs_ivf",
+    "corpus_dsir_weights",
+    "dedup_semantic",
+    "dedup_ngram_jaccard",
+    "dedup_minhash_signatures",
+    "dedup_minhash_lsh_pairs",
+    "dedup_simhash",
+    "dedup_simhash_groups",
+    "dedup_simhash_hamming",
+    "ann_cosine_top3",
+    "ann_ivf_top3",
+    "ann_lsh_top3",
+    "embedding_dup_pairs",
+    "multimodal_decode_meta",
+    "corpus_curation",
+    "corpus_split_counts",
+    "pack_documents",
+    "packing_stats",
+    "corpus_mixture",
+    "text_scrub_pii",
+    "corpus_training_mix",
+    "dedup_cluster_resolve",
+    "corpus_decontaminate",
+    "text_vocab_top50",
+    "text_repetition",
+    "pipeline_traversal",
+    "pipeline_traversal_prefiltered",
+    "pipeline_traverse_apply",
 ]
 
 

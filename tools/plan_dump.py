@@ -43,11 +43,18 @@ def _git_state(root: str) -> tuple[str, bool]:
             ["git", "-C", root, "rev-parse", "HEAD"],
             capture_output=True, text=True, check=True,
         ).stdout.strip()
-        dirty = bool(
-            subprocess.run(
-                ["git", "-C", root, "status", "--porcelain"],
-                capture_output=True, text=True, check=True,
-            ).stdout.strip()
+        status = subprocess.run(
+            ["git", "-C", root, "status", "--porcelain"],
+            capture_output=True, text=True, check=True,
+        ).stdout.splitlines()
+        # untracked files under plans/ are this tool's own OUTPUT from
+        # earlier dumps — they cannot shadow imports and don't taint
+        # the tree; anything else (tracked changes, untracked .py)
+        # does
+        dirty = any(
+            not (line.startswith("??") and "plans/" in line)
+            for line in status
+            if line.strip()
         )
         return sha, dirty
     except Exception:
