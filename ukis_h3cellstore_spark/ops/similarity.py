@@ -1023,25 +1023,15 @@ def pq_train(
                 F.transform("pm", lambda s: s["m"]).alias("c_vec"),
             )
         )
-        # m × n_centroids rows — the codebooks are dim-lookup-sized
-        # metadata (like kmeans_fit's centroids), so materialize them
-        # on the driver: one collect per iteration replaces the
-        # per-iteration lineage checkpoint, and the next iteration's
-        # broadcast (and every consumer: encode, ADC tables) gets a
-        # LOCAL relation with no training subtree behind it (r15;
-        # kmeans_fit has used exactly this shape since r13)
-        rows = cent.collect()
-        data = sorted(
-            (
-                int(r["subspace"]),
-                int(r["centroid_id"]),
-                [float(x) for x in r["c_vec"]],
-            )
-            for r in rows
-        )
-        cent = corpus.sparkSession.createDataFrame(
-            data, "subspace int, centroid_id long, c_vec array<double>"
-        )
+        # m * n_centroids rows — pin each iteration so the next one
+        # (and every consumer: encode, ADC tables) reuses one
+        # materialization of the training. A kmeans_fit-style driver
+        # collect + local relation was tried in r15 and measured
+        # SLOWER in a paired interleaved A/B (ivfpq bench min-of-3
+        # 7.71 s vs 6.88 s with the checkpoint): the lazy checkpoint
+        # folds materialization into the consumer's job, while the
+        # collect adds a blocking driver roundtrip per iteration.
+        cent = cent.localCheckpoint(eager=False)
     return cent
 
 
